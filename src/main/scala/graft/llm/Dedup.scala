@@ -1,0 +1,204 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{GraftShims => ExpressionUtils}
+import graft.functions.{MinHashSig, SimHash60, WordShingles}
+import graft.queries.{GQ, QueryDefs}
+import QueryDefs._
+
+/** Near-duplicate detection for LLM training data (SURVEY §2 C2–C4).
+  *
+  * Scale shape: signatures (minhash / simhash) are computed per-row with
+  * array higher-order functions — no explode, no shuffle. Only the
+  * candidate-pair join shuffles, keyed by uniform 128-bit band hashes
+  * (skew-free). Exact verification runs on candidates only.
+  *
+  * md5 is used as the hash family because it is bit-identical in Spark and
+  * DuckDB, which makes the whole pipeline oracle-checkable; swap in
+  * xxhash64 for maximum throughput when oracle parity is not required.
+  */
+object Dedup {
+
+  private val NumHashes = 16
+  private val NumBands = 4 // 4 rows per band
+
+  /** doc_id, sh (distinct word-3-gram shingles), non-empty. Uses the
+    * custom WordShingles expression: one tight per-row loop instead of
+    * per-element interpreted HOFs (~20x on this path).
+    */
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    table(s, d, "documents")
+      .withColumn("sh",
+        ExpressionUtils.column(WordShingles(ExpressionUtils.expression($"text"), 3)))
+      .filter(size($"sh") > 0)
+      .select($"doc_id", $"sh")
+  }
+
+  // Universal-hash family over a 30-bit value extracted from one md5 per
+  // shingle: h_j(v) = (A_j * v + B_j) mod P. One digest instead of
+  // NumHashes digests per shingle; constants are build-time deterministic
+  // and embedded in the oracle SQL.
+  private val P = 1073741789L // prime < 2^30
+  private[llm] val hashAB: Seq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h7(s: String): Long = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString.take(7), 16)
+    }
+    (0 until NumHashes).map(j => ((h7(s"A$j") | 1L), h7(s"B$j")))
+  }
+
+  /** sig[j] = min over shingles of h_j, via the custom MinHashSig
+    * expression (single md5 + 16 integer hashes per shingle, one loop).
+    */
+  private def minhashSig(sh: Column): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(sh), hashAB, P))
+
+  /** Exact Jaccard via membership filter; formula text mirrored in SQL so
+    * the double division is bit-identical.
+    */
+  private def jaccard(sa: Column, sb: Column): Column = {
+    val inter = size(filter(sa, x => array_contains(sb, x))).cast("double")
+    val tot = (size(sa) + size(sb)).cast("double")
+    inter / (tot - inter)
+  }
+
+  private val duckShingled = """
+    SELECT doc_id, sh FROM (
+      SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        THEN list_transform(generate_series(1, len(t)-2),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+        ELSE [] END) AS sh
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents))
+    WHERE len(sh) > 0"""
+
+  private val duckJaccard =
+    """CAST(len(list_filter(x.sh, e -> list_contains(y.sh, e))) AS DOUBLE)
+       / (CAST(len(x.sh) + len(y.sh) AS DOUBLE)
+          - CAST(len(list_filter(x.sh, e -> list_contains(y.sh, e))) AS DOUBLE))"""
+
+  val queries: Seq[GQ] = Seq(
+    // C2 + C3 ----------------------------------------------------------
+    GQ("dedup_minhash_lsh", (s, d) => {
+      import s.implicits._
+      val docs = shingled(s, d).persist()
+      val sig = docs.withColumn("sig", minhashSig($"sh"))
+      // bands carry only (doc_id, band, key): the candidate join and the
+      // distinct shuffle ids, never the shingle arrays
+      val bands = sig.select(
+        $"doc_id",
+        posexplode(array((0 until NumBands).map { b =>
+          concat_ws("|",
+            (0 until NumHashes / NumBands).map(r => element_at($"sig", b * (NumHashes / NumBands) + r + 1)): _*)
+        }: _*)).as(Seq("b", "bkey")))
+      val l = bands.select($"doc_id".as("doc_a"), $"b", $"bkey")
+      val r = bands.select($"doc_id".as("doc_b"), $"b", $"bkey")
+      val cand = l.join(r, Seq("b", "bkey")).filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b").distinct()
+      cand
+        .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sa")), Seq("doc_a"))
+        .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sb")), Seq("doc_b"))
+        .withColumn("jaccard", jaccard($"sa", $"sb"))
+        .filter($"jaccard" >= 0.7)
+        .select($"doc_a", $"doc_b", $"jaccard")
+        .orderBy($"doc_a", $"doc_b")
+    }, Some(s"""
+      WITH d AS ($duckShingled),
+      sigs AS (
+        SELECT doc_id,
+          [${hashAB.map { case (a, b) => s"list_min(list_transform(vs, v -> ($a*v + $b) % $P))" }.mkString(", ")}] AS sig
+        FROM (SELECT doc_id,
+          list_transform(sh, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 1073741824) AS vs
+          FROM d)),
+      bands AS (
+        SELECT doc_id, u.b AS b,
+          concat_ws('|', sig[4*u.b+1], sig[4*u.b+2], sig[4*u.b+3], sig[4*u.b+4]) AS bkey
+        FROM sigs, (SELECT unnest([0,1,2,3]) AS b) u),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id)
+      SELECT doc_a, doc_b, $duckJaccard AS jaccard
+      FROM cand JOIN d x ON x.doc_id = doc_a JOIN d y ON y.doc_id = doc_b
+      WHERE $duckJaccard >= 0.7
+      ORDER BY doc_a, doc_b"""), bench = true),
+
+    // C3 (blocked exact n-gram jaccard; blocking key = source) ----------
+    GQ("dedup_ngram_jaccard", (s, d) => {
+      import s.implicits._
+      val docs = table(s, d, "documents")
+        .withColumn("sh",
+          ExpressionUtils.column(WordShingles(ExpressionUtils.expression($"text"), 3)))
+        .filter(size($"sh") > 0)
+        .select($"doc_id", $"source", $"sh")
+      val l = docs.select($"source", $"doc_id".as("doc_a"), $"sh".as("sa"))
+      val r = docs.select($"source", $"doc_id".as("doc_b"), $"sh".as("sb"))
+      l.join(r, Seq("source")).filter($"doc_a" < $"doc_b")
+        .withColumn("jaccard", jaccard($"sa", $"sb"))
+        .filter($"jaccard" >= 0.5)
+        .select($"source", $"doc_a", $"doc_b", $"jaccard")
+        .orderBy($"source", $"doc_a", $"doc_b")
+    }, Some(s"""
+      WITH d AS (
+        SELECT doc_id, source, sh FROM (
+          SELECT doc_id, source, list_distinct(CASE WHEN len(t) >= 3
+            THEN list_transform(generate_series(1, len(t)-2),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+            ELSE [] END) AS sh
+          FROM (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                FROM documents))
+        WHERE len(sh) > 0)
+      SELECT x.source AS source, x.doc_id AS doc_a, y.doc_id AS doc_b,
+        $duckJaccard AS jaccard
+      FROM d x JOIN d y ON x.source = y.source AND x.doc_id < y.doc_id
+      WHERE $duckJaccard >= 0.5
+      ORDER BY source, doc_a, doc_b""")),
+
+    // C4 ---------------------------------------------------------------
+    // 60-bit simhash from the first 15 hex nibbles of per-token md5 (60
+    // keeps the value positive in engines without unsigned 64-bit);
+    // candidates share a 15-bit band, verified by hamming distance.
+    GQ("dedup_simhash", (s, d) => {
+      import s.implicits._
+      val df0 = table(s, d, "documents")
+        .withColumn("t", tokens($"text"))
+        .filter(size($"t") > 0)
+      val sim = df0.withColumn("simhash",
+          ExpressionUtils.column(SimHash60(ExpressionUtils.expression($"t"))))
+        .select($"doc_id", $"simhash")
+      val bands = sim.select($"doc_id", $"simhash",
+        posexplode(array((0 until 4).map(j =>
+          shiftright($"simhash", 15 * j).bitwiseAND(lit(32767L))): _*)).as(Seq("j", "band")))
+      val l = bands.select($"doc_id".as("doc_a"), $"simhash".as("ha"), $"j", $"band")
+      val r = bands.select($"doc_id".as("doc_b"), $"simhash".as("hb"), $"j", $"band")
+      l.join(r, Seq("j", "band")).filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b", bit_count($"ha".bitwiseXOR($"hb")).cast("long").as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 4)
+        .orderBy($"doc_a", $"doc_b")
+    }, {
+      def nibSql(i: Int) =
+        s"(CASE WHEN ascii(substr(h, $i, 1)) <= 57 THEN ascii(substr(h, $i, 1)) - 48 ELSE ascii(substr(h, $i, 1)) - 87 END)"
+      val scoreCols = (0 until 60).map { b =>
+        val nib = b / 4; val k = b % 4
+        s"""CASE WHEN 2*list_reduce(list_transform(th, h -> CAST((${nibSql(nib + 1)} >> $k) & 1 AS BIGINT)), (a, c) -> a + c) >= n THEN ${1L << b} ELSE 0 END"""
+      }.mkString(" + ")
+      Some(s"""
+      WITH sim AS (
+        SELECT doc_id, $scoreCols AS simhash FROM (
+          SELECT doc_id, list_transform(t, x -> md5(x)) AS th, CAST(len(t) AS BIGINT) AS n
+          FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)
+          WHERE len(t) > 0)),
+      bands AS (
+        SELECT doc_id, simhash, u.j AS j, (simhash >> (15*u.j)) & 32767 AS band
+        FROM sim, (SELECT unnest([0,1,2,3]) AS j) u)
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+      FROM bands a JOIN bands c ON a.j = c.j AND a.band = c.band AND a.doc_id < c.doc_id
+      WHERE bit_count(xor(a.simhash, c.simhash)) <= 4
+      ORDER BY doc_a, doc_b""")
+    })
+  )
+}

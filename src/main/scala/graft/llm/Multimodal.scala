@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{GQ, QueryDefs}
+import QueryDefs._
+
+/** One opaque media payload with typed metadata (SURVEY §2 C11). */
+final case class MediaRow(
+    media_id: Long,
+    kind: String, // image | audio | video
+    payload: Array[Byte],
+    meta_source: String,
+    meta_bytes: Long)
+
+/** Decoded per-item features. */
+final case class MediaFeatures(
+    media_id: Long,
+    kind: String,
+    n_bytes: Long,
+    byte_sum: Long,
+    distinct_bytes: Int,
+    entropy_proxy: Double,
+    embedding: Array[Float])
+
+/** Multimodal column plumbing: binary payload + typed metadata, batch
+  * "decode" via mapPartitions (the Scala-native analogue of a batched
+  * Pandas UDF: one iterator per partition, amortized setup per batch).
+  *
+  * The real image/audio decode is STUBBED with a deterministic
+  * byte-statistics fake (no codec libraries in this environment) — the
+  * Spark-side schema, partitioning, batch iteration and UDF signature are
+  * real and tested. Swap `decodeOne` for a JNI/codec call in production.
+  */
+object Multimodal {
+
+  /** Synthesize a media table from documents: payload = UTF-8 bytes. */
+  def mediaFrom(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(
+        $"doc_id".as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
+        $"text".cast("binary").as("payload"),
+        $"source".as("meta_source"),
+        length($"text".cast("binary")).cast("long").as("meta_bytes"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode: deterministic byte statistics + an 8-dim fake embedding
+    * folded from the payload. Replace with a real codec at deployment.
+    */
+  private[llm] def decodeOne(m: MediaRow): MediaFeatures = {
+    val bytes = m.payload
+    var sum = 0L
+    val seen = new Array[Boolean](256)
+    val acc = new Array[Long](8)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sum += b
+      seen(b) = true
+      acc(i % 8) = acc(i % 8) * 31 + b
+      i += 1
+    }
+    val distinct = seen.count(identity)
+    val entropyProxy =
+      if (bytes.isEmpty) 0.0 else distinct.toDouble / math.min(bytes.length, 256).toDouble
+    val emb = acc.map(v => ((v % 1000003L).toFloat) / 1000003.0f)
+    MediaFeatures(m.media_id, m.kind, bytes.length.toLong, sum, distinct, entropyProxy, emb)
+  }
+
+  /** Batched decode: one partition = one batch iterator (setup amortized). */
+  def decode(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it => it.map(decodeOne) }
+  }
+
+  val queries: Seq[GQ] = Seq(
+    GQ("multimodal_decode", (s, d) => {
+      import s.implicits._
+      decode(mediaFrom(s, d))
+        .toDF()
+        .select($"media_id", $"kind", $"n_bytes", $"byte_sum",
+          $"distinct_bytes".cast("long").as("distinct_bytes"))
+        .orderBy($"media_id")
+    }, // byte-level stats over ASCII text payloads are SQL-expressible, so
+      // even the stubbed decode gets a real oracle.
+      Some("""
+      SELECT doc_id AS media_id,
+        ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        CAST(list_reduce(list_transform(generate_series(1, length(text)), i -> CAST(unicode(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)), (a, b) -> a + b) AS BIGINT) AS byte_sum,
+        CAST(len(list_distinct(list_transform(generate_series(1, length(text)), i -> unicode(substr(text, CAST(i AS INTEGER), 1))))) AS BIGINT) AS distinct_bytes
+      FROM documents ORDER BY media_id"""))
+  )
+}

@@ -1,0 +1,134 @@
+package graft.llm
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.queries.{GQ, QueryDefs}
+import QueryDefs._
+
+/** Similarity search over embedding columns (SURVEY §2 C5/C6/C12).
+  *
+  * Scale shape: the query set is broadcast (small side); candidate vectors
+  * stream through one pass. Dot products are sequential folds over array
+  * columns (whole-stage-codegen'd, IEEE-deterministic and bit-identical to
+  * the DuckDB oracle's list_reduce). The LSH variant buckets vectors by
+  * sign-random-projection so the candidate join touches ~1/256 of pairs.
+  */
+object Similarity {
+
+  private val Dim = 64
+  private val NumPlanes = 8
+  private val K = 5
+  private val NumQueries = 8
+
+  /** Deterministic ±1 hyperplanes derived from md5 at build time, embedded
+    * as literals in both the Spark plan and the oracle SQL.
+    */
+  private[llm] val planes: Seq[Seq[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until NumPlanes).map { j =>
+      (0 until Dim).map { dd =>
+        val h = md.digest(s"p$j:$dd".getBytes(StandardCharsets.UTF_8))
+        if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+      }
+    }
+  }
+
+  private def normed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    table(s, d, "embeddings")
+      .withColumn("e", toDoubleArr($"embedding"))
+      .withColumn("nrm", sqrt(dotD($"e", $"e")))
+      .select($"vec_id", $"label", $"e", $"nrm")
+  }
+
+  // DuckDB mirrors ------------------------------------------------------
+  private def duckDot(a: String, b: String) =
+    s"list_reduce(list_transform(generate_series(1, $Dim), i -> ($a)[i]*($b)[i]), (x, y) -> x + y)"
+  private val duckNormed =
+    s"""SELECT vec_id, label, e, sqrt(${duckDot("e", "e")}) AS nrm
+        FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"""
+
+  val queries: Seq[GQ] = Seq(
+    // C5 ---------------------------------------------------------------
+    GQ("ann_cosine_topk", (s, d) => {
+      import s.implicits._
+      val v = normed(s, d)
+      val q = v.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"))
+      val c = v.select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"))
+      val scored = c.join(broadcast(q), $"c_id" =!= $"q_id")
+        .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn"))
+      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"c_id")
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank", $"c_id", $"cosine")
+        .orderBy($"q_id", $"rank")
+    }, Some(s"""
+      WITH n AS ($duckNormed),
+      p AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          ${duckDot("q.e", "c.e")} / (q.nrm * c.nrm) AS cosine
+        FROM n q JOIN n c ON q.vec_id < $NumQueries AND c.vec_id != q.vec_id)
+      SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, cosine FROM (
+        SELECT q_id, c_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        FROM p)
+      WHERE rn <= $K ORDER BY q_id, rank"""), bench = true),
+
+    // C6 ---------------------------------------------------------------
+    GQ("ann_lsh_bucketed", (s, d) => {
+      import s.implicits._
+      val v = normed(s, d)
+      val bucket = (0 until NumPlanes).map { j =>
+        val plane = array(planes(j).map(lit): _*)
+        when(dotD($"e", plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val b = v.withColumn("bucket", bucket)
+      val q = b.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"), $"bucket")
+      val c = b.select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"), $"bucket")
+      c.join(broadcast(q), Seq("bucket")).filter($"c_id" =!= $"q_id")
+        .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn"))
+        .select($"q_id", $"c_id", $"bucket", $"cosine")
+        .orderBy($"q_id", $"c_id")
+    }, {
+      def planeSql(j: Int) = planes(j).mkString("[", ", ", "]")
+      val bucketSql = (0 until NumPlanes).map { j =>
+        s"(CASE WHEN ${duckDot("e", planeSql(j))} >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      Some(s"""
+      WITH n AS ($duckNormed),
+      b AS (SELECT vec_id, e, nrm, $bucketSql AS bucket FROM n)
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.bucket AS bucket,
+        ${duckDot("q.e", "c.e")} / (q.nrm * c.nrm) AS cosine
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < $NumQueries AND c.vec_id != q.vec_id
+      ORDER BY q_id, c_id""")
+    }),
+
+    // C12 --------------------------------------------------------------
+    // Embedding near-duplicate pairs, blocked by label to avoid the full
+    // cross product (blocking is the standard scale move; the oracle uses
+    // the same blocking so results align).
+    GQ("embed_cosine_dedup", (s, d) => {
+      import s.implicits._
+      val v = normed(s, d)
+      val l = v.select($"label", $"vec_id".as("id_a"), $"e".as("ea"), $"nrm".as("na"))
+      val r = v.select($"label", $"vec_id".as("id_b"), $"e".as("eb"), $"nrm".as("nb"))
+      l.join(r, Seq("label")).filter($"id_a" < $"id_b")
+        .withColumn("cosine", dotD($"ea", $"eb") / ($"na" * $"nb"))
+        .filter($"cosine" >= 0.35)
+        .select($"label".cast("int").as("label"), $"id_a", $"id_b", $"cosine")
+        .orderBy($"label", $"id_a", $"id_b")
+    }, Some(s"""
+      WITH n AS ($duckNormed)
+      SELECT CAST(a.label AS INTEGER) AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+        ${duckDot("a.e", "b.e")} / (a.nrm * b.nrm) AS cosine
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ${duckDot("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.35
+      ORDER BY label, id_a, id_b"""))
+  )
+}

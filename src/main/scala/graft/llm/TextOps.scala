@@ -1,0 +1,155 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.queries.{GQ, QueryDefs}
+import QueryDefs._
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY §2 C):
+  * exact dedup, token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting. All are per-row, shuffle-free computations
+  * (the scale-friendly shape: no explode, no groupBy except where the
+  * semantics demand one), expressed with codegen'd builtins only.
+  */
+object TextOps {
+
+  private val Stop = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+  private val StopSql = Stop.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  // Marker word sets for the language-ID heuristic. The synthetic corpus
+  // shares one vocabulary, so accuracy vs the `lang` label is incidental —
+  // the operator contract is a deterministic n-gram/stopword classifier.
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "y", "que"),
+    "en" -> Seq("the", "a", "is", "and", "of"))
+
+  val queries: Seq[GQ] = Seq(
+    // C1 ---------------------------------------------------------------
+    GQ("dedup_exact", (s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .withColumn("h", md5(concat_ws(" ", tokens($"text"))))
+        .groupBy($"h")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"h")
+    }, Some("""
+      SELECT h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM (
+        SELECT doc_id, md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS h
+        FROM documents)
+      GROUP BY h ORDER BY h""")),
+
+    // C7 ---------------------------------------------------------------
+    GQ("text_tokens", (s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .withColumn("t", tokens($"text"))
+        .select(
+          $"doc_id",
+          length($"text").cast("long").as("n_chars_measured"),
+          size($"t").cast("long").as("n_words"),
+          size(regexp_extract_all($"text", lit("[a-zA-Z']+|[0-9]|[^a-zA-Z0-9\\s]"), lit(0))).cast("long").as("n_bpeish"),
+          ceil(length($"text") / lit(4.0)).cast("long").as("n_est_bpe"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars_measured,
+        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z'']+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpeish,
+        CAST(ceil(length(text)/4.0) AS BIGINT) AS n_est_bpe
+      FROM documents ORDER BY doc_id"""), bench = true),
+
+    // C8 ---------------------------------------------------------------
+    GQ("text_quality", (s, d) => {
+      import s.implicits._
+      val stopArr = array(Stop.map(lit): _*)
+      table(s, d, "documents")
+        .withColumn("t", tokens($"text"))
+        .withColumn("n_tok", greatest(size($"t"), lit(1)).cast("double"))
+        .withColumn("punct_ratio",
+          size(regexp_extract_all($"text", lit("[.,;:!?]"), lit(0))).cast("double") / greatest(length($"text"), lit(1)).cast("double"))
+        .withColumn("digit_ratio",
+          size(regexp_extract_all($"text", lit("[0-9]"), lit(0))).cast("double") / greatest(length($"text"), lit(1)).cast("double"))
+        .withColumn("stop_ratio",
+          size(filter($"t", x => array_contains(stopArr, x))).cast("double") / $"n_tok")
+        .withColumn("distinct_ratio", size(array_distinct($"t")).cast("double") / $"n_tok")
+        .withColumn("quality_score",
+          $"stop_ratio" * lit(0.4) + $"distinct_ratio" * lit(0.3) +
+            (lit(1.0) - $"punct_ratio") * lit(0.2) + (lit(1.0) - $"digit_ratio") * lit(0.1))
+        .select($"doc_id", $"punct_ratio", $"digit_ratio", $"stop_ratio",
+          $"distinct_ratio", $"quality_score")
+        .orderBy($"doc_id")
+    }, Some(s"""
+      SELECT doc_id, punct_ratio, digit_ratio, stop_ratio, distinct_ratio,
+        stop_ratio*0.4 + distinct_ratio*0.3 + (1.0-punct_ratio)*0.2 + (1.0-digit_ratio)*0.1 AS quality_score
+      FROM (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+          CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio,
+          CAST(len(list_filter(t, x -> x IN $StopSql)) AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE) AS stop_ratio,
+          CAST(len(list_distinct(t)) AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE) AS distinct_ratio
+        FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents))
+      ORDER BY doc_id""")),
+
+    // C9 ---------------------------------------------------------------
+    GQ("text_langid", (s, d) => {
+      import s.implicits._
+      var df = table(s, d, "documents").withColumn("t", tokens($"text"))
+      for ((lg, ws) <- Markers) {
+        val arr = array(ws.map(lit): _*)
+        df = df.withColumn(s"s_$lg", size(filter($"t", x => array_contains(arr, x))).cast("long"))
+      }
+      df = df.withColumn("pred_lang",
+        when($"s_de" > $"s_en" && $"s_de" >= $"s_fr" && $"s_de" >= $"s_es", "de")
+          .when($"s_fr" > $"s_en" && $"s_fr" >= $"s_es", "fr")
+          .when($"s_es" > $"s_en", "es")
+          .when($"s_en" > 0, "en")
+          .otherwise("unknown"))
+      df.groupBy($"lang", $"pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"pred_lang")
+    }, {
+      def hits(lg: String) = {
+        val set = Markers.toMap.apply(lg).map(w => s"'$w'").mkString("(", ", ", ")")
+        s"CAST(len(list_filter(t, x -> x IN $set)) AS BIGINT)"
+      }
+      Some(s"""
+      SELECT lang, pred_lang, COUNT(*) AS n FROM (
+        SELECT lang,
+          CASE WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+               WHEN s_fr > s_en AND s_fr >= s_es THEN 'fr'
+               WHEN s_es > s_en THEN 'es'
+               WHEN s_en > 0 THEN 'en'
+               ELSE 'unknown' END AS pred_lang
+        FROM (
+          SELECT lang, ${hits("de")} AS s_de, ${hits("fr")} AS s_fr,
+            ${hits("es")} AS s_es, ${hits("en")} AS s_en
+          FROM (SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)))
+      GROUP BY lang, pred_lang ORDER BY lang, pred_lang""")
+    }),
+
+    // C10 --------------------------------------------------------------
+    // Winnowing-style fingerprint: 4 lexicographically-smallest md5s of
+    // char 8-grams over the normalized text. Identical hex both engines.
+    GQ("text_fingerprint", (s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .withColumn("nt", concat_ws(" ", tokens($"text")))
+        .withColumn("grams",
+          transform(sequence(lit(1), greatest(length($"nt") - 7, lit(1))),
+            i => $"nt".substr(i, lit(8))))
+        .withColumn("fp", concat_ws("", slice(array_sort(transform($"grams", g => md5(g))), 1, 4)))
+        .select($"doc_id", $"fp", length($"nt").cast("long").as("n_norm_chars"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id,
+        array_to_string(list_slice(list_sort(list_transform(grams, g -> md5(g))), 1, 4), '') AS fp,
+        CAST(length(nt) AS BIGINT) AS n_norm_chars
+      FROM (
+        SELECT doc_id, nt,
+          list_transform(generate_series(1, greatest(length(nt)-7, 1)), i -> substr(nt, CAST(i AS INTEGER), 8)) AS grams
+        FROM (SELECT doc_id, array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS nt
+              FROM documents))
+      ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One engine capability exposed through the driver contract.
+  *
+  * @param fn     builds the result DataFrame for a scale-factor dir
+  * @param oracle equivalent DuckDB SQL over the same parquet tables
+  *               (None → driver records a weaker rows-only check)
+  * @param bench  part of the headline benchmark set
+  */
+final case class GQ(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)
+
+/** Shared helpers keeping Spark results bit-identical to the DuckDB oracle:
+  * money stays in integer cents (exact + associative, so aggregation order
+  * is irrelevant), floats only appear via identical IEEE expressions.
+  */
+object QueryDefs {
+  /** Read a test table. The synthetic parquet ships as a single row group,
+    * so Spark gets one input split no matter what maxPartitionBytes says;
+    * when splits < cores, round-robin repartition so per-row compute
+    * (hashing, dot products) uses the whole machine. At production scale
+    * inputs have >= cores splits and this is a no-op.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** 2-decimal double -> exact integer cents (same rounding both engines). */
+  def cents(c: Column): Column = round(c * lit(100)).cast("long")
+
+  /** cents sum -> double, formula text mirrored in the oracle SQL. */
+  def centsToDouble(sumCents: Column): Column = sumCents.cast("double") / lit(100.0)
+
+  /** Lowercased word tokens; regexp_extract_all avoids split() empty-string
+    * edge cases and is identical in Spark (Java regex) and DuckDB (RE2)
+    * for disjoint character classes.
+    */
+  def tokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** Distinct word 3-gram shingles out of a token array. */
+  def shingles3(t: Column): Column =
+    array_distinct(
+      when(size(t) >= 3,
+        transform(sequence(lit(1), size(t) - 2), i =>
+          concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+        .otherwise(array().cast("array<string>")))
+
+  /** Sequential-fold dot product over two double arrays. The 0.0 init makes
+    * the fold bit-identical to DuckDB's init-less list_reduce (0.0 + x == x).
+    */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def toDoubleArr(a: Column): Column = transform(a, x => x.cast("double"))
+}

@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import QueryDefs._
+
+/** Relational operator suite (SURVEY §2 B). Every query is expressed with
+  * the declarative DataFrame API so Catalyst handles pushdown / pruning /
+  * join selection; small dimension tables are broadcast explicitly.
+  * Money math uses integer cents (exact, associative) so results are
+  * bit-identical to the DuckDB oracle regardless of aggregation order.
+  */
+object Relational {
+
+  // Common cents snippets, mirrored literally in the oracle SQL.
+  private val PC = "CAST(round(l_extendedprice*100) AS BIGINT)"
+  private val DC = "CAST(round(l_discount*100) AS BIGINT)"
+  private val TC = "CAST(round(l_tax*100) AS BIGINT)"
+  private val QC = "CAST(round(l_quantity*100) AS BIGINT)"
+  private val OC = "CAST(round(o_totalprice*100) AS BIGINT)"
+
+  val queries: Seq[GQ] = Seq(
+    // B1 ---------------------------------------------------------------
+    GQ("q1_pricing_summary", (s, d) => {
+      import s.implicits._
+      table(s, d, "lineitem")
+        .filter($"l_shipdate" <= to_timestamp(lit("2000-09-01")))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          centsToDouble(sum(cents($"l_quantity"))).as("sum_qty"),
+          centsToDouble(sum(cents($"l_extendedprice"))).as("sum_base_price"),
+          (sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))).cast("double") / lit(10000.0)).as("sum_disc_price"),
+          (sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")) * (lit(100L) + cents($"l_tax"))).cast("double") / lit(1000000.0)).as("sum_charge"),
+          (sum(cents($"l_quantity")).cast("double") / lit(100.0) / count(lit(1))).as("avg_qty"),
+          (sum(cents($"l_extendedprice")).cast("double") / lit(100.0) / count(lit(1))).as("avg_price"),
+          (sum(cents($"l_discount")).cast("double") / lit(100.0) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }, Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM($QC) AS DOUBLE)/100.0 AS sum_qty,
+        CAST(SUM($PC) AS DOUBLE)/100.0 AS sum_base_price,
+        CAST(SUM($PC*(100-$DC)) AS DOUBLE)/10000.0 AS sum_disc_price,
+        CAST(SUM($PC*(100-$DC)*(100+$TC)) AS DOUBLE)/1000000.0 AS sum_charge,
+        CAST(SUM($QC) AS DOUBLE)/100.0/COUNT(*) AS avg_qty,
+        CAST(SUM($PC) AS DOUBLE)/100.0/COUNT(*) AS avg_price,
+        CAST(SUM($DC) AS DOUBLE)/100.0/COUNT(*) AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""), bench = true),
+
+    // B2 ---------------------------------------------------------------
+    GQ("q3_shipping_priority", (s, d) => {
+      import s.implicits._
+      val cust = table(s, d, "customer").filter($"c_mktsegment" === "BUILDING")
+      val ord = table(s, d, "orders").filter($"o_orderdate" < to_timestamp(lit("1998-03-15")))
+      val li = table(s, d, "lineitem").filter($"l_shipdate" > to_timestamp(lit("1998-03-15")))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg((sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))).cast("double") / lit(10000.0)).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }, Some(s"""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(SUM($PC*(100-$DC)) AS DOUBLE)/10000.0 AS revenue
+      FROM customer JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-03-15'
+        AND l_shipdate > TIMESTAMP '1998-03-15'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""), bench = true),
+
+    // B3 ---------------------------------------------------------------
+    GQ("q5_local_supplier", (s, d) => {
+      import s.implicits._
+      val region = table(s, d, "region").filter($"r_name" === "ASIA")
+      val nation = table(s, d, "nation")
+      val cust = table(s, d, "customer")
+      val ord = table(s, d, "orders")
+        .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01")) &&
+                $"o_orderdate" < to_timestamp(lit("1998-01-01")))
+      val li = table(s, d, "lineitem")
+      val supp = table(s, d, "supplier")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .join(cust, $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg((sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))).cast("double") / lit(10000.0)).as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    }, Some(s"""
+      SELECT n_name, CAST(SUM($PC*(100-$DC)) AS DOUBLE)/10000.0 AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""), bench = true),
+
+    // B4 ---------------------------------------------------------------
+    GQ("q6_forecast_revenue", (s, d) => {
+      import s.implicits._
+      table(s, d, "lineitem")
+        .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01")) &&
+                $"l_shipdate" < to_timestamp(lit("1997-01-01")) &&
+                cents($"l_discount").between(5, 7) && $"l_quantity" < 24)
+        .agg(
+          (sum(cents($"l_extendedprice") * cents($"l_discount")).cast("double") / lit(10000.0)).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }, Some(s"""
+      SELECT CAST(SUM($PC*$DC) AS DOUBLE)/10000.0 AS revenue, COUNT(*) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND $DC BETWEEN 5 AND 7 AND l_quantity < 24"""), bench = true),
+
+    // B5 ---------------------------------------------------------------
+    GQ("q_group_having", (s, d) => {
+      import s.implicits._
+      table(s, d, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+             centsToDouble(sum(cents($"o_totalprice"))).as("total_spend"))
+        .filter($"n_orders" >= 3)
+        .orderBy($"o_custkey")
+    }, Some(s"""
+      SELECT o_custkey, COUNT(*) AS n_orders,
+        CAST(SUM($OC) AS DOUBLE)/100.0 AS total_spend
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
+      ORDER BY o_custkey""")),
+
+    // B6 ---------------------------------------------------------------
+    GQ("q_semi_join", (s, d) => {
+      import s.implicits._
+      val bigOrders = table(s, d, "orders").filter($"o_totalprice" > 400000)
+      table(s, d, "customer")
+        .join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      ORDER BY c_custkey""")),
+
+    // B7 ---------------------------------------------------------------
+    GQ("q_anti_join", (s, d) => {
+      import s.implicits._
+      val urgent = table(s, d, "orders").filter($"o_orderpriority" === "1-URGENT")
+      table(s, d, "customer")
+        .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""")),
+
+    // B8 ---------------------------------------------------------------
+    GQ("q_window_topn", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      table(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_orderpriority", $"rn".cast("long").as("rn"), $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderpriority", $"rn")
+    }, Some("""
+      SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3
+      ORDER BY o_orderpriority, rn""")),
+
+    // B9 ---------------------------------------------------------------
+    GQ("q_window_running", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      table(s, d, "orders").filter($"o_custkey" < 50)
+        .withColumn("run_cents", sum(cents($"o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev_orderkey", lag($"o_orderkey", 1).over(w))
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+          centsToDouble($"run_cents").as("running_spend"), $"prev_orderkey")
+        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    }, Some(s"""
+      SELECT o_custkey, o_orderkey, o_orderdate,
+        CAST(SUM($OC) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0 AS running_spend,
+        LAG(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+      FROM orders WHERE o_custkey < 50
+      ORDER BY o_custkey, o_orderdate, o_orderkey""")),
+
+    // B10 --------------------------------------------------------------
+    GQ("q_rollup", (s, d) => {
+      import s.implicits._
+      table(s, d, "orders")
+        .rollup($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+             centsToDouble(sum(cents($"o_totalprice"))).as("total"))
+        .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+    }, Some(s"""
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        CAST(SUM($OC) AS DOUBLE)/100.0 AS total
+      FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""")),
+
+    // B11 --------------------------------------------------------------
+    GQ("q_distinct_agg", (s, d) => {
+      import s.implicits._
+      table(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_orderkey").as("n_orders"),
+             countDistinct($"l_partkey").as("n_parts"),
+             count(lit(1)).as("n_lines"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+        COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // B12 --------------------------------------------------------------
+    GQ("q_union_all", (s, d) => {
+      import s.implicits._
+      val c = table(s, d, "customer").select(lit("c").as("src"), $"c_nationkey".cast("int").as("k"))
+      val sp = table(s, d, "supplier").select(lit("s").as("src"), $"s_nationkey".cast("int").as("k"))
+      c.union(sp).distinct()
+        .groupBy($"src").agg(count(lit(1)).as("n_nations"))
+        .orderBy($"src")
+    }, Some("""
+      SELECT src, COUNT(*) AS n_nations FROM (
+        SELECT 'c' AS src, c_nationkey AS k FROM customer
+        UNION
+        SELECT 's' AS src, s_nationkey AS k FROM supplier)
+      GROUP BY src ORDER BY src""")),
+
+    // B13 --------------------------------------------------------------
+    GQ("q_exists_subquery", (s, d) => {
+      import s.implicits._
+      val o = table(s, d, "orders")
+      val urgentBig = o.filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 450000)
+      table(s, d, "customer")
+        .join(urgentBig, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_name, c_acctbal FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 450000)
+      ORDER BY c_custkey""")),
+
+    // B14 --------------------------------------------------------------
+    GQ("q_case_string_date", (s, d) => {
+      import s.implicits._
+      table(s, d, "orders")
+        .withColumn("yr", year($"o_orderdate").cast("long"))
+        .withColumn("bucket",
+          when($"o_totalprice" > 350000, "large")
+            .when($"o_totalprice" > 150000, "medium")
+            .otherwise("small"))
+        .withColumn("prio3", upper(substring($"o_orderpriority", 1, 3)))
+        .groupBy($"yr", $"bucket", $"prio3")
+        .agg(count(lit(1)).as("n"),
+             centsToDouble(sum(cents($"o_totalprice"))).as("total"))
+        .orderBy($"yr", $"bucket", $"prio3")
+    }, Some(s"""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        CASE WHEN o_totalprice > 350000 THEN 'large'
+             WHEN o_totalprice > 150000 THEN 'medium'
+             ELSE 'small' END AS bucket,
+        upper(substr(o_orderpriority, 1, 3)) AS prio3,
+        COUNT(*) AS n, CAST(SUM($OC) AS DOUBLE)/100.0 AS total
+      FROM orders GROUP BY 1, 2, 3 ORDER BY yr, bucket, prio3""")),
+
+    // B15 --------------------------------------------------------------
+    // Skew-resistant pattern: salted partial aggregation of the fact table
+    // before the join (integer sums make salting semantically invisible).
+    GQ("q_skew_salted_join", (s, d) => {
+      import s.implicits._
+      val li = table(s, d, "lineitem")
+      val partial = li
+        .groupBy($"l_orderkey", pmod(hash($"l_linenumber"), lit(8)).as("salt"))
+        .agg(sum(cents($"l_quantity")).as("qc"), count(lit(1)).as("nl"))
+      val perOrder = partial.groupBy($"l_orderkey")
+        .agg(sum($"qc").as("qc"), sum($"nl").as("nl"))
+      table(s, d, "orders")
+        .join(perOrder, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg((sum($"qc").cast("double") / lit(100.0)).as("sum_qty"),
+             sum($"nl").as("n_lines"))
+        .orderBy($"o_orderpriority")
+    }, Some(s"""
+      SELECT o_orderpriority, CAST(SUM($QC) AS DOUBLE)/100.0 AS sum_qty,
+        COUNT(*) AS n_lines
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""), bench = true)
+  )
+}

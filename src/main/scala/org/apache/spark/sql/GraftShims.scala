@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the sql package for wrapping custom Catalyst expressions
+  * as user-facing Columns (the classic ExpressionUtils is private[sql]).
+  * Same pattern used by public Spark extension libraries.
+  */
+object GraftShims {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
