@@ -1,0 +1,304 @@
+package graft.delta
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Delta transaction-log actions and their JSON-line codec.
+  *
+  * Re-expresses the reference action model (cf. reference `action/action.go`,
+  * `action/add.go:1`, `action/remove.go:1`, `action/metadata.go:1`,
+  * `action/protocol.go:1`, `action/trx.go:1`, `action/commit_info.go:1`,
+  * `action/cdc.go:1`) as Scala case classes that double as Spark Encoder
+  * products, so the same types serve the driver-side JSON tail and the
+  * Spark-side checkpoint DataFrames.
+  *
+  * Wire format: one JSON object per line, single key naming the action
+  * (`add`, `remove`, `metaData`, `protocol`, `txn`, `commitInfo`, `cdc`).
+  */
+sealed trait Action {
+  def wrap: SingleAction
+}
+
+final case class Format(
+    provider: String = "parquet",
+    options: Map[String, String] = Map.empty)
+
+/** cf. reference `action/metadata.go` (Metadata). */
+final case class Metadata(
+    id: String = java.util.UUID.randomUUID.toString,
+    name: String = null,
+    description: String = null,
+    format: Format = Format(),
+    schemaString: String = null,
+    partitionColumns: Seq[String] = Nil,
+    configuration: Map[String, String] = Map.empty,
+    createdTime: Option[Long] = None) extends Action {
+  def schema: StructType =
+    if (schemaString == null) new StructType()
+    else DataType.fromJson(schemaString).asInstanceOf[StructType]
+  def wrap: SingleAction = SingleAction(metaData = this)
+}
+
+/** cf. reference `action/protocol.go`. */
+final case class Protocol(
+    minReaderVersion: Int = 1,
+    minWriterVersion: Int = 2) extends Action {
+  def wrap: SingleAction = SingleAction(protocol = this)
+}
+
+sealed trait FileAction extends Action {
+  def path: String
+  def dataChange: Boolean
+}
+
+/** cf. reference `action/add.go` (AddFile). */
+final case class AddFile(
+    path: String,
+    partitionValues: Map[String, String] = Map.empty,
+    size: Long = 0L,
+    modificationTime: Long = 0L,
+    dataChange: Boolean = true,
+    stats: String = null,
+    tags: Map[String, String] = null) extends FileAction {
+  def remove(deletionTimestamp: Long, dataChange: Boolean = true): RemoveFile =
+    RemoveFile(path, Some(deletionTimestamp), dataChange,
+      extendedFileMetadata = true, partitionValues, Some(size))
+  def wrap: SingleAction = SingleAction(add = this)
+}
+
+/** cf. reference `action/remove.go` (RemoveFile). */
+final case class RemoveFile(
+    path: String,
+    deletionTimestamp: Option[Long] = None,
+    dataChange: Boolean = true,
+    extendedFileMetadata: Boolean = false,
+    partitionValues: Map[String, String] = null,
+    size: Option[Long] = None,
+    tags: Map[String, String] = null) extends FileAction {
+  def wrap: SingleAction = SingleAction(remove = this)
+}
+
+/** cf. reference `action/cdc.go` (AddCDCFile). */
+final case class AddCDCFile(
+    path: String,
+    partitionValues: Map[String, String] = Map.empty,
+    size: Long = 0L,
+    tags: Map[String, String] = null) extends Action {
+  def wrap: SingleAction = SingleAction(cdc = this)
+}
+
+/** cf. reference `action/trx.go` (SetTransaction). */
+final case class SetTransaction(
+    appId: String,
+    version: Long,
+    lastUpdated: Option[Long] = None) extends Action {
+  def wrap: SingleAction = SingleAction(txn = this)
+}
+
+/** cf. reference `action/commit_info.go` (trimmed to the portable core). */
+final case class CommitInfo(
+    version: Option[Long] = None,
+    timestamp: Long = 0L,
+    operation: String = null,
+    operationParameters: Map[String, String] = Map.empty,
+    readVersion: Option[Long] = None,
+    isolationLevel: Option[String] = None,
+    isBlindAppend: Option[Boolean] = None,
+    operationMetrics: Map[String, String] = Map.empty,
+    engineInfo: Option[String] = None,
+    txnId: Option[String] = None) extends Action {
+  def wrap: SingleAction = SingleAction(commitInfo = this)
+}
+
+/** One log line; exactly one field is non-null. Doubles as the checkpoint
+  * parquet row schema (cf. reference `checkpoint_writer.go`).
+  */
+final case class SingleAction(
+    txn: SetTransaction = null,
+    add: AddFile = null,
+    remove: RemoveFile = null,
+    metaData: Metadata = null,
+    protocol: Protocol = null,
+    cdc: AddCDCFile = null,
+    commitInfo: CommitInfo = null) {
+  def unwrap: Action =
+    if (add != null) add
+    else if (remove != null) remove
+    else if (metaData != null) metaData
+    else if (protocol != null) protocol
+    else if (txn != null) txn
+    else if (cdc != null) cdc
+    else if (commitInfo != null) commitInfo
+    else null
+}
+
+/** JSON-line codec (Jackson tree API; no scala module dependency). */
+object Actions {
+  private val mapper = new ObjectMapper()
+
+  // ---------------------------------------------------------------- write
+  private def put(o: ObjectNode, k: String, v: String): Unit =
+    if (v != null) o.put(k, v)
+  private def putMap(o: ObjectNode, k: String, m: Map[String, String]): Unit =
+    if (m != null) {
+      val n = o.putObject(k)
+      m.foreach { case (mk, mv) => if (mv == null) n.putNull(mk) else n.put(mk, mv) }
+    }
+
+  def toJson(a: Action): String = {
+    val root = mapper.createObjectNode()
+    a match {
+      case f: AddFile =>
+        val o = root.putObject("add")
+        o.put("path", f.path)
+        putMap(o, "partitionValues", f.partitionValues)
+        o.put("size", f.size)
+        o.put("modificationTime", f.modificationTime)
+        o.put("dataChange", f.dataChange)
+        put(o, "stats", f.stats)
+        putMap(o, "tags", f.tags)
+      case f: RemoveFile =>
+        val o = root.putObject("remove")
+        o.put("path", f.path)
+        f.deletionTimestamp.foreach(o.put("deletionTimestamp", _))
+        o.put("dataChange", f.dataChange)
+        o.put("extendedFileMetadata", f.extendedFileMetadata)
+        putMap(o, "partitionValues", f.partitionValues)
+        f.size.foreach(o.put("size", _))
+        putMap(o, "tags", f.tags)
+      case m: Metadata =>
+        val o = root.putObject("metaData")
+        put(o, "id", m.id)
+        put(o, "name", m.name)
+        put(o, "description", m.description)
+        val fo = o.putObject("format")
+        fo.put("provider", m.format.provider)
+        val foo = fo.putObject("options")
+        m.format.options.foreach { case (k, v) => foo.put(k, v) }
+        put(o, "schemaString", m.schemaString)
+        val pc = o.putArray("partitionColumns")
+        m.partitionColumns.foreach(pc.add)
+        putMap(o, "configuration", m.configuration)
+        m.createdTime.foreach(o.put("createdTime", _))
+      case p: Protocol =>
+        val o = root.putObject("protocol")
+        o.put("minReaderVersion", p.minReaderVersion)
+        o.put("minWriterVersion", p.minWriterVersion)
+      case t: SetTransaction =>
+        val o = root.putObject("txn")
+        o.put("appId", t.appId)
+        o.put("version", t.version)
+        t.lastUpdated.foreach(o.put("lastUpdated", _))
+      case c: AddCDCFile =>
+        val o = root.putObject("cdc")
+        o.put("path", c.path)
+        putMap(o, "partitionValues", c.partitionValues)
+        o.put("size", c.size)
+        putMap(o, "tags", c.tags)
+      case ci: CommitInfo =>
+        val o = root.putObject("commitInfo")
+        ci.version.foreach(o.put("version", _))
+        o.put("timestamp", ci.timestamp)
+        put(o, "operation", ci.operation)
+        putMap(o, "operationParameters", ci.operationParameters)
+        ci.readVersion.foreach(o.put("readVersion", _))
+        ci.isolationLevel.foreach(o.put("isolationLevel", _))
+        ci.isBlindAppend.foreach(o.put("isBlindAppend", _))
+        putMap(o, "operationMetrics", ci.operationMetrics)
+        ci.engineInfo.foreach(o.put("engineInfo", _))
+        ci.txnId.foreach(o.put("txnId", _))
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  // ----------------------------------------------------------------- read
+  private def str(n: JsonNode, k: String): String = {
+    val v = n.get(k)
+    if (v == null || v.isNull) null else v.asText()
+  }
+  private def optLong(n: JsonNode, k: String): Option[Long] = {
+    val v = n.get(k)
+    if (v == null || v.isNull) None else Some(v.asLong())
+  }
+  private def long(n: JsonNode, k: String, dflt: Long = 0L): Long = {
+    val v = n.get(k)
+    if (v == null || v.isNull) dflt else v.asLong()
+  }
+  private def bool(n: JsonNode, k: String, dflt: Boolean = false): Boolean = {
+    val v = n.get(k)
+    if (v == null || v.isNull) dflt else v.asBoolean()
+  }
+  private def strMap(n: JsonNode, k: String): Map[String, String] = {
+    val v = n.get(k)
+    if (v == null || v.isNull) null
+    else {
+      val b = Map.newBuilder[String, String]
+      val it = v.properties().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
+      }
+      b.result()
+    }
+  }
+  private def nonNullMap(m: Map[String, String]): Map[String, String] =
+    if (m == null) Map.empty else m
+
+  def fromJson(line: String): Option[Action] = {
+    val root = mapper.readTree(line)
+    val it = root.properties().iterator()
+    if (!it.hasNext) return None
+    val e = it.next()
+    val n = e.getValue
+    e.getKey match {
+      case "add" => Some(AddFile(
+        str(n, "path"), nonNullMap(strMap(n, "partitionValues")), long(n, "size"),
+        long(n, "modificationTime"), bool(n, "dataChange", dflt = true),
+        str(n, "stats"), strMap(n, "tags")))
+      case "remove" => Some(RemoveFile(
+        str(n, "path"), optLong(n, "deletionTimestamp"), bool(n, "dataChange", dflt = true),
+        bool(n, "extendedFileMetadata"), strMap(n, "partitionValues"),
+        optLong(n, "size"), strMap(n, "tags")))
+      case "metaData" =>
+        val fmt = n.get("format")
+        Some(Metadata(
+          str(n, "id"), str(n, "name"), str(n, "description"),
+          if (fmt == null || fmt.isNull) Format()
+          else Format(Option(str(fmt, "provider")).getOrElse("parquet"),
+            nonNullMap(strMap(fmt, "options"))),
+          str(n, "schemaString"),
+          {
+            val pc = n.get("partitionColumns")
+            if (pc == null || pc.isNull) Nil
+            else (0 until pc.size()).map(pc.get(_).asText())
+          },
+          nonNullMap(strMap(n, "configuration")), optLong(n, "createdTime")))
+      case "protocol" => Some(Protocol(
+        long(n, "minReaderVersion", 1).toInt, long(n, "minWriterVersion", 2).toInt))
+      case "txn" => Some(SetTransaction(
+        str(n, "appId"), long(n, "version"), optLong(n, "lastUpdated")))
+      case "cdc" => Some(AddCDCFile(
+        str(n, "path"), nonNullMap(strMap(n, "partitionValues")),
+        long(n, "size"), strMap(n, "tags")))
+      case "commitInfo" => Some(CommitInfo(
+        optLong(n, "version"), long(n, "timestamp"), str(n, "operation"),
+        nonNullMap(strMap(n, "operationParameters")), optLong(n, "readVersion"),
+        Option(str(n, "isolationLevel")),
+        { val v = n.get("isBlindAppend"); if (v == null || v.isNull) None else Some(v.asBoolean()) },
+        nonNullMap(strMap(n, "operationMetrics")), Option(str(n, "engineInfo")),
+        Option(str(n, "txnId"))))
+      case _ => None // unknown action: forward-compatible skip
+    }
+  }
+}
+
+/** Delta schema codec. Delta's `schemaString` IS Spark's DataType JSON
+  * format (shared lineage) — cf. reference `types/type_parser.go`, which
+  * parses the identical structure. Round-trip validated in specs.
+  */
+object SchemaCodec {
+  def toJson(schema: StructType): String = schema.json
+  def fromJson(json: String): StructType =
+    DataType.fromJson(json).asInstanceOf[StructType]
+}

@@ -1,0 +1,103 @@
+package graft.delta
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+
+/** Delta log file naming (cf. reference `log.go`, `checkpoint.go`). */
+object FileNames {
+  def deltaFile(logPath: Path, version: Long): Path =
+    new Path(logPath, f"$version%020d.json")
+  def checkpointFile(logPath: Path, version: Long): Path =
+    new Path(logPath, f"$version%020d.checkpoint.parquet")
+  def checkpointPrefix(logPath: Path, version: Long): Path =
+    new Path(logPath, f"$version%020d.checkpoint")
+  def lastCheckpointFile(logPath: Path): Path =
+    new Path(logPath, "_last_checkpoint")
+
+  def isDeltaFile(p: Path): Boolean = p.getName.matches("\\d{20}\\.json")
+  def isCheckpointFile(p: Path): Boolean =
+    p.getName.matches("\\d{20}\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet")
+  def deltaVersion(p: Path): Long = p.getName.stripSuffix(".json").toLong
+  def checkpointVersion(p: Path): Long = p.getName.split('.').head.toLong
+}
+
+/** `_last_checkpoint` metadata (cf. reference `checkpoint.go:22`
+  * CheckpointMetaDataJSON).
+  */
+final case class CheckpointMetaData(version: Long, size: Long, parts: Option[Int])
+
+/** A checkpoint instance on disk; multi-part aware ordering
+  * (cf. reference `checkpoint.go:30` CheckpointInstance).
+  */
+final case class CheckpointInstance(version: Long, numParts: Option[Int])
+    extends Ordered[CheckpointInstance] {
+  /** Order by version, then prefer single-part (fewer files to read). */
+  override def compare(that: CheckpointInstance): Int =
+    if (version != that.version) java.lang.Long.compare(version, that.version)
+    else java.lang.Integer.compare(numParts.getOrElse(1), that.numParts.getOrElse(1))
+
+  def files(logPath: Path): Seq[Path] = numParts match {
+    case None => Seq(FileNames.checkpointFile(logPath, version))
+    case Some(n) => (1 to n).map(i =>
+      new Path(logPath, f"$version%020d.checkpoint.$i%010d.$n%010d.parquet"))
+  }
+}
+
+object CheckpointInstance {
+  def fromPath(p: Path): CheckpointInstance = {
+    val parts = p.getName.split('.')
+    // v.checkpoint.parquet | v.checkpoint.i.n.parquet
+    if (parts.length == 3) CheckpointInstance(parts(0).toLong, None)
+    else CheckpointInstance(parts(0).toLong, Some(parts(3).toInt))
+  }
+}
+
+/** `_last_checkpoint` IO + discovery of the latest complete checkpoint
+  * (cf. reference `checkpoint.go:91` LastCheckpoint,
+  * `checkpoint.go:156` FindLastCompleteCheckpoint).
+  */
+object Checkpoints {
+  private val mapper = new ObjectMapper()
+
+  def readLastCheckpoint(store: LogStore, logPath: Path): Option[CheckpointMetaData] = {
+    val p = FileNames.lastCheckpointFile(logPath)
+    if (!store.exists(p)) return None
+    try {
+      val n = mapper.readTree(store.read(p).mkString)
+      Some(CheckpointMetaData(
+        n.get("version").asLong(),
+        if (n.has("size")) n.get("size").asLong() else -1L,
+        if (n.has("parts") && !n.get("parts").isNull) Some(n.get("parts").asInt()) else None))
+    } catch { case _: Exception => None } // corrupt hint: fall back to listing
+  }
+
+  def writeLastCheckpoint(store: LogStore, logPath: Path, md: CheckpointMetaData): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("version", md.version)
+    o.put("size", md.size)
+    md.parts.foreach(o.put("parts", _))
+    store.write(FileNames.lastCheckpointFile(logPath),
+      Iterator(mapper.writeValueAsString(o)), overwrite = true)
+  }
+
+  /** Latest complete checkpoint instance with version <= notLaterThan,
+    * from a name-sorted listing of the log directory.
+    */
+  def latestCompleteCheckpoint(
+      store: LogStore, logPath: Path, notLaterThan: Long = Long.MaxValue): Option[CheckpointInstance] = {
+    val statuses =
+      try store.listFrom(FileNames.checkpointPrefix(logPath, 0))
+      catch { case _: java.io.FileNotFoundException => return None }
+    val instances = statuses
+      .map(_.getPath)
+      .filter(FileNames.isCheckpointFile)
+      .map(CheckpointInstance.fromPath)
+      .filter(_.version <= notLaterThan)
+    // multi-part: complete only if all n parts are present
+    val byKey = instances.groupBy(i => (i.version, i.numParts))
+    byKey.collect {
+      case ((_, None), is) => is.head
+      case ((_, Some(n)), is) if is.size == n => is.head
+    }.toSeq.sorted.lastOption
+  }
+}

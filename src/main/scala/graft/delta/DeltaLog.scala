@@ -1,0 +1,217 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Encoders, SparkSession}
+
+/** The transaction log of one Delta table
+  * (cf. reference `log.go:18` Log interface / `log.go:136` logImpl).
+  */
+class DeltaLog(val spark: SparkSession, val dataPath: Path) {
+
+  val logPath = new Path(dataPath, "_delta_log")
+  val store = new LogStore(spark.sessionState.newHadoopConf())
+
+  val clock: Clock = DeltaLog.clockOverride.getOrElse(SystemClock)
+
+  @volatile private var currentSnapshot: Option[Snapshot] = None
+
+  /** cf. reference `log.go:283` TableExists. */
+  def tableExists: Boolean = update().version >= 0
+
+  /** cf. reference `log.go:148` Snapshot (cached view). */
+  def snapshot: Snapshot = currentSnapshot.getOrElse(update())
+
+  /** cf. reference `log.go:152` Update: list the log, rebuild state. */
+  def update(): Snapshot = synchronized {
+    val s = buildSnapshot(None)
+    currentSnapshot = Some(s)
+    s
+  }
+
+  /** cf. reference `log.go:156` SnapshotForVersionAsOf. */
+  def snapshotForVersionAsOf(version: Long): Snapshot = {
+    val earliest = earliestReproducibleVersion.getOrElse(
+      throw DeltaErrors.noReproducibleHistory(logPath))
+    val latest = update().version
+    if (version < earliest || version > latest)
+      throw DeltaErrors.versionNotExist(version, earliest, latest)
+    buildSnapshot(Some(version))
+  }
+
+  /** cf. reference `log.go:160` SnapshotForTimestampAsOf. */
+  def snapshotForTimestampAsOf(timestampMillis: Long): Snapshot = {
+    val cs = commits()
+    if (cs.isEmpty) throw DeltaErrors.noReproducibleHistory(logPath)
+    if (timestampMillis < cs.head._2)
+      throw DeltaErrors.timestampEarlierThanTableFirstCommit(timestampMillis, cs.head._2)
+    if (timestampMillis > cs.last._2)
+      throw DeltaErrors.timestampLaterThanTableLastCommit(timestampMillis, cs.last._2)
+    val v = cs.takeWhile(_._2 <= timestampMillis).last._1
+    snapshotForVersionAsOf(v)
+  }
+
+  /** cf. reference `log.go:232` VersionBeforeOrAtTimestamp. */
+  def versionBeforeOrAtTimestamp(timestampMillis: Long): Option[Long] = {
+    val cs = commits()
+    cs.takeWhile(_._2 <= timestampMillis).lastOption.map(_._1)
+  }
+
+  /** cf. reference `log.go:257` VersionAtOrAfterTimestamp. */
+  def versionAtOrAfterTimestamp(timestampMillis: Long): Option[Long] = {
+    val cs = commits()
+    cs.find(_._2 >= timestampMillis).map(_._1)
+  }
+
+  /** cf. reference `log.go:173` CommitInfoAt (history_manager.getCommitInfo). */
+  def commitInfoAt(version: Long): Option[CommitInfo] = {
+    val p = FileNames.deltaFile(logPath, version)
+    if (!store.exists(p)) throw DeltaErrors.versionNotExist(version, 0, -1)
+    store.read(p).flatMap(Actions.fromJson).collectFirst {
+      case ci: CommitInfo => ci.copy(version = Some(version))
+    }
+  }
+
+  /** cf. reference `log.go:188` Changes + `version_log.go` VersionLog. */
+  def changes(startVersion: Long, failOnDataLoss: Boolean = false): Iterator[(Long, Seq[Action])] = {
+    val versions = listDeltaVersions()
+    if (versions.isEmpty) return Iterator.empty
+    val fromHere = versions.dropWhile(_ < startVersion)
+    if (failOnDataLoss && fromHere.headOption.exists(_ > startVersion))
+      throw DeltaErrors.dataLoss(startVersion, fromHere.headOption.getOrElse(-1L))
+    // detect gaps inside the requested range
+    fromHere.sliding(2).foreach {
+      case Seq(a, b) if failOnDataLoss && b != a + 1 => throw DeltaErrors.dataLoss(a + 1, b)
+      case _ =>
+    }
+    fromHere.iterator.map { v =>
+      v -> store.read(FileNames.deltaFile(logPath, v)).flatMap(Actions.fromJson).toSeq
+    }
+  }
+
+  /** cf. reference `log.go:164` StartTransaction. */
+  def startTransaction(): OptimisticTransaction =
+    new OptimisticTransaction(this, update())
+
+  // ------------------------------------------------------------ internals
+
+  private[delta] def listDeltaVersions(): Seq[Long] = {
+    val statuses =
+      try store.listFrom(FileNames.deltaFile(logPath, 0))
+      catch { case _: java.io.FileNotFoundException => return Nil }
+    statuses.map(_.getPath).filter(FileNames.isDeltaFile).map(FileNames.deltaVersion)
+  }
+
+  /** (version, monotonized modification timestamp) for every commit
+    * (cf. reference `history_manager.go:205` getCommits).
+    */
+  private[delta] def commits(): Seq[(Long, Long)] = {
+    val statuses =
+      try store.listFrom(FileNames.deltaFile(logPath, 0))
+      catch { case _: java.io.FileNotFoundException => return Nil }
+    var last = Long.MinValue
+    statuses
+      .filter(s => FileNames.isDeltaFile(s.getPath))
+      .map { s =>
+        val t = math.max(s.getModificationTime, last + 0) // monotonize below
+        last = math.max(last, t)
+        (FileNames.deltaVersion(s.getPath), last)
+      }
+  }
+
+  /** Earliest version rebuildable from the current log: the oldest
+    * checkpoint, or 0 if version 0's json is still present
+    * (cf. reference `history_manager.go:130`).
+    */
+  private[delta] def earliestReproducibleVersion: Option[Long] = {
+    val versions = listDeltaVersions()
+    if (versions.headOption.contains(0L)) return Some(0L)
+    Checkpoints.latestCompleteCheckpoint(store, logPath).flatMap { _ =>
+      // earliest complete checkpoint = smallest one in the listing
+      val statuses = store.listFrom(FileNames.checkpointPrefix(logPath, 0))
+      statuses.map(_.getPath).filter(FileNames.isCheckpointFile)
+        .map(FileNames.checkpointVersion).sorted.headOption
+    }
+  }
+
+  private def buildSnapshot(versionBound: Option[Long]): Snapshot = {
+    val ckpt = versionBound match {
+      case Some(v) => Checkpoints.latestCompleteCheckpoint(store, logPath, v)
+      case None =>
+        // fast path: _last_checkpoint hint, verified; fall back to listing
+        Checkpoints.readLastCheckpoint(store, logPath)
+          .map(md => CheckpointInstance(md.version, md.parts))
+          .filter(ci => ci.files(logPath).forall(store.exists))
+          .orElse(Checkpoints.latestCompleteCheckpoint(store, logPath))
+    }
+    val from = ckpt.map(_.version + 1).getOrElse(0L)
+    var deltas = listDeltaVersions().dropWhile(_ < from)
+    versionBound.foreach(v => deltas = deltas.takeWhile(_ <= v))
+    // verify contiguity of the tail
+    deltas.sliding(2).foreach {
+      case Seq(a, b) if b != a + 1 =>
+        throw new IllegalStateException(s"non-contiguous delta log: $a -> $b in $logPath")
+      case _ =>
+    }
+    val version = deltas.lastOption
+      .orElse(ckpt.map(_.version))
+      .getOrElse(versionBound.getOrElse(-1L))
+    ckpt.foreach { c =>
+      if (deltas.nonEmpty && deltas.head != c.version + 1)
+        throw new IllegalStateException(
+          s"delta tail ${deltas.head} does not follow checkpoint ${c.version}")
+    }
+    new Snapshot(spark, this, version, LogSegment(version, ckpt, deltas))
+  }
+
+  /** Write a checkpoint for the given snapshot + update `_last_checkpoint`
+    * (cf. reference `checkpoint.go:247` checkpoint, `checkpoint_writer.go`).
+    */
+  private[delta] def checkpoint(s: Snapshot): Unit = {
+    val file = FileNames.checkpointFile(logPath, s.version)
+    val tmpDir = new Path(logPath, s".ckpt-${java.util.UUID.randomUUID}")
+    s.checkpointActionsDF.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    val fs = tmpDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(tmpDir).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no checkpoint part written in $tmpDir"))
+    if (fs.exists(file)) fs.delete(file, false)
+    fs.rename(part, file)
+    fs.delete(tmpDir, true)
+    val size = store.listFrom(file).find(_.getPath == file).map(_.getLen).getOrElse(-1L)
+    Checkpoints.writeLastCheckpoint(store, logPath, CheckpointMetaData(s.version, size, None))
+  }
+}
+
+object DeltaLog {
+  /** Test hook mirroring the reference's injectable `clock.go` Clock. */
+  @volatile private[delta] var clockOverride: Option[Clock] = None
+
+  def forTable(spark: SparkSession, dataPath: String): DeltaLog =
+    new DeltaLog(spark, new Path(dataPath))
+}
+
+/** cf. reference `clock.go`. */
+trait Clock { def nowMillis: Long }
+object SystemClock extends Clock { def nowMillis: Long = System.currentTimeMillis() }
+
+/** Typed failure surface (cf. reference `errno/`). */
+object DeltaErrors {
+  class DeltaConcurrentModificationException(msg: String) extends RuntimeException(msg)
+  final class ConcurrentAppendException(msg: String) extends DeltaConcurrentModificationException(msg)
+  final class ConcurrentDeleteReadException(msg: String) extends DeltaConcurrentModificationException(msg)
+  final class ConcurrentDeleteDeleteException(msg: String) extends DeltaConcurrentModificationException(msg)
+  final class MetadataChangedException(msg: String) extends DeltaConcurrentModificationException(msg)
+  final class ProtocolChangedException(msg: String) extends DeltaConcurrentModificationException(msg)
+  final class ConcurrentTransactionException(msg: String) extends DeltaConcurrentModificationException(msg)
+
+  def versionNotExist(v: Long, earliest: Long, latest: Long) =
+    new IllegalArgumentException(s"cannot time travel to version $v: available [$earliest, $latest]")
+  def noReproducibleHistory(p: Path) =
+    new IllegalStateException(s"no reproducible commits found at $p")
+  def timestampEarlierThanTableFirstCommit(t: Long, first: Long) =
+    new IllegalArgumentException(s"timestamp $t is before the earliest commit ($first)")
+  def timestampLaterThanTableLastCommit(t: Long, last: Long) =
+    new IllegalArgumentException(s"timestamp $t is after the latest commit ($last)")
+  def dataLoss(expected: Long, found: Long) =
+    new IllegalStateException(s"versions [$expected, $found) have been truncated")
+}

@@ -1,10 +1,134 @@
 package graft.delta
 
-import graft.queries.GQ
+import java.nio.file.Files
 
-/** Oracle-checked queries that exercise the Delta layer end-to-end
-  * (filled in as SURVEY §2 A lands).
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{GQ, QueryDefs}
+import QueryDefs.table
+
+/** Driver-gate queries exercising the Delta layer end-to-end: each builds
+  * a temp Delta table from the sf parquet inputs, round-trips through the
+  * transaction log (write -> commit -> snapshot -> scan), and the DuckDB
+  * oracle checks the result against the original parquet — so log replay,
+  * the write path, pruning, time travel and checkpointing are all under
+  * the same hash-match gate as the relational operators.
   */
 object DeltaQueries {
-  val queries: Seq[GQ] = Seq()
+
+  // one fixture per (sfDir, kind) per JVM — Verify/Bench run queries
+  // sequentially in one session
+  private val fixtures = TrieMap.empty[(String, String), String]
+
+  private def fixture(s: SparkSession, d: String, kind: String)(build: String => Unit): String =
+    fixtures.getOrElseUpdate((d, kind), {
+      val dir = Files.createTempDirectory(s"graft-delta-$kind").toString
+      build(dir)
+      dir
+    })
+
+  private def ordersFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "orders") { dir =>
+      DeltaTable.forPath(s, dir)
+        .write(table(s, d, "orders"), SaveMode.Append, Seq("o_orderstatus"))
+    }
+
+  private def timeTravelFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "tt") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val orders = table(s, d, "orders")
+      t.write(orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), SaveMode.Append) // v0
+      t.write(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1), SaveMode.Append) // v1
+    }
+
+  private def checkpointFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "ckpt") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val nation = table(s, d, "nation")
+      // small checkpoint interval so snapshots must stitch checkpoint + tail
+      val txn0 = t.deltaLog.startTransaction()
+      txn0.updateMetadata(Metadata(
+        schemaString = nation.schema.json,
+        configuration = Map("delta.checkpointInterval" -> "2")))
+      txn0.commit(Nil, "CREATE TABLE") // v0
+      (0 until 5).foreach { k => // v1..v5; checkpoints at v2, v4
+        t.write(nation.filter(pmod(col("n_nationkey"), lit(5)) === k))
+      }
+    }
+
+  private def regionTxnFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "region") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val region = table(s, d, "region")
+      t.write(region, SaveMode.Append) // v0
+      t.write(region, SaveMode.Append) // v1: second optimistic txn
+    }
+
+  private val ordersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  val queries: Seq[GQ] = Seq(
+    // A4/A5/A16: write path -> log replay -> snapshot read
+    GQ("delta_roundtrip", (s, d) => {
+      val dir = ordersFixture(s, d)
+      DeltaTable.forPath(s, dir).toDF
+        .select(ordersCols.map(col): _*)
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders ORDER BY o_orderkey""")),
+
+    // A6: pushed partition predicate + residual data predicate
+    GQ("delta_partition_scan", (s, d) => {
+      val dir = ordersFixture(s, d)
+      DeltaTable.forPath(s, dir)
+        .read(col("o_orderstatus") === "F" && col("o_totalprice") > 250000)
+        .select(ordersCols.map(col): _*)
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 250000
+      ORDER BY o_orderkey""")),
+
+    // A7: snapshotForVersionAsOf
+    GQ("delta_time_travel", (s, d) => {
+      val dir = timeTravelFixture(s, d)
+      DeltaTable.forPath(s, dir).toDF(0)
+        .select(ordersCols.map(col): _*)
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey""")),
+
+    // A11: two sequential optimistic commits, both visible
+    GQ("delta_append_txn", (s, d) => {
+      val dir = regionTxnFixture(s, d)
+      DeltaTable.forPath(s, dir).toDF
+        .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
+        .orderBy(col("r_regionkey"), col("r_name"))
+    }, Some("""
+      SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name FROM (
+        SELECT * FROM region UNION ALL SELECT * FROM region)
+      ORDER BY r_regionkey, r_name""")),
+
+    // A9/A10: snapshot stitched from parquet checkpoint + json tail
+    GQ("delta_checkpoint", (s, d) => {
+      val dir = checkpointFixture(s, d)
+      val t = DeltaTable.forPath(s, dir)
+      val log = t.deltaLog
+      require(log.store.exists(FileNames.checkpointFile(log.logPath, 4L)),
+        "expected checkpoint at version 4")
+      require(log.update().segment.checkpoint.map(_.version).contains(4L),
+        "snapshot must build from the checkpoint")
+      t.toDF
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }, Some("""
+      SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
+        CAST(n_regionkey AS INTEGER) AS n_regionkey
+      FROM nation ORDER BY n_nationkey"""))
+  )
 }

@@ -1,0 +1,176 @@
+package graft.delta
+
+import java.net.URLDecoder
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+
+/** User-facing ACID table on top of the transaction log — the compute
+  * layer the reference intentionally leaves to "the engine on top"
+  * (reference README): read snapshots as DataFrames with partition
+  * pruning, and write DataFrames as parquet + AddFile commits.
+  */
+class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
+
+  def snapshot: Snapshot = deltaLog.update()
+
+  // ------------------------------------------------------------------ read
+
+  def toDF: DataFrame = readSnapshot(snapshot, None)
+
+  def toDF(versionAsOf: Long): DataFrame =
+    readSnapshot(deltaLog.snapshotForVersionAsOf(versionAsOf), None)
+
+  def toDFAsOfTimestamp(timestampMillis: Long): DataFrame =
+    readSnapshot(deltaLog.snapshotForTimestampAsOf(timestampMillis), None)
+
+  /** Pruned read: partition conjuncts prune files before the scan, the
+    * full predicate is re-applied so residuals push into parquet.
+    */
+  def read(predicate: Column): DataFrame =
+    readSnapshot(snapshot, Some(predicate))
+
+  def scan(predicate: Column): DeltaScan = DeltaScan(snapshot, Some(predicate))
+
+  private def readSnapshot(s: Snapshot, predicate: Option[Column]): DataFrame = {
+    val md = s.metadata
+    val files = DeltaScan(s, predicate).files
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), md.schema)
+    val paths = files.map(f => new Path(deltaLog.dataPath, f.path).toString)
+    var df = spark.read
+      .schema(md.schema)
+      .option("basePath", deltaLog.dataPath.toString)
+      .parquet(paths: _*)
+    predicate.foreach(p => df = df.filter(p))
+    df
+  }
+
+  // ------------------------------------------------------------- history
+
+  /** cf. reference `history_manager.go`: newest-first commit infos. */
+  def history(limit: Int = Int.MaxValue): Seq[CommitInfo] =
+    deltaLog.listDeltaVersions().reverse.take(limit)
+      .flatMap(v => deltaLog.commitInfoAt(v))
+
+  def changes(startVersion: Long, failOnDataLoss: Boolean = false): Iterator[(Long, Seq[Action])] =
+    deltaLog.changes(startVersion, failOnDataLoss)
+
+  // -------------------------------------------------------------- write
+
+  /** Append or overwrite the table with a DataFrame. */
+  def write(df: DataFrame, mode: SaveMode = SaveMode.Append,
+      partitionBy: Seq[String] = Nil): Long = {
+    val txn = deltaLog.startTransaction()
+    val exists = txn.readVersion >= 0 && txn.snapshot.metadataOpt.isDefined
+    val partCols = if (exists) txn.metadata.partitionColumns else partitionBy
+
+    if (!exists) {
+      txn.updateMetadata(Metadata(
+        schemaString = df.schema.json,
+        partitionColumns = partCols,
+        createdTime = Some(deltaLog.clock.nowMillis)))
+    } else {
+      val existing = txn.metadata.schema
+      val incoming = df.schema
+      val same = existing.fields.map(f => (f.name, f.dataType)).toSeq ==
+        incoming.fields.map(f => (f.name, f.dataType)).toSeq
+      if (!same)
+        throw new IllegalArgumentException(
+          s"schema mismatch: table has ${existing.simpleString}, data has ${incoming.simpleString}")
+      if (partitionBy.nonEmpty && partitionBy != partCols)
+        throw new IllegalArgumentException(
+          s"partitioning mismatch: table uses $partCols, got $partitionBy")
+    }
+
+    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, partCols)
+    val actions: Seq[Action] = mode match {
+      case SaveMode.Append => adds
+      case SaveMode.Overwrite =>
+        txn.readWholeTable()
+        val now = deltaLog.clock.nowMillis
+        txn.snapshot.allFiles.map(_.remove(now)) ++ adds
+      case m => throw new IllegalArgumentException(s"unsupported save mode $m")
+    }
+    txn.commit(actions,
+      if (mode == SaveMode.Overwrite) "WRITE.Overwrite" else "WRITE.Append")
+  }
+
+  /** Partition-level delete: drops whole files selected by a
+    * partition-column predicate (residual predicates are rejected — this
+    * is file-granular, like the reference's metadata-only surface).
+    */
+  def deleteWhere(partitionPredicate: Column): Long = {
+    val txn = deltaLog.startTransaction()
+    val scan = DeltaScan(txn.snapshot, Some(partitionPredicate))
+    if (scan.residualPredicates.nonEmpty)
+      throw new IllegalArgumentException(
+        "deleteWhere only supports partition-column predicates; " +
+          s"residual: ${scan.residualPredicates.mkString(", ")}")
+    val files = txn.markFilesAsRead(partitionPredicate)
+    val now = deltaLog.clock.nowMillis
+    txn.commit(files.map(_.remove(now)), "DELETE")
+  }
+}
+
+object DeltaTable {
+
+  def forPath(spark: SparkSession, path: String): DeltaTable =
+    new DeltaTable(spark, DeltaLog.forTable(spark, path))
+
+  def isDeltaTable(spark: SparkSession, path: String): Boolean =
+    DeltaLog.forTable(spark, path).tableExists
+
+  /** Physically write df as Hive-partitioned parquet under the table root
+    * via a staging dir + rename, returning the AddFile actions. Rename is
+    * metadata-only on a real FS; object stores would use a direct-write
+    * committer instead.
+    */
+  private[delta] def writeFiles(
+      spark: SparkSession, dataPath: Path, df: DataFrame,
+      partCols: Seq[String]): Seq[AddFile] = {
+    val fs = dataPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new Path(dataPath, s".staging-${UUID.randomUUID}")
+    try {
+      var w = df.write.mode(SaveMode.Overwrite)
+      if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
+      w.parquet(staging.toString)
+
+      def collectFiles(dir: Path): Seq[Path] = {
+        fs.listStatus(dir).toSeq.flatMap { st =>
+          if (st.isDirectory) collectFiles(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+          else Nil
+        }
+      }
+
+      val stagingQualified = fs.makeQualified(staging).toString
+      collectFiles(staging).map { src =>
+        // partition dirs between staging root and the file
+        val rel = fs.makeQualified(src).toString
+          .stripPrefix(stagingQualified).stripPrefix("/")
+        val dirs = rel.split('/').dropRight(1)
+        val partitionValues = dirs.map { d =>
+          val Array(k, v) = d.split("=", 2)
+          k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
+                else URLDecoder.decode(v, "UTF-8"))
+        }.toMap
+        val destRel = (dirs :+ s"part-${UUID.randomUUID}.parquet").mkString("/")
+        val dest = new Path(dataPath, destRel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(src, dest))
+          throw new java.io.IOException(s"failed to move $src -> $dest")
+        val st = fs.getFileStatus(dest)
+        AddFile(
+          path = destRel,
+          partitionValues = partitionValues,
+          size = st.getLen,
+          modificationTime = st.getModificationTime,
+          dataChange = true)
+      }
+    } finally {
+      fs.delete(staging, true)
+    }
+  }
+}

@@ -1,0 +1,277 @@
+package graft.delta
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, Encoders}
+import org.apache.spark.sql.functions._
+
+import DeltaErrors._
+
+/** cf. reference `isolation/delta_isolationlevel.go`. */
+sealed abstract class IsolationLevel(val name: String)
+case object Serializable extends IsolationLevel("Serializable")
+case object WriteSerializable extends IsolationLevel("WriteSerializable")
+case object SnapshotIsolation extends IsolationLevel("SnapshotIsolation")
+
+/** Optimistic concurrency transaction
+  * (cf. reference `trnx.go:33` OptimisticTransaction /
+  * `trnx.go:73` optimisticTransactionImp).
+  *
+  * Lifecycle: read through `markFilesAsRead` / `readWholeTable` /
+  * `txnVersion`, stage metadata via `updateMetadata`, then `commit`:
+  * prepareCommit -> put-if-absent of `<v>.json` -> on collision, conflict
+  * check against the winning commits and retry at the next version
+  * (cf. `trnx.go:541` doCommitRetryIteratively).
+  */
+class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
+
+  private val spark = deltaLog.spark
+  private val readPredicates = mutable.Buffer.empty[Column]
+  private val readFilePaths = mutable.Set.empty[String]
+  private val readTxnIds = mutable.Set.empty[String]
+  private var readTheWholeTable = false
+  private var newMetadata: Option[Metadata] = None
+  private var committed = false
+
+  def readVersion: Long = snapshot.version
+
+  /** cf. reference `trnx.go:311` Metadata. */
+  def metadata: Metadata =
+    newMetadata.orElse(snapshot.metadataOpt).getOrElse(Metadata())
+
+  /** cf. reference `trnx.go:330` TxnVersion — registers the app id as a
+    * read dependency for conflict detection.
+    */
+  def txnVersion(appId: String): Long = {
+    readTxnIds += appId
+    snapshot.transactions.getOrElse(appId, -1L)
+  }
+
+  /** cf. reference `trnx.go:235` MarkFilesAsRead. */
+  def markFilesAsRead(predicate: Column): Seq[AddFile] = {
+    val scan = DeltaScan(snapshot, Some(predicate))
+    readPredicates += predicate
+    val files = scan.files
+    readFilePaths ++= files.map(_.path)
+    files
+  }
+
+  /** cf. reference `trnx.go:323` ReadWholeTable. */
+  def readWholeTable(): Unit = readTheWholeTable = true
+
+  /** cf. reference `trnx.go:264` UpdateMetadata. */
+  def updateMetadata(md: Metadata): Unit = {
+    require(newMetadata.isEmpty, "cannot update metadata more than once per transaction")
+    val withSchema =
+      if (md.schemaString == null) md
+      else md // schema already serialized by the caller
+    verifyNewMetadata(withSchema)
+    newMetadata = Some(withSchema)
+  }
+
+  /** cf. reference `trnx.go:347` verifyNewMetadata +
+    * `trnx.go:376` checkPartitionColumns.
+    */
+  private def verifyNewMetadata(md: Metadata): Unit = {
+    val schema = md.schema
+    val fieldNames = schema.fieldNames.toSet
+    val dupes = schema.fieldNames.groupBy(_.toLowerCase).filter(_._2.length > 1)
+    if (dupes.nonEmpty)
+      throw new IllegalArgumentException(s"duplicate columns in schema: ${dupes.keys.mkString(", ")}")
+    md.partitionColumns.foreach { pc =>
+      if (!fieldNames.contains(pc))
+        throw new IllegalArgumentException(s"partition column $pc not found in schema")
+    }
+  }
+
+  /** Commit staged actions; returns the committed version
+    * (cf. reference `trnx.go:144` Commit).
+    */
+  def commit(actions: Seq[Action], operation: String,
+      engineInfo: String = "graft-spark"): Long = {
+    require(!committed, "transaction already committed")
+
+    var finalActions = newMetadata.map(m => m: Action).toSeq ++ actions
+
+    // prepareCommit checks (cf. trnx.go:428)
+    if (snapshot.version == -1) {
+      // brand-new table: needs metadata + protocol
+      if (!finalActions.exists(_.isInstanceOf[Metadata]))
+        throw new IllegalStateException("first commit must include table metadata")
+      if (!finalActions.exists(_.isInstanceOf[Protocol]))
+        finalActions = Protocol() +: finalActions
+    }
+    if (finalActions.count(_.isInstanceOf[Metadata]) > 1)
+      throw new IllegalStateException("cannot commit more than one Metadata action")
+
+    val isBlindAppend = !readTheWholeTable && readPredicates.isEmpty &&
+      finalActions.forall {
+        case _: AddFile | _: SetTransaction | _: CommitInfo => true
+        case _: Metadata | _: Protocol => snapshot.version == -1
+        case _ => false
+      }
+    val isolationLevel: IsolationLevel =
+      if (isBlindAppend) WriteSerializable else Serializable
+
+    val commitInfo = CommitInfo(
+      timestamp = deltaLog.clock.nowMillis,
+      operation = operation,
+      readVersion = if (snapshot.version >= 0) Some(snapshot.version) else None,
+      isolationLevel = Some(isolationLevel.name),
+      isBlindAppend = Some(isBlindAppend),
+      engineInfo = Some(engineInfo),
+      txnId = Some(java.util.UUID.randomUUID.toString))
+    val allActions = (commitInfo +: finalActions).map(Actions.toJson)
+
+    var attempt = snapshot.version + 1
+    var done = -1L
+    var tries = 0
+    while (done < 0) {
+      tries += 1
+      if (tries > 10000) throw new IllegalStateException("commit retry limit exceeded")
+      try {
+        deltaLog.store.write(FileNames.deltaFile(deltaLog.logPath, attempt), allActions.iterator)
+        done = attempt
+      } catch {
+        case _: FileAlreadyExistsException =>
+          // losing the race: check every winning commit for conflicts
+          attempt = checkForConflicts(attempt, finalActions, isolationLevel) + 1
+      }
+    }
+    committed = true
+    postCommit(done)
+    done
+  }
+
+  /** cf. reference `trnx.go:603` checkForConflicts + `conflict_checker.go`.
+    * Returns the latest winning version when compatible; throws otherwise.
+    */
+  private def checkForConflicts(
+      checkVersion: Long, actions: Seq[Action], level: IsolationLevel): Long = {
+    val latest = deltaLog.listDeltaVersions().lastOption.getOrElse(checkVersion - 1)
+    var v = checkVersion
+    while (v <= latest) {
+      val winning = deltaLog.store
+        .read(FileNames.deltaFile(deltaLog.logPath, v))
+        .flatMap(Actions.fromJson)
+      new ConflictChecker(this, winning.toSeq, v, level, actions).check()
+      v += 1
+    }
+    latest
+  }
+
+  /** cf. reference `trnx.go:647` postCommit: checkpoint on interval. */
+  private def postCommit(committedVersion: Long): Unit = {
+    val interval = metadata.configuration
+      .getOrElse("delta.checkpointInterval", "10").toInt
+    if (committedVersion != 0 && committedVersion % interval == 0) {
+      val s = deltaLog.update()
+      if (s.version == committedVersion) deltaLog.checkpoint(s)
+    } else {
+      deltaLog.update()
+    }
+  }
+
+  private[delta] def readPredicatesSnapshot: Seq[Column] = readPredicates.toSeq
+  private[delta] def readFiles: Set[String] = readFilePaths.toSet
+  private[delta] def readTxns: Set[String] = readTxnIds.toSet
+  private[delta] def didReadWholeTable: Boolean = readTheWholeTable
+}
+
+/** Decides whether a winning (concurrently committed) version invalidates
+  * the current transaction (cf. reference `conflict_checker.go:70`).
+  */
+class ConflictChecker(
+    txn: OptimisticTransaction,
+    winningActions: Seq[Action],
+    winningVersion: Long,
+    level: IsolationLevel,
+    currentActions: Seq[Action]) {
+
+  private val winningCommitInfo = winningActions.collectFirst { case c: CommitInfo => c }
+  private val winningAdds = winningActions.collect { case a: AddFile => a }
+  private val winningRemoves = winningActions.collect { case r: RemoveFile => r }
+
+  def check(): Unit = {
+    checkProtocol()
+    checkMetadata()
+    checkAddedFiles()
+    checkDeletedFilesAgainstReadFiles()
+    checkDeletedFilesAgainstDeletedFiles()
+    checkTxnIds()
+  }
+
+  /** cf. conflict_checker.go checkNoProtocolChange. */
+  private def checkProtocol(): Unit =
+    if (winningActions.exists(_.isInstanceOf[Protocol]))
+      throw new ProtocolChangedException(s"protocol changed by version $winningVersion")
+
+  /** cf. conflict_checker.go checkNoMetadataChange. */
+  private def checkMetadata(): Unit =
+    if (winningActions.exists(_.isInstanceOf[Metadata]))
+      throw new MetadataChangedException(s"metadata changed by version $winningVersion")
+
+  /** cf. conflict_checker.go checkForAddedFilesThatShouldHaveBeenReadByCurrentTxn:
+    * at WriteSerializable, blind appends never conflict; at Serializable
+    * they conflict when they overlap what we read.
+    */
+  private def checkAddedFiles(): Unit = {
+    if (level == SnapshotIsolation) return
+    val blindAppend = winningCommitInfo.flatMap(_.isBlindAppend).getOrElse(false)
+    val addsToCheck =
+      if (level == WriteSerializable && blindAppend) Nil else winningAdds
+    if (addsToCheck.isEmpty) return
+    if (txn.didReadWholeTable)
+      throw new ConcurrentAppendException(
+        s"files added by version $winningVersion conflict with a whole-table read")
+    val preds = txn.readPredicatesSnapshot
+    if (preds.isEmpty) return
+    val partCols = txn.snapshot.metadataOpt.map(_.partitionColumns).getOrElse(Nil)
+    val schema = txn.snapshot.metadataOpt.map(_.schema)
+      .getOrElse(org.apache.spark.sql.types.StructType(Nil))
+    addsToCheck.foreach { add =>
+      preds.foreach { p =>
+        val (pushed, residual) =
+          DeltaScan.splitPredicate(txn.deltaLog.spark, schema, p, partCols.toSet)
+        val matches =
+          if (pushed.isEmpty && residual.nonEmpty) true // non-partition read: conservative
+          else pushed.forall(pp =>
+            DeltaScan.evalOnPartition(txn.deltaLog.spark, pp, add.partitionValues, partCols, schema))
+        if (matches)
+          throw new ConcurrentAppendException(
+            s"file ${add.path} added by version $winningVersion matches this transaction's read predicate")
+      }
+    }
+  }
+
+  /** cf. conflict_checker.go checkForDeletedFilesAgainstCurrentTxnReadFiles. */
+  private def checkDeletedFilesAgainstReadFiles(): Unit = {
+    val deleted = winningRemoves.map(_.path).toSet
+    val overlap = deleted.intersect(txn.readFiles)
+    if (overlap.nonEmpty)
+      throw new ConcurrentDeleteReadException(
+        s"files read by this transaction were deleted by version $winningVersion: ${overlap.take(3).mkString(", ")}")
+    if (txn.didReadWholeTable && deleted.nonEmpty)
+      throw new ConcurrentDeleteReadException(
+        s"files were deleted by version $winningVersion during a whole-table read")
+  }
+
+  /** cf. conflict_checker.go checkForDeletedFilesAgainstCurrentTxnDeletedFiles. */
+  private def checkDeletedFilesAgainstDeletedFiles(): Unit = {
+    val winningDeleted = winningRemoves.map(_.path).toSet
+    val ourDeleted = currentActions.collect { case r: RemoveFile => r.path }.toSet
+    val overlap = winningDeleted.intersect(ourDeleted)
+    if (overlap.nonEmpty)
+      throw new ConcurrentDeleteDeleteException(
+        s"version $winningVersion deleted files this transaction also deletes: ${overlap.take(3).mkString(", ")}")
+  }
+
+  /** cf. conflict_checker.go checkForUpdatedApplicationTransactionIds.... */
+  private def checkTxnIds(): Unit = {
+    val winningIds = winningActions.collect { case t: SetTransaction => t.appId }.toSet
+    val overlap = winningIds.intersect(txn.readTxns)
+    if (overlap.nonEmpty)
+      throw new ConcurrentTransactionException(
+        s"idempotent transaction ids updated by version $winningVersion: ${overlap.mkString(", ")}")
+  }
+}

@@ -1,0 +1,179 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The delta files (JSON tail) and optional checkpoint backing a version
+  * (cf. reference `log_segment.go`).
+  */
+final case class LogSegment(
+    version: Long,
+    checkpoint: Option[CheckpointInstance],
+    deltas: Seq[Long])
+
+/** An immutable view of the table at one version
+  * (cf. reference `snapshot.go:21` Snapshot interface).
+  *
+  * Scale design (diverging from the reference on purpose): the reference
+  * materializes every AddFile in process memory (`snapshot.go:299`
+  * loadActiveFiles); at 100 TB that is O(10^7) objects. Here the file
+  * state is a Spark DataFrame — checkpoint parquet unioned with the
+  * driver-parsed JSON tail (bounded by the checkpoint interval), reduced
+  * with one `max_by` aggregation per path. Driver-side collections happen
+  * only in the explicit `allFiles`-style APIs that mirror the reference.
+  */
+class Snapshot(
+    val spark: SparkSession,
+    val deltaLog: DeltaLog,
+    val version: Long,
+    val segment: LogSegment) {
+
+  import spark.implicits._
+
+  private def logPath = deltaLog.logPath
+
+  /** Driver-parsed actions of the JSON tail, replay order. */
+  lazy val tailActions: Seq[(Long, Action)] =
+    segment.deltas.flatMap { v =>
+      deltaLog.store.read(FileNames.deltaFile(logPath, v))
+        .flatMap(Actions.fromJson).map(v -> _)
+    }
+
+  // fully-nullable: checkpoint rows have exactly one non-null action
+  private val saSchema: org.apache.spark.sql.types.StructType =
+    Snapshot.nullable(Encoders.product[SingleAction].schema)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  private def checkpointDF: Option[DataFrame] =
+    segment.checkpoint.map { ci =>
+      spark.read.schema(saSchema)
+        .parquet(ci.files(logPath).map(_.toString): _*)
+        .withColumn("version", lit(ci.version))
+    }
+
+  private def tailDF: DataFrame = {
+    val rows = tailActions.map { case (v, a) => (v, a.wrap) }
+    spark.createDataset(rows)(Encoders.product[(Long, SingleAction)])
+      .select($"_2.*", $"_1".as("version"))
+  }
+
+  /** All actions contributing to this version, as (SingleAction, version). */
+  lazy val stateDF: DataFrame = {
+    val tail = tailDF
+    checkpointDF match {
+      case Some(c) => c.unionByName(tail)
+      case None => tail
+    }
+  }
+
+  /** Active AddFiles after Add/Remove reconciliation (cf. reference
+    * `replay_action.go`): latest action per path wins; within one commit
+    * an add beats a remove (atomic replace).
+    */
+  lazy val activeFilesDF: DataFrame = reconciled
+    .where($"w.isAdd" === 1)
+    .select($"w.add.*")
+
+  /** Latest tombstones (paths whose newest action is a remove). */
+  lazy val tombstonesDF: DataFrame = reconciled
+    .where($"w.isAdd" === 0)
+    .select($"w.remove.*")
+
+  private lazy val reconciled: DataFrame =
+    stateDF
+      .where($"add".isNotNull || $"remove".isNotNull)
+      .select(
+        coalesce($"add.path", $"remove.path").as("path"),
+        struct(
+          when($"add".isNotNull, 1).otherwise(0).as("isAdd"),
+          $"add", $"remove").as("w"),
+        $"version")
+      .groupBy($"path")
+      .agg(max_by($"w", struct($"version", $"w.isAdd")).as("w"))
+
+  // ------------------------------------------------------- driver-side API
+
+  /** cf. reference `snapshot.go:121` AllFiles. */
+  def allFiles: Seq[AddFile] = allFilesDS.collect().toSeq
+  def allFilesDS: Dataset[AddFile] = activeFilesDF.as[AddFile]
+  def tombstones: Seq[RemoveFile] = tombstonesDF.as[RemoveFile].collect().toSeq
+  def numOfFiles: Long = activeFilesDF.count()
+
+  /** Protocol + Metadata + SetTransactions from the newest occurrence in
+    * tail (preferred) or checkpoint (cf. reference
+    * `snapshot.go:182` loadTableProtoclAndMetadata).
+    */
+  private lazy val replayedMeta: (Option[Protocol], Option[Metadata], Map[String, SetTransaction]) = {
+    var proto: Option[Protocol] = None
+    var meta: Option[Metadata] = None
+    var txns = Map.empty[String, SetTransaction]
+    tailActions.foreach {
+      case (_, p: Protocol) => proto = Some(p)
+      case (_, m: Metadata) => meta = Some(m)
+      case (_, t: SetTransaction) => txns += (t.appId -> t)
+      case _ =>
+    }
+    if ((proto.isEmpty || meta.isEmpty) && checkpointDF.isDefined) {
+      val c = checkpointDF.get
+      if (meta.isEmpty)
+        meta = c.where($"metaData".isNotNull).select($"metaData.*")
+          .as[Metadata].collect().headOption
+      if (proto.isEmpty)
+        proto = c.where($"protocol".isNotNull).select($"protocol.*")
+          .as[Protocol].collect().headOption
+    }
+    val ckptTxns: Map[String, SetTransaction] = checkpointDF match {
+      case Some(c) =>
+        c.where($"txn".isNotNull).select($"txn.*")
+          .as[SetTransaction].collect().map(t => t.appId -> t).toMap
+      case None => Map.empty
+    }
+    (proto, meta, ckptTxns ++ txns)
+  }
+
+  /** cf. reference `snapshot.go:126` Metadata. */
+  def metadata: Metadata = replayedMeta._2.getOrElse(
+    throw new IllegalStateException(s"no metadata found for version $version of ${deltaLog.dataPath}"))
+  def metadataOpt: Option[Metadata] = replayedMeta._2
+  def protocol: Protocol = replayedMeta._1.getOrElse(Protocol())
+  def setTransactions: Seq[SetTransaction] = replayedMeta._3.values.toSeq
+  /** cf. reference `snapshot.go:152` transactions. */
+  def transactions: Map[String, Long] = replayedMeta._3.view.mapValues(_.version).toMap
+
+  /** All SingleActions of this snapshot's state (checkpoint content). */
+  def checkpointActionsDF: DataFrame = {
+    val meta = replayedMeta
+    val extras =
+      meta._1.map(_.wrap).toSeq ++ meta._2.map(_.wrap).toSeq ++
+        meta._3.values.map(_.wrap).toSeq
+    val extrasDF = spark.createDataset(extras)(Encoders.product[SingleAction])
+    val files = activeFilesDF.select(struct($"*").as("add"))
+      .select(to_single_action($"add", "add"): _*)
+    val tombs = tombstonesDF.select(struct($"*").as("remove"))
+      .select(to_single_action($"remove", "remove"): _*)
+    extrasDF.toDF().unionByName(files).unionByName(tombs)
+  }
+
+  /** Shape a single nested struct column into the full SingleAction row. */
+  private def to_single_action(c: org.apache.spark.sql.Column, field: String) = {
+    saSchema.fields.map { f =>
+      if (f.name == field) c.cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq
+  }
+}
+
+object Snapshot {
+  import org.apache.spark.sql.types._
+  /** Recursively nullable variant of a schema (StructType.asNullable is
+    * private[spark]).
+    */
+  private[delta] def nullable(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = nullable(f.dataType), nullable = true)))
+    case a: ArrayType => a.copy(elementType = nullable(a.elementType), containsNull = true)
+    case m: MapType => m.copy(valueType = nullable(m.valueType), valueContainsNull = true)
+    case o => o
+  }
+}

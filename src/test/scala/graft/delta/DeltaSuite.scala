@@ -1,0 +1,344 @@
+package graft.delta
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{Metadata => _, _}
+import org.scalatest.funsuite.AnyFunSuite
+
+class DeltaSuite extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-delta").toString
+
+  private def sampleDF = {
+    import spark.implicits._
+    Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y"), (4L, "d", "y"), (5L, "e", "z"))
+      .toDF("id", "name", "part")
+  }
+
+  // ----------------------------------------------------------- A1 actions
+
+  test("A1: action json roundtrip") {
+    val actions: Seq[Action] = Seq(
+      AddFile("p=1/f.parquet", Map("p" -> "1"), 123L, 456L, dataChange = true,
+        stats = """{"numRecords":5}"""),
+      RemoveFile("f2.parquet", Some(789L), dataChange = true,
+        extendedFileMetadata = true, Map("p" -> "2"), Some(11L)),
+      Metadata(id = "mid", name = "t", schemaString = new StructType()
+        .add("id", LongType).add("p", StringType).json,
+        partitionColumns = Seq("p"), configuration = Map("k" -> "v"),
+        createdTime = Some(1L)),
+      Protocol(1, 2),
+      SetTransaction("app1", 7L, Some(3L)),
+      AddCDCFile("cdc.parquet", Map.empty, 10L),
+      CommitInfo(Some(3L), 1000L, "WRITE", Map("mode" -> "Append"),
+        Some(2L), Some("Serializable"), Some(true), Map.empty, Some("graft"), Some("tid")))
+    actions.foreach { a =>
+      val json = Actions.toJson(a)
+      assert(!json.contains("\n"))
+      assert(Actions.fromJson(json).contains(a), s"roundtrip failed for $json")
+    }
+  }
+
+  test("A1: reference-shaped json parses") {
+    // field layout as in reference action/add.go / actions_test.go
+    val line = """{"add":{"path":"part-0.parquet","partitionValues":{"x":"2"},"size":452,"modificationTime":1564524299000,"dataChange":true,"stats":"{\"numRecords\":1}"}}"""
+    val a = Actions.fromJson(line).get.asInstanceOf[AddFile]
+    assert(a.path == "part-0.parquet" && a.partitionValues == Map("x" -> "2")
+      && a.size == 452 && a.dataChange)
+    assert(Actions.fromJson("""{"unknownAction":{"x":1}}""").isEmpty)
+  }
+
+  // ------------------------------------------------------------ A2 schema
+
+  test("A2: schema codec roundtrips nested types") {
+    val s = new StructType()
+      .add("i", IntegerType, nullable = false)
+      .add("arr", ArrayType(StringType))
+      .add("m", MapType(StringType, LongType))
+      .add("nested", new StructType().add("d", DecimalType(18, 4)).add("ts", TimestampType))
+    assert(SchemaCodec.fromJson(SchemaCodec.toJson(s)) == s)
+    // the delta wire format is spark's json format (type_parser.go parses this shape)
+    assert(SchemaCodec.toJson(s).contains(""""type":"struct""""))
+  }
+
+  // ------------------------------------------------------------- A3 store
+
+  test("A3: log store put-if-absent and ordered listFrom") {
+    val dir = tmp()
+    val store = new LogStore(spark.sessionState.newHadoopConf())
+    val p0 = new Path(dir, "00000000000000000000.json")
+    store.write(p0, Iterator("a", "b"))
+    assert(store.read(p0) == Seq("a", "b"))
+    intercept[FileAlreadyExistsException] { store.write(p0, Iterator("x")) }
+    assert(store.read(p0) == Seq("a", "b")) // loser must not clobber
+    store.write(new Path(dir, "00000000000000000002.json"), Iterator("c"))
+    store.write(new Path(dir, "00000000000000000001.json"), Iterator("d"))
+    val names = store.listFrom(new Path(dir, "00000000000000000001.json"))
+      .map(_.getPath.getName)
+    assert(names == Seq("00000000000000000001.json", "00000000000000000002.json"))
+  }
+
+  // ---------------------------------------------- A4/A5/A16 write + read
+
+  test("A16/A4/A5: create, append, overwrite, read back") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append, Seq("part"))
+    assert(DeltaTable.isDeltaTable(spark, dir))
+    assert(!DeltaTable.isDeltaTable(spark, tmp()))
+    assert(t.toDF.count() == 5)
+
+    t.write(sampleDF.filter(col("id") <= 2), SaveMode.Append)
+    assert(t.toDF.count() == 7)
+    assert(t.snapshot.version == 1)
+
+    t.write(sampleDF.filter(col("id") === 1), SaveMode.Overwrite)
+    val rows = t.toDF.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("id") == 1L)
+    // overwrite produced tombstones
+    assert(t.snapshot.tombstones.nonEmpty)
+    // schema mismatch rejected
+    intercept[IllegalArgumentException] {
+      t.write(sampleDF.withColumnRenamed("name", "nom"))
+    }
+  }
+
+  // -------------------------------------------------------- A6 pruning
+
+  test("A6: partition pruned scan splits pushed vs residual") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append, Seq("part"))
+    val scan = t.scan(col("part") === "x" && col("id") > 1)
+    assert(scan.pushedPredicate.isDefined && scan.residualPredicate.isDefined)
+    val files = scan.files
+    assert(files.nonEmpty)
+    assert(files.forall(_.partitionValues("part") == "x"))
+    assert(files.size < t.snapshot.allFiles.size)
+    val rows = t.read(col("part") === "x" && col("id") > 1).collect()
+    assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == Seq(2L))
+  }
+
+  // ---------------------------------------------- A7/A8 time travel
+
+  test("A7/A8: time travel by version and timestamp") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF.filter(col("id") <= 2), SaveMode.Append) // v0
+    t.write(sampleDF.filter(col("id") > 2), SaveMode.Append) // v1
+    assert(t.toDF(0).count() == 2)
+    assert(t.toDF(1).count() == 5)
+    intercept[IllegalArgumentException] { t.toDF(5) }
+
+    // pin commit timestamps for deterministic timestamp travel
+    val log = t.deltaLog
+    val fs = log.logPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.setTimes(FileNames.deltaFile(log.logPath, 0), 1000000L, -1)
+    fs.setTimes(FileNames.deltaFile(log.logPath, 1), 2000000L, -1)
+    assert(log.versionBeforeOrAtTimestamp(1500000L).contains(0L))
+    assert(log.versionAtOrAfterTimestamp(1500000L).contains(1L))
+    assert(t.toDFAsOfTimestamp(1500000L).count() == 2)
+    intercept[IllegalArgumentException] { t.toDFAsOfTimestamp(999L) }
+    intercept[IllegalArgumentException] { t.toDFAsOfTimestamp(3000000L) }
+  }
+
+  // ---------------------------------------------- A9/A10 checkpoints
+
+  test("A9/A10: checkpoint written on interval and used for snapshots") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    import spark.implicits._
+    // interval 4 via table config on first commit
+    val txn0 = t.deltaLog.startTransaction()
+    txn0.updateMetadata(Metadata(
+      schemaString = sampleDF.schema.json,
+      configuration = Map("delta.checkpointInterval" -> "4")))
+    txn0.commit(Nil, "CREATE TABLE")
+    (1 to 9).foreach { i =>
+      t.write(sampleDF.filter(col("id") === (i % 5 + 1).toLong))
+    }
+    val log = t.deltaLog
+    assert(Checkpoints.readLastCheckpoint(log.store, log.logPath).map(_.version).contains(8L))
+    assert(log.store.exists(FileNames.checkpointFile(log.logPath, 4L)))
+    assert(log.store.exists(FileNames.checkpointFile(log.logPath, 8L)))
+    val snap = log.update()
+    assert(snap.version == 9)
+    assert(snap.segment.checkpoint.map(_.version).contains(8L))
+    assert(snap.segment.deltas == Seq(9L))
+    assert(t.toDF.count() == 9)
+    // checkpoint-only reconstruction: time travel to the checkpoint version
+    assert(t.toDF(8).count() == 8)
+    // metadata survives through checkpoint state
+    assert(snap.metadata.configuration("delta.checkpointInterval") == "4")
+  }
+
+  // ---------------------------------------- A11/A12/A13 txn + conflicts
+
+  test("A11/A12: concurrent blind appends both land (retry, no conflict)") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append)
+    val log = t.deltaLog
+    val txnA = log.startTransaction()
+    val txnB = log.startTransaction()
+    val addA = AddFile("fa.parquet", Map.empty, 1L, 1L)
+    val addB = AddFile("fb.parquet", Map.empty, 1L, 1L)
+    assert(txnA.commit(Seq(addA), "WRITE") == 1L)
+    // B read version 0 but A won version 1: blind append -> retried at 2
+    assert(txnB.commit(Seq(addB), "WRITE") == 2L)
+    assert(log.update().allFiles.map(_.path).count(p => p == "fa.parquet" || p == "fb.parquet") == 2)
+  }
+
+  test("A12: metadata/protocol changes conflict") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append)
+    val log = t.deltaLog
+    val loser = log.startTransaction()
+    loser.readWholeTable()
+    val winner = log.startTransaction()
+    winner.updateMetadata(winner.metadata.copy(name = "renamed"))
+    winner.commit(Nil, "SET METADATA")
+    intercept[DeltaErrors.MetadataChangedException] {
+      loser.commit(Seq(AddFile("x.parquet", Map.empty, 1L, 1L)), "WRITE")
+    }
+  }
+
+  test("A12: concurrent append conflicts with overlapping read predicate") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append, Seq("part"))
+    val log = t.deltaLog
+    val loser = log.startTransaction()
+    loser.markFilesAsRead(col("part") === "x")
+    val winner = log.startTransaction()
+    winner.commit(Seq(AddFile("part=x/new.parquet", Map("part" -> "x"), 1L, 1L)), "WRITE")
+    intercept[DeltaErrors.ConcurrentAppendException] {
+      loser.commit(Seq(AddFile("part=z/other.parquet", Map("part" -> "z"), 1L, 1L)), "WRITE")
+    }
+  }
+
+  test("A12: disjoint-partition concurrent append is allowed") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append, Seq("part"))
+    val log = t.deltaLog
+    val loser = log.startTransaction()
+    loser.markFilesAsRead(col("part") === "x")
+    val winner = log.startTransaction()
+    winner.commit(Seq(AddFile("part=y/new.parquet", Map("part" -> "y"), 1L, 1L)), "WRITE")
+    // winner only touched part=y; loser read part=x -> compatible, lands
+    // at the next free version after the winner
+    val v = loser.commit(Seq(AddFile("part=x/mine.parquet", Map("part" -> "x"), 1L, 1L)), "WRITE")
+    assert(v == 2L)
+  }
+
+  test("A12: delete-read and delete-delete conflicts") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append, Seq("part"))
+    val log = t.deltaLog
+
+    val reader = log.startTransaction()
+    val readFiles = reader.markFilesAsRead(col("part") === "x")
+    val deleter = log.startTransaction()
+    val delFiles = deleter.markFilesAsRead(col("part") === "x")
+    deleter.commit(delFiles.map(_.remove(1L)), "DELETE")
+    intercept[DeltaErrors.ConcurrentDeleteReadException] {
+      reader.commit(Seq(AddFile("part=x/r.parquet", Map("part" -> "x"), 1L, 1L)), "WRITE")
+    }
+
+    // delete-delete: both try to remove the same remaining file. d2 builds
+    // its removes without registering reads (else delete-READ fires first,
+    // which is also the reference's precedence).
+    val d1 = log.startTransaction()
+    val f1 = d1.markFilesAsRead(col("part") === "y")
+    val d2 = log.startTransaction()
+    val f2 = DeltaScan(d2.snapshot, Some(col("part") === "y")).files
+    d1.commit(f1.map(_.remove(2L)), "DELETE")
+    intercept[DeltaErrors.ConcurrentDeleteDeleteException] {
+      d2.commit(f2.map(_.remove(3L)), "DELETE")
+    }
+  }
+
+  test("A13: idempotent writer transactions via SetTransaction") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append)
+    val log = t.deltaLog
+
+    def appendOnce(batchId: Long): Boolean = {
+      val txn = log.startTransaction()
+      if (txn.txnVersion("app-1") >= batchId) false
+      else {
+        txn.commit(Seq(
+          AddFile(s"b$batchId.parquet", Map.empty, 1L, 1L),
+          SetTransaction("app-1", batchId, Some(1L))), "STREAMING UPDATE")
+        true
+      }
+    }
+    assert(appendOnce(0))
+    assert(!appendOnce(0)) // replay skipped
+    assert(appendOnce(1))
+    assert(log.update().transactions("app-1") == 1L)
+
+    // concurrent same-app txns conflict
+    val t1 = log.startTransaction()
+    t1.txnVersion("app-2")
+    val t2 = log.startTransaction()
+    t2.commit(Seq(SetTransaction("app-2", 0L, None)), "STREAMING UPDATE")
+    intercept[DeltaErrors.ConcurrentTransactionException] {
+      t1.commit(Seq(SetTransaction("app-2", 0L, None)), "STREAMING UPDATE")
+    }
+  }
+
+  // ------------------------------------------- A14/A15/A18 history, CDF
+
+  test("A14/A15: history, commitInfoAt, changes feed") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append, Seq("part")) // v0
+    t.write(sampleDF, SaveMode.Append) // v1
+    t.deleteWhere(col("part") === "x") // v2
+
+    val h = t.history()
+    assert(h.size == 3)
+    assert(h.head.version.contains(2L))
+    assert(h.map(_.operation) == Seq("DELETE", "WRITE.Append", "WRITE.Append"))
+    val ci = t.deltaLog.commitInfoAt(1L).get
+    assert(ci.operation == "WRITE.Append" && ci.version.contains(1L))
+    intercept[Exception] { t.deltaLog.commitInfoAt(9L) }
+
+    val ch = t.changes(1L).toSeq
+    assert(ch.map(_._1) == Seq(1L, 2L))
+    assert(ch.head._2.exists(_.isInstanceOf[AddFile]))
+    assert(ch(1)._2.exists(_.isInstanceOf[RemoveFile]))
+    intercept[IllegalStateException] {
+      // pretend version 0/1 got vacuumed away: ask below earliest available
+      val log2 = DeltaLog.forTable(spark, dir)
+      log2.store.delete(FileNames.deltaFile(log2.logPath, 0L))
+      log2.changes(0L, failOnDataLoss = true).toSeq
+    }
+  }
+
+  test("A18: cdc actions round the changes feed") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append)
+    val txn = t.deltaLog.startTransaction()
+    txn.commit(Seq(AddCDCFile("_change_data/cdc-0.parquet", Map.empty, 9L)), "WRITE")
+    val actions = t.changes(1L).toSeq.head._2
+    assert(actions.exists { case c: AddCDCFile => c.path.startsWith("_change_data/"); case _ => false })
+  }
+}
