@@ -97,6 +97,30 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       if (mode == SaveMode.Overwrite) "WRITE.Overwrite" else "WRITE.Append")
   }
 
+  /** Exactly-once streaming sink batch (use from `foreachBatch`): the
+    * batch is skipped when `SetTransaction(appId)` already covers batchId,
+    * so replayed micro-batches after a failure don't duplicate data
+    * (cf. reference `action/trx.go` SetTransaction semantics).
+    * Returns false when the batch was already committed.
+    */
+  def writeStreamBatch(df: DataFrame, appId: String, batchId: Long,
+      partitionBy: Seq[String] = Nil): Boolean = {
+    val txn = deltaLog.startTransaction()
+    if (txn.txnVersion(appId) >= batchId) return false
+    val exists = txn.readVersion >= 0 && txn.snapshot.metadataOpt.isDefined
+    val partCols = if (exists) txn.metadata.partitionColumns else partitionBy
+    if (!exists) {
+      txn.updateMetadata(Metadata(
+        schemaString = df.schema.json,
+        partitionColumns = partCols,
+        createdTime = Some(deltaLog.clock.nowMillis)))
+    }
+    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, partCols)
+    txn.commit(adds :+ SetTransaction(appId, batchId, Some(deltaLog.clock.nowMillis)),
+      "STREAMING UPDATE")
+    true
+  }
+
   /** Partition-level delete: drops whole files selected by a
     * partition-column predicate (residual predicates are rejected — this
     * is file-granular, like the reference's metadata-only surface).

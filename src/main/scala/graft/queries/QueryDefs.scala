@@ -39,6 +39,17 @@ object QueryDefs {
   /** cents sum -> double, formula text mirrored in the oracle SQL. */
   def centsToDouble(sumCents: Column): Column = sumCents.cast("double") / lit(100.0)
 
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects by default (DuckDB reads it natively). Read nanos as long and
+    * rebuild a microsecond timestamp with integer division (ns epochs
+    * exceed 2^53, so double division would corrupt them).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Lowercased word tokens; regexp_extract_all avoids split() empty-string
     * edge cases and is identical in Spark (Java regex) and DuckDB (RE2)
     * for disjoint character classes.

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.delta.DeltaTable
+
+class StreamingSuite extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("D2: foreachBatch delta sink is exactly-once under batch replay") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = Files.createTempDirectory("d2-src")
+    val tableDir = Files.createTempDirectory("d2-table").toString
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    events.limit(100).write.parquet(srcDir.resolve("b0").toString)
+
+    val t = DeltaTable.forPath(spark, tableDir)
+    val stream = spark.readStream.schema(events.schema)
+      .parquet(srcDir.toString + "/*")
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        t.writeStreamBatch(df, "stream-app", id); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val afterFirst = t.toDF.count()
+    assert(afterFirst == 100)
+
+    // simulate a replay of batch 0 after recovery: must be skipped
+    val replayed = t.writeStreamBatch(events.limit(100), "stream-app", 0L)
+    assert(!replayed)
+    assert(t.toDF.count() == afterFirst)
+    // a genuinely new batch id lands
+    assert(t.writeStreamBatch(events.limit(7), "stream-app", 99L))
+    assert(t.toDF.count() == afterFirst + 7)
+    assert(t.deltaLog.update().transactions("stream-app") == 99L)
+  }
+
+  test("D1/D3 queries run against the driver contract") {
+    for (name <- Seq("stream_window_agg", "stream_dedup")) {
+      val df = graft.SparkEntry.queries(name)(spark, sf)
+      assert(df.count() > 0, name)
+    }
+  }
+
+  test("watermark drops late rows beyond the threshold") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("wm-src")
+    // batch 1 reaches 11:00, so the watermark (10:30) passes the end of
+    // the 09:00-10:00 window and append mode emits it on the next batch;
+    // batch 2 then delivers a 07:00 event far behind the watermark.
+    Seq(("2024-01-01 09:00:00", 1L), ("2024-01-01 10:00:00", 2L), ("2024-01-01 11:00:00", 3L))
+      .toDF("ts_s", "id").withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      .write.parquet(srcDir.resolve("b1").toString)
+
+    val schema = spark.read.parquet(srcDir.resolve("b1").toString).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir.toString + "/*")
+    val agg = stream
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window($"ts", "1 hour")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("wm_out").start()
+    try {
+      q.processAllAvailable()
+      // late batch: 07:00 arrives after the watermark passed 10:30
+      Seq(("2024-01-01 07:00:00", 4L))
+        .toDF("ts_s", "id").withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+        .write.parquet(srcDir.resolve("b2").toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val wins = spark.table("wm_out")
+      .select($"window.start".cast("string").as("s"), $"n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the 09:00 window closed and emitted; the late 07:00 row was dropped
+    assert(wins.get("2024-01-01 09:00:00").contains(1L))
+    assert(!wins.contains("2024-01-01 07:00:00"))
+  }
+}
