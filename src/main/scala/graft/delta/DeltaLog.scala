@@ -167,18 +167,36 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path) {
     * (cf. reference `checkpoint.go:247` checkpoint, `checkpoint_writer.go`).
     */
   private[delta] def checkpoint(s: Snapshot): Unit = {
-    val file = FileNames.checkpointFile(logPath, s.version)
+    val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
     val tmpDir = new Path(logPath, s".ckpt-${java.util.UUID.randomUUID}")
-    s.checkpointActionsDF.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-    val fs = tmpDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val part = fs.listStatus(tmpDir).map(_.getPath)
-      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"no checkpoint part written in $tmpDir"))
-    if (fs.exists(file)) fs.delete(file, false)
-    fs.rename(part, file)
+    // multi-part (A17): delta.checkpoint.partSize = max actions per part
+    val partSize = s.metadataOpt
+      .flatMap(_.configuration.get("delta.checkpoint.partSize")).map(_.toLong)
+    val df = s.checkpointActionsDF
+    val numParts = partSize match {
+      case None => 1
+      case Some(ps) => math.max(1, math.ceil(df.count().toDouble / ps).toInt)
+    }
+    df.repartition(numParts).write.mode("overwrite").parquet(tmpDir.toString)
+    val parts = fs.listStatus(tmpDir).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    if (parts.isEmpty)
+      throw new IllegalStateException(s"no checkpoint part written in $tmpDir")
+    val instance =
+      if (numParts == 1) CheckpointInstance(s.version, None)
+      else CheckpointInstance(s.version, Some(parts.length))
+    val targets = instance.files(logPath)
+    require(targets.length == parts.length,
+      s"expected ${targets.length} checkpoint parts, got ${parts.length}")
+    parts.zip(targets).foreach { case (src, dst) =>
+      if (fs.exists(dst)) fs.delete(dst, false)
+      fs.rename(src, dst)
+    }
     fs.delete(tmpDir, true)
-    val size = store.listFrom(file).find(_.getPath == file).map(_.getLen).getOrElse(-1L)
-    Checkpoints.writeLastCheckpoint(store, logPath, CheckpointMetaData(s.version, size, None))
+    val size = targets.map(t => fs.getFileStatus(t).getLen).sum
+    Checkpoints.writeLastCheckpoint(store, logPath,
+      CheckpointMetaData(s.version, size, instance.numParts))
   }
 }
 

@@ -24,21 +24,29 @@ final case class DeltaScan(snapshot: Snapshot, predicate: Option[Column]) {
   private val partCols: Seq[String] = md.map(_.partitionColumns).getOrElse(Nil)
   private val schema: StructType = md.map(_.schema).getOrElse(StructType(Nil))
 
+  private val resolvedConjuncts: Seq[Expression] = predicate match {
+    case None => Nil
+    case Some(p) => DeltaScan.analyzedConjuncts(spark, schema, p)
+  }
+  private val (pushedResolved, residualResolved) = resolvedConjuncts
+    .partition(c => c.references.nonEmpty &&
+      c.references.map(_.name).toSet.subsetOf(partCols.toSet))
+
   /** (pushed, residual) conjuncts of the input predicate. */
-  val (pushedPredicates, residualPredicates): (Seq[Column], Seq[Column]) =
-    predicate match {
-      case None => (Nil, Nil)
-      case Some(p) => DeltaScan.splitPredicate(spark, schema, p, partCols.toSet)
-    }
+  val pushedPredicates: Seq[Column] = pushedResolved.map(DeltaScan.toColumn)
+  val residualPredicates: Seq[Column] = residualResolved.map(DeltaScan.toColumn)
 
   def inputPredicate: Option[Column] = predicate
   def pushedPredicate: Option[Column] = pushedPredicates.reduceOption(_ && _)
   def residualPredicate: Option[Column] = residualPredicates.reduceOption(_ && _)
 
-  /** Matching files as a DataFrame of AddFile rows (scales with the log). */
+  /** Matching files as a DataFrame of AddFile rows (scales with the log):
+    * partition pruning via the pushed conjuncts, then file-level data
+    * skipping on AddFile.stats min/max for residual comparisons (A17).
+    */
   lazy val filesDF: DataFrame = {
     val base = snapshot.activeFilesDF
-    pushedPredicate match {
+    val pruned = pushedPredicate match {
       case None => base
       case Some(p) =>
         // typed partition columns out of the string partitionValues map
@@ -49,6 +57,7 @@ final case class DeltaScan(snapshot: Snapshot, predicate: Option[Column]) {
         }
         typed.filter(p).drop(partCols: _*)
     }
+    DeltaScan.dataSkip(pruned, residualResolved, schema, partCols)
   }
 
   /** Driver-side materialization (mirrors reference `Scan.Files`). */
@@ -70,25 +79,91 @@ object DeltaScan {
     */
   def splitPredicate(spark: SparkSession, schema: StructType, p: Column,
       partCols: Set[String]): (Seq[Column], Seq[Column]) = {
+    val (pushed, residual) = analyzedConjuncts(spark, schema, p)
+      .partition(c => c.references.nonEmpty && c.references.map(_.name).toSet.subsetOf(partCols))
+    (pushed.map(toColumn), residual.map(toColumn))
+  }
+
+  /** Resolve the predicate against an empty relation with the table
+    * schema and return its top-level conjuncts as analyzed expressions.
+    */
+  private[delta] def analyzedConjuncts(
+      spark: SparkSession, schema: StructType, p: Column): Seq[Expression] = {
     import org.apache.spark.sql.catalyst.plans.logical.Filter
     val dummy = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val analyzed = dummy.filter(p).queryExecution.analyzed
     val cond = analyzed.collectFirst { case f: Filter => f.condition }
       .getOrElse(throw new IllegalArgumentException(s"cannot analyze predicate $p"))
-
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case CatalystAnd(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    def unresolve(e: Expression): Expression = e.transform {
+    conjuncts(cond)
+  }
+
+  /** Analyzed expression -> portable Column usable on any DataFrame. */
+  private[delta] def toColumn(e: Expression): Column =
+    GraftShims.column(e.transform {
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
         UnresolvedAttribute(a.name)
+    })
+
+  /** File-level data skipping (A17): for residual conjuncts of shape
+    * `col <cmp> literal`, keep a file only when its stats min/max range
+    * can satisfy the comparison. Files without stats always survive.
+    */
+  private[delta] def dataSkip(files: DataFrame, residual: Seq[Expression],
+      schema: StructType, partCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions._
+    if (residual.isEmpty) return files
+    val statFieldNames = Stats.statFields(schema, partCols).map(_.name).toSet
+    val st = from_json(col("stats"), Stats.statsSchema(schema, partCols))
+    def mn(n: String) = st.getField("minValues").getField(n)
+    def mx(n: String) = st.getField("maxValues").getField(n)
+    def litCol(l: Literal) = GraftShims.column(l)
+
+    // the analyzer wraps int literals compared to long columns in Cast —
+    // fold foldable sides down to plain literals before matching
+    object Lit {
+      def unapply(e: Expression): Option[Literal] =
+        if (e.foldable) Some(Literal.create(e.eval(null), e.dataType)) else None
     }
-    val (pushed, residual) = conjuncts(cond)
-      .partition(c => c.references.nonEmpty && c.references.map(_.name).toSet.subsetOf(partCols))
-    (pushed.map(c => GraftShims.column(unresolve(c))),
-      residual.map(c => GraftShims.column(unresolve(c))))
+    object Attr {
+      def unapply(e: Expression): Option[AttributeReference] = e match {
+        case a: AttributeReference => Some(a)
+        case _ => None
+      }
+    }
+
+    def bound(e: Expression): Option[Column] = e match {
+      case EqualTo(Attr(a), Lit(l)) if statFieldNames(a.name) =>
+        Some(mn(a.name) <= litCol(l) && mx(a.name) >= litCol(l))
+      case EqualTo(Lit(l), Attr(a)) if statFieldNames(a.name) =>
+        Some(mn(a.name) <= litCol(l) && mx(a.name) >= litCol(l))
+      case GreaterThan(Attr(a), Lit(l)) if statFieldNames(a.name) =>
+        Some(mx(a.name) > litCol(l))
+      case GreaterThanOrEqual(Attr(a), Lit(l)) if statFieldNames(a.name) =>
+        Some(mx(a.name) >= litCol(l))
+      case LessThan(Attr(a), Lit(l)) if statFieldNames(a.name) =>
+        Some(mn(a.name) < litCol(l))
+      case LessThanOrEqual(Attr(a), Lit(l)) if statFieldNames(a.name) =>
+        Some(mn(a.name) <= litCol(l))
+      case GreaterThan(Lit(l), Attr(a)) if statFieldNames(a.name) =>
+        Some(mn(a.name) < litCol(l))
+      case GreaterThanOrEqual(Lit(l), Attr(a)) if statFieldNames(a.name) =>
+        Some(mn(a.name) <= litCol(l))
+      case LessThan(Lit(l), Attr(a)) if statFieldNames(a.name) =>
+        Some(mx(a.name) > litCol(l))
+      case LessThanOrEqual(Lit(l), Attr(a)) if statFieldNames(a.name) =>
+        Some(mx(a.name) >= litCol(l))
+      case _ => None
+    }
+    val conds = residual.flatMap(bound).map(c => coalesce(c, lit(true)))
+    conds.reduceOption(_ && _) match {
+      case Some(cond) => files.filter(cond)
+      case None => files
+    }
   }
 
   /** Evaluate a partition-only predicate against one file's partition

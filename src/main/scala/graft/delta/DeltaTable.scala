@@ -154,7 +154,8 @@ object DeltaTable {
   private[delta] def writeFiles(
       spark: SparkSession, dataPath: Path, df: DataFrame,
       partCols: Seq[String]): Seq[AddFile] = {
-    val fs = dataPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dataPath.getFileSystem(conf)
     val staging = new Path(dataPath, s".staging-${UUID.randomUUID}")
     try {
       var w = df.write.mode(SaveMode.Overwrite)
@@ -186,12 +187,16 @@ object DeltaTable {
         if (!fs.rename(src, dest))
           throw new java.io.IOException(s"failed to move $src -> $dest")
         val st = fs.getFileStatus(dest)
+        val stats =
+          try Stats.fromFooter(conf, dest, df.schema, partCols)
+          catch { case _: Exception => null } // stats are an optimization only
         AddFile(
           path = destRel,
           partitionValues = partitionValues,
           size = st.getLen,
           modificationTime = st.getModificationTime,
-          dataChange = true)
+          dataChange = true,
+          stats = stats)
       }
     } finally {
       fs.delete(staging, true)

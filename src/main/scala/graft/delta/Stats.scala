@@ -1,0 +1,121 @@
+package graft.delta
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.types._
+
+/** Per-file statistics for AddFile.stats (SURVEY §2 A17): numRecords +
+  * per-column min/max, harvested from the parquet footer the writer
+  * already produced — no extra data pass. The scan uses them for
+  * file-level data skipping on non-partition predicates.
+  *
+  * Stats JSON shape follows the open Delta convention:
+  * {"numRecords":N,"minValues":{...},"maxValues":{...}}.
+  */
+object Stats {
+
+  /** Spark types whose parquet footer min/max we trust and serialize. */
+  private def eligible(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | ShortType | ByteType |
+         DoubleType | FloatType | StringType | BooleanType => true
+    case _ => false
+  }
+
+  /** Atomic eligible leaf fields of the data schema (top level only). */
+  def statFields(dataSchema: StructType, partCols: Seq[String]): Seq[StructField] =
+    dataSchema.fields.toSeq
+      .filterNot(f => partCols.contains(f.name))
+      .filter(f => eligible(f.dataType))
+
+  /** Schema for parsing stats JSON back in the scan. */
+  def statsSchema(dataSchema: StructType, partCols: Seq[String]): StructType = {
+    val mm = StructType(statFields(dataSchema, partCols).map(f => StructField(f.name, f.dataType)))
+    StructType(Seq(
+      StructField("numRecords", LongType),
+      StructField("minValues", mm),
+      StructField("maxValues", mm)))
+  }
+
+  /** Read footer metadata of one written file -> stats JSON. */
+  def fromFooter(conf: Configuration, file: Path,
+      dataSchema: StructType, partCols: Seq[String]): String = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val numRecords = blocks.map(_.getRowCount).sum
+      val wanted = statFields(dataSchema, partCols).map(f => f.name -> f.dataType).toMap
+      val mins = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      val maxs = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      var failed = Set.empty[String]
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        wanted.get(name).foreach { dt =>
+          val st = c.getStatistics
+          if (st == null || !st.hasNonNullValue) failed += name
+          else {
+            val (mn, mx) = (convert(st.genericGetMin, dt), convert(st.genericGetMax, dt))
+            if (mn == null || mx == null) failed += name
+            else {
+              mins(name) = mins.get(name).map(ordMin(_, mn, dt)).getOrElse(mn)
+              maxs(name) = maxs.get(name).map(ordMax(_, mx, dt)).getOrElse(mx)
+            }
+          }
+        }
+      }
+      failed.foreach { n => mins.remove(n); maxs.remove(n) }
+      toJson(numRecords, mins.toMap, maxs.toMap)
+    } finally reader.close()
+  }
+
+  private def convert(v: Any, dt: DataType): Any = (v, dt) match {
+    case (b: Binary, StringType) => b.toStringUsingUTF8
+    case (n: java.lang.Number, IntegerType) => n.intValue()
+    case (n: java.lang.Number, LongType) => n.longValue()
+    case (n: java.lang.Number, ShortType) => n.shortValue()
+    case (n: java.lang.Number, ByteType) => n.byteValue()
+    case (n: java.lang.Number, DoubleType) => n.doubleValue()
+    case (n: java.lang.Number, FloatType) => n.floatValue()
+    case (b: java.lang.Boolean, BooleanType) => b
+    case _ => null
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+    case _ => 0
+  }
+  private def ordMin(a: Any, b: Any, dt: DataType): Any = if (cmp(a, b) <= 0) a else b
+  private def ordMax(a: Any, b: Any, dt: DataType): Any = if (cmp(a, b) >= 0) a else b
+
+  private val mapper = new ObjectMapper()
+
+  private def toJson(numRecords: Long, mins: Map[String, Any], maxs: Map[String, Any]): String = {
+    val root = mapper.createObjectNode()
+    root.put("numRecords", numRecords)
+    def putAll(key: String, m: Map[String, Any]): Unit = {
+      val o = root.putObject(key)
+      m.foreach {
+        case (k, v: String) => o.put(k, v)
+        case (k, v: java.lang.Integer) => o.put(k, v.intValue())
+        case (k, v: java.lang.Long) => o.put(k, v.longValue())
+        case (k, v: java.lang.Short) => o.put(k, v.intValue())
+        case (k, v: java.lang.Byte) => o.put(k, v.intValue())
+        case (k, v: java.lang.Double) => o.put(k, v.doubleValue())
+        case (k, v: java.lang.Float) => o.put(k, v.floatValue())
+        case (k, v: java.lang.Boolean) => o.put(k, v.booleanValue())
+        case _ =>
+      }
+    }
+    putAll("minValues", mins)
+    putAll("maxValues", maxs)
+    mapper.writeValueAsString(root)
+  }
+}

@@ -301,6 +301,39 @@ object Relational {
       SELECT o_orderpriority, CAST(SUM($QC) AS DOUBLE)/100.0 AS sum_qty,
         COUNT(*) AS n_lines
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-      GROUP BY o_orderpriority ORDER BY o_orderpriority"""), bench = true)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""), bench = true),
+
+    // B16 ---------------------------------------------------------------
+    // As-of join: for each error event, the user's most recent purchase
+    // at or before it. Composed from union + ordered window with
+    // last(ignoreNulls) — one shuffle on user_id, no range-join blowup;
+    // at 100 TB this beats an inequality join by orders of magnitude.
+    // The oracle uses DuckDB's native ASOF JOIN.
+    GQ("q_asof_join", (s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val err = ev.filter($"event_type" === "error")
+        .select($"user_id", $"ts", lit(1).as("is_err"), $"event_id",
+          lit(null).cast("long").as("p_event_id"), lit(null).cast("double").as("p_value"))
+      val pur = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", lit(0).as("is_err"),
+          lit(null).cast("long").as("event_id"), $"event_id".as("p_event_id"),
+          $"value".as("p_value"))
+      // purchases sort before errors at equal ts, so "<= ts" is inclusive
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"is_err")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      err.unionByName(pur)
+        .withColumn("purchase_event_id", last($"p_event_id", ignoreNulls = true).over(w))
+        .withColumn("purchase_value", last($"p_value", ignoreNulls = true).over(w))
+        .filter($"is_err" === 1)
+        .select($"event_id", $"user_id", $"ts", $"purchase_event_id", $"purchase_value")
+        .orderBy($"event_id")
+    }, Some("""
+      SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        p.event_id AS purchase_event_id, p.value AS purchase_value
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON e.user_id = p.user_id AND p.ts <= e.ts
+      ORDER BY e.event_id"""))
   )
 }

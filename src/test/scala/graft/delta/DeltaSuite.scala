@@ -332,6 +332,67 @@ class DeltaSuite extends AnyFunSuite {
     }
   }
 
+  test("A17: addfile stats harvested from parquet footers") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write((1L to 100L).map(i => (i, s"n$i")).toDF("id", "name"))
+    val files = t.snapshot.allFiles
+    assert(files.forall(_.stats != null))
+    val st = spark.read.json(spark.createDataset(files.map(_.stats))(org.apache.spark.sql.Encoders.STRING))
+    val row = st.selectExpr("sum(numRecords)", "min(minValues.id)", "max(maxValues.id)").head()
+    assert(row.getLong(0) == 100L)
+    assert(row.getLong(1) == 1L && row.getLong(2) == 100L)
+  }
+
+  test("A17: data skipping prunes files by stats min/max") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    // two range-disjoint files via repartitionByRange
+    t.write((1L to 100L).map(i => (i, i * 2)).toDF("id", "v")
+      .repartitionByRange(2, col("id")))
+    val all = t.snapshot.allFiles
+    assert(all.size == 2)
+    val scanHigh = DeltaScan(t.snapshot, Some(col("id") > 90))
+    assert(scanHigh.pushedPredicates.isEmpty && scanHigh.residualPredicates.nonEmpty)
+    assert(scanHigh.files.size == 1, "stats should prune the low-range file")
+    val scanAll = DeltaScan(t.snapshot, Some(col("id") > 0))
+    assert(scanAll.files.size == 2)
+    val scanEq = DeltaScan(t.snapshot, Some(col("id") === 7))
+    assert(scanEq.files.size == 1)
+    // correctness preserved through the pruned read
+    assert(t.read(col("id") > 90).count() == 10)
+  }
+
+  test("A17: multi-part checkpoint write and recovery") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn0 = t.deltaLog.startTransaction()
+    txn0.updateMetadata(Metadata(
+      schemaString = new StructType().add("id", LongType).add("name", StringType)
+        .add("part", StringType).json,
+      partitionColumns = Seq("part"),
+      configuration = Map(
+        "delta.checkpointInterval" -> "2",
+        "delta.checkpoint.partSize" -> "3")))
+    txn0.commit(Nil, "CREATE TABLE") // v0
+    t.write(sampleDF, SaveMode.Append, Seq("part")) // v1: 3 files
+    t.write(sampleDF.filter(col("id") <= 2)) // v2 -> checkpoint (>= 5 adds + meta...)
+    val log = t.deltaLog
+    val md = Checkpoints.readLastCheckpoint(log.store, log.logPath).get
+    assert(md.version == 2L && md.parts.exists(_ > 1))
+    val inst = Checkpoints.latestCompleteCheckpoint(log.store, log.logPath).get
+    assert(inst.numParts == md.parts)
+    assert(inst.files(log.logPath).forall(log.store.exists))
+    // snapshot reconstructs through the multi-part checkpoint
+    val snap = log.update()
+    assert(snap.segment.checkpoint.contains(inst))
+    assert(t.toDF.count() == 7)
+    assert(snap.metadata.configuration("delta.checkpoint.partSize") == "3")
+  }
+
   test("A18: cdc actions round the changes feed") {
     val dir = tmp()
     val t = DeltaTable.forPath(spark, dir)
