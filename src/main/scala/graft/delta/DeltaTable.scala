@@ -33,16 +33,28 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
 
   def scan(predicate: Column): DeltaScan = DeltaScan(snapshot, Some(predicate))
 
+  /** Reads go through [[DeltaFileIndex]]: a HadoopFsRelation whose file
+    * listing is served from AddFile metadata, so planning touches no
+    * filesystem and partition pruning + stats skipping happen inside
+    * Catalyst. Scales to O(10^7) files where a driver-built path list
+    * (spark.read.parquet(paths)) would re-stat every file.
+    */
   private def readSnapshot(s: Snapshot, predicate: Option[Column]): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val md = s.metadata
-    val files = DeltaScan(s, predicate).files
-    if (files.isEmpty)
-      return spark.createDataFrame(new java.util.ArrayList[Row](), md.schema)
-    val paths = files.map(f => new Path(deltaLog.dataPath, f.path).toString)
-    var df = spark.read
-      .schema(md.schema)
-      .option("basePath", deltaLog.dataPath.toString)
-      .parquet(paths: _*)
+    val partCols = md.partitionColumns
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      md.schema.filterNot(f => partCols.contains(f.name)))
+    val index = new DeltaFileIndex(deltaLog, s)
+    val relation = HadoopFsRelation(
+      index, index.partitionSchema, dataSchema, None,
+      new ParquetFileFormat(), Map.empty[String, String])(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    // LogicalRelation appends partition cols last; restore metadata order
+    var df = org.apache.spark.sql.GraftShims
+      .ofRows(spark, LogicalRelation(relation, isStreaming = false))
+      .select(md.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
     predicate.foreach(p => df = df.filter(p))
     df
   }

@@ -105,6 +105,32 @@ case class MinHashSig(child: Expression, ab: Seq[(Long, Long)], p: Long)
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+/** Count of elements of `left` present in `right` (both array<string>).
+  * Replaces size(filter(a, x -> array_contains(b, x))) — O(n+m) with a
+  * hash set instead of O(n*m) interpreted per-element evaluation; value
+  * identical, so the DuckDB oracle formulation is unchanged.
+  */
+case class ArrayIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    val set = new java.util.HashSet[UTF8String](bb.numElements() * 2)
+    var i = 0
+    while (i < bb.numElements()) { set.add(bb.getUTF8String(i)); i += 1 }
+    var n = 0
+    i = 0
+    while (i < aa.numElements()) {
+      if (set.contains(aa.getUTF8String(i))) n += 1
+      i += 1
+    }
+    java.lang.Integer.valueOf(n)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayIntersectCount =
+    copy(left = l, right = r)
+}
+
 /** 60-bit SimHash over the md5s of the token array (one md5 per token,
   * bit b from hex nibble b/4, position b%4; majority vote per bit).
   */

@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{GraftShims => ExpressionUtils}
-import graft.functions.{MinHashSig, SimHash60, WordShingles}
+import graft.functions.{ArrayIntersectCount, MinHashSig, SimHash60, WordShingles}
 import graft.queries.{GQ, QueryDefs}
 import QueryDefs._
 
@@ -56,11 +56,13 @@ object Dedup {
   private def minhashSig(sh: Column): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(sh), hashAB, P))
 
-  /** Exact Jaccard via membership filter; formula text mirrored in SQL so
-    * the double division is bit-identical.
+  /** Exact Jaccard; the intersection count uses the hash-set expression
+    * (same value as the membership-filter formulation, so the SQL mirror
+    * is unchanged and the double division stays bit-identical).
     */
   private def jaccard(sa: Column, sb: Column): Column = {
-    val inter = size(filter(sa, x => array_contains(sb, x))).cast("double")
+    val inter = ExpressionUtils.column(ArrayIntersectCount(
+      ExpressionUtils.expression(sa), ExpressionUtils.expression(sb))).cast("double")
     val tot = (size(sa) + size(sb)).cast("double")
     inter / (tot - inter)
   }
