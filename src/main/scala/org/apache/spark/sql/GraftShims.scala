@@ -12,4 +12,13 @@ object GraftShims {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-wrap a lazily-planned batch DataFrame as a streaming one — what
+    * Spark's own file/delta v1 sources do inside Source.getBatch.
+    */
+  def asStreamingDF(spark: SparkSession, df: DataFrame): DataFrame = {
+    val classicSpark = spark.asInstanceOf[classic.SparkSession]
+    classicSpark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -57,6 +57,28 @@ class StreamingSuite extends AnyFunSuite {
     }
   }
 
+  test("D4: readStream from a delta table via the Source API") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("d4-src-table").toString
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v0
+
+    val stream = spark.readStream
+      .format("graft.streaming.DeltaStreamSourceProvider")
+      .option("path", dir).load()
+    assert(stream.isStreaming)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("d4_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("d4_out").count() == 2)
+      t.write(Seq((3L, "c")).toDF("id", "v")) // v1 arrives mid-stream
+      q.processAllAvailable()
+      assert(spark.table("d4_out").select("id").as[Long].collect().sorted.toSeq
+        == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("D4: delta change stream polls incremental versions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("d4-table").toString
