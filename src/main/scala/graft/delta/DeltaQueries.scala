@@ -58,6 +58,14 @@ object DeltaQueries {
       }
     }
 
+  private def compactionFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "compact") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val nation = table(s, d, "nation")
+      (0 until 3).foreach(k => t.write(nation.filter(pmod(col("n_nationkey"), lit(3)) === k)))
+      t.compact()
+    }
+
   private def regionTxnFixture(s: SparkSession, d: String): String =
     fixture(s, d, "region") { dir =>
       val t = DeltaTable.forPath(s, dir)
@@ -112,6 +120,20 @@ object DeltaQueries {
       SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name FROM (
         SELECT * FROM region UNION ALL SELECT * FROM region)
       ORDER BY r_regionkey, r_name""")),
+
+    // A19: OPTIMIZE rewrite preserves table contents exactly
+    GQ("delta_compaction", (s, d) => {
+      val dir = compactionFixture(s, d)
+      val t = DeltaTable.forPath(s, dir)
+      require(t.snapshot.allFiles.size < 3, "compaction must reduce file count")
+      t.toDF
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }, Some("""
+      SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
+        CAST(n_regionkey AS INTEGER) AS n_regionkey
+      FROM nation ORDER BY n_nationkey""")),
 
     // A9/A10: snapshot stitched from parquet checkpoint + json tail
     GQ("delta_checkpoint", (s, d) => {

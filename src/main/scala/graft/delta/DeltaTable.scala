@@ -133,6 +133,62 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     true
   }
 
+  /** OPTIMIZE: bin-pack partitions that have more than one file into a
+    * single file each. Rewrites carry dataChange=false, so streaming
+    * sources over this table skip them (no duplicate delivery) and
+    * concurrent appends don't conflict.
+    */
+  def compact(): Long = {
+    val txn = deltaLog.startTransaction()
+    val byPartition = txn.snapshot.allFiles.groupBy(_.partitionValues)
+    val toCompact = byPartition.filter(_._2.size > 1)
+    if (toCompact.isEmpty) return txn.snapshot.version
+    val md = txn.metadata
+    val now = deltaLog.clock.nowMillis
+    val actions = toCompact.flatMap { case (_, files) =>
+      val paths = files.map(f => new Path(deltaLog.dataPath, f.path).toString)
+      val df = spark.read
+        .schema(md.schema)
+        .option("basePath", deltaLog.dataPath.toString)
+        .parquet(paths: _*)
+        .coalesce(1)
+      val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, md.partitionColumns)
+        .map(_.copy(dataChange = false))
+      files.map(f => f.remove(now, dataChange = false)) ++ adds
+    }.toSeq
+    txn.commit(actions, "OPTIMIZE")
+  }
+
+  /** VACUUM: physically delete data files no longer referenced by the
+    * current snapshot and older than the retention window. Returns the
+    * deleted paths. Time travel before the vacuumed versions stops
+    * working, as in any Delta implementation.
+    */
+  def vacuum(retentionMillis: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val fs = deltaLog.dataPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val s = snapshot
+    val active = s.allFiles.map(f => new Path(deltaLog.dataPath, f.path).toUri.getPath).toSet
+    val cutoff = deltaLog.clock.nowMillis - retentionMillis
+    val deleted = Seq.newBuilder[String]
+    def walk(dir: Path): Unit = {
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          if (st.isDirectory) {
+            walk(st.getPath)
+            if (fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, false)
+          } else if (name.endsWith(".parquet") &&
+              !active.contains(st.getPath.toUri.getPath) &&
+              st.getModificationTime <= cutoff) {
+            if (fs.delete(st.getPath, false)) deleted += st.getPath.toString
+          }
+        }
+      }
+    }
+    walk(deltaLog.dataPath)
+    deleted.result()
+  }
+
   /** Partition-level delete: drops whole files selected by a
     * partition-column predicate (residual predicates are rejected — this
     * is file-granular, like the reference's metadata-only surface).

@@ -393,6 +393,43 @@ class DeltaSuite extends AnyFunSuite {
     assert(snap.metadata.configuration("delta.checkpoint.partSize") == "3")
   }
 
+  test("OPTIMIZE compacts multi-file partitions without changing data") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append, Seq("part")) // 3 files
+    t.write(sampleDF, SaveMode.Append) // 3 more
+    val before = t.snapshot.allFiles.size
+    assert(before >= 6)
+    t.compact()
+    val after = t.snapshot.allFiles
+    assert(after.size == 3, s"one file per partition, got ${after.map(_.path)}")
+    assert(after.forall(!_.dataChange))
+    assert(t.toDF.count() == 10)
+    // compaction rewrites are invisible to the changes-feed consumers
+    val lastChanges = t.changes(t.snapshot.version).toSeq.head._2
+    assert(lastChanges.collect { case a: AddFile => a }.forall(!_.dataChange))
+  }
+
+  test("VACUUM deletes unreferenced files after retention") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append) // v0
+    t.write(sampleDF.filter(col("id") === 1), SaveMode.Overwrite) // v1 tombstones v0 files
+    val fs = t.deltaLog.dataPath
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetCount =
+      fs.listStatus(t.deltaLog.dataPath)
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = parquetCount
+    assert(t.vacuum(retentionMillis = Long.MaxValue / 2).isEmpty) // inside retention: keep
+    assert(parquetCount == before)
+    val deleted = t.vacuum(retentionMillis = 0)
+    assert(deleted.nonEmpty)
+    assert(parquetCount < before)
+    assert(t.toDF.count() == 1) // current snapshot untouched
+    intercept[Exception] { t.toDF(0).count() } // history physically gone
+  }
+
   test("A18: cdc actions round the changes feed") {
     val dir = tmp()
     val t = DeltaTable.forPath(spark, dir)
