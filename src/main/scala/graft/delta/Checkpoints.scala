@@ -14,6 +14,15 @@ object FileNames {
   def lastCheckpointFile(logPath: Path): Path =
     new Path(logPath, "_last_checkpoint")
 
+  /** Add/Remove paths are percent-encoded relative URIs (or absolute
+    * URIs) per the Delta protocol — decode before touching a filesystem.
+    */
+  def absolutePath(dataPath: Path, child: String): Path = {
+    val uri = new java.net.URI(child)
+    if (uri.isAbsolute) new Path(uri)
+    else new Path(dataPath, new Path(uri))
+  }
+
   def isDeltaFile(p: Path): Boolean = p.getName.matches("\\d{20}\\.json")
   def isCheckpointFile(p: Path): Boolean =
     p.getName.matches("\\d{20}\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet")

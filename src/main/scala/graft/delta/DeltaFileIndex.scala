@@ -72,10 +72,7 @@ class DeltaFileIndex(log: DeltaLog, snapshot: Snapshot) extends FileIndex {
     }.toSeq
   }
 
-  private def absolute(p: String): Path = {
-    val path = new Path(p)
-    if (path.isAbsolute) path else new Path(log.dataPath, path)
-  }
+  private def absolute(p: String): Path = FileNames.absolutePath(log.dataPath, p)
 
   override def inputFiles: Array[String] = {
     import spark.implicits._

@@ -146,7 +146,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val md = txn.metadata
     val now = deltaLog.clock.nowMillis
     val actions = toCompact.flatMap { case (_, files) =>
-      val paths = files.map(f => new Path(deltaLog.dataPath, f.path).toString)
+      val paths = files.map(f => FileNames.absolutePath(deltaLog.dataPath, f.path).toString)
       val df = spark.read
         .schema(md.schema)
         .option("basePath", deltaLog.dataPath.toString)
@@ -167,7 +167,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
   def vacuum(retentionMillis: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val fs = deltaLog.dataPath.getFileSystem(spark.sessionState.newHadoopConf())
     val s = snapshot
-    val active = s.allFiles.map(f => new Path(deltaLog.dataPath, f.path).toUri.getPath).toSet
+    val active = s.allFiles.map(f => FileNames.absolutePath(deltaLog.dataPath, f.path).toUri.getPath).toSet
     val cutoff = deltaLog.clock.nowMillis - retentionMillis
     val deleted = Seq.newBuilder[String]
     def walk(dir: Path): Unit = {

@@ -53,7 +53,7 @@ class DeltaStreamSource(spark: SparkSession, path: String) extends Source {
       else spark.read
         .schema(md.schema)
         .option("basePath", log.dataPath.toString)
-        .parquet(adds.map(a => new Path(log.dataPath, a.path).toString): _*)
+        .parquet(adds.map(a => graft.delta.FileNames.absolutePath(log.dataPath, a.path).toString): _*)
     GraftShims.asStreamingDF(spark, batch)
   }
 

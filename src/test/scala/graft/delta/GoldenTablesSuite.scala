@@ -1,0 +1,148 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Protocol compatibility against the delta-standalone golden tables the
+  * reference ships (reference `tests/golden/...`, consumed by its own
+  * `snapshot_test.go`, `log_test.go`, `checkpoint_test.go`). These logs
+  * were produced by the real Delta ecosystem — reading them proves the
+  * wire-format compatibility of the action codec, checkpoint reader,
+  * state reconstruction and time travel.
+  */
+class GoldenTablesSuite extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val golden = "/root/reference/tests/golden"
+  private def log(name: String): DeltaLog =
+    DeltaLog.forTable(spark, s"$golden/$name")
+
+  /** Independent, sequential driver-side replay of all JSON commits —
+    * deliberately a different algorithm than Snapshot's DataFrame
+    * max_by reconstruction, so the two cross-check each other.
+    */
+  private def replayJson(l: DeltaLog): (Long, Map[String, AddFile], Option[Metadata], Option[Protocol]) = {
+    var active = Map.empty[String, AddFile]
+    var md: Option[Metadata] = None
+    var proto: Option[Protocol] = None
+    val versions = l.listDeltaVersions()
+    versions.foreach { v =>
+      l.store.read(FileNames.deltaFile(l.logPath, v)).flatMap(Actions.fromJson).foreach {
+        case a: AddFile => active += (a.path -> a)
+        case r: RemoveFile => active -= r.path
+        case m: Metadata => md = Some(m)
+        case p: Protocol => proto = Some(p)
+        case _ =>
+      }
+    }
+    (versions.lastOption.getOrElse(-1L), active, md, proto)
+  }
+
+  private val stateTables = Seq(
+    "snapshot-data0", "snapshot-data1", "snapshot-data2",
+    "snapshot-data2-deleted", "snapshot-data3", "snapshot-repartitioned",
+    "snapshot-vacuumed", "delete-re-add-same-file-different-transactions",
+    "checkpoint", "deltalog-commit-info", "deltalog-getChanges")
+
+  test("golden: snapshot state matches an independent sequential replay") {
+    stateTables.foreach { name =>
+      val l = log(name)
+      val (expVersion, expActive, expMd, _) = replayJson(l)
+      val snap = l.update()
+      assert(snap.version == expVersion, s"$name version")
+      val got = snap.allFiles.map(_.path).toSet
+      assert(got == expActive.keySet, s"$name active files")
+      expMd.foreach(m => assert(snap.metadata.id == m.id, s"$name metadata id"))
+    }
+  }
+
+  test("golden: checkpoint table stitches _last_checkpoint + json tail") {
+    val l = log("checkpoint")
+    val md = Checkpoints.readLastCheckpoint(l.store, l.logPath)
+    assert(md.isDefined, "_last_checkpoint must parse")
+    val snap = l.update()
+    assert(snap.segment.checkpoint.map(_.version).contains(md.get.version))
+    assert(snap.segment.deltas.forall(_ > md.get.version))
+    // metadata-only golden: 15 commits, one active (re-added) file "15"
+    assert(snap.version == 14)
+    assert(snap.allFiles.map(_.path) == Seq("15"))
+  }
+
+  test("golden: corrupted _last_checkpoint falls back to log listing") {
+    val l = log("corrupted-last-checkpoint")
+    val snap = l.update()
+    assert(snap.version == l.listDeltaVersions().last)
+    assert(snap.allFiles.nonEmpty)
+  }
+
+  test("golden: data readers (primitives, partition values) through toDF") {
+    val prims = DeltaTable.forPath(spark, s"$golden/data-reader-primitives")
+    val rows = prims.toDF
+    assert(rows.count() > 0)
+    assert(rows.columns.contains("as_int") || rows.columns.nonEmpty)
+
+    val parts = DeltaTable.forPath(spark, s"$golden/data-reader-partition-values")
+    val snapParts = parts.snapshot
+    val partCols = snapParts.metadata.partitionColumns
+    assert(partCols.nonEmpty, "golden partition table must be partitioned")
+    val df = parts.toDF
+    assert(df.count() > 0)
+    assert(partCols.forall(df.columns.contains), "partition columns materialize")
+    // partition pruning on a golden value
+    val pv = snapParts.allFiles.head.partitionValues
+    val (c, v) = pv.head
+    if (v != null) {
+      val scan = parts.scan(org.apache.spark.sql.functions.col(c) === v)
+      assert(scan.pushedPredicates.nonEmpty)
+      assert(scan.files.nonEmpty)
+      assert(scan.files.forall(_.partitionValues(c) == v))
+    }
+  }
+
+  test("golden: time travel versions (start / start20 / start40)") {
+    val t = DeltaTable.forPath(spark, s"$golden/time-travel-start-start20-start40")
+    assert(t.snapshot.version == 2)
+    val c0 = t.toDF(0).count()
+    val c1 = t.toDF(1).count()
+    val c2 = t.toDF(2).count()
+    assert(c0 < c1 && c1 < c2)
+    assert(c1 == 2 * c0 && c2 == 3 * c0, "each version appends the same batch size")
+  }
+
+  test("golden: changes feed and commit info") {
+    val l = log("deltalog-getChanges")
+    val ch = l.changes(0L).toSeq
+    assert(ch.map(_._1) == ch.indices.map(_.toLong))
+    assert(ch.forall(_._2.nonEmpty))
+
+    val ci = log("deltalog-commit-info").commitInfoAt(0L)
+    assert(ci.isDefined)
+    assert(ci.get.version.contains(0L))
+  }
+
+  test("golden: non-contiguous logs are rejected") {
+    intercept[IllegalStateException] { log("versions-not-contiguous").update() }
+  }
+
+  test("golden: state reconstruction fails without metadata") {
+    val l = log("deltalog-state-reconstruction-without-metadata")
+    intercept[IllegalStateException] { l.update().metadata }
+  }
+
+  test("golden: log store reads and ordered listing on golden store dirs") {
+    // these goldens are raw store fixtures: files "0","1",... at the root
+    val store = new LogStore(spark.sessionState.newHadoopConf())
+    val lines = store.read(new Path(s"$golden/log-store-read/0"))
+    assert(lines == Seq("zero", "none"))
+    val names = store.listFrom(new Path(s"$golden/log-store-listFrom/2"))
+      .map(_.getPath.getName).filterNot(_.startsWith("_"))
+    assert(names == Seq("2", "3"))
+  }
+}
