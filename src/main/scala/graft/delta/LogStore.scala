@@ -76,14 +76,23 @@ class LogStore(hadoopConf: Configuration) extends Serializable {
       if (overwrite) {
         fc(path).rename(temp, path, Options.Rename.OVERWRITE)
       } else {
-        try fc(path).rename(temp, path, Options.Rename.NONE)
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-              _: java.nio.file.FileAlreadyExistsException =>
-            throw new FileAlreadyExistsException(path.toString)
-          case e: IOException if f.exists(path) =>
-            throw new FileAlreadyExistsException(path.toString)
-        }
+        // local fs rename(NONE) has a check-then-rename window; serialize
+        // same-JVM writers (matches local[*] reality; HDFS is atomic)
+        val doRename = () =>
+          try fc(path).rename(temp, path, Options.Rename.NONE)
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException =>
+              throw new FileAlreadyExistsException(path.toString)
+            case e: IOException if f.exists(path) =>
+              throw new FileAlreadyExistsException(path.toString)
+          }
+        if (Option(path.toUri.getScheme).forall(_ == "file"))
+          LogStore.localFsLock.synchronized {
+            if (f.exists(path)) throw new FileAlreadyExistsException(path.toString)
+            doRename()
+          }
+        else doRename()
       }
     } finally {
       if (f.exists(temp)) f.delete(temp, false)
@@ -92,6 +101,10 @@ class LogStore(hadoopConf: Configuration) extends Serializable {
 
   def delete(path: Path, recursive: Boolean = false): Boolean =
     fs(path).delete(path, recursive)
+}
+
+object LogStore {
+  private[delta] val localFsLock = new Object
 }
 
 class FileAlreadyExistsException(path: String)

@@ -200,6 +200,29 @@ class DeltaSuite extends AnyFunSuite {
     assert(log.update().allFiles.map(_.path).count(p => p == "fa.parquet" || p == "fb.parquet") == 2)
   }
 
+  test("A11: racing writers all land without lost updates") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append) // v0
+    val log = t.deltaLog
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        try (0 until 5).foreach { j =>
+          val txn = new DeltaLog(spark, log.dataPath).startTransaction()
+          txn.commit(Seq(AddFile(s"race-$i-$j.parquet", Map.empty, 1L, 1L)), "WRITE")
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"unexpected failures: ${errors.peek()}")
+    val snap = log.update()
+    assert(snap.version == 40L, "v0 + 40 racing commits")
+    val racePaths = snap.allFiles.map(_.path).filter(_.startsWith("race-"))
+    assert(racePaths.size == 40 && racePaths.distinct.size == 40)
+  }
+
   test("A12: metadata/protocol changes conflict") {
     val dir = tmp()
     val t = DeltaTable.forPath(spark, dir)
