@@ -204,8 +204,17 @@ object DeltaLog {
   /** Test hook mirroring the reference's injectable `clock.go` Clock. */
   @volatile private[delta] var clockOverride: Option[Clock] = None
 
-  def forTable(spark: SparkSession, dataPath: String): DeltaLog =
-    new DeltaLog(spark, new Path(dataPath))
+  // one DeltaLog per canonical table path per JVM (cf. the deltaLogCache
+  // of every Delta implementation): concurrent same-process writers share
+  // the snapshot cache and the update() lock
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, DeltaLog]
+
+  def forTable(spark: SparkSession, dataPath: String): DeltaLog = {
+    val p = new Path(dataPath)
+    val key = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toString
+    cache.getOrElseUpdate(key, new DeltaLog(spark, p))
+  }
 }
 
 /** cf. reference `clock.go`. */

@@ -42,6 +42,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
   private def readSnapshot(s: Snapshot, predicate: Option[Column]): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    s.assertProtocolRead()
     val md = s.metadata
     val partCols = md.partitionColumns
     val dataSchema = org.apache.spark.sql.types.StructType(

@@ -132,6 +132,18 @@ class Snapshot(
     (proto, meta, ckptTxns ++ txns)
   }
 
+  /** Reader/writer capability gate (cf. reference
+    * `action/protocol.go` + errno assertions; golden
+    * `deltalog-invalid-protocol-version`).
+    */
+  def assertProtocolRead(): Unit = {
+    val p = protocol
+    if (p.minReaderVersion > Snapshot.SupportedReaderVersion)
+      throw new Snapshot.InvalidProtocolVersionException(
+        s"table requires reader version ${p.minReaderVersion}, " +
+          s"this client supports up to ${Snapshot.SupportedReaderVersion}")
+  }
+
   /** cf. reference `snapshot.go:126` Metadata. */
   def metadata: Metadata = replayedMeta._2.getOrElse(
     throw new IllegalStateException(s"no metadata found for version $version of ${deltaLog.dataPath}"))
@@ -166,6 +178,11 @@ class Snapshot(
 
 object Snapshot {
   import org.apache.spark.sql.types._
+
+  val SupportedReaderVersion = 1
+  val SupportedWriterVersion = 2
+  final class InvalidProtocolVersionException(msg: String)
+    extends RuntimeException(msg)
   /** Recursively nullable variant of a schema (StructType.asNullable is
     * private[spark]).
     */

@@ -9,14 +9,16 @@ import QueryDefs._
 
 /** Near-duplicate detection for LLM training data (SURVEY §2 C2–C4).
   *
-  * Scale shape: signatures (minhash / simhash) are computed per-row with
-  * array higher-order functions — no explode, no shuffle. Only the
-  * candidate-pair join shuffles, keyed by uniform 128-bit band hashes
-  * (skew-free). Exact verification runs on candidates only.
+  * Scale shape: signatures (minhash / simhash) are computed per-row by
+  * custom Catalyst expressions (one tight loop per row — Spark's array
+  * HOFs are interpreted per element) — no explode, no shuffle. Only the
+  * candidate-pair join shuffles, and it carries ids + band keys only
+  * (uniform hashes, skew-free). Exact jaccard verification runs on
+  * candidates only, via a hash-set intersection expression.
   *
-  * md5 is used as the hash family because it is bit-identical in Spark and
-  * DuckDB, which makes the whole pipeline oracle-checkable; swap in
-  * xxhash64 for maximum throughput when oracle parity is not required.
+  * md5 anchors the hash family because it is bit-identical in Spark and
+  * DuckDB (one digest per shingle/token; the 16 minhash functions are
+  * cheap universal hashes over a 30-bit value extracted from it).
   */
 object Dedup {
 

@@ -24,18 +24,26 @@ object Similarity {
   private val K = 5
   private val NumQueries = 8
 
-  /** Deterministic ±1 hyperplanes derived from md5 at build time, embedded
+  /** Deterministic ±1 vectors derived from md5 at build time, embedded
     * as literals in both the Spark plan and the oracle SQL.
     */
-  private[llm] val planes: Seq[Seq[Double]] = {
+  private def signVectors(prefix: String, n: Int): Seq[Seq[Double]] = {
     val md = MessageDigest.getInstance("MD5")
-    (0 until NumPlanes).map { j =>
+    (0 until n).map { j =>
       (0 until Dim).map { dd =>
-        val h = md.digest(s"p$j:$dd".getBytes(StandardCharsets.UTF_8))
+        val h = md.digest(s"$prefix$j:$dd".getBytes(StandardCharsets.UTF_8))
         if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
       }
     }
   }
+
+  private[llm] val planes: Seq[Seq[Double]] = signVectors("p", NumPlanes)
+
+  /** IVF coarse-quantizer anchors: equal-norm ±1 vectors, so nearest-by-
+    * dot == nearest-by-cosine among anchors.
+    */
+  private val NumCells = 8
+  private[llm] val anchors: Seq[Seq[Double]] = signVectors("iv", NumCells)
 
   private def normed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -106,6 +114,37 @@ object Similarity {
       SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.bucket AS bucket,
         ${duckDot("q.e", "c.e")} / (q.nrm * c.nrm) AS cosine
       FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < $NumQueries AND c.vec_id != q.vec_id
+      ORDER BY q_id, c_id""")
+    }),
+
+    // C6b: IVF-style ANN — coarse quantization by argmax dot against
+    // deterministic anchors; search runs inside the query's cell only
+    // (nprobe=1). The scale path for embedding search: each cell is
+    // ~1/NumCells of the corpus and cells shard naturally.
+    GQ("ann_ivf_cells", (s, d) => {
+      import s.implicits._
+      val v = normed(s, d)
+      val dots = array(anchors.map(a => dotD($"e", array(a.map(lit): _*))): _*)
+      val withCell = v.withColumn("cell",
+        array_position(dots, array_max(dots)).cast("int"))
+      val q = withCell.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"), $"cell")
+      val c = withCell.select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"), $"cell")
+      c.join(broadcast(q), Seq("cell")).filter($"c_id" =!= $"q_id")
+        .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn"))
+        .select($"q_id", $"c_id", $"cell", $"cosine")
+        .orderBy($"q_id", $"c_id")
+    }, {
+      val dotsSql = anchors.map(a => duckDot("e", a.mkString("[", ", ", "]")))
+        .mkString("[", ", ", "]")
+      Some(s"""
+      WITH n AS ($duckNormed),
+      b AS (SELECT vec_id, e, nrm,
+        CAST(list_position(dots, list_max(dots)) AS INTEGER) AS cell
+        FROM (SELECT vec_id, e, nrm, $dotsSql AS dots FROM n))
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.cell AS cell,
+        ${duckDot("q.e", "c.e")} / (q.nrm * c.nrm) AS cosine
+      FROM b q JOIN b c ON q.cell = c.cell AND q.vec_id < $NumQueries AND c.vec_id != q.vec_id
       ORDER BY q_id, c_id""")
     }),
 

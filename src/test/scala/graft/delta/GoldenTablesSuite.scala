@@ -127,6 +127,16 @@ class GoldenTablesSuite extends AnyFunSuite {
     assert(ci.get.version.contains(0L))
   }
 
+  test("golden: unsupported reader protocol version is rejected") {
+    val l = log("deltalog-invalid-protocol-version")
+    val snap = l.update()
+    assert(snap.protocol.minReaderVersion == 99)
+    intercept[Snapshot.InvalidProtocolVersionException] { snap.assertProtocolRead() }
+    intercept[Snapshot.InvalidProtocolVersionException] {
+      DeltaTable.forPath(spark, s"$golden/deltalog-invalid-protocol-version").toDF
+    }
+  }
+
   test("golden: non-contiguous logs are rejected") {
     intercept[IllegalStateException] { log("versions-not-contiguous").update() }
   }
