@@ -128,6 +128,22 @@ object TextOps {
       GROUP BY lang, pred_lang ORDER BY lang, pred_lang""")
     }),
 
+    // C13 --------------------------------------------------------------
+    GQ("text_length_histogram", (s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .withColumn("bucket", (floor(length($"text") / lit(100)) * 100).cast("long"))
+        .groupBy($"source", $"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens($"text"))).cast("long").as("total_words"))
+        .orderBy($"source", $"bucket")
+    }, Some("""
+      SELECT source, CAST(floor(length(text)/100)*100 AS BIGINT) AS bucket,
+        COUNT(*) AS n_docs,
+        CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS total_words
+      FROM documents GROUP BY source, CAST(floor(length(text)/100)*100 AS BIGINT)
+      ORDER BY source, bucket""")),
+
     // C10 --------------------------------------------------------------
     // Winnowing-style fingerprint: 4 lexicographically-smallest md5s of
     // char 8-grams over the normalized text. Identical hex both engines.

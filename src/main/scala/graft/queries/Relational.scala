@@ -303,6 +303,59 @@ object Relational {
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""), bench = true),
 
+    // B17 ---------------------------------------------------------------
+    GQ("q_scalar_subquery", (s, d) => {
+      import s.implicits._
+      val o = table(s, d, "orders")
+      val mx = o.agg(max($"o_totalprice").as("mx"))
+      o.crossJoin(broadcast(mx))
+        .filter($"o_totalprice" > $"mx" * 0.9)
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.9
+      ORDER BY o_orderkey""")),
+
+    // B18 ---------------------------------------------------------------
+    GQ("q_cube", (s, d) => {
+      import s.implicits._
+      table(s, d, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             centsToDouble(sum(cents($"o_totalprice"))).as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }, Some(s"""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM($OC) AS DOUBLE)/100.0 AS total
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // B19 ---------------------------------------------------------------
+    GQ("q_minmax_by", (s, d) => {
+      import s.implicits._
+      table(s, d, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          max_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey")).as("biggest_order"),
+          min_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey")).as("smallest_order"),
+          max($"o_totalprice").as("max_price"),
+          min($"o_totalprice").as("min_price"))
+        .orderBy($"o_orderpriority")
+    }, Some("""
+      WITH r AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        FROM orders)
+      SELECT o_orderpriority,
+        MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS biggest_order,
+        MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS smallest_order,
+        MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+      FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // B16 ---------------------------------------------------------------
     // As-of join: for each error event, the user's most recent purchase
     // at or before it. Composed from union + ordered window with
