@@ -72,9 +72,12 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
 
   // -------------------------------------------------------------- write
 
-  /** Append or overwrite the table with a DataFrame. */
+  /** Append or overwrite the table with a DataFrame. With `mergeSchema`,
+    * new columns in the data evolve the table schema in the same commit
+    * (old files read the new columns as null); type changes always fail.
+    */
   def write(df: DataFrame, mode: SaveMode = SaveMode.Append,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false): Long = {
     val txn = deltaLog.startTransaction()
     val exists = txn.readVersion >= 0 && txn.snapshot.metadataOpt.isDefined
     val partCols = if (exists) txn.metadata.partitionColumns else partitionBy
@@ -87,11 +90,32 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     } else {
       val existing = txn.metadata.schema
       val incoming = df.schema
+      val existingByName = existing.fields.map(f => f.name -> f.dataType).toMap
+      incoming.fields.foreach { f =>
+        existingByName.get(f.name).foreach { dt =>
+          if (dt != f.dataType)
+            throw new IllegalArgumentException(
+              s"cannot change type of column ${f.name}: $dt -> ${f.dataType}")
+        }
+      }
+      val newCols = incoming.fields.filterNot(f => existingByName.contains(f.name))
+      val missing = existing.fields.filterNot(f => incoming.fieldNames.contains(f.name))
       val same = existing.fields.map(f => (f.name, f.dataType)).toSeq ==
         incoming.fields.map(f => (f.name, f.dataType)).toSeq
-      if (!same)
+      if (mergeSchema) {
+        if (missing.nonEmpty)
+          throw new IllegalArgumentException(
+            s"mergeSchema append is missing table columns: ${missing.map(_.name).mkString(", ")}")
+        if (newCols.nonEmpty) {
+          val merged = org.apache.spark.sql.types.StructType(
+            existing.fields ++ newCols.map(_.copy(nullable = true)))
+          txn.updateMetadata(txn.metadata.copy(schemaString = merged.json))
+        }
+      } else if (!same) {
         throw new IllegalArgumentException(
-          s"schema mismatch: table has ${existing.simpleString}, data has ${incoming.simpleString}")
+          s"schema mismatch: table has ${existing.simpleString}, data has " +
+            s"${incoming.simpleString} (pass mergeSchema = true to evolve)")
+      }
       if (partitionBy.nonEmpty && partitionBy != partCols)
         throw new IllegalArgumentException(
           s"partitioning mismatch: table uses $partCols, got $partitionBy")

@@ -355,6 +355,33 @@ class DeltaSuite extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: mergeSchema adds nullable columns in one commit") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name")) // v0
+    // plain append with a new column fails with guidance
+    val e = intercept[IllegalArgumentException] {
+      t.write(Seq((3L, "c", 9.5)).toDF("id", "name", "score"))
+    }
+    assert(e.getMessage.contains("mergeSchema"))
+    // evolving append succeeds
+    t.write(Seq((3L, "c", 9.5)).toDF("id", "name", "score"), mergeSchema = true)
+    val df = t.toDF
+    assert(df.columns.toSeq == Seq("id", "name", "score"))
+    val byId = df.collect().map(r => r.getAs[Long]("id") ->
+      Option(r.getAs[Any]("score"))).toMap
+    assert(byId(1L).isEmpty && byId(2L).isEmpty, "old files read null for the new column")
+    assert(byId(3L).contains(9.5))
+    // type change always rejected; dropping columns rejected
+    intercept[IllegalArgumentException] {
+      t.write(Seq((4, "d", 1.0)).toDF("id", "name", "score"), mergeSchema = true)
+    }
+    intercept[IllegalArgumentException] {
+      t.write(Seq(5L).toDF("id"), mergeSchema = true)
+    }
+  }
+
   test("A17: addfile stats harvested from parquet footers") {
     import spark.implicits._
     val dir = tmp()

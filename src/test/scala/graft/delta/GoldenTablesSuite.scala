@@ -127,6 +127,37 @@ class GoldenTablesSuite extends AnyFunSuite {
     assert(ci.get.version.contains(0L))
   }
 
+  test("golden: partitioned time travel reads real partition data") {
+    val t = DeltaTable.forPath(spark, s"$golden/time-travel-partition-changes-a")
+    val snap = t.snapshot
+    assert(snap.metadata.partitionColumns == Seq("part5"))
+    val df = t.toDF
+    assert(df.count() > 0)
+    assert(df.columns.contains("part5"))
+    val vals = df.select("part5").distinct().collect().map(_.get(0).toString).sorted
+    assert(vals.toSeq == Seq("0", "1", "2", "3", "4"))
+    // pruning on the golden partition layout
+    import org.apache.spark.sql.functions.col
+    val only2 = t.read(col("part5") === 2)
+    assert(only2.select("part5").distinct().count() == 1)
+  }
+
+  test("golden: canonicalized paths (absolute + percent-encoded) resolve") {
+    // metadata-only tables: validate path canonicalization, not data reads
+    val ln = log("canonicalized-paths-normal-a")
+    val normal = ln.update().allFiles
+    assert(normal.map(_.path).contains("/some/unqualified/absolute/path"))
+    assert(FileNames.absolutePath(ln.dataPath, normal.head.path).toString
+      == "/some/unqualified/absolute/path")
+
+    val ls = log("canonicalized-paths-special-a")
+    val special = ls.update().allFiles
+    val p = special.map(_.path).find(_.contains("%")).get
+    // one percent-decode exactly: %20 -> space, %23 -> '#'
+    val abs = FileNames.absolutePath(ls.dataPath, p).toUri.getPath
+    assert(abs == "/some/unqualified/with space/p@#h", abs)
+  }
+
   test("golden: unsupported reader protocol version is rejected") {
     val l = log("deltalog-invalid-protocol-version")
     val snap = l.update()
