@@ -112,8 +112,9 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path) {
     statuses
       .filter(s => FileNames.isDeltaFile(s.getPath))
       .map { s =>
-        val t = math.max(s.getModificationTime, last + 0) // monotonize below
-        last = math.max(last, t)
+        // strictly monotonize: a commit whose mtime ties or regresses gets
+        // previous + 1, so timestamp time-travel has a total order
+        last = math.max(s.getModificationTime, last + 1)
         (FileNames.deltaVersion(s.getPath), last)
       }
   }

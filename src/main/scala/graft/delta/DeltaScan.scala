@@ -166,17 +166,54 @@ object DeltaScan {
     }
   }
 
-  /** Evaluate a partition-only predicate against one file's partition
-    * values (used by conflict checking on winning AddFiles).
+  /** Split into analyzed (pushed, residual) conjunct Expressions — like
+    * [[splitPredicate]] but keeping the Catalyst trees, for local
+    * (driver-side, no Spark job) evaluation.
     */
-  def evalOnPartition(
-      spark: SparkSession, pred: Column, partitionValues: Map[String, String],
-      partCols: Seq[String], schema: StructType): Boolean = {
-    val row = spark.range(1).select(partCols.map { c =>
-      val dt = schema.fields.find(_.name == c)
-        .map(_.dataType).getOrElse(org.apache.spark.sql.types.StringType)
-      lit(partitionValues.getOrElse(c, null)).cast(dt).as(c)
-    }: _*)
-    row.filter(pred).count() > 0
+  private[delta] def splitAnalyzed(spark: SparkSession, schema: StructType,
+      p: Column, partCols: Set[String]): (Seq[Expression], Seq[Expression]) =
+    analyzedConjuncts(spark, schema, p)
+      .partition(c => c.references.nonEmpty &&
+        c.references.map(_.name).toSet.subsetOf(partCols))
+
+  /** Compile partition-only conjuncts into a driver-local evaluator over a
+    * file's `partitionValues` map. The reference evaluates conflict
+    * predicates in-process the same way (cf. reference
+    * `conflict_checker.go:70` via `types/expr_*.go`); round 1 ran a
+    * one-row Spark job per (winning file × predicate), which is a job
+    * storm inside the commit retry loop when a winning commit carries
+    * thousands of files. Interpreted `Predicate` + `Cast` keeps it all
+    * on the driver: O(µs) per file.
+    */
+  private[delta] def partitionEvaluator(
+      spark: SparkSession, pushed: Seq[Expression], partCols: Seq[String],
+      schema: StructType): Map[String, String] => Boolean = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, BoundReference, Cast, Literal, Predicate}
+    import org.apache.spark.unsafe.types.UTF8String
+    if (pushed.isEmpty) return _ => true
+    val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    val fieldOf = partCols.zipWithIndex.map { case (c, i) =>
+      c -> (i, schema.fields.find(_.name == c)
+        .map(_.dataType).getOrElse(org.apache.spark.sql.types.StringType))
+    }.toMap
+    val bound = pushed.map(_.transform {
+      case a: AttributeReference =>
+        val (i, dt) = fieldOf(a.name)
+        BoundReference(i, dt, nullable = true)
+    }).reduce(CAnd(_, _))
+    val predicate = Predicate.createInterpreted(bound)
+    (pv: Map[String, String]) => {
+      val values = partCols.map { c =>
+        val (_, dt) = fieldOf(c)
+        pv.get(c).flatMap(Option(_)) match {
+          case None => null
+          case Some(s) =>
+            Cast(Literal(UTF8String.fromString(s),
+              org.apache.spark.sql.types.StringType), dt, zone).eval(null)
+        }
+      }
+      predicate.eval(InternalRow.fromSeq(values))
+    }
   }
 }

@@ -229,18 +229,19 @@ class ConflictChecker(
     val partCols = txn.snapshot.metadataOpt.map(_.partitionColumns).getOrElse(Nil)
     val schema = txn.snapshot.metadataOpt.map(_.schema)
       .getOrElse(org.apache.spark.sql.types.StructType(Nil))
+    // each read predicate compiles ONCE to a driver-local evaluator; winning
+    // files are then checked in-process — no Spark jobs inside the retry loop
+    val evaluators: Seq[Map[String, String] => Boolean] = preds.map { p =>
+      val (pushed, residual) =
+        DeltaScan.splitAnalyzed(txn.deltaLog.spark, schema, p, partCols.toSet)
+      if (pushed.isEmpty && residual.nonEmpty)
+        (_: Map[String, String]) => true // non-partition read: conservative
+      else DeltaScan.partitionEvaluator(txn.deltaLog.spark, pushed, partCols, schema)
+    }
     addsToCheck.foreach { add =>
-      preds.foreach { p =>
-        val (pushed, residual) =
-          DeltaScan.splitPredicate(txn.deltaLog.spark, schema, p, partCols.toSet)
-        val matches =
-          if (pushed.isEmpty && residual.nonEmpty) true // non-partition read: conservative
-          else pushed.forall(pp =>
-            DeltaScan.evalOnPartition(txn.deltaLog.spark, pp, add.partitionValues, partCols, schema))
-        if (matches)
-          throw new ConcurrentAppendException(
-            s"file ${add.path} added by version $winningVersion matches this transaction's read predicate")
-      }
+      if (evaluators.exists(_(add.partitionValues)))
+        throw new ConcurrentAppendException(
+          s"file ${add.path} added by version $winningVersion matches this transaction's read predicate")
     }
   }
 

@@ -88,7 +88,12 @@ object Dedup {
     // C2 + C3 ----------------------------------------------------------
     GQ("dedup_minhash_lsh", (s, d) => {
       import s.implicits._
-      val docs = shingled(s, d).persist()
+      // deliberately NOT persisted: the query fn returns a lazy plan, so an
+      // unpersist could never run at the right time (round-1 leak), and at
+      // 100 TB pinning the full shingle set in executor memory is its own
+      // hazard — recomputing the per-row shingle expression from the scan
+      // is cheap CPU and shuffle-free
+      val docs = shingled(s, d)
       val sig = docs.withColumn("sig", minhashSig($"sh"))
       // bands carry only (doc_id, band, key): the candidate join and the
       // distinct shuffle ids, never the shingle arrays

@@ -57,8 +57,10 @@ object Relational {
       val cust = table(s, d, "customer").filter($"c_mktsegment" === "BUILDING")
       val ord = table(s, d, "orders").filter($"o_orderdate" < to_timestamp(lit("1998-03-15")))
       val li = table(s, d, "lineitem").filter($"l_shipdate" > to_timestamp(lit("1998-03-15")))
+      // no broadcast hint on customer: filtered it is small at sf0.1, but
+      // unbounded at 100x — AQE picks broadcast vs shuffle from actual size
       li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
         .agg((sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))).cast("double") / lit(10000.0)).as("revenue"))
         .orderBy($"revenue".desc, $"l_orderkey")
@@ -85,8 +87,11 @@ object Relational {
                 $"o_orderdate" < to_timestamp(lit("1998-01-01")))
       val li = table(s, d, "lineitem")
       val supp = table(s, d, "supplier")
+      // hints only on the genuinely bounded dims (region: 5 rows, nation:
+      // 25 rows — fixed by the data model); supplier/customer grow with SF,
+      // so AQE sizes those joins at runtime instead of a hardcoded hint
       li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .join(supp, $"l_suppkey" === $"s_suppkey")
         .join(cust, $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
         .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
@@ -286,8 +291,11 @@ object Relational {
     GQ("q_skew_salted_join", (s, d) => {
       import s.implicits._
       val li = table(s, d, "lineitem")
+      // salt from several columns: l_linenumber alone has <= 7 distinct
+      // values, so a hot key would split at most 7 ways no matter the mod
       val partial = li
-        .groupBy($"l_orderkey", pmod(hash($"l_linenumber"), lit(8)).as("salt"))
+        .groupBy($"l_orderkey",
+          pmod(hash($"l_linenumber", $"l_partkey", $"l_suppkey"), lit(8)).as("salt"))
         .agg(sum(cents($"l_quantity")).as("qc"), count(lit(1)).as("nl"))
       val perOrder = partial.groupBy($"l_orderkey")
         .agg(sum($"qc").as("qc"), sum($"nl").as("nl"))

@@ -267,6 +267,26 @@ class DeltaSuite extends AnyFunSuite {
     assert(v == 2L)
   }
 
+  test("A12: conflict check against a 1000-file winning commit is driver-local and fast") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append, Seq("part"))
+    val log = t.deltaLog
+    val loser = log.startTransaction()
+    loser.markFilesAsRead(col("part") === "x" && col("id") > 100L)
+    // winner lands 1000 files in OTHER partitions — all must be evaluated
+    // against the loser's read predicate without launching Spark jobs
+    val winner = log.startTransaction()
+    val adds = (0 until 1000).map(i =>
+      AddFile(s"part=w$i/f$i.parquet", Map("part" -> s"w$i"), 1L, 1L))
+    winner.commit(adds, "WRITE")
+    val t0 = System.nanoTime()
+    val v = loser.commit(Seq(AddFile("part=x/mine.parquet", Map("part" -> "x"), 1L, 1L)), "WRITE")
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(v == 2L)
+    assert(elapsedMs < 2000, s"conflict check took ${elapsedMs}ms (expected < 2000ms)")
+  }
+
   test("A12: delete-read and delete-delete conflicts") {
     val dir = tmp()
     val t = DeltaTable.forPath(spark, dir)
