@@ -6,10 +6,11 @@ import org.apache.spark.sql.{Encoders, SparkSession}
 /** The transaction log of one Delta table
   * (cf. reference `log.go:18` Log interface / `log.go:136` logImpl).
   */
-class DeltaLog(val spark: SparkSession, val dataPath: Path) {
+class DeltaLog(val spark: SparkSession, val dataPath: Path,
+    storeOverride: Option[LogStore] = None) {
 
   val logPath = new Path(dataPath, "_delta_log")
-  val store = new LogStore(spark.sessionState.newHadoopConf())
+  val store: LogStore = storeOverride.getOrElse(LogStore.forTable(spark, dataPath))
 
   val clock: Clock = DeltaLog.clockOverride.getOrElse(SystemClock)
 

@@ -9,28 +9,86 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options, Path}
 
-/** Ordered, atomic log storage on Hadoop `FileSystem`.
+/** Ordered, atomic log storage contract
+  * (cf. reference `store/store.go` Store interface):
   *
-  * The reference hand-rolls four stores (reference `store/local.go`,
-  * `store/s3.go`, `store/azure.go`, `store/gcs.go`); one Hadoop-FS-backed
-  * implementation covers file://, hdfs://, s3a://, abfs:// and gs:// —
-  * the same abstraction Spark's own sources build on, so credentials,
-  * retry and listing behavior come from the cluster config for free.
+  *  - '''Atomic visibility''': when [[isPartialWriteVisible]] is false,
+  *    a written file becomes visible all-at-once, never partially.
+  *  - '''Mutual exclusion''': `write(path, lines, overwrite = false)` is
+  *    put-if-absent — exactly one writer can create a given path; losers
+  *    get [[FileAlreadyExistsException]].
+  *  - '''Consistent listing''': `listFrom` sees every completed write.
   *
-  * Contract (cf. reference `store/store.go`):
-  *  - `write(path, lines, overwrite=false)` is put-if-absent: it fails
-  *    with [[FileAlreadyExistsException]] when the destination exists.
-  *    Implemented as write-temp + `FileContext.rename(NONE)`, which is
-  *    atomic on file:// and hdfs:// (object stores need a coordinating
-  *    variant, as in the reference's multi-driver S3 TODO).
-  *  - `listFrom(path)` returns sibling entries >= path, sorted by name.
+  * Implementations: [[HadoopLogStore]] for filesystems whose rename is
+  * atomic (file://, hdfs://, abfs://, gs://) and [[ExternalLogStore]]
+  * for stores without atomic create-if-absent (s3a://), which borrow
+  * mutual exclusion from an external [[CommitCoordinator]].
   */
-class LogStore(hadoopConf: Configuration) extends Serializable {
+trait LogStore extends Serializable {
+  def read(path: Path): Seq[String]
+
+  /** Entries in path's directory with name >= path's name, name-sorted. */
+  def listFrom(path: Path): Seq[FileStatus]
+
+  def exists(path: Path): Boolean
+
+  /** Put-if-absent unless overwrite (cf. reference `store/store.go` Write). */
+  def write(path: Path, lines: Iterator[String], overwrite: Boolean = false): Unit
+
+  def delete(path: Path, recursive: Boolean = false): Boolean
+
+  /** cf. reference `store/store.go` IsPartialWriteVisible. */
+  def isPartialWriteVisible(path: Path): Boolean = false
+}
+
+object LogStore {
+  private[delta] val localFsLock = new Object
+
+  /** Resolve the store for a table path. `spark.graft.logStore.impl` (a
+    * FQCN with a `(Configuration)` constructor) overrides; the default is
+    * scheme-driven: s3/s3a get the external-coordination store when
+    * `spark.graft.logStore.coordinator` names one, everything with an
+    * atomic rename gets [[HadoopLogStore]]. Mirrors the reference's
+    * scheme dispatch in `store/store.go:79` New.
+    */
+  def forTable(spark: org.apache.spark.sql.SparkSession, tablePath: Path): LogStore = {
+    val conf = spark.sessionState.newHadoopConf()
+    val sqlConf = spark.conf
+    sqlConf.getOption("spark.graft.logStore.impl") match {
+      case Some(cls) =>
+        Class.forName(cls).getConstructor(classOf[Configuration])
+          .newInstance(conf).asInstanceOf[LogStore]
+      case None =>
+        val scheme = Option(tablePath.toUri.getScheme).getOrElse("file")
+        val coordinator = sqlConf.getOption("spark.graft.logStore.coordinator")
+        if (Set("s3", "s3a", "s3n").contains(scheme))
+          coordinator match {
+            case Some(name) =>
+              new ExternalLogStore(conf, InMemoryCommitCoordinator.named(name))
+            case None => throw new IllegalArgumentException(
+              s"scheme $scheme has no atomic put-if-absent; configure " +
+                "spark.graft.logStore.coordinator (external coordination) or " +
+                "spark.graft.logStore.impl (a conditional-write LogStore)")
+          }
+        else new HadoopLogStore(conf)
+    }
+  }
+}
+
+/** Hadoop-`FileSystem` store for schemes whose `rename(NONE)` is atomic:
+  * file://, hdfs://, and hierarchical-namespace object stores
+  * (abfs://, gs://). One implementation covers what the reference
+  * hand-rolls per store (`store/local.go`, `store/azure.go`,
+  * `store/gcs.go`) — credentials, retry and listing come from the
+  * cluster's Hadoop config for free. NOT safe for s3a:// multi-driver
+  * commits; use [[ExternalLogStore]] there.
+  */
+class HadoopLogStore(hadoopConf: Configuration) extends LogStore {
 
   @transient private lazy val fcCache =
     scala.collection.concurrent.TrieMap.empty[String, FileContext]
 
-  private def fs(path: Path): FileSystem = path.getFileSystem(hadoopConf)
+  protected def fs(path: Path): FileSystem = path.getFileSystem(hadoopConf)
   private def fc(path: Path): FileContext =
     fcCache.getOrElseUpdate(
       Option(path.toUri.getScheme).getOrElse("file"),
@@ -47,7 +105,6 @@ class LogStore(hadoopConf: Configuration) extends Serializable {
     } finally in.close()
   }
 
-  /** Entries in path's directory with name >= path's name, name-sorted. */
   def listFrom(path: Path): Seq[FileStatus] = {
     val dir = path.getParent
     val f = fs(path)
@@ -101,10 +158,6 @@ class LogStore(hadoopConf: Configuration) extends Serializable {
 
   def delete(path: Path, recursive: Boolean = false): Boolean =
     fs(path).delete(path, recursive)
-}
-
-object LogStore {
-  private[delta] val localFsLock = new Object
 }
 
 class FileAlreadyExistsException(path: String)

@@ -76,7 +76,7 @@ class DeltaSuite extends AnyFunSuite {
 
   test("A3: log store put-if-absent and ordered listFrom") {
     val dir = tmp()
-    val store = new LogStore(spark.sessionState.newHadoopConf())
+    val store = new HadoopLogStore(spark.sessionState.newHadoopConf())
     val p0 = new Path(dir, "00000000000000000000.json")
     store.write(p0, Iterator("a", "b"))
     assert(store.read(p0) == Seq("a", "b"))
@@ -87,6 +87,84 @@ class DeltaSuite extends AnyFunSuite {
     val names = store.listFrom(new Path(dir, "00000000000000000001.json"))
       .map(_.getPath.getName)
     assert(names == Seq("00000000000000000001.json", "00000000000000000002.json"))
+  }
+
+  // ------------------------------------- A3 external-coordination store
+
+  test("A3: external store claims versions through the coordinator, not the fs") {
+    val dir = tmp()
+    val conf = spark.sessionState.newHadoopConf()
+    // two store instances = two drivers; the shared named coordinator is
+    // the DynamoDB-table equivalent
+    val coord = InMemoryCommitCoordinator.named(s"t-${java.util.UUID.randomUUID}")
+    val a = new ExternalLogStore(conf, coord)
+    val b = new ExternalLogStore(conf, coord)
+    val p0 = new Path(dir, "00000000000000000000.json")
+    a.write(p0, Iterator("a1"))
+    intercept[FileAlreadyExistsException] { b.write(p0, Iterator("b1")) }
+    assert(b.read(p0) == Seq("a1")) // loser must not clobber
+    // no stray temp objects left behind
+    val names = a.listFrom(new Path(dir, "0")).map(_.getPath.getName)
+    assert(names == Seq("00000000000000000000.json"))
+  }
+
+  test("A3: external store recovers a claimed-but-uncopied commit") {
+    val dir = tmp()
+    val conf = spark.sessionState.newHadoopConf()
+    val coord = InMemoryCommitCoordinator.named(s"t-${java.util.UUID.randomUUID}")
+    val a = new ExternalLogStore(conf, coord)
+    val p0 = new Path(dir, "00000000000000000000.json")
+    a.write(p0, Iterator("v0"))
+    // driver died between claiming v1 and copying it into place: only the
+    // temp object and the incomplete coordinator entry exist
+    val fs = p0.getFileSystem(conf)
+    val dirKey = fs.makeQualified(new Path(dir)).toString
+    val temp = new Path(dir, ".tmp-dead-writer-00000000000000000001.json")
+    val out = fs.create(temp, true); out.write("v1\n".getBytes("UTF-8")); out.close()
+    coord.putIfAbsent(ExternalCommitEntry(dirKey, "00000000000000000001.json",
+      temp.getName, complete = false, commitTime = 1L))
+    // any other driver's next read completes the commit first
+    val b = new ExternalLogStore(conf, coord)
+    val names = b.listFrom(new Path(dir, "0")).map(_.getPath.getName)
+    assert(names.contains("00000000000000000001.json"))
+    assert(b.read(new Path(dir, "00000000000000000001.json")) == Seq("v1"))
+    assert(coord.latest(dirKey).exists(_.complete))
+    // and the next version claims cleanly on top
+    b.write(new Path(dir, "00000000000000000002.json"), Iterator("v2"))
+    assert(b.listFrom(new Path(dir, "0")).map(_.getPath.getName).size == 3)
+  }
+
+  test("A3: racing multi-driver commits through the external store lose no updates") {
+    val dir = tmp()
+    val conf = spark.sessionState.newHadoopConf()
+    val coordName = s"t-${java.util.UUID.randomUUID}"
+    // seed the table through one driver
+    val seedLog = new DeltaLog(spark, new Path(dir), Some(
+      new ExternalLogStore(conf, InMemoryCommitCoordinator.named(coordName))))
+    val seedTxn = seedLog.startTransaction()
+    seedTxn.updateMetadata(Metadata(schemaString = sampleDF.schema.json))
+    seedTxn.commit(Nil, "CREATE TABLE") // v0
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 6).map { i =>
+      new Thread(() => {
+        try (0 until 5).foreach { j =>
+          // each iteration: a fresh DeltaLog + fresh store instance — no
+          // shared JVM lock, no shared snapshot cache; only the named
+          // coordinator is common, as DynamoDB would be across drivers
+          val store = new ExternalLogStore(conf, InMemoryCommitCoordinator.named(coordName))
+          val txn = new DeltaLog(spark, new Path(dir), Some(store)).startTransaction()
+          txn.commit(Seq(AddFile(s"ext-$i-$j.parquet", Map.empty, 1L, 1L)), "WRITE")
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"unexpected failures: ${errors.peek()}")
+    val snap = new DeltaLog(spark, new Path(dir), Some(
+      new ExternalLogStore(conf, InMemoryCommitCoordinator.named(coordName)))).update()
+    assert(snap.version == 30L, "v0 + 30 racing commits")
+    val paths = snap.allFiles.map(_.path).filter(_.startsWith("ext-"))
+    assert(paths.size == 30 && paths.distinct.size == 30)
   }
 
   // ---------------------------------------------- A4/A5/A16 write + read

@@ -179,7 +179,7 @@ class GoldenTablesSuite extends AnyFunSuite {
 
   test("golden: log store reads and ordered listing on golden store dirs") {
     // these goldens are raw store fixtures: files "0","1",... at the root
-    val store = new LogStore(spark.sessionState.newHadoopConf())
+    val store = new HadoopLogStore(spark.sessionState.newHadoopConf())
     val lines = store.read(new Path(s"$golden/log-store-read/0"))
     assert(lines == Seq("zero", "none"))
     val names = store.listFrom(new Path(s"$golden/log-store-listFrom/2"))
