@@ -1,0 +1,69 @@
+package graft.delta
+
+/** One typed table-configuration knob read from `Metadata.configuration`
+  * (cf. reference `config.go` TableConfig / fromMetadata).
+  */
+final case class TableConfig[T](key: String, default: String, parse: String => T) {
+  def fromMetadata(md: Metadata): T =
+    parse(md.configuration.getOrElse(key, default))
+}
+
+/** The table tunables the reference centralizes in `config.go`, under the
+  * standard `delta.`-prefixed keys. Everything that used to read
+  * `metadata.configuration` ad hoc goes through here.
+  */
+object DeltaConfig {
+
+  /** `interval <number> <unit>` → milliseconds
+    * (cf. reference `config.go:46` parseDuration).
+    */
+  private[delta] def parseInterval(s: String): Long = {
+    val fields = s.trim.toLowerCase.split("\\s+")
+    require(fields.length == 3 && fields(0) == "interval",
+      s"cannot parse duration '$s': expected 'interval <number> <unit>'")
+    val n = fields(1).toLong
+    val unitMillis = fields(2).stripSuffix("s") match {
+      case "millisecond" => 1L
+      case "second" => 1000L
+      case "minute" => 60L * 1000
+      case "hour" => 3600L * 1000
+      case "day" => 24L * 3600 * 1000
+      case "week" => 7L * 24 * 3600 * 1000
+      case u => throw new IllegalArgumentException(s"unknown duration unit '$u' in '$s'")
+    }
+    n * unitMillis
+  }
+
+  /** cf. reference `config.go:63` DeltaConfigLogRetention. */
+  val LogRetention: TableConfig[Long] =
+    TableConfig("delta.logRetentionDuration", "interval 30 days", parseInterval)
+
+  /** VACUUM's retention window
+    * (cf. reference `config.go:69` DeltaConfigTombstoneRetention).
+    */
+  val TombstoneRetention: TableConfig[Long] =
+    TableConfig("delta.deletedFileRetentionDuration", "interval 1 week", parseInterval)
+
+  /** cf. reference `config.go:75` DeltaConfigCheckpointInterval. */
+  val CheckpointInterval: TableConfig[Int] =
+    TableConfig("delta.checkpointInterval", "10", _.trim.toInt)
+
+  /** Max actions per checkpoint part file (multi-part checkpoints, A17). */
+  val CheckpointPartSize: TableConfig[Option[Long]] =
+    TableConfig("delta.checkpoint.partSize", "",
+      s => if (s.trim.isEmpty) None else Some(s.trim.toLong))
+
+  /** cf. reference `config.go:84` DeltaConfigEnableExpiredLogCleanup. */
+  val EnableExpiredLogCleanup: TableConfig[Boolean] =
+    TableConfig("delta.enableExpiredLogCleanup", "true", _.trim.toLowerCase == "true")
+
+  /** Reject data-changing removes when set
+    * (cf. reference `config.go:92` DeltaConfigIsAppendOnly).
+    */
+  val AppendOnly: TableConfig[Boolean] =
+    TableConfig("delta.appendOnly", "false", _.trim.toLowerCase == "true")
+
+  /** OPTIMIZE's target output file size. */
+  val TargetFileSize: TableConfig[Long] =
+    TableConfig("delta.targetFileSize", (128L * 1024 * 1024).toString, _.trim.toLong)
+}

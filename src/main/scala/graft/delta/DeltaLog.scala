@@ -173,7 +173,7 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     val tmpDir = new Path(logPath, s".ckpt-${java.util.UUID.randomUUID}")
     // multi-part (A17): delta.checkpoint.partSize = max actions per part
     val partSize = s.metadataOpt
-      .flatMap(_.configuration.get("delta.checkpoint.partSize")).map(_.toLong)
+      .flatMap(md => DeltaConfig.CheckpointPartSize.fromMetadata(md))
     val df = s.checkpointActionsDF
     val numParts = partSize match {
       case None => 1

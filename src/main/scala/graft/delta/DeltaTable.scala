@@ -131,7 +131,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       case m => throw new IllegalArgumentException(s"unsupported save mode $m")
     }
     txn.commit(actions,
-      if (mode == SaveMode.Overwrite) "WRITE.Overwrite" else "WRITE.Append")
+      if (mode == SaveMode.Overwrite) "WRITE.Overwrite" else "WRITE.Append",
+      operationParameters = Map(
+        "mode" -> mode.toString,
+        "partitionBy" -> partCols.mkString(","),
+        "mergeSchema" -> mergeSchema.toString))
   }
 
   /** Exactly-once streaming sink batch (use from `foreachBatch`): the
@@ -158,60 +162,120 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     true
   }
 
-  /** OPTIMIZE: bin-pack partitions that have more than one file into a
-    * single file each. Rewrites carry dataChange=false, so streaming
-    * sources over this table skip them (no duplicate delivery) and
-    * concurrent appends don't conflict.
+  /** OPTIMIZE: bin-pack partitions that have more than one file. ONE
+    * Spark job rewrites every under-filled partition — all candidate
+    * files are read together (partition columns recovered from the hive
+    * paths), hash-distributed on the partition key (+ a deterministic
+    * salt so an oversized partition splits toward `delta.targetFileSize`)
+    * and written in a single partitioned pass. Round 1 looped
+    * `coalesce(1)` jobs per partition on the driver — 100k partitions
+    * meant 100k serial jobs. Rewrites carry dataChange=false, so
+    * streaming sources skip them and concurrent appends don't conflict.
     */
   def compact(): Long = {
+    import org.apache.spark.sql.functions.{col, hash, pmod, lit}
     val txn = deltaLog.startTransaction()
     val byPartition = txn.snapshot.allFiles.groupBy(_.partitionValues)
     val toCompact = byPartition.filter(_._2.size > 1)
     if (toCompact.isEmpty) return txn.snapshot.version
     val md = txn.metadata
+    val partCols = md.partitionColumns
     val now = deltaLog.clock.nowMillis
-    val actions = toCompact.flatMap { case (_, files) =>
-      val paths = files.map(f => FileNames.absolutePath(deltaLog.dataPath, f.path).toString)
-      val df = spark.read
-        .schema(md.schema)
-        .option("basePath", deltaLog.dataPath.toString)
-        .parquet(paths: _*)
-        .coalesce(1)
-      val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, md.partitionColumns)
-        .map(_.copy(dataChange = false))
-      files.map(f => f.remove(now, dataChange = false)) ++ adds
-    }.toSeq
-    txn.commit(actions, "OPTIMIZE")
+    val files = toCompact.values.flatten.toSeq
+    val paths = files.map(f => FileNames.absolutePath(deltaLog.dataPath, f.path).toString)
+    val targetSize = DeltaConfig.TargetFileSize.fromMetadata(md)
+    val totalBytes = files.map(_.size).sum
+    val numTasks = math.max(1, math.min(files.size,
+      math.ceil(totalBytes.toDouble / targetSize).toInt))
+    // files-per-oversized-partition: the salt splits a partition into at
+    // most `saltBuckets` output files of ~targetSize each
+    val maxPartBytes = toCompact.values.map(_.map(_.size).sum).max
+    val saltBuckets = math.max(1, math.ceil(maxPartBytes.toDouble / targetSize).toInt)
+    val df0 = spark.read
+      .schema(md.schema)
+      .option("basePath", deltaLog.dataPath.toString)
+      .parquet(paths: _*)
+    val dataCols = md.schema.fieldNames.filterNot(partCols.contains).map(col).toSeq
+    val salt = pmod(hash(dataCols: _*), lit(saltBuckets))
+    val df =
+      if (partCols.nonEmpty) df0.repartition(numTasks, partCols.map(col) :+ salt: _*)
+      else df0.repartition(numTasks)
+    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, partCols)
+      .map(_.copy(dataChange = false))
+    val removes = files.map(f => f.remove(now, dataChange = false))
+    txn.commit(removes ++ adds, "OPTIMIZE",
+      operationParameters = Map("targetFileSize" -> targetSize.toString))
   }
 
   /** VACUUM: physically delete data files no longer referenced by the
-    * current snapshot and older than the retention window. Returns the
-    * deleted paths. Time travel before the vacuumed versions stops
-    * working, as in any Delta implementation.
+    * current snapshot and older than the retention window (default from
+    * `delta.deletedFileRetentionDuration` table config). Listing,
+    * reference anti-join and deletion all run on executors — the driver
+    * never holds the file set, so 10^7-file tables don't walk or heap on
+    * the driver (round 1 did both). Returns the deleted paths. Time
+    * travel before the vacuumed versions stops working, as in any Delta
+    * implementation.
     */
-  def vacuum(retentionMillis: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
-    val fs = deltaLog.dataPath.getFileSystem(spark.sessionState.newHadoopConf())
+  def vacuum(retentionMillis: Option[Long] = None): Seq[String] = {
+    import spark.implicits._
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val fs = deltaLog.dataPath.getFileSystem(hadoopConf)
     val s = snapshot
-    val active = s.allFiles.map(f => FileNames.absolutePath(deltaLog.dataPath, f.path).toUri.getPath).toSet
-    val cutoff = deltaLog.clock.nowMillis - retentionMillis
-    val deleted = Seq.newBuilder[String]
-    def walk(dir: Path): Unit = {
-      fs.listStatus(dir).foreach { st =>
-        val name = st.getPath.getName
-        if (!name.startsWith("_") && !name.startsWith(".")) {
-          if (st.isDirectory) {
-            walk(st.getPath)
-            if (fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, false)
-          } else if (name.endsWith(".parquet") &&
-              !active.contains(st.getPath.toUri.getPath) &&
-              st.getModificationTime <= cutoff) {
-            if (fs.delete(st.getPath, false)) deleted += st.getPath.toString
+    val retention = retentionMillis.getOrElse(
+      DeltaConfig.TombstoneRetention.fromMetadata(s.metadata))
+    val cutoff = deltaLog.clock.nowMillis - retention
+    val rootStr = fs.makeQualified(deltaLog.dataPath).toString
+    val serConf = new SerializableHadoopConf(hadoopConf)
+
+    // seed tasks with the top-level entries (partition dirs / root files);
+    // recursion happens in parallel on executors
+    val seeds = fs.listStatus(deltaLog.dataPath)
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .toSeq
+    if (seeds.isEmpty) return Nil
+    val listed = spark.createDataset(seeds)
+      .repartition(math.min(seeds.size, 32))
+      .mapPartitions { dirs =>
+        val f = new Path(rootStr).getFileSystem(serConf.value)
+        dirs.flatMap { d =>
+          val out = Seq.newBuilder[(String, Long)]
+          def walk(p: Path): Unit = f.listStatus(p).foreach { st =>
+            val name = st.getPath.getName
+            if (!name.startsWith("_") && !name.startsWith(".")) {
+              if (st.isDirectory) walk(st.getPath)
+              else if (name.endsWith(".parquet"))
+                out += ((st.getPath.toUri.getPath, st.getModificationTime))
+            }
           }
+          walk(new Path(rootStr, d))
+          out.result()
+        }
+      }.toDF("p", "mtime")
+    val active = s.allFilesDS
+      .map(f => FileNames.absolutePath(new Path(rootStr), f.path).toUri.getPath)
+      .toDF("p")
+    val deleted = listed
+      .where($"mtime" <= cutoff)
+      .join(active, Seq("p"), "left_anti")
+      .select($"p").as[String]
+      .mapPartitions { it =>
+        val f = new Path(rootStr).getFileSystem(serConf.value)
+        it.filter(p => f.delete(new Path(p), false))
+      }.collect().toSeq
+
+    // empty partition directories: dirs are O(partitions), not O(files) —
+    // a driver sweep is fine (object stores have no real dirs anyway)
+    def sweep(dir: Path): Unit = {
+      fs.listStatus(dir).foreach { st =>
+        if (st.isDirectory && !st.getPath.getName.startsWith("_")) {
+          sweep(st.getPath)
+          if (fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, false)
         }
       }
     }
-    walk(deltaLog.dataPath)
-    deleted.result()
+    sweep(deltaLog.dataPath)
+    deleted
   }
 
   /** Partition-level delete: drops whole files selected by a
@@ -227,7 +291,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           s"residual: ${scan.residualPredicates.mkString(", ")}")
     val files = txn.markFilesAsRead(partitionPredicate)
     val now = deltaLog.clock.nowMillis
-    txn.commit(files.map(_.remove(now)), "DELETE")
+    txn.commit(files.map(_.remove(now)), "DELETE",
+      operationParameters = Map("predicate" -> partitionPredicate.toString))
   }
 }
 

@@ -88,7 +88,8 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     * (cf. reference `trnx.go:144` Commit).
     */
   def commit(actions: Seq[Action], operation: String,
-      engineInfo: String = "graft-spark"): Long = {
+      engineInfo: String = "graft-spark",
+      operationParameters: Map[String, String] = Map.empty): Long = {
     require(!committed, "transaction already committed")
 
     var finalActions = newMetadata.map(m => m: Action).toSeq ++ actions
@@ -103,6 +104,12 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     }
     if (finalActions.count(_.isInstanceOf[Metadata]) > 1)
       throw new IllegalStateException("cannot commit more than one Metadata action")
+    // appendOnly tables reject data-changing removes
+    // (cf. reference config.go:92 DeltaConfigIsAppendOnly)
+    if (DeltaConfig.AppendOnly.fromMetadata(metadata) &&
+        finalActions.exists { case r: RemoveFile => r.dataChange; case _ => false })
+      throw new UnsupportedOperationException(
+        "this table is append-only (delta.appendOnly=true); removes with dataChange are not allowed")
 
     val isBlindAppend = !readTheWholeTable && readPredicates.isEmpty &&
       finalActions.forall {
@@ -113,12 +120,25 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     val isolationLevel: IsolationLevel =
       if (isBlindAppend) WriteSerializable else Serializable
 
+    // operation metrics derived from the staged actions — free to compute,
+    // and what history()/audit consumers want (cf. reference
+    // action/commit_info.go operationMetrics)
+    val adds = finalActions.collect { case a: AddFile => a }
+    val removes = finalActions.collect { case r: RemoveFile => r }
+    val metrics = Map(
+      "numAddedFiles" -> adds.size.toString,
+      "numRemovedFiles" -> removes.size.toString,
+      "numAddedBytes" -> adds.map(_.size).sum.toString,
+      "numRemovedBytes" -> removes.flatMap(_.size).sum.toString)
+
     val commitInfo = CommitInfo(
       timestamp = deltaLog.clock.nowMillis,
       operation = operation,
+      operationParameters = operationParameters,
       readVersion = if (snapshot.version >= 0) Some(snapshot.version) else None,
       isolationLevel = Some(isolationLevel.name),
       isBlindAppend = Some(isBlindAppend),
+      operationMetrics = metrics,
       engineInfo = Some(engineInfo),
       txnId = Some(java.util.UUID.randomUUID.toString))
     val allActions = (commitInfo +: finalActions).map(Actions.toJson)
@@ -162,8 +182,7 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
 
   /** cf. reference `trnx.go:647` postCommit: checkpoint on interval. */
   private def postCommit(committedVersion: Long): Unit = {
-    val interval = metadata.configuration
-      .getOrElse("delta.checkpointInterval", "10").toInt
+    val interval = DeltaConfig.CheckpointInterval.fromMetadata(metadata)
     if (committedVersion != 0 && committedVersion % interval == 0) {
       val s = deltaLog.update()
       if (s.version == committedVersion) deltaLog.checkpoint(s)

@@ -569,13 +569,90 @@ class DeltaSuite extends AnyFunSuite {
       fs.listStatus(t.deltaLog.dataPath)
         .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val before = parquetCount
-    assert(t.vacuum(retentionMillis = Long.MaxValue / 2).isEmpty) // inside retention: keep
+    assert(t.vacuum(Some(Long.MaxValue / 2)).isEmpty) // inside retention: keep
     assert(parquetCount == before)
-    val deleted = t.vacuum(retentionMillis = 0)
+    val deleted = t.vacuum(Some(0))
     assert(deleted.nonEmpty)
     assert(parquetCount < before)
     assert(t.toDF.count() == 1) // current snapshot untouched
     intercept[Exception] { t.toDF(0).count() } // history physically gone
+  }
+
+  test("OPTIMIZE rewrites all partitions in one Spark pass, not one job each") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    // 8 partitions x 3 files each
+    import spark.implicits._
+    (0 until 3).foreach { _ =>
+      t.write((0 until 8).map(p => (p.toLong, s"p$p")).toDF("id", "part"),
+        SaveMode.Append, Seq("part"))
+    }
+    assert(t.snapshot.allFiles.size == 24)
+    spark.sparkContext.setJobGroup("compact-spec", "compaction job count", false)
+    try t.compact()
+    finally spark.sparkContext.clearJobGroup()
+    assert(t.snapshot.allFiles.size == 8, "one file per partition after compaction")
+    assert(t.toDF.count() == 24)
+    // the status store is fed asynchronously; give it a beat
+    Thread.sleep(1000)
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("compact-spec").length
+    // the rewrite itself is one read+write pass; snapshot bookkeeping adds
+    // a few small jobs — what must NOT happen is O(#partitions) jobs
+    assert(jobs < 8, s"compaction ran $jobs jobs for 8 partitions")
+  }
+
+  test("delta.appendOnly rejects data-changing removes") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn0 = t.deltaLog.startTransaction()
+    txn0.updateMetadata(Metadata(
+      schemaString = sampleDF.schema.json,
+      partitionColumns = Seq("part"),
+      configuration = Map("delta.appendOnly" -> "true")))
+    txn0.commit(Nil, "CREATE TABLE")
+    t.write(sampleDF, SaveMode.Append)
+    intercept[UnsupportedOperationException] {
+      t.deleteWhere(col("part") === "x")
+    }
+    // compaction removes carry dataChange=false: still allowed
+    t.write(sampleDF, SaveMode.Append)
+    t.compact()
+    assert(t.toDF.count() == 10)
+  }
+
+  test("DeltaConfig: interval parsing, defaults, vacuum retention from table config") {
+    assert(DeltaConfig.parseInterval("interval 1 week") == 7L * 24 * 3600 * 1000)
+    assert(DeltaConfig.parseInterval("INTERVAL 2 days") == 2L * 24 * 3600 * 1000)
+    assert(DeltaConfig.parseInterval("interval 30 milliseconds") == 30L)
+    intercept[IllegalArgumentException] { DeltaConfig.parseInterval("7 days") }
+    assert(DeltaConfig.TombstoneRetention.fromMetadata(Metadata()) == 7L * 24 * 3600 * 1000)
+    assert(DeltaConfig.CheckpointInterval.fromMetadata(Metadata()) == 10)
+
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn0 = t.deltaLog.startTransaction()
+    txn0.updateMetadata(Metadata(
+      schemaString = sampleDF.schema.json,
+      configuration = Map("delta.deletedFileRetentionDuration" -> "interval 0 millisecond")))
+    txn0.commit(Nil, "CREATE TABLE")
+    t.write(sampleDF, SaveMode.Append)
+    t.write(sampleDF.filter(col("id") === 1), SaveMode.Overwrite)
+    // no explicit retention: the table config (0 ms) applies
+    assert(t.vacuum().nonEmpty)
+    assert(t.toDF.count() == 1)
+  }
+
+  test("history carries operation parameters and metrics") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append, Seq("part"))
+    val ci = t.history(1).head
+    assert(ci.operation == "WRITE.Append")
+    assert(ci.operationParameters("mode") == "Append")
+    assert(ci.operationParameters("partitionBy") == "part")
+    assert(ci.operationMetrics("numAddedFiles").toInt == t.snapshot.allFiles.size)
+    assert(ci.operationMetrics("numRemovedFiles") == "0")
+    assert(ci.operationMetrics("numAddedBytes").toLong > 0)
   }
 
   test("A18: cdc actions round the changes feed") {
