@@ -74,6 +74,16 @@ object DeltaQueries {
       t.write(region, SaveMode.Append) // v1: second optimistic txn
     }
 
+  private def cdfFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "cdf") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val nation = table(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      t.write(nation, SaveMode.Append, Seq("n_regionkey")) // v0: 25 inserts
+      t.deleteWhere(col("n_regionkey") === 2) // v1: partition delete
+      t.write(nation.filter(col("n_nationkey") < 5)) // v2: 5 inserts
+    }
+
   private val ordersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
@@ -134,6 +144,26 @@ object DeltaQueries {
       SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
         CAST(n_regionkey AS INTEGER) AS n_regionkey
       FROM nation ORDER BY n_nationkey""")),
+
+    // A18: change-data-feed read — inserts and deletes per commit version
+    GQ("delta_cdf", (s, d) => {
+      val dir = cdfFixture(s, d)
+      DeltaTable.forPath(s, dir).tableChanges(0, 2)
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy(col("_commit_version"), col("n_nationkey"), col("_change_type"))
+    }, Some("""
+      WITH n AS (SELECT CAST(n_nationkey AS INTEGER) AS nk, n_name,
+                   CAST(n_regionkey AS INTEGER) AS rk FROM nation)
+      SELECT nk AS n_nationkey, n_name, rk AS n_regionkey, _change_type, _commit_version
+      FROM (
+        SELECT nk, n_name, rk, 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version FROM n
+        UNION ALL
+        SELECT nk, n_name, rk, 'delete', CAST(1 AS BIGINT) FROM n WHERE rk = 2
+        UNION ALL
+        SELECT nk, n_name, rk, 'insert', CAST(2 AS BIGINT) FROM n WHERE nk < 5)
+      ORDER BY _commit_version, n_nationkey, _change_type""")),
 
     // A9/A10: snapshot stitched from parquet checkpoint + json tail
     GQ("delta_checkpoint", (s, d) => {

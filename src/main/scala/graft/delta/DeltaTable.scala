@@ -70,6 +70,76 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
   def changes(startVersion: Long, failOnDataLoss: Boolean = false): Iterator[(Long, Seq[Action])] =
     deltaLog.changes(startVersion, failOnDataLoss)
 
+  /** Change-data-feed read: the row-level changes between two versions as
+    * a DataFrame of the table columns plus `_change_type`
+    * (insert/delete/...), `_commit_version` and `_commit_timestamp`
+    * (cf. reference `action/cdc.go` AddCDCFile + `version_log.go`
+    * VersionLog — the reference surfaces per-version actions; this is the
+    * row-level materialization a CDC consumer actually wants).
+    *
+    * Commits carrying AddCDCFile actions contribute exactly their CDC
+    * files (which carry their own `_change_type` column, per the Delta
+    * CDF layout); commits without them fall back to file-level semantics:
+    * dataChange adds are inserts, dataChange removes are deletes (their
+    * parquet is still present until VACUUM). Compaction rewrites
+    * (dataChange=false) contribute nothing. One lazy scan per version in
+    * the range — a CDF read is bounded by the version range the caller
+    * asks for, never by table size.
+    */
+  def tableChanges(startVersion: Long, endVersion: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
+    val current = deltaLog.update()
+    val end = if (endVersion < 0L) current.version else endVersion
+    require(startVersion >= 0 && startVersion <= end,
+      s"invalid change range [$startVersion, $end]")
+    val endSnap =
+      if (end == current.version) current else deltaLog.snapshotForVersionAsOf(end)
+    val schema = endSnap.metadata.schema
+    val outCols = schema.fieldNames.toSeq :+ "_change_type"
+    val tsOf = deltaLog.commits().toMap
+
+    def readAs(paths: Seq[String], changeType: Option[String]): Option[DataFrame] =
+      if (paths.isEmpty) None
+      else {
+        val readSchema = changeType match {
+          case Some(_) => schema
+          case None => // CDC files carry their own _change_type column
+            schema.add("_change_type", org.apache.spark.sql.types.StringType)
+        }
+        var df = spark.read.schema(readSchema)
+          .option("basePath", deltaLog.dataPath.toString)
+          .parquet(paths: _*)
+        changeType.foreach(ct => df = df.withColumn("_change_type", lit(ct)))
+        Some(df.select(outCols.map(col): _*))
+      }
+
+    val frames = deltaLog.changes(startVersion)
+      .takeWhile(_._1 <= end)
+      .flatMap { case (v, actions) =>
+        val abs = (p: String) => FileNames.absolutePath(deltaLog.dataPath, p).toString
+        val cdc = actions.collect { case c: AddCDCFile => abs(c.path) }
+        val versionFrames =
+          if (cdc.nonEmpty) readAs(cdc, None).toSeq
+          else {
+            val ins = actions.collect { case a: AddFile if a.dataChange => abs(a.path) }
+            val del = actions.collect { case r: RemoveFile if r.dataChange => abs(r.path) }
+            readAs(ins, Some("insert")).toSeq ++ readAs(del, Some("delete")).toSeq
+          }
+        versionFrames.map(_
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_commit_timestamp", timestamp_millis(lit(tsOf.getOrElse(v, 0L)))))
+      }.toSeq
+
+    frames.reduceOption(_ unionByName _).getOrElse {
+      val empty = org.apache.spark.sql.types.StructType(
+        schema.fields
+          :+ org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType)
+          :+ org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType)
+          :+ org.apache.spark.sql.types.StructField("_commit_timestamp", org.apache.spark.sql.types.TimestampType))
+      spark.createDataFrame(new java.util.ArrayList[Row](), empty)
+    }
+  }
+
   // -------------------------------------------------------------- write
 
   /** Append or overwrite the table with a DataFrame. With `mergeSchema`,

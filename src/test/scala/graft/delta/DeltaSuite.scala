@@ -655,6 +655,56 @@ class DeltaSuite extends AnyFunSuite {
     assert(ci.operationMetrics("numAddedBytes").toLong > 0)
   }
 
+  test("A18: tableChanges materializes inserts and deletes per version") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append, Seq("part")) // v0: 5 inserts
+    t.deleteWhere(col("part") === "x") // v1: 2 deletes
+    t.write(sampleDF.filter(col("id") === 5), SaveMode.Append) // v2: 1 insert
+    t.compact() // v3: dataChange=false — must contribute nothing
+
+    val all = t.tableChanges(0).orderBy(col("_commit_version"), col("id")).collect()
+    val byVersion = all.groupBy(_.getAs[Long]("_commit_version"))
+    assert(byVersion(0L).length == 5 && byVersion(0L).forall(_.getAs[String]("_change_type") == "insert"))
+    assert(byVersion(1L).map(_.getAs[Long]("id")).sorted.toSeq == Seq(1L, 2L))
+    assert(byVersion(1L).forall(_.getAs[String]("_change_type") == "delete"))
+    assert(byVersion(2L).map(_.getAs[Long]("id")).toSeq == Seq(5L))
+    assert(!byVersion.contains(3L), "compaction rewrites are not changes")
+    // bounded range
+    assert(t.tableChanges(1, 1).count() == 2)
+    assert(t.tableChanges(0).columns.contains("_commit_timestamp"))
+  }
+
+  test("A18: AddCDCFile commits contribute exactly their cdc files") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append) // v0
+    // hand-build a v1 carrying a CDC file (the Delta CDF layout: data
+    // columns + _change_type) alongside file actions that must be ignored
+    val cdcRel = "_change_data/cdc-0.parquet"
+    val cdcAbs = new Path(dir, cdcRel)
+    Seq((1L, "a", "x", "update_preimage"), (1L, "a2", "x", "update_postimage"))
+      .toDF("id", "name", "part", "_change_type")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new Path(dir, "_change_data_tmp").toString)
+    val fs = cdcAbs.getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(new Path(dir, "_change_data_tmp"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.mkdirs(cdcAbs.getParent)
+    fs.rename(part, cdcAbs)
+    val old = t.snapshot.allFiles.head
+    val txn = t.deltaLog.startTransaction()
+    txn.commit(Seq(
+      AddCDCFile(cdcRel, Map.empty, fs.getFileStatus(cdcAbs).getLen),
+      old.remove(1L), // would read as a spurious 'delete' without cdc precedence
+      AddFile("bogus-new.parquet", Map.empty, 1L, 1L)), "UPDATE")
+    val v1 = t.tableChanges(1, 1).collect()
+    assert(v1.length == 2)
+    assert(v1.map(_.getAs[String]("_change_type")).sorted.toSeq ==
+      Seq("update_postimage", "update_preimage"))
+  }
+
   test("A18: cdc actions round the changes feed") {
     val dir = tmp()
     val t = DeltaTable.forPath(spark, dir)
