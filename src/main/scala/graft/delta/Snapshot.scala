@@ -33,7 +33,28 @@ class Snapshot(
 
   private def logPath = deltaLog.logPath
 
-  /** Driver-parsed actions of the JSON tail, replay order. */
+  /** Above this many tail bytes, the JSON tail is parsed by Spark
+    * (`spark.read.json`) instead of driver-side Jackson: the tail is
+    * normally bounded by the checkpoint interval, but one overwrite
+    * commit can carry millions of add/remove lines and must not heap the
+    * driver. Tunable via `spark.graft.snapshot.spillThresholdBytes`.
+    */
+  private lazy val spillTail: Boolean = {
+    val threshold = spark.conf
+      .getOption("spark.graft.snapshot.spillThresholdBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    segment.deltas.nonEmpty && {
+      val first = FileNames.deltaFile(logPath, segment.deltas.head)
+      deltaLog.store.listFrom(first)
+        .filter(st => FileNames.isDeltaFile(st.getPath) &&
+          FileNames.deltaVersion(st.getPath) <= version)
+        .map(_.getLen).sum > threshold
+    }
+  }
+
+  /** Driver-parsed actions of the JSON tail, replay order (only touched
+    * on the non-spill path).
+    */
   lazy val tailActions: Seq[(Long, Action)] =
     segment.deltas.flatMap { v =>
       deltaLog.store.read(FileNames.deltaFile(logPath, v))
@@ -52,11 +73,17 @@ class Snapshot(
         .withColumn("version", lit(ci.version))
     }
 
-  private def tailDF: DataFrame = {
-    val rows = tailActions.map { case (v, a) => (v, a.wrap) }
-    spark.createDataset(rows)(Encoders.product[(Long, SingleAction)])
-      .select($"_2.*", $"_1".as("version"))
-  }
+  private def tailDF: DataFrame =
+    if (spillTail) {
+      val paths = segment.deltas.map(v => FileNames.deltaFile(logPath, v).toString)
+      spark.read.schema(saSchema).json(paths: _*)
+        .withColumn("version",
+          regexp_extract(input_file_name(), "(\\d+)\\.json$", 1).cast("long"))
+    } else {
+      val rows = tailActions.map { case (v, a) => (v, a.wrap) }
+      spark.createDataset(rows)(Encoders.product[(Long, SingleAction)])
+        .select($"_2.*", $"_1".as("version"))
+    }
 
   /** All actions contributing to this version, as (SingleAction, version). */
   lazy val stateDF: DataFrame = {
@@ -108,7 +135,20 @@ class Snapshot(
     var proto: Option[Protocol] = None
     var meta: Option[Metadata] = None
     var txns = Map.empty[String, SetTransaction]
-    tailActions.foreach {
+    if (spillTail) {
+      // huge tail: aggregate the few metadata-ish rows in Spark instead of
+      // replaying millions of lines on the driver (latest version wins —
+      // within one commit duplicates are prohibited by prepareCommit)
+      val t = tailDF
+      meta = t.where($"metaData".isNotNull).orderBy($"version".desc).limit(1)
+        .select($"metaData.*").as[Metadata].collect().headOption
+      proto = t.where($"protocol".isNotNull).orderBy($"version".desc).limit(1)
+        .select($"protocol.*").as[Protocol].collect().headOption
+      txns = t.where($"txn".isNotNull)
+        .groupBy($"txn.appId").agg(max_by($"txn", $"version").as("t"))
+        .select($"t.*").as[SetTransaction].collect()
+        .map(st => st.appId -> st).toMap
+    } else tailActions.foreach {
       case (_, p: Protocol) => proto = Some(p)
       case (_, m: Metadata) => meta = Some(m)
       case (_, t: SetTransaction) => txns += (t.appId -> t)

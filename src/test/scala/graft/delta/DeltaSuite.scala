@@ -655,6 +655,34 @@ class DeltaSuite extends AnyFunSuite {
     assert(ci.operationMetrics("numAddedBytes").toLong > 0)
   }
 
+  test("huge commit tails spill to spark.read.json instead of driver jackson") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    spark.conf.set("spark.graft.snapshot.spillThresholdBytes", "100000")
+    try {
+      val txn0 = t.deltaLog.startTransaction()
+      txn0.updateMetadata(Metadata(schemaString = sampleDF.schema.json))
+      txn0.commit(
+        SetTransaction("bulk-loader", 42L, Some(1L)) +:
+          (0 until 200000).map(i => AddFile(f"bulk-$i%06d.parquet", Map.empty, 1L, 1L)),
+        "WRITE") // one ~25MB commit, far over the lowered threshold
+      val snap = t.deltaLog.update()
+      assert(snap.version == 0L)
+      assert(snap.numOfFiles == 200000L)
+      assert(snap.metadataOpt.isDefined, "metadata recovered through the spill path")
+      assert(snap.transactions.get("bulk-loader").contains(42L))
+      // overwrite on top: the tombstone reconciliation also runs through spark
+      val txn1 = t.deltaLog.startTransaction()
+      txn1.readWholeTable()
+      txn1.commit(
+        snap.allFiles.take(1).map(_.remove(1L)) :+
+          AddFile("fresh.parquet", Map.empty, 1L, 1L), "WRITE")
+      val snap2 = t.deltaLog.update()
+      assert(snap2.numOfFiles == 200000L) // -1 removed, +1 added
+      assert(snap2.tombstonesDF.count() == 1L)
+    } finally spark.conf.unset("spark.graft.snapshot.spillThresholdBytes")
+  }
+
   test("A18: tableChanges materializes inserts and deletes per version") {
     val dir = tmp()
     val t = DeltaTable.forPath(spark, dir)
