@@ -134,36 +134,53 @@ object Dedup {
       WHERE $duckJaccard >= 0.7
       ORDER BY doc_a, doc_b"""), bench = true),
 
-    // C3 (blocked exact n-gram jaccard; blocking key = source) ----------
+    // C3: exact n-gram jaccard at a looser threshold (0.5), verified on
+    // LSH candidates only. Round 1 blocked on `source` and self-joined
+    // within the block — O(n^2) per block, a cartesian blowup when a
+    // 100 TB corpus has a handful of sources. Candidates now come from
+    // the same minhash signatures as C2, banded 8x2 (two rows per band:
+    // P[candidate | J=0.5] = 1-(1-0.5^2)^8 ~ 0.9, vs 0.23 for C2's 4x4
+    // banding) — shuffle carries ids + band keys only.
     GQ("dedup_ngram_jaccard", (s, d) => {
       import s.implicits._
-      val docs = table(s, d, "documents")
-        .withColumn("sh",
-          ExpressionUtils.column(WordShingles(ExpressionUtils.expression($"text"), 3)))
-        .filter(size($"sh") > 0)
-        .select($"doc_id", $"source", $"sh")
-      val l = docs.select($"source", $"doc_id".as("doc_a"), $"sh".as("sa"))
-      val r = docs.select($"source", $"doc_id".as("doc_b"), $"sh".as("sb"))
-      l.join(r, Seq("source")).filter($"doc_a" < $"doc_b")
+      val docs = shingled(s, d)
+      val sig = docs.withColumn("sig", minhashSig($"sh"))
+      val bands = sig.select(
+        $"doc_id",
+        posexplode(array((0 until 8).map { b =>
+          concat_ws("|",
+            element_at($"sig", 2 * b + 1), element_at($"sig", 2 * b + 2))
+        }: _*)).as(Seq("b", "bkey")))
+      val l = bands.select($"doc_id".as("doc_a"), $"b", $"bkey")
+      val r = bands.select($"doc_id".as("doc_b"), $"b", $"bkey")
+      val cand = l.join(r, Seq("b", "bkey")).filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b").distinct()
+      cand
+        .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sa")), Seq("doc_a"))
+        .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sb")), Seq("doc_b"))
         .withColumn("jaccard", jaccard($"sa", $"sb"))
         .filter($"jaccard" >= 0.5)
-        .select($"source", $"doc_a", $"doc_b", $"jaccard")
-        .orderBy($"source", $"doc_a", $"doc_b")
+        .select($"doc_a", $"doc_b", $"jaccard")
+        .orderBy($"doc_a", $"doc_b")
     }, Some(s"""
-      WITH d AS (
-        SELECT doc_id, source, sh FROM (
-          SELECT doc_id, source, list_distinct(CASE WHEN len(t) >= 3
-            THEN list_transform(generate_series(1, len(t)-2),
-                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-            ELSE [] END) AS sh
-          FROM (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-                FROM documents))
-        WHERE len(sh) > 0)
-      SELECT x.source AS source, x.doc_id AS doc_a, y.doc_id AS doc_b,
-        $duckJaccard AS jaccard
-      FROM d x JOIN d y ON x.source = y.source AND x.doc_id < y.doc_id
+      WITH d AS ($duckShingled),
+      sigs AS (
+        SELECT doc_id,
+          [${hashAB.map { case (a, b) => s"list_min(list_transform(vs, v -> ($a*v + $b) % $P))" }.mkString(", ")}] AS sig
+        FROM (SELECT doc_id,
+          list_transform(sh, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 1073741824) AS vs
+          FROM d)),
+      bands AS (
+        SELECT doc_id, u.b AS b,
+          concat_ws('|', sig[2*u.b+1], sig[2*u.b+2]) AS bkey
+        FROM sigs, (SELECT unnest([0,1,2,3,4,5,6,7]) AS b) u),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id)
+      SELECT doc_a, doc_b, $duckJaccard AS jaccard
+      FROM cand JOIN d x ON x.doc_id = doc_a JOIN d y ON y.doc_id = doc_b
       WHERE $duckJaccard >= 0.5
-      ORDER BY source, doc_a, doc_b""")),
+      ORDER BY doc_a, doc_b""")),
 
     // C4 ---------------------------------------------------------------
     // 60-bit simhash from the first 15 hex nibbles of per-token md5 (60

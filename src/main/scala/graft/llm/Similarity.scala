@@ -45,6 +45,17 @@ object Similarity {
   private val NumCells = 8
   private[llm] val anchors: Seq[Seq[Double]] = signVectors("iv", NumCells)
 
+  /** Banded sign-random-projection planes for near-dup candidate
+    * generation (C12): 4 bands x 4 planes. Two vectors at cosine 0.35
+    * agree per-plane with p = 1 - theta/pi ~ 0.61, so
+    * P[share a 4-plane band] = 1-(1-0.61^4)^4 ~ 0.45 per band set —
+    * recall without any all-pairs join.
+    */
+  private val DedupBands = 4
+  private val DedupRows = 4
+  private[llm] val dedupPlanes: Seq[Seq[Double]] =
+    signVectors("dp", DedupBands * DedupRows)
+
   private def normed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     table(s, d, "embeddings")
@@ -149,25 +160,54 @@ object Similarity {
     }),
 
     // C12 --------------------------------------------------------------
-    // Embedding near-duplicate pairs, blocked by label to avoid the full
-    // cross product (blocking is the standard scale move; the oracle uses
-    // the same blocking so results align).
+    // Embedding near-duplicate pairs. Round 1 blocked on `label` and
+    // self-joined within the block — O(n^2) per label, quadratic when a
+    // corpus has few labels. Candidates now come from banded
+    // sign-random-projection buckets (the same machinery as
+    // ann_lsh_bucketed, banded for recall): the candidate join carries
+    // (id, band, key) only, exact cosine verifies candidates only.
     GQ("embed_cosine_dedup", (s, d) => {
       import s.implicits._
       val v = normed(s, d)
-      val l = v.select($"label", $"vec_id".as("id_a"), $"e".as("ea"), $"nrm".as("na"))
-      val r = v.select($"label", $"vec_id".as("id_b"), $"e".as("eb"), $"nrm".as("nb"))
-      l.join(r, Seq("label")).filter($"id_a" < $"id_b")
+      val bandKeys = (0 until DedupBands).map { b =>
+        (0 until DedupRows).map { r =>
+          val plane = array(dedupPlanes(b * DedupRows + r).map(lit): _*)
+          when(dotD($"e", plane) >= 0, lit(1L << r)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }
+      val bands = v.select($"vec_id",
+        posexplode(array(bandKeys: _*)).as(Seq("b", "bkey")))
+      val l = bands.select($"vec_id".as("id_a"), $"b", $"bkey")
+      val r = bands.select($"vec_id".as("id_b"), $"b", $"bkey")
+      val cand = l.join(r, Seq("b", "bkey")).filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b").distinct()
+      cand
+        .join(v.select($"vec_id".as("id_a"), $"e".as("ea"), $"nrm".as("na")), Seq("id_a"))
+        .join(v.select($"vec_id".as("id_b"), $"e".as("eb"), $"nrm".as("nb")), Seq("id_b"))
         .withColumn("cosine", dotD($"ea", $"eb") / ($"na" * $"nb"))
         .filter($"cosine" >= 0.35)
-        .select($"label".cast("int").as("label"), $"id_a", $"id_b", $"cosine")
-        .orderBy($"label", $"id_a", $"id_b")
-    }, Some(s"""
-      WITH n AS ($duckNormed)
-      SELECT CAST(a.label AS INTEGER) AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-        ${duckDot("a.e", "b.e")} / (a.nrm * b.nrm) AS cosine
-      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE ${duckDot("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.35
-      ORDER BY label, id_a, id_b"""))
+        .select($"id_a", $"id_b", $"cosine")
+        .orderBy($"id_a", $"id_b")
+    }, {
+      def planeSql(i: Int) = dedupPlanes(i).mkString("[", ", ", "]")
+      val bandSql = (0 until DedupBands).map { b =>
+        (0 until DedupRows).map { r =>
+          s"(CASE WHEN ${duckDot("e", planeSql(b * DedupRows + r))} >= 0 THEN ${1L << r} ELSE 0 END)"
+        }.mkString(" + ")
+      }
+      Some(s"""
+      WITH n AS ($duckNormed),
+      bands AS (
+        SELECT vec_id, u.b AS b,
+          CASE ${(0 until DedupBands).map(b => s"WHEN u.b = $b THEN ${bandSql(b)}").mkString(" ")} END AS bkey
+        FROM n, (SELECT unnest([${(0 until DedupBands).mkString(",")}]) AS b) u),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey AND a.vec_id < c.vec_id)
+      SELECT id_a, id_b, ${duckDot("x.e", "y.e")} / (x.nrm * y.nrm) AS cosine
+      FROM cand JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b
+      WHERE ${duckDot("x.e", "y.e")} / (x.nrm * y.nrm) >= 0.35
+      ORDER BY id_a, id_b""")
+    })
   )
 }
