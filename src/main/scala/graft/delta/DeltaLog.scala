@@ -199,6 +199,33 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     val size = targets.map(t => fs.getFileStatus(t).getLen).sum
     Checkpoints.writeLastCheckpoint(store, logPath,
       CheckpointMetaData(s.version, size, instance.numParts))
+    cleanUpExpiredLogs(s)
+  }
+
+  /** Delete log files made redundant by the checkpoint just written at
+    * `s.version`, once past `delta.logRetentionDuration` (gated by
+    * `delta.enableExpiredLogCleanup`). The reference declares the config
+    * (`config.go:84`) and leaves the sweep as a TODO
+    * (`checkpoint.go:273` doLogCleanup); real Delta implementations run
+    * it exactly here. Only versions strictly below the new checkpoint are
+    * candidates — their state is fully captured by it — so time travel
+    * earlier than the checkpoint stops working, by design.
+    */
+  private def cleanUpExpiredLogs(s: Snapshot): Unit = {
+    val md = s.metadataOpt.getOrElse(return)
+    if (!DeltaConfig.EnableExpiredLogCleanup.fromMetadata(md)) return
+    val cutoff = clock.nowMillis - DeltaConfig.LogRetention.fromMetadata(md)
+    val statuses =
+      try store.listFrom(FileNames.deltaFile(logPath, 0))
+      catch { case _: java.io.FileNotFoundException => return }
+    statuses.foreach { st =>
+      val p = st.getPath
+      val expired = st.getModificationTime <= cutoff
+      if (expired && FileNames.isDeltaFile(p) && FileNames.deltaVersion(p) < s.version)
+        store.delete(p)
+      else if (expired && FileNames.isCheckpointFile(p) && FileNames.checkpointVersion(p) < s.version)
+        store.delete(p)
+    }
   }
 }
 

@@ -642,6 +642,40 @@ class DeltaSuite extends AnyFunSuite {
     assert(t.toDF.count() == 1)
   }
 
+  test("expired log cleanup sweeps pre-checkpoint commits after retention") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val log = t.deltaLog
+    val txn0 = log.startTransaction()
+    txn0.updateMetadata(Metadata(
+      schemaString = sampleDF.schema.json,
+      configuration = Map(
+        "delta.checkpointInterval" -> "4",
+        "delta.logRetentionDuration" -> "interval 0 millisecond")))
+    txn0.commit(Nil, "CREATE TABLE") // v0
+    (1 to 4).foreach(_ => t.write(sampleDF)) // v1..v4; checkpoint at v4
+    assert(log.store.exists(FileNames.checkpointFile(log.logPath, 4L)))
+    // retention 0: v0..v3 json swept by the checkpoint at v4
+    assert(log.listDeltaVersions() == Seq(4L))
+    val snap = log.update()
+    assert(snap.version == 4L && t.toDF.count() == 20)
+    intercept[Exception] { t.toDF(0) } // pre-checkpoint history gone, by design
+
+    // disabled cleanup keeps everything
+    val dir2 = tmp()
+    val t2 = DeltaTable.forPath(spark, dir2)
+    val txn2 = t2.deltaLog.startTransaction()
+    txn2.updateMetadata(Metadata(
+      schemaString = sampleDF.schema.json,
+      configuration = Map(
+        "delta.checkpointInterval" -> "4",
+        "delta.logRetentionDuration" -> "interval 0 millisecond",
+        "delta.enableExpiredLogCleanup" -> "false")))
+    txn2.commit(Nil, "CREATE TABLE")
+    (1 to 4).foreach(_ => t2.write(sampleDF))
+    assert(t2.deltaLog.listDeltaVersions() == (0L to 4L))
+  }
+
   test("history carries operation parameters and metrics") {
     val dir = tmp()
     val t = DeltaTable.forPath(spark, dir)
