@@ -182,6 +182,91 @@ object Dedup {
       WHERE $duckJaccard >= 0.5
       ORDER BY doc_a, doc_b""")),
 
+    // C14: near-dup pairs -> clusters -> canonical survivors -------------
+    // What a pipeline actually consumes: connected components over the
+    // verified near-dup pairs, one canonical doc (min id) per cluster.
+    // Min-label propagation to fixpoint — the standard distributed CC
+    // shape (iterations = component diameter, tiny for dup clusters;
+    // large-star/small-star is the drop-in upgrade for adversarial
+    // graphs). The DuckDB oracle mirrors it with a recursive CTE.
+    GQ("dedup_cluster", (s, d) => {
+      import s.implicits._
+      val docs = shingled(s, d)
+      val sig = docs.withColumn("sig", minhashSig($"sh"))
+      val bands = sig.select(
+        $"doc_id",
+        posexplode(array((0 until NumBands).map { b =>
+          concat_ws("|",
+            (0 until NumHashes / NumBands).map(r => element_at($"sig", b * (NumHashes / NumBands) + r + 1)): _*)
+        }: _*)).as(Seq("b", "bkey")))
+      val l = bands.select($"doc_id".as("doc_a"), $"b", $"bkey")
+      val r = bands.select($"doc_id".as("doc_b"), $"b", $"bkey")
+      val cand = l.join(r, Seq("b", "bkey")).filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b").distinct()
+      val pairs = cand
+        .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sa")), Seq("doc_a"))
+        .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sb")), Seq("doc_b"))
+        .filter(jaccard($"sa", $"sb") >= 0.7)
+        .select($"doc_a", $"doc_b")
+      val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+        .persist()
+      var labels = edges.select($"src".as("doc")).distinct()
+        .withColumn("lbl", $"doc").persist()
+      // label sums decrease monotonically; fixpoint when unchanged. The
+      // iterative materialization is inherent to distributed CC — only
+      // docs that appear in dup pairs participate, a sliver of the corpus.
+      var prevSum = labels.agg(sum($"lbl")).as[Long].head()
+      var iter = 0
+      var converged = false
+      while (!converged && iter < 20) {
+        val prop = labels.join(edges, $"doc" === $"src")
+          .select($"dst".as("doc"), $"lbl")
+        val next = labels.select($"doc", $"lbl").union(prop)
+          .groupBy($"doc").agg(min($"lbl").as("lbl")).persist()
+        val nextSum = next.agg(sum($"lbl")).as[Long].head()
+        labels.unpersist()
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        iter += 1
+      }
+      edges.unpersist()
+      labels
+        .select($"doc".as("doc_id"), $"lbl".as("cluster_id"),
+          ($"doc" === $"lbl").as("is_canonical"))
+        .orderBy($"doc_id")
+    }, Some(s"""
+      WITH RECURSIVE d AS ($duckShingled),
+      sigs AS (
+        SELECT doc_id,
+          [${hashAB.map { case (a, b) => s"list_min(list_transform(vs, v -> ($a*v + $b) % $P))" }.mkString(", ")}] AS sig
+        FROM (SELECT doc_id,
+          list_transform(sh, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 1073741824) AS vs
+          FROM d)),
+      bands AS (
+        SELECT doc_id, u.b AS b,
+          concat_ws('|', sig[4*u.b+1], sig[4*u.b+2], sig[4*u.b+3], sig[4*u.b+4]) AS bkey
+        FROM sigs, (SELECT unnest([0,1,2,3]) AS b) u),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand JOIN d x ON x.doc_id = doc_a JOIN d y ON y.doc_id = doc_b
+        WHERE $duckJaccard >= 0.7),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      verts AS (SELECT DISTINCT src AS doc FROM edges),
+      cc AS (
+        SELECT doc, doc AS lbl FROM verts
+        UNION
+        SELECT e.dst AS doc, cc.lbl FROM cc JOIN edges e ON e.src = cc.doc)
+      SELECT doc AS doc_id, MIN(lbl) AS cluster_id,
+        CAST(doc = MIN(lbl) AS BOOLEAN) AS is_canonical
+      FROM cc GROUP BY doc ORDER BY doc_id""")),
+
     // C4 ---------------------------------------------------------------
     // 60-bit simhash from the first 15 hex nibbles of per-token md5 (60
     // keeps the value positive in engines without unsigned 64-bit);

@@ -144,6 +144,62 @@ object TextOps {
       FROM documents GROUP BY source, CAST(floor(length(text)/100)*100 AS BIGINT)
       ORDER BY source, bucket""")),
 
+    // C15 --------------------------------------------------------------
+    // Deterministic stratified sampling: a per-source keep rate applied
+    // through an md5-derived uniform on doc_id, so any engine (and any
+    // rerun) selects the identical training subset. Per-row, shuffle-free
+    // — the scale shape for building training mixes.
+    GQ("sample_stratified", (s, d) => {
+      import s.implicits._
+      // rate by source suffix: src{k} keeps (1 + k%4)/4 of its docs
+      val rate = (substring($"source", 4, 10).cast("int") % 4 + 1) / lit(4.0)
+      val u = (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+        .cast("long") % 1000000L) / lit(1000000.0)
+      table(s, d, "documents")
+        .withColumn("rate", rate)
+        .filter(u < $"rate")
+        .select($"doc_id", $"source", $"rate")
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id, source, (CAST(substr(source, 4) AS INTEGER) % 4 + 1)/4.0 AS rate
+      FROM documents
+      WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000)/1000000.0
+            < (CAST(substr(source, 4) AS INTEGER) % 4 + 1)/4.0
+      ORDER BY doc_id""")),
+
+    // C16 --------------------------------------------------------------
+    // PII scrubbing: email/phone redaction. The corpus is synthetic, so a
+    // deterministic contact line is appended first to genuinely exercise
+    // the replacements; output is the scrubbed hash + a replacement
+    // count, per row, shuffle-free.
+    GQ("text_pii_scrub", (s, d) => {
+      import s.implicits._
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+?[0-9][0-9()., -]{7,}[0-9]"
+      val withPii = concat($"text", lit(" contact: user"), $"doc_id",
+        lit("@example.com or +1 (555) 123-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+      table(s, d, "documents")
+        .withColumn("raw", withPii)
+        .withColumn("scrubbed",
+          regexp_replace(regexp_replace($"raw", emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+        .select(
+          $"doc_id",
+          md5($"scrubbed").as("scrubbed_md5"),
+          (size(regexp_extract_all($"raw", lit(emailRe), lit(0))) +
+            size(regexp_extract_all($"raw", lit(phoneRe), lit(0)))).cast("long").as("n_redacted"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id, md5(regexp_replace(regexp_replace(raw,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\+?[0-9][0-9()., -]{7,}[0-9]', '<PHONE>', 'g')) AS scrubbed_md5,
+        CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(raw, '\+?[0-9][0-9()., -]{7,}[0-9]')) AS BIGINT) AS n_redacted
+      FROM (SELECT doc_id,
+              text || ' contact: user' || doc_id || '@example.com or +1 (555) 123-' ||
+              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+            FROM documents)
+      ORDER BY doc_id""")),
+
     // C10 --------------------------------------------------------------
     // Winnowing-style fingerprint: 4 lexicographically-smallest md5s of
     // char 8-grams over the normalized text. Identical hex both engines.
