@@ -20,10 +20,17 @@ import org.apache.spark.sql.types._
   */
 object Stats {
 
-  /** Spark types whose parquet footer min/max we trust and serialize. */
+  /** Spark types whose parquet footer min/max we trust and serialize.
+    * Dates serialize as ISO days, timestamps as microsecond-precision UTC
+    * strings, decimals as plain strings — all shapes `from_json` parses
+    * back to the column's Spark type in the scan. (INT96 timestamps carry
+    * no footer stats; files written that way simply never skip.)
+    */
   private def eligible(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | ShortType | ByteType |
-         DoubleType | FloatType | StringType | BooleanType => true
+         DoubleType | FloatType | StringType | BooleanType |
+         DateType | TimestampType => true
+    case _: DecimalType => true
     case _ => false
   }
 
@@ -82,18 +89,38 @@ object Stats {
     case (n: java.lang.Number, DoubleType) => n.doubleValue()
     case (n: java.lang.Number, FloatType) => n.floatValue()
     case (b: java.lang.Boolean, BooleanType) => b
+    case (n: java.lang.Number, DateType) =>
+      java.time.LocalDate.ofEpochDay(n.longValue()).toString
+    case (n: java.lang.Number, TimestampType) =>
+      // INT64 TIMESTAMP(MICROS/MILLIS) footer stats; INT96 yields Binary
+      // and falls through to null (no stats, no skipping)
+      formatMicros(n.longValue())
+    case (b: Binary, d: DecimalType) =>
+      new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), d.scale).toPlainString
+    case (n: java.lang.Number, d: DecimalType) =>
+      java.math.BigDecimal.valueOf(n.longValue(), d.scale).toPlainString
     case _ => null
   }
 
-  private def cmp(a: Any, b: Any): Int = (a, b) match {
-    case (x: String, y: String) => x.compareTo(y)
-    case (x: java.lang.Number, y: java.lang.Number) =>
+  private def formatMicros(micros: Long): String = {
+    val secs = java.lang.Math.floorDiv(micros, 1000000L)
+    val frac = java.lang.Math.floorMod(micros, 1000000L)
+    val i = java.time.Instant.ofEpochSecond(secs, frac * 1000L)
+    java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS"))
+  }
+
+  private def cmp(a: Any, b: Any, dt: DataType): Int = (a, b, dt) match {
+    case (x: String, y: String, _: DecimalType) =>
+      new java.math.BigDecimal(x).compareTo(new java.math.BigDecimal(y))
+    case (x: String, y: String, _) => x.compareTo(y) // ISO strings sort correctly
+    case (x: java.lang.Number, y: java.lang.Number, _) =>
       java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-    case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+    case (x: java.lang.Boolean, y: java.lang.Boolean, _) => x.compareTo(y)
     case _ => 0
   }
-  private def ordMin(a: Any, b: Any, dt: DataType): Any = if (cmp(a, b) <= 0) a else b
-  private def ordMax(a: Any, b: Any, dt: DataType): Any = if (cmp(a, b) >= 0) a else b
+  private def ordMin(a: Any, b: Any, dt: DataType): Any = if (cmp(a, b, dt) <= 0) a else b
+  private def ordMax(a: Any, b: Any, dt: DataType): Any = if (cmp(a, b, dt) >= 0) a else b
 
   private val mapper = new ObjectMapper()
 

@@ -513,6 +513,38 @@ class DeltaSuite extends AnyFunSuite {
     assert(t.read(col("id") > 90).count() == 10)
   }
 
+  test("A17: data skipping covers timestamp, date and decimal stats") {
+    import spark.implicits._
+    val dir = tmp()
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      val t = DeltaTable.forPath(spark, dir)
+      def day(d: String) = java.sql.Date.valueOf(d)
+      def ts(d: String) = java.sql.Timestamp.valueOf(d + " 12:30:00.123456")
+      def dec(s: String) = new java.math.BigDecimal(s)
+      // two commits = two files with disjoint ranges on every column
+      t.write(Seq((1L, ts("2020-01-01"), day("2020-01-01"), dec("10.50")),
+        (2L, ts("2020-06-01"), day("2020-06-01"), dec("20.25")))
+        .toDF("id", "ev_ts", "ev_day", "price")
+        .select($"id", $"ev_ts", $"ev_day", $"price".cast("decimal(10,2)").as("price"))
+        .coalesce(1))
+      t.write(Seq((3L, ts("2021-01-01"), day("2021-01-01"), dec("99.75")),
+        (4L, ts("2021-06-01"), day("2021-06-01"), dec("150.00")))
+        .toDF("id", "ev_ts", "ev_day", "price")
+        .select($"id", $"ev_ts", $"ev_day", $"price".cast("decimal(10,2)").as("price"))
+        .coalesce(1))
+      assert(t.snapshot.allFiles.size == 2)
+      def filesFor(p: org.apache.spark.sql.Column) =
+        DeltaScan(t.snapshot, Some(p)).filesDF.count()
+      assert(filesFor(col("ev_ts") > lit("2021-01-01 00:00:00").cast("timestamp")) == 1)
+      assert(filesFor(col("ev_day") < lit("2020-12-31").cast("date")) == 1)
+      assert(filesFor(col("price") >= lit(99)) == 1)
+      assert(filesFor(col("id") > 100L) == 0)
+      // correctness unharmed by pruning
+      assert(t.read(col("ev_ts") > lit("2021-01-01 00:00:00").cast("timestamp")).count() == 2)
+    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+  }
+
   test("A17: multi-part checkpoint write and recovery") {
     import spark.implicits._
     val dir = tmp()
