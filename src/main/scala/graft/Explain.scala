@@ -2,27 +2,30 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dump formatted physical plans for the headline queries (plan review
-  * tool backing SURVEY §6 — not part of the driver contract).
+/** Plan-audit tool: prints the AQE-final formatted physical plan of one
+  * registered query. Usage:
+  * `sbt "runMain graft.Explain <queryName> [sfDir]"`. Used to check the
+  * properties SURVEY §6 demands: pushed filters, pruned read schemas,
+  * broadcast where expected, unbroken WholeStageCodegen spans.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    require(args.nonEmpty, s"usage: Explain <queryName> [sfDir]; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.benchQueries
-    val fns = SparkEntry.queries
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      println(fns(n)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-    }
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.count() // materialize so AQE settles on the final plan
+    println(s"=== $name @ $sfDir (AQE-final) ===")
+    println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }
