@@ -89,24 +89,29 @@ object Checkpoints {
       Iterator(mapper.writeValueAsString(o)), overwrite = true)
   }
 
-  /** Latest complete checkpoint instance with version <= notLaterThan,
-    * from a name-sorted listing of the log directory.
+  /** All complete checkpoint instances with version <= notLaterThan, from
+    * a name-sorted listing of the log directory, sorted ascending. A
+    * multi-part checkpoint counts only if all n parts are present.
     */
-  def latestCompleteCheckpoint(
-      store: LogStore, logPath: Path, notLaterThan: Long = Long.MaxValue): Option[CheckpointInstance] = {
+  def completeCheckpoints(
+      store: LogStore, logPath: Path, notLaterThan: Long = Long.MaxValue): Seq[CheckpointInstance] = {
     val statuses =
       try store.listFrom(FileNames.checkpointPrefix(logPath, 0))
-      catch { case _: java.io.FileNotFoundException => return None }
+      catch { case _: java.io.FileNotFoundException => return Nil }
     val instances = statuses
       .map(_.getPath)
       .filter(FileNames.isCheckpointFile)
       .map(CheckpointInstance.fromPath)
       .filter(_.version <= notLaterThan)
-    // multi-part: complete only if all n parts are present
     val byKey = instances.groupBy(i => (i.version, i.numParts))
     byKey.collect {
       case ((_, None), is) => is.head
       case ((_, Some(n)), is) if is.size == n => is.head
-    }.toSeq.sorted.lastOption
+    }.toSeq.sorted
   }
+
+  /** Latest complete checkpoint instance with version <= notLaterThan. */
+  def latestCompleteCheckpoint(
+      store: LogStore, logPath: Path, notLaterThan: Long = Long.MaxValue): Option[CheckpointInstance] =
+    completeCheckpoints(store, logPath, notLaterThan).lastOption
 }

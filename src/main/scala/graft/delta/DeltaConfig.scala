@@ -4,8 +4,14 @@ package graft.delta
   * (cf. reference `config.go` TableConfig / fromMetadata).
   */
 final case class TableConfig[T](key: String, default: String, parse: String => T) {
+  /** Reads the standard `delta.`-prefixed key, falling back to the
+    * unprefixed form the reference's `config.go` reads (so tables created
+    * by the reference engine keep their retention/checkpoint/appendOnly
+    * settings here), then to the default.
+    */
   def fromMetadata(md: Metadata): T =
-    parse(md.configuration.getOrElse(key, default))
+    parse(md.configuration.getOrElse(key,
+      md.configuration.getOrElse(key.stripPrefix("delta."), default)))
 }
 
 /** The table tunables the reference centralizes in `config.go`, under the

@@ -127,12 +127,9 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
   private[delta] def earliestReproducibleVersion: Option[Long] = {
     val versions = listDeltaVersions()
     if (versions.headOption.contains(0L)) return Some(0L)
-    Checkpoints.latestCompleteCheckpoint(store, logPath).flatMap { _ =>
-      // earliest complete checkpoint = smallest one in the listing
-      val statuses = store.listFrom(FileNames.checkpointPrefix(logPath, 0))
-      statuses.map(_.getPath).filter(FileNames.isCheckpointFile)
-        .map(FileNames.checkpointVersion).sorted.headOption
-    }
+    // earliest COMPLETE checkpoint: an incomplete multi-part survivor of a
+    // partial sweep must not be offered as reproducible
+    Checkpoints.completeCheckpoints(store, logPath).headOption.map(_.version)
   }
 
   private def buildSnapshot(versionBound: Option[Long]): Snapshot = {
@@ -211,20 +208,29 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     * candidates — their state is fully captured by it — so time travel
     * earlier than the checkpoint stops working, by design.
     */
-  private def cleanUpExpiredLogs(s: Snapshot): Unit = {
+  private[delta] def cleanUpExpiredLogs(s: Snapshot): Unit = {
     val md = s.metadataOpt.getOrElse(return)
     if (!DeltaConfig.EnableExpiredLogCleanup.fromMetadata(md)) return
     val cutoff = clock.nowMillis - DeltaConfig.LogRetention.fromMetadata(md)
+    // list from the version-0 CHECKPOINT prefix: "….checkpoint…" sorts
+    // lexicographically before "….json", so listing from the delta file
+    // would never surface a version-0 checkpoint and it would never sweep
     val statuses =
-      try store.listFrom(FileNames.deltaFile(logPath, 0))
+      try store.listFrom(FileNames.checkpointPrefix(logPath, 0))
       catch { case _: java.io.FileNotFoundException => return }
-    statuses.foreach { st =>
+    val (ckptParts, rest) = statuses.partition(st => FileNames.isCheckpointFile(st.getPath))
+    rest.foreach { st =>
       val p = st.getPath
-      val expired = st.getModificationTime <= cutoff
-      if (expired && FileNames.isDeltaFile(p) && FileNames.deltaVersion(p) < s.version)
+      if (st.getModificationTime <= cutoff && FileNames.isDeltaFile(p) &&
+          FileNames.deltaVersion(p) < s.version)
         store.delete(p)
-      else if (expired && FileNames.isCheckpointFile(p) && FileNames.checkpointVersion(p) < s.version)
-        store.delete(p)
+    }
+    // sweep a checkpoint all-or-nothing: a cutoff straddling a multi-part
+    // checkpoint's mtimes must not leave a partial (unusable) survivor
+    ckptParts.groupBy(st => FileNames.checkpointVersion(st.getPath)).foreach {
+      case (v, parts) if v < s.version && parts.forall(_.getModificationTime <= cutoff) =>
+        parts.foreach(st => store.delete(st.getPath))
+      case _ =>
     }
   }
 }

@@ -266,7 +266,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       .option("basePath", deltaLog.dataPath.toString)
       .parquet(paths: _*)
     val dataCols = md.schema.fieldNames.filterNot(partCols.contains).map(col).toSeq
-    val salt = pmod(hash(dataCols: _*), lit(saltBuckets))
+    // zero-arg hash() fails analysis when every column is a partition column
+    val salt = if (dataCols.isEmpty) lit(0) else pmod(hash(dataCols: _*), lit(saltBuckets))
     val df =
       if (partCols.nonEmpty) df0.repartition(numTasks, partCols.map(col) :+ salt: _*)
       else df0.repartition(numTasks)

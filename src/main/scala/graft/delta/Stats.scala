@@ -8,6 +8,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
 import org.apache.spark.sql.types._
 
 /** Per-file statistics for AddFile.stats (SURVEY §2 A17): numRecords +
@@ -57,6 +58,16 @@ object Stats {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val numRecords = blocks.map(_.getRowCount).sum
       val wanted = statFields(dataSchema, partCols).map(f => f.name -> f.dataType).toMap
+      // Physical timestamp unit per column (MILLIS/MICROS/NANOS) from the
+      // parquet logical-type annotation — the raw INT64 footer stat is in
+      // this unit, NOT necessarily microseconds.
+      val tsUnits: Map[String, TimeUnit] =
+        reader.getFooter.getFileMetaData.getSchema.getColumns.asScala.flatMap { cd =>
+          cd.getPrimitiveType.getLogicalTypeAnnotation match {
+            case t: TimestampLogicalTypeAnnotation => Some(cd.getPath.mkString(".") -> t.getUnit)
+            case _ => None
+          }
+        }.toMap
       val mins = scala.collection.mutable.LinkedHashMap.empty[String, Any]
       val maxs = scala.collection.mutable.LinkedHashMap.empty[String, Any]
       var failed = Set.empty[String]
@@ -66,7 +77,9 @@ object Stats {
           val st = c.getStatistics
           if (st == null || !st.hasNonNullValue) failed += name
           else {
-            val (mn, mx) = (convert(st.genericGetMin, dt), convert(st.genericGetMax, dt))
+            val unit = tsUnits.get(name)
+            val (mn, mx) = (convert(st.genericGetMin, dt, unit, roundUp = false),
+              convert(st.genericGetMax, dt, unit, roundUp = true))
             if (mn == null || mx == null) failed += name
             else {
               mins(name) = mins.get(name).map(ordMin(_, mn, dt)).getOrElse(mn)
@@ -80,7 +93,8 @@ object Stats {
     } finally reader.close()
   }
 
-  private def convert(v: Any, dt: DataType): Any = (v, dt) match {
+  private def convert(v: Any, dt: DataType,
+      tsUnit: Option[TimeUnit] = None, roundUp: Boolean = false): Any = (v, dt) match {
     case (b: Binary, StringType) => b.toStringUsingUTF8
     case (n: java.lang.Number, IntegerType) => n.intValue()
     case (n: java.lang.Number, LongType) => n.longValue()
@@ -92,9 +106,18 @@ object Stats {
     case (n: java.lang.Number, DateType) =>
       java.time.LocalDate.ofEpochDay(n.longValue()).toString
     case (n: java.lang.Number, TimestampType) =>
-      // INT64 TIMESTAMP(MICROS/MILLIS) footer stats; INT96 yields Binary
-      // and falls through to null (no stats, no skipping)
-      formatMicros(n.longValue())
+      // INT64 TIMESTAMP footer stats, scaled to micros by the column's
+      // declared unit; INT96 yields Binary (no annotation) and falls
+      // through to null (no stats, no skipping). NANOS truncation widens
+      // the range (floor for min, ceil for max) so pruning stays safe.
+      tsUnit match {
+        case Some(TimeUnit.MILLIS) => formatMicros(Math.multiplyExact(n.longValue(), 1000L))
+        case Some(TimeUnit.MICROS) => formatMicros(n.longValue())
+        case Some(TimeUnit.NANOS) =>
+          val nanos = n.longValue()
+          formatMicros(if (roundUp) -Math.floorDiv(-nanos, 1000L) else Math.floorDiv(nanos, 1000L))
+        case None => null
+      }
     case (b: Binary, d: DecimalType) =>
       new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), d.scale).toPlainString
     case (n: java.lang.Number, d: DecimalType) =>
@@ -106,8 +129,10 @@ object Stats {
     val secs = java.lang.Math.floorDiv(micros, 1000000L)
     val frac = java.lang.Math.floorMod(micros, 1000000L)
     val i = java.time.Instant.ofEpochSecond(secs, frac * 1000L)
+    // ISO-8601 with explicit Z (the Delta stats convention): parses back
+    // timezone-independently in any session zone.
     java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
-      .format(java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS"))
+      .format(java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
   }
 
   private def cmp(a: Any, b: Any, dt: DataType): Int = (a, b, dt) match {

@@ -232,10 +232,15 @@ object Dedup {
         iter += 1
       }
       edges.unpersist()
-      labels
+      // materialize off the persisted lineage so the cache can be released
+      // before returning (labels stays in executor memory otherwise)
+      val out = labels
         .select($"doc".as("doc_id"), $"lbl".as("cluster_id"),
           ($"doc" === $"lbl").as("is_canonical"))
         .orderBy($"doc_id")
+        .localCheckpoint(true)
+      labels.unpersist()
+      out
     }, Some(s"""
       WITH RECURSIVE d AS ($duckShingled),
       sigs AS (

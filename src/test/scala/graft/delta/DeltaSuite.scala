@@ -545,6 +545,31 @@ class DeltaSuite extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
   }
 
+  test("A17: MILLIS timestamps and non-UTC sessions skip safely") {
+    import spark.implicits._
+    val dir = tmp()
+    // TIMESTAMP_MILLIS files: the raw INT64 footer stat is milliseconds —
+    // treated as micros it would decode to ~1970 and every `ts > 2021`
+    // predicate would skip every file (silent row loss)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try {
+      val t = DeltaTable.forPath(spark, dir)
+      def ts(d: String) = java.sql.Timestamp.valueOf(d + " 12:30:00")
+      t.write(Seq((1L, ts("2020-01-01")), (2L, ts("2020-06-01"))).toDF("id", "ev_ts").coalesce(1))
+      t.write(Seq((3L, ts("2021-01-01")), (4L, ts("2021-06-01"))).toDF("id", "ev_ts").coalesce(1))
+      val pred = col("ev_ts") > lit("2021-01-01 00:00:00").cast("timestamp")
+      assert(DeltaScan(t.snapshot, Some(pred)).filesDF.count() == 1)
+      assert(t.read(pred).count() == 2, "MILLIS stats must not prune matching rows")
+      // stats strings carry an explicit Z: a non-UTC session parses them
+      // to the same instants, so pruning stays correct in any zone
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      try {
+        assert(DeltaScan(t.deltaLog.update(), Some(pred)).filesDF.count() == 1)
+        assert(t.read(pred).count() == 2)
+      } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+  }
+
   test("A17: multi-part checkpoint write and recovery") {
     import spark.implicits._
     val dir = tmp()
@@ -706,6 +731,102 @@ class DeltaSuite extends AnyFunSuite {
     txn2.commit(Nil, "CREATE TABLE")
     (1 to 4).foreach(_ => t2.write(sampleDF))
     assert(t2.deltaLog.listDeltaVersions() == (0L to 4L))
+  }
+
+  test("expired log cleanup sweeps multi-part checkpoints all-or-nothing") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val log = t.deltaLog
+    val txn0 = log.startTransaction()
+    txn0.updateMetadata(Metadata(
+      schemaString = sampleDF.schema.json,
+      configuration = Map(
+        "delta.checkpointInterval" -> "2",
+        "delta.checkpoint.partSize" -> "1"))) // default 30-day retention
+    txn0.commit(Nil, "CREATE TABLE") // v0
+    (1 to 4).foreach(_ => t.write(sampleDF)) // multi-part ckpts at v2 and v4
+    val fs = log.logPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def ckptParts(v: Long) =
+      log.store.listFrom(FileNames.checkpointPrefix(log.logPath, 0))
+        .map(_.getPath).filter(FileNames.isCheckpointFile)
+        .filter(FileNames.checkpointVersion(_) == v)
+    val v2parts = ckptParts(2L)
+    assert(v2parts.size > 1, "expected a multi-part checkpoint at v2")
+    val old = System.currentTimeMillis() - 40L * 24 * 3600 * 1000
+    (0L to 3L).foreach(v => fs.setTimes(FileNames.deltaFile(log.logPath, v), old, -1))
+    // expire only SOME of v2's checkpoint parts: the straddled checkpoint
+    // must survive intact (partial deletion would corrupt discovery)
+    fs.setTimes(v2parts.head, old, -1)
+    log.cleanUpExpiredLogs(log.update())
+    assert(log.listDeltaVersions() == Seq(4L), "expired json commits swept")
+    assert(ckptParts(2L).size == v2parts.size, "straddled checkpoint kept whole")
+    // all parts expired -> the whole checkpoint goes
+    ckptParts(2L).foreach(p => fs.setTimes(p, old, -1))
+    log.cleanUpExpiredLogs(log.update())
+    assert(ckptParts(2L).isEmpty)
+    assert(ckptParts(4L).nonEmpty && log.update().version == 4L)
+  }
+
+  test("earliestReproducibleVersion ignores incomplete multi-part checkpoints") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val log = t.deltaLog
+    val txn0 = log.startTransaction()
+    txn0.updateMetadata(Metadata(
+      schemaString = sampleDF.schema.json,
+      configuration = Map(
+        "delta.checkpointInterval" -> "2",
+        "delta.checkpoint.partSize" -> "1")))
+    txn0.commit(Nil, "CREATE TABLE")
+    (1 to 4).foreach(_ => t.write(sampleDF)) // multi-part ckpts at v2 and v4
+    // age out the pre-checkpoint json commits (as a retention sweep would)
+    (0L to 3L).foreach(v => log.store.delete(FileNames.deltaFile(log.logPath, v)))
+    assert(log.listDeltaVersions() == Seq(4L))
+    val parts2 = log.store.listFrom(FileNames.checkpointPrefix(log.logPath, 0))
+      .map(_.getPath).filter(FileNames.isCheckpointFile)
+      .filter(FileNames.checkpointVersion(_) == 2L)
+    assert(parts2.nonEmpty)
+    assert(log.earliestReproducibleVersion.contains(2L))
+    // simulate a partial sweep: v2's checkpoint loses one part
+    log.store.delete(parts2.head)
+    assert(log.earliestReproducibleVersion.contains(4L),
+      "an incomplete checkpoint must not be offered as reproducible")
+    // and the snapshot build path still works from the complete v4 ckpt
+    assert(t.toDF(4L).count() == 20)
+  }
+
+  test("expired log cleanup sees version-0 checkpoints") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val log = t.deltaLog
+    val txn0 = log.startTransaction()
+    txn0.updateMetadata(Metadata(schemaString = sampleDF.schema.json))
+    txn0.commit(Nil, "CREATE TABLE") // v0
+    log.checkpoint(log.update()) // checkpoint at version 0
+    t.write(sampleDF) // v1
+    log.checkpoint(log.update()) // checkpoint at version 1
+    val fs = log.logPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val ckpt0 = FileNames.checkpointFile(log.logPath, 0L)
+    assert(log.store.exists(ckpt0))
+    val old = System.currentTimeMillis() - 40L * 24 * 3600 * 1000
+    fs.setTimes(FileNames.deltaFile(log.logPath, 0L), old, -1)
+    fs.setTimes(ckpt0, old, -1)
+    log.cleanUpExpiredLogs(log.update())
+    // "00….checkpoint.parquet" sorts before "00….json": a listing that
+    // starts at the delta file would never see (or sweep) this checkpoint
+    assert(!log.store.exists(ckpt0), "version-0 checkpoint swept")
+    assert(log.listDeltaVersions() == Seq(1L))
+  }
+
+  test("table config falls back to unprefixed reference keys") {
+    val md = Metadata(configuration = Map("logRetentionDuration" -> "interval 5 day"))
+    assert(DeltaConfig.LogRetention.fromMetadata(md) == 5L * 24 * 3600 * 1000)
+    // the delta.-prefixed (protocol) form wins when both are present
+    val both = Metadata(configuration = Map(
+      "delta.checkpointInterval" -> "3", "checkpointInterval" -> "7"))
+    assert(DeltaConfig.CheckpointInterval.fromMetadata(both) == 3)
+    assert(DeltaConfig.AppendOnly.fromMetadata(
+      Metadata(configuration = Map("appendOnly" -> "true"))))
   }
 
   test("history carries operation parameters and metrics") {
