@@ -72,4 +72,11 @@ object DeltaConfig {
   /** OPTIMIZE's target output file size. */
   val TargetFileSize: TableConfig[Long] =
     TableConfig("delta.targetFileSize", (128L * 1024 * 1024).toString, _.trim.toLong)
+
+  /** Row-level change capture for DML: DELETE/UPDATE/MERGE also write
+    * their changed rows as CDC files (`_change_data/`, AddCDCFile) that
+    * `tableChanges` reads back exactly (the open Delta CDF convention).
+    */
+  val EnableChangeDataFeed: TableConfig[Boolean] =
+    TableConfig("delta.enableChangeDataFeed", "false", _.trim.toLowerCase == "true")
 }

@@ -84,6 +84,54 @@ object DeltaQueries {
       t.write(nation.filter(col("n_nationkey") < 5)) // v2: 5 inserts
     }
 
+  private def deleteFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "dml-del") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      t.write(table(s, d, "orders"), SaveMode.Append, Seq("o_orderstatus"))
+      // residual (non-partition) predicate -> the row-level rewrite path
+      t.delete(col("o_totalprice") > 250000)
+    }
+
+  private def updateFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "dml-upd") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      t.write(table(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      t.update(col("n_regionkey") === 2,
+        Map("n_name" -> concat(col("n_name"), lit("_EU"))))
+    }
+
+  private def mergeFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "dml-merge") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val nation = table(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      t.write(nation)
+      val src = nation.filter(col("n_nationkey") < 10)
+        .select(col("n_nationkey"), upper(col("n_name")).as("n_name"), col("n_regionkey"))
+        .unionByName(nation.filter(col("n_nationkey") < 5)
+          .select((col("n_nationkey") + 100).as("n_nationkey"), col("n_name"), col("n_regionkey")))
+      t.merge(src, col("t.n_nationkey") === col("s.n_nationkey"))
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    }
+
+  private def cdfDmlFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "dml-cdf") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val nation = table(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val txn = t.deltaLog.startTransaction()
+      txn.updateMetadata(Metadata(
+        schemaString = nation.schema.json,
+        configuration = Map("delta.enableChangeDataFeed" -> "true")))
+      txn.commit(Nil, "CREATE TABLE") // v0
+      t.write(nation) // v1
+      t.delete(col("n_regionkey") === 2 && col("n_nationkey") > 10) // v2
+      t.update(col("n_nationkey") < 3, Map("n_name" -> concat(col("n_name"), lit("!")))) // v3
+    }
+
   private val ordersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
@@ -163,6 +211,67 @@ object DeltaQueries {
         SELECT nk, n_name, rk, 'delete', CAST(1 AS BIGINT) FROM n WHERE rk = 2
         UNION ALL
         SELECT nk, n_name, rk, 'insert', CAST(2 AS BIGINT) FROM n WHERE nk < 5)
+      ORDER BY _commit_version, n_nationkey, _change_type""")),
+
+    // DML: row-level DELETE through the touched-file rewrite path
+    GQ("delta_delete", (s, d) => {
+      val dir = deleteFixture(s, d)
+      DeltaTable.forPath(s, dir).toDF
+        .select(ordersCols.map(col): _*)
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE NOT (o_totalprice > 250000) ORDER BY o_orderkey""")),
+
+    // DML: row-level UPDATE, SET evaluated against the old row
+    GQ("delta_update", (s, d) => {
+      val dir = updateFixture(s, d)
+      DeltaTable.forPath(s, dir).toDF
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }, Some("""
+      SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+        CASE WHEN n_regionkey = 2 THEN n_name || '_EU' ELSE n_name END AS n_name,
+        CAST(n_regionkey AS INTEGER) AS n_regionkey
+      FROM nation ORDER BY n_nationkey""")),
+
+    // DML: MERGE upsert (updateAll + insertAll)
+    GQ("delta_merge", (s, d) => {
+      val dir = mergeFixture(s, d)
+      DeltaTable.forPath(s, dir).toDF
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }, Some("""
+      SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+        CASE WHEN n_nationkey < 10 THEN upper(n_name) ELSE n_name END AS n_name,
+        CAST(n_regionkey AS INTEGER) AS n_regionkey
+      FROM nation
+      UNION ALL
+      SELECT CAST(n_nationkey + 100 AS INTEGER), n_name, CAST(n_regionkey AS INTEGER)
+      FROM nation WHERE n_nationkey < 5
+      ORDER BY n_nationkey""")),
+
+    // DML + CDF: row-level deletes and update pre/post images read back
+    GQ("delta_cdf_dml", (s, d) => {
+      val dir = cdfDmlFixture(s, d)
+      DeltaTable.forPath(s, dir).tableChanges(2, 3)
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy(col("_commit_version"), col("n_nationkey"), col("_change_type"))
+    }, Some("""
+      WITH n AS (SELECT CAST(n_nationkey AS INTEGER) AS nk, n_name,
+                   CAST(n_regionkey AS INTEGER) AS rk FROM nation)
+      SELECT nk AS n_nationkey, n_name, rk AS n_regionkey, _change_type, _commit_version
+      FROM (
+        SELECT nk, n_name, rk, 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        FROM n WHERE rk = 2 AND nk > 10
+        UNION ALL
+        SELECT nk, n_name || '!', rk, 'update_postimage', CAST(3 AS BIGINT) FROM n WHERE nk < 3
+        UNION ALL
+        SELECT nk, n_name, rk, 'update_preimage', CAST(3 AS BIGINT) FROM n WHERE nk < 3)
       ORDER BY _commit_version, n_nationkey, _change_type""")),
 
     // A9/A10: snapshot stitched from parquet checkpoint + json tail

@@ -349,6 +349,134 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     deleted
   }
 
+  // ---------------------------------------------------------------- DML
+
+  /** Read specific table files as a DataFrame (partition columns recovered
+    * from the hive paths via basePath), columns in metadata order.
+    */
+  private[delta] def readFilesDF(files: Seq[AddFile], md: Metadata): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val paths = files.map(f => FileNames.absolutePath(deltaLog.dataPath, f.path).toString)
+    spark.read.schema(md.schema)
+      .option("basePath", deltaLog.dataPath.toString)
+      .parquet(paths: _*)
+      .select(md.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Decoded absolute path — the common form between `_metadata.file_path`
+    * strings and AddFile relative paths.
+    */
+  private[delta] def normPath(s: String): String =
+    new Path(new java.net.URI(s)).toUri.getPath
+
+  /** Files that actually contain rows matching `cond`, found with ONE
+    * metadata-column scan over the already-pruned candidates: Catalyst
+    * prunes the read down to the predicate's columns, and only distinct
+    * file paths come back to the driver — never rows.
+    */
+  private def filesWithMatches(candidates: Seq[AddFile], md: Metadata,
+      cond: Column): Seq[AddFile] = {
+    import org.apache.spark.sql.functions.col
+    if (candidates.isEmpty) return Nil
+    val paths = candidates.map(f => FileNames.absolutePath(deltaLog.dataPath, f.path).toString)
+    val hit = spark.read.schema(md.schema)
+      .option("basePath", deltaLog.dataPath.toString)
+      .parquet(paths: _*)
+      .filter(cond)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(r => normPath(r.getString(0))).toSet
+    candidates.filter(f =>
+      hit(normPath(FileNames.absolutePath(deltaLog.dataPath, f.path).toString)))
+  }
+
+  /** Row-level DELETE: rewrites only the files that contain matching rows
+    * (found via partition pruning + stats skipping + one match scan);
+    * rows where the predicate is NULL are kept, per SQL DELETE semantics.
+    * With `delta.enableChangeDataFeed` the deleted rows are captured as
+    * CDC files. Use [[deleteWhere]] for the metadata-only fast path when
+    * the predicate is partition-granular.
+    */
+  def delete(condition: Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val txn = deltaLog.startTransaction()
+    if (txn.snapshot.metadataOpt.isEmpty) return txn.readVersion
+    val md = txn.metadata
+    val candidates = txn.markFilesAsRead(condition)
+    val condTrue = coalesce(condition, lit(false))
+    val touched = filesWithMatches(candidates, md, condTrue)
+    if (touched.isEmpty) return txn.readVersion
+    val touchedDF = readFilesDF(touched, md)
+    val survivors = touchedDF.filter(not(condTrue))
+    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, survivors, md.partitionColumns)
+    val now = deltaLog.clock.nowMillis
+    val removes = touched.map(_.remove(now))
+    val cdc =
+      if (DeltaConfig.EnableChangeDataFeed.fromMetadata(md))
+        DeltaTable.writeCdcFiles(spark, deltaLog.dataPath,
+          touchedDF.filter(condTrue)
+            .withColumn("_change_type", lit("delete")))
+      else Nil
+    txn.commit(removes ++ adds ++ cdc, "DELETE",
+      operationParameters = Map("predicate" -> condition.toString))
+  }
+
+  /** Row-level UPDATE: `set` maps column name -> new-value expression,
+    * all evaluated against the OLD row (standard UPDATE semantics — set
+    * expressions never see each other's results). Only files containing
+    * matching rows are rewritten; partition-column updates move rows
+    * between partitions naturally through the partitioned rewrite. With
+    * `delta.enableChangeDataFeed`, update_preimage/update_postimage rows
+    * are captured as CDC files.
+    */
+  def update(condition: Column, set: Map[String, Column]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    val txn = deltaLog.startTransaction()
+    if (txn.snapshot.metadataOpt.isEmpty) return txn.readVersion
+    val md = txn.metadata
+    val unknown = set.keySet -- md.schema.fieldNames
+    require(unknown.isEmpty, s"SET references unknown columns: ${unknown.mkString(", ")}")
+    val candidates = txn.markFilesAsRead(condition)
+    val condTrue = coalesce(condition, lit(false))
+    val touched = filesWithMatches(candidates, md, condTrue)
+    if (touched.isEmpty) return txn.readVersion
+    val touchedDF = readFilesDF(touched, md)
+    // one projection over the old row: updated where matched, else as-is
+    val rewriteProj = md.schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(e) => when(condTrue, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }.toSeq
+    val rewritten = touchedDF.select(rewriteProj: _*)
+    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, rewritten, md.partitionColumns)
+    val now = deltaLog.clock.nowMillis
+    val removes = touched.map(_.remove(now))
+    val cdc =
+      if (DeltaConfig.EnableChangeDataFeed.fromMetadata(md)) {
+        val matched = touchedDF.filter(condTrue)
+        val postProj = md.schema.fields.map { f =>
+          set.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+        }.toSeq
+        DeltaTable.writeCdcFiles(spark, deltaLog.dataPath,
+          matched.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(matched.select(postProj: _*)
+              .withColumn("_change_type", lit("update_postimage"))))
+      } else Nil
+    txn.commit(removes ++ adds ++ cdc, "UPDATE",
+      operationParameters = Map(
+        "predicate" -> condition.toString,
+        "setColumns" -> set.keys.toSeq.sorted.mkString(",")))
+  }
+
+  /** MERGE INTO builder: the target is addressable as `t.<col>` and the
+    * source as `s.<col>` in the condition and in all clause expressions.
+    * See [[MergeBuilder]] for the clause surface and the two-phase
+    * execution shape.
+    */
+  def merge(source: DataFrame, condition: Column): MergeBuilder =
+    new MergeBuilder(this, source, condition)
+
   /** Partition-level delete: drops whole files selected by a
     * partition-column predicate (residual predicates are rejected — this
     * is file-granular, like the reference's metadata-only surface).
@@ -374,6 +502,33 @@ object DeltaTable {
 
   def isDeltaTable(spark: SparkSession, path: String): Boolean =
     DeltaLog.forTable(spark, path).tableExists
+
+  /** Write change rows (table columns + `_change_type`) as CDC parquet
+    * under `_change_data/`, returning AddCDCFile actions. CDC files keep
+    * partition columns as DATA columns (no hive dirs): a CDF reader wants
+    * the full row back, and `_change_data` is not a `k=v` path segment so
+    * it must not participate in partition discovery.
+    */
+  private[delta] def writeCdcFiles(
+      spark: SparkSession, dataPath: Path, df: DataFrame): Seq[AddCDCFile] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dataPath.getFileSystem(conf)
+    val staging = new Path(dataPath, s".staging-cdc-${UUID.randomUUID}")
+    try {
+      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val cdcDir = new Path(dataPath, "_change_data")
+      fs.mkdirs(cdcDir)
+      fs.listStatus(staging).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val destRel = s"_change_data/cdc-${UUID.randomUUID}.parquet"
+          val dest = new Path(dataPath, destRel)
+          if (!fs.rename(st.getPath, dest))
+            throw new java.io.IOException(s"failed to move ${st.getPath} -> $dest")
+          AddCDCFile(destRel, Map.empty, fs.getFileStatus(dest).getLen)
+        }
+    } finally fs.delete(staging, true)
+  }
 
   /** Physically write df as Hive-partitioned parquet under the table root
     * via a staging dir + rename, returning the AddFile actions. Rename is

@@ -1,0 +1,171 @@
+package graft.delta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Row-level DML: DELETE / UPDATE / MERGE, and their CDF capture. */
+class DmlSuite extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft-dml").toString
+
+  private def table(cdf: Boolean = false): DeltaTable = {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    val df = Seq(
+      (1L, "alice", 10, "x"), (2L, "bob", 20, "x"),
+      (3L, "carol", 30, "y"), (4L, "dave", 40, "y"),
+      (5L, "erin", 50, "z")).toDF("id", "name", "score", "part")
+    if (cdf) {
+      val txn = t.deltaLog.startTransaction()
+      txn.updateMetadata(Metadata(
+        schemaString = df.schema.json, partitionColumns = Seq("part"),
+        configuration = Map("delta.enableChangeDataFeed" -> "true")))
+      txn.commit(Nil, "CREATE TABLE")
+    }
+    t.write(df, SaveMode.Append, Seq("part"))
+    t
+  }
+
+  test("DELETE removes matching rows and rewrites only touched files") {
+    val t = table()
+    val before = t.snapshot.allFiles.map(_.path).toSet
+    val v = t.delete(col("score") >= 30 && col("part") === "y") // hits only part=y
+    assert(v > 0)
+    assert(t.toDF.count() == 3)
+    assert(t.toDF.filter(col("part") === "y").count() == 0)
+    val after = t.snapshot.allFiles.map(_.path).toSet
+    val untouched = before.filter(_.contains("part=x"))
+    assert(untouched.subsetOf(after), "files without matches must not be rewritten")
+  }
+
+  test("DELETE keeps rows where the predicate is NULL") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    t.write(Seq((1L, Some(5)), (2L, None), (3L, Some(50))).toDF("id", "v"))
+    t.delete(col("v") > 10) // NULL > 10 is NULL -> keep, per SQL
+    assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("DELETE with no matches is a no-op commit-wise") {
+    val t = table()
+    val v0 = t.snapshot.version
+    assert(t.delete(col("score") > 999) == v0)
+    assert(t.snapshot.version == v0)
+  }
+
+  test("UPDATE evaluates SET against the old row") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    t.write(Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("id", "a", "b"))
+    // swap: both expressions must see the OLD a and b
+    t.update(col("id") === 1, Map("a" -> col("b"), "b" -> col("a")))
+    val r = t.toDF.orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 100L, 10L), (2L, 20L, 200L)))
+  }
+
+  test("UPDATE moves rows across partitions when a partition column changes") {
+    val t = table()
+    t.update(col("id") === 5, Map("part" -> lit("x")))
+    assert(t.toDF.filter(col("part") === "z").count() == 0)
+    assert(t.toDF.filter(col("part") === "x").count() == 3)
+    // the row physically lives in a part=x file now
+    assert(t.snapshot.allFiles.forall(f => f.partitionValues("part") != "z"))
+  }
+
+  test("MERGE updateAll + insertAll upserts") {
+    import spark.implicits._
+    val t = table()
+    val src = Seq(
+      (1L, "ALICE", 11, "x"),   // matched -> update
+      (6L, "frank", 60, "z")    // not matched -> insert
+    ).toDF("id", "name", "score", "part")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    val r = t.toDF.orderBy("id").as[(Long, String, Int, String)].collect().toSeq
+    assert(r == Seq(
+      (1L, "ALICE", 11, "x"), (2L, "bob", 20, "x"), (3L, "carol", 30, "y"),
+      (4L, "dave", 40, "y"), (5L, "erin", 50, "z"), (6L, "frank", 60, "z")))
+  }
+
+  test("MERGE delete clause and explicit set expressions") {
+    import spark.implicits._
+    val t = table()
+    val toDelete = Seq(2L, 4L).toDF("id")
+    t.merge(toDelete, col("t.id") === col("s.id")).whenMatchedDelete().execute()
+    assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L))
+    // set expression mixing source and target columns
+    val bump = Seq((1L, 5), (3L, 7)).toDF("id", "delta")
+    t.merge(bump, col("t.id") === col("s.id"))
+      .whenMatchedUpdate(Map("score" -> (col("t.score") + col("s.delta"))))
+      .execute()
+    val scores = t.toDF.orderBy("id").select("score").as[Int].collect().toSeq
+    assert(scores == Seq(15, 37, 50))
+  }
+
+  test("MERGE into an empty or non-matching table inserts") {
+    import spark.implicits._
+    val t = table()
+    val src = Seq((7L, "gina", 70, "w")).toDF("id", "name", "score", "part")
+    t.merge(src, col("t.id") === col("s.id")).whenNotMatchedInsertAll().execute()
+    assert(t.toDF.count() == 6)
+    assert(t.toDF.filter(col("id") === 7).select("part").head().getString(0) == "w")
+  }
+
+  test("MERGE rejects multiple source rows matching one target row") {
+    import spark.implicits._
+    val t = table()
+    val src = Seq((1L, 100), (1L, 200)).toDF("id", "score2")
+    intercept[UnsupportedOperationException] {
+      t.merge(src, col("t.id") === col("s.id"))
+        .whenMatchedUpdate(Map("score" -> col("s.score2")))
+        .execute()
+    }
+  }
+
+  test("CDF captures row-level deletes and update pre/post images") {
+    import spark.implicits._
+    val t = table(cdf = true)
+    val v1 = t.delete(col("id") === 3)                            // row-level delete
+    val v2 = t.update(col("id") === 1, Map("score" -> lit(99)))   // row-level update
+    val ch = t.tableChanges(v1, v2)
+      .select($"id", $"score", $"_change_type", $"_commit_version")
+      .orderBy($"_commit_version", $"id", $"_change_type")
+      .as[(Long, Int, String, Long)].collect().toSeq
+    assert(ch == Seq(
+      (3L, 30, "delete", v1),
+      (1L, 99, "update_postimage", v2), // "…post…" sorts before "…pre…"
+      (1L, 10, "update_preimage", v2)))
+    // survivors rewritten in the same files must NOT appear as changes
+    assert(!ch.exists { case (id, _, ct, _) => id == 4L && ct == "delete" })
+  }
+
+  test("CDF captures merge inserts, updates and deletes") {
+    import spark.implicits._
+    val t = table(cdf = true)
+    val src = Seq((2L, "BOB", 21, "x"), (9L, "zoe", 90, "q")).toDF("id", "name", "score", "part")
+    val v = t.merge(src, col("t.id") === col("s.id"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    val ch = t.tableChanges(v, v)
+      .select($"id", $"score", $"_change_type")
+      .orderBy($"id", $"_change_type")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(ch == Seq(
+      (2L, 21, "update_postimage"), // "…post…" sorts before "…pre…"
+      (2L, 20, "update_preimage"),
+      (9L, 90, "insert")))
+  }
+}
