@@ -192,20 +192,35 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     }
 
     val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, partCols)
+    val operation = if (mode == SaveMode.Overwrite) "WRITE.Overwrite" else "WRITE.Append"
+    val params = Map(
+      "mode" -> mode.toString,
+      "partitionBy" -> partCols.mkString(","),
+      "mergeSchema" -> mergeSchema.toString)
     val actions: Seq[Action] = mode match {
       case SaveMode.Append => adds
       case SaveMode.Overwrite =>
         txn.readWholeTable()
         val now = deltaLog.clock.nowMillis
+        val removedCount = txn.snapshot.numOfFiles
+        if (removedCount > DeltaTable.commitLargeThreshold(spark)) {
+          // huge overwrite: stream the remove list straight from the
+          // snapshot Dataset into the commit file — the driver holds one
+          // action at a time, never a 10^7-element list
+          import scala.jdk.CollectionConverters._
+          val removes = txn.snapshot.allFilesDS.toLocalIterator.asScala
+            .map(f => f.remove(now): Action)
+          return txn.commitLarge(removes ++ adds.iterator, operation,
+            operationParameters = params,
+            operationMetrics = Map(
+              "numAddedFiles" -> adds.size.toString,
+              "numRemovedFiles" -> removedCount.toString,
+              "numAddedBytes" -> adds.map(_.size).sum.toString))
+        }
         txn.snapshot.allFiles.map(_.remove(now)) ++ adds
       case m => throw new IllegalArgumentException(s"unsupported save mode $m")
     }
-    txn.commit(actions,
-      if (mode == SaveMode.Overwrite) "WRITE.Overwrite" else "WRITE.Append",
-      operationParameters = Map(
-        "mode" -> mode.toString,
-        "partitionBy" -> partCols.mkString(","),
-        "mergeSchema" -> mergeSchema.toString))
+    txn.commit(actions, operation, operationParameters = params)
   }
 
   /** Exactly-once streaming sink batch (use from `foreachBatch`): the
@@ -496,6 +511,13 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
 }
 
 object DeltaTable {
+
+  /** Above this many removed files, overwrite commits stream via
+    * [[OptimisticTransaction.commitLarge]] instead of materializing the
+    * action list on the driver (trade: no conflict retry on that commit).
+    */
+  private[delta] def commitLargeThreshold(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.commitLarge.threshold").map(_.toLong).getOrElse(50000L)
 
   def forPath(spark: SparkSession, path: String): DeltaTable =
     new DeltaTable(spark, DeltaLog.forTable(spark, path))

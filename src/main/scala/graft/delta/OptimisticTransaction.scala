@@ -163,6 +163,60 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     done
   }
 
+  /** Streaming commit for huge action sets (cf. Delta's own commitLarge):
+    * actions flow straight from the iterator to the commit file — the
+    * driver never materializes the list, so a 10^7-file overwrite commit
+    * is bounded by one action in memory at a time (the snapshot read path
+    * already spills huge tails to Spark). Contract differences from
+    * [[commit]], same as Delta's: NO conflict retry (a lost race throws
+    * immediately — the single-pass iterator cannot be replayed), metrics
+    * are caller-supplied (the stream is not inspected twice), and
+    * `isBlindAppend` is conservatively false. Metadata goes through
+    * [[updateMetadata]], never through the stream.
+    */
+  def commitLarge(actions: Iterator[Action], operation: String,
+      engineInfo: String = "graft-spark",
+      operationParameters: Map[String, String] = Map.empty,
+      operationMetrics: Map[String, String] = Map.empty): Long = {
+    require(!committed, "transaction already committed")
+    if (snapshot.version == -1 && newMetadata.isEmpty)
+      throw new IllegalStateException("first commit must include table metadata")
+    val appendOnly = DeltaConfig.AppendOnly.fromMetadata(metadata)
+    val checked = actions.map {
+      case _: Metadata =>
+        throw new IllegalStateException(
+          "stage Metadata via updateMetadata, not the commitLarge stream")
+      case r: RemoveFile if appendOnly && r.dataChange =>
+        throw new UnsupportedOperationException(
+          "this table is append-only (delta.appendOnly=true); removes with dataChange are not allowed")
+      case a => a
+    }
+    val commitInfo = CommitInfo(
+      timestamp = deltaLog.clock.nowMillis,
+      operation = operation,
+      operationParameters = operationParameters,
+      readVersion = if (snapshot.version >= 0) Some(snapshot.version) else None,
+      isolationLevel = Some(Serializable.name),
+      isBlindAppend = Some(false),
+      operationMetrics = operationMetrics,
+      engineInfo = Some(engineInfo),
+      txnId = Some(java.util.UUID.randomUUID.toString))
+    val head: Seq[Action] = commitInfo +:
+      ((if (snapshot.version == -1) Seq(Protocol()) else Nil) ++ newMetadata.toSeq)
+    val attempt = snapshot.version + 1
+    try
+      deltaLog.store.write(FileNames.deltaFile(deltaLog.logPath, attempt),
+        (head.iterator ++ checked).map(Actions.toJson))
+    catch {
+      case _: FileAlreadyExistsException =>
+        throw new DeltaConcurrentModificationException(
+          s"version $attempt was committed concurrently; commitLarge does not retry")
+    }
+    committed = true
+    postCommit(attempt)
+    attempt
+  }
+
   /** cf. reference `trnx.go:603` checkForConflicts + `conflict_checker.go`.
     * Returns the latest winning version when compatible; throws otherwise.
     */

@@ -870,6 +870,36 @@ class DeltaSuite extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.snapshot.spillThresholdBytes")
   }
 
+  test("commitLarge: huge overwrites stream and small tables still retry") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    spark.conf.set("spark.graft.commitLarge.threshold", "2")
+    try {
+      (1 to 3).foreach(_ => t.write(sampleDF)) // > threshold files
+      assert(t.snapshot.numOfFiles > 2)
+      t.write(sampleDF.filter(col("id") <= 2), SaveMode.Overwrite)
+      assert(t.toDF.count() == 2)
+      val ci = t.history(1).head
+      assert(ci.operation == "WRITE.Overwrite")
+      assert(ci.operationMetrics("numRemovedFiles").toLong > 2)
+      assert(ci.isBlindAppend.contains(false))
+      // subsequent normal commits still work on top of a streamed commit
+      t.write(sampleDF)
+      assert(t.toDF.count() == 7)
+    } finally spark.conf.unset("spark.graft.commitLarge.threshold")
+  }
+
+  test("commitLarge: a lost race throws instead of retrying") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF)
+    val loser = t.deltaLog.startTransaction()
+    t.write(sampleDF) // winner lands first
+    intercept[DeltaErrors.DeltaConcurrentModificationException] {
+      loser.commitLarge(Iterator(AddFile("x.parquet", Map.empty, 1L, 1L)), "WRITE")
+    }
+  }
+
   test("A18: tableChanges materializes inserts and deletes per version") {
     val dir = tmp()
     val t = DeltaTable.forPath(spark, dir)
