@@ -2,14 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{GQ, Relational}
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§7. */
 object SparkEntry {
 
   /** Every implemented operator, in SURVEY §2 order. */
   def registry: Seq[GQ] =
-    Relational.queries ++ TextOps.queries ++ Dedup.queries ++
+    Relational.queries ++ TextOps.queries ++ Corpus.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ graft.delta.DeltaQueries.queries ++
       graft.streaming.Streams.queries
 

@@ -1,0 +1,159 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.queries.{GQ, QueryDefs}
+import QueryDefs._
+
+/** Corpus-curation operators for LLM training pipelines (SURVEY §2 C,
+  * round 3): n-gram heavy hitters, eval-set decontamination, TF-IDF
+  * keyword extraction, corpus composition stats, incremental dedup.
+  * Shapes are the 100 TB ones: per-row token work stays shuffle-free,
+  * aggregations partial-combine on uniform keys (n-grams, md5 hashes),
+  * joins carry ids/hashes only, and top-k is TakeOrdered, never a full
+  * sort. Determinism follows SURVEY §4: counts and integer-scaled scores
+  * only — no float accumulation orders to diverge from the oracle.
+  */
+object Corpus {
+
+  /** Word 5-gram shingles of a token array (caller filters size >= 5). */
+  private def grams5(t: org.apache.spark.sql.Column) =
+    array_distinct(transform(sequence(lit(1), size(t) - 4), i =>
+      concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
+        element_at(t, i + 3), element_at(t, i + 4))))
+
+  val queries: Seq[GQ] = Seq(
+    // C17 ---------------------------------------------------------------
+    // Global top-20 word trigrams: the "what is my corpus made of" heavy-
+    // hitters report. Partial aggregation absorbs the explode before the
+    // shuffle; the final top-k is TakeOrdered over (count, ngram) — no
+    // global sort at any scale.
+    GQ("ngram_topk", (s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .withColumn("t", tokens($"text"))
+        .filter(size($"t") >= 3)
+        .select(explode(transform(sequence(lit(1), size($"t") - 2), i =>
+          concat_ws(" ", element_at($"t", i), element_at($"t", i + 1),
+            element_at($"t", i + 2)))).as("ngram"))
+        .groupBy($"ngram").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"ngram")
+        .limit(20)
+    }, Some("""
+      WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      g AS (SELECT unnest(list_transform(generate_series(1, len(t)-2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ngram
+            FROM t WHERE len(t) >= 3)
+      SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
+      ORDER BY n DESC, ngram LIMIT 20""")),
+
+    // C18 ---------------------------------------------------------------
+    // Eval-set decontamination: training docs sharing any word 5-gram
+    // with the held-out set (source 'src0' stands in for the eval set),
+    // with the overlap size per doc. The join key is the shingle itself
+    // (uniform), only (doc_id, gram) pairs shuffle, and AQE broadcasts
+    // the eval side when it is small — the standard contamination sweep.
+    GQ("decontaminate", (s, d) => {
+      import s.implicits._
+      val grams = table(s, d, "documents")
+        .withColumn("t", tokens($"text"))
+        .filter(size($"t") >= 5)
+        .select($"doc_id", $"source", explode(grams5($"t")).as("g"))
+      val evalG = grams.filter($"source" === "src0").select($"g").distinct()
+      grams.filter($"source" =!= "src0")
+        .join(evalG, Seq("g"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                 FROM documents),
+      g AS (SELECT doc_id, source,
+              unnest(list_distinct(list_transform(generate_series(1, len(t)-4),
+                i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))) AS g
+            FROM t WHERE len(t) >= 5),
+      e AS (SELECT DISTINCT g FROM g WHERE source = 'src0')
+      SELECT doc_id, COUNT(*) AS n_shared
+      FROM (SELECT doc_id, g FROM g WHERE source <> 'src0') tr JOIN e USING (g)
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // C19 ---------------------------------------------------------------
+    // Per-document top-3 keywords by TF-IDF. The idf is integer-scaled
+    // (floor(N*1000/df)) so scores are exact BIGINTs — engine-identical
+    // ordering with (score, term) tie-breaks, per the §4 determinism
+    // rules. tf/df are two partial-combined aggregations on uniform keys;
+    // the final window partitions by doc_id.
+    GQ("tfidf_topterms", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, d, "documents")
+      val tok = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+      val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+      val n = docs.agg(count(lit(1)).as("n_total"))
+      val sc = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+        .select($"doc_id", $"term",
+          ($"tf" * floor($"n_total" * lit(1000.0) / $"df").cast("long")).as("score"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+      sc.withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"term", $"score", $"rk")
+        .orderBy($"doc_id", $"rk")
+    }, Some("""
+      WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                   FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_total FROM documents),
+      sc AS (SELECT doc_id, term, tf * CAST(floor(n_total*1000.0/df) AS BIGINT) AS score
+             FROM tf JOIN df USING (term) CROSS JOIN n)
+      SELECT doc_id, term, score, rk FROM (
+        SELECT doc_id, term, score,
+          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        FROM sc)
+      WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+    // C20 ---------------------------------------------------------------
+    // Corpus composition report: docs / chars / exact-unique docs per
+    // (source, lang) cell — the mix table a training run is planned from.
+    // One partial-combined aggregation on a bounded key space.
+    GQ("corpus_stats", (s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .groupBy($"source", $"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          countDistinct(md5($"text")).as("n_unique"),
+          (sum($"n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy($"source", $"lang")
+    }, Some("""
+      SELECT source, lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        COUNT(DISTINCT md5(text)) AS n_unique,
+        CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars
+      FROM documents GROUP BY source, lang ORDER BY source, lang""")),
+
+    // C21 ---------------------------------------------------------------
+    // Incremental ingestion dedup: keep only the docs of an incoming
+    // batch (source 'src1' stands in) whose normalized-text hash is
+    // absent from the existing corpus — a hash anti-join, the shape that
+    // admits a new crawl slice into a 100 TB corpus without a full-table
+    // rewrite.
+    GQ("dedup_incremental", (s, d) => {
+      import s.implicits._
+      val docs = table(s, d, "documents")
+        .withColumn("h", md5(concat_ws(" ", tokens($"text"))))
+      val corpus = docs.filter($"source" =!= "src1").select($"h").distinct()
+      docs.filter($"source" === "src1")
+        .join(corpus, Seq("h"), "left_anti")
+        .select($"doc_id", $"h")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH d AS (SELECT doc_id, source,
+          md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS h
+        FROM documents)
+      SELECT doc_id, h FROM d
+      WHERE source = 'src1'
+        AND h NOT IN (SELECT h FROM d WHERE source <> 'src1')
+      ORDER BY doc_id"""))
+  )
+}
