@@ -79,4 +79,10 @@ object DeltaConfig {
     */
   val EnableChangeDataFeed: TableConfig[Boolean] =
     TableConfig("delta.enableChangeDataFeed", "false", _.trim.toLowerCase == "true")
+
+  /** Merge-on-read DELETE: write per-file deletion vectors instead of
+    * rewriting files (see [[DeletionVectors]]); OPTIMIZE materializes.
+    */
+  val EnableDeletionVectors: TableConfig[Boolean] =
+    TableConfig("delta.enableDeletionVectors", "false", _.trim.toLowerCase == "true")
 }

@@ -132,6 +132,23 @@ object DeltaQueries {
       t.update(col("n_nationkey") < 3, Map("n_name" -> concat(col("n_name"), lit("!")))) // v3
     }
 
+  private def dvFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "dml-dv") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val orders = table(s, d, "orders")
+      val txn = t.deltaLog.startTransaction()
+      txn.updateMetadata(Metadata(
+        schemaString = orders.schema.json,
+        partitionColumns = Seq("o_orderstatus"),
+        configuration = Map("delta.enableDeletionVectors" -> "true")))
+      txn.commit(Nil, "CREATE TABLE")
+      t.write(orders, SaveMode.Append, Seq("o_orderstatus"))
+      // merge-on-read delete: same files, sidecar DVs
+      t.delete(col("o_totalprice") > 250000)
+      require(t.snapshot.allFiles.exists(f => DeletionVectors.descriptor(f).isDefined),
+        "expected deletion-vector descriptors after the delete")
+    }
+
   private val ordersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
@@ -222,6 +239,19 @@ object DeltaQueries {
     }, Some("""
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
       FROM orders WHERE NOT (o_totalprice > 250000) ORDER BY o_orderkey""")),
+
+    // DML: merge-on-read DELETE via deletion vectors (same result as the
+    // rewrite path, zero data files rewritten; pruned read + DV anti-join)
+    GQ("delta_dv", (s, d) => {
+      val dir = dvFixture(s, d)
+      DeltaTable.forPath(s, dir)
+        .read(col("o_orderstatus") =!= "P") // partition pruning atop the DV read
+        .select(ordersCols.map(col): _*)
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE NOT (o_totalprice > 250000) AND o_orderstatus <> 'P'
+      ORDER BY o_orderkey""")),
 
     // DML: row-level UPDATE, SET evaluated against the old row
     GQ("delta_update", (s, d) => {

@@ -52,10 +52,21 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       index, index.partitionSchema, dataSchema, None,
       new ParquetFileFormat(), Map.empty[String, String])(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
-    // LogicalRelation appends partition cols last; restore metadata order
     var df = org.apache.spark.sql.GraftShims
       .ofRows(spark, LogicalRelation(relation, isStreaming = false))
-      .select(md.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    // merge-on-read: drop DV-deleted rows before projecting _metadata away
+    if (DeltaConfig.EnableDeletionVectors.fromMetadata(md)) {
+      import org.apache.spark.sql.functions.{col, element_at}
+      val dvd = s.activeFilesDF
+        .where(col("tags").isNotNull &&
+          element_at(col("tags"), DeletionVectors.PathTag).isNotNull)
+        .as(org.apache.spark.sql.Encoders.product[AddFile])
+        .collect().toSeq
+      if (dvd.nonEmpty)
+        df = DeletionVectors.filterDeleted(spark, deltaLog.dataPath, dvd, df)
+    }
+    // LogicalRelation appends partition cols last; restore metadata order
+    df = df.select(md.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
     predicate.foreach(p => df = df.filter(p))
     df
   }
@@ -261,7 +272,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     import org.apache.spark.sql.functions.{col, hash, pmod, lit}
     val txn = deltaLog.startTransaction()
     val byPartition = txn.snapshot.allFiles.groupBy(_.partitionValues)
-    val toCompact = byPartition.filter(_._2.size > 1)
+    // multi-file partitions bin-pack; DV'd files (even alone) rewrite to
+    // materialize their deletion vectors and drop the descriptors
+    val toCompact = byPartition.filter { case (_, fs) =>
+      fs.size > 1 || fs.exists(f => DeletionVectors.descriptor(f).isDefined)
+    }
     if (toCompact.isEmpty) return txn.snapshot.version
     val md = txn.metadata
     val partCols = md.partitionColumns
@@ -276,10 +291,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // most `saltBuckets` output files of ~targetSize each
     val maxPartBytes = toCompact.values.map(_.map(_.size).sum).max
     val saltBuckets = math.max(1, math.ceil(maxPartBytes.toDouble / targetSize).toInt)
-    val df0 = spark.read
-      .schema(md.schema)
-      .option("basePath", deltaLog.dataPath.toString)
-      .parquet(paths: _*)
+    val df0 = DeletionVectors.filterDeleted(spark, deltaLog.dataPath, files,
+      spark.read
+        .schema(md.schema)
+        .option("basePath", deltaLog.dataPath.toString)
+        .parquet(paths: _*))
     val dataCols = md.schema.fieldNames.filterNot(partCols.contains).map(col).toSeq
     // zero-arg hash() fails analysis when every column is a partition column
     val salt = if (dataCols.isEmpty) lit(0) else pmod(hash(dataCols: _*), lit(saltBuckets))
@@ -366,16 +382,26 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
 
   // ---------------------------------------------------------------- DML
 
+  /** Read specific table files with deletion vectors applied and the
+    * normalized `__fp`/`__ri` row-identity columns retained — the common
+    * base for every DML scan (matching, rewriting, CDC capture), so no
+    * rewrite can ever resurrect a DV-deleted row.
+    */
+  private[delta] def readFilesKeyed(files: Seq[AddFile], md: Metadata): DataFrame = {
+    val paths = files.map(f => FileNames.absolutePath(deltaLog.dataPath, f.path).toString)
+    val raw = spark.read.schema(md.schema)
+      .option("basePath", deltaLog.dataPath.toString)
+      .parquet(paths: _*)
+    DeletionVectors.filterDeleted(spark, deltaLog.dataPath, files, raw, keepKeys = true)
+  }
+
   /** Read specific table files as a DataFrame (partition columns recovered
-    * from the hive paths via basePath), columns in metadata order.
+    * from the hive paths via basePath), columns in metadata order, DVs
+    * applied.
     */
   private[delta] def readFilesDF(files: Seq[AddFile], md: Metadata): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val paths = files.map(f => FileNames.absolutePath(deltaLog.dataPath, f.path).toString)
-    spark.read.schema(md.schema)
-      .option("basePath", deltaLog.dataPath.toString)
-      .parquet(paths: _*)
-      .select(md.schema.fieldNames.map(col).toSeq: _*)
+    readFilesKeyed(files, md).select(md.schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** Decoded absolute path — the common form between `_metadata.file_path`
@@ -393,12 +419,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       cond: Column): Seq[AddFile] = {
     import org.apache.spark.sql.functions.col
     if (candidates.isEmpty) return Nil
-    val paths = candidates.map(f => FileNames.absolutePath(deltaLog.dataPath, f.path).toString)
-    val hit = spark.read.schema(md.schema)
-      .option("basePath", deltaLog.dataPath.toString)
-      .parquet(paths: _*)
+    val hit = readFilesKeyed(candidates, md)
       .filter(cond)
-      .select(col("_metadata.file_path")).distinct()
+      .select(col("__fp")).distinct()
       .collect().map(r => normPath(r.getString(0))).toSet
     candidates.filter(f =>
       hit(normPath(FileNames.absolutePath(deltaLog.dataPath, f.path).toString)))
@@ -418,6 +441,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val md = txn.metadata
     val candidates = txn.markFilesAsRead(condition)
     val condTrue = coalesce(condition, lit(false))
+    if (DeltaConfig.EnableDeletionVectors.fromMetadata(md))
+      return dvDelete(txn, md, condition, condTrue, candidates)
     val touched = filesWithMatches(candidates, md, condTrue)
     if (touched.isEmpty) return txn.readVersion
     val touchedDF = readFilesDF(touched, md)
@@ -433,6 +458,48 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       else Nil
     txn.commit(removes ++ adds ++ cdc, "DELETE",
       operationParameters = Map("predicate" -> condition.toString))
+  }
+
+  /** Merge-on-read DELETE (delta.enableDeletionVectors): instead of
+    * rewriting files, record the matching LIVE rows (prior DVs already
+    * excluded by the keyed scan) in per-file deletion vectors and commit
+    * remove+re-add of the same data files with descriptors attached — a
+    * DELETE touching 10^5 wide files writes kilobytes of row ids, not
+    * terabytes of parquet. OPTIMIZE materializes and drops the DVs.
+    */
+  private def dvDelete(txn: OptimisticTransaction, md: Metadata,
+      condition: Column, condTrue: Column, candidates: Seq[AddFile]): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (candidates.isEmpty) return txn.readVersion
+    val matched = readFilesKeyed(candidates, md).filter(condTrue).persist()
+    try {
+      val touchedFps = matched.select(col("__fp")).distinct()
+        .collect().map(r => normPath(r.getString(0))).toSet
+      if (touchedFps.isEmpty) return txn.readVersion
+      val touched = candidates.filter(f =>
+        touchedFps(normPath(FileNames.absolutePath(deltaLog.dataPath, f.path).toString)))
+      // new DV per touched file = fresh matches + its prior DV rows
+      val fresh = matched.select(col("__fp").as("fp"), col("__ri").as("ri"))
+      val priorDescs = touched.flatMap(DeletionVectors.descriptor)
+      val allRows = DeletionVectors.rowsDF(spark, deltaLog.dataPath, priorDescs)
+        .map(p => fresh.unionByName(p)).getOrElse(fresh)
+      val descByFp = DeletionVectors.write(spark, deltaLog.dataPath, allRows)
+        .map { case (fp, d) => normPath(fp) -> d }
+      val now = deltaLog.clock.nowMillis
+      val actions: Seq[Action] = touched.flatMap { f =>
+        val fp = normPath(FileNames.absolutePath(deltaLog.dataPath, f.path).toString)
+        Seq(f.remove(now), DeletionVectors.withDescriptor(f, descByFp(fp)))
+      }
+      val cdc =
+        if (DeltaConfig.EnableChangeDataFeed.fromMetadata(md))
+          DeltaTable.writeCdcFiles(spark, deltaLog.dataPath,
+            matched.select(md.schema.fieldNames.map(col).toSeq: _*)
+              .withColumn("_change_type", lit("delete")))
+        else Nil
+      txn.commit(actions ++ cdc, "DELETE",
+        operationParameters = Map(
+          "predicate" -> condition.toString, "mode" -> "deletion-vectors"))
+    } finally matched.unpersist()
   }
 
   /** Row-level UPDATE: `set` maps column name -> new-value expression,

@@ -98,22 +98,16 @@ final class MergeBuilder private[delta] (
         .getOrElse(lit(null).cast(f.dataType).as(f.name))
     }
 
-    def rawRead(files: Seq[AddFile]): DataFrame =
-      spark.read.schema(md.schema)
-        .option("basePath", log.dataPath.toString)
-        .parquet(files.map(f =>
-          FileNames.absolutePath(log.dataPath, f.path).toString): _*)
-
-    // ---- phase 1: touched files (none when the target has no files)
+    // ---- phase 1: touched files (none when the target has no files).
+    // readFilesKeyed applies deletion vectors, so already-deleted rows
+    // can neither match nor resurrect through the rewrite.
     val allFiles = txn.snapshot.allFiles
     val touched: Seq[AddFile] =
       if (allFiles.isEmpty) Nil
       else {
-        val tgt = rawRead(allFiles)
-          .withColumn("__path", col("_metadata.file_path"))
-          .alias("t")
+        val tgt = t.readFilesKeyed(allFiles, md).alias("t")
         val hit = tgt.join(source.alias("s"), condition, "inner")
-          .select(col("__path")).distinct()
+          .select(col("t.__fp")).distinct()
           .collect().map(r => t.normPath(r.getString(0))).toSet
         allFiles.filter(f =>
           hit(t.normPath(FileNames.absolutePath(log.dataPath, f.path).toString)))
@@ -135,9 +129,8 @@ final class MergeBuilder private[delta] (
     }
 
     // ---- phase 2: rewrite only the touched files
-    val tgt = rawRead(touched)
-      .withColumn("__tid",
-        concat_ws(":", col("_metadata.file_path"), col("_metadata.row_index")))
+    val tgt = t.readFilesKeyed(touched, md)
+      .withColumn("__tid", concat_ws(":", col("__fp"), col("__ri")))
       .withColumn("__t_present", lit(true))
       .alias("t")
     val src = source.withColumn("__s_present", lit(true)).alias("s")
