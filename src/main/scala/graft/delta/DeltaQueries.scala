@@ -149,6 +149,21 @@ object DeltaQueries {
         "expected deletion-vector descriptors after the delete")
     }
 
+  private def zorderFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "zorder") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val orders = table(s, d, "orders")
+      val txn = t.deltaLog.startTransaction()
+      txn.updateMetadata(Metadata(
+        schemaString = orders.schema.json,
+        configuration = Map("delta.targetFileSize" -> (64L * 1024).toString)))
+      txn.commit(Nil, "CREATE TABLE")
+      t.write(orders)
+      t.compact(Seq("o_custkey", "o_totalprice")) // multi-column clustering
+      // >= 4 z-contiguous files so the Morton curve splits BOTH dimensions
+      require(t.snapshot.allFiles.size >= 4, "zorder fixture needs several files")
+    }
+
   private val ordersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
@@ -209,6 +224,22 @@ object DeltaQueries {
       SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
         CAST(n_regionkey AS INTEGER) AS n_regionkey
       FROM nation ORDER BY n_nationkey""")),
+
+    // A19: OPTIMIZE ZORDER BY — Morton re-clustering preserves content
+    // exactly while making both clustered columns stats-skippable
+    GQ("delta_zorder", (s, d) => {
+      val dir = zorderFixture(s, d)
+      val t = DeltaTable.forPath(s, dir)
+      val n = t.snapshot.allFiles.size
+      require(DeltaScan(t.snapshot, Some(col("o_custkey") < 100)).files.size < n,
+        "z-ordered custkey range must skip files")
+      t.read(col("o_custkey") < 400 && col("o_totalprice") > 100000)
+        .select(ordersCols.map(col): _*)
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_custkey < 400 AND o_totalprice > 100000
+      ORDER BY o_orderkey""")),
 
     // A18: change-data-feed read — inserts and deletes per commit version
     GQ("delta_cdf", (s, d) => {

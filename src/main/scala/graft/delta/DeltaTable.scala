@@ -268,18 +268,35 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * meant 100k serial jobs. Rewrites carry dataChange=false, so
     * streaming sources skip them and concurrent appends don't conflict.
     */
-  def compact(): Long = {
-    import org.apache.spark.sql.functions.{col, hash, pmod, lit}
+  def compact(): Long = compact(Nil)
+
+  /** OPTIMIZE ... ZORDER BY: like [[compact()]], but additionally lays
+    * rows out along a Morton curve over `zorderBy`, so per-file min/max
+    * stats become selective on EVERY Z-ordered column at once — the
+    * multi-column data-skipping layout. Numeric/date/timestamp columns
+    * min-max normalize to the key's bit range (one stats pass); other
+    * types hash-bucket (consistent placement, no range locality). With
+    * `zorderBy`, ALL files re-cluster, not just under-filled partitions.
+    */
+  def compact(zorderBy: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, hash, pmod, lit, floor, min => fmin, max => fmax}
     val txn = deltaLog.startTransaction()
     val byPartition = txn.snapshot.allFiles.groupBy(_.partitionValues)
     // multi-file partitions bin-pack; DV'd files (even alone) rewrite to
-    // materialize their deletion vectors and drop the descriptors
-    val toCompact = byPartition.filter { case (_, fs) =>
-      fs.size > 1 || fs.exists(f => DeletionVectors.descriptor(f).isDefined)
-    }
+    // materialize their deletion vectors and drop the descriptors; a
+    // Z-order request re-clusters everything
+    val toCompact =
+      if (zorderBy.nonEmpty) byPartition
+      else byPartition.filter { case (_, fs) =>
+        fs.size > 1 || fs.exists(f => DeletionVectors.descriptor(f).isDefined)
+      }
     if (toCompact.isEmpty) return txn.snapshot.version
     val md = txn.metadata
     val partCols = md.partitionColumns
+    zorderBy.foreach { c =>
+      require(md.schema.fieldNames.contains(c), s"unknown ZORDER column $c")
+      require(!partCols.contains(c), s"cannot ZORDER by partition column $c")
+    }
     val now = deltaLog.clock.nowMillis
     val files = toCompact.values.flatten.toSeq
     val paths = files.map(f => FileNames.absolutePath(deltaLog.dataPath, f.path).toString)
@@ -300,13 +317,51 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // zero-arg hash() fails analysis when every column is a partition column
     val salt = if (dataCols.isEmpty) lit(0) else pmod(hash(dataCols: _*), lit(saltBuckets))
     val df =
-      if (partCols.nonEmpty) df0.repartition(numTasks, partCols.map(col) :+ salt: _*)
+      if (zorderBy.nonEmpty) {
+        import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+        val bits = math.min(16, 63 / zorderBy.size)
+        val span = (1L << bits) - 1
+        val rangeable = zorderBy.filter { c =>
+          md.schema(c).dataType match {
+            case _: NumericType | DateType | TimestampType => true
+            case _ => false
+          }
+        }
+        // dates/timestamps range-normalize on their epoch numbers (a plain
+        // double cast is not a legal Catalyst cast for them)
+        def asNum(c: String): Column = md.schema(c).dataType match {
+          case DateType => org.apache.spark.sql.functions.unix_date(col(c)).cast("double")
+          case TimestampType => org.apache.spark.sql.functions.unix_micros(col(c)).cast("double")
+          case _ => col(c).cast("double")
+        }
+        val aggExprs = rangeable.flatMap(c => Seq(
+          fmin(asNum(c)).as(s"mn_$c"), fmax(asNum(c)).as(s"mx_$c")))
+        val stats =
+          if (aggExprs.isEmpty) null
+          else df0.agg(aggExprs.head, aggExprs.tail: _*).head()
+        val keys = zorderBy.map { c =>
+          if (rangeable.contains(c)) {
+            val mn = stats.getAs[Double](s"mn_$c")
+            val mx = stats.getAs[Double](s"mx_$c")
+            val width = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+            floor((asNum(c) - lit(mn)) / lit(width) * lit(span.toDouble)).cast("long")
+          } else pmod(hash(col(c)), lit(span + 1)).cast("long")
+        }
+        val z = org.apache.spark.sql.GraftShims.column(
+          graft.functions.InterleaveBits(
+            keys.map(k => org.apache.spark.sql.GraftShims.expression(k)), bits))
+        df0.withColumn("__z", z)
+          .repartitionByRange(numTasks, partCols.map(col) :+ col("__z"): _*)
+          .sortWithinPartitions(partCols.map(col) :+ col("__z"): _*)
+          .drop("__z")
+      } else if (partCols.nonEmpty) df0.repartition(numTasks, partCols.map(col) :+ salt: _*)
       else df0.repartition(numTasks)
     val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, partCols)
       .map(_.copy(dataChange = false))
     val removes = files.map(f => f.remove(now, dataChange = false))
     txn.commit(removes ++ adds, "OPTIMIZE",
-      operationParameters = Map("targetFileSize" -> targetSize.toString))
+      operationParameters = Map("targetFileSize" -> targetSize.toString) ++
+        (if (zorderBy.nonEmpty) Map("zOrderBy" -> zorderBy.mkString(",")) else Map.empty))
   }
 
   /** VACUUM: physically delete data files no longer referenced by the

@@ -658,6 +658,31 @@ class DeltaSuite extends AnyFunSuite {
     assert(jobs < 8, s"compaction ran $jobs jobs for 8 partitions")
   }
 
+  test("OPTIMIZE ZORDER BY clusters files for multi-column skipping") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn0 = t.deltaLog.startTransaction()
+    val df = (0 until 1024).map(i => (i / 32, i % 32, i.toLong)).toDF("x", "y", "v")
+    txn0.updateMetadata(Metadata(
+      schemaString = df.schema.json,
+      configuration = Map("delta.targetFileSize" -> "4096"))) // force several output files
+    txn0.commit(Nil, "CREATE TABLE")
+    t.write(df.repartition(8)) // row-major grid: y scattered across all files
+    t.compact(Seq("x", "y"))
+    val nFiles = t.snapshot.allFiles.size
+    assert(nFiles > 1, "fixture must produce multiple z-ordered files")
+    // content preserved through the re-clustering
+    assert(t.toDF.agg(sum($"v")).head().getLong(0) == (0 until 1024).map(_.toLong).sum)
+    assert(t.toDF.count() == 1024)
+    // the Morton layout makes single-column ranges skippable on BOTH dims
+    assert(DeltaScan(t.snapshot, Some(col("y") < 4)).files.size < nFiles)
+    assert(DeltaScan(t.snapshot, Some(col("x") < 4)).files.size < nFiles)
+    assert(t.toDF.filter(col("y") < 4).count() == 32 * 4)
+    val ci = t.history(1).head
+    assert(ci.operation == "OPTIMIZE" && ci.operationParameters("zOrderBy") == "x,y")
+  }
+
   test("delta.appendOnly rejects data-changing removes") {
     val dir = tmp()
     val t = DeltaTable.forPath(spark, dir)
