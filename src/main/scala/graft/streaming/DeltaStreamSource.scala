@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedO
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
-import graft.delta.{AddFile, DeltaLog}
+import graft.delta.{AddFile, DeltaLog, DeltaTable}
 
 /** Streaming source over a Delta table's transaction log (SURVEY §2 D4):
   * offsets are log versions; each micro-batch is the rows of the AddFiles
@@ -18,14 +18,23 @@ import graft.delta.{AddFile, DeltaLog}
   *     .format("graft.streaming.DeltaStreamSourceProvider")
   *     .option("path", tableDir).load()
   *
+  * With `.option("readChangeFeed", "true")`, each micro-batch is instead
+  * the row-level CHANGE feed of those versions (`tableChanges` semantics:
+  * exact CDC rows when the table captures them, file-level
+  * inserts/deletes otherwise), with `_change_type` / `_commit_version` /
+  * `_commit_timestamp` appended — a DML-following stream, not
+  * appends-only.
+  *
   * cf. reference `log.go:188` Changes — the same version-cursor contract,
   * lifted into Structured Streaming's Source API.
   */
-class DeltaStreamSource(spark: SparkSession, path: String) extends Source {
+class DeltaStreamSource(spark: SparkSession, path: String, cdf: Boolean = false)
+    extends Source {
 
   private val log = DeltaLog.forTable(spark, path)
 
-  override def schema: StructType = log.snapshot.metadata.schema
+  override def schema: StructType =
+    DeltaStreamSource.sourceSchema(log.snapshot.metadata.schema, cdf)
 
   override def getOffset: Option[Offset] = {
     val v = log.update().version
@@ -41,6 +50,13 @@ class DeltaStreamSource(spark: SparkSession, path: String) extends Source {
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromVersion = start.map(version(_) + 1).getOrElse(0L)
     val toVersion = version(end)
+    if (cdf) {
+      val batch =
+        if (fromVersion > toVersion)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else DeltaTable.forPath(spark, path).tableChanges(fromVersion, toVersion)
+      return GraftShims.asStreamingDF(spark, batch)
+    }
     val adds = log.changes(fromVersion)
       .takeWhile(_._1 <= toVersion)
       .flatMap { case (_, actions) =>
@@ -60,6 +76,17 @@ class DeltaStreamSource(spark: SparkSession, path: String) extends Source {
   override def stop(): Unit = ()
 }
 
+object DeltaStreamSource {
+  import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+
+  private[streaming] def sourceSchema(table: StructType, cdf: Boolean): StructType =
+    if (!cdf) table
+    else table
+      .add("_change_type", StringType)
+      .add("_commit_version", LongType)
+      .add("_commit_timestamp", TimestampType)
+}
+
 class DeltaStreamSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
@@ -68,15 +95,20 @@ class DeltaStreamSourceProvider extends StreamSourceProvider with DataSourceRegi
     parameters.getOrElse("path",
       throw new IllegalArgumentException("'path' option required for the graft-delta source"))
 
+  private def cdf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.trim.toLowerCase == "true")
+
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
     (shortName(), schema.getOrElse(
-      DeltaLog.forTable(sqlContext.sparkSession, tablePath(parameters))
-        .snapshot.metadata.schema))
+      DeltaStreamSource.sourceSchema(
+        DeltaLog.forTable(sqlContext.sparkSession, tablePath(parameters))
+          .snapshot.metadata.schema,
+        cdf(parameters))))
 
   override def createSource(
       sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): Source =
-    new DeltaStreamSource(sqlContext.sparkSession, tablePath(parameters))
+    new DeltaStreamSource(sqlContext.sparkSession, tablePath(parameters), cdf(parameters))
 }

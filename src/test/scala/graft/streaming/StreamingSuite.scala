@@ -79,6 +79,39 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("D4: readChangeFeed streams row-level changes including DML") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("d4-cdf").toString
+    val t = DeltaTable.forPath(spark, dir)
+    val df0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(graft.delta.Metadata(
+      schemaString = df0.schema.json,
+      configuration = Map("delta.enableChangeDataFeed" -> "true")))
+    txn.commit(Nil, "CREATE TABLE") // v0
+    t.write(df0) // v1
+
+    val stream = spark.readStream
+      .format("graft.streaming.DeltaStreamSourceProvider")
+      .option("path", dir)
+      .option("readChangeFeed", "true")
+      .load()
+    assert(stream.columns.takeRight(3).toSeq ==
+      Seq("_change_type", "_commit_version", "_commit_timestamp"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("d4_cdf_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("d4_cdf_out").where($"_change_type" === "insert").count() == 3)
+      t.delete(col("id") === 2) // v2: row-level delete arrives mid-stream
+      q.processAllAvailable()
+      val ch = spark.table("d4_cdf_out")
+        .select($"id", $"_change_type")
+        .as[(Long, String)].collect().toSeq.sorted
+      assert(ch == Seq((1L, "insert"), (2L, "delete"), (2L, "insert"), (3L, "insert")))
+    } finally q.stop()
+  }
+
   test("D4: delta change stream polls incremental versions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("d4-table").toString
