@@ -421,6 +421,27 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         it.filter(p => f.delete(new Path(p), false))
       }.collect().toSeq
 
+    // orphaned deletion-vector sidecars: compaction materializes DVs and
+    // drops their descriptors, leaving the sidecar files behind. The
+    // referenced set comes from the active files' descriptors; the sweep
+    // is a driver listing of one flat dir, O(deletes since compaction),
+    // the same class as the partition-dir sweep below.
+    val dvDir = new Path(deltaLog.dataPath, "_deletion_vectors")
+    val dvDeleted: Seq[String] =
+      if (!fs.exists(dvDir)) Nil
+      else {
+        val referenced = s.allFilesDS
+          .flatMap(f => DeletionVectors.descriptor(f).map(_.relPath))
+          .collect().toSet
+        fs.listStatus(dvDir).toSeq
+          .filter { st =>
+            st.getModificationTime <= cutoff &&
+              !referenced(s"_deletion_vectors/${st.getPath.getName}")
+          }
+          .filter(st => fs.delete(st.getPath, false))
+          .map(_.getPath.toUri.getPath)
+      }
+
     // empty partition directories: dirs are O(partitions), not O(files) —
     // a driver sweep is fine (object stores have no real dirs anyway)
     def sweep(dir: Path): Unit = {
@@ -432,7 +453,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       }
     }
     sweep(deltaLog.dataPath)
-    deleted
+    deleted ++ dvDeleted
   }
 
   // ---------------------------------------------------------------- DML

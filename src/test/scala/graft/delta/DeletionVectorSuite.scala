@@ -113,6 +113,25 @@ class DeletionVectorSuite extends AnyFunSuite {
     assert(t.snapshot.allFiles.forall(f => DeletionVectors.descriptor(f).isEmpty))
   }
 
+  test("VACUUM sweeps orphaned DV sidecars but keeps referenced ones") {
+    val t = dvTable()
+    t.delete(col("id") === 3)
+    val live = dvFiles(t).flatMap(f => DeletionVectors.descriptor(f)).map(_.relPath)
+    assert(live.size == 1)
+    // referenced DV survives a vacuum
+    t.vacuum(Some(0L))
+    val fs = t.deltaLog.dataPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val dvDir = new org.apache.hadoop.fs.Path(t.deltaLog.dataPath, "_deletion_vectors")
+    assert(fs.listStatus(dvDir).length == 1)
+    // compaction materializes the DV -> the sidecar is orphaned -> swept
+    t.compact()
+    val deleted = t.vacuum(Some(0L))
+    assert(deleted.exists(_.contains("_deletion_vectors/")), "orphan DV must be vacuumed")
+    assert(!fs.exists(dvDir) || fs.listStatus(dvDir).isEmpty)
+    import spark.implicits._
+    assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L, 5L))
+  }
+
   test("CDF captures DV deletes exactly once") {
     import spark.implicits._
     val t = DeltaTable.forPath(spark, tmp())
