@@ -85,4 +85,8 @@ object DeltaConfig {
     */
   val EnableDeletionVectors: TableConfig[Boolean] =
     TableConfig("delta.enableDeletionVectors", "false", _.trim.toLowerCase == "true")
+
+  /** `none` | `name` — see [[ColumnMapping]]. */
+  val ColumnMappingMode: TableConfig[String] =
+    TableConfig("delta.columnMapping.mode", "none", _.trim.toLowerCase)
 }

@@ -164,6 +164,21 @@ object DeltaQueries {
       require(t.snapshot.allFiles.size >= 4, "zorder fixture needs several files")
     }
 
+  private def columnMappingFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "colmap") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      t.write(table(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      t.renameColumn("n_name", "nation_name") // metadata-only
+      t.dropColumn("n_regionkey")             // metadata-only
+      // post-rename append writes into the SAME physical column
+      val extra = table(s, d, "nation")
+        .select((col("n_nationkey") + 100).as("n_nationkey"),
+          upper(col("n_name")).as("nation_name"))
+        .filter(col("n_nationkey") < 105)
+      t.write(extra)
+    }
+
   private val ordersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
@@ -240,6 +255,24 @@ object DeltaQueries {
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
       FROM orders WHERE o_custkey < 400 AND o_totalprice > 100000
       ORDER BY o_orderkey""")),
+
+    // A32: column mapping — rename/drop as metadata-only commits; old
+    // files read through the physical-name projection, new appends land
+    // in the same physical column
+    GQ("delta_column_mapping", (s, d) => {
+      val dir = columnMappingFixture(s, d)
+      val t = DeltaTable.forPath(s, dir)
+      require(t.toDF.columns.toSeq == Seq("n_nationkey", "nation_name"),
+        "mapped schema must be (n_nationkey, nation_name)")
+      t.toDF
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("nation_name"))
+        .orderBy(col("n_nationkey"))
+    }, Some("""
+      SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name AS nation_name FROM nation
+      UNION ALL
+      SELECT CAST(n_nationkey + 100 AS INTEGER), upper(n_name) FROM nation
+      WHERE n_nationkey + 100 < 105
+      ORDER BY n_nationkey""")),
 
     // A18: change-data-feed read — inserts and deletes per commit version
     GQ("delta_cdf", (s, d) => {

@@ -57,7 +57,10 @@ final case class DeltaScan(snapshot: Snapshot, predicate: Option[Column]) {
         }
         typed.filter(p).drop(partCols: _*)
     }
-    DeltaScan.dataSkip(pruned, residualResolved, schema, partCols)
+    // stats JSON is keyed by PHYSICAL names under column mapping
+    DeltaScan.dataSkip(pruned, residualResolved,
+      md.map(ColumnMapping.physicalSchema).getOrElse(schema), partCols,
+      md.map(ColumnMapping.mapping).getOrElse(Map.empty))
   }
 
   /** Driver-side materialization (mirrors reference `Scan.Files`). */
@@ -114,13 +117,17 @@ object DeltaScan {
     * can satisfy the comparison. Files without stats always survive.
     */
   private[delta] def dataSkip(files: DataFrame, residual: Seq[Expression],
-      schema: StructType, partCols: Seq[String]): DataFrame = {
+      schema: StructType, partCols: Seq[String],
+      physicalOf: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions._
     if (residual.isEmpty) return files
+    // `schema` is the PHYSICAL schema (stats keys); predicates reference
+    // logical names, translated through physicalOf
     val statFieldNames = Stats.statFields(schema, partCols).map(_.name).toSet
+      .map((n: String) => physicalOf.collectFirst { case (l, p) if p == n => l }.getOrElse(n))
     val st = from_json(col("stats"), Stats.statsSchema(schema, partCols))
-    def mn(n: String) = st.getField("minValues").getField(n)
-    def mx(n: String) = st.getField("maxValues").getField(n)
+    def mn(n: String) = st.getField("minValues").getField(physicalOf.getOrElse(n, n))
+    def mx(n: String) = st.getField("maxValues").getField(physicalOf.getOrElse(n, n))
     def litCol(l: Literal) = GraftShims.column(l)
 
     // the analyzer wraps int literals compared to long columns in Cast —

@@ -45,8 +45,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     s.assertProtocolRead()
     val md = s.metadata
     val partCols = md.partitionColumns
+    // parquet files carry PHYSICAL column names under column mapping
     val dataSchema = org.apache.spark.sql.types.StructType(
-      md.schema.filterNot(f => partCols.contains(f.name)))
+      ColumnMapping.physicalSchema(md).filterNot(f => partCols.contains(f.name)))
     val index = new DeltaFileIndex(deltaLog, s)
     val relation = HadoopFsRelation(
       index, index.partitionSchema, dataSchema, None,
@@ -66,7 +67,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         df = DeletionVectors.filterDeleted(spark, deltaLog.dataPath, dvd, df)
     }
     // LogicalRelation appends partition cols last; restore metadata order
-    df = df.select(md.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    // and map physical names back to logical
+    df = ColumnMapping.toLogical(md, df)
+      .select(md.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
     predicate.foreach(p => df = df.filter(p))
     df
   }
@@ -188,8 +191,17 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           throw new IllegalArgumentException(
             s"mergeSchema append is missing table columns: ${missing.map(_.name).mkString(", ")}")
         if (newCols.nonEmpty) {
-          val merged = org.apache.spark.sql.types.StructType(
-            existing.fields ++ newCols.map(_.copy(nullable = true)))
+          // under column mapping, new columns get fresh physical ids so a
+          // re-added name can never resurrect dropped parquet data
+          var mx = ColumnMapping.maxId(existing)
+          val annotated = newCols.map { f =>
+            val nf =
+              if (ColumnMapping.enabled(txn.metadata)) {
+                val a = ColumnMapping.freshField(f.copy(nullable = true), mx); mx += 1; a
+              } else f.copy(nullable = true)
+            nf
+          }
+          val merged = org.apache.spark.sql.types.StructType(existing.fields ++ annotated)
           txn.updateMetadata(txn.metadata.copy(schemaString = merged.json))
         }
       } else if (!same) {
@@ -202,7 +214,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           s"partitioning mismatch: table uses $partCols, got $partitionBy")
     }
 
-    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, partCols)
+    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, partCols,
+      ColumnMapping.mapping(txn.metadata))
     val operation = if (mode == SaveMode.Overwrite) "WRITE.Overwrite" else "WRITE.Append"
     val params = Map(
       "mode" -> mode.toString,
@@ -252,7 +265,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         partitionColumns = partCols,
         createdTime = Some(deltaLog.clock.nowMillis)))
     }
-    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, partCols)
+    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, partCols,
+      ColumnMapping.mapping(txn.metadata))
     txn.commit(adds :+ SetTransaction(appId, batchId, Some(deltaLog.clock.nowMillis)),
       "STREAMING UPDATE")
     true
@@ -308,11 +322,12 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // most `saltBuckets` output files of ~targetSize each
     val maxPartBytes = toCompact.values.map(_.map(_.size).sum).max
     val saltBuckets = math.max(1, math.ceil(maxPartBytes.toDouble / targetSize).toInt)
-    val df0 = DeletionVectors.filterDeleted(spark, deltaLog.dataPath, files,
-      spark.read
-        .schema(md.schema)
-        .option("basePath", deltaLog.dataPath.toString)
-        .parquet(paths: _*))
+    val df0 = ColumnMapping.toLogical(md,
+      DeletionVectors.filterDeleted(spark, deltaLog.dataPath, files,
+        spark.read
+          .schema(ColumnMapping.physicalSchema(md))
+          .option("basePath", deltaLog.dataPath.toString)
+          .parquet(paths: _*)))
     val dataCols = md.schema.fieldNames.filterNot(partCols.contains).map(col).toSeq
     // zero-arg hash() fails analysis when every column is a partition column
     val salt = if (dataCols.isEmpty) lit(0) else pmod(hash(dataCols: _*), lit(saltBuckets))
@@ -356,7 +371,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           .drop("__z")
       } else if (partCols.nonEmpty) df0.repartition(numTasks, partCols.map(col) :+ salt: _*)
       else df0.repartition(numTasks)
-    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, partCols)
+    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, partCols,
+      ColumnMapping.mapping(md))
       .map(_.copy(dataChange = false))
     val removes = files.map(f => f.remove(now, dataChange = false))
     txn.commit(removes ++ adds, "OPTIMIZE",
@@ -465,10 +481,12 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     */
   private[delta] def readFilesKeyed(files: Seq[AddFile], md: Metadata): DataFrame = {
     val paths = files.map(f => FileNames.absolutePath(deltaLog.dataPath, f.path).toString)
-    val raw = spark.read.schema(md.schema)
+    val raw = spark.read.schema(ColumnMapping.physicalSchema(md))
       .option("basePath", deltaLog.dataPath.toString)
       .parquet(paths: _*)
-    DeletionVectors.filterDeleted(spark, deltaLog.dataPath, files, raw, keepKeys = true)
+    ColumnMapping.toLogical(md,
+      DeletionVectors.filterDeleted(spark, deltaLog.dataPath, files, raw, keepKeys = true),
+      extra = Seq("__fp", "__ri"))
   }
 
   /** Read specific table files as a DataFrame (partition columns recovered
@@ -523,7 +541,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     if (touched.isEmpty) return txn.readVersion
     val touchedDF = readFilesDF(touched, md)
     val survivors = touchedDF.filter(not(condTrue))
-    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, survivors, md.partitionColumns)
+    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, survivors,
+      md.partitionColumns, ColumnMapping.mapping(md))
     val now = deltaLog.clock.nowMillis
     val removes = touched.map(_.remove(now))
     val cdc =
@@ -607,7 +626,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       }
     }.toSeq
     val rewritten = touchedDF.select(rewriteProj: _*)
-    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, rewritten, md.partitionColumns)
+    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, rewritten,
+      md.partitionColumns, ColumnMapping.mapping(md))
     val now = deltaLog.clock.nowMillis
     val removes = touched.map(_.remove(now))
     val cdc =
@@ -634,6 +654,42 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     */
   def merge(source: DataFrame, condition: Column): MergeBuilder =
     new MergeBuilder(this, source, condition)
+
+  // ------------------------------------------------- schema DDL (mapping)
+
+  /** RENAME COLUMN: a metadata-only commit — the parquet files keep the
+    * old (now physical) name and reads map it to the new logical name.
+    * Enables `delta.columnMapping.mode=name` on first use. Partition
+    * columns are rejected (their name keys the on-disk dir layout).
+    */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val txn = deltaLog.startTransaction()
+    val md = ColumnMapping.ensureEnabled(txn.metadata)
+    require(md.schema.fieldNames.contains(oldName), s"no such column: $oldName")
+    require(!md.schema.fieldNames.contains(newName), s"column already exists: $newName")
+    require(!md.partitionColumns.contains(oldName), s"cannot rename partition column $oldName")
+    val renamed = org.apache.spark.sql.types.StructType(
+      md.schema.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f))
+    txn.updateMetadata(md.copy(schemaString = renamed.json))
+    txn.commit(Nil, "RENAME COLUMN",
+      operationParameters = Map("from" -> oldName, "to" -> newName))
+  }
+
+  /** DROP COLUMN: metadata-only — the physical column stays in the files
+    * but is never read again; re-adding the same logical name later gets
+    * a fresh physical id, so the old data cannot resurface.
+    */
+  def dropColumn(name: String): Long = {
+    val txn = deltaLog.startTransaction()
+    val md = ColumnMapping.ensureEnabled(txn.metadata)
+    require(md.schema.fieldNames.contains(name), s"no such column: $name")
+    require(!md.partitionColumns.contains(name), s"cannot drop partition column $name")
+    require(md.schema.fields.length > 1, "cannot drop the last column")
+    val remaining = org.apache.spark.sql.types.StructType(
+      md.schema.fields.filterNot(_.name == name))
+    txn.updateMetadata(md.copy(schemaString = remaining.json))
+    txn.commit(Nil, "DROP COLUMN", operationParameters = Map("column" -> name))
+  }
 
   /** Partition-level delete: drops whole files selected by a
     * partition-column predicate (residual predicates are rejected — this
@@ -701,8 +757,15 @@ object DeltaTable {
     * committer instead.
     */
   private[delta] def writeFiles(
-      spark: SparkSession, dataPath: Path, df: DataFrame,
-      partCols: Seq[String]): Seq[AddFile] = {
+      spark: SparkSession, dataPath: Path, df0: DataFrame,
+      partCols: Seq[String],
+      mapping: Map[String, String] = Map.empty): Seq[AddFile] = {
+    // column mapping: files store PHYSICAL names (partition cols are
+    // never mapped, so partCols and the hive layout are unaffected)
+    val df =
+      if (mapping.isEmpty) df0
+      else df0.select(df0.columns.map(c =>
+        org.apache.spark.sql.functions.col(c).as(mapping.getOrElse(c, c))).toSeq: _*)
     val conf = spark.sessionState.newHadoopConf()
     val fs = dataPath.getFileSystem(conf)
     val staging = new Path(dataPath, s".staging-${UUID.randomUUID}")

@@ -117,7 +117,8 @@ final class MergeBuilder private[delta] (
     if (touched.isEmpty) {
       if (ins.isEmpty) return txn.readVersion
       val insDF = source.alias("s").select(insertProj: _*)
-      val adds = DeltaTable.writeFiles(spark, log.dataPath, insDF, partCols)
+      val adds = DeltaTable.writeFiles(spark, log.dataPath, insDF, partCols,
+        ColumnMapping.mapping(md))
       val cdc =
         if (cdfOn)
           DeltaTable.writeCdcFiles(spark, log.dataPath,
@@ -153,7 +154,8 @@ final class MergeBuilder private[delta] (
         else Some(joined.filter(mT && mS).select(tCols: _*))
       val inserts = ins.map(_ => joined.filter(!mT && mS).select(insertProj: _*))
       val rewritten = (Seq(passthrough) ++ matchedOut ++ inserts).reduce(_ unionByName _)
-      val adds = DeltaTable.writeFiles(spark, log.dataPath, rewritten, partCols)
+      val adds = DeltaTable.writeFiles(spark, log.dataPath, rewritten, partCols,
+        ColumnMapping.mapping(md))
       val removes = touched.map(_.remove(now))
       val cdc =
         if (cdfOn) {

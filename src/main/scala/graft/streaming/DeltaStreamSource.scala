@@ -66,10 +66,10 @@ class DeltaStreamSource(spark: SparkSession, path: String, cdf: Boolean = false)
     val batch =
       if (adds.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), md.schema)
-      else spark.read
-        .schema(md.schema)
+      else graft.delta.ColumnMapping.toLogical(md, spark.read
+        .schema(graft.delta.ColumnMapping.physicalSchema(md))
         .option("basePath", log.dataPath.toString)
-        .parquet(adds.map(a => graft.delta.FileNames.absolutePath(log.dataPath, a.path).toString): _*)
+        .parquet(adds.map(a => graft.delta.FileNames.absolutePath(log.dataPath, a.path).toString): _*))
     GraftShims.asStreamingDF(spark, batch)
   }
 

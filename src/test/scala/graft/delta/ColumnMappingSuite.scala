@@ -1,0 +1,96 @@
+package graft.delta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Column mapping: rename/drop as metadata-only commits. */
+class ColumnMappingSuite extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft-cm").toString
+
+  private def freshTable(): DeltaTable = {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    t.write(Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "name", "score"))
+    t
+  }
+
+  test("RENAME COLUMN is metadata-only and reads map old files") {
+    import spark.implicits._
+    val t = freshTable()
+    val filesBefore = t.snapshot.allFiles.map(_.path).toSet
+    t.renameColumn("name", "label")
+    assert(t.snapshot.allFiles.map(_.path).toSet == filesBefore, "no file rewrite")
+    assert(t.toDF.columns.toSeq == Seq("id", "label", "score"))
+    assert(t.toDF.orderBy("id").select("label").as[String].collect().toSeq
+      == Seq("a", "b", "c"))
+    // appends after the rename use the new logical name, land in the SAME
+    // physical column, and both generations read back together
+    t.write(Seq((4L, "d", 40)).toDF("id", "label", "score"))
+    assert(t.toDF.orderBy("id").select("label").as[String].collect().toSeq
+      == Seq("a", "b", "c", "d"))
+    // predicates on the renamed column work (and stats still skip)
+    assert(t.read(col("label") === "d").count() == 1)
+  }
+
+  test("stats-based skipping survives a rename") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    t.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1))
+    t.write(Seq((3L, 300L), (4L, 400L)).toDF("id", "v").coalesce(1))
+    t.renameColumn("v", "value")
+    val scan = DeltaScan(t.snapshot, Some(col("value") > 100L))
+    assert(scan.files.size == 1, "renamed column must still data-skip via physical stats")
+    assert(t.read(col("value") > 100L).count() == 2)
+  }
+
+  test("DROP COLUMN then re-add does not resurrect old data") {
+    import spark.implicits._
+    val t = freshTable()
+    t.dropColumn("name")
+    assert(t.toDF.columns.toSeq == Seq("id", "score"))
+    // re-add the same logical name via mergeSchema: fresh physical id
+    t.write(Seq((4L, 40, "NEW")).toDF("id", "score", "name"), mergeSchema = true)
+    val rows = t.toDF.orderBy("id").select("id", "name").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, null), (2L, null), (3L, null), (4L, "NEW")),
+      "old physical 'name' data must stay invisible")
+  }
+
+  test("DML works on mapped tables") {
+    import spark.implicits._
+    val t = freshTable()
+    t.renameColumn("score", "points")
+    t.update(col("id") === 2, Map("points" -> lit(99)))
+    t.delete(col("points") === 10)
+    assert(t.toDF.orderBy("id").select("id", "points").as[(Long, Int)].collect().toSeq
+      == Seq((2L, 99), (3L, 30)))
+    val src = Seq((3L, "cc", 33), (5L, "e", 50)).toDF("id", "name", "points")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(t.toDF.orderBy("id").select("points").as[Int].collect().toSeq == Seq(99, 33, 50))
+    // OPTIMIZE keeps content through the physical round-trip
+    t.compact()
+    assert(t.toDF.orderBy("id").select("points").as[Int].collect().toSeq == Seq(99, 33, 50))
+  }
+
+  test("partition columns cannot be renamed or dropped") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    t.write(Seq((1L, "x"), (2L, "y")).toDF("id", "part"), SaveMode.Append, Seq("part"))
+    intercept[IllegalArgumentException] { t.renameColumn("part", "p2") }
+    intercept[IllegalArgumentException] { t.dropColumn("part") }
+    // and renaming a data column on a partitioned table is fine
+    t.renameColumn("id", "key")
+    assert(t.read(col("part") === "x").select("key").count() == 1)
+  }
+}
