@@ -1,0 +1,68 @@
+package graft.delta
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CHECK constraints and NOT NULL column invariants.
+  *
+  * Constraints are stored in table configuration under the open Delta
+  * convention `delta.constraints.<name> = <sql expression>` (the
+  * reference's `config.go` surface carries table configuration; the
+  * constraint keys themselves follow the public Delta constraints
+  * protocol). NOT NULL invariants come from `nullable = false` fields in
+  * the table schema.
+  *
+  * Enforcement is a filter FUSED INTO THE WRITE PASS: each row evaluates
+  * `CASE WHEN <constraint> THEN true ELSE raise_error(...) END`, so a
+  * violating write fails fast inside the same Spark job that writes the
+  * parquet — no second scan of the input, which matters when the input
+  * is a 100 TB shuffle output. SQL CHECK semantics: a NULL predicate
+  * result passes; only FALSE violates.
+  */
+object Constraints {
+
+  val Prefix = "delta.constraints."
+
+  /** name -> SQL expression for every CHECK constraint on the table. */
+  def fromMetadata(md: Metadata): Map[String, String] =
+    md.configuration.collect {
+      case (k, v) if k.startsWith(Prefix) => k.stripPrefix(Prefix) -> v
+    }
+
+  /** The enforcement predicates for `md`: CHECK constraints plus NOT NULL
+    * invariants, each paired with a human-readable violation message.
+    */
+  private def checks(md: Metadata): Seq[(Column, String)] = {
+    val constraints = fromMetadata(md).toSeq.sortBy(_._1).map { case (name, sql) =>
+      (coalesce(expr(sql), lit(true)),
+        s"CHECK constraint $name ($sql) violated by row")
+    }
+    val notNulls = md.schema.fields.filterNot(_.nullable).toSeq.map { f =>
+      (col(f.name).isNotNull,
+        s"NOT NULL constraint violated for column ${f.name}")
+    }
+    constraints ++ notNulls
+  }
+
+  /** Wrap `df` so that writing it enforces every constraint of `md`.
+    * No-op (same plan) when the table has no constraints and no
+    * non-nullable columns.
+    */
+  def enforce(df: DataFrame, md: Metadata): DataFrame = {
+    val cs = checks(md)
+    if (cs.isEmpty) df
+    else df.filter(cs.map { case (ok, msg) =>
+      when(ok, lit(true)).otherwise(raise_error(lit(msg)))
+    }.reduce(_ && _))
+  }
+
+  /** Column names referenced by a constraint SQL expression (used to
+    * reject RENAME/DROP of a constrained column).
+    */
+  def referencedColumns(spark: org.apache.spark.sql.SparkSession, sql: String): Set[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    spark.sessionState.sqlParser.parseExpression(sql)
+      .collect { case a: UnresolvedAttribute => a.name }
+      .toSet
+  }
+}

@@ -56,12 +56,14 @@ object DeletionVectors {
     */
   def normFp(c: Column): Column = regexp_replace(c, "^file:/+", "/")
 
-  /** The (fp, ri) rows of the given descriptors. */
+  /** The (fp, ri) rows of the given descriptors. Descriptor paths are
+    * table-relative, or absolute URIs on shallow clones of DV'd tables.
+    */
   def rowsDF(spark: SparkSession, dataPath: Path, descs: Seq[Descriptor]): Option[DataFrame] =
     if (descs.isEmpty) None
     else Some(spark.read
       .schema("fp string, ri long")
-      .parquet(descs.map(d => new Path(dataPath, d.relPath).toString): _*))
+      .parquet(descs.map(d => FileNames.absolutePath(dataPath, d.relPath).toString): _*))
 
   /** Drop a snapshot's deleted rows from `df` (a scan of its files that
     * can still resolve `_metadata`). No-op when no file carries a DV.

@@ -49,8 +49,10 @@ class DeltaFileIndex(log: DeltaLog, snapshot: Snapshot) extends FileIndex {
       val pred = partitionFilters.map(DeltaScan.toColumn).reduce(_ && _)
       files = typed.filter(pred).drop(partCols: _*)
     }
-    // 2. stats-based data skipping on the data filters (A17)
-    files = DeltaScan.dataSkip(files, dataFilters, md.schema, partCols)
+    // 2. stats-based data skipping on the data filters (A17); stats JSON
+    //    is keyed by PHYSICAL names under column mapping
+    files = DeltaScan.dataSkip(files, dataFilters,
+      ColumnMapping.physicalSchema(md), partCols, ColumnMapping.mapping(md))
 
     val adds = files.as[AddFile].collect().toSeq
     adds.groupBy(_.partitionValues).map { case (pv, group) =>

@@ -179,6 +179,54 @@ object DeltaQueries {
       t.write(extra)
     }
 
+  private def restoreFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "restore") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val nation = table(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      t.write(nation) // v0
+      t.delete(col("n_regionkey") === 2) // v1
+      t.write(nation.filter(col("n_nationkey") < 3)
+        .select((col("n_nationkey") + 500).as("n_nationkey"),
+          col("n_name"), col("n_regionkey"))) // v2
+      t.restoreToVersion(0) // v3: back to the full nation
+      require(t.deltaLog.update().version == 3, "restore must be a new commit")
+    }
+
+  private def constraintsFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "constraints") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val nation = table(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      t.write(nation)
+      t.addConstraint("valid_region", "n_regionkey BETWEEN 0 AND 4")
+      // violating batch fails INSIDE the write job and must not commit
+      val failed =
+        try { t.write(nation.limit(1).select(col("n_nationkey"),
+          col("n_name"), lit(99).cast("long").as("n_regionkey"))); false }
+        catch { case e: Exception if e.getMessage.contains("valid_region") => true }
+      require(failed, "violating write must fail")
+      // conforming batch still lands
+      t.write(nation.filter(col("n_nationkey") < 5)
+        .select((col("n_nationkey") + 100).as("n_nationkey"),
+          upper(col("n_name")).as("n_name"), col("n_regionkey")))
+    }
+
+  private def cloneFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "clone") { dir =>
+      val src = DeltaTable.forPath(s, dir + "/src")
+      src.write(table(s, d, "orders"), SaveMode.Append, Seq("o_orderstatus"))
+      src.delete(col("o_totalprice") > 400000)
+      val srcVersion = src.deltaLog.update().version
+      val clone = src.shallowCloneTo(dir + "/dst")
+      // DML on the clone exercises the external-path read (partition
+      // values attached from the log) and must leave the source untouched
+      clone.delete(col("o_totalprice") > 250000)
+      require(src.deltaLog.update().version == srcVersion, "source log untouched")
+      require(clone.snapshot.allFiles.exists(f =>
+        new java.net.URI(f.path).isAbsolute), "clone must reference source URIs")
+    }
+
   private val ordersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
@@ -367,6 +415,45 @@ object DeltaQueries {
         UNION ALL
         SELECT nk, n_name, rk, 'update_preimage', CAST(3 AS BIGINT) FROM n WHERE nk < 3)
       ORDER BY _commit_version, n_nationkey, _change_type""")),
+
+    // RESTORE: rollback-as-new-commit; the anti-join diff re-surfaces v0
+    GQ("delta_restore", (s, d) => {
+      val dir = restoreFixture(s, d)
+      DeltaTable.forPath(s, dir).toDF
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }, Some("""
+      SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
+        CAST(n_regionkey AS INTEGER) AS n_regionkey
+      FROM nation ORDER BY n_nationkey""")),
+
+    // CHECK constraints: enforcement fused into the write pass — the
+    // violating batch is absent, the conforming batches are present
+    GQ("delta_constraints", (s, d) => {
+      val dir = constraintsFixture(s, d)
+      DeltaTable.forPath(s, dir).toDF
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }, Some("""
+      SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
+        CAST(n_regionkey AS INTEGER) AS n_regionkey FROM nation
+      UNION ALL
+      SELECT CAST(n_nationkey + 100 AS INTEGER), upper(n_name),
+        CAST(n_regionkey AS INTEGER) FROM nation WHERE n_nationkey < 5
+      ORDER BY n_nationkey""")),
+
+    // shallow CLONE: metadata-only copy; row-level DML on the clone runs
+    // through the external-URI read path and never mutates the source
+    GQ("delta_clone", (s, d) => {
+      val dir = cloneFixture(s, d)
+      DeltaTable.forPath(s, dir + "/dst").toDF
+        .select(ordersCols.map(col): _*)
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE NOT (o_totalprice > 250000) ORDER BY o_orderkey""")),
 
     // A9/A10: snapshot stitched from parquet checkpoint + json tail
     GQ("delta_checkpoint", (s, d) => {

@@ -132,12 +132,26 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       .flatMap { case (v, actions) =>
         val abs = (p: String) => FileNames.absolutePath(deltaLog.dataPath, p).toString
         val cdc = actions.collect { case c: AddCDCFile => abs(c.path) }
+        // absolute external paths (shallow-clone commits) can't go through
+        // the basePath read — route them via readFilesDF, which attaches
+        // partition values from the log instead of the hive paths
+        def fileFrame(fs: Seq[AddFile], ct: String): Option[DataFrame] =
+          if (fs.isEmpty) None
+          else if (fs.exists(f => new java.net.URI(f.path).isAbsolute))
+            Some(readFilesDF(fs, endSnap.metadata)
+              .withColumn("_change_type", lit(ct))
+              .select(outCols.map(col): _*))
+          else readAs(fs.map(f => abs(f.path)), Some(ct))
         val versionFrames =
           if (cdc.nonEmpty) readAs(cdc, None).toSeq
           else {
-            val ins = actions.collect { case a: AddFile if a.dataChange => abs(a.path) }
-            val del = actions.collect { case r: RemoveFile if r.dataChange => abs(r.path) }
-            readAs(ins, Some("insert")).toSeq ++ readAs(del, Some("delete")).toSeq
+            val ins = actions.collect { case a: AddFile if a.dataChange => a }
+            val del = actions.collect {
+              case r: RemoveFile if r.dataChange =>
+                AddFile(r.path, Option(r.partitionValues).getOrElse(Map.empty),
+                  r.size.getOrElse(0L), 0L, dataChange = true, tags = r.tags)
+            }
+            fileFrame(ins, "insert").toSeq ++ fileFrame(del, "delete").toSeq
           }
         versionFrames.map(_
           .withColumn("_commit_version", lit(v))
@@ -215,7 +229,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     }
 
     val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, partCols,
-      ColumnMapping.mapping(txn.metadata))
+      txn.metadata)
     val operation = if (mode == SaveMode.Overwrite) "WRITE.Overwrite" else "WRITE.Append"
     val params = Map(
       "mode" -> mode.toString,
@@ -266,7 +280,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         createdTime = Some(deltaLog.clock.nowMillis)))
     }
     val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, partCols,
-      ColumnMapping.mapping(txn.metadata))
+      txn.metadata)
     txn.commit(adds :+ SetTransaction(appId, batchId, Some(deltaLog.clock.nowMillis)),
       "STREAMING UPDATE")
     true
@@ -313,7 +327,6 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     }
     val now = deltaLog.clock.nowMillis
     val files = toCompact.values.flatten.toSeq
-    val paths = files.map(f => FileNames.absolutePath(deltaLog.dataPath, f.path).toString)
     val targetSize = DeltaConfig.TargetFileSize.fromMetadata(md)
     val totalBytes = files.map(_.size).sum
     val numTasks = math.max(1, math.min(files.size,
@@ -322,12 +335,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // most `saltBuckets` output files of ~targetSize each
     val maxPartBytes = toCompact.values.map(_.map(_.size).sum).max
     val saltBuckets = math.max(1, math.ceil(maxPartBytes.toDouble / targetSize).toInt)
-    val df0 = ColumnMapping.toLogical(md,
-      DeletionVectors.filterDeleted(spark, deltaLog.dataPath, files,
-        spark.read
-          .schema(ColumnMapping.physicalSchema(md))
-          .option("basePath", deltaLog.dataPath.toString)
-          .parquet(paths: _*)))
+    val df0 = readFilesDF(files, md)
     val dataCols = md.schema.fieldNames.filterNot(partCols.contains).map(col).toSeq
     // zero-arg hash() fails analysis when every column is a partition column
     val salt = if (dataCols.isEmpty) lit(0) else pmod(hash(dataCols: _*), lit(saltBuckets))
@@ -372,7 +380,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       } else if (partCols.nonEmpty) df0.repartition(numTasks, partCols.map(col) :+ salt: _*)
       else df0.repartition(numTasks)
     val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, partCols,
-      ColumnMapping.mapping(md))
+      md)
       .map(_.copy(dataChange = false))
     val removes = files.map(f => f.remove(now, dataChange = false))
     txn.commit(removes ++ adds, "OPTIMIZE",
@@ -478,15 +486,55 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * normalized `__fp`/`__ri` row-identity columns retained — the common
     * base for every DML scan (matching, rewriting, CDC capture), so no
     * rewrite can ever resurrect a DV-deleted row.
+    *
+    * When every path is table-relative (the normal case), ONE parquet
+    * scan with `basePath` recovers the hive partition columns. When any
+    * path is an absolute external URI (a shallow clone referencing the
+    * source table's files), partition values are attached from the LOG's
+    * `partitionValues` instead — a broadcast join on file identity, one
+    * row per file — because `basePath` cannot span foreign roots.
     */
   private[delta] def readFilesKeyed(files: Seq[AddFile], md: Metadata): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val partCols = md.partitionColumns
     val paths = files.map(f => FileNames.absolutePath(deltaLog.dataPath, f.path).toString)
-    val raw = spark.read.schema(ColumnMapping.physicalSchema(md))
-      .option("basePath", deltaLog.dataPath.toString)
-      .parquet(paths: _*)
-    ColumnMapping.toLogical(md,
-      DeletionVectors.filterDeleted(spark, deltaLog.dataPath, files, raw, keepKeys = true),
-      extra = Seq("__fp", "__ri"))
+    val external = files.exists(f => new java.net.URI(f.path).isAbsolute)
+    if (!external) {
+      val raw = spark.read.schema(ColumnMapping.physicalSchema(md))
+        .option("basePath", deltaLog.dataPath.toString)
+        .parquet(paths: _*)
+      ColumnMapping.toLogical(md,
+        DeletionVectors.filterDeleted(spark, deltaLog.dataPath, files, raw, keepKeys = true),
+        extra = Seq("__fp", "__ri"))
+    } else {
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        ColumnMapping.physicalSchema(md).filterNot(f => partCols.contains(f.name)))
+      val raw = spark.read.schema(dataSchema).parquet(paths: _*)
+      var keyed = DeletionVectors.filterDeleted(spark, deltaLog.dataPath, files, raw,
+        keepKeys = true)
+      if (partCols.nonEmpty) {
+        // keys use the same normalized form __fp carries (scheme-collapsed
+        // decoded path — see DeletionVectors.normFp / filesWithMatches)
+        val pvRows = files.map { f =>
+          Row.fromSeq(
+            normPath(FileNames.absolutePath(deltaLog.dataPath, f.path).toString) +:
+              partCols.map(c => f.partitionValues.get(c).flatMap(Option(_)).orNull))
+        }
+        val pvSchema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("__pv_fp",
+            org.apache.spark.sql.types.StringType) +:
+            partCols.map(c => org.apache.spark.sql.types.StructField(s"__pv_$c",
+              org.apache.spark.sql.types.StringType)))
+        import scala.jdk.CollectionConverters._
+        val pv = spark.createDataFrame(pvRows.asJava, pvSchema)
+        keyed = keyed.join(broadcast(pv), col("__fp") === col("__pv_fp"), "left")
+        partCols.foreach { c =>
+          keyed = keyed.withColumn(c, col(s"__pv_$c").cast(md.schema(c).dataType))
+        }
+        keyed = keyed.drop("__pv_fp" +: partCols.map(c => s"__pv_$c"): _*)
+      }
+      ColumnMapping.toLogical(md, keyed, extra = Seq("__fp", "__ri"))
+    }
   }
 
   /** Read specific table files as a DataFrame (partition columns recovered
@@ -542,7 +590,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val touchedDF = readFilesDF(touched, md)
     val survivors = touchedDF.filter(not(condTrue))
     val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, survivors,
-      md.partitionColumns, ColumnMapping.mapping(md))
+      md.partitionColumns, md)
     val now = deltaLog.clock.nowMillis
     val removes = touched.map(_.remove(now))
     val cdc =
@@ -627,7 +675,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     }.toSeq
     val rewritten = touchedDF.select(rewriteProj: _*)
     val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, rewritten,
-      md.partitionColumns, ColumnMapping.mapping(md))
+      md.partitionColumns, md)
     val now = deltaLog.clock.nowMillis
     val removes = touched.map(_.remove(now))
     val cdc =
@@ -668,6 +716,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     require(md.schema.fieldNames.contains(oldName), s"no such column: $oldName")
     require(!md.schema.fieldNames.contains(newName), s"column already exists: $newName")
     require(!md.partitionColumns.contains(oldName), s"cannot rename partition column $oldName")
+    requireUnconstrained(md, oldName, "rename")
     val renamed = org.apache.spark.sql.types.StructType(
       md.schema.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f))
     txn.updateMetadata(md.copy(schemaString = renamed.json))
@@ -685,10 +734,184 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     require(md.schema.fieldNames.contains(name), s"no such column: $name")
     require(!md.partitionColumns.contains(name), s"cannot drop partition column $name")
     require(md.schema.fields.length > 1, "cannot drop the last column")
+    requireUnconstrained(md, name, "drop")
     val remaining = org.apache.spark.sql.types.StructType(
       md.schema.fields.filterNot(_.name == name))
     txn.updateMetadata(md.copy(schemaString = remaining.json))
     txn.commit(Nil, "DROP COLUMN", operationParameters = Map("column" -> name))
+  }
+
+  /** RENAME/DROP of a column referenced by a CHECK constraint is rejected
+    * (the stored SQL expression would silently stop resolving).
+    */
+  private def requireUnconstrained(md: Metadata, column: String, op: String): Unit = {
+    val hit = Constraints.fromMetadata(md).filter { case (_, sql) =>
+      Constraints.referencedColumns(spark, sql).exists(_.equalsIgnoreCase(column))
+    }
+    require(hit.isEmpty,
+      s"cannot $op column $column: referenced by CHECK constraint(s) ${hit.keys.mkString(", ")}")
+  }
+
+  // ---------------------------------------------------------- constraints
+
+  /** The CHECK constraints on this table (name -> SQL expression). */
+  def constraints: Map[String, String] = Constraints.fromMetadata(snapshot.metadata)
+
+  /** ADD CONSTRAINT: stores `delta.constraints.<name> = expression` in the
+    * table configuration (the open Delta convention) after verifying the
+    * EXISTING data satisfies it — one scan that short-circuits at the
+    * first violation. Every subsequent write enforces the constraint
+    * inside its own write pass (see [[Constraints.enforce]]). Bumps the
+    * writer protocol to v3, per the Delta constraints spec.
+    */
+  def addConstraint(name: String, expression: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val txn = deltaLog.startTransaction()
+    require(txn.snapshot.metadataOpt.isDefined, "table does not exist")
+    val md = txn.metadata
+    val key = Constraints.Prefix + name
+    require(!md.configuration.contains(key), s"constraint $name already exists")
+    val bad = readSnapshot(txn.snapshot, None)
+      .filter(not(coalesce(expr(expression), lit(true))))
+      .limit(1).count()
+    require(bad == 0, s"existing rows violate CHECK constraint $name ($expression)")
+    txn.updateMetadata(md.copy(configuration = md.configuration + (key -> expression)))
+    val protoBump: Seq[Action] =
+      if (txn.snapshot.protocol.minWriterVersion < 3)
+        Seq(txn.snapshot.protocol.copy(minWriterVersion = 3))
+      else Nil
+    txn.commit(protoBump, "ADD CONSTRAINT",
+      operationParameters = Map("name" -> name, "expr" -> expression))
+  }
+
+  /** DROP CONSTRAINT: removes the configuration key; a no-op commit is
+    * still recorded for audit.
+    */
+  def dropConstraint(name: String): Long = {
+    val txn = deltaLog.startTransaction()
+    val md = txn.metadata
+    val key = Constraints.Prefix + name
+    require(md.configuration.contains(key), s"no such constraint: $name")
+    txn.updateMetadata(md.copy(configuration = md.configuration - key))
+    txn.commit(Nil, "DROP CONSTRAINT", operationParameters = Map("name" -> name))
+  }
+
+  // -------------------------------------------------------------- restore
+
+  /** RESTORE TABLE ... TO VERSION AS OF: rolls the table state back to a
+    * previous version as a NEW commit (the history is preserved — restore
+    * is itself time-travelable). The file diff between the current and
+    * target snapshots is computed as distributed anti-joins on path, and
+    * the existence of every re-surfaced file is checked on executors (a
+    * VACUUM may have deleted files the target version needs — that fails
+    * the restore, matching Delta semantics). Huge diffs stream through
+    * [[OptimisticTransaction.commitLarge]].
+    */
+  def restoreToVersion(version: Long): Long =
+    restore(deltaLog.snapshotForVersionAsOf(version),
+      Map("versionAsOf" -> version.toString))
+
+  /** RESTORE TABLE ... TO TIMESTAMP AS OF — see [[restoreToVersion]]. */
+  def restoreToTimestamp(timestampMillis: Long): Long =
+    restore(deltaLog.snapshotForTimestampAsOf(timestampMillis),
+      Map("timestampAsOf" -> timestampMillis.toString))
+
+  private def restore(target: Snapshot, params: Map[String, String]): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val txn = deltaLog.startTransaction()
+    txn.readWholeTable()
+    val current = txn.snapshot
+    val cur = current.allFilesDS
+    val tgt = target.allFilesDS
+    val toAdd = tgt.join(cur.select(col("path")), Seq("path"), "left_anti").as[AddFile]
+    val toRemove = cur.join(tgt.select(col("path")), Seq("path"), "left_anti").as[AddFile]
+
+    val rootStr = deltaLog.dataPath.toString
+    val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val missing = toAdd.map(_.path).mapPartitions { it =>
+      val root = new Path(rootStr)
+      val f = root.getFileSystem(serConf.value)
+      it.filterNot(p => f.exists(FileNames.absolutePath(root, p)))
+    }.take(3)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        "cannot RESTORE: target version references data files that no " +
+          s"longer exist (vacuumed?): ${missing.mkString(", ")}")
+
+    if (target.metadataOpt.exists(m => !current.metadataOpt.contains(m)))
+      txn.updateMetadata(target.metadata)
+    val now = deltaLog.clock.nowMillis
+    val nAdd = toAdd.count()
+    val nRemove = toRemove.count()
+    val metrics = Map(
+      "numRestoredFiles" -> nAdd.toString,
+      "numRemovedFiles" -> nRemove.toString)
+    if (nAdd + nRemove > DeltaTable.commitLargeThreshold(spark)) {
+      import scala.jdk.CollectionConverters._
+      txn.commitLarge(
+        toAdd.toLocalIterator().asScala.map(f => f.copy(dataChange = true): Action) ++
+          toRemove.toLocalIterator().asScala.map(f => f.remove(now): Action),
+        "RESTORE", operationParameters = params, operationMetrics = metrics)
+    } else {
+      txn.commit(
+        toAdd.collect().toSeq.map(_.copy(dataChange = true)) ++
+          toRemove.collect().toSeq.map(_.remove(now)),
+        "RESTORE", operationParameters = params)
+    }
+  }
+
+  // ---------------------------------------------------------------- clone
+
+  /** Shallow CLONE: creates an independent table at `destPath` whose
+    * AddFiles reference THIS table's data files by absolute URI — a
+    * metadata-only copy, no data movement, O(files) regardless of table
+    * size. The clone has its own log, so subsequent writes, DML and
+    * OPTIMIZE on either side never affect the other (DML on the clone
+    * rewrites into the clone's root). Deletion-vector descriptors are
+    * rewritten to absolute URIs so merge-on-read deletes survive the
+    * clone. Caveat (as in any Delta shallow clone): VACUUM on the SOURCE
+    * can delete files the clone still references.
+    */
+  def shallowCloneTo(destPath: String): DeltaTable = {
+    val src = snapshot
+    src.assertProtocolRead()
+    val md = src.metadata
+    val destLog = DeltaLog.forTable(spark, destPath)
+    require(!destLog.tableExists, s"clone destination already exists: $destPath")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = deltaLog.dataPath.getFileSystem(conf)
+    val qualified = fs.makeQualified(deltaLog.dataPath)
+    def absUri(child: String): String =
+      FileNames.absolutePath(qualified, child).toUri.toString
+    def rewrite(f: AddFile): AddFile = {
+      val tags = DeletionVectors.descriptor(f) match {
+        case Some(d) => f.tags + (DeletionVectors.PathTag -> absUri(d.relPath))
+        case None => f.tags
+      }
+      f.copy(path = absUri(f.path), tags = tags, dataChange = true)
+    }
+    val txn = destLog.startTransaction()
+    txn.updateMetadata(md.copy(
+      id = java.util.UUID.randomUUID.toString,
+      createdTime = Some(destLog.clock.nowMillis)))
+    val params = Map(
+      "source" -> deltaLog.dataPath.toString,
+      "sourceVersion" -> src.version.toString,
+      "isShallow" -> "true")
+    val n = src.numOfFiles
+    if (n > DeltaTable.commitLargeThreshold(spark)) {
+      import scala.jdk.CollectionConverters._
+      txn.commitLarge(
+        (Seq(src.protocol: Action).iterator) ++
+          src.allFilesDS.toLocalIterator().asScala.map(f => rewrite(f): Action),
+        "CLONE", operationParameters = params,
+        operationMetrics = Map("numClonedFiles" -> n.toString))
+    } else {
+      txn.commit(src.protocol +: src.allFiles.map(rewrite), "CLONE",
+        operationParameters = params)
+    }
+    DeltaTable.forPath(spark, destPath)
   }
 
   /** Partition-level delete: drops whole files selected by a
@@ -754,17 +977,20 @@ object DeltaTable {
   /** Physically write df as Hive-partitioned parquet under the table root
     * via a staging dir + rename, returning the AddFile actions. Rename is
     * metadata-only on a real FS; object stores would use a direct-write
-    * committer instead.
+    * committer instead. CHECK/NOT NULL constraints are enforced inside
+    * this same pass, and files store PHYSICAL column names under column
+    * mapping.
     */
   private[delta] def writeFiles(
       spark: SparkSession, dataPath: Path, df0: DataFrame,
-      partCols: Seq[String],
-      mapping: Map[String, String] = Map.empty): Seq[AddFile] = {
+      partCols: Seq[String], md: Metadata): Seq[AddFile] = {
+    val checked = Constraints.enforce(df0, md)
     // column mapping: files store PHYSICAL names (partition cols are
     // never mapped, so partCols and the hive layout are unaffected)
+    val mapping = ColumnMapping.mapping(md)
     val df =
-      if (mapping.isEmpty) df0
-      else df0.select(df0.columns.map(c =>
+      if (mapping.isEmpty) checked
+      else checked.select(checked.columns.map(c =>
         org.apache.spark.sql.functions.col(c).as(mapping.getOrElse(c, c))).toSeq: _*)
     val conf = spark.sessionState.newHadoopConf()
     val fs = dataPath.getFileSystem(conf)

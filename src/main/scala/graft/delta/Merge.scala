@@ -118,7 +118,7 @@ final class MergeBuilder private[delta] (
       if (ins.isEmpty) return txn.readVersion
       val insDF = source.alias("s").select(insertProj: _*)
       val adds = DeltaTable.writeFiles(spark, log.dataPath, insDF, partCols,
-        ColumnMapping.mapping(md))
+        md)
       val cdc =
         if (cdfOn)
           DeltaTable.writeCdcFiles(spark, log.dataPath,
@@ -155,7 +155,7 @@ final class MergeBuilder private[delta] (
       val inserts = ins.map(_ => joined.filter(!mT && mS).select(insertProj: _*))
       val rewritten = (Seq(passthrough) ++ matchedOut ++ inserts).reduce(_ unionByName _)
       val adds = DeltaTable.writeFiles(spark, log.dataPath, rewritten, partCols,
-        ColumnMapping.mapping(md))
+        md)
       val removes = touched.map(_.remove(now))
       val cdc =
         if (cdfOn) {

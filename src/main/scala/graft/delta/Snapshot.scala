@@ -220,7 +220,7 @@ object Snapshot {
   import org.apache.spark.sql.types._
 
   val SupportedReaderVersion = 1
-  val SupportedWriterVersion = 2
+  val SupportedWriterVersion = 3
   final class InvalidProtocolVersionException(msg: String)
     extends RuntimeException(msg)
   /** Recursively nullable variant of a schema (StructType.asNullable is

@@ -1,0 +1,195 @@
+package graft.delta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CHECK constraints / NOT NULL invariants, RESTORE, and shallow CLONE. */
+class TableFeaturesSuite extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft-feat").toString
+
+  private def seeded(): DeltaTable = {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    t.write(Seq(
+      (1L, "alice", 10, "x"), (2L, "bob", 20, "x"),
+      (3L, "carol", 30, "y"), (4L, "dave", 40, "y"),
+      (5L, "erin", 50, "z")).toDF("id", "name", "score", "part"),
+      SaveMode.Append, Seq("part"))
+    t
+  }
+
+  // ---------------------------------------------------------- constraints
+
+  test("ADD CONSTRAINT verifies existing data and bumps writer protocol") {
+    val t = seeded()
+    t.addConstraint("score_pos", "score > 0")
+    assert(t.constraints == Map("score_pos" -> "score > 0"))
+    assert(t.snapshot.protocol.minWriterVersion == 3)
+    val ex = intercept[IllegalArgumentException] {
+      t.addConstraint("score_small", "score < 40") // dave/erin violate
+    }
+    assert(ex.getMessage.contains("existing rows violate"))
+    assert(t.constraints.size == 1)
+  }
+
+  test("writes enforce CHECK constraints inside the write pass") {
+    import spark.implicits._
+    val t = seeded()
+    t.addConstraint("score_pos", "score > 0")
+    val vBefore = t.deltaLog.update().version
+    val ex = intercept[Exception] {
+      t.write(Seq((6L, "mallory", -1, "z")).toDF("id", "name", "score", "part"),
+        SaveMode.Append, Seq("part"))
+    }
+    assert(ex.getMessage.contains("score_pos"))
+    assert(t.deltaLog.update().version == vBefore, "failed write must not commit")
+    // NULL predicate result passes (SQL CHECK semantics)
+    t.write(Seq((7L, "nil", null.asInstanceOf[Integer], "z"))
+      .toDF("id", "name", "score", "part"), SaveMode.Append, Seq("part"))
+    assert(t.toDF.count() == 6)
+  }
+
+  test("DROP CONSTRAINT re-allows previously violating writes") {
+    import spark.implicits._
+    val t = seeded()
+    t.addConstraint("score_pos", "score > 0")
+    t.dropConstraint("score_pos")
+    assert(t.constraints.isEmpty)
+    t.write(Seq((6L, "mallory", -1, "z")).toDF("id", "name", "score", "part"),
+      SaveMode.Append, Seq("part"))
+    assert(t.toDF.count() == 6)
+    intercept[IllegalArgumentException](t.dropConstraint("nope"))
+  }
+
+  test("NOT NULL invariants from the schema are enforced") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(schemaString = schema.json))
+    txn.commit(Nil, "CREATE TABLE")
+    val bad = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(null, "x")), schema.asNullable)
+    val ex = intercept[Exception](t.write(bad))
+    assert(ex.getMessage.contains("NOT NULL"))
+  }
+
+  test("RENAME/DROP of a constrained column is rejected") {
+    val t = seeded()
+    t.addConstraint("score_pos", "score > 0")
+    val ex = intercept[IllegalArgumentException](t.renameColumn("score", "points"))
+    assert(ex.getMessage.contains("score_pos"))
+    intercept[IllegalArgumentException](t.dropColumn("score"))
+    t.renameColumn("name", "alias") // unconstrained columns still movable
+    assert(t.toDF.columns.contains("alias"))
+  }
+
+  // -------------------------------------------------------------- restore
+
+  test("RESTORE rolls back to a prior version as a new commit") {
+    import spark.implicits._
+    val t = seeded() // v0
+    t.delete(col("score") >= 30) // v1
+    t.write(Seq((9L, "zed", 90, "x")).toDF("id", "name", "score", "part"),
+      SaveMode.Append, Seq("part")) // v2
+    val v = t.restoreToVersion(0)
+    assert(v == 3, "restore is a NEW commit, not history rewrite")
+    assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == (1L to 5L))
+    // history preserved: v2 state still time-travelable
+    assert(t.toDF(2).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 9L))
+    // restore of the restore: back to the post-delete v2 state
+    t.restoreToVersion(2)
+    assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 9L))
+  }
+
+  test("RESTORE fails when target files were vacuumed away") {
+    import spark.implicits._
+    val t = seeded() // v0
+    t.delete(col("part") === "y") // v1 rewrites part=y files
+    t.vacuum(retentionMillis = Some(0L)) // physically deletes v0-only files
+    val ex = intercept[IllegalStateException](t.restoreToVersion(0))
+    assert(ex.getMessage.contains("no longer exist"))
+  }
+
+  // ---------------------------------------------------------------- clone
+
+  test("shallow clone reads the source's files without copying data") {
+    val t = seeded()
+    val destDir = tmp() + "/clone"
+    val c = t.shallowCloneTo(destDir)
+    assert(c.toDF.count() == 5)
+    assert(c.snapshot.allFiles.forall(f => new java.net.URI(f.path).isAbsolute),
+      "clone AddFiles must be absolute URIs into the source")
+    // no parquet under the clone root: metadata-only
+    val cloneFiles = Files.walk(java.nio.file.Paths.get(destDir))
+      .filter(p => p.toString.endsWith(".parquet") && !p.toString.contains("_delta_log"))
+      .count()
+    assert(cloneFiles == 0)
+    intercept[IllegalArgumentException](t.shallowCloneTo(destDir)) // exists
+  }
+
+  test("DML on a shallow clone never touches the source") {
+    import spark.implicits._
+    val t = seeded()
+    val srcVersion = t.deltaLog.update().version
+    val c = t.shallowCloneTo(tmp() + "/clone")
+    // partition-aware row-level delete through the external-path read
+    c.delete(col("score") >= 30 && col("part") === "y")
+    assert(c.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L))
+    assert(t.deltaLog.update().version == srcVersion, "source log untouched")
+    assert(t.toDF.count() == 5, "source data untouched")
+    // update on the clone writes NEW files under the clone root
+    c.update(col("id") === 1L, Map("name" -> lit("ALICE")))
+    assert(c.toDF.filter(col("name") === "ALICE").count() == 1)
+    // source evolves independently of the clone
+    t.write(Seq((6L, "frank", 60, "z")).toDF("id", "name", "score", "part"),
+      SaveMode.Append, Seq("part"))
+    assert(c.toDF.count() == 5)
+  }
+
+  test("clone of a DV table keeps merge-on-read deletes visible") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    val df = (1 to 100).map(i => (i.toLong, i % 7)).toDF("id", "m")
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = df.schema.json,
+      configuration = Map("delta.enableDeletionVectors" -> "true")))
+    txn.commit(Nil, "CREATE TABLE")
+    t.write(df)
+    t.delete(col("m") === 0) // sidecar DV, no rewrite
+    require(t.snapshot.allFiles.exists(f => DeletionVectors.descriptor(f).isDefined))
+    val c = t.shallowCloneTo(tmp() + "/clone")
+    assert(c.toDF.count() == t.toDF.count())
+    assert(c.toDF.filter(col("m") === 0).count() == 0)
+  }
+
+  test("OPTIMIZE on a clone rewrites into the clone's own root") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    (0 until 3).foreach(k =>
+      t.write((1 to 30).filter(_ % 3 == k).map(i => (i.toLong, s"r$i")).toDF("id", "v")))
+    val c = t.shallowCloneTo(tmp() + "/clone")
+    c.compact()
+    assert(c.toDF.count() == 30)
+    assert(c.snapshot.allFiles.forall(f => !new java.net.URI(f.path).isAbsolute),
+      "compacted files live under the clone root (relative paths)")
+    assert(t.snapshot.allFiles.size == 3, "source layout untouched")
+  }
+}
