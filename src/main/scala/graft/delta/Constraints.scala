@@ -3,6 +3,15 @@ package graft.delta
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** A write violated a CHECK constraint or NOT NULL invariant. Raised by
+  * the write path (see [[Constraints.enforce]]) so callers get one typed
+  * error regardless of where Spark evaluated the violating row — in the
+  * write job on an executor, or on the driver when the optimizer folds a
+  * local relation (`ConvertToLocalRelation`) at plan time.
+  */
+final class ConstraintViolationException(message: String)
+  extends RuntimeException(message)
+
 /** CHECK constraints and NOT NULL column invariants.
   *
   * Constraints are stored in table configuration under the open Delta
@@ -23,6 +32,26 @@ object Constraints {
 
   val Prefix = "delta.constraints."
 
+  /** Marker embedded in `raise_error` messages so [[unwrap]] can recognize
+    * a constraint violation anywhere in a Spark exception cause chain.
+    */
+  private val Sentinel = "[GRAFT_CONSTRAINT] "
+
+  /** The [[ConstraintViolationException]] buried in `t`'s cause chain, if
+    * the failure originated from an enforcement `raise_error`.
+    */
+  def unwrap(t: Throwable): Option[ConstraintViolationException] = {
+    var cur = t
+    while (cur != null) {
+      val m = cur.getMessage
+      if (m != null && m.contains(Sentinel))
+        return Some(new ConstraintViolationException(
+          m.substring(m.indexOf(Sentinel) + Sentinel.length)))
+      cur = cur.getCause
+    }
+    None
+  }
+
   /** name -> SQL expression for every CHECK constraint on the table. */
   def fromMetadata(md: Metadata): Map[String, String] =
     md.configuration.collect {
@@ -35,11 +64,11 @@ object Constraints {
   private def checks(md: Metadata): Seq[(Column, String)] = {
     val constraints = fromMetadata(md).toSeq.sortBy(_._1).map { case (name, sql) =>
       (coalesce(expr(sql), lit(true)),
-        s"CHECK constraint $name ($sql) violated by row")
+        s"${Sentinel}CHECK constraint $name ($sql) violated by row")
     }
     val notNulls = md.schema.fields.filterNot(_.nullable).toSeq.map { f =>
       (col(f.name).isNotNull,
-        s"NOT NULL constraint violated for column ${f.name}")
+        s"${Sentinel}NOT NULL constraint violated for column ${f.name}")
     }
     constraints ++ notNulls
   }

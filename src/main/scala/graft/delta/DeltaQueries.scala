@@ -201,10 +201,12 @@ object DeltaQueries {
       t.write(nation)
       t.addConstraint("valid_region", "n_regionkey BETWEEN 0 AND 4")
       // violating batch fails INSIDE the write job and must not commit
+      val rkType = nation.schema("n_regionkey").dataType
       val failed =
         try { t.write(nation.limit(1).select(col("n_nationkey"),
-          col("n_name"), lit(99).cast("long").as("n_regionkey"))); false }
-        catch { case e: Exception if e.getMessage.contains("valid_region") => true }
+          col("n_name"), lit(99).cast(rkType).as("n_regionkey"))); false }
+        catch { case e: ConstraintViolationException
+          if e.getMessage.contains("valid_region") => true }
       require(failed, "violating write must fail")
       // conforming batch still lands
       t.write(nation.filter(col("n_nationkey") < 5)
@@ -219,12 +221,13 @@ object DeltaQueries {
       src.delete(col("o_totalprice") > 400000)
       val srcVersion = src.deltaLog.update().version
       val clone = src.shallowCloneTo(dir + "/dst")
-      // DML on the clone exercises the external-path read (partition
-      // values attached from the log) and must leave the source untouched
-      clone.delete(col("o_totalprice") > 250000)
-      require(src.deltaLog.update().version == srcVersion, "source log untouched")
       require(clone.snapshot.allFiles.exists(f =>
         new java.net.URI(f.path).isAbsolute), "clone must reference source URIs")
+      // DML on the clone exercises the external-path read (partition
+      // values attached from the log) and must leave the source untouched;
+      // the delete may rewrite every file into the clone's own root
+      clone.delete(col("o_totalprice") > 250000)
+      require(src.deltaLog.update().version == srcVersion, "source log untouched")
     }
 
   private val ordersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

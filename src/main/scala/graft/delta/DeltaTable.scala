@@ -181,8 +181,15 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val partCols = if (exists) txn.metadata.partitionColumns else partitionBy
 
     if (!exists) {
+      // tables created FROM a DataFrame capture a fully-nullable schema
+      // (Delta's behavior): Scala-primitive columns arrive nullable=false
+      // as an encoder artifact, not a user intent, and strict capture
+      // would reject perfectly valid later appends with nulls. NOT NULL
+      // invariants come only from explicitly-declared metadata schemas.
+      val relaxed = Snapshot.nullable(df.schema)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
       txn.updateMetadata(Metadata(
-        schemaString = df.schema.json,
+        schemaString = relaxed.json,
         partitionColumns = partCols,
         createdTime = Some(deltaLog.clock.nowMillis)))
     } else {
@@ -275,7 +282,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val partCols = if (exists) txn.metadata.partitionColumns else partitionBy
     if (!exists) {
       txn.updateMetadata(Metadata(
-        schemaString = df.schema.json,
+        schemaString = Snapshot.nullable(df.schema)
+          .asInstanceOf[org.apache.spark.sql.types.StructType].json,
         partitionColumns = partCols,
         createdTime = Some(deltaLog.clock.nowMillis)))
     }
@@ -998,7 +1006,13 @@ object DeltaTable {
     try {
       var w = df.write.mode(SaveMode.Overwrite)
       if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
-      w.parquet(staging.toString)
+      try w.parquet(staging.toString)
+      catch { case t: Throwable =>
+        // surface enforcement raise_errors as one typed exception, whether
+        // they fired in the write job or at plan time on the driver
+        Constraints.unwrap(t).foreach(throw _)
+        throw t
+      }
 
       def collectFiles(dir: Path): Seq[Path] = {
         fs.listStatus(dir).toSeq.flatMap { st =>

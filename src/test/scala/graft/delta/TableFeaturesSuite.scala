@@ -48,7 +48,7 @@ class TableFeaturesSuite extends AnyFunSuite {
     val t = seeded()
     t.addConstraint("score_pos", "score > 0")
     val vBefore = t.deltaLog.update().version
-    val ex = intercept[Exception] {
+    val ex = intercept[ConstraintViolationException] {
       t.write(Seq((6L, "mallory", -1, "z")).toDF("id", "name", "score", "part"),
         SaveMode.Append, Seq("part"))
     }
@@ -84,8 +84,9 @@ class TableFeaturesSuite extends AnyFunSuite {
     txn.updateMetadata(Metadata(schemaString = schema.json))
     txn.commit(Nil, "CREATE TABLE")
     val bad = spark.createDataFrame(
-      java.util.List.of(org.apache.spark.sql.Row(null, "x")), schema.asNullable)
-    val ex = intercept[Exception](t.write(bad))
+      java.util.List.of(org.apache.spark.sql.Row(null, "x")),
+      Snapshot.nullable(schema).asInstanceOf[org.apache.spark.sql.types.StructType])
+    val ex = intercept[ConstraintViolationException](t.write(bad))
     assert(ex.getMessage.contains("NOT NULL"))
   }
 
@@ -157,10 +158,11 @@ class TableFeaturesSuite extends AnyFunSuite {
     // update on the clone writes NEW files under the clone root
     c.update(col("id") === 1L, Map("name" -> lit("ALICE")))
     assert(c.toDF.filter(col("name") === "ALICE").count() == 1)
-    // source evolves independently of the clone
+    // source evolves independently of the clone (3 rows survived the delete)
     t.write(Seq((6L, "frank", 60, "z")).toDF("id", "name", "score", "part"),
       SaveMode.Append, Seq("part"))
-    assert(c.toDF.count() == 5)
+    assert(c.toDF.count() == 3)
+    assert(t.toDF.count() == 6)
   }
 
   test("clone of a DV table keeps merge-on-read deletes visible") {
@@ -186,10 +188,14 @@ class TableFeaturesSuite extends AnyFunSuite {
     (0 until 3).foreach(k =>
       t.write((1 to 30).filter(_ % 3 == k).map(i => (i.toLong, s"r$i")).toDF("id", "v")))
     val c = t.shallowCloneTo(tmp() + "/clone")
+    val srcPathsBefore = t.snapshot.allFiles.map(_.path).toSet
+    val cloneFilesBefore = c.snapshot.allFiles.size
     c.compact()
     assert(c.toDF.count() == 30)
+    assert(c.snapshot.allFiles.size < cloneFilesBefore, "compaction merged files")
     assert(c.snapshot.allFiles.forall(f => !new java.net.URI(f.path).isAbsolute),
       "compacted files live under the clone root (relative paths)")
-    assert(t.snapshot.allFiles.size == 3, "source layout untouched")
+    assert(t.snapshot.allFiles.map(_.path).toSet == srcPathsBefore,
+      "source layout untouched")
   }
 }
