@@ -117,6 +117,30 @@ object DeltaQueries {
         .execute()
     }
 
+  private def mergeMultiFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "dml-merge-multi") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val nation = table(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      t.write(nation)
+      val src = nation.filter(col("n_nationkey") < 15)
+        .unionByName(nation.filter(col("n_nationkey") < 5)
+          .withColumn("n_nationkey", col("n_nationkey") + 100))
+        .withColumn("n_name", concat(col("n_name"), lit("_s")))
+      // one MERGE exercising clause ordering, clause conditions, and the
+      // whenNotMatchedBySource surface all at once
+      t.merge(src, col("t.n_nationkey") === col("s.n_nationkey"))
+        .whenMatchedDelete(col("s.n_regionkey") === 2)
+        .whenMatchedUpdate(col("s.n_nationkey") < 8,
+          Map("n_name" -> upper(col("s.n_name"))))
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll(col("s.n_regionkey") =!= 0)
+        .whenNotMatchedBySourceDelete(col("t.n_nationkey") >= 20)
+        .whenNotMatchedBySourceUpdate(
+          Map("n_name" -> concat(col("t.n_name"), lit("_keep"))))
+        .execute()
+    }
+
   private def cdfDmlFixture(s: SparkSession, d: String): String =
     fixture(s, d, "dml-cdf") { dir =>
       val t = DeltaTable.forPath(s, dir)
@@ -396,6 +420,27 @@ object DeltaQueries {
       UNION ALL
       SELECT CAST(n_nationkey + 100 AS INTEGER), n_name, CAST(n_regionkey AS INTEGER)
       FROM nation WHERE n_nationkey < 5
+      ORDER BY n_nationkey""")),
+
+    // DML: MERGE with ordered conditional clauses — first-satisfied wins —
+    // plus whenNotMatchedBySource update/delete on target-only rows
+    GQ("delta_merge_multi", (s, d) => {
+      val dir = mergeMultiFixture(s, d)
+      DeltaTable.forPath(s, dir).toDF
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }, Some("""
+      WITH n AS (SELECT CAST(n_nationkey AS INTEGER) AS nk, n_name,
+                   CAST(n_regionkey AS INTEGER) AS rk FROM nation)
+      SELECT nk AS n_nationkey, n_name, rk AS n_regionkey FROM (
+        SELECT nk, CASE WHEN nk < 8 THEN upper(n_name || '_s')
+                        ELSE n_name || '_s' END AS n_name, rk
+        FROM n WHERE nk <= 14 AND rk <> 2
+        UNION ALL
+        SELECT nk, n_name || '_keep', rk FROM n WHERE nk BETWEEN 15 AND 19
+        UNION ALL
+        SELECT nk + 100, n_name || '_s', rk FROM n WHERE nk < 5 AND rk <> 0)
       ORDER BY n_nationkey""")),
 
     // DML + CDF: row-level deletes and update pre/post images read back

@@ -1,67 +1,121 @@
 package graft.delta
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MERGE INTO, built from [[DeltaTable.merge]]. The target is addressable
   * as `t.<col>` and the source as `s.<col>` in the merge condition and in
-  * every clause expression. At most one whenMatched action (update OR
-  * delete) and one whenNotMatched insert — the common MERGE shape; clause
-  * conditions beyond the join condition are not modeled.
+  * every clause expression/condition. The full Delta clause surface is
+  * modeled (cf. reference delta-go has no DML; semantics follow the open
+  * Delta MERGE spec):
+  *
+  *   - any number of `whenMatched[Update|UpdateAll|Delete]` clauses, each
+  *     with an optional extra condition; for a matched row the FIRST
+  *     clause whose condition holds applies, later ones are ignored, and
+  *     a matched row satisfying no clause passes through unchanged;
+  *   - any number of `whenNotMatchedInsert[All]` clauses (source-only
+  *     rows); first-satisfied inserts, otherwise the source row is
+  *     ignored;
+  *   - any number of `whenNotMatchedBySource[Update|Delete]` clauses
+  *     (target-only rows; conditions may reference only `t.` columns —
+  *     the source side is null there, so `s.` references are never
+  *     satisfied); first-satisfied applies, otherwise pass-through.
   *
   * Execution is the standard two-phase Delta shape, sized by the MATCH
   * SET rather than the table:
   *   1. find touched files — join target (with `_metadata.file_path`)
   *      to the source on the condition; only distinct file paths return
   *      to the driver. Catalyst prunes the scan to the condition columns
-  *      and AQE broadcasts the source when it is small.
+  *      and AQE broadcasts the source when it is small. With
+  *      `whenNotMatchedBySource` clauses every target row is a rewrite
+  *      candidate, so all files are touched (the general-case cost of
+  *      that clause — same as Delta's own full-outer plan).
   *   2. rewrite — only the touched files' rows join the source again
-  *      (full-outer when inserting, left-outer otherwise); matched rows
-  *      update/delete, target-only rows pass through, source-only rows
-  *      insert. A target row matched by more than one source row raises,
+  *      (full-outer when inserting, left-outer otherwise); each output
+  *      frame is one clause's filter+projection over the shared cached
+  *      join. A target row matched by more than one source row raises,
   *      per MERGE semantics (detected on `_metadata` row identity, no
   *      extra shuffle of the table).
   *
   * With `delta.enableChangeDataFeed`, insert / update_preimage /
-  * update_postimage / delete rows are captured as CDC files.
+  * update_postimage / delete rows are captured as CDC files per applied
+  * clause.
   */
 final class MergeBuilder private[delta] (
     t: DeltaTable, source: DataFrame, condition: Column) {
 
-  private var matchedSet: Option[Map[String, Column]] = None
-  private var matchedUpdateAll = false
-  private var matchedDelete = false
-  private var insertValues: Option[Map[String, Column]] = None
-  private var insertAll = false
+  private sealed trait MatchedAction
+  private case class MUpdate(set: Map[String, Column]) extends MatchedAction
+  private case object MUpdateAll extends MatchedAction
+  private case object MDelete extends MatchedAction
 
-  private def requireNoMatchedClause(): Unit =
-    require(matchedSet.isEmpty && !matchedUpdateAll && !matchedDelete,
-      "at most one whenMatched clause")
+  private sealed trait NotMatchedAction
+  private case class NInsert(values: Map[String, Column]) extends NotMatchedAction
+  private case object NInsertAll extends NotMatchedAction
+
+  private sealed trait BySourceAction
+  private case class BUpdate(set: Map[String, Column]) extends BySourceAction
+  private case object BDelete extends BySourceAction
+
+  private val matched = ArrayBuffer.empty[(Option[Column], MatchedAction)]
+  private val notMatched = ArrayBuffer.empty[(Option[Column], NotMatchedAction)]
+  private val bySource = ArrayBuffer.empty[(Option[Column], BySourceAction)]
 
   def whenMatchedUpdate(set: Map[String, Column]): this.type = {
-    requireNoMatchedClause()
     require(set.nonEmpty, "whenMatchedUpdate needs at least one SET column")
-    matchedSet = Some(set); this
+    matched += ((None, MUpdate(set))); this
+  }
+
+  def whenMatchedUpdate(clauseCondition: Column, set: Map[String, Column]): this.type = {
+    require(set.nonEmpty, "whenMatchedUpdate needs at least one SET column")
+    matched += ((Some(clauseCondition), MUpdate(set))); this
   }
 
   /** Update every table column from the same-named source column. */
-  def whenMatchedUpdateAll(): this.type = {
-    requireNoMatchedClause(); matchedUpdateAll = true; this
+  def whenMatchedUpdateAll(): this.type = { matched += ((None, MUpdateAll)); this }
+
+  def whenMatchedUpdateAll(clauseCondition: Column): this.type = {
+    matched += ((Some(clauseCondition), MUpdateAll)); this
   }
 
-  def whenMatchedDelete(): this.type = {
-    requireNoMatchedClause(); matchedDelete = true; this
+  def whenMatchedDelete(): this.type = { matched += ((None, MDelete)); this }
+
+  def whenMatchedDelete(clauseCondition: Column): this.type = {
+    matched += ((Some(clauseCondition), MDelete)); this
   }
 
   def whenNotMatchedInsert(values: Map[String, Column]): this.type = {
-    require(insertValues.isEmpty && !insertAll, "at most one whenNotMatched clause")
-    insertValues = Some(values); this
+    notMatched += ((None, NInsert(values))); this
+  }
+
+  def whenNotMatchedInsert(clauseCondition: Column, values: Map[String, Column]): this.type = {
+    notMatched += ((Some(clauseCondition), NInsert(values))); this
   }
 
   /** Insert every table column from the same-named source column. */
-  def whenNotMatchedInsertAll(): this.type = {
-    require(insertValues.isEmpty && !insertAll, "at most one whenNotMatched clause")
-    insertAll = true; this
+  def whenNotMatchedInsertAll(): this.type = { notMatched += ((None, NInsertAll)); this }
+
+  def whenNotMatchedInsertAll(clauseCondition: Column): this.type = {
+    notMatched += ((Some(clauseCondition), NInsertAll)); this
+  }
+
+  def whenNotMatchedBySourceUpdate(set: Map[String, Column]): this.type = {
+    require(set.nonEmpty, "whenNotMatchedBySourceUpdate needs at least one SET column")
+    bySource += ((None, BUpdate(set))); this
+  }
+
+  def whenNotMatchedBySourceUpdate(
+      clauseCondition: Column, set: Map[String, Column]): this.type = {
+    require(set.nonEmpty, "whenNotMatchedBySourceUpdate needs at least one SET column")
+    bySource += ((Some(clauseCondition), BUpdate(set))); this
+  }
+
+  def whenNotMatchedBySourceDelete(): this.type = { bySource += ((None, BDelete)); this }
+
+  def whenNotMatchedBySourceDelete(clauseCondition: Column): this.type = {
+    bySource += ((Some(clauseCondition), BDelete)); this
   }
 
   def execute(): Long = {
@@ -71,17 +125,25 @@ final class MergeBuilder private[delta] (
     require(txn.snapshot.metadataOpt.nonEmpty, "MERGE target table does not exist")
     val md = txn.metadata
     val fields = md.schema.fields.toSeq
-    val set: Option[Map[String, Column]] =
-      if (matchedUpdateAll) Some(fields.map(f => f.name -> col(s"s.${f.name}")).toMap)
-      else matchedSet
-    val ins: Option[Map[String, Column]] =
-      if (insertAll) Some(fields.map(f => f.name -> col(s"s.${f.name}")).toMap)
-      else insertValues
-    require(set.isDefined || matchedDelete || ins.isDefined, "MERGE needs at least one clause")
-    set.foreach(m => require((m.keySet -- md.schema.fieldNames).isEmpty,
-      s"SET references unknown columns: ${(m.keySet -- md.schema.fieldNames).mkString(", ")}"))
-    ins.foreach(m => require((m.keySet -- md.schema.fieldNames).isEmpty,
-      s"INSERT references unknown columns: ${(m.keySet -- md.schema.fieldNames).mkString(", ")}"))
+    val fieldNames = md.schema.fieldNames.toSet
+
+    def resolvedSet(a: MatchedAction): Map[String, Column] = a match {
+      case MUpdate(set) => set
+      case MUpdateAll => fields.map(f => f.name -> col(s"s.${f.name}")).toMap
+      case MDelete => Map.empty
+    }
+    def resolvedIns(a: NotMatchedAction): Map[String, Column] = a match {
+      case NInsert(values) => values
+      case NInsertAll => fields.map(f => f.name -> col(s"s.${f.name}")).toMap
+    }
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
+      "MERGE needs at least one clause")
+    (matched.map(c => resolvedSet(c._2)) ++ notMatched.map(c => resolvedIns(c._2)) ++
+      bySource.collect { case (_, BUpdate(set)) => set }).foreach { m =>
+      require((m.keySet -- fieldNames).isEmpty,
+        s"clause references unknown columns: ${(m.keySet -- fieldNames).mkString(", ")}")
+    }
+
     // MERGE reads the whole table for conflict purposes: the condition
     // depends on source rows, so no static predicate bounds the read
     txn.readWholeTable()
@@ -89,12 +151,13 @@ final class MergeBuilder private[delta] (
     val cdfOn = DeltaConfig.EnableChangeDataFeed.fromMetadata(md)
     val now = log.clock.nowMillis
 
-    def updateProj: Seq[Column] = fields.map { f =>
-      set.get.get(f.name).map(_.cast(f.dataType).as(f.name))
+    val tCols = fields.map(f => col(s"t.${f.name}").as(f.name))
+    def updateProj(set: Map[String, Column]): Seq[Column] = fields.map { f =>
+      set.get(f.name).map(_.cast(f.dataType).as(f.name))
         .getOrElse(col(s"t.${f.name}").as(f.name))
     }
-    def insertProj: Seq[Column] = fields.map { f =>
-      ins.get.get(f.name).map(_.cast(f.dataType).as(f.name))
+    def insertProj(values: Map[String, Column]): Seq[Column] = fields.map { f =>
+      values.get(f.name).map(_.cast(f.dataType).as(f.name))
         .getOrElse(lit(null).cast(f.dataType).as(f.name))
     }
 
@@ -104,6 +167,7 @@ final class MergeBuilder private[delta] (
     val allFiles = txn.snapshot.allFiles
     val touched: Seq[AddFile] =
       if (allFiles.isEmpty) Nil
+      else if (bySource.nonEmpty) allFiles // every target-only row is a candidate
       else {
         val tgt = t.readFilesKeyed(allFiles, md).alias("t")
         val hit = tgt.join(source.alias("s"), condition, "inner")
@@ -113,17 +177,26 @@ final class MergeBuilder private[delta] (
           hit(t.normPath(FileNames.absolutePath(log.dataPath, f.path).toString)))
       }
 
-    // ---- nothing matched: pure insert (or no-op)
+    // first-satisfied clause index; -1 = no clause applies (null-safe: a
+    // null clause condition never satisfies, per SQL WHEN semantics)
+    def firstIdx(clauses: Seq[Option[Column]]): Column =
+      clauses.zipWithIndex.foldRight(lit(-1): Column) { case ((cond, i), rest) =>
+        when(cond.getOrElse(lit(true)), lit(i)).otherwise(rest)
+      }
+
+    // ---- nothing touched: pure insert (or no-op)
     if (touched.isEmpty) {
-      if (ins.isEmpty) return txn.readVersion
-      val insDF = source.alias("s").select(insertProj: _*)
-      val adds = DeltaTable.writeFiles(spark, log.dataPath, insDF, partCols,
-        md)
+      if (notMatched.isEmpty) return txn.readVersion
+      val src = source.alias("s")
+        .withColumn("__nc", firstIdx(notMatched.map(_._1).toSeq))
+      val frames = notMatched.zipWithIndex.map { case ((_, a), j) =>
+        src.filter(col("__nc") === j).select(insertProj(resolvedIns(a)): _*)
+      }
+      val insDF = frames.reduce(_ unionByName _)
+      val adds = DeltaTable.writeFiles(spark, log.dataPath, insDF, partCols, md)
       val cdc =
-        if (cdfOn)
-          DeltaTable.writeCdcFiles(spark, log.dataPath,
-            source.alias("s").select(insertProj: _*)
-              .withColumn("_change_type", lit("insert")))
+        if (cdfOn) DeltaTable.writeCdcFiles(spark, log.dataPath,
+          frames.map(_.withColumn("_change_type", lit("insert"))).reduce(_ unionByName _))
         else Nil
       return txn.commit(adds ++ cdc, "MERGE",
         operationParameters = Map("predicate" -> condition.toString))
@@ -135,44 +208,84 @@ final class MergeBuilder private[delta] (
       .withColumn("__t_present", lit(true))
       .alias("t")
     val src = source.withColumn("__s_present", lit(true)).alias("s")
-    val joinType = if (ins.isDefined) "full_outer" else "left_outer"
-    val joined = tgt.join(src, condition, joinType).persist()
+    val joinType = if (notMatched.nonEmpty) "full_outer" else "left_outer"
+    val mT = col("__t_present").isNotNull
+    val mS = col("__s_present").isNotNull
+    val joined = tgt.join(src, condition, joinType)
+      .withColumn("__mc", when(mT && mS, firstIdx(matched.map(_._1).toSeq)).otherwise(lit(-1)))
+      .withColumn("__nc", when(!mT && mS, firstIdx(notMatched.map(_._1).toSeq)).otherwise(lit(-1)))
+      .withColumn("__bc", when(mT && !mS, firstIdx(bySource.map(_._1).toSeq)).otherwise(lit(-1)))
+      .persist()
     try {
-      val mT = col("__t_present").isNotNull
-      val mS = col("__s_present").isNotNull
-      if (set.isDefined || matchedDelete) {
+      if (matched.nonEmpty) {
         val dup = joined.filter(mT && mS)
           .groupBy(col("__tid")).count().filter(col("count") > 1).limit(1).count()
         if (dup > 0) throw new UnsupportedOperationException(
           "MERGE: multiple source rows matched the same target row")
       }
-      val tCols = fields.map(f => col(s"t.${f.name}").as(f.name))
-      val passthrough = joined.filter(mT && !mS).select(tCols: _*)
-      val matchedOut =
-        if (matchedDelete) None
-        else if (set.isDefined) Some(joined.filter(mT && mS).select(updateProj: _*))
-        else Some(joined.filter(mT && mS).select(tCols: _*))
-      val inserts = ins.map(_ => joined.filter(!mT && mS).select(insertProj: _*))
-      val rewritten = (Seq(passthrough) ++ matchedOut ++ inserts).reduce(_ unionByName _)
-      val adds = DeltaTable.writeFiles(spark, log.dataPath, rewritten, partCols,
-        md)
+      val frames = Seq.newBuilder[DataFrame]
+      // matched rows: applied clause, or pass through when none applies
+      frames += joined.filter(mT && mS && col("__mc") === -1).select(tCols: _*)
+      matched.zipWithIndex.foreach { case ((_, a), i) =>
+        a match {
+          case MDelete => () // dropped from the rewrite
+          case other => frames += joined.filter(col("__mc") === i)
+            .select(updateProj(resolvedSet(other)): _*)
+        }
+      }
+      // target-only rows: bySource clause, or pass through
+      frames += joined.filter(mT && !mS && col("__bc") === -1).select(tCols: _*)
+      bySource.zipWithIndex.foreach { case ((_, a), k) =>
+        a match {
+          case BDelete => ()
+          case BUpdate(set) => frames += joined.filter(col("__bc") === k)
+            .select(updateProj(set): _*)
+        }
+      }
+      // source-only rows: first-satisfied insert clause, else ignored
+      notMatched.zipWithIndex.foreach { case ((_, a), j) =>
+        frames += joined.filter(col("__nc") === j).select(insertProj(resolvedIns(a)): _*)
+      }
+      val rewritten = frames.result().reduce(_ unionByName _)
+      val adds = DeltaTable.writeFiles(spark, log.dataPath, rewritten, partCols, md)
       val removes = touched.map(_.remove(now))
       val cdc =
         if (cdfOn) {
-          val frames = Seq.newBuilder[DataFrame]
-          if (matchedDelete)
-            frames += joined.filter(mT && mS).select(tCols: _*)
-              .withColumn("_change_type", lit("delete"))
-          if (set.isDefined) {
-            frames += joined.filter(mT && mS).select(tCols: _*)
-              .withColumn("_change_type", lit("update_preimage"))
-            frames += joined.filter(mT && mS).select(updateProj: _*)
-              .withColumn("_change_type", lit("update_postimage"))
+          val cdcFrames = Seq.newBuilder[DataFrame]
+          matched.zipWithIndex.foreach { case ((_, a), i) =>
+            val rows = joined.filter(col("__mc") === i)
+            a match {
+              case MDelete =>
+                cdcFrames += rows.select(tCols: _*)
+                  .withColumn("_change_type", lit("delete"))
+              case other =>
+                cdcFrames += rows.select(tCols: _*)
+                  .withColumn("_change_type", lit("update_preimage"))
+                cdcFrames += rows.select(updateProj(resolvedSet(other)): _*)
+                  .withColumn("_change_type", lit("update_postimage"))
+            }
           }
-          ins.foreach(_ => frames += joined.filter(!mT && mS).select(insertProj: _*)
-            .withColumn("_change_type", lit("insert")))
-          DeltaTable.writeCdcFiles(spark, log.dataPath,
-            frames.result().reduce(_ unionByName _))
+          bySource.zipWithIndex.foreach { case ((_, a), k) =>
+            val rows = joined.filter(col("__bc") === k)
+            a match {
+              case BDelete =>
+                cdcFrames += rows.select(tCols: _*)
+                  .withColumn("_change_type", lit("delete"))
+              case BUpdate(set) =>
+                cdcFrames += rows.select(tCols: _*)
+                  .withColumn("_change_type", lit("update_preimage"))
+                cdcFrames += rows.select(updateProj(set): _*)
+                  .withColumn("_change_type", lit("update_postimage"))
+            }
+          }
+          notMatched.zipWithIndex.foreach { case ((_, a), j) =>
+            cdcFrames += joined.filter(col("__nc") === j)
+              .select(insertProj(resolvedIns(a)): _*)
+              .withColumn("_change_type", lit("insert"))
+          }
+          val all = cdcFrames.result()
+          if (all.isEmpty) Nil
+          else DeltaTable.writeCdcFiles(spark, log.dataPath, all.reduce(_ unionByName _))
         } else Nil
       txn.commit(removes ++ adds ++ cdc, "MERGE",
         operationParameters = Map("predicate" -> condition.toString))

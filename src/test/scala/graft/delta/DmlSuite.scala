@@ -134,6 +134,72 @@ class DmlSuite extends AnyFunSuite {
     }
   }
 
+  test("MERGE clause conditions: first satisfied clause wins, in order") {
+    import spark.implicits._
+    val t = table()
+    val src = Seq(
+      (1L, "alice2", 11, "x"),  // score 10 -> clause 1 (delete, score < 15)
+      (3L, "carol2", 31, "y"),  // score 30 -> clause 2 (update, score < 35)
+      (5L, "erin2", 51, "z")    // score 50 -> clause 3 (unconditional updateAll)
+    ).toDF("id", "name", "score", "part")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenMatchedDelete(col("t.score") < 15)
+      .whenMatchedUpdate(col("t.score") < 35, Map("name" -> upper(col("s.name"))))
+      .whenMatchedUpdateAll()
+      .execute()
+    val r = t.toDF.orderBy("id").as[(Long, String, Int, String)].collect().toSeq
+    assert(r == Seq(
+      (2L, "bob", 20, "x"), (3L, "CAROL2", 30, "y"),
+      (4L, "dave", 40, "y"), (5L, "erin2", 51, "z")))
+  }
+
+  test("MERGE conditional insert skips source rows failing the clause condition") {
+    import spark.implicits._
+    val t = table()
+    val src = Seq(
+      (6L, "frank", 60, "z"), (7L, "gina", -1, "w")
+    ).toDF("id", "name", "score", "part")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenNotMatchedInsertAll(col("s.score") > 0)
+      .execute()
+    assert(t.toDF.count() == 6)
+    assert(t.toDF.filter(col("id") === 7).count() == 0)
+  }
+
+  test("MERGE whenNotMatchedBySource updates and deletes target-only rows") {
+    import spark.implicits._
+    val t = table()
+    val src = Seq((1L, 99)).toDF("id", "newscore")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenMatchedUpdate(Map("score" -> col("s.newscore")))
+      .whenNotMatchedBySourceDelete(col("t.score") >= 40)
+      .whenNotMatchedBySourceUpdate(Map("name" -> concat(col("t.name"), lit("_stale"))))
+      .execute()
+    val r = t.toDF.orderBy("id").as[(Long, String, Int, String)].collect().toSeq
+    assert(r == Seq(
+      (1L, "alice", 99, "x"),         // matched update
+      (2L, "bob_stale", 20, "x"),     // bySource update (score < 40)
+      (3L, "carol_stale", 30, "y")))  // 4 and 5 bySource-deleted
+  }
+
+  test("CDF captures conditional-clause MERGE per applied clause") {
+    import spark.implicits._
+    val t = table(cdf = true)
+    val src = Seq((1L, 0), (2L, 99)).toDF("id", "newscore")
+    val v = t.merge(src, col("t.id") === col("s.id"))
+      .whenMatchedDelete(col("s.newscore") === 0)
+      .whenMatchedUpdate(Map("score" -> col("s.newscore")))
+      .execute()
+    val ch = t.tableChanges(v, v)
+      .select($"id", $"score", $"_change_type")
+      .orderBy($"id", $"_change_type")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(ch == Seq(
+      (1L, 10, "delete"),
+      (2L, 99, "update_postimage"),
+      (2L, 20, "update_preimage")))
+  }
+
   test("CDF captures row-level deletes and update pre/post images") {
     import spark.implicits._
     val t = table(cdf = true)
