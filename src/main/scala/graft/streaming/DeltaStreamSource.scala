@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, GraftShims, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
@@ -9,59 +8,183 @@ import org.apache.spark.sql.types.StructType
 
 import graft.delta.{AddFile, DeltaLog, DeltaTable}
 
+/** Offset into a Delta table's log: `index` is the number of (path-sorted)
+  * dataChange AddFiles of `version` already consumed; [[DeltaSourceOffset.All]]
+  * means the whole version. Admitting a version file-by-file is what lets
+  * a micro-batch stop mid-commit under `maxFilesPerTrigger`.
+  */
+final case class DeltaSourceOffset(version: Long, index: Long) extends Offset {
+  override def json(): String = s"""{"version":$version,"index":$index}"""
+}
+
+object DeltaSourceOffset {
+  /** index value meaning "every file of this version". */
+  val All: Long = Long.MaxValue
+
+  def fromOffset(o: Offset): DeltaSourceOffset = o match {
+    case d: DeltaSourceOffset => d
+    case LongOffset(v) => DeltaSourceOffset(v, All) // pre-rate-limit checkpoints
+    case s: SerializedOffset => fromJson(s.json)
+    case other => fromJson(other.json())
+  }
+
+  private def fromJson(j: String): DeltaSourceOffset = {
+    val t = j.trim
+    if (!t.startsWith("{")) return DeltaSourceOffset(t.toLong, All)
+    def field(name: String): Long = {
+      val m = s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(t)
+      m.map(_.group(1).toLong).getOrElse(
+        throw new IllegalArgumentException(s"bad graft-delta offset: $j"))
+    }
+    DeltaSourceOffset(field("version"), field("index"))
+  }
+}
+
 /** Streaming source over a Delta table's transaction log (SURVEY §2 D4):
-  * offsets are log versions; each micro-batch is the rows of the AddFiles
-  * committed in `(start, end]` (dataChange only — an appends-only source,
-  * like the default mode of Delta's own).
+  * offsets are (log version, file index); each micro-batch is the rows of
+  * the dataChange AddFiles committed after `start` up to `end` (an
+  * appends-only source, like the default mode of Delta's own).
   *
   *   spark.readStream
   *     .format("graft.streaming.DeltaStreamSourceProvider")
   *     .option("path", tableDir).load()
+  *
+  * Rate limiting: `.option("maxFilesPerTrigger", n)` and/or
+  * `.option("maxBytesPerTrigger", "128m")` bound each micro-batch — a
+  * stream started against a large existing table drains it in bounded
+  * admission-controlled batches instead of reading the whole table as
+  * batch 0. At least one file is always admitted so progress is
+  * guaranteed; the file index in the offset lets a batch stop mid-commit.
   *
   * With `.option("readChangeFeed", "true")`, each micro-batch is instead
   * the row-level CHANGE feed of those versions (`tableChanges` semantics:
   * exact CDC rows when the table captures them, file-level
   * inserts/deletes otherwise), with `_change_type` / `_commit_version` /
   * `_commit_timestamp` appended — a DML-following stream, not
-  * appends-only.
+  * appends-only. CDF batches are bounded at whole-version granularity
+  * (the change feed of one commit is indivisible).
   *
   * cf. reference `log.go:188` Changes — the same version-cursor contract,
   * lifted into Structured Streaming's Source API.
   */
-class DeltaStreamSource(spark: SparkSession, path: String, cdf: Boolean = false)
+class DeltaStreamSource(
+    spark: SparkSession, path: String, cdf: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Source {
 
+  import DeltaSourceOffset.All
+
   private val log = DeltaLog.forTable(spark, path)
+  private val limited = maxFilesPerTrigger.nonEmpty || maxBytesPerTrigger.nonEmpty
+
+  // the admission cursor: everything up to and including this offset has
+  // been returned by getOffset (the engine may still be processing it)
+  private var cursor: Option[DeltaSourceOffset] = None
 
   override def schema: StructType =
     DeltaStreamSource.sourceSchema(log.snapshot.metadata.schema, cdf)
 
+  /** Path-sorted dataChange AddFiles of one commit. */
+  private def addFiles(version: Long): Seq[AddFile] =
+    log.changes(version).take(1).toSeq.headOption.map { case (_, actions) =>
+      actions.collect { case a: AddFile if a.dataChange => a }.sortBy(_.path)
+    }.getOrElse(Nil)
+
   override def getOffset: Option[Offset] = {
-    val v = log.update().version
-    if (v < 0) None else Some(LongOffset(v))
+    val latest = log.update().version
+    if (latest < 0) return None
+    if (!limited) {
+      cursor = Some(DeltaSourceOffset(latest, All))
+      return cursor
+    }
+    val maxF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    val maxB = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    // resume point: first (version, idx) not yet admitted
+    val (resumeV, resumeI) = cursor match {
+      case None => (0L, 0L)
+      case Some(DeltaSourceOffset(v, All)) => (v + 1, 0L)
+      case Some(DeltaSourceOffset(v, i)) =>
+        if (i >= addFiles(v).length) (v + 1, 0L) else (v, i)
+    }
+    if (resumeV > latest) return cursor
+    var nFiles = 0L
+    var nBytes = 0L
+    var end: Option[DeltaSourceOffset] = None
+    var v = resumeV
+    while (v <= latest && end.isEmpty) {
+      val files = addFiles(v)
+      val from = if (v == resumeV) resumeI.toInt else 0
+      var i = from
+      while (i < files.length && end.isEmpty) {
+        val f = files(i)
+        val overFiles = nFiles + 1 > maxF
+        val overBytes = nFiles > 0 && nBytes + f.size > maxB
+        if (overFiles || overBytes) end = Some(DeltaSourceOffset(v, i))
+        else { nFiles += 1; nBytes += f.size; i += 1 }
+      }
+      if (end.isEmpty) {
+        if (cdf && nFiles >= maxF && v < latest)
+          end = Some(DeltaSourceOffset(v, All)) // CDF: whole versions only
+        v += 1
+      }
+    }
+    val admitted = end match {
+      // stopped mid-version at index i: batch covers up to file i-1
+      case Some(DeltaSourceOffset(ev, ei)) if ei != All =>
+        if (ei == 0) DeltaSourceOffset(ev - 1, All) else DeltaSourceOffset(ev, ei)
+      case Some(o) => o
+      case None => DeltaSourceOffset(latest, All)
+    }
+    // CDF batches must cover whole versions: round a mid-version stop down
+    val next =
+      if (cdf && admitted.index != All)
+        DeltaSourceOffset(math.max(admitted.version - 1, resumeV), All)
+      else admitted
+    if (nFiles == 0 && next.version < resumeV) return cursor // nothing new
+    cursor = Some(next)
+    cursor
   }
 
-  private def version(o: Offset): Long = o match {
-    case LongOffset(v) => v
-    case s: SerializedOffset => LongOffset(s).offset
-    case other => other.json().toLong
+  /** AddFiles strictly after `start` up to `end` (inclusive). */
+  private def filesBetween(
+      start: Option[DeltaSourceOffset], end: DeltaSourceOffset): Seq[AddFile] = {
+    val (fromV, skip) = start match {
+      case None => (0L, 0L)
+      case Some(DeltaSourceOffset(v, All)) => (v + 1, 0L)
+      case Some(DeltaSourceOffset(v, i)) => (v, i)
+    }
+    if (fromV > end.version) return Nil
+    log.changes(fromV)
+      .takeWhile(_._1 <= end.version)
+      .flatMap { case (v, actions) =>
+        var files = actions.collect { case a: AddFile if a.dataChange => a }.sortBy(_.path)
+        if (v == fromV && skip > 0) files = files.drop(skip.toInt)
+        if (v == end.version && end.index != DeltaSourceOffset.All) {
+          val keep = end.index - (if (v == fromV) skip else 0L)
+          files = files.take(keep.toInt)
+        }
+        files
+      }.toSeq
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val fromVersion = start.map(version(_) + 1).getOrElse(0L)
-    val toVersion = version(end)
+    val startOff = start.map(DeltaSourceOffset.fromOffset)
+    val endOff = DeltaSourceOffset.fromOffset(end)
+    // restart recovery: the engine replays the last committed range before
+    // asking for a new offset — never re-admit files at or below `end`
+    if (cursor.forall(c => c.version < endOff.version ||
+        (c.version == endOff.version && c.index < endOff.index)))
+      cursor = Some(endOff)
     if (cdf) {
+      val fromVersion = startOff.map(_.version + 1).getOrElse(0L)
       val batch =
-        if (fromVersion > toVersion)
+        if (fromVersion > endOff.version)
           spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        else DeltaTable.forPath(spark, path).tableChanges(fromVersion, toVersion)
+        else DeltaTable.forPath(spark, path).tableChanges(fromVersion, endOff.version)
       return GraftShims.asStreamingDF(spark, batch)
     }
-    val adds = log.changes(fromVersion)
-      .takeWhile(_._1 <= toVersion)
-      .flatMap { case (_, actions) =>
-        actions.collect { case a: AddFile if a.dataChange => a }
-      }.toSeq
+    val adds = filesBetween(startOff, endOff)
     val md = log.snapshot.metadata
     val batch =
       if (adds.isEmpty)
@@ -85,6 +208,18 @@ object DeltaStreamSource {
       .add("_change_type", StringType)
       .add("_commit_version", LongType)
       .add("_commit_timestamp", TimestampType)
+
+  /** "128", "128k", "64m", "1g" → bytes. */
+  private[streaming] def parseBytes(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, mult) = t.last match {
+      case 'k' => (t.dropRight(1), 1L << 10)
+      case 'm' => (t.dropRight(1), 1L << 20)
+      case 'g' => (t.dropRight(1), 1L << 30)
+      case _ => (t, 1L)
+    }
+    num.toLong * mult
+  }
 }
 
 class DeltaStreamSourceProvider extends StreamSourceProvider with DataSourceRegister {
@@ -110,5 +245,16 @@ class DeltaStreamSourceProvider extends StreamSourceProvider with DataSourceRegi
   override def createSource(
       sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): Source =
-    new DeltaStreamSource(sqlContext.sparkSession, tablePath(parameters), cdf(parameters))
+    new DeltaStreamSource(
+      sqlContext.sparkSession, tablePath(parameters), cdf(parameters),
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map { v =>
+        val n = v.trim.toInt
+        require(n > 0, "maxFilesPerTrigger must be positive")
+        n
+      },
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map { v =>
+        val n = DeltaStreamSource.parseBytes(v)
+        require(n > 0, "maxBytesPerTrigger must be positive")
+        n
+      })
 }

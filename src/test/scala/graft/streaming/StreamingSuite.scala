@@ -112,6 +112,54 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("D4: maxFilesPerTrigger bounds each micro-batch, splitting commits") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("d4-rate").toString
+    val t = DeltaTable.forPath(spark, dir)
+    // one commit, three files: batch 0 against an existing table must NOT
+    // read the whole table — the offset's file index splits the commit
+    t.write(Seq.tabulate(30)(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(3))
+    assert(t.snapshot.allFiles.size == 3)
+    val stream = spark.readStream
+      .format("graft.streaming.DeltaStreamSourceProvider")
+      .option("path", dir)
+      .option("maxFilesPerTrigger", "1")
+      .load()
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("d4_rate").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("d4_rate").count() == 30)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 3,
+        s"expected 3 bounded micro-batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows == 10))
+      // new commits keep draining under the same bound
+      t.write(Seq((100L, "x"), (101L, "y")).toDF("id", "v").repartition(2))
+      q.processAllAvailable()
+      assert(spark.table("d4_rate").count() == 32)
+    } finally q.stop()
+  }
+
+  test("D4: maxBytesPerTrigger always admits at least one file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("d4-rate-bytes").toString
+    val t = DeltaTable.forPath(spark, dir)
+    (0 until 3).foreach(k => t.write(Seq((k.toLong, s"r$k")).toDF("id", "v").coalesce(1)))
+    val stream = spark.readStream
+      .format("graft.streaming.DeltaStreamSourceProvider")
+      .option("path", dir)
+      .option("maxBytesPerTrigger", "1") // smaller than any file
+      .load()
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("d4_rate_bytes").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("d4_rate_bytes").count() == 3)
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3)
+    } finally q.stop()
+  }
+
   test("D4: delta change stream polls incremental versions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("d4-table").toString
