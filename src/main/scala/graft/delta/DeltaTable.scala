@@ -55,14 +55,10 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
     var df = org.apache.spark.sql.GraftShims
       .ofRows(spark, LogicalRelation(relation, isStreaming = false))
-    // merge-on-read: drop DV-deleted rows before projecting _metadata away
+    // merge-on-read: drop DV-deleted rows before projecting _metadata away.
+    // The descriptor list is cached on the snapshot — no extra job per read.
     if (DeltaConfig.EnableDeletionVectors.fromMetadata(md)) {
-      import org.apache.spark.sql.functions.{col, element_at}
-      val dvd = s.activeFilesDF
-        .where(col("tags").isNotNull &&
-          element_at(col("tags"), DeletionVectors.PathTag).isNotNull)
-        .as(org.apache.spark.sql.Encoders.product[AddFile])
-        .collect().toSeq
+      val dvd = s.dvFiles
       if (dvd.nonEmpty)
         df = DeletionVectors.filterDeleted(spark, deltaLog.dataPath, dvd, df)
     }
@@ -101,7 +97,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * asks for, never by table size.
     */
   def tableChanges(startVersion: Long, endVersion: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, lit, split, timestamp_millis}
     val current = deltaLog.update()
     val end = if (endVersion < 0L) current.version else endVersion
     require(startVersion >= 0 && startVersion <= end,
@@ -111,53 +107,95 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val schema = endSnap.metadata.schema
     val outCols = schema.fieldNames.toSeq :+ "_change_type"
     val tsOf = deltaLog.commits().toMap
+    val abs = (p: String) => FileNames.absolutePath(deltaLog.dataPath, p).toString
 
-    def readAs(paths: Seq[String], changeType: Option[String]): Option[DataFrame] =
-      if (paths.isEmpty) None
-      else {
-        val readSchema = changeType match {
-          case Some(_) => schema
-          case None => // CDC files carry their own _change_type column
-            schema.add("_change_type", org.apache.spark.sql.types.StringType)
+    def readAs(paths: Seq[String], changeType: Option[String]): DataFrame = {
+      val readSchema = changeType match {
+        case Some(_) => schema
+        case None => // CDC files carry their own _change_type column
+          schema.add("_change_type", org.apache.spark.sql.types.StringType)
+      }
+      var df = spark.read.schema(readSchema)
+        .option("basePath", deltaLog.dataPath.toString)
+        .parquet(paths: _*)
+      changeType.foreach(ct => df = df.withColumn("_change_type", lit(ct)))
+      df
+    }
+
+    // One file-list bucket per change category; the plan gets ONE parquet
+    // read per category for the whole range (not one per version — a 10^4
+    // version range must not build a 10^4-way union). `_commit_version` /
+    // `_commit_timestamp` are attached per file by a broadcast join on the
+    // UUID part-file name; the rare name reused across versions within one
+    // category (e.g. RESTORE re-adding a file it once added) falls back to
+    // a per-version frame so attribution stays exact.
+    case class Cat(changeType: Option[String]) {
+      val entries = Seq.newBuilder[(Long, String)] // (version, absolute path)
+      def frames(): Seq[DataFrame] = {
+        val all = entries.result()
+        if (all.isEmpty) return Nil
+        val byName = all.groupBy { case (_, p) => p.substring(p.lastIndexOf('/') + 1) }
+        val (unique, dup) = byName.partition(_._2.size == 1)
+        val grouped =
+          if (unique.isEmpty) Nil
+          else {
+            val meta = spark.createDataFrame(
+              unique.toSeq.map { case (name, vs) =>
+                (name, vs.head._1, tsOf.getOrElse(vs.head._1, 0L))
+              }).toDF("__fname", "_commit_version", "__ts")
+            Seq(readAs(unique.values.map(_.head._2).toSeq, changeType)
+              .withColumn("__fname",
+                element_at(split(col("_metadata.file_path"), "/"), -1))
+              .join(broadcast(meta), "__fname")
+              .withColumn("_commit_timestamp", timestamp_millis(col("__ts"))))
+          }
+        val perVersion = dup.values.flatten.toSeq.groupBy(_._1).toSeq.map {
+          case (v, es) =>
+            readAs(es.map(_._2), changeType)
+              .withColumn("_commit_version", lit(v))
+              .withColumn("_commit_timestamp", timestamp_millis(lit(tsOf.getOrElse(v, 0L))))
         }
-        var df = spark.read.schema(readSchema)
-          .option("basePath", deltaLog.dataPath.toString)
-          .parquet(paths: _*)
-        changeType.foreach(ct => df = df.withColumn("_change_type", lit(ct)))
-        Some(df.select(outCols.map(col): _*))
+        (grouped ++ perVersion).map(_.select(
+          (outCols :+ "_commit_version" :+ "_commit_timestamp").map(col): _*))
+      }
+    }
+    val cdcCat = Cat(None)
+    val insCat = Cat(Some("insert"))
+    val delCat = Cat(Some("delete"))
+    // absolute external paths (shallow-clone commits) can't go through the
+    // basePath read — route them via readFilesDF, which attaches partition
+    // values from the log instead of the hive paths (per version: clone
+    // commits are rare and never dominate a range)
+    val absFrames = Seq.newBuilder[DataFrame]
+
+    deltaLog.changes(startVersion)
+      .takeWhile(_._1 <= end)
+      .foreach { case (v, actions) =>
+        val cdc = actions.collect { case c: AddCDCFile => abs(c.path) }
+        if (cdc.nonEmpty) cdcCat.entries ++= cdc.map((v, _))
+        else {
+          val ins = actions.collect { case a: AddFile if a.dataChange => a }
+          val del = actions.collect {
+            case r: RemoveFile if r.dataChange =>
+              AddFile(r.path, Option(r.partitionValues).getOrElse(Map.empty),
+                r.size.getOrElse(0L), 0L, dataChange = true, tags = r.tags)
+          }
+          Seq((ins, "insert", insCat), (del, "delete", delCat)).foreach {
+            case (fs, ct, cat) =>
+              if (fs.exists(f => new java.net.URI(f.path).isAbsolute))
+                absFrames += readFilesDF(fs, endSnap.metadata)
+                  .withColumn("_change_type", lit(ct))
+                  .withColumn("_commit_version", lit(v))
+                  .withColumn("_commit_timestamp",
+                    timestamp_millis(lit(tsOf.getOrElse(v, 0L))))
+                  .select((outCols :+ "_commit_version" :+ "_commit_timestamp").map(col): _*)
+              else cat.entries ++= fs.map(f => (v, abs(f.path)))
+          }
+        }
       }
 
-    val frames = deltaLog.changes(startVersion)
-      .takeWhile(_._1 <= end)
-      .flatMap { case (v, actions) =>
-        val abs = (p: String) => FileNames.absolutePath(deltaLog.dataPath, p).toString
-        val cdc = actions.collect { case c: AddCDCFile => abs(c.path) }
-        // absolute external paths (shallow-clone commits) can't go through
-        // the basePath read — route them via readFilesDF, which attaches
-        // partition values from the log instead of the hive paths
-        def fileFrame(fs: Seq[AddFile], ct: String): Option[DataFrame] =
-          if (fs.isEmpty) None
-          else if (fs.exists(f => new java.net.URI(f.path).isAbsolute))
-            Some(readFilesDF(fs, endSnap.metadata)
-              .withColumn("_change_type", lit(ct))
-              .select(outCols.map(col): _*))
-          else readAs(fs.map(f => abs(f.path)), Some(ct))
-        val versionFrames =
-          if (cdc.nonEmpty) readAs(cdc, None).toSeq
-          else {
-            val ins = actions.collect { case a: AddFile if a.dataChange => a }
-            val del = actions.collect {
-              case r: RemoveFile if r.dataChange =>
-                AddFile(r.path, Option(r.partitionValues).getOrElse(Map.empty),
-                  r.size.getOrElse(0L), 0L, dataChange = true, tags = r.tags)
-            }
-            fileFrame(ins, "insert").toSeq ++ fileFrame(del, "delete").toSeq
-          }
-        versionFrames.map(_
-          .withColumn("_commit_version", lit(v))
-          .withColumn("_commit_timestamp", timestamp_millis(lit(tsOf.getOrElse(v, 0L)))))
-      }.toSeq
-
+    val frames = cdcCat.frames() ++ insCat.frames() ++ delCat.frames() ++
+      absFrames.result()
     frames.reduceOption(_ unionByName _).getOrElse {
       val empty = org.apache.spark.sql.types.StructType(
         schema.fields

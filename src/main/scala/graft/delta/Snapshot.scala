@@ -119,6 +119,16 @@ class Snapshot(
       .groupBy($"path")
       .agg(max_by($"w", struct($"version", $"w.isAdd")).as("w"))
 
+  /** Files carrying deletion-vector sidecars, materialized ONCE per
+    * snapshot: snapshots are cached per version in [[DeltaLog]], so every
+    * read of a DV table at the same version reuses this list instead of
+    * re-running an `activeFilesDF` collect per query.
+    */
+  lazy val dvFiles: Seq[AddFile] = activeFilesDF
+    .where($"tags".isNotNull &&
+      element_at($"tags", DeletionVectors.PathTag).isNotNull)
+    .as[AddFile].collect().toSeq
+
   // ------------------------------------------------------- driver-side API
 
   /** cf. reference `snapshot.go:121` AllFiles. */

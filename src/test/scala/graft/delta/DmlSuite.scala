@@ -200,6 +200,24 @@ class DmlSuite extends AnyFunSuite {
       (2L, 20, "update_preimage")))
   }
 
+  test("CDF over a long version range builds a bounded plan") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    (0 until 30).foreach(k =>
+      t.write(Seq((k.toLong, s"r$k")).toDF("id", "v").coalesce(1)))
+    val df = t.tableChanges(0, 29)
+    // all 30 insert commits collapse into ONE grouped parquet read (plus
+    // the broadcast version-attribution relation) — not one per version
+    val scans = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size == 1, s"expected one grouped scan, got ${scans.size}")
+    // attribution stays exact per file
+    assert(df.count() == 30)
+    val vs = df.select($"id", $"_commit_version").as[(Long, Long)].collect().toMap
+    assert((0 until 30).forall(k => vs(k.toLong) == k.toLong))
+  }
+
   test("CDF captures row-level deletes and update pre/post images") {
     import spark.implicits._
     val t = table(cdf = true)
