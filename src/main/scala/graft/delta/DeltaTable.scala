@@ -1039,57 +1039,53 @@ object DeltaTable {
       else checked.select(checked.columns.map(c =>
         org.apache.spark.sql.functions.col(c).as(mapping.getOrElse(c, c))).toSeq: _*)
     val conf = spark.sessionState.newHadoopConf()
-    val fs = dataPath.getFileSystem(conf)
-    val staging = new Path(dataPath, s".staging-${UUID.randomUUID}")
-    try {
-      var w = df.write.mode(SaveMode.Overwrite)
-      if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
-      try w.parquet(staging.toString)
-      catch { case t: Throwable =>
-        // surface enforcement raise_errors as one typed exception, whether
-        // they fired in the write job or at plan time on the driver
-        Constraints.unwrap(t).foreach(throw _)
-        throw t
-      }
-
-      def collectFiles(dir: Path): Seq[Path] = {
-        fs.listStatus(dir).toSeq.flatMap { st =>
-          if (st.isDirectory) collectFiles(st.getPath)
-          else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
-          else Nil
-        }
-      }
-
-      val stagingQualified = fs.makeQualified(staging).toString
-      collectFiles(staging).map { src =>
-        // partition dirs between staging root and the file
-        val rel = fs.makeQualified(src).toString
-          .stripPrefix(stagingQualified).stripPrefix("/")
-        val dirs = rel.split('/').dropRight(1)
-        val partitionValues = dirs.map { d =>
-          val Array(k, v) = d.split("=", 2)
-          k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
-                else URLDecoder.decode(v, "UTF-8"))
-        }.toMap
-        val destRel = (dirs :+ s"part-${UUID.randomUUID}.parquet").mkString("/")
-        val dest = new Path(dataPath, destRel)
-        fs.mkdirs(dest.getParent)
-        if (!fs.rename(src, dest))
-          throw new java.io.IOException(s"failed to move $src -> $dest")
-        val st = fs.getFileStatus(dest)
+    // direct write: tasks place UUID-named files straight into the table
+    // directory (no staging dir, no rename pass — object-store safe; the
+    // Delta log is what makes them visible). See DirectWriteCommitProtocol.
+    val committer = new DirectWriteCommitProtocol(
+      s"graft-${UUID.randomUUID}", dataPath.toString)
+    try org.apache.spark.sql.GraftShims.writeParquetDirect(
+      spark, df, dataPath.toString, partCols, committer)
+    catch { case t: Throwable =>
+      // surface enforcement raise_errors as one typed exception, whether
+      // they fired in the write job or at plan time on the driver
+      Constraints.unwrap(t).foreach(throw _)
+      throw t
+    }
+    val rels = committer.addedFiles()
+    if (rels.isEmpty) return Nil
+    // size / mtime / footer stats gathered on executors — the driver never
+    // loops over output files (serial footer reads were the old commit
+    // bottleneck at ~10^5 files)
+    val serConf = new SerializableHadoopConf(conf)
+    val confB = spark.sparkContext.broadcast(serConf)
+    val schema = df.schema
+    val base = dataPath.toString
+    val pCols = partCols
+    val infos = spark.sparkContext
+      .parallelize(rels, math.max(1, math.min(rels.size, 32)))
+      .map { rel =>
+        val c = confB.value.value
+        val p = new Path(new Path(base), rel)
+        val st = p.getFileSystem(c).getFileStatus(p)
         val stats =
-          try Stats.fromFooter(conf, dest, df.schema, partCols)
+          try Stats.fromFooter(c, p, schema, pCols)
           catch { case _: Exception => null } // stats are an optimization only
-        AddFile(
-          path = destRel,
-          partitionValues = partitionValues,
-          size = st.getLen,
-          modificationTime = st.getModificationTime,
-          dataChange = true,
-          stats = stats)
-      }
-    } finally {
-      fs.delete(staging, true)
+        (rel, st.getLen, st.getModificationTime, stats)
+      }.collect().toSeq
+    infos.map { case (rel, len, mtime, stats) =>
+      val partitionValues = rel.split('/').dropRight(1).map { d =>
+        val Array(k, v) = d.split("=", 2)
+        k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
+              else URLDecoder.decode(v, "UTF-8"))
+      }.toMap
+      AddFile(
+        path = rel,
+        partitionValues = partitionValues,
+        size = len,
+        modificationTime = mtime,
+        dataChange = true,
+        stats = stats)
     }
   }
 }

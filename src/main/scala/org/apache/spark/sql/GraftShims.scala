@@ -13,6 +13,35 @@ object GraftShims {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Run a parquet write of `df` under `outputPath` through
+    * [[org.apache.spark.sql.execution.datasources.FileFormatWriter]] with
+    * a caller-supplied commit protocol (FileFormatWriter is private[sql] —
+    * same access pattern Delta's TransactionalWrite uses). Partition
+    * columns get hive-style directories; the writer plans its own sort on
+    * them when the incoming plan isn't already clustered.
+    */
+  def writeParquetDirect(
+      spark: SparkSession,
+      df: DataFrame,
+      outputPath: String,
+      partCols: Seq[String],
+      committer: org.apache.spark.internal.io.FileCommitProtocol): Unit = {
+    import org.apache.spark.sql.execution.datasources.FileFormatWriter
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val qe = df.asInstanceOf[classic.Dataset[Row]].queryExecution
+    val output = qe.analyzed.output
+    val partitionCols = partCols.map(c => output.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"partition column $c not in ${output.map(_.name).mkString(", ")}")))
+    FileFormatWriter.write(
+      cs, qe.executedPlan, new ParquetFileFormat, committer,
+      FileFormatWriter.OutputSpec(outputPath, Map.empty, output),
+      spark.sessionState.newHadoopConf(),
+      partitionCols, None, Nil, Map.empty)
+    ()
+  }
+
   /** Re-wrap a lazily-planned batch DataFrame as a streaming one — what
     * Spark's own file/delta v1 sources do inside Source.getBatch.
     */
