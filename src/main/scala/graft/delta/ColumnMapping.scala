@@ -22,6 +22,17 @@ object ColumnMapping {
   def enabled(md: Metadata): Boolean =
     DeltaConfig.ColumnMappingMode.fromMetadata(md) == "name"
 
+  /** Reject modes this reader does not resolve rather than silently
+    * reading wrong columns: `id` mapping keys parquet fields by field id,
+    * which the name-keyed scan path here would mis-resolve.
+    */
+  def assertSupported(md: Metadata): Unit = {
+    val mode = DeltaConfig.ColumnMappingMode.fromMetadata(md)
+    if (mode != "none" && mode != "name")
+      throw new UnsupportedOperationException(
+        s"delta.columnMapping.mode=$mode is not supported (only 'none' and 'name')")
+  }
+
   def physicalName(f: StructField): String =
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
     else f.name

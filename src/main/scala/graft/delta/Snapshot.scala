@@ -192,6 +192,7 @@ class Snapshot(
       throw new Snapshot.InvalidProtocolVersionException(
         s"table requires reader version ${p.minReaderVersion}, " +
           s"this client supports up to ${Snapshot.SupportedReaderVersion}")
+    metadataOpt.foreach(ColumnMapping.assertSupported)
   }
 
   /** cf. reference `snapshot.go:126` Metadata. */

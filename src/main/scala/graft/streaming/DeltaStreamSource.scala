@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedO
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
-import graft.delta.{AddFile, DeltaLog, DeltaTable}
+import graft.delta.{Action, AddFile, DeltaLog, DeltaTable, RemoveFile}
 
 /** Offset into a Delta table's log: `index` is the number of (path-sorted)
   * dataChange AddFiles of `version` already consumed; [[DeltaSourceOffset.All]]
@@ -56,6 +56,13 @@ object DeltaSourceOffset {
   * batch 0. At least one file is always admitted so progress is
   * guaranteed; the file index in the offset lets a batch stop mid-commit.
   *
+  * `.option("startingVersion", v | "latest")` starts the cursor at a log
+  * version instead of 0; data-changing removes fail the stream loudly
+  * unless `.option("ignoreDeletes", true)` (delete-only commits) or
+  * `.option("ignoreChanges", true)` (stream rewritten files; downstream
+  * tolerates duplicates) — the same appends-only contract as Delta's own
+  * source.
+  *
   * With `.option("readChangeFeed", "true")`, each micro-batch is instead
   * the row-level CHANGE feed of those versions (`tableChanges` semantics:
   * exact CDC rows when the table captures them, file-level
@@ -70,7 +77,10 @@ object DeltaSourceOffset {
 class DeltaStreamSource(
     spark: SparkSession, path: String, cdf: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    startingVersion: Long = 0L,
+    ignoreDeletes: Boolean = false,
+    ignoreChanges: Boolean = false)
     extends Source {
 
   import DeltaSourceOffset.All
@@ -85,9 +95,30 @@ class DeltaStreamSource(
   override def schema: StructType =
     DeltaStreamSource.sourceSchema(log.snapshot.metadata.schema, cdf)
 
+  /** The appends-only contract, enforced loudly (matching Delta's own
+    * source): a commit that REMOVES data files would silently re-stream
+    * rewritten rows as duplicates, so it fails the stream unless the user
+    * opted in — `ignoreDeletes` permits delete-only commits (e.g. dropping
+    * a partition), `ignoreChanges` additionally streams the re-added files
+    * of update/merge rewrites (caller handles duplicates downstream).
+    */
+  private def assertAppendOnly(version: Long, actions: Seq[Action]): Unit = {
+    if (cdf || ignoreChanges) return
+    val removes = actions.exists { case r: RemoveFile => r.dataChange; case _ => false }
+    if (!removes) return
+    val adds = actions.exists { case a: AddFile => a.dataChange; case _ => false }
+    if (!adds && ignoreDeletes) return
+    throw new UnsupportedOperationException(
+      s"Detected a data update or delete in table version $version of $path. " +
+        "The graft-delta stream is appends-only: set option ignoreDeletes=true " +
+        "to allow delete-only commits, or ignoreChanges=true to stream " +
+        "rewritten files (downstream must tolerate duplicates).")
+  }
+
   /** Path-sorted dataChange AddFiles of one commit. */
   private def addFiles(version: Long): Seq[AddFile] =
     log.changes(version).take(1).toSeq.headOption.map { case (_, actions) =>
+      assertAppendOnly(version, actions)
       actions.collect { case a: AddFile if a.dataChange => a }.sortBy(_.path)
     }.getOrElse(Nil)
 
@@ -102,7 +133,7 @@ class DeltaStreamSource(
     val maxB = maxBytesPerTrigger.getOrElse(Long.MaxValue)
     // resume point: first (version, idx) not yet admitted
     val (resumeV, resumeI) = cursor match {
-      case None => (0L, 0L)
+      case None => (startingVersion, 0L)
       case Some(DeltaSourceOffset(v, All)) => (v + 1, 0L)
       case Some(DeltaSourceOffset(v, i)) =>
         if (i >= addFiles(v).length) (v + 1, 0L) else (v, i)
@@ -150,7 +181,7 @@ class DeltaStreamSource(
   private def filesBetween(
       start: Option[DeltaSourceOffset], end: DeltaSourceOffset): Seq[AddFile] = {
     val (fromV, skip) = start match {
-      case None => (0L, 0L)
+      case None => (startingVersion, 0L)
       case Some(DeltaSourceOffset(v, All)) => (v + 1, 0L)
       case Some(DeltaSourceOffset(v, i)) => (v, i)
     }
@@ -158,6 +189,7 @@ class DeltaStreamSource(
     log.changes(fromV)
       .takeWhile(_._1 <= end.version)
       .flatMap { case (v, actions) =>
+        assertAppendOnly(v, actions)
         var files = actions.collect { case a: AddFile if a.dataChange => a }.sortBy(_.path)
         if (v == fromV && skip > 0) files = files.drop(skip.toInt)
         if (v == end.version && end.index != DeltaSourceOffset.All) {
@@ -177,7 +209,7 @@ class DeltaStreamSource(
         (c.version == endOff.version && c.index < endOff.index)))
       cursor = Some(endOff)
     if (cdf) {
-      val fromVersion = startOff.map(_.version + 1).getOrElse(0L)
+      val fromVersion = startOff.map(_.version + 1).getOrElse(startingVersion)
       val batch =
         if (fromVersion > endOff.version)
           spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
@@ -242,6 +274,9 @@ class DeltaStreamSourceProvider extends StreamSourceProvider with DataSourceRegi
           .snapshot.metadata.schema,
         cdf(parameters))))
 
+  private def flag(parameters: Map[String, String], name: String): Boolean =
+    parameters.get(name).exists(_.trim.toLowerCase == "true")
+
   override def createSource(
       sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): Source =
@@ -256,5 +291,14 @@ class DeltaStreamSourceProvider extends StreamSourceProvider with DataSourceRegi
         val n = DeltaStreamSource.parseBytes(v)
         require(n > 0, "maxBytesPerTrigger must be positive")
         n
-      })
+      },
+      // "latest" = only commits arriving after the stream starts
+      startingVersion = parameters.get("startingVersion").map {
+        case v if v.trim.toLowerCase == "latest" =>
+          DeltaLog.forTable(sqlContext.sparkSession, tablePath(parameters))
+            .update().version + 1
+        case v => v.trim.toLong
+      }.getOrElse(0L),
+      ignoreDeletes = flag(parameters, "ignoreDeletes"),
+      ignoreChanges = flag(parameters, "ignoreChanges"))
 }

@@ -83,6 +83,16 @@ class ColumnMappingSuite extends AnyFunSuite {
     assert(t.toDF.orderBy("id").select("points").as[Int].collect().toSeq == Seq(99, 33, 50))
   }
 
+  test("columnMapping.mode=id tables are rejected on read, not misread") {
+    val t = freshTable()
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(txn.metadata.copy(
+      configuration = txn.metadata.configuration + ("delta.columnMapping.mode" -> "id")))
+    txn.commit(Nil, "SET TBLPROPERTIES")
+    val ex = intercept[UnsupportedOperationException](t.toDF.collect())
+    assert(ex.getMessage.contains("columnMapping.mode=id"))
+  }
+
   test("partition columns cannot be renamed or dropped") {
     import spark.implicits._
     val t = DeltaTable.forPath(spark, tmp())

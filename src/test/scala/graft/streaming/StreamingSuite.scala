@@ -160,6 +160,54 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("D4: startingVersion skips history; appends-only contract enforced") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("d4-startv").toString
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v0
+    t.write(Seq((3L, "c")).toDF("id", "v"))            // v1
+    val stream = spark.readStream
+      .format("graft.streaming.DeltaStreamSourceProvider")
+      .option("path", dir)
+      .option("startingVersion", "1")
+      .load()
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("d4_startv").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("d4_startv").select("id").as[Long].collect().toSeq == Seq(3L))
+      // a data-changing delete fails the appends-only stream loudly
+      t.delete(col("id") === 1)
+      val ex = intercept[Exception](q.processAllAvailable())
+      assert(ex.getMessage.contains("ignoreDeletes") ||
+        Option(ex.getCause).exists(_.getMessage.contains("ignoreDeletes")))
+    } finally q.stop()
+  }
+
+  test("D4: ignoreDeletes permits delete-only commits") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("d4-igndel").toString
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((1L, "a")).toDF("id", "v")) // v0
+    // remove-only commit (e.g. dropping a partition)
+    val txn = t.deltaLog.startTransaction()
+    val f = t.snapshot.allFiles.head
+    txn.commit(Seq(f.remove(t.deltaLog.clock.nowMillis)), "DELETE")
+    t.write(Seq((2L, "b")).toDF("id", "v")) // v2
+    val stream = spark.readStream
+      .format("graft.streaming.DeltaStreamSourceProvider")
+      .option("path", dir)
+      .option("ignoreDeletes", "true")
+      .load()
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("d4_igndel").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("d4_igndel").select("id").as[Long].collect().sorted.toSeq
+        == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("D4: delta change stream polls incremental versions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("d4-table").toString
