@@ -70,7 +70,13 @@ object Constraints {
       (col(f.name).isNotNull,
         s"${Sentinel}NOT NULL constraint violated for column ${f.name}")
     }
-    constraints ++ notNulls
+    // a supplied generated column must equal its generation expression
+    val generated = GeneratedColumns.expressions(md).toSeq.sortBy(_._1).map {
+      case (name, sql) =>
+        (col(name) <=> expr(sql).cast(md.schema(name).dataType),
+          s"${Sentinel}generated column $name does not match its expression ($sql)")
+    }
+    constraints ++ notNulls ++ generated
   }
 
   /** Wrap `df` so that writing it enforces every constraint of `md`.

@@ -141,6 +141,25 @@ object DeltaQueries {
         .execute()
     }
 
+  private def generatedFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "generated") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val orders = table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      // order_year is a GENERATED partition column: the writer never
+      // supplies it; every append computes it in the write pass and lands
+      // hive-partitioned by it (derived partition pruning)
+      val schema = org.apache.spark.sql.types.StructType(
+        orders.schema.fields :+ GeneratedColumns.field(
+          "order_year", org.apache.spark.sql.types.IntegerType,
+          "year(o_orderdate)"))
+      val txn = t.deltaLog.startTransaction()
+      txn.updateMetadata(Metadata(
+        schemaString = schema.json, partitionColumns = Seq("order_year")))
+      txn.commit(Nil, "CREATE TABLE")
+      t.write(orders)
+    }
+
   private def cdfDmlFixture(s: SparkSession, d: String): String =
     fixture(s, d, "dml-cdf") { dir =>
       val t = DeltaTable.forPath(s, dir)
@@ -442,6 +461,19 @@ object DeltaQueries {
         UNION ALL
         SELECT nk + 100, n_name || '_s', rk FROM n WHERE nk < 5 AND rk <> 0)
       ORDER BY n_nationkey""")),
+
+    // Generated columns: the omitted order_year partition column is
+    // computed by the write pass; the scan prunes on it at the log level
+    GQ("delta_generated", (s, d) => {
+      val dir = generatedFixture(s, d)
+      DeltaTable.forPath(s, dir)
+        .read(col("order_year") >= 1996) // partition-pruned scan on the generated col
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("order_year").cast("int").as("order_year"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, CAST(year(o_orderdate) AS INTEGER) AS order_year
+      FROM orders WHERE year(o_orderdate) >= 1996 ORDER BY o_orderkey""")),
 
     // DML + CDF: row-level deletes and update pre/post images read back
     GQ("delta_cdf_dml", (s, d) => {

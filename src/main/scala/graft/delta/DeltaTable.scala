@@ -217,6 +217,10 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val txn = deltaLog.startTransaction()
     val exists = txn.readVersion >= 0 && txn.snapshot.metadataOpt.isDefined
     val partCols = if (exists) txn.metadata.partitionColumns else partitionBy
+    // generated columns the batch omitted are computed before the schema
+    // check (so an append without them is schema-complete) and inside the
+    // same write pass (no second scan)
+    val data = if (exists) GeneratedColumns.complete(df, txn.metadata) else df
 
     if (!exists) {
       // tables created FROM a DataFrame capture a fully-nullable schema
@@ -232,7 +236,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         createdTime = Some(deltaLog.clock.nowMillis)))
     } else {
       val existing = txn.metadata.schema
-      val incoming = df.schema
+      val incoming = data.schema
       val existingByName = existing.fields.map(f => f.name -> f.dataType).toMap
       incoming.fields.foreach { f =>
         existingByName.get(f.name).foreach { dt =>
@@ -273,7 +277,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           s"partitioning mismatch: table uses $partCols, got $partitionBy")
     }
 
-    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, partCols,
+    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, data, partCols,
       txn.metadata)
     val operation = if (mode == SaveMode.Overwrite) "WRITE.Overwrite" else "WRITE.Append"
     val params = Map(
@@ -342,7 +346,17 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * meant 100k serial jobs. Rewrites carry dataChange=false, so
     * streaming sources skip them and concurrent appends don't conflict.
     */
-  def compact(): Long = compact(Nil)
+  def compact(): Long = compact(Nil, None)
+
+  /** OPTIMIZE ... WHERE: bin-pack only the partitions matching a
+    * partition-column predicate — the operational shape on a huge table
+    * (compact the hot partition without touching cold ones). The
+    * predicate is evaluated driver-locally over `partitionValues`; it
+    * must reference partition columns only.
+    */
+  def compact(where: Column): Long = compact(Nil, Some(where))
+
+  def compact(zorderBy: Seq[String]): Long = compact(zorderBy, None)
 
   /** OPTIMIZE ... ZORDER BY: like [[compact()]], but additionally lays
     * rows out along a Morton curve over `zorderBy`, so per-file min/max
@@ -352,10 +366,24 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * types hash-bucket (consistent placement, no range locality). With
     * `zorderBy`, ALL files re-cluster, not just under-filled partitions.
     */
-  def compact(zorderBy: Seq[String]): Long = {
+  def compact(zorderBy: Seq[String], where: Option[Column]): Long = {
     import org.apache.spark.sql.functions.{col, hash, pmod, lit, floor, min => fmin, max => fmax}
     val txn = deltaLog.startTransaction()
-    val byPartition = txn.snapshot.allFiles.groupBy(_.partitionValues)
+    val byPartition0 = txn.snapshot.allFiles.groupBy(_.partitionValues)
+    val byPartition = where match {
+      case None => byPartition0
+      case Some(_) if byPartition0.isEmpty => byPartition0
+      case Some(p) =>
+        val md0 = txn.metadata
+        val pCols = md0.partitionColumns
+        val (pushed, residual) =
+          DeltaScan.splitAnalyzed(spark, md0.schema, p, pCols.toSet)
+        require(residual.isEmpty,
+          s"OPTIMIZE WHERE supports partition-column predicates only; " +
+            s"non-partition conjuncts: ${residual.mkString(", ")}")
+        val keep = DeltaScan.partitionEvaluator(spark, pushed, pCols, md0.schema)
+        byPartition0.filter { case (pv, _) => keep(pv) }
+    }
     // multi-file partitions bin-pack; DV'd files (even alone) rewrite to
     // materialize their deletion vectors and drop the descriptors; a
     // Z-order request re-clusters everything

@@ -198,4 +198,67 @@ class TableFeaturesSuite extends AnyFunSuite {
     assert(t.snapshot.allFiles.map(_.path).toSet == srcPathsBefore,
       "source layout untouched")
   }
+
+  // ---------------------------------------------------- generated columns
+
+  private def generatedTable(): DeltaTable = {
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StructField, StructType}
+    val t = DeltaTable.forPath(spark, tmp())
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ts", DateType),
+      GeneratedColumns.field("yr", IntegerType, "year(ts)")))
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = schema.json, partitionColumns = Seq("yr")))
+    txn.commit(Nil, "CREATE TABLE")
+    t
+  }
+
+  test("omitted generated column is computed and partitions the write") {
+    import spark.implicits._
+    val t = generatedTable()
+    t.write(Seq((1L, "2020-03-01"), (2L, "2021-07-09")).toDF("id", "d")
+      .select($"id", to_date($"d").as("ts")))
+    assert(t.snapshot.allFiles.forall(_.partitionValues.contains("yr")))
+    assert(t.snapshot.allFiles.map(_.partitionValues("yr")).toSet == Set("2020", "2021"))
+    val r = t.toDF.orderBy("id").select("yr").as[Int].collect().toSeq
+    assert(r == Seq(2020, 2021))
+  }
+
+  test("supplied generated column is enforced against its expression") {
+    import spark.implicits._
+    val t = generatedTable()
+    // correct value passes
+    t.write(Seq((1L, "2020-03-01", 2020)).toDF("id", "d", "yr")
+      .select($"id", to_date($"d").as("ts"), $"yr"))
+    // wrong value raises the typed violation and nothing commits
+    val v = t.deltaLog.update().version
+    intercept[ConstraintViolationException] {
+      t.write(Seq((2L, "2021-07-09", 1999)).toDF("id", "d", "yr")
+        .select($"id", to_date($"d").as("ts"), $"yr"))
+    }
+    assert(t.deltaLog.update().version == v)
+  }
+
+  // ------------------------------------------------------- OPTIMIZE WHERE
+
+  test("OPTIMIZE WHERE compacts only the matching partitions") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    (0 until 3).foreach { k =>
+      t.write(Seq((k.toLong, "x"), (k.toLong + 10, "y")).toDF("id", "part")
+        .coalesce(1), SaveMode.Append, Seq("part"))
+    }
+    val before = t.snapshot.allFiles.groupBy(_.partitionValues("part"))
+    assert(before("x").size == 3 && before("y").size == 3)
+    t.compact(col("part") === "x")
+    val after = t.snapshot.allFiles.groupBy(_.partitionValues("part"))
+    assert(after("x").size == 1, "matching partition bin-packed")
+    assert(after("y").map(_.path).toSet == before("y").map(_.path).toSet,
+      "non-matching partition untouched")
+    assert(t.toDF.count() == 6)
+    // non-partition predicates are rejected, not silently full-table
+    intercept[IllegalArgumentException](t.compact(col("id") > 0))
+  }
 }
