@@ -40,10 +40,16 @@ final case class Metadata(
   def wrap: SingleAction = SingleAction(metaData = this)
 }
 
-/** cf. reference `action/protocol.go`. */
+/** cf. reference `action/protocol.go`; extended with the open Delta
+  * TABLE FEATURES shape (reader v3 / writer v7): capability names listed
+  * explicitly so clients gate on what a table actually uses rather than
+  * a monolithic version number.
+  */
 final case class Protocol(
     minReaderVersion: Int = 1,
-    minWriterVersion: Int = 2) extends Action {
+    minWriterVersion: Int = 2,
+    readerFeatures: Option[Set[String]] = None,
+    writerFeatures: Option[Set[String]] = None) extends Action {
   def wrap: SingleAction = SingleAction(protocol = this)
 }
 
@@ -185,6 +191,12 @@ object Actions {
         val o = root.putObject("protocol")
         o.put("minReaderVersion", p.minReaderVersion)
         o.put("minWriterVersion", p.minWriterVersion)
+        p.readerFeatures.foreach { fs =>
+          val a = o.putArray("readerFeatures"); fs.toSeq.sorted.foreach(a.add)
+        }
+        p.writerFeatures.foreach { fs =>
+          val a = o.putArray("writerFeatures"); fs.toSeq.sorted.foreach(a.add)
+        }
       case t: SetTransaction =>
         val o = root.putObject("txn")
         o.put("appId", t.appId)
@@ -274,8 +286,15 @@ object Actions {
             else (0 until pc.size()).map(pc.get(_).asText())
           },
           nonNullMap(strMap(n, "configuration")), optLong(n, "createdTime")))
-      case "protocol" => Some(Protocol(
-        long(n, "minReaderVersion", 1).toInt, long(n, "minWriterVersion", 2).toInt))
+      case "protocol" =>
+        def features(field: String): Option[Set[String]] = {
+          val a = n.get(field)
+          if (a == null || a.isNull) None
+          else Some((0 until a.size()).map(a.get(_).asText()).toSet)
+        }
+        Some(Protocol(
+          long(n, "minReaderVersion", 1).toInt, long(n, "minWriterVersion", 2).toInt,
+          features("readerFeatures"), features("writerFeatures")))
       case "txn" => Some(SetTransaction(
         str(n, "appId"), long(n, "version"), optLong(n, "lastUpdated")))
       case "cdc" => Some(AddCDCFile(

@@ -95,6 +95,7 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     var finalActions = newMetadata.map(m => m: Action).toSeq ++ actions
 
     // prepareCommit checks (cf. trnx.go:428)
+    if (snapshot.version >= 0) snapshot.assertProtocolWrite()
     if (snapshot.version == -1) {
       // brand-new table: needs metadata + protocol
       if (!finalActions.exists(_.isInstanceOf[Metadata]))

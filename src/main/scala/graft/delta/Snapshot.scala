@@ -188,11 +188,37 @@ class Snapshot(
     */
   def assertProtocolRead(): Unit = {
     val p = protocol
-    if (p.minReaderVersion > Snapshot.SupportedReaderVersion)
+    if (p.minReaderVersion == 3) {
+      // table-features protocol: gate on the capability names the table
+      // actually lists, not the monolithic version number
+      val unsupported =
+        p.readerFeatures.getOrElse(Set.empty) -- Snapshot.SupportedReaderFeatures
+      if (unsupported.nonEmpty)
+        throw new Snapshot.InvalidProtocolVersionException(
+          s"table requires reader features not supported by this client: " +
+            unsupported.toSeq.sorted.mkString(", "))
+    } else if (p.minReaderVersion > Snapshot.SupportedReaderVersion)
       throw new Snapshot.InvalidProtocolVersionException(
         s"table requires reader version ${p.minReaderVersion}, " +
           s"this client supports up to ${Snapshot.SupportedReaderVersion}")
     metadataOpt.foreach(ColumnMapping.assertSupported)
+  }
+
+  /** A writer must also be a reader; writer v7 gates on listed features. */
+  def assertProtocolWrite(): Unit = {
+    assertProtocolRead()
+    val p = protocol
+    if (p.minWriterVersion == 7) {
+      val unsupported =
+        p.writerFeatures.getOrElse(Set.empty) -- Snapshot.SupportedWriterFeatures
+      if (unsupported.nonEmpty)
+        throw new Snapshot.InvalidProtocolVersionException(
+          s"table requires writer features not supported by this client: " +
+            unsupported.toSeq.sorted.mkString(", "))
+    } else if (p.minWriterVersion > Snapshot.SupportedWriterVersion)
+      throw new Snapshot.InvalidProtocolVersionException(
+        s"table requires writer version ${p.minWriterVersion}, " +
+          s"this client supports up to ${Snapshot.SupportedWriterVersion}")
   }
 
   /** cf. reference `snapshot.go:126` Metadata. */
@@ -230,8 +256,19 @@ class Snapshot(
 object Snapshot {
   import org.apache.spark.sql.types._
 
-  val SupportedReaderVersion = 1
-  val SupportedWriterVersion = 3
+  // reader v2 = column mapping (name mode; id is rejected at the metadata
+  // gate); reader v3 = table features. writer v4 = CDF + generated
+  // columns, v5 = column mapping, v6 = identity columns (NOT supported),
+  // v7 = table features.
+  val SupportedReaderVersion = 2
+  val SupportedWriterVersion = 5
+
+  val SupportedReaderFeatures: Set[String] =
+    Set("columnMapping", "deletionVectors", "vacuumProtocolCheck")
+  val SupportedWriterFeatures: Set[String] =
+    Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+      "generatedColumns", "columnMapping", "deletionVectors",
+      "vacuumProtocolCheck")
   final class InvalidProtocolVersionException(msg: String)
     extends RuntimeException(msg)
   /** Recursively nullable variant of a schema (StructType.asNullable is

@@ -199,6 +199,52 @@ class TableFeaturesSuite extends AnyFunSuite {
       "source layout untouched")
   }
 
+  // ------------------------------------------------------- table features
+
+  test("reader v3 gates on listed features, not the version number") {
+    import spark.implicits._
+    val t = seeded()
+    t.deltaLog.startTransaction().commit(Seq(Protocol(
+      minReaderVersion = 3, minWriterVersion = 7,
+      readerFeatures = Some(Set("deletionVectors", "columnMapping")),
+      writerFeatures = Some(Set("deletionVectors", "columnMapping", "appendOnly")))),
+      "UPGRADE PROTOCOL")
+    assert(t.toDF.count() == 5) // all listed features supported -> readable
+    t.write(Seq((6L, "frank", 60, "z")).toDF("id", "name", "score", "part"),
+      SaveMode.Append, Seq("part"))
+    assert(t.toDF.count() == 6) // and writable
+  }
+
+  test("unsupported reader/writer features are rejected by name") {
+    import spark.implicits._
+    val t = seeded()
+    t.deltaLog.startTransaction().commit(Seq(Protocol(
+      minReaderVersion = 3, minWriterVersion = 7,
+      readerFeatures = Some(Set("v2Checkpoint")),
+      writerFeatures = Some(Set("v2Checkpoint")))), "UPGRADE PROTOCOL")
+    val ex = intercept[Exception](t.toDF.collect())
+    assert(ex.getMessage.contains("v2Checkpoint"))
+
+    val t2 = seeded()
+    t2.deltaLog.startTransaction().commit(Seq(Protocol(
+      minReaderVersion = 1, minWriterVersion = 7,
+      writerFeatures = Some(Set("identityColumns")))), "UPGRADE PROTOCOL")
+    assert(t2.toDF.count() == 5) // still readable
+    val ex2 = intercept[Exception] {
+      t2.write(Seq((9L, "zoe", 90, "z")).toDF("id", "name", "score", "part"),
+        SaveMode.Append, Seq("part"))
+    }
+    assert(ex2.getMessage.contains("identityColumns"))
+  }
+
+  test("feature lists round-trip through the JSON log") {
+    val p = Protocol(3, 7, Some(Set("deletionVectors")), Some(Set("appendOnly", "deletionVectors")))
+    val line = Actions.toJson(p)
+    assert(Actions.fromJson(line).contains(p))
+    // plain protocols keep the compact two-field shape
+    assert(!Actions.toJson(Protocol(1, 2)).contains("Features"))
+  }
+
   // ---------------------------------------------------- generated columns
 
   private def generatedTable(): DeltaTable = {
