@@ -113,7 +113,8 @@ final case class CommitInfo(
     isBlindAppend: Option[Boolean] = None,
     operationMetrics: Map[String, String] = Map.empty,
     engineInfo: Option[String] = None,
-    txnId: Option[String] = None) extends Action {
+    txnId: Option[String] = None,
+    inCommitTimestamp: Option[Long] = None) extends Action {
   def wrap: SingleAction = SingleAction(commitInfo = this)
 }
 
@@ -220,6 +221,7 @@ object Actions {
         putMap(o, "operationMetrics", ci.operationMetrics)
         ci.engineInfo.foreach(o.put("engineInfo", _))
         ci.txnId.foreach(o.put("txnId", _))
+        ci.inCommitTimestamp.foreach(o.put("inCommitTimestamp", _))
     }
     mapper.writeValueAsString(root)
   }
@@ -306,7 +308,7 @@ object Actions {
         Option(str(n, "isolationLevel")),
         { val v = n.get("isBlindAppend"); if (v == null || v.isNull) None else Some(v.asBoolean()) },
         nonNullMap(strMap(n, "operationMetrics")), Option(str(n, "engineInfo")),
-        Option(str(n, "txnId"))))
+        Option(str(n, "txnId")), optLong(n, "inCommitTimestamp")))
       case _ => None // unknown action: forward-compatible skip
     }
   }

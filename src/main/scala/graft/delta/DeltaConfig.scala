@@ -69,6 +69,21 @@ object DeltaConfig {
   val AppendOnly: TableConfig[Boolean] =
     TableConfig("delta.appendOnly", "false", _.trim.toLowerCase == "true")
 
+  /** Commit timestamps written INTO the commit (CommitInfo
+    * `inCommitTimestamp`) instead of relying on log-file mtimes, which
+    * object stores may rewrite (replication, bucket migration). Timestamp
+    * time travel then has a source of truth that survives file copies.
+    */
+  val InCommitTimestamps: TableConfig[Boolean] =
+    TableConfig("delta.enableInCommitTimestamps", "false", _.trim.toLowerCase == "true")
+
+  /** First version whose commit carries an inCommitTimestamp (recorded
+    * automatically when the table enables ICT after creation; absent =
+    * enabled from version 0).
+    */
+  val IctEnablementVersionKey = "delta.inCommitTimestampEnablementVersion"
+  val IctEnablementTimestampKey = "delta.inCommitTimestampEnablementTimestamp"
+
   /** OPTIMIZE's target output file size. */
   val TargetFileSize: TableConfig[Long] =
     TableConfig("delta.targetFileSize", (128L * 1024 * 1024).toString, _.trim.toLong)

@@ -142,7 +142,34 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       operationMetrics = metrics,
       engineInfo = Some(engineInfo),
       txnId = Some(java.util.UUID.randomUUID.toString))
-    val allActions = (commitInfo +: finalActions).map(Actions.toJson)
+    // in-commit timestamps: the commit's timestamp lives IN the commit
+    // (mtime is unreliable once an object store copies the log). It must
+    // exceed the previous commit's ICT, so under conflict retry it is
+    // recomputed per attempt against the new winner.
+    val ictEnabled = DeltaConfig.InCommitTimestamps.fromMetadata(metadata)
+    val ictNewlyEnabled = ictEnabled && snapshot.version >= 0 &&
+      !snapshot.metadataOpt.exists(DeltaConfig.InCommitTimestamps.fromMetadata)
+    def serialized(attempt: Long): Seq[String] = {
+      if (!ictEnabled) return (commitInfo +: finalActions).map(Actions.toJson)
+      val floor =
+        if (attempt == 0) Long.MinValue
+        else deltaLog.commitInfoAt(attempt - 1)
+          .flatMap(_.inCommitTimestamp).getOrElse(Long.MinValue)
+      val ict = math.max(deltaLog.clock.nowMillis, floor + 1)
+      val ci = commitInfo.copy(timestamp = ict, inCommitTimestamp = Some(ict))
+      // enabling ICT on an existing table records WHERE the clock source
+      // switches, so readers know which versions to trust mtime for
+      val acts =
+        if (!ictNewlyEnabled) finalActions
+        else finalActions.map {
+          case m: Metadata => m.copy(configuration = m.configuration +
+            (DeltaConfig.IctEnablementVersionKey -> attempt.toString) +
+            (DeltaConfig.IctEnablementTimestampKey -> ict.toString))
+          case a => a
+        }
+      (ci +: acts).map(Actions.toJson)
+    }
+    val preSerialized = if (ictEnabled) null else serialized(0L)
 
     var attempt = snapshot.version + 1
     var done = -1L
@@ -151,7 +178,8 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       tries += 1
       if (tries > 10000) throw new IllegalStateException("commit retry limit exceeded")
       try {
-        deltaLog.store.write(FileNames.deltaFile(deltaLog.logPath, attempt), allActions.iterator)
+        val lines = if (ictEnabled) serialized(attempt) else preSerialized
+        deltaLog.store.write(FileNames.deltaFile(deltaLog.logPath, attempt), lines.iterator)
         done = attempt
       } catch {
         case _: FileAlreadyExistsException =>
