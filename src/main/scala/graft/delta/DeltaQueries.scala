@@ -273,6 +273,14 @@ object DeltaQueries {
       require(src.deltaLog.update().version == srcVersion, "source log untouched")
     }
 
+  private def dsv2Fixture(s: SparkSession, d: String): String =
+    fixture(s, d, "dsv2") { dir =>
+      // through the public DataFrameWriter surface — exercises the
+      // CreatableRelationProvider write path end-to-end
+      table(s, d, "orders").write.format("graft-delta")
+        .partitionBy("o_orderstatus").mode(SaveMode.Append).save(dir)
+    }
+
   private val ordersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
@@ -551,6 +559,20 @@ object DeltaQueries {
     }, Some("""
       SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
         CAST(n_regionkey AS INTEGER) AS n_regionkey
-      FROM nation ORDER BY n_nationkey"""))
+      FROM nation ORDER BY n_nationkey""")),
+
+    // A40: the `graft-delta` Spark data source — write via
+    // DataFrameWriter, read via DataFrameReader with a pushed partition
+    // predicate + residual data predicate, all inside Catalyst
+    GQ("delta_dsv2", (s, d) => {
+      val dir = dsv2Fixture(s, d)
+      s.read.format("graft-delta").load(dir)
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") < 100000)
+        .select(ordersCols.map(col): _*)
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderstatus = 'O' AND o_totalprice < 100000
+      ORDER BY o_orderkey"""))
   )
 }

@@ -39,8 +39,14 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * Catalyst. Scales to O(10^7) files where a driver-built path list
     * (spark.read.parquet(paths)) would re-stat every file.
     */
-  private def readSnapshot(s: Snapshot, predicate: Option[Column]): DataFrame = {
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+  /** The snapshot as a Catalyst file-source relation: the listing comes
+    * from [[DeltaFileIndex]] (zero filesystem calls, partition pruning +
+    * stats skipping in the planner) and columns carry PHYSICAL names.
+    * Shared by [[readSnapshot]] and the `graft-delta` format's fast path.
+    */
+  private[graft] def baseRelationFor(
+      s: Snapshot): org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     s.assertProtocolRead()
     val md = s.metadata
@@ -49,10 +55,16 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val dataSchema = org.apache.spark.sql.types.StructType(
       ColumnMapping.physicalSchema(md).filterNot(f => partCols.contains(f.name)))
     val index = new DeltaFileIndex(deltaLog, s)
-    val relation = HadoopFsRelation(
+    HadoopFsRelation(
       index, index.partitionSchema, dataSchema, None,
       new ParquetFileFormat(), Map.empty[String, String])(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+  }
+
+  private[graft] def readSnapshot(s: Snapshot, predicate: Option[Column]): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val relation = baseRelationFor(s)
+    val md = s.metadata
     var df = org.apache.spark.sql.GraftShims
       .ofRows(spark, LogicalRelation(relation, isStreaming = false))
     // merge-on-read: drop DV-deleted rows before projecting _metadata away.

@@ -274,7 +274,7 @@ object Snapshot {
   /** Recursively nullable variant of a schema (StructType.asNullable is
     * private[spark]).
     */
-  private[delta] def nullable(dt: DataType): DataType = dt match {
+  private[graft] def nullable(dt: DataType): DataType = dt match {
     case s: StructType =>
       StructType(s.fields.map(f => f.copy(dataType = nullable(f.dataType), nullable = true)))
     case a: ArrayType => a.copy(elementType = nullable(a.elementType), containsNull = true)

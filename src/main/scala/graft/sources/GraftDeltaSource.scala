@@ -1,0 +1,213 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftShims, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+import graft.delta.{ColumnMapping, DeltaConfig, DeltaTable, Snapshot}
+import graft.streaming.DeltaStreamSourceProvider
+
+/** The `graft-delta` data source: one format name covering the whole
+  * surface a Spark user expects from a table format —
+  *
+  * {{{
+  * spark.read.format("graft-delta").load(path)                    // batch read
+  *   .option("versionAsOf", 3)                                    // time travel
+  * df.write.format("graft-delta").partitionBy("p").save(path)     // batch write
+  * spark.readStream.format("graft-delta").load(path)              // stream source
+  * df.writeStream.format("graft-delta").start(path)               // exactly-once sink
+  * }}}
+  *
+  * The role the reference leaves to its Go client API (`delta.go`,
+  * `scan.go`) is played here by Spark's source contracts, so the engine
+  * plugs into `spark.read`/`spark.sql` like any built-in format.
+  *
+  * Read architecture: the common case returns the table's
+  * `HadoopFsRelation` over [[graft.delta.DeltaFileIndex]] directly —
+  * planning stays fully inside Catalyst (partition pruning, stats-based
+  * file skipping, parquet predicate pushdown, whole-stage codegen), with
+  * zero per-row overhead versus `DeltaTable.toDF`. Tables whose scan
+  * needs row-level post-processing (active deletion vectors) or logical
+  * column renames (column mapping) fall back to [[SnapshotRelation]], a
+  * `PrunedFilteredScan` that delegates to the full merge-on-read path —
+  * pruning and pushdown still happen inside the nested plan; the only
+  * extra cost is the row conversion at the V1 boundary, paid only by
+  * tables that actually carry DVs.
+  */
+class GraftDeltaSource extends DeltaStreamSourceProvider
+    with RelationProvider with CreatableRelationProvider with StreamSinkProvider {
+
+  import GraftDeltaSource._
+
+  // ------------------------------------------------------------ batch read
+
+  override def createRelation(
+      sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val table = DeltaTable.forPath(spark, pathOf(parameters))
+    relationFor(sqlContext, table, snapshotFor(table, parameters))
+  }
+
+  // ----------------------------------------------------------- batch write
+
+  override def createRelation(
+      sqlContext: SQLContext, mode: SaveMode, parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val table = DeltaTable.forPath(spark, path)
+    val exists = DeltaTable.isDeltaTable(spark, path)
+    val write = mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"delta table already exists at $path (mode ErrorIfExists)")
+      case SaveMode.Ignore if exists => false
+      case _ => true
+    }
+    if (write) {
+      val saveMode =
+        if (mode == SaveMode.Overwrite) SaveMode.Overwrite else SaveMode.Append
+      table.write(data, saveMode, partitionColumnsOf(parameters),
+        mergeSchema = flag(parameters, "mergeSchema"))
+    }
+    relationFor(sqlContext, table, table.snapshot)
+  }
+
+  // ------------------------------------------------------- streaming sink
+
+  /** Exactly-once append sink: each micro-batch commits through the
+    * table's idempotent `SetTransaction` path keyed by the query's
+    * checkpoint location, so a replayed batch after failure is a no-op.
+    */
+  override def createSink(
+      sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Update(),
+      s"graft-delta sink supports Append output mode, got $outputMode")
+    val path = pathOf(parameters)
+    val appId = parameters.get("checkpointLocation")
+      .orElse(parameters.get("queryName")).getOrElse(path)
+    new GraftDeltaSink(sqlContext.sparkSession, path, partitionColumns, appId)
+  }
+}
+
+object GraftDeltaSource {
+
+  private[sources] def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "'path' is required for the graft-delta format (pass it to load/save)"))
+
+  private def flag(parameters: Map[String, String], name: String): Boolean =
+    parameters.get(name).exists(_.trim.equalsIgnoreCase("true"))
+
+  /** `partitionBy(...)` arrives from DataFrameWriter as the JSON-encoded
+    * `__partition_columns` option (Spark's V1 convention); a plain
+    * comma-separated `partitionBy` option is accepted as well.
+    */
+  private[sources] def partitionColumnsOf(parameters: Map[String, String]): Seq[String] =
+    parameters.get("__partition_columns") match {
+      case Some(json) =>
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        m.readValue(json, classOf[Array[String]]).toSeq
+      case None => parameters.get("partitionBy")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    }
+
+  /** versionAsOf / timestampAsOf (epoch millis or `yyyy-MM-dd HH:mm:ss`). */
+  private[sources] def snapshotFor(
+      table: DeltaTable, parameters: Map[String, String]): Snapshot =
+    (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "specify at most one of versionAsOf / timestampAsOf")
+      case (Some(v), None) => table.deltaLog.snapshotForVersionAsOf(v.trim.toLong)
+      case (None, Some(t)) =>
+        val millis = t.trim.toLongOption.getOrElse(
+          java.sql.Timestamp.valueOf(t.trim).getTime)
+        table.deltaLog.snapshotForTimestampAsOf(millis)
+      case (None, None) => table.deltaLog.update()
+    }
+
+  private[sources] def relationFor(
+      sqlContext: SQLContext, table: DeltaTable, s: Snapshot): BaseRelation = {
+    val md = s.metadata
+    val direct = !ColumnMapping.enabled(md) &&
+      (!DeltaConfig.EnableDeletionVectors.fromMetadata(md) || s.dvFiles.isEmpty)
+    if (direct) table.baseRelationFor(s)
+    else new SnapshotRelation(sqlContext, table, s)
+  }
+
+  /** Best-effort translation of V1 source filters into Columns for the
+    * nested scan; untranslated filters are simply not pushed (Spark
+    * re-evaluates every filter above the relation regardless).
+    */
+  private[sources] def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case Not(c) => filterToColumn(c).map(!_)
+    case And(l, r) =>
+      (filterToColumn(l), filterToColumn(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b) // half an AND is still a valid narrowing
+      }
+    case Or(l, r) =>
+      for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a || b
+    case _ => None
+  }
+}
+
+/** Fallback relation for tables whose read is more than a parquet scan
+  * (deletion vectors, column mapping): delegates to the table's full
+  * merge-on-read DataFrame, forwarding column pruning and translatable
+  * filters into the nested plan.
+  */
+final class SnapshotRelation(
+    override val sqlContext: SQLContext,
+    table: DeltaTable,
+    s: Snapshot) extends BaseRelation with PrunedFilteredScan {
+
+  override val schema: StructType =
+    Snapshot.nullable(s.metadata.schema).asInstanceOf[StructType]
+
+  override def buildScan(
+      requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val pred = filters.toSeq.flatMap(GraftDeltaSource.filterToColumn)
+      .reduceOption(_ && _)
+    table.readSnapshot(s, pred)
+      .select(requiredColumns.toIndexedSeq.map(col): _*)
+      .rdd
+  }
+}
+
+/** V1 streaming sink with exactly-once semantics via the table's
+  * idempotent-writer transactions (A13): `(appId, batchId)` is recorded in
+  * the same commit as the data, so re-delivered batches are skipped.
+  */
+final class GraftDeltaSink(
+    spark: SparkSession, path: String, partitionColumns: Seq[String],
+    appId: String) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // re-wrap: the incoming frame is planned by IncrementalExecution and
+    // cannot be transformed or re-executed as a batch query directly
+    val batch = GraftShims.asBatchDF(spark, data)
+    DeltaTable.forPath(spark, path)
+      .writeStreamBatch(batch, appId, batchId, partitionColumns)
+    ()
+  }
+
+  override def toString: String = s"GraftDeltaSink[$path]"
+}

@@ -50,4 +50,16 @@ object GraftShims {
     classicSpark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse: re-wrap a micro-batch DataFrame handed to
+    * `Sink.addBatch` (planned by IncrementalExecution, so transformations
+    * on it would fail with "streaming sources must be executed with
+    * writeStream") as a plain batch DataFrame over the same physical RDD.
+    * Standard V1 sink pattern.
+    */
+  def asBatchDF(spark: SparkSession, df: DataFrame): DataFrame = {
+    val classicSpark = spark.asInstanceOf[classic.SparkSession]
+    classicSpark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

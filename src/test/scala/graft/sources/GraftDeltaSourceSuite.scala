@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.delta.{DeltaTable, Metadata}
+
+/** The `graft-delta` format: batch read/write, time travel options,
+  * DV/column-mapping fallback relation, pushdown, streaming sink.
+  */
+class GraftDeltaSourceSuite extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft-src").toString
+
+  private def seed(): DataFrame = {
+    import spark.implicits._
+    Seq((1L, "alice", 10, "x"), (2L, "bob", 20, "x"),
+      (3L, "carol", 30, "y"), (4L, "dave", 40, "y"),
+      (5L, "erin", 50, "z")).toDF("id", "name", "score", "part")
+  }
+
+  test("write + read round trip through format(\"graft-delta\")") {
+    val dir = tmp()
+    seed().write.format("graft-delta").partitionBy("part").save(dir)
+    val back = spark.read.format("graft-delta").load(dir)
+    assert(back.count() == 5)
+    assert(back.columns.toSet == Set("id", "name", "score", "part"))
+    assert(back.filter(col("part") === "x").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // it is a real Delta table underneath
+    assert(DeltaTable.isDeltaTable(spark, dir))
+    assert(DeltaTable.forPath(spark, dir).snapshot.metadata.partitionColumns == Seq("part"))
+  }
+
+  test("partition pruning reaches the file listing through the format") {
+    val dir = tmp()
+    seed().write.format("graft-delta").partitionBy("part").save(dir)
+    val pruned = spark.read.format("graft-delta").load(dir)
+      .filter(col("part") === "x")
+    // the physical scan must list only part=x files
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .flatMap(_.files).map(_.getPath.toString)
+      }).flatten
+    assert(scanned.nonEmpty && scanned.forall(_.contains("part=x")),
+      s"expected only part=x files, got $scanned")
+  }
+
+  test("save modes: ErrorIfExists throws, Ignore is a no-op, Overwrite replaces") {
+    val dir = tmp()
+    seed().write.format("graft-delta").save(dir)
+    intercept[IllegalStateException] {
+      seed().write.format("graft-delta").mode(SaveMode.ErrorIfExists).save(dir)
+    }
+    seed().write.format("graft-delta").mode(SaveMode.Ignore).save(dir)
+    assert(spark.read.format("graft-delta").load(dir).count() == 5)
+    seed().limit(2).write.format("graft-delta").mode(SaveMode.Overwrite).save(dir)
+    assert(spark.read.format("graft-delta").load(dir).count() == 2)
+    seed().write.format("graft-delta").mode(SaveMode.Append).save(dir)
+    assert(spark.read.format("graft-delta").load(dir).count() == 7)
+  }
+
+  test("versionAsOf / timestampAsOf options time travel") {
+    val dir = tmp()
+    seed().write.format("graft-delta").save(dir) // v0
+    seed().write.format("graft-delta").mode(SaveMode.Append).save(dir) // v1
+    assert(spark.read.format("graft-delta").option("versionAsOf", "0").load(dir).count() == 5)
+    assert(spark.read.format("graft-delta").load(dir).count() == 10)
+    // timestamp travel keys off commit-file mtime
+    val v0 = new org.apache.hadoop.fs.Path(dir, "_delta_log/00000000000000000000.json")
+    val t0 = v0.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(v0).getModificationTime
+    assert(spark.read.format("graft-delta")
+      .option("timestampAsOf", t0.toString).load(dir).count() == 5)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-delta")
+        .option("versionAsOf", "0").option("timestampAsOf", "0").load(dir).count()
+    }
+  }
+
+  test("DV table reads through the fallback relation, deleted rows gone") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val df = seed()
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = df.schema.json,
+      configuration = Map("delta.enableDeletionVectors" -> "true")))
+    txn.commit(Nil, "CREATE TABLE")
+    t.write(df, SaveMode.Append)
+    t.delete(col("score") >= 40) // merge-on-read: files keep the rows, DVs hide them
+    assert(t.snapshot.dvFiles.nonEmpty, "expected deletion vectors")
+    val back = spark.read.format("graft-delta").load(dir)
+    assert(back.count() == 3)
+    assert(back.filter(col("score") >= 40).count() == 0)
+    // column pruning + filter pushdown through the PrunedFilteredScan
+    assert(back.select("name").where(col("id") === 1L)
+      .collect().map(_.getString(0)).toSeq == Seq("alice"))
+  }
+
+  test("column-mapped table reads logical names through the format") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(seed())
+    t.renameColumn("name", "who")
+    val back = spark.read.format("graft-delta").load(dir)
+    assert(back.columns.contains("who") && !back.columns.contains("name"))
+    assert(back.filter(col("who") === "carol").select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("streaming sink is exactly-once per (checkpoint, batchId)") {
+    import spark.implicits._
+    val dir = tmp()
+    val ckpt = tmp()
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream(
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]], spark)
+    src.addData((1L, "a"), (2L, "b"))
+    val q = src.toDF().toDF("id", "v").writeStream
+      .format("graft-delta")
+      .option("checkpointLocation", ckpt)
+      .start(dir)
+    q.processAllAvailable()
+    src.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.format("graft-delta").load(dir)
+    assert(back.count() == 3)
+    // re-delivering an already-committed batch is a no-op
+    val t = DeltaTable.forPath(spark, dir)
+    val redelivered = t.writeStreamBatch(Seq((9L, "dup")).toDF("id", "v"), ckpt, 0L)
+    assert(!redelivered)
+    assert(spark.read.format("graft-delta").load(dir).count() == 3)
+  }
+
+  test("stream source and sink compose under one format name") {
+    val srcDir = tmp(); val dstDir = tmp(); val ckpt = tmp()
+    seed().write.format("graft-delta").save(srcDir)
+    val q = spark.readStream.format("graft-delta").load(srcDir)
+      .filter(col("score") < 40)
+      .writeStream.format("graft-delta")
+      .option("checkpointLocation", ckpt)
+      .start(dstDir)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.format("graft-delta").load(dstDir).count() == 3)
+  }
+}
