@@ -102,23 +102,47 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     statuses.map(_.getPath).filter(FileNames.isDeltaFile).map(FileNames.deltaVersion)
   }
 
-  /** (version, monotonized modification timestamp) for every commit
+  /** (version, monotonized commit timestamp) for every commit
     * (cf. reference `history_manager.go:205` getCommits).
+    *
+    * With in-commit timestamps enabled, versions from the enablement
+    * boundary on take their timestamp from the commit's own CommitInfo
+    * (first log line — one `readHead` per commit, never the whole file):
+    * file mtimes stop being the source of truth the moment an object
+    * store copies the log. Pre-enablement versions keep using mtime.
     */
   private[delta] def commits(): Seq[(Long, Long)] = {
     val statuses =
       try store.listFrom(FileNames.deltaFile(logPath, 0))
       catch { case _: java.io.FileNotFoundException => return Nil }
+    val ictFrom = ictEnablementVersion
     var last = Long.MinValue
     statuses
       .filter(s => FileNames.isDeltaFile(s.getPath))
       .map { s =>
-        // strictly monotonize: a commit whose mtime ties or regresses gets
-        // previous + 1, so timestamp time-travel has a total order
-        last = math.max(s.getModificationTime, last + 1)
-        (FileNames.deltaVersion(s.getPath), last)
+        val v = FileNames.deltaVersion(s.getPath)
+        val raw = ictFrom match {
+          case Some(v0) if v >= v0 =>
+            store.readHead(s.getPath).flatMap(Actions.fromJson).collect {
+              case ci: CommitInfo => ci.inCommitTimestamp
+            }.flatten.getOrElse(s.getModificationTime)
+          case _ => s.getModificationTime
+        }
+        // strictly monotonize: a commit whose timestamp ties or regresses
+        // gets previous + 1, so timestamp time-travel has a total order
+        last = math.max(raw, last + 1)
+        (v, last)
       }
   }
+
+  /** First version whose commit carries an inCommitTimestamp, when the
+    * CURRENT metadata has ICT enabled (absent key = enabled at creation).
+    */
+  private[delta] def ictEnablementVersion: Option[Long] =
+    snapshot.metadataOpt
+      .filter(DeltaConfig.InCommitTimestamps.fromMetadata)
+      .map(_.configuration.get(DeltaConfig.IctEnablementVersionKey)
+        .map(_.trim.toLong).getOrElse(0L))
 
   /** Earliest version rebuildable from the current log: the oldest
     * checkpoint, or 0 if version 0's json is still present

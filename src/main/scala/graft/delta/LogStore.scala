@@ -27,6 +27,11 @@ import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options, Path}
 trait LogStore extends Serializable {
   def read(path: Path): Seq[String]
 
+  /** First line only — commits put CommitInfo on line 1, so commit-info
+    * probes (in-commit timestamps, history) need not read whole files.
+    */
+  def readHead(path: Path): Option[String] = read(path).headOption
+
   /** Entries in path's directory with name >= path's name, name-sorted. */
   def listFrom(path: Path): Seq[FileStatus]
 
@@ -102,6 +107,14 @@ class HadoopLogStore(hadoopConf: Configuration) extends LogStore {
       var line = r.readLine()
       while (line != null) { out += line; line = r.readLine() }
       out.toSeq
+    } finally in.close()
+  }
+
+  override def readHead(path: Path): Option[String] = {
+    val in = fs(path).open(path)
+    try {
+      val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+      Option(r.readLine())
     } finally in.close()
   }
 
