@@ -88,6 +88,25 @@ object DeltaConfig {
   val TargetFileSize: TableConfig[Long] =
     TableConfig("delta.targetFileSize", (128L * 1024 * 1024).toString, _.trim.toLong)
 
+  /** Optimized write: rebalance-shuffle the batch on the partition
+    * columns before writing, so each Hive partition gets ~1 well-sized
+    * file per commit instead of one file per (task x partition value).
+    * The difference between O(tasks x partitions) and O(partitions)
+    * files per append — at 1000 executors that is the difference
+    * between a healthy log and a million-file small-file problem.
+    */
+  val OptimizedWrite: TableConfig[Boolean] =
+    TableConfig("delta.autoOptimize.optimizeWrite", "false", _.trim.toLowerCase == "true")
+
+  /** Auto compaction: after a write commit, bin-pack any just-touched
+    * partition that accumulated `autoCompact.minNumFiles`+ active files.
+    */
+  val AutoCompact: TableConfig[Boolean] =
+    TableConfig("delta.autoOptimize.autoCompact", "false", _.trim.toLowerCase == "true")
+
+  val AutoCompactMinNumFiles: TableConfig[Int] =
+    TableConfig("delta.autoOptimize.autoCompact.minNumFiles", "10", _.trim.toInt)
+
   /** Row-level change capture for DML: DELETE/UPDATE/MERGE also write
     * their changed rows as CDC files (`_change_data/`, AddCDCFile) that
     * `tableChanges` reads back exactly (the open Delta CDF convention).

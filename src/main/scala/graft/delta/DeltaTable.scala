@@ -289,7 +289,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           s"partitioning mismatch: table uses $partCols, got $partitionBy")
     }
 
-    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, data, partCols,
+    val toWrite =
+      if (DeltaConfig.OptimizedWrite.fromMetadata(txn.metadata))
+        DeltaTable.rebalanceForWrite(data, partCols)
+      else data
+    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, toWrite, partCols,
       txn.metadata)
     val operation = if (mode == SaveMode.Overwrite) "WRITE.Overwrite" else "WRITE.Append"
     val params = Map(
@@ -309,17 +313,69 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           import scala.jdk.CollectionConverters._
           val removes = txn.snapshot.allFilesDS.toLocalIterator.asScala
             .map(f => f.remove(now): Action)
-          return txn.commitLarge(removes ++ adds.iterator, operation,
+          val v = txn.commitLarge(removes ++ adds.iterator, operation,
             operationParameters = params,
             operationMetrics = Map(
               "numAddedFiles" -> adds.size.toString,
               "numRemovedFiles" -> removedCount.toString,
               "numAddedBytes" -> adds.map(_.size).sum.toString))
+          autoCompactAfter(adds)
+          return v
         }
         txn.snapshot.allFiles.map(_.remove(now)) ++ adds
       case m => throw new IllegalArgumentException(s"unsupported save mode $m")
     }
-    txn.commit(actions, operation, operationParameters = params)
+    val v = txn.commit(actions, operation, operationParameters = params)
+    autoCompactAfter(adds)
+    v
+  }
+
+  /** Auto compaction (opt-in via `delta.autoOptimize.autoCompact`): after
+    * a write, bin-pack the just-touched partitions that accumulated too
+    * many active files. Counting runs as ONE Spark aggregation over the
+    * file-state DataFrame (never a driver collect of the full listing);
+    * only the touched partitions' counts come back.
+    */
+  private def autoCompactAfter(adds: Seq[AddFile]): Unit = {
+    import org.apache.spark.sql.functions.{col, element_at, lit}
+    if (adds.isEmpty) return
+    val s = deltaLog.update()
+    val md = s.metadataOpt.getOrElse(return)
+    if (!DeltaConfig.AutoCompact.fromMetadata(md)) return
+    val minN = math.max(2, DeltaConfig.AutoCompactMinNumFiles.fromMetadata(md))
+    val partCols = md.partitionColumns
+    if (partCols.isEmpty) {
+      if (s.numOfFiles >= minN) compact()
+      return
+    }
+    val touched = adds.map(f => partCols.map(c =>
+      f.partitionValues.get(c).flatMap(Option(_)))).distinct
+    val keyed = partCols.zipWithIndex.foldLeft(s.activeFilesDF) { case (df, (c, i)) =>
+      df.withColumn(s"__p$i", element_at(col("partitionValues"), c))
+    }
+    // narrow the count to the touched partitions (an append touches few);
+    // a huge multi-partition load just counts everything in one pass
+    val scoped = if (touched.size > 256) keyed else keyed.filter(
+      touched.map(pv => partCols.indices.map(i => pv(i) match {
+        case Some(v) => col(s"__p$i") === lit(v)
+        case None => col(s"__p$i").isNull
+      }).reduce(_ && _)).reduce(_ || _))
+    val counts = scoped.groupBy(partCols.indices.map(i => col(s"__p$i")): _*)
+      .count().collect()
+      .map(r => (partCols.indices.map(i => Option(r.getString(i))), r.getLong(partCols.size)))
+      .toMap
+    val dense = touched.filter(pv => counts.getOrElse(pv, 0L) >= minN).take(64)
+    if (dense.isEmpty) return
+    val where = dense.map { pv =>
+      partCols.zipWithIndex.map { case (c, i) =>
+        pv(i) match {
+          case Some(v) => col(c) === lit(v)
+          case None => col(c).isNull
+        }
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    compact(where)
+    ()
   }
 
   /** Exactly-once streaming sink batch (use from `foreachBatch`): the
@@ -341,10 +397,15 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         partitionColumns = partCols,
         createdTime = Some(deltaLog.clock.nowMillis)))
     }
-    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, partCols,
+    val toWrite =
+      if (DeltaConfig.OptimizedWrite.fromMetadata(txn.metadata))
+        DeltaTable.rebalanceForWrite(df, partCols)
+      else df
+    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, toWrite, partCols,
       txn.metadata)
     txn.commit(adds :+ SetTransaction(appId, batchId, Some(deltaLog.clock.nowMillis)),
       "STREAMING UPDATE")
+    autoCompactAfter(adds)
     true
   }
 
@@ -1026,6 +1087,16 @@ object DeltaTable {
     */
   private[delta] def commitLargeThreshold(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.commitLarge.threshold").map(_.toLong).getOrElse(50000L)
+
+  /** Optimized write layout: a REBALANCE shuffle keyed on the partition
+    * columns (AQE merges undersized bins and splits skewed ones), so the
+    * writer emits ~one well-sized file per Hive partition per commit
+    * instead of one per (task x partition value). Unpartitioned tables
+    * rebalance to even advisory-sized bins.
+    */
+  private[delta] def rebalanceForWrite(df: DataFrame, partCols: Seq[String]): DataFrame =
+    if (partCols.isEmpty) df.hint("rebalance")
+    else df.hint("rebalance", partCols: _*)
 
   def forPath(spark: SparkSession, path: String): DeltaTable =
     new DeltaTable(spark, DeltaLog.forTable(spark, path))
