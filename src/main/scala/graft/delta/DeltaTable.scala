@@ -348,8 +348,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       if (s.numOfFiles >= minN) compact()
       return
     }
-    val touched = adds.map(f => partCols.map(c =>
-      f.partitionValues.get(c).flatMap(Option(_)))).distinct
+    val touched = adds.map(f => partCols.indices.map(i =>
+      f.partitionValues.get(partCols(i)).flatMap(Option(_)))).distinct
     val keyed = partCols.zipWithIndex.foldLeft(s.activeFilesDF) { case (df, (c, i)) =>
       df.withColumn(s"__p$i", element_at(col("partitionValues"), c))
     }
