@@ -111,6 +111,15 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     * file mtimes stop being the source of truth the moment an object
     * store copies the log. Pre-enablement versions keep using mtime.
     */
+  /** version → raw inCommitTimestamp from that commit's CommitInfo.
+    * Commit files are immutable once written, so entries never go stale;
+    * the cache turns history/timestamp-travel over an N-commit log from
+    * N serial readHead GETs PER CALL into N total across the log's
+    * lifetime in this JVM.
+    */
+  private val ictCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Option[Long]]()
+
   private[delta] def commits(): Seq[(Long, Long)] = {
     val statuses =
       try store.listFrom(FileNames.deltaFile(logPath, 0))
@@ -123,9 +132,10 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
         val v = FileNames.deltaVersion(s.getPath)
         val raw = ictFrom match {
           case Some(v0) if v >= v0 =>
-            store.readHead(s.getPath).flatMap(Actions.fromJson).collect {
-              case ci: CommitInfo => ci.inCommitTimestamp
-            }.flatten.getOrElse(s.getModificationTime)
+            ictCache.computeIfAbsent(v, _ =>
+              store.readHead(s.getPath).flatMap(Actions.fromJson).collect {
+                case ci: CommitInfo => ci.inCommitTimestamp
+              }.flatten).getOrElse(s.getModificationTime)
           case _ => s.getModificationTime
         }
         // strictly monotonize: a commit whose timestamp ties or regresses

@@ -385,7 +385,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * Returns false when the batch was already committed.
     */
   def writeStreamBatch(df: DataFrame, appId: String, batchId: Long,
-      partitionBy: Seq[String] = Nil): Boolean = {
+      partitionBy: Seq[String] = Nil, overwrite: Boolean = false): Boolean = {
     val txn = deltaLog.startTransaction()
     if (txn.txnVersion(appId) >= batchId) return false
     val exists = txn.readVersion >= 0 && txn.snapshot.metadataOpt.isDefined
@@ -403,8 +403,13 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       else df
     val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, toWrite, partCols,
       txn.metadata)
-    txn.commit(adds :+ SetTransaction(appId, batchId, Some(deltaLog.clock.nowMillis)),
-      "STREAMING UPDATE")
+    // Complete output mode: each batch replaces the table contents
+    val removes: Seq[Action] =
+      if (overwrite && exists)
+        txn.snapshot.allFiles.map(_.remove(deltaLog.clock.nowMillis))
+      else Nil
+    txn.commit(removes ++ adds :+ SetTransaction(appId, batchId, Some(deltaLog.clock.nowMillis)),
+      if (overwrite) "STREAMING COMPLETE" else "STREAMING UPDATE")
     autoCompactAfter(adds)
     true
   }

@@ -220,8 +220,22 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
           "this table is append-only (delta.appendOnly=true); removes with dataChange are not allowed")
       case a => a
     }
+    val attempt = snapshot.version + 1
+    // ICT applies to EVERY post-enablement commit — a large overwrite that
+    // skipped it would be timed by unreliable file mtime, the exact failure
+    // ICT exists to prevent. No retry here, so one computation suffices.
+    val ictEnabled = DeltaConfig.InCommitTimestamps.fromMetadata(metadata)
+    val ictNewlyEnabled = ictEnabled && snapshot.version >= 0 &&
+      !snapshot.metadataOpt.exists(DeltaConfig.InCommitTimestamps.fromMetadata)
+    val ict: Option[Long] = if (!ictEnabled) None else {
+      val floor =
+        if (attempt == 0) Long.MinValue
+        else deltaLog.commitInfoAt(attempt - 1)
+          .flatMap(_.inCommitTimestamp).getOrElse(Long.MinValue)
+      Some(math.max(deltaLog.clock.nowMillis, floor + 1))
+    }
     val commitInfo = CommitInfo(
-      timestamp = deltaLog.clock.nowMillis,
+      timestamp = ict.getOrElse(deltaLog.clock.nowMillis),
       operation = operation,
       operationParameters = operationParameters,
       readVersion = if (snapshot.version >= 0) Some(snapshot.version) else None,
@@ -229,10 +243,16 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       isBlindAppend = Some(false),
       operationMetrics = operationMetrics,
       engineInfo = Some(engineInfo),
-      txnId = Some(java.util.UUID.randomUUID.toString))
+      txnId = Some(java.util.UUID.randomUUID.toString),
+      inCommitTimestamp = ict)
+    val mdActions = newMetadata.toSeq.map {
+      case m if ictNewlyEnabled => m.copy(configuration = m.configuration +
+        (DeltaConfig.IctEnablementVersionKey -> attempt.toString) +
+        (DeltaConfig.IctEnablementTimestampKey -> ict.get.toString))
+      case m => m
+    }
     val head: Seq[Action] = commitInfo +:
-      ((if (snapshot.version == -1) Seq(Protocol()) else Nil) ++ newMetadata.toSeq)
-    val attempt = snapshot.version + 1
+      ((if (snapshot.version == -1) Seq(Protocol()) else Nil) ++ mdActions)
     try
       deltaLog.store.write(FileNames.deltaFile(deltaLog.logPath, attempt),
         (head.iterator ++ checked).map(Actions.toJson))

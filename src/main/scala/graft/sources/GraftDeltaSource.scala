@@ -86,12 +86,15 @@ class GraftDeltaSource extends DeltaStreamSourceProvider
   override def createSink(
       sqlContext: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
-    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Update(),
-      s"graft-delta sink supports Append output mode, got $outputMode")
+    // Update re-emits changed rows, which an append-only commit would
+    // duplicate — reject it. Complete is supported as overwrite-per-batch
+    // (matching the Delta sink's semantics).
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
+      s"graft-delta sink supports Append and Complete output modes, got $outputMode")
     val path = pathOf(parameters)
-    val appId = parameters.get("checkpointLocation")
-      .orElse(parameters.get("queryName")).getOrElse(path)
-    new GraftDeltaSink(sqlContext.sparkSession, path, partitionColumns, appId)
+    new GraftDeltaSink(sqlContext.sparkSession, path, partitionColumns,
+      parameters.get("checkpointLocation"),
+      overwrite = outputMode == OutputMode.Complete())
   }
 }
 
@@ -136,7 +139,16 @@ object GraftDeltaSource {
     val md = s.metadata
     val direct = !ColumnMapping.enabled(md) &&
       (!DeltaConfig.EnableDeletionVectors.fromMetadata(md) || s.dvFiles.isEmpty)
-    if (direct) table.baseRelationFor(s)
+    // HadoopFsRelation's schema is dataSchema ++ partitionSchema — partition
+    // columns migrate to the end. Only hand it out raw when that matches the
+    // metadata column order; otherwise positional consumers (union,
+    // insertInto) would see a different layout than the table schema.
+    val orderPreserved = {
+      val partCols = md.partitionColumns
+      val names = md.schema.fieldNames
+      (names.filterNot(partCols.contains) ++ partCols).sameElements(names)
+    }
+    if (direct && orderPreserved) table.baseRelationFor(s)
     else new SnapshotRelation(sqlContext, table, s)
   }
 
@@ -157,7 +169,10 @@ object GraftDeltaSource {
     case StringStartsWith(a, v) => Some(col(a).startsWith(v))
     case StringEndsWith(a, v) => Some(col(a).endsWith(v))
     case StringContains(a, v) => Some(col(a).contains(v))
-    case Not(c) => filterToColumn(c).map(!_)
+    // under NOT the "half an AND" narrowing flips into a widening:
+    // !(A && B) weakened to !A drops rows where A holds and B fails.
+    // The negated child must translate in full or not at all.
+    case Not(c) => filterToColumnStrict(c).map(!_)
     case And(l, r) =>
       (filterToColumn(l), filterToColumn(r)) match {
         case (Some(a), Some(b)) => Some(a && b)
@@ -166,6 +181,19 @@ object GraftDeltaSource {
     case Or(l, r) =>
       for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a || b
     case _ => None
+  }
+
+  /** Like [[filterToColumn]] but with no partial-AND narrowing: every
+    * connective's children must translate completely. Required inside NOT,
+    * where a narrowed child would negate into an unsound widening.
+    */
+  private def filterToColumnStrict(f: Filter): Option[Column] = f match {
+    case And(l, r) =>
+      for { a <- filterToColumnStrict(l); b <- filterToColumnStrict(r) } yield a && b
+    case Or(l, r) =>
+      for { a <- filterToColumnStrict(l); b <- filterToColumnStrict(r) } yield a || b
+    case Not(c) => filterToColumnStrict(c).map(!_)
+    case leaf => filterToColumn(leaf)
   }
 }
 
@@ -182,13 +210,19 @@ final class SnapshotRelation(
   override val schema: StructType =
     Snapshot.nullable(s.metadata.schema).asInstanceOf[StructType]
 
+  // the nested plan already produces InternalRows in the pruned schema;
+  // declaring needConversion=false hands its toRdd straight to the V1
+  // boundary with zero per-row conversion (the same contract
+  // HadoopFsRelation uses)
+  override val needConversion: Boolean = false
+
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val pred = filters.toSeq.flatMap(GraftDeltaSource.filterToColumn)
       .reduceOption(_ && _)
     table.readSnapshot(s, pred)
       .select(requiredColumns.toIndexedSeq.map(col): _*)
-      .rdd
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }
 
@@ -198,14 +232,32 @@ final class SnapshotRelation(
   */
 final class GraftDeltaSink(
     spark: SparkSession, path: String, partitionColumns: Seq[String],
-    appId: String) extends Sink {
+    checkpointLocation: Option[String], overwrite: Boolean = false) extends Sink {
+
+  /** The dedup key must be private to THIS logical query. The streaming
+    * queryId (persisted in checkpoint metadata, stable across restarts,
+    * set as a local property by StreamExecution while addBatch runs) is
+    * exactly that; an explicit checkpointLocation is an equivalent
+    * fallback for direct addBatch callers. Never the table path — two
+    * independent queries writing one table would share a batch counter
+    * and silently drop each other's batches.
+    */
+  private def resolveAppId: String =
+    checkpointLocation.orElse(
+      // StreamExecution.QUERY_ID_KEY, set on the stream execution thread;
+      // stable across restarts (persisted in checkpoint metadata)
+      Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId")))
+      .getOrElse(throw new IllegalStateException(
+        "graft-delta sink needs a stable query identity for exactly-once " +
+          "writes: run it inside a streaming query or set checkpointLocation"))
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // re-wrap: the incoming frame is planned by IncrementalExecution and
     // cannot be transformed or re-executed as a batch query directly
     val batch = GraftShims.asBatchDF(spark, data)
     DeltaTable.forPath(spark, path)
-      .writeStreamBatch(batch, appId, batchId, partitionColumns)
+      .writeStreamBatch(batch, resolveAppId, batchId, partitionColumns,
+        overwrite = overwrite)
     ()
   }
 

@@ -87,6 +87,24 @@ class InCommitTimestampSuite extends AnyFunSuite {
     assert(cs.map(_._2) == cs.map(_._2).sorted)
   }
 
+  test("commitLarge carries the ICT like commit()") {
+    val t = ictTable()
+    t.write(seed(3), SaveMode.Append) // v1
+    // force the streaming-commit path for an overwrite
+    spark.conf.set("spark.graft.commitLarge.threshold", "0")
+    try t.write(seed(2), SaveMode.Overwrite) // v2 via commitLarge
+    finally spark.conf.unset("spark.graft.commitLarge.threshold")
+    val ci = t.deltaLog.commitInfoAt(2L).getOrElse(fail("no CommitInfo at v2"))
+    val ict1 = t.deltaLog.commitInfoAt(1L).flatMap(_.inCommitTimestamp).get
+    val ict2 = ci.inCommitTimestamp.getOrElse(
+      fail("commitLarge must write inCommitTimestamp on a post-enablement commit"))
+    assert(ict2 > ict1 && ci.timestamp == ict2)
+    // history still totally ordered through the mixed commit paths
+    val cs = t.deltaLog.commits()
+    assert(cs.map(_._2) == cs.map(_._2).sorted)
+    assert(t.deltaLog.snapshotForTimestampAsOf(ict1).version == 1L)
+  }
+
   test("ICT floor: a commit never timestamps at or below its predecessor") {
     val t = ictTable()
     (1 to 5).foreach(_ => t.write(seed(1), SaveMode.Append))

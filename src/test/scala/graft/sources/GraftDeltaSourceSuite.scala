@@ -145,6 +145,84 @@ class GraftDeltaSourceSuite extends AnyFunSuite {
     assert(spark.read.format("graft-delta").load(dir).count() == 3)
   }
 
+  test("partition column order matches the table schema on read") {
+    // partition column NOT last: the raw HadoopFsRelation would move it
+    // to the end; the format must restore metadata order for positional
+    // consumers
+    val dir = tmp()
+    import spark.implicits._
+    val df = Seq(("x", 1L, "alice"), ("y", 2L, "bob"))
+      .toDF("part", "id", "name")
+    df.write.format("graft-delta").partitionBy("part").save(dir)
+    val back = spark.read.format("graft-delta").load(dir)
+    assert(back.columns.toSeq == Seq("part", "id", "name"),
+      s"expected metadata column order, got ${back.columns.toSeq}")
+    // positional access agrees with the declared schema
+    val r = back.filter($"id" === 1L).collect().head
+    assert(r.getString(0) == "x" && r.getLong(1) == 1L && r.getString(2) == "alice")
+    // a partition col already last keeps the zero-copy direct relation
+    val dir2 = tmp()
+    seed().write.format("graft-delta").partitionBy("part").save(dir2)
+    assert(spark.read.format("graft-delta").load(dir2)
+      .columns.toSeq == Seq("id", "name", "score", "part"))
+  }
+
+  test("two temp-checkpoint queries on one table keep independent batch counters") {
+    import spark.implicits._
+    val dir = tmp()
+    def run(lo: Long): Unit = {
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream(
+        implicitly[org.apache.spark.sql.Encoder[(Long, String)]], spark)
+      src.addData((lo, "a"), (lo + 1, "b"))
+      // no per-query checkpointLocation option: the sink never sees one in
+      // its parameters and must key dedup on the per-query id, never the
+      // shared table path
+      val q = src.toDF().toDF("id", "v").writeStream
+        .format("graft-delta").start(dir)
+      q.processAllAvailable()
+      q.stop()
+    }
+    // session-level checkpoint root: each query gets its own fresh subdir
+    spark.conf.set("spark.sql.streaming.checkpointLocation", tmp())
+    try {
+      run(1L)
+      run(10L) // fresh query restarts at batchId 0 — must not be dropped
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+    assert(spark.read.format("graft-delta").load(dir).count() == 4)
+  }
+
+  test("Complete output mode overwrites per batch; Update is rejected") {
+    import spark.implicits._
+    val dir = tmp(); val ckpt = tmp()
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream(
+      implicitly[org.apache.spark.sql.Encoder[(String, Long)]], spark)
+    src.addData(("x", 1L), ("x", 2L), ("y", 5L))
+    val agg = src.toDF().toDF("k", "v").groupBy("k").agg(sum("v").as("total"))
+    val q = agg.writeStream.format("graft-delta")
+      .outputMode("complete").option("checkpointLocation", ckpt).start(dir)
+    q.processAllAvailable()
+    src.addData(("x", 10L))
+    q.processAllAvailable()
+    q.stop()
+    // the table holds exactly the final aggregate, not appended history
+    val back = spark.read.format("graft-delta").load(dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(back == Map("x" -> 13L, "y" -> 5L), s"got $back")
+
+    val err = intercept[Exception] {
+      val src2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream(
+        implicitly[org.apache.spark.sql.Encoder[(String, Long)]], spark)
+      src2.addData(("x", 1L))
+      src2.toDF().toDF("k", "v")
+        .groupBy("k").agg(sum("v").as("total"))
+        .writeStream.format("graft-delta")
+        .outputMode("update").option("checkpointLocation", tmp()).start(tmp())
+        .processAllAvailable()
+    }
+    assert(err.getMessage.contains("Append and Complete"),
+      s"expected output-mode rejection, got: ${err.getMessage}")
+  }
+
   test("stream source and sink compose under one format name") {
     val srcDir = tmp(); val dstDir = tmp(); val ckpt = tmp()
     seed().write.format("graft-delta").save(srcDir)
