@@ -9,6 +9,7 @@ object Profile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.sql.GraftSparkExtension")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")

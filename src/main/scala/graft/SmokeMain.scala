@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 object SmokeMain {
   def main(a: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.extensions", "graft.sql.GraftSparkExtension")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

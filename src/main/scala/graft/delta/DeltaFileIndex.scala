@@ -22,6 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class DeltaFileIndex(log: DeltaLog, snapshot: Snapshot) extends FileIndex {
 
+  private[graft] def deltaLog: DeltaLog = log
+
   private val spark = log.spark
   private val md = snapshot.metadata
   private val partCols: Seq[String] = md.partitionColumns

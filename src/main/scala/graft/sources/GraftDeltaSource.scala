@@ -205,10 +205,22 @@ object GraftDeltaSource {
 final class SnapshotRelation(
     override val sqlContext: SQLContext,
     table: DeltaTable,
-    s: Snapshot) extends BaseRelation with PrunedFilteredScan {
+    s: Snapshot) extends BaseRelation with PrunedFilteredScan
+    with InsertableRelation {
+
+  private[graft] def tablePath: String = table.deltaLog.dataPath.toString
 
   override val schema: StructType =
     Snapshot.nullable(s.metadata.schema).asInstanceOf[StructType]
+
+  /** V1 `INSERT INTO` lands through the transaction log, never as loose
+    * parquet files (column order here is already the table order).
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    table.write(data.toDF(schema.fieldNames.toIndexedSeq: _*),
+      if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+    ()
+  }
 
   // the nested plan already produces InternalRows in the pruned schema;
   // declaring needConversion=false hands its toRdd straight to the V1

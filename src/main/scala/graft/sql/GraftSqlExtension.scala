@@ -1,0 +1,412 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, GraftShims, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InsertIntoHadoopFsRelationCommand, LogicalRelation}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.delta.{DeltaFileIndex, DeltaTable}
+import graft.sources.SnapshotRelation
+
+/** SQL surface for graft-delta tables, activated via
+  * `spark.sql.extensions=graft.sql.GraftSparkExtension`:
+  *
+  *  - maintenance statements Spark has no grammar for — `OPTIMIZE`
+  *    (incl. `WHERE` / `ZORDER BY`), `VACUUM`, `DESCRIBE HISTORY`,
+  *    `RESTORE ... TO VERSION|TIMESTAMP AS OF` — through a delegating
+  *    parser (everything else goes to the session parser untouched);
+  *  - SQL DML — `DELETE FROM` / `UPDATE` / `MERGE INTO` — on catalog or
+  *    path tables backed by this engine, through a post-hoc resolution
+  *    rule that hands the resolved plans to the table's transactional
+  *    DML (Spark itself supports these only for DSv2 relations);
+  *  - `INSERT INTO`/`INSERT OVERWRITE` safety: the analyzer's V1 plan
+  *    (InsertIntoHadoopFsRelationCommand) writes parquet files directly,
+  *    which would bypass the transaction log entirely — it is rewritten
+  *    to a transactional append/overwrite.
+  *
+  * The reference engine has no SQL layer; this is the Spark-native
+  * equivalent of its Go client API surface (cf. reference `delta.go`).
+  */
+class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectPostHocResolutionRule(session => new GraftDmlRule(session))
+  }
+}
+
+// --------------------------------------------------------------- parser
+
+/** Recognizes the graft maintenance statements; delegates every other
+  * string to the session parser, so the full Spark SQL dialect is
+  * unaffected.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseGraft(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  private def parseGraft(sql: String): Option[LogicalPlan] = {
+    val s = sql.trim.stripSuffix(";").trim
+    s match {
+      case OptimizeRe(target, where, zorder) =>
+        Some(GraftOptimizeCommand(
+          parseTarget(target),
+          Option(where).map(w => GraftShims.column(delegate.parseExpression(w))),
+          Option(zorder).map(splitCols).getOrElse(Nil)))
+      case VacuumRe(target, hours) =>
+        Some(GraftVacuumCommand(parseTarget(target),
+          Option(hours).map(h => (h.trim.toDouble * 3600 * 1000).toLong)))
+      case HistoryRe(target, limit) =>
+        Some(GraftHistoryCommand(parseTarget(target),
+          Option(limit).map(_.trim.toInt).getOrElse(Int.MaxValue)))
+      case RestoreVersionRe(target, v) =>
+        Some(GraftRestoreCommand(parseTarget(target), Left(v.trim.toLong)))
+      case RestoreTimestampRe(target, ts) =>
+        Some(GraftRestoreCommand(parseTarget(target),
+          Right(parseTsMillis(ts.trim))))
+      case _ => None
+    }
+  }
+
+  /** `'path'`, `delta.`path``/`graft.`path``, or a table identifier. */
+  private def parseTarget(raw: String): SqlTarget = {
+    val t = raw.trim
+    if ((t.startsWith("'") && t.endsWith("'")) ||
+        (t.startsWith("\"") && t.endsWith("\"")))
+      PathTarget(t.substring(1, t.length - 1))
+    else PathTargetRe.findFirstMatchIn(t) match {
+      case Some(m) => PathTarget(m.group(1))
+      case None => TableTarget(delegate.parseMultipartIdentifier(t))
+    }
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+  // target = quoted path, (delta|graft).`path`, or a dotted identifier —
+  // matched lazily; the optional clauses anchor the split
+  private val T = """((?:'[^']+')|(?:"[^"]+")|(?:(?:delta|graft)\.`[^`]+`)|(?:[\w.`]+))"""
+  private[sql] val OptimizeRe =
+    s"""(?is)OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s+(.+?))?""".r
+  private[sql] val VacuumRe =
+    s"""(?is)VACUUM\\s+$T(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?""".r
+  private[sql] val HistoryRe =
+    s"""(?is)DESC(?:RIBE)?\\s+HISTORY\\s+$T(?:\\s+LIMIT\\s+(\\d+))?""".r
+  private[sql] val RestoreVersionRe =
+    s"""(?is)RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)""".r
+  private[sql] val RestoreTimestampRe =
+    s"""(?is)RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'""".r
+  private val PathTargetRe = """(?:delta|graft)\.`([^`]+)`""".r
+
+  private def splitCols(s: String): Seq[String] =
+    s.trim.stripPrefix("(").stripSuffix(")")
+      .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+
+  private def parseTsMillis(s: String): Long =
+    s.toLongOption.getOrElse {
+      try java.sql.Timestamp.valueOf(s).getTime
+      catch { case _: IllegalArgumentException =>
+        java.sql.Date.valueOf(s).getTime }
+    }
+}
+
+// -------------------------------------------------------------- targets
+
+sealed trait SqlTarget
+final case class PathTarget(path: String) extends SqlTarget
+final case class TableTarget(nameParts: Seq[String]) extends SqlTarget
+
+object SqlTarget {
+  private def identifier(parts: Seq[String]): TableIdentifier =
+    parts.map(p => p.stripPrefix("`").stripSuffix("`")) match {
+      case Seq(a) => TableIdentifier(a)
+      case Seq(db, a) => TableIdentifier(a, Some(db))
+      case Seq(cat, db, a) => TableIdentifier(a, Some(db), Some(cat))
+      case other => throw new IllegalArgumentException(
+        s"cannot resolve table name ${other.mkString(".")}")
+    }
+
+  def resolve(spark: SparkSession, t: SqlTarget): String = t match {
+    case PathTarget(p) => p
+    case TableTarget(parts) =>
+      spark.sessionState.catalog.getTableMetadata(identifier(parts))
+        .location.toString
+  }
+
+  /** Drop the catalog's cached relation so the next `spark.table` sees
+    * the new snapshot (the cache holds the pre-DML FileIndex).
+    */
+  def refresh(spark: SparkSession, t: SqlTarget): Unit = t match {
+    case TableTarget(parts) =>
+      spark.sessionState.catalog.refreshTable(identifier(parts))
+    case _ => ()
+  }
+
+  def refresh(spark: SparkSession, id: Option[TableIdentifier]): Unit =
+    id.foreach(spark.sessionState.catalog.refreshTable)
+}
+
+// ------------------------------------------------------------- commands
+
+case class GraftOptimizeCommand(target: SqlTarget, where: Option[Column],
+    zorderBy: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    val v = t.compact(zorderBy, where)
+    SqlTarget.refresh(spark, target)
+    Seq(Row(v))
+  }
+}
+
+case class GraftVacuumCommand(target: SqlTarget,
+    retentionMillis: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("path", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    t.vacuum(retentionMillis).map(Row(_))
+  }
+}
+
+case class GraftHistoryCommand(target: SqlTarget, limit: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("timestamp", TimestampType)(),
+    AttributeReference("operation", StringType)(),
+    AttributeReference("operationParameters",
+      MapType(StringType, StringType))(),
+    AttributeReference("operationMetrics", MapType(StringType, StringType))(),
+    AttributeReference("engineInfo", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    val latest = t.deltaLog.update().version
+    (0L to latest).reverse.flatMap { v =>
+      t.deltaLog.commitInfoAt(v).map { ci =>
+        Row(v, new java.sql.Timestamp(ci.timestamp), ci.operation,
+          ci.operationParameters, ci.operationMetrics, ci.engineInfo.orNull)
+      }
+    }.take(limit)
+  }
+}
+
+case class GraftRestoreCommand(target: SqlTarget,
+    to: Either[Long, Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    val v = to.fold(t.restoreToVersion, t.restoreToTimestamp)
+    SqlTarget.refresh(spark, target)
+    Seq(Row(v))
+  }
+}
+
+case class GraftDeleteCommand(path: String, condition: Column,
+    refreshId: Option[TableIdentifier]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = DeltaTable.forPath(spark, path).delete(condition)
+    SqlTarget.refresh(spark, refreshId)
+    Seq(Row(v))
+  }
+}
+
+case class GraftUpdateCommand(path: String, condition: Column,
+    set: Seq[(String, Column)],
+    refreshId: Option[TableIdentifier]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = DeltaTable.forPath(spark, path).update(condition, set.toMap)
+    SqlTarget.refresh(spark, refreshId)
+    Seq(Row(v))
+  }
+}
+
+/** kind ∈ update | updateAll | delete | insert | insertAll; conditions and
+  * assignment values follow the MergeBuilder `t.` / `s.` alias convention.
+  */
+case class SqlMergeClause(kind: String, condition: Option[Column],
+    set: Seq[(String, Column)])
+
+case class GraftMergeCommand(path: String, source: LogicalPlan,
+    condition: Column, matched: Seq[SqlMergeClause],
+    notMatched: Seq[SqlMergeClause], bySource: Seq[SqlMergeClause],
+    refreshId: Option[TableIdentifier]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, path)
+    val b = t.merge(GraftShims.ofRows(spark, source), condition)
+    matched.foreach { c =>
+      (c.kind, c.condition) match {
+        case ("update", Some(x)) => b.whenMatchedUpdate(x, c.set.toMap)
+        case ("update", None) => b.whenMatchedUpdate(c.set.toMap)
+        case ("updateAll", Some(x)) => b.whenMatchedUpdateAll(x)
+        case ("updateAll", None) => b.whenMatchedUpdateAll()
+        case ("delete", Some(x)) => b.whenMatchedDelete(x)
+        case ("delete", None) => b.whenMatchedDelete()
+        case (k, _) => throw new IllegalStateException(s"bad matched clause $k")
+      }
+    }
+    notMatched.foreach { c =>
+      (c.kind, c.condition) match {
+        case ("insert", Some(x)) => b.whenNotMatchedInsert(x, c.set.toMap)
+        case ("insert", None) => b.whenNotMatchedInsert(c.set.toMap)
+        case ("insertAll", Some(x)) => b.whenNotMatchedInsertAll(x)
+        case ("insertAll", None) => b.whenNotMatchedInsertAll()
+        case (k, _) => throw new IllegalStateException(s"bad not-matched clause $k")
+      }
+    }
+    bySource.foreach { c =>
+      (c.kind, c.condition) match {
+        case ("update", Some(x)) => b.whenNotMatchedBySourceUpdate(x, c.set.toMap)
+        case ("update", None) => b.whenNotMatchedBySourceUpdate(c.set.toMap)
+        case ("delete", Some(x)) => b.whenNotMatchedBySourceDelete(x)
+        case ("delete", None) => b.whenNotMatchedBySourceDelete()
+        case (k, _) => throw new IllegalStateException(s"bad by-source clause $k")
+      }
+    }
+    val v = b.execute()
+    SqlTarget.refresh(spark, refreshId)
+    Seq(Row(v))
+  }
+}
+
+/** Transactional replacement for the analyzer's direct-parquet V1 insert. */
+case class GraftInsertCommand(path: String, query: LogicalPlan,
+    overwrite: Boolean, outputColumnNames: Seq[String],
+    refreshId: Option[TableIdentifier]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val t = DeltaTable.forPath(spark, path)
+    val order = t.snapshot.metadata.schema.fieldNames.toSeq
+    val df = GraftShims.ofRows(spark, query).toDF(outputColumnNames: _*)
+      .select(order.map(col): _*)
+    t.write(df, if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+    SqlTarget.refresh(spark, refreshId)
+    Nil
+  }
+}
+
+// ------------------------------------------------------------- DML rule
+
+/** Routes resolved DELETE / UPDATE / MERGE plans over graft-delta
+  * relations into the table's transactional DML, and rewrites the V1
+  * direct-parquet INSERT command into a log-aware write. Runs post-hoc,
+  * before Spark's "only supported with v2 tables" checks fire.
+  */
+class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private object Target {
+    /** (table path, catalog identifier if any) beneath optional aliases. */
+    def unapply(plan: LogicalPlan): Option[(String, Option[TableIdentifier])] = plan match {
+      case SubqueryAlias(_, child) => unapply(child)
+      case lr: LogicalRelation =>
+        val id = lr.catalogTable.map(_.identifier)
+        lr.relation match {
+          case h: HadoopFsRelation => h.location match {
+            case d: DeltaFileIndex => Some((d.deltaLog.dataPath.toString, id))
+            case _ => None
+          }
+          case s: SnapshotRelation => Some((s.tablePath, id))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Rebind: target attrs → `pre.name`, source attrs → `s.name`. */
+  private def rebind(e: Expression, targetSet: AttributeSet, tPre: Seq[String],
+      sourceSet: AttributeSet = AttributeSet.empty): Expression =
+    e.transform {
+      case a: AttributeReference if targetSet.contains(a) =>
+        UnresolvedAttribute(tPre :+ a.name)
+      case a: AttributeReference if sourceSet.contains(a) =>
+        UnresolvedAttribute(Seq("s", a.name))
+    }
+
+  private def toCol(e: Expression): Column = GraftShims.column(e)
+
+  private def assignName(key: Expression): String = key match {
+    case a: AttributeReference => a.name
+    case u: UnresolvedAttribute => u.nameParts.last
+    case other => throw new UnsupportedOperationException(
+      s"unsupported assignment key $other (nested-field assignment not supported)")
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case DeleteFromTable(t @ Target(path, id), condition) =>
+      GraftDeleteCommand(path,
+        toCol(rebind(condition, t.outputSet, Nil)), id)
+
+    case UpdateTable(t @ Target(path, id), assignments, condition) =>
+      GraftUpdateCommand(path,
+        condition.map(c => toCol(rebind(c, t.outputSet, Nil)))
+          .getOrElse(GraftShims.column(
+            org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)),
+        assignments.map(a =>
+          assignName(a.key) -> toCol(rebind(a.value, t.outputSet, Nil))), id)
+
+    case m: MergeIntoTable if Target.unapply(m.targetTable).isDefined =>
+      if (m.withSchemaEvolution) throw new UnsupportedOperationException(
+        "MERGE WITH SCHEMA EVOLUTION is not supported by graft-delta")
+      val Some((path, refreshId)) = Target.unapply(m.targetTable): @unchecked
+      val tSet = m.targetTable.outputSet
+      val sSet = m.sourceTable.outputSet
+      def rb(e: Expression): Column = toCol(rebind(e, tSet, Seq("t"), sSet))
+      def clause(a: MergeAction): SqlMergeClause = a match {
+        case DeleteAction(c) => SqlMergeClause("delete", c.map(rb), Nil)
+        case UpdateAction(c, assigns, _) => SqlMergeClause("update", c.map(rb),
+          assigns.map(x => assignName(x.key) -> rb(x.value)))
+        case UpdateStarAction(c) => SqlMergeClause("updateAll", c.map(rb), Nil)
+        case InsertAction(c, assigns) => SqlMergeClause("insert", c.map(rb),
+          assigns.map(x => assignName(x.key) -> rb(x.value)))
+        case InsertStarAction(c) => SqlMergeClause("insertAll", c.map(rb), Nil)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported MERGE action $other")
+      }
+      GraftMergeCommand(path,
+        // strip the alias: MergeBuilder re-aliases the source as `s`
+        m.sourceTable match { case SubqueryAlias(_, c) => c; case p => p },
+        rb(m.mergeCondition),
+        m.matchedActions.map(clause),
+        m.notMatchedActions.map(clause),
+        m.notMatchedBySourceActions.map(clause),
+        refreshId)
+
+    case i: InsertIntoHadoopFsRelationCommand
+        if i.fileIndex.exists(_.isInstanceOf[DeltaFileIndex]) =>
+      require(i.staticPartitions.isEmpty,
+        "static-partition INSERT is not supported on graft-delta tables")
+      val path = i.fileIndex.get.asInstanceOf[DeltaFileIndex]
+        .deltaLog.dataPath.toString
+      GraftInsertCommand(path, i.query,
+        overwrite = i.mode == SaveMode.Overwrite, i.outputColumnNames,
+        i.catalogTable.map(_.identifier))
+  }
+}

@@ -13,6 +13,7 @@ class ExpressionsSuite extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[2]")
+      .config("spark.sql.extensions", "graft.sql.GraftSparkExtension")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

@@ -1,0 +1,154 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.delta.DeltaTable
+
+/** The SQL surface (`graft.sql.GraftSparkExtension`): saveAsTable +
+  * spark.table + INSERT through the metastore, SQL DELETE/UPDATE/MERGE,
+  * and the OPTIMIZE / VACUUM / DESCRIBE HISTORY / RESTORE statements.
+  */
+class SqlSurfaceSuite extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.sql.GraftSparkExtension")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft-wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft-sql").toString
+
+  private def seed(): DataFrame = {
+    import spark.implicits._
+    Seq((1L, "alice", 10, "x"), (2L, "bob", 20, "x"),
+      (3L, "carol", 30, "y"), (4L, "dave", 40, "y"),
+      (5L, "erin", 50, "z")).toDF("id", "name", "score", "part")
+  }
+
+  test("saveAsTable + spark.table + SQL SELECT round trip") {
+    seed().write.format("graft-delta").partitionBy("part").saveAsTable("t_round")
+    assert(spark.table("t_round").count() == 5)
+    val agg = spark.sql(
+      "SELECT part, count(*) AS c FROM t_round GROUP BY part ORDER BY part")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(agg == Seq(("x", 2L), ("y", 2L), ("z", 1L)))
+    // it is a transaction-logged table at the metastore location
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED t_round").collect()
+      .find(_.getString(0) == "Location").get.getString(1)
+    assert(DeltaTable.isDeltaTable(spark, loc))
+    // appends via saveAsTable land in the log
+    seed().limit(2).write.format("graft-delta").mode("append")
+      .partitionBy("part").saveAsTable("t_round")
+    assert(spark.table("t_round").count() == 7)
+  }
+
+  test("INSERT INTO / INSERT OVERWRITE go through the transaction log") {
+    seed().write.format("graft-delta").saveAsTable("t_insert")
+    spark.sql("INSERT INTO t_insert VALUES (6, 'frank', 60, 'z')")
+    assert(spark.table("t_insert").count() == 6)
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED t_insert").collect()
+      .find(_.getString(0) == "Location").get.getString(1)
+    val t = DeltaTable.forPath(spark, loc)
+    // the insert is a commit, not loose parquet: log and listing agree
+    assert(t.snapshot.version == 1L)
+    assert(t.toDF.count() == 6)
+    spark.sql("INSERT OVERWRITE t_insert VALUES (9, 'zoe', 90, 'q')")
+    assert(spark.table("t_insert").count() == 1)
+    assert(t.deltaLog.update().version == 2L)
+  }
+
+  test("SQL DELETE and UPDATE on a catalog table") {
+    seed().write.format("graft-delta").saveAsTable("t_dml")
+    spark.sql("DELETE FROM t_dml WHERE score >= 40")
+    assert(spark.table("t_dml").count() == 3)
+    spark.sql("UPDATE t_dml SET score = score + 100 WHERE part = 'x'")
+    val scores = spark.table("t_dml").orderBy("id").collect().map(_.getInt(2)).toSeq
+    assert(scores == Seq(110, 120, 30), s"got $scores")
+    // unconditional forms
+    spark.sql("UPDATE t_dml SET score = 0")
+    assert(spark.table("t_dml").agg(sum("score")).collect().head.getLong(0) == 0L)
+    spark.sql("DELETE FROM t_dml")
+    assert(spark.table("t_dml").count() == 0)
+  }
+
+  test("SQL MERGE INTO with update/delete/insert clauses") {
+    import spark.implicits._
+    seed().write.format("graft-delta").saveAsTable("t_merge")
+    Seq((1L, "ALICE", 11, "x"), (4L, "DAVE", 44, "y"), (6L, "frank", 60, "z"))
+      .toDF("id", "name", "score", "part").createOrReplaceTempView("updates")
+    spark.sql("""
+      MERGE INTO t_merge t USING updates u ON t.id = u.id
+      WHEN MATCHED AND u.score > 40 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET name = u.name, score = u.score
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    val rows = spark.table("t_merge").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1L, "ALICE", 11), (2L, "bob", 20), (3L, "carol", 30),
+      (5L, "erin", 50), (6L, "frank", 60)), s"got $rows")
+    // NOT MATCHED BY SOURCE
+    spark.sql("""
+      MERGE INTO t_merge t USING updates u ON t.id = u.id
+      WHEN NOT MATCHED BY SOURCE AND t.id > 3 THEN DELETE
+    """)
+    assert(spark.table("t_merge").orderBy("id").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L, 3L, 6L))
+  }
+
+  test("OPTIMIZE, ZORDER, DESCRIBE HISTORY, RESTORE, VACUUM by path") {
+    import spark.implicits._
+    val dir = tmp()
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, s"r$i", "x")).toDF("id", "v", "part")
+        .write.format("graft-delta").mode("append").save(dir)
+    }
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.snapshot.numOfFiles == 4)
+    spark.sql(s"OPTIMIZE '$dir'")
+    assert(t.deltaLog.update().numOfFiles == 1)
+    assert(spark.read.format("graft-delta").load(dir).count() == 4)
+
+    // ZORDER keeps row content, rewrites layout
+    spark.sql(s"OPTIMIZE delta.`$dir` ZORDER BY (id, v)")
+    assert(spark.read.format("graft-delta").load(dir).count() == 4)
+
+    val hist = spark.sql(s"DESCRIBE HISTORY '$dir'").collect()
+    assert(hist.length == t.deltaLog.update().version + 1)
+    assert(hist.head.getLong(0) == t.deltaLog.update().version) // newest first
+    assert(hist.map(_.getString(2)).contains("OPTIMIZE"))
+    assert(spark.sql(s"DESCRIBE HISTORY '$dir' LIMIT 2").count() == 2)
+
+    spark.sql(s"RESTORE '$dir' TO VERSION AS OF 0")
+    assert(spark.read.format("graft-delta").load(dir).count() == 1)
+
+    // VACUUM with RETAIN 0 HOURS clears the pre-compaction files
+    val removed = spark.sql(s"VACUUM '$dir' RETAIN 0 HOURS").count()
+    assert(removed > 0)
+    assert(spark.read.format("graft-delta").load(dir).count() == 1)
+  }
+
+  test("maintenance SQL resolves catalog table names too") {
+    seed().write.format("graft-delta").saveAsTable("t_maint")
+    seed().write.format("graft-delta").mode("append").saveAsTable("t_maint")
+    val v = spark.sql("OPTIMIZE t_maint").collect().head.getLong(0)
+    assert(v >= 2L)
+    assert(spark.table("t_maint").count() == 10)
+    assert(spark.sql("DESCRIBE HISTORY t_maint").count() == v + 1)
+    spark.sql("RESTORE TABLE t_maint TO VERSION AS OF 0")
+    assert(spark.table("t_maint").count() == 5)
+  }
+
+  test("the delegating parser leaves ordinary SQL alone") {
+    assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
+    assert(spark.sql("DESCRIBE FUNCTION abs").count() > 0)
+    intercept[Exception](spark.sql("OPTIMIZE")) // incomplete statement still errors
+  }
+}
