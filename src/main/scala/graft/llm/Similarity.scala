@@ -81,10 +81,16 @@ object Similarity {
       val c = v.select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"))
       val scored = c.join(broadcast(q), $"c_id" =!= $"q_id")
         .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn"))
-      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"c_id")
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= K)
-        .select($"q_id", $"rank", $"c_id", $"cosine")
+      // bounded top-K aggregate, not a per-query window: partial
+      // aggregation keeps ≤K pairs per (map task, query) so the shuffle
+      // is O(partitions × queries × K) instead of all scored pairs into
+      // one reducer per query — the full-scan exact baseline stays
+      // parallel at 100× data (same rows, same order as the window form)
+      scored.groupBy($"q_id")
+        .agg(graft.functions.TopKExpressions.topKByScore($"cosine", $"c_id", K).as("top"))
+        .select($"q_id", posexplode($"top"))
+        .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+          $"col.id".as("c_id"), $"col.score".as("cosine"))
         .orderBy($"q_id", $"rank")
     }, Some(s"""
       WITH n AS ($duckNormed),

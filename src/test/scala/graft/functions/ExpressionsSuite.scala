@@ -69,6 +69,27 @@ class ExpressionsSuite extends AnyFunSuite {
       s"similar docs must be closer: ${hamming(hs(0), hs(1))} vs ${hamming(hs(0), hs(2))}")
   }
 
+  test("TopKByScore matches the window-ranking formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i =>
+      (i % 7L, math.floor(rnd.nextDouble() * 20) / 20, i.toLong)) // forced ties
+    val df = rows.toDF("g", "score", "id").repartition(8)
+    val viaAgg = df.groupBy($"g")
+      .agg(TopKExpressions.topKByScore($"score", $"id", 5).as("top"))
+      .select($"g", posexplode($"top"))
+      .select($"g", ($"pos" + 1).as("rank"), $"col.id".as("id"), $"col.score".as("score"))
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"id")
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5).select($"g", $"rank", $"id", $"score")
+    assert(viaAgg.orderBy("g", "rank").collect().toSeq ==
+      viaWindow.orderBy("g", "rank").collect().toSeq)
+    // the plan carries a partial aggregate below the shuffle (the point)
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected an aggregate-based plan, got:\n$plan")
+  }
+
   test("ArrayIntersectCount equals size(filter(contains))") {
     val df = Seq(
       (Seq("a", "b", "c"), Seq("b", "c", "d")),

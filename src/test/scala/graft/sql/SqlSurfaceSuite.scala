@@ -26,6 +26,24 @@ class SqlSurfaceSuite extends AnyFunSuite {
 
   private def tmp(): String = Files.createTempDirectory("graft-sql").toString
 
+  /** Drop the table AND its warehouse directory: the in-memory catalog
+    * empties per JVM, but a previous run's `spark-warehouse/<name>`
+    * (with its _delta_log) survives on disk and would make a fresh
+    * saveAsTable fail as already-exists.
+    */
+  private def freshTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val root = if (wh.contains(":")) new java.io.File(new java.net.URI(wh))
+      else new java.io.File(wh)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val dir = new java.io.File(root, name)
+    if (dir.exists()) rm(dir)
+  }
+
   private def seed(): DataFrame = {
     import spark.implicits._
     Seq((1L, "alice", 10, "x"), (2L, "bob", 20, "x"),
@@ -34,6 +52,7 @@ class SqlSurfaceSuite extends AnyFunSuite {
   }
 
   test("saveAsTable + spark.table + SQL SELECT round trip") {
+    freshTable("t_round")
     seed().write.format("graft-delta").partitionBy("part").saveAsTable("t_round")
     assert(spark.table("t_round").count() == 5)
     val agg = spark.sql(
@@ -51,6 +70,7 @@ class SqlSurfaceSuite extends AnyFunSuite {
   }
 
   test("INSERT INTO / INSERT OVERWRITE go through the transaction log") {
+    freshTable("t_insert")
     seed().write.format("graft-delta").saveAsTable("t_insert")
     spark.sql("INSERT INTO t_insert VALUES (6, 'frank', 60, 'z')")
     assert(spark.table("t_insert").count() == 6)
@@ -66,6 +86,7 @@ class SqlSurfaceSuite extends AnyFunSuite {
   }
 
   test("SQL DELETE and UPDATE on a catalog table") {
+    freshTable("t_dml")
     seed().write.format("graft-delta").saveAsTable("t_dml")
     spark.sql("DELETE FROM t_dml WHERE score >= 40")
     assert(spark.table("t_dml").count() == 3)
@@ -81,6 +102,7 @@ class SqlSurfaceSuite extends AnyFunSuite {
 
   test("SQL MERGE INTO with update/delete/insert clauses") {
     import spark.implicits._
+    freshTable("t_merge")
     seed().write.format("graft-delta").saveAsTable("t_merge")
     Seq((1L, "ALICE", 11, "x"), (4L, "DAVE", 44, "y"), (6L, "frank", 60, "z"))
       .toDF("id", "name", "score", "part").createOrReplaceTempView("updates")
@@ -136,6 +158,7 @@ class SqlSurfaceSuite extends AnyFunSuite {
   }
 
   test("maintenance SQL resolves catalog table names too") {
+    freshTable("t_maint")
     seed().write.format("graft-delta").saveAsTable("t_maint")
     seed().write.format("graft-delta").mode("append").saveAsTable("t_maint")
     val v = spark.sql("OPTIMIZE t_maint").collect().head.getLong(0)
