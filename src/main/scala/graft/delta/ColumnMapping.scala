@@ -4,34 +4,55 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{Metadata => FieldMetadata, MetadataBuilder, StructField, StructType}
 
-/** Column mapping (`delta.columnMapping.mode = name`): every field carries
-  * a stable PHYSICAL name (the column name inside parquet files) separate
-  * from its logical name, so RENAME and DROP COLUMN are metadata-only
-  * commits — no data file is rewritten, and a column re-added under an
-  * old name gets a fresh physical id instead of resurrecting old data.
-  * Field keys follow the open Delta convention
+/** Column mapping (`delta.columnMapping.mode = name | id`): every field
+  * carries a stable PHYSICAL name (the column name inside parquet files)
+  * separate from its logical name, so RENAME and DROP COLUMN are
+  * metadata-only commits — no data file is rewritten, and a column
+  * re-added under an old name gets a fresh physical id instead of
+  * resurrecting old data. Field keys follow the open Delta convention
   * (`delta.columnMapping.physicalName` / `.id`); partition columns keep
   * physical == logical here (renaming them would re-key the on-disk
   * directory layout — rejected).
+  *
+  * `id` mode resolves parquet columns by FIELD ID rather than physical
+  * name, via Spark's native parquet field-id resolution: the read schema
+  * carries `parquet.field.id` (= the Delta columnMapping id) and
+  * `spark.sql.parquet.fieldId.read.enabled` is switched on for the scan;
+  * written files stamp the same ids into their footers
+  * (fieldId.write.enabled is on by default), so files written by another
+  * engine under different physical names still resolve correctly.
   */
 object ColumnMapping {
 
   val PhysicalNameKey = "delta.columnMapping.physicalName"
   val IdKey = "delta.columnMapping.id"
+  /** Spark's ParquetUtils.FIELD_ID_METADATA_KEY. */
+  val ParquetFieldIdKey = "parquet.field.id"
 
-  def enabled(md: Metadata): Boolean =
-    DeltaConfig.ColumnMappingMode.fromMetadata(md) == "name"
+  def mode(md: Metadata): String =
+    DeltaConfig.ColumnMappingMode.fromMetadata(md)
 
-  /** Reject modes this reader does not resolve rather than silently
-    * reading wrong columns: `id` mapping keys parquet fields by field id,
-    * which the name-keyed scan path here would mis-resolve.
-    */
-  def assertSupported(md: Metadata): Unit = {
-    val mode = DeltaConfig.ColumnMappingMode.fromMetadata(md)
-    if (mode != "none" && mode != "name")
-      throw new UnsupportedOperationException(
-        s"delta.columnMapping.mode=$mode is not supported (only 'none' and 'name')")
+  def enabled(md: Metadata): Boolean = mode(md) match {
+    case "name" | "id" => true
+    case _ => false
   }
+
+  /** Reject unknown modes rather than silently reading wrong columns. */
+  def assertSupported(md: Metadata): Unit = {
+    val m = mode(md)
+    if (m != "none" && m != "name" && m != "id")
+      throw new UnsupportedOperationException(
+        s"delta.columnMapping.mode=$m is not supported (only 'none', 'name', 'id')")
+  }
+
+  /** Flip on Spark's field-id parquet resolution before planning a scan
+    * of an id-mode table. Session-wide but inert elsewhere: it only
+    * changes resolution for read schemas that carry `parquet.field.id`,
+    * which this engine attaches exclusively for id-mode tables.
+    */
+  def prepareRead(spark: org.apache.spark.sql.SparkSession, md: Metadata): Unit =
+    if (mode(md) == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
   def physicalName(f: StructField): String =
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
@@ -45,10 +66,36 @@ object ColumnMapping {
       .filter { case (l, p) => l != p }
       .toMap
 
-  /** The schema as written in parquet files: physical field names. */
+  /** The schema as requested from parquet files: physical field names,
+    * plus `parquet.field.id` per field in id mode so the reader matches
+    * by id and the writer stamps ids into footers.
+    */
   def physicalSchema(md: Metadata): StructType =
     if (!enabled(md)) md.schema
-    else StructType(md.schema.fields.map(f => f.copy(name = physicalName(f))))
+    else {
+      val idMode = mode(md) == "id"
+      StructType(md.schema.fields.map { f =>
+        val named = f.copy(name = physicalName(f))
+        if (idMode && f.metadata.contains(IdKey))
+          named.copy(metadata = new MetadataBuilder().withMetadata(named.metadata)
+            .putLong(ParquetFieldIdKey, f.metadata.getLong(IdKey)).build())
+        else named
+      })
+    }
+
+  /** logical name -> (physical name, metadata to stamp on the written
+    * column). Non-empty exactly when files need renaming or id stamping.
+    */
+  def writeAliases(md: Metadata): Map[String, (String, FieldMetadata)] =
+    if (!enabled(md)) Map.empty
+    else if (mode(md) != "id") mapping(md).map { case (l, p) => l -> (p, FieldMetadata.empty) }
+    else md.schema.fields.map { f =>
+      val meta =
+        if (f.metadata.contains(IdKey))
+          new MetadataBuilder().putLong(ParquetFieldIdKey, f.metadata.getLong(IdKey)).build()
+        else FieldMetadata.empty
+      f.name -> (physicalName(f), meta)
+    }.toMap
 
   /** Project a physical-named scan back to logical names; `extra` columns
     * (e.g. DV row-identity keys) pass through.
@@ -61,7 +108,9 @@ object ColumnMapping {
   /** Metadata with mapping enabled: mode set and every field annotated
     * with its physical name (current name) and a stable id. Idempotent.
     */
-  def ensureEnabled(md: Metadata): Metadata = {
+  def ensureEnabled(md: Metadata, targetMode: String = "name"): Metadata = {
+    require(targetMode == "name" || targetMode == "id",
+      s"columnMapping mode must be 'name' or 'id', got $targetMode")
     if (enabled(md) &&
         md.schema.fields.forall(_.metadata.contains(PhysicalNameKey))) return md
     var nextId = md.schema.fields
@@ -76,7 +125,7 @@ object ColumnMapping {
     }
     md.copy(
       schemaString = StructType(fields).json,
-      configuration = md.configuration + ("delta.columnMapping.mode" -> "name"))
+      configuration = md.configuration + ("delta.columnMapping.mode" -> targetMode))
   }
 
   /** A fresh field for a column added AFTER mapping was enabled: a new

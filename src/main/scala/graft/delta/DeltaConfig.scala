@@ -120,7 +120,7 @@ object DeltaConfig {
   val EnableDeletionVectors: TableConfig[Boolean] =
     TableConfig("delta.enableDeletionVectors", "false", _.trim.toLowerCase == "true")
 
-  /** `none` | `name` — see [[ColumnMapping]]. */
+  /** `none` | `name` | `id` — see [[ColumnMapping]]. */
   val ColumnMappingMode: TableConfig[String] =
     TableConfig("delta.columnMapping.mode", "none", _.trim.toLowerCase)
 }

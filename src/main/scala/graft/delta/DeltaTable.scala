@@ -50,6 +50,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     s.assertProtocolRead()
     val md = s.metadata
+    ColumnMapping.prepareRead(spark, md)
     val partCols = md.partitionColumns
     // parquet files carry PHYSICAL column names under column mapping
     val dataSchema = org.apache.spark.sql.types.StructType(
@@ -648,6 +649,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     */
   private[delta] def readFilesKeyed(files: Seq[AddFile], md: Metadata): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    ColumnMapping.prepareRead(spark, md)
     val partCols = md.partitionColumns
     val paths = files.map(f => FileNames.absolutePath(deltaLog.dataPath, f.path).toString)
     val external = files.exists(f => new java.net.URI(f.path).isAbsolute)
@@ -1148,12 +1150,18 @@ object DeltaTable {
       partCols: Seq[String], md: Metadata): Seq[AddFile] = {
     val checked = Constraints.enforce(df0, md)
     // column mapping: files store PHYSICAL names (partition cols are
-    // never mapped, so partCols and the hive layout are unaffected)
-    val mapping = ColumnMapping.mapping(md)
+    // never mapped, so partCols and the hive layout are unaffected); in
+    // id mode the aliases also stamp parquet.field.id so footers carry
+    // field ids for id-resolution readers
+    val aliases = ColumnMapping.writeAliases(md)
     val df =
-      if (mapping.isEmpty) checked
-      else checked.select(checked.columns.map(c =>
-        org.apache.spark.sql.functions.col(c).as(mapping.getOrElse(c, c))).toSeq: _*)
+      if (aliases.isEmpty) checked
+      else checked.select(checked.columns.map { c =>
+        aliases.get(c) match {
+          case Some((p, m)) => org.apache.spark.sql.functions.col(c).as(p, m)
+          case None => org.apache.spark.sql.functions.col(c)
+        }
+      }.toSeq: _*)
     val conf = spark.sessionState.newHadoopConf()
     // direct write: tasks place UUID-named files straight into the table
     // directory (no staging dir, no rename pass — object-store safe; the

@@ -84,14 +84,78 @@ class ColumnMappingSuite extends AnyFunSuite {
     assert(t.toDF.orderBy("id").select("points").as[Int].collect().toSeq == Seq(99, 33, 50))
   }
 
-  test("columnMapping.mode=id tables are rejected on read, not misread") {
+  test("mode=id: round trip, rename stays metadata-only, DML works") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    val base = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "name", "score")
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(ColumnMapping.ensureEnabled(Metadata(
+      schemaString = Snapshot.nullable(base.schema)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].json), "id"))
+    txn.commit(Nil, "CREATE TABLE")
+    assert(ColumnMapping.mode(t.snapshot.metadata) == "id")
+    t.write(base)
+    assert(t.toDF.orderBy("id").select("name").as[String].collect().toSeq
+      == Seq("a", "b"))
+    val filesBefore = t.snapshot.allFiles.map(_.path).toSet
+    t.renameColumn("name", "label")
+    assert(t.snapshot.allFiles.map(_.path).toSet == filesBefore)
+    assert(ColumnMapping.mode(t.snapshot.metadata) == "id", "rename keeps id mode")
+    t.update(col("id") === 2L, Map("label" -> lit("B")))
+    assert(t.toDF.orderBy("id").select("label").as[String].collect().toSeq
+      == Seq("a", "B"))
+  }
+
+  test("mode=id: foreign physical names resolve by parquet field id") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val base = {
+      import spark.implicits._
+      Seq((1L, "a", 10)).toDF("id", "name", "score")
+    }
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(ColumnMapping.ensureEnabled(graft.delta.Metadata(
+      schemaString = Snapshot.nullable(base.schema)
+        .asInstanceOf[StructType].json), "id"))
+    txn.commit(Nil, "CREATE TABLE")
+    t.write(base)
+    // a foreign engine writes the same columns under alien physical
+    // names, keyed only by the shared field ids
+    val md = t.snapshot.metadata
+    val foreign = StructType(md.schema.fields.zipWithIndex.map { case (f, i) =>
+      StructField(s"alien_$i", f.dataType, nullable = true,
+        new MetadataBuilder()
+          .putLong("parquet.field.id", f.metadata.getLong(ColumnMapping.IdKey))
+          .build())
+    })
+    val fdf = spark.createDataFrame(
+      java.util.Arrays.asList(Row(2L, "b", 20)), foreign)
+    val staging = tmp()
+    fdf.coalesce(1).write.mode("overwrite").parquet(staging)
+    val pf = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val destName = s"foreign-${java.util.UUID.randomUUID}.parquet"
+    java.nio.file.Files.copy(pf.toPath, java.nio.file.Paths.get(dir, destName))
+    val dest = new java.io.File(dir, destName)
+    val txn2 = t.deltaLog.startTransaction()
+    txn2.commit(Seq(AddFile(destName, Map.empty, dest.length(),
+      dest.lastModified(), dataChange = true)), "WRITE")
+    val rows = t.toDF.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1L, "a", 10), (2L, "b", 20)),
+      s"field-id resolution must map alien names, got $rows")
+  }
+
+  test("unknown columnMapping modes are rejected on read, not misread") {
     val t = freshTable()
     val txn = t.deltaLog.startTransaction()
     txn.updateMetadata(txn.metadata.copy(
-      configuration = txn.metadata.configuration + ("delta.columnMapping.mode" -> "id")))
+      configuration = txn.metadata.configuration + ("delta.columnMapping.mode" -> "bogus")))
     txn.commit(Nil, "SET TBLPROPERTIES")
     val ex = intercept[UnsupportedOperationException](t.toDF.collect())
-    assert(ex.getMessage.contains("columnMapping.mode=id"))
+    assert(ex.getMessage.contains("columnMapping.mode=bogus"))
   }
 
   test("partition columns cannot be renamed or dropped") {
