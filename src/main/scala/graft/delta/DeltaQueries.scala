@@ -573,6 +573,104 @@ object DeltaQueries {
     }, Some("""
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
       FROM orders WHERE o_orderstatus = 'O' AND o_totalprice < 100000
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // A42: optimizedWrite + autoCompact — three many-task appends into a
+    // partitioned table with both knobs on; auto compaction bin-packs the
+    // touched partitions and the content must survive byte-exact
+    GQ("delta_auto_optimize", (s, d) => {
+      val dir = fixture(s, d, "autoopt") { dir =>
+        val t = DeltaTable.forPath(s, dir)
+        val nation = table(s, d, "nation")
+        val txn = t.deltaLog.startTransaction()
+        txn.updateMetadata(Metadata(
+          schemaString = Snapshot.nullable(nation.schema)
+            .asInstanceOf[org.apache.spark.sql.types.StructType].json,
+          partitionColumns = Seq("n_regionkey"),
+          configuration = Map(
+            "delta.autoOptimize.optimizeWrite" -> "true",
+            "delta.autoOptimize.autoCompact" -> "true",
+            "delta.autoOptimize.autoCompact.minNumFiles" -> "3")))
+        txn.commit(Nil, "CREATE TABLE")
+        (0 until 3).foreach { k =>
+          t.write(nation.filter(pmod(col("n_nationkey"), lit(3)) === k)
+            .repartition(8), SaveMode.Append, Seq("n_regionkey"))
+        }
+      }
+      DeltaTable.forPath(s, dir).toDF
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }, Some("""
+      SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
+        CAST(n_regionkey AS INTEGER) AS n_regionkey
+      FROM nation ORDER BY n_nationkey""")),
+
+    // A43: the SQL surface end-to-end — saveAsTable into the session
+    // catalog, then SQL DELETE, UPDATE and a 4-clause MERGE INTO via
+    // spark.sql; the oracle reconstructs the same final state relationally
+    GQ("delta_sql_dml", (s, d) => {
+      import org.apache.spark.sql.functions.count
+      fixtures.getOrElseUpdate((d, "sqldml"), {
+        s.sql("DROP TABLE IF EXISTS graft_sql_dml")
+        table(s, d, "customer")
+          .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+            col("c_acctbal").cast("double").as("c_acctbal"), col("c_mktsegment"))
+          .write.format("graft-delta").saveAsTable("graft_sql_dml")
+        s.sql("DELETE FROM graft_sql_dml WHERE c_acctbal < 0")
+        s.sql("UPDATE graft_sql_dml SET c_acctbal = c_acctbal + 100 " +
+          "WHERE c_mktsegment = 'BUILDING'")
+        val cnt = table(s, d, "orders")
+          .groupBy(col("o_custkey").cast("long").as("k"))
+          .agg(count(lit(1)).as("n"))
+        val synth = s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(-1L, 7L),
+            org.apache.spark.sql.Row(-2L, 9L)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType))))
+        cnt.unionByName(synth).createOrReplaceTempView("graft_ordcnt")
+        s.sql("""
+          MERGE INTO graft_sql_dml t USING graft_ordcnt u ON t.c_custkey = u.k
+          WHEN MATCHED AND u.n > 15 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + u.n
+          WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal, c_mktsegment)
+            VALUES (u.k, 'new', u.n, 'NONE')
+        """)
+        "graft_sql_dml"
+      })
+      s.table("graft_sql_dml")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      WITH survivors AS (
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+          CASE WHEN c_mktsegment = 'BUILDING'
+               THEN CAST(c_acctbal AS DOUBLE) + 100
+               ELSE CAST(c_acctbal AS DOUBLE) END AS c_acctbal,
+          c_mktsegment
+        FROM customer WHERE c_acctbal >= 0),
+      cnt AS (
+        SELECT CAST(o_custkey AS BIGINT) AS k, COUNT(*) AS n
+        FROM orders GROUP BY 1
+        UNION ALL SELECT * FROM (VALUES (CAST(-1 AS BIGINT), CAST(7 AS BIGINT)),
+                                        (CAST(-2 AS BIGINT), CAST(9 AS BIGINT))) v(k, n)),
+      merged AS (
+        SELECT s.c_custkey, s.c_name,
+          CASE WHEN c.n IS NOT NULL THEN s.c_acctbal + c.n ELSE s.c_acctbal END AS c_acctbal,
+          s.c_mktsegment
+        FROM survivors s LEFT JOIN cnt c ON s.c_custkey = c.k
+        WHERE c.n IS NULL OR c.n <= 15),
+      inserted AS (
+        SELECT c.k AS c_custkey, 'new' AS c_name, CAST(c.n AS DOUBLE) AS c_acctbal,
+          'NONE' AS c_mktsegment
+        FROM cnt c LEFT JOIN survivors s ON s.c_custkey = c.k
+        WHERE s.c_custkey IS NULL)
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM merged
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM inserted
+      ORDER BY c_custkey"""))
   )
 }
