@@ -53,10 +53,61 @@ final case class Protocol(
   def wrap: SingleAction = SingleAction(protocol = this)
 }
 
+object Protocol {
+  // features a legacy (pre-table-features) version number implies; when a
+  // table upgrades to reader 3 / writer 7 these must be listed explicitly
+  // so feature-gating clients keep working (public table-features spec)
+  private def readerImplicits(v: Int): Set[String] =
+    if (v >= 2) Set("columnMapping") else Set.empty
+  private def writerImplicits(v: Int): Set[String] = {
+    var s = Set.empty[String]
+    if (v >= 2) s ++= Set("appendOnly", "invariants")
+    if (v >= 3) s += "checkConstraints"
+    if (v >= 4) s ++= Set("changeDataFeed", "generatedColumns")
+    if (v >= 5) s += "columnMapping"
+    if (v >= 6) s += "identityColumns"
+    s
+  }
+
+  /** The upgrade action needed before committing data that uses a
+    * reader+writer `feature` (e.g. "deletionVectors"), or None when `p`
+    * already supports it. The result is reader 3 / writer 7 with the
+    * old protocol's implicit features made explicit.
+    */
+  def requireReaderWriterFeature(p: Protocol, feature: String): Option[Protocol] = {
+    val hasReader = p.minReaderVersion >= 3 &&
+      p.readerFeatures.exists(_.contains(feature))
+    val hasWriter = p.minWriterVersion >= 7 &&
+      p.writerFeatures.exists(_.contains(feature))
+    if (hasReader && hasWriter) None
+    else Some(Protocol(3, 7,
+      Some(p.readerFeatures.getOrElse(Set.empty) ++
+        readerImplicits(p.minReaderVersion) + feature),
+      Some(p.writerFeatures.getOrElse(Set.empty) ++
+        writerImplicits(p.minWriterVersion) + feature)))
+  }
+}
+
 sealed trait FileAction extends Action {
   def path: String
   def dataChange: Boolean
 }
+
+/** Open Delta protocol deletion-vector descriptor (PROTOCOL.md
+  * "Deletion Vectors"). `storageType` is `"u"` (path derived from a
+  * Z85-encoded UUID relative to the table root, with an optional
+  * directory prefix carried in front of the 20-char UUID), `"p"`
+  * (absolute path) or `"i"` (bitmap bytes inline, Z85). `offset` points
+  * at the DV's 4-byte length prefix inside the shared `.bin` file;
+  * `sizeInBytes` is the serialized-bitmap length those 4 bytes must
+  * repeat; `cardinality` the number of deleted rows.
+  */
+final case class DeletionVectorDescriptor(
+    storageType: String,
+    pathOrInlineDv: String,
+    offset: Option[Int] = None,
+    sizeInBytes: Int = 0,
+    cardinality: Long = 0L)
 
 /** cf. reference `action/add.go` (AddFile). */
 final case class AddFile(
@@ -66,10 +117,12 @@ final case class AddFile(
     modificationTime: Long = 0L,
     dataChange: Boolean = true,
     stats: String = null,
-    tags: Map[String, String] = null) extends FileAction {
+    tags: Map[String, String] = null,
+    deletionVector: DeletionVectorDescriptor = null) extends FileAction {
   def remove(deletionTimestamp: Long, dataChange: Boolean = true): RemoveFile =
     RemoveFile(path, Some(deletionTimestamp), dataChange,
-      extendedFileMetadata = true, partitionValues, Some(size))
+      extendedFileMetadata = true, partitionValues, Some(size),
+      deletionVector = deletionVector)
   def wrap: SingleAction = SingleAction(add = this)
 }
 
@@ -81,7 +134,8 @@ final case class RemoveFile(
     extendedFileMetadata: Boolean = false,
     partitionValues: Map[String, String] = null,
     size: Option[Long] = None,
-    tags: Map[String, String] = null) extends FileAction {
+    tags: Map[String, String] = null,
+    deletionVector: DeletionVectorDescriptor = null) extends FileAction {
   def wrap: SingleAction = SingleAction(remove = this)
 }
 
@@ -152,6 +206,15 @@ object Actions {
       val n = o.putObject(k)
       m.foreach { case (mk, mv) => if (mv == null) n.putNull(mk) else n.put(mk, mv) }
     }
+  private def putDv(o: ObjectNode, dv: DeletionVectorDescriptor): Unit =
+    if (dv != null) {
+      val n = o.putObject("deletionVector")
+      n.put("storageType", dv.storageType)
+      n.put("pathOrInlineDv", dv.pathOrInlineDv)
+      dv.offset.foreach(n.put("offset", _))
+      n.put("sizeInBytes", dv.sizeInBytes)
+      n.put("cardinality", dv.cardinality)
+    }
 
   def toJson(a: Action): String = {
     val root = mapper.createObjectNode()
@@ -165,6 +228,7 @@ object Actions {
         o.put("dataChange", f.dataChange)
         put(o, "stats", f.stats)
         putMap(o, "tags", f.tags)
+        putDv(o, f.deletionVector)
       case f: RemoveFile =>
         val o = root.putObject("remove")
         o.put("path", f.path)
@@ -174,6 +238,7 @@ object Actions {
         putMap(o, "partitionValues", f.partitionValues)
         f.size.foreach(o.put("size", _))
         putMap(o, "tags", f.tags)
+        putDv(o, f.deletionVector)
       case m: Metadata =>
         val o = root.putObject("metaData")
         put(o, "id", m.id)
@@ -258,6 +323,14 @@ object Actions {
   }
   private def nonNullMap(m: Map[String, String]): Map[String, String] =
     if (m == null) Map.empty else m
+  private def dvOf(n: JsonNode): DeletionVectorDescriptor = {
+    val d = n.get("deletionVector")
+    if (d == null || d.isNull) null
+    else DeletionVectorDescriptor(
+      str(d, "storageType"), str(d, "pathOrInlineDv"),
+      optLong(d, "offset").map(_.toInt), long(d, "sizeInBytes").toInt,
+      long(d, "cardinality"))
+  }
 
   def fromJson(line: String): Option[Action] = {
     val root = mapper.readTree(line)
@@ -269,11 +342,11 @@ object Actions {
       case "add" => Some(AddFile(
         str(n, "path"), nonNullMap(strMap(n, "partitionValues")), long(n, "size"),
         long(n, "modificationTime"), bool(n, "dataChange", dflt = true),
-        str(n, "stats"), strMap(n, "tags")))
+        str(n, "stats"), strMap(n, "tags"), dvOf(n)))
       case "remove" => Some(RemoveFile(
         str(n, "path"), optLong(n, "deletionTimestamp"), bool(n, "dataChange", dflt = true),
         bool(n, "extendedFileMetadata"), strMap(n, "partitionValues"),
-        optLong(n, "size"), strMap(n, "tags")))
+        optLong(n, "size"), strMap(n, "tags"), dvOf(n)))
       case "metaData" =>
         val fmt = n.get("format")
         Some(Metadata(

@@ -2,68 +2,162 @@ package graft.delta
 
 import java.util.UUID
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Merge-on-read DELETE (deletion vectors): instead of rewriting every
   * file that contains matching rows, a DELETE writes per-file deletion
-  * vectors — (file, row_index) sets under `_deletion_vectors/` — and
-  * commits remove+re-add of the SAME data file with a DV descriptor
-  * attached. Reads apply the DV as an anti-join on parquet row identity
-  * (`_metadata.file_path`/`row_index`); OPTIMIZE materializes the
-  * deletes and drops the descriptors.
+  * vectors and commits remove+re-add of the SAME data file with a DV
+  * descriptor attached. Reads apply the DV as an anti-join on parquet
+  * row identity (`_metadata.file_path`/`row_index`); OPTIMIZE
+  * materializes the deletes and drops the descriptors.
   *
-  * This follows the public Delta deletion-vector design in mechanics
-  * (sidecar DV files, remove+re-add commit, cardinality in the
-  * descriptor, compaction materialization) with two documented
-  * divergences: the descriptor lives in `AddFile.tags` (a dedicated
-  * protocol struct requires reader version 3 — this engine gates at v1),
-  * and the payload is a parquet file of row indexes rather than a
-  * base85 roaring bitmap (the read path is a Spark join, not an
-  * in-process bitmap probe).
+  * The on-disk format is the open Delta protocol one, so stock Delta
+  * readers can consume tables this engine deletes from: the descriptor
+  * is the `deletionVector` struct on Add/RemoveFile (storageType "u"
+  * with a Z85 UUID path, "p" absolute, "i" inline), the payload a
+  * roaring-bitmap-array ([[RoaringBitmapArray]]) framed as
+  * `version byte 1 | per DV: 4-byte BE length, bitmap bytes, 4-byte BE
+  * CRC-32`, and attaching the first DV upgrades the table to
+  * reader 3 / writer 7 with the `deletionVectors` table feature.
+  * Tables written by older graft versions carried the descriptor in
+  * `AddFile.tags` with a parquet row-id sidecar; those remain readable
+  * (the tags surface as a descriptor with the internal storage type
+  * [[DeletionVectors.LegacyParquet]]) and their DVs are migrated to the
+  * protocol format on the next DELETE that touches the file.
   *
-  * Scale shape: the DV side of the read anti-join is broadcast when the
-  * summed descriptor cardinality (known driver-side for free) is small,
-  * and falls back to a shuffled anti-join when it is not — never an
-  * unconditional broadcast hint. DV volume is bounded by compaction
-  * cadence: OPTIMIZE drains it.
+  * Scale shape: DV files are written by executors — one packed `.bin`
+  * per shuffle partition holding every touched file's bitmap at an
+  * offset, exactly the protocol's multi-DV packing — and decoded by
+  * executors at read. The DV side of the read anti-join is broadcast
+  * when the summed descriptor cardinality (known driver-side for free)
+  * is small, and falls back to a shuffled anti-join when it is not.
+  * DV volume is bounded by compaction cadence: OPTIMIZE drains it.
   */
 object DeletionVectors {
 
-  /** AddFile.tags keys carrying the descriptor. */
+  /** Legacy AddFile.tags keys (pre-protocol-format graft tables). */
   val PathTag = "graft.dv.path"
   val CardinalityTag = "graft.dv.cardinality"
+
+  /** Internal storage type materialized from legacy tags — never
+    * written to the log.
+    */
+  val LegacyParquet = "legacy-parquet"
+
+  /** Directory prefix packed DV files live under. Encoded into the
+    * descriptor's pathOrInlineDv ahead of the UUID, so stock readers
+    * derive the same `<prefix>/deletion_vector_<uuid>.bin` path.
+    */
+  private[delta] val DvPrefix = "_deletion_vectors"
 
   /** Above this many total deleted rows the read-side anti-join shuffles
     * instead of broadcasting the DV set.
     */
   private val BroadcastRowLimit = 4L * 1000 * 1000
 
-  final case class Descriptor(relPath: String, cardinality: Long)
+  def descriptor(f: AddFile): Option[DeletionVectorDescriptor] =
+    Option(f.deletionVector).orElse(
+      Option(f.tags).flatMap(t => t.get(PathTag).map(p =>
+        DeletionVectorDescriptor(LegacyParquet, p,
+          cardinality = t.getOrElse(CardinalityTag, "0").toLong))))
 
-  def descriptor(f: AddFile): Option[Descriptor] =
-    Option(f.tags).flatMap(t => t.get(PathTag).map(p =>
-      Descriptor(p, t.getOrElse(CardinalityTag, "0").toLong)))
+  /** Attach a protocol-format descriptor, dropping any legacy tags. */
+  def withDescriptor(f: AddFile, d: DeletionVectorDescriptor): AddFile =
+    f.copy(deletionVector = d,
+      tags = Option(f.tags).map(_ - PathTag - CardinalityTag)
+        .filter(_.nonEmpty).orNull)
 
-  def withDescriptor(f: AddFile, d: Descriptor): AddFile =
-    f.copy(tags = Option(f.tags).getOrElse(Map.empty) ++
-      Map(PathTag -> d.relPath, CardinalityTag -> d.cardinality.toString))
+  /** On-disk location of a descriptor's payload. */
+  def absolutePathOf(dataPath: Path, d: DeletionVectorDescriptor): Path =
+    d.storageType match {
+      case "u" =>
+        val prefix = d.pathOrInlineDv.dropRight(20)
+        val uuid = Z85.decodeUUID(d.pathOrInlineDv.takeRight(20))
+        val dir = if (prefix.isEmpty) dataPath else new Path(dataPath, prefix)
+        new Path(dir, s"deletion_vector_$uuid.bin")
+      case "p" => new Path(d.pathOrInlineDv)
+      case LegacyParquet => FileNames.absolutePath(dataPath, d.pathOrInlineDv)
+      case other => throw new IllegalArgumentException(
+        s"cannot resolve a path for DV storage type '$other'")
+    }
+
+  /** Payload file name, derivable without filesystem context (VACUUM's
+    * referenced-set is built on executors from this).
+    */
+  def fileName(d: DeletionVectorDescriptor): String = d.storageType match {
+    case "u" => s"deletion_vector_${Z85.decodeUUID(d.pathOrInlineDv.takeRight(20))}.bin"
+    case "i" => "" // inline: no file
+    case _ => d.pathOrInlineDv.split('/').last
+  }
 
   /** Scheme-collapse for `_metadata.file_path` strings so file:/,
     * file:/// and plain absolute paths compare equal on both sides of
     * the DV join.
     */
   def normFp(c: Column): Column = regexp_replace(c, "^file:/+", "/")
+  private def normFp(s: String): String = s.replaceFirst("^file:/+", "/")
 
-  /** The (fp, ri) rows of the given descriptors. Descriptor paths are
-    * table-relative, or absolute URIs on shallow clones of DV'd tables.
+  /** The (fp, ri) deleted-row identities of the given files' DVs, fp
+    * normalized like the read side's `_metadata.file_path`. Decoding
+    * runs on executors; legacy parquet sidecars and protocol bitmaps
+    * union transparently.
     */
-  def rowsDF(spark: SparkSession, dataPath: Path, descs: Seq[Descriptor]): Option[DataFrame] =
-    if (descs.isEmpty) None
-    else Some(spark.read
-      .schema("fp string, ri long")
-      .parquet(descs.map(d => FileNames.absolutePath(dataPath, d.relPath).toString): _*))
+  def rowsDF(spark: SparkSession, dataPath: Path, files: Seq[AddFile]): Option[DataFrame] = {
+    val withD = files.flatMap(f => descriptor(f).map(f -> _))
+    if (withD.isEmpty) return None
+    val (legacy, modern) = withD.partition(_._2.storageType == LegacyParquet)
+    val legacyDF =
+      if (legacy.isEmpty) None
+      else Some(spark.read
+        .schema("fp string, ri long")
+        .parquet(legacy.map { case (_, d) =>
+          absolutePathOf(dataPath, d).toString
+        }: _*))
+    val modernDF =
+      if (modern.isEmpty) None
+      else {
+        import spark.implicits._
+        val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+        val items = modern.map { case (f, d) =>
+          val fp = normFp(FileNames.absolutePath(dataPath, f.path).toString)
+          val abs = if (d.storageType == "i") "" else absolutePathOf(dataPath, d).toString
+          (fp, d.storageType, d.pathOrInlineDv, d.offset.getOrElse(0), d.sizeInBytes, abs)
+        }
+        Some(spark.createDataset(items)
+          .repartition(math.min(items.size, 32))
+          .flatMap { case (fp, st, inline, off, size, abs) =>
+            val bytes =
+              if (st == "i") Z85.decode(inline).take(size) // trim Z85 pad
+              else readPayload(abs, off, size, serConf.value)
+            RoaringBitmapArray.deserialize(bytes).values.map(ri => (fp, ri))
+          }.toDF("fp", "ri"))
+      }
+    (legacyDF, modernDF) match {
+      case (Some(l), Some(m)) => Some(l.unionByName(m))
+      case (l, m) => l.orElse(m)
+    }
+  }
+
+  /** One framed DV read out of a packed payload file, checksummed. */
+  private def readPayload(abs: String, offset: Int, size: Int,
+      conf: Configuration): Array[Byte] = {
+    val p = new Path(abs)
+    val in = p.getFileSystem(conf).open(p)
+    try {
+      if (offset > 0) in.seek(offset.toLong)
+      val dis = new java.io.DataInputStream(in)
+      val len = dis.readInt() // big-endian, mirrors the write framing
+      require(len == size, s"DV length prefix $len != descriptor sizeInBytes $size ($abs@$offset)")
+      val bytes = new Array[Byte](len)
+      dis.readFully(bytes)
+      val crc = dis.readInt()
+      require(crc == RoaringBitmapArray.checksum(bytes), s"DV checksum mismatch in $abs@$offset")
+      bytes
+    } finally in.close()
+  }
 
   /** Drop a snapshot's deleted rows from `df` (a scan of its files that
     * can still resolve `_metadata`). No-op when no file carries a DV.
@@ -74,15 +168,14 @@ object DeletionVectors {
     */
   def filterDeleted(spark: SparkSession, dataPath: Path,
       files: Seq[AddFile], df: DataFrame, keepKeys: Boolean = false): DataFrame = {
-    val descs = files.flatMap(descriptor)
     val keyed = df
       .withColumn("__fp", normFp(col("_metadata.file_path")))
       .withColumn("__ri", col("_metadata.row_index"))
-    val joined = rowsDF(spark, dataPath, descs) match {
+    val joined = rowsDF(spark, dataPath, files) match {
       case None => keyed
       case Some(dv0) =>
-        val totalCard = descs.map(_.cardinality).sum
-        val dv = dv0.select(normFp(col("fp")).as("__dv_fp"), col("ri").as("__dv_ri"))
+        val totalCard = files.flatMap(descriptor).map(_.cardinality).sum
+        val dv = dv0.select(col("fp").as("__dv_fp"), col("ri").as("__dv_ri"))
         val dvSide = if (totalCard <= BroadcastRowLimit) broadcast(dv) else dv
         keyed.join(dvSide,
           col("__fp") === col("__dv_fp") && col("__ri") === col("__dv_ri"), "left_anti")
@@ -90,40 +183,58 @@ object DeletionVectors {
     if (keepKeys) joined else joined.drop("__fp", "__ri")
   }
 
-  /** Write one DV parquet per distinct `fp` in `rows` (columns fp, ri)
-    * and return the mapping normalized-fp -> descriptor. One partitioned
-    * Spark pass, renamed into `_deletion_vectors/`.
+  /** Write protocol-format DVs for the (fp, ri) rows (fp = normalized
+    * absolute data-file path) and return normalized-fp -> descriptor.
+    * One Spark pass: rows shuffle to their file's partition, sort by
+    * (fp, ri), and each task packs its files' bitmaps into one shared
+    * `.bin` under `_deletion_vectors/` — O(tasks) payload files per
+    * DELETE, not O(touched files).
     */
-  def write(spark: SparkSession, dataPath: Path, rows: DataFrame): Map[String, Descriptor] = {
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = dataPath.getFileSystem(conf)
-    val staging = new Path(dataPath, s".staging-dv-${UUID.randomUUID}")
-    try {
-      rows.select(normFp(col("fp")).as("fp"), col("ri"))
-        .distinct()
-        .withColumn("fid", md5(col("fp")))
-        .repartition(col("fid"))
-        .write.partitionBy("fid").parquet(staging.toString)
-      val counts = rows.select(normFp(col("fp")).as("fp"), col("ri")).distinct()
-        .groupBy("fp").count().collect()
-        .map(r => (r.getString(0), r.getLong(1))).toMap
-      val dvDir = new Path(dataPath, "_deletion_vectors")
-      fs.mkdirs(dvDir)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def fidOf(fp: String): String =
-        md.digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val byFid = counts.map { case (fp, n) => fidOf(fp) -> (fp, n) }
-      byFid.map { case (fid, (fp, n)) =>
-        val dir = new Path(staging, s"fid=$fid")
-        val part = fs.listStatus(dir).toSeq
-          .filter(_.getPath.getName.endsWith(".parquet"))
-        require(part.size == 1, s"expected one DV part for $fp, got ${part.size}")
-        val rel = s"_deletion_vectors/dv-${UUID.randomUUID}.parquet"
-        val dest = new Path(dataPath, rel)
-        if (!fs.rename(part.head.getPath, dest))
-          throw new java.io.IOException(s"failed to move ${part.head.getPath} -> $dest")
-        fp -> Descriptor(rel, n)
-      }
-    } finally fs.delete(staging, true)
+  def write(spark: SparkSession, dataPath: Path, rows: DataFrame): Map[String, DeletionVectorDescriptor] = {
+    import spark.implicits._
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val fs = dataPath.getFileSystem(hadoopConf)
+    fs.mkdirs(new Path(dataPath, DvPrefix))
+    val root = fs.makeQualified(dataPath).toString
+    val serConf = new SerializableHadoopConf(hadoopConf)
+    rows.select(normFp(col("fp")).as("fp"), col("ri"))
+      .repartition(col("fp"))
+      .sortWithinPartitions("fp", "ri")
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val uuid = UUID.randomUUID
+          val path = new Path(new Path(root, DvPrefix), s"deletion_vector_$uuid.bin")
+          val dos = new java.io.DataOutputStream(
+            path.getFileSystem(serConf.value).create(path, false))
+          val encoded = DvPrefix + Z85.encodeUUID(uuid)
+          val out = Seq.newBuilder[(String, DeletionVectorDescriptor)]
+          try {
+            dos.writeByte(1) // DV file format version
+            var offset = 1
+            var cur: String = null
+            var bm: RoaringBitmapArray = null
+            var lastRi = -1L
+            def flush(): Unit = if (cur != null) {
+              val bytes = bm.serialize()
+              dos.writeInt(bytes.length)
+              dos.write(bytes)
+              dos.writeInt(RoaringBitmapArray.checksum(bytes))
+              out += cur -> DeletionVectorDescriptor("u", encoded,
+                Some(offset), bytes.length, bm.cardinality)
+              offset += 4 + bytes.length + 4
+            }
+            it.foreach { case (fp, ri) =>
+              if (fp != cur) {
+                flush(); cur = fp; bm = RoaringBitmapArray.empty(); lastRi = -1L
+              }
+              if (ri != lastRi) { bm.add(ri); lastRi = ri }
+            }
+            flush()
+          } finally dos.close()
+          out.result().iterator
+        }
+      }.collect().toMap
   }
 }

@@ -192,6 +192,26 @@ object DeltaQueries {
         "expected deletion-vector descriptors after the delete")
     }
 
+  private def dvUpdateFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "dml-dv-update") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val orders = table(s, d, "orders")
+      val txn = t.deltaLog.startTransaction()
+      txn.updateMetadata(Metadata(
+        schemaString = orders.schema.json,
+        partitionColumns = Seq("o_orderstatus"),
+        configuration = Map("delta.enableDeletionVectors" -> "true")))
+      txn.commit(Nil, "CREATE TABLE")
+      t.write(orders, SaveMode.Append, Seq("o_orderstatus"))
+      t.delete(col("o_totalprice") > 250000)
+      val before = t.snapshot.allFiles.map(_.path).toSet
+      // merge-on-read update: old images masked by DVs, new images appended
+      t.update(col("o_orderpriority") === "1-URGENT",
+        Map("o_totalprice" -> (col("o_totalprice") + lit(1.0))))
+      require(before.subsetOf(t.snapshot.allFiles.map(_.path).toSet),
+        "DV update must not rewrite existing files")
+    }
+
   private def zorderFixture(s: SparkSession, d: String): String =
     fixture(s, d, "zorder") { dir =>
       val t = DeltaTable.forPath(s, dir)
@@ -419,6 +439,20 @@ object DeltaQueries {
       FROM orders WHERE NOT (o_totalprice > 250000) AND o_orderstatus <> 'P'
       ORDER BY o_orderkey""")),
 
+    // DML: merge-on-read UPDATE via deletion vectors — old images masked,
+    // new images appended, zero files rewritten (checked in the fixture)
+    GQ("delta_dv_update", (s, d) => {
+      val dir = dvUpdateFixture(s, d)
+      DeltaTable.forPath(s, dir).toDF
+        .select(ordersCols.map(col): _*)
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 1.0
+             ELSE o_totalprice END AS o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders WHERE NOT (o_totalprice > 250000) ORDER BY o_orderkey""")),
+
     // DML: row-level UPDATE, SET evaluated against the old row
     GQ("delta_update", (s, d) => {
       val dir = updateFixture(s, d)
@@ -613,6 +647,11 @@ object DeltaQueries {
       import org.apache.spark.sql.functions.count
       fixtures.getOrElseUpdate((d, "sqldml"), {
         s.sql("DROP TABLE IF EXISTS graft_sql_dml")
+        // a prior session's managed-table dir survives the in-memory
+        // catalog; DROP above can't see it, so sweep the location too
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "graft_sql_dml")
+        wh.getFileSystem(s.sessionState.newHadoopConf()).delete(wh, true)
         table(s, d, "customer")
           .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
             col("c_acctbal").cast("double").as("c_acctbal"), col("c_mktsegment"))

@@ -608,12 +608,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       if (!fs.exists(dvDir)) Nil
       else {
         val referenced = s.allFilesDS
-          .flatMap(f => DeletionVectors.descriptor(f).map(_.relPath))
+          .flatMap(f => DeletionVectors.descriptor(f).toSeq.map(DeletionVectors.fileName))
           .collect().toSet
         fs.listStatus(dvDir).toSeq
           .filter { st =>
-            st.getModificationTime <= cutoff &&
-              !referenced(s"_deletion_vectors/${st.getPath.getName}")
+            st.getModificationTime <= cutoff && !referenced(st.getPath.getName)
           }
           .filter(st => fs.delete(st.getPath, false))
           .map(_.getPath.toUri.getPath)
@@ -770,23 +769,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     if (candidates.isEmpty) return txn.readVersion
     val matched = readFilesKeyed(candidates, md).filter(condTrue).persist()
     try {
-      val touchedFps = matched.select(col("__fp")).distinct()
-        .collect().map(r => normPath(r.getString(0))).toSet
-      if (touchedFps.isEmpty) return txn.readVersion
-      val touched = candidates.filter(f =>
-        touchedFps(normPath(FileNames.absolutePath(deltaLog.dataPath, f.path).toString)))
-      // new DV per touched file = fresh matches + its prior DV rows
-      val fresh = matched.select(col("__fp").as("fp"), col("__ri").as("ri"))
-      val priorDescs = touched.flatMap(DeletionVectors.descriptor)
-      val allRows = DeletionVectors.rowsDF(spark, deltaLog.dataPath, priorDescs)
-        .map(p => fresh.unionByName(p)).getOrElse(fresh)
-      val descByFp = DeletionVectors.write(spark, deltaLog.dataPath, allRows)
-        .map { case (fp, d) => normPath(fp) -> d }
-      val now = deltaLog.clock.nowMillis
-      val actions: Seq[Action] = touched.flatMap { f =>
-        val fp = normPath(FileNames.absolutePath(deltaLog.dataPath, f.path).toString)
-        Seq(f.remove(now), DeletionVectors.withDescriptor(f, descByFp(fp)))
-      }
+      val (_, actions) = dvMask(txn, matched, candidates)
+      if (actions.isEmpty) return txn.readVersion
       val cdc =
         if (DeltaConfig.EnableChangeDataFeed.fromMetadata(md))
           DeltaTable.writeCdcFiles(spark, deltaLog.dataPath,
@@ -797,6 +781,36 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         operationParameters = Map(
           "predicate" -> condition.toString, "mode" -> "deletion-vectors"))
     } finally matched.unpersist()
+  }
+
+  /** Shared DV masking: write merged per-file deletion vectors covering
+    * the LIVE matched rows of a keyed scan (`__fp`/`__ri` columns, prior
+    * DVs already excluded) and return (touched files, protocol-upgrade +
+    * remove/re-add actions). Empty when nothing matched.
+    */
+  private[delta] def dvMask(txn: OptimisticTransaction, matched: DataFrame,
+      candidates: Seq[AddFile]): (Seq[AddFile], Seq[Action]) = {
+    import org.apache.spark.sql.functions.col
+    val touchedFps = matched.select(col("__fp")).distinct()
+      .collect().map(r => normPath(r.getString(0))).toSet
+    if (touchedFps.isEmpty) return (Nil, Nil)
+    val touched = candidates.filter(f =>
+      touchedFps(normPath(FileNames.absolutePath(deltaLog.dataPath, f.path).toString)))
+    // new DV per touched file = fresh matches + its prior DV rows
+    val fresh = matched.select(col("__fp").as("fp"), col("__ri").as("ri"))
+    val allRows = DeletionVectors.rowsDF(spark, deltaLog.dataPath, touched)
+      .map(p => fresh.unionByName(p)).getOrElse(fresh)
+    val descByFp = DeletionVectors.write(spark, deltaLog.dataPath, allRows)
+      .map { case (fp, d) => normPath(fp) -> d }
+    val now = deltaLog.clock.nowMillis
+    // first DV on the table upgrades to reader 3 / writer 7 + feature,
+    // per the protocol — stock readers gate on it before trusting DVs
+    val protoUp: Seq[Action] = Protocol
+      .requireReaderWriterFeature(txn.snapshot.protocol, "deletionVectors").toSeq
+    (touched, protoUp ++ touched.flatMap { f =>
+      val fp = normPath(FileNames.absolutePath(deltaLog.dataPath, f.path).toString)
+      Seq(f.remove(now), DeletionVectors.withDescriptor(f, descByFp(fp)))
+    })
   }
 
   /** Row-level UPDATE: `set` maps column name -> new-value expression,
@@ -817,6 +831,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     require(unknown.isEmpty, s"SET references unknown columns: ${unknown.mkString(", ")}")
     val candidates = txn.markFilesAsRead(condition)
     val condTrue = coalesce(condition, lit(false))
+    if (DeltaConfig.EnableDeletionVectors.fromMetadata(md))
+      return dvUpdate(txn, md, condition, condTrue, candidates, set)
     val touched = filesWithMatches(candidates, md, condTrue)
     if (touched.isEmpty) return txn.readVersion
     val touchedDF = readFilesDF(touched, md)
@@ -847,6 +863,45 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       operationParameters = Map(
         "predicate" -> condition.toString,
         "setColumns" -> set.keys.toSeq.sorted.mkString(",")))
+  }
+
+  /** Merge-on-read UPDATE (delta.enableDeletionVectors): the matched
+    * rows' OLD positions are masked with deletion vectors and only the
+    * NEW row images are written as appended files — an UPDATE touching
+    * 0.1% of the rows in 10^5 wide files writes kilobytes of bitmaps
+    * plus the changed rows, instead of rewriting every touched file.
+    * Partition-column updates still move rows between partitions through
+    * the partitioned append. OPTIMIZE materializes the masks later.
+    */
+  private def dvUpdate(txn: OptimisticTransaction, md: Metadata,
+      condition: Column, condTrue: Column, candidates: Seq[AddFile],
+      set: Map[String, Column]): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (candidates.isEmpty) return txn.readVersion
+    val matched = readFilesKeyed(candidates, md).filter(condTrue).persist()
+    try {
+      val (_, maskActions) = dvMask(txn, matched, candidates)
+      if (maskActions.isEmpty) return txn.readVersion
+      val postProj = md.schema.fields.map { f =>
+        set.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+      }.toSeq
+      val updatedRows = matched.select(postProj: _*)
+      val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, updatedRows,
+        md.partitionColumns, md)
+      val cdc =
+        if (DeltaConfig.EnableChangeDataFeed.fromMetadata(md))
+          DeltaTable.writeCdcFiles(spark, deltaLog.dataPath,
+            matched.select(md.schema.fieldNames.map(col).toSeq: _*)
+              .withColumn("_change_type", lit("update_preimage"))
+              .unionByName(updatedRows
+                .withColumn("_change_type", lit("update_postimage"))))
+        else Nil
+      txn.commit(maskActions ++ adds ++ cdc, "UPDATE",
+        operationParameters = Map(
+          "predicate" -> condition.toString,
+          "setColumns" -> set.keys.toSeq.sorted.mkString(","),
+          "mode" -> "deletion-vectors"))
+    } finally matched.unpersist()
   }
 
   /** MERGE INTO builder: the target is addressable as `t.<col>` and the
@@ -1039,11 +1094,18 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     def absUri(child: String): String =
       FileNames.absolutePath(qualified, child).toUri.toString
     def rewrite(f: AddFile): AddFile = {
-      val tags = DeletionVectors.descriptor(f) match {
-        case Some(d) => f.tags + (DeletionVectors.PathTag -> absUri(d.relPath))
-        case None => f.tags
+      // DV payloads stay in the SOURCE table's tree: "u" descriptors
+      // (root-relative) turn absolute ("p"); legacy tag paths absolutize
+      val withDv = DeletionVectors.descriptor(f) match {
+        case Some(d) if d.storageType == "u" =>
+          f.copy(deletionVector = d.copy(storageType = "p",
+            pathOrInlineDv = fs.makeQualified(
+              DeletionVectors.absolutePathOf(qualified, d)).toUri.toString))
+        case Some(d) if d.storageType == DeletionVectors.LegacyParquet =>
+          f.copy(tags = f.tags + (DeletionVectors.PathTag -> absUri(d.pathOrInlineDv)))
+        case _ => f
       }
-      f.copy(path = absUri(f.path), tags = tags, dataChange = true)
+      withDv.copy(path = absUri(f.path), dataChange = true)
     }
     val txn = destLog.startTransaction()
     txn.updateMetadata(md.copy(

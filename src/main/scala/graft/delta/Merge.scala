@@ -223,9 +223,16 @@ final class MergeBuilder private[delta] (
         if (dup > 0) throw new UnsupportedOperationException(
           "MERGE: multiple source rows matched the same target row")
       }
+      // merge-on-read (delta.enableDeletionVectors): pass-through rows
+      // stay in their files — only the positions a clause actually
+      // modifies are DV-masked, and only new images/inserts are written.
+      // Critically, a whenNotMatchedBySource merge no longer rewrites
+      // the whole table: untouched rows never leave their files.
+      val dvOn = DeltaConfig.EnableDeletionVectors.fromMetadata(md)
       val frames = Seq.newBuilder[DataFrame]
       // matched rows: applied clause, or pass through when none applies
-      frames += joined.filter(mT && mS && col("__mc") === -1).select(tCols: _*)
+      if (!dvOn)
+        frames += joined.filter(mT && mS && col("__mc") === -1).select(tCols: _*)
       matched.zipWithIndex.foreach { case ((_, a), i) =>
         a match {
           case MDelete => () // dropped from the rewrite
@@ -234,7 +241,8 @@ final class MergeBuilder private[delta] (
         }
       }
       // target-only rows: bySource clause, or pass through
-      frames += joined.filter(mT && !mS && col("__bc") === -1).select(tCols: _*)
+      if (!dvOn)
+        frames += joined.filter(mT && !mS && col("__bc") === -1).select(tCols: _*)
       bySource.zipWithIndex.foreach { case ((_, a), k) =>
         a match {
           case BDelete => ()
@@ -246,9 +254,16 @@ final class MergeBuilder private[delta] (
       notMatched.zipWithIndex.foreach { case ((_, a), j) =>
         frames += joined.filter(col("__nc") === j).select(insertProj(resolvedIns(a)): _*)
       }
-      val rewritten = frames.result().reduce(_ unionByName _)
-      val adds = DeltaTable.writeFiles(spark, log.dataPath, rewritten, partCols, md)
-      val removes = touched.map(_.remove(now))
+      val frameSeq = frames.result()
+      val adds =
+        if (frameSeq.isEmpty) Nil
+        else DeltaTable.writeFiles(spark, log.dataPath,
+          frameSeq.reduce(_ unionByName _), partCols, md)
+      val removes: Seq[Action] =
+        if (dvOn) {
+          val modified = joined.filter(col("__mc") >= 0 || col("__bc") >= 0)
+          t.dvMask(txn, modified, touched)._2
+        } else touched.map(_.remove(now))
       val cdc =
         if (cdfOn) {
           val cdcFrames = Seq.newBuilder[DataFrame]
@@ -287,8 +302,11 @@ final class MergeBuilder private[delta] (
           if (all.isEmpty) Nil
           else DeltaTable.writeCdcFiles(spark, log.dataPath, all.reduce(_ unionByName _))
         } else Nil
-      txn.commit(removes ++ adds ++ cdc, "MERGE",
-        operationParameters = Map("predicate" -> condition.toString))
+      val allActions = removes ++ adds ++ cdc
+      if (allActions.isEmpty) txn.readVersion // no clause applied anywhere
+      else txn.commit(allActions, "MERGE",
+        operationParameters = Map("predicate" -> condition.toString) ++
+          (if (dvOn) Map("mode" -> "deletion-vectors") else Map.empty))
     } finally joined.unpersist()
   }
 }

@@ -125,8 +125,9 @@ class Snapshot(
     * re-running an `activeFilesDF` collect per query.
     */
   lazy val dvFiles: Seq[AddFile] = activeFilesDF
-    .where($"tags".isNotNull &&
-      element_at($"tags", DeletionVectors.PathTag).isNotNull)
+    .where($"deletionVector".isNotNull ||
+      ($"tags".isNotNull &&
+        element_at($"tags", DeletionVectors.PathTag).isNotNull))
     .as[AddFile].collect().toSeq
 
   // ------------------------------------------------------- driver-side API

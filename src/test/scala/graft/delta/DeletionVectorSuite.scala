@@ -75,16 +75,26 @@ class DeletionVectorSuite extends AnyFunSuite {
     assert(t.delete(col("id") === 3) == v, "already-deleted rows must not re-commit")
   }
 
-  test("rewrite DML on a DV'd table does not resurrect deleted rows") {
+  test("UPDATE on a DV'd table masks old rows and appends new images") {
     import spark.implicits._
     val t = dvTable()
     t.delete(col("id") === 3) // DV on the part=y file
-    // rewrite-based UPDATE touches the same file: survivors only
+    val before = t.snapshot.allFiles.map(_.path).toSet
     t.update(col("id") === 4, Map("score" -> lit(44)))
     assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L, 5L))
     assert(t.toDF.filter(col("id") === 4).select("score").head().getInt(0) == 44)
-    // the updated file was rewritten -> its DV descriptor is gone
+    // merge-on-read: the old file stays in place, its DV now masks the
+    // deleted id=3 AND the pre-update image of id=4; the new image is a
+    // fresh appended file
+    assert(before.subsetOf(t.snapshot.allFiles.map(_.path).toSet))
+    val d = DeletionVectors.descriptor(
+      dvFiles(t).find(_.partitionValues("part") == "y").get).get
+    assert(d.cardinality == 2)
+    // updates must not resurrect deleted rows, before or after compaction
+    t.compact()
     assert(dvFiles(t).isEmpty)
+    assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L, 5L))
+    assert(t.toDF.filter(col("id") === 4).select("score").head().getInt(0) == 44)
   }
 
   test("MERGE on a DV'd table neither matches nor resurrects deleted rows") {
@@ -102,6 +112,44 @@ class DeletionVectorSuite extends AnyFunSuite {
       (4L, "dave"), (5L, "erin"), (6L, "frank")))
   }
 
+  test("MERGE on a DV'd table is merge-on-read: masks only modified rows") {
+    import spark.implicits._
+    val t = dvTable()
+    val before = t.snapshot.allFiles.map(_.path).toSet
+    val src = Seq((2L, "bobby", 21, "x"), (6L, "frank", 60, "z"))
+      .toDF("id", "name", "score", "part")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    // no data file was rewritten — old images are DV-masked in place
+    assert(before.subsetOf(t.snapshot.allFiles.map(_.path).toSet))
+    val r = t.toDF.orderBy("id").select("id", "name", "score")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(r == Seq((1L, "alice", 10), (2L, "bobby", 21), (3L, "carol", 30),
+      (4L, "dave", 40), (5L, "erin", 50), (6L, "frank", 60)))
+    // only the part=x file (old id=2 image) carries a DV; pass-through
+    // files (part=y) are untouched — with whole-file rewrite they'd all
+    // have been removed and re-added
+    val dvd = dvFiles(t)
+    assert(dvd.map(_.partitionValues("part")) == Seq("x"))
+    assert(DeletionVectors.descriptor(dvd.head).get.cardinality == 1)
+  }
+
+  test("whenNotMatchedBySource on a DV'd table leaves pass-through files in place") {
+    import spark.implicits._
+    val t = dvTable()
+    val before = t.snapshot.allFiles.map(_.path).toSet
+    val src = Seq((1L, "alice", 10, "x")).toDF("id", "name", "score", "part")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenNotMatchedBySourceDelete(col("t.score") >= 40)
+      .execute()
+    // target-only rows with score>=40 (ids 4,5) were deleted by masking;
+    // every original file is still present (no table-wide rewrite)
+    assert(before.subsetOf(t.snapshot.allFiles.map(_.path).toSet))
+    assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("OPTIMIZE materializes deletion vectors and drops descriptors") {
     import spark.implicits._
     val t = dvTable()
@@ -117,7 +165,7 @@ class DeletionVectorSuite extends AnyFunSuite {
   test("VACUUM sweeps orphaned DV sidecars but keeps referenced ones") {
     val t = dvTable()
     t.delete(col("id") === 3)
-    val live = dvFiles(t).flatMap(f => DeletionVectors.descriptor(f)).map(_.relPath)
+    val live = dvFiles(t).flatMap(f => DeletionVectors.descriptor(f)).map(_.pathOrInlineDv)
     assert(live.size == 1)
     // referenced DV survives a vacuum
     t.vacuum(Some(0L))
@@ -131,6 +179,98 @@ class DeletionVectorSuite extends AnyFunSuite {
     assert(!fs.exists(dvDir) || fs.listStatus(dvDir).isEmpty)
     import spark.implicits._
     assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L, 5L))
+  }
+
+  test("first DV delete upgrades the protocol to reader 3 / writer 7 + feature") {
+    val t = dvTable()
+    val before = t.snapshot.protocol
+    assert(before.minReaderVersion < 3)
+    t.delete(col("id") === 3)
+    val p = t.snapshot.protocol
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7)
+    assert(p.readerFeatures.get.contains("deletionVectors"))
+    assert(p.writerFeatures.get.contains("deletionVectors"))
+    // legacy implicit writer features made explicit by the upgrade
+    assert(p.writerFeatures.get.contains("appendOnly"))
+    // a second DV delete does not re-commit a protocol action
+    t.delete(col("id") === 4)
+    assert(t.snapshot.protocol == p)
+  }
+
+  test("DV payload is the protocol format: framed, checksummed roaring bitmap") {
+    import spark.implicits._
+    val t = dvTable()
+    t.delete(col("id") === 3 || col("id") === 4) // both rows of the part=y file
+    val f = dvFiles(t).head
+    val d = DeletionVectors.descriptor(f).get
+    assert(f.deletionVector != null, "descriptor must be the protocol struct, not tags")
+    assert(d.storageType == "u")
+    assert(d.cardinality == 2)
+    assert(d.offset.exists(_ >= 1))
+    val abs = DeletionVectors.absolutePathOf(t.deltaLog.dataPath, d)
+    val fs = abs.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(abs)
+    try {
+      assert(in.readByte() == 1, "DV file format version byte")
+      in.seek(d.offset.get.toLong)
+      val len = in.readInt() // big-endian framing
+      assert(len == d.sizeInBytes)
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      assert(in.readInt() == RoaringBitmapArray.checksum(bytes))
+      val bm = RoaringBitmapArray.deserialize(bytes)
+      assert(bm.cardinality == 2)
+      // the part=y file holds ids 3,4 as row indexes 0,1
+      assert(bm.values.toSeq == Seq(0L, 1L))
+    } finally in.close()
+    // descriptor JSON-serde roundtrip (what a stock reader parses)
+    val json = Actions.toJson(f)
+    val back = Actions.fromJson(json).get.asInstanceOf[AddFile]
+    assert(back.deletionVector == d)
+  }
+
+  test("legacy tag-based DV tables read, and the next DELETE migrates them") {
+    import spark.implicits._
+    val t = dvTable()
+    // hand-build a legacy DV: parquet sidecar of (fp, ri) + tags
+    val yFile = t.snapshot.allFiles.find(_.partitionValues("part") == "y").get
+    val abs = FileNames.absolutePath(t.deltaLog.dataPath, yFile.path).toString
+    val fp = abs.replaceFirst("^file:/+", "/")
+    val rel = s"_deletion_vectors/dv-legacy-${java.util.UUID.randomUUID}.parquet"
+    val sidecarTmp = s"${tmp()}/sidecar"
+    Seq((fp, 0L)).toDF("fp", "ri").coalesce(1).write.parquet(sidecarTmp)
+    val fs = t.deltaLog.dataPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(sidecarTmp))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.rename(part, new org.apache.hadoop.fs.Path(t.deltaLog.dataPath, rel))
+    val txn = t.deltaLog.startTransaction()
+    txn.commit(Seq(
+      yFile.remove(1L),
+      yFile.copy(tags = Map(
+        DeletionVectors.PathTag -> rel,
+        DeletionVectors.CardinalityTag -> "1"))), "DELETE")
+    // legacy DV applies: id=3 (row 0 of the y file) is gone
+    assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L, 5L))
+    // next DELETE on the same file merges into a protocol-format DV
+    t.delete(col("id") === 4)
+    val merged = t.snapshot.allFiles.find(_.partitionValues("part") == "y").get
+    assert(merged.deletionVector != null && merged.deletionVector.storageType == "u")
+    assert(merged.deletionVector.cardinality == 2, "legacy rows must merge in")
+    assert(Option(merged.tags).forall(ts => !ts.contains(DeletionVectors.PathTag)),
+      "legacy tags must be stripped on migration")
+    assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L))
+  }
+
+  test("shallow clone rewrites u-descriptors to absolute p-descriptors") {
+    import spark.implicits._
+    val t = dvTable()
+    t.delete(col("id") === 3)
+    val c = t.shallowCloneTo(tmp())
+    val cf = c.snapshot.allFiles.find(f => DeletionVectors.descriptor(f).isDefined).get
+    val d = cf.deletionVector
+    assert(d != null && d.storageType == "p")
+    assert(d.pathOrInlineDv.contains("deletion_vector_"), "p-path must point at the source payload")
+    assert(c.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L, 5L))
   }
 
   test("CDF captures DV deletes exactly once") {
