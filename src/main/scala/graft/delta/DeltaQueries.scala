@@ -117,6 +117,33 @@ object DeltaQueries {
         .execute()
     }
 
+  private def dvMergeFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "dml-dv-merge") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val nation = table(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val txn = t.deltaLog.startTransaction()
+      txn.updateMetadata(Metadata(
+        schemaString = nation.schema.json,
+        configuration = Map("delta.enableDeletionVectors" -> "true")))
+      txn.commit(Nil, "CREATE TABLE")
+      t.write(nation, SaveMode.Append)
+      val before = t.snapshot.allFiles.map(_.path).toSet
+      // matched deletes (rk=2) + matched updates (<10) + inserts (+100),
+      // all merge-on-read: DV masks + appends only
+      val src = nation.filter(col("n_nationkey") < 10)
+        .select(col("n_nationkey"), upper(col("n_name")).as("n_name"), col("n_regionkey"))
+        .unionByName(nation.filter(col("n_nationkey") < 5)
+          .select((col("n_nationkey") + 100).as("n_nationkey"), col("n_name"), col("n_regionkey")))
+      t.merge(src, col("t.n_nationkey") === col("s.n_nationkey"))
+        .whenMatchedDelete(col("s.n_regionkey") === 2)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+      require(before.subsetOf(t.snapshot.allFiles.map(_.path).toSet),
+        "DV merge must not rewrite existing files")
+    }
+
   private def mergeMultiFixture(s: SparkSession, d: String): String =
     fixture(s, d, "dml-merge-multi") { dir =>
       val t = DeltaTable.forPath(s, dir)
@@ -478,6 +505,24 @@ object DeltaQueries {
         CASE WHEN n_nationkey < 10 THEN upper(n_name) ELSE n_name END AS n_name,
         CAST(n_regionkey AS INTEGER) AS n_regionkey
       FROM nation
+      UNION ALL
+      SELECT CAST(n_nationkey + 100 AS INTEGER), n_name, CAST(n_regionkey AS INTEGER)
+      FROM nation WHERE n_nationkey < 5
+      ORDER BY n_nationkey""")),
+
+    // DML: merge-on-read MERGE via deletion vectors — matched deletes and
+    // update pre-images masked, updates/inserts appended, zero rewrites
+    GQ("delta_dv_merge", (s, d) => {
+      val dir = dvMergeFixture(s, d)
+      DeltaTable.forPath(s, dir).toDF
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }, Some("""
+      SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+        CASE WHEN n_nationkey < 10 THEN upper(n_name) ELSE n_name END AS n_name,
+        CAST(n_regionkey AS INTEGER) AS n_regionkey
+      FROM nation WHERE NOT (n_nationkey < 10 AND n_regionkey = 2)
       UNION ALL
       SELECT CAST(n_nationkey + 100 AS INTEGER), n_name, CAST(n_regionkey AS INTEGER)
       FROM nation WHERE n_nationkey < 5

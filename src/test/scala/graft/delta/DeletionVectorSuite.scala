@@ -273,6 +273,47 @@ class DeletionVectorSuite extends AnyFunSuite {
     assert(c.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L, 5L))
   }
 
+  test("DV descriptors survive checkpointing and the spill replay path") {
+    import spark.implicits._
+    val t = dvTable()
+    t.delete(col("id") === 3)
+    t.deltaLog.checkpoint(t.snapshot)
+    // force the NEXT snapshot to rebuild through the checkpoint parquet
+    // (nested deletionVector struct) + a spark.read.json spilled tail —
+    // both schema-on-read paths, not the driver Jackson parse
+    spark.conf.set("spark.graft.snapshot.spillThresholdBytes", "1")
+    try {
+      t.delete(col("id") === 4) // same y file: must merge the prior DV
+      val s = t.snapshot
+      assert(s.segment.checkpoint.isDefined, "snapshot must read through the checkpoint")
+      val f = s.allFiles.find(_.partitionValues("part") == "y").get
+      assert(f.deletionVector != null && f.deletionVector.storageType == "u")
+      assert(f.deletionVector.cardinality == 2,
+        "checkpoint-carried DV must merge with the new delete")
+      assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L))
+    } finally spark.conf.unset("spark.graft.snapshot.spillThresholdBytes")
+  }
+
+  test("CDF captures DV update pre/post images") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = df.schema.json,
+      configuration = Map(
+        "delta.enableDeletionVectors" -> "true",
+        "delta.enableChangeDataFeed" -> "true")))
+    txn.commit(Nil, "CREATE TABLE")
+    t.write(df)
+    val v = t.update(col("id") === 2, Map("v" -> lit("B")))
+    val ch = t.tableChanges(v, v)
+      .select($"id", $"v", $"_change_type")
+      .orderBy($"_change_type")
+      .as[(Long, String, String)].collect().toSeq
+    assert(ch == Seq((2L, "B", "update_postimage"), (2L, "b", "update_preimage")))
+  }
+
   test("CDF captures DV deletes exactly once") {
     import spark.implicits._
     val t = DeltaTable.forPath(spark, tmp())
