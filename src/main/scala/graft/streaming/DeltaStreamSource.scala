@@ -58,7 +58,9 @@ object DeltaSourceOffset {
   *
   * `.option("startingVersion", v | "latest")` starts the cursor at a log
   * version instead of 0; data-changing removes fail the stream loudly
-  * unless `.option("ignoreDeletes", true)` (delete-only commits) or
+  * unless `.option("ignoreDeletes", true)` (delete-only commits),
+  * `.option("skipChangeCommits", true)` (update/delete commits — DV
+  * remove+re-adds included — are skipped entirely, no duplicates), or
   * `.option("ignoreChanges", true)` (stream rewritten files; downstream
   * tolerates duplicates) — the same appends-only contract as Delta's own
   * source.
@@ -80,7 +82,8 @@ class DeltaStreamSource(
     maxBytesPerTrigger: Option[Long] = None,
     startingVersion: Long = 0L,
     ignoreDeletes: Boolean = false,
-    ignoreChanges: Boolean = false)
+    ignoreChanges: Boolean = false,
+    skipChangeCommits: Boolean = false)
     extends Source {
 
   import DeltaSourceOffset.All
@@ -102,24 +105,35 @@ class DeltaStreamSource(
     * a partition), `ignoreChanges` additionally streams the re-added files
     * of update/merge rewrites (caller handles duplicates downstream).
     */
+  private def isChangeCommit(actions: Seq[Action]): Boolean =
+    actions.exists { case r: RemoveFile => r.dataChange; case _ => false }
+
   private def assertAppendOnly(version: Long, actions: Seq[Action]): Unit = {
-    if (cdf || ignoreChanges) return
-    val removes = actions.exists { case r: RemoveFile => r.dataChange; case _ => false }
-    if (!removes) return
+    if (cdf || ignoreChanges || skipChangeCommits) return
+    if (!isChangeCommit(actions)) return
     val adds = actions.exists { case a: AddFile => a.dataChange; case _ => false }
     if (!adds && ignoreDeletes) return
     throw new UnsupportedOperationException(
       s"Detected a data update or delete in table version $version of $path. " +
         "The graft-delta stream is appends-only: set option ignoreDeletes=true " +
-        "to allow delete-only commits, or ignoreChanges=true to stream " +
+        "to allow delete-only commits, skipChangeCommits=true to skip " +
+        "update/delete commits entirely, or ignoreChanges=true to stream " +
         "rewritten files (downstream must tolerate duplicates).")
   }
 
-  /** Path-sorted dataChange AddFiles of one commit. */
+  /** Path-sorted dataChange AddFiles of one commit — empty for a change
+    * commit under `skipChangeCommits` (update/delete commits, including
+    * deletion-vector remove+re-adds, are passed over without emitting
+    * their re-added files).
+    */
+  private def commitFiles(actions: Seq[Action]): Seq[AddFile] =
+    if (skipChangeCommits && isChangeCommit(actions)) Nil
+    else actions.collect { case a: AddFile if a.dataChange => a }.sortBy(_.path)
+
   private def addFiles(version: Long): Seq[AddFile] =
     log.changes(version).take(1).toSeq.headOption.map { case (_, actions) =>
       assertAppendOnly(version, actions)
-      actions.collect { case a: AddFile if a.dataChange => a }.sortBy(_.path)
+      commitFiles(actions)
     }.getOrElse(Nil)
 
   override def getOffset: Option[Offset] = {
@@ -190,7 +204,7 @@ class DeltaStreamSource(
       .takeWhile(_._1 <= end.version)
       .flatMap { case (v, actions) =>
         assertAppendOnly(v, actions)
-        var files = actions.collect { case a: AddFile if a.dataChange => a }.sortBy(_.path)
+        var files = commitFiles(actions)
         if (v == fromV && skip > 0) files = files.drop(skip.toInt)
         if (v == end.version && end.index != DeltaSourceOffset.All) {
           val keep = end.index - (if (v == fromV) skip else 0L)
@@ -300,5 +314,6 @@ class DeltaStreamSourceProvider extends StreamSourceProvider with DataSourceRegi
         case v => v.trim.toLong
       }.getOrElse(0L),
       ignoreDeletes = flag(parameters, "ignoreDeletes"),
-      ignoreChanges = flag(parameters, "ignoreChanges"))
+      ignoreChanges = flag(parameters, "ignoreChanges"),
+      skipChangeCommits = flag(parameters, "skipChangeCommits"))
 }

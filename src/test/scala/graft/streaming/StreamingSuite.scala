@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.delta.DeltaTable
+import graft.delta.{DeltaTable, Metadata}
 
 class StreamingSuite extends AnyFunSuite {
 
@@ -206,6 +206,41 @@ class StreamingSuite extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table("d4_igndel").select("id").as[Long].collect().sorted.toSeq
         == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("D4: skipChangeCommits passes over DV delete commits without duplicates") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("d4-skipchg").toString
+    val t = DeltaTable.forPath(spark, dir)
+    val df0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = df0.schema.json,
+      configuration = Map("delta.enableDeletionVectors" -> "true")))
+    txn.commit(Nil, "CREATE TABLE")
+    t.write(df0)                         // v1: append
+    t.delete(col("id") === 1)            // v2: DV remove+re-add (change commit)
+    t.write(Seq((3L, "c")).toDF("id", "v")) // v3: append
+    val stream = spark.readStream
+      .format("graft.streaming.DeltaStreamSourceProvider")
+      .option("path", dir)
+      .option("skipChangeCommits", "true")
+      .load()
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("d4_skipchg").start()
+    try {
+      q.processAllAvailable()
+      // both appends arrive once each; the DV commit's re-added file is
+      // NOT re-streamed (id 1,2 would appear twice under ignoreChanges)
+      assert(spark.table("d4_skipchg").select("id").as[Long].collect().sorted.toSeq
+        == Seq(1L, 2L, 3L))
+      // and further change commits keep the stream alive
+      t.delete(col("id") === 2)
+      t.write(Seq((4L, "d")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(spark.table("d4_skipchg").select("id").as[Long].collect().sorted.toSeq
+        == Seq(1L, 2L, 3L, 4L))
     } finally q.stop()
   }
 
