@@ -222,6 +222,70 @@ object TextOps {
           list_transform(generate_series(1, greatest(length(nt)-7, 1)), i -> substr(nt, CAST(i AS INTEGER), 8)) AS grams
         FROM (SELECT doc_id, array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS nt
               FROM documents))
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // C22 --------------------------------------------------------------
+    // Gopher-style repetition signals (Rae et al. 2021 §A1.1, token-level
+    // variants): duplicate-word fraction, and per n∈{2,3} the fraction of
+    // n-grams belonging to the single most frequent n-gram and to any
+    // repeated n-gram. High values flag boilerplate/spam for filtering.
+    // Scale shape: word-level metrics are per-row (array_distinct, no
+    // shuffle); n-gram multiplicities go explode → two-level groupBy,
+    // where partial aggregation absorbs the explode before the shuffle
+    // and the per-doc frame is O(docs), not O(grams). All ratios are
+    // exact-int divisions -> bit-identical doubles in both engines.
+    GQ("text_repetition", (s, d) => {
+      import s.implicits._
+      def grams(n: Int) = transform(
+        sequence(lit(1), size($"t") - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k =>
+          element_at($"t", i + lit(k))): _*))
+      val base = table(s, d, "documents")
+        .withColumn("t", tokens($"text"))
+        .select($"doc_id", $"t",
+          size($"t").cast("long").as("n_tok"),
+          size(array_distinct($"t")).cast("long").as("n_dist"))
+      def gagg(n: Int, p: String) = base.filter(size($"t") >= n)
+        .select($"doc_id", explode(grams(n)).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(
+          sum($"c").as(s"${p}_n"),
+          max($"c").as(s"${p}_top"),
+          coalesce(sum(when($"c" > 1, $"c")), lit(0L)).as(s"${p}_dup"))
+      def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+        coalesce(num, lit(0L)).cast("double") /
+          greatest(coalesce(den, lit(0L)), lit(1L)).cast("double")
+      base.drop("t")
+        .join(gagg(2, "g2"), Seq("doc_id"), "left")
+        .join(gagg(3, "g3"), Seq("doc_id"), "left")
+        .select($"doc_id",
+          frac($"n_tok" - $"n_dist", $"n_tok").as("dup_word_frac"),
+          frac($"g2_top", $"g2_n").as("top_2gram_frac"),
+          frac($"g2_dup", $"g2_n").as("dup_2gram_frac"),
+          frac($"g3_top", $"g3_n").as("top_3gram_frac"),
+          frac($"g3_dup", $"g3_n").as("dup_3gram_frac"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+                 CAST(len(list_distinct(t)) AS BIGINT) AS n_dist, t FROM tok),
+      g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+               i -> t[i] || ' ' || t[i+1])) AS g FROM base WHERE len(t) >= 2),
+      c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+      a2 AS (SELECT doc_id, SUM(c) AS g2_n, MAX(c) AS g2_top,
+               COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS g2_dup FROM c2 GROUP BY doc_id),
+      g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM base WHERE len(t) >= 3),
+      c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+      a3 AS (SELECT doc_id, SUM(c) AS g3_n, MAX(c) AS g3_top,
+               COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS g3_dup FROM c3 GROUP BY doc_id)
+      SELECT b.doc_id,
+        CAST(b.n_tok - b.n_dist AS DOUBLE) / CAST(greatest(b.n_tok, 1) AS DOUBLE) AS dup_word_frac,
+        CAST(COALESCE(a2.g2_top, 0) AS DOUBLE) / CAST(greatest(COALESCE(a2.g2_n, 0), 1) AS DOUBLE) AS top_2gram_frac,
+        CAST(COALESCE(a2.g2_dup, 0) AS DOUBLE) / CAST(greatest(COALESCE(a2.g2_n, 0), 1) AS DOUBLE) AS dup_2gram_frac,
+        CAST(COALESCE(a3.g3_top, 0) AS DOUBLE) / CAST(greatest(COALESCE(a3.g3_n, 0), 1) AS DOUBLE) AS top_3gram_frac,
+        CAST(COALESCE(a3.g3_dup, 0) AS DOUBLE) / CAST(greatest(COALESCE(a3.g3_n, 0), 1) AS DOUBLE) AS dup_3gram_frac
+      FROM base b LEFT JOIN a2 ON b.doc_id = a2.doc_id LEFT JOIN a3 ON b.doc_id = a3.doc_id
+      ORDER BY b.doc_id"""))
   )
 }
