@@ -117,6 +117,28 @@ object DeltaQueries {
         .execute()
     }
 
+  private def identityFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "identity") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        IdentityColumns.field("id", start = 1L, step = 1L),
+        org.apache.spark.sql.types.StructField("n_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_regionkey",
+          org.apache.spark.sql.types.LongType)))
+      val txn = t.deltaLog.startTransaction()
+      txn.updateMetadata(Metadata(schemaString = schema.json))
+      txn.commit(Nil, "CREATE TABLE")
+      val nation = table(s, d, "nation")
+        .select(col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      // two single-partition sorted batches => generation order is the
+      // sort order, reproducible by the oracle's row_number
+      t.write(nation.filter(col("n_regionkey") < 2).orderBy(col("n_name")).coalesce(1))
+      t.write(nation.filter(col("n_regionkey") >= 2).orderBy(col("n_name")).coalesce(1))
+      require(t.snapshot.protocol.minWriterVersion == 6,
+        "identity tables must carry writer version 6")
+    }
+
   private def dvMergeFixture(s: SparkSession, d: String): String =
     fixture(s, d, "dml-dv-merge") { dir =>
       val t = DeltaTable.forPath(s, dir)
@@ -465,6 +487,27 @@ object DeltaQueries {
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
       FROM orders WHERE NOT (o_totalprice > 250000) AND o_orderstatus <> 'P'
       ORDER BY o_orderkey""")),
+
+    // identity columns: server-side generation in batch row order with a
+    // transactional high-water mark; the oracle replays the same order
+    GQ("delta_identity", (s, d) => {
+      val dir = identityFixture(s, d)
+      DeltaTable.forPath(s, dir).toDF
+        .select(col("id"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("id"))
+    }, Some("""
+      WITH b1 AS (
+        SELECT CAST(row_number() OVER (ORDER BY n_name) AS BIGINT) AS id,
+               n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+        FROM nation WHERE n_regionkey < 2),
+      b2 AS (
+        SELECT (SELECT count(*) FROM nation WHERE n_regionkey < 2)
+                 + CAST(row_number() OVER (ORDER BY n_name) AS BIGINT) AS id,
+               n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+        FROM nation WHERE n_regionkey >= 2)
+      SELECT id, n_name, n_regionkey FROM (
+        SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+      ORDER BY id""")),
 
     // DML: merge-on-read UPDATE via deletion vectors — old images masked,
     // new images appended, zero files rewritten (checked in the fixture)

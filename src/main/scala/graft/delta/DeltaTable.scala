@@ -232,8 +232,14 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val partCols = if (exists) txn.metadata.partitionColumns else partitionBy
     // generated columns the batch omitted are computed before the schema
     // check (so an append without them is schema-complete) and inside the
-    // same write pass (no second scan)
-    val data = if (exists) GeneratedColumns.complete(df, txn.metadata) else df
+    // same write pass (no second scan); identity columns likewise
+    // generate before the check and stage their advanced high-water
+    // marks for the commit (after the branches below, which may stage a
+    // merged schema of their own — the marks are patched on top)
+    val completed = if (exists) GeneratedColumns.complete(df, txn.metadata) else df
+    val (data, idMarks) =
+      if (exists) IdentityColumns.assign(completed, txn.metadata)
+      else (completed, Map.empty[String, org.apache.spark.sql.types.Metadata])
 
     if (!exists) {
       // tables created FROM a DataFrame capture a fully-nullable schema
@@ -289,6 +295,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         throw new IllegalArgumentException(
           s"partitioning mismatch: table uses $partCols, got $partitionBy")
     }
+
+    // advance identity high-water marks in the same commit (composes
+    // with any schema staged by the mergeSchema branch above)
+    if (idMarks.nonEmpty)
+      txn.restageMetadata(IdentityColumns.patchSchema(txn.metadata, idMarks))
 
     val toWrite =
       if (DeltaConfig.OptimizedWrite.fromMetadata(txn.metadata))

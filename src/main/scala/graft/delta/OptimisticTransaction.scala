@@ -69,6 +69,14 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     newMetadata = Some(withSchema)
   }
 
+  /** Replace the staged metadata (identity high-water marks compose with
+    * an earlier mergeSchema staging inside one write).
+    */
+  private[delta] def restageMetadata(md: Metadata): Unit = {
+    verifyNewMetadata(md)
+    newMetadata = Some(md)
+  }
+
   /** cf. reference `trnx.go:347` verifyNewMetadata +
     * `trnx.go:376` checkPartitionColumns.
     */
@@ -96,12 +104,29 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
 
     // prepareCommit checks (cf. trnx.go:428)
     if (snapshot.version >= 0) snapshot.assertProtocolWrite()
+    // identity columns are a writer-6 capability: stamp the upgrade with
+    // the commit that introduces them, so foreign writers without
+    // identity support cannot append past the high-water mark
+    val needsIdentity = IdentityColumns.specs(metadata).nonEmpty
     if (snapshot.version == -1) {
       // brand-new table: needs metadata + protocol
       if (!finalActions.exists(_.isInstanceOf[Metadata]))
         throw new IllegalStateException("first commit must include table metadata")
       if (!finalActions.exists(_.isInstanceOf[Protocol]))
-        finalActions = Protocol() +: finalActions
+        finalActions =
+          (if (needsIdentity) Protocol(minWriterVersion = 6) else Protocol()) +: finalActions
+    } else if (needsIdentity && !finalActions.exists(_.isInstanceOf[Protocol])) {
+      val p = snapshot.protocol
+      val supported =
+        if (p.minWriterVersion == 7) p.writerFeatures.exists(_.contains("identityColumns"))
+        else p.minWriterVersion >= 6
+      if (!supported) {
+        val up =
+          if (p.minWriterVersion == 7) p.copy(writerFeatures =
+            Some(p.writerFeatures.getOrElse(Set.empty) + "identityColumns"))
+          else p.copy(minWriterVersion = 6)
+        finalActions = up +: finalActions
+      }
     }
     if (finalActions.count(_.isInstanceOf[Metadata]) > 1)
       throw new IllegalStateException("cannot commit more than one Metadata action")

@@ -259,17 +259,17 @@ object Snapshot {
 
   // reader v2 = column mapping (name mode; id is rejected at the metadata
   // gate); reader v3 = table features. writer v4 = CDF + generated
-  // columns, v5 = column mapping, v6 = identity columns (NOT supported),
+  // columns, v5 = column mapping, v6 = identity columns,
   // v7 = table features.
   val SupportedReaderVersion = 2
-  val SupportedWriterVersion = 5
+  val SupportedWriterVersion = 6
 
   val SupportedReaderFeatures: Set[String] =
     Set("columnMapping", "deletionVectors", "vacuumProtocolCheck")
   val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "generatedColumns", "columnMapping", "deletionVectors",
-      "vacuumProtocolCheck")
+      "identityColumns", "vacuumProtocolCheck")
   final class InvalidProtocolVersionException(msg: String)
     extends RuntimeException(msg)
   /** Recursively nullable variant of a schema (StructType.asNullable is
