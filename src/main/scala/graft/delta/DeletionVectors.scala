@@ -58,6 +58,13 @@ object DeletionVectors {
     */
   private val BroadcastRowLimit = 4L * 1000 * 1000
 
+  /** Serialized bitmaps at or under this many bytes are stored INLINE in
+    * the descriptor (storageType "i", Z85-encoded) instead of a payload
+    * file — a single-row DELETE then costs zero extra object-store
+    * writes, and every later read of that file skips a GET round trip.
+    */
+  private val InlineLimit = 256
+
   def descriptor(f: AddFile): Option[DeletionVectorDescriptor] =
     Option(f.deletionVector).orElse(
       Option(f.tags).flatMap(t => t.get(PathTag).map(p =>
@@ -206,24 +213,39 @@ object DeletionVectors {
         else {
           val uuid = UUID.randomUUID
           val path = new Path(new Path(root, DvPrefix), s"deletion_vector_$uuid.bin")
-          val dos = new java.io.DataOutputStream(
-            path.getFileSystem(serConf.value).create(path, false))
           val encoded = DvPrefix + Z85.encodeUUID(uuid)
           val out = Seq.newBuilder[(String, DeletionVectorDescriptor)]
+          // the shared payload file is created lazily: a partition whose
+          // DVs all fit inline writes no file at all
+          var dos: java.io.DataOutputStream = null
+          var offset = 1
           try {
-            dos.writeByte(1) // DV file format version
-            var offset = 1
             var cur: String = null
             var bm: RoaringBitmapArray = null
             var lastRi = -1L
             def flush(): Unit = if (cur != null) {
               val bytes = bm.serialize()
-              dos.writeInt(bytes.length)
-              dos.write(bytes)
-              dos.writeInt(RoaringBitmapArray.checksum(bytes))
-              out += cur -> DeletionVectorDescriptor("u", encoded,
-                Some(offset), bytes.length, bm.cardinality)
-              offset += 4 + bytes.length + 4
+              if (bytes.length <= InlineLimit) {
+                // Z85 needs 4-alignment; sizeInBytes records the real
+                // length, readers trim the pad after decode
+                val padded =
+                  if (bytes.length % 4 == 0) bytes
+                  else bytes ++ new Array[Byte](4 - bytes.length % 4)
+                out += cur -> DeletionVectorDescriptor("i", Z85.encode(padded),
+                  None, bytes.length, bm.cardinality)
+              } else {
+                if (dos == null) {
+                  dos = new java.io.DataOutputStream(
+                    path.getFileSystem(serConf.value).create(path, false))
+                  dos.writeByte(1) // DV file format version
+                }
+                dos.writeInt(bytes.length)
+                dos.write(bytes)
+                dos.writeInt(RoaringBitmapArray.checksum(bytes))
+                out += cur -> DeletionVectorDescriptor("u", encoded,
+                  Some(offset), bytes.length, bm.cardinality)
+                offset += 4 + bytes.length + 4
+              }
             }
             it.foreach { case (fp, ri) =>
               if (fp != cur) {
@@ -232,7 +254,7 @@ object DeletionVectors {
               if (ri != lastRi) { bm.add(ri); lastRi = ri }
             }
             flush()
-          } finally dos.close()
+          } finally if (dos != null) dos.close()
           out.result().iterator
         }
       }.collect().toMap

@@ -38,6 +38,22 @@ class DeletionVectorSuite extends AnyFunSuite {
   private def dvFiles(t: DeltaTable): Seq[AddFile] =
     t.snapshot.allFiles.filter(f => DeletionVectors.descriptor(f).isDefined)
 
+  /** One 1000-row file; deletes large enough to exceed the inline
+    * threshold, forcing a "u" payload file.
+    */
+  private def dvBigTable(): DeltaTable = {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    val df = spark.range(0, 1000).select($"id", concat(lit("v"), $"id").as("v"))
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = df.schema.json,
+      configuration = Map("delta.enableDeletionVectors" -> "true")))
+    txn.commit(Nil, "CREATE TABLE")
+    t.write(df.coalesce(1))
+    t
+  }
+
   test("DV delete keeps data files in place and filters rows at read") {
     import spark.implicits._
     val t = dvTable()
@@ -163,8 +179,8 @@ class DeletionVectorSuite extends AnyFunSuite {
   }
 
   test("VACUUM sweeps orphaned DV sidecars but keeps referenced ones") {
-    val t = dvTable()
-    t.delete(col("id") === 3)
+    val t = dvBigTable()
+    t.delete(col("id") < 500) // past the inline threshold -> payload file
     val live = dvFiles(t).flatMap(f => DeletionVectors.descriptor(f)).map(_.pathOrInlineDv)
     assert(live.size == 1)
     // referenced DV survives a vacuum
@@ -178,7 +194,8 @@ class DeletionVectorSuite extends AnyFunSuite {
     assert(deleted.exists(_.contains("_deletion_vectors/")), "orphan DV must be vacuumed")
     assert(!fs.exists(dvDir) || fs.listStatus(dvDir).isEmpty)
     import spark.implicits._
-    assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L, 5L))
+    assert(t.toDF.count() == 500)
+    assert(t.toDF.agg(min($"id")).head().getLong(0) == 500L)
   }
 
   test("first DV delete upgrades the protocol to reader 3 / writer 7 + feature") {
@@ -197,15 +214,36 @@ class DeletionVectorSuite extends AnyFunSuite {
     assert(t.snapshot.protocol == p)
   }
 
-  test("DV payload is the protocol format: framed, checksummed roaring bitmap") {
+  test("small DVs inline into the descriptor (storageType i, Z85 bitmap)") {
     import spark.implicits._
     val t = dvTable()
     t.delete(col("id") === 3 || col("id") === 4) // both rows of the part=y file
     val f = dvFiles(t).head
     val d = DeletionVectors.descriptor(f).get
     assert(f.deletionVector != null, "descriptor must be the protocol struct, not tags")
+    assert(d.storageType == "i", "a 2-row DV must inline")
+    assert(d.cardinality == 2 && d.offset.isEmpty)
+    // the inline payload IS the bitmap: decode and check the row indexes
+    val bm = RoaringBitmapArray.deserialize(Z85.decode(d.pathOrInlineDv).take(d.sizeInBytes))
+    assert(bm.values.toSeq == Seq(0L, 1L)) // ids 3,4 = row indexes 0,1
+    // no payload file was written for an all-inline delete
+    val dvDir = new org.apache.hadoop.fs.Path(t.deltaLog.dataPath, "_deletion_vectors")
+    val fs = dvDir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(dvDir) || fs.listStatus(dvDir).isEmpty)
+    // descriptor JSON-serde roundtrip (what a stock reader parses)
+    val json = Actions.toJson(f)
+    val back = Actions.fromJson(json).get.asInstanceOf[AddFile]
+    assert(back.deletionVector == d)
+  }
+
+  test("large DV payload is the protocol format: framed, checksummed roaring bitmap") {
+    import spark.implicits._
+    val t = dvBigTable()
+    t.delete(col("id") < 500)
+    val f = dvFiles(t).head
+    val d = DeletionVectors.descriptor(f).get
     assert(d.storageType == "u")
-    assert(d.cardinality == 2)
+    assert(d.cardinality == 500)
     assert(d.offset.exists(_ >= 1))
     val abs = DeletionVectors.absolutePathOf(t.deltaLog.dataPath, d)
     val fs = abs.getFileSystem(spark.sessionState.newHadoopConf())
@@ -219,14 +257,11 @@ class DeletionVectorSuite extends AnyFunSuite {
       in.readFully(bytes)
       assert(in.readInt() == RoaringBitmapArray.checksum(bytes))
       val bm = RoaringBitmapArray.deserialize(bytes)
-      assert(bm.cardinality == 2)
-      // the part=y file holds ids 3,4 as row indexes 0,1
-      assert(bm.values.toSeq == Seq(0L, 1L))
+      assert(bm.cardinality == 500)
+      assert(bm.values.toSeq == (0L until 500L))
     } finally in.close()
-    // descriptor JSON-serde roundtrip (what a stock reader parses)
-    val json = Actions.toJson(f)
-    val back = Actions.fromJson(json).get.asInstanceOf[AddFile]
-    assert(back.deletionVector == d)
+    assert(t.toDF.count() == 500)
+    assert(t.toDF.agg(org.apache.spark.sql.functions.min($"id")).head().getLong(0) == 500L)
   }
 
   test("legacy tag-based DV tables read, and the next DELETE migrates them") {
@@ -254,22 +289,32 @@ class DeletionVectorSuite extends AnyFunSuite {
     // next DELETE on the same file merges into a protocol-format DV
     t.delete(col("id") === 4)
     val merged = t.snapshot.allFiles.find(_.partitionValues("part") == "y").get
-    assert(merged.deletionVector != null && merged.deletionVector.storageType == "u")
+    assert(merged.deletionVector != null, "migration must produce a protocol descriptor")
     assert(merged.deletionVector.cardinality == 2, "legacy rows must merge in")
     assert(Option(merged.tags).forall(ts => !ts.contains(DeletionVectors.PathTag)),
       "legacy tags must be stripped on migration")
     assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L))
   }
 
-  test("shallow clone rewrites u-descriptors to absolute p-descriptors") {
+  test("shallow clone rewrites u-descriptors to absolute p; inline descriptors travel as-is") {
     import spark.implicits._
+    // "u" payload: rewritten to an absolute "p" path into the source tree
+    val big = dvBigTable()
+    big.delete(col("id") < 500)
+    val bigClone = big.shallowCloneTo(tmp())
+    val bigD = bigClone.snapshot.allFiles
+      .find(f => DeletionVectors.descriptor(f).isDefined).get.deletionVector
+    assert(bigD != null && bigD.storageType == "p")
+    assert(bigD.pathOrInlineDv.contains("deletion_vector_"),
+      "p-path must point at the source payload")
+    assert(bigClone.toDF.count() == 500)
+    // inline DV: self-contained, survives the clone untouched
     val t = dvTable()
     t.delete(col("id") === 3)
     val c = t.shallowCloneTo(tmp())
-    val cf = c.snapshot.allFiles.find(f => DeletionVectors.descriptor(f).isDefined).get
-    val d = cf.deletionVector
-    assert(d != null && d.storageType == "p")
-    assert(d.pathOrInlineDv.contains("deletion_vector_"), "p-path must point at the source payload")
+    val d = c.snapshot.allFiles
+      .find(f => DeletionVectors.descriptor(f).isDefined).get.deletionVector
+    assert(d != null && d.storageType == "i")
     assert(c.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L, 5L))
   }
 
@@ -287,7 +332,7 @@ class DeletionVectorSuite extends AnyFunSuite {
       val s = t.snapshot
       assert(s.segment.checkpoint.isDefined, "snapshot must read through the checkpoint")
       val f = s.allFiles.find(_.partitionValues("part") == "y").get
-      assert(f.deletionVector != null && f.deletionVector.storageType == "u")
+      assert(f.deletionVector != null)
       assert(f.deletionVector.cardinality == 2,
         "checkpoint-carried DV must merge with the new delete")
       assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L))
