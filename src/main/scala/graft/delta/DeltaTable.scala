@@ -1042,10 +1042,27 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val txn = deltaLog.startTransaction()
     txn.readWholeTable()
     val current = txn.snapshot
-    val cur = current.allFilesDS
-    val tgt = target.allFilesDS
-    val toAdd = tgt.join(cur.select(col("path")), Seq("path"), "left_anti").as[AddFile]
-    val toRemove = cur.join(tgt.select(col("path")), Seq("path"), "left_anti").as[AddFile]
+    // file identity = (path, deletion-vector id): the same data file on
+    // both sides with a DIFFERENT DV (or one side DV'd) must be
+    // remove+re-added, or a restore across a merge-on-read DELETE would
+    // silently keep the newer mask. Within one commit the re-add beats
+    // the remove during replay, so paths in both sets land correctly.
+    val dvk = org.apache.spark.sql.functions.when(
+      col("deletionVector").isNotNull,
+      org.apache.spark.sql.functions.concat_ws("@",
+        col("deletionVector.storageType"), col("deletionVector.pathOrInlineDv"),
+        col("deletionVector.offset").cast("string")))
+      .otherwise(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.element_at(
+          col("tags"), DeletionVectors.PathTag),
+        org.apache.spark.sql.functions.lit("")))
+    val cur = current.allFilesDS.withColumn("__dvk", dvk)
+    val tgt = target.allFilesDS.withColumn("__dvk", dvk)
+    val key = Seq("path", "__dvk")
+    val toAdd = tgt.join(cur.select(key.map(col): _*), key, "left_anti")
+      .drop("__dvk").as[AddFile]
+    val toRemove = cur.join(tgt.select(key.map(col): _*), key, "left_anti")
+      .drop("__dvk").as[AddFile]
 
     val rootStr = deltaLog.dataPath.toString
     val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())

@@ -339,6 +339,25 @@ class DeletionVectorSuite extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.snapshot.spillThresholdBytes")
   }
 
+  test("RESTORE across a DV delete brings the masked rows back") {
+    import spark.implicits._
+    val t = dvTable()
+    val v0 = t.snapshot.version
+    t.delete(col("id") === 3)
+    assert(t.toDF.count() == 4)
+    // restore to the pre-delete version: same data file path on both
+    // sides, but the DV'd incarnation must be swapped for the clean one
+    t.restoreToVersion(v0)
+    assert(t.toDF.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    assert(dvFiles(t).isEmpty, "restore must shed the newer deletion vector")
+    // and restoring forward to the deleted state works too
+    t.restoreToVersion(v0 + 1)
+    assert(t.toDF.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L, 5L))
+    assert(dvFiles(t).nonEmpty)
+  }
+
   test("CDF captures DV update pre/post images") {
     import spark.implicits._
     val t = DeltaTable.forPath(spark, tmp())
