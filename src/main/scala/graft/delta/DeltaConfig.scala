@@ -107,6 +107,14 @@ object DeltaConfig {
   val AutoCompactMinNumFiles: TableConfig[Int] =
     TableConfig("delta.autoOptimize.autoCompact.minNumFiles", "10", _.trim.toInt)
 
+  /** Declared clustering columns (liquid-clustering-style UX): a plain
+    * OPTIMIZE re-clusters along these instead of bin-packing, so the
+    * maintenance job needs no per-table knowledge of the query columns.
+    */
+  val ClusteringColumns: TableConfig[Seq[String]] =
+    TableConfig("delta.clusteringColumns", "",
+      v => v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
   /** Row-level change capture for DML: DELETE/UPDATE/MERGE also write
     * their changed rows as CDC files (`_change_data/`, AddCDCFile) that
     * `tableChanges` reads back exactly (the open Delta CDF convention).

@@ -357,7 +357,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val minN = math.max(2, DeltaConfig.AutoCompactMinNumFiles.fromMetadata(md))
     val partCols = md.partitionColumns
     if (partCols.isEmpty) {
-      if (s.numOfFiles >= minN) compact()
+      if (s.numOfFiles >= minN) compactImpl(Nil, None, useClustering = false)
       return
     }
     val touched = adds.map(f => partCols.indices.map(i =>
@@ -386,7 +386,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         }
       }.reduce(_ && _)
     }.reduce(_ || _)
-    compact(where)
+    compactImpl(Nil, Some(where), useClustering = false)
     ()
   }
 
@@ -456,9 +456,24 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * types hash-bucket (consistent placement, no range locality). With
     * `zorderBy`, ALL files re-cluster, not just under-filled partitions.
     */
-  def compact(zorderBy: Seq[String], where: Option[Column]): Long = {
+  def compact(zorderBy0: Seq[String], where: Option[Column]): Long =
+    compactImpl(zorderBy0, where, useClustering = true)
+
+  /** `useClustering = false` is the auto-compaction entry: per-write
+    * bin-packing must stay cheap and NOT trigger a declared-clustering
+    * full re-cluster on every commit.
+    */
+  private def compactImpl(zorderBy0: Seq[String], where: Option[Column],
+      useClustering: Boolean): Long = {
     import org.apache.spark.sql.functions.{col, hash, pmod, lit, floor, min => fmin, max => fmax}
     val txn = deltaLog.startTransaction()
+    // declared clustering columns make a plain OPTIMIZE a re-cluster:
+    // the nightly maintenance job stays table-agnostic
+    val zorderBy =
+      if (zorderBy0.nonEmpty) zorderBy0
+      else if (!useClustering) Nil
+      else txn.snapshot.metadataOpt
+        .map(DeltaConfig.ClusteringColumns.fromMetadata).getOrElse(Nil)
     val byPartition0 = txn.snapshot.allFiles.groupBy(_.partitionValues)
     val byPartition = where match {
       case None => byPartition0

@@ -684,6 +684,42 @@ class DeltaSuite extends AnyFunSuite {
     assert(ci.operation == "OPTIMIZE" && ci.operationParameters("zOrderBy") == "x,y")
   }
 
+  test("delta.clusteringColumns: plain OPTIMIZE re-clusters, autoCompact does not") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn0 = t.deltaLog.startTransaction()
+    val df = (0 until 1024).map(i => (i / 32, i % 32, i.toLong)).toDF("x", "y", "v")
+    txn0.updateMetadata(Metadata(
+      schemaString = df.schema.json,
+      configuration = Map(
+        "delta.targetFileSize" -> "4096",
+        "delta.clusteringColumns" -> "x, y")))
+    txn0.commit(Nil, "CREATE TABLE")
+    t.write(df.repartition(8))
+    t.compact() // no args: picks up the declared clustering columns
+    val nFiles = t.snapshot.allFiles.size
+    assert(nFiles > 1)
+    assert(DeltaScan(t.snapshot, Some(col("y") < 4)).files.size < nFiles,
+      "plain OPTIMIZE must have applied the clustered layout")
+    val ci = t.history(1).head
+    assert(ci.operation == "OPTIMIZE" && ci.operationParameters("zOrderBy") == "x,y")
+    assert(t.toDF.count() == 1024)
+    // autoCompact on the same table keeps bin-packing semantics: the
+    // per-write path must not silently become a full re-cluster
+    val txn1 = t.deltaLog.startTransaction()
+    txn1.updateMetadata(t.snapshot.metadata.copy(configuration =
+      t.snapshot.metadata.configuration ++ Map(
+        "delta.autoOptimize.autoCompact" -> "true",
+        "delta.autoOptimize.autoCompact.minNumFiles" -> "2")))
+    txn1.commit(Nil, "ALTER TABLE")
+    t.write(df.limit(4))
+    val ci2 = t.history(1).head
+    assert(ci2.operation == "OPTIMIZE" &&
+      !ci2.operationParameters.contains("zOrderBy"),
+      "auto compaction must bin-pack, not re-cluster")
+  }
+
   test("delta.appendOnly rejects data-changing removes") {
     val dir = tmp()
     val t = DeltaTable.forPath(spark, dir)
