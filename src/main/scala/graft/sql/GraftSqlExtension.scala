@@ -73,6 +73,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case RestoreTimestampRe(target, ts) =>
         Some(GraftRestoreCommand(parseTarget(target),
           Right(parseTsMillis(ts.trim))))
+      case DescribeDetailRe(target) =>
+        Some(GraftDescribeDetailCommand(parseTarget(target)))
+      case SetPropsRe(target, props) =>
+        Some(GraftSetPropertiesCommand(parseTarget(target),
+          parseProps(props).toMap))
+      case UnsetPropsRe(target, keys) =>
+        Some(GraftUnsetPropertiesCommand(parseTarget(target), parseKeys(keys)))
+      case ShowPropsRe(target, key) =>
+        Some(GraftShowPropertiesCommand(parseTarget(target), Option(key)))
       case _ => None
     }
   }
@@ -121,11 +130,34 @@ object GraftSqlParser {
     s"""(?is)RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)""".r
   private[sql] val RestoreTimestampRe =
     s"""(?is)RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'""".r
+  private[sql] val SetPropsRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)""".r
+  private[sql] val UnsetPropsRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+UNSET\\s+TBLPROPERTIES\\s*(?:IF\\s+EXISTS\\s*)?\\((.+)\\)""".r
+  private[sql] val ShowPropsRe =
+    s"""(?is)SHOW\\s+TBLPROPERTIES\\s+$T(?:\\s*\\(\\s*'([^']+)'\\s*\\))?""".r
+  private[sql] val DescribeDetailRe =
+    s"""(?is)DESC(?:RIBE)?\\s+DETAIL\\s+$T""".r
   private val PathTargetRe = """(?:delta|graft)\.`([^`]+)`""".r
 
   private def splitCols(s: String): Seq[String] =
     s.trim.stripPrefix("(").stripSuffix(")")
       .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+
+  private def unquote(s: String): String =
+    if ((s.startsWith("'") && s.endsWith("'")) ||
+        (s.startsWith("\"") && s.endsWith("\""))) s.substring(1, s.length - 1)
+    else s
+
+  /** `'k' = 'v', k2 = "v2"` pairs of a TBLPROPERTIES clause. */
+  private[sql] def parseProps(s: String): Seq[(String, String)] =
+    """('[^']*'|"[^"]*"|[\w.\-]+)\s*=\s*('[^']*'|"[^"]*"|[\w.\-]+)""".r
+      .findAllMatchIn(s)
+      .map(m => (unquote(m.group(1)), unquote(m.group(2)))).toSeq
+
+  private[sql] def parseKeys(s: String): Seq[String] =
+    """('[^']*'|"[^"]*"|[\w.\-]+)""".r
+      .findAllMatchIn(s).map(m => unquote(m.group(1))).toSeq
 
   private def parseTsMillis(s: String): Long =
     s.toLongOption.getOrElse {
@@ -157,6 +189,12 @@ object SqlTarget {
       spark.sessionState.catalog.getTableMetadata(identifier(parts))
         .location.toString
   }
+
+  private[sql] def tableIdentifier(t: SqlTarget): Option[TableIdentifier] =
+    t match {
+      case TableTarget(parts) => Some(identifier(parts))
+      case _ => None
+    }
 
   /** Drop the catalog's cached relation so the next `spark.table` sees
     * the new snapshot (the cache holds the pre-DML FileIndex).
@@ -223,6 +261,118 @@ case class GraftRestoreCommand(target: SqlTarget,
     val v = to.fold(t.restoreToVersion, t.restoreToTimestamp)
     SqlTarget.refresh(spark, target)
     Seq(Row(v))
+  }
+}
+
+/** TBLPROPERTIES on a graft table live in the transaction log (the
+  * catalog copy would be invisible to path-based readers and other
+  * engines); non-graft catalog tables keep stock Spark behavior.
+  */
+case class GraftSetPropertiesCommand(target: SqlTarget,
+    props: Map[String, String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = SqlTarget.resolve(spark, target)
+    val log = graft.delta.DeltaLog.forTable(spark, path)
+    if (log.tableExists) {
+      val txn = log.startTransaction()
+      val md = txn.metadata
+      txn.updateMetadata(md.copy(configuration = md.configuration ++ props))
+      txn.commit(Nil, "SET TBLPROPERTIES",
+        operationParameters = Map("properties" ->
+          props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")))
+      SqlTarget.refresh(spark, target)
+    } else SqlTarget.tableIdentifier(target) match {
+      case Some(id) =>
+        org.apache.spark.sql.execution.command
+          .AlterTableSetPropertiesCommand(id, props, isView = false).run(spark)
+      case None => throw new IllegalArgumentException(
+        s"no graft-delta table at $path")
+    }
+    Nil
+  }
+}
+
+case class GraftUnsetPropertiesCommand(target: SqlTarget,
+    keys: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = SqlTarget.resolve(spark, target)
+    val log = graft.delta.DeltaLog.forTable(spark, path)
+    if (log.tableExists) {
+      val txn = log.startTransaction()
+      val md = txn.metadata
+      txn.updateMetadata(md.copy(configuration = md.configuration -- keys))
+      txn.commit(Nil, "UNSET TBLPROPERTIES",
+        operationParameters = Map("properties" -> keys.sorted.mkString(",")))
+      SqlTarget.refresh(spark, target)
+    } else SqlTarget.tableIdentifier(target) match {
+      case Some(id) =>
+        org.apache.spark.sql.execution.command
+          .AlterTableUnsetPropertiesCommand(id, keys, ifExists = true,
+            isView = false).run(spark)
+      case None => throw new IllegalArgumentException(
+        s"no graft-delta table at $path")
+    }
+    Nil
+  }
+}
+
+case class GraftShowPropertiesCommand(target: SqlTarget,
+    key: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType)(),
+    AttributeReference("value", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = SqlTarget.resolve(spark, target)
+    val log = graft.delta.DeltaLog.forTable(spark, path)
+    val props =
+      if (log.tableExists) log.update().metadata.configuration
+      else SqlTarget.tableIdentifier(target)
+        .map(id => spark.sessionState.catalog.getTableMetadata(id).properties)
+        .getOrElse(Map.empty[String, String])
+    key match {
+      case Some(k) => props.get(k).map(v => Row(k, v)).toSeq
+      case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
+}
+
+/** DESCRIBE DETAIL: the table's operational one-row summary (file count
+  * and bytes come from one distributed aggregate over the active set).
+  */
+case class GraftDescribeDetailCommand(target: SqlTarget)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType)(),
+    AttributeReference("id", StringType)(),
+    AttributeReference("name", StringType)(),
+    AttributeReference("location", StringType)(),
+    AttributeReference("createdAt", TimestampType)(),
+    AttributeReference("lastModified", TimestampType)(),
+    AttributeReference("partitionColumns", ArrayType(StringType))(),
+    AttributeReference("clusteringColumns", ArrayType(StringType))(),
+    AttributeReference("numFiles", LongType)(),
+    AttributeReference("sizeInBytes", LongType)(),
+    AttributeReference("properties", MapType(StringType, StringType))(),
+    AttributeReference("minReaderVersion", IntegerType)(),
+    AttributeReference("minWriterVersion", IntegerType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+    val path = SqlTarget.resolve(spark, target)
+    val t = DeltaTable.forPath(spark, path)
+    val s = t.deltaLog.update()
+    val md = s.metadata
+    val r = s.activeFilesDF
+      .agg(count(lit(1)), coalesce(sum("size"), lit(0L))).head()
+    val last = t.deltaLog.commitInfoAt(s.version).map(_.timestamp)
+    Seq(Row("graft-delta", md.id, md.name, path,
+      md.createdTime.map(new java.sql.Timestamp(_)).orNull,
+      last.map(new java.sql.Timestamp(_)).orNull,
+      md.partitionColumns,
+      graft.delta.DeltaConfig.ClusteringColumns.fromMetadata(md),
+      r.getLong(0), r.getLong(1), md.configuration,
+      s.protocol.minReaderVersion, s.protocol.minWriterVersion))
   }
 }
 

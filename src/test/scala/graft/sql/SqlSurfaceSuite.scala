@@ -169,6 +169,51 @@ class SqlSurfaceSuite extends AnyFunSuite {
     assert(spark.table("t_maint").count() == 5)
   }
 
+  test("SET/UNSET/SHOW TBLPROPERTIES live in the transaction log") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "v").write.format("graft-delta").save(dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES (" +
+      "'delta.enableDeletionVectors' = 'true', 'delta.clusteringColumns' = 'id')")
+    val t = DeltaTable.forPath(spark, dir)
+    val cfg = t.deltaLog.update().metadata.configuration
+    assert(cfg("delta.enableDeletionVectors") == "true")
+    assert(cfg("delta.clusteringColumns") == "id")
+    assert(t.history(1).head.operation == "SET TBLPROPERTIES")
+    // SHOW reads the log, sorted; single-key form filters
+    val shown = spark.sql(s"SHOW TBLPROPERTIES graft.`$dir`")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(shown == shown.sortBy(_._1) && shown.toMap == cfg)
+    val one = spark.sql(
+      s"SHOW TBLPROPERTIES graft.`$dir` ('delta.clusteringColumns')").collect()
+    assert(one.length == 1 && one.head.getString(1) == "id")
+    // the property is live: a DELETE now takes the merge-on-read path
+    val before = t.snapshot.allFiles.map(_.path).toSet
+    t.delete(col("id") === 1)
+    assert(before.subsetOf(t.snapshot.allFiles.map(_.path).toSet),
+      "DV property set via SQL must route DELETE through deletion vectors")
+    spark.sql(s"ALTER TABLE graft.`$dir` UNSET TBLPROPERTIES ('delta.clusteringColumns')")
+    assert(!t.deltaLog.update().metadata.configuration.contains("delta.clusteringColumns"))
+  }
+
+  test("DESCRIBE DETAIL summarizes the table in one row") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "part")
+      .write.format("graft-delta").partitionBy("part").save(dir)
+    val r = spark.sql(s"DESCRIBE DETAIL graft.`$dir`").collect().head
+    assert(r.getAs[String]("format") == "graft-delta")
+    assert(r.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq == Seq("part"))
+    assert(r.getAs[Long]("numFiles") == 2)
+    assert(r.getAs[Long]("sizeInBytes") > 0)
+    assert(r.getAs[Int]("minReaderVersion") >= 1)
+    // catalog-table form resolves through the metastore
+    freshTable("t_detail")
+    seed().write.format("graft-delta").saveAsTable("t_detail")
+    val d2 = spark.sql("DESCRIBE DETAIL t_detail").collect().head
+    assert(d2.getAs[Long]("numFiles") > 0)
+  }
+
   test("the delegating parser leaves ordinary SQL alone") {
     assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
     assert(spark.sql("DESCRIBE FUNCTION abs").count() > 0)
