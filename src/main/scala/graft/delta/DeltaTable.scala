@@ -187,12 +187,53 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         val cdc = actions.collect { case c: AddCDCFile => abs(c.path) }
         if (cdc.nonEmpty) cdcCat.entries ++= cdc.map((v, _))
         else {
-          val ins = actions.collect { case a: AddFile if a.dataChange => a }
-          val del = actions.collect {
+          val insAll = actions.collect { case a: AddFile if a.dataChange => a }
+          val delAll = actions.collect {
             case r: RemoveFile if r.dataChange =>
               AddFile(r.path, Option(r.partitionValues).getOrElse(Map.empty),
-                r.size.getOrElse(0L), 0L, dataChange = true, tags = r.tags)
+                r.size.getOrElse(0L), 0L, dataChange = true, tags = r.tags,
+                deletionVector = r.deletionVector)
           }
+          // merge-on-read commits remove+re-add the SAME data file with a
+          // changed deletion vector; the row-level change is the DV diff,
+          // not two whole-file frames. Newly-masked row ids become
+          // "delete" rows, newly-unmasked ones (RESTORE back across a DV
+          // delete) become "insert" rows — exact CDC without the table
+          // ever enabling the change feed.
+          val delByPath = delAll.map(f => f.path -> f).toMap
+          val pairedPaths = insAll.map(_.path).toSet & delByPath.keySet
+          val dvPairs = insAll.filter(a => pairedPaths(a.path) &&
+            DeletionVectors.descriptor(a) !=
+              DeletionVectors.descriptor(delByPath(a.path)))
+          if (dvPairs.nonEmpty) {
+            val stripped = dvPairs.map(a => a.copy(deletionVector = null,
+              tags = Option(a.tags).map(_ - DeletionVectors.PathTag -
+                DeletionVectors.CardinalityTag).orNull))
+            val raw = readFilesKeyed(stripped, endSnap.metadata)
+            val newRows = DeletionVectors.rowsDF(spark, deltaLog.dataPath, dvPairs)
+            val oldRows = DeletionVectors.rowsDF(spark, deltaLog.dataPath,
+              dvPairs.map(a => delByPath(a.path)))
+            def dvDiffFrame(rows: Option[DataFrame], minus: Option[DataFrame],
+                ct: String): Option[DataFrame] = {
+              val diff = (rows, minus) match {
+                case (None, _) => None
+                case (Some(n), None) => Some(n)
+                case (Some(n), Some(o)) => Some(n.join(o, Seq("fp", "ri"), "left_anti"))
+              }
+              diff.map(d => raw
+                .join(d.select(col("fp").as("__fp"), col("ri").as("__ri")),
+                  Seq("__fp", "__ri"))
+                .withColumn("_change_type", lit(ct))
+                .withColumn("_commit_version", lit(v))
+                .withColumn("_commit_timestamp",
+                  timestamp_millis(lit(tsOf.getOrElse(v, 0L))))
+                .select((outCols :+ "_commit_version" :+ "_commit_timestamp").map(col): _*))
+            }
+            absFrames ++= dvDiffFrame(newRows, oldRows, "delete").toSeq
+            absFrames ++= dvDiffFrame(oldRows, newRows, "insert").toSeq
+          }
+          val ins = insAll.filterNot(f => pairedPaths(f.path))
+          val del = delAll.filterNot(f => pairedPaths(f.path))
           Seq((ins, "insert", insCat), (del, "delete", delCat)).foreach {
             case (fs, ct, cat) =>
               if (fs.exists(f => new java.net.URI(f.path).isAbsolute))

@@ -358,6 +358,34 @@ class DeletionVectorSuite extends AnyFunSuite {
     assert(dvFiles(t).nonEmpty)
   }
 
+  test("tableChanges without CDF is row-exact on DV commits (bitmap diff)") {
+    import spark.implicits._
+    // NOTE: no delta.enableChangeDataFeed — the fallback path
+    val t = DeltaTable.forPath(spark, tmp())
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = df.schema.json,
+      configuration = Map("delta.enableDeletionVectors" -> "true")))
+    txn.commit(Nil, "CREATE TABLE")
+    t.write(df.coalesce(1))
+    val v1 = t.delete(col("id") === 2)
+    val v2 = t.delete(col("id") === 1) // merges into the same file's DV
+    val ch = t.tableChanges(v1, v2)
+      .select($"id", $"_change_type", $"_commit_version")
+      .orderBy($"_commit_version")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(ch == Seq((2L, "delete", v1), (1L, "delete", v2)),
+      "DV commits must emit exactly the newly-masked rows")
+    // RESTORE back across the DV delete: the rows REAPPEAR as inserts
+    val v3 = t.restoreToVersion(v1)
+    val back = t.tableChanges(v3, v3)
+      .select($"id", $"_change_type")
+      .as[(Long, String)].collect().toSeq
+    assert(back == Seq((1L, "insert")),
+      "unmasking must surface as row-level inserts")
+  }
+
   test("CDF captures DV update pre/post images") {
     import spark.implicits._
     val t = DeltaTable.forPath(spark, tmp())
