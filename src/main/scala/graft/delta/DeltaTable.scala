@@ -1028,6 +1028,30 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       s"cannot $op column $column: referenced by CHECK constraint(s) ${hit.keys.mkString(", ")}")
   }
 
+  /** ADD COLUMNS: metadata-only schema evolution — the new columns are
+    * appended nullable (old files read them as null), with fresh physical
+    * ids under column mapping so a re-added name can never resurrect
+    * dropped parquet data. Same semantics as a mergeSchema append, minus
+    * the data.
+    */
+  def addColumns(cols: org.apache.spark.sql.types.StructType): Long = {
+    val txn = deltaLog.startTransaction()
+    require(txn.snapshot.metadataOpt.isDefined, "table does not exist")
+    val md = txn.metadata
+    val clash = cols.fieldNames.filter(md.schema.fieldNames.contains)
+    require(clash.isEmpty, s"column(s) already exist: ${clash.mkString(", ")}")
+    var mx = ColumnMapping.maxId(md.schema)
+    val annotated = cols.fields.map { f =>
+      if (ColumnMapping.enabled(md)) {
+        val a = ColumnMapping.freshField(f.copy(nullable = true), mx); mx += 1; a
+      } else f.copy(nullable = true)
+    }
+    txn.updateMetadata(md.copy(schemaString =
+      org.apache.spark.sql.types.StructType(md.schema.fields ++ annotated).json))
+    txn.commit(Nil, "ADD COLUMNS",
+      operationParameters = Map("columns" -> cols.fieldNames.mkString(",")))
+  }
+
   // ---------------------------------------------------------- constraints
 
   /** The CHECK constraints on this table (name -> SQL expression). */

@@ -75,6 +75,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           Right(parseTsMillis(ts.trim))))
       case DescribeDetailRe(target) =>
         Some(GraftDescribeDetailCommand(parseTarget(target)))
+      case AddConstraintRe(target, name, check) =>
+        Some(GraftAddConstraintCommand(parseTarget(target), name, check.trim))
+      case DropConstraintRe(target, name) =>
+        Some(GraftDropConstraintCommand(parseTarget(target), name,
+          ifExists = s.toUpperCase.contains("IF EXISTS")))
+      case AddColumnsRe(target, cols) =>
+        Some(GraftAddColumnsCommand(parseTarget(target),
+          delegate.parseTableSchema(cols)))
       case SetPropsRe(target, props) =>
         Some(GraftSetPropertiesCommand(parseTarget(target),
           parseProps(props).toMap))
@@ -130,6 +138,12 @@ object GraftSqlParser {
     s"""(?is)RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)""".r
   private[sql] val RestoreTimestampRe =
     s"""(?is)RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'""".r
+  private[sql] val AddConstraintRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)""".r
+  private[sql] val DropConstraintRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)""".r
+  private[sql] val AddColumnsRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)""".r
   private[sql] val SetPropsRe =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)""".r
   private[sql] val UnsetPropsRe =
@@ -261,6 +275,53 @@ case class GraftRestoreCommand(target: SqlTarget,
     val v = to.fold(t.restoreToVersion, t.restoreToTimestamp)
     SqlTarget.refresh(spark, target)
     Seq(Row(v))
+  }
+}
+
+case class GraftAddConstraintCommand(target: SqlTarget, name: String,
+    check: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    val v = t.addConstraint(name, check)
+    SqlTarget.refresh(spark, target)
+    Seq(Row(v))
+  }
+}
+
+case class GraftDropConstraintCommand(target: SqlTarget, name: String,
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    if (ifExists && !t.constraints.contains(name)) return Nil
+    val v = t.dropConstraint(name)
+    SqlTarget.refresh(spark, target)
+    Seq(Row(v))
+  }
+}
+
+/** ADD COLUMNS on a graft table is a metadata-only log commit; other
+  * catalog tables keep stock Spark behavior.
+  */
+case class GraftAddColumnsCommand(target: SqlTarget,
+    cols: StructType) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = SqlTarget.resolve(spark, target)
+    val log = graft.delta.DeltaLog.forTable(spark, path)
+    if (log.tableExists) {
+      val v = DeltaTable.forPath(spark, path).addColumns(cols)
+      SqlTarget.refresh(spark, target)
+      Seq(Row(v))
+    } else SqlTarget.tableIdentifier(target) match {
+      case Some(id) =>
+        org.apache.spark.sql.execution.command
+          .AlterTableAddColumnsCommand(id, cols.fields.toSeq).run(spark)
+        Nil
+      case None => throw new IllegalArgumentException(
+        s"no graft-delta table at $path")
+    }
   }
 }
 

@@ -214,6 +214,30 @@ class SqlSurfaceSuite extends AnyFunSuite {
     assert(d2.getAs[Long]("numFiles") > 0)
   }
 
+  test("ALTER TABLE ADD COLUMNS / ADD-DROP CONSTRAINT commit to the log") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, 10), (2L, 20)).toDF("id", "score").write.format("graft-delta").save(dir)
+    val t = DeltaTable.forPath(spark, dir)
+    // metadata-only column addition: old files read the new column as null
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (tag STRING, w DOUBLE)")
+    assert(t.deltaLog.update().metadata.schema.fieldNames.toSeq ==
+      Seq("id", "score", "tag", "w"))
+    assert(t.toDF.select("tag").collect().forall(_.isNullAt(0)))
+    assert(t.history(1).head.operation == "ADD COLUMNS")
+    // CHECK constraint: validated against existing rows, enforced on write
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD CONSTRAINT pos CHECK (score > 0)")
+    assert(t.constraints == Map("pos" -> "score > 0"))
+    val ex = intercept[Exception](
+      t.write(Seq((3L, -5, "x", 1.0)).toDF("id", "score", "tag", "w")))
+    assert(ex.isInstanceOf[graft.delta.ConstraintViolationException] ||
+      graft.delta.Constraints.unwrap(ex).isDefined)
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP CONSTRAINT pos")
+    assert(t.constraints.isEmpty)
+    // IF EXISTS tolerates a missing name
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP CONSTRAINT IF EXISTS nope")
+  }
+
   test("the delegating parser leaves ordinary SQL alone") {
     assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
     assert(spark.sql("DESCRIBE FUNCTION abs").count() > 0)
