@@ -154,6 +154,72 @@ object Corpus {
       SELECT doc_id, h FROM d
       WHERE source = 'src1'
         AND h NOT IN (SELECT h FROM d WHERE source <> 'src1')
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // C23 ---------------------------------------------------------------
+    // Temperature-style mixture sampling: big sources are downsampled by
+    // an inverse-sqrt keep rate (min(1, sqrt(1000/n)) — the flattening a
+    // data-mixture schedule applies so head domains don't drown the
+    // tail), with the same deterministic md5 coin as sample_stratified.
+    // The rate is a closed-form per-source function of its count — no
+    // cross-source float accumulation, so both engines agree bit-exactly.
+    // One tiny groupBy for counts, broadcast back; the scan stays one
+    // pass at any corpus size.
+    GQ("sample_mixture", (s, d) => {
+      import s.implicits._
+      val docs = table(s, d, "documents")
+      val rates = docs.groupBy($"source")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rate", least(lit(1.0), sqrt(lit(1000.0) / $"n".cast("double"))))
+      val u = (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+        .cast("long") % 1000000L) / lit(1000000.0)
+      docs.join(broadcast(rates), "source")
+        .filter(u < $"rate")
+        .groupBy($"source", $"n", $"rate")
+        .agg(count(lit(1)).as("kept"))
+        .select($"source", $"n", $"rate", $"kept")
+        .orderBy($"source")
+    }, Some("""
+      WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      r AS (SELECT source, n, least(1.0, sqrt(1000.0 / CAST(n AS DOUBLE))) AS rate FROM c)
+      SELECT d.source, r.n, r.rate, COUNT(*) AS kept
+      FROM documents d JOIN r ON d.source = r.source
+      WHERE (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000)/1000000.0 < r.rate
+      GROUP BY d.source, r.n, r.rate
+      ORDER BY d.source""")),
+
+    // C24 ---------------------------------------------------------------
+    // Sequence packing (concat-and-chunk): documents are concatenated in
+    // doc_id order per source and chunked into 4096-token context
+    // windows; a bin is the window a document STARTS in. The running sum
+    // is a partitioned window over integers — deterministic, and at
+    // 100 TB each source's cumsum is its own partition of the shuffle.
+    // Output is the per-window packing report (docs, tokens, fill).
+    GQ("pack_contexts", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, d, "documents")
+        .withColumn("n_tok", size(tokens($"text")).cast("long"))
+        .withColumn("cum", sum($"n_tok").over(w))
+        .withColumn("bin", floor(($"cum" - $"n_tok") / lit(4096L)).cast("long"))
+        .groupBy($"source", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+        .withColumn("fill", $"n_tokens".cast("double") / lit(4096.0))
+        .select($"source", $"bin", $"n_docs", $"n_tokens", $"fill")
+        .orderBy($"source", $"bin")
+    }, Some("""
+      WITH t AS (SELECT doc_id, source,
+          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (SELECT source, doc_id, n_tok,
+          SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      SELECT source, CAST((cum - n_tok) // 4096 AS BIGINT) AS bin,
+        COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+        CAST(SUM(n_tok) AS DOUBLE) / 4096.0 AS fill
+      FROM c GROUP BY source, bin
+      ORDER BY source, bin"""))
   )
 }
