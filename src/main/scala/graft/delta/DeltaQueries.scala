@@ -117,6 +117,26 @@ object DeltaQueries {
         .execute()
     }
 
+  private def clusteredFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "clustered") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val orders = table(s, d, "orders")
+      val txn = t.deltaLog.startTransaction()
+      txn.updateMetadata(Metadata(
+        schemaString = orders.schema.json,
+        configuration = Map(
+          "delta.targetFileSize" -> (64L * 1024).toString,
+          "delta.clusteringColumns" -> "o_custkey,o_totalprice")))
+      txn.commit(Nil, "CREATE TABLE")
+      t.write(orders.repartition(8), SaveMode.Append)
+      // plain OPTIMIZE picks up the declared clustering columns
+      t.compact()
+      val ci = t.deltaLog.commitInfoAt(t.snapshot.version).get
+      require(ci.operation == "OPTIMIZE" &&
+        ci.operationParameters.get("zOrderBy").contains("o_custkey,o_totalprice"),
+        "parameterless OPTIMIZE must apply the declared clustering")
+    }
+
   private def identityFixture(s: SparkSession, d: String): String =
     fixture(s, d, "identity") { dir =>
       val t = DeltaTable.forPath(s, dir)
@@ -487,6 +507,18 @@ object DeltaQueries {
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
       FROM orders WHERE NOT (o_totalprice > 250000) AND o_orderstatus <> 'P'
       ORDER BY o_orderkey""")),
+
+    // declared clustering columns: parameterless OPTIMIZE re-clusters
+    // along them (checked in the fixture); content must survive the
+    // Morton re-layout byte-exactly
+    GQ("delta_clustered", (s, d) => {
+      val dir = clusteredFixture(s, d)
+      DeltaTable.forPath(s, dir).toDF
+        .select(ordersCols.map(col): _*)
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders ORDER BY o_orderkey""")),
 
     // identity columns: server-side generation in batch row order with a
     // transactional high-water mark; the oracle replays the same order
