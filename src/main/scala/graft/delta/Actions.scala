@@ -86,6 +86,23 @@ object Protocol {
       Some(p.writerFeatures.getOrElse(Set.empty) ++
         writerImplicits(p.minWriterVersion) + feature)))
   }
+
+  /** Writer-only variant: the upgrade to writer v7 listing `features`
+    * (plus the old version's implicit features), or None when `p` already
+    * lists them all. The reader version is untouched — writer features
+    * like `rowTracking`/`domainMetadata` don't constrain readers.
+    */
+  def requireWriterFeatures(p: Protocol, features: Set[String]): Option[Protocol] = {
+    val has = p.minWriterVersion == 7 &&
+      features.subsetOf(p.writerFeatures.getOrElse(Set.empty))
+    if (has) None
+    else {
+      val base =
+        if (p.minWriterVersion == 7) p.writerFeatures.getOrElse(Set.empty)
+        else p.writerFeatures.getOrElse(Set.empty) ++ writerImplicits(p.minWriterVersion)
+      Some(p.copy(minWriterVersion = 7, writerFeatures = Some(base ++ features)))
+    }
+  }
 }
 
 sealed trait FileAction extends Action {
@@ -109,7 +126,11 @@ final case class DeletionVectorDescriptor(
     sizeInBytes: Int = 0,
     cardinality: Long = 0L)
 
-/** cf. reference `action/add.go` (AddFile). */
+/** cf. reference `action/add.go` (AddFile). `baseRowId` and
+  * `defaultRowCommitVersion` are the open row-tracking protocol fields:
+  * a row's fresh id is `baseRowId + <position in file>` unless the file
+  * carries materialized row-id columns (see [[RowTracking]]).
+  */
 final case class AddFile(
     path: String,
     partitionValues: Map[String, String] = Map.empty,
@@ -118,7 +139,9 @@ final case class AddFile(
     dataChange: Boolean = true,
     stats: String = null,
     tags: Map[String, String] = null,
-    deletionVector: DeletionVectorDescriptor = null) extends FileAction {
+    deletionVector: DeletionVectorDescriptor = null,
+    baseRowId: Option[Long] = None,
+    defaultRowCommitVersion: Option[Long] = None) extends FileAction {
   def remove(deletionTimestamp: Long, dataChange: Boolean = true): RemoveFile =
     RemoveFile(path, Some(deletionTimestamp), dataChange,
       extendedFileMetadata = true, partitionValues, Some(size),
@@ -146,6 +169,19 @@ final case class AddCDCFile(
     size: Long = 0L,
     tags: Map[String, String] = null) extends Action {
   def wrap: SingleAction = SingleAction(cdc = this)
+}
+
+/** Open Delta protocol domain metadata (PROTOCOL.md "Domain Metadata"):
+  * a named configuration domain owned by the system or the user.
+  * `configuration` is an opaque serialized string (JSON by convention);
+  * `removed = true` tombstones the domain. Snapshot replay keeps the
+  * latest action per domain; checkpoints persist live domains only.
+  */
+final case class DomainMetadata(
+    domain: String,
+    configuration: String = null,
+    removed: Boolean = false) extends Action {
+  def wrap: SingleAction = SingleAction(domainMetadata = this)
 }
 
 /** cf. reference `action/trx.go` (SetTransaction). */
@@ -182,7 +218,8 @@ final case class SingleAction(
     metaData: Metadata = null,
     protocol: Protocol = null,
     cdc: AddCDCFile = null,
-    commitInfo: CommitInfo = null) {
+    commitInfo: CommitInfo = null,
+    domainMetadata: DomainMetadata = null) {
   def unwrap: Action =
     if (add != null) add
     else if (remove != null) remove
@@ -191,6 +228,7 @@ final case class SingleAction(
     else if (txn != null) txn
     else if (cdc != null) cdc
     else if (commitInfo != null) commitInfo
+    else if (domainMetadata != null) domainMetadata
     else null
 }
 
@@ -229,6 +267,8 @@ object Actions {
         put(o, "stats", f.stats)
         putMap(o, "tags", f.tags)
         putDv(o, f.deletionVector)
+        f.baseRowId.foreach(o.put("baseRowId", _))
+        f.defaultRowCommitVersion.foreach(o.put("defaultRowCommitVersion", _))
       case f: RemoveFile =>
         val o = root.putObject("remove")
         o.put("path", f.path)
@@ -263,6 +303,11 @@ object Actions {
         p.writerFeatures.foreach { fs =>
           val a = o.putArray("writerFeatures"); fs.toSeq.sorted.foreach(a.add)
         }
+      case d: DomainMetadata =>
+        val o = root.putObject("domainMetadata")
+        o.put("domain", d.domain)
+        put(o, "configuration", d.configuration)
+        o.put("removed", d.removed)
       case t: SetTransaction =>
         val o = root.putObject("txn")
         o.put("appId", t.appId)
@@ -342,7 +387,8 @@ object Actions {
       case "add" => Some(AddFile(
         str(n, "path"), nonNullMap(strMap(n, "partitionValues")), long(n, "size"),
         long(n, "modificationTime"), bool(n, "dataChange", dflt = true),
-        str(n, "stats"), strMap(n, "tags"), dvOf(n)))
+        str(n, "stats"), strMap(n, "tags"), dvOf(n),
+        optLong(n, "baseRowId"), optLong(n, "defaultRowCommitVersion")))
       case "remove" => Some(RemoveFile(
         str(n, "path"), optLong(n, "deletionTimestamp"), bool(n, "dataChange", dflt = true),
         bool(n, "extendedFileMetadata"), strMap(n, "partitionValues"),
@@ -370,6 +416,8 @@ object Actions {
         Some(Protocol(
           long(n, "minReaderVersion", 1).toInt, long(n, "minWriterVersion", 2).toInt,
           features("readerFeatures"), features("writerFeatures")))
+      case "domainMetadata" => Some(DomainMetadata(
+        str(n, "domain"), str(n, "configuration"), bool(n, "removed")))
       case "txn" => Some(SetTransaction(
         str(n, "appId"), long(n, "version"), optLong(n, "lastUpdated")))
       case "cdc" => Some(AddCDCFile(

@@ -128,6 +128,12 @@ object DeltaConfig {
   val EnableDeletionVectors: TableConfig[Boolean] =
     TableConfig("delta.enableDeletionVectors", "false", _.trim.toLowerCase == "true")
 
+  /** Stable per-row ids (open `rowTracking` writer feature) — see
+    * [[RowTracking]].
+    */
+  val RowTracking: TableConfig[Boolean] =
+    TableConfig("delta.enableRowTracking", "false", _.trim.toLowerCase == "true")
+
   /** `none` | `name` | `id` — see [[ColumnMapping]]. */
   val ColumnMappingMode: TableConfig[String] =
     TableConfig("delta.columnMapping.mode", "none", _.trim.toLowerCase)

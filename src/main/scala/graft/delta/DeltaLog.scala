@@ -299,6 +299,7 @@ object DeltaErrors {
   final class MetadataChangedException(msg: String) extends DeltaConcurrentModificationException(msg)
   final class ProtocolChangedException(msg: String) extends DeltaConcurrentModificationException(msg)
   final class ConcurrentTransactionException(msg: String) extends DeltaConcurrentModificationException(msg)
+  final class DomainMetadataChangedException(msg: String) extends DeltaConcurrentModificationException(msg)
 
   def versionNotExist(v: Long, earliest: Long, latest: Long) =
     new IllegalArgumentException(s"cannot time travel to version $v: available [$earliest, $latest]")

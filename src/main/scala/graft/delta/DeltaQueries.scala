@@ -159,6 +159,27 @@ object DeltaQueries {
         "identity tables must carry writer version 6")
     }
 
+  private def rowTrackingFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "rowtracking") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val nation = table(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val txn = t.deltaLog.startTransaction()
+      txn.updateMetadata(Metadata(
+        schemaString = nation.schema.json,
+        configuration = Map(
+          "delta.enableRowTracking" -> "true",
+          "delta.enableDeletionVectors" -> "true")))
+      txn.commit(Nil, "CREATE TABLE")
+      // one sorted file: fresh ids follow the sort order (0..N-1)
+      t.write(nation.orderBy(col("n_nationkey")).coalesce(1))
+      t.delete(col("n_regionkey") === 2) // DV mask: surviving ids stable
+      t.compact()                        // materializes the surviving ids
+      // re-admit the deleted region: fresh ids continue above the mark
+      t.write(nation.filter(col("n_regionkey") === 2)
+        .orderBy(col("n_nationkey")).coalesce(1))
+    }
+
   private def dvMergeFixture(s: SparkSession, d: String): String =
     fixture(s, d, "dml-dv-merge") { dir =>
       val t = DeltaTable.forPath(s, dir)
@@ -507,6 +528,31 @@ object DeltaQueries {
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
       FROM orders WHERE NOT (o_totalprice > 250000) AND o_orderstatus <> 'P'
       ORDER BY o_orderkey""")),
+
+    // row tracking: fresh ids follow file position, survive a DV delete
+    // untouched, survive OPTIMIZE via materialized columns, and continue
+    // above the transactional high-water mark on later appends — the
+    // oracle replays the whole id lifecycle with row_number arithmetic
+    GQ("delta_row_tracking", (s, d) => {
+      val dir = rowTrackingFixture(s, d)
+      DeltaTable.forPath(s, dir).toDFWithRowIds
+        .select(col("n_nationkey"), col("n_name"), col("row_id"))
+        .orderBy(col("row_id"))
+    }, Some("""
+      WITH ranked AS (
+        SELECT n_nationkey, n_name, n_regionkey,
+               CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS BIGINT) AS row_id
+        FROM nation),
+      surv AS (SELECT n_nationkey, n_name, row_id FROM ranked WHERE n_regionkey <> 2),
+      readd AS (
+        SELECT n_nationkey, n_name,
+               (SELECT count(*) FROM nation) - 1
+                 + (SELECT count(*) FROM nation WHERE n_regionkey <> 2)
+                 + CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS row_id
+        FROM nation WHERE n_regionkey = 2)
+      SELECT n_nationkey, n_name, row_id
+      FROM (SELECT * FROM surv UNION ALL SELECT * FROM readd)
+      ORDER BY row_id""")),
 
     // declared clustering columns: parameterless OPTIMIZE re-clusters
     // along them (checked in the fixture); content must survive the

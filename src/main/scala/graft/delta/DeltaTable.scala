@@ -83,6 +83,84 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     df
   }
 
+  /** The table with its row-tracking identity columns: every table column
+    * plus `row_id` (stable, table-unique) and `row_commit_version` (the
+    * commit that produced the row's current version). Fresh ids come from
+    * `baseRowId + <position in file>` via one broadcast join of the
+    * file-info list against `_metadata.file_path`; files rewritten by
+    * OPTIMIZE override them with their materialized columns. Files
+    * written before row tracking was enabled read as NULL ids (enable at
+    * creation, or rewrite once with OPTIMIZE, to backfill).
+    */
+  def toDFWithRowIds: DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = snapshot
+    val md = s.metadata
+    require(RowTracking.enabled(md),
+      s"row tracking is not enabled on ${deltaLog.dataPath} (set delta.enableRowTracking=true)")
+    val files = s.allFiles
+    if (files.isEmpty)
+      return readSnapshot(s, None)
+        .withColumn("row_id", lit(null).cast("long"))
+        .withColumn("row_commit_version", lit(null).cast("long"))
+    rowIdResolved(files, md)
+      .withColumnRenamed("__rt_row_id", "row_id")
+      .withColumnRenamed("__rt_rcv", "row_commit_version")
+      .select((md.schema.fieldNames.toSeq :+ "row_id" :+ "row_commit_version")
+        .map(col): _*)
+  }
+
+  /** Keyed read of `files` with row identity resolved into `__rt_row_id` /
+    * `__rt_rcv` (all table columns present; `__fp`/`__ri` retained).
+    */
+  private def rowIdResolved(files: Seq[AddFile], md: Metadata): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val mats = Seq(StructField(RowTracking.MatRowId, LongType),
+      StructField(RowTracking.MatRowCommitVersion, LongType))
+    val keyed = readFilesKeyed(files, md, mats)
+    val infoRows = files.map(f => Row(
+      normPath(FileNames.absolutePath(deltaLog.dataPath, f.path).toString),
+      f.baseRowId.map(Long.box).orNull,
+      f.defaultRowCommitVersion.map(Long.box).orNull))
+    val infoSchema = StructType(Seq(StructField("__rt_fp", StringType),
+      StructField("__rt_base", LongType), StructField("__rt_dcv", LongType)))
+    val info = spark.createDataFrame(infoRows.asJava, infoSchema)
+    keyed.join(broadcast(info), col("__fp") === col("__rt_fp"), "left")
+      .withColumn("__rt_row_id",
+        coalesce(col(RowTracking.MatRowId), col("__rt_base") + col("__ri")))
+      .withColumn("__rt_rcv",
+        coalesce(col(RowTracking.MatRowCommitVersion), col("__rt_dcv")))
+  }
+
+  // ----------------------------------------------------- domain metadata
+
+  /** Live metadata domains (domain -> configuration string). */
+  def domainMetadata: Map[String, String] = snapshot.domainMetadata
+
+  /** Set a named metadata domain in one commit. User domains must not use
+    * the `delta.` system prefix; concurrent writers of the same domain
+    * conflict (there is no merge for opaque configurations).
+    */
+  def setDomainMetadata(domain: String, configuration: String): Long = {
+    require(!domain.startsWith("delta."),
+      s"domain '$domain' uses the reserved system prefix 'delta.'")
+    val txn = deltaLog.startTransaction()
+    txn.commit(Seq(DomainMetadata(domain, configuration)), "SET DOMAIN METADATA",
+      operationParameters = Map("domain" -> domain))
+  }
+
+  /** Tombstone a domain (no-op commit-free return when absent). */
+  def removeDomainMetadata(domain: String): Long = {
+    require(!domain.startsWith("delta."),
+      s"domain '$domain' uses the reserved system prefix 'delta.'")
+    val txn = deltaLog.startTransaction()
+    if (!txn.snapshot.domainMetadataMap.contains(domain)) return txn.readVersion
+    txn.commit(Seq(DomainMetadata(domain, null, removed = true)),
+      "REMOVE DOMAIN METADATA", operationParameters = Map("domain" -> domain))
+  }
+
   // ------------------------------------------------------------- history
 
   /** cf. reference `history_manager.go`: newest-first commit infos. */
@@ -555,7 +633,16 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // most `saltBuckets` output files of ~targetSize each
     val maxPartBytes = toCompact.values.map(_.map(_.size).sum).max
     val saltBuckets = math.max(1, math.ceil(maxPartBytes.toDouble / targetSize).toInt)
-    val df0 = readFilesDF(files, md)
+    // row tracking: OPTIMIZE rewrites content-identical rows, so their ids
+    // must survive — materialize them as physical (non-schema) columns in
+    // the rewritten files, where they override the fresh baseRowId ids
+    val df0 =
+      if (RowTracking.enabled(md))
+        rowIdResolved(files, md).select(
+          (md.schema.fieldNames.map(col).toSeq :+
+            col("__rt_row_id").as(RowTracking.MatRowId) :+
+            col("__rt_rcv").as(RowTracking.MatRowCommitVersion)): _*)
+      else readFilesDF(files, md)
     val dataCols = md.schema.fieldNames.filterNot(partCols.contains).map(col).toSeq
     // zero-arg hash() fails analysis when every column is a partition column
     val salt = if (dataCols.isEmpty) lit(0) else pmod(hash(dataCols: _*), lit(saltBuckets))
@@ -713,22 +800,26 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * `partitionValues` instead — a broadcast join on file identity, one
     * row per file — because `basePath` cannot span foreign roots.
     */
-  private[delta] def readFilesKeyed(files: Seq[AddFile], md: Metadata): DataFrame = {
+  private[delta] def readFilesKeyed(files: Seq[AddFile], md: Metadata,
+      extraPhysical: Seq[org.apache.spark.sql.types.StructField] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     ColumnMapping.prepareRead(spark, md)
     val partCols = md.partitionColumns
     val paths = files.map(f => FileNames.absolutePath(deltaLog.dataPath, f.path).toString)
     val external = files.exists(f => new java.net.URI(f.path).isAbsolute)
     if (!external) {
-      val raw = spark.read.schema(ColumnMapping.physicalSchema(md))
+      val raw = spark.read
+        .schema(org.apache.spark.sql.types.StructType(
+          ColumnMapping.physicalSchema(md).fields ++ extraPhysical))
         .option("basePath", deltaLog.dataPath.toString)
         .parquet(paths: _*)
       ColumnMapping.toLogical(md,
         DeletionVectors.filterDeleted(spark, deltaLog.dataPath, files, raw, keepKeys = true),
-        extra = Seq("__fp", "__ri"))
+        extra = Seq("__fp", "__ri") ++ extraPhysical.map(_.name))
     } else {
       val dataSchema = org.apache.spark.sql.types.StructType(
-        ColumnMapping.physicalSchema(md).filterNot(f => partCols.contains(f.name)))
+        ColumnMapping.physicalSchema(md).fields
+          .filterNot(f => partCols.contains(f.name)) ++ extraPhysical)
       val raw = spark.read.schema(dataSchema).parquet(paths: _*)
       var keyed = DeletionVectors.filterDeleted(spark, deltaLog.dataPath, files, raw,
         keepKeys = true)
@@ -753,7 +844,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         }
         keyed = keyed.drop("__pv_fp" +: partCols.map(c => s"__pv_$c"): _*)
       }
-      ColumnMapping.toLogical(md, keyed, extra = Seq("__fp", "__ri"))
+      ColumnMapping.toLogical(md, keyed,
+        extra = Seq("__fp", "__ri") ++ extraPhysical.map(_.name))
     }
   }
 
@@ -1224,15 +1316,19 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       "sourceVersion" -> src.version.toString,
       "isShallow" -> "true")
     val n = src.numOfFiles
+    // live domains come along (the row-tracking high-water mark in
+    // particular: the clone's AddFiles keep their baseRowIds, so a fresh
+    // mark would hand out colliding ids on the first append)
+    val domains = src.domainMetadataMap.values.toSeq.map(d => d: Action)
     if (n > DeltaTable.commitLargeThreshold(spark)) {
       import scala.jdk.CollectionConverters._
       txn.commitLarge(
-        (Seq(src.protocol: Action).iterator) ++
+        ((src.protocol: Action) +: domains).iterator ++
           src.allFilesDS.toLocalIterator().asScala.map(f => rewrite(f): Action),
         "CLONE", operationParameters = params,
         operationMetrics = Map("numClonedFiles" -> n.toString))
     } else {
-      txn.commit(src.protocol +: src.allFiles.map(rewrite), "CLONE",
+      txn.commit((src.protocol +: domains) ++ src.allFiles.map(rewrite), "CLONE",
         operationParameters = params)
     }
     DeltaTable.forPath(spark, destPath)

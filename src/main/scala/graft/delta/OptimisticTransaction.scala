@@ -130,6 +130,28 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     }
     if (finalActions.count(_.isInstanceOf[Metadata]) > 1)
       throw new IllegalStateException("cannot commit more than one Metadata action")
+    // row tracking / domain metadata are writer-v7 capabilities; the commit
+    // that first uses them stamps the protocol upgrade (writer-only —
+    // readers are unaffected by either feature)
+    val rtEnabled = DeltaConfig.RowTracking.fromMetadata(metadata)
+    if (rtEnabled) RowTracking.assertNoCollision(metadata)
+    val wantedWriterFeatures: Set[String] =
+      (if (rtEnabled) Set(RowTracking.FeatureName, RowTracking.DomainFeatureName)
+       else Set.empty[String]) ++
+        (if (finalActions.exists(_.isInstanceOf[DomainMetadata]))
+          Set(RowTracking.DomainFeatureName) else Set.empty[String])
+    if (wantedWriterFeatures.nonEmpty) {
+      finalActions.collectFirst { case p: Protocol => p } match {
+        case Some(p) =>
+          Protocol.requireWriterFeatures(p, wantedWriterFeatures).foreach { up =>
+            finalActions = finalActions.map { case q: Protocol if q eq p => up; case a => a }
+          }
+        case None =>
+          val cur = if (snapshot.version == -1) Protocol() else snapshot.protocol
+          Protocol.requireWriterFeatures(cur, wantedWriterFeatures)
+            .foreach(up => finalActions = up +: finalActions)
+      }
+    }
     // appendOnly tables reject data-changing removes
     // (cf. reference config.go:92 DeltaConfigIsAppendOnly)
     if (DeltaConfig.AppendOnly.fromMetadata(metadata) &&
@@ -174,8 +196,36 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     val ictEnabled = DeltaConfig.InCommitTimestamps.fromMetadata(metadata)
     val ictNewlyEnabled = ictEnabled && snapshot.version >= 0 &&
       !snapshot.metadataOpt.exists(DeltaConfig.InCommitTimestamps.fromMetadata)
+    // row tracking: fresh files get contiguous baseRowId ranges above the
+    // table's high-water mark. Under conflict retry both the ranges (a
+    // winner may have raised the mark) and defaultRowCommitVersion move,
+    // so assignment is per-attempt like the ICT; each winning commit's
+    // mark is read once and memoized.
+    val needsRowIds = rtEnabled && finalActions.exists {
+      case a: AddFile => a.baseRowId.isEmpty
+      case _ => false
+    }
+    val winnerHwm = mutable.Map.empty[Long, Long]
+    def actionsFor(attempt: Long): Seq[Action] = {
+      if (!needsRowIds) return finalActions
+      var hwm = RowTracking.highWaterMark(snapshot.domainMetadata)
+      ((snapshot.version + 1) until attempt).foreach { v =>
+        val h = winnerHwm.getOrElseUpdate(v,
+          deltaLog.store.read(FileNames.deltaFile(deltaLog.logPath, v))
+            .flatMap(Actions.fromJson)
+            .collectFirst { case d: DomainMetadata if d.domain == RowTracking.Domain =>
+              RowTracking.highWaterMark(Map(d.domain -> d.configuration))
+            }.getOrElse(-1L))
+        hwm = math.max(hwm, h)
+      }
+      val (assigned, newHwm, any) = RowTracking.assign(finalActions, hwm, attempt)
+      if (any)
+        assigned :+ DomainMetadata(RowTracking.Domain, RowTracking.configJson(newHwm))
+      else assigned
+    }
     def serialized(attempt: Long): Seq[String] = {
-      if (!ictEnabled) return (commitInfo +: finalActions).map(Actions.toJson)
+      val acts0 = actionsFor(attempt)
+      if (!ictEnabled) return (commitInfo +: acts0).map(Actions.toJson)
       val floor =
         if (attempt == 0) Long.MinValue
         else deltaLog.commitInfoAt(attempt - 1)
@@ -185,8 +235,8 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       // enabling ICT on an existing table records WHERE the clock source
       // switches, so readers know which versions to trust mtime for
       val acts =
-        if (!ictNewlyEnabled) finalActions
-        else finalActions.map {
+        if (!ictNewlyEnabled) acts0
+        else acts0.map {
           case m: Metadata => m.copy(configuration = m.configuration +
             (DeltaConfig.IctEnablementVersionKey -> attempt.toString) +
             (DeltaConfig.IctEnablementTimestampKey -> ict.toString))
@@ -194,7 +244,8 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
         }
       (ci +: acts).map(Actions.toJson)
     }
-    val preSerialized = if (ictEnabled) null else serialized(0L)
+    val perAttempt = ictEnabled || needsRowIds
+    val preSerialized = if (perAttempt) null else serialized(0L)
 
     var attempt = snapshot.version + 1
     var done = -1L
@@ -203,7 +254,7 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       tries += 1
       if (tries > 10000) throw new IllegalStateException("commit retry limit exceeded")
       try {
-        val lines = if (ictEnabled) serialized(attempt) else preSerialized
+        val lines = if (perAttempt) serialized(attempt) else preSerialized
         deltaLog.store.write(FileNames.deltaFile(deltaLog.logPath, attempt), lines.iterator)
         done = attempt
       } catch {
@@ -246,6 +297,34 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       case a => a
     }
     val attempt = snapshot.version + 1
+    // row tracking on the streaming path: ids are assigned as actions flow
+    // past (running counter, no materialization); the domain-metadata
+    // high-water-mark bump rides behind the stream and reads the final
+    // counter only after the adds have been serialized
+    val rtEnabled = DeltaConfig.RowTracking.fromMetadata(metadata)
+    if (rtEnabled) RowTracking.assertNoCollision(metadata)
+    var nextRowId =
+      (if (rtEnabled) RowTracking.highWaterMark(snapshot.domainMetadata) else -1L) + 1
+    var assignedRowIds = false
+    val withIds: Iterator[Action] =
+      if (!rtEnabled) checked
+      else checked.map {
+        case a: AddFile if a.baseRowId.isEmpty =>
+          val n = Stats.numRecords(a.stats).getOrElse(throw new IllegalStateException(
+            s"row tracking requires numRecords stats on every added file; missing for ${a.path}"))
+          val b = a.copy(baseRowId = Some(nextRowId),
+            defaultRowCommitVersion = Some(attempt))
+          nextRowId += n; assignedRowIds = true; b
+        case a => a
+      }
+    val domainTail: Iterator[Action] = new Iterator[Action] {
+      private var emitted = false
+      def hasNext: Boolean = rtEnabled && assignedRowIds && !emitted
+      def next(): Action = {
+        emitted = true
+        DomainMetadata(RowTracking.Domain, RowTracking.configJson(nextRowId - 1))
+      }
+    }
     // ICT applies to EVERY post-enablement commit — a large overwrite that
     // skipped it would be timed by unreliable file mtime, the exact failure
     // ICT exists to prevent. No retry here, so one computation suffices.
@@ -276,11 +355,18 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
         (DeltaConfig.IctEnablementTimestampKey -> ict.get.toString))
       case m => m
     }
-    val head: Seq[Action] = commitInfo +:
-      ((if (snapshot.version == -1) Seq(Protocol()) else Nil) ++ mdActions)
+    val baseProto: Option[Protocol] =
+      if (snapshot.version == -1) Some(Protocol()) else None
+    val protoActions: Seq[Action] =
+      if (!rtEnabled) baseProto.toSeq
+      else Protocol.requireWriterFeatures(
+          baseProto.getOrElse(snapshot.protocol),
+          Set(RowTracking.FeatureName, RowTracking.DomainFeatureName))
+        .map(Seq[Action](_)).getOrElse(baseProto.toSeq)
+    val head: Seq[Action] = commitInfo +: (protoActions ++ mdActions)
     try
       deltaLog.store.write(FileNames.deltaFile(deltaLog.logPath, attempt),
-        (head.iterator ++ checked).map(Actions.toJson))
+        (head.iterator ++ withIds ++ domainTail).map(Actions.toJson))
     catch {
       case _: FileAlreadyExistsException =>
         throw new DeltaConcurrentModificationException(
@@ -346,6 +432,7 @@ class ConflictChecker(
     checkDeletedFilesAgainstReadFiles()
     checkDeletedFilesAgainstDeletedFiles()
     checkTxnIds()
+    checkDomainMetadata()
   }
 
   /** cf. conflict_checker.go checkNoProtocolChange. */
@@ -412,6 +499,22 @@ class ConflictChecker(
     if (overlap.nonEmpty)
       throw new ConcurrentDeleteDeleteException(
         s"version $winningVersion deleted files this transaction also deletes: ${overlap.take(3).mkString(", ")}")
+  }
+
+  /** Two transactions writing the SAME metadata domain conflict (there is
+    * no general way to merge opaque configurations). The row-tracking
+    * high-water-mark domain is exempt: the retry loop re-reads the
+    * winner's mark and reassigns ids above it, which is the merge.
+    */
+  private def checkDomainMetadata(): Unit = {
+    val winningDomains = winningActions
+      .collect { case d: DomainMetadata => d.domain }.toSet - RowTracking.Domain
+    val ourDomains = currentActions
+      .collect { case d: DomainMetadata => d.domain }.toSet - RowTracking.Domain
+    val overlap = winningDomains.intersect(ourDomains)
+    if (overlap.nonEmpty)
+      throw new DomainMetadataChangedException(
+        s"metadata domain(s) ${overlap.mkString(", ")} changed by version $winningVersion")
   }
 
   /** cf. conflict_checker.go checkForUpdatedApplicationTransactionIds.... */

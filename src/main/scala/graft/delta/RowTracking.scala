@@ -1,0 +1,86 @@
+package graft.delta
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Row tracking (open Delta `rowTracking` writer feature): every row gets
+  * a table-unique, stable id.
+  *
+  * Protocol shape (PROTOCOL.md "Row Tracking"):
+  *  - each commit that adds files assigns `baseRowId` ranges to them from a
+  *    monotonically increasing high-water mark persisted as [[DomainMetadata]]
+  *    under the `delta.rowTracking` domain
+  *    (`{"rowIdHighWaterMark":N}`);
+  *  - a row's FRESH id is `baseRowId + <physical position in file>` and its
+  *    fresh commit version is the AddFile's `defaultRowCommitVersion`;
+  *  - a rewrite that must keep ids STABLE (OPTIMIZE / ZORDER, where the
+  *    row's content is unchanged) materializes them into physical columns
+  *    so the new file overrides the fresh ids. Readers compute
+  *    `coalesce(materialized, baseRowId + row_index)`.
+  *
+  * Divergence from delta-spark, documented: the materialized column names
+  * are the fixed [[MatRowId]]/[[MatRowCommitVersion]] rather than
+  * per-table generated names (we reject user schemas that collide instead
+  * of renaming around them). The reference engine (`csimplestring/delta-go`)
+  * has no row tracking; this is metadata-layer machinery the compute layer
+  * needs for incremental pipelines (self-describing CDC joins, training-data
+  * lineage at 100 TB).
+  */
+object RowTracking {
+
+  val Domain = "delta.rowTracking"
+  val FeatureName = "rowTracking"
+  val DomainFeatureName = "domainMetadata"
+
+  /** Physical (parquet-only) column names carrying materialized row ids;
+    * never part of the table schema.
+    */
+  val MatRowId = "_graft_row_id"
+  val MatRowCommitVersion = "_graft_row_commit_version"
+
+  private val mapper = new ObjectMapper()
+
+  def configJson(hwm: Long): String = s"""{"rowIdHighWaterMark":$hwm}"""
+
+  /** -1 when the domain is absent (no ids assigned yet). */
+  def highWaterMark(domains: Map[String, String]): Long =
+    domains.get(Domain).flatMap { s =>
+      try {
+        val n = mapper.readTree(s).get("rowIdHighWaterMark")
+        if (n == null || n.isNull) None else Some(n.asLong())
+      } catch { case _: Exception => None }
+    }.getOrElse(-1L)
+
+  def enabled(md: Metadata): Boolean = DeltaConfig.RowTracking.fromMetadata(md)
+
+  /** Reject table schemas whose column names collide with the fixed
+    * materialized-column names.
+    */
+  def assertNoCollision(md: Metadata): Unit = {
+    val bad = md.schema.fieldNames.toSet
+      .intersect(Set(MatRowId, MatRowCommitVersion))
+    require(bad.isEmpty,
+      s"row tracking reserves column name(s) ${bad.mkString(", ")}")
+  }
+
+  /** Assign fresh baseRowId ranges (from `hwm + 1`) to adds that lack one;
+    * returns the patched actions, the new high-water mark, and whether
+    * anything was assigned. Re-added files (RESTORE) keep their original
+    * ids — that is what makes restore row-stable.
+    */
+  def assign(actions: Seq[Action], hwm: Long, commitVersion: Long): (Seq[Action], Long, Boolean) = {
+    var next = hwm + 1
+    var assigned = false
+    val out = actions.map {
+      case a: AddFile if a.baseRowId.isEmpty =>
+        val n = Stats.numRecords(a.stats).getOrElse(throw new IllegalStateException(
+          s"row tracking requires numRecords stats on every added file; missing for ${a.path}"))
+        val b = a.copy(baseRowId = Some(next),
+          defaultRowCommitVersion = Some(commitVersion))
+        next += n
+        assigned = true
+        b
+      case a => a
+    }
+    (out, next - 1, assigned)
+  }
+}

@@ -183,6 +183,34 @@ class Snapshot(
     (proto, meta, ckptTxns ++ txns)
   }
 
+  /** Live domain metadata (latest action per domain; removed domains
+    * dropped). Lazy — only tables that use domains (e.g. row tracking)
+    * pay the checkpoint read.
+    */
+  lazy val domainMetadataMap: Map[String, DomainMetadata] = {
+    var live = Map.empty[String, DomainMetadata]
+    checkpointDF.foreach { c =>
+      live = c.where($"domainMetadata".isNotNull).select($"domainMetadata.*")
+        .as[DomainMetadata].collect().map(d => d.domain -> d).toMap
+    }
+    if (spillTail) {
+      tailDF.where($"domainMetadata".isNotNull)
+        .groupBy($"domainMetadata.domain")
+        .agg(max_by($"domainMetadata", $"version").as("d"))
+        .select($"d.*").as[DomainMetadata].collect()
+        .foreach(d => live = if (d.removed) live - d.domain else live + (d.domain -> d))
+    } else tailActions.foreach {
+      case (_, d: DomainMetadata) =>
+        live = if (d.removed) live - d.domain else live + (d.domain -> d)
+      case _ =>
+    }
+    live
+  }
+
+  /** domain -> configuration string for live domains. */
+  def domainMetadata: Map[String, String] =
+    domainMetadataMap.view.mapValues(_.configuration).toMap
+
   /** Reader/writer capability gate (cf. reference
     * `action/protocol.go` + errno assertions; golden
     * `deltalog-invalid-protocol-version`).
@@ -236,7 +264,8 @@ class Snapshot(
     val meta = replayedMeta
     val extras =
       meta._1.map(_.wrap).toSeq ++ meta._2.map(_.wrap).toSeq ++
-        meta._3.values.map(_.wrap).toSeq
+        meta._3.values.map(_.wrap).toSeq ++
+        domainMetadataMap.values.map(_.wrap).toSeq
     val extrasDF = spark.createDataset(extras)(Encoders.product[SingleAction])
     val files = activeFilesDF.select(struct($"*").as("add"))
       .select(to_single_action($"add", "add"): _*)
@@ -269,7 +298,8 @@ object Snapshot {
   val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "generatedColumns", "columnMapping", "deletionVectors",
-      "identityColumns", "vacuumProtocolCheck")
+      "identityColumns", "vacuumProtocolCheck", "domainMetadata",
+      "rowTracking")
   final class InvalidProtocolVersionException(msg: String)
     extends RuntimeException(msg)
   /** Recursively nullable variant of a schema (StructType.asNullable is

@@ -50,6 +50,17 @@ object Stats {
       StructField("maxValues", mm)))
   }
 
+  /** numRecords out of a stats JSON string (None when stats are absent
+    * or unparseable) — row tracking needs the per-file row count to
+    * assign contiguous fresh-row-id ranges.
+    */
+  def numRecords(stats: String): Option[Long] =
+    if (stats == null) None
+    else try {
+      val n = new ObjectMapper().readTree(stats).get("numRecords")
+      if (n == null || n.isNull) None else Some(n.asLong())
+    } catch { case _: Exception => None }
+
   /** Read footer metadata of one written file -> stats JSON. */
   def fromFooter(conf: Configuration, file: Path,
       dataSchema: StructType, partCols: Seq[String]): String = {

@@ -1,0 +1,181 @@
+package graft.delta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import DeltaErrors._
+
+/** Row tracking (A46) + domain metadata (A47): stable per-row ids
+  * assigned from a transactional high-water mark, preserved across
+  * DV deletes and OPTIMIZE rewrites.
+  */
+class RowTrackingSuite extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft-rt").toString
+
+  private def seed(from: Int, until: Int) = {
+    import spark.implicits._
+    (from until until).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+  }
+
+  private def rtTable(extraConf: Map[String, String] = Map.empty): DeltaTable = {
+    val t = DeltaTable.forPath(spark, tmp())
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = seed(0, 1).schema.json,
+      configuration = Map("delta.enableRowTracking" -> "true") ++ extraConf))
+    txn.commit(Nil, "CREATE TABLE")
+    t
+  }
+
+  test("appends assign contiguous baseRowId ranges and bump the high-water mark") {
+    val t = rtTable()
+    t.write(seed(0, 5).coalesce(1), SaveMode.Append)  // v1: rows 0..4
+    t.write(seed(5, 8).coalesce(1), SaveMode.Append)  // v2: rows 5..7
+    val files = t.snapshot.allFiles.sortBy(_.baseRowId.get)
+    assert(files.map(_.baseRowId) == Seq(Some(0L), Some(5L)))
+    assert(files.map(_.defaultRowCommitVersion) == Seq(Some(1L), Some(2L)))
+    assert(RowTracking.highWaterMark(t.snapshot.domainMetadata) == 7L)
+    // protocol carries the writer features, reader version untouched
+    val p = t.snapshot.protocol
+    assert(p.minWriterVersion == 7)
+    assert(p.writerFeatures.exists(f =>
+      f.contains("rowTracking") && f.contains("domainMetadata")))
+    assert(p.minReaderVersion == 1)
+  }
+
+  test("toDFWithRowIds: fresh ids are baseRowId + position") {
+    val t = rtTable()
+    t.write(seed(0, 6).coalesce(1).orderBy("id"), SaveMode.Append)
+    val got = t.toDFWithRowIds.select("id", "row_id", "row_commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.map(_._2).toSeq == (0L until 6L))
+    assert(got.forall(_._3 == 1L))
+  }
+
+  test("DV delete keeps surviving row ids; OPTIMIZE materializes them") {
+    val t = rtTable(Map("delta.enableDeletionVectors" -> "true"))
+    t.write(seed(0, 10).coalesce(1).orderBy("id"), SaveMode.Append)
+    val before = t.toDFWithRowIds.select("id", "row_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    t.delete(col("id") % 2 === 0) // DV path: file kept, rows masked
+    val afterDelete = t.toDFWithRowIds.select("id", "row_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterDelete == before.view.filterKeys(_ % 2 == 1).toMap,
+      "DV delete must not disturb surviving row ids")
+    t.compact() // rewrites the file, materializing ids
+    val afterOptimize = t.toDFWithRowIds.select("id", "row_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterOptimize == afterDelete,
+      "OPTIMIZE must preserve row ids via materialized columns")
+    // and the rewritten file's FRESH range is above the old mark (no reuse)
+    val f = t.snapshot.allFiles.loneElement
+    assert(f.baseRowId.exists(_ >= 10L))
+    // normal reads are unaffected by the extra physical columns
+    assert(t.toDF.columns.toSeq == Seq("id", "v"))
+    assert(t.toDF.count() == 5L)
+  }
+
+  private implicit class LoneElement[T](s: Seq[T]) {
+    def loneElement: T = { assert(s.size == 1, s"expected 1 element, got $s"); s.head }
+  }
+
+  test("concurrent appends from the same snapshot get disjoint id ranges") {
+    val t = rtTable()
+    t.write(seed(0, 4).coalesce(1), SaveMode.Append) // rows 0..3
+    // two transactions racing from the same snapshot
+    val log = t.deltaLog
+    val snap = log.update()
+    // crafted adds with stats only: the assignment logic needs numRecords,
+    // not readable files
+    def addFor(n: Int): Seq[Action] =
+      Seq(AddFile(s"part-race-$n.parquet", Map.empty, 1L, 0L,
+        stats = s"""{"numRecords":$n}"""))
+    val txn1 = new OptimisticTransaction(log, snap)
+    val txn2 = new OptimisticTransaction(log, snap)
+    txn1.commit(addFor(3), "WRITE.Append")  // ids 4..6
+    txn2.commit(addFor(2), "WRITE.Append")  // retries, ids 7..8
+    val byPath = log.update().allFiles.map(f => f.path -> f).toMap
+    val a1 = byPath("part-race-3.parquet")
+    val a2 = byPath("part-race-2.parquet")
+    assert(a1.baseRowId.contains(4L))
+    assert(a2.baseRowId.contains(7L), s"loser must reassign above winner, got ${a2.baseRowId}")
+    assert(RowTracking.highWaterMark(log.update().domainMetadata) == 8L)
+  }
+
+  test("high-water mark and baseRowIds survive a checkpoint") {
+    val t = rtTable(Map("delta.checkpointInterval" -> "3"))
+    (0 until 4).foreach(i => t.write(seed(i * 2, i * 2 + 2).coalesce(1), SaveMode.Append))
+    assert(Checkpoints.readLastCheckpoint(t.deltaLog.store, t.deltaLog.logPath).isDefined)
+    // fresh DeltaLog instance: replay must come from checkpoint + tail
+    val snap2 = new DeltaLog(spark, t.deltaLog.dataPath).update()
+    assert(RowTracking.highWaterMark(snap2.domainMetadata) == 7L)
+    assert(snap2.allFiles.flatMap(_.baseRowId).sorted == Seq(0L, 2L, 4L, 6L))
+    val ids = t.toDFWithRowIds.select("id", "row_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids.values.toSeq.sorted == (0L until 8L))
+  }
+
+  test("user domain metadata: set, read back, remove, conflict") {
+    val t = rtTable()
+    t.setDomainMetadata("app.pipeline", """{"watermark":42}""")
+    assert(t.domainMetadata("app.pipeline") == """{"watermark":42}""")
+    // concurrent same-domain writers conflict
+    val snap = t.deltaLog.update()
+    val txn1 = new OptimisticTransaction(t.deltaLog, snap)
+    val txn2 = new OptimisticTransaction(t.deltaLog, snap)
+    txn1.commit(Seq(DomainMetadata("app.pipeline", """{"watermark":43}""")), "SET DOMAIN METADATA")
+    intercept[DomainMetadataChangedException] {
+      txn2.commit(Seq(DomainMetadata("app.pipeline", """{"watermark":99}""")), "SET DOMAIN METADATA")
+    }
+    t.removeDomainMetadata("app.pipeline")
+    assert(!t.domainMetadata.contains("app.pipeline"))
+    // reserved prefix rejected on the public API
+    intercept[IllegalArgumentException] { t.setDomainMetadata("delta.rowTracking", "{}") }
+  }
+
+  test("commitLarge assigns row ids on the streaming path") {
+    val t = rtTable()
+    t.write(seed(0, 4).coalesce(1), SaveMode.Append) // ids 0..3
+    spark.conf.set("spark.graft.commitLarge.threshold", "0")
+    try {
+      t.write(seed(100, 104).coalesce(1), SaveMode.Overwrite) // streams removes+adds
+    } finally spark.conf.unset("spark.graft.commitLarge.threshold")
+    val f = t.snapshot.allFiles.loneElement
+    assert(f.baseRowId.contains(4L), s"streamed add must continue above mark, got ${f.baseRowId}")
+    assert(RowTracking.highWaterMark(t.snapshot.domainMetadata) == 7L)
+  }
+
+  test("RESTORE keeps original row ids on re-added files") {
+    val t = rtTable()
+    t.write(seed(0, 5).coalesce(1), SaveMode.Append)      // v1, ids 0..4
+    t.write(seed(5, 7).coalesce(1), SaveMode.Overwrite)   // v2 replaces
+    t.restoreToVersion(1)
+    val f = t.snapshot.allFiles.loneElement
+    assert(f.baseRowId.contains(0L), "restored file must keep its original baseRowId")
+    val ids = t.toDFWithRowIds.select("id", "row_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids == (0L until 5L).map(i => i -> i).toMap)
+  }
+
+  test("schema colliding with materialized column names is rejected") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    val txn = t.deltaLog.startTransaction()
+    val bad = Seq((1L, 2L)).toDF("id", RowTracking.MatRowId)
+    txn.updateMetadata(Metadata(
+      schemaString = bad.schema.json,
+      configuration = Map("delta.enableRowTracking" -> "true")))
+    intercept[IllegalArgumentException] { txn.commit(Nil, "CREATE TABLE") }
+  }
+}

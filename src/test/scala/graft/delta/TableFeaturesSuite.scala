@@ -229,13 +229,13 @@ class TableFeaturesSuite extends AnyFunSuite {
     val t2 = seeded()
     t2.deltaLog.startTransaction().commit(Seq(Protocol(
       minReaderVersion = 1, minWriterVersion = 7,
-      writerFeatures = Some(Set("rowTracking")))), "UPGRADE PROTOCOL")
+      writerFeatures = Some(Set("icebergCompatV2")))), "UPGRADE PROTOCOL")
     assert(t2.toDF.count() == 5) // still readable
     val ex2 = intercept[Exception] {
       t2.write(Seq((9L, "zoe", 90, "z")).toDF("id", "name", "score", "part"),
         SaveMode.Append, Seq("part"))
     }
-    assert(ex2.getMessage.contains("rowTracking"))
+    assert(ex2.getMessage.contains("icebergCompatV2"))
   }
 
   test("feature lists round-trip through the JSON log") {
