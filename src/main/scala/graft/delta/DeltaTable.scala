@@ -578,12 +578,19 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
   def compact(zorderBy0: Seq[String], where: Option[Column]): Long =
     compactImpl(zorderBy0, where, useClustering = true)
 
+  /** REORG ... APPLY (PURGE): rewrite exactly the files carrying deletion
+    * vectors (protocol descriptors or legacy tags), materializing their
+    * deletes and dropping the descriptors; clean files are untouched.
+    */
+  def reorgPurge(): Long =
+    compactImpl(Nil, None, useClustering = false, purgeOnly = true)
+
   /** `useClustering = false` is the auto-compaction entry: per-write
     * bin-packing must stay cheap and NOT trigger a declared-clustering
     * full re-cluster on every commit.
     */
   private def compactImpl(zorderBy0: Seq[String], where: Option[Column],
-      useClustering: Boolean): Long = {
+      useClustering: Boolean, purgeOnly: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, hash, pmod, lit, floor, min => fmin, max => fmax}
     val txn = deltaLog.startTransaction()
     // declared clustering columns make a plain OPTIMIZE a re-cluster:
@@ -612,7 +619,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // materialize their deletion vectors and drop the descriptors; a
     // Z-order request re-clusters everything
     val toCompact =
-      if (zorderBy.nonEmpty) byPartition
+      if (purgeOnly)
+        byPartition.view.mapValues(
+          _.filter(f => DeletionVectors.descriptor(f).isDefined))
+          .filter(_._2.nonEmpty).toMap
+      else if (zorderBy.nonEmpty) byPartition
       else byPartition.filter { case (_, fs) =>
         fs.size > 1 || fs.exists(f => DeletionVectors.descriptor(f).isDefined)
       }
@@ -690,8 +701,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       md)
       .map(_.copy(dataChange = false))
     val removes = files.map(f => f.remove(now, dataChange = false))
-    txn.commit(removes ++ adds, "OPTIMIZE",
+    txn.commit(removes ++ adds, if (purgeOnly) "REORG" else "OPTIMIZE",
       operationParameters = Map("targetFileSize" -> targetSize.toString) ++
+        (if (purgeOnly) Map("applyPurge" -> "true") else Map.empty) ++
         (if (zorderBy.nonEmpty) Map("zOrderBy" -> zorderBy.mkString(",")) else Map.empty))
   }
 

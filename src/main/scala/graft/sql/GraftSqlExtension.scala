@@ -75,6 +75,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           Right(parseTsMillis(ts.trim))))
       case DescribeDetailRe(target) =>
         Some(GraftDescribeDetailCommand(parseTarget(target)))
+      case ReorgRe(target) =>
+        Some(GraftReorgCommand(parseTarget(target)))
       case AddConstraintRe(target, name, check) =>
         Some(GraftAddConstraintCommand(parseTarget(target), name, check.trim))
       case DropConstraintRe(target, name) =>
@@ -152,6 +154,8 @@ object GraftSqlParser {
     s"""(?is)SHOW\\s+TBLPROPERTIES\\s+$T(?:\\s*\\(\\s*'([^']+)'\\s*\\))?""".r
   private[sql] val DescribeDetailRe =
     s"""(?is)DESC(?:RIBE)?\\s+DETAIL\\s+$T""".r
+  private[sql] val ReorgRe =
+    s"""(?is)REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)""".r
   private val PathTargetRe = """(?:delta|graft)\.`([^`]+)`""".r
 
   private def splitCols(s: String): Seq[String] =
@@ -231,6 +235,17 @@ case class GraftOptimizeCommand(target: SqlTarget, where: Option[Column],
   override def run(spark: SparkSession): Seq[Row] = {
     val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
     val v = t.compact(zorderBy, where)
+    SqlTarget.refresh(spark, target)
+    Seq(Row(v))
+  }
+}
+
+/** `REORG TABLE t APPLY (PURGE)` — materialize deletion vectors. */
+case class GraftReorgCommand(target: SqlTarget) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    val v = t.reorgPurge()
     SqlTarget.refresh(spark, target)
     Seq(Row(v))
   }
@@ -524,6 +539,65 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
   }
 }
 
+/** `CREATE TABLE (cols) USING graft-delta` (no data): Spark's V1 command
+  * would probe the source for a relation, which needs an existing log.
+  * Instead the transaction log is initialized from the declared schema /
+  * partitioning / TBLPROPERTIES, then the catalog entry is recorded —
+  * CREATE TABLE is itself a logged commit, like every other writer.
+  */
+case class GraftCreateTableCommand(
+    table: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+    ignoreIfExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val catalog = spark.sessionState.catalog
+    if (catalog.tableExists(table.identifier)) {
+      if (ignoreIfExists) return Nil
+      throw new IllegalStateException(s"table ${table.identifier} already exists")
+    }
+    val managed = table.storage.locationUri.isEmpty
+    val loc = table.storage.locationUri
+      .getOrElse(catalog.defaultTablePath(table.identifier))
+    val path = new org.apache.hadoop.fs.Path(loc).toString
+    val t = DeltaTable.forPath(spark, path)
+    // managed entries keep locationUri empty so the catalog owns the
+    // directory lifecycle (DROP TABLE removes it)
+    var entry = table
+    if (!managed)
+      entry = entry.copy(storage = entry.storage.copy(locationUri = Some(loc)))
+    if (!t.deltaLog.tableExists) {
+      // catalog entry first: managed-location validation must see the
+      // directory while it is still empty. Roll it back if the log commit
+      // fails so a half-created table doesn't linger.
+      catalog.createTable(entry, ignoreIfExists = false)
+      try {
+        val txn = t.deltaLog.startTransaction()
+        txn.updateMetadata(graft.delta.Metadata(
+          schemaString = table.schema.json,
+          partitionColumns = table.partitionColumnNames,
+          configuration = table.properties,
+          createdTime = Some(t.deltaLog.clock.nowMillis)))
+        txn.commit(Nil, "CREATE TABLE")
+      } catch { case e: Throwable =>
+        try catalog.dropTable(table.identifier, ignoreIfNotExists = true, purge = false)
+        catch { case _: Exception => }
+        throw e
+      }
+    } else {
+      // adopting an existing table at LOCATION: the log is the source of
+      // truth — a declared schema must agree with it, an empty one is
+      // filled in for the catalog entry
+      val md = t.snapshot.metadata
+      if (table.schema.nonEmpty)
+        require(table.schema.fieldNames.sameElements(md.schema.fieldNames),
+          s"declared schema ${table.schema.fieldNames.mkString(",")} does not match " +
+            s"existing graft-delta table (${md.schema.fieldNames.mkString(",")}) at $path")
+      else entry = entry.copy(schema = md.schema)
+      catalog.createTable(entry, ignoreIfExists = false)
+    }
+    Nil
+  }
+}
+
 // ------------------------------------------------------------- DML rule
 
 /** Routes resolved DELETE / UPDATE / MERGE plans over graft-delta
@@ -609,6 +683,10 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         m.notMatchedActions.map(clause),
         m.notMatchedBySourceActions.map(clause),
         refreshId)
+
+    case c: org.apache.spark.sql.execution.command.CreateDataSourceTableCommand
+        if c.table.provider.exists(_.equalsIgnoreCase("graft-delta")) =>
+      GraftCreateTableCommand(c.table, c.ignoreIfExists)
 
     case i: InsertIntoHadoopFsRelationCommand
         if i.fileIndex.exists(_.isInstanceOf[DeltaFileIndex]) =>

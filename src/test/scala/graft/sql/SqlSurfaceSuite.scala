@@ -238,6 +238,66 @@ class SqlSurfaceSuite extends AnyFunSuite {
     spark.sql(s"ALTER TABLE graft.`$dir` DROP CONSTRAINT IF EXISTS nope")
   }
 
+  test("CREATE TABLE (cols) USING graft-delta initializes the log") {
+    freshTable("t_ddl")
+    spark.sql("""CREATE TABLE t_ddl (id BIGINT, name STRING, score INT, part STRING)
+      USING `graft-delta` PARTITIONED BY (part)
+      TBLPROPERTIES ('delta.checkpointInterval' = '5')""")
+    // the log exists BEFORE any insert, with schema + partitioning + props
+    val loc = spark.sql("DESCRIBE DETAIL t_ddl").head().getAs[String]("location")
+    val t = DeltaTable.forPath(spark, loc)
+    val md = t.snapshot.metadata
+    assert(md.schema.fieldNames.toSeq == Seq("id", "name", "score", "part"))
+    assert(md.partitionColumns == Seq("part"))
+    assert(md.configuration.get("delta.checkpointInterval").contains("5"))
+    spark.sql("INSERT INTO t_ddl VALUES (1, 'alice', 10, 'x'), (2, 'bob', 20, 'y')")
+    assert(spark.table("t_ddl").count() == 2)
+    assert(t.history().exists(_.operation == "CREATE TABLE"))
+    // IF NOT EXISTS is a no-op, plain re-create fails
+    spark.sql("CREATE TABLE IF NOT EXISTS t_ddl (id BIGINT) USING `graft-delta`")
+    assert(spark.table("t_ddl").count() == 2)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE t_ddl (id BIGINT) USING `graft-delta`")
+    }
+  }
+
+  test("CTAS through the metastore lands in the transaction log") {
+    freshTable("t_ctas")
+    seed().createOrReplaceTempView("seed_rows")
+    spark.sql("CREATE TABLE t_ctas USING `graft-delta` AS SELECT * FROM seed_rows")
+    assert(spark.table("t_ctas").count() == 5)
+    val loc = spark.sql("DESCRIBE DETAIL t_ctas").head().getAs[String]("location")
+    assert(DeltaTable.isDeltaTable(spark, loc))
+  }
+
+  test("REORG TABLE APPLY (PURGE) materializes deletion vectors only") {
+    import graft.delta.DeletionVectors
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(graft.delta.Metadata(
+      schemaString = seed().schema.json,
+      configuration = Map("delta.enableDeletionVectors" -> "true")))
+    txn.commit(Nil, "CREATE TABLE")
+    t.write(seed().coalesce(1))                       // clean file A
+    t.write(seed().withColumn("id", col("id") + 10).coalesce(1)) // file B
+    t.delete(col("id") === 12)                        // DV on file B only
+    val cleanPath = t.snapshot.allFiles
+      .filter(f => DeletionVectors.descriptor(f).isEmpty).map(_.path)
+    assert(cleanPath.size == 1)
+    spark.sql(s"REORG TABLE graft.`$dir` APPLY (PURGE)")
+    val after = t.snapshot.allFiles
+    assert(after.forall(f => DeletionVectors.descriptor(f).isEmpty),
+      "no descriptors may survive a purge")
+    assert(after.map(_.path).intersect(cleanPath) == cleanPath,
+      "clean files must not be rewritten")
+    assert(t.toDF.count() == 9)
+    // idempotent: nothing left to purge -> no new commit
+    val v = t.snapshot.version
+    spark.sql(s"REORG TABLE graft.`$dir` APPLY (PURGE)")
+    assert(t.snapshot.version == v)
+  }
+
   test("the delegating parser leaves ordinary SQL alone") {
     assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
     assert(spark.sql("DESCRIBE FUNCTION abs").count() > 0)
