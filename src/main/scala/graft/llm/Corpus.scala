@@ -220,6 +220,53 @@ object Corpus {
         COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
         CAST(SUM(n_tok) AS DOUBLE) / 4096.0 AS fill
       FROM c GROUP BY source, bin
-      ORDER BY source, bin"""))
+      ORDER BY source, bin""")),
+
+    // C25 ---------------------------------------------------------------
+    // Substring-level duplication signal (the ExactSubstr idea of Lee et
+    // al. 2021, "Deduplicating Training Data Makes Language Models
+    // Better", scaled to word-8-grams): per doc, how many of its 8-gram
+    // spans appear in at least one OTHER document. Doc frequency is one
+    // gram-keyed partial-combined aggregation; only duplicated grams
+    // (df >= 2) come back to the flag join, and rows in flight carry
+    // (doc_id, gram) only — no text shuffles, no all-pairs work.
+    GQ("dedup_spans", (s, d) => {
+      import s.implicits._
+      def gram8(t: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+        concat_ws(" ", (0 until 8).map(k => element_at(t, i + lit(k))): _*)
+      val grams = table(s, d, "documents")
+        .withColumn("t", tokens($"text"))
+        .filter(size($"t") >= 8)
+        .select($"doc_id",
+          explode(transform(sequence(lit(1), size($"t") - 7), i => gram8($"t", i))).as("g"))
+      val dup = grams.distinct()
+        .groupBy($"g").agg(count(lit(1)).as("df"))
+        .filter($"df" >= 2).select($"g")
+      val base = table(s, d, "documents")
+        .withColumn("t", tokens($"text"))
+        .select($"doc_id", greatest(size($"t") - 7, lit(0)).cast("long").as("n_grams"))
+      val flagged = grams.join(dup, "g")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_dup_grams"))
+      base.join(flagged, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_grams",
+          coalesce($"n_dup_grams", lit(0L)).as("n_dup_grams"),
+          (coalesce($"n_dup_grams", lit(0L)).cast("double") /
+            greatest($"n_grams", lit(1L)).cast("double")).as("dup_frac"))
+        .orderBy($"doc_id")
+    }, {
+      val parts = (0 until 8).map(k => s"t[i+$k]").mkString("||' '||")
+      Some(s"""
+      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      gr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-7),
+               i -> $parts)) AS g
+             FROM toks WHERE len(t) >= 8),
+      df AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM gr GROUP BY g) WHERE df >= 2),
+      fl AS (SELECT doc_id, count(*) AS n_dup_grams FROM gr JOIN df USING (g) GROUP BY doc_id),
+      base AS (SELECT doc_id, CAST(greatest(len(t)-7, 0) AS BIGINT) AS n_grams FROM toks)
+      SELECT b.doc_id, n_grams,
+        CAST(coalesce(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+        CAST(coalesce(n_dup_grams, 0) AS DOUBLE) / CAST(greatest(n_grams, 1) AS DOUBLE) AS dup_frac
+      FROM base b LEFT JOIN fl USING (doc_id) ORDER BY doc_id""")
+    })
   )
 }

@@ -214,6 +214,60 @@ object Similarity {
       FROM cand JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b
       WHERE ${duckDot("x.e", "y.e")} / (x.nrm * y.nrm) >= 0.35
       ORDER BY id_a, id_b""")
-    })
+    }),
+
+    // C27 ---------------------------------------------------------------
+    // kNN label propagation: classify each query vector by majority label
+    // of its k = 5 exact-cosine nearest neighbors (excluding itself) —
+    // the standard weak-labeling / quality-transfer primitive over an
+    // embedded corpus. Same shape as ann_cosine_topk (broadcast query
+    // side, bounded top-K aggregate, no per-query window), plus one tiny
+    // vote aggregation; ties break toward the smaller label.
+    GQ("knn_classify", (s, d) => {
+      import s.implicits._
+      val v = normed(s, d)
+      val q = v.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"label".as("true_label"), $"e".as("qe"), $"nrm".as("qn"))
+      val c = v.select($"vec_id".as("c_id"), $"label".as("c_label"), $"e".as("ce"), $"nrm".as("cn"))
+      val top = c.join(broadcast(q.select($"q_id", $"qe", $"qn")), $"c_id" =!= $"q_id")
+        .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn"))
+        .groupBy($"q_id")
+        .agg(graft.functions.TopKExpressions.topKByScore($"cosine", $"c_id", K).as("top"))
+        .select($"q_id", explode($"top.id").as("c_id"))
+      val votes = top
+        .join(broadcast(c.select($"c_id", $"c_label")), Seq("c_id"))
+        .groupBy($"q_id", $"c_label").agg(count(lit(1)).as("cnt"))
+        .groupBy($"q_id")
+        .agg(max_by(struct($"c_label", $"cnt"),
+          struct($"cnt", -$"c_label")).as("w"))
+        .select($"q_id", $"w.c_label".as("pred_label"), $"w.cnt".as("n_votes"))
+      votes.join(broadcast(q.select($"q_id", $"true_label")), Seq("q_id"))
+        .select($"q_id", $"true_label", $"pred_label", $"n_votes",
+          ($"pred_label" === $"true_label").as("correct"))
+        .orderBy($"q_id")
+    }, Some(s"""
+      WITH n AS ($duckNormed),
+      p AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS c_label,
+          ${duckDot("q.e", "c.e")} / (q.nrm * c.nrm) AS cosine
+        FROM n q JOIN n c ON q.vec_id < $NumQueries AND c.vec_id != q.vec_id),
+      top AS (
+        SELECT q_id, c_label FROM (
+          SELECT q_id, c_label,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+          FROM p)
+        WHERE rn <= $K),
+      votes AS (SELECT q_id, c_label, CAST(count(*) AS BIGINT) AS cnt
+                FROM top GROUP BY q_id, c_label),
+      pred AS (
+        SELECT q_id, c_label AS pred_label, cnt AS n_votes FROM (
+          SELECT q_id, c_label, cnt,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cnt DESC, c_label) AS rn
+          FROM votes)
+        WHERE rn = 1)
+      SELECT p.q_id, n.label AS true_label, p.pred_label, p.n_votes,
+        p.pred_label = n.label AS correct
+      FROM pred p JOIN n ON n.vec_id = p.q_id
+      ORDER BY q_id"""))
   )
 }

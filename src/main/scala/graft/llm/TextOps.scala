@@ -286,6 +286,50 @@ object TextOps {
         CAST(COALESCE(a3.g3_top, 0) AS DOUBLE) / CAST(greatest(COALESCE(a3.g3_n, 0), 1) AS DOUBLE) AS top_3gram_frac,
         CAST(COALESCE(a3.g3_dup, 0) AS DOUBLE) / CAST(greatest(COALESCE(a3.g3_n, 0), 1) AS DOUBLE) AS dup_3gram_frac
       FROM base b LEFT JOIN a2 ON b.doc_id = a2.doc_id LEFT JOIN a3 ON b.doc_id = a3.doc_id
-      ORDER BY b.doc_id"""))
+      ORDER BY b.doc_id""")),
+
+    // C26 ---------------------------------------------------------------
+    // Composite quality gate: the keep/drop verdict a curation pipeline
+    // applies before training — C4/Gopher-style thresholds over token
+    // count, repetition, mean word length, stopword density and digit
+    // density, fused into one per-row projection (no joins, no shuffles;
+    // mean word length from a second regex count, not a per-token fold).
+    GQ("quality_gate", (s, d) => {
+      import s.implicits._
+      val stopArr = array(Stop.map(lit): _*)
+      table(s, d, "documents")
+        .withColumn("t", tokens($"text"))
+        .withColumn("n_tok", size($"t").cast("long"))
+        .withColumn("n_tok_d", greatest(size($"t"), lit(1)).cast("double"))
+        .withColumn("dup_word_frac",
+          lit(1.0) - size(array_distinct($"t")).cast("double") / $"n_tok_d")
+        .withColumn("mean_word_len",
+          size(regexp_extract_all($"text", lit("[a-zA-Z0-9]"), lit(0))).cast("double") / $"n_tok_d")
+        .withColumn("stop_ratio",
+          size(filter($"t", x => array_contains(stopArr, x))).cast("double") / $"n_tok_d")
+        .withColumn("digit_ratio",
+          size(regexp_extract_all($"text", lit("[0-9]"), lit(0))).cast("double") /
+            greatest(length($"text"), lit(1)).cast("double"))
+        .withColumn("keep",
+          $"n_tok".between(50L, 100000L) && $"dup_word_frac" <= 0.7 &&
+            $"mean_word_len".between(3.0, 10.0) && $"stop_ratio" >= 0.02 &&
+            $"digit_ratio" <= 0.2)
+        .select($"doc_id", $"n_tok", $"dup_word_frac", $"mean_word_len",
+          $"stop_ratio", $"digit_ratio", $"keep")
+        .orderBy($"doc_id")
+    }, Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+          CAST(len(t) AS BIGINT) AS n_tok,
+          1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE) AS dup_word_frac,
+          CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]')) AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_word_len,
+          CAST(len(list_filter(t, x -> x IN $StopSql)) AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE) AS stop_ratio,
+          CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio
+        FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents))
+      SELECT doc_id, n_tok, dup_word_frac, mean_word_len, stop_ratio, digit_ratio,
+        (n_tok BETWEEN 50 AND 100000) AND dup_word_frac <= 0.7
+          AND (mean_word_len BETWEEN 3.0 AND 10.0) AND stop_ratio >= 0.02
+          AND digit_ratio <= 0.2 AS keep
+      FROM m ORDER BY doc_id"""))
   )
 }

@@ -84,7 +84,9 @@ class DeltaStreamSource(
     ignoreDeletes: Boolean = false,
     ignoreChanges: Boolean = false,
     skipChangeCommits: Boolean = false)
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import DeltaSourceOffset.All
 
@@ -94,6 +96,39 @@ class DeltaStreamSource(
   // the admission cursor: everything up to and including this offset has
   // been returned by getOffset (the engine may still be processing it)
   private var cursor: Option[DeltaSourceOffset] = None
+
+  // Trigger.AvailableNow: the end of the log as of query start. Admission
+  // never looks past it, so rate-limited micro-batches drain up to the
+  // latch and the query terminates instead of following new commits.
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(log.update().version)
+
+  /** Rate limits come from the source options; the engine's limit is the
+    * default passthrough.
+    */
+  override def getDefaultReadLimit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** SupportsAdmissionControl entry — the engine calls this instead of
+    * [[getOffset]] once the trait is implemented. Delegates to the same
+    * cursor-based admission; `startOffset` re-seeds the cursor after a
+    * checkpoint restart (a fresh instance would otherwise re-admit from
+    * startingVersion and emit empty catch-up batches).
+    */
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
+      org.apache.spark.sql.connector.read.streaming.Offset = {
+    if (cursor.isEmpty && startOffset != null)
+      cursor = Some(startOffset match {
+        case o: Offset => DeltaSourceOffset.fromOffset(o)
+        case o => DeltaSourceOffset.fromOffset(SerializedOffset(o.json()))
+      })
+    getOffset.orNull
+  }
 
   override def schema: StructType =
     DeltaStreamSource.sourceSchema(log.snapshot.metadata.schema, cdf)
@@ -137,7 +172,9 @@ class DeltaStreamSource(
     }.getOrElse(Nil)
 
   override def getOffset: Option[Offset] = {
-    val latest = log.update().version
+    val latest = availableNowCap
+      .map(math.min(_, log.update().version))
+      .getOrElse(log.update().version)
     if (latest < 0) return None
     if (!limited) {
       cursor = Some(DeltaSourceOffset(latest, All))

@@ -80,6 +80,29 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("D4: Trigger.AvailableNow drains the table with rate limits, then stops") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("d4-availnow").toString
+    val t = DeltaTable.forPath(spark, dir)
+    (0 until 3).foreach(i =>
+      t.write(Seq((i.toLong, s"r$i")).toDF("id", "v"))) // v0..v2, 3 files
+    val q = spark.readStream
+      .format("graft-delta")
+      .option("path", dir)
+      .option("maxFilesPerTrigger", "1") // forces multiple micro-batches
+      .load()
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("d4_avail").start()
+    try {
+      assert(q.awaitTermination(120000),
+        "AvailableNow query must terminate on its own")
+      assert(spark.table("d4_avail").select("id").as[Long].collect().sorted.toSeq
+        == Seq(0L, 1L, 2L))
+    } finally q.stop()
+  }
+
   test("D4: readChangeFeed streams row-level changes including DML") {
     import spark.implicits._
     val dir = Files.createTempDirectory("d4-cdf").toString
