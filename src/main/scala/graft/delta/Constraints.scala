@@ -86,9 +86,25 @@ object Constraints {
   def enforce(df: DataFrame, md: Metadata): DataFrame = {
     val cs = checks(md)
     if (cs.isEmpty) df
-    else df.filter(cs.map { case (ok, msg) =>
-      when(ok, lit(true)).otherwise(raise_error(lit(msg)))
-    }.reduce(_ && _))
+    else {
+      // [[graft.functions.PinnedTrue]] is always true but declared
+      // NON-DETERMINISTIC, and it is embedded in EVERY guard: a
+      // deterministic guard is fair game for conjunct-splitting
+      // pushdown (below the filters selecting a MERGE branch, say) and
+      // for FilterExec's own reordering (non-IsNotNull predicates run
+      // before trailing IsNotNull conjuncts), either of which evaluates
+      // the raise_error on rows that were about to be dropped — outer-
+      // join phantom rows with nulls — and fails a perfectly valid
+      // write. A non-deterministic guard cannot be split off, pushed, or
+      // reordered, so it sees exactly the final written rows; the cost
+      // is a literal `true` in codegen. (A plain `rand() <= 1.0` pin
+      // does not survive: Spark 4 folds trivially-true rand compares.)
+      val pin = org.apache.spark.sql.GraftShims
+        .column(graft.functions.PinnedTrue())
+      df.filter(cs.map { case (ok, msg) =>
+        when(pin && ok, lit(true)).otherwise(raise_error(lit(msg)))
+      }.reduce(_ && _))
+    }
   }
 
   /** Column names referenced by a constraint SQL expression (used to

@@ -113,7 +113,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
   /** Keyed read of `files` with row identity resolved into `__rt_row_id` /
     * `__rt_rcv` (all table columns present; `__fp`/`__ri` retained).
     */
-  private def rowIdResolved(files: Seq[AddFile], md: Metadata): DataFrame = {
+  private[delta] def rowIdResolved(files: Seq[AddFile], md: Metadata): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col}
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import scala.jdk.CollectionConverters._
@@ -911,8 +911,19 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       return dvDelete(txn, md, condition, condTrue, candidates)
     val touched = filesWithMatches(candidates, md, condTrue)
     if (touched.isEmpty) return txn.readVersion
-    val touchedDF = readFilesDF(touched, md)
-    val survivors = touchedDF.filter(not(condTrue))
+    val rt = RowTracking.enabled(md)
+    import org.apache.spark.sql.functions.col
+    val schemaCols = md.schema.fieldNames.map(col).toSeq
+    // row tracking: surviving rows are content-identical, so both their id
+    // and their commit version ride into the rewritten file as
+    // materialized columns
+    val touchedDF =
+      if (rt) rowIdResolved(touched, md) else readFilesDF(touched, md)
+    val survivors = touchedDF.filter(not(condTrue)).select(
+      (if (rt) schemaCols :+
+        col("__rt_row_id").as(RowTracking.MatRowId) :+
+        col("__rt_rcv").as(RowTracking.MatRowCommitVersion)
+      else schemaCols): _*)
     val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, survivors,
       md.partitionColumns, md)
     val now = deltaLog.clock.nowMillis
@@ -920,7 +931,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val cdc =
       if (DeltaConfig.EnableChangeDataFeed.fromMetadata(md))
         DeltaTable.writeCdcFiles(spark, deltaLog.dataPath,
-          touchedDF.filter(condTrue)
+          touchedDF.filter(condTrue).select(schemaCols: _*)
             .withColumn("_change_type", lit("delete")))
       else Nil
     txn.commit(removes ++ adds ++ cdc, "DELETE",
@@ -1006,7 +1017,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       return dvUpdate(txn, md, condition, condTrue, candidates, set)
     val touched = filesWithMatches(candidates, md, condTrue)
     if (touched.isEmpty) return txn.readVersion
-    val touchedDF = readFilesDF(touched, md)
+    val rt = RowTracking.enabled(md)
+    val touchedDF =
+      if (rt) rowIdResolved(touched, md) else readFilesDF(touched, md)
     // one projection over the old row: updated where matched, else as-is
     val rewriteProj = md.schema.fields.map { f =>
       set.get(f.name) match {
@@ -1014,7 +1027,13 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         case None => col(f.name)
       }
     }.toSeq
-    val rewritten = touchedDF.select(rewriteProj: _*)
+    // row tracking: every row keeps its id; only UNCHANGED rows keep their
+    // commit version — updated rows materialize null there, so the read
+    // falls back to the new file's defaultRowCommitVersion (this commit)
+    val rewritten = touchedDF.select(rewriteProj ++ (if (rt) Seq(
+      col("__rt_row_id").as(RowTracking.MatRowId),
+      when(condTrue, lit(null)).otherwise(col("__rt_rcv"))
+        .as(RowTracking.MatRowCommitVersion)) else Nil): _*)
     val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, rewritten,
       md.partitionColumns, md)
     val now = deltaLog.clock.nowMillis
@@ -1049,14 +1068,22 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       set: Map[String, Column]): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     if (candidates.isEmpty) return txn.readVersion
-    val matched = readFilesKeyed(candidates, md).filter(condTrue).persist()
+    val rt = RowTracking.enabled(md)
+    val matched = (if (rt) rowIdResolved(candidates, md)
+      else readFilesKeyed(candidates, md)).filter(condTrue).persist()
     try {
       val (_, maskActions) = dvMask(txn, matched, candidates)
       if (maskActions.isEmpty) return txn.readVersion
       val postProj = md.schema.fields.map { f =>
         set.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
       }.toSeq
-      val updatedRows = matched.select(postProj: _*)
+      val newImages = matched.select(postProj: _*)
+      // row tracking: the appended image keeps the old row's id; its
+      // commit version comes from the new file's default (this commit)
+      val updatedRows =
+        if (rt) matched.select(postProj :+
+          col("__rt_row_id").as(RowTracking.MatRowId): _*)
+        else newImages
       val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, updatedRows,
         md.partitionColumns, md)
       val cdc =
@@ -1064,7 +1091,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           DeltaTable.writeCdcFiles(spark, deltaLog.dataPath,
             matched.select(md.schema.fieldNames.map(col).toSeq: _*)
               .withColumn("_change_type", lit("update_preimage"))
-              .unionByName(updatedRows
+              .unionByName(newImages
                 .withColumn("_change_type", lit("update_postimage"))))
         else Nil
       txn.commit(maskActions ++ adds ++ cdc, "UPDATE",

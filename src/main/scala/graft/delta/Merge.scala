@@ -203,7 +203,17 @@ final class MergeBuilder private[delta] (
     }
 
     // ---- phase 2: rewrite only the touched files
-    val tgt = t.readFilesKeyed(touched, md)
+    // row tracking: the target read resolves each row's id, so rewritten
+    // rows can carry it into the new files as materialized columns —
+    // pass-through rows keep (id, commit version), clause-updated rows
+    // keep the id only (their version becomes this commit via the new
+    // file's default), inserts materialize nothing (fresh ids)
+    val rt = RowTracking.enabled(md)
+    def rtCols(id: Column, rcv: Column): Seq[Column] =
+      if (!rt) Nil
+      else Seq(id.cast("long").as(RowTracking.MatRowId),
+        rcv.cast("long").as(RowTracking.MatRowCommitVersion))
+    val tgt = (if (rt) t.rowIdResolved(touched, md) else t.readFilesKeyed(touched, md))
       .withColumn("__tid", concat_ws(":", col("__fp"), col("__ri")))
       .withColumn("__t_present", lit(true))
       .alias("t")
@@ -231,28 +241,34 @@ final class MergeBuilder private[delta] (
       val dvOn = DeltaConfig.EnableDeletionVectors.fromMetadata(md)
       val frames = Seq.newBuilder[DataFrame]
       // matched rows: applied clause, or pass through when none applies
+      val keepBoth = rtCols(col("t.__rt_row_id"), col("t.__rt_rcv"))
+      val keepId = rtCols(col("t.__rt_row_id"), lit(null))
+      val keepNone = rtCols(lit(null), lit(null))
       if (!dvOn)
-        frames += joined.filter(mT && mS && col("__mc") === -1).select(tCols: _*)
+        frames += joined.filter(mT && mS && col("__mc") === -1)
+          .select(tCols ++ keepBoth: _*)
       matched.zipWithIndex.foreach { case ((_, a), i) =>
         a match {
           case MDelete => () // dropped from the rewrite
           case other => frames += joined.filter(col("__mc") === i)
-            .select(updateProj(resolvedSet(other)): _*)
+            .select(updateProj(resolvedSet(other)) ++ keepId: _*)
         }
       }
       // target-only rows: bySource clause, or pass through
       if (!dvOn)
-        frames += joined.filter(mT && !mS && col("__bc") === -1).select(tCols: _*)
+        frames += joined.filter(mT && !mS && col("__bc") === -1)
+          .select(tCols ++ keepBoth: _*)
       bySource.zipWithIndex.foreach { case ((_, a), k) =>
         a match {
           case BDelete => ()
           case BUpdate(set) => frames += joined.filter(col("__bc") === k)
-            .select(updateProj(set): _*)
+            .select(updateProj(set) ++ keepId: _*)
         }
       }
       // source-only rows: first-satisfied insert clause, else ignored
       notMatched.zipWithIndex.foreach { case ((_, a), j) =>
-        frames += joined.filter(col("__nc") === j).select(insertProj(resolvedIns(a)): _*)
+        frames += joined.filter(col("__nc") === j)
+          .select(insertProj(resolvedIns(a)) ++ keepNone: _*)
       }
       val frameSeq = frames.result()
       val adds =

@@ -156,6 +156,50 @@ class RowTrackingSuite extends AnyFunSuite {
     assert(RowTracking.highWaterMark(t.snapshot.domainMetadata) == 7L)
   }
 
+  test("classic DELETE and UPDATE rewrites preserve row ids and versions") {
+    val t = rtTable() // no DVs: DML takes the rewrite path
+    t.write(seed(0, 8).coalesce(1).orderBy("id"), SaveMode.Append) // v1, ids 0..7
+    def state() = t.toDFWithRowIds.select("id", "row_id", "row_commit_version")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val before = state()
+    t.delete(col("id") >= 6) // v2 rewrites the file; 0..5 survive
+    val afterDelete = state()
+    assert(afterDelete == before.view.filterKeys(_ < 6).toMap,
+      "survivors must keep id AND commit version through a rewrite delete")
+    val vUpd = t.update(col("id") === 3, Map("v" -> lit("updated")))
+    val afterUpdate = state()
+    assert(afterUpdate.view.mapValues(_._1).toMap ==
+      afterDelete.view.mapValues(_._1).toMap, "UPDATE must keep every row id")
+    assert(afterUpdate(3L)._2 == vUpd, "updated row advances to the update commit")
+    assert(afterUpdate.filterNot(_._1 == 3L) == afterDelete.filterNot(_._1 == 3L),
+      "untouched rows keep their old commit version")
+  }
+
+  test("MERGE preserves ids for pass-through and updated rows; inserts get fresh ids") {
+    import spark.implicits._
+    val t = rtTable()
+    t.write(seed(0, 6).coalesce(1).orderBy("id"), SaveMode.Append) // v1, ids 0..5
+    def state() = t.toDFWithRowIds.select("id", "row_id", "row_commit_version")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val before = state()
+    val src = Seq((3L, "x3"), (99L, "fresh")).toDF("id", "v")
+    val vMerge = t.merge(src, col("t.id") === col("s.id"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    val after = state()
+    (0L until 6L).foreach { i =>
+      assert(after(i)._1 == before(i)._1, s"row $i id must survive MERGE")
+    }
+    assert(after(3L)._2 == vMerge)
+    ((0L until 6L).filterNot(_ == 3L)).foreach { i =>
+      assert(after(i)._2 == before(i)._2, s"pass-through row $i keeps its version")
+    }
+    assert(after(99L)._1 > RowTracking.highWaterMark(t.snapshot.domainMetadata) - 10,
+      "insert gets a fresh id")
+    assert(!before.values.map(_._1).toSet.contains(after(99L)._1))
+  }
+
   test("RESTORE keeps original row ids on re-added files") {
     val t = rtTable()
     t.write(seed(0, 5).coalesce(1), SaveMode.Append)      // v1, ids 0..4
