@@ -184,6 +184,28 @@ final case class DomainMetadata(
   def wrap: SingleAction = SingleAction(domainMetadata = this)
 }
 
+/** V2-checkpoint manifest marker (open protocol "V2 Checkpoint Table
+  * Feature"): present exactly once in a v2 checkpoint manifest, naming
+  * the checkpointed version.
+  */
+final case class CheckpointMetadata(version: Long) extends Action {
+  def wrap: SingleAction = SingleAction(checkpointMetadata = this)
+}
+
+/** One sidecar of a v2 checkpoint: a parquet file under
+  * `_delta_log/_sidecars/` holding a bucket of the file actions. The
+  * file NAME carries (bucketing, bucket, content fingerprint), which is
+  * what makes incremental reuse possible: a bucket whose fingerprint is
+  * unchanged since the previous checkpoint references the SAME sidecar
+  * file instead of rewriting it.
+  */
+final case class SidecarFile(
+    path: String,
+    sizeInBytes: Long = 0L,
+    modificationTime: Long = 0L) extends Action {
+  def wrap: SingleAction = SingleAction(sidecar = this)
+}
+
 /** cf. reference `action/trx.go` (SetTransaction). */
 final case class SetTransaction(
     appId: String,
@@ -219,7 +241,9 @@ final case class SingleAction(
     protocol: Protocol = null,
     cdc: AddCDCFile = null,
     commitInfo: CommitInfo = null,
-    domainMetadata: DomainMetadata = null) {
+    domainMetadata: DomainMetadata = null,
+    checkpointMetadata: CheckpointMetadata = null,
+    sidecar: SidecarFile = null) {
   def unwrap: Action =
     if (add != null) add
     else if (remove != null) remove
@@ -229,6 +253,8 @@ final case class SingleAction(
     else if (cdc != null) cdc
     else if (commitInfo != null) commitInfo
     else if (domainMetadata != null) domainMetadata
+    else if (checkpointMetadata != null) checkpointMetadata
+    else if (sidecar != null) sidecar
     else null
 }
 
@@ -308,6 +334,13 @@ object Actions {
         o.put("domain", d.domain)
         put(o, "configuration", d.configuration)
         o.put("removed", d.removed)
+      case c: CheckpointMetadata =>
+        root.putObject("checkpointMetadata").put("version", c.version)
+      case sf: SidecarFile =>
+        val o = root.putObject("sidecar")
+        o.put("path", sf.path)
+        o.put("sizeInBytes", sf.sizeInBytes)
+        o.put("modificationTime", sf.modificationTime)
       case t: SetTransaction =>
         val o = root.putObject("txn")
         o.put("appId", t.appId)
@@ -418,6 +451,9 @@ object Actions {
           features("readerFeatures"), features("writerFeatures")))
       case "domainMetadata" => Some(DomainMetadata(
         str(n, "domain"), str(n, "configuration"), bool(n, "removed")))
+      case "checkpointMetadata" => Some(CheckpointMetadata(long(n, "version")))
+      case "sidecar" => Some(SidecarFile(
+        str(n, "path"), long(n, "sizeInBytes"), long(n, "modificationTime")))
       case "txn" => Some(SetTransaction(
         str(n, "appId"), long(n, "version"), optLong(n, "lastUpdated")))
       case "cdc" => Some(AddCDCFile(

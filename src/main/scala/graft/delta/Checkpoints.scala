@@ -23,40 +23,56 @@ object FileNames {
     else new Path(dataPath, new Path(uri))
   }
 
+  /** v2 manifest: `<version>.checkpoint.<uuid32hex>.parquet`. */
+  def v2CheckpointFile(logPath: Path, version: Long, uuid: String): Path =
+    new Path(logPath, f"$version%020d.checkpoint.$uuid.parquet")
+
+  /** Sidecar directory of v2 checkpoints. */
+  def sidecarDir(logPath: Path): Path = new Path(logPath, "_sidecars")
+
   def isDeltaFile(p: Path): Boolean = p.getName.matches("\\d{20}\\.json")
   def isCheckpointFile(p: Path): Boolean =
-    p.getName.matches("\\d{20}\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet")
+    p.getName.matches("\\d{20}\\.checkpoint(\\.\\d+\\.\\d+|\\.[0-9a-f]{32})?\\.parquet")
   def deltaVersion(p: Path): Long = p.getName.stripSuffix(".json").toLong
   def checkpointVersion(p: Path): Long = p.getName.split('.').head.toLong
 }
 
 /** `_last_checkpoint` metadata (cf. reference `checkpoint.go:22`
-  * CheckpointMetaDataJSON).
+  * CheckpointMetaDataJSON); `v2Uuid` extends it with the v2 manifest id.
   */
-final case class CheckpointMetaData(version: Long, size: Long, parts: Option[Int])
+final case class CheckpointMetaData(version: Long, size: Long, parts: Option[Int],
+    v2Uuid: Option[String] = None)
 
-/** A checkpoint instance on disk; multi-part aware ordering
+/** A checkpoint instance on disk; multi-part and v2 aware ordering
   * (cf. reference `checkpoint.go:30` CheckpointInstance).
   */
-final case class CheckpointInstance(version: Long, numParts: Option[Int])
+final case class CheckpointInstance(version: Long, numParts: Option[Int],
+    v2Uuid: Option[String] = None)
     extends Ordered[CheckpointInstance] {
-  /** Order by version, then prefer single-part (fewer files to read). */
+  /** Order by version; prefer v2 (newest format), then single-part. */
   override def compare(that: CheckpointInstance): Int =
     if (version != that.version) java.lang.Long.compare(version, that.version)
+    else if (v2Uuid.isDefined != that.v2Uuid.isDefined)
+      java.lang.Boolean.compare(v2Uuid.isDefined, that.v2Uuid.isDefined)
     else java.lang.Integer.compare(numParts.getOrElse(1), that.numParts.getOrElse(1))
 
-  def files(logPath: Path): Seq[Path] = numParts match {
-    case None => Seq(FileNames.checkpointFile(logPath, version))
-    case Some(n) => (1 to n).map(i =>
-      new Path(logPath, f"$version%020d.checkpoint.$i%010d.$n%010d.parquet"))
+  def files(logPath: Path): Seq[Path] = v2Uuid match {
+    case Some(u) => Seq(FileNames.v2CheckpointFile(logPath, version, u))
+    case None => numParts match {
+      case None => Seq(FileNames.checkpointFile(logPath, version))
+      case Some(n) => (1 to n).map(i =>
+        new Path(logPath, f"$version%020d.checkpoint.$i%010d.$n%010d.parquet"))
+    }
   }
 }
 
 object CheckpointInstance {
   def fromPath(p: Path): CheckpointInstance = {
     val parts = p.getName.split('.')
-    // v.checkpoint.parquet | v.checkpoint.i.n.parquet
+    // v.checkpoint.parquet | v.checkpoint.i.n.parquet | v.checkpoint.uuid.parquet
     if (parts.length == 3) CheckpointInstance(parts(0).toLong, None)
+    else if (parts.length == 4 && parts(2).matches("[0-9a-f]{32}"))
+      CheckpointInstance(parts(0).toLong, None, Some(parts(2)))
     else CheckpointInstance(parts(0).toLong, Some(parts(3).toInt))
   }
 }
@@ -76,7 +92,8 @@ object Checkpoints {
       Some(CheckpointMetaData(
         n.get("version").asLong(),
         if (n.has("size")) n.get("size").asLong() else -1L,
-        if (n.has("parts") && !n.get("parts").isNull) Some(n.get("parts").asInt()) else None))
+        if (n.has("parts") && !n.get("parts").isNull) Some(n.get("parts").asInt()) else None,
+        if (n.has("v2Uuid") && !n.get("v2Uuid").isNull) Some(n.get("v2Uuid").asText()) else None))
     } catch { case _: Exception => None } // corrupt hint: fall back to listing
   }
 
@@ -85,6 +102,7 @@ object Checkpoints {
     o.put("version", md.version)
     o.put("size", md.size)
     md.parts.foreach(o.put("parts", _))
+    md.v2Uuid.foreach(o.put("v2Uuid", _))
     store.write(FileNames.lastCheckpointFile(logPath),
       Iterator(mapper.writeValueAsString(o)), overwrite = true)
   }
@@ -103,10 +121,11 @@ object Checkpoints {
       .filter(FileNames.isCheckpointFile)
       .map(CheckpointInstance.fromPath)
       .filter(_.version <= notLaterThan)
-    val byKey = instances.groupBy(i => (i.version, i.numParts))
+    val byKey = instances.groupBy(i => (i.version, i.numParts, i.v2Uuid))
     byKey.collect {
-      case ((_, None), is) => is.head
-      case ((_, Some(n)), is) if is.size == n => is.head
+      case ((_, _, Some(_)), is) => is.head // v2: manifest presence = complete
+      case ((_, None, _), is) => is.head
+      case ((_, Some(n), _), is) if is.size == n => is.head
     }.toSeq.sorted
   }
 

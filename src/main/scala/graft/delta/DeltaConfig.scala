@@ -59,6 +59,17 @@ object DeltaConfig {
     TableConfig("delta.checkpoint.partSize", "",
       s => if (s.trim.isEmpty) None else Some(s.trim.toLong))
 
+  /** `classic` (default) or `v2` — manifest + incremental sidecars (A48). */
+  val CheckpointPolicy: TableConfig[String] =
+    TableConfig("delta.checkpointPolicy", "classic", _.trim.toLowerCase)
+
+  /** Hash buckets (= max sidecar files) of a v2 checkpoint. More buckets
+    * = finer-grained incremental reuse, more small files; size it so one
+    * bucket's actions stay a comfortable parquet file (~10^5 actions).
+    */
+  val CheckpointNumSidecars: TableConfig[Int] =
+    TableConfig("delta.checkpoint.numSidecars", "16", _.trim.toInt)
+
   /** cf. reference `config.go:84` DeltaConfigEnableExpiredLogCleanup. */
   val EnableExpiredLogCleanup: TableConfig[Boolean] =
     TableConfig("delta.enableExpiredLogCleanup", "true", _.trim.toLowerCase == "true")

@@ -159,6 +159,23 @@ object DeltaQueries {
         "identity tables must carry writer version 6")
     }
 
+  private def checkpointV2Fixture(s: SparkSession, d: String): String =
+    fixture(s, d, "ckptv2") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val nation = table(s, d, "nation")
+      val txn0 = t.deltaLog.startTransaction()
+      txn0.updateMetadata(Metadata(
+        schemaString = nation.schema.json,
+        configuration = Map(
+          "delta.checkpointInterval" -> "2",
+          "delta.checkpointPolicy" -> "v2",
+          "delta.checkpoint.numSidecars" -> "4")))
+      txn0.commit(Nil, "CREATE TABLE") // v0
+      (0 until 5).foreach { k => // v1..v5; v2 checkpoints at v2, v4
+        t.write(nation.filter(pmod(col("n_nationkey"), lit(5)) === k))
+      }
+    }
+
   private def rowTrackingFixture(s: SparkSession, d: String): String =
     fixture(s, d, "rowtracking") { dir =>
       val t = DeltaTable.forPath(s, dir)
@@ -753,6 +770,25 @@ object DeltaQueries {
       require(log.update().segment.checkpoint.map(_.version).contains(4L),
         "snapshot must build from the checkpoint")
       t.toDF
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }, Some("""
+      SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
+        CAST(n_regionkey AS INTEGER) AS n_regionkey
+      FROM nation ORDER BY n_nationkey""")),
+
+    // A48: v2 checkpoints — the snapshot must rebuild byte-exactly from a
+    // manifest + fingerprint-named sidecars (with at least one sidecar
+    // reused across the two checkpoints the fixture writes)
+    GQ("delta_checkpoint_v2", (s, d) => {
+      val dir = checkpointV2Fixture(s, d)
+      val t = DeltaTable.forPath(s, dir)
+      val log = new DeltaLog(s, t.deltaLog.dataPath) // fresh: replay from ckpt
+      val snap = log.update()
+      require(snap.segment.checkpoint.exists(_.v2Uuid.isDefined),
+        "snapshot must build from a v2 checkpoint")
+      t.readSnapshot(snap, None)
         .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
           col("n_regionkey").cast("int").as("n_regionkey"))
         .orderBy(col("n_nationkey"))

@@ -140,16 +140,29 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
        else Set.empty[String]) ++
         (if (finalActions.exists(_.isInstanceOf[DomainMetadata]))
           Set(RowTracking.DomainFeatureName) else Set.empty[String])
-    if (wantedWriterFeatures.nonEmpty) {
+    // v2 checkpoints are a reader+writer capability: a classic reader
+    // must not mistake a manifest-only checkpoint for the full state
+    val v2Ckpt = DeltaConfig.CheckpointPolicy.fromMetadata(metadata) == "v2"
+    if (wantedWriterFeatures.nonEmpty || v2Ckpt) {
+      def upgraded(p: Protocol): Option[Protocol] = {
+        var cur = p
+        var changed = false
+        if (wantedWriterFeatures.nonEmpty)
+          Protocol.requireWriterFeatures(cur, wantedWriterFeatures)
+            .foreach { u => cur = u; changed = true }
+        if (v2Ckpt)
+          Protocol.requireReaderWriterFeature(cur, "v2Checkpoint")
+            .foreach { u => cur = u; changed = true }
+        if (changed) Some(cur) else None
+      }
       finalActions.collectFirst { case p: Protocol => p } match {
         case Some(p) =>
-          Protocol.requireWriterFeatures(p, wantedWriterFeatures).foreach { up =>
+          upgraded(p).foreach { up =>
             finalActions = finalActions.map { case q: Protocol if q eq p => up; case a => a }
           }
         case None =>
           val cur = if (snapshot.version == -1) Protocol() else snapshot.protocol
-          Protocol.requireWriterFeatures(cur, wantedWriterFeatures)
-            .foreach(up => finalActions = up +: finalActions)
+          upgraded(cur).foreach(up => finalActions = up +: finalActions)
       }
     }
     // appendOnly tables reject data-changing removes

@@ -68,9 +68,23 @@ class Snapshot(
 
   private def checkpointDF: Option[DataFrame] =
     segment.checkpoint.map { ci =>
-      spark.read.schema(saSchema)
+      val base = spark.read.schema(saSchema)
         .parquet(ci.files(logPath).map(_.toString): _*)
-        .withColumn("version", lit(ci.version))
+      val df = ci.v2Uuid match {
+        case None => base
+        case Some(_) =>
+          // v2: the manifest carries the non-file actions plus sidecar
+          // references; the file actions live in the referenced sidecars
+          val names = base.where($"sidecar".isNotNull)
+            .select($"sidecar.path").as[String].collect()
+          val nonFile = base
+            .where($"sidecar".isNull && $"checkpointMetadata".isNull)
+          if (names.isEmpty) nonFile
+          else nonFile.unionByName(spark.read.schema(saSchema).parquet(
+            names.map(n => new Path(FileNames.sidecarDir(logPath), n).toString)
+              .toIndexedSeq: _*))
+      }
+      df.withColumn("version", lit(ci.version))
     }
 
   private def tailDF: DataFrame =
@@ -294,12 +308,13 @@ object Snapshot {
   val SupportedWriterVersion = 6
 
   val SupportedReaderFeatures: Set[String] =
-    Set("columnMapping", "deletionVectors", "vacuumProtocolCheck")
+    Set("columnMapping", "deletionVectors", "vacuumProtocolCheck",
+      "v2Checkpoint")
   val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "generatedColumns", "columnMapping", "deletionVectors",
       "identityColumns", "vacuumProtocolCheck", "domainMetadata",
-      "rowTracking")
+      "rowTracking", "v2Checkpoint")
   final class InvalidProtocolVersionException(msg: String)
     extends RuntimeException(msg)
   /** Recursively nullable variant of a schema (StructType.asNullable is

@@ -315,6 +315,88 @@ object Dedup {
       FROM bands a JOIN bands c ON a.j = c.j AND a.band = c.band AND a.doc_id < c.doc_id
       WHERE bit_count(xor(a.simhash, c.simhash)) <= 4
       ORDER BY doc_a, doc_b""")
-    })
+    }),
+
+    // C28 ---------------------------------------------------------------
+    // NEAR-dup incremental admission: the batch-vs-corpus version of C2.
+    // C21 (dedup_incremental) admits on EXACT normalized hashes; here a
+    // new batch (source 'src0' stands in) is screened against the
+    // existing corpus for jaccard >= 0.7 near-duplicates. Candidates come
+    // from a band join between the batch's and the corpus's LSH buckets —
+    // never batch × corpus — so admission cost scales with bucket
+    // collisions, not corpus size; the report names the best surviving
+    // match per new doc (ties to the smaller corpus id).
+    GQ("dedup_incremental_minhash", (s, d) => {
+      import s.implicits._
+      val sh = table(s, d, "documents")
+        .withColumn("sh",
+          ExpressionUtils.column(WordShingles(ExpressionUtils.expression($"text"), 3)))
+        .filter(size($"sh") > 0)
+        .select($"doc_id", $"source", $"sh")
+      val sig = sh.withColumn("sig", minhashSig($"sh"))
+      val bands = sig.select(
+        $"doc_id", $"source",
+        posexplode(array((0 until NumBands).map { b =>
+          concat_ws("|",
+            (0 until NumHashes / NumBands).map(r => element_at($"sig", b * (NumHashes / NumBands) + r + 1)): _*)
+        }: _*)).as(Seq("b", "bkey")))
+      val nb = bands.filter($"source" === "src0")
+        .select($"doc_id".as("new_id"), $"b", $"bkey")
+      val cb = bands.filter($"source" =!= "src0")
+        .select($"doc_id".as("corp_id"), $"b", $"bkey")
+      val cand = nb.join(cb, Seq("b", "bkey"))
+        .select($"new_id", $"corp_id").distinct()
+      val verified = cand
+        .join(sh.select($"doc_id".as("new_id"), $"sh".as("sa")), Seq("new_id"))
+        .join(sh.select($"doc_id".as("corp_id"), $"sh".as("sb")), Seq("corp_id"))
+        .withColumn("j", jaccard($"sa", $"sb"))
+        .filter($"j" >= 0.7)
+      val best = verified.groupBy($"new_id")
+        .agg(max_by(struct($"corp_id", $"j"), struct($"j", -$"corp_id")).as("m"))
+        .select($"new_id".as("doc_id"), $"m.corp_id".as("match_id"),
+          $"m.j".as("match_jaccard"))
+      table(s, d, "documents").filter($"source" === "src0")
+        .select($"doc_id")
+        .join(best, Seq("doc_id"), "left")
+        .select($"doc_id", $"match_id".isNull.as("admitted"),
+          $"match_id", $"match_jaccard")
+        .orderBy($"doc_id")
+    }, Some(s"""
+      WITH d AS (
+        SELECT doc_id, source, sh FROM (
+          SELECT doc_id, source, list_distinct(CASE WHEN len(t) >= 3
+            THEN list_transform(generate_series(1, len(t)-2),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+            ELSE [] END) AS sh
+          FROM (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                FROM documents))
+        WHERE len(sh) > 0),
+      sigs AS (
+        SELECT doc_id, source,
+          [${hashAB.map { case (a, b) => s"list_min(list_transform(vs, v -> ($a*v + $b) % $P))" }.mkString(", ")}] AS sig
+        FROM (SELECT doc_id, source,
+          list_transform(sh, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 1073741824) AS vs
+          FROM d)),
+      bands AS (
+        SELECT doc_id, source, u.b AS b,
+          concat_ws('|', sig[4*u.b+1], sig[4*u.b+2], sig[4*u.b+3], sig[4*u.b+4]) AS bkey
+        FROM sigs, (SELECT unnest([0,1,2,3]) AS b) u),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS corp_id
+        FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey
+        WHERE a.source = 'src0' AND c.source <> 'src0'),
+      ver AS (
+        SELECT new_id, corp_id, $duckJaccard AS j
+        FROM cand JOIN d x ON x.doc_id = new_id JOIN d y ON y.doc_id = corp_id
+        WHERE $duckJaccard >= 0.7),
+      best AS (
+        SELECT new_id, corp_id AS match_id, j AS match_jaccard FROM (
+          SELECT new_id, corp_id, j,
+            ROW_NUMBER() OVER (PARTITION BY new_id ORDER BY j DESC, corp_id) AS rn
+          FROM ver) WHERE rn = 1)
+      SELECT n.doc_id, best.match_id IS NULL AS admitted, best.match_id, best.match_jaccard
+      FROM (SELECT doc_id FROM documents WHERE source = 'src0') n
+      LEFT JOIN best ON best.new_id = n.doc_id
+      ORDER BY n.doc_id"""))
   )
 }

@@ -49,7 +49,21 @@ class GraftDeltaSource extends DeltaStreamSourceProvider
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val table = DeltaTable.forPath(spark, pathOf(parameters))
-    relationFor(sqlContext, table, snapshotFor(table, parameters))
+    if (flag(parameters, "readChangeFeed")) {
+      // batch CDF: the row-level change feed of a version range —
+      // same frame tableChanges produces (`_change_type` /
+      // `_commit_version` / `_commit_timestamp` appended)
+      val start = parameters.get("startingVersion").map(_.trim.toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          "readChangeFeed batch reads require startingVersion"))
+      val end = parameters.get("endingVersion").map(_.trim.toLong).getOrElse(-1L)
+      new DataFrameRelation(sqlContext, table.tableChanges(start, end))
+    } else if (flag(parameters, "withRowIds")) {
+      require(parameters.get("versionAsOf").isEmpty &&
+        parameters.get("timestampAsOf").isEmpty,
+        "withRowIds reads the current snapshot; combine it with time travel is not supported")
+      new DataFrameRelation(sqlContext, table.toDFWithRowIds)
+    } else relationFor(sqlContext, table, snapshotFor(table, parameters))
   }
 
   // ----------------------------------------------------------- batch write
@@ -236,6 +250,20 @@ final class SnapshotRelation(
       .select(requiredColumns.toIndexedSeq.map(col): _*)
       .queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
+}
+
+/** A prebuilt DataFrame behind the V1 relation boundary (batch CDF and
+  * row-id reads): the nested plan produces InternalRows directly, so
+  * `needConversion = false` hands its toRdd through with zero per-row
+  * conversion.
+  */
+final class DataFrameRelation(
+    override val sqlContext: SQLContext, df: DataFrame)
+    extends BaseRelation with TableScan {
+  override val schema: StructType = df.schema
+  override val needConversion: Boolean = false
+  override def buildScan(): RDD[Row] =
+    df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }
 
 /** V1 streaming sink with exactly-once semantics via the table's

@@ -221,10 +221,10 @@ class TableFeaturesSuite extends AnyFunSuite {
     val t = seeded()
     t.deltaLog.startTransaction().commit(Seq(Protocol(
       minReaderVersion = 3, minWriterVersion = 7,
-      readerFeatures = Some(Set("v2Checkpoint")),
-      writerFeatures = Some(Set("v2Checkpoint")))), "UPGRADE PROTOCOL")
+      readerFeatures = Some(Set("typeWidening")),
+      writerFeatures = Some(Set("typeWidening")))), "UPGRADE PROTOCOL")
     val ex = intercept[Exception](t.toDF.collect())
-    assert(ex.getMessage.contains("v2Checkpoint"))
+    assert(ex.getMessage.contains("typeWidening"))
 
     val t2 = seeded()
     t2.deltaLog.startTransaction().commit(Seq(Protocol(

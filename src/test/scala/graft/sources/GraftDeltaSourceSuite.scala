@@ -122,6 +122,52 @@ class GraftDeltaSourceSuite extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("batch readChangeFeed returns the version-range change feed") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = graft.delta.DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(graft.delta.Metadata(
+      schemaString = Seq((1L, "a")).toDF("id", "v").schema.json,
+      configuration = Map("delta.enableChangeDataFeed" -> "true")))
+    txn.commit(Nil, "CREATE TABLE")
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))          // v1: inserts
+    t.delete(org.apache.spark.sql.functions.col("id") === 1L)   // v2: delete
+    val cdf = spark.read.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(dir)
+    val changes = cdf.select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(changes == Set((1L, "insert", 1L), (2L, "insert", 1L), (1L, "delete", 2L)))
+    // endingVersion bounds the range
+    val only1 = spark.read.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "1")
+      .load(dir)
+    assert(only1.select("_change_type").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("insert"))
+  }
+
+  test("withRowIds read exposes row_id / row_commit_version through the format") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = graft.delta.DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(graft.delta.Metadata(
+      schemaString = Seq((1L, "a")).toDF("id", "v").schema.json,
+      configuration = Map("delta.enableRowTracking" -> "true")))
+    txn.commit(Nil, "CREATE TABLE")
+    t.write(Seq((10L, "a"), (11L, "b"), (12L, "c")).toDF("id", "v")
+      .coalesce(1).orderBy("id"))
+    val got = spark.read.format("graft-delta")
+      .option("withRowIds", "true").load(dir)
+      .select("id", "row_id", "row_commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(got.forall(_._3 == 1L))
+  }
+
   test("streaming sink is exactly-once per (checkpoint, batchId)") {
     import spark.implicits._
     val dir = tmp()
