@@ -585,12 +585,24 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
   def reorgPurge(): Long =
     compactImpl(Nil, None, useClustering = false, purgeOnly = true)
 
+  /** Row-tracking backfill: rewrite exactly the files written BEFORE row
+    * tracking was enabled (no baseRowId), assigning their rows real ids.
+    * Files that already track rows are untouched — unlike a full
+    * OPTIMIZE, this touches only the legacy tail of the table.
+    */
+  def backfillRowIds(): Long = {
+    require(snapshot.metadataOpt.exists(RowTracking.enabled),
+      s"row tracking is not enabled on ${deltaLog.dataPath}")
+    compactImpl(Nil, None, useClustering = false, backfillOnly = true)
+  }
+
   /** `useClustering = false` is the auto-compaction entry: per-write
     * bin-packing must stay cheap and NOT trigger a declared-clustering
     * full re-cluster on every commit.
     */
   private def compactImpl(zorderBy0: Seq[String], where: Option[Column],
-      useClustering: Boolean, purgeOnly: Boolean = false): Long = {
+      useClustering: Boolean, purgeOnly: Boolean = false,
+      backfillOnly: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, hash, pmod, lit, floor, min => fmin, max => fmax}
     val txn = deltaLog.startTransaction()
     // declared clustering columns make a plain OPTIMIZE a re-cluster:
@@ -622,6 +634,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       if (purgeOnly)
         byPartition.view.mapValues(
           _.filter(f => DeletionVectors.descriptor(f).isDefined))
+          .filter(_._2.nonEmpty).toMap
+      else if (backfillOnly)
+        byPartition.view.mapValues(_.filter(_.baseRowId.isEmpty))
           .filter(_._2.nonEmpty).toMap
       else if (zorderBy.nonEmpty) byPartition
       else byPartition.filter { case (_, fs) =>
@@ -701,9 +716,10 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       md)
       .map(_.copy(dataChange = false))
     val removes = files.map(f => f.remove(now, dataChange = false))
-    txn.commit(removes ++ adds, if (purgeOnly) "REORG" else "OPTIMIZE",
+    txn.commit(removes ++ adds, if (purgeOnly || backfillOnly) "REORG" else "OPTIMIZE",
       operationParameters = Map("targetFileSize" -> targetSize.toString) ++
         (if (purgeOnly) Map("applyPurge" -> "true") else Map.empty) ++
+        (if (backfillOnly) Map("backfillRowIds" -> "true") else Map.empty) ++
         (if (zorderBy.nonEmpty) Map("zOrderBy" -> zorderBy.mkString(",")) else Map.empty))
   }
 
@@ -714,9 +730,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * never holds the file set, so 10^7-file tables don't walk or heap on
     * the driver (round 1 did both). Returns the deleted paths. Time
     * travel before the vacuumed versions stops working, as in any Delta
-    * implementation.
+    * implementation. With `dryRun`, nothing is deleted — the returned
+    * paths are what a real run would remove (directory sweep skipped).
     */
-  def vacuum(retentionMillis: Option[Long] = None): Seq[String] = {
+  def vacuum(retentionMillis: Option[Long] = None,
+      dryRun: Boolean = false): Seq[String] = {
     import spark.implicits._
     val hadoopConf = spark.sessionState.newHadoopConf()
     val fs = deltaLog.dataPath.getFileSystem(hadoopConf)
@@ -755,11 +773,13 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val active = s.allFilesDS
       .map(f => FileNames.absolutePath(new Path(rootStr), f.path).toUri.getPath)
       .toDF("p")
-    val deleted = listed
+    val candidates = listed
       .where($"mtime" <= cutoff)
       .join(active, Seq("p"), "left_anti")
       .select($"p").as[String]
-      .mapPartitions { it =>
+    val deleted =
+      if (dryRun) candidates.collect().toSeq
+      else candidates.mapPartitions { it =>
         val f = new Path(rootStr).getFileSystem(serConf.value)
         it.filter(p => f.delete(new Path(p), false))
       }.collect().toSeq
@@ -780,7 +800,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           .filter { st =>
             st.getModificationTime <= cutoff && !referenced(st.getPath.getName)
           }
-          .filter(st => fs.delete(st.getPath, false))
+          .filter(st => dryRun || fs.delete(st.getPath, false))
           .map(_.getPath.toUri.getPath)
       }
 
@@ -794,7 +814,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         }
       }
     }
-    sweep(deltaLog.dataPath)
+    if (!dryRun) sweep(deltaLog.dataPath)
     deleted ++ dvDeleted
   }
 

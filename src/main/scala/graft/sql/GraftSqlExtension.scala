@@ -62,9 +62,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           parseTarget(target),
           Option(where).map(w => GraftShims.column(delegate.parseExpression(w))),
           Option(zorder).map(splitCols).getOrElse(Nil)))
-      case VacuumRe(target, hours) =>
+      case VacuumRe(target, hours, dry) =>
         Some(GraftVacuumCommand(parseTarget(target),
-          Option(hours).map(h => (h.trim.toDouble * 3600 * 1000).toLong)))
+          Option(hours).map(h => (h.trim.toDouble * 3600 * 1000).toLong),
+          dryRun = dry != null))
       case HistoryRe(target, limit) =>
         Some(GraftHistoryCommand(parseTarget(target),
           Option(limit).map(_.trim.toInt).getOrElse(Int.MaxValue)))
@@ -133,7 +134,7 @@ object GraftSqlParser {
   private[sql] val OptimizeRe =
     s"""(?is)OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s+(.+?))?""".r
   private[sql] val VacuumRe =
-    s"""(?is)VACUUM\\s+$T(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?""".r
+    s"""(?is)VACUUM\\s+$T(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?""".r
   private[sql] val HistoryRe =
     s"""(?is)DESC(?:RIBE)?\\s+HISTORY\\s+$T(?:\\s+LIMIT\\s+(\\d+))?""".r
   private[sql] val RestoreVersionRe =
@@ -252,11 +253,12 @@ case class GraftReorgCommand(target: SqlTarget) extends LeafRunnableCommand {
 }
 
 case class GraftVacuumCommand(target: SqlTarget,
-    retentionMillis: Option[Long]) extends LeafRunnableCommand {
+    retentionMillis: Option[Long],
+    dryRun: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("path", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
-    t.vacuum(retentionMillis).map(Row(_))
+    t.vacuum(retentionMillis, dryRun).map(Row(_))
   }
 }
 

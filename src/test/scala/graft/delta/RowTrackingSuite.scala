@@ -212,6 +212,42 @@ class RowTrackingSuite extends AnyFunSuite {
     assert(ids == (0L until 5L).map(i => i -> i).toMap)
   }
 
+  test("backfillRowIds rewrites only the pre-enablement files") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(schemaString = seed(0, 1).schema.json))
+    txn.commit(Nil, "CREATE TABLE")
+    t.write(seed(0, 4).coalesce(1), SaveMode.Append) // v1: no row tracking yet
+    // enable row tracking mid-life
+    val txn2 = t.deltaLog.startTransaction()
+    txn2.updateMetadata(txn2.metadata.copy(configuration =
+      txn2.metadata.configuration + ("delta.enableRowTracking" -> "true")))
+    txn2.commit(Nil, "SET TBLPROPERTIES") // v2
+    t.write(seed(4, 6).coalesce(1), SaveMode.Append) // v3: tracked, ids 0..1
+    val tracked = t.snapshot.allFiles.filter(_.baseRowId.isDefined).map(_.path)
+    assert(tracked.size == 1)
+    // legacy rows read as null ids until backfilled
+    val before = t.toDFWithRowIds.select("id", "row_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert((0L until 4L).forall(before(_).isEmpty))
+    assert((4L until 6L).forall(before(_).isDefined))
+    t.backfillRowIds()
+    val files = t.snapshot.allFiles
+    assert(files.forall(_.baseRowId.isDefined))
+    assert(files.map(_.path).intersect(tracked) == tracked,
+      "already-tracked files must not be rewritten")
+    val after = t.toDFWithRowIds.select("id", "row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.values.toSeq.distinct.size == 6, "all rows get unique real ids")
+    assert((4L until 6L).forall(i => Some(after(i)) == before(i)),
+      "tracked rows keep their ids through the backfill")
+    // idempotent: nothing left to backfill -> no new commit
+    val v = t.snapshot.version
+    t.backfillRowIds()
+    assert(t.snapshot.version == v)
+  }
+
   test("schema colliding with materialized column names is rejected") {
     import spark.implicits._
     val t = DeltaTable.forPath(spark, tmp())

@@ -298,6 +298,22 @@ class SqlSurfaceSuite extends AnyFunSuite {
     assert(t.snapshot.version == v)
   }
 
+  test("VACUUM DRY RUN reports candidates without deleting") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(seed())                                  // v0
+    t.write(seed(), org.apache.spark.sql.SaveMode.Overwrite) // v1: old files orphaned
+    val dry = spark.sql(s"VACUUM graft.`$dir` RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0))
+    assert(dry.nonEmpty, "overwrite must orphan at least one file")
+    dry.foreach(p => assert(new java.io.File(p).exists(), s"dry run must not delete $p"))
+    val real = spark.sql(s"VACUUM graft.`$dir` RETAIN 0 HOURS")
+      .collect().map(_.getString(0))
+    assert(real.sorted.toSeq == dry.sorted.toSeq, "real run deletes exactly the dry-run report")
+    dry.foreach(p => assert(!new java.io.File(p).exists(), s"real run must delete $p"))
+    assert(t.toDF.count() == 5)
+  }
+
   test("the delegating parser leaves ordinary SQL alone") {
     assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
     assert(spark.sql("DESCRIBE FUNCTION abs").count() > 0)
