@@ -159,6 +159,22 @@ object DeltaQueries {
         "identity tables must carry writer version 6")
     }
 
+  private def reorgFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "reorg") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val orders = table(s, d, "orders")
+      val txn = t.deltaLog.startTransaction()
+      txn.updateMetadata(Metadata(
+        schemaString = orders.schema.json,
+        configuration = Map("delta.enableDeletionVectors" -> "true")))
+      txn.commit(Nil, "CREATE TABLE")
+      t.write(orders)
+      t.delete(col("o_totalprice") > 250000) // DV masks
+      t.reorgPurge()                         // materialize: no DVs survive
+      require(t.snapshot.allFiles.forall(f =>
+        DeletionVectors.descriptor(f).isEmpty), "purge must drop every DV")
+    }
+
   private def checkpointV2Fixture(s: SparkSession, d: String): String =
     fixture(s, d, "ckptv2") { dir =>
       val t = DeltaTable.forPath(s, dir)
@@ -777,6 +793,18 @@ object DeltaQueries {
       SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
         CAST(n_regionkey AS INTEGER) AS n_regionkey
       FROM nation ORDER BY n_nationkey""")),
+
+    // REORG APPLY (PURGE): content must survive DV materialization
+    // byte-exactly (same oracle as a plain delete)
+    GQ("delta_reorg", (s, d) => {
+      val dir = reorgFixture(s, d)
+      DeltaTable.forPath(s, dir).toDF
+        .select(ordersCols.map(col): _*)
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE NOT (o_totalprice > 250000)
+      ORDER BY o_orderkey""")),
 
     // A48: v2 checkpoints — the snapshot must rebuild byte-exactly from a
     // manifest + fingerprint-named sidecars (with at least one sidecar
