@@ -330,6 +330,29 @@ object TextOps {
         (n_tok BETWEEN 50 AND 100000) AND dup_word_frac <= 0.7
           AND (mean_word_len BETWEEN 3.0 AND 10.0) AND stop_ratio >= 0.02
           AND digit_ratio <= 0.2 AS keep
-      FROM m ORDER BY doc_id"""))
+      FROM m ORDER BY doc_id""")),
+
+    // C29 ---------------------------------------------------------------
+    // Deterministic holdout split: train/valid/test assignment from an
+    // md5 coin on the doc id (98/1/1) — reproducible across runs,
+    // engines and shard layouts, which is what makes eval sets stable as
+    // the corpus grows; per-row projection, shuffle-free.
+    GQ("split_holdout", (s, d) => {
+      import s.implicits._
+      val coin = conv(substring(md5(concat(lit("holdout:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100L
+      table(s, d, "documents")
+        .withColumn("split",
+          when(coin < 98, "train").when(coin < 99, "valid").otherwise("test"))
+        .select($"doc_id", $"split")
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CASE WHEN coin < 98 THEN 'train' WHEN coin < 99 THEN 'valid' ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5('holdout:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS coin
+        FROM documents)
+      ORDER BY doc_id"""))
   )
 }

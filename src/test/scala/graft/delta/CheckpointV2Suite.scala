@@ -132,6 +132,17 @@ class CheckpointV2Suite extends AnyFunSuite {
     assert(snap.allFiles.flatMap(_.baseRowId) == Seq(0L))
   }
 
+  test("time travel lands between v2 checkpoints") {
+    val t = v2Table() // interval 2: v2 checkpoints at v2 and v4
+    (0 until 4).foreach(i =>
+      t.write(seed(i * 2, i * 2 + 2).coalesce(1), SaveMode.Append)) // v1..v4
+    assert(manifests(t).size == 2)
+    // v3 sits between the two checkpoints: replay = ckpt(v2) + tail(v3)
+    assert(t.toDF(3).count() == 6)
+    assert(t.toDF(2).count() == 4)
+    assert(t.toDF.count() == 8)
+  }
+
   test("switching policy mid-life: classic history stays readable") {
     val t = DeltaTable.forPath(spark, tmp())
     val txn = t.deltaLog.startTransaction()
