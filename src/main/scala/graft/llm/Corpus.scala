@@ -217,7 +217,7 @@ object Corpus {
           SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
             ROWS UNBOUNDED PRECEDING) AS cum FROM t)
       SELECT source, CAST((cum - n_tok) // 4096 AS BIGINT) AS bin,
-        COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+        COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         CAST(SUM(n_tok) AS DOUBLE) / 4096.0 AS fill
       FROM c GROUP BY source, bin
       ORDER BY source, bin""")),
