@@ -31,8 +31,11 @@ object FileNames {
   def sidecarDir(logPath: Path): Path = new Path(logPath, "_sidecars")
 
   def isDeltaFile(p: Path): Boolean = p.getName.matches("\\d{20}\\.json")
+  // v2 manifests: we write dash-stripped 32-hex uuids, but spec-conformant
+  // manifests from other engines use dashed UUIDs — accept both forms
+  private[delta] val V2Uuid = "[0-9a-f]{32}|[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
   def isCheckpointFile(p: Path): Boolean =
-    p.getName.matches("\\d{20}\\.checkpoint(\\.\\d+\\.\\d+|\\.[0-9a-f]{32})?\\.parquet")
+    p.getName.matches(s"\\d{20}\\.checkpoint(\\.\\d+\\.\\d+|\\.($V2Uuid))?\\.parquet")
   def deltaVersion(p: Path): Long = p.getName.stripSuffix(".json").toLong
   def checkpointVersion(p: Path): Long = p.getName.split('.').head.toLong
 }
@@ -71,7 +74,7 @@ object CheckpointInstance {
     val parts = p.getName.split('.')
     // v.checkpoint.parquet | v.checkpoint.i.n.parquet | v.checkpoint.uuid.parquet
     if (parts.length == 3) CheckpointInstance(parts(0).toLong, None)
-    else if (parts.length == 4 && parts(2).matches("[0-9a-f]{32}"))
+    else if (parts.length == 4 && parts(2).matches(FileNames.V2Uuid))
       CheckpointInstance(parts(0).toLong, None, Some(parts(2)))
     else CheckpointInstance(parts(0).toLong, Some(parts(3).toInt))
   }

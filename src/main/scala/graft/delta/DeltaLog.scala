@@ -244,15 +244,13 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
         s"p${r.getDecimal(1).toBigInteger.toString(36).replace("-", "m")}c${r.getLong(2)}")
       .toMap
     def sidecarName(b: Int): String = s"sidecar-$numBuckets-$b-${fps(b)}.parquet"
-    // a fingerprint-named file already on disk IS the bucket's content:
-    // reuse it; write only the buckets whose fingerprint is new
-    val changed = fps.keys.filter(b => !fs.exists(new Path(scDir, sidecarName(b)))).toSeq
-    if (changed.nonEmpty) {
+    def writeBuckets(buckets: Seq[Int]): Unit = {
+      if (buckets.isEmpty) return
       val tmpDir = new Path(logPath, s".ckpt-v2-${java.util.UUID.randomUUID}")
-      fileRows.filter(col("__b").isin(changed.map(Int.box): _*))
-        .repartition(changed.length, col("__b"))
+      fileRows.filter(col("__b").isin(buckets.map(Int.box): _*))
+        .repartition(buckets.length, col("__b"))
         .write.partitionBy("__b").mode("overwrite").parquet(tmpDir.toString)
-      changed.foreach { b =>
+      buckets.foreach { b =>
         val dir = new Path(tmpDir, s"__b=$b")
         val part = fs.listStatus(dir).map(_.getPath)
           .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
@@ -263,10 +261,19 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
       }
       fs.delete(tmpDir, true)
     }
+    // a fingerprint-named file already on disk IS the bucket's content:
+    // reuse it; write only the buckets whose fingerprint is new
+    writeBuckets(fps.keys.filter(b => !fs.exists(new Path(scDir, sidecarName(b)))).toSeq)
     // manifest: non-file actions + sidecar references + checkpoint marker
     val meta = s.metadataOpt
     val sidecarActions = fps.keys.toSeq.sorted.map { b =>
-      val st = fs.getFileStatus(new Path(scDir, sidecarName(b)))
+      val p = new Path(scDir, sidecarName(b))
+      // a concurrent writer's orphan sweep may delete a reused sidecar
+      // between the reuse check and here; the name is content-addressed,
+      // so rewriting the bucket reproduces the file byte-identically
+      val st = try fs.getFileStatus(p) catch {
+        case _: java.io.FileNotFoundException => writeBuckets(Seq(b)); fs.getFileStatus(p)
+      }
       SidecarFile(sidecarName(b), st.getLen, st.getModificationTime).wrap
     }
     val manifestRows: Seq[SingleAction] =
@@ -286,6 +293,10 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     if (!fs.rename(mPart.head, manifest))
       throw new java.io.IOException(s"failed to place v2 manifest $manifest")
     fs.delete(tmpM, true)
+    // close the reuse race: once the manifest is visible, any sidecar it
+    // references must exist. Rewrite (content-addressed, idempotent) any
+    // bucket a concurrent sweep deleted before the manifest landed.
+    writeBuckets(fps.keys.toSeq.filter(b => !fs.exists(new Path(scDir, sidecarName(b)))))
     val size = fs.getFileStatus(manifest).getLen +
       sidecarActions.map(_.sidecar.sizeInBytes).sum
     Checkpoints.writeLastCheckpoint(store, logPath,

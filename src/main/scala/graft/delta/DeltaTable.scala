@@ -117,6 +117,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col}
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import scala.jdk.CollectionConverters._
+    // rejects tables whose ids were materialized under foreign column names
+    RowTracking.assertNoCollision(md)
     val mats = Seq(StructField(RowTracking.MatRowId, LongType),
       StructField(RowTracking.MatRowCommitVersion, LongType))
     val keyed = readFilesKeyed(files, md, mats)

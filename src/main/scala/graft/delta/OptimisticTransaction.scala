@@ -134,7 +134,15 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     // that first uses them stamps the protocol upgrade (writer-only —
     // readers are unaffected by either feature)
     val rtEnabled = DeltaConfig.RowTracking.fromMetadata(metadata)
-    if (rtEnabled) RowTracking.assertNoCollision(metadata)
+    if (rtEnabled) {
+      RowTracking.assertNoCollision(metadata)
+      // advertise the materialized column names in the table config so
+      // conforming external writers materialize under our fixed names
+      finalActions = finalActions.map {
+        case m: Metadata => RowTracking.withMaterializedNames(m)
+        case a => a
+      }
+    }
     val wantedWriterFeatures: Set[String] =
       (if (rtEnabled) Set(RowTracking.FeatureName, RowTracking.DomainFeatureName)
        else Set.empty[String]) ++
@@ -144,25 +152,15 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     // must not mistake a manifest-only checkpoint for the full state
     val v2Ckpt = DeltaConfig.CheckpointPolicy.fromMetadata(metadata) == "v2"
     if (wantedWriterFeatures.nonEmpty || v2Ckpt) {
-      def upgraded(p: Protocol): Option[Protocol] = {
-        var cur = p
-        var changed = false
-        if (wantedWriterFeatures.nonEmpty)
-          Protocol.requireWriterFeatures(cur, wantedWriterFeatures)
-            .foreach { u => cur = u; changed = true }
-        if (v2Ckpt)
-          Protocol.requireReaderWriterFeature(cur, "v2Checkpoint")
-            .foreach { u => cur = u; changed = true }
-        if (changed) Some(cur) else None
-      }
       finalActions.collectFirst { case p: Protocol => p } match {
         case Some(p) =>
-          upgraded(p).foreach { up =>
+          upgradedProtocol(p, wantedWriterFeatures, v2Ckpt).foreach { up =>
             finalActions = finalActions.map { case q: Protocol if q eq p => up; case a => a }
           }
         case None =>
           val cur = if (snapshot.version == -1) Protocol() else snapshot.protocol
-          upgraded(cur).foreach(up => finalActions = up +: finalActions)
+          upgradedProtocol(cur, wantedWriterFeatures, v2Ckpt)
+            .foreach(up => finalActions = up +: finalActions)
       }
     }
     // appendOnly tables reject data-changing removes
@@ -367,14 +365,19 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
         (DeltaConfig.IctEnablementVersionKey -> attempt.toString) +
         (DeltaConfig.IctEnablementTimestampKey -> ict.get.toString))
       case m => m
-    }
+    }.map(RowTracking.withMaterializedNames)
+    // same feature-requirement set as commit(): a table whose
+    // metadata-bearing commits all flow through commitLarge must still
+    // declare v2Checkpoint / row-tracking features before using them
+    val v2Ckpt = DeltaConfig.CheckpointPolicy.fromMetadata(metadata) == "v2"
     val baseProto: Option[Protocol] =
       if (snapshot.version == -1) Some(Protocol()) else None
+    val wantedWriterFeatures: Set[String] =
+      if (rtEnabled) Set(RowTracking.FeatureName, RowTracking.DomainFeatureName)
+      else Set.empty[String]
     val protoActions: Seq[Action] =
-      if (!rtEnabled) baseProto.toSeq
-      else Protocol.requireWriterFeatures(
-          baseProto.getOrElse(snapshot.protocol),
-          Set(RowTracking.FeatureName, RowTracking.DomainFeatureName))
+      upgradedProtocol(baseProto.getOrElse(snapshot.protocol),
+          wantedWriterFeatures, v2Ckpt)
         .map(Seq[Action](_)).getOrElse(baseProto.toSeq)
     val head: Seq[Action] = commitInfo +: (protoActions ++ mdActions)
     try
@@ -388,6 +391,24 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     committed = true
     postCommit(attempt)
     attempt
+  }
+
+  /** Protocol upgraded to declare every feature the staged state requires
+    * (writer features plus the v2Checkpoint reader+writer feature); None
+    * when `p` already declares them all. Shared by commit() and
+    * commitLarge() so no commit path can use a feature undeclared.
+    */
+  private def upgradedProtocol(
+      p: Protocol, wantedWriterFeatures: Set[String], v2Ckpt: Boolean): Option[Protocol] = {
+    var cur = p
+    var changed = false
+    if (wantedWriterFeatures.nonEmpty)
+      Protocol.requireWriterFeatures(cur, wantedWriterFeatures)
+        .foreach { u => cur = u; changed = true }
+    if (v2Ckpt)
+      Protocol.requireReaderWriterFeature(cur, "v2Checkpoint")
+        .foreach { u => cur = u; changed = true }
+    if (changed) Some(cur) else None
   }
 
   /** cf. reference `trnx.go:603` checkForConflicts + `conflict_checker.go`.

@@ -37,6 +37,26 @@ object RowTracking {
   val MatRowId = "_graft_row_id"
   val MatRowCommitVersion = "_graft_row_commit_version"
 
+  /** Spec table-config keys advertising the materialized column names, so
+    * a conforming external writer materializes ids under OUR names instead
+    * of generating its own (which this reader would silently ignore).
+    */
+  val MatRowIdConfigKey = "delta.rowTracking.materializedRowIdColumnName"
+  val MatRowCommitVersionConfigKey =
+    "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+  /** Stamp the materialized-column-name config keys (pointing at the fixed
+    * physical names) into metadata that enables row tracking.
+    */
+  def withMaterializedNames(md: Metadata): Metadata = {
+    if (!enabled(md)) return md
+    val add = Map(
+      MatRowIdConfigKey -> MatRowId,
+      MatRowCommitVersionConfigKey -> MatRowCommitVersion)
+      .filter { case (k, _) => !md.configuration.contains(k) }
+    if (add.isEmpty) md else md.copy(configuration = md.configuration ++ add)
+  }
+
   private val mapper = new ObjectMapper()
 
   def configJson(hwm: Long): String = s"""{"rowIdHighWaterMark":$hwm}"""
@@ -53,13 +73,24 @@ object RowTracking {
   def enabled(md: Metadata): Boolean = DeltaConfig.RowTracking.fromMetadata(md)
 
   /** Reject table schemas whose column names collide with the fixed
-    * materialized-column names.
+    * materialized-column names, and tables whose config declares FOREIGN
+    * materialized column names (written by another engine): this impl
+    * reads only [[MatRowId]]/[[MatRowCommitVersion]], so honoring such a
+    * table would silently drop the externally-materialized ids.
     */
   def assertNoCollision(md: Metadata): Unit = {
     val bad = md.schema.fieldNames.toSet
       .intersect(Set(MatRowId, MatRowCommitVersion))
     require(bad.isEmpty,
       s"row tracking reserves column name(s) ${bad.mkString(", ")}")
+    Seq(MatRowIdConfigKey -> MatRowId,
+      MatRowCommitVersionConfigKey -> MatRowCommitVersion).foreach {
+      case (key, fixed) => md.configuration.get(key).foreach { declared =>
+        require(declared == fixed,
+          s"unsupported row-tracking table: $key='$declared' was materialized " +
+            s"by another writer; this engine only reads '$fixed'")
+      }
+    }
   }
 
   /** Assign fresh baseRowId ranges (from `hwm + 1`) to adds that lack one;

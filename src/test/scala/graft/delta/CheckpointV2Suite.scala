@@ -166,4 +166,49 @@ class CheckpointV2Suite extends AnyFunSuite {
     // time travel to a pre-switch version still works
     assert(t.toDF(2).count() == 8)
   }
+
+  test("spec-conformant dashed-uuid manifests from other engines are recognized") {
+    // naming layer accepts both the dash-stripped and the dashed form
+    val dashed = "01234567-89ab-cdef-0123-456789abcdef"
+    val dashedPath = FileNames.v2CheckpointFile(new Path("/t/_delta_log"), 5, dashed)
+    assert(FileNames.isCheckpointFile(dashedPath))
+    assert(CheckpointInstance.fromPath(dashedPath) ==
+      CheckpointInstance(5, None, Some(dashed)))
+    // end-to-end: rename our manifest to the dashed form another engine
+    // would write; checkpoint listing (no _last_checkpoint hint) must
+    // still find it and replay from it
+    val t = v2Table()
+    t.write(seed(0, 4).coalesce(1), SaveMode.Append)  // v1
+    t.write(seed(4, 8).coalesce(1), SaveMode.Append)  // v2 -> ckpt
+    val m = manifests(t).head
+    val undashed = m.split('.')(2)
+    val dashedUuid = undashed.replaceAll(
+      "(.{8})(.{4})(.{4})(.{4})(.{12})", "$1-$2-$3-$4-$5")
+    assert(fs(t).rename(new Path(t.deltaLog.logPath, m),
+      new Path(t.deltaLog.logPath, m.replace(undashed, dashedUuid))))
+    fs(t).delete(new Path(t.deltaLog.logPath, "_last_checkpoint"), false)
+    val found = Checkpoints.latestCompleteCheckpoint(t.deltaLog.store, t.deltaLog.logPath)
+    assert(found.exists(_.v2Uuid.contains(dashedUuid)),
+      s"listing must surface the dashed-uuid manifest, got $found")
+    val snap = new DeltaLog(spark, t.deltaLog.dataPath).update()
+    assert(snap.version == 2 && snap.allFiles.size == 2)
+  }
+
+  test("commitLarge stamps the v2Checkpoint feature when policy=v2") {
+    // a table whose metadata-bearing commits all flow through commitLarge
+    // must still declare the reader+writer feature before writing v2
+    // checkpoints (classic readers would miss state after log cleanup)
+    val t = DeltaTable.forPath(spark, tmp())
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = seed(0, 1).schema.json,
+      configuration = Map(
+        "delta.checkpointPolicy" -> "v2",
+        "delta.checkpoint.numSidecars" -> "4")))
+    txn.commitLarge(Iterator.empty, "CREATE TABLE")
+    val p = t.snapshot.protocol
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7)
+    assert(p.readerFeatures.exists(_.contains("v2Checkpoint")))
+    assert(p.writerFeatures.exists(_.contains("v2Checkpoint")))
+  }
 }

@@ -258,4 +258,30 @@ class RowTrackingSuite extends AnyFunSuite {
       configuration = Map("delta.enableRowTracking" -> "true")))
     intercept[IllegalArgumentException] { txn.commit(Nil, "CREATE TABLE") }
   }
+
+  test("enabling row tracking stamps the materialized-column-name config keys") {
+    val t = rtTable()
+    val conf = t.snapshot.metadata.configuration
+    assert(conf.get(RowTracking.MatRowIdConfigKey).contains(RowTracking.MatRowId))
+    assert(conf.get(RowTracking.MatRowCommitVersionConfigKey)
+      .contains(RowTracking.MatRowCommitVersion))
+    // the commitLarge metadata path stamps them too
+    val t2 = DeltaTable.forPath(spark, tmp())
+    val txn = t2.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = seed(0, 1).schema.json,
+      configuration = Map("delta.enableRowTracking" -> "true")))
+    txn.commitLarge(Iterator.empty, "CREATE TABLE")
+    assert(t2.snapshot.metadata.configuration
+      .get(RowTracking.MatRowIdConfigKey).contains(RowTracking.MatRowId))
+  }
+
+  test("tables declaring foreign materialized column names are rejected") {
+    // an external writer materialized ids under its own generated name;
+    // honoring the table would silently drop those ids on every read
+    val e = intercept[IllegalArgumentException] {
+      rtTable(Map(RowTracking.MatRowIdConfigKey -> "_row_id_col_abc123"))
+    }
+    assert(e.getMessage.contains(RowTracking.MatRowIdConfigKey))
+  }
 }
