@@ -267,6 +267,61 @@ object Corpus {
         CAST(coalesce(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
         CAST(coalesce(n_dup_grams, 0) AS DOUBLE) / CAST(greatest(n_grams, 1) AS DOUBLE) AS dup_frac
       FROM base b LEFT JOIN fl USING (doc_id) ORDER BY doc_id""")
-    })
+    }),
+
+    // C30 ---------------------------------------------------------------
+    // BM25 retrieval (Robertson-Sparck Jones, k1=1.2 b=0.75) for a fixed
+    // query over the corpus, top-20 docs. All score inputs stay INTEGER
+    // until one final division per (doc, term): with k1=6/5, b=3/4 and
+    // avgdl = S/N (S = corpus token count), the per-term score reduces to
+    //   idf_s * 22 * tf * S  /  (10*S*tf + 3*S + 9*dl*N)
+    // — int64 on both engines (idf_s is the integer-scaled
+    // reciprocal-df idf; ln() differs across libms so it stays out).
+    // Per-doc summation is a FIXED-ORDER sum of the (<= 3) per-term
+    // scores via conditional aggregates, so float order is identical.
+    // The term->doc inverted shape is a gram-keyed aggregation + one
+    // broadcast of the 3-term stats — no per-query scan at 100 TB.
+    GQ("bm25_topk", (s, d) => {
+      import s.implicits._
+      val terms = Seq("spark", "join", "stream")
+      val docs = table(s, d, "documents")
+      val tok = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+      val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      val corpus = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("s_tokens"))
+      val tf = tok.filter($"term".isin(terms: _*))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), Seq("term"))
+        .join(dl, Seq("doc_id")).crossJoin(broadcast(corpus))
+        .withColumn("idf_s", floor($"n_docs" * lit(1000.0) / $"df").cast("long"))
+        .withColumn("sc",
+          ($"idf_s" * lit(22L) * $"tf" * $"s_tokens").cast("double") /
+            (lit(10L) * $"s_tokens" * $"tf" + lit(3L) * $"s_tokens" +
+              lit(9L) * $"dl" * $"n_docs").cast("double"))
+      scored.groupBy($"doc_id")
+        .agg((coalesce(max(when($"term" === "spark", $"sc")), lit(0.0)) +
+          coalesce(max(when($"term" === "join", $"sc")), lit(0.0)) +
+          coalesce(max(when($"term" === "stream", $"sc")), lit(0.0))).as("score"))
+        .orderBy($"score".desc, $"doc_id")
+        .limit(20)
+    }, Some("""
+      WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                   FROM documents),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+      corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        CAST(SUM(dl) AS BIGINT) AS s_tokens FROM dl),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+             WHERE term IN ('spark', 'join', 'stream') GROUP BY 1, 2),
+      df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      sc AS (SELECT t.doc_id, t.term,
+          CAST(CAST(floor(n_docs*1000.0/df) AS BIGINT) * 22 * t.tf * s_tokens AS DOUBLE) /
+          CAST(10*s_tokens*t.tf + 3*s_tokens + 9*l.dl*n_docs AS DOUBLE) AS sc
+        FROM tf t JOIN df USING (term) JOIN dl l ON t.doc_id = l.doc_id CROSS JOIN corpus)
+      SELECT doc_id,
+        coalesce(MAX(CASE WHEN term='spark' THEN sc END), 0.0) +
+        coalesce(MAX(CASE WHEN term='join' THEN sc END), 0.0) +
+        coalesce(MAX(CASE WHEN term='stream' THEN sc END), 0.0) AS score
+      FROM sc GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 20"""))
   )
 }

@@ -268,6 +268,39 @@ object Similarity {
       SELECT p.q_id, n.label AS true_label, p.pred_label, p.n_votes,
         p.pred_label = n.label AS correct
       FROM pred p JOIN n ON n.vec_id = p.q_id
-      ORDER BY q_id"""))
+      ORDER BY q_id""")),
+
+    // C31 ---------------------------------------------------------------
+    // Symmetric int8 embedding quantization: per vector, scale =
+    // 127/max|x|, q_i = round(x_i * scale) — the storage/serving format
+    // for billion-vector ANN indexes (4x smaller, SIMD-dot-friendly).
+    // Entirely per-row array expressions: shuffle-free at any scale. The
+    // report carries exact-integer checksums (sum, L1, saturation count)
+    // so the oracle verifies every quantized value without shipping the
+    // int8 arrays through the compare.
+    GQ("embed_quantize", (s, d) => {
+      import s.implicits._
+      table(s, d, "embeddings")
+        .withColumn("mx", array_max(transform($"embedding", x => abs(x))).cast("double"))
+        .withColumn("q", transform($"embedding",
+          x => round(x.cast("double") * lit(127.0) / $"mx").cast("long")))
+        .select($"vec_id",
+          (lit(127.0) / $"mx").as("scale"),
+          aggregate($"q", lit(0L), (a, b) => a + b).as("q_sum"),
+          aggregate($"q", lit(0L), (a, b) => a + abs(b)).as("q_l1"),
+          size(filter($"q", x => abs(x) === 127L)).cast("long").as("n_sat"))
+        .orderBy($"vec_id")
+    }, Some("""
+      WITH q AS (SELECT vec_id,
+          CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS mx,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
+              CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)) AS BIGINT)) AS qv
+        FROM embeddings)
+      SELECT vec_id, 127.0 / mx AS scale,
+        CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+        CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+      FROM q ORDER BY vec_id"""))
   )
 }

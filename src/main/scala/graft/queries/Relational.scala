@@ -395,6 +395,97 @@ object Relational {
       FROM (SELECT * FROM events WHERE event_type = 'error') e
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         ON e.user_id = p.user_id AND p.ts <= e.ts
-      ORDER BY e.event_id"""))
+      ORDER BY e.event_id""")),
+
+    // B20 ---------------------------------------------------------------
+    // Sessionization: split each user's event stream into sessions at
+    // >30-minute silence gaps, report per-session stats. One shuffle on
+    // user_id serves both windows and the aggregation; at 100 TB the
+    // cost is a single hash partitioning of the events — the canonical
+    // clickstream shape. Gap arithmetic in integer microseconds (exact
+    // in both engines; epoch() doubles would drift).
+    GQ("q_sessionize", (s, d) => {
+      import s.implicits._
+      val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(wOrd))
+        .withColumn("is_new",
+          when($"prev_us".isNull ||
+            unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sess", sum($"is_new").over(wCum))
+        .groupBy($"user_id", $"sess")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts").as("session_start"),
+          max($"ts").as("session_end"),
+          centsToDouble(sum(cents($"value"))).as("sum_value"))
+        .orderBy($"user_id", $"sess")
+    }, Some("""
+      WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+          lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+            (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+        FROM events),
+      m AS (SELECT *, CASE WHEN prev_us IS NULL
+            OR epoch_us(ts) - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+        FROM o),
+      g AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM m)
+      SELECT user_id, sess, COUNT(*) AS n_events,
+        MIN(ts) AS session_start, MAX(ts) AS session_end,
+        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      FROM g GROUP BY user_id, sess ORDER BY user_id, sess""")),
+
+    // B21 ---------------------------------------------------------------
+    // PIVOT: per user cohort, event-type spend matrix as columns. The
+    // pivot value list is declared (no collect-distinct job); Catalyst
+    // compiles it to one pass of conditional aggregates — a single
+    // shuffle on the cohort key at any scale.
+    GQ("q_pivot", (s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy(($"user_id" % 10).as("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(centsToDouble(sum(cents($"value"))))
+        .orderBy($"cohort")
+    }, Some("""
+      SELECT user_id % 10 AS cohort,
+        CAST(SUM(CASE WHEN event_type='click' THEN CAST(round(value*100) AS BIGINT) END) AS DOUBLE)/100.0 AS click,
+        CAST(SUM(CASE WHEN event_type='error' THEN CAST(round(value*100) AS BIGINT) END) AS DOUBLE)/100.0 AS error,
+        CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(round(value*100) AS BIGINT) END) AS DOUBLE)/100.0 AS purchase,
+        CAST(SUM(CASE WHEN event_type='signup' THEN CAST(round(value*100) AS BIGINT) END) AS DOUBLE)/100.0 AS signup,
+        CAST(SUM(CASE WHEN event_type='view' THEN CAST(round(value*100) AS BIGINT) END) AS DOUBLE)/100.0 AS view
+      FROM events GROUP BY 1 ORDER BY cohort""")),
+
+    // B22 ---------------------------------------------------------------
+    // Exact discrete percentiles (percentile_disc semantics: the smallest
+    // element with cume_dist >= p) per group, computed via row_number so
+    // both engines pick the IDENTICAL element — engine-native quantile
+    // functions differ in interpolation. One shuffle; the rank window
+    // and the aggregation share the partitioning on the group key.
+    GQ("q_percentiles", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      val wAll = Window.partitionBy($"o_orderpriority")
+      table(s, d, "orders")
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy($"o_orderpriority")
+        .agg(max($"n").as("n_orders"),
+          min(when($"r" === ceil($"n" * lit(0.5)), $"o_totalprice")).as("p50"),
+          min(when($"r" === ceil($"n" * lit(0.9)), $"o_totalprice")).as("p90"),
+          min(when($"r" === $"n", $"o_totalprice")).as("p100"))
+        .orderBy($"o_orderpriority")
+    }, Some("""
+      WITH r AS (SELECT o_orderpriority, o_totalprice,
+          CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS r,
+          CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        FROM orders)
+      SELECT o_orderpriority, MAX(n) AS n_orders,
+        MIN(CASE WHEN r = ceil(n * 0.5) THEN o_totalprice END) AS p50,
+        MIN(CASE WHEN r = ceil(n * 0.9) THEN o_totalprice END) AS p90,
+        MIN(CASE WHEN r = n THEN o_totalprice END) AS p100
+      FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

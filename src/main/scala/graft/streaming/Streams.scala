@@ -77,6 +77,81 @@ object Streams {
     }, Some("""
       SELECT COUNT(*) AS n_events, CAST(SUM(event_id) AS BIGINT) AS sum_ids,
         COUNT(DISTINCT user_id) AS n_users
-      FROM events"""))
+      FROM events""")),
+
+    // D6: streaming sessionization via native session windows. Events
+    // within a 30-minute gap merge into one session per user; append mode
+    // emits a session once the event-time watermark passes its end
+    // (end = last event + gap). The oracle replays the same gap rule in
+    // batch SQL and applies the same closure condition — the watermark is
+    // the max event time truncated to milliseconds (Spark tracks
+    // watermarks in ms), so sessions still open at end-of-stream are
+    // excluded on both sides. State is keyed (user, session): at 100 TB
+    // the shuffle is one hash partitioning on user_id and the state store
+    // holds only OPEN sessions, not history.
+    GQ("stream_sessionize", (s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(eventsSourceDir(d))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(cents($"value")).cast("double") / lit(100.0)).as("sum_value"))
+      runToMemory(agg, "append")
+        .select($"user_id", $"session_window.start".as("session_start"),
+          $"session_window.end".as("session_end"), $"n_events", $"sum_value")
+        .orderBy($"user_id", $"session_start")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      o AS (SELECT *, lag(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+      m AS (SELECT *, CASE WHEN prev_us IS NULL
+            OR epoch_us(ts) - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new FROM o),
+      g AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess FROM m),
+      sess AS (SELECT user_id, MIN(ts) AS session_start,
+          MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+        FROM g GROUP BY user_id, sess),
+      wm AS (SELECT (epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000) * 1000 AS wm_us FROM events)
+      SELECT user_id, session_start, session_end, n_events, sum_value
+      FROM sess, wm WHERE epoch_us(session_end) <= wm_us
+      ORDER BY user_id, session_start""")),
+
+    // D7: arbitrary stateful streaming via flatMapGroupsWithState — the
+    // custom-state primitive (running per-user totals that survive across
+    // micro-batches in the state store). Update mode emits the refreshed
+    // totals per user per batch; the final totals are recovered with a
+    // monotonic max per user, so the result is independent of how the
+    // source splits into batches. Batch oracle: plain GROUP BY user.
+    GQ("stream_user_state", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(eventsSourceDir(d))
+      val typed = stream.select($"user_id", cents($"value").as("c")).as[(Long, Long)]
+      val updated = typed.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+          var (n, c) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { e => n += 1; c += e._2 }
+          state.update((n, c))
+          Iterator((uid, n, c))
+        }
+        .toDF("user_id", "n_events", "sum_cents")
+      runToMemory(updated, "update")
+        .groupBy($"user_id")
+        .agg(max($"n_events").as("n_events"),
+          (max($"sum_cents").cast("double") / lit(100.0)).as("sum_value"))
+        .orderBy($"user_id")
+    }, Some("""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      FROM events GROUP BY user_id ORDER BY user_id"""))
   )
 }
