@@ -940,6 +940,30 @@ object DeltaQueries {
       SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM merged
       UNION ALL
       SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM inserted
-      ORDER BY c_custkey"""))
+      ORDER BY c_custkey""")),
+
+    // CONVERT TO DELTA (A49): a plain Hive-partitioned parquet directory
+    // is adopted in place (footer-stat job + one commit, no rewrite),
+    // then proven transactional with a DELETE and read back through the
+    // log with partition pruning intact.
+    GQ("delta_convert", (s, d) => {
+      val dir = fixture(s, d, "convert") { base =>
+        val dir = s"$base/pq"
+        table(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+          .write.partitionBy("n_regionkey").parquet(dir)
+        val t = DeltaTable.convertToDelta(s, dir)
+        t.delete(pmod(col("n_nationkey"), lit(7)) === 0)
+      }
+      DeltaTable.forPath(s, s"$dir/pq").toDF
+        .select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }, Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        CAST(n_regionkey AS BIGINT) AS n_regionkey
+      FROM nation WHERE CAST(n_nationkey AS BIGINT) % 7 <> 0
+      ORDER BY n_nationkey"""))
   )
 }

@@ -1438,6 +1438,72 @@ object DeltaTable {
   def isDeltaTable(spark: SparkSession, path: String): Boolean =
     DeltaLog.forTable(spark, path).tableExists
 
+  /** CONVERT TO DELTA: adopt an existing (optionally Hive-partitioned)
+    * parquet directory in place. The initial commit records every data
+    * file with footer stats; no data is rewritten, so converting a
+    * 100 TB directory is a metadata-sized operation (one distributed
+    * footer-stat job + one commit). Partition columns and types come
+    * from Spark's partition discovery. (delta-spark's CONVERT TO DELTA
+    * surface; the reference has no compute layer to convert for.)
+    */
+  def convertToDelta(spark: SparkSession, path: String): DeltaTable = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val log = DeltaLog.forTable(spark, path)
+    require(!log.tableExists, s"$path is already a graft-delta table")
+    val rel = spark.read.parquet(path).queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        lr.relation.asInstanceOf[HadoopFsRelation]
+    }.getOrElse(throw new IllegalArgumentException(s"no parquet data at $path"))
+    val partCols = rel.partitionSchema.fieldNames.toSeq
+    val dataSchema = rel.dataSchema
+    // table schema = data columns + discovered partition columns (typed)
+    val fullSchema = org.apache.spark.sql.types.StructType(
+      dataSchema.fields ++ rel.partitionSchema.fields)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = log.dataPath.getFileSystem(conf)
+    val base = fs.makeQualified(log.dataPath).toString
+    val rels = rel.location.inputFiles.toSeq.map { f =>
+      val q = fs.makeQualified(new Path(f)).toString
+      require(q.startsWith(base + "/"), s"input file $q outside table root $base")
+      q.substring(base.length + 1)
+    }
+    require(rels.nonEmpty, s"no parquet files found at $path")
+    // size / mtime / footer stats on executors, like the write path —
+    // the driver never opens a footer
+    val serConf = new SerializableHadoopConf(conf)
+    val confB = spark.sparkContext.broadcast(serConf)
+    val infos = spark.sparkContext
+      .parallelize(rels, math.max(1, math.min(rels.size, 32)))
+      .map { r =>
+        val c = confB.value.value
+        val p = new Path(new Path(base), r)
+        val st = p.getFileSystem(c).getFileStatus(p)
+        val stats =
+          try Stats.fromFooter(c, p, dataSchema, Nil)
+          catch { case _: Exception => null }
+        (r, st.getLen, st.getModificationTime, stats)
+      }.collect().toSeq
+    val adds = infos.map { case (r, len, mtime, stats) =>
+      val partitionValues = r.split('/').dropRight(1).collect {
+        case d if d.contains("=") =>
+          val Array(k, v) = d.split("=", 2)
+          k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
+                else URLDecoder.decode(v, "UTF-8"))
+      }.toMap
+      require(partitionValues.keySet == partCols.toSet,
+        s"file $r partition dirs ${partitionValues.keySet} != discovered $partCols")
+      AddFile(r, partitionValues, len, mtime, dataChange = true, stats = stats)
+    }
+    val txn = log.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = fullSchema.json,
+      partitionColumns = partCols,
+      createdTime = Some(log.clock.nowMillis)))
+    txn.commit(adds, "CONVERT",
+      operationParameters = Map("numFiles" -> adds.size.toString))
+    new DeltaTable(spark, log)
+  }
+
   /** Write change rows (table columns + `_change_type`) as CDC parquet
     * under `_change_data/`, returning AddCDCFile actions. CDC files keep
     * partition columns as DATA columns (no hive dirs): a CDF reader wants

@@ -38,6 +38,121 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectPostHocResolutionRule(session => new GraftDmlRule(session))
+    // Hints batch: runs BEFORE Resolution, where Spark would reject time
+    // travel over a V1 relation
+    ext.injectHintResolutionRule(session => new GraftTimeTravelRule(session))
+    // SELECT * FROM table_changes('t' | '/path', start [, end])
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.sql.GraftTableChangesFunction", "table_changes"),
+      (args: Seq[Expression]) => GraftTableChangesFunction.plan(args)))
+  }
+}
+
+/** `table_changes(table_or_path, startVersion[, endVersion])` — the SQL
+  * face of the row-level change feed (`DeltaTable.tableChanges`).
+  */
+object GraftTableChangesFunction {
+  def plan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 2 || args.size == 3,
+      s"table_changes(table, startVersion[, endVersion]) got ${args.size} args")
+    val spark = SparkSession.active
+    def str(e: Expression): String = e.eval(null) match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"table_changes: expected a string literal, got $other")
+    }
+    def lng(e: Expression): Long = e.eval(null) match {
+      case i: java.lang.Integer => i.toLong
+      case l: java.lang.Long => l
+      case other => throw new IllegalArgumentException(
+        s"table_changes: expected an integer version, got $other")
+    }
+    val ident = str(args.head)
+    val path =
+      if (ident.contains("/")) ident
+      else SqlTarget.resolve(spark, TableTarget(
+        spark.sessionState.sqlParser.parseMultipartIdentifier(ident)))
+    val end = if (args.size == 3) lng(args(2)) else -1L
+    DeltaTable.forPath(spark, path)
+      .tableChanges(lng(args(1)), end).queryExecution.logical
+  }
+}
+
+/** Path relations and SQL time travel:
+  *
+  *  - `SELECT ... FROM graft.`/path`` (and `delta.`/path``) resolves to
+  *    the table's scan plan, so path tables work in any SQL statement —
+  *    SELECT, INSERT, DELETE/UPDATE/MERGE (the substituted LogicalRelation
+  *    is what [[GraftDmlRule]] routes to transactional DML);
+  *  - `SELECT ... FROM t VERSION AS OF 3` / `TIMESTAMP AS OF '...'`:
+  *    Spark parses the temporal clause into [[RelationTimeTravel]] but
+  *    resolves it only for DSv2 tables; this rule substitutes the graft
+  *    table's historical scan first (cf. reference `log.go:156`
+  *    SnapshotForVersionAsOf / `log.go:160` SnapshotForTimestampAsOf —
+  *    the same API, SQL-shaped).
+  *
+  * Runs in the Hints batch (before Resolution); non-graft relations are
+  * left untouched for Spark to handle.
+  */
+class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+  import org.apache.spark.sql.catalyst.expressions.Cast
+
+  /** Table path when the identifier names a graft-delta table:
+    * `graft.`/path``/`delta.`/path`` or a catalog table of the provider.
+    */
+  private def graftPath(parts: Seq[String]): Option[String] = parts match {
+    case Seq(ns, p) if (ns.equalsIgnoreCase("graft") || ns.equalsIgnoreCase("delta")) &&
+        graft.delta.DeltaLog.forTable(spark, p).tableExists =>
+      Some(p)
+    case _ =>
+      try {
+        val id = parts.map(x => x.stripPrefix("`").stripSuffix("`")) match {
+          case Seq(a) => TableIdentifier(a)
+          case Seq(db, a) => TableIdentifier(a, Some(db))
+          case Seq(cat, db, a) => TableIdentifier(a, Some(db), Some(cat))
+          case _ => return None
+        }
+        val md = spark.sessionState.catalog.getTableMetadata(id)
+        if (md.provider.exists(_.equalsIgnoreCase("graft-delta")))
+          Some(md.location.toString)
+        else None
+      } catch { case _: Exception => None }
+  }
+
+  private def tsMillis(e: Expression): Option[Long] = {
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    Option(Cast(e, TimestampType, Some(tz)).eval(null))
+      .map(_.asInstanceOf[Long] / 1000L) // micros -> millis
+  }
+
+  /** `graft.`/path``/`delta.`/path`` with an existing log (path form
+    * only — catalog names resolve through Spark's own relation lookup).
+    */
+  private def pathRelation(parts: Seq[String]): Option[String] = parts match {
+    case Seq(ns, p) if (ns.equalsIgnoreCase("graft") || ns.equalsIgnoreCase("delta")) &&
+        graft.delta.DeltaLog.forTable(spark, p).tableExists =>
+      Some(p)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+      graftPath(u.multipartIdentifier).map { path =>
+        val t = DeltaTable.forPath(spark, path)
+        (ver.flatMap(_.toLongOption), ts.flatMap(tsMillis)) match {
+          case (Some(v), _) => t.toDF(v).queryExecution.logical
+          case (None, Some(ms)) => t.toDFAsOfTimestamp(ms).queryExecution.logical
+          case _ => tt
+        }
+      }.getOrElse(tt)
+    case u: UnresolvedRelation if !u.isStreaming &&
+        pathRelation(u.multipartIdentifier).isDefined =>
+      DeltaTable.forPath(spark, pathRelation(u.multipartIdentifier).get)
+        .toDF.queryExecution.logical
   }
 }
 
@@ -93,6 +208,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftUnsetPropertiesCommand(parseTarget(target), parseKeys(keys)))
       case ShowPropsRe(target, key) =>
         Some(GraftShowPropertiesCommand(parseTarget(target), Option(key)))
+      case CloneRe(ine, target, src) =>
+        Some(GraftCloneCommand(parseTarget(target), parseTarget(src),
+          ifNotExists = ine != null))
+      case ConvertRe(target) =>
+        Some(GraftConvertCommand(parseTarget(target)))
       case _ => None
     }
   }
@@ -130,7 +250,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
   // target = quoted path, (delta|graft).`path`, or a dotted identifier —
   // matched lazily; the optional clauses anchor the split
-  private val T = """((?:'[^']+')|(?:"[^"]+")|(?:(?:delta|graft)\.`[^`]+`)|(?:[\w.`]+))"""
+  private val T = """((?:'[^']+')|(?:"[^"]+")|(?:(?:delta|graft|parquet)\.`[^`]+`)|(?:[\w.`]+))"""
   private[sql] val OptimizeRe =
     s"""(?is)OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s+(.+?))?""".r
   private[sql] val VacuumRe =
@@ -157,7 +277,11 @@ object GraftSqlParser {
     s"""(?is)DESC(?:RIBE)?\\s+DETAIL\\s+$T""".r
   private[sql] val ReorgRe =
     s"""(?is)REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)""".r
-  private val PathTargetRe = """(?:delta|graft)\.`([^`]+)`""".r
+  private[sql] val CloneRe =
+    s"""(?is)CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T\\s+SHALLOW\\s+CLONE\\s+$T""".r
+  private[sql] val ConvertRe =
+    s"""(?is)CONVERT\\s+TO\\s+DELTA\\s+$T""".r
+  private val PathTargetRe = """(?:delta|graft|parquet)\.`([^`]+)`""".r
 
   private def splitCols(s: String): Seq[String] =
     s.trim.stripPrefix("(").stripSuffix(")")
@@ -597,6 +721,59 @@ case class GraftCreateTableCommand(
       catalog.createTable(entry, ignoreIfExists = false)
     }
     Nil
+  }
+}
+
+/** `CREATE TABLE tgt SHALLOW CLONE src`: metadata-only copy referencing
+  * the source's files by absolute URI (`DeltaTable.shallowCloneTo`). A
+  * catalog-name target registers the clone as a managed table.
+  */
+case class GraftCloneCommand(target: SqlTarget, source: SqlTarget,
+    ifNotExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("location", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    val srcPath = SqlTarget.resolve(spark, source)
+    val src = DeltaTable.forPath(spark, srcPath)
+    target match {
+      case PathTarget(p) =>
+        if (ifNotExists && graft.delta.DeltaLog.forTable(spark, p).tableExists)
+          return Seq(Row(p))
+        src.shallowCloneTo(p)
+        Seq(Row(p))
+      case TableTarget(_) =>
+        val id = SqlTarget.tableIdentifier(target).get
+        val catalog = spark.sessionState.catalog
+        if (catalog.tableExists(id)) {
+          if (ifNotExists) return Nil
+          throw new IllegalStateException(s"table $id already exists")
+        }
+        val loc = catalog.defaultTablePath(id)
+        val path = new org.apache.hadoop.fs.Path(loc).toString
+        // catalog entry first (managed-location validation needs the empty
+        // dir), roll back if the clone commit fails
+        catalog.createTable(CatalogTable(id, CatalogTableType.MANAGED,
+          CatalogStorageFormat.empty, src.snapshot.metadata.schema,
+          provider = Some("graft-delta")), ignoreIfExists = false)
+        try src.shallowCloneTo(path)
+        catch { case e: Throwable =>
+          try catalog.dropTable(id, ignoreIfNotExists = true, purge = false)
+          catch { case _: Exception => }
+          throw e
+        }
+        Seq(Row(path))
+    }
+  }
+}
+
+/** `CONVERT TO DELTA parquet.`/path``: in-place adoption of a parquet
+  * directory (one distributed footer-stat job + one commit, no rewrite).
+  */
+case class GraftConvertCommand(target: SqlTarget) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.convertToDelta(spark, SqlTarget.resolve(spark, target))
+    Seq(Row(t.snapshot.version))
   }
 }
 

@@ -319,4 +319,103 @@ class SqlSurfaceSuite extends AnyFunSuite {
     assert(spark.sql("DESCRIBE FUNCTION abs").count() > 0)
     intercept[Exception](spark.sql("OPTIMIZE")) // incomplete statement still errors
   }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    import org.apache.spark.sql.SaveMode
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(seed())                                         // v0: 5 rows
+    // timestamp travel resolves against commit-file mtime (no ICT here)
+    val fs = t.deltaLog.logPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val tsAfterV0 = new java.sql.Timestamp(fs.getFileStatus(
+      graft.delta.FileNames.deltaFile(t.deltaLog.logPath, 0)).getModificationTime)
+    Thread.sleep(5)
+    t.write(seed().filter(col("id") <= 2L), SaveMode.Overwrite) // v1: 2 rows
+    // path form
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$dir` VERSION AS OF 0")
+      .head().getLong(0) == 5)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$dir` VERSION AS OF 1")
+      .head().getLong(0) == 2)
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM graft.`$dir` TIMESTAMP AS OF '$tsAfterV0'")
+      .head().getLong(0) == 5)
+    // catalog-table form, with projection + filter on the historical scan
+    freshTable("t_tt")
+    seed().write.format("graft-delta").saveAsTable("t_tt")
+    spark.sql("DELETE FROM t_tt WHERE id >= 3")
+    assert(spark.table("t_tt").count() == 2)
+    assert(spark.sql("SELECT id FROM t_tt VERSION AS OF 0 WHERE score >= 30")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L, 5L))
+    // current reads are unaffected
+    assert(spark.sql("SELECT count(*) AS c FROM t_tt").head().getLong(0) == 2)
+  }
+
+  test("CREATE TABLE ... SHALLOW CLONE by path and into the catalog") {
+    import org.apache.spark.sql.SaveMode
+    val srcDir = tmp()
+    val src = DeltaTable.forPath(spark, srcDir)
+    src.write(seed())
+    // path target
+    val dstDir = tmp() + "/clone"
+    spark.sql(s"CREATE TABLE graft.`$dstDir` SHALLOW CLONE graft.`$srcDir`")
+    val clone = DeltaTable.forPath(spark, dstDir)
+    assert(clone.toDF.count() == 5)
+    // DML on the clone must not touch the source
+    clone.delete(col("id") === 1L)
+    assert(clone.toDF.count() == 4 && src.toDF.count() == 5)
+    // catalog target: registered as a managed graft-delta table
+    freshTable("t_clone")
+    spark.sql(s"CREATE TABLE t_clone SHALLOW CLONE graft.`$srcDir`")
+    assert(spark.table("t_clone").count() == 5)
+    assert(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("t_clone"))
+      .provider.contains("graft-delta"))
+    // IF NOT EXISTS is a no-op on an existing target
+    spark.sql(s"CREATE TABLE IF NOT EXISTS t_clone SHALLOW CLONE graft.`$srcDir`")
+    // source keeps evolving independently
+    src.write(seed(), SaveMode.Append)
+    assert(spark.table("t_clone").count() == 5)
+  }
+
+  test("CONVERT TO DELTA adopts a parquet directory in place") {
+    val dir = tmp() + "/plainpq"
+    seed().write.partitionBy("part").parquet(dir)
+    val v = spark.sql(s"CONVERT TO DELTA parquet.`$dir`").head().getLong(0)
+    assert(v == 0L)
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF.count() == 5)
+    assert(t.snapshot.metadata.partitionColumns == Seq("part"))
+    // files were adopted, not rewritten: every AddFile lives under a
+    // hive partition dir and carries footer stats
+    val files = t.snapshot.allFiles
+    assert(files.nonEmpty && files.forall(_.path.contains("part=")))
+    assert(files.forall(f => graft.delta.Stats.numRecords(f.stats).isDefined))
+    // the converted table is transactional: DML + partition-pruned scans
+    t.delete(col("id") === 5L)
+    assert(t.toDF.count() == 4)
+    assert(spark.sql(s"SELECT id FROM graft.`$dir` WHERE part = 'x'")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // double convert is rejected
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CONVERT TO DELTA parquet.`$dir`")
+    }
+  }
+
+  test("table_changes TVF returns the row-level change feed") {
+    freshTable("t_tvf")
+    seed().write.format("graft-delta").saveAsTable("t_tvf")   // v0
+    spark.sql("DELETE FROM t_tvf WHERE id <= 2")              // v1
+    val rows = spark.sql(
+      "SELECT id, _change_type, _commit_version FROM table_changes('t_tvf', 1) ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "delete", 1L), (2L, "delete", 1L)))
+    // path form + joinable like any relation
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("t_tvf"))
+      .location.toString
+    val n = spark.sql(
+      s"SELECT count(*) AS c FROM table_changes('$loc', 0, 0) WHERE _change_type = 'insert'")
+      .head().getLong(0)
+    assert(n == 5)
+  }
 }
