@@ -31,6 +31,17 @@ object FileNames {
   def sidecarDir(logPath: Path): Path = new Path(logPath, "_sidecars")
 
   def isDeltaFile(p: Path): Boolean = p.getName.matches("\\d{20}\\.json")
+  /** Minor log compaction (open spec): reconciled actions of versions
+    * [start, end] in one file, substituted for the raw deltas at replay.
+    */
+  def compactedFile(logPath: Path, start: Long, end: Long): Path =
+    new Path(logPath, f"$start%020d.$end%020d.compacted.json")
+  def isCompactedFile(p: Path): Boolean =
+    p.getName.matches("\\d{20}\\.\\d{20}\\.compacted\\.json")
+  def compactedRange(p: Path): (Long, Long) = {
+    val parts = p.getName.split('.')
+    (parts(0).toLong, parts(1).toLong)
+  }
   // v2 manifests: we write dash-stripped 32-hex uuids, but spec-conformant
   // manifests from other engines use dashed UUIDs — accept both forms
   private[delta] val V2Uuid = "[0-9a-f]{32}|[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"

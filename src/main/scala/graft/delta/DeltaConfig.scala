@@ -145,6 +145,20 @@ object DeltaConfig {
   val RowTracking: TableConfig[Boolean] =
     TableConfig("delta.enableRowTracking", "false", _.trim.toLowerCase == "true")
 
+  /** Index (collect min/max stats for) only the first N schema columns;
+    * -1 indexes all. Bounds footer harvesting + stats JSON on very wide
+    * tables (Delta's `dataSkippingNumIndexedCols`, default 32).
+    */
+  val DataSkippingNumIndexedCols: TableConfig[Int] =
+    TableConfig("delta.dataSkippingNumIndexedCols", "32", _.trim.toInt)
+
+  /** Minor log compaction every N commits (0 = off): each window of N
+    * deltas is reconciled into one `<s>.<e>.compacted.json` that replay
+    * substitutes for the raw files — see [[DeltaLog.compactDeltas]].
+    */
+  val LogCompactionInterval: TableConfig[Int] =
+    TableConfig("delta.logCompaction.interval", "0", _.trim.toInt)
+
   /** `none` | `name` | `id` — see [[ColumnMapping]]. */
   val ColumnMappingMode: TableConfig[String] =
     TableConfig("delta.columnMapping.mode", "none", _.trim.toLowerCase)

@@ -102,6 +102,18 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     statuses.map(_.getPath).filter(FileNames.isDeltaFile).map(FileNames.deltaVersion)
   }
 
+  /** One listing -> (raw delta versions, compacted ranges). The lower
+    * bound "<0>." sorts before both name shapes.
+    */
+  private def listDeltasAndCompactions(): (Seq[Long], Seq[(Long, Long)]) = {
+    val statuses =
+      try store.listFrom(new Path(logPath, f"${0L}%020d."))
+      catch { case _: java.io.FileNotFoundException => return (Nil, Nil) }
+    val paths = statuses.map(_.getPath)
+    (paths.filter(FileNames.isDeltaFile).map(FileNames.deltaVersion),
+      paths.filter(FileNames.isCompactedFile).map(FileNames.compactedRange))
+  }
+
   /** (version, monotonized commit timestamp) for every commit
     * (cf. reference `history_manager.go:205` getCommits).
     *
@@ -177,7 +189,8 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
           .orElse(Checkpoints.latestCompleteCheckpoint(store, logPath))
     }
     val from = ckpt.map(_.version + 1).getOrElse(0L)
-    var deltas = listDeltaVersions().dropWhile(_ < from)
+    val (allDeltas, allCompacted) = listDeltasAndCompactions()
+    var deltas = allDeltas.dropWhile(_ < from)
     versionBound.foreach(v => deltas = deltas.takeWhile(_ <= v))
     // verify contiguity of the tail
     deltas.sliding(2).foreach {
@@ -193,7 +206,71 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
         throw new IllegalStateException(
           s"delta tail ${deltas.head} does not follow checkpoint ${c.version}")
     }
-    new Snapshot(spark, this, version, LogSegment(version, ckpt, deltas))
+    // minor log compaction: substitute covered runs of the tail with
+    // compacted files (greedy longest range from each cursor) — replay
+    // reads O(compactions) files instead of O(versions) on long tails
+    val byStart = allCompacted
+      .filter { case (s, e) => s >= from && e <= version }
+      .groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).max }
+    var keep = List.empty[Long]
+    var used = List.empty[(Long, Long)]
+    var v = from
+    while (v <= version) {
+      byStart.get(v) match {
+        case Some(e) if e > v => used = (v, e) :: used; v = e + 1
+        case _ => keep = v :: keep; v += 1
+      }
+    }
+    new Snapshot(spark, this, version,
+      LogSegment(version, ckpt, keep.reverse, used.reverse))
+  }
+
+  /** Minor log compaction (open spec `<s>.<e>.compacted.json`): write the
+    * RECONCILED actions of versions [start, end] into one file — per-path
+    * latest file action (within one version an add beats a remove),
+    * latest metadata/protocol, latest SetTransaction per app, latest
+    * DomainMetadata per domain; CommitInfo/CDC excluded (per-version
+    * facts, served by the raw deltas, which compaction never deletes).
+    * Replay then opens O(compactions) files instead of O(versions) on a
+    * long tail between checkpoints — the cheap mid-point between raw
+    * replay and a full checkpoint. Idempotent: the name is the range, a
+    * concurrent writer of the same range loses the put-if-absent and
+    * reads the winner's identical content.
+    */
+  def compactDeltas(start: Long, end: Long): Unit = {
+    require(0 <= start && start < end, s"bad compaction range [$start, $end]")
+    val target = FileNames.compactedFile(logPath, start, end)
+    if (store.exists(target)) return
+    // driver-side reconciliation: a maintenance op over a bounded range
+    // (the tail between checkpoints); huge overwrite commits within the
+    // range collapse to their final per-path action
+    val files = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Int, Action)]
+    var md: Option[Metadata] = None
+    var proto: Option[Protocol] = None
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, SetTransaction]
+    val domains = scala.collection.mutable.LinkedHashMap.empty[String, DomainMetadata]
+    (start to end).foreach { v =>
+      store.read(FileNames.deltaFile(logPath, v)).flatMap(Actions.fromJson).foreach {
+        case a: AddFile =>
+          files(a.path) = (v, 1, a)
+        case r: RemoveFile =>
+          // same-version add wins (atomic replace), later versions win
+          files.get(r.path) match {
+            case Some((pv, isAdd, _)) if pv == v && isAdd == 1 => ()
+            case _ => files(r.path) = (v, 0, r)
+          }
+        case m: Metadata => md = Some(m)
+        case p: Protocol => proto = Some(p)
+        case t: SetTransaction => txns(t.appId) = t
+        case dm: DomainMetadata => domains(dm.domain) = dm
+        case _ => () // CommitInfo / AddCDCFile stay per-version
+      }
+    }
+    val out: Iterator[Action] =
+      proto.iterator ++ md.iterator ++ txns.valuesIterator ++
+        domains.valuesIterator ++ files.valuesIterator.map(_._3)
+    try store.write(target, out.map(Actions.toJson))
+    catch { case _: FileAlreadyExistsException => () }
   }
 
   /** Write a checkpoint for the given snapshot + update `_last_checkpoint`
@@ -351,17 +428,22 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     val md = s.metadataOpt.getOrElse(return)
     if (!DeltaConfig.EnableExpiredLogCleanup.fromMetadata(md)) return
     val cutoff = clock.nowMillis - DeltaConfig.LogRetention.fromMetadata(md)
-    // list from the version-0 CHECKPOINT prefix: "….checkpoint…" sorts
-    // lexicographically before "….json", so listing from the delta file
-    // would never surface a version-0 checkpoint and it would never sweep
+    // list from "<0>.": it sorts before every log-file shape (compacted
+    // "<v>.<e>.compacted.json", checkpoint "<v>.checkpoint…", delta
+    // "<v>.json"), so version-0 artifacts of all three kinds are swept
     val statuses =
-      try store.listFrom(FileNames.checkpointPrefix(logPath, 0))
+      try store.listFrom(new Path(logPath, f"${0L}%020d."))
       catch { case _: java.io.FileNotFoundException => return }
     val (ckptParts, rest) = statuses.partition(st => FileNames.isCheckpointFile(st.getPath))
     rest.foreach { st =>
       val p = st.getPath
       if (st.getModificationTime <= cutoff && FileNames.isDeltaFile(p) &&
           FileNames.deltaVersion(p) < s.version)
+        store.delete(p)
+      // a compacted file goes when its whole RANGE is below the snapshot
+      // (same condition as the raw deltas it substitutes)
+      if (st.getModificationTime <= cutoff && FileNames.isCompactedFile(p) &&
+          FileNames.compactedRange(p)._2 < s.version)
         store.delete(p)
     }
     // sweep a checkpoint all-or-nothing: a cutoff straddling a multi-part

@@ -1478,8 +1478,8 @@ object DeltaTable {
         val c = confB.value.value
         val p = new Path(new Path(base), r)
         val st = p.getFileSystem(c).getFileStatus(p)
-        val stats =
-          try Stats.fromFooter(c, p, dataSchema, Nil)
+        val stats = // config default: the converted table has no metadata yet
+          try Stats.fromFooter(c, p, dataSchema, Nil, numIndexedCols = 32)
           catch { case _: Exception => null }
         (r, st.getLen, st.getModificationTime, stats)
       }.collect().toSeq
@@ -1579,6 +1579,7 @@ object DeltaTable {
     val schema = df.schema
     val base = dataPath.toString
     val pCols = partCols
+    val nIdx = DeltaConfig.DataSkippingNumIndexedCols.fromMetadata(md)
     val infos = spark.sparkContext
       .parallelize(rels, math.max(1, math.min(rels.size, 32)))
       .map { rel =>
@@ -1586,7 +1587,7 @@ object DeltaTable {
         val p = new Path(new Path(base), rel)
         val st = p.getFileSystem(c).getFileStatus(p)
         val stats =
-          try Stats.fromFooter(c, p, schema, pCols)
+          try Stats.fromFooter(c, p, schema, pCols, nIdx)
           catch { case _: Exception => null } // stats are an optimization only
         (rel, st.getLen, st.getModificationTime, stats)
       }.collect().toSeq

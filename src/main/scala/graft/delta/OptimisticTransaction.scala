@@ -437,6 +437,12 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     } else {
       deltaLog.update()
     }
+    // minor log compaction on its own cadence (best-effort maintenance —
+    // a failure must never fail the already-durable commit)
+    val lc = DeltaConfig.LogCompactionInterval.fromMetadata(metadata)
+    if (lc > 1 && (committedVersion + 1) % lc == 0)
+      try deltaLog.compactDeltas(committedVersion - lc + 1, committedVersion)
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
   private[delta] def readPredicatesSnapshot: Seq[Column] = readPredicates.toSeq

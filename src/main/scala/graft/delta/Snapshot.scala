@@ -5,12 +5,18 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The delta files (JSON tail) and optional checkpoint backing a version
-  * (cf. reference `log_segment.go`).
+  * (cf. reference `log_segment.go`). `compacted` ranges substitute the
+  * covered raw deltas: `deltas` holds only the UNCOVERED versions, and
+  * every action of a compacted file replays at its range END version
+  * (sound because the file is already reconciled — one action per path,
+  * latest metadata/protocol/txn — so composing it at the end version is
+  * identical to replaying the range).
   */
 final case class LogSegment(
     version: Long,
     checkpoint: Option[CheckpointInstance],
-    deltas: Seq[Long])
+    deltas: Seq[Long],
+    compacted: Seq[(Long, Long)] = Nil)
 
 /** An immutable view of the table at one version
   * (cf. reference `snapshot.go:21` Snapshot interface).
@@ -39,15 +45,31 @@ class Snapshot(
     * commit can carry millions of add/remove lines and must not heap the
     * driver. Tunable via `spark.graft.snapshot.spillThresholdBytes`.
     */
+  /** Tail parts in replay order: (file, version its actions replay at) —
+    * raw deltas at their own version, compacted files at the range end.
+    */
+  private lazy val tailFiles: Seq[(Path, Long)] =
+    (segment.deltas.map(v => FileNames.deltaFile(logPath, v) -> v) ++
+      segment.compacted.map { case (s, e) =>
+        FileNames.compactedFile(logPath, s, e) -> e
+      }).sortBy(_._2)
+
   private lazy val spillTail: Boolean = {
     val threshold = spark.conf
       .getOption("spark.graft.snapshot.spillThresholdBytes")
       .map(_.toLong).getOrElse(64L * 1024 * 1024)
-    segment.deltas.nonEmpty && {
-      val first = FileNames.deltaFile(logPath, segment.deltas.head)
+    tailFiles.nonEmpty && {
+      val minV = math.min(segment.deltas.headOption.getOrElse(Long.MaxValue),
+        segment.compacted.headOption.map(_._1).getOrElse(Long.MaxValue))
+      // "<v>." sorts before both "<v>.json" and "<v>.<e>.compacted.json"
+      val first = new Path(logPath, f"$minV%020d.")
       deltaLog.store.listFrom(first)
-        .filter(st => FileNames.isDeltaFile(st.getPath) &&
-          FileNames.deltaVersion(st.getPath) <= version)
+        .filter { st =>
+          (FileNames.isDeltaFile(st.getPath) &&
+            FileNames.deltaVersion(st.getPath) <= version) ||
+          (FileNames.isCompactedFile(st.getPath) &&
+            FileNames.compactedRange(st.getPath)._2 <= version)
+        }
         .map(_.getLen).sum > threshold
     }
   }
@@ -56,9 +78,8 @@ class Snapshot(
     * on the non-spill path).
     */
   lazy val tailActions: Seq[(Long, Action)] =
-    segment.deltas.flatMap { v =>
-      deltaLog.store.read(FileNames.deltaFile(logPath, v))
-        .flatMap(Actions.fromJson).map(v -> _)
+    tailFiles.flatMap { case (p, v) =>
+      deltaLog.store.read(p).flatMap(Actions.fromJson).map(v -> _)
     }
 
   // fully-nullable: checkpoint rows have exactly one non-null action
@@ -89,10 +110,13 @@ class Snapshot(
 
   private def tailDF: DataFrame =
     if (spillTail) {
-      val paths = segment.deltas.map(v => FileNames.deltaFile(logPath, v).toString)
+      val paths = tailFiles.map(_._1.toString)
+      // raw deltas replay at their version, compacted files at range END:
+      // the last number before (.compacted).json is exactly that
       spark.read.schema(saSchema).json(paths: _*)
         .withColumn("version",
-          regexp_extract(input_file_name(), "(\\d+)\\.json$", 1).cast("long"))
+          regexp_extract(input_file_name(), "(\\d+)(?:\\.compacted)?\\.json$", 1)
+            .cast("long"))
     } else {
       val rows = tailActions.map { case (v, a) => (v, a.wrap) }
       spark.createDataset(rows)(Encoders.product[(Long, SingleAction)])

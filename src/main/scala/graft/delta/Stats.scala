@@ -35,11 +35,21 @@ object Stats {
     case _ => false
   }
 
-  /** Atomic eligible leaf fields of the data schema (top level only). */
-  def statFields(dataSchema: StructType, partCols: Seq[String]): Seq[StructField] =
-    dataSchema.fields.toSeq
+  /** Atomic eligible leaf fields of the data schema (top level only).
+    * `numIndexedCols` caps indexing to the first N SCHEMA columns
+    * (`delta.dataSkippingNumIndexedCols` semantics; -1 = all): at 1000
+    * columns, footer harvesting and stats JSON stay bounded while the
+    * leading (most-filtered) columns keep skipping.
+    */
+  def statFields(dataSchema: StructType, partCols: Seq[String],
+      numIndexedCols: Int = -1): Seq[StructField] = {
+    val capped =
+      if (numIndexedCols < 0) dataSchema.fields.toSeq
+      else dataSchema.fields.toSeq.take(numIndexedCols)
+    capped
       .filterNot(f => partCols.contains(f.name))
       .filter(f => eligible(f.dataType))
+  }
 
   /** Schema for parsing stats JSON back in the scan. */
   def statsSchema(dataSchema: StructType, partCols: Seq[String]): StructType = {
@@ -63,12 +73,14 @@ object Stats {
 
   /** Read footer metadata of one written file -> stats JSON. */
   def fromFooter(conf: Configuration, file: Path,
-      dataSchema: StructType, partCols: Seq[String]): String = {
+      dataSchema: StructType, partCols: Seq[String],
+      numIndexedCols: Int = -1): String = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val numRecords = blocks.map(_.getRowCount).sum
-      val wanted = statFields(dataSchema, partCols).map(f => f.name -> f.dataType).toMap
+      val wanted = statFields(dataSchema, partCols, numIndexedCols)
+        .map(f => f.name -> f.dataType).toMap
       // Physical timestamp unit per column (MILLIS/MICROS/NANOS) from the
       // parquet logical-type annotation — the raw INT64 footer stat is in
       // this unit, NOT necessarily microseconds.

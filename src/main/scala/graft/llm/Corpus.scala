@@ -322,6 +322,35 @@ object Corpus {
         coalesce(MAX(CASE WHEN term='join' THEN sc END), 0.0) +
         coalesce(MAX(CASE WHEN term='stream' THEN sc END), 0.0) AS score
       FROM sc GROUP BY doc_id
-      ORDER BY score DESC, doc_id LIMIT 20"""))
+      ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // C33 ---------------------------------------------------------------
+    // Sliding-window chunking: split each document into 48-token windows
+    // with stride 32 (16-token overlap) — the long-document -> training-
+    // context preparation step. Entirely per-row array expressions
+    // (sequence/slice), explode feeds the output directly: shuffle-free
+    // at any scale; each chunk carries an md5 content hash so chunk
+    // boundaries and contents are verified exactly, not just counted.
+    GQ("chunk_windows", (s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .withColumn("t", tokens($"text"))
+        .filter(size($"t") >= 1)
+        .select($"doc_id", $"t", size($"t").cast("long").as("n_tok"),
+          explode(sequence(lit(1), size($"t"), lit(32))).as("start"))
+        .select($"doc_id", expr("(start - 1) div 32").cast("long").as("chunk_id"),
+          least(lit(48L), $"n_tok" - $"start" + 1).as("chunk_tokens"),
+          md5(concat_ws(" ", slice($"t", $"start", lit(48)))).as("chunk_hash"))
+        .orderBy($"doc_id", $"chunk_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                 FROM documents),
+      c AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, t,
+              unnest(generate_series(1, len(t), 32)) AS start
+            FROM t WHERE len(t) >= 1)
+      SELECT doc_id, CAST((start - 1) // 32 AS BIGINT) AS chunk_id,
+        least(48, n_tok - start + 1) AS chunk_tokens,
+        md5(array_to_string(t[start:start+47], ' ')) AS chunk_hash
+      FROM c ORDER BY doc_id, chunk_id"""))
   )
 }

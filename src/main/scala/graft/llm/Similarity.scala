@@ -301,6 +301,64 @@ object Similarity {
         CAST(list_sum(qv) AS BIGINT) AS q_sum,
         CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
         CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
-      FROM q ORDER BY vec_id"""))
+      FROM q ORDER BY vec_id""")),
+
+    // C32 ---------------------------------------------------------------
+    // IVF training: one exact Lloyd refinement step of the coarse
+    // quantizer — assign every vector to its argmax-dot anchor cell,
+    // compute the cell's exact centroid, and report per-cell size + L1
+    // drift from the anchor. Centroid sums run on 1e6-scaled INTEGER
+    // coordinates (exact + associative — float means would depend on
+    // aggregation order at 100 TB); the per-cell drift folds the 64
+    // per-dimension diffs in fixed dim order. The shuffle carries
+    // (cell, dim, int64) triples only; explode is absorbed by partial
+    // aggregation. Iterating this step (re-seeding anchors with the
+    // means) is k-means training at corpus scale.
+    GQ("ivf_train", (s, d) => {
+      import s.implicits._
+      val v = normed(s, d)
+      val dots = array(anchors.map(a => dotD($"e", array(a.map(lit): _*))): _*)
+      val withCell = v.withColumn("cell",
+        array_position(dots, array_max(dots)).cast("int"))
+      val scaled = withCell.select($"cell",
+        posexplode(transform($"e", x => round(x * lit(1000000.0)).cast("long")))
+          .as(Seq("dim", "sx")))
+      val anchorLit = array(anchors.map(a => array(a.map(lit): _*)): _*)
+      withCell.groupBy($"cell").agg(count(lit(1)).as("n_assigned"))
+        .join(
+          scaled.groupBy($"cell", $"dim").agg(sum($"sx").as("ssum"), count(lit(1)).as("n"))
+            .withColumn("mean",
+              $"ssum".cast("double") / lit(1000000.0) / $"n".cast("double"))
+            .withColumn("diff",
+              abs($"mean" - element_at(element_at(anchorLit, $"cell"), $"dim" + 1)))
+            .groupBy($"cell")
+            .agg(aggregate(array_sort(collect_list(struct($"dim", $"diff"))),
+              lit(0.0), (acc, x) => acc + x.getField("diff")).as("drift")),
+          Seq("cell"))
+        .select($"cell", $"n_assigned", $"drift")
+        .orderBy($"cell")
+    }, {
+      val dotsSql = anchors.map(a => duckDot("e", a.mkString("[", ", ", "]")))
+        .mkString("[", ", ", "]")
+      val anchorsSql = anchors.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      Some(s"""
+      WITH n AS ($duckNormed),
+      b AS (SELECT vec_id, e, CAST(list_position(dots, list_max(dots)) AS INTEGER) AS cell
+            FROM (SELECT vec_id, e, $dotsSql AS dots FROM n)),
+      x AS (SELECT cell, u.i - 1 AS dim, CAST(round(e[u.i] * 1000000.0) AS BIGINT) AS sx
+            FROM b, (SELECT unnest(generate_series(1, $Dim)) AS i) u),
+      sums AS (SELECT cell, dim, CAST(SUM(sx) AS BIGINT) AS ssum, COUNT(*) AS n
+               FROM x GROUP BY 1, 2),
+      diffs AS (SELECT cell, dim,
+          abs(CAST(ssum AS DOUBLE)/1000000.0/CAST(n AS DOUBLE)
+              - ($anchorsSql)[cell][dim + 1]) AS diff
+        FROM sums),
+      drift AS (SELECT cell, list_reduce(list(diff ORDER BY dim), (x, y) -> x + y) AS drift
+                FROM diffs GROUP BY cell),
+      sizes AS (SELECT cell, COUNT(*) AS n_assigned FROM b GROUP BY cell)
+      SELECT s.cell, s.n_assigned, d.drift
+      FROM sizes s JOIN drift d ON s.cell = d.cell
+      ORDER BY s.cell""")
+    })
   )
 }

@@ -486,6 +486,31 @@ object Relational {
         MIN(CASE WHEN r = ceil(n * 0.5) THEN o_totalprice END) AS p50,
         MIN(CASE WHEN r = ceil(n * 0.9) THEN o_totalprice END) AS p90,
         MIN(CASE WHEN r = n THEN o_totalprice END) AS p100
-      FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+      FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // B23 ---------------------------------------------------------------
+    // Set operators INTERSECT / EXCEPT (distinct semantics): customers
+    // with both urgent and non-urgent orders vs urgent-only. Catalyst
+    // plans these as left-semi / left-anti aggregate joins — one shuffle
+    // per side on the join key, no sort.
+    GQ("q_intersect_except", (s, d) => {
+      import s.implicits._
+      val ord = table(s, d, "orders")
+      val urgent = ord.filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_custkey")
+      val other = ord.filter($"o_orderpriority" =!= "1-URGENT")
+        .select($"o_custkey")
+      val both = urgent.intersect(other)
+        .select($"o_custkey", lit("both").as("kind"))
+      val only = urgent.except(other)
+        .select($"o_custkey", lit("urgent_only").as("kind"))
+      both.unionByName(only).orderBy($"o_custkey", $"kind")
+    }, Some("""
+      WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      o AS (SELECT o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT'),
+      both_k AS (SELECT o_custkey, 'both' AS kind FROM (SELECT o_custkey FROM u INTERSECT SELECT o_custkey FROM o)),
+      only_k AS (SELECT o_custkey, 'urgent_only' AS kind FROM (SELECT o_custkey FROM u EXCEPT SELECT o_custkey FROM o))
+      SELECT * FROM both_k UNION ALL SELECT * FROM only_k
+      ORDER BY o_custkey, kind"""))
   )
 }

@@ -152,6 +152,49 @@ object Streams {
     }, Some("""
       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
-      FROM events GROUP BY user_id ORDER BY user_id"""))
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // D8: stream-stream inner join with event-time range — each error
+    // event joined to the same user's purchases in the preceding hour.
+    // Both sides carry watermarks so the join state is bounded (Spark
+    // evicts rows older than watermark - range); an INNER join emits a
+    // match as soon as both rows have arrived, so after the source
+    // drains the result equals the batch join — which is the oracle.
+    // At 100 TB this is one hash shuffle per side on user_id and state
+    // proportional to one hour of events, not history.
+    GQ("stream_join", (s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      def src() = s.readStream.schema(schema).parquet(eventsSourceDir(d))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val errs = src().filter($"event_type" === "error")
+        .select($"event_id".as("e_id"), $"user_id", $"ts".as("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+      val purchases = src().filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id".as("p_user"),
+          $"ts".as("p_ts"), cents($"value").as("p_cents"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = errs.join(purchases,
+        $"user_id" === $"p_user" &&
+          $"p_ts" <= $"e_ts" && $"p_ts" >= $"e_ts" - expr("INTERVAL 1 HOUR"))
+      val out = runToMemory(joined, "append")
+      out.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"e_id").as("n_errors"),
+          (sum($"p_cents").cast("double") / lit(100.0)).as("sum_purchase"))
+        .orderBy($"user_id")
+    }, Some("""
+      WITH e AS (SELECT event_id AS e_id, user_id, CAST(ts AS TIMESTAMP) AS e_ts
+                 FROM events WHERE event_type = 'error'),
+      p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+              CAST(round(value*100) AS BIGINT) AS p_cents
+            FROM events WHERE event_type = 'purchase')
+      SELECT e.user_id, COUNT(*) AS n_pairs,
+        COUNT(DISTINCT e.e_id) AS n_errors,
+        CAST(CAST(SUM(p_cents) AS BIGINT) AS DOUBLE)/100.0 AS sum_purchase
+      FROM e JOIN p ON e.user_id = p.user_id
+        AND p.p_ts <= e.e_ts AND p.p_ts >= e.e_ts - INTERVAL 1 HOUR
+      GROUP BY e.user_id ORDER BY e.user_id"""))
   )
 }

@@ -494,6 +494,28 @@ class DeltaSuite extends AnyFunSuite {
     assert(row.getLong(1) == 1L && row.getLong(2) == 100L)
   }
 
+  test("A17: dataSkippingNumIndexedCols caps stats to the first N columns") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val df = (1L to 10L).map(i => (i, i * 2, s"n$i")).toDF("id", "v", "name")
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = df.schema.json,
+      configuration = Map("delta.dataSkippingNumIndexedCols" -> "1")))
+    txn.commit(Nil, "CREATE TABLE")
+    t.write(df)
+    val stats = t.snapshot.allFiles.map(_.stats)
+    assert(stats.forall(_ != null))
+    assert(stats.forall(Stats.numRecords(_).isDefined),
+      "numRecords must survive the column cap (row tracking depends on it)")
+    assert(stats.forall(s => s.contains("\"id\"") && !s.contains("\"v\"")),
+      s"only the first column may carry min/max: $stats")
+    // skipping still works on the indexed column
+    assert(t.read(col("id") > 100).count() == 0)
+    assert(t.read(col("v") > 0).count() == 10, "unindexed columns never mis-skip")
+  }
+
   test("A17: data skipping prunes files by stats min/max") {
     import spark.implicits._
     val dir = tmp()
