@@ -42,6 +42,11 @@ object FileNames {
     val parts = p.getName.split('.')
     (parts(0).toLong, parts(1).toLong)
   }
+
+  /** Per-commit version checksum (delta's `<v>.crc` convention). */
+  def checksumFile(logPath: Path, version: Long): Path =
+    new Path(logPath, f"$version%020d.crc")
+  def isChecksumFile(p: Path): Boolean = p.getName.matches("\\d{20}\\.crc")
   // v2 manifests: we write dash-stripped 32-hex uuids, but spec-conformant
   // manifests from other engines use dashed UUIDs — accept both forms
   private[delta] val V2Uuid = "[0-9a-f]{32}|[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"

@@ -273,6 +273,51 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     catch { case _: FileAlreadyExistsException => () }
   }
 
+  /** Version checksum (`<v>.crc`, delta-spark's convention, subset of its
+    * fields): `{"tableSizeBytes":B,"numFiles":N,"txnId":...}` recording
+    * the table's post-commit aggregate state. Maintained INCREMENTALLY
+    * (previous crc + this commit's add/remove tallies — no per-commit
+    * state aggregation), so `numFiles`/`sizeInBytes` answers (DESCRIBE
+    * DETAIL) are O(1) reads at any table size. A gap (missing
+    * predecessor, or removes without sizes) heals with one distributed
+    * aggregation over the file state. Best-effort: failures never fail
+    * the durable commit.
+    */
+  private[delta] def writeChecksum(version: Long,
+      addFiles: Long, addBytes: Long,
+      removeFiles: Long, removeBytes: Option[Long]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+    val prev: Option[(Long, Long)] =
+      if (version == 0) Some((0L, 0L)) else readChecksum(version - 1)
+    val incremental = (prev, removeBytes) match {
+      case (Some((pf, pb)), Some(rb)) =>
+        Some((pf + addFiles - removeFiles, pb + addBytes - rb))
+      case _ => None
+    }
+    val (nf, sz) = incremental.getOrElse {
+      val s = update()
+      if (s.version != version) return // a newer commit owns the next crc
+      val r = s.activeFilesDF
+        .agg(count(lit(1)), coalesce(sum("size"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val json = s"""{"tableSizeBytes":$sz,"numFiles":$nf}"""
+    try store.write(FileNames.checksumFile(logPath, version), Iterator(json))
+    catch { case _: FileAlreadyExistsException => () }
+  }
+
+  /** (numFiles, tableSizeBytes) from `<v>.crc`, if present and sane. */
+  private[graft] def readChecksum(version: Long): Option[(Long, Long)] = {
+    val p = FileNames.checksumFile(logPath, version)
+    if (!store.exists(p)) return None
+    try {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(store.read(p).mkString)
+      val nf = n.get("numFiles"); val sz = n.get("tableSizeBytes")
+      if (nf == null || sz == null) None else Some((nf.asLong(), sz.asLong()))
+    } catch { case _: Exception => None }
+  }
+
   /** Write a checkpoint for the given snapshot + update `_last_checkpoint`
     * (cf. reference `checkpoint.go:247` checkpoint, `checkpoint_writer.go`).
     */
@@ -444,6 +489,10 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
       // (same condition as the raw deltas it substitutes)
       if (st.getModificationTime <= cutoff && FileNames.isCompactedFile(p) &&
           FileNames.compactedRange(p)._2 < s.version)
+        store.delete(p)
+      // version checksums expire with their deltas
+      if (st.getModificationTime <= cutoff && FileNames.isChecksumFile(p) &&
+          p.getName.stripSuffix(".crc").toLong < s.version)
         store.delete(p)
     }
     // sweep a checkpoint all-or-nothing: a cutoff straddling a multi-part

@@ -275,6 +275,11 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       }
     }
     committed = true
+    // version checksum: incremental table aggregates (best-effort)
+    try deltaLog.writeChecksum(done,
+      adds.size, adds.map(_.size).sum, removes.size,
+      if (removes.forall(_.size.isDefined)) Some(removes.flatMap(_.size).sum) else None)
+    catch { case scala.util.control.NonFatal(_) => () }
     postCommit(done)
     done
   }
@@ -379,16 +384,30 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       upgradedProtocol(baseProto.getOrElse(snapshot.protocol),
           wantedWriterFeatures, v2Ckpt)
         .map(Seq[Action](_)).getOrElse(baseProto.toSeq)
+    // crc tallies ride the stream — no second pass over the actions
+    var crcAddFiles = 0L; var crcAddBytes = 0L
+    var crcRmFiles = 0L; var crcRmBytes = 0L; var crcRmSizesKnown = true
+    val tallied: Iterator[Action] = withIds.map {
+      case a: AddFile => crcAddFiles += 1; crcAddBytes += a.size; a
+      case r: RemoveFile =>
+        crcRmFiles += 1
+        r.size match { case Some(b) => crcRmBytes += b; case None => crcRmSizesKnown = false }
+        r
+      case a => a
+    }
     val head: Seq[Action] = commitInfo +: (protoActions ++ mdActions)
     try
       deltaLog.store.write(FileNames.deltaFile(deltaLog.logPath, attempt),
-        (head.iterator ++ withIds ++ domainTail).map(Actions.toJson))
+        (head.iterator ++ tallied ++ domainTail).map(Actions.toJson))
     catch {
       case _: FileAlreadyExistsException =>
         throw new DeltaConcurrentModificationException(
           s"version $attempt was committed concurrently; commitLarge does not retry")
     }
     committed = true
+    try deltaLog.writeChecksum(attempt, crcAddFiles, crcAddBytes, crcRmFiles,
+      if (crcRmSizesKnown) Some(crcRmBytes) else None)
+    catch { case scala.util.control.NonFatal(_) => () }
     postCommit(attempt)
     attempt
   }

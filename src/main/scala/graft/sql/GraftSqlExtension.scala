@@ -565,8 +565,12 @@ case class GraftDescribeDetailCommand(target: SqlTarget)
     val t = DeltaTable.forPath(spark, path)
     val s = t.deltaLog.update()
     val md = s.metadata
-    val r = s.activeFilesDF
-      .agg(count(lit(1)), coalesce(sum("size"), lit(0L))).head()
+    // the incremental version checksum answers numFiles/sizeInBytes in
+    // O(1); aggregate the file state only when no crc exists
+    val r = t.deltaLog.readChecksum(s.version)
+      .map { case (nf, sz) => Row(nf, sz) }
+      .getOrElse(s.activeFilesDF
+        .agg(count(lit(1)), coalesce(sum("size"), lit(0L))).head())
     val last = t.deltaLog.commitInfoAt(s.version).map(_.timestamp)
     Seq(Row("graft-delta", md.id, md.name, path,
       md.createdTime.map(new java.sql.Timestamp(_)).orNull,

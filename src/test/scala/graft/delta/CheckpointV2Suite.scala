@@ -75,7 +75,11 @@ class CheckpointV2Suite extends AnyFunSuite {
   }
 
   test("unchanged sidecar buckets are reused by the next checkpoint") {
-    val t = v2Table()
+    // 16 buckets vs 4 new files: at least 12 buckets cannot change, so
+    // reuse is guaranteed (file paths carry random UUIDs — with only 4
+    // buckets there is a ~9% chance every bucket gets a new file and
+    // nothing is reused, making the assertion flaky)
+    val t = v2Table(extraConf = Map("delta.checkpoint.numSidecars" -> "16"))
     t.write(seed(0, 50).coalesce(1), SaveMode.Append)   // v1
     t.write(seed(50, 52).coalesce(1), SaveMode.Append)  // v2 -> ckpt 1
     val after1 = sidecars(t).toSet
