@@ -511,6 +511,74 @@ object Relational {
       both_k AS (SELECT o_custkey, 'both' AS kind FROM (SELECT o_custkey FROM u INTERSECT SELECT o_custkey FROM o)),
       only_k AS (SELECT o_custkey, 'urgent_only' AS kind FROM (SELECT o_custkey FROM u EXCEPT SELECT o_custkey FROM o))
       SELECT * FROM both_k UNION ALL SELECT * FROM only_k
-      ORDER BY o_custkey, kind"""))
+      ORDER BY o_custkey, kind""")),
+
+    // B24 ---------------------------------------------------------------
+    // Explicit GROUPING SETS (beyond rollup/cube): Catalyst plans one
+    // Expand over the input (one copy per set) feeding a single hash
+    // aggregate — one shuffle total, no matter how many sets.
+    GQ("q_grouping_sets", (s, d) => {
+      import s.implicits._
+      table(s, d, "orders")
+        .groupingSets(
+          Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
+          $"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             centsToDouble(sum(cents($"o_totalprice"))).as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }, Some(s"""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM($OC) AS DOUBLE)/100.0 AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // B25 ---------------------------------------------------------------
+    // LATERAL flattening with ordinality: posexplode unnests the token
+    // array WITH its position entirely inside the row's task (a Generate
+    // node — no shuffle), then one hash aggregate over (pos, token).
+    // Leading-position token histograms are a real corpus signal
+    // (boilerplate openers). DuckDB replays it by unnesting an
+    // index-carrying list_transform over the same regex token list.
+    GQ("q_lateral_explode", (s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "token")))
+        .filter($"pos" < 3)
+        .groupBy($"pos", $"token")
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" >= 5)
+        .orderBy($"pos", $"token")
+    }, Some("""
+      WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+      e AS (SELECT doc_id, unnest(list_transform(toks[1:3],
+                (x, i) -> {'pos': i - 1, 'token': x})) AS u FROM tok)
+      SELECT CAST(u.pos AS INTEGER) AS pos, u.token AS token, COUNT(*) AS n FROM e
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5 ORDER BY pos, token""")),
+
+    // B26 ---------------------------------------------------------------
+    // Time-RANGE window frame: per-customer trailing-30-day spend. The
+    // frame is ordered by integer epoch-millis on BOTH engines, so the
+    // peer/boundary semantics are bit-identical (no interval arithmetic
+    // ambiguity), and the sum stays in exact integer cents. One shuffle
+    // on o_custkey; the frame scan is a per-partition sliding pointer.
+    GQ("q_window_range", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy(unix_millis($"o_orderdate".cast("timestamp")))
+        .rangeBetween(-30L * 86400000L, 0L)
+      table(s, d, "orders")
+        .filter(pmod($"o_custkey", lit(50)) === 0)
+        .withColumn("trailing_30d", centsToDouble(sum(cents($"o_totalprice")).over(w)))
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"trailing_30d")
+        .orderBy($"o_custkey", $"o_orderkey")
+    }, Some(s"""
+      SELECT o_orderkey, o_custkey, o_orderdate,
+        CAST(SUM($OC) OVER (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+          RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
+          AS trailing_30d
+      FROM orders WHERE o_custkey % 50 = 0
+      ORDER BY o_custkey, o_orderkey"""))
   )
 }
