@@ -27,10 +27,10 @@ object Similarity {
   /** Deterministic ±1 vectors derived from md5 at build time, embedded
     * as literals in both the Spark plan and the oracle SQL.
     */
-  private def signVectors(prefix: String, n: Int): Seq[Seq[Double]] = {
+  private def signVectors(prefix: String, n: Int, dim: Int = Dim): Seq[Seq[Double]] = {
     val md = MessageDigest.getInstance("MD5")
     (0 until n).map { j =>
-      (0 until Dim).map { dd =>
+      (0 until dim).map { dd =>
         val h = md.digest(s"$prefix$j:$dd".getBytes(StandardCharsets.UTF_8))
         if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
       }
@@ -44,6 +44,15 @@ object Similarity {
     */
   private val NumCells = 8
   private[llm] val anchors: Seq[Seq[Double]] = signVectors("iv", NumCells)
+
+  /** Product-quantization codebooks (C34): M subspaces x K equal-norm ±1
+    * centroids per subspace, so argmin-L2 == argmax-dot inside a subspace.
+    */
+  private val PqM = 4
+  private val PqK = 8
+  private val PqSub = Dim / PqM
+  private[llm] val pqBooks: Seq[Seq[Seq[Double]]] =
+    (0 until PqM).map(m => signVectors(s"pq$m:", PqK, PqSub))
 
   /** Banded sign-random-projection planes for near-dup candidate
     * generation (C12): 4 bands x 4 planes. Two vectors at cosine 0.35
@@ -359,6 +368,46 @@ object Similarity {
       SELECT s.cell, s.n_assigned, d.drift
       FROM sizes s JOIN drift d ON s.cell = d.cell
       ORDER BY s.cell""")
+    }),
+
+    // C34 ---------------------------------------------------------------
+    // Product quantization: the 64-dim vector splits into 4 subspaces of
+    // 16 dims; per subspace the code is the argmax-dot centroid among 8
+    // equal-norm ±1 codebook vectors (== argmin L2 in that subspace).
+    // 100 TB shape: codebooks are plan literals (no broadcast), encoding
+    // is one shuffle-free codegen pass, and the 4-byte code word then
+    // stands in for the 256-byte raw vector in coarse search / dedup.
+    // Output: per (subspace, code) population + vec_id checksum — every
+    // assignment is verified exactly.
+    GQ("ann_pq", (s, d) => {
+      import s.implicits._
+      val v = table(s, d, "embeddings").withColumn("e", toDoubleArr($"embedding"))
+      val codes = array((0 until PqM).map { m =>
+        val sub = slice($"e", m * PqSub + 1, PqSub)
+        val dots = array(pqBooks(m).map(c => dotD(sub, array(c.map(lit): _*))): _*)
+        (array_position(dots, array_max(dots)) - 1).cast("int")
+      }: _*)
+      v.select($"vec_id", posexplode(codes).as(Seq("m", "code")))
+        .groupBy($"m", $"code")
+        .agg(count(lit(1)).as("n"), sum($"vec_id").as("vec_id_sum"))
+        .orderBy($"m", $"code")
+    }, {
+      val subDotLists = (0 until PqM).map { m =>
+        val off = m * PqSub
+        pqBooks(m).map { c =>
+          val cl = c.mkString("[", ", ", "]")
+          s"list_reduce(list_transform(generate_series(1, $PqSub), i -> e[$off + i]*($cl)[i]), (x, y) -> x + y)"
+        }.mkString("[", ", ", "]")
+      }.mkString("[", ", ", "]")
+      Some(s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      c AS (SELECT vec_id, unnest(list_transform($subDotLists,
+              (dots, mi) -> {'m': mi - 1,
+                             'code': list_position(dots, list_max(dots)) - 1})) AS u
+            FROM v)
+      SELECT CAST(u.m AS INTEGER) AS m, CAST(u.code AS INTEGER) AS code,
+        COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS vec_id_sum
+      FROM c GROUP BY 1, 2 ORDER BY m, code""")
     })
   )
 }

@@ -353,6 +353,40 @@ object TextOps {
         SELECT doc_id,
           CAST(('0x' || substr(md5('holdout:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS coin
         FROM documents)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // C35 ---------------------------------------------------------------
+    // Rare-token ratio: corpus-global token frequencies joined back onto
+    // each document's tokens; a high fraction of sub-threshold tokens
+    // flags OCR noise / mojibake / junk for the quality gate. 100 TB
+    // shape: one explode (shuffle-free Generate) -> one groupBy(token)
+    // shuffle for the vocabulary -> one shuffle-hash join back on token
+    // (vocabulary >> broadcast threshold at corpus scale; Zipf head-heavy
+    // token keys arrive pre-combined by the partial aggregate). Counts
+    // stay integer; the single ratio division is one IEEE op on both
+    // engines.
+    GQ("text_rare_ratio", (s, d) => {
+      import s.implicits._
+      val tok = table(s, d, "documents")
+        .select($"doc_id", explode(tokens($"text")).as("token"))
+      val vocab = tok.groupBy($"token").agg(count(lit(1)).as("c"))
+      tok.join(vocab, "token")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             sum(when($"c" < 5, 1L).otherwise(0L)).as("n_rare"))
+        .filter(pmod($"doc_id", lit(20)) === 0)
+        .withColumn("rare_ratio",
+          $"n_rare".cast("double") / $"n_tokens".cast("double"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+                   FROM documents),
+      vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+      per AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                CAST(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+              FROM tok JOIN vocab USING (token) GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_rare,
+        CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rare_ratio
+      FROM per WHERE doc_id % 20 = 0 ORDER BY doc_id"""))
   )
 }
