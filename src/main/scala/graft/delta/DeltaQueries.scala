@@ -283,7 +283,7 @@ object DeltaQueries {
       t.write(orders)
     }
 
-  private def cdfDmlFixture(s: SparkSession, d: String): String =
+  private[graft] def cdfDmlFixture(s: SparkSession, d: String): String =
     fixture(s, d, "dml-cdf") { dir =>
       val t = DeltaTable.forPath(s, dir)
       val nation = table(s, d, "nation")

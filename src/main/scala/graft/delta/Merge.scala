@@ -62,6 +62,16 @@ final class MergeBuilder private[delta] (
   private val matched = ArrayBuffer.empty[(Option[Column], MatchedAction)]
   private val notMatched = ArrayBuffer.empty[(Option[Column], NotMatchedAction)]
   private val bySource = ArrayBuffer.empty[(Option[Column], BySourceAction)]
+  private var txnId: Option[(String, Long)] = None
+
+  /** Exactly-once MERGE for streaming `foreachBatch`: the commit records
+    * `SetTransaction(appId, version)`, and when the log already covers
+    * `version` the whole merge is a no-op — a replayed micro-batch after
+    * a sink failure neither re-applies updates nor duplicates inserts.
+    */
+  def withIdempotentTxn(appId: String, version: Long): this.type = {
+    txnId = Some((appId, version)); this
+  }
 
   def whenMatchedUpdate(set: Map[String, Column]): this.type = {
     require(set.nonEmpty, "whenMatchedUpdate needs at least one SET column")
@@ -123,6 +133,13 @@ final class MergeBuilder private[delta] (
     val log = t.deltaLog
     val txn = log.startTransaction()
     require(txn.snapshot.metadataOpt.nonEmpty, "MERGE target table does not exist")
+    txnId match {
+      case Some((app, v)) if txn.txnVersion(app) >= v => return txn.readVersion
+      case _ => ()
+    }
+    val txnActions: Seq[Action] = txnId.toSeq.map { case (app, v) =>
+      SetTransaction(app, v, Some(log.clock.nowMillis))
+    }
     val md = txn.metadata
     val fields = md.schema.fields.toSeq
     val fieldNames = md.schema.fieldNames.toSet
@@ -198,7 +215,7 @@ final class MergeBuilder private[delta] (
         if (cdfOn) DeltaTable.writeCdcFiles(spark, log.dataPath,
           frames.map(_.withColumn("_change_type", lit("insert"))).reduce(_ unionByName _))
         else Nil
-      return txn.commit(adds ++ cdc, "MERGE",
+      return txn.commit(adds ++ cdc ++ txnActions, "MERGE",
         operationParameters = Map("predicate" -> condition.toString))
     }
 
@@ -318,7 +335,10 @@ final class MergeBuilder private[delta] (
           if (all.isEmpty) Nil
           else DeltaTable.writeCdcFiles(spark, log.dataPath, all.reduce(_ unionByName _))
         } else Nil
-      val allActions = removes ++ adds ++ cdc
+      val allActions0 = removes ++ adds ++ cdc
+      // an empty merge still records the idempotent txn id, so a replay
+      // of the same (empty) batch stays a no-op instead of re-scanning
+      val allActions = if (allActions0.isEmpty) txnActions else allActions0 ++ txnActions
       if (allActions.isEmpty) txn.readVersion // no clause applied anywhere
       else txn.commit(allActions, "MERGE",
         operationParameters = Map("predicate" -> condition.toString) ++

@@ -195,6 +195,107 @@ object Streams {
         CAST(CAST(SUM(p_cents) AS BIGINT) AS DOUBLE)/100.0 AS sum_purchase
       FROM e JOIN p ON e.user_id = p.user_id
         AND p.p_ts <= e.e_ts AND p.p_ts >= e.e_ts - INTERVAL 1 HOUR
-      GROUP BY e.user_id ORDER BY e.user_id"""))
+      GROUP BY e.user_id ORDER BY e.user_id""")),
+
+    // D9: streaming CDF — the stream follows DML (update/delete), not just
+    // appends. readChangeFeed=true turns each micro-batch into the
+    // row-level change feed of the admitted versions (whole-version
+    // granularity: one commit's changes are indivisible), so a downstream
+    // materializer sees exactly the inserts, delete rows and
+    // update pre/post images in commit order. The oracle replays the same
+    // DML history (v1 insert-all, v2 predicate delete, v3 update) in
+    // batch SQL over the raw parquet.
+    GQ("stream_cdf", (s, d) => {
+      import s.implicits._
+      val dir = graft.delta.DeltaQueries.cdfDmlFixture(s, d)
+      val stream = s.readStream.format("graft-delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load(dir)
+        .select($"n_nationkey".cast("int").as("n_nationkey"), $"n_name",
+          $"n_regionkey".cast("int").as("n_regionkey"),
+          $"_change_type", $"_commit_version")
+      runToMemory(stream, "append")
+        .orderBy($"_commit_version", $"n_nationkey", $"_change_type")
+    }, Some("""
+      WITH n AS (SELECT CAST(n_nationkey AS INTEGER) AS nk, n_name,
+                   CAST(n_regionkey AS INTEGER) AS rk FROM nation)
+      SELECT nk AS n_nationkey, n_name, rk AS n_regionkey, _change_type, _commit_version
+      FROM (
+        SELECT nk, n_name, rk, 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+        FROM n
+        UNION ALL
+        SELECT nk, n_name, rk, 'delete', CAST(2 AS BIGINT)
+        FROM n WHERE rk = 2 AND nk > 10
+        UNION ALL
+        SELECT nk, n_name || '!', rk, 'update_postimage', CAST(3 AS BIGINT) FROM n WHERE nk < 3
+        UNION ALL
+        SELECT nk, n_name, rk, 'update_preimage', CAST(3 AS BIGINT) FROM n WHERE nk < 3)
+      ORDER BY _commit_version, n_nationkey, _change_type""")),
+
+    // D10: streaming upsert — foreachBatch + MERGE maintains a per-user
+    // running profile in a Delta table with exactly-once semantics: each
+    // micro-batch pre-aggregates (count / cents-sum / max event time) and
+    // merges accumulatively, and `withIdempotentTxn(app, batchId)` makes a
+    // replayed batch a no-op, so totals are micro-batch-split independent.
+    // This is the canonical streaming-DML sink shape Delta users run
+    // (aggregation state lives in the TABLE, not the state store — it
+    // survives query rewrites and is queryable mid-stream). The source is
+    // split into two files and rate-limited to one file per trigger, so
+    // the accumulate path really runs across multiple batches.
+    GQ("stream_upsert", (s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      // two-file source dir -> two micro-batches with maxFilesPerTrigger=1
+      val src = Files.createTempDirectory("graft-upsert-src")
+      val raw = s.read.schema(schema).parquet(s"$d/events.parquet")
+      Seq(0, 1).foreach { h =>
+        val part = Files.createTempDirectory(s"graft-upsert-part$h")
+        raw.filter(pmod($"event_id", lit(2)) === h).coalesce(1)
+          .write.mode("overwrite").parquet(part.toString)
+        val f = Files.list(part).filter(p => p.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(f, src.resolve(s"half$h.parquet"))
+      }
+      // target table (v0: schema only)
+      val dir = Files.createTempDirectory("graft-upsert-tgt").toString
+      val t = graft.delta.DeltaTable.forPath(s, dir)
+      val tgtSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_cents", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("last_us", org.apache.spark.sql.types.LongType)))
+      val txn0 = t.deltaLog.startTransaction()
+      txn0.updateMetadata(graft.delta.Metadata(schemaString = tgtSchema.json))
+      txn0.commit(Nil, "CREATE TABLE")
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val agg = batch.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"), sum(cents($"value")).as("sum_cents"),
+            max(unix_micros($"ts")).as("last_us"))
+        t.merge(agg.alias("s"), expr("t.user_id = s.user_id"))
+          .withIdempotentTxn("stream_upsert", batchId)
+          .whenMatchedUpdate(Map(
+            "n_events" -> expr("t.n_events + s.n_events"),
+            "sum_cents" -> expr("t.sum_cents + s.sum_cents"),
+            "last_us" -> expr("greatest(t.last_us, s.last_us)")))
+          .whenNotMatchedInsertAll()
+          .execute()
+        ()
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+      t.toDF
+        .select($"user_id", $"n_events",
+          ($"sum_cents".cast("double") / lit(100.0)).as("sum_value"),
+          timestamp_micros($"last_us").as("last_ts"))
+        .orderBy($"user_id")
+    }, Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+        CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_value,
+        CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+      FROM events GROUP BY user_id ORDER BY user_id"""))
   )
 }

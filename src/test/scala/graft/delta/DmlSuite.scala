@@ -253,4 +253,32 @@ class DmlSuite extends AnyFunSuite {
       (2L, 20, "update_preimage"),
       (9L, 90, "insert")))
   }
+
+  test("idempotent MERGE: a replayed foreachBatch micro-batch is a no-op") {
+    import spark.implicits._
+    val t = table()
+    val src = Seq((1L, "alice2", 11, "x"), (9L, "zoe", 90, "q"))
+      .toDF("id", "name", "score", "part")
+    def run() = t.merge(src, col("t.id") === col("s.id"))
+      .withIdempotentTxn("app", 7L)
+      .whenMatchedUpdate(Map("score" -> (col("t.score") + col("s.score"))))
+      .whenNotMatchedInsertAll()
+      .execute()
+    val v1 = run()
+    val after1 = t.toDF.select($"id", $"score").as[(Long, Int)].collect().toMap
+    assert(after1(1L) == 21 && after1(9L) == 90)
+    // replay of the same batch id: no new commit, no double-application
+    val v2 = run()
+    assert(v2 == v1, "replayed batch must not commit")
+    val after2 = t.toDF.select($"id", $"score").as[(Long, Int)].collect().toMap
+    assert(after2 == after1)
+    // the NEXT batch id still applies
+    val v3 = t.merge(src, col("t.id") === col("s.id"))
+      .withIdempotentTxn("app", 8L)
+      .whenMatchedUpdate(Map("score" -> (col("t.score") + col("s.score"))))
+      .execute()
+    assert(v3 == v1 + 1)
+    val after3 = t.toDF.select($"id", $"score").as[(Long, Int)].collect().toMap
+    assert(after3(1L) == 32 && after3(9L) == 180)
+  }
 }
