@@ -80,6 +80,13 @@ object DeltaConfig {
   val AppendOnly: TableConfig[Boolean] =
     TableConfig("delta.appendOnly", "false", _.trim.toLowerCase == "true")
 
+  /** Allow in-place column type widening on mergeSchema writes (Delta's
+    * `typeWidening` reader+writer table feature): existing files keep the
+    * narrow physical type and promote at read time.
+    */
+  val EnableTypeWidening: TableConfig[Boolean] =
+    TableConfig("delta.enableTypeWidening", "false", _.trim.toLowerCase == "true")
+
   /** Commit timestamps written INTO the commit (CommitInfo
     * `inCommitTimestamp`) instead of relying on log-file mtimes, which
     * object stores may rewrite (replication, bucket migration). Timestamp

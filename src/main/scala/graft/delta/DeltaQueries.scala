@@ -964,6 +964,30 @@ object DeltaQueries {
       SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         CAST(n_regionkey AS BIGINT) AS n_regionkey
       FROM nation WHERE CAST(n_nationkey AS BIGINT) % 7 <> 0
-      ORDER BY n_nationkey"""))
+      ORDER BY n_nationkey""")),
+
+    // Type widening (A54): v1 writes the key as INT; a mergeSchema append
+    // of LONG data widens the column in place (metadata-only — v1's
+    // narrow files stay live and promote at scan time). The readback must
+    // agree with DuckDB computing the same rows at BIGINT.
+    GQ("delta_type_widening", (s, d) => {
+      val dir = fixture(s, d, "widen") { dir =>
+        val t = DeltaTable.forPath(s, dir)
+        val nation = table(s, d, "nation")
+        val txn = t.deltaLog.startTransaction()
+        val narrow = nation.select(col("n_nationkey").cast("int").as("nk"), col("n_name"))
+        txn.updateMetadata(Metadata(
+          schemaString = Snapshot.nullable(narrow.schema)
+            .asInstanceOf[org.apache.spark.sql.types.StructType].json,
+          configuration = Map("delta.enableTypeWidening" -> "true")))
+        txn.commit(Nil, "CREATE TABLE") // v0
+        t.write(narrow.filter(col("nk") < 13)) // v1: INT files
+        t.write(nation.select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+          .filter(col("nk") >= 13), SaveMode.Append, mergeSchema = true) // v2: widen + LONG files
+      }
+      DeltaTable.forPath(s, dir).toDF.orderBy(col("nk"))
+    }, Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name
+      FROM nation ORDER BY nk"""))
   )
 }

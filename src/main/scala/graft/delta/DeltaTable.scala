@@ -358,9 +358,10 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // marks for the commit (after the branches below, which may stage a
     // merged schema of their own — the marks are patched on top)
     val completed = if (exists) GeneratedColumns.complete(df, txn.metadata) else df
-    val (data, idMarks) =
+    val (data0, idMarks) =
       if (exists) IdentityColumns.assign(completed, txn.metadata)
       else (completed, Map.empty[String, org.apache.spark.sql.types.Metadata])
+    var data = data0
 
     if (!exists) {
       // tables created FROM a DataFrame capture a fully-nullable schema
@@ -376,18 +377,40 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         createdTime = Some(deltaLog.clock.nowMillis)))
     } else {
       val existing = txn.metadata.schema
-      val incoming = data.schema
-      val existingByName = existing.fields.map(f => f.name -> f.dataType).toMap
-      incoming.fields.foreach { f =>
-        existingByName.get(f.name).foreach { dt =>
-          if (dt != f.dataType)
-            throw new IllegalArgumentException(
-              s"cannot change type of column ${f.name}: $dt -> ${f.dataType}")
+      val existingByType = existing.fields.map(f => f.name -> f.dataType).toMap
+      // type reconciliation: a NARROWER incoming column up-casts to the
+      // table type on write (lossless, no metadata change); a WIDER one
+      // widens the table column in place when delta.enableTypeWidening +
+      // mergeSchema allow it (pure metadata commit — existing narrow
+      // files promote at read time; the typeWidening feature is stamped
+      // by the commit so pre-feature readers refuse the table)
+      import org.apache.spark.sql.functions.col
+      var fixed = data
+      var widened = existing
+      val wideningOn = DeltaConfig.EnableTypeWidening.fromMetadata(txn.metadata)
+      data.schema.fields.foreach { f =>
+        existingByType.get(f.name).foreach { dt =>
+          if (dt != f.dataType) {
+            if (TypeWidening.canWiden(f.dataType, dt))
+              fixed = fixed.withColumn(f.name, col(f.name).cast(dt))
+            else if (TypeWidening.canWiden(dt, f.dataType) && wideningOn && mergeSchema)
+              widened = org.apache.spark.sql.types.StructType(widened.fields.map { wf =>
+                if (wf.name == f.name) TypeWidening.widenField(wf, f.dataType) else wf
+              })
+            else throw new IllegalArgumentException(
+              s"cannot change type of column ${f.name}: $dt -> ${f.dataType}" +
+                (if (TypeWidening.canWiden(dt, f.dataType))
+                  " (widenable: set delta.enableTypeWidening and pass mergeSchema = true)"
+                 else ""))
+          }
         }
       }
-      val newCols = incoming.fields.filterNot(f => existingByName.contains(f.name))
+      if (widened ne existing)
+        txn.updateMetadata(txn.metadata.copy(schemaString = widened.json))
+      val incoming = fixed.schema
+      val newCols = incoming.fields.filterNot(f => existingByType.contains(f.name))
       val missing = existing.fields.filterNot(f => incoming.fieldNames.contains(f.name))
-      val same = existing.fields.map(f => (f.name, f.dataType)).toSeq ==
+      val same = widened.fields.map(f => (f.name, f.dataType)).toSeq ==
         incoming.fields.map(f => (f.name, f.dataType)).toSeq
       if (mergeSchema) {
         if (missing.nonEmpty)
@@ -404,7 +427,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
               } else f.copy(nullable = true)
             nf
           }
-          val merged = org.apache.spark.sql.types.StructType(existing.fields ++ annotated)
+          val merged = org.apache.spark.sql.types.StructType(widened.fields ++ annotated)
           txn.updateMetadata(txn.metadata.copy(schemaString = merged.json))
         }
       } else if (!same) {
@@ -412,6 +435,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           s"schema mismatch: table has ${existing.simpleString}, data has " +
             s"${incoming.simpleString} (pass mergeSchema = true to evolve)")
       }
+      data = fixed
       if (partitionBy.nonEmpty && partitionBy != partCols)
         throw new IllegalArgumentException(
           s"partitioning mismatch: table uses $partCols, got $partitionBy")

@@ -148,18 +148,16 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
        else Set.empty[String]) ++
         (if (finalActions.exists(_.isInstanceOf[DomainMetadata]))
           Set(RowTracking.DomainFeatureName) else Set.empty[String])
-    // v2 checkpoints are a reader+writer capability: a classic reader
-    // must not mistake a manifest-only checkpoint for the full state
-    val v2Ckpt = DeltaConfig.CheckpointPolicy.fromMetadata(metadata) == "v2"
-    if (wantedWriterFeatures.nonEmpty || v2Ckpt) {
+    val rwFeatures = readerWriterFeatureRequirements
+    if (wantedWriterFeatures.nonEmpty || rwFeatures.nonEmpty) {
       finalActions.collectFirst { case p: Protocol => p } match {
         case Some(p) =>
-          upgradedProtocol(p, wantedWriterFeatures, v2Ckpt).foreach { up =>
+          upgradedProtocol(p, wantedWriterFeatures, rwFeatures).foreach { up =>
             finalActions = finalActions.map { case q: Protocol if q eq p => up; case a => a }
           }
         case None =>
           val cur = if (snapshot.version == -1) Protocol() else snapshot.protocol
-          upgradedProtocol(cur, wantedWriterFeatures, v2Ckpt)
+          upgradedProtocol(cur, wantedWriterFeatures, rwFeatures)
             .foreach(up => finalActions = up +: finalActions)
       }
     }
@@ -373,8 +371,8 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     }.map(RowTracking.withMaterializedNames)
     // same feature-requirement set as commit(): a table whose
     // metadata-bearing commits all flow through commitLarge must still
-    // declare v2Checkpoint / row-tracking features before using them
-    val v2Ckpt = DeltaConfig.CheckpointPolicy.fromMetadata(metadata) == "v2"
+    // declare v2Checkpoint / typeWidening / row-tracking features before
+    // using them
     val baseProto: Option[Protocol] =
       if (snapshot.version == -1) Some(Protocol()) else None
     val wantedWriterFeatures: Set[String] =
@@ -382,7 +380,7 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       else Set.empty[String]
     val protoActions: Seq[Action] =
       upgradedProtocol(baseProto.getOrElse(snapshot.protocol),
-          wantedWriterFeatures, v2Ckpt)
+          wantedWriterFeatures, readerWriterFeatureRequirements)
         .map(Seq[Action](_)).getOrElse(baseProto.toSeq)
     // crc tallies ride the stream — no second pass over the actions
     var crcAddFiles = 0L; var crcAddBytes = 0L
@@ -418,17 +416,30 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     * commitLarge() so no commit path can use a feature undeclared.
     */
   private def upgradedProtocol(
-      p: Protocol, wantedWriterFeatures: Set[String], v2Ckpt: Boolean): Option[Protocol] = {
+      p: Protocol, wantedWriterFeatures: Set[String],
+      wantedReaderWriterFeatures: Set[String]): Option[Protocol] = {
     var cur = p
     var changed = false
     if (wantedWriterFeatures.nonEmpty)
       Protocol.requireWriterFeatures(cur, wantedWriterFeatures)
         .foreach { u => cur = u; changed = true }
-    if (v2Ckpt)
-      Protocol.requireReaderWriterFeature(cur, "v2Checkpoint")
+    wantedReaderWriterFeatures.foreach { f =>
+      Protocol.requireReaderWriterFeature(cur, f)
         .foreach { u => cur = u; changed = true }
+    }
     if (changed) Some(cur) else None
   }
+
+  /** Reader+writer features this commit's metadata requires: v2
+    * checkpoints (a manifest-only checkpoint must not be mistaken for
+    * full state) and type widening (narrow physical files must not be
+    * read through the wrong schema by a pre-feature reader).
+    */
+  private def readerWriterFeatureRequirements: Set[String] =
+    (if (DeltaConfig.CheckpointPolicy.fromMetadata(metadata) == "v2")
+      Set("v2Checkpoint") else Set.empty[String]) ++
+    (if (DeltaConfig.EnableTypeWidening.fromMetadata(metadata))
+      Set(TypeWidening.FeatureName) else Set.empty[String])
 
   /** cf. reference `trnx.go:603` checkForConflicts + `conflict_checker.go`.
     * Returns the latest winning version when compatible; throws otherwise.

@@ -333,12 +333,12 @@ object Snapshot {
 
   val SupportedReaderFeatures: Set[String] =
     Set("columnMapping", "deletionVectors", "vacuumProtocolCheck",
-      "v2Checkpoint")
+      "v2Checkpoint", "typeWidening")
   val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "generatedColumns", "columnMapping", "deletionVectors",
       "identityColumns", "vacuumProtocolCheck", "domainMetadata",
-      "rowTracking", "v2Checkpoint")
+      "rowTracking", "v2Checkpoint", "typeWidening")
   final class InvalidProtocolVersionException(msg: String)
     extends RuntimeException(msg)
   /** Recursively nullable variant of a schema (StructType.asNullable is

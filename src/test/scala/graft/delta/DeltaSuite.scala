@@ -472,9 +472,12 @@ class DeltaSuite extends AnyFunSuite {
       Option(r.getAs[Any]("score"))).toMap
     assert(byId(1L).isEmpty && byId(2L).isEmpty, "old files read null for the new column")
     assert(byId(3L).contains(9.5))
-    // type change always rejected; dropping columns rejected
+    // a NARROWER int id is up-cast to the table's long on write (lossless);
+    // a lossy type change is always rejected
+    t.write(Seq((4, "d", 1.0)).toDF("id", "name", "score"), mergeSchema = true)
+    assert(t.toDF.filter(col("id") === 4L).count() == 1)
     intercept[IllegalArgumentException] {
-      t.write(Seq((4, "d", 1.0)).toDF("id", "name", "score"), mergeSchema = true)
+      t.write(Seq(("x", "d", 1.0)).toDF("id", "name", "score"), mergeSchema = true)
     }
     intercept[IllegalArgumentException] {
       t.write(Seq(5L).toDF("id"), mergeSchema = true)

@@ -221,10 +221,10 @@ class TableFeaturesSuite extends AnyFunSuite {
     val t = seeded()
     t.deltaLog.startTransaction().commit(Seq(Protocol(
       minReaderVersion = 3, minWriterVersion = 7,
-      readerFeatures = Some(Set("typeWidening")),
-      writerFeatures = Some(Set("typeWidening")))), "UPGRADE PROTOCOL")
+      readerFeatures = Some(Set("collations")),
+      writerFeatures = Some(Set("collations")))), "UPGRADE PROTOCOL")
     val ex = intercept[Exception](t.toDF.collect())
-    assert(ex.getMessage.contains("typeWidening"))
+    assert(ex.getMessage.contains("collations"))
 
     val t2 = seeded()
     t2.deltaLog.startTransaction().commit(Seq(Protocol(
