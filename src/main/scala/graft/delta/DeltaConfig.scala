@@ -87,6 +87,15 @@ object DeltaConfig {
   val EnableTypeWidening: TableConfig[Boolean] =
     TableConfig("delta.enableTypeWidening", "false", _.trim.toLowerCase == "true")
 
+  /** Checkpoints additionally materialize AddFile stats as a parsed
+    * struct column (`add.stats_parsed`, delta-spark's convention): scan
+    * planning over a 10^7-file table then skips on native parquet
+    * columns instead of JSON-parsing every file's stats string.
+    */
+  val WriteStatsAsStruct: TableConfig[Boolean] =
+    TableConfig("delta.checkpoint.writeStatsAsStruct", "false",
+      _.trim.toLowerCase == "true")
+
   /** Commit timestamps written INTO the commit (CommitInfo
     * `inCommitTimestamp`) instead of relying on log-file mtimes, which
     * object stores may rewrite (replication, bucket migration). Timestamp

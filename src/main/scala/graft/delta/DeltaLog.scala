@@ -327,6 +327,27 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     if (policy == "v2") checkpointV2(s) else checkpointClassic(s)
   }
 
+  /** `delta.checkpoint.writeStatsAsStruct`: materialize each AddFile's
+    * stats JSON as a parsed `add.stats_parsed` struct in the checkpoint,
+    * so scan planning skips on native parquet columns instead of
+    * JSON-parsing 10^7 stats strings per query. No-op when off.
+    */
+  private def withParsedStats(s: Snapshot,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    val want = s.metadataOpt.exists(DeltaConfig.WriteStatsAsStruct.fromMetadata)
+    s.metadataOpt match {
+      case Some(md) if want =>
+        // stats JSON is keyed by PHYSICAL names under column mapping
+        val statsType = Stats.statsSchema(
+          ColumnMapping.physicalSchema(md), md.partitionColumns)
+        // withField on a null add yields null; from_json(null) is null
+        df.withColumn("add",
+          col("add").withField("stats_parsed", from_json(col("add.stats"), statsType)))
+      case _ => df
+    }
+  }
+
   /** V2 checkpoint (open `v2Checkpoint` table feature): one small
     * MANIFEST (`<v>.checkpoint.<uuid>.parquet` — non-file actions +
     * SidecarFile references + CheckpointMetadata) plus SIDECAR parquet
@@ -351,7 +372,7 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     val scDir = FileNames.sidecarDir(logPath)
     fs.mkdirs(scDir)
     // bucket + order-independent content fingerprint, one aggregation
-    val fileRows = s.checkpointActionsDF
+    val fileRows = withParsedStats(s, s.checkpointActionsDF)
       .where(col("add").isNotNull || col("remove").isNotNull)
       .withColumn("__b", pmod(xxhash64(coalesce(col("add.path"), col("remove.path"))),
         lit(numBuckets)).cast("int"))
@@ -432,7 +453,7 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     // multi-part (A17): delta.checkpoint.partSize = max actions per part
     val partSize = s.metadataOpt
       .flatMap(md => DeltaConfig.CheckpointPartSize.fromMetadata(md))
-    val df = s.checkpointActionsDF
+    val df = withParsedStats(s, s.checkpointActionsDF)
     val numParts = partSize match {
       case None => 1
       case Some(ps) => math.max(1, math.ceil(df.count().toDouble / ps).toInt)

@@ -125,7 +125,15 @@ object DeltaScan {
     // logical names, translated through physicalOf
     val statFieldNames = Stats.statFields(schema, partCols).map(_.name).toSet
       .map((n: String) => physicalOf.collectFirst { case (l, p) if p == n => l }.getOrElse(n))
-    val st = from_json(col("stats"), Stats.statsSchema(schema, partCols))
+    val expectedStats = Stats.statsSchema(schema, partCols)
+    // checkpoint-materialized stats (writeStatsAsStruct) skip the JSON
+    // parse; tail files (and schema-evolved checkpoints, whose struct no
+    // longer matches) fall back to parsing the stats string
+    val st =
+      if (files.columns.contains("stats_parsed") &&
+          files.schema("stats_parsed").dataType.catalogString == expectedStats.catalogString)
+        coalesce(col("stats_parsed"), from_json(col("stats"), expectedStats))
+      else from_json(col("stats"), expectedStats)
     def mn(n: String) = st.getField("minValues").getField(physicalOf.getOrElse(n, n))
     def mx(n: String) = st.getField("maxValues").getField(physicalOf.getOrElse(n, n))
     def litCol(l: Literal) = GraftShims.column(l)

@@ -844,6 +844,58 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     deleted ++ dvDeleted
   }
 
+  /** GENERATE symlink_format_manifest: one text manifest per partition
+    * listing the snapshot's live data files as absolute URIs — the layout
+    * Hive/Presto/Athena's `SymlinkTextInputFormat` consumes (delta-spark's
+    * GENERATE command). The manifest tree is rebuilt DISTRIBUTED: paths
+    * group by partition directory on executors and each task writes its
+    * partitions' manifests — no driver-side loop over 100k partitions.
+    * The previous tree is removed first, so partitions dropped since the
+    * last GENERATE don't leave stale manifests (external readers see the
+    * swap mid-rebuild; symlink manifests are inherently non-transactional).
+    * Deletion-vector and column-mapping tables are rejected: a symlink
+    * reader would see raw (undeleted / physically-named) data.
+    */
+  def generateSymlinkManifest(): Unit = {
+    import spark.implicits._
+    val s = deltaLog.update()
+    require(s.dvFiles.isEmpty,
+      "GENERATE symlink_format_manifest: table has deletion vectors; " +
+        "run REORG TABLE ... APPLY (PURGE) first")
+    require(!ColumnMapping.enabled(s.metadata),
+      "GENERATE symlink_format_manifest: column-mapping tables are not " +
+        "readable through symlink manifests")
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val fs = deltaLog.dataPath.getFileSystem(hadoopConf)
+    val rootQ = fs.makeQualified(deltaLog.dataPath).toString
+    val manifestRoot = new Path(rootQ, "_symlink_format_manifest")
+    fs.delete(manifestRoot, true)
+    val serConf = new SerializableHadoopConf(hadoopConf)
+    val manifestRootStr = manifestRoot.toString
+    s.allFilesDS
+      .map { f =>
+        val rel = f.path
+        val idx = rel.lastIndexOf('/')
+        val dir = if (idx < 0) "" else URLDecoder.decode(rel.substring(0, idx), "UTF-8")
+        (dir, FileNames.absolutePath(new Path(rootQ), rel).toString)
+      }
+      .groupByKey(_._1)
+      .mapGroups { (dir, it) =>
+        val f = new Path(manifestRootStr).getFileSystem(serConf.value)
+        val target =
+          if (dir.isEmpty) new Path(manifestRootStr, "manifest")
+          else new Path(new Path(manifestRootStr, dir), "manifest")
+        f.mkdirs(target.getParent)
+        val out = f.create(target, true)
+        try it.map(_._2).toSeq.sorted
+          .foreach(u => out.write((u + "\n").getBytes("UTF-8")))
+        finally out.close()
+        dir
+      }
+      .collect()
+    ()
+  }
+
   // ---------------------------------------------------------------- DML
 
   /** Read specific table files with deletion vectors applied and the

@@ -87,23 +87,52 @@ class Snapshot(
     Snapshot.nullable(Encoders.product[SingleAction].schema)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
 
+  /** saSchema with `add` spliced to carry the probed file's
+    * `add.stats_parsed` struct, when the checkpoint was written with
+    * `delta.checkpoint.writeStatsAsStruct`. The probe is one parquet
+    * FOOTER read — the config value itself lives inside the checkpoint
+    * being opened, so the file's own schema is the source of truth.
+    */
+  private def statsExtendedSchema(probeFile: Path): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    val probed =
+      try spark.read.parquet(probeFile.toString).schema
+      catch { case scala.util.control.NonFatal(_) => return saSchema }
+    probed.fields.find(_.name == "add").map(_.dataType) match {
+      case Some(addT: StructType) if addT.fieldNames.contains("stats_parsed") =>
+        val addBase = saSchema("add").dataType.asInstanceOf[StructType]
+        val extended = StructType(addBase.fields :+ addT("stats_parsed"))
+        StructType(saSchema.fields.map(f =>
+          if (f.name == "add") f.copy(dataType = extended) else f))
+      case _ => saSchema
+    }
+  }
+
   private def checkpointDF: Option[DataFrame] =
     segment.checkpoint.map { ci =>
-      val base = spark.read.schema(saSchema)
-        .parquet(ci.files(logPath).map(_.toString): _*)
+      val ckFiles = ci.files(logPath)
       val df = ci.v2Uuid match {
-        case None => base
+        case None =>
+          spark.read.schema(statsExtendedSchema(ckFiles.head))
+            .parquet(ckFiles.map(_.toString): _*)
         case Some(_) =>
           // v2: the manifest carries the non-file actions plus sidecar
           // references; the file actions live in the referenced sidecars
+          val base = spark.read.schema(saSchema)
+            .parquet(ckFiles.map(_.toString): _*)
           val names = base.where($"sidecar".isNotNull)
             .select($"sidecar.path").as[String].collect()
-          val nonFile = base
-            .where($"sidecar".isNull && $"checkpointMetadata".isNull)
-          if (names.isEmpty) nonFile
-          else nonFile.unionByName(spark.read.schema(saSchema).parquet(
-            names.map(n => new Path(FileNames.sidecarDir(logPath), n).toString)
-              .toIndexedSeq: _*))
+          if (names.isEmpty) base.where($"sidecar".isNull && $"checkpointMetadata".isNull)
+          else {
+            val scPaths = names
+              .map(n => new Path(FileNames.sidecarDir(logPath), n)).toIndexedSeq
+            // one read schema for manifest AND sidecars, so the union is
+            // exact (a missing nested field just reads as null)
+            val rs = statsExtendedSchema(scPaths.head)
+            spark.read.schema(rs).parquet(ckFiles.map(_.toString): _*)
+              .where($"sidecar".isNull && $"checkpointMetadata".isNull)
+              .unionByName(spark.read.schema(rs).parquet(scPaths.map(_.toString): _*))
+          }
       }
       df.withColumn("version", lit(ci.version))
     }
@@ -127,7 +156,9 @@ class Snapshot(
   lazy val stateDF: DataFrame = {
     val tail = tailDF
     checkpointDF match {
-      case Some(c) => c.unionByName(tail)
+      // allowMissingColumns: the checkpoint side may carry the extra
+      // add.stats_parsed struct; tail (JSON) rows read it as null
+      case Some(c) => c.unionByName(tail, allowMissingColumns = true)
       case None => tail
     }
   }
@@ -305,7 +336,9 @@ class Snapshot(
         meta._3.values.map(_.wrap).toSeq ++
         domainMetadataMap.values.map(_.wrap).toSeq
     val extrasDF = spark.createDataset(extras)(Encoders.product[SingleAction])
-    val files = activeFilesDF.select(struct($"*").as("add"))
+    // stats_parsed (if this snapshot read one) is derived, not state: the
+    // checkpoint writer re-materializes it from the stats JSON
+    val files = activeFilesDF.drop("stats_parsed").select(struct($"*").as("add"))
       .select(to_single_action($"add", "add"): _*)
     val tombs = tombstonesDF.select(struct($"*").as("remove"))
       .select(to_single_action($"remove", "remove"): _*)

@@ -201,6 +201,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case AddColumnsRe(target, cols) =>
         Some(GraftAddColumnsCommand(parseTarget(target),
           delegate.parseTableSchema(cols)))
+      case RenameColumnRe(target, from, to) =>
+        Some(GraftRenameColumnCommand(parseTarget(target), from, to))
+      case DropColumnRe(target, colName) =>
+        Some(GraftDropColumnCommand(parseTarget(target), colName))
       case SetPropsRe(target, props) =>
         Some(GraftSetPropertiesCommand(parseTarget(target),
           parseProps(props).toMap))
@@ -213,6 +217,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           ifNotExists = ine != null))
       case ConvertRe(target) =>
         Some(GraftConvertCommand(parseTarget(target)))
+      case GenerateRe(target) =>
+        Some(GraftGenerateCommand(parseTarget(target)))
       case _ => None
     }
   }
@@ -267,6 +273,10 @@ object GraftSqlParser {
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)""".r
   private[sql] val AddColumnsRe =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)""".r
+  private[sql] val RenameColumnRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)""".r
+  private[sql] val DropColumnRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+DROP\\s+COLUMN\\s+(?!IF\\b)(\\w+)""".r
   private[sql] val SetPropsRe =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)""".r
   private[sql] val UnsetPropsRe =
@@ -275,6 +285,8 @@ object GraftSqlParser {
     s"""(?is)SHOW\\s+TBLPROPERTIES\\s+$T(?:\\s*\\(\\s*'([^']+)'\\s*\\))?""".r
   private[sql] val DescribeDetailRe =
     s"""(?is)DESC(?:RIBE)?\\s+DETAIL\\s+$T""".r
+  private[sql] val GenerateRe =
+    s"""(?is)GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$T""".r
   private[sql] val ReorgRe =
     s"""(?is)REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)""".r
   private[sql] val CloneRe =
@@ -366,6 +378,45 @@ case class GraftOptimizeCommand(target: SqlTarget, where: Option[Column],
 }
 
 /** `REORG TABLE t APPLY (PURGE)` — materialize deletion vectors. */
+/** `GENERATE symlink_format_manifest FOR TABLE t` — Hive/Presto/Athena
+  * symlink manifests for the current snapshot.
+  */
+case class GraftGenerateCommand(target: SqlTarget) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+      .generateSymlinkManifest()
+    Nil
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` — metadata-only under column
+  * mapping (the physical name/id stay with the data files).
+  */
+case class GraftRenameColumnCommand(target: SqlTarget, from: String, to: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    val v = t.renameColumn(from, to)
+    SqlTarget.refresh(spark, target)
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE t DROP COLUMN a` — metadata-only under column mapping
+  * (physical data stays; a re-added name gets a fresh physical id).
+  */
+case class GraftDropColumnCommand(target: SqlTarget, colName: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    val v = t.dropColumn(colName)
+    SqlTarget.refresh(spark, target)
+    Seq(Row(v))
+  }
+}
+
 case class GraftReorgCommand(target: SqlTarget) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {

@@ -238,6 +238,75 @@ class SqlSurfaceSuite extends AnyFunSuite {
     spark.sql(s"ALTER TABLE graft.`$dir` DROP CONSTRAINT IF EXISTS nope")
   }
 
+  test("ALTER TABLE RENAME COLUMN / DROP COLUMN are metadata-only SQL") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, 10, "a"), (2L, 20, "b")).toDF("id", "score", "tag")
+      .write.format("graft-delta").save(dir)
+    val t = DeltaTable.forPath(spark, dir)
+    val filesBefore = t.deltaLog.update().allFiles.map(_.path).toSet
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN score TO points")
+    assert(t.deltaLog.update().metadata.schema.fieldNames.toSeq ==
+      Seq("id", "points", "tag"))
+    // the data files are untouched: physical name still serves the reads
+    assert(t.deltaLog.update().allFiles.map(_.path).toSet == filesBefore)
+    assert(t.toDF.select("points").as[Int].collect().sorted.toSeq == Seq(10, 20))
+    assert(t.history(1).head.operation == "RENAME COLUMN")
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN tag")
+    assert(t.deltaLog.update().metadata.schema.fieldNames.toSeq == Seq("id", "points"))
+    assert(t.deltaLog.update().allFiles.map(_.path).toSet == filesBefore)
+    assert(t.toDF.columns.toSeq == Seq("id", "points"))
+    assert(t.history(1).head.operation == "DROP COLUMN")
+    // DROP CONSTRAINT still parses as a constraint drop, not a column drop
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP CONSTRAINT IF EXISTS nope")
+  }
+
+  test("GENERATE symlink_format_manifest writes per-partition manifests") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"))
+      .toDF("id", "v", "part")
+      .write.format("graft-delta").partitionBy("part").save(dir)
+    spark.sql(s"GENERATE symlink_format_manifest FOR TABLE graft.`$dir`")
+    val root = java.nio.file.Paths.get(dir, "_symlink_format_manifest")
+    def manifest(p: String): Seq[String] =
+      java.nio.file.Files.readAllLines(root.resolve(p).resolve("manifest"))
+        .asScala.toSeq
+    val t = DeltaTable.forPath(spark, dir)
+    val live = t.deltaLog.update().allFiles
+      .map(_.path).map(p => java.net.URLDecoder.decode(p, "UTF-8")).toSet
+    for (p <- Seq("part=p1", "part=p2")) {
+      val uris = manifest(p)
+      assert(uris.nonEmpty, s"empty manifest for $p")
+      assert(uris.forall(_.startsWith("file:")), "URIs must be absolute")
+      assert(uris.forall(u => live.exists(u.endsWith)),
+        s"manifest for $p lists a non-live file")
+      assert(uris.forall(_.contains(s"/$p/")))
+    }
+    // regeneration after DML replaces the tree (no stale entries)
+    t.deleteWhere(col("part") === "p2")
+    t.generateSymlinkManifest()
+    assert(!java.nio.file.Files.exists(root.resolve("part=p2")),
+      "dropped partition keeps no stale manifest")
+    val live1 = t.deltaLog.update().allFiles
+      .map(_.path).map(p => java.net.URLDecoder.decode(p, "UTF-8")).toSet
+    assert(manifest("part=p1").forall(u => live1.exists(u.endsWith)))
+    // deletion-vector tables are rejected (symlink readers see raw files)
+    val dv = tmp()
+    val tdv = DeltaTable.forPath(spark, dv)
+    val dvDf = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val dvTxn = tdv.deltaLog.startTransaction()
+    dvTxn.updateMetadata(graft.delta.Metadata(
+      schemaString = dvDf.schema.json,
+      configuration = Map("delta.enableDeletionVectors" -> "true")))
+    dvTxn.commit(Nil, "CREATE TABLE")
+    tdv.write(dvDf.coalesce(1))
+    tdv.delete(col("id") === 1L)
+    val ex = intercept[IllegalArgumentException](tdv.generateSymlinkManifest())
+    assert(ex.getMessage.contains("deletion vectors"))
+  }
+
   test("CREATE TABLE (cols) USING graft-delta initializes the log") {
     freshTable("t_ddl")
     spark.sql("""CREATE TABLE t_ddl (id BIGINT, name STRING, score INT, part STRING)
