@@ -296,6 +296,33 @@ object Streams {
       SELECT user_id, COUNT(*) AS n_events,
         CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_value,
         CAST(MAX(ts) AS TIMESTAMP) AS last_ts
-      FROM events GROUP BY user_id ORDER BY user_id"""))
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // D11: stream-static join — each micro-batch joins against a STATIC
+    // dimension (customer) that is planned per batch, broadcast to the
+    // stream side (no state store, no watermark needed: the static side
+    // is not a stream). The canonical enrichment shape at 100 TB: the
+    // event stream never shuffles, the dim broadcasts once per trigger.
+    GQ("stream_static_join", (s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(eventsSourceDir(d))
+        .filter($"event_type" === "purchase")
+      val dim = broadcast(table(s, d, "customer")
+        .select($"c_custkey", $"c_mktsegment"))
+      val joined = stream.join(dim, $"user_id" === $"c_custkey")
+        .select($"c_mktsegment", cents($"value").as("cents"))
+      val out = runToMemory(joined, "append")
+      out.groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_purchases"),
+          (sum($"cents").cast("double") / lit(100.0)).as("sum_value"))
+        .orderBy($"c_mktsegment")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_purchases,
+        CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      WHERE event_type = 'purchase'
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }
