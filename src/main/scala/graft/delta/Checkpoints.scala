@@ -16,12 +16,24 @@ object FileNames {
 
   /** Add/Remove paths are percent-encoded relative URIs (or absolute
     * URIs) per the Delta protocol — decode before touching a filesystem.
+    * Paths a pre-spec writer recorded RAW (e.g. a partition dir with a
+    * literal space, which is not a legal URI) fall back to literal
+    * resolution instead of failing the read.
     */
-  def absolutePath(dataPath: Path, child: String): Path = {
-    val uri = new java.net.URI(child)
-    if (uri.isAbsolute) new Path(uri)
-    else new Path(dataPath, new Path(uri))
-  }
+  def absolutePath(dataPath: Path, child: String): Path =
+    try {
+      val uri = new java.net.URI(child)
+      if (uri.isAbsolute) new Path(uri)
+      else new Path(dataPath, new Path(uri))
+    } catch {
+      case _: java.net.URISyntaxException => new Path(dataPath, child)
+    }
+
+  /** Percent-encode a writer-produced relative path for AddFile.path
+    * (the inverse of [[absolutePath]]'s decode): hive-escaped dir names
+    * may still contain spaces or raw `%`, which a URI must encode.
+    */
+  def encodeRelative(rel: String): String = new Path(rel).toUri.toString
 
   /** v2 manifest: `<version>.checkpoint.<uuid32hex>.parquet`. */
   def v2CheckpointFile(logPath: Path, version: Long, uuid: String): Path =

@@ -1568,7 +1568,8 @@ object DeltaTable {
       }.toMap
       require(partitionValues.keySet == partCols.toSet,
         s"file $r partition dirs ${partitionValues.keySet} != discovered $partCols")
-      AddFile(r, partitionValues, len, mtime, dataChange = true, stats = stats)
+      AddFile(FileNames.encodeRelative(r), partitionValues, len, mtime,
+        dataChange = true, stats = stats)
     }
     val txn = log.startTransaction()
     txn.updateMetadata(Metadata(
@@ -1674,7 +1675,9 @@ object DeltaTable {
               else URLDecoder.decode(v, "UTF-8"))
       }.toMap
       AddFile(
-        path = rel,
+        // spec shape: a percent-encoded relative URI (hive-escaped dir
+        // names may carry spaces / raw %, illegal in a URI)
+        path = FileNames.encodeRelative(rel),
         partitionValues = partitionValues,
         size = len,
         modificationTime = mtime,

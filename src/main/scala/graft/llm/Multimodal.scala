@@ -93,6 +93,41 @@ object Multimodal {
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         CAST(list_reduce(list_transform(generate_series(1, length(text)), i -> CAST(unicode(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)), (a, b) -> a + b) AS BIGINT) AS byte_sum,
         CAST(len(list_distinct(list_transform(generate_series(1, length(text)), i -> unicode(substr(text, CAST(i AS INTEGER), 1))))) AS BIGINT) AS distinct_bytes
-      FROM documents ORDER BY media_id"""))
+      FROM documents ORDER BY media_id""")),
+
+    // C36: frame sampling — the video-pipeline prep shape: each "video"
+    // payload splits into fixed 64-byte frames, every 4th frame is
+    // sampled (stride), and the sample is fingerprinted. Pure per-row
+    // array expressions (sequence → substring → md5), shuffle-free and
+    // codegen'd; the real decoder drops in for `substring` without
+    // touching the plumbing. The md5-of-frame-md5s fingerprint verifies
+    // EXACT frame boundaries and order on both engines.
+    GQ("multimodal_frames", (s, d) => {
+      import s.implicits._
+      val frameLen = 64
+      val stride = 4
+      mediaFrom(s, d).toDF()
+        .filter($"kind" === "video")
+        .withColumn("n_frames",
+          ceil($"meta_bytes" / lit(frameLen.toDouble)).cast("int"))
+        .withColumn("sampled",
+          transform(sequence(lit(0), $"n_frames" - 1, lit(stride)),
+            i => md5(substring($"payload", i * frameLen + 1, lit(frameLen)))))
+        .select($"media_id", $"n_frames".cast("long").as("n_frames"),
+          size($"sampled").cast("long").as("n_sampled"),
+          md5(concat_ws("", $"sampled")).as("fingerprint"))
+        .orderBy($"media_id")
+    }, Some("""
+      WITH v AS (SELECT doc_id AS media_id, text,
+          CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) AS n_frames
+        FROM documents WHERE CAST(doc_id % 3 AS INTEGER) + 1 = 3),
+      f AS (SELECT media_id, n_frames,
+          list_transform(generate_series(0, n_frames - 1, 4),
+            i -> md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64))) AS sampled
+        FROM v)
+      SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
+        CAST(len(sampled) AS BIGINT) AS n_sampled,
+        md5(list_reduce(sampled, (a, b) -> a || b)) AS fingerprint
+      FROM f ORDER BY media_id"""))
   )
 }
