@@ -96,6 +96,15 @@ object DeltaConfig {
     TableConfig("delta.checkpoint.writeStatsAsStruct", "false",
       _.trim.toLowerCase == "true")
 
+  /** With writeStatsAsStruct on, setting this false drops the redundant
+    * stats JSON string from checkpoint rows (the struct is the source;
+    * readers reconstruct the JSON lazily) — roughly halves checkpoint
+    * stats bytes on wide tables.
+    */
+  val WriteStatsAsJson: TableConfig[Boolean] =
+    TableConfig("delta.checkpoint.writeStatsAsJson", "true",
+      _.trim.toLowerCase == "true")
+
   /** Commit timestamps written INTO the commit (CommitInfo
     * `inCommitTimestamp`) instead of relying on log-file mtimes, which
     * object stores may rewrite (replication, bucket migration). Timestamp

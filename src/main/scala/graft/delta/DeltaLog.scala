@@ -342,8 +342,15 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
         val statsType = Stats.statsSchema(
           ColumnMapping.physicalSchema(md), md.partitionColumns)
         // withField on a null add yields null; from_json(null) is null
-        df.withColumn("add",
+        val withStruct = df.withColumn("add",
           col("add").withField("stats_parsed", from_json(col("add.stats"), statsType)))
+        // writeStatsAsJson=false: the struct is the source of truth, the
+        // JSON string is redundant checkpoint weight — drop it (readers
+        // reconstruct it lazily from the struct)
+        if (DeltaConfig.WriteStatsAsJson.fromMetadata(md)) withStruct
+        else withStruct.withColumn("add",
+          col("add").withField("stats",
+            org.apache.spark.sql.functions.lit(null).cast("string")))
       case _ => df
     }
   }

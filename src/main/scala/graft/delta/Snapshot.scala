@@ -167,9 +167,17 @@ class Snapshot(
     * `replay_action.go`): latest action per path wins; within one commit
     * an add beats a remove (atomic replace).
     */
-  lazy val activeFilesDF: DataFrame = reconciled
-    .where($"w.isAdd" === 1)
-    .select($"w.add.*")
+  lazy val activeFilesDF: DataFrame = {
+    val base = reconciled
+      .where($"w.isAdd" === 1)
+      .select($"w.add.*")
+    // writeStatsAsJson=false checkpoints carry only the struct: rebuild
+    // the stats JSON lazily so every consumer (skipping fallback, row
+    // backfill, checksum heal) keeps its one stats contract
+    if (base.columns.contains("stats_parsed"))
+      base.withColumn("stats", coalesce($"stats", to_json($"stats_parsed")))
+    else base
+  }
 
   /** Latest tombstones (paths whose newest action is a remove). */
   lazy val tombstonesDF: DataFrame = reconciled

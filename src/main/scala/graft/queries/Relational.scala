@@ -579,6 +579,35 @@ object Relational {
           RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
           AS trailing_30d
       FROM orders WHERE o_custkey % 50 = 0
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // B27 ---------------------------------------------------------------
+    // Navigation/distribution window functions (lag, lead, first_value,
+    // ntile) share ONE window partitioning: Catalyst plans a single
+    // shuffle + sort on (o_custkey, order) for all four — adding a fifth
+    // function over the same frame costs nothing extra. Order keys are
+    // unique (date, key), so every function is deterministic; prices pass
+    // through unchanged (no float arithmetic).
+    GQ("q_window_suite", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      table(s, d, "orders")
+        .filter(pmod($"o_custkey", lit(50)) === 0)
+        .select($"o_orderkey", $"o_custkey",
+          lag($"o_totalprice", 1).over(w).as("prev_price"),
+          lead($"o_totalprice", 1).over(w).as("next_price"),
+          first_value($"o_totalprice").over(w).as("first_price"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_custkey,
+        lag(o_totalprice, 1) OVER w AS prev_price,
+        lead(o_totalprice, 1) OVER w AS next_price,
+        first_value(o_totalprice) OVER w AS first_price,
+        CAST(ntile(4) OVER w AS INTEGER) AS quartile
+      FROM orders WHERE o_custkey % 50 = 0
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, o_orderkey"""))
   )
 }

@@ -219,6 +219,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftConvertCommand(parseTarget(target)))
       case GenerateRe(target) =>
         Some(GraftGenerateCommand(parseTarget(target)))
+      case ShowPartitionsRe(target) =>
+        Some(GraftShowPartitionsCommand(parseTarget(target)))
       case _ => None
     }
   }
@@ -287,6 +289,8 @@ object GraftSqlParser {
     s"""(?is)DESC(?:RIBE)?\\s+DETAIL\\s+$T""".r
   private[sql] val GenerateRe =
     s"""(?is)GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$T""".r
+  private[sql] val ShowPartitionsRe =
+    s"""(?is)SHOW\\s+PARTITIONS\\s+$T""".r
   private[sql] val ReorgRe =
     s"""(?is)REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)""".r
   private[sql] val CloneRe =
@@ -378,6 +382,34 @@ case class GraftOptimizeCommand(target: SqlTarget, where: Option[Column],
 }
 
 /** `REORG TABLE t APPLY (PURGE)` — materialize deletion vectors. */
+/** `SHOW PARTITIONS t` — the live partition set, answered from the
+  * transaction log's AddFile metadata (one distinct over the file
+  * state — zero filesystem listing, at any partition count).
+  */
+case class GraftShowPartitionsCommand(target: SqlTarget)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partition", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, element_at}
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    val s = t.deltaLog.update()
+    val partCols = s.metadata.partitionColumns
+    require(partCols.nonEmpty, "SHOW PARTITIONS: table is not partitioned")
+    s.activeFilesDF
+      .select(partCols.map(c => element_at(col("partitionValues"), c).as(c)): _*)
+      .distinct()
+      .collect()
+      .map { r =>
+        partCols.zipWithIndex.map { case (c, i) =>
+          s"$c=${if (r.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__" else r.getString(i)}"
+        }.mkString("/")
+      }
+      .sorted
+      .map(Row(_)).toSeq
+  }
+}
+
 /** `GENERATE symlink_format_manifest FOR TABLE t` — Hive/Presto/Athena
   * symlink manifests for the current snapshot.
   */

@@ -85,6 +85,35 @@ class CheckpointStatsSuite extends AnyFunSuite {
     assert(t.toDF.agg(sum($"id")).head().getLong(0) == (0L until 300L).sum)
   }
 
+  test("writeStatsAsJson=false drops the JSON; readers reconstruct it") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = Snapshot.nullable(df.schema)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].json,
+      configuration = Map(
+        "delta.checkpoint.writeStatsAsStruct" -> "true",
+        "delta.checkpoint.writeStatsAsJson" -> "false",
+        "delta.checkpointInterval" -> "2")))
+    txn.commit(Nil, "CREATE TABLE")
+    writeRange(t, 0, 50)
+    writeRange(t, 50, 100) // -> checkpoint at v2
+    val ck = CheckpointInstance(2, None).files(t.deltaLog.logPath).head
+    val raw = spark.read.parquet(ck.toString)
+    // the checkpoint itself has no stats JSON, only the struct
+    assert(raw.where(col("add").isNotNull && col("add.stats").isNotNull).count() == 0)
+    assert(raw.where(col("add.stats_parsed").isNotNull).count() == 2)
+    // the snapshot reconstructs the JSON from the struct
+    val s = t.deltaLog.update()
+    val stats = s.allFiles.map(_.stats).filter(_ != null)
+    assert(stats.size == 2 && stats.forall(_.contains("\"numRecords\":50")))
+    // and skipping still works across checkpoint + fallback
+    assert(DeltaScan(s, Some(col("id") >= 60)).files.size == 1)
+    assert(t.toDF.count() == 100)
+  }
+
   test("without the config, checkpoints stay struct-free") {
     import spark.implicits._
     val t = DeltaTable.forPath(spark, tmp())

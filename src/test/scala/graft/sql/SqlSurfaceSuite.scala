@@ -261,6 +261,28 @@ class SqlSurfaceSuite extends AnyFunSuite {
     spark.sql(s"ALTER TABLE graft.`$dir` DROP CONSTRAINT IF EXISTS nope")
   }
 
+  test("SHOW PARTITIONS answers from the log, including null partitions") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, Some("x")), (2L, Some("y")), (3L, None), (4L, Some("x")))
+      .toDF("id", "part")
+      .write.format("graft-delta").partitionBy("part").save(dir)
+    val parts = spark.sql(s"SHOW PARTITIONS graft.`$dir`")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts == Seq("part=__HIVE_DEFAULT_PARTITION__", "part=x", "part=y"))
+    // partitions disappear when their files do
+    val t = DeltaTable.forPath(spark, dir)
+    t.deleteWhere(col("part") === "y")
+    val after = spark.sql(s"SHOW PARTITIONS graft.`$dir`")
+      .collect().map(_.getString(0)).toSeq
+    assert(after == Seq("part=__HIVE_DEFAULT_PARTITION__", "part=x"))
+    // unpartitioned tables are rejected
+    val flat = tmp()
+    Seq((1L, "a")).toDF("id", "v").write.format("graft-delta").save(flat)
+    val ex = intercept[Exception](spark.sql(s"SHOW PARTITIONS graft.`$flat`").collect())
+    assert(ex.getMessage.contains("not partitioned"))
+  }
+
   test("GENERATE symlink_format_manifest writes per-partition manifests") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
