@@ -966,6 +966,56 @@ object DeltaQueries {
       FROM nation WHERE CAST(n_nationkey AS BIGINT) % 7 <> 0
       ORDER BY n_nationkey""")),
 
+    // Incremental aggregate maintenance from the change feed (A59): the
+    // flagship CDF use case — a downstream per-region aggregate is kept
+    // in sync by applying each commit's row-level changes as SIGNED
+    // deltas (insert/update_postimage = +1, delete/update_preimage = -1)
+    // through one MERGE per version; groups that empty out are deleted by
+    // a conditional matched clause. At 100 TB the maintenance cost is
+    // O(changed rows per commit), never O(table): the CDF read is
+    // bounded, the delta aggregation is one small shuffle, and the MERGE
+    // rewrites only touched aggregate files. The oracle recomputes the
+    // aggregate from the replayed FINAL state — incremental ≡ full.
+    GQ("delta_incremental_agg", (s, d) => {
+      val aggDir = fixture(s, d, "incr-agg") { aggDir =>
+        val src = DeltaTable.forPath(s, cdfDmlFixture(s, d))
+        val agg = DeltaTable.forPath(s, aggDir)
+        val aggSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rk",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_nk",
+            org.apache.spark.sql.types.LongType)))
+        val txn = agg.deltaLog.startTransaction()
+        txn.updateMetadata(Metadata(schemaString = aggSchema.json))
+        txn.commit(Nil, "CREATE TABLE")
+        (1L to src.deltaLog.update().version).foreach { v =>
+          val deltas = src.tableChanges(v, v)
+            .withColumn("sign",
+              when(col("_change_type").isin("insert", "update_postimage"), 1L)
+                .otherwise(-1L))
+            .groupBy(col("n_regionkey").cast("int").as("rk"))
+            .agg(sum(col("sign")).as("dn"),
+              sum(col("sign") * col("n_nationkey")).as("dsum"))
+          agg.merge(deltas.alias("s"), expr("t.rk = s.rk"))
+            .whenMatchedDelete(expr("t.n + s.dn = 0"))
+            .whenMatchedUpdate(Map(
+              "n" -> expr("t.n + s.dn"),
+              "sum_nk" -> expr("t.sum_nk + s.dsum")))
+            .whenNotMatchedInsert(expr("s.dn <> 0"), Map(
+              "rk" -> col("s.rk"), "n" -> col("s.dn"), "sum_nk" -> col("s.dsum")))
+            .execute()
+        }
+      }
+      DeltaTable.forPath(s, aggDir).toDF.orderBy(col("rk"))
+    }, Some("""
+      WITH n AS (SELECT CAST(n_nationkey AS INTEGER) AS nk,
+                   CAST(n_regionkey AS INTEGER) AS rk FROM nation),
+      final AS (SELECT * FROM n WHERE NOT (rk = 2 AND nk > 10))
+      SELECT rk, COUNT(*) AS n, CAST(SUM(nk) AS BIGINT) AS sum_nk
+      FROM final GROUP BY rk ORDER BY rk""")),
+
     // Type widening (A54): v1 writes the key as INT; a mergeSchema append
     // of LONG data widens the column in place (metadata-only — v1's
     // narrow files stay live and promote at scan time). The readback must
