@@ -174,6 +174,65 @@ object Similarity {
       ORDER BY q_id, c_id""")
     }),
 
+    // C37 --------------------------------------------------------------
+    // Two-stage IVF SEARCH (the scale path ann_cosine_topk is the
+    // baseline for): each query probes its nearest 2 cells by anchor
+    // dot, exact cosine runs only inside the probed cells, bounded
+    // top-K aggregate returns the results. At corpus scale the probe
+    // touches ~2/8 of the vectors instead of all of them, and the
+    // candidate join is cell-partitioned — no all-pairs stage anywhere.
+    // Second-best cell via argmax-then-mask (identical integer/IEEE
+    // steps on both engines; ties break to the lower cell id by
+    // first-position semantics).
+    GQ("ann_ivf_probe", (s, d) => {
+      import s.implicits._
+      val v = normed(s, d)
+      val dotsCol = array(anchors.map(a => dotD($"e", array(a.map(lit): _*))): _*)
+      val withCell = v.withColumn("cell",
+        array_position(dotsCol, array_max(dotsCol)).cast("int"))
+      val q = withCell.filter($"vec_id" < NumQueries)
+        .withColumn("dots", dotsCol)
+        .withColumn("best", array_position($"dots", array_max($"dots")).cast("int"))
+        .withColumn("masked",
+          zip_with($"dots", sequence(lit(1), lit(NumCells)),
+            (x, i) => when(i === $"best", lit(-1e9)).otherwise(x)))
+        .withColumn("second",
+          array_position($"masked", array_max($"masked")).cast("int"))
+        .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"),
+          explode(array($"best", $"second")).as("cell"))
+      val c = withCell.select($"vec_id".as("c_id"), $"e".as("ce"),
+        $"nrm".as("cn"), $"cell")
+      c.join(broadcast(q), Seq("cell")).filter($"c_id" =!= $"q_id")
+        .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn"))
+        .groupBy($"q_id")
+        .agg(graft.functions.TopKExpressions.topKByScore($"cosine", $"c_id", K).as("top"))
+        .select($"q_id", posexplode($"top"))
+        .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+          $"col.id".as("c_id"), $"col.score".as("cosine"))
+        .orderBy($"q_id", $"rank")
+    }, {
+      val dotsSql = anchors.map(a => duckDot("e", a.mkString("[", ", ", "]")))
+        .mkString("[", ", ", "]")
+      Some(s"""
+      WITH n AS ($duckNormed),
+      b AS (SELECT vec_id, e, nrm, dots,
+          CAST(list_position(dots, list_max(dots)) AS INTEGER) AS cell
+        FROM (SELECT vec_id, e, nrm, $dotsSql AS dots FROM n)),
+      q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, unnest([cell, second]) AS cell
+        FROM (SELECT *, CAST(list_position(masked, list_max(masked)) AS INTEGER) AS second
+          FROM (SELECT *, list_transform(dots,
+              (x, i) -> CASE WHEN i = cell THEN -1e9 ELSE x END) AS masked
+            FROM b WHERE vec_id < $NumQueries))),
+      scored AS (SELECT q.q_id, c.vec_id AS c_id,
+          ${duckDot("q.qe", "c.e")} / (q.qn * c.nrm) AS cosine
+        FROM q JOIN b c ON q.cell = c.cell AND c.vec_id != q.q_id)
+      SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, cosine FROM (
+        SELECT q_id, c_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        FROM scored)
+      WHERE rn <= $K ORDER BY q_id, rank""")
+    }),
+
     // C12 --------------------------------------------------------------
     // Embedding near-duplicate pairs. Round 1 blocked on `label` and
     // self-joined within the block — O(n^2) per label, quadratic when a
