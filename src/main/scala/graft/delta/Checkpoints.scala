@@ -23,11 +23,22 @@ object FileNames {
   def absolutePath(dataPath: Path, child: String): Path =
     try {
       val uri = new java.net.URI(child)
-      if (uri.isAbsolute) new Path(uri)
+      // a raw pre-spec path with '#' or '?' PARSES as a URI (fragment /
+      // query) but would silently drop the tail — treat it as literal too
+      if (uri.getFragment != null || uri.getQuery != null)
+        new Path(dataPath, child)
+      else if (uri.isAbsolute) new Path(uri)
       else new Path(dataPath, new Path(uri))
     } catch {
       case _: java.net.URISyntaxException => new Path(dataPath, child)
     }
+
+  /** Decode %XX escapes in a hive-escaped dir value WITHOUT form-decoding:
+    * URLDecoder would also map a literal '+' (which hive does not escape)
+    * to a space, corrupting the partition value.
+    */
+  def percentDecode(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
 
   /** Percent-encode a writer-produced relative path for AddFile.path
     * (the inverse of [[absolutePath]]'s decode): hive-escaped dir names

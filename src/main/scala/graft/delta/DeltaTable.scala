@@ -1,6 +1,5 @@
 package graft.delta
 
-import java.net.URLDecoder
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -865,6 +864,17 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     require(!ColumnMapping.enabled(s.metadata),
       "GENERATE symlink_format_manifest: column-mapping tables are not " +
         "readable through symlink manifests")
+    // shallow clones record ABSOLUTE AddFile paths: a manifest dir derived
+    // from them would land inside the SOURCE table's directories
+    require({
+      import org.apache.spark.sql.functions.col
+      // scheme-prefixed (file:/x, s3://b/x — hive-escaping encodes ':' in
+      // relative dirs, so a raw scheme can only be an absolute URI) or
+      // rooted paths are absolute
+      s.activeFilesDF.where(col("path").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:/") ||
+        col("path").startsWith("/")).limit(1).count() == 0
+    }, "GENERATE symlink_format_manifest: table references absolute file " +
+        "paths (shallow clone?); deep-copy the table first")
     val hadoopConf = spark.sessionState.newHadoopConf()
     val fs = deltaLog.dataPath.getFileSystem(hadoopConf)
     val rootQ = fs.makeQualified(deltaLog.dataPath).toString
@@ -876,7 +886,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       .map { f =>
         val rel = f.path
         val idx = rel.lastIndexOf('/')
-        val dir = if (idx < 0) "" else URLDecoder.decode(rel.substring(0, idx), "UTF-8")
+        val dir = if (idx < 0) "" else FileNames.percentDecode(rel.substring(0, idx))
         (dir, FileNames.absolutePath(new Path(rootQ), rel).toString)
       }
       .groupByKey(_._1)
@@ -1564,7 +1574,7 @@ object DeltaTable {
         case d if d.contains("=") =>
           val Array(k, v) = d.split("=", 2)
           k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
-                else URLDecoder.decode(v, "UTF-8"))
+                else FileNames.percentDecode(v))
       }.toMap
       require(partitionValues.keySet == partCols.toSet,
         s"file $r partition dirs ${partitionValues.keySet} != discovered $partCols")
@@ -1672,7 +1682,7 @@ object DeltaTable {
       val partitionValues = rel.split('/').dropRight(1).map { d =>
         val Array(k, v) = d.split("=", 2)
         k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
-              else URLDecoder.decode(v, "UTF-8"))
+              else FileNames.percentDecode(v))
       }.toMap
       AddFile(
         // spec shape: a percent-encoded relative URI (hive-escaped dir

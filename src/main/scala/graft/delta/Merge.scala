@@ -203,7 +203,13 @@ final class MergeBuilder private[delta] (
 
     // ---- nothing touched: pure insert (or no-op)
     if (touched.isEmpty) {
-      if (notMatched.isEmpty) return txn.readVersion
+      if (notMatched.isEmpty) {
+        // still record the idempotent txn id so a replay skips the scan
+        if (txnActions.nonEmpty)
+          return txn.commit(txnActions, "MERGE",
+            operationParameters = Map("predicate" -> condition.toString))
+        return txn.readVersion
+      }
       val src = source.alias("s")
         .withColumn("__nc", firstIdx(notMatched.map(_._1).toSeq))
       val frames = notMatched.zipWithIndex.map { case ((_, a), j) =>

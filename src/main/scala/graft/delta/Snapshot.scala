@@ -127,11 +127,15 @@ class Snapshot(
             val scPaths = names
               .map(n => new Path(FileNames.sidecarDir(logPath), n)).toIndexedSeq
             // one read schema for manifest AND sidecars, so the union is
-            // exact (a missing nested field just reads as null)
+            // exact (a missing nested field just reads as null); reuse the
+            // base read when no extension was probed
             val rs = statsExtendedSchema(scPaths.head)
-            spark.read.schema(rs).parquet(ckFiles.map(_.toString): _*)
-              .where($"sidecar".isNull && $"checkpointMetadata".isNull)
-              .unionByName(spark.read.schema(rs).parquet(scPaths.map(_.toString): _*))
+            val nonFile =
+              if (rs eq saSchema) base
+              else spark.read.schema(rs).parquet(ckFiles.map(_.toString): _*)
+            nonFile.where($"sidecar".isNull && $"checkpointMetadata".isNull)
+              .unionByName(spark.read.schema(rs).parquet(scPaths.map(_.toString): _*),
+                allowMissingColumns = true)
           }
       }
       df.withColumn("version", lit(ci.version))

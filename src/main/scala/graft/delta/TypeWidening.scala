@@ -56,7 +56,4 @@ object TypeWidening {
       .build()
     f.copy(dataType = to, metadata = md)
   }
-
-  def enabled(md: graft.delta.Metadata): Boolean =
-    DeltaConfig.EnableTypeWidening.fromMetadata(md)
 }

@@ -381,7 +381,6 @@ case class GraftOptimizeCommand(target: SqlTarget, where: Option[Column],
   }
 }
 
-/** `REORG TABLE t APPLY (PURGE)` — materialize deletion vectors. */
 /** `SHOW PARTITIONS t` — the live partition set, answered from the
   * transaction log's AddFile metadata (one distinct over the file
   * state — zero filesystem listing, at any partition count).
@@ -449,6 +448,7 @@ case class GraftDropColumnCommand(target: SqlTarget, colName: String)
   }
 }
 
+/** `REORG TABLE t APPLY (PURGE)` — materialize deletion vectors. */
 case class GraftReorgCommand(target: SqlTarget) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {

@@ -25,9 +25,11 @@ class PartitionValuesSuite extends AnyFunSuite {
 
   // no non-ASCII here: this container's executor JVM file.encoding cannot
   // represent them in local paths (environment limit, not engine logic)
+  // '+' is load-bearing: hive escaping leaves it literal, and a
+  // form-decoding reader (URLDecoder) would corrupt it to a space
   private val weird = Seq(
     "plain", "has space", "eq=uals", "sla/sh", "co:lon",
-    "per%cent", "#hash", "quo'te")
+    "per%cent", "#hash", "quo'te", "a+b")
 
   test("special-character partition values round-trip writes, scans and DML") {
     import spark.implicits._

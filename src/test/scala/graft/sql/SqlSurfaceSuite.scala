@@ -327,6 +327,13 @@ class SqlSurfaceSuite extends AnyFunSuite {
     tdv.delete(col("id") === 1L)
     val ex = intercept[IllegalArgumentException](tdv.generateSymlinkManifest())
     assert(ex.getMessage.contains("deletion vectors"))
+    // shallow clones (absolute AddFile paths) are rejected: the manifest
+    // dirs would land inside the SOURCE table's directories
+    val cloneDir = tmp()
+    DeltaTable.forPath(spark, dir).shallowCloneTo(cloneDir)
+    val exc = intercept[IllegalArgumentException](
+      DeltaTable.forPath(spark, cloneDir).generateSymlinkManifest())
+    assert(exc.getMessage.contains("absolute"))
   }
 
   test("CREATE TABLE (cols) USING graft-delta initializes the log") {
