@@ -1038,6 +1038,55 @@ object DeltaQueries {
       DeltaTable.forPath(s, dir).toDF.orderBy(col("nk"))
     }, Some("""
       SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name
-      FROM nation ORDER BY nk"""))
+      FROM nation ORDER BY nk""")),
+
+    // A16: replaceWhere — selective transactional overwrite. Op 1 uses an
+    // ARBITRARY predicate (rewrites only files holding matches, survivors
+    // carried); op 2 is PARTITION-granular (whole-file removal, nothing
+    // read or rewritten). A write whose rows violate the predicate must
+    // be rejected before any state changes.
+    GQ("delta_replace_where", (s, d) => {
+      val dir = fixture(s, d, "replwhere") { dir =>
+        val t = DeltaTable.forPath(s, dir)
+        val orders = table(s, d, "orders")
+        t.write(orders, SaveMode.Append, Seq("o_orderstatus")) // v0
+        // v1: arbitrary predicate — replace the expensive rows with
+        // re-prioritized copies; cheap rows in the same files survive
+        t.write(
+          orders.filter(col("o_totalprice") > 300000)
+            .withColumn("o_orderpriority", lit("REPLACED")),
+          SaveMode.Overwrite,
+          replaceWhere = Some(col("o_totalprice") > 300000))
+        // v2: partition-granular — swap the F partition for its even keys
+        val fEven = orders.filter(col("o_orderstatus") === "F" &&
+            pmod(col("o_orderkey"), lit(2)) === 0)
+          .withColumn("o_custkey", lit(-1L))
+        t.write(fEven, SaveMode.Overwrite,
+          replaceWhere = Some(col("o_orderstatus") === "F"))
+        // constraint: rows outside the region are rejected pre-commit
+        val v = t.deltaLog.update().version
+        val bad = try {
+          t.write(orders.limit(1).withColumn("o_totalprice", lit(1.0)),
+            SaveMode.Overwrite,
+            replaceWhere = Some(col("o_totalprice") > 999999))
+          false
+        } catch { case _: IllegalArgumentException => true }
+        require(bad, "violating replaceWhere write must be rejected")
+        require(t.deltaLog.update().version == v, "rejected write must not commit")
+      }
+      DeltaTable.forPath(s, dir).toDF
+        .select(ordersCols.map(col): _*)
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM (
+        SELECT o_orderkey, CAST(-1 AS BIGINT) AS o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+               CASE WHEN o_totalprice > 300000 THEN 'REPLACED' ELSE o_orderpriority END
+        FROM orders WHERE o_orderstatus <> 'F'
+      ) ORDER BY o_orderkey"""))
   )
 }

@@ -346,7 +346,10 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * (old files read the new columns as null); type changes always fail.
     */
   def write(df: DataFrame, mode: SaveMode = SaveMode.Append,
-      partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false): Long = {
+      partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false,
+      replaceWhere: Option[Column] = None): Long = {
+    require(replaceWhere.isEmpty || mode == SaveMode.Overwrite,
+      "replaceWhere is only supported with SaveMode.Overwrite")
     val txn = deltaLog.startTransaction()
     val exists = txn.readVersion >= 0 && txn.snapshot.metadataOpt.isDefined
     val partCols = if (exists) txn.metadata.partitionColumns else partitionBy
@@ -445,6 +448,17 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     if (idMarks.nonEmpty)
       txn.restageMetadata(IdentityColumns.patchSchema(txn.metadata, idMarks))
 
+    // replaceWhere constraint (checked BEFORE any file lands): every
+    // incoming row must fall inside the replaced region, else the
+    // overwrite would silently clobber rows it never declared it reads.
+    // limit(1) stops the scan at the first violation.
+    replaceWhere.foreach { cond =>
+      import org.apache.spark.sql.functions.{coalesce, lit, not}
+      val bad = data.filter(not(coalesce(cond, lit(false)))).limit(1).count()
+      require(bad == 0,
+        s"rows written with replaceWhere must all satisfy the predicate: $cond")
+    }
+
     val toWrite =
       if (DeltaConfig.OptimizedWrite.fromMetadata(txn.metadata))
         DeltaTable.rebalanceForWrite(data, partCols)
@@ -455,9 +469,52 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val params = Map(
       "mode" -> mode.toString,
       "partitionBy" -> partCols.mkString(","),
-      "mergeSchema" -> mergeSchema.toString)
+      "mergeSchema" -> mergeSchema.toString) ++
+      replaceWhere.map(c => "replaceWhere" -> c.toString)
     val actions: Seq[Action] = mode match {
       case SaveMode.Append => adds
+      case SaveMode.Overwrite if replaceWhere.isDefined && exists =>
+        // selective overwrite: replace ONLY the region the predicate
+        // covers, atomically with the new data. Partition-granular
+        // predicates remove whole files metadata-only; arbitrary
+        // predicates rewrite just the files that hold matching rows,
+        // carrying the non-matching survivors. Reading only the
+        // predicate (markFilesAsRead) instead of the whole table keeps
+        // concurrent writers to OTHER regions conflict-free.
+        import org.apache.spark.sql.functions.{coalesce, lit, not, col}
+        val md = txn.metadata
+        val cond = replaceWhere.get
+        val condTrue = coalesce(cond, lit(false))
+        val candidates = txn.markFilesAsRead(cond)
+        val now = deltaLog.clock.nowMillis
+        val partitionGranular =
+          DeltaScan(txn.snapshot, Some(cond)).residualPredicates.isEmpty
+        val schemaCols = md.schema.fieldNames.map(col).toSeq
+        val (touched, survivorAdds) =
+          if (partitionGranular) (candidates, Nil)
+          else {
+            val t = filesWithMatches(candidates, md, condTrue)
+            val rt = RowTracking.enabled(md)
+            // survivors are content-identical rows: under row tracking
+            // their ids and commit versions ride into the rewrite
+            val touchedDF = if (rt) rowIdResolved(t, md) else readFilesDF(t, md)
+            val survivors = touchedDF.filter(not(condTrue)).select(
+              (if (rt) schemaCols :+
+                col("__rt_row_id").as(RowTracking.MatRowId) :+
+                col("__rt_rcv").as(RowTracking.MatRowCommitVersion)
+              else schemaCols): _*)
+            (t, DeltaTable.writeFiles(spark, deltaLog.dataPath, survivors,
+              md.partitionColumns, md))
+          }
+        val cdc =
+          if (DeltaConfig.EnableChangeDataFeed.fromMetadata(md) && touched.nonEmpty)
+            DeltaTable.writeCdcFiles(spark, deltaLog.dataPath,
+              readFilesDF(touched, md).filter(condTrue)
+                .withColumn("_change_type", lit("delete"))
+                .unionByName(data.select(schemaCols: _*)
+                  .withColumn("_change_type", lit("insert"))))
+          else Nil
+        touched.map(_.remove(now)) ++ survivorAdds ++ adds ++ cdc
       case SaveMode.Overwrite =>
         txn.readWholeTable()
         val now = deltaLog.clock.nowMillis

@@ -86,7 +86,9 @@ class GraftDeltaSource extends DeltaStreamSourceProvider
       val saveMode =
         if (mode == SaveMode.Overwrite) SaveMode.Overwrite else SaveMode.Append
       table.write(data, saveMode, partitionColumnsOf(parameters),
-        mergeSchema = flag(parameters, "mergeSchema"))
+        mergeSchema = flag(parameters, "mergeSchema"),
+        replaceWhere = parameters.get("replaceWhere")
+          .map(org.apache.spark.sql.functions.expr))
     }
     relationFor(sqlContext, table, table.snapshot)
   }

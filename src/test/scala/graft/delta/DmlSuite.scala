@@ -281,4 +281,62 @@ class DmlSuite extends AnyFunSuite {
     val after3 = t.toDF.select($"id", $"score").as[(Long, Int)].collect().toMap
     assert(after3(1L) == 32 && after3(9L) == 180)
   }
+
+  test("replaceWhere: partition-granular overwrite is metadata-only") {
+    import spark.implicits._
+    val t = table()
+    val untouched = t.snapshot.allFiles.filterNot(_.partitionValues("part") == "y")
+      .map(_.path).toSet
+    val repl = Seq((30L, "carl", 33, "y")).toDF("id", "name", "score", "part")
+    t.write(repl, SaveMode.Overwrite, replaceWhere = Some(col("part") === "y"))
+    val after = t.snapshot.allFiles
+    // files outside part=y survive byte-identical (no rewrite happened)
+    assert(untouched.subsetOf(after.map(_.path).toSet))
+    assert(t.toDF.filter($"part" === "y").select($"id").as[Long].collect().toSeq == Seq(30L))
+    assert(t.toDF.count() == 4) // 3 survivors in x/z + 1 new
+  }
+
+  test("replaceWhere: arbitrary predicate rewrites survivors, rejects violations") {
+    import spark.implicits._
+    val t = table()
+    val repl = Seq((40L, "dina", 44, "y")).toDF("id", "name", "score", "part")
+    // replace score>=40 (hits part=y's dave and part=z's erin); carol (30) survives
+    t.write(repl, SaveMode.Overwrite, replaceWhere = Some(col("score") >= 40))
+    val rows = t.toDF.select($"id", $"score").as[(Long, Int)].collect().toMap
+    assert(rows == Map(1L -> 10, 2L -> 20, 3L -> 30, 40L -> 44))
+    // a row OUTSIDE the declared region must be rejected before commit
+    val v = t.deltaLog.update().version
+    val bad = Seq((99L, "bad", 1, "x")).toDF("id", "name", "score", "part")
+    intercept[IllegalArgumentException] {
+      t.write(bad, SaveMode.Overwrite, replaceWhere = Some(col("score") >= 40))
+    }
+    assert(t.deltaLog.update().version == v)
+    // and replaceWhere demands Overwrite mode
+    intercept[IllegalArgumentException] {
+      t.write(bad, SaveMode.Append, replaceWhere = Some(col("score") >= 40))
+    }
+  }
+
+  test("replaceWhere: CDF captures the replaced region as deletes + inserts") {
+    import spark.implicits._
+    val t = table(cdf = true)
+    val repl = Seq((50L, "eve", 55, "z")).toDF("id", "name", "score", "part")
+    val v = t.write(repl, SaveMode.Overwrite, replaceWhere = Some(col("part") === "z"))
+    val ch = t.tableChanges(v, v)
+      .select($"id", $"_change_type")
+      .orderBy($"id").as[(Long, String)].collect().toSeq
+    assert(ch == Seq((5L, "delete"), (50L, "insert")))
+  }
+
+  test("replaceWhere through the DataFrameWriter option") {
+    import spark.implicits._
+    val t = table()
+    val dir = t.deltaLog.dataPath.toString
+    Seq((20L, "bo", 22, "x")).toDF("id", "name", "score", "part")
+      .write.format("graft-delta").mode(SaveMode.Overwrite)
+      .option("replaceWhere", "part = 'x'").save(dir)
+    val rows = t.toDF.filter($"part" === "x").select($"id").as[Long].collect().toSeq
+    assert(rows == Seq(20L))
+    assert(t.toDF.count() == 4)
+  }
 }
