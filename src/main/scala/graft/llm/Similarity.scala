@@ -45,6 +45,12 @@ object Similarity {
   private val NumCells = 8
   private[llm] val anchors: Seq[Seq[Double]] = signVectors("iv", NumCells)
 
+  /** Semantic-dedup cosine threshold (C38): ~11% of the sf0.01 corpus
+    * sits above it within a cell — enough duplication signal without
+    * degenerating into drop-everything.
+    */
+  private val SemDedupTau = 0.35
+
   /** Product-quantization codebooks (C34): M subspaces x K equal-norm ±1
     * centroids per subspace, so argmin-L2 == argmax-dot inside a subspace.
     */
@@ -467,6 +473,54 @@ object Similarity {
       SELECT CAST(u.m AS INTEGER) AS m, CAST(u.code AS INTEGER) AS code,
         COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS vec_id_sum
       FROM c GROUP BY 1, 2 ORDER BY m, code""")
+    }),
+
+    // C38 ---------------------------------------------------------------
+    // Semantic deduplication (SemDeDup, Abbas et al. 2023): embeddings
+    // cluster into IVF cells (same coarse quantizer as ann_ivf_cells);
+    // a vector is dropped when ANOTHER vector in its cell sits above the
+    // cosine threshold with a smaller id (deterministic keep-lowest-id
+    // survivor). Pairwise cosine runs ONLY within a cell — the join is
+    // cell-keyed, O((N/C)^2 x C) work sharded across cells, never an
+    // all-pairs stage; at corpus scale C grows with N (k-means via
+    // ivf_train) so per-cell blocks stay bounded. Output: dropped ids
+    // with their best (highest-cosine, then lowest-id) earlier match.
+    GQ("semantic_dedup", (s, d) => {
+      import s.implicits._
+      val v = normed(s, d)
+      val dots = array(anchors.map(a => dotD($"e", array(a.map(lit): _*))): _*)
+      val withCell = v
+        .withColumn("cell", array_position(dots, array_max(dots)).cast("int"))
+        .select($"vec_id", $"e", $"nrm", $"cell")
+      val a = withCell.select($"cell", $"vec_id", $"e".as("ae"), $"nrm".as("an"))
+      val b = withCell.select($"cell", $"vec_id".as("b_id"), $"e".as("be"), $"nrm".as("bn"))
+      a.join(b, Seq("cell")).filter($"b_id" < $"vec_id")
+        .withColumn("cosine", dotD($"ae", $"be") / ($"an" * $"bn"))
+        .filter($"cosine" > SemDedupTau)
+        // bounded partial agg: ≤1 row per (map task, dropped id) flows
+        // into the shuffle; max_by on (cosine, -id) picks the best match
+        // with IEEE comparisons only (no float arithmetic)
+        .groupBy($"vec_id", $"cell")
+        .agg(max_by(struct($"b_id", $"cosine"),
+          struct($"cosine", -$"b_id")).as("m"))
+        .select($"vec_id", $"cell", $"m.b_id".as("dup_of"), $"m.cosine".as("cosine"))
+        .orderBy($"vec_id")
+    }, {
+      val dotsSql = anchors.map(a => duckDot("e", a.mkString("[", ", ", "]")))
+        .mkString("[", ", ", "]")
+      Some(s"""
+      WITH n AS ($duckNormed),
+      b AS (SELECT vec_id, e, nrm,
+        CAST(list_position(dots, list_max(dots)) AS INTEGER) AS cell
+        FROM (SELECT vec_id, e, nrm, $dotsSql AS dots FROM n)),
+      p AS (SELECT a.vec_id, a.cell, c.vec_id AS dup_of,
+          ${duckDot("a.e", "c.e")} / (a.nrm * c.nrm) AS cosine
+        FROM b a JOIN b c ON a.cell = c.cell AND c.vec_id < a.vec_id)
+      SELECT vec_id, cell, dup_of, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY cosine DESC, dup_of) AS rn
+        FROM p WHERE cosine > $SemDedupTau)
+      WHERE rn = 1 ORDER BY vec_id""")
     })
   )
 }
