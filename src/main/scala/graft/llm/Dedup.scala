@@ -84,6 +84,92 @@ object Dedup {
        / (CAST(len(x.sh) + len(y.sh) AS DOUBLE)
           - CAST(len(list_filter(x.sh, e -> list_contains(y.sh, e))) AS DOUBLE))"""
 
+  /** Distributed connected components by alternating large-star /
+    * small-star contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): converges in O(log n) rounds
+    * regardless of component DIAMETER — min-label propagation needs
+    * diameter-many rounds, which a templated-spam duplicate chain in a
+    * web corpus can push past any fixed cap. Input: undirected edge
+    * pairs (src, dst); output: one row (doc, lbl) per node that appears
+    * in an edge, lbl = minimum id in its component.
+    *
+    * Each round shuffles only (id, id) pairs grouped by node — no
+    * payloads — and the edge set shrinks monotonically toward the
+    * per-component stars, so the 100-TB cost profile is a handful of
+    * id-only shuffles. Fixpoint = edge multiset unchanged (checked by
+    * count + order-independent hash sum); a 50-round cap would need a
+    * graph with >2^50 nodes to bind, and failure to converge raises
+    * rather than mislabeling silently.
+    */
+  private[llm] def connectedComponents(edgePairs: DataFrame): DataFrame = {
+    val s = edgePairs.sparkSession
+    import s.implicits._
+
+    // For each node u, connect every strictly-larger neighbor to the
+    // minimum of u's closed neighborhood.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
+      val m = sym.groupBy($"u").agg(min(least($"v", $"u")).as("m"))
+      sym.join(m, Seq("u"))
+        .filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v")
+        .distinct()
+    }
+
+    // Orient edges large->small; connect each node's smaller neighbors
+    // (and the node itself) to the minimum among them.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+        .filter($"u" =!= $"v")
+      val m = dir.groupBy($"u").agg(min($"v").as("m"))
+      dir.join(m, Seq("u"))
+        .select($"v".as("u"), $"m".as("v"))
+        .union(m.select($"u", $"m".as("v")))
+        .filter($"u" =!= $"v")
+        .distinct()
+    }
+
+    // order-independent digest of the edge set; decimal sum cannot
+    // overflow (ANSI mode makes a Long sum of hashes a runtime error)
+    def checksum(e: DataFrame): (Long, String) =
+      e.agg(count(lit(1)),
+          coalesce(sum(xxhash64($"u", $"v").cast("decimal(20,0)")), lit(0)).cast("string"))
+        .as[(Long, String)].head()
+
+    val verts = edgePairs.select($"src".as("doc"))
+      .union(edgePairs.select($"dst".as("doc"))).distinct().persist()
+    // localCheckpoint (eager) rather than persist: each round references
+    // the previous edge set several times, so keeping full lineage makes
+    // the logical plan grow exponentially with rounds — checkpointing
+    // truncates it to the materialized RDD (tiny: id pairs only, and the
+    // set shrinks toward one star edge per non-root node).
+    var e = edgePairs.select($"src".as("u"), $"dst".as("v"))
+      .filter($"u" =!= $"v").distinct().localCheckpoint(true)
+    var prev = checksum(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      // superseded checkpoint RDDs are freed by Spark's ContextCleaner
+      // once unreferenced — nothing pins more than two edge sets at once
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val cur = checksum(e)
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not reach a star fixpoint in $iter rounds")
+    // At fixpoint the graph is a union of stars: every non-minimum node
+    // has exactly one edge, to its component minimum.
+    val out = verts
+      .join(e.select($"u".as("doc"), $"v".as("lbl")), Seq("doc"), "left")
+      .select($"doc", coalesce($"lbl", $"doc").as("lbl"))
+      .localCheckpoint(true)
+    verts.unpersist()
+    out
+  }
+
   val queries: Seq[GQ] = Seq(
     // C2 + C3 ----------------------------------------------------------
     GQ("dedup_minhash_lsh", (s, d) => {
@@ -185,10 +271,10 @@ object Dedup {
     // C14: near-dup pairs -> clusters -> canonical survivors -------------
     // What a pipeline actually consumes: connected components over the
     // verified near-dup pairs, one canonical doc (min id) per cluster.
-    // Min-label propagation to fixpoint — the standard distributed CC
-    // shape (iterations = component diameter, tiny for dup clusters;
-    // large-star/small-star is the drop-in upgrade for adversarial
-    // graphs). The DuckDB oracle mirrors it with a recursive CTE.
+    // Uses large-star/small-star contraction (connectedComponents above):
+    // O(log n) rounds even for deep duplicate CHAINS, where plain label
+    // propagation needs diameter-many rounds. The DuckDB oracle mirrors
+    // the component semantics with a recursive CTE.
     GQ("dedup_cluster", (s, d) => {
       import s.implicits._
       val docs = shingled(s, d)
@@ -208,39 +294,15 @@ object Dedup {
         .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sb")), Seq("doc_b"))
         .filter(jaccard($"sa", $"sb") >= 0.7)
         .select($"doc_a", $"doc_b")
-      val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-        .persist()
-      var labels = edges.select($"src".as("doc")).distinct()
-        .withColumn("lbl", $"doc").persist()
-      // label sums decrease monotonically; fixpoint when unchanged. The
-      // iterative materialization is inherent to distributed CC — only
-      // docs that appear in dup pairs participate, a sliver of the corpus.
-      var prevSum = labels.agg(sum($"lbl")).as[Long].head()
-      var iter = 0
-      var converged = false
-      while (!converged && iter < 20) {
-        val prop = labels.join(edges, $"doc" === $"src")
-          .select($"dst".as("doc"), $"lbl")
-        val next = labels.select($"doc", $"lbl").union(prop)
-          .groupBy($"doc").agg(min($"lbl").as("lbl")).persist()
-        val nextSum = next.agg(sum($"lbl")).as[Long].head()
-        labels.unpersist()
-        labels = next
-        converged = nextSum == prevSum
-        prevSum = nextSum
-        iter += 1
-      }
-      edges.unpersist()
-      // materialize off the persisted lineage so the cache can be released
-      // before returning (labels stays in executor memory otherwise)
-      val out = labels
+      // only docs that appear in dup pairs participate, a sliver of the
+      // corpus; labels are already materialized (localCheckpoint) so no
+      // cache outlives the call
+      val labels = connectedComponents(
+        pairs.select($"doc_a".as("src"), $"doc_b".as("dst")))
+      labels
         .select($"doc".as("doc_id"), $"lbl".as("cluster_id"),
           ($"doc" === $"lbl").as("is_canonical"))
         .orderBy($"doc_id")
-        .localCheckpoint(true)
-      labels.unpersist()
-      out
     }, Some(s"""
       WITH RECURSIVE d AS ($duckShingled),
       sigs AS (
