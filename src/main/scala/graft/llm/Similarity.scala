@@ -475,6 +475,119 @@ object Similarity {
       FROM c GROUP BY 1, 2 ORDER BY m, code""")
     }),
 
+    // C39 ---------------------------------------------------------------
+    // TRAINED IVF: the full train -> index -> search loop a 100-TB
+    // embedding pipeline runs. Training = 2 exact Lloyd iterations
+    // seeded from the deterministic ±1 anchors (assignment by argmin
+    // L2 = argmin(c·c - 2 e·c); centroid means from 1e6-scaled integer
+    // sums, so training is exact + aggregation-order-independent). The
+    // trained centroids persist to a tiny graft-Delta table and the
+    // SEARCH reads them back from that table — no centroid literals in
+    // the search plan: vectors re-assign by a broadcast join against
+    // the centroid table, queries probe their own cell, bounded top-K.
+    // At corpus scale the centroid count grows with N; everything here
+    // is a broadcast of K×Dim doubles plus cell-keyed joins.
+    GQ("ann_ivf_trained", (s, d) => {
+      import s.implicits._
+      val v = normed(s, d)
+
+      // exact per-cell centroid means via integer-scaled sums (the same
+      // arithmetic as ivf_train, mirrored in the oracle SQL)
+      def centroidsOf(assigned: DataFrame): Seq[(Int, Seq[Double])] =
+        assigned.select($"cell",
+            posexplode(transform($"e", x => round(x * lit(1000000.0)).cast("long")))
+              .as(Seq("dim", "sx")))
+          .groupBy($"cell", $"dim").agg(sum($"sx").as("ssum"), count(lit(1)).as("n"))
+          .withColumn("mean",
+            $"ssum".cast("double") / lit(1000000.0) / $"n".cast("double"))
+          .groupBy($"cell")
+          .agg(transform(array_sort(collect_list(struct($"dim", $"mean"))),
+            x => x.getField("mean")).as("c"))
+          .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+
+      // assignment against collected (tiny: cells × Dim doubles) centroids
+      // during TRAINING only; ties break to the lowest cell id
+      def assignLit(cents: Seq[(Int, Seq[Double])]): DataFrame = {
+        val cellIds = array(cents.map(c => lit(c._1)): _*)
+        val d2s = array(cents.map { case (_, c) =>
+          val cc = c.map(x => x * x).foldLeft(0.0)(_ + _)
+          lit(cc) - lit(2.0) * dotD($"e", array(c.map(lit): _*))
+        }: _*)
+        v.withColumn("cell",
+          element_at(cellIds, array_position(d2s, array_min(d2s)).cast("int")))
+      }
+
+      // iteration 0: argmax-dot against the equal-norm ±1 anchors
+      val dots = array(anchors.map(a => dotD($"e", array(a.map(lit): _*))): _*)
+      val a0 = v.withColumn("cell",
+        array_position(dots, array_max(dots)).cast("int"))
+      val c1 = centroidsOf(a0)
+      val c2 = centroidsOf(assignLit(c1))
+
+      // persist the trained quantizer; the search below reads it back
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-centroids").toString
+      val centTable = graft.delta.DeltaTable.forPath(s, dir)
+      centTable.write(c2.toDF("cell", "c"))
+      val cents = centTable.toDF
+        .withColumn("cc", dotD($"c", $"c"))
+
+      val assigned = v.crossJoin(broadcast(cents))
+        .withColumn("d2", $"cc" - lit(2.0) * dotD($"e", $"c"))
+        .groupBy($"vec_id")
+        .agg(min_by(struct($"cell", $"e", $"nrm"), struct($"d2", $"cell")).as("m"))
+        .select($"vec_id", $"m.cell".as("cell"), $"m.e".as("e"), $"m.nrm".as("nrm"))
+      val q = assigned.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"), $"cell")
+      val c = assigned.select($"vec_id".as("c_id"), $"e".as("ce"),
+        $"nrm".as("cn"), $"cell")
+      c.join(broadcast(q), Seq("cell")).filter($"c_id" =!= $"q_id")
+        .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn"))
+        .groupBy($"q_id")
+        .agg(graft.functions.TopKExpressions.topKByScore($"cosine", $"c_id", K).as("top"))
+        .select($"q_id", posexplode($"top"))
+        .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+          $"col.id".as("c_id"), $"col.score".as("cosine"))
+        .orderBy($"q_id", $"rank")
+    }, {
+      val dotsSql = anchors.map(a => duckDot("e", a.mkString("[", ", ", "]")))
+        .mkString("[", ", ", "]")
+      // one Lloyd step: means of `prev` assignments, then re-assignment
+      // by argmin(c·c - 2 e·c) with ties to the lowest cell id
+      def meansSql(prev: String) = s"""
+        SELECT cell, list(CAST(ssum AS DOUBLE)/1000000.0/CAST(n AS DOUBLE) ORDER BY dim) AS c
+        FROM (SELECT cell, dim, CAST(SUM(sx) AS BIGINT) AS ssum, COUNT(*) AS n
+              FROM (SELECT cell, u.i - 1 AS dim, CAST(round(e[u.i]*1000000.0) AS BIGINT) AS sx
+                    FROM $prev, (SELECT unnest(generate_series(1, $Dim)) AS i) u)
+              GROUP BY 1, 2)
+        GROUP BY cell"""
+      def assignSql(cents: String) = s"""
+        SELECT vec_id, e, nrm, cell FROM (
+          SELECT v.vec_id, v.e, v.nrm, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              ${duckDot("c.c", "c.c")} - 2*${duckDot("v.e", "c.c")}, c.cell) AS rn
+          FROM n v, $cents c)
+        WHERE rn = 1"""
+      Some(s"""
+      WITH n AS ($duckNormed),
+      a0 AS (SELECT vec_id, e, nrm,
+          CAST(list_position(dots, list_max(dots)) AS INTEGER) AS cell
+        FROM (SELECT vec_id, e, nrm, $dotsSql AS dots FROM n)),
+      c1 AS (${meansSql("a0")}),
+      a1 AS (${assignSql("c1")}),
+      c2 AS (${meansSql("a1")}),
+      a2 AS (${assignSql("c2")}),
+      q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell
+            FROM a2 WHERE vec_id < $NumQueries),
+      scored AS (SELECT q.q_id, c.vec_id AS c_id,
+          ${duckDot("q.qe", "c.e")} / (q.qn * c.nrm) AS cosine
+        FROM q JOIN a2 c ON q.cell = c.cell AND c.vec_id != q.q_id)
+      SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, cosine FROM (
+        SELECT q_id, c_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        FROM scored)
+      WHERE rn <= $K ORDER BY q_id, rank""")
+    }),
+
     // C38 ---------------------------------------------------------------
     // Semantic deduplication (SemDeDup, Abbas et al. 2023): embeddings
     // cluster into IVF cells (same coarse quantizer as ann_ivf_cells);
