@@ -5,6 +5,11 @@ import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 
+/** Bounded VACUUM report: exact count, capped path sample — the full
+  * 10^7-path listing never lands on the driver.
+  */
+final case class VacuumResult(deletedCount: Long, sample: Seq[String])
+
 /** User-facing ACID table on top of the transaction log — the compute
   * layer the reference intentionally leaves to "the engine on top"
   * (reference README): read snapshots as DataFrames with partition
@@ -810,13 +815,18 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * `delta.deletedFileRetentionDuration` table config). Listing,
     * reference anti-join and deletion all run on executors — the driver
     * never holds the file set, so 10^7-file tables don't walk or heap on
-    * the driver (round 1 did both). Returns the deleted paths. Time
-    * travel before the vacuumed versions stops working, as in any Delta
-    * implementation. With `dryRun`, nothing is deleted — the returned
-    * paths are what a real run would remove (directory sweep skipped).
+    * the driver (round 1 did both). The report is BOUNDED: an exact
+    * deleted count plus at most `reportLimit` sample paths — a 100-TB
+    * retention sweep can remove 10^7 files, and materializing every path
+    * on the driver (the pre-r9 behavior) is a multi-GB Seq. DRY RUN
+    * deletes nothing and lists what a real run would remove, still
+    * capped at `reportLimit` — pass a larger limit explicitly when a
+    * full audit listing is actually wanted. Time travel before the
+    * vacuumed versions stops working, as in any Delta implementation.
     */
   def vacuum(retentionMillis: Option[Long] = None,
-      dryRun: Boolean = false): Seq[String] = {
+      dryRun: Boolean = false,
+      reportLimit: Int = 1000): VacuumResult = {
     import spark.implicits._
     val hadoopConf = spark.sessionState.newHadoopConf()
     val fs = deltaLog.dataPath.getFileSystem(hadoopConf)
@@ -833,7 +843,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       .map(_.getPath.getName)
       .filter(n => !n.startsWith("_") && !n.startsWith("."))
       .toSeq
-    if (seeds.isEmpty) return Nil
+    if (seeds.isEmpty) return VacuumResult(0L, Nil)
     val listed = spark.createDataset(seeds)
       .repartition(math.min(seeds.size, 32))
       .mapPartitions { dirs =>
@@ -859,12 +869,27 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       .where($"mtime" <= cutoff)
       .join(active, Seq("p"), "left_anti")
       .select($"p").as[String]
-    val deleted =
-      if (dryRun) candidates.collect().toSeq
-      else candidates.mapPartitions { it =>
-        val f = new Path(rootStr).getFileSystem(serConf.value)
-        it.filter(p => f.delete(new Path(p), false))
-      }.collect().toSeq
+    // exact count + bounded sample, never the full path set: each task
+    // returns (its delete count, ≤reportLimit local sample); the driver
+    // holds O(tasks × reportLimit) strings worst-case, trimmed below
+    val (deletedCount, deletedSample) =
+      if (dryRun) (candidates.count(), candidates.take(reportLimit).toSeq)
+      else {
+        val perTask = candidates.mapPartitions { it =>
+          val f = new Path(rootStr).getFileSystem(serConf.value)
+          var n = 0L
+          val sample = Seq.newBuilder[String]
+          var sampled = 0
+          it.foreach { p =>
+            if (f.delete(new Path(p), false)) {
+              n += 1
+              if (sampled < reportLimit) { sample += p; sampled += 1 }
+            }
+          }
+          Iterator.single((n, sample.result()))
+        }.collect()
+        (perTask.map(_._1).sum, perTask.iterator.flatMap(_._2).take(reportLimit).toSeq)
+      }
 
     // orphaned deletion-vector sidecars: compaction materializes DVs and
     // drops their descriptors, leaving the sidecar files behind. The
@@ -897,7 +922,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       }
     }
     if (!dryRun) sweep(deltaLog.dataPath)
-    deleted ++ dvDeleted
+    VacuumResult(deletedCount + dvDeleted.size,
+      (deletedSample ++ dvDeleted).take(reportLimit))
   }
 
   /** GENERATE symlink_format_manifest: one text manifest per partition

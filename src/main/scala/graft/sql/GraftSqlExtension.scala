@@ -462,10 +462,16 @@ case class GraftReorgCommand(target: SqlTarget) extends LeafRunnableCommand {
 case class GraftVacuumCommand(target: SqlTarget,
     retentionMillis: Option[Long],
     dryRun: Boolean = false) extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = Seq(AttributeReference("path", StringType)())
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("deleted_count", LongType)(),
+    AttributeReference("path", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
-    t.vacuum(retentionMillis, dryRun).map(Row(_))
+    val r = t.vacuum(retentionMillis, dryRun)
+    // bounded: one row per sample path (count repeated), or a single
+    // count row when nothing was deleted
+    if (r.sample.isEmpty) Seq(Row(r.deletedCount, null))
+    else r.sample.map(p => Row(r.deletedCount, p))
   }
 }
 

@@ -191,7 +191,7 @@ class DeletionVectorSuite extends AnyFunSuite {
     // compaction materializes the DV -> the sidecar is orphaned -> swept
     t.compact()
     val deleted = t.vacuum(Some(0L))
-    assert(deleted.exists(_.contains("_deletion_vectors/")), "orphan DV must be vacuumed")
+    assert(deleted.sample.exists(_.contains("_deletion_vectors/")), "orphan DV must be vacuumed")
     assert(!fs.exists(dvDir) || fs.listStatus(dvDir).isEmpty)
     import spark.implicits._
     assert(t.toDF.count() == 500)

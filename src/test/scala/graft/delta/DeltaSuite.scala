@@ -641,6 +641,32 @@ class DeltaSuite extends AnyFunSuite {
     assert(lastChanges.collect { case a: AddFile => a }.forall(!_.dataChange))
   }
 
+  test("VACUUM report stays bounded while deletes run distributed (10k orphans)") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append)
+    // 10k orphan .parquet files straight on disk: vacuum only inspects
+    // names/mtimes, so content is irrelevant — this is the 10^7-file
+    // shape at test scale
+    val past = System.currentTimeMillis() - 86400000L
+    val orphanDir = new java.io.File(dir, "orphans")
+    orphanDir.mkdirs()
+    (0 until 10000).foreach { i =>
+      val f = new java.io.File(orphanDir, f"orphan-$i%05d.parquet")
+      f.createNewFile()
+      f.setLastModified(past)
+    }
+    val dry = t.vacuum(Some(0L), dryRun = true, reportLimit = 100)
+    assert(dry.deletedCount == 10000L, s"dry-run count: ${dry.deletedCount}")
+    assert(dry.sample.size == 100, "dry-run listing must honor the explicit limit")
+    assert(orphanDir.list().length == 10000, "dry run must not delete")
+    val res = t.vacuum(Some(0L), reportLimit = 100)
+    assert(res.deletedCount == 10000L, s"deleted count: ${res.deletedCount}")
+    assert(res.sample.size == 100, "report must be bounded, not the full path set")
+    assert(!orphanDir.exists() || orphanDir.list().isEmpty, "orphans must be physically gone")
+    assert(t.toDF.count() == sampleDF.count()) // live table untouched
+  }
+
   test("VACUUM deletes unreferenced files after retention") {
     val dir = tmp()
     val t = DeltaTable.forPath(spark, dir)
@@ -652,10 +678,10 @@ class DeltaSuite extends AnyFunSuite {
       fs.listStatus(t.deltaLog.dataPath)
         .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val before = parquetCount
-    assert(t.vacuum(Some(Long.MaxValue / 2)).isEmpty) // inside retention: keep
+    assert(t.vacuum(Some(Long.MaxValue / 2)).deletedCount == 0) // inside retention: keep
     assert(parquetCount == before)
     val deleted = t.vacuum(Some(0))
-    assert(deleted.nonEmpty)
+    assert(deleted.deletedCount > 0 && deleted.sample.nonEmpty)
     assert(parquetCount < before)
     assert(t.toDF.count() == 1) // current snapshot untouched
     intercept[Exception] { t.toDF(0).count() } // history physically gone
@@ -782,7 +808,7 @@ class DeltaSuite extends AnyFunSuite {
     t.write(sampleDF, SaveMode.Append)
     t.write(sampleDF.filter(col("id") === 1), SaveMode.Overwrite)
     // no explicit retention: the table config (0 ms) applies
-    assert(t.vacuum().nonEmpty)
+    assert(t.vacuum().deletedCount > 0)
     assert(t.toDF.count() == 1)
   }
 

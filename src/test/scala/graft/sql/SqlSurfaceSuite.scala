@@ -402,11 +402,11 @@ class SqlSurfaceSuite extends AnyFunSuite {
     t.write(seed())                                  // v0
     t.write(seed(), org.apache.spark.sql.SaveMode.Overwrite) // v1: old files orphaned
     val dry = spark.sql(s"VACUUM graft.`$dir` RETAIN 0 HOURS DRY RUN")
-      .collect().map(_.getString(0))
+      .collect().map(_.getString(1))
     assert(dry.nonEmpty, "overwrite must orphan at least one file")
     dry.foreach(p => assert(new java.io.File(p).exists(), s"dry run must not delete $p"))
     val real = spark.sql(s"VACUUM graft.`$dir` RETAIN 0 HOURS")
-      .collect().map(_.getString(0))
+      .collect().map(_.getString(1))
     assert(real.sorted.toSeq == dry.sorted.toSeq, "real run deletes exactly the dry-run report")
     dry.foreach(p => assert(!new java.io.File(p).exists(), s"real run must delete $p"))
     assert(t.toDF.count() == 5)
