@@ -215,6 +215,20 @@ final case class SetTransaction(
 }
 
 /** cf. reference `action/commit_info.go` (trimmed to the portable core). */
+/** Job provenance of a commit written by a scheduled-job engine
+  * (cf. reference `action/job_info.go:3`). Carried verbatim so history
+  * written by a Databricks-lineage writer round-trips without loss.
+  */
+final case class JobInfo(
+    jobId: Option[String] = None,
+    jobName: Option[String] = None,
+    runId: Option[String] = None,
+    jobOwnerId: Option[String] = None,
+    triggerType: Option[String] = None)
+
+/** Notebook provenance (cf. reference `action/notebook_info.go:3`). */
+final case class NotebookInfo(notebookId: Option[String] = None)
+
 final case class CommitInfo(
     version: Option[Long] = None,
     timestamp: Long = 0L,
@@ -226,7 +240,16 @@ final case class CommitInfo(
     operationMetrics: Map[String, String] = Map.empty,
     engineInfo: Option[String] = None,
     txnId: Option[String] = None,
-    inCommitTimestamp: Option[Long] = None) extends Action {
+    inCommitTimestamp: Option[Long] = None,
+    // interop provenance fields (cf. reference `action/commit_info.go:16`):
+    // not produced by this engine's write path, but preserved exactly
+    // through replay/history so foreign commits re-emit without loss
+    userId: Option[String] = None,
+    userName: Option[String] = None,
+    job: Option[JobInfo] = None,
+    notebook: Option[NotebookInfo] = None,
+    clusterId: Option[String] = None,
+    userMetadata: Option[String] = None) extends Action {
   def wrap: SingleAction = SingleAction(commitInfo = this)
 }
 
@@ -353,15 +376,33 @@ object Actions {
         o.put("size", c.size)
         putMap(o, "tags", c.tags)
       case ci: CommitInfo =>
+        // field order mirrors the reference struct (commit_info.go:13) so
+        // a foreign commit parses and re-emits byte-stable
         val o = root.putObject("commitInfo")
         ci.version.foreach(o.put("version", _))
         o.put("timestamp", ci.timestamp)
+        ci.userId.foreach(o.put("userId", _))
+        ci.userName.foreach(o.put("userName", _))
         put(o, "operation", ci.operation)
         putMap(o, "operationParameters", ci.operationParameters)
+        ci.job.foreach { j =>
+          val jo = o.putObject("job")
+          j.jobId.foreach(jo.put("jobId", _))
+          j.jobName.foreach(jo.put("jobName", _))
+          j.runId.foreach(jo.put("runId", _))
+          j.jobOwnerId.foreach(jo.put("jobOwnerId", _))
+          j.triggerType.foreach(jo.put("triggerType", _))
+        }
+        ci.notebook.foreach { nb =>
+          val no = o.putObject("notebook")
+          nb.notebookId.foreach(no.put("notebookId", _))
+        }
+        ci.clusterId.foreach(o.put("clusterId", _))
         ci.readVersion.foreach(o.put("readVersion", _))
         ci.isolationLevel.foreach(o.put("isolationLevel", _))
         ci.isBlindAppend.foreach(o.put("isBlindAppend", _))
         putMap(o, "operationMetrics", ci.operationMetrics)
+        ci.userMetadata.foreach(o.put("userMetadata", _))
         ci.engineInfo.foreach(o.put("engineInfo", _))
         ci.txnId.foreach(o.put("txnId", _))
         ci.inCommitTimestamp.foreach(o.put("inCommitTimestamp", _))
@@ -459,13 +500,27 @@ object Actions {
       case "cdc" => Some(AddCDCFile(
         str(n, "path"), nonNullMap(strMap(n, "partitionValues")),
         long(n, "size"), strMap(n, "tags")))
-      case "commitInfo" => Some(CommitInfo(
-        optLong(n, "version"), long(n, "timestamp"), str(n, "operation"),
-        nonNullMap(strMap(n, "operationParameters")), optLong(n, "readVersion"),
-        Option(str(n, "isolationLevel")),
-        { val v = n.get("isBlindAppend"); if (v == null || v.isNull) None else Some(v.asBoolean()) },
-        nonNullMap(strMap(n, "operationMetrics")), Option(str(n, "engineInfo")),
-        Option(str(n, "txnId")), optLong(n, "inCommitTimestamp")))
+      case "commitInfo" =>
+        val jobNode = n.get("job")
+        val job =
+          if (jobNode == null || jobNode.isNull) None
+          else Some(JobInfo(
+            Option(str(jobNode, "jobId")), Option(str(jobNode, "jobName")),
+            Option(str(jobNode, "runId")), Option(str(jobNode, "jobOwnerId")),
+            Option(str(jobNode, "triggerType"))))
+        val nbNode = n.get("notebook")
+        val notebook =
+          if (nbNode == null || nbNode.isNull) None
+          else Some(NotebookInfo(Option(str(nbNode, "notebookId"))))
+        Some(CommitInfo(
+          optLong(n, "version"), long(n, "timestamp"), str(n, "operation"),
+          nonNullMap(strMap(n, "operationParameters")), optLong(n, "readVersion"),
+          Option(str(n, "isolationLevel")),
+          { val v = n.get("isBlindAppend"); if (v == null || v.isNull) None else Some(v.asBoolean()) },
+          nonNullMap(strMap(n, "operationMetrics")), Option(str(n, "engineInfo")),
+          Option(str(n, "txnId")), optLong(n, "inCommitTimestamp"),
+          Option(str(n, "userId")), Option(str(n, "userName")), job, notebook,
+          Option(str(n, "clusterId")), Option(str(n, "userMetadata"))))
       case _ => None // unknown action: forward-compatible skip
     }
   }

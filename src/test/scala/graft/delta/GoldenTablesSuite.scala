@@ -128,6 +128,31 @@ class GoldenTablesSuite extends AnyFunSuite {
     assert(ci.get.version.contains(0L))
   }
 
+  test("golden: commitInfo provenance fields round-trip byte-stable") {
+    // the golden commit was written by a Databricks-lineage writer and
+    // carries the full provenance surface (reference action/job_info.go,
+    // notebook_info.go, commit_info.go:16)
+    val line = scala.io.Source
+      .fromFile(s"$golden/deltalog-commit-info/_delta_log/00000000000000000000.json")
+      .getLines().find(_.startsWith("{\"commitInfo\"")).get
+    val ci = Actions.fromJson(line).get.asInstanceOf[CommitInfo]
+    assert(ci.userId.contains("user_0"))
+    assert(ci.userName.contains("username_0"))
+    assert(ci.job.contains(JobInfo(Some("job_id_0"), Some("job_name_0"),
+      Some("run_id_0"), Some("job_owner_0"), Some("trigger_type_0"))))
+    assert(ci.notebook.contains(NotebookInfo(Some("notebook_id_0"))))
+    assert(ci.clusterId.contains("cluster_id_0"))
+    assert(ci.userMetadata.contains("foo"))
+    assert(ci.readVersion.contains(-1L))
+    // re-emission is byte-identical: nothing dropped, order preserved
+    assert(Actions.toJson(ci) == line)
+    // and the fields survive the history surface too
+    val fromHistory = log("deltalog-commit-info").commitInfoAt(0L).get
+    assert(fromHistory.job == ci.job && fromHistory.notebook == ci.notebook &&
+      fromHistory.clusterId == ci.clusterId &&
+      fromHistory.userMetadata == ci.userMetadata)
+  }
+
   test("golden: partitioned time travel reads real partition data") {
     val t = DeltaTable.forPath(spark, s"$golden/time-travel-partition-changes-a")
     val snap = t.snapshot
