@@ -23,11 +23,14 @@ object FileNames {
   def absolutePath(dataPath: Path, child: String): Path =
     try {
       val uri = new java.net.URI(child)
-      // a raw pre-spec path with '#' or '?' PARSES as a URI (fragment /
-      // query) but would silently drop the tail — treat it as literal too
-      if (uri.getFragment != null || uri.getQuery != null)
+      // spec-legal ABSOLUTE URIs keep their query/fragment verbatim
+      // (e.g. s3://bucket/key?versionId=x) — only a RELATIVE child with
+      // '#' or '?' is a raw pre-spec path that merely PARSES as a URI
+      // (fragment / query would silently drop the tail) and falls back
+      // to literal resolution
+      if (uri.isAbsolute) new Path(uri)
+      else if (uri.getFragment != null || uri.getQuery != null)
         new Path(dataPath, child)
-      else if (uri.isAbsolute) new Path(uri)
       else new Path(dataPath, new Path(uri))
     } catch {
       case _: java.net.URISyntaxException => new Path(dataPath, child)

@@ -107,6 +107,22 @@ object Constraints {
     }
   }
 
+  /** Wrap `df` so that writing it enforces `cond` on every row, with the
+    * same pinned, non-reorderable raise_error guard as CHECK constraints
+    * (see [[enforce]] for why the pin matters). Used by replaceWhere:
+    * enforcement runs INSIDE the write job — no separate validation scan,
+    * and a non-deterministic source cannot pass validation yet write
+    * violating rows.
+    */
+  def enforcePredicate(df: DataFrame, cond: org.apache.spark.sql.Column,
+      desc: String): DataFrame = {
+    val pin = org.apache.spark.sql.GraftShims
+      .column(graft.functions.PinnedTrue())
+    df.filter(
+      when(pin && coalesce(cond, lit(false)), lit(true))
+        .otherwise(raise_error(lit(Sentinel + desc))))
+  }
+
   /** Column names referenced by a constraint SQL expression (used to
     * reject RENAME/DROP of a constrained column).
     */

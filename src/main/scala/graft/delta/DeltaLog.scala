@@ -325,7 +325,32 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     val policy = s.metadataOpt
       .map(DeltaConfig.CheckpointPolicy.fromMetadata).getOrElse("classic")
     if (policy == "v2") checkpointV2(s) else checkpointClassic(s)
+    reconcileChecksum(s)
   }
+
+  /** Verify the incremental crc against the snapshot's aggregated state
+    * and heal it when drifted. The per-commit arithmetic in
+    * [[writeChecksum]] assumes every AddFile is a new path and every
+    * RemoveFile hits a live file; a commit that re-adds an active path
+    * (or re-removes a tombstoned one) silently drifts numFiles /
+    * tableSizeBytes. Checkpoint time already pays one full state
+    * aggregation, so the exact recount is free here — and subsequent
+    * incremental crcs build on the healed value. Best-effort, like all
+    * crc writes.
+    */
+  private def reconcileChecksum(s: Snapshot): Unit =
+    try {
+      import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+      val r = s.activeFilesDF
+        .agg(count(lit(1)), coalesce(sum("size"), lit(0L))).head()
+      val exact = (r.getLong(0), r.getLong(1))
+      if (!readChecksum(s.version).contains(exact)) {
+        val json =
+          s"""{"tableSizeBytes":${exact._2},"numFiles":${exact._1}}"""
+        store.write(FileNames.checksumFile(logPath, s.version),
+          Iterator(json), overwrite = true)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** `delta.checkpoint.writeStatsAsStruct`: materialize each AddFile's
     * stats JSON as a parsed `add.stats_parsed` struct in the checkpoint,

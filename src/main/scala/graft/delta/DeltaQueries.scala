@@ -52,7 +52,7 @@ object DeltaQueries {
       txn0.updateMetadata(Metadata(
         schemaString = nation.schema.json,
         configuration = Map("delta.checkpointInterval" -> "2")))
-      txn0.commit(Nil, "CREATE TABLE") // v0
+      txn0.commit(Nil, Op.CreateTable) // v0
       (0 until 5).foreach { k => // v1..v5; checkpoints at v2, v4
         t.write(nation.filter(pmod(col("n_nationkey"), lit(5)) === k))
       }
@@ -127,12 +127,12 @@ object DeltaQueries {
         configuration = Map(
           "delta.targetFileSize" -> (64L * 1024).toString,
           "delta.clusteringColumns" -> "o_custkey,o_totalprice")))
-      txn.commit(Nil, "CREATE TABLE")
+      txn.commit(Nil, Op.CreateTable)
       t.write(orders.repartition(8), SaveMode.Append)
       // plain OPTIMIZE picks up the declared clustering columns
       t.compact()
       val ci = t.deltaLog.commitInfoAt(t.snapshot.version).get
-      require(ci.operation == "OPTIMIZE" &&
+      require(ci.operation == Op.Optimize &&
         ci.operationParameters.get("zOrderBy").contains("o_custkey,o_totalprice"),
         "parameterless OPTIMIZE must apply the declared clustering")
     }
@@ -148,7 +148,7 @@ object DeltaQueries {
           org.apache.spark.sql.types.LongType)))
       val txn = t.deltaLog.startTransaction()
       txn.updateMetadata(Metadata(schemaString = schema.json))
-      txn.commit(Nil, "CREATE TABLE")
+      txn.commit(Nil, Op.CreateTable)
       val nation = table(s, d, "nation")
         .select(col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
       // two single-partition sorted batches => generation order is the
@@ -167,7 +167,7 @@ object DeltaQueries {
       txn.updateMetadata(Metadata(
         schemaString = orders.schema.json,
         configuration = Map("delta.enableDeletionVectors" -> "true")))
-      txn.commit(Nil, "CREATE TABLE")
+      txn.commit(Nil, Op.CreateTable)
       t.write(orders)
       t.delete(col("o_totalprice") > 250000) // DV masks
       t.reorgPurge()                         // materialize: no DVs survive
@@ -186,7 +186,7 @@ object DeltaQueries {
           "delta.checkpointInterval" -> "2",
           "delta.checkpointPolicy" -> "v2",
           "delta.checkpoint.numSidecars" -> "4")))
-      txn0.commit(Nil, "CREATE TABLE") // v0
+      txn0.commit(Nil, Op.CreateTable) // v0
       (0 until 5).foreach { k => // v1..v5; v2 checkpoints at v2, v4
         t.write(nation.filter(pmod(col("n_nationkey"), lit(5)) === k))
       }
@@ -203,7 +203,7 @@ object DeltaQueries {
         configuration = Map(
           "delta.enableRowTracking" -> "true",
           "delta.enableDeletionVectors" -> "true")))
-      txn.commit(Nil, "CREATE TABLE")
+      txn.commit(Nil, Op.CreateTable)
       // one sorted file: fresh ids follow the sort order (0..N-1)
       t.write(nation.orderBy(col("n_nationkey")).coalesce(1))
       t.delete(col("n_regionkey") === 2) // DV mask: surviving ids stable
@@ -222,7 +222,7 @@ object DeltaQueries {
       txn.updateMetadata(Metadata(
         schemaString = nation.schema.json,
         configuration = Map("delta.enableDeletionVectors" -> "true")))
-      txn.commit(Nil, "CREATE TABLE")
+      txn.commit(Nil, Op.CreateTable)
       t.write(nation, SaveMode.Append)
       val before = t.snapshot.allFiles.map(_.path).toSet
       // matched deletes (rk=2) + matched updates (<10) + inserts (+100),
@@ -279,7 +279,7 @@ object DeltaQueries {
       val txn = t.deltaLog.startTransaction()
       txn.updateMetadata(Metadata(
         schemaString = schema.json, partitionColumns = Seq("order_year")))
-      txn.commit(Nil, "CREATE TABLE")
+      txn.commit(Nil, Op.CreateTable)
       t.write(orders)
     }
 
@@ -292,7 +292,7 @@ object DeltaQueries {
       txn.updateMetadata(Metadata(
         schemaString = nation.schema.json,
         configuration = Map("delta.enableChangeDataFeed" -> "true")))
-      txn.commit(Nil, "CREATE TABLE") // v0
+      txn.commit(Nil, Op.CreateTable) // v0
       t.write(nation) // v1
       t.delete(col("n_regionkey") === 2 && col("n_nationkey") > 10) // v2
       t.update(col("n_nationkey") < 3, Map("n_name" -> concat(col("n_name"), lit("!")))) // v3
@@ -307,7 +307,7 @@ object DeltaQueries {
         schemaString = orders.schema.json,
         partitionColumns = Seq("o_orderstatus"),
         configuration = Map("delta.enableDeletionVectors" -> "true")))
-      txn.commit(Nil, "CREATE TABLE")
+      txn.commit(Nil, Op.CreateTable)
       t.write(orders, SaveMode.Append, Seq("o_orderstatus"))
       // merge-on-read delete: same files, sidecar DVs
       t.delete(col("o_totalprice") > 250000)
@@ -324,7 +324,7 @@ object DeltaQueries {
         schemaString = orders.schema.json,
         partitionColumns = Seq("o_orderstatus"),
         configuration = Map("delta.enableDeletionVectors" -> "true")))
-      txn.commit(Nil, "CREATE TABLE")
+      txn.commit(Nil, Op.CreateTable)
       t.write(orders, SaveMode.Append, Seq("o_orderstatus"))
       t.delete(col("o_totalprice") > 250000)
       val before = t.snapshot.allFiles.map(_.path).toSet
@@ -343,7 +343,7 @@ object DeltaQueries {
       txn.updateMetadata(Metadata(
         schemaString = orders.schema.json,
         configuration = Map("delta.targetFileSize" -> (64L * 1024).toString)))
-      txn.commit(Nil, "CREATE TABLE")
+      txn.commit(Nil, Op.CreateTable)
       t.write(orders)
       t.compact(Seq("o_custkey", "o_totalprice")) // multi-column clustering
       // >= 4 z-contiguous files so the Morton curve splits BOTH dimensions
@@ -855,7 +855,7 @@ object DeltaQueries {
             "delta.autoOptimize.optimizeWrite" -> "true",
             "delta.autoOptimize.autoCompact" -> "true",
             "delta.autoOptimize.autoCompact.minNumFiles" -> "3")))
-        txn.commit(Nil, "CREATE TABLE")
+        txn.commit(Nil, Op.CreateTable)
         (0 until 3).foreach { k =>
           t.write(nation.filter(pmod(col("n_nationkey"), lit(3)) === k)
             .repartition(8), SaveMode.Append, Seq("n_regionkey"))
@@ -942,6 +942,40 @@ object DeltaQueries {
       SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM inserted
       ORDER BY c_custkey""")),
 
+    // TRUNCATE TABLE (reference op/names.go TRUNCATE): metadata-only
+    // remove-all through the SQL surface, then a reload — proven
+    // CDF-visible by reading the change feed across truncate + reload:
+    // every original row surfaces as a delete, the reload as inserts.
+    GQ("delta_truncate", (s, d) => {
+      val dir = fixture(s, d, "truncate") { dir =>
+        val t = DeltaTable.forPath(s, dir)
+        t.write(table(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"), col("n_regionkey").cast("long").as("n_regionkey")),
+          SaveMode.Append) // v0
+        s.sql(s"TRUNCATE TABLE graft.`$dir`") // v1: metadata-only remove-all
+        require(t.deltaLog.commitInfoAt(1L).exists(_.operation == Op.Truncate),
+          "history must say TRUNCATE")
+        t.write(table(s, d, "nation")
+          .filter(col("n_regionkey") < 2)
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"), col("n_regionkey").cast("long").as("n_regionkey")),
+          SaveMode.Append) // v2: reload a subset
+      }
+      DeltaTable.forPath(s, dir).tableChanges(1L)
+        .select(col("_change_type"), col("n_nationkey"), col("n_name"),
+          col("n_regionkey"))
+        .orderBy(col("_change_type"), col("n_nationkey"))
+    }, Some("""
+      SELECT * FROM (
+        SELECT 'delete' AS _change_type, CAST(n_nationkey AS BIGINT) AS n_nationkey,
+          n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+        FROM nation
+        UNION ALL
+        SELECT 'insert', CAST(n_nationkey AS BIGINT), n_name, CAST(n_regionkey AS BIGINT)
+        FROM nation WHERE n_regionkey < 2)
+      ORDER BY _change_type, n_nationkey""")),
+
     // CONVERT TO DELTA (A49): a plain Hive-partitioned parquet directory
     // is adopted in place (footer-stat job + one commit, no rewrite),
     // then proven transactional with a DELETE and read back through the
@@ -989,7 +1023,7 @@ object DeltaQueries {
             org.apache.spark.sql.types.LongType)))
         val txn = agg.deltaLog.startTransaction()
         txn.updateMetadata(Metadata(schemaString = aggSchema.json))
-        txn.commit(Nil, "CREATE TABLE")
+        txn.commit(Nil, Op.CreateTable)
         (1L to src.deltaLog.update().version).foreach { v =>
           val deltas = src.tableChanges(v, v)
             .withColumn("sign",
@@ -1030,7 +1064,7 @@ object DeltaQueries {
           schemaString = Snapshot.nullable(narrow.schema)
             .asInstanceOf[org.apache.spark.sql.types.StructType].json,
           configuration = Map("delta.enableTypeWidening" -> "true")))
-        txn.commit(Nil, "CREATE TABLE") // v0
+        txn.commit(Nil, Op.CreateTable) // v0
         t.write(narrow.filter(col("nk") < 13)) // v1: INT files
         t.write(nation.select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
           .filter(col("nk") >= 13), SaveMode.Append, mergeSchema = true) // v2: widen + LONG files
@@ -1070,7 +1104,9 @@ object DeltaQueries {
             SaveMode.Overwrite,
             replaceWhere = Some(col("o_totalprice") > 999999))
           false
-        } catch { case _: IllegalArgumentException => true }
+        } catch { case e: Exception => // in-job raise_error enforcement
+          e.isInstanceOf[ConstraintViolationException] ||
+            Constraints.unwrap(e).isDefined }
         require(bad, "violating replaceWhere write must be rejected")
         require(t.deltaLog.update().version == v, "rejected write must not commit")
       }

@@ -453,14 +453,14 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     if (idMarks.nonEmpty)
       txn.restageMetadata(IdentityColumns.patchSchema(txn.metadata, idMarks))
 
-    // replaceWhere constraint (checked BEFORE any file lands): every
-    // incoming row must fall inside the replaced region, else the
-    // overwrite would silently clobber rows it never declared it reads.
-    // limit(1) stops the scan at the first violation.
+    // replaceWhere constraint, enforced PER-ROW INSIDE the write job
+    // (same pinned raise_error guard as CHECK constraints): a separate
+    // pre-write validation pass would both re-execute the source — a
+    // non-deterministic input (rand(), unordered limit) could pass
+    // validation yet write violating rows — and cost a full extra scan.
+    // The violating task fails before its file is committed.
     replaceWhere.foreach { cond =>
-      import org.apache.spark.sql.functions.{coalesce, lit, not}
-      val bad = data.filter(not(coalesce(cond, lit(false)))).limit(1).count()
-      require(bad == 0,
+      data = Constraints.enforcePredicate(data, cond,
         s"rows written with replaceWhere must all satisfy the predicate: $cond")
     }
 
@@ -470,7 +470,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       else data
     val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, toWrite, partCols,
       txn.metadata)
-    val operation = if (mode == SaveMode.Overwrite) "WRITE.Overwrite" else "WRITE.Append"
+    val operation = Op.Write // mode travels in operationParameters
     val params = Map(
       "mode" -> mode.toString,
       "partitionBy" -> partCols.mkString(","),
@@ -627,7 +627,10 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         txn.snapshot.allFiles.map(_.remove(deltaLog.clock.nowMillis))
       else Nil
     txn.commit(removes ++ adds :+ SetTransaction(appId, batchId, Some(deltaLog.clock.nowMillis)),
-      if (overwrite) "STREAMING COMPLETE" else "STREAMING UPDATE")
+      Op.StreamingUpdate,
+      operationParameters = Map(
+        "outputMode" -> (if (overwrite) "Complete" else "Append"),
+        "queryId" -> appId, "epochId" -> batchId.toString))
     autoCompactAfter(adds)
     true
   }
@@ -803,7 +806,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       md)
       .map(_.copy(dataChange = false))
     val removes = files.map(f => f.remove(now, dataChange = false))
-    txn.commit(removes ++ adds, if (purgeOnly || backfillOnly) "REORG" else "OPTIMIZE",
+    txn.commit(removes ++ adds, if (purgeOnly || backfillOnly) Op.Reorg else Op.Optimize,
       operationParameters = Map("targetFileSize" -> targetSize.toString) ++
         (if (purgeOnly) Map("applyPurge" -> "true") else Map.empty) ++
         (if (backfillOnly) Map("backfillRowIds" -> "true") else Map.empty) ++
@@ -1125,7 +1128,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           touchedDF.filter(condTrue).select(schemaCols: _*)
             .withColumn("_change_type", lit("delete")))
       else Nil
-    txn.commit(removes ++ adds ++ cdc, "DELETE",
+    txn.commit(removes ++ adds ++ cdc, Op.Delete,
       operationParameters = Map("predicate" -> condition.toString))
   }
 
@@ -1150,7 +1153,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
             matched.select(md.schema.fieldNames.map(col).toSeq: _*)
               .withColumn("_change_type", lit("delete")))
         else Nil
-      txn.commit(actions ++ cdc, "DELETE",
+      txn.commit(actions ++ cdc, Op.Delete,
         operationParameters = Map(
           "predicate" -> condition.toString, "mode" -> "deletion-vectors"))
     } finally matched.unpersist()
@@ -1240,7 +1243,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
             .unionByName(matched.select(postProj: _*)
               .withColumn("_change_type", lit("update_postimage"))))
       } else Nil
-    txn.commit(removes ++ adds ++ cdc, "UPDATE",
+    txn.commit(removes ++ adds ++ cdc, Op.Update,
       operationParameters = Map(
         "predicate" -> condition.toString,
         "setColumns" -> set.keys.toSeq.sorted.mkString(",")))
@@ -1285,7 +1288,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
               .unionByName(newImages
                 .withColumn("_change_type", lit("update_postimage"))))
         else Nil
-      txn.commit(maskActions ++ adds ++ cdc, "UPDATE",
+      txn.commit(maskActions ++ adds ++ cdc, Op.Update,
         operationParameters = Map(
           "predicate" -> condition.toString,
           "setColumns" -> set.keys.toSeq.sorted.mkString(","),
@@ -1318,7 +1321,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val renamed = org.apache.spark.sql.types.StructType(
       md.schema.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f))
     txn.updateMetadata(md.copy(schemaString = renamed.json))
-    txn.commit(Nil, "RENAME COLUMN",
+    txn.commit(Nil, Op.RenameColumn,
       operationParameters = Map("from" -> oldName, "to" -> newName))
   }
 
@@ -1336,7 +1339,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val remaining = org.apache.spark.sql.types.StructType(
       md.schema.fields.filterNot(_.name == name))
     txn.updateMetadata(md.copy(schemaString = remaining.json))
-    txn.commit(Nil, "DROP COLUMN", operationParameters = Map("column" -> name))
+    txn.commit(Nil, Op.DropColumn, operationParameters = Map("column" -> name))
   }
 
   /** RENAME/DROP of a column referenced by a CHECK constraint is rejected
@@ -1370,7 +1373,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     }
     txn.updateMetadata(md.copy(schemaString =
       org.apache.spark.sql.types.StructType(md.schema.fields ++ annotated).json))
-    txn.commit(Nil, "ADD COLUMNS",
+    txn.commit(Nil, Op.AddColumns,
       operationParameters = Map("columns" -> cols.fieldNames.mkString(",")))
   }
 
@@ -1402,7 +1405,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       if (txn.snapshot.protocol.minWriterVersion < 3)
         Seq(txn.snapshot.protocol.copy(minWriterVersion = 3))
       else Nil
-    txn.commit(protoBump, "ADD CONSTRAINT",
+    txn.commit(protoBump, Op.AddConstraint,
       operationParameters = Map("name" -> name, "expr" -> expression))
   }
 
@@ -1415,7 +1418,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val key = Constraints.Prefix + name
     require(md.configuration.contains(key), s"no such constraint: $name")
     txn.updateMetadata(md.copy(configuration = md.configuration - key))
-    txn.commit(Nil, "DROP CONSTRAINT", operationParameters = Map("name" -> name))
+    txn.commit(Nil, Op.DropConstraint, operationParameters = Map("name" -> name))
   }
 
   // -------------------------------------------------------------- restore
@@ -1491,12 +1494,12 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       txn.commitLarge(
         toAdd.toLocalIterator().asScala.map(f => f.copy(dataChange = true): Action) ++
           toRemove.toLocalIterator().asScala.map(f => f.remove(now): Action),
-        "RESTORE", operationParameters = params, operationMetrics = metrics)
+        Op.Restore, operationParameters = params, operationMetrics = metrics)
     } else {
       txn.commit(
         toAdd.collect().toSeq.map(_.copy(dataChange = true)) ++
           toRemove.collect().toSeq.map(_.remove(now)),
-        "RESTORE", operationParameters = params)
+        Op.Restore, operationParameters = params)
     }
   }
 
@@ -1555,13 +1558,35 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       txn.commitLarge(
         ((src.protocol: Action) +: domains).iterator ++
           src.allFilesDS.toLocalIterator().asScala.map(f => rewrite(f): Action),
-        "CLONE", operationParameters = params,
+        Op.Clone, operationParameters = params,
         operationMetrics = Map("numClonedFiles" -> n.toString))
     } else {
-      txn.commit((src.protocol +: domains) ++ src.allFiles.map(rewrite), "CLONE",
+      txn.commit((src.protocol +: domains) ++ src.allFiles.map(rewrite), Op.Clone,
         operationParameters = params)
     }
     DeltaTable.forPath(spark, destPath)
+  }
+
+  /** TRUNCATE TABLE (reference `op/names.go` TRUNCATE): metadata-only
+    * remove-all commit — no file is read or rewritten, every live
+    * AddFile turns into a dataChange RemoveFile, so CDF readers derive
+    * the deleted rows from the removed files exactly like a
+    * full-table DELETE. Streams the remove list via commitLarge past
+    * the same threshold as overwrites, so a 10^7-file truncate never
+    * materializes the action list on the driver.
+    */
+  def truncate(): Long = {
+    val txn = deltaLog.startTransaction()
+    txn.readWholeTable()
+    val now = deltaLog.clock.nowMillis
+    val n = txn.snapshot.numOfFiles
+    if (n > DeltaTable.commitLargeThreshold(spark)) {
+      import scala.jdk.CollectionConverters._
+      val removes = txn.snapshot.allFilesDS.toLocalIterator.asScala
+        .map(f => f.remove(now): Action)
+      txn.commitLarge(removes, Op.Truncate,
+        operationMetrics = Map("numRemovedFiles" -> n.toString))
+    } else txn.commit(txn.snapshot.allFiles.map(_.remove(now)), Op.Truncate)
   }
 
   /** Partition-level delete: drops whole files selected by a
@@ -1577,7 +1602,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           s"residual: ${scan.residualPredicates.mkString(", ")}")
     val files = txn.markFilesAsRead(partitionPredicate)
     val now = deltaLog.clock.nowMillis
-    txn.commit(files.map(_.remove(now)), "DELETE",
+    txn.commit(files.map(_.remove(now)), Op.Delete,
       operationParameters = Map("predicate" -> partitionPredicate.toString))
   }
 }
@@ -1669,7 +1694,7 @@ object DeltaTable {
       schemaString = fullSchema.json,
       partitionColumns = partCols,
       createdTime = Some(log.clock.nowMillis)))
-    txn.commit(adds, "CONVERT",
+    txn.commit(adds, Op.Convert,
       operationParameters = Map("numFiles" -> adds.size.toString))
     new DeltaTable(spark, log)
   }

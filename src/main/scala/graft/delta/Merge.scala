@@ -206,7 +206,7 @@ final class MergeBuilder private[delta] (
       if (notMatched.isEmpty) {
         // still record the idempotent txn id so a replay skips the scan
         if (txnActions.nonEmpty)
-          return txn.commit(txnActions, "MERGE",
+          return txn.commit(txnActions, Op.Merge,
             operationParameters = Map("predicate" -> condition.toString))
         return txn.readVersion
       }
@@ -221,7 +221,7 @@ final class MergeBuilder private[delta] (
         if (cdfOn) DeltaTable.writeCdcFiles(spark, log.dataPath,
           frames.map(_.withColumn("_change_type", lit("insert"))).reduce(_ unionByName _))
         else Nil
-      return txn.commit(adds ++ cdc ++ txnActions, "MERGE",
+      return txn.commit(adds ++ cdc ++ txnActions, Op.Merge,
         operationParameters = Map("predicate" -> condition.toString))
     }
 
@@ -346,7 +346,7 @@ final class MergeBuilder private[delta] (
       // of the same (empty) batch stays a no-op instead of re-scanning
       val allActions = if (allActions0.isEmpty) txnActions else allActions0 ++ txnActions
       if (allActions.isEmpty) txn.readVersion // no clause applied anywhere
-      else txn.commit(allActions, "MERGE",
+      else txn.commit(allActions, Op.Merge,
         operationParameters = Map("predicate" -> condition.toString) ++
           (if (dvOn) Map("mode" -> "deletion-vectors") else Map.empty))
     } finally joined.unpersist()

@@ -12,7 +12,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InsertIntoH
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.delta.{DeltaFileIndex, DeltaTable}
+import graft.delta.{DeltaFileIndex, DeltaTable, Op}
 import graft.sources.SnapshotRelation
 
 /** SQL surface for graft-delta tables, activated via
@@ -123,11 +123,18 @@ class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
       } catch { case _: Exception => None }
   }
 
-  private def tsMillis(e: Expression): Option[Long] = {
-    val tz = spark.sessionState.conf.sessionLocalTimeZone
-    Option(Cast(e, TimestampType, Some(tz)).eval(null))
-      .map(_.asInstanceOf[Long] / 1000L) // micros -> millis
-  }
+  /** Millis of a foldable TIMESTAMP AS OF expression. This runs in the
+    * pre-resolution Hints batch, where a non-literal expression (e.g.
+    * `current_date() - interval`) is not yet resolved — eval would throw
+    * mid-analysis, so non-evaluable input returns None and the node is
+    * left for Spark to resolve or reject cleanly.
+    */
+  private def tsMillis(e: Expression): Option[Long] =
+    try {
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      Option(Cast(e, TimestampType, Some(tz)).eval(null))
+        .map(_.asInstanceOf[Long] / 1000L) // micros -> millis
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** `graft.`/path``/`delta.`/path`` with an existing log (path form
     * only — catalog names resolve through Spark's own relation lookup).
@@ -193,6 +200,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftDescribeDetailCommand(parseTarget(target)))
       case ReorgRe(target) =>
         Some(GraftReorgCommand(parseTarget(target)))
+      case TruncateRe(target) =>
+        // TRUNCATE TABLE is valid vanilla Spark SQL — only intercept
+        // when the target actually resolves to a graft-delta table, so
+        // native tables keep Spark's own behavior
+        val tgt = parseTarget(target)
+        val isGraft =
+          try {
+            val spark = SparkSession.active
+            graft.delta.DeltaLog
+              .forTable(spark, SqlTarget.resolve(spark, tgt)).tableExists
+          } catch { case _: Exception => false }
+        if (isGraft) Some(GraftTruncateCommand(tgt)) else None
       case AddConstraintRe(target, name, check) =>
         Some(GraftAddConstraintCommand(parseTarget(target), name, check.trim))
       case DropConstraintRe(target, name) =>
@@ -293,6 +312,8 @@ object GraftSqlParser {
     s"""(?is)SHOW\\s+PARTITIONS\\s+$T""".r
   private[sql] val ReorgRe =
     s"""(?is)REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)""".r
+  private[sql] val TruncateRe =
+    s"""(?is)TRUNCATE\\s+TABLE\\s+$T""".r
   private[sql] val CloneRe =
     s"""(?is)CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T\\s+SHALLOW\\s+CLONE\\s+$T""".r
   private[sql] val ConvertRe =
@@ -448,6 +469,21 @@ case class GraftDropColumnCommand(target: SqlTarget, colName: String)
   }
 }
 
+/** `TRUNCATE TABLE t` on a graft table (reference `op/names.go`
+  * TRUNCATE): a metadata-only remove-all commit — no data file is read,
+  * rewritten or physically deleted; CDF readers see the dropped rows as
+  * deletes and time travel before the truncate still works.
+  */
+case class GraftTruncateCommand(target: SqlTarget) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    val v = t.truncate()
+    SqlTarget.refresh(spark, target)
+    Seq(Row(v))
+  }
+}
+
 /** `REORG TABLE t APPLY (PURGE)` — materialize deletion vectors. */
 case class GraftReorgCommand(target: SqlTarget) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
@@ -569,7 +605,7 @@ case class GraftSetPropertiesCommand(target: SqlTarget,
       val txn = log.startTransaction()
       val md = txn.metadata
       txn.updateMetadata(md.copy(configuration = md.configuration ++ props))
-      txn.commit(Nil, "SET TBLPROPERTIES",
+      txn.commit(Nil, Op.SetTableProperties,
         operationParameters = Map("properties" ->
           props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")))
       SqlTarget.refresh(spark, target)
@@ -594,7 +630,7 @@ case class GraftUnsetPropertiesCommand(target: SqlTarget,
       val txn = log.startTransaction()
       val md = txn.metadata
       txn.updateMetadata(md.copy(configuration = md.configuration -- keys))
-      txn.commit(Nil, "UNSET TBLPROPERTIES",
+      txn.commit(Nil, Op.UnsetTableProperties,
         operationParameters = Map("properties" -> keys.sorted.mkString(",")))
       SqlTarget.refresh(spark, target)
     } else SqlTarget.tableIdentifier(target) match {
@@ -795,7 +831,7 @@ case class GraftCreateTableCommand(
           partitionColumns = table.partitionColumnNames,
           configuration = table.properties,
           createdTime = Some(t.deltaLog.clock.nowMillis)))
-        txn.commit(Nil, "CREATE TABLE")
+        txn.commit(Nil, Op.CreateTable)
       } catch { case e: Throwable =>
         try catalog.dropTable(table.identifier, ignoreIfNotExists = true, purge = false)
         catch { case _: Exception => }

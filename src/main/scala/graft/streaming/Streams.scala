@@ -5,6 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.delta.Op
 import graft.queries.{GQ, QueryDefs}
 import QueryDefs._
 
@@ -268,7 +269,7 @@ object Streams {
         org.apache.spark.sql.types.StructField("last_us", org.apache.spark.sql.types.LongType)))
       val txn0 = t.deltaLog.startTransaction()
       txn0.updateMetadata(graft.delta.Metadata(schemaString = tgtSchema.json))
-      txn0.commit(Nil, "CREATE TABLE")
+      txn0.commit(Nil, Op.CreateTable)
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src.toString)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -56,6 +56,24 @@ class ChecksumSuite extends AnyFunSuite {
       "recomputed crc must match the aggregated state")
   }
 
+  test("a drifted crc heals at checkpoint time") {
+    val t = DeltaTable.forPath(spark, tmp())
+    t.write(seed(0, 5).coalesce(1), SaveMode.Append)       // v0
+    // re-add an already-active path: incremental arithmetic counts it as
+    // a new file (numFiles drifts +1) because adds are assumed fresh
+    val existing = t.snapshot.allFiles.head
+    val txn = t.deltaLog.startTransaction()
+    txn.commit(Seq(existing.copy(dataChange = false)), Op.ManualUpdate) // v1
+    val drifted = t.deltaLog.readChecksum(1L)
+    val exact = aggregated(DeltaTable.forPath(spark, t.deltaLog.dataPath.toString))
+    assert(drifted.exists(_ != exact), "fixture must actually drift the crc")
+    // checkpoint pays one full state aggregation — and heals the crc
+    val s = t.deltaLog.update()
+    t.deltaLog.checkpoint(s)
+    assert(t.deltaLog.readChecksum(1L).contains(exact),
+      "checkpoint must reconcile the drifted crc")
+  }
+
   test("commitLarge tallies the stream; DESCRIBE DETAIL reads the crc") {
     val t = DeltaTable.forPath(spark, tmp())
     t.write(seed(0, 6).coalesce(1), SaveMode.Append)       // v0

@@ -437,9 +437,9 @@ class DeltaSuite extends AnyFunSuite {
     val h = t.history()
     assert(h.size == 3)
     assert(h.head.version.contains(2L))
-    assert(h.map(_.operation) == Seq("DELETE", "WRITE.Append", "WRITE.Append"))
+    assert(h.map(_.operation) == Seq("DELETE", "WRITE", "WRITE"))
     val ci = t.deltaLog.commitInfoAt(1L).get
-    assert(ci.operation == "WRITE.Append" && ci.version.contains(1L))
+    assert(ci.operation == "WRITE" && ci.version.contains(1L))
     intercept[Exception] { t.deltaLog.commitInfoAt(9L) }
 
     val ch = t.changes(1L).toSeq
@@ -947,7 +947,7 @@ class DeltaSuite extends AnyFunSuite {
     val t = DeltaTable.forPath(spark, dir)
     t.write(sampleDF, SaveMode.Append, Seq("part"))
     val ci = t.history(1).head
-    assert(ci.operation == "WRITE.Append")
+    assert(ci.operation == "WRITE" && ci.operationParameters.get("mode").contains("Append"))
     assert(ci.operationParameters("mode") == "Append")
     assert(ci.operationParameters("partitionBy") == "part")
     assert(ci.operationMetrics("numAddedFiles").toInt == t.snapshot.allFiles.size)
@@ -993,7 +993,7 @@ class DeltaSuite extends AnyFunSuite {
       t.write(sampleDF.filter(col("id") <= 2), SaveMode.Overwrite)
       assert(t.toDF.count() == 2)
       val ci = t.history(1).head
-      assert(ci.operation == "WRITE.Overwrite")
+      assert(ci.operation == "WRITE" && ci.operationParameters.get("mode").contains("Overwrite"))
       assert(ci.operationMetrics("numRemovedFiles").toLong > 2)
       assert(ci.isBlindAppend.contains(false))
       // subsequent normal commits still work on top of a streamed commit

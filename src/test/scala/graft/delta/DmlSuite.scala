@@ -304,12 +304,15 @@ class DmlSuite extends AnyFunSuite {
     t.write(repl, SaveMode.Overwrite, replaceWhere = Some(col("score") >= 40))
     val rows = t.toDF.select($"id", $"score").as[(Long, Int)].collect().toMap
     assert(rows == Map(1L -> 10, 2L -> 20, 3L -> 30, 40L -> 44))
-    // a row OUTSIDE the declared region must be rejected before commit
+    // a row OUTSIDE the declared region must be rejected INSIDE the
+    // write job (raise_error guard), before anything commits
     val v = t.deltaLog.update().version
     val bad = Seq((99L, "bad", 1, "x")).toDF("id", "name", "score", "part")
-    intercept[IllegalArgumentException] {
+    val ex = intercept[Exception] {
       t.write(bad, SaveMode.Overwrite, replaceWhere = Some(col("score") >= 40))
     }
+    assert(ex.isInstanceOf[ConstraintViolationException] ||
+      Constraints.unwrap(ex).isDefined, s"unexpected failure: $ex")
     assert(t.deltaLog.update().version == v)
     // and replaceWhere demands Overwrite mode
     intercept[IllegalArgumentException] {

@@ -157,6 +157,35 @@ class SqlSurfaceSuite extends AnyFunSuite {
     assert(spark.read.format("graft-delta").load(dir).count() == 1)
   }
 
+  test("TRUNCATE TABLE is a metadata-only remove-all commit, CDF-visible") {
+    import spark.implicits._
+    val dir = tmp()
+    seed().write.format("graft-delta").save(dir)
+    val t = DeltaTable.forPath(spark, dir)
+    val filesBefore = t.snapshot.allFiles.map(_.path)
+    val v = spark.sql(s"TRUNCATE TABLE graft.`$dir`").collect().head.getLong(0)
+    assert(spark.read.format("graft-delta").load(dir).count() == 0)
+    // metadata-only: the data files are tombstoned, not physically deleted
+    filesBefore.foreach { p =>
+      assert(new java.io.File(dir, p).exists(), s"$p must survive on disk")
+    }
+    // DESCRIBE HISTORY names the operation from the typed enum
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$dir` LIMIT 1").collect()
+    assert(hist.head.getString(2) == "TRUNCATE")
+    // time travel before the truncate still reads the old rows
+    assert(t.toDF(v - 1).count() == 5)
+    // CDF surfaces the truncation as row-level deletes
+    val changes = t.tableChanges(v, v)
+      .select($"_change_type", $"id").as[(String, Long)].collect()
+    assert(changes.length == 5 && changes.forall(_._1 == "delete"))
+    assert(changes.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // vanilla TRUNCATE on a non-graft catalog table still reaches Spark
+    freshTable("t_plain_trunc")
+    seed().write.saveAsTable("t_plain_trunc")
+    spark.sql("TRUNCATE TABLE t_plain_trunc")
+    assert(spark.table("t_plain_trunc").count() == 0)
+  }
+
   test("maintenance SQL resolves catalog table names too") {
     freshTable("t_maint")
     seed().write.format("graft-delta").saveAsTable("t_maint")
@@ -179,7 +208,7 @@ class SqlSurfaceSuite extends AnyFunSuite {
     val cfg = t.deltaLog.update().metadata.configuration
     assert(cfg("delta.enableDeletionVectors") == "true")
     assert(cfg("delta.clusteringColumns") == "id")
-    assert(t.history(1).head.operation == "SET TBLPROPERTIES")
+    assert(t.history(1).head.operation == "SET_TABLE_PROPERTIES")
     // SHOW reads the log, sorted; single-key form filters
     val shown = spark.sql(s"SHOW TBLPROPERTIES graft.`$dir`")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
@@ -224,7 +253,7 @@ class SqlSurfaceSuite extends AnyFunSuite {
     assert(t.deltaLog.update().metadata.schema.fieldNames.toSeq ==
       Seq("id", "score", "tag", "w"))
     assert(t.toDF.select("tag").collect().forall(_.isNullAt(0)))
-    assert(t.history(1).head.operation == "ADD COLUMNS")
+    assert(t.history(1).head.operation == "ADD_COLUMNS")
     // CHECK constraint: validated against existing rows, enforced on write
     spark.sql(s"ALTER TABLE graft.`$dir` ADD CONSTRAINT pos CHECK (score > 0)")
     assert(t.constraints == Map("pos" -> "score > 0"))
@@ -350,7 +379,7 @@ class SqlSurfaceSuite extends AnyFunSuite {
     assert(md.configuration.get("delta.checkpointInterval").contains("5"))
     spark.sql("INSERT INTO t_ddl VALUES (1, 'alice', 10, 'x'), (2, 'bob', 20, 'y')")
     assert(spark.table("t_ddl").count() == 2)
-    assert(t.history().exists(_.operation == "CREATE TABLE"))
+    assert(t.history().exists(_.operation == "CREATE_TABLE"))
     // IF NOT EXISTS is a no-op, plain re-create fails
     spark.sql("CREATE TABLE IF NOT EXISTS t_ddl (id BIGINT) USING `graft-delta`")
     assert(spark.table("t_ddl").count() == 2)
