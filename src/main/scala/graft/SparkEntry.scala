@@ -7,11 +7,23 @@ import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextOps}
 /** Driver contract — see /root/repo/SURVEY.md §2/§7. */
 object SparkEntry {
 
+  /** Headline additions beyond the per-file `bench = true` flags: the
+    * Delta DML/DV/checkpoint/incremental paths, one stream drain, the
+    * dedup clustering loop and the trained-ANN loop — so a perf
+    * regression in the transaction/streaming layer shows up in
+    * BENCH_r{N}, not only in correctness.
+    */
+  private val extraBench = Set(
+    "delta_merge", "delta_dv_update", "delta_checkpoint_v2",
+    "delta_incremental_agg", "stream_window_agg", "dedup_cluster",
+    "ann_ivf_trained")
+
   /** Every implemented operator, in SURVEY §2 order. */
   def registry: Seq[GQ] =
-    Relational.queries ++ TextOps.queries ++ Corpus.queries ++ Dedup.queries ++
+    (Relational.queries ++ TextOps.queries ++ Corpus.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ graft.delta.DeltaQueries.queries ++
-      graft.streaming.Streams.queries
+      graft.streaming.Streams.queries)
+      .map(q => if (extraBench(q.name)) q.copy(bench = true) else q)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
