@@ -24,7 +24,7 @@ object DeltaQueries {
 
   private def fixture(s: SparkSession, d: String, kind: String)(build: String => Unit): String =
     fixtures.getOrElseUpdate((d, kind), {
-      val dir = Files.createTempDirectory(s"graft-delta-$kind").toString
+      val dir = QueryDefs.scratchDir(s"graft-delta-$kind").toString
       build(dir)
       dir
     })

@@ -71,6 +71,63 @@ object Similarity {
   private[llm] val dedupPlanes: Seq[Seq[Double]] =
     signVectors("dp", DedupBands * DedupRows)
 
+  /** Exact per-cell centroid means via 1e6-scaled integer sums (identical
+    * arithmetic in the oracle's meansSql): sums are exact + associative, so
+    * distributed training is aggregation-order-independent — the property
+    * that makes k-means reproducible at 100 TB. Driver-side result is
+    * cells × Dim doubles, metadata-sized.
+    */
+  private def centroidsOf(s: SparkSession, assigned: DataFrame): Seq[(Int, Seq[Double])] = {
+    import s.implicits._
+    assigned.select($"cell",
+        posexplode(transform($"e", x => round(x * lit(1000000.0)).cast("long")))
+          .as(Seq("dim", "sx")))
+      .groupBy($"cell", $"dim").agg(sum($"sx").as("ssum"), count(lit(1)).as("n"))
+      .withColumn("mean",
+        $"ssum".cast("double") / lit(1000000.0) / $"n".cast("double"))
+      .groupBy($"cell")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"mean"))),
+        x => x.getField("mean")).as("c"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+  }
+
+  /** Literal-plan assignment to the nearest trained centroid by
+    * argmin(c·c − 2 e·c); ties break to the lowest cell id
+    * (first-position semantics over ascending cell ids). The c·c fold runs
+    * left-to-right over dims, bit-matching the oracle's list_reduce.
+    */
+  private def assignByCentroids(v: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val cellIds = array(cents.map(c => lit(c._1)): _*)
+    val d2s = array(cents.map { case (_, c) =>
+      val cc = c.map(x => x * x).foldLeft(0.0)(_ + _)
+      lit(cc) - lit(2.0) * dotD(col("e"), array(c.map(lit): _*))
+    }: _*)
+    v.withColumn("cell",
+      element_at(cellIds, array_position(d2s, array_min(d2s)).cast("int")))
+  }
+
+  /** The TRAINED coarse quantizer: 2 exact Lloyd iterations seeded from
+    * the ±1 anchors. Shared by ann_ivf_trained / ann_ivf_probe /
+    * semantic_dedup so cell placement adapts to the corpus (and at scale
+    * cell COUNT grows with N) instead of staying pinned to fixed anchors.
+    */
+  private def trainLloyd2(s: SparkSession, v: DataFrame): Seq[(Int, Seq[Double])] = {
+    import s.implicits._
+    val dots = array(anchors.map(a => dotD($"e", array(a.map(lit): _*))): _*)
+    val a0 = v.withColumn("cell",
+      array_position(dots, array_max(dots)).cast("int"))
+    val c1 = centroidsOf(s, a0)
+    centroidsOf(s, assignByCentroids(v, c1))
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   private def normed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     table(s, d, "embeddings")
@@ -85,6 +142,39 @@ object Similarity {
   private val duckNormed =
     s"""SELECT vec_id, label, e, sqrt(${duckDot("e", "e")}) AS nrm
         FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"""
+
+  private def anchorDotsSql: String =
+    anchors.map(a => duckDot("e", a.mkString("[", ", ", "]"))).mkString("[", ", ", "]")
+
+  // trained-quantizer SQL, mirroring trainLloyd2/assignByCentroids exactly:
+  // one Lloyd step = means of `prev` assignments (1e6-scaled integer sums),
+  // then re-assignment by argmin(c·c − 2 e·c) with ties to the lowest cell
+  private def meansSql(prev: String) = s"""
+        SELECT cell, list(CAST(ssum AS DOUBLE)/1000000.0/CAST(n AS DOUBLE) ORDER BY dim) AS c
+        FROM (SELECT cell, dim, CAST(SUM(sx) AS BIGINT) AS ssum, COUNT(*) AS n
+              FROM (SELECT cell, u.i - 1 AS dim, CAST(round(e[u.i]*1000000.0) AS BIGINT) AS sx
+                    FROM $prev, (SELECT unnest(generate_series(1, $Dim)) AS i) u)
+              GROUP BY 1, 2)
+        GROUP BY cell"""
+  private def assignSql(cents: String) = s"""
+        SELECT vec_id, e, nrm, cell FROM (
+          SELECT v.vec_id, v.e, v.nrm, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              ${duckDot("c.c", "c.c")} - 2*${duckDot("v.e", "c.c")}, c.cell) AS rn
+          FROM n v, $cents c)
+        WHERE rn = 1"""
+
+  /** CTE chain a0 → c1 → a1 → c2 → a2 over an existing `n` (normed) CTE:
+    * c2 = trained centroids, a2 = trained assignment of every vector.
+    */
+  private def trainedCtes: String = s"""
+      a0 AS (SELECT vec_id, e, nrm,
+          CAST(list_position(dots, list_max(dots)) AS INTEGER) AS cell
+        FROM (SELECT vec_id, e, nrm, $anchorDotsSql AS dots FROM n)),
+      c1 AS (${meansSql("a0")}),
+      a1 AS (${assignSql("c1")}),
+      c2 AS (${meansSql("a1")}),
+      a2 AS (${assignSql("c2")})"""
 
   val queries: Seq[GQ] = Seq(
     // C5 ---------------------------------------------------------------
@@ -181,32 +271,42 @@ object Similarity {
     }),
 
     // C37 --------------------------------------------------------------
-    // Two-stage IVF SEARCH (the scale path ann_cosine_topk is the
-    // baseline for): each query probes its nearest 2 cells by anchor
-    // dot, exact cosine runs only inside the probed cells, bounded
-    // top-K aggregate returns the results. At corpus scale the probe
-    // touches ~2/8 of the vectors instead of all of them, and the
-    // candidate join is cell-partitioned — no all-pairs stage anywhere.
-    // Second-best cell via argmax-then-mask (identical integer/IEEE
-    // steps on both engines; ties break to the lower cell id by
-    // first-position semantics).
+    // Two-stage IVF SEARCH over the TRAINED quantizer (round 10: was the
+    // fixed ±1 anchors; now the same 2-Lloyd-iteration centroids as
+    // ann_ivf_trained, so cell placement — and at scale, cell count —
+    // follows the corpus). Each query probes its nearest 2 cells by
+    // argmin(c·c − 2 e·c); exact cosine runs only inside the probed
+    // cells; a bounded top-K aggregate returns the results. At corpus
+    // scale the probe touches ~nprobe/C of the vectors and the candidate
+    // join is cell-partitioned — no all-pairs stage anywhere.
+    // Second-best cell via argmin-then-mask (identical IEEE steps both
+    // engines; ties break to the lower cell id by first-position
+    // semantics, matching the oracle's ROW_NUMBER (d2, cell) order).
     GQ("ann_ivf_probe", (s, d) => {
       import s.implicits._
-      val v = normed(s, d)
-      val dotsCol = array(anchors.map(a => dotD($"e", array(a.map(lit): _*))): _*)
-      val withCell = v.withColumn("cell",
-        array_position(dotsCol, array_max(dotsCol)).cast("int"))
-      val q = withCell.filter($"vec_id" < NumQueries)
-        .withColumn("dots", dotsCol)
-        .withColumn("best", array_position($"dots", array_max($"dots")).cast("int"))
+      val v = normed(s, d).persist()
+      val cents = trainLloyd2(s, v)
+      val cellIds = array(cents.map(c => lit(c._1)): _*)
+      val d2s = array(cents.map { case (_, c) =>
+        val cc = c.map(x => x * x).foldLeft(0.0)(_ + _)
+        lit(cc) - lit(2.0) * dotD($"e", array(c.map(lit): _*))
+      }: _*)
+      // eager localCheckpoint: both join sides consume the assignment;
+      // without it the d2 scan would run twice
+      val assigned = v.withColumn("d2s", d2s)
+        .withColumn("best", array_position($"d2s", array_min($"d2s")).cast("int"))
+        .withColumn("cell", element_at(cellIds, $"best"))
+        .localCheckpoint()
+      v.unpersist()
+      val q = assigned.filter($"vec_id" < NumQueries)
         .withColumn("masked",
-          zip_with($"dots", sequence(lit(1), lit(NumCells)),
-            (x, i) => when(i === $"best", lit(-1e9)).otherwise(x)))
+          zip_with($"d2s", sequence(lit(1), lit(cents.size)),
+            (x, i) => when(i === $"best", lit(1e18)).otherwise(x)))
         .withColumn("second",
-          array_position($"masked", array_max($"masked")).cast("int"))
+          element_at(cellIds, array_position($"masked", array_min($"masked")).cast("int")))
         .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"),
-          explode(array($"best", $"second")).as("cell"))
-      val c = withCell.select($"vec_id".as("c_id"), $"e".as("ce"),
+          explode(array($"cell", $"second")).as("cell"))
+      val c = assigned.select($"vec_id".as("c_id"), $"e".as("ce"),
         $"nrm".as("cn"), $"cell")
       c.join(broadcast(q), Seq("cell")).filter($"c_id" =!= $"q_id")
         .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn"))
@@ -216,28 +316,24 @@ object Similarity {
         .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
           $"col.id".as("c_id"), $"col.score".as("cosine"))
         .orderBy($"q_id", $"rank")
-    }, {
-      val dotsSql = anchors.map(a => duckDot("e", a.mkString("[", ", ", "]")))
-        .mkString("[", ", ", "]")
-      Some(s"""
+    }, Some(s"""
       WITH n AS ($duckNormed),
-      b AS (SELECT vec_id, e, nrm, dots,
-          CAST(list_position(dots, list_max(dots)) AS INTEGER) AS cell
-        FROM (SELECT vec_id, e, nrm, $dotsSql AS dots FROM n)),
-      q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, unnest([cell, second]) AS cell
-        FROM (SELECT *, CAST(list_position(masked, list_max(masked)) AS INTEGER) AS second
-          FROM (SELECT *, list_transform(dots,
-              (x, i) -> CASE WHEN i = cell THEN -1e9 ELSE x END) AS masked
-            FROM b WHERE vec_id < $NumQueries))),
+      $trainedCtes,
+      q AS (SELECT vec_id AS q_id, qe, qn, cell FROM (
+          SELECT v.vec_id, v.e AS qe, v.nrm AS qn, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              ${duckDot("c.c", "c.c")} - 2*${duckDot("v.e", "c.c")}, c.cell) AS rn
+          FROM n v, c2 c
+          WHERE v.vec_id < $NumQueries)
+        WHERE rn <= 2),
       scored AS (SELECT q.q_id, c.vec_id AS c_id,
           ${duckDot("q.qe", "c.e")} / (q.qn * c.nrm) AS cosine
-        FROM q JOIN b c ON q.cell = c.cell AND c.vec_id != q.q_id)
+        FROM q JOIN a2 c ON q.cell = c.cell AND c.vec_id != q.q_id)
       SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, cosine FROM (
         SELECT q_id, c_id, cosine,
           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
         FROM scored)
-      WHERE rn <= $K ORDER BY q_id, rank""")
-    }),
+      WHERE rn <= $K ORDER BY q_id, rank""")),
 
     // C12 --------------------------------------------------------------
     // Embedding near-duplicate pairs. Round 1 blocked on `label` and
@@ -489,44 +585,14 @@ object Similarity {
     // is a broadcast of K×Dim doubles plus cell-keyed joins.
     GQ("ann_ivf_trained", (s, d) => {
       import s.implicits._
-      val v = normed(s, d)
-
-      // exact per-cell centroid means via integer-scaled sums (the same
-      // arithmetic as ivf_train, mirrored in the oracle SQL)
-      def centroidsOf(assigned: DataFrame): Seq[(Int, Seq[Double])] =
-        assigned.select($"cell",
-            posexplode(transform($"e", x => round(x * lit(1000000.0)).cast("long")))
-              .as(Seq("dim", "sx")))
-          .groupBy($"cell", $"dim").agg(sum($"sx").as("ssum"), count(lit(1)).as("n"))
-          .withColumn("mean",
-            $"ssum".cast("double") / lit(1000000.0) / $"n".cast("double"))
-          .groupBy($"cell")
-          .agg(transform(array_sort(collect_list(struct($"dim", $"mean"))),
-            x => x.getField("mean")).as("c"))
-          .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
-
-      // assignment against collected (tiny: cells × Dim doubles) centroids
-      // during TRAINING only; ties break to the lowest cell id
-      def assignLit(cents: Seq[(Int, Seq[Double])]): DataFrame = {
-        val cellIds = array(cents.map(c => lit(c._1)): _*)
-        val d2s = array(cents.map { case (_, c) =>
-          val cc = c.map(x => x * x).foldLeft(0.0)(_ + _)
-          lit(cc) - lit(2.0) * dotD($"e", array(c.map(lit): _*))
-        }: _*)
-        v.withColumn("cell",
-          element_at(cellIds, array_position(d2s, array_min(d2s)).cast("int")))
-      }
-
-      // iteration 0: argmax-dot against the equal-norm ±1 anchors
-      val dots = array(anchors.map(a => dotD($"e", array(a.map(lit): _*))): _*)
-      val a0 = v.withColumn("cell",
-        array_position(dots, array_max(dots)).cast("int"))
-      val c1 = centroidsOf(a0)
-      val c2 = centroidsOf(assignLit(c1))
+      // the 2 training passes + the final assignment all rescan the
+      // vectors: persist once so they read cached blocks, not parquet
+      val v = normed(s, d).persist()
+      val c2 = trainLloyd2(s, v)
 
       // persist the trained quantizer; the search below reads it back
-      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-centroids").toString
-      val centTable = graft.delta.DeltaTable.forPath(s, dir)
+      val dir = QueryDefs.scratchDir("graft-ivf-centroids")
+      val centTable = graft.delta.DeltaTable.forPath(s, dir.toString)
       centTable.write(c2.toDF("cell", "c"))
       val cents = centTable.toDF
         .withColumn("cc", dotD($"c", $"c"))
@@ -536,6 +602,14 @@ object Similarity {
         .groupBy($"vec_id")
         .agg(min_by(struct($"cell", $"e", $"nrm"), struct($"d2", $"cell")).as("m"))
         .select($"vec_id", $"m.cell".as("cell"), $"m.e".as("e"), $"m.nrm".as("nrm"))
+        // eager localCheckpoint: q and c below both consume `assigned`;
+        // without it the broadcast-join + min_by lineage runs once per
+        // side — at corpus scale that is a redundant full vector read
+        .localCheckpoint()
+      v.unpersist()
+      // lineage is cut, so the temp centroid fixture can go now instead
+      // of accumulating one directory per bench execution
+      deleteTree(dir)
       val q = assigned.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"), $"cell")
       val c = assigned.select($"vec_id".as("c_id"), $"e".as("ce"),
@@ -548,34 +622,9 @@ object Similarity {
         .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
           $"col.id".as("c_id"), $"col.score".as("cosine"))
         .orderBy($"q_id", $"rank")
-    }, {
-      val dotsSql = anchors.map(a => duckDot("e", a.mkString("[", ", ", "]")))
-        .mkString("[", ", ", "]")
-      // one Lloyd step: means of `prev` assignments, then re-assignment
-      // by argmin(c·c - 2 e·c) with ties to the lowest cell id
-      def meansSql(prev: String) = s"""
-        SELECT cell, list(CAST(ssum AS DOUBLE)/1000000.0/CAST(n AS DOUBLE) ORDER BY dim) AS c
-        FROM (SELECT cell, dim, CAST(SUM(sx) AS BIGINT) AS ssum, COUNT(*) AS n
-              FROM (SELECT cell, u.i - 1 AS dim, CAST(round(e[u.i]*1000000.0) AS BIGINT) AS sx
-                    FROM $prev, (SELECT unnest(generate_series(1, $Dim)) AS i) u)
-              GROUP BY 1, 2)
-        GROUP BY cell"""
-      def assignSql(cents: String) = s"""
-        SELECT vec_id, e, nrm, cell FROM (
-          SELECT v.vec_id, v.e, v.nrm, c.cell,
-            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-              ${duckDot("c.c", "c.c")} - 2*${duckDot("v.e", "c.c")}, c.cell) AS rn
-          FROM n v, $cents c)
-        WHERE rn = 1"""
-      Some(s"""
+    }, Some(s"""
       WITH n AS ($duckNormed),
-      a0 AS (SELECT vec_id, e, nrm,
-          CAST(list_position(dots, list_max(dots)) AS INTEGER) AS cell
-        FROM (SELECT vec_id, e, nrm, $dotsSql AS dots FROM n)),
-      c1 AS (${meansSql("a0")}),
-      a1 AS (${assignSql("c1")}),
-      c2 AS (${meansSql("a1")}),
-      a2 AS (${assignSql("c2")}),
+      $trainedCtes,
       q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell
             FROM a2 WHERE vec_id < $NumQueries),
       scored AS (SELECT q.q_id, c.vec_id AS c_id,
@@ -585,26 +634,30 @@ object Similarity {
         SELECT q_id, c_id, cosine,
           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
         FROM scored)
-      WHERE rn <= $K ORDER BY q_id, rank""")
-    }),
+      WHERE rn <= $K ORDER BY q_id, rank""")),
 
     // C38 ---------------------------------------------------------------
-    // Semantic deduplication (SemDeDup, Abbas et al. 2023): embeddings
-    // cluster into IVF cells (same coarse quantizer as ann_ivf_cells);
-    // a vector is dropped when ANOTHER vector in its cell sits above the
+    // Semantic deduplication (SemDeDup, Abbas et al. 2023) over the
+    // TRAINED quantizer (round 10: was the fixed ±1 anchors; now the same
+    // 2-Lloyd-iteration centroids as ann_ivf_trained — the whole point of
+    // a trainable quantizer is that C grows with N, keeping the
+    // within-cell O((N/C)²) blocks bounded as the corpus scales).
+    // A vector is dropped when ANOTHER vector in its cell sits above the
     // cosine threshold with a smaller id (deterministic keep-lowest-id
     // survivor). Pairwise cosine runs ONLY within a cell — the join is
-    // cell-keyed, O((N/C)^2 x C) work sharded across cells, never an
-    // all-pairs stage; at corpus scale C grows with N (k-means via
-    // ivf_train) so per-cell blocks stay bounded. Output: dropped ids
-    // with their best (highest-cosine, then lowest-id) earlier match.
+    // cell-keyed, O((N/C)² × C) work sharded across cells, never an
+    // all-pairs stage. Output: dropped ids with their best
+    // (highest-cosine, then lowest-id) earlier match.
     GQ("semantic_dedup", (s, d) => {
       import s.implicits._
-      val v = normed(s, d)
-      val dots = array(anchors.map(a => dotD($"e", array(a.map(lit): _*))): _*)
-      val withCell = v
-        .withColumn("cell", array_position(dots, array_max(dots)).cast("int"))
+      val v = normed(s, d).persist()
+      val cents = trainLloyd2(s, v)
+      // eager localCheckpoint: both sides of the pairwise join consume
+      // the assignment; without it the d2 scan runs twice
+      val withCell = assignByCentroids(v, cents)
         .select($"vec_id", $"e", $"nrm", $"cell")
+        .localCheckpoint()
+      v.unpersist()
       val a = withCell.select($"cell", $"vec_id", $"e".as("ae"), $"nrm".as("an"))
       val b = withCell.select($"cell", $"vec_id".as("b_id"), $"e".as("be"), $"nrm".as("bn"))
       a.join(b, Seq("cell")).filter($"b_id" < $"vec_id")
@@ -618,22 +671,114 @@ object Similarity {
           struct($"cosine", -$"b_id")).as("m"))
         .select($"vec_id", $"cell", $"m.b_id".as("dup_of"), $"m.cosine".as("cosine"))
         .orderBy($"vec_id")
-    }, {
-      val dotsSql = anchors.map(a => duckDot("e", a.mkString("[", ", ", "]")))
-        .mkString("[", ", ", "]")
-      Some(s"""
+    }, Some(s"""
       WITH n AS ($duckNormed),
-      b AS (SELECT vec_id, e, nrm,
-        CAST(list_position(dots, list_max(dots)) AS INTEGER) AS cell
-        FROM (SELECT vec_id, e, nrm, $dotsSql AS dots FROM n)),
+      $trainedCtes,
       p AS (SELECT a.vec_id, a.cell, c.vec_id AS dup_of,
           ${duckDot("a.e", "c.e")} / (a.nrm * c.nrm) AS cosine
-        FROM b a JOIN b c ON a.cell = c.cell AND c.vec_id < a.vec_id)
+        FROM a2 a JOIN a2 c ON a.cell = c.cell AND c.vec_id < a.vec_id)
       SELECT vec_id, cell, dup_of, cosine FROM (
         SELECT *, ROW_NUMBER() OVER (
           PARTITION BY vec_id ORDER BY cosine DESC, dup_of) AS rn
         FROM p WHERE cosine > $SemDedupTau)
-      WHERE rn = 1 ORDER BY vec_id""")
+      WHERE rn = 1 ORDER BY vec_id""")),
+
+    // C40 ---------------------------------------------------------------
+    // IVF-PQ SEARCH with asymmetric distance computation (ADC) — the
+    // search path that makes PQ codes (C34) useful. Inside the probed
+    // cells a corpus vector is represented ONLY by its 4-byte PQ code;
+    // each query precomputes a 4×8 table of subspace dot products
+    // against the codebooks, so a candidate's approximate score is 4
+    // table lookups + 3 adds instead of 64-dim arithmetic per pair.
+    // The ADC shortlist (top 3K per query, bounded partial aggregate)
+    // is then re-ranked by exact cosine on the raw vectors — touching
+    // 3K rows per query, not the whole cell. Deterministic end to end:
+    // integer code arithmetic, fixed-order IEEE folds, ties to the
+    // lowest id at both ranking stages.
+    GQ("ann_ivf_pq", (s, d) => {
+      import s.implicits._
+      val v = normed(s, d)
+      val dotsCol = array(anchors.map(a => dotD($"e", array(a.map(lit): _*))): _*)
+      val withCell = v.withColumn("cell",
+        array_position(dotsCol, array_max(dotsCol)).cast("int"))
+      val codes = array((0 until PqM).map { m =>
+        val sub = slice($"e", m * PqSub + 1, PqSub)
+        val dots = array(pqBooks(m).map(cb => dotD(sub, array(cb.map(lit): _*))): _*)
+        (array_position(dots, array_max(dots)) - 1).cast("int")
+      }: _*)
+      val corpus = withCell.select($"vec_id".as("c_id"), $"cell", codes.as("code"))
+      val qtab = array((0 until PqM).map { m =>
+        val sub = slice($"e", m * PqSub + 1, PqSub)
+        array(pqBooks(m).map(cb => dotD(sub, array(cb.map(lit): _*))): _*)
+      }: _*)
+      val q = withCell.filter($"vec_id" < NumQueries)
+        .withColumn("dots", dotsCol)
+        .withColumn("best", array_position($"dots", array_max($"dots")).cast("int"))
+        .withColumn("masked",
+          zip_with($"dots", sequence(lit(1), lit(NumCells)),
+            (x, i) => when(i === $"best", lit(-1e18)).otherwise(x)))
+        .withColumn("second",
+          array_position($"masked", array_max($"masked")).cast("int"))
+        .select($"vec_id".as("q_id"), qtab.as("qtab"),
+          explode(array($"best", $"second")).as("cell"))
+      val adcCol = (0 until PqM).map { m =>
+        element_at(element_at($"qtab", m + 1), element_at($"code", m + 1) + 1)
+      }.reduce(_ + _)
+      val short = corpus.join(broadcast(q), Seq("cell")).filter($"c_id" =!= $"q_id")
+        .withColumn("adc", adcCol)
+        .groupBy($"q_id")
+        .agg(graft.functions.TopKExpressions.topKByScore($"adc", $"c_id", 3 * K).as("top"))
+        .select($"q_id", explode($"top.id").as("c_id"))
+      val cside = v.select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"))
+      val qside = v.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"))
+      short.join(cside, Seq("c_id")).join(broadcast(qside), Seq("q_id"))
+        .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn"))
+        .groupBy($"q_id")
+        .agg(graft.functions.TopKExpressions.topKByScore($"cosine", $"c_id", K).as("top"))
+        .select($"q_id", posexplode($"top"))
+        .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+          $"col.id".as("c_id"), $"col.score".as("cosine"))
+        .orderBy($"q_id", $"rank")
+    }, {
+      val subDotLists = (0 until PqM).map { m =>
+        val off = m * PqSub
+        pqBooks(m).map { cb =>
+          val cl = cb.mkString("[", ", ", "]")
+          s"list_reduce(list_transform(generate_series(1, $PqSub), i -> e[$off + i]*($cl)[i]), (x, y) -> x + y)"
+        }.mkString("[", ", ", "]")
+      }.mkString("[", ", ", "]")
+      val adcSql = (1 to PqM)
+        .map(m => s"q.qtab[$m][c.code[$m] + 1]").mkString(" + ")
+      Some(s"""
+      WITH n AS ($duckNormed),
+      b AS (SELECT vec_id, e, nrm, dots,
+          CAST(list_position(dots, list_max(dots)) AS INTEGER) AS cell
+        FROM (SELECT vec_id, e, nrm, $anchorDotsSql AS dots FROM n)),
+      enc AS (SELECT vec_id AS c_id, cell,
+          list_transform($subDotLists, ds -> list_position(ds, list_max(ds)) - 1) AS code
+        FROM b),
+      q AS (SELECT vec_id AS q_id, $subDotLists AS qtab,
+          unnest([cell, second]) AS cell
+        FROM (SELECT *, CAST(list_position(masked, list_max(masked)) AS INTEGER) AS second
+          FROM (SELECT *, list_transform(dots,
+              (x, i) -> CASE WHEN i = cell THEN -1e18 ELSE x END) AS masked
+            FROM b WHERE vec_id < $NumQueries))),
+      adc AS (SELECT q.q_id, c.c_id, $adcSql AS adc
+        FROM q JOIN enc c ON q.cell = c.cell AND c.c_id != q.q_id),
+      short AS (SELECT q_id, c_id FROM (
+          SELECT q_id, c_id,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS rn
+          FROM adc)
+        WHERE rn <= ${3 * K}),
+      rer AS (SELECT s.q_id, s.c_id,
+          ${duckDot("qv.e", "cv.e")} / (qv.nrm * cv.nrm) AS cosine
+        FROM short s JOIN n qv ON qv.vec_id = s.q_id JOIN n cv ON cv.vec_id = s.c_id)
+      SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, cosine FROM (
+        SELECT q_id, c_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        FROM rer)
+      WHERE rn <= $K ORDER BY q_id, rank""")
     })
   )
 }

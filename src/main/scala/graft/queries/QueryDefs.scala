@@ -72,4 +72,18 @@ object QueryDefs {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def toDoubleArr(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Scratch dir for the harness's temporary Delta tables. Honors
+    * SPARK_GRAFT_TMP_ROOT so a cluster run can point every temp table at a
+    * filesystem the executors share (a driver-local java.io.tmpdir path is
+    * only valid in local mode); default behavior is unchanged.
+    */
+  def scratchDir(prefix: String): java.nio.file.Path =
+    sys.env.get("SPARK_GRAFT_TMP_ROOT") match {
+      case Some(root) =>
+        val p = java.nio.file.Paths.get(root)
+        java.nio.file.Files.createDirectories(p)
+        java.nio.file.Files.createTempDirectory(p, prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }
 }

@@ -23,7 +23,7 @@ object Streams {
 
   /** Copy the events parquet into a fresh dir usable as a file source. */
   private def eventsSourceDir(d: String): String = {
-    val src = Files.createTempDirectory("graft-stream-src")
+    val src = QueryDefs.scratchDir("graft-stream-src")
     Files.copy(Paths.get(s"$d/events.parquet"),
       src.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     src.toString
@@ -249,10 +249,10 @@ object Streams {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$d/events.parquet").schema
       // two-file source dir -> two micro-batches with maxFilesPerTrigger=1
-      val src = Files.createTempDirectory("graft-upsert-src")
+      val src = QueryDefs.scratchDir("graft-upsert-src")
       val raw = s.read.schema(schema).parquet(s"$d/events.parquet")
       Seq(0, 1).foreach { h =>
-        val part = Files.createTempDirectory(s"graft-upsert-part$h")
+        val part = QueryDefs.scratchDir(s"graft-upsert-part$h")
         raw.filter(pmod($"event_id", lit(2)) === h).coalesce(1)
           .write.mode("overwrite").parquet(part.toString)
         val f = Files.list(part).filter(p => p.toString.endsWith(".parquet"))
@@ -260,7 +260,7 @@ object Streams {
         Files.move(f, src.resolve(s"half$h.parquet"))
       }
       // target table (v0: schema only)
-      val dir = Files.createTempDirectory("graft-upsert-tgt").toString
+      val dir = QueryDefs.scratchDir("graft-upsert-tgt").toString
       val t = graft.delta.DeltaTable.forPath(s, dir)
       val tgtSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
