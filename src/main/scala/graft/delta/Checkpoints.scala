@@ -23,11 +23,15 @@ object FileNames {
   def absolutePath(dataPath: Path, child: String): Path =
     try {
       val uri = new java.net.URI(child)
-      // spec-legal ABSOLUTE URIs keep their query/fragment verbatim
-      // (e.g. s3://bucket/key?versionId=x) — only a RELATIVE child with
-      // '#' or '?' is a raw pre-spec path that merely PARSES as a URI
-      // (fragment / query would silently drop the tail) and falls back
-      // to literal resolution
+      // spec-legal ABSOLUTE URIs resolve as URIs (e.g.
+      // s3://bucket/key?versionId=x). NOTE Hadoop Path preserves the
+      // query/fragment only through Path.toUri — any Path.toString
+      // stringification drops the query component (delta-spark shares
+      // this quirk); callers that need a byte-exact round-trip of a
+      // query-bearing path must carry the original string. Only a
+      // RELATIVE child with '#' or '?' is a raw pre-spec path that
+      // merely PARSES as a URI (fragment / query would silently drop
+      // the tail) and falls back to literal resolution
       if (uri.isAbsolute) new Path(uri)
       else if (uri.getFragment != null || uri.getQuery != null)
         new Path(dataPath, child)

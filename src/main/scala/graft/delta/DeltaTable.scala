@@ -153,7 +153,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     require(!domain.startsWith("delta."),
       s"domain '$domain' uses the reserved system prefix 'delta.'")
     val txn = deltaLog.startTransaction()
-    txn.commit(Seq(DomainMetadata(domain, configuration)), "SET DOMAIN METADATA",
+    txn.commit(Seq(DomainMetadata(domain, configuration)), Op.SetDomainMetadata,
       operationParameters = Map("domain" -> domain))
   }
 
@@ -318,9 +318,17 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           }
           val ins = insAll.filterNot(f => pairedPaths(f.path))
           val del = delAll.filterNot(f => pairedPaths(f.path))
+          // DV-carrying files can't take the plain-parquet bucket either:
+          // a removed file with a deletion vector (TRUNCATE, DELETE of an
+          // already-DV-masked file) only deletes its LIVE rows — the
+          // masked ids were reported as deletes by the commit that grew
+          // the DV — and symmetrically an added file with a DV only
+          // inserts live rows. readFilesDF applies the DV; per-version
+          // frames are fine because whole-file DV removes are rare.
           Seq((ins, "insert", insCat), (del, "delete", delCat)).foreach {
             case (fs, ct, cat) =>
-              if (fs.exists(f => new java.net.URI(f.path).isAbsolute))
+              if (fs.exists(f => new java.net.URI(f.path).isAbsolute ||
+                  DeletionVectors.descriptor(f).isDefined))
                 absFrames += readFilesDF(fs, endSnap.metadata)
                   .withColumn("_change_type", lit(ct))
                   .withColumn("_commit_version", lit(v))
@@ -872,27 +880,29 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       .where($"mtime" <= cutoff)
       .join(active, Seq("p"), "left_anti")
       .select($"p").as[String]
-    // exact count + bounded sample, never the full path set: each task
-    // returns (its delete count, ≤reportLimit local sample); the driver
-    // holds O(tasks × reportLimit) strings worst-case, trimmed below
-    val (deletedCount, deletedSample) =
-      if (dryRun) (candidates.count(), candidates.take(reportLimit).toSeq)
-      else {
-        val perTask = candidates.mapPartitions { it =>
-          val f = new Path(rootStr).getFileSystem(serConf.value)
-          var n = 0L
-          val sample = Seq.newBuilder[String]
-          var sampled = 0
-          it.foreach { p =>
-            if (f.delete(new Path(p), false)) {
-              n += 1
-              if (sampled < reportLimit) { sample += p; sampled += 1 }
-            }
+    // exact count + bounded sample in ONE listing job, never the full
+    // path set: each task returns (its count, ≤reportLimit local sample);
+    // the driver holds O(tasks × reportLimit) strings worst-case, trimmed
+    // below. DRY RUN shares the shape minus the delete — running the
+    // recursive object-store listing twice (count then take) would double
+    // the most expensive part of a dry run on a large table.
+    val doDelete = !dryRun
+    val (deletedCount, deletedSample) = {
+      val perTask = candidates.mapPartitions { it =>
+        val f = if (doDelete) new Path(rootStr).getFileSystem(serConf.value) else null
+        var n = 0L
+        val sample = Seq.newBuilder[String]
+        var sampled = 0
+        it.foreach { p =>
+          if (!doDelete || f.delete(new Path(p), false)) {
+            n += 1
+            if (sampled < reportLimit) { sample += p; sampled += 1 }
           }
-          Iterator.single((n, sample.result()))
-        }.collect()
-        (perTask.map(_._1).sum, perTask.iterator.flatMap(_._2).take(reportLimit).toSeq)
-      }
+        }
+        Iterator.single((n, sample.result()))
+      }.collect()
+      (perTask.map(_._1).sum, perTask.iterator.flatMap(_._2).take(reportLimit).toSeq)
+    }
 
     // orphaned deletion-vector sidecars: compaction materializes DVs and
     // drops their descriptors, leaving the sidecar files behind. The

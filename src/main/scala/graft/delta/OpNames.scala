@@ -28,7 +28,10 @@ object Op {
   val UpgradeSchema = "UPGRADE_SCHEMA"
   val ManualUpdate = "MANUAL_UPDATE"
 
-  // engine-side surface beyond the reference enum
+  // engine-side surface beyond the reference enum. These follow
+  // delta-spark's space-separated vocabulary (RENAME COLUMN etc.) since
+  // that is the engine layer delta-go leaves unspecified; the reference
+  // enum above keeps its underscore style verbatim.
   val Optimize = "OPTIMIZE"
   val Reorg = "REORG"
   val Restore = "RESTORE"
@@ -37,12 +40,29 @@ object Op {
   val DropColumn = "DROP COLUMN"
   val AddConstraint = "ADD CONSTRAINT"
   val DropConstraint = "DROP CONSTRAINT"
+  val SetDomainMetadata = "SET DOMAIN METADATA"
 
-  /** The closed vocabulary; commit paths can validate against it. */
+  /** The closed vocabulary. `OptimisticTransaction.commit` warns (once
+    * per name per JVM) when a commit uses a name outside it, so drift
+    * back to free-form strings is visible without breaking user code
+    * that deliberately stamps a custom provenance label.
+    */
   val all: Set[String] = Set(
     Write, StreamingUpdate, Delete, Truncate, Convert, Merge, Update,
     CreateTable, ReplaceTable, SetTableProperties, UnsetTableProperties,
     AddColumns, ChangeColumn, ReplaceColumns, UpgradeProtocol,
     UpgradeSchema, ManualUpdate, Optimize, Reorg, Restore, Clone,
-    RenameColumn, DropColumn, AddConstraint, DropConstraint)
+    RenameColumn, DropColumn, AddConstraint, DropConstraint,
+    SetDomainMetadata)
+
+  private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Warn once per JVM per out-of-vocabulary name (no-op for canonical
+    * names). Called from both commit paths.
+    */
+  def validate(operation: String): Unit =
+    if (operation != null && !all(operation) && warned.add(operation))
+      System.err.println(
+        s"graft-delta: operation name '$operation' is outside the Op vocabulary; " +
+          "DESCRIBE HISTORY stays cleaner when commits use graft.delta.Op constants")
 }

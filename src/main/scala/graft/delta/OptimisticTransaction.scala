@@ -99,6 +99,7 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       engineInfo: String = "graft-spark",
       operationParameters: Map[String, String] = Map.empty): Long = {
     require(!committed, "transaction already committed")
+    Op.validate(operation)
 
     var finalActions = newMetadata.map(m => m: Action).toSeq ++ actions
 
@@ -298,6 +299,7 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       operationParameters: Map[String, String] = Map.empty,
       operationMetrics: Map[String, String] = Map.empty): Long = {
     require(!committed, "transaction already committed")
+    Op.validate(operation)
     if (snapshot.version == -1 && newMetadata.isEmpty)
       throw new IllegalStateException("first commit must include table metadata")
     val appendOnly = DeltaConfig.AppendOnly.fromMetadata(metadata)

@@ -39,7 +39,7 @@ class AutoOptimizeSuite extends AnyFunSuite {
         .asInstanceOf[org.apache.spark.sql.types.StructType].json,
       partitionColumns = partCols,
       configuration = config))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t
   }
 
@@ -91,7 +91,7 @@ class AutoOptimizeSuite extends AnyFunSuite {
     txn.updateMetadata(txn.metadata.copy(configuration = txn.metadata.configuration +
       ("delta.autoOptimize.autoCompact" -> "true") +
       ("delta.autoOptimize.autoCompact.minNumFiles" -> "3")))
-    txn.commit(Nil, "SET TBLPROPERTIES")
+    txn.commit(Nil, Op.SetTableProperties)
 
     // a write touching only x must NOT compact y, even though y >= minN
     t.write(Seq((10L, "x1", "x")).toDF("id", "v", "part"), SaveMode.Append)

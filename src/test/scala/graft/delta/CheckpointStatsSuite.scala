@@ -33,7 +33,7 @@ class CheckpointStatsSuite extends AnyFunSuite {
       configuration = Map(
         "delta.checkpoint.writeStatsAsStruct" -> "true",
         "delta.checkpointInterval" -> "2")))
-    txn.commit(Nil, "CREATE TABLE") // v0
+    txn.commit(Nil, Op.CreateTable) // v0
     t
   }
 
@@ -97,7 +97,7 @@ class CheckpointStatsSuite extends AnyFunSuite {
         "delta.checkpoint.writeStatsAsStruct" -> "true",
         "delta.checkpoint.writeStatsAsJson" -> "false",
         "delta.checkpointInterval" -> "2")))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     writeRange(t, 0, 50)
     writeRange(t, 50, 100) // -> checkpoint at v2
     val ck = CheckpointInstance(2, None).files(t.deltaLog.logPath).head
@@ -123,7 +123,7 @@ class CheckpointStatsSuite extends AnyFunSuite {
       schemaString = Snapshot.nullable(df.schema)
         .asInstanceOf[org.apache.spark.sql.types.StructType].json,
       configuration = Map("delta.checkpointInterval" -> "2")))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     writeRange(t, 0, 10)
     writeRange(t, 10, 20)
     val ck = CheckpointInstance(2, None).files(t.deltaLog.logPath).head

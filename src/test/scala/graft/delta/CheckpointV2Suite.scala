@@ -36,7 +36,7 @@ class CheckpointV2Suite extends AnyFunSuite {
         "delta.checkpointPolicy" -> "v2",
         "delta.checkpoint.numSidecars" -> "4",
         "delta.checkpointInterval" -> interval.toString) ++ extraConf))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t
   }
 
@@ -154,7 +154,7 @@ class CheckpointV2Suite extends AnyFunSuite {
     txn.updateMetadata(Metadata(
       schemaString = seed(0, 1).schema.json,
       configuration = Map("delta.checkpointInterval" -> "2")))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t.write(seed(0, 4).coalesce(1), SaveMode.Append)  // v1
     t.write(seed(4, 8).coalesce(1), SaveMode.Append)  // v2 -> classic ckpt
     // flip to v2
@@ -162,7 +162,7 @@ class CheckpointV2Suite extends AnyFunSuite {
     txn2.updateMetadata(txn2.metadata.copy(configuration =
       txn2.metadata.configuration ++ Map(
         "delta.checkpointPolicy" -> "v2", "delta.checkpoint.numSidecars" -> "4")))
-    txn2.commit(Nil, "SET TBLPROPERTIES")               // v3
+    txn2.commit(Nil, Op.SetTableProperties)               // v3
     t.write(seed(8, 12).coalesce(1), SaveMode.Append)   // v4 -> v2 ckpt
     assert(manifests(t).size == 1)
     val snap = new DeltaLog(spark, t.deltaLog.dataPath).update()
@@ -210,7 +210,7 @@ class CheckpointV2Suite extends AnyFunSuite {
       configuration = Map(
         "delta.checkpointPolicy" -> "v2",
         "delta.checkpoint.numSidecars" -> "4")))
-    txn.commitLarge(Iterator.empty, "CREATE TABLE")
+    txn.commitLarge(Iterator.empty, Op.CreateTable)
     val p = t.snapshot.protocol
     assert(p.minReaderVersion == 3 && p.minWriterVersion == 7)
     assert(p.readerFeatures.exists(_.contains("v2Checkpoint")))

@@ -92,7 +92,7 @@ class ColumnMappingSuite extends AnyFunSuite {
     txn.updateMetadata(ColumnMapping.ensureEnabled(Metadata(
       schemaString = Snapshot.nullable(base.schema)
         .asInstanceOf[org.apache.spark.sql.types.StructType].json), "id"))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     assert(ColumnMapping.mode(t.snapshot.metadata) == "id")
     t.write(base)
     assert(t.toDF.orderBy("id").select("name").as[String].collect().toSeq
@@ -119,7 +119,7 @@ class ColumnMappingSuite extends AnyFunSuite {
     txn.updateMetadata(ColumnMapping.ensureEnabled(graft.delta.Metadata(
       schemaString = Snapshot.nullable(base.schema)
         .asInstanceOf[StructType].json), "id"))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t.write(base)
     // a foreign engine writes the same columns under alien physical
     // names, keyed only by the shared field ids
@@ -153,7 +153,7 @@ class ColumnMappingSuite extends AnyFunSuite {
     val txn = t.deltaLog.startTransaction()
     txn.updateMetadata(txn.metadata.copy(
       configuration = txn.metadata.configuration + ("delta.columnMapping.mode" -> "bogus")))
-    txn.commit(Nil, "SET TBLPROPERTIES")
+    txn.commit(Nil, Op.SetTableProperties)
     val ex = intercept[UnsupportedOperationException](t.toDF.collect())
     assert(ex.getMessage.contains("columnMapping.mode=bogus"))
   }

@@ -30,7 +30,7 @@ class DeletionVectorSuite extends AnyFunSuite {
     txn.updateMetadata(Metadata(
       schemaString = df.schema.json, partitionColumns = Seq("part"),
       configuration = Map("delta.enableDeletionVectors" -> "true")))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t.write(df.coalesce(1), SaveMode.Append, Seq("part")) // one file per partition
     t
   }
@@ -49,7 +49,7 @@ class DeletionVectorSuite extends AnyFunSuite {
     txn.updateMetadata(Metadata(
       schemaString = df.schema.json,
       configuration = Map("delta.enableDeletionVectors" -> "true")))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t.write(df.coalesce(1))
     t
   }
@@ -367,7 +367,7 @@ class DeletionVectorSuite extends AnyFunSuite {
     txn.updateMetadata(Metadata(
       schemaString = df.schema.json,
       configuration = Map("delta.enableDeletionVectors" -> "true")))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t.write(df.coalesce(1))
     val v1 = t.delete(col("id") === 2)
     val v2 = t.delete(col("id") === 1) // merges into the same file's DV
@@ -386,6 +386,31 @@ class DeletionVectorSuite extends AnyFunSuite {
       "unmasking must surface as row-level inserts")
   }
 
+  test("full-file remove of a DV'd file reports only LIVE rows as CDF deletes") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = df.schema.json,
+      configuration = Map("delta.enableDeletionVectors" -> "true")))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(df.coalesce(1))
+    val v1 = t.delete(col("id") === 2) // grows the DV; reports id=2 deleted
+    val v2 = t.truncate()              // removes the DV-carrying file whole
+    val ch = t.tableChanges(v2, v2)
+      .select($"id", $"_change_type")
+      .orderBy($"id")
+      .as[(Long, String)].collect().toSeq
+    assert(ch == Seq((1L, "delete"), (3L, "delete")),
+      s"TRUNCATE must not re-report the already-DV-deleted row: $ch")
+    // the two ranges together report each row deleted exactly once
+    val all = t.tableChanges(v1, v2)
+      .filter($"_change_type" === "delete")
+      .groupBy($"id").count().as[(Long, Long)].collect().toMap
+    assert(all == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("CDF captures DV update pre/post images") {
     import spark.implicits._
     val t = DeltaTable.forPath(spark, tmp())
@@ -396,7 +421,7 @@ class DeletionVectorSuite extends AnyFunSuite {
       configuration = Map(
         "delta.enableDeletionVectors" -> "true",
         "delta.enableChangeDataFeed" -> "true")))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t.write(df)
     val v = t.update(col("id") === 2, Map("v" -> lit("B")))
     val ch = t.tableChanges(v, v)
@@ -416,7 +441,7 @@ class DeletionVectorSuite extends AnyFunSuite {
       configuration = Map(
         "delta.enableDeletionVectors" -> "true",
         "delta.enableChangeDataFeed" -> "true")))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t.write(df)
     val v1 = t.delete(col("id") === 2)
     val v2 = t.delete(col("id") <= 2) // id=1 only: id=2 is already gone

@@ -144,7 +144,7 @@ class DeltaSuite extends AnyFunSuite {
       new ExternalLogStore(conf, InMemoryCommitCoordinator.named(coordName))))
     val seedTxn = seedLog.startTransaction()
     seedTxn.updateMetadata(Metadata(schemaString = sampleDF.schema.json))
-    seedTxn.commit(Nil, "CREATE TABLE") // v0
+    seedTxn.commit(Nil, Op.CreateTable) // v0
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (0 until 6).map { i =>
       new Thread(() => {
@@ -154,7 +154,7 @@ class DeltaSuite extends AnyFunSuite {
           // coordinator is common, as DynamoDB would be across drivers
           val store = new ExternalLogStore(conf, InMemoryCommitCoordinator.named(coordName))
           val txn = new DeltaLog(spark, new Path(dir), Some(store)).startTransaction()
-          txn.commit(Seq(AddFile(s"ext-$i-$j.parquet", Map.empty, 1L, 1L)), "WRITE")
+          txn.commit(Seq(AddFile(s"ext-$i-$j.parquet", Map.empty, 1L, 1L)), Op.Write)
         } catch { case e: Throwable => errors.add(e) }
       })
     }
@@ -243,7 +243,7 @@ class DeltaSuite extends AnyFunSuite {
     txn0.updateMetadata(Metadata(
       schemaString = sampleDF.schema.json,
       configuration = Map("delta.checkpointInterval" -> "4")))
-    txn0.commit(Nil, "CREATE TABLE")
+    txn0.commit(Nil, Op.CreateTable)
     (1 to 9).foreach { i =>
       t.write(sampleDF.filter(col("id") === (i % 5 + 1).toLong))
     }
@@ -273,9 +273,9 @@ class DeltaSuite extends AnyFunSuite {
     val txnB = log.startTransaction()
     val addA = AddFile("fa.parquet", Map.empty, 1L, 1L)
     val addB = AddFile("fb.parquet", Map.empty, 1L, 1L)
-    assert(txnA.commit(Seq(addA), "WRITE") == 1L)
+    assert(txnA.commit(Seq(addA), Op.Write) == 1L)
     // B read version 0 but A won version 1: blind append -> retried at 2
-    assert(txnB.commit(Seq(addB), "WRITE") == 2L)
+    assert(txnB.commit(Seq(addB), Op.Write) == 2L)
     assert(log.update().allFiles.map(_.path).count(p => p == "fa.parquet" || p == "fb.parquet") == 2)
   }
 
@@ -289,7 +289,7 @@ class DeltaSuite extends AnyFunSuite {
       new Thread(() => {
         try (0 until 5).foreach { j =>
           val txn = new DeltaLog(spark, log.dataPath).startTransaction()
-          txn.commit(Seq(AddFile(s"race-$i-$j.parquet", Map.empty, 1L, 1L)), "WRITE")
+          txn.commit(Seq(AddFile(s"race-$i-$j.parquet", Map.empty, 1L, 1L)), Op.Write)
         } catch { case e: Throwable => errors.add(e) }
       })
     }
@@ -311,9 +311,9 @@ class DeltaSuite extends AnyFunSuite {
     loser.readWholeTable()
     val winner = log.startTransaction()
     winner.updateMetadata(winner.metadata.copy(name = "renamed"))
-    winner.commit(Nil, "SET METADATA")
+    winner.commit(Nil, Op.ManualUpdate)
     intercept[DeltaErrors.MetadataChangedException] {
-      loser.commit(Seq(AddFile("x.parquet", Map.empty, 1L, 1L)), "WRITE")
+      loser.commit(Seq(AddFile("x.parquet", Map.empty, 1L, 1L)), Op.Write)
     }
   }
 
@@ -325,9 +325,9 @@ class DeltaSuite extends AnyFunSuite {
     val loser = log.startTransaction()
     loser.markFilesAsRead(col("part") === "x")
     val winner = log.startTransaction()
-    winner.commit(Seq(AddFile("part=x/new.parquet", Map("part" -> "x"), 1L, 1L)), "WRITE")
+    winner.commit(Seq(AddFile("part=x/new.parquet", Map("part" -> "x"), 1L, 1L)), Op.Write)
     intercept[DeltaErrors.ConcurrentAppendException] {
-      loser.commit(Seq(AddFile("part=z/other.parquet", Map("part" -> "z"), 1L, 1L)), "WRITE")
+      loser.commit(Seq(AddFile("part=z/other.parquet", Map("part" -> "z"), 1L, 1L)), Op.Write)
     }
   }
 
@@ -339,10 +339,10 @@ class DeltaSuite extends AnyFunSuite {
     val loser = log.startTransaction()
     loser.markFilesAsRead(col("part") === "x")
     val winner = log.startTransaction()
-    winner.commit(Seq(AddFile("part=y/new.parquet", Map("part" -> "y"), 1L, 1L)), "WRITE")
+    winner.commit(Seq(AddFile("part=y/new.parquet", Map("part" -> "y"), 1L, 1L)), Op.Write)
     // winner only touched part=y; loser read part=x -> compatible, lands
     // at the next free version after the winner
-    val v = loser.commit(Seq(AddFile("part=x/mine.parquet", Map("part" -> "x"), 1L, 1L)), "WRITE")
+    val v = loser.commit(Seq(AddFile("part=x/mine.parquet", Map("part" -> "x"), 1L, 1L)), Op.Write)
     assert(v == 2L)
   }
 
@@ -358,9 +358,9 @@ class DeltaSuite extends AnyFunSuite {
     val winner = log.startTransaction()
     val adds = (0 until 1000).map(i =>
       AddFile(s"part=w$i/f$i.parquet", Map("part" -> s"w$i"), 1L, 1L))
-    winner.commit(adds, "WRITE")
+    winner.commit(adds, Op.Write)
     val t0 = System.nanoTime()
-    val v = loser.commit(Seq(AddFile("part=x/mine.parquet", Map("part" -> "x"), 1L, 1L)), "WRITE")
+    val v = loser.commit(Seq(AddFile("part=x/mine.parquet", Map("part" -> "x"), 1L, 1L)), Op.Write)
     val elapsedMs = (System.nanoTime() - t0) / 1000000
     assert(v == 2L)
     assert(elapsedMs < 2000, s"conflict check took ${elapsedMs}ms (expected < 2000ms)")
@@ -378,7 +378,7 @@ class DeltaSuite extends AnyFunSuite {
     val delFiles = deleter.markFilesAsRead(col("part") === "x")
     deleter.commit(delFiles.map(_.remove(1L)), "DELETE")
     intercept[DeltaErrors.ConcurrentDeleteReadException] {
-      reader.commit(Seq(AddFile("part=x/r.parquet", Map("part" -> "x"), 1L, 1L)), "WRITE")
+      reader.commit(Seq(AddFile("part=x/r.parquet", Map("part" -> "x"), 1L, 1L)), Op.Write)
     }
 
     // delete-delete: both try to remove the same remaining file. d2 builds
@@ -419,9 +419,9 @@ class DeltaSuite extends AnyFunSuite {
     val t1 = log.startTransaction()
     t1.txnVersion("app-2")
     val t2 = log.startTransaction()
-    t2.commit(Seq(SetTransaction("app-2", 0L, None)), "STREAMING UPDATE")
+    t2.commit(Seq(SetTransaction("app-2", 0L, None)), Op.StreamingUpdate)
     intercept[DeltaErrors.ConcurrentTransactionException] {
-      t1.commit(Seq(SetTransaction("app-2", 0L, None)), "STREAMING UPDATE")
+      t1.commit(Seq(SetTransaction("app-2", 0L, None)), Op.StreamingUpdate)
     }
   }
 
@@ -506,7 +506,7 @@ class DeltaSuite extends AnyFunSuite {
     txn.updateMetadata(Metadata(
       schemaString = df.schema.json,
       configuration = Map("delta.dataSkippingNumIndexedCols" -> "1")))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t.write(df)
     val stats = t.snapshot.allFiles.map(_.stats)
     assert(stats.forall(_ != null))
@@ -608,7 +608,7 @@ class DeltaSuite extends AnyFunSuite {
       configuration = Map(
         "delta.checkpointInterval" -> "2",
         "delta.checkpoint.partSize" -> "3")))
-    txn0.commit(Nil, "CREATE TABLE") // v0
+    txn0.commit(Nil, Op.CreateTable) // v0
     t.write(sampleDF, SaveMode.Append, Seq("part")) // v1: 3 files
     t.write(sampleDF.filter(col("id") <= 2)) // v2 -> checkpoint (>= 5 adds + meta...)
     val log = t.deltaLog
@@ -719,7 +719,7 @@ class DeltaSuite extends AnyFunSuite {
     txn0.updateMetadata(Metadata(
       schemaString = df.schema.json,
       configuration = Map("delta.targetFileSize" -> "4096"))) // force several output files
-    txn0.commit(Nil, "CREATE TABLE")
+    txn0.commit(Nil, Op.CreateTable)
     t.write(df.repartition(8)) // row-major grid: y scattered across all files
     t.compact(Seq("x", "y"))
     val nFiles = t.snapshot.allFiles.size
@@ -746,7 +746,7 @@ class DeltaSuite extends AnyFunSuite {
       configuration = Map(
         "delta.targetFileSize" -> "4096",
         "delta.clusteringColumns" -> "x, y")))
-    txn0.commit(Nil, "CREATE TABLE")
+    txn0.commit(Nil, Op.CreateTable)
     t.write(df.repartition(8))
     t.compact() // no args: picks up the declared clustering columns
     val nFiles = t.snapshot.allFiles.size
@@ -763,7 +763,7 @@ class DeltaSuite extends AnyFunSuite {
       t.snapshot.metadata.configuration ++ Map(
         "delta.autoOptimize.autoCompact" -> "true",
         "delta.autoOptimize.autoCompact.minNumFiles" -> "2")))
-    txn1.commit(Nil, "ALTER TABLE")
+    txn1.commit(Nil, Op.ManualUpdate)
     t.write(df.limit(4))
     val ci2 = t.history(1).head
     assert(ci2.operation == "OPTIMIZE" &&
@@ -779,7 +779,7 @@ class DeltaSuite extends AnyFunSuite {
       schemaString = sampleDF.schema.json,
       partitionColumns = Seq("part"),
       configuration = Map("delta.appendOnly" -> "true")))
-    txn0.commit(Nil, "CREATE TABLE")
+    txn0.commit(Nil, Op.CreateTable)
     t.write(sampleDF, SaveMode.Append)
     intercept[UnsupportedOperationException] {
       t.deleteWhere(col("part") === "x")
@@ -804,7 +804,7 @@ class DeltaSuite extends AnyFunSuite {
     txn0.updateMetadata(Metadata(
       schemaString = sampleDF.schema.json,
       configuration = Map("delta.deletedFileRetentionDuration" -> "interval 0 millisecond")))
-    txn0.commit(Nil, "CREATE TABLE")
+    txn0.commit(Nil, Op.CreateTable)
     t.write(sampleDF, SaveMode.Append)
     t.write(sampleDF.filter(col("id") === 1), SaveMode.Overwrite)
     // no explicit retention: the table config (0 ms) applies
@@ -822,7 +822,7 @@ class DeltaSuite extends AnyFunSuite {
       configuration = Map(
         "delta.checkpointInterval" -> "4",
         "delta.logRetentionDuration" -> "interval 0 millisecond")))
-    txn0.commit(Nil, "CREATE TABLE") // v0
+    txn0.commit(Nil, Op.CreateTable) // v0
     (1 to 4).foreach(_ => t.write(sampleDF)) // v1..v4; checkpoint at v4
     assert(log.store.exists(FileNames.checkpointFile(log.logPath, 4L)))
     // retention 0: v0..v3 json swept by the checkpoint at v4
@@ -841,7 +841,7 @@ class DeltaSuite extends AnyFunSuite {
         "delta.checkpointInterval" -> "4",
         "delta.logRetentionDuration" -> "interval 0 millisecond",
         "delta.enableExpiredLogCleanup" -> "false")))
-    txn2.commit(Nil, "CREATE TABLE")
+    txn2.commit(Nil, Op.CreateTable)
     (1 to 4).foreach(_ => t2.write(sampleDF))
     assert(t2.deltaLog.listDeltaVersions() == (0L to 4L))
   }
@@ -856,7 +856,7 @@ class DeltaSuite extends AnyFunSuite {
       configuration = Map(
         "delta.checkpointInterval" -> "2",
         "delta.checkpoint.partSize" -> "1"))) // default 30-day retention
-    txn0.commit(Nil, "CREATE TABLE") // v0
+    txn0.commit(Nil, Op.CreateTable) // v0
     (1 to 4).foreach(_ => t.write(sampleDF)) // multi-part ckpts at v2 and v4
     val fs = log.logPath.getFileSystem(spark.sessionState.newHadoopConf())
     def ckptParts(v: Long) =
@@ -890,7 +890,7 @@ class DeltaSuite extends AnyFunSuite {
       configuration = Map(
         "delta.checkpointInterval" -> "2",
         "delta.checkpoint.partSize" -> "1")))
-    txn0.commit(Nil, "CREATE TABLE")
+    txn0.commit(Nil, Op.CreateTable)
     (1 to 4).foreach(_ => t.write(sampleDF)) // multi-part ckpts at v2 and v4
     // age out the pre-checkpoint json commits (as a retention sweep would)
     (0L to 3L).foreach(v => log.store.delete(FileNames.deltaFile(log.logPath, v)))
@@ -914,7 +914,7 @@ class DeltaSuite extends AnyFunSuite {
     val log = t.deltaLog
     val txn0 = log.startTransaction()
     txn0.updateMetadata(Metadata(schemaString = sampleDF.schema.json))
-    txn0.commit(Nil, "CREATE TABLE") // v0
+    txn0.commit(Nil, Op.CreateTable) // v0
     log.checkpoint(log.update()) // checkpoint at version 0
     t.write(sampleDF) // v1
     log.checkpoint(log.update()) // checkpoint at version 1
@@ -1009,7 +1009,7 @@ class DeltaSuite extends AnyFunSuite {
     val loser = t.deltaLog.startTransaction()
     t.write(sampleDF) // winner lands first
     intercept[DeltaErrors.DeltaConcurrentModificationException] {
-      loser.commitLarge(Iterator(AddFile("x.parquet", Map.empty, 1L, 1L)), "WRITE")
+      loser.commitLarge(Iterator(AddFile("x.parquet", Map.empty, 1L, 1L)), Op.Write)
     }
   }
 
@@ -1068,7 +1068,7 @@ class DeltaSuite extends AnyFunSuite {
     val t = DeltaTable.forPath(spark, dir)
     t.write(sampleDF, SaveMode.Append)
     val txn = t.deltaLog.startTransaction()
-    txn.commit(Seq(AddCDCFile("_change_data/cdc-0.parquet", Map.empty, 9L)), "WRITE")
+    txn.commit(Seq(AddCDCFile("_change_data/cdc-0.parquet", Map.empty, 9L)), Op.Write)
     val actions = t.changes(1L).toSeq.head._2
     assert(actions.exists { case c: AddCDCFile => c.path.startsWith("_change_data/"); case _ => false })
   }

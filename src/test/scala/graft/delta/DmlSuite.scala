@@ -31,7 +31,7 @@ class DmlSuite extends AnyFunSuite {
       txn.updateMetadata(Metadata(
         schemaString = df.schema.json, partitionColumns = Seq("part"),
         configuration = Map("delta.enableChangeDataFeed" -> "true")))
-      txn.commit(Nil, "CREATE TABLE")
+      txn.commit(Nil, Op.CreateTable)
     }
     t.write(df, SaveMode.Append, Seq("part"))
     t

@@ -30,7 +30,7 @@ class IdentityColumnSuite extends AnyFunSuite {
       StructField("v", StringType)))
     val txn = t.deltaLog.startTransaction()
     txn.updateMetadata(Metadata(schemaString = schema.json))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t
   }
 
@@ -100,7 +100,7 @@ class IdentityColumnSuite extends AnyFunSuite {
       StructField("v", StringType)))
     val txn = t.deltaLog.startTransaction()
     txn.updateMetadata(t.snapshot.metadata.copy(schemaString = schema.json))
-    txn.commit(Nil, "ALTER TABLE")
+    txn.commit(Nil, Op.ManualUpdate)
     assert(t.snapshot.protocol.minWriterVersion == 6)
   }
 

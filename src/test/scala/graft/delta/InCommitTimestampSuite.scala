@@ -31,7 +31,7 @@ class InCommitTimestampSuite extends AnyFunSuite {
     txn.updateMetadata(Metadata(
       schemaString = seed(1).schema.json,
       configuration = Map("delta.enableInCommitTimestamps" -> "true")))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t
   }
 
@@ -74,7 +74,7 @@ class InCommitTimestampSuite extends AnyFunSuite {
     val txn = t.deltaLog.startTransaction()
     txn.updateMetadata(txn.metadata.copy(configuration =
       txn.metadata.configuration + ("delta.enableInCommitTimestamps" -> "true")))
-    txn.commit(Nil, "SET TBLPROPERTIES") // v2: first ICT commit
+    txn.commit(Nil, Op.SetTableProperties) // v2: first ICT commit
     t.write(seed(2), SaveMode.Append) // v3
 
     val md = t.snapshot.metadata

@@ -40,7 +40,7 @@ class LogCompactionSuite extends AnyFunSuite {
     txn.updateMetadata(Metadata(
       schemaString = seed(0, 1).schema.json,
       configuration = Map("delta.checkpointInterval" -> "1000")))
-    txn.commit(Nil, "CREATE TABLE")                          // v0
+    txn.commit(Nil, Op.CreateTable)                          // v0
     t.write(seed(0, 4).coalesce(1), SaveMode.Append)         // v1
     t.write(seed(4, 8).coalesce(1), SaveMode.Append)         // v2
     t.write(seed(100, 102).coalesce(1), SaveMode.Overwrite)  // v3: removes v1/v2 adds
@@ -71,7 +71,7 @@ class LogCompactionSuite extends AnyFunSuite {
       configuration = Map(
         "delta.checkpointInterval" -> "1000",
         "delta.logCompaction.interval" -> "3")))
-    txn.commit(Nil, "CREATE TABLE")                       // v0
+    txn.commit(Nil, Op.CreateTable)                       // v0
     (0 until 7).foreach(k =>
       t.write(seed(k * 2, k * 2 + 2).coalesce(1), SaveMode.Append)) // v1..v7
     val compacted = logFiles(t).filter(_.endsWith(".compacted.json"))
@@ -97,7 +97,7 @@ class LogCompactionSuite extends AnyFunSuite {
     txn.updateMetadata(Metadata(
       schemaString = seed(0, 1).schema.json,
       configuration = Map("delta.checkpointInterval" -> "1000")))
-    txn.commit(Nil, "CREATE TABLE")                          // v0
+    txn.commit(Nil, Op.CreateTable)                          // v0
     val tx1 = t.deltaLog.startTransaction()
     tx1.commit(Seq(SetTransaction("app", 1, None)), "txn")   // v1
     val tx2 = t.deltaLog.startTransaction()
@@ -120,7 +120,7 @@ class LogCompactionSuite extends AnyFunSuite {
         "delta.checkpointInterval" -> "4",
         "delta.logCompaction.interval" -> "2",
         "delta.logRetentionDuration" -> "interval 0 millisecond")))
-    txn.commit(Nil, "CREATE TABLE")                       // v0
+    txn.commit(Nil, Op.CreateTable)                       // v0
     (0 until 4).foreach(k =>
       t.write(seed(k, k + 1).coalesce(1), SaveMode.Append)) // v1..v4 (ckpt at v4 sweeps)
     val names = logFiles(t)

@@ -35,7 +35,7 @@ class RowTrackingSuite extends AnyFunSuite {
     txn.updateMetadata(Metadata(
       schemaString = seed(0, 1).schema.json,
       configuration = Map("delta.enableRowTracking" -> "true") ++ extraConf))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t
   }
 
@@ -104,8 +104,8 @@ class RowTrackingSuite extends AnyFunSuite {
         stats = s"""{"numRecords":$n}"""))
     val txn1 = new OptimisticTransaction(log, snap)
     val txn2 = new OptimisticTransaction(log, snap)
-    txn1.commit(addFor(3), "WRITE.Append")  // ids 4..6
-    txn2.commit(addFor(2), "WRITE.Append")  // retries, ids 7..8
+    txn1.commit(addFor(3), Op.Write)  // ids 4..6
+    txn2.commit(addFor(2), Op.Write)  // retries, ids 7..8
     val byPath = log.update().allFiles.map(f => f.path -> f).toMap
     val a1 = byPath("part-race-3.parquet")
     val a2 = byPath("part-race-2.parquet")
@@ -135,9 +135,9 @@ class RowTrackingSuite extends AnyFunSuite {
     val snap = t.deltaLog.update()
     val txn1 = new OptimisticTransaction(t.deltaLog, snap)
     val txn2 = new OptimisticTransaction(t.deltaLog, snap)
-    txn1.commit(Seq(DomainMetadata("app.pipeline", """{"watermark":43}""")), "SET DOMAIN METADATA")
+    txn1.commit(Seq(DomainMetadata("app.pipeline", """{"watermark":43}""")), Op.SetDomainMetadata)
     intercept[DomainMetadataChangedException] {
-      txn2.commit(Seq(DomainMetadata("app.pipeline", """{"watermark":99}""")), "SET DOMAIN METADATA")
+      txn2.commit(Seq(DomainMetadata("app.pipeline", """{"watermark":99}""")), Op.SetDomainMetadata)
     }
     t.removeDomainMetadata("app.pipeline")
     assert(!t.domainMetadata.contains("app.pipeline"))
@@ -218,13 +218,13 @@ class RowTrackingSuite extends AnyFunSuite {
     val t = DeltaTable.forPath(spark, tmp())
     val txn = t.deltaLog.startTransaction()
     txn.updateMetadata(Metadata(schemaString = seed(0, 1).schema.json))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t.write(seed(0, 4).coalesce(1), SaveMode.Append) // v1: no row tracking yet
     // enable row tracking mid-life
     val txn2 = t.deltaLog.startTransaction()
     txn2.updateMetadata(txn2.metadata.copy(configuration =
       txn2.metadata.configuration + ("delta.enableRowTracking" -> "true")))
-    txn2.commit(Nil, "SET TBLPROPERTIES") // v2
+    txn2.commit(Nil, Op.SetTableProperties) // v2
     t.write(seed(4, 6).coalesce(1), SaveMode.Append) // v3: tracked, ids 0..1
     val tracked = t.snapshot.allFiles.filter(_.baseRowId.isDefined).map(_.path)
     assert(tracked.size == 1)
@@ -257,7 +257,7 @@ class RowTrackingSuite extends AnyFunSuite {
     txn.updateMetadata(Metadata(
       schemaString = bad.schema.json,
       configuration = Map("delta.enableRowTracking" -> "true")))
-    intercept[IllegalArgumentException] { txn.commit(Nil, "CREATE TABLE") }
+    intercept[IllegalArgumentException] { txn.commit(Nil, Op.CreateTable) }
   }
 
   test("enabling row tracking stamps the materialized-column-name config keys") {
@@ -272,7 +272,7 @@ class RowTrackingSuite extends AnyFunSuite {
     txn.updateMetadata(Metadata(
       schemaString = seed(0, 1).schema.json,
       configuration = Map("delta.enableRowTracking" -> "true")))
-    txn.commitLarge(Iterator.empty, "CREATE TABLE")
+    txn.commitLarge(Iterator.empty, Op.CreateTable)
     assert(t2.snapshot.metadata.configuration
       .get(RowTracking.MatRowIdConfigKey).contains(RowTracking.MatRowId))
   }

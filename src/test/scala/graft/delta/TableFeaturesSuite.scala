@@ -83,7 +83,7 @@ class TableFeaturesSuite extends AnyFunSuite {
         org.apache.spark.sql.types.StringType)))
     val txn = t.deltaLog.startTransaction()
     txn.updateMetadata(Metadata(schemaString = schema.json))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     val bad = spark.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(null, "x")),
       Snapshot.nullable(schema).asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -174,7 +174,7 @@ class TableFeaturesSuite extends AnyFunSuite {
     txn.updateMetadata(Metadata(
       schemaString = df.schema.json,
       configuration = Map("delta.enableDeletionVectors" -> "true")))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t.write(df)
     t.delete(col("m") === 0) // sidecar DV, no rewrite
     require(t.snapshot.allFiles.exists(f => DeletionVectors.descriptor(f).isDefined))
@@ -258,7 +258,7 @@ class TableFeaturesSuite extends AnyFunSuite {
     val txn = t.deltaLog.startTransaction()
     txn.updateMetadata(Metadata(
       schemaString = schema.json, partitionColumns = Seq("yr")))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t
   }
 

@@ -33,7 +33,7 @@ class TypeWideningSuite extends AnyFunSuite {
         .asInstanceOf[StructType].json,
       configuration =
         if (widening) Map("delta.enableTypeWidening" -> "true") else Map.empty))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t.write(df, SaveMode.Append)
     t
   }
@@ -94,7 +94,7 @@ class TypeWideningSuite extends AnyFunSuite {
     txn.updateMetadata(Metadata(
       schemaString = Snapshot.nullable(df.schema).asInstanceOf[StructType].json,
       configuration = Map("delta.enableTypeWidening" -> "true")))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t.write(df, SaveMode.Append)
     t.write(Seq((3L, 3.125)).toDF("id", "x"), SaveMode.Append, mergeSchema = true)
     assert(t.deltaLog.update().metadata.schema("x").dataType == DoubleType)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.delta.{DeltaTable, Metadata}
+import graft.delta.{DeltaTable, Metadata, Op}
 
 /** The `graft-delta` format: batch read/write, time travel options,
   * DV/column-mapping fallback relation, pushdown, streaming sink.
@@ -99,7 +99,7 @@ class GraftDeltaSourceSuite extends AnyFunSuite {
     txn.updateMetadata(Metadata(
       schemaString = df.schema.json,
       configuration = Map("delta.enableDeletionVectors" -> "true")))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t.write(df, SaveMode.Append)
     t.delete(col("score") >= 40) // merge-on-read: files keep the rows, DVs hide them
     assert(t.snapshot.dvFiles.nonEmpty, "expected deletion vectors")
@@ -130,7 +130,7 @@ class GraftDeltaSourceSuite extends AnyFunSuite {
     txn.updateMetadata(graft.delta.Metadata(
       schemaString = Seq((1L, "a")).toDF("id", "v").schema.json,
       configuration = Map("delta.enableChangeDataFeed" -> "true")))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))          // v1: inserts
     t.delete(org.apache.spark.sql.functions.col("id") === 1L)   // v2: delete
     val cdf = spark.read.format("graft-delta")
@@ -157,7 +157,7 @@ class GraftDeltaSourceSuite extends AnyFunSuite {
     txn.updateMetadata(graft.delta.Metadata(
       schemaString = Seq((1L, "a")).toDF("id", "v").schema.json,
       configuration = Map("delta.enableRowTracking" -> "true")))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t.write(Seq((10L, "a"), (11L, "b"), (12L, "c")).toDF("id", "v")
       .coalesce(1).orderBy("id"))
     val got = spark.read.format("graft-delta")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.delta.DeltaTable
+import graft.delta.{DeltaTable, Op}
 
 /** The SQL surface (`graft.sql.GraftSparkExtension`): saveAsTable +
   * spark.table + INSERT through the metastore, SQL DELETE/UPDATE/MERGE,
@@ -351,7 +351,7 @@ class SqlSurfaceSuite extends AnyFunSuite {
     dvTxn.updateMetadata(graft.delta.Metadata(
       schemaString = dvDf.schema.json,
       configuration = Map("delta.enableDeletionVectors" -> "true")))
-    dvTxn.commit(Nil, "CREATE TABLE")
+    dvTxn.commit(Nil, Op.CreateTable)
     tdv.write(dvDf.coalesce(1))
     tdv.delete(col("id") === 1L)
     val ex = intercept[IllegalArgumentException](tdv.generateSymlinkManifest())
@@ -405,7 +405,7 @@ class SqlSurfaceSuite extends AnyFunSuite {
     txn.updateMetadata(graft.delta.Metadata(
       schemaString = seed().schema.json,
       configuration = Map("delta.enableDeletionVectors" -> "true")))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t.write(seed().coalesce(1))                       // clean file A
     t.write(seed().withColumn("id", col("id") + 10).coalesce(1)) // file B
     t.delete(col("id") === 12)                        // DV on file B only

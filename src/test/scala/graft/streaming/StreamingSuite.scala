@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.delta.{DeltaTable, Metadata}
+import graft.delta.{DeltaTable, Metadata, Op}
 
 class StreamingSuite extends AnyFunSuite {
 
@@ -112,7 +112,7 @@ class StreamingSuite extends AnyFunSuite {
     txn.updateMetadata(graft.delta.Metadata(
       schemaString = df0.schema.json,
       configuration = Map("delta.enableChangeDataFeed" -> "true")))
-    txn.commit(Nil, "CREATE TABLE") // v0
+    txn.commit(Nil, Op.CreateTable) // v0
     t.write(df0) // v1
 
     val stream = spark.readStream
@@ -241,7 +241,7 @@ class StreamingSuite extends AnyFunSuite {
     txn.updateMetadata(Metadata(
       schemaString = df0.schema.json,
       configuration = Map("delta.enableDeletionVectors" -> "true")))
-    txn.commit(Nil, "CREATE TABLE")
+    txn.commit(Nil, Op.CreateTable)
     t.write(df0)                         // v1: append
     t.delete(col("id") === 1)            // v2: DV remove+re-add (change commit)
     t.write(Seq((3L, "c")).toDF("id", "v")) // v3: append
