@@ -77,6 +77,45 @@ object Multimodal {
     ds.mapPartitions { it => it.map(decodeOne) }
   }
 
+  /** Media table with structurally-valid PNG / JPEG headers: even doc_ids
+    * carry a PNG signature + IHDR chunk, odd ones a JPEG SOI + APP0/JFIF +
+    * SOF0 sequence, with width/height derived from doc_id (the pixel data
+    * that would follow is the document text, standing in for an opaque
+    * compressed stream). The headers are byte-exact per the public specs
+    * (PNG: 8-byte signature, big-endian IHDR fields; JPEG: marker-segment
+    * framing, big-endian SOF0 dimensions), so the parser below exercises
+    * real offset/endianness logic rather than a toy layout.
+    */
+  def imagesFrom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(
+        $"doc_id".as("media_id"),
+        (lit(16) + pmod($"doc_id" * 31, lit(2048))).cast("int").as("w"),
+        (lit(16) + pmod($"doc_id" * 7, lit(2048))).cast("int").as("h"),
+        $"text")
+      .withColumn("payload",
+        when(pmod($"media_id", lit(2)) === 0,
+          // PNG: signature | IHDR len=13 | "IHDR" | w | h | bit depth 8 |
+          // color type 6 (RGBA) | compression 0 | filter 0 | interlace 0 |
+          // chunk crc (not validated here)
+          concat(unhex(concat(
+            lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+            lpad(hex($"w"), 8, "0"), lpad(hex($"h"), 8, "0"),
+            lit("0806000000"), lit("DEADBEEF"))), $"text".cast("binary")))
+        .otherwise(
+          // JPEG: SOI | APP0 len=16 "JFIF\0" v1.1 dpi 72x72 | SOF0 len=17
+          // precision 8 | height | width | 3 components (YCbCr 4:2:0)
+          concat(unhex(concat(
+            lit("FFD8"), lit("FFE00010"), lit("4A46494600"), lit("010100"),
+            lit("00480048"), lit("0000"),
+            lit("FFC00011"), lit("08"),
+            lpad(hex($"h"), 4, "0"), lpad(hex($"w"), 4, "0"),
+            lit("03"), lit("012200"), lit("021101"), lit("031101"))),
+            $"text".cast("binary"))))
+      .select($"media_id", $"payload")
+  }
+
   val queries: Seq[GQ] = Seq(
     GQ("multimodal_decode", (s, d) => {
       import s.implicits._
@@ -128,6 +167,55 @@ object Multimodal {
       SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
         CAST(len(sampled) AS BIGINT) AS n_sampled,
         md5(list_reduce(sampled, (a, b) -> a || b)) AS fingerprint
-      FROM f ORDER BY media_id"""))
+      FROM f ORDER BY media_id""")),
+
+    // C41: binary-header metadata extraction — the schema-extraction step
+    // of a multimodal ingest: sniff the container from magic bytes, then
+    // decode dimensions from the header with pure byte expressions
+    // (substring → hex → conv), including a marker-segment scan for JPEG
+    // (SOF0 is FOUND by walking the hex, byte-aligned, not read from a
+    // hardcoded offset) and header sizes derived from the length FIELDS.
+    // All codegen'd, shuffle-free per-row work. The oracle recomputes the
+    // expected dimensions arithmetically from doc_id, so an endianness or
+    // offset mistake in synthesis OR parsing breaks the hash match.
+    GQ("multimodal_dims", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.Column
+      val hexHead = hex(substring($"payload", 1, 48))
+      val isPng = substring(hexHead, 1, 16) === "89504E470D0A1A0A"
+      val isJpeg = substring(hexHead, 1, 4) === "FFD8"
+      val sof = locate("FFC0", hexHead) // 1-based hex index, 0 = absent
+      val jpegOk = isJpeg && sof > 0 && pmod(sof, lit(2)) === 1
+      def hx(start: Column, len: Int): Column =
+        conv(hexHead.substr(start, lit(len)), 16, 10).cast("long")
+      val colorType = hx(lit(51), 2)
+      imagesFrom(s, d)
+        .select(
+          $"media_id",
+          when(isPng, lit("png")).when(jpegOk, lit("jpeg"))
+            .otherwise(lit("unknown")).as("format"),
+          when(isPng, hx(lit(33), 8)).when(jpegOk, hx(sof + 14, 4)).as("width"),
+          when(isPng, hx(lit(41), 8)).when(jpegOk, hx(sof + 10, 4)).as("height"),
+          when(isPng, hx(lit(49), 2)).when(jpegOk, hx(sof + 8, 2)).as("bit_depth"),
+          when(isPng,
+            when(colorType === 6, lit(4L)).when(colorType === 2, lit(3L))
+              .when(colorType === 0, lit(1L)))
+            .when(jpegOk, hx(sof + 18, 2)).as("n_channels"),
+          // payload minus header, header size from the length fields:
+          // png 8 + (4 + 4 + ihdrLen + 4); jpeg 2 + (2+app0Len) + (2+sofLen)
+          (length($"payload").cast("long") -
+            when(isPng, lit(20L) + hx(lit(17), 8))
+              .when(jpegOk, lit(6L) + hx(lit(9), 4) + hx(sof + 4, 4)))
+            .as("data_bytes"))
+        .orderBy($"media_id")
+    }, Some("""
+      SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        CAST(16 + (doc_id * 31) % 2048 AS BIGINT) AS width,
+        CAST(16 + (doc_id * 7) % 2048 AS BIGINT) AS height,
+        CAST(8 AS BIGINT) AS bit_depth,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS BIGINT) AS n_channels,
+        CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes
+      FROM documents ORDER BY media_id"""))
   )
 }
