@@ -39,15 +39,31 @@ object QueryDefs {
   /** cents sum -> double, formula text mirrored in the oracle SQL. */
   def centsToDouble(sumCents: Column): Column = sumCents.cast("double") / lit(100.0)
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects by default (DuckDB reads it natively). Read nanos as long and
-    * rebuild a microsecond timestamp with integer division (ns epochs
-    * exceed 2^53, so double division would corrupt them).
+  /** events.parquet's `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's reader rejects by
+    * default — read as long via spark.sql.legacy.parquet.nanosAsLong),
+    * TIMESTAMP_MICROS with isAdjustedToUTC=0 (read as TIMESTAMP_NTZ), or
+    * a UTC-adjusted TIMESTAMP. Normalize all three to a TimestampType
+    * column so every downstream query is generation-agnostic. The session
+    * timezone is pinned to UTC, so NTZ -> TZ is value-preserving and the
+    * DuckDB oracles' `CAST(ts AS TIMESTAMP)` sees identical wall clocks.
+    * Nanos stay on integer division (ns epochs exceed 2^53, so double
+    * division would corrupt them).
     */
+  def withEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    withEventTs(table(spark, dir, "events"))
   }
 
   /** Lowercased word tokens; regexp_extract_all avoids split() empty-string

@@ -43,7 +43,7 @@ object Streams {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val stream = s.readStream.schema(schema).parquet(eventsSourceDir(d))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(QueryDefs.withEventTs)
       val agg = stream
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"),
@@ -66,7 +66,7 @@ object Streams {
       val dir = Paths.get(eventsSourceDir(d))
       Files.copy(dir.resolve("events.parquet"), dir.resolve("events_dup.parquet"))
       val stream = s.readStream.schema(schema).parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(QueryDefs.withEventTs)
       val dedup = stream
         .withWatermark("ts", "1 hour")
         .dropDuplicates("event_id")
@@ -95,7 +95,7 @@ object Streams {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val stream = s.readStream.schema(schema).parquet(eventsSourceDir(d))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(QueryDefs.withEventTs)
       val agg = stream
         .withWatermark("ts", "0 seconds")
         .groupBy(session_window($"ts", "30 minutes"), $"user_id")
@@ -168,7 +168,7 @@ object Streams {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$d/events.parquet").schema
       def src() = s.readStream.schema(schema).parquet(eventsSourceDir(d))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(QueryDefs.withEventTs)
       val errs = src().filter($"event_type" === "error")
         .select($"event_id".as("e_id"), $"user_id", $"ts".as("e_ts"))
         .withWatermark("e_ts", "1 hour")
@@ -272,7 +272,7 @@ object Streams {
       txn0.commit(Nil, Op.CreateTable)
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(QueryDefs.withEventTs)
       val q = stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
         val agg = batch.groupBy($"user_id")
           .agg(count(lit(1)).as("n_events"), sum(cents($"value")).as("sum_cents"),

@@ -76,35 +76,45 @@ class CheckpointV2Suite extends AnyFunSuite {
   }
 
   test("unchanged sidecar buckets are reused by the next checkpoint") {
-    // 16 buckets vs 4 new files: at least 12 buckets cannot change, so
-    // reuse is guaranteed (file paths carry random UUIDs — with only 4
-    // buckets there is a ~9% chance every bucket gets a new file and
-    // nothing is reused, making the assertion flaky)
-    val t = v2Table(extraConf = Map("delta.checkpoint.numSidecars" -> "16"))
-    t.write(seed(0, 50).coalesce(1), SaveMode.Append)   // v1
-    t.write(seed(50, 52).coalesce(1), SaveMode.Append)  // v2 -> ckpt 1
+    // Buckets are content-addressed by pmod(xxhash64(path), n) and file
+    // paths carry random UUIDs, so WHICH buckets the post-ckpt-1 writes
+    // dirty is nondeterministic. Spread v1 over many files (most of the
+    // 16 buckets populated), then compute the dirty buckets exactly and
+    // assert every clean bucket's sidecar is reused byte-for-byte.
+    import spark.implicits._
+    val n = 16
+    val t = v2Table(extraConf = Map("delta.checkpoint.numSidecars" -> n.toString))
+    t.write(seed(0, 50).repartition(20), SaveMode.Append) // v1: ~20 files
+    t.write(seed(50, 52).coalesce(1), SaveMode.Append)    // v2 -> ckpt 1
     val after1 = sidecars(t).toSet
     assert(after1.nonEmpty)
+    val pathsAt2 = new DeltaLog(spark, t.deltaLog.dataPath).update()
+      .allFiles.map(_.path).toSet
     t.write(seed(52, 54).coalesce(1), SaveMode.Append)  // v3
     t.write(seed(54, 56).coalesce(1), SaveMode.Append)  // v4 -> ckpt 2
     val after2 = sidecars(t).toSet
-    // the second checkpoint added the new files' buckets but kept every
-    // bucket whose content did not change — reuse means the first
-    // checkpoint's sidecar files are still present AND referenced
-    assert(after1.subsetOf(after2),
-      s"expected reuse of ${after1 -- after2} across checkpoints")
+    val snap = new DeltaLog(spark, t.deltaLog.dataPath).update()
+    // exactly the buckets touched by v3/v4's files change; the rest MUST
+    // be reused (same fingerprint name, still present and referenced)
+    val newPaths = snap.allFiles.map(_.path).filterNot(pathsAt2)
+    assert(newPaths.size == 2)
+    val dirty = newPaths.toDF("p")
+      .select(pmod(xxhash64($"p"), lit(n)).cast("int")).as[Int].collect().toSet
+    def bucketOf(name: String): Int = name.split("-")(2).toInt
+    val cleanOld = after1.filterNot(s => dirty.contains(bucketOf(s)))
+    assert(cleanOld.nonEmpty, s"all $n buckets dirtied — widen v1 spread")
+    assert(cleanOld.subsetOf(after2),
+      s"expected reuse of ${cleanOld -- after2} across checkpoints")
     // state at head is complete
     assert(t.toDF.count() == 56)
-    val snap = new DeltaLog(spark, t.deltaLog.dataPath).update()
-    assert(snap.allFiles.size == 4)
-    // the LAST manifest must reference at least one sidecar file that
-    // already existed after checkpoint 1 (true reuse, not rewrite)
-    import spark.implicits._
+    assert(snap.allFiles.size == pathsAt2.size + 2)
+    // the LAST manifest must reference every clean reused sidecar
+    // (true reuse, not rewrite)
     val lastManifest = new Path(t.deltaLog.logPath, manifests(t).last)
     val referenced = spark.read.parquet(lastManifest.toString)
       .where($"sidecar".isNotNull).select($"sidecar.path").as[String].collect().toSet
-    assert(referenced.intersect(after1).nonEmpty,
-      "second manifest must reference first checkpoint's sidecars")
+    assert(cleanOld.subsetOf(referenced),
+      "second manifest must reference first checkpoint's clean sidecars")
   }
 
   test("orphaned sidecars are swept with expired logs, referenced ones kept") {
