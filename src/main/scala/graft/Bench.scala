@@ -46,23 +46,45 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy(col("l_returnflag")).agg(count(lit(1))).count()
     } catch { case _: Throwable => }
-    val results = SparkEntry.benchQueries.map { name =>
-      val times = (1 to Runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fns(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    // A thrown query must surface as a FAILURE, not a timing: swallowing
+    // the exception records the (fast) time-to-throw, and `min` then
+    // publishes a broken query as the round's best number (round-10
+    // lesson: a masked AnalysisException benched at 0.06 s).
+    val samples: Seq[(String, Seq[Double], Option[String])] =
+      SparkEntry.benchQueries.map { name =>
+        var err: Option[String] = None
+        val times = (1 to Runs).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fns(name)(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+              None
+          }
+        }
+        (name, times, err)
       }
+    val failed = samples.collect { case (name, times, _) if times.isEmpty => name }
+    samples.foreach { case (name, times, err) =>
+      if (times.size < Runs)
+        System.err.println(s"[bench] FAILED ${Runs - times.size}/$Runs runs of $name: ${err.getOrElse("?")}")
+    }
+    val results = samples.collect { case (name, times, _) if times.nonEmpty =>
       name -> times.min
     }
-    val regressions = compareAndRecord(results, sfDir)
+    val regressions = compareAndRecord(results, samples, failed, sfDir)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rs = regressions.map { case (k, (prev, cur)) =>
       "\"" + k + "\":\"" + f"$prev%.2f->$cur%.2f" + "\""
     }.mkString("{", ",", "}")
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$rs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$rs,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 
   /** Compare against the last recorded run in BENCH_HISTORY.json, warn
@@ -71,7 +93,10 @@ object Bench {
     * caught by the builder's local runs, not first by the judge.
     */
   private def compareAndRecord(
-      results: Seq[(String, Double)], sfDir: String): Seq[(String, (Double, Double))] = {
+      results: Seq[(String, Double)],
+      samples: Seq[(String, Seq[Double], Option[String])],
+      failed: Seq[String],
+      sfDir: String): Seq[(String, (Double, Double))] = {
     import com.fasterxml.jackson.databind.ObjectMapper
     import com.fasterxml.jackson.databind.node.ObjectNode
     import scala.jdk.CollectionConverters._
@@ -104,6 +129,18 @@ object Bench {
       entry.put("sf", sfDir)
       val qn = entry.putObject("queries")
       results.foreach { case (k, v) => qn.put(k, v) }
+      // all successful per-run times, not just the min: lets a later
+      // reader tell machine-load noise (wide spread) from a plan change
+      // (tight spread at a new level) post-hoc
+      val sn = entry.putObject("samples")
+      samples.foreach { case (name, times, _) =>
+        val arr = sn.putArray(name)
+        times.foreach(arr.add)
+      }
+      if (failed.nonEmpty) {
+        val fn = entry.putArray("failed")
+        failed.foreach(fn.add)
+      }
       runs.add(entry)
       mapper.writerWithDefaultPrettyPrinter().writeValue(f, root)
       regressions
