@@ -91,19 +91,33 @@ object Similarity {
       .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
   }
 
-  /** Literal-plan assignment to the nearest trained centroid by
-    * argmin(c·c − 2 e·c); ties break to the lowest cell id
-    * (first-position semantics over ascending cell ids). The c·c fold runs
-    * left-to-right over dims, bit-matching the oracle's list_reduce.
+  /** Trained centroids as a small relation (cell, c, c·c). Always joined
+    * with `broadcast()`: a trained quantizer's C grows with the corpus, so
+    * inlining C×Dim literals into the plan (the round-≤10 shape) explodes
+    * plan size/compile time at scale, while a broadcast relation stays
+    * O(C) data shipped once per executor. The c·c fold runs left-to-right
+    * over dims, bit-matching the oracle's list_reduce.
+    */
+  private def centroidFrame(s: SparkSession, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    cents.toDF("cell", "c").withColumn("cc", dotD($"c", $"c"))
+  }
+
+  /** Assignment to the nearest trained centroid by argmin(c·c − 2 e·c)
+    * via broadcast join + partial-aggregated min_by; ties break to the
+    * lowest cell id (struct ordering (d2, cell)), matching the previous
+    * first-position-over-ascending-cells semantics and the oracles'
+    * ROW_NUMBER (d2, cell) order.
     */
   private def assignByCentroids(v: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    val cellIds = array(cents.map(c => lit(c._1)): _*)
-    val d2s = array(cents.map { case (_, c) =>
-      val cc = c.map(x => x * x).foldLeft(0.0)(_ + _)
-      lit(cc) - lit(2.0) * dotD(col("e"), array(c.map(lit): _*))
-    }: _*)
-    v.withColumn("cell",
-      element_at(cellIds, array_position(d2s, array_min(d2s)).cast("int")))
+    val s = v.sparkSession
+    import s.implicits._
+    val carry = v.columns.filterNot(_ == "vec_id").map(c => first(col(c)).as(c))
+    val aggs = carry :+ min_by($"cell", struct($"d2", $"cell")).as("cell")
+    v.crossJoin(broadcast(centroidFrame(s, cents)))
+      .withColumn("d2", $"cc" - lit(2.0) * dotD($"e", $"c"))
+      .groupBy($"vec_id")
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** The TRAINED coarse quantizer: 2 exact Lloyd iterations seeded from
@@ -286,24 +300,24 @@ object Similarity {
       import s.implicits._
       val v = normed(s, d).persist()
       val cents = trainLloyd2(s, v)
-      val cellIds = array(cents.map(c => lit(c._1)): _*)
-      val d2s = array(cents.map { case (_, c) =>
-        val cc = c.map(x => x * x).foldLeft(0.0)(_ + _)
-        lit(cc) - lit(2.0) * dotD($"e", array(c.map(lit): _*))
-      }: _*)
+      // best + second-best probe cell in ONE pass over the broadcast
+      // centroid join: a bounded top-2 aggregate by (d2 asc, cell asc)
+      // ships at most 2 pairs per vector from each map task — no C×Dim
+      // plan literals, no per-vector d2 array in the row
       // eager localCheckpoint: both join sides consume the assignment;
       // without it the d2 scan would run twice
-      val assigned = v.withColumn("d2s", d2s)
-        .withColumn("best", array_position($"d2s", array_min($"d2s")).cast("int"))
-        .withColumn("cell", element_at(cellIds, $"best"))
+      val assigned = v.crossJoin(broadcast(centroidFrame(s, cents)))
+        .withColumn("d2", $"cc" - lit(2.0) * dotD($"e", $"c"))
+        .groupBy($"vec_id")
+        .agg(first($"e").as("e"), first($"nrm").as("nrm"),
+          graft.functions.TopKExpressions
+            .topKByScore(-$"d2", $"cell".cast("long"), 2).as("probe"))
+        .select($"vec_id", $"e", $"nrm",
+          element_at($"probe", 1).getField("id").cast("int").as("cell"),
+          element_at($"probe", 2).getField("id").cast("int").as("second"))
         .localCheckpoint()
       v.unpersist()
       val q = assigned.filter($"vec_id" < NumQueries)
-        .withColumn("masked",
-          zip_with($"d2s", sequence(lit(1), lit(cents.size)),
-            (x, i) => when(i === $"best", lit(1e18)).otherwise(x)))
-        .withColumn("second",
-          element_at(cellIds, array_position($"masked", array_min($"masked")).cast("int")))
         .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"),
           explode(array($"cell", $"second")).as("cell"))
       val c = assigned.select($"vec_id".as("c_id"), $"e".as("ce"),
