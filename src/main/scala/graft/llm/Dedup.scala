@@ -145,14 +145,14 @@ object Dedup {
     // truncates it to the materialized RDD (tiny: id pairs only, and the
     // set shrinks toward one star edge per non-root node).
     var e = edgePairs.select($"src".as("u"), $"dst".as("v"))
-      .filter($"u" =!= $"v").distinct().localCheckpoint(true)
+      .filter($"u" =!= $"v").distinct().transform(stableCheckpoint)
     var prev = checksum(e)
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
       // superseded checkpoint RDDs are freed by Spark's ContextCleaner
       // once unreferenced — nothing pins more than two edge sets at once
-      e = smallStar(largeStar(e)).localCheckpoint(true)
+      e = smallStar(largeStar(e)).transform(stableCheckpoint)
       val cur = checksum(e)
       converged = cur == prev
       prev = cur
@@ -165,7 +165,7 @@ object Dedup {
     val out = verts
       .join(e.select($"u".as("doc"), $"v".as("lbl")), Seq("doc"), "left")
       .select($"doc", coalesce($"lbl", $"doc").as("lbl"))
-      .localCheckpoint(true)
+      .transform(stableCheckpoint)
     verts.unpersist()
     out
   }

@@ -315,7 +315,7 @@ object Similarity {
         .select($"vec_id", $"e", $"nrm",
           element_at($"probe", 1).getField("id").cast("int").as("cell"),
           element_at($"probe", 2).getField("id").cast("int").as("second"))
-        .localCheckpoint()
+        .transform(stableCheckpoint)
       v.unpersist()
       val q = assigned.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"),
@@ -619,7 +619,7 @@ object Similarity {
         // eager localCheckpoint: q and c below both consume `assigned`;
         // without it the broadcast-join + min_by lineage runs once per
         // side — at corpus scale that is a redundant full vector read
-        .localCheckpoint()
+        .transform(stableCheckpoint)
       v.unpersist()
       // lineage is cut, so the temp centroid fixture can go now instead
       // of accumulating one directory per bench execution
@@ -670,7 +670,7 @@ object Similarity {
       // the assignment; without it the d2 scan runs twice
       val withCell = assignByCentroids(v, cents)
         .select($"vec_id", $"e", $"nrm", $"cell")
-        .localCheckpoint()
+        .transform(stableCheckpoint)
       v.unpersist()
       val a = withCell.select($"cell", $"vec_id", $"e".as("ae"), $"nrm".as("an"))
       val b = withCell.select($"cell", $"vec_id".as("b_id"), $"e".as("be"), $"nrm".as("bn"))

@@ -102,4 +102,22 @@ object QueryDefs {
         java.nio.file.Files.createTempDirectory(p, prefix)
       case None => java.nio.file.Files.createTempDirectory(prefix)
     }
+
+  /** Eager lineage cut for results consumed more than once (iterative
+    * connected components, multi-consumer joins). `localCheckpoint` stores
+    * the blocks only on executors — right for local mode, but on a real
+    * cluster a lost executor loses blocks AND the truncated lineage, so
+    * the job dies. When `spark.graft.checkpointDir` is set (or a
+    * SparkContext checkpoint dir is already configured) use a RELIABLE
+    * checkpoint on shared storage instead; executor loss then recovers by
+    * re-reading the checkpoint files.
+    */
+  def stableCheckpoint(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      df.sparkSession.conf.getOption("spark.graft.checkpointDir")
+        .foreach(sc.setCheckpointDir)
+    if (sc.getCheckpointDir.nonEmpty) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+  }
 }
