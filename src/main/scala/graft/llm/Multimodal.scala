@@ -116,6 +116,77 @@ object Multimodal {
       .select($"media_id", $"payload")
   }
 
+  /** Header parse for (media_id, payload) rows: sniff the container from
+    * magic bytes, then decode dimensions with pure byte expressions
+    * (substring → hex → conv). All codegen'd, shuffle-free per-row work.
+    *
+    * JPEG finds SOF0 via a marker-segment WALK, not a byte-pair scan:
+    * hop each segment by its big-endian length field (the length counts
+    * its own 2 bytes, not the marker) starting after SOI. An FFC0 byte
+    * pair inside an APPn/COM payload is data, not a marker — a locate()
+    * scan bites on it (real files embed such bytes in EXIF/thumbnail
+    * payloads). The walk stops at SOF0 (returning its 1-based hex-char
+    * position), at SOS/EOI/any non-marker byte, or when the chain leaves
+    * the sniffed head (conv of the short substring nulls out →
+    * otherwise(0) = not found → format "unknown").
+    */
+  def parseImageDims(images: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    val hexHead = hex(substring(col("payload"), 1, 48))
+    val isPng = substring(hexHead, 1, 16) === "89504E470D0A1A0A"
+    val isJpeg = substring(hexHead, 1, 4) === "FFD8"
+    // The walk is a bounded fold, NOT expression recursion: inlining the
+    // next-position expression into each level duplicates the position
+    // subtree per reference and the plan grows exponentially with depth
+    // (codegen takes minutes at depth 11). The fold's state is
+    // (p = next marker's 1-based hex-char pos, sof = found pos or 0);
+    // 11 iterations are exhaustive — more minimal 4-byte segments cannot
+    // precede a SOF0 that still ends inside the 48-byte head. The array
+    // is 11 elements per row, so the interpreted HOF is not a hot path.
+    val sof = aggregate(
+      sequence(lit(1), lit(11)),
+      struct(lit(5L).as("p"), lit(0L).as("sof")),
+      (st, _) => {
+        val p = st.getField("p")
+        val found = st.getField("sof")
+        val marker = hexHead.substr(p.cast("int"), lit(4))
+        val len = conv(hexHead.substr((p + 4).cast("int"), lit(4)), 16, 10).cast("long")
+        when(found > 0 || p === 0, st)
+          .when(marker === "FFC0", struct(p.as("p"), p.as("sof")))
+          .when(substring(marker, 1, 2) === "FF" &&
+            marker =!= "FFD8" && marker =!= "FFD9" && marker =!= "FFDA" &&
+            len >= 2,
+            struct((p + lit(4) + len * lit(2)).as("p"), lit(0L).as("sof")))
+          .otherwise(struct(lit(0L).as("p"), lit(0L).as("sof")))
+      },
+      st => st.getField("sof"))
+    val jpegOk = isJpeg && sof > 0
+    def hx(start: Column, len: Int): Column =
+      conv(hexHead.substr(start.cast("int"), lit(len)), 16, 10).cast("long")
+    val colorType = hx(lit(51), 2)
+    images.select(
+      col("media_id"),
+      when(isPng, lit("png")).when(jpegOk, lit("jpeg"))
+        .otherwise(lit("unknown")).as("format"),
+      when(isPng, hx(lit(33), 8)).when(jpegOk, hx(sof + 14, 4)).as("width"),
+      when(isPng, hx(lit(41), 8)).when(jpegOk, hx(sof + 10, 4)).as("height"),
+      when(isPng, hx(lit(49), 2)).when(jpegOk, hx(sof + 8, 2)).as("bit_depth"),
+      when(isPng,
+        when(colorType === 6, lit(4L)).when(colorType === 2, lit(3L))
+          .when(colorType === 0, lit(1L)))
+        .when(jpegOk, hx(sof + 18, 2)).as("n_channels"),
+      // payload minus header, header size from the length fields:
+      // png 8 + (4 + 4 + ihdrLen + 4); jpeg = bytes before the SOF0
+      // marker ((sof-1)/2, exact: sof is odd) + 2 (marker) + sofLen —
+      // valid for ANY number of leading APPn/COM segments, not just a
+      // single-APP0 layout
+      (length(col("payload")).cast("long") -
+        when(isPng, lit(20L) + hx(lit(17), 8))
+          .when(jpegOk,
+            ((sof - lit(1)) / lit(2)).cast("long") + lit(2L) + hx(sof + 4, 4)))
+        .as("data_bytes"))
+  }
+
   val queries: Seq[GQ] = Seq(
     GQ("multimodal_decode", (s, d) => {
       import s.implicits._
@@ -178,37 +249,8 @@ object Multimodal {
     // All codegen'd, shuffle-free per-row work. The oracle recomputes the
     // expected dimensions arithmetically from doc_id, so an endianness or
     // offset mistake in synthesis OR parsing breaks the hash match.
-    GQ("multimodal_dims", (s, d) => {
-      import s.implicits._
-      import org.apache.spark.sql.Column
-      val hexHead = hex(substring($"payload", 1, 48))
-      val isPng = substring(hexHead, 1, 16) === "89504E470D0A1A0A"
-      val isJpeg = substring(hexHead, 1, 4) === "FFD8"
-      val sof = locate("FFC0", hexHead) // 1-based hex index, 0 = absent
-      val jpegOk = isJpeg && sof > 0 && pmod(sof, lit(2)) === 1
-      def hx(start: Column, len: Int): Column =
-        conv(hexHead.substr(start, lit(len)), 16, 10).cast("long")
-      val colorType = hx(lit(51), 2)
-      imagesFrom(s, d)
-        .select(
-          $"media_id",
-          when(isPng, lit("png")).when(jpegOk, lit("jpeg"))
-            .otherwise(lit("unknown")).as("format"),
-          when(isPng, hx(lit(33), 8)).when(jpegOk, hx(sof + 14, 4)).as("width"),
-          when(isPng, hx(lit(41), 8)).when(jpegOk, hx(sof + 10, 4)).as("height"),
-          when(isPng, hx(lit(49), 2)).when(jpegOk, hx(sof + 8, 2)).as("bit_depth"),
-          when(isPng,
-            when(colorType === 6, lit(4L)).when(colorType === 2, lit(3L))
-              .when(colorType === 0, lit(1L)))
-            .when(jpegOk, hx(sof + 18, 2)).as("n_channels"),
-          // payload minus header, header size from the length fields:
-          // png 8 + (4 + 4 + ihdrLen + 4); jpeg 2 + (2+app0Len) + (2+sofLen)
-          (length($"payload").cast("long") -
-            when(isPng, lit(20L) + hx(lit(17), 8))
-              .when(jpegOk, lit(6L) + hx(lit(9), 4) + hx(sof + 4, 4)))
-            .as("data_bytes"))
-        .orderBy($"media_id")
-    }, Some("""
+    GQ("multimodal_dims", (s, d) =>
+      parseImageDims(imagesFrom(s, d)).orderBy(col("media_id")), Some("""
       SELECT doc_id AS media_id,
         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
         CAST(16 + (doc_id * 31) % 2048 AS BIGINT) AS width,
