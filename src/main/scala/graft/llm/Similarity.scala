@@ -103,21 +103,41 @@ object Similarity {
     cents.toDF("cell", "c").withColumn("cc", dotD($"c", $"c"))
   }
 
-  /** Assignment to the nearest trained centroid by argmin(c·c − 2 e·c)
-    * via broadcast join + partial-aggregated min_by; ties break to the
-    * lowest cell id (struct ordering (d2, cell)), matching the previous
-    * first-position-over-ascending-cells semantics and the oracles'
+  /** The centroid relation collapsed to ONE row holding the cell-sorted
+    * array of (cell, c, cc) structs. Broadcast-crossJoined to the vectors
+    * this adds the centroids as DATA (zero plan literals) without row
+    * expansion — the assignment then folds over the array per row,
+    * keeping the scan map-only. The N×C join + groupBy(vec_id) min_by
+    * alternative re-aggregates the 64-double embedding arrays, which
+    * array-typed agg buffers push off the codegen'd hash path — measured
+    * 2× slower end-to-end at sf0.1 — and shuffles every embedding once.
+    */
+  private def centroidsRow(s: SparkSession, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    centroidFrame(s, cents)
+      .agg(array_sort(collect_list(struct($"cell", $"c", $"cc"))).as("__cents"))
+  }
+
+  /** Assignment to the nearest trained centroid by argmin(c·c − 2 e·c):
+    * a per-row fold over the broadcast centroid array, cells ascending
+    * with strict-< replacement, so ties break to the lowest cell id —
+    * the same semantics as min_by(struct(d2, cell)) and the oracles'
     * ROW_NUMBER (d2, cell) order.
     */
   private def assignByCentroids(v: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
     val s = v.sparkSession
     import s.implicits._
-    val carry = v.columns.filterNot(_ == "vec_id").map(c => first(col(c)).as(c))
-    val aggs = carry :+ min_by($"cell", struct($"d2", $"cell")).as("cell")
-    v.crossJoin(broadcast(centroidFrame(s, cents)))
-      .withColumn("d2", $"cc" - lit(2.0) * dotD($"e", $"c"))
-      .groupBy($"vec_id")
-      .agg(aggs.head, aggs.tail: _*)
+    v.crossJoin(broadcast(centroidsRow(s, cents)))
+      .withColumn("cell", aggregate($"__cents",
+        struct(lit(Double.MaxValue).as("d2"), lit(0).as("cell")),
+        (st, ct) => {
+          val d2 = ct.getField("cc") - lit(2.0) * dotD($"e", ct.getField("c"))
+          when(d2 < st.getField("d2"),
+            struct(d2.as("d2"), ct.getField("cell").as("cell")))
+            .otherwise(st)
+        },
+        st => st.getField("cell")))
+      .drop("__cents")
   }
 
   /** The TRAINED coarse quantizer: 2 exact Lloyd iterations seeded from
@@ -300,21 +320,29 @@ object Similarity {
       import s.implicits._
       val v = normed(s, d).persist()
       val cents = trainLloyd2(s, v)
-      // best + second-best probe cell in ONE pass over the broadcast
-      // centroid join: a bounded top-2 aggregate by (d2 asc, cell asc)
-      // ships at most 2 pairs per vector from each map task — no C×Dim
-      // plan literals, no per-vector d2 array in the row
-      // eager localCheckpoint: both join sides consume the assignment;
-      // without it the d2 scan would run twice
-      val assigned = v.crossJoin(broadcast(centroidFrame(s, cents)))
-        .withColumn("d2", $"cc" - lit(2.0) * dotD($"e", $"c"))
-        .groupBy($"vec_id")
-        .agg(first($"e").as("e"), first($"nrm").as("nrm"),
-          graft.functions.TopKExpressions
-            .topKByScore(-$"d2", $"cell".cast("long"), 2).as("probe"))
+      // best + second-best probe cell in ONE map-only fold over the
+      // broadcast centroid array (cells ascending, strict-< replacement
+      // at both ranks = first-two-by-(d2, cell) — exactly the oracle's
+      // ROW_NUMBER rn <= 2): no C×Dim plan literals, no row expansion,
+      // no array-typed aggregation. Eager checkpoint: both join sides
+      // consume the assignment; without it the fold would run twice
+      val assigned = v.crossJoin(broadcast(centroidsRow(s, cents)))
+        .withColumn("pr", aggregate($"__cents",
+          struct(lit(Double.MaxValue).as("d1"), lit(0).as("c1"),
+            lit(Double.MaxValue).as("d2"), lit(0).as("c2")),
+          (st, ct) => {
+            val d = ct.getField("cc") - lit(2.0) * dotD($"e", ct.getField("c"))
+            when(d < st.getField("d1"),
+              struct(d.as("d1"), ct.getField("cell").as("c1"),
+                st.getField("d1").as("d2"), st.getField("c1").as("c2")))
+              .when(d < st.getField("d2"),
+                struct(st.getField("d1").as("d1"), st.getField("c1").as("c1"),
+                  d.as("d2"), ct.getField("cell").as("c2")))
+              .otherwise(st)
+          },
+          st => struct(st.getField("c1").as("best"), st.getField("c2").as("second"))))
         .select($"vec_id", $"e", $"nrm",
-          element_at($"probe", 1).getField("id").cast("int").as("cell"),
-          element_at($"probe", 2).getField("id").cast("int").as("second"))
+          $"pr.best".as("cell"), $"pr.second".as("second"))
         .transform(stableCheckpoint)
       v.unpersist()
       val q = assigned.filter($"vec_id" < NumQueries)
