@@ -40,6 +40,22 @@ object FileNames {
       case _: java.net.URISyntaxException => new Path(dataPath, child)
     }
 
+  /** Byte-exact string form of [[absolutePath]]. A spec-legal ABSOLUTE
+    * URI child is returned VERBATIM: `absolutePath(..).toString` loses
+    * the `?query` component (e.g. S3 `?versionId=`) because Hadoop Path
+    * keeps a URI query only through `Path.toUri`. The verbatim string
+    * survives `spark.read`/`new Path(String)` round-trips — the String
+    * constructor treats `?` as an ordinary path character — so readers
+    * on versioned object stores see the exact recorded bytes. Relative
+    * children resolve exactly as [[absolutePath]].
+    */
+  def absolutePathString(dataPath: Path, child: String): String =
+    (try {
+      val uri = new java.net.URI(child)
+      if (uri.isAbsolute) Some(child) else None
+    } catch { case _: java.net.URISyntaxException => None })
+      .getOrElse(absolutePath(dataPath, child).toString)
+
   /** Decode %XX escapes in a hive-escaped dir value WITHOUT form-decoding:
     * URLDecoder would also map a literal '+' (which hive does not escape)
     * to a space, corrupting the partition value.

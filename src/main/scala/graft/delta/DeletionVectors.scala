@@ -129,7 +129,7 @@ object DeletionVectors {
         import spark.implicits._
         val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
         val items = modern.map { case (f, d) =>
-          val fp = normFp(FileNames.absolutePath(dataPath, f.path).toString)
+          val fp = normFp(FileNames.absolutePathString(dataPath, f.path))
           val abs = if (d.storageType == "i") "" else absolutePathOf(dataPath, d).toString
           (fp, d.storageType, d.pathOrInlineDv, d.offset.getOrElse(0), d.sizeInBytes, abs)
         }

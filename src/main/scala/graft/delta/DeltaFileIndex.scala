@@ -81,7 +81,7 @@ class DeltaFileIndex(log: DeltaLog, snapshot: Snapshot) extends FileIndex {
   override def inputFiles: Array[String] = {
     import spark.implicits._
     snapshot.activeFilesDF.select("path").as[String]
-      .collect().map(p => absolute(p).toString)
+      .collect().map(p => FileNames.absolutePathString(log.dataPath, p))
   }
 
   override def refresh(): Unit = ()

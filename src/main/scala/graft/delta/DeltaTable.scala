@@ -127,7 +127,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       StructField(RowTracking.MatRowCommitVersion, LongType))
     val keyed = readFilesKeyed(files, md, mats)
     val infoRows = files.map(f => Row(
-      normPath(FileNames.absolutePath(deltaLog.dataPath, f.path).toString),
+      normPath(FileNames.absolutePathString(deltaLog.dataPath, f.path)),
       f.baseRowId.map(Long.box).orNull,
       f.defaultRowCommitVersion.map(Long.box).orNull))
     val infoSchema = StructType(Seq(StructField("__rt_fp", StringType),
@@ -204,7 +204,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val schema = endSnap.metadata.schema
     val outCols = schema.fieldNames.toSeq :+ "_change_type"
     val tsOf = deltaLog.commits().toMap
-    val abs = (p: String) => FileNames.absolutePath(deltaLog.dataPath, p).toString
+    val abs = (p: String) => FileNames.absolutePathString(deltaLog.dataPath, p)
 
     def readAs(paths: Seq[String], changeType: Option[String]): DataFrame = {
       val readSchema = changeType match {
@@ -983,7 +983,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         val rel = f.path
         val idx = rel.lastIndexOf('/')
         val dir = if (idx < 0) "" else FileNames.percentDecode(rel.substring(0, idx))
-        (dir, FileNames.absolutePath(new Path(rootQ), rel).toString)
+        (dir, FileNames.absolutePathString(new Path(rootQ), rel))
       }
       .groupByKey(_._1)
       .mapGroups { (dir, it) =>
@@ -1021,7 +1021,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     import org.apache.spark.sql.functions.{broadcast, col}
     ColumnMapping.prepareRead(spark, md)
     val partCols = md.partitionColumns
-    val paths = files.map(f => FileNames.absolutePath(deltaLog.dataPath, f.path).toString)
+    val paths = files.map(f => FileNames.absolutePathString(deltaLog.dataPath, f.path))
     val external = files.exists(f => new java.net.URI(f.path).isAbsolute)
     if (!external) {
       val raw = spark.read
@@ -1044,7 +1044,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         // decoded path — see DeletionVectors.normFp / filesWithMatches)
         val pvRows = files.map { f =>
           Row.fromSeq(
-            normPath(FileNames.absolutePath(deltaLog.dataPath, f.path).toString) +:
+            normPath(FileNames.absolutePathString(deltaLog.dataPath, f.path)) +:
               partCols.map(c => f.partitionValues.get(c).flatMap(Option(_)).orNull))
         }
         val pvSchema = org.apache.spark.sql.types.StructType(
@@ -1094,7 +1094,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       .select(col("__fp")).distinct()
       .collect().map(r => normPath(r.getString(0))).toSet
     candidates.filter(f =>
-      hit(normPath(FileNames.absolutePath(deltaLog.dataPath, f.path).toString)))
+      hit(normPath(FileNames.absolutePathString(deltaLog.dataPath, f.path))))
   }
 
   /** Row-level DELETE: rewrites only the files that contain matching rows
@@ -1181,7 +1181,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       .collect().map(r => normPath(r.getString(0))).toSet
     if (touchedFps.isEmpty) return (Nil, Nil)
     val touched = candidates.filter(f =>
-      touchedFps(normPath(FileNames.absolutePath(deltaLog.dataPath, f.path).toString)))
+      touchedFps(normPath(FileNames.absolutePathString(deltaLog.dataPath, f.path))))
     // new DV per touched file = fresh matches + its prior DV rows
     val fresh = matched.select(col("__fp").as("fp"), col("__ri").as("ri"))
     val allRows = DeletionVectors.rowsDF(spark, deltaLog.dataPath, touched)
@@ -1194,7 +1194,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val protoUp: Seq[Action] = Protocol
       .requireReaderWriterFeature(txn.snapshot.protocol, "deletionVectors").toSeq
     (touched, protoUp ++ touched.flatMap { f =>
-      val fp = normPath(FileNames.absolutePath(deltaLog.dataPath, f.path).toString)
+      val fp = normPath(FileNames.absolutePathString(deltaLog.dataPath, f.path))
       Seq(f.remove(now), DeletionVectors.withDescriptor(f, descByFp(fp)))
     })
   }

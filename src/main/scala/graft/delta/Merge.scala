@@ -191,7 +191,7 @@ final class MergeBuilder private[delta] (
           .select(col("t.__fp")).distinct()
           .collect().map(r => t.normPath(r.getString(0))).toSet
         allFiles.filter(f =>
-          hit(t.normPath(FileNames.absolutePath(log.dataPath, f.path).toString)))
+          hit(t.normPath(FileNames.absolutePathString(log.dataPath, f.path))))
       }
 
     // first-satisfied clause index; -1 = no clause applies (null-safe: a

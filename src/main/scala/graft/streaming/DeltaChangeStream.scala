@@ -37,7 +37,7 @@ class DeltaChangeStream(table: DeltaTable, startAfterVersion: Long = -1L) {
     if (adds.isEmpty)
       return Some(latest -> spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), md.schema))
-    val paths = adds.map(a => graft.delta.FileNames.absolutePath(table.deltaLog.dataPath, a.path).toString)
+    val paths = adds.map(a => graft.delta.FileNames.absolutePathString(table.deltaLog.dataPath, a.path))
     Some(latest -> spark.read
       .schema(md.schema)
       .option("basePath", table.deltaLog.dataPath.toString)

@@ -275,7 +275,7 @@ class DeltaStreamSource(
       else graft.delta.ColumnMapping.toLogical(md, spark.read
         .schema(graft.delta.ColumnMapping.physicalSchema(md))
         .option("basePath", log.dataPath.toString)
-        .parquet(adds.map(a => graft.delta.FileNames.absolutePath(log.dataPath, a.path).toString): _*))
+        .parquet(adds.map(a => graft.delta.FileNames.absolutePathString(log.dataPath, a.path)): _*))
     GraftShims.asStreamingDF(spark, batch)
   }
 

@@ -184,6 +184,26 @@ class GoldenTablesSuite extends AnyFunSuite {
     assert(abs == "/some/unqualified/with space/p@#h", abs)
   }
 
+  test("absolute URI paths with a query component round-trip byte-exactly") {
+    import org.apache.hadoop.fs.Path
+    val data = new Path("/tmp/tbl")
+    val versioned = "s3://bucket/key/part-0.parquet?versionId=abc123"
+    // Path.toString drops the ?query (Hadoop keeps it only via toUri) —
+    // the string form must therefore bypass Path for absolute URIs
+    assert(FileNames.absolutePath(data, versioned).toString
+      == "s3://bucket/key/part-0.parquet")
+    assert(FileNames.absolutePathString(data, versioned) == versioned)
+    // and survives the Path(String) constructor spark.read applies
+    assert(new Path(FileNames.absolutePathString(data, versioned)).toString
+      == versioned)
+    // relative children resolve exactly like absolutePath
+    assert(FileNames.absolutePathString(data, "a=1/f.parquet")
+      == FileNames.absolutePath(data, "a=1/f.parquet").toString)
+    // raw pre-spec relative paths (illegal URI chars) still fall back
+    assert(FileNames.absolutePathString(data, "dir with space/f f.parquet")
+      == FileNames.absolutePath(data, "dir with space/f f.parquet").toString)
+  }
+
   test("golden: unsupported reader protocol version is rejected") {
     val l = log("deltalog-invalid-protocol-version")
     val snap = l.update()
