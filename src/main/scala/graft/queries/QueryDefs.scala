@@ -84,8 +84,13 @@ object QueryDefs {
   /** Sequential-fold dot product over two double arrays. The 0.0 init makes
     * the fold bit-identical to DuckDB's init-less list_reduce (0.0 + x == x).
     */
+  /** Sequential-fold dot product (bit-identical to DuckDB's list_reduce;
+    * see [[graft.functions.DotProductD]]). A custom expression, not the
+    * aggregate∘zip_with HOF chain: HOFs interpret per element, and the
+    * similarity operators run this over 64-dim vectors N×C / N×Q times.
+    */
   def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dotProductD(a, b)
 
   def toDoubleArr(a: Column): Column = transform(a, x => x.cast("double"))
 
