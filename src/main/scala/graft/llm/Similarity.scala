@@ -79,15 +79,18 @@ object Similarity {
     */
   private def centroidsOf(s: SparkSession, assigned: DataFrame): Seq[(Int, Seq[Double])] = {
     import s.implicits._
-    assigned.select($"cell",
-        posexplode(transform($"e", x => round(x * lit(1000000.0)).cast("long")))
-          .as(Seq("dim", "sx")))
-      .groupBy($"cell", $"dim").agg(sum($"sx").as("ssum"), count(lit(1)).as("n"))
-      .withColumn("mean",
-        $"ssum".cast("double") / lit(1000000.0) / $"n".cast("double"))
-      .groupBy($"cell")
-      .agg(transform(array_sort(collect_list(struct($"dim", $"mean"))),
-        x => x.getField("mean")).as("c"))
+    // ONE codegen'd hash aggregation with 64 per-dim sums: the
+    // posexplode formulation blows each row up 64× and shuffles 64N
+    // rows into a (cell, dim) aggregation — this shape shuffles C×64
+    // longs total. The arithmetic is unchanged (same per-element
+    // round→long, same long sums, same double division chain), so the
+    // oracle's meansSql still matches bit-for-bit.
+    val sums = (0 until Dim).map(i =>
+      sum(round(element_at($"e", i + 1) * lit(1000000.0)).cast("long")).as(s"s$i"))
+    val aggs = sums :+ count(lit(1)).as("n")
+    assigned.groupBy($"cell").agg(aggs.head, aggs.tail: _*)
+      .select($"cell", array((0 until Dim).map(i =>
+        col(s"s$i").cast("double") / lit(1000000.0) / col("n").cast("double")): _*).as("c"))
       .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
   }
 
