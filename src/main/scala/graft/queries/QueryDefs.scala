@@ -92,7 +92,12 @@ object QueryDefs {
   def dotD(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.dotProductD(a, b)
 
-  def toDoubleArr(a: Column): Column = transform(a, x => x.cast("double"))
+  /** Native array cast, not `transform(_, _.cast)`: Cast is codegen'd
+    * while transform interprets per element, and every similarity query
+    * pays this on each 64-dim vector load. float→double widening is
+    * exact, so values are unchanged.
+    */
+  def toDoubleArr(a: Column): Column = a.cast("array<double>")
 
   /** Scratch dir for the harness's temporary Delta tables. Honors
     * SPARK_GRAFT_TMP_ROOT so a cluster run can point every temp table at a
