@@ -40,6 +40,15 @@ object FileNames {
       case _: java.net.URISyntaxException => new Path(dataPath, child)
     }
 
+  /** True only for a spec-legal ABSOLUTE URI child. Total: a raw
+    * pre-spec path with illegal URI characters (e.g. a literal space)
+    * is by definition relative, not an error — callers used to crash on
+    * `new URI(path)` for such logs.
+    */
+  def isAbsoluteUri(child: String): Boolean =
+    try new java.net.URI(child).isAbsolute
+    catch { case _: java.net.URISyntaxException => false }
+
   /** Byte-exact string form of [[absolutePath]]. A spec-legal ABSOLUTE
     * URI child is returned VERBATIM: `absolutePath(..).toString` loses
     * the `?query` component (e.g. S3 `?versionId=`) because Hadoop Path

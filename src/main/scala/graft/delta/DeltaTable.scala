@@ -327,7 +327,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           // frames are fine because whole-file DV removes are rare.
           Seq((ins, "insert", insCat), (del, "delete", delCat)).foreach {
             case (fs, ct, cat) =>
-              if (fs.exists(f => new java.net.URI(f.path).isAbsolute ||
+              if (fs.exists(f => FileNames.isAbsoluteUri(f.path) ||
                   DeletionVectors.descriptor(f).isDefined))
                 absFrames += readFilesDF(fs, endSnap.metadata)
                   .withColumn("_change_type", lit(ct))
@@ -1022,7 +1022,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     ColumnMapping.prepareRead(spark, md)
     val partCols = md.partitionColumns
     val paths = files.map(f => FileNames.absolutePathString(deltaLog.dataPath, f.path))
-    val external = files.exists(f => new java.net.URI(f.path).isAbsolute)
+    val external = files.exists(f => FileNames.isAbsoluteUri(f.path))
     if (!external) {
       val raw = spark.read
         .schema(org.apache.spark.sql.types.StructType(
