@@ -351,6 +351,104 @@ object Corpus {
       SELECT doc_id, CAST((start - 1) // 32 AS BIGINT) AS chunk_id,
         least(48, n_tok - start + 1) AS chunk_tokens,
         md5(array_to_string(t[start:start+47], ' ')) AS chunk_hash
-      FROM c ORDER BY doc_id, chunk_id"""))
+      FROM c ORDER BY doc_id, chunk_id""")),
+
+    // C42 ---------------------------------------------------------------
+    // Hybrid retrieval: lexical + vector relevance fused by reciprocal-
+    // rank fusion (RRF, Cormack et al. 2009) — the retrieval shape RAG
+    // and data-curation pipelines actually run, where neither leg alone
+    // ranks well. Queries are the first 8 documents (doc_id ≡ vec_id in
+    // the corpus). The LEXICAL leg scores a candidate by the sum of
+    // integer-scaled IDFs of the distinct terms it shares with the query
+    // (exact integer arithmetic — no float accumulation order to
+    // diverge); the VECTOR leg is exact cosine over the embeddings. Each
+    // leg keeps only its top-20 per query via the bounded partial-agg
+    // top-k (map tasks ship ≤ 20 pairs per query — no per-query sort,
+    // no one-reducer bottleneck), the fused list is top-5 by
+    // rrf = 1/(60+r_lex) + 1/(60+r_vec), absent legs contributing 0.
+    // Scale shape: the term join is keyed on term with the 8-query term
+    // set broadcast (candidate fan-out bounded by NQ × docs-sharing-a-
+    // term; production would additionally drop low-IDF terms), the
+    // cosine leg broadcasts 8 query vectors through one candidate pass,
+    // and the fusion join carries (q_id, c_id, rank) triples only.
+    GQ("hybrid_retrieval", (s, d) => {
+      import s.implicits._
+      val NQ = 8
+      val docs = table(s, d, "documents")
+      val tok = docs.select($"doc_id",
+        explode(array_distinct(tokens($"text"))).as("term"))
+      val corpus = docs.agg(count(lit(1)).as("n_docs"))
+      val dfreq = tok.groupBy($"term").agg(count(lit(1)).as("df"))
+      val qtok = tok.filter($"doc_id" < NQ).select($"doc_id".as("q_id"), $"term")
+      val lex = tok.join(broadcast(qtok), Seq("term"))
+        .filter($"doc_id" =!= $"q_id")
+        .join(dfreq, Seq("term"))
+        .crossJoin(broadcast(corpus))
+        .withColumn("idf_s", floor($"n_docs" * lit(1000.0) / $"df").cast("long"))
+        .groupBy($"q_id", $"doc_id").agg(sum($"idf_s").as("lex"))
+      val lexRank = lex.groupBy($"q_id")
+        .agg(graft.functions.TopKExpressions
+          .topKByScore($"lex".cast("double"), $"doc_id", 20).as("top"))
+        .select($"q_id", posexplode($"top"))
+        .select($"q_id", ($"pos" + 1).as("rl"), $"col.id".as("c_id"))
+      val v = table(s, d, "embeddings")
+        .withColumn("e", toDoubleArr($"embedding"))
+        .withColumn("nrm", sqrt(dotD($"e", $"e")))
+        .select($"vec_id", $"e", $"nrm")
+      val q = v.filter($"vec_id" < NQ)
+        .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"))
+      val vecRank = v.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .withColumn("cos", dotD($"e", $"qe") / ($"nrm" * $"qn"))
+        .groupBy($"q_id")
+        .agg(graft.functions.TopKExpressions
+          .topKByScore($"cos", $"vec_id", 20).as("top"))
+        .select($"q_id", posexplode($"top"))
+        .select($"q_id", ($"pos" + 1).as("rv"), $"col.id".as("c_id"))
+      lexRank.join(vecRank, Seq("q_id", "c_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60.0) + $"rl".cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + $"rv".cast("double")), lit(0.0)))
+        .groupBy($"q_id")
+        .agg(graft.functions.TopKExpressions
+          .topKByScore($"rrf", $"c_id", 5).as("top"))
+        .select($"q_id", posexplode($"top"))
+        .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+          $"col.id".as("c_id"), $"col.score".as("rrf"))
+        .orderBy($"q_id", $"rank")
+    }, Some("""
+      WITH tok AS (SELECT doc_id,
+              unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term
+            FROM documents),
+      corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+      lex AS (SELECT q.doc_id AS q_id, c.doc_id AS c_id,
+            CAST(SUM(CAST(floor(n_docs*1000.0/df) AS BIGINT)) AS BIGINT) AS lex
+          FROM tok q JOIN tok c USING (term) JOIN dfreq USING (term) CROSS JOIN corpus
+          WHERE q.doc_id < 8 AND c.doc_id != q.doc_id
+          GROUP BY 1, 2),
+      lr AS (SELECT q_id, c_id, rl FROM (
+            SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY CAST(lex AS DOUBLE) DESC, c_id) AS rl FROM lex)
+          WHERE rl <= 20),
+      nn AS (SELECT vec_id, e,
+            sqrt(list_reduce(list_transform(generate_series(1, 64),
+              i -> e[i]*e[i]), (x, y) -> x + y)) AS nrm
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+      vr AS (SELECT q_id, c_id, rv FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                (list_reduce(list_transform(generate_series(1, 64),
+                   i -> c.e[i]*q.e[i]), (x, y) -> x + y) / (c.nrm * q.nrm)) DESC,
+                c.vec_id) AS rv
+            FROM nn q, nn c WHERE q.vec_id < 8 AND c.vec_id != q.vec_id)
+          WHERE rv <= 20),
+      f AS (SELECT coalesce(lr.q_id, vr.q_id) AS q_id,
+              coalesce(lr.c_id, vr.c_id) AS c_id,
+              coalesce(1.0/(60.0 + rl), 0.0) + coalesce(1.0/(60.0 + rv), 0.0) AS rrf
+            FROM lr FULL OUTER JOIN vr ON lr.q_id = vr.q_id AND lr.c_id = vr.c_id)
+      SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, rrf FROM (
+        SELECT q_id, c_id, rrf, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY rrf DESC, c_id) AS rn FROM f)
+      WHERE rn <= 5 ORDER BY q_id, rank"""))
   )
 }
