@@ -16,7 +16,7 @@ object SparkEntry {
   private val extraBench = Set(
     "delta_merge", "delta_dv_update", "delta_checkpoint_v2",
     "delta_incremental_agg", "stream_window_agg", "dedup_cluster",
-    "ann_ivf_trained")
+    "ann_ivf_trained", "hybrid_retrieval")
 
   /** Every implemented operator, in SURVEY §2 order. */
   def registry: Seq[GQ] =
