@@ -50,21 +50,34 @@ object Bench {
     // the exception records the (fast) time-to-throw, and `min` then
     // publishes a broken query as the round's best number (round-10
     // lesson: a masked AnalysisException benched at 0.06 s).
+    //
+    // Samples are taken in INTERLEAVED passes (pass 1 runs every query
+    // once, then pass 2, then pass 3), not back-to-back per query: host
+    // noise on this box arrives in minutes-long bursts (observed round
+    // 11: one run had all three q3 samples at 7–10.5 s, the next had all
+    // three q_skew samples at 4–8 s, each query steady at ~1.5–2 s probed
+    // in isolation minutes later). Back-to-back sampling aligns a burst
+    // with one query's whole window and poisons every sample it has;
+    // interleaving spreads the burst across the suite so each query's
+    // min keeps at least one quiet-period measurement.
+    var errs = Map.empty[String, String]
+    val passTimes: Seq[Seq[(String, Option[Double])]] = (1 to Runs).map { _ =>
+      SparkEntry.benchQueries.map { name =>
+        val t0 = System.nanoTime()
+        try {
+          fns(name)(spark, sfDir).count()
+          name -> Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errs += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            name -> None
+        }
+      }
+    }
     val samples: Seq[(String, Seq[Double], Option[String])] =
       SparkEntry.benchQueries.map { name =>
-        var err: Option[String] = None
-        val times = (1 to Runs).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try {
-            fns(name)(spark, sfDir).count()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch {
-            case e: Throwable =>
-              err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-              None
-          }
-        }
-        (name, times, err)
+        (name, passTimes.flatMap(_.collectFirst { case (`name`, Some(t)) => t }),
+          errs.get(name))
       }
     val failed = samples.collect { case (name, times, _) if times.isEmpty => name }
     samples.foreach { case (name, times, err) =>

@@ -449,6 +449,112 @@ object Corpus {
       SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, rrf FROM (
         SELECT q_id, c_id, rrf, ROW_NUMBER() OVER (PARTITION BY q_id
           ORDER BY rrf DESC, c_id) AS rn FROM f)
-      WHERE rn <= 5 ORDER BY q_id, rank"""))
+      WHERE rn <= 5 ORDER BY q_id, rank""")),
+
+    // C43 ---------------------------------------------------------------
+    // LM-surprisal quality filter (the CCNet / Wenzek et al. 2020 shape:
+    // score every document under a corpus language model, drop the
+    // high-perplexity tail). The model is a bigram LM estimated from the
+    // corpus itself; a bigram instance (w1,w2)'s surprisal is the scaled
+    // inverse conditional probability c(w1·)/c(w1,w2) — a monotone stand-in
+    // for -log P(w2|w1) that stays in exact integer arithmetic (one
+    // integer division per DISTINCT bigram, no cross-libm `ln`, no float
+    // accumulation order to diverge from the oracle). A document's score
+    // is the mean surprisal of its bigram instances; the report is the 50
+    // most-surprising documents — the slice a curation pipeline would
+    // route to the drop/review bucket. 100 TB shape: one explode
+    // (shuffle-free Generate) -> one groupBy(bigram) for the counts (Zipf
+    // head keys pre-combined by the partial aggregate) -> the context
+    // total c(w1·) derived from the vocabulary-sized count table, NOT
+    // from a second instance-level pass -> one shuffle-hash join of
+    // instances back on the bigram key -> per-doc partial-agg sums ->
+    // TakeOrdered(50), never a global sort. The 1e9 scale keeps
+    // c1*1e9 < 2^63 up to ~1e9 occurrences of a single context word;
+    // beyond that, drop the scale a decade per three orders of corpus
+    // growth.
+    GQ("surprisal_filter", (s, d) => {
+      import s.implicits._
+      val bg = table(s, d, "documents")
+        .withColumn("t", tokens($"text"))
+        .filter(size($"t") >= 2)
+        .select($"doc_id", explode(transform(sequence(lit(1), size($"t") - 1), i =>
+          concat_ws(" ", element_at($"t", i), element_at($"t", i + 1)))).as("bg"))
+      val c2 = bg.groupBy($"bg").agg(count(lit(1)).as("c2"))
+      val cnt = c2.withColumn("w1", split($"bg", " ").getItem(0))
+        .withColumn("c1", sum($"c2").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"w1")))
+        .select($"bg", expr("c1 * 1000000000 div c2").as("s"))
+      bg.join(cnt, Seq("bg"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"s").as("surprisal_sum"))
+        .withColumn("avg_surprisal",
+          $"surprisal_sum".cast("double") / $"n_bigrams".cast("double"))
+        .orderBy($"avg_surprisal".desc, $"doc_id")
+        .limit(50)
+    }, Some("""
+      WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                 FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+                i -> t[i] || ' ' || t[i+1])) AS bg
+             FROM t WHERE len(t) >= 2),
+      c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY bg),
+      cnt AS (SELECT bg,
+            CAST(SUM(c2) OVER (PARTITION BY split_part(bg, ' ', 1)) AS BIGINT)
+              * 1000000000 // c2 AS s
+          FROM c2),
+      per AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(s) AS BIGINT) AS surprisal_sum
+              FROM bg JOIN cnt USING (bg) GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, surprisal_sum,
+        CAST(surprisal_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_surprisal
+      FROM per ORDER BY avg_surprisal DESC, doc_id LIMIT 50""")),
+
+    // C44 ---------------------------------------------------------------
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score raw documents by
+    // how target-like their HASHED unigram features are, select the top
+    // slice. Features are md5-bucketed tokens (128 buckets — the same
+    // engine-portable md5 coin as split_holdout, so Spark and the oracle
+    // bucket identically); the target distribution is the English slice
+    // standing in for "high-quality reference corpus". A bucket's weight
+    // is the integer-scaled target share tgt/tot (the linear-domain
+    // importance ratio — exact integers, no cross-libm log), a document
+    // scores the mean bucket weight over its token instances, and the
+    // report is the 100 most target-like documents. 100 TB shape:
+    // bucketing is map-only per token; the bucket table is FIXED-SIZE
+    // (128 rows regardless of corpus size) and broadcast — the only
+    // shuffles are the bucket-count partial agg and the per-doc sum, both
+    // absorbed map-side; top-k is TakeOrdered, never a global sort.
+    GQ("dsir_select", (s, d) => {
+      import s.implicits._
+      val tok = table(s, d, "documents")
+        .select($"doc_id", $"lang", explode(tokens($"text")).as("token"))
+        .withColumn("b",
+          conv(substring(md5($"token"), 1, 8), 16, 10).cast("long") % 128)
+      val buckets = tok.groupBy($"b").agg(
+          count(lit(1)).as("tot"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("tgt"))
+        .select($"b", expr("tgt * 1000000 div tot").as("w"))
+      tok.join(broadcast(buckets), Seq("b"))
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_tokens"), sum($"w").as("w_sum"))
+        .withColumn("avg_w", $"w_sum".cast("double") / $"n_tokens".cast("double"))
+        .orderBy($"avg_w".desc, $"doc_id")
+        .limit(100)
+    }, Some("""
+      WITH tok AS (SELECT doc_id, lang,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+            FROM documents),
+      tb AS (SELECT doc_id, lang,
+              CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 128 AS b
+             FROM tok),
+      bw AS (SELECT b,
+              CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                * 1000000 // CAST(COUNT(*) AS BIGINT) AS w
+             FROM tb GROUP BY b),
+      per AS (SELECT doc_id, lang, COUNT(*) AS n_tokens, CAST(SUM(w) AS BIGINT) AS w_sum
+              FROM tb JOIN bw USING (b) GROUP BY doc_id, lang)
+      SELECT doc_id, lang, n_tokens, w_sum,
+        CAST(w_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_w
+      FROM per ORDER BY avg_w DESC, doc_id LIMIT 100"""))
   )
 }
