@@ -69,6 +69,45 @@ object Dedup {
     inter / (tot - inter)
   }
 
+  /** (doc_id, b, bkey) LSH band keys for a documents frame OR STREAM —
+    * the per-row leg of the minhash pipeline (shingle -> signature ->
+    * band keys), shared with the streaming admission operator (D12).
+    * Pure per-row expressions: safe under Structured Streaming, no
+    * shuffle, no state.
+    */
+  private[graft] def bandKeys(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .withColumn("sh",
+        ExpressionUtils.column(WordShingles(ExpressionUtils.expression($"text"), 3)))
+      .filter(size($"sh") > 0)
+      .withColumn("sig", minhashSig($"sh"))
+      .select(
+        $"doc_id",
+        posexplode(array((0 until NumBands).map { b =>
+          concat_ws("|",
+            (0 until NumHashes / NumBands).map(r =>
+              element_at($"sig", b * (NumHashes / NumBands) + r + 1)): _*)
+        }: _*)).as(Seq("b", "bkey")))
+  }
+
+  /** DuckDB CTE chain (d, sigs, bands) mirroring [[bandKeys]], for
+    * oracles outside this file.
+    */
+  private[graft] def duckBandsCte: String = s"""
+      d AS ($duckShingled),
+      sigs AS (
+        SELECT doc_id,
+          [${hashAB.map { case (a, b) => s"list_min(list_transform(vs, v -> ($a*v + $b) % $P))" }.mkString(", ")}] AS sig
+        FROM (SELECT doc_id,
+          list_transform(sh, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 1073741824) AS vs
+          FROM d)),
+      bands AS (
+        SELECT doc_id, u.b AS b,
+          concat_ws('|', sig[4*u.b+1], sig[4*u.b+2], sig[4*u.b+3], sig[4*u.b+4]) AS bkey
+        FROM sigs, (SELECT unnest([0,1,2,3]) AS b) u)"""
+
   private val duckShingled = """
     SELECT doc_id, sh FROM (
       SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3

@@ -324,6 +324,71 @@ object Streams {
         CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_value
       FROM events JOIN customer ON user_id = c_custkey
       WHERE event_type = 'purchase'
-      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // D12: streaming corpus ADMISSION by MinHash-LSH — the online face of
+    // C2's batch near-dup sweep: documents arrive in micro-batches and a
+    // document is flagged the moment any of its 4 LSH band buckets was
+    // already claimed by an earlier document. State (one min-doc_id per
+    // distinct band bucket, held in flatMapGroupsWithState) is exactly
+    // the LSH index a streaming ingest pipeline keeps; each batch
+    // shuffles only (band, key, id) triples — shingle arrays never leave
+    // the map side. At 100 TB the state store is RocksDB-backed and
+    // production adds a state TTL; the semantics here are append-only.
+    //
+    // The source is the documents table split into 3 micro-batches by
+    // ascending doc_id range (mtimes force file order, 1 file/trigger),
+    // so "claimed earlier" = "smaller doc_id" and the batch oracle — a
+    // self-join over the same band keys in SQL — is exact and
+    // batch-split independent.
+    GQ("stream_lsh_admit", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+      val cuts = Seq(maxId / 3, 2 * maxId / 3, Long.MaxValue)
+      val src = QueryDefs.scratchDir("graft-stream-docs")
+      var lo = Long.MinValue
+      cuts.zipWithIndex.foreach { case (hi, i) =>
+        val stage = QueryDefs.scratchDir("graft-stream-docs-stage")
+        docs.filter($"doc_id" > lo && $"doc_id" <= hi)
+          .repartition(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dest = src.resolve(f"batch$i%d.parquet")
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 30000 + i * 10000))
+        lo = hi
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      val bands = graft.llm.Dedup.bandKeys(stream).as[(Long, Int, String)]
+      val flagged = bands
+        .groupByKey { case (_, b, k) => s"$b|$k" }
+        .flatMapGroupsWithState[Long, (Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (_, rows, state: GroupState[Long]) =>
+            // owner(bucket) = smallest doc_id seen in any prior batch or
+            // earlier in this batch; a doc with owner < doc_id is a dup
+            val ids = rows.map(_._1).toArray.sorted
+            var owner = state.getOption.getOrElse(Long.MaxValue)
+            val out = Seq.newBuilder[(Long, Long)]
+            ids.foreach { id =>
+              if (owner < id) out += ((id, owner))
+              if (id < owner) owner = id
+            }
+            state.update(owner)
+            out.result().iterator
+        }.toDF("doc_id", "cand")
+      runToMemory(flagged, "append")
+        .groupBy($"doc_id").agg(min($"cand").as("dup_of"))
+        .orderBy($"doc_id")
+    }, Some(s"""
+      WITH ${graft.llm.Dedup.duckBandsCte}
+      SELECT a.doc_id AS doc_id, MIN(c.doc_id) AS dup_of
+      FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey AND c.doc_id < a.doc_id
+      GROUP BY a.doc_id ORDER BY doc_id"""))
   )
 }
