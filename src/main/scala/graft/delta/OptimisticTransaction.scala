@@ -148,7 +148,11 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       (if (rtEnabled) Set(RowTracking.FeatureName, RowTracking.DomainFeatureName)
        else Set.empty[String]) ++
         (if (finalActions.exists(_.isInstanceOf[DomainMetadata]))
-          Set(RowTracking.DomainFeatureName) else Set.empty[String])
+          Set(RowTracking.DomainFeatureName) else Set.empty[String]) ++
+        // ICT (spec: writer feature `inCommitTimestamp`): a pre-feature
+        // writer must not commit without stamping the monotonic timestamp
+        (if (DeltaConfig.InCommitTimestamps.fromMetadata(metadata))
+          Set("inCommitTimestamp") else Set.empty[String])
     val rwFeatures = readerWriterFeatureRequirements
     if (wantedWriterFeatures.nonEmpty || rwFeatures.nonEmpty) {
       finalActions.collectFirst { case p: Protocol => p } match {
@@ -378,8 +382,9 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     val baseProto: Option[Protocol] =
       if (snapshot.version == -1) Some(Protocol()) else None
     val wantedWriterFeatures: Set[String] =
-      if (rtEnabled) Set(RowTracking.FeatureName, RowTracking.DomainFeatureName)
-      else Set.empty[String]
+      (if (rtEnabled) Set(RowTracking.FeatureName, RowTracking.DomainFeatureName)
+       else Set.empty[String]) ++
+        (if (ictEnabled) Set("inCommitTimestamp") else Set.empty[String])
     val protoActions: Seq[Action] =
       upgradedProtocol(baseProto.getOrElse(snapshot.protocol),
           wantedWriterFeatures, readerWriterFeatureRequirements)
@@ -434,14 +439,30 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
 
   /** Reader+writer features this commit's metadata requires: v2
     * checkpoints (a manifest-only checkpoint must not be mistaken for
-    * full state) and type widening (narrow physical files must not be
-    * read through the wrong schema by a pre-feature reader).
+    * full state), type widening (narrow physical files must not be
+    * read through the wrong schema by a pre-feature reader), and
+    * timestampNtz (spec: any TIMESTAMP_NTZ column in the schema — a
+    * pre-feature reader would misread wall-clock values as instants).
     */
   private def readerWriterFeatureRequirements: Set[String] =
     (if (DeltaConfig.CheckpointPolicy.fromMetadata(metadata) == "v2")
       Set("v2Checkpoint") else Set.empty[String]) ++
     (if (DeltaConfig.EnableTypeWidening.fromMetadata(metadata))
-      Set(TypeWidening.FeatureName) else Set.empty[String])
+      Set(TypeWidening.FeatureName) else Set.empty[String]) ++
+    (if (metadataOptSchemaHasNtz) Set("timestampNtz") else Set.empty[String])
+
+  private def metadataOptSchemaHasNtz: Boolean = {
+    import org.apache.spark.sql.types._
+    def hasNtz(dt: DataType): Boolean = dt match {
+      case _: TimestampNTZType => true
+      case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
+      case a: ArrayType => hasNtz(a.elementType)
+      case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
+      case _ => false
+    }
+    metadata.schemaString.nonEmpty && metadata.schemaString.contains("timestamp_ntz") &&
+      hasNtz(metadata.schema)
+  }
 
   /** cf. reference `trnx.go:603` checkForConflicts + `conflict_checker.go`.
     * Returns the latest winning version when compatible; throws otherwise.

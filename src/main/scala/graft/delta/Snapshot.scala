@@ -378,12 +378,13 @@ object Snapshot {
 
   val SupportedReaderFeatures: Set[String] =
     Set("columnMapping", "deletionVectors", "vacuumProtocolCheck",
-      "v2Checkpoint", "typeWidening")
+      "v2Checkpoint", "typeWidening", "timestampNtz")
   val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "generatedColumns", "columnMapping", "deletionVectors",
       "identityColumns", "vacuumProtocolCheck", "domainMetadata",
-      "rowTracking", "v2Checkpoint", "typeWidening")
+      "rowTracking", "v2Checkpoint", "typeWidening", "timestampNtz",
+      "inCommitTimestamp")
   final class InvalidProtocolVersionException(msg: String)
     extends RuntimeException(msg)
   /** Recursively nullable variant of a schema (StructType.asNullable is

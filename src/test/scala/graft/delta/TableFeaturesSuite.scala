@@ -308,4 +308,35 @@ class TableFeaturesSuite extends AnyFunSuite {
     // non-partition predicates are rejected, not silently full-table
     intercept[IllegalArgumentException](t.compact(col("id") > 0))
   }
+
+  // ------------------------------------------- protocol feature stamping
+
+  test("a TIMESTAMP_NTZ column stamps the timestampNtz reader+writer feature") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    t.write(Seq((1L, java.time.LocalDateTime.of(2026, 8, 14, 12, 0)))
+      .toDF("id", "wall_ts"))
+    val p = t.snapshot.protocol
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7,
+      s"NTZ requires the table-features protocol, got $p")
+    assert(p.readerFeatures.exists(_.contains("timestampNtz")))
+    assert(p.writerFeatures.exists(_.contains("timestampNtz")))
+    // values survive the feature-gated roundtrip unshifted
+    assert(t.toDF.select($"wall_ts".cast("string")).as[String].collect().toSeq ==
+      Seq("2026-08-14 12:00:00"))
+  }
+
+  test("enabling ICT stamps the inCommitTimestamp writer feature") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    t.write(Seq((1L, "a")).toDF("id", "name"))
+    assert(!t.snapshot.protocol.writerFeatures.exists(_.contains("inCommitTimestamp")))
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(txn.metadata.copy(configuration = txn.metadata.configuration +
+      ("delta.enableInCommitTimestamps" -> "true")))
+    txn.commit(Nil, Op.SetTableProperties)
+    val p = t.deltaLog.update().protocol
+    assert(p.minWriterVersion == 7 &&
+      p.writerFeatures.exists(_.contains("inCommitTimestamp")), s"got $p")
+  }
 }
