@@ -372,7 +372,10 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // generate before the check and stage their advanced high-water
     // marks for the commit (after the branches below, which may stage a
     // merged schema of their own — the marks are patched on top)
-    val completed = if (exists) GeneratedColumns.complete(df, txn.metadata) else df
+    val completed =
+      if (exists)
+        ColumnDefaults.complete(GeneratedColumns.complete(df, txn.metadata), txn.metadata)
+      else df
     val (data0, idMarks) =
       if (exists) IdentityColumns.assign(completed, txn.metadata)
       else (completed, Map.empty[String, org.apache.spark.sql.types.Metadata])
@@ -432,6 +435,13 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           throw new IllegalArgumentException(
             s"mergeSchema append is missing table columns: ${missing.map(_.name).mkString(", ")}")
         if (newCols.nonEmpty) {
+          // a default on an evolution-added column would need a read-time
+          // EXISTS_DEFAULT fill for pre-existing files; refuse loudly
+          newCols.find(_.metadata.contains(ColumnDefaults.CurrentKey)).foreach { f =>
+            throw new IllegalArgumentException(
+              s"cannot add column ${f.name} with a DEFAULT via schema evolution; " +
+                "add the column first, then DeltaTable.setColumnDefault")
+          }
           // under column mapping, new columns get fresh physical ids so a
           // re-added name can never resurrect dropped parquet data
           var mx = ColumnMapping.maxId(existing)
@@ -1399,6 +1409,55 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * inside its own write pass (see [[Constraints.enforce]]). Bumps the
     * writer protocol to v3, per the Delta constraints spec.
     */
+  /** ALTER COLUMN ... SET DEFAULT: attaches `CURRENT_DEFAULT` metadata to
+    * an EXISTING column ([[ColumnDefaults]]; writer feature
+    * `allowColumnDefaults` is stamped by the commit). Affects only future
+    * writes that omit the column — live files already materialize it (or
+    * null-fill if the column predates them), so no read-time fill is
+    * needed. The expression must analyze against a rowless plan now, not
+    * fail at the next write.
+    */
+  def setColumnDefault(name: String, defaultSql: String): Long = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    val txn = deltaLog.startTransaction()
+    require(txn.snapshot.metadataOpt.isDefined, "table does not exist")
+    val md = txn.metadata
+    val schema = md.schema
+    require(schema.fieldNames.contains(name), s"no such column: $name")
+    // analysis-only validation (no evaluation: CURRENT_DATE-style
+    // defaults must evaluate at write time, not now)
+    spark.range(1).select(expr(defaultSql).cast(schema(name).dataType)).schema
+    val updated = StructType(schema.fields.map { f =>
+      if (f.name == name)
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putString(ColumnDefaults.CurrentKey, defaultSql).build())
+      else f
+    })
+    txn.updateMetadata(md.copy(schemaString = updated.json))
+    txn.commit(Nil, Op.ChangeColumn,
+      operationParameters = Map("column" -> name, "default" -> defaultSql))
+  }
+
+  /** ALTER COLUMN ... DROP DEFAULT (future writes must supply the column
+    * again; a no-op when no default is declared).
+    */
+  def dropColumnDefault(name: String): Long = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    val txn = deltaLog.startTransaction()
+    require(txn.snapshot.metadataOpt.isDefined, "table does not exist")
+    val md = txn.metadata
+    val updated = StructType(md.schema.fields.map { f =>
+      if (f.name == name && f.metadata.contains(ColumnDefaults.CurrentKey)) {
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+        mb.remove(ColumnDefaults.CurrentKey)
+        f.copy(metadata = mb.build())
+      } else f
+    })
+    txn.updateMetadata(md.copy(schemaString = updated.json))
+    txn.commit(Nil, Op.ChangeColumn, operationParameters = Map("column" -> name))
+  }
+
   def addConstraint(name: String, expression: String): Long = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     val txn = deltaLog.startTransaction()

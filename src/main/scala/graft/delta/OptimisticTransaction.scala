@@ -152,7 +152,11 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
         // ICT (spec: writer feature `inCommitTimestamp`): a pre-feature
         // writer must not commit without stamping the monotonic timestamp
         (if (DeltaConfig.InCommitTimestamps.fromMetadata(metadata))
-          Set("inCommitTimestamp") else Set.empty[String])
+          Set("inCommitTimestamp") else Set.empty[String]) ++
+        // column defaults (spec: writer feature `allowColumnDefaults`):
+        // a pre-feature writer would silently drop the fill obligation
+        (if (ColumnDefaults.defaults(metadata).nonEmpty)
+          Set(ColumnDefaults.FeatureName) else Set.empty[String])
     val rwFeatures = readerWriterFeatureRequirements
     if (wantedWriterFeatures.nonEmpty || rwFeatures.nonEmpty) {
       finalActions.collectFirst { case p: Protocol => p } match {
@@ -384,7 +388,9 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     val wantedWriterFeatures: Set[String] =
       (if (rtEnabled) Set(RowTracking.FeatureName, RowTracking.DomainFeatureName)
        else Set.empty[String]) ++
-        (if (ictEnabled) Set("inCommitTimestamp") else Set.empty[String])
+        (if (ictEnabled) Set("inCommitTimestamp") else Set.empty[String]) ++
+        (if (ColumnDefaults.defaults(metadata).nonEmpty)
+          Set(ColumnDefaults.FeatureName) else Set.empty[String])
     val protoActions: Seq[Action] =
       upgradedProtocol(baseProto.getOrElse(snapshot.protocol),
           wantedWriterFeatures, readerWriterFeatureRequirements)

@@ -384,7 +384,7 @@ object Snapshot {
       "generatedColumns", "columnMapping", "deletionVectors",
       "identityColumns", "vacuumProtocolCheck", "domainMetadata",
       "rowTracking", "v2Checkpoint", "typeWidening", "timestampNtz",
-      "inCommitTimestamp")
+      "inCommitTimestamp", "allowColumnDefaults")
   final class InvalidProtocolVersionException(msg: String)
     extends RuntimeException(msg)
   /** Recursively nullable variant of a schema (StructType.asNullable is

@@ -220,6 +220,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case AddColumnsRe(target, cols) =>
         Some(GraftAddColumnsCommand(parseTarget(target),
           delegate.parseTableSchema(cols)))
+      case SetDefaultRe(target, colName, default) =>
+        Some(GraftSetDefaultCommand(parseTarget(target), colName, Some(default.trim)))
+      case DropDefaultRe(target, colName) =>
+        Some(GraftSetDefaultCommand(parseTarget(target), colName, None))
       case RenameColumnRe(target, from, to) =>
         Some(GraftRenameColumnCommand(parseTarget(target), from, to))
       case DropColumnRe(target, colName) =>
@@ -298,6 +302,10 @@ object GraftSqlParser {
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)""".r
   private[sql] val DropColumnRe =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+DROP\\s+COLUMN\\s+(?!IF\\b)(\\w+)""".r
+  private[sql] val SetDefaultRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SET\\s+DEFAULT\\s+(.+)""".r
+  private[sql] val DropDefaultRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+DROP\\s+DEFAULT""".r
   private[sql] val SetPropsRe =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)""".r
   private[sql] val UnsetPropsRe =
@@ -464,6 +472,25 @@ case class GraftDropColumnCommand(target: SqlTarget, colName: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
     val v = t.dropColumn(colName)
+    SqlTarget.refresh(spark, target)
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c SET DEFAULT expr` / `DROP DEFAULT` —
+  * column defaults ([[graft.delta.ColumnDefaults]]; writer feature
+  * `allowColumnDefaults`): future writes omitting the column fill from
+  * the expression; supplied values always win.
+  */
+case class GraftSetDefaultCommand(target: SqlTarget, colName: String,
+    default: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    val v = default match {
+      case Some(d) => t.setColumnDefault(colName, d)
+      case None => t.dropColumnDefault(colName)
+    }
     SqlTarget.refresh(spark, target)
     Seq(Row(v))
   }

@@ -326,6 +326,55 @@ class TableFeaturesSuite extends AnyFunSuite {
       Seq("2026-08-14 12:00:00"))
   }
 
+  // ------------------------------------------------------ column defaults
+
+  test("omitted defaulted column is filled; supplied values win; feature stamped") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val t = DeltaTable.forPath(spark, tmp())
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      ColumnDefaults.field("tier", StringType, "'standard'")))
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(schemaString = schema.json))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(Seq(1L, 2L).toDF("id"))                       // omits tier -> default
+    t.write(Seq((3L, "gold")).toDF("id", "tier"))         // supplies tier -> wins
+    val got = t.toDF.orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "standard"), (2L, "standard"), (3L, "gold")))
+    val p = t.snapshot.protocol
+    assert(p.minWriterVersion == 7 &&
+      p.writerFeatures.exists(_.contains("allowColumnDefaults")), s"got $p")
+  }
+
+  test("setColumnDefault affects future writes only; dropColumnDefault re-requires the column") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    t.write(Seq((1L, "a")).toDF("id", "name"))
+    intercept[IllegalArgumentException](t.setColumnDefault("nope", "'x'"))
+    t.setColumnDefault("name", "concat('anon-', id)")
+    t.write(Seq(7L).toDF("id"))
+    assert(t.toDF.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (7L, "anon-7")))
+    t.dropColumnDefault("name")
+    intercept[IllegalArgumentException](t.write(Seq(8L).toDF("id")))
+  }
+
+  test("a DEFAULT on an evolution-added column is refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType}
+    val t = DeltaTable.forPath(spark, tmp())
+    t.write(Seq((1L, "a")).toDF("id", "name"))
+    val withDefault = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(2L, "b", 9))),
+      org.apache.spark.sql.types.StructType(t.snapshot.metadata.schema.fields :+
+        ColumnDefaults.field("prio", IntegerType, "0")))
+    val e = intercept[IllegalArgumentException] {
+      t.write(withDefault, SaveMode.Append, mergeSchema = true)
+    }
+    assert(e.getMessage.contains("schema evolution"))
+  }
+
   test("enabling ICT stamps the inCommitTimestamp writer feature") {
     import spark.implicits._
     val t = DeltaTable.forPath(spark, tmp())

@@ -290,6 +290,20 @@ class SqlSurfaceSuite extends AnyFunSuite {
     spark.sql(s"ALTER TABLE graft.`$dir` DROP CONSTRAINT IF EXISTS nope")
   }
 
+  test("ALTER COLUMN SET DEFAULT / DROP DEFAULT drive column defaults via SQL") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "name").write.format("graft-delta").save(dir)
+    val t = DeltaTable.forPath(spark, dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN name SET DEFAULT concat('anon-', id)")
+    t.write(Seq(5L).toDF("id"))
+    assert(t.toDF.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (5L, "anon-5")))
+    assert(t.snapshot.protocol.writerFeatures.exists(_.contains("allowColumnDefaults")))
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN name DROP DEFAULT")
+    intercept[IllegalArgumentException](t.write(Seq(6L).toDF("id")))
+  }
+
   test("SHOW PARTITIONS answers from the log, including null partitions") {
     import spark.implicits._
     val dir = tmp()
