@@ -608,6 +608,98 @@ object Relational {
         CAST(ntile(4) OVER w AS INTEGER) AS quartile
       FROM orders WHERE o_custkey % 50 = 0
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-      ORDER BY o_custkey, o_orderkey"""))
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // B28 ---------------------------------------------------------------
+    // Statistical aggregates from exact integer moments. Spark's
+    // stddev/corr aggregates accumulate doubles in partition order, so
+    // their low bits differ run-to-run and engine-to-engine; here the
+    // five moments (n, Σx, Σy, Σx², Σy², Σxy) are summed as EXACT
+    // integers (per-row products fit a long; the sums go through
+    // decimal(38,0) ≡ DuckDB HUGEINT, so no overflow at any corpus
+    // size), and mean/stddev/corr come out of ONE closed-form double
+    // formula evaluated in a fixed operation order — bit-identical on
+    // both engines and associativity-proof at 100 TB. One partial-agg
+    // shuffle on the group key; everything else is per-row expression.
+    GQ("q_stats_moments", (s, d) => {
+      import s.implicits._
+      val q = $"l_quantity".cast("long")
+      val p = cents($"l_extendedprice")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val agg = table(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(q)).as("sq"), sum(dec(p)).as("sp"),
+          sum(dec(q * q)).as("sqq"), sum(dec(p * p)).as("spp"),
+          sum(dec(q * p)).as("sqp"))
+      val nD = $"n".cast("double")
+      def D(name: String) = col(name).cast("double")
+      agg.select($"l_returnflag", $"n",
+          (D("sq") / nD).as("mean_qty"),
+          sqrt((nD * D("sqq") - D("sq") * D("sq")) / (nD * (nD - lit(1.0))))
+            .as("stddev_qty"),
+          ((nD * D("sqp") - D("sq") * D("sp")) /
+            (sqrt(nD * D("sqq") - D("sq") * D("sq")) *
+              sqrt(nD * D("spp") - D("sp") * D("sp")))).as("corr_qty_price"))
+        .orderBy($"l_returnflag")
+    }, Some(s"""
+      WITH m AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sq,
+          SUM(CAST($PC AS HUGEINT)) AS sp,
+          SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sqq,
+          SUM(CAST($PC * $PC AS HUGEINT)) AS spp,
+          SUM(CAST(CAST(l_quantity AS BIGINT) * $PC AS HUGEINT)) AS sqp
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+        sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+            - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty,
+        (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+            - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+          / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+              - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS corr_qty_price
+      FROM m ORDER BY l_returnflag""")),
+
+    // B29 ---------------------------------------------------------------
+    // Time-series gap fill: per event_type hourly counts densified over
+    // the type's [min, max] hour span, absent buckets zero-filled — the
+    // densification step every dashboard / anomaly detector needs before
+    // window math. Scale shape: the grid explodes from a TYPE-sized
+    // aggregate (types × hours, never rows × anything) and the left join
+    // runs bucket-grained on (type, hour) — both sides are already
+    // reduced, so the raw event volume touches only the one partial-agg
+    // shuffle that built the buckets.
+    GQ("q_gap_fill", (s, d) => {
+      import s.implicits._
+      val ev = events(s, d).withColumn("hr", date_trunc("hour", $"ts"))
+      val actual = ev.groupBy($"event_type", $"hr")
+        .agg(count(lit(1)).as("n"),
+          centsToDouble(sum(cents($"value"))).as("sum_value"))
+      val grid = ev.groupBy($"event_type")
+        .agg(min($"hr").as("h0"), max($"hr").as("h1"))
+        .select($"event_type",
+          explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("hr"))
+      grid.join(actual, Seq("event_type", "hr"), "left")
+        .select($"event_type", $"hr",
+          coalesce($"n", lit(0L)).as("n"),
+          coalesce($"sum_value", lit(0.0)).as("sum_value"))
+        .orderBy($"event_type", $"hr")
+    }, Some("""
+      WITH e AS (SELECT event_type,
+          date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, value FROM events),
+      a AS (SELECT event_type, hr, COUNT(*) AS n,
+          CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+        FROM e GROUP BY 1, 2),
+      s AS (SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM e GROUP BY 1),
+      g AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        FROM s)
+      SELECT g.event_type, g.hr, CAST(COALESCE(n, 0) AS BIGINT) AS n,
+        COALESCE(sum_value, 0.0) AS sum_value
+      FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.hr = a.hr
+      ORDER BY 1, 2"""))
   )
 }
