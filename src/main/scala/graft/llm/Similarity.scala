@@ -824,6 +824,43 @@ object Similarity {
           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
         FROM rer)
       WHERE rn <= $K ORDER BY q_id, rank""")
-    })
+    }),
+
+    // C47 ---------------------------------------------------------------
+    // Cluster profiling: the corpus-composition report driving
+    // cluster-level curation (DCLM / SemDeDup practice — inspect each
+    // embedding cluster's size, language spread and length profile, then
+    // up/down-weight whole clusters). Cells come from the SAME trained
+    // quantizer as ann_ivf_trained; documents join their vectors on
+    // doc_id = vec_id. Scale shape: assignment is the broadcast-centroid
+    // map-only fold, the doc↔vector join is id-keyed (metadata columns
+    // only — text never moves), and the profile aggregate is cell-grained.
+    GQ("cluster_profile", (s, d) => {
+      import s.implicits._
+      val v = normed(s, d).persist()
+      val cents = trainLloyd2(s, v)
+      val withCell = assignByCentroids(v, cents).select($"vec_id", $"cell")
+      val docs = table(s, d, "documents")
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+      val out = docs.join(withCell, docs("doc_id") === withCell("vec_id"))
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"lang").as("n_langs"),
+          countDistinct($"source").as("n_sources"),
+          sum($"n_chars").as("sum_chars"),
+          (sum($"n_chars").cast("double") / count(lit(1)).cast("double")).as("avg_chars"))
+        .orderBy($"cell")
+      v.unpersist()
+      out
+    }, Some(s"""
+      WITH n AS ($duckNormed),
+      $trainedCtes
+      SELECT cell, COUNT(*) AS n_docs,
+        COUNT(DISTINCT lang) AS n_langs,
+        COUNT(DISTINCT source) AS n_sources,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(n_chars) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS avg_chars
+      FROM a2 JOIN documents d ON d.doc_id = a2.vec_id
+      GROUP BY cell ORDER BY cell"""))
   )
 }

@@ -387,6 +387,93 @@ object TextOps {
               FROM tok JOIN vocab USING (token) GROUP BY doc_id)
       SELECT doc_id, n_tokens, n_rare,
         CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rare_ratio
-      FROM per WHERE doc_id % 20 = 0 ORDER BY doc_id"""))
+      FROM per WHERE doc_id % 20 = 0 ORDER BY doc_id""")),
+
+    // C45 ---------------------------------------------------------------
+    // Prefix dedup: crawl pipelines drop documents sharing the same
+    // leading content (boilerplate headers, mirrored articles with
+    // differing tails) that exact-hash dedup misses. Fingerprint = md5 of
+    // the first 16 tokens; keeper = smallest doc_id per fingerprint.
+    // Scale shape: the fingerprint is per-row map work, the group table
+    // is one partial-agg shuffle on the 16-byte key, and the verdict
+    // join back is keyed on the same fingerprint — id-sized rows only,
+    // never the text.
+    GQ("dedup_prefix", (s, d) => {
+      import s.implicits._
+      val fp = table(s, d, "documents")
+        .withColumn("pfx", md5(concat_ws(" ", slice(tokens($"text"), 1, 16))))
+        .select($"doc_id", $"pfx")
+      val groups = fp.groupBy($"pfx")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      fp.join(groups, "pfx")
+        .select($"doc_id",
+          ($"doc_id" === $"keep_id").as("keep"),
+          when($"doc_id" === $"keep_id", lit(null).cast("long"))
+            .otherwise($"keep_id").as("dup_of"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH fp AS (
+        SELECT doc_id,
+          md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[1:16], ' ')) AS pfx
+        FROM documents),
+      g AS (SELECT pfx, MIN(doc_id) AS keep_id FROM fp GROUP BY pfx)
+      SELECT fp.doc_id, fp.doc_id = g.keep_id AS keep,
+        CASE WHEN fp.doc_id = g.keep_id THEN NULL ELSE g.keep_id END AS dup_of
+      FROM fp JOIN g USING (pfx)
+      ORDER BY fp.doc_id""")),
+
+    // C46 ---------------------------------------------------------------
+    // Exact quality deciles WITHOUT a global sort: a per-row integer
+    // quality score (lexical diversity + stopword density, both as exact
+    // integer-division ratios) is reduced to a score-grained histogram
+    // (bounded at 2001 rows regardless of corpus size), the cumulative
+    // distribution and VALUE-BASED decile boundaries come from a window
+    // over that tiny histogram, and documents pick up their decile by a
+    // broadcast join on the score. Equal scores always share a decile,
+    // so the split is deterministic at any parallelism — the property
+    // ntile() (row-order tie-splitting over one giant sorted partition)
+    // cannot give at 100 TB.
+    GQ("quality_deciles", (s, d) => {
+      import s.implicits._
+      val stopArr = array(Stop.map(lit): _*)
+      val scored = table(s, d, "documents")
+        .withColumn("t", tokens($"text"))
+        .withColumn("n_tok", greatest(size($"t"), lit(1)).cast("long"))
+        .withColumn("n_dist", size(array_distinct($"t")).cast("long"))
+        .withColumn("n_stop",
+          size(filter($"t", x => array_contains(stopArr, x))).cast("long"))
+        .withColumn("score",
+          expr("n_dist * 1000 div n_tok") + expr("n_stop * 1000 div n_tok"))
+        .select($"doc_id", $"score")
+      val hist = scored.groupBy($"score").agg(count(lit(1)).as("c"))
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.orderBy($"score").rowsBetween(W.unboundedPreceding, W.currentRow)
+      val total = hist.agg(sum($"c")).head().getLong(0)
+      val deciles = hist
+        .withColumn("cum", sum($"c").over(w))
+        .withColumn("decile", expr(s"(cum * 10 + ${total - 1}) div ${total}L"))
+        .select($"score", $"decile")
+      scored.join(broadcast(deciles), "score")
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"score").as("min_score"), max($"score").as("max_score"))
+        .orderBy($"decile")
+    }, Some(s"""
+      WITH scored AS (
+        SELECT doc_id,
+          CAST(len(list_distinct(t)) * 1000 // greatest(len(t), 1) AS BIGINT) +
+          CAST(len(list_filter(t, x -> x IN $StopSql)) * 1000 // greatest(len(t), 1) AS BIGINT) AS score
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents)),
+      hist AS (SELECT score, COUNT(*) AS c FROM scored GROUP BY score),
+      tot AS (SELECT SUM(c) AS total FROM hist),
+      dec AS (SELECT score,
+          CAST((SUM(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) * 10
+            + total - 1) // total AS BIGINT) AS decile
+        FROM hist, tot)
+      SELECT decile, COUNT(*) AS n_docs,
+        MIN(score) AS min_score, MAX(score) AS max_score
+      FROM scored JOIN dec USING (score)
+      GROUP BY decile ORDER BY decile"""))
   )
 }

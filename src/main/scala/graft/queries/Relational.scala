@@ -700,6 +700,148 @@ object Relational {
       SELECT g.event_type, g.hr, CAST(COALESCE(n, 0) AS BIGINT) AS n,
         COALESCE(sum_value, 0.0) AS sum_value
       FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.hr = a.hr
-      ORDER BY 1, 2"""))
+      ORDER BY 1, 2""")),
+
+    // B30 ---------------------------------------------------------------
+    // UNPIVOT (wide → long): per-returnflag measure columns melted into
+    // (measure, value) rows — the reshaping step feeding any generic
+    // metric store / plotting layer. Spark's native unpivot is an Expand
+    // node over the already-aggregated frame, so the melt itself touches
+    // FLAG-sized data (6 rows × 3 measures), never the raw scan; the one
+    // shuffle is the partial aggregation that built the wide frame.
+    GQ("q_unpivot", (s, d) => {
+      import s.implicits._
+      val wide = table(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          centsToDouble(sum(cents($"l_quantity"))).as("qty"),
+          centsToDouble(sum(cents($"l_extendedprice"))).as("price"),
+          centsToDouble(sum(cents($"l_discount"))).as("disc"))
+      wide.unpivot(
+          Array($"l_returnflag"),
+          Array($"qty", $"price", $"disc"),
+          "measure", "value")
+        .orderBy($"l_returnflag", $"measure")
+    }, Some(s"""
+      WITH a AS (
+        SELECT l_returnflag,
+          CAST(SUM($QC) AS DOUBLE)/100.0 AS qty,
+          CAST(SUM($PC) AS DOUBLE)/100.0 AS price,
+          CAST(SUM($DC) AS DOUBLE)/100.0 AS disc
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, 'qty' AS measure, qty AS value FROM a
+      UNION ALL SELECT l_returnflag, 'price', price FROM a
+      UNION ALL SELECT l_returnflag, 'disc', disc FROM a
+      ORDER BY 1, 2""")),
+
+    // B31 ---------------------------------------------------------------
+    // Semi-structured extraction: events.props is a JSON string; parse it
+    // with a TYPED from_json schema (codegen'd Jackson, no UDF) and
+    // aggregate the extracted field per event_type. The parse is per-row
+    // map work that scales embarrassingly; the single shuffle is the
+    // partial-agg on event_type. Oracle extracts the same field with
+    // DuckDB's JSON operators — integer values, so the hash comparison is
+    // exact with no float formatting concerns.
+    GQ("q_json_extract", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("k", LongType)))
+      events(s, d)
+        .withColumn("k", from_json($"props", schema).getField("k"))
+        .filter($"k".isNotNull)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"k").as("sum_k"),
+          min($"k").as("min_k"),
+          max($"k").as("max_k"),
+          (sum($"k").cast("double") / count(lit(1)).cast("double")).as("avg_k"))
+        .orderBy($"event_type")
+    }, Some("""
+      SELECT event_type, COUNT(*) AS n,
+        SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+        CAST(SUM(k) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_k
+      FROM (SELECT event_type,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events)
+      WHERE k IS NOT NULL
+      GROUP BY event_type ORDER BY event_type""")),
+
+    // B32 ---------------------------------------------------------------
+    // Banded range join: orders priced into IRREGULAR price bands (a
+    // geometric ladder, so no equi-bucketing rewrite applies) via a
+    // non-equi lo <= p < hi join. The band table is O(1) rows and
+    // explicitly broadcast, so the plan is a BroadcastNestedLoopJoin
+    // that stays map-only over the fact scan — the shape that survives
+    // 100× data (each row tests ≤10 bands; nothing shuffles but the
+    // final band-grained aggregation).
+    GQ("q_range_join", (s, d) => {
+      import s.implicits._
+      val edges = Seq(0L, 5000L, 12000L, 25000L, 45000L, 80000L,
+        130000L, 200000L, 300000L, 1000000L)
+      val bands = edges.zip(edges.tail).zipWithIndex
+        .map { case ((lo, hi), i) => (i, lo * 100, hi * 100) }
+        .toDF("band", "lo_c", "hi_c")
+      table(s, d, "orders")
+        .withColumn("p_c", cents($"o_totalprice"))
+        .join(broadcast(bands), $"p_c" >= $"lo_c" && $"p_c" < $"hi_c")
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n"),
+          centsToDouble(sum($"p_c")).as("sum_price"),
+          countDistinct($"o_custkey").as("n_cust"))
+        .orderBy($"band")
+    }, Some(s"""
+      WITH bands AS (
+        SELECT CAST(band AS INTEGER) AS band,
+          CAST(lo*100 AS BIGINT) AS lo_c, CAST(hi*100 AS BIGINT) AS hi_c
+        FROM (VALUES (0,0,5000),(1,5000,12000),(2,12000,25000),
+          (3,25000,45000),(4,45000,80000),(5,80000,130000),
+          (6,130000,200000),(7,200000,300000),(8,300000,1000000))
+          t(band, lo, hi))
+      SELECT band, COUNT(*) AS n,
+        CAST(SUM($OC) AS DOUBLE)/100.0 AS sum_price,
+        COUNT(DISTINCT o_custkey) AS n_cust
+      FROM orders JOIN bands
+        ON $OC >= lo_c AND $OC < hi_c
+      GROUP BY band ORDER BY band""")),
+
+    // B33 ---------------------------------------------------------------
+    // Recursive CTE (Spark 4's UnionLoop): variable-depth graph walk — a
+    // binary tree over part keys (parent = key DIV 2) traversed from the
+    // root, profiling each level. Iteration count is the tree DEPTH
+    // (log₂ N — 14 iterations at 20k keys, 27 at 100M), and each step is
+    // one distributed join of the frontier against the key column, so
+    // the walk scales with the frontier, never materializing paths. The
+    // canonical shape for org charts / BOM explosions / lineage closures
+    // that fixed-depth self-joins cannot express.
+    GQ("q_recursive", (s, d) => {
+      table(s, d, "part").createOrReplaceTempView("part_b33")
+      s.sql(s"""
+        WITH RECURSIVE walk AS (
+          SELECT p_partkey AS k, 0 AS depth,
+            CAST(round(p_retailprice*100) AS BIGINT) AS pc
+          FROM part_b33 WHERE p_partkey = 1
+          UNION ALL
+          SELECT p.p_partkey, w.depth + 1,
+            CAST(round(p.p_retailprice*100) AS BIGINT)
+          FROM part_b33 p JOIN walk w
+            ON p.p_partkey DIV 2 = w.k AND p.p_partkey > 1
+        )
+        SELECT depth, COUNT(*) AS n,
+          CAST(SUM(pc) AS DOUBLE)/100.0 AS sum_price
+        FROM walk GROUP BY depth ORDER BY depth""")
+    }, Some("""
+      WITH RECURSIVE walk AS (
+        SELECT p_partkey AS k, 0 AS depth,
+          CAST(round(p_retailprice*100) AS BIGINT) AS pc
+        FROM part WHERE p_partkey = 1
+        UNION ALL
+        SELECT p.p_partkey, w.depth + 1,
+          CAST(round(p.p_retailprice*100) AS BIGINT)
+        FROM part p JOIN walk w
+          ON p.p_partkey // 2 = w.k AND p.p_partkey > 1
+      )
+      SELECT depth, COUNT(*) AS n,
+        CAST(SUM(pc) AS DOUBLE)/100.0 AS sum_price
+      FROM walk GROUP BY depth ORDER BY depth"""))
   )
 }

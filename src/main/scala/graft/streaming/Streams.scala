@@ -389,6 +389,71 @@ object Streams {
       WITH ${graft.llm.Dedup.duckBandsCte}
       SELECT a.doc_id AS doc_id, MIN(c.doc_id) AS dup_of
       FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey AND c.doc_id < a.doc_id
-      GROUP BY a.doc_id ORDER BY doc_id"""))
+      GROUP BY a.doc_id ORDER BY doc_id""")),
+
+    // D13: watermark LATE-DATA DROP — the semantics that make unbounded
+    // streaming aggregation finite: rows arriving after the watermark has
+    // closed their window are discarded, and closed windows are emitted
+    // exactly once. The source is split into three mtime-ordered files
+    // (maxFilesPerTrigger=1 → three micro-batches): the newest 36 h of
+    // events, then the 36–72 h band, then everything older (the LATE
+    // batch). Spark ≥3.4 runs TWO watermarks — the late-record filter
+    // uses the watermark as of two batches back while eviction uses the
+    // previous batch's (StateStoreSave carries both) — so the late file
+    // must arrive at batch 2, where the filter watermark is already
+    // max(ts) - 24 h from batch 0's stats and every late row sits in a
+    // window closed >47 h earlier: all are dropped (batch 0 holds the
+    // global max BY CONSTRUCTION, making the filter bound deterministic,
+    // not sample-dependent). The final result is the on-time (72 h)
+    // subset's hourly aggregate restricted to windows whose end precedes
+    // the watermark; the oracle replays exactly that rule in batch SQL
+    // (watermark in Spark's ms granularity; max(ts) is never a whole
+    // hour, so no window end can tie the watermark and the <=/< boundary
+    // is unambiguous). At 100 TB this is THE state-bound guarantee:
+    // state holds only open windows, late stragglers cost zero state.
+    GQ("stream_late_drop", (s, d) => {
+      import s.implicits._
+      val typed = QueryDefs.events(s, d)
+      val mxUs = typed.agg(max(unix_micros($"ts"))).head().getLong(0)
+      def tsAt(us: Long) = timestamp_micros(lit(us))
+      val cut36 = mxUs - 36L * 3600 * 1000000
+      val cut72 = mxUs - 72L * 3600 * 1000000
+      val src = QueryDefs.scratchDir("graft-late-src")
+      Seq(($"ts" > tsAt(cut36), 0),
+          ($"ts" > tsAt(cut72) && $"ts" <= tsAt(cut36), 1),
+          ($"ts" <= tsAt(cut72), 2)).foreach { case (pred, i) =>
+        val stage = QueryDefs.scratchDir("graft-late-stage")
+        typed.filter(pred).repartition(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dest = src.resolve(s"batch$i.parquet")
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 30000 + i * 10000))
+      }
+      val stream = s.readStream.schema(typed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+        .withWatermark("ts", "24 hours")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents($"value")).cast("double") / lit(100.0)).as("sum_value"))
+      runToMemory(stream, "append")
+        .select($"window.start".as("win_start"), $"event_type", $"n", $"sum_value")
+        .orderBy($"win_start", $"event_type")
+    }, Some("""
+      WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      c AS (SELECT MAX(epoch_us(ts)) AS mx_us FROM e),
+      ot AS (SELECT e.* FROM e, c
+             WHERE epoch_us(ts) > mx_us - CAST(72*3600 AS BIGINT)*1000000),
+      a AS (SELECT date_trunc('hour', ts) AS win_start, event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+            FROM ot GROUP BY 1, 2)
+      SELECT win_start, event_type, n, sum_value
+      FROM a, c
+      WHERE epoch_us(win_start + INTERVAL 1 HOUR)
+        <= (mx_us // 1000) * 1000 - CAST(24*3600 AS BIGINT)*1000000
+      ORDER BY win_start, event_type"""))
   )
 }
