@@ -949,6 +949,73 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       (deletedSample ++ dvDeleted).take(reportLimit))
   }
 
+  /** VACUUM LITE — the log-driven sweep. The candidate set is the
+    * snapshot's reconciled tombstones past retention, NOT a filesystem
+    * listing: at 10^7 files the recursive object-store listing IS the
+    * cost of a full vacuum, while the tombstone set is O(removes
+    * retained in the log) and ships straight out of the checkpoint.
+    * Covers exactly the files the log knows it removed (a re-added path
+    * has an add as its newest action, so reconciliation excludes it);
+    * untracked orphans from crashed writers still need a periodic FULL
+    * [[vacuum]] — the standard LITE trade. Deletes run on executors with
+    * a bounded report, like the full sweep.
+    */
+  def vacuumLite(retentionMillis: Option[Long] = None,
+      dryRun: Boolean = false,
+      reportLimit: Int = 1000): VacuumResult = {
+    import spark.implicits._
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val fs = deltaLog.dataPath.getFileSystem(hadoopConf)
+    val s = snapshot
+    val retention = retentionMillis.getOrElse(
+      DeltaConfig.TombstoneRetention.fromMetadata(s.metadata))
+    val cutoff = deltaLog.clock.nowMillis - retention
+    val rootStr = fs.makeQualified(deltaLog.dataPath).toString
+    val serConf = new SerializableHadoopConf(hadoopConf)
+    val doDelete = !dryRun
+    val expired = s.tombstonesDF
+      .where($"deletionTimestamp".isNotNull && $"deletionTimestamp" <= cutoff)
+    val candidates = expired
+      .select($"path").as[String]
+      .map(p => FileNames.absolutePath(new Path(rootStr), p).toUri.getPath)
+    val perTask = candidates.mapPartitions { it =>
+      val f = new Path(rootStr).getFileSystem(serConf.value)
+      var n = 0L
+      val sample = Seq.newBuilder[String]
+      var sampled = 0
+      it.foreach { p =>
+        val path = new Path(p)
+        // a tombstone can outlive its file (earlier full vacuum);
+        // count only files that are really there / really deleted
+        val hit = if (doDelete) f.delete(path, false) else f.exists(path)
+        if (hit) {
+          n += 1
+          if (sampled < reportLimit) { sample += p; sampled += 1 }
+        }
+      }
+      Iterator.single((n, sample.result()))
+    }.collect()
+    val deletedCount = perTask.map(_._1).sum
+    val deletedSample = perTask.iterator.flatMap(_._2).take(reportLimit).toSeq
+
+    // DV sidecars are log-derived too: payload files referenced only by
+    // expired tombstone descriptors can go; a packed sidecar shared with
+    // any live descriptor stays (the referenced-set check)
+    val live = s.allFilesDS
+      .flatMap(f => DeletionVectors.descriptor(f).toSeq.map(DeletionVectors.fileName))
+      .collect().toSet
+    val dvDeleted = expired.as[RemoveFile]
+      .flatMap(r => Option(r.deletionVector).toSeq.map(DeletionVectors.fileName))
+      .collect().toSeq.distinct
+      .filter(n => n.nonEmpty && !live(n))
+      .map(n => new Path(new Path(deltaLog.dataPath, "_deletion_vectors"), n))
+      .filter(p => if (doDelete) fs.delete(p, false) else fs.exists(p))
+      .map(_.toUri.getPath)
+
+    VacuumResult(deletedCount + dvDeleted.size,
+      (deletedSample ++ dvDeleted).take(reportLimit))
+  }
+
   /** GENERATE symlink_format_manifest: one text manifest per partition
     * listing the snapshot's live data files as absolute URIs — the layout
     * Hive/Presto/Athena's `SymlinkTextInputFormat` consumes (delta-spark's

@@ -184,10 +184,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           parseTarget(target),
           Option(where).map(w => GraftShims.column(delegate.parseExpression(w))),
           Option(zorder).map(splitCols).getOrElse(Nil)))
-      case VacuumRe(target, hours, dry) =>
+      case VacuumRe(target, lite, hours, dry) =>
         Some(GraftVacuumCommand(parseTarget(target),
           Option(hours).map(h => (h.trim.toDouble * 3600 * 1000).toLong),
-          dryRun = dry != null))
+          dryRun = dry != null, lite = lite != null))
       case HistoryRe(target, limit) =>
         Some(GraftHistoryCommand(parseTarget(target),
           Option(limit).map(_.trim.toInt).getOrElse(Int.MaxValue)))
@@ -285,7 +285,7 @@ object GraftSqlParser {
   private[sql] val OptimizeRe =
     s"""(?is)OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s+(.+?))?""".r
   private[sql] val VacuumRe =
-    s"""(?is)VACUUM\\s+$T(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?""".r
+    s"""(?is)VACUUM\\s+$T(\\s+LITE)?(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?""".r
   private[sql] val HistoryRe =
     s"""(?is)DESC(?:RIBE)?\\s+HISTORY\\s+$T(?:\\s+LIMIT\\s+(\\d+))?""".r
   private[sql] val RestoreVersionRe =
@@ -524,13 +524,15 @@ case class GraftReorgCommand(target: SqlTarget) extends LeafRunnableCommand {
 
 case class GraftVacuumCommand(target: SqlTarget,
     retentionMillis: Option[Long],
-    dryRun: Boolean = false) extends LeafRunnableCommand {
+    dryRun: Boolean = false,
+    lite: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("deleted_count", LongType)(),
     AttributeReference("path", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
-    val r = t.vacuum(retentionMillis, dryRun)
+    val r = if (lite) t.vacuumLite(retentionMillis, dryRun)
+            else t.vacuum(retentionMillis, dryRun)
     // bounded: one row per sample path (count repeated), or a single
     // count row when nothing was deleted
     if (r.sample.isEmpty) Seq(Row(r.deletedCount, null))

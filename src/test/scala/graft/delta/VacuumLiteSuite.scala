@@ -1,0 +1,97 @@
+package graft.delta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VACUUM LITE: the log-driven sweep. The candidate set comes from the
+  * snapshot's reconciled tombstones, never a filesystem listing — so it
+  * must delete exactly the expired-removed files, leave live data and
+  * untracked orphans alone (orphans are FULL vacuum's job), and honor
+  * retention and DRY RUN like the full sweep.
+  */
+class VacuumLiteSuite extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.sql.GraftSparkExtension")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-vlite").toString
+
+  private def sampleDF = {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")).toDF("id", "name")
+  }
+
+  private def parquetCount(t: DeltaTable): Int = {
+    val fs = t.deltaLog.dataPath
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(t.deltaLog.dataPath)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  test("LITE deletes expired tombstones, keeps live files and orphans") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append) // v0
+    t.write(sampleDF.filter(col("id") === 1), SaveMode.Overwrite) // v1 tombstones v0
+    // an untracked orphan: LITE must NOT touch it (no listing, no log entry)
+    val orphan = new java.io.File(dir, "orphan-untracked.parquet")
+    orphan.createNewFile()
+    orphan.setLastModified(System.currentTimeMillis() - 86400000L)
+
+    val before = parquetCount(t)
+    // inside retention: nothing to do
+    assert(t.vacuumLite(Some(Long.MaxValue / 2)).deletedCount == 0)
+    assert(parquetCount(t) == before)
+    // dry run reports but deletes nothing
+    val dry = t.vacuumLite(Some(0L), dryRun = true)
+    assert(dry.deletedCount > 0 && dry.sample.nonEmpty)
+    assert(parquetCount(t) == before)
+    // real run: tombstoned files gone, live row readable, orphan intact
+    val res = t.vacuumLite(Some(0L))
+    assert(res.deletedCount == dry.deletedCount)
+    assert(parquetCount(t) < before)
+    assert(t.toDF.count() == 1)
+    assert(orphan.exists(), "LITE must leave untracked orphans to FULL vacuum")
+    intercept[Exception] { t.toDF(0).count() } // history physically gone
+  }
+
+  test("re-added path survives LITE (reconciliation excludes it)") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append) // v0
+    // v1: remove + re-add the same physical files in one commit
+    // (what OPTIMIZE-style rewrites do when content is unchanged)
+    val files = t.snapshot.allFiles
+    val txn = t.deltaLog.startTransaction()
+    val actions: Seq[Action] =
+      files.map(f => RemoveFile(f.path, Some(1L), dataChange = false)) ++
+        files.map(_.copy(dataChange = false))
+    txn.commit(actions, Op.Optimize)
+    val res = t.vacuumLite(Some(0L))
+    assert(res.deletedCount == 0, s"re-added files must survive: ${res.sample}")
+    assert(t.toDF.count() == sampleDF.count())
+  }
+
+  test("SQL: VACUUM ... LITE routes to the log-driven sweep") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append)
+    t.write(sampleDF.filter(col("id") === 2), SaveMode.Overwrite)
+    val orphan = new java.io.File(dir, "orphan-sql.parquet")
+    orphan.createNewFile()
+    orphan.setLastModified(System.currentTimeMillis() - 86400000L)
+    val rows = spark.sql(s"VACUUM graft.`$dir` LITE RETAIN 0 HOURS").collect()
+    assert(rows.nonEmpty && rows.head.getLong(0) > 0)
+    assert(orphan.exists(), "SQL LITE must skip orphans too")
+    assert(t.toDF.count() == 1)
+  }
+}
