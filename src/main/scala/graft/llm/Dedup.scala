@@ -498,6 +498,61 @@ object Dedup {
       SELECT n.doc_id, best.match_id IS NULL AS admitted, best.match_id, best.match_jaccard
       FROM (SELECT doc_id FROM documents WHERE source = 'src0') n
       LEFT JOIN best ON best.new_id = n.doc_id
-      ORDER BY n.doc_id"""))
+      ORDER BY n.doc_id""")),
+
+    // C48 ---------------------------------------------------------------
+    // Sketch-accuracy report: the MinHash ESTIMATE (matching signature
+    // positions / 16) against the EXACT Jaccard, per LSH candidate pair
+    // — the calibration every pipeline runs before trusting a sketch
+    // threshold at scale (how many verification joins can banding
+    // replace, and at what error). The comparison is unrolled positional
+    // equality over the 16-slot signatures (codegen'd; no interpreted
+    // array HOF), candidates come from the same band join as C2, and
+    // the only non-integer math is one division and one subtraction in
+    // fixed order on both engines.
+    GQ("minhash_accuracy", (s, d) => {
+      import s.implicits._
+      val docs = shingled(s, d)
+      val sig = docs.withColumn("sig", minhashSig($"sh"))
+      val bands = sig.select(
+        $"doc_id",
+        posexplode(array((0 until NumBands).map { b =>
+          concat_ws("|",
+            (0 until NumHashes / NumBands).map(r =>
+              element_at($"sig", b * (NumHashes / NumBands) + r + 1)): _*)
+        }: _*)).as(Seq("b", "bkey")))
+      val l = bands.select($"doc_id".as("doc_a"), $"b", $"bkey")
+      val r = bands.select($"doc_id".as("doc_b"), $"b", $"bkey")
+      val cand = l.join(r, Seq("b", "bkey")).filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b").distinct()
+      val matches = (1 to NumHashes).map(i =>
+        when(element_at($"siga", i) === element_at($"sigb", i), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(sig.select($"doc_id".as("doc_a"), $"sig".as("siga"), $"sh".as("sa")), Seq("doc_a"))
+        .join(sig.select($"doc_id".as("doc_b"), $"sig".as("sigb"), $"sh".as("sb")), Seq("doc_b"))
+        .withColumn("est", matches.cast("double") / lit(NumHashes.toDouble))
+        .withColumn("jaccard", jaccard($"sa", $"sb"))
+        .withColumn("err", $"est" - $"jaccard")
+        .select($"doc_a", $"doc_b", $"est", $"jaccard", $"err")
+        .orderBy($"doc_a", $"doc_b")
+    }, Some(s"""
+      WITH $duckBandsCte,
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+      scored AS (
+        SELECT doc_a, doc_b,
+          CAST((${(1 to NumHashes).map(i =>
+            s"CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END").mkString(" + ")})
+            AS DOUBLE) / ${NumHashes}.0 AS est,
+          $duckJaccard AS jaccard
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = doc_a
+        JOIN sigs sb ON sb.doc_id = doc_b
+        JOIN d x ON x.doc_id = doc_a
+        JOIN d y ON y.doc_id = doc_b)
+      SELECT doc_a, doc_b, est, jaccard, est - jaccard AS err
+      FROM scored ORDER BY doc_a, doc_b"""))
   )
 }

@@ -454,6 +454,80 @@ object Streams {
       FROM a, c
       WHERE epoch_us(win_start + INTERVAL 1 HOUR)
         <= (mx_us // 1000) * 1000 - CAST(24*3600 AS BIGINT)*1000000
-      ORDER BY win_start, event_type"""))
+      ORDER BY win_start, event_type""")),
+
+    // D14: stream-stream LEFT OUTER join — the eviction-driven emission
+    // semantics on top of D8's interval join: a matched (error,
+    // purchase) pair is emitted as soon as both rows arrive, but an
+    // UNMATCHED error can only be emitted null-extended once the
+    // watermark proves no matching purchase can still arrive (its state
+    // is evicted). Both sides drain in one micro-batch; the trailing
+    // no-data batch advances the watermark and flushes the evicted
+    // lefts. The QUERY watermark is the MIN across both watermark
+    // nodes, each computed from its own FILTERED stream's max event
+    // time (ms-truncated) minus the delay — not the global max; a left
+    // row is declared unmatched when e_ts drops below that watermark
+    // (no future right with p_ts <= e_ts can arrive). The oracle
+    // replays exactly this: matched pairs ∪ never-matched errors below
+    // least(max error ts, max purchase ts) - 1 h, pinned with zero
+    // diffs at sf0.001/sf0.01/sf0.1. At 100 TB
+    // the state bound is the same as the inner join's (one hour of
+    // events per side) plus the unmatched-left buffer the watermark
+    // drains — outer results lag by watermark delay, they do not
+    // accumulate.
+    GQ("stream_outer_join", (s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      def src() = s.readStream.schema(schema).parquet(eventsSourceDir(d))
+        .transform(QueryDefs.withEventTs)
+      val errs = src().filter($"event_type" === "error")
+        .select($"event_id".as("e_id"), $"user_id", $"ts".as("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+      val purchases = src().filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id".as("p_user"),
+          $"ts".as("p_ts"), cents($"value").as("p_cents"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = errs.join(purchases,
+        $"user_id" === $"p_user" &&
+          $"p_ts" <= $"e_ts" && $"p_ts" >= $"e_ts" - expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      val out = runToMemory(joined, "append")
+      out.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count($"p_id").as("n_matched"),
+          sum(when($"p_id".isNull, 1L).otherwise(0L)).as("n_unmatched"),
+          (sum(coalesce($"p_cents", lit(0L))).cast("double") / lit(100.0)).as("sum_purchase"))
+        .orderBy($"user_id")
+    }, Some("""
+      WITH e AS (SELECT event_id AS e_id, user_id, CAST(ts AS TIMESTAMP) AS e_ts
+                 FROM events WHERE event_type = 'error'),
+      p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+              CAST(round(value*100) AS BIGINT) AS p_cents
+            FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT least(
+              (SELECT (epoch_us(MAX(e_ts)) // 1000) * 1000 FROM e),
+              (SELECT (epoch_us(MAX(p_ts)) // 1000) * 1000 FROM p))
+              - CAST(3600 AS BIGINT)*1000000 AS wm_us),
+      m AS (SELECT e.user_id, e.e_id, p.p_id, p.p_cents
+            FROM e JOIN p ON e.user_id = p.user_id
+              AND p.p_ts <= e.e_ts AND p.p_ts >= e.e_ts - INTERVAL 1 HOUR),
+      un AS (SELECT e.user_id, e.e_id
+             FROM e, c
+             -- the query watermark = MIN over both sides' per-FILTERED-
+             -- stream max event time (ms granularity) minus the delay;
+             -- an unmatched left is emitted once e_ts < that watermark
+             WHERE epoch_us(e.e_ts) < wm_us
+               AND NOT EXISTS (SELECT 1 FROM p
+                 WHERE p.user_id = e.user_id
+                   AND p.p_ts <= e.e_ts AND p.p_ts >= e.e_ts - INTERVAL 1 HOUR)),
+      rows_ AS (SELECT user_id, e_id, p_id, p_cents FROM m
+                UNION ALL
+                SELECT user_id, e_id, NULL, NULL FROM un)
+      SELECT user_id, COUNT(*) AS n_rows,
+        COUNT(p_id) AS n_matched,
+        CAST(SUM(CASE WHEN p_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+        CAST(CAST(SUM(COALESCE(p_cents, 0)) AS BIGINT) AS DOUBLE)/100.0 AS sum_purchase
+      FROM rows_ GROUP BY user_id ORDER BY user_id"""))
   )
 }
