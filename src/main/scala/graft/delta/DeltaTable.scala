@@ -566,6 +566,74 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     v
   }
 
+  /** FSCK REPAIR TABLE: drop log references to data files whose physical
+    * files are gone (manual deletion, a botched lifecycle rule) so scans
+    * stop failing on FileNotFound — the standard recovery statement.
+    * Existence checks run ON EXECUTORS over the file-state Dataset (one
+    * RPC per file against the store, sharded): the driver never walks
+    * the listing, and only the MISSING subset — the exception, not the
+    * table — comes back to commit as dataChange removes. DRY RUN
+    * reports without committing.
+    */
+  def fsckRepair(dryRun: Boolean = false): Seq[String] = {
+    import spark.implicits._
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val fs = deltaLog.dataPath.getFileSystem(hadoopConf)
+    val rootStr = fs.makeQualified(deltaLog.dataPath).toString
+    val serConf = new SerializableHadoopConf(hadoopConf)
+    val txn = deltaLog.startTransaction()
+    val missing = txn.snapshot.allFilesDS.mapPartitions { it =>
+      val f = new Path(rootStr).getFileSystem(serConf.value)
+      it.filterNot(a => f.exists(FileNames.absolutePath(new Path(rootStr), a.path)))
+    }.collect().toSeq
+    if (missing.nonEmpty && !dryRun) {
+      val now = deltaLog.clock.nowMillis
+      txn.commit(missing.map(_.remove(now)), Op.Fsck,
+        operationParameters = Map("numRemovedFiles" -> missing.size.toString))
+    }
+    missing.map(_.path)
+  }
+
+  /** CREATE OR REPLACE semantics: ONE transaction replaces schema,
+    * partitioning AND data while keeping the table's log — history,
+    * table id and configuration survive, time travel to pre-replace
+    * versions still works (contrast DROP + CREATE, which severs both).
+    * On a fresh path it degrades to CREATE TABLE AS. A 10^7-file
+    * replace streams its remove list through commitLarge like a full
+    * overwrite — the driver never materializes the file set.
+    */
+  def replaceAs(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+    val txn = deltaLog.startTransaction()
+    val exists = txn.readVersion >= 0 && txn.snapshot.metadataOpt.isDefined
+    val relaxed = Snapshot.nullable(df.schema)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val prev = if (exists) txn.metadata else Metadata()
+    if (exists) txn.readWholeTable()
+    txn.updateMetadata(prev.copy(
+      schemaString = relaxed.json,
+      partitionColumns = partitionBy,
+      createdTime = prev.createdTime.orElse(Some(deltaLog.clock.nowMillis))))
+    val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, partitionBy,
+      txn.metadata)
+    val now = deltaLog.clock.nowMillis
+    val op = if (exists) Op.ReplaceTable else Op.CreateTable
+    val params = Map("partitionBy" -> partitionBy.mkString(","))
+    val removedCount = if (exists) txn.snapshot.numOfFiles else 0L
+    if (removedCount > DeltaTable.commitLargeThreshold(spark)) {
+      import scala.jdk.CollectionConverters._
+      val removes = txn.snapshot.allFilesDS.toLocalIterator.asScala
+        .map(f => f.remove(now): Action)
+      return txn.commitLarge(removes ++ adds.iterator, op,
+        operationParameters = params,
+        operationMetrics = Map(
+          "numAddedFiles" -> adds.size.toString,
+          "numRemovedFiles" -> removedCount.toString))
+    }
+    val removes: Seq[Action] =
+      if (exists) txn.snapshot.allFiles.map(_.remove(now)) else Nil
+    txn.commit(removes ++ adds, op, operationParameters = params)
+  }
+
   /** Auto compaction (opt-in via `delta.autoOptimize.autoCompact`): after
     * a write, bin-pack the just-touched partitions that accumulated too
     * many active files. Counting runs as ONE Spark aggregation over the

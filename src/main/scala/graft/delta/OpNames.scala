@@ -41,6 +41,7 @@ object Op {
   val AddConstraint = "ADD CONSTRAINT"
   val DropConstraint = "DROP CONSTRAINT"
   val SetDomainMetadata = "SET DOMAIN METADATA"
+  val Fsck = "FSCK"
 
   /** The closed vocabulary. `OptimisticTransaction.commit` warns (once
     * per name per JVM) when a commit uses a name outside it, so drift
@@ -53,7 +54,7 @@ object Op {
     AddColumns, ChangeColumn, ReplaceColumns, UpgradeProtocol,
     UpgradeSchema, ManualUpdate, Optimize, Reorg, Restore, Clone,
     RenameColumn, DropColumn, AddConstraint, DropConstraint,
-    SetDomainMetadata)
+    SetDomainMetadata, Fsck)
 
   private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 

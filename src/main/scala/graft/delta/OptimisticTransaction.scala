@@ -157,16 +157,41 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
         // a pre-feature writer would silently drop the fill obligation
         (if (ColumnDefaults.defaults(metadata).nonEmpty)
           Set(ColumnDefaults.FeatureName) else Set.empty[String])
-    val rwFeatures = readerWriterFeatureRequirements
-    if (wantedWriterFeatures.nonEmpty || rwFeatures.nonEmpty) {
+    // explicit feature requests via `delta.feature.<name>=supported`
+    // table properties (public table-features spec): absorbed into the
+    // protocol BY THIS COMMIT and stripped from the stored configuration
+    // — they are one-shot directives, not persistent config. Unknown
+    // names fail loudly: silently recording an unenforceable feature
+    // would hand a corrupt table to conforming readers.
+    val featureRequests: Set[String] = metadata.configuration.collect {
+      case (k, v) if k.startsWith("delta.feature.") =>
+        val name = k.stripPrefix("delta.feature.")
+        require(v.trim.equalsIgnoreCase("supported") || v.trim.equalsIgnoreCase("enabled"),
+          s"$k must be 'supported', got '$v'")
+        require(Snapshot.SupportedWriterFeatures(name) ||
+            Snapshot.SupportedReaderFeatures(name),
+          s"unknown table feature '$name' requested via $k")
+        name
+    }.toSet
+    if (featureRequests.nonEmpty)
+      finalActions = finalActions.map {
+        case m: Metadata => m.copy(configuration =
+          m.configuration.filterNot(_._1.startsWith("delta.feature.")))
+        case a => a
+      }
+    val rwFeatures = readerWriterFeatureRequirements ++
+      featureRequests.intersect(Snapshot.SupportedReaderFeatures)
+    val wantedWriterFeatures2 = wantedWriterFeatures ++
+      (featureRequests -- Snapshot.SupportedReaderFeatures)
+    if (wantedWriterFeatures2.nonEmpty || rwFeatures.nonEmpty) {
       finalActions.collectFirst { case p: Protocol => p } match {
         case Some(p) =>
-          upgradedProtocol(p, wantedWriterFeatures, rwFeatures).foreach { up =>
+          upgradedProtocol(p, wantedWriterFeatures2, rwFeatures).foreach { up =>
             finalActions = finalActions.map { case q: Protocol if q eq p => up; case a => a }
           }
         case None =>
           val cur = if (snapshot.version == -1) Protocol() else snapshot.protocol
-          upgradedProtocol(cur, wantedWriterFeatures, rwFeatures)
+          upgradedProtocol(cur, wantedWriterFeatures2, rwFeatures)
             .foreach(up => finalActions = up +: finalActions)
       }
     }

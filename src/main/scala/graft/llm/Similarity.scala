@@ -861,6 +861,57 @@ object Similarity {
         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         CAST(SUM(n_chars) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS avg_chars
       FROM a2 JOIN documents d ON d.doc_id = a2.vec_id
-      GROUP BY cell ORDER BY cell"""))
+      GROUP BY cell ORDER BY cell""")),
+
+    // C49 ---------------------------------------------------------------
+    // Embedding-dimension health report: per-dimension mean and variance
+    // across the corpus — the diagnostic that catches dead (zero-
+    // variance), collapsed or dominant dimensions before they poison an
+    // index (anisotropy is THE failure mode of learned embeddings).
+    // Elements are scaled to integer micro-units so the moments sum
+    // EXACTLY (decimal(38,0) ≡ HUGEINT, B28's trick — no float-order
+    // drift at any parallelism); mean/variance come from one closed-form
+    // double formula. ONE wide aggregation (Dim×2 sums + count, the
+    // centroidsOf shape): map-side partials shuffle 129 numbers total,
+    // regardless of corpus size; the 64-row report explodes from that
+    // single aggregate row.
+    GQ("embed_dim_stats", (s, d) => {
+      import s.implicits._
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      def u(i: Int) = round(element_at($"e", i + 1) * lit(1000000.0)).cast("long")
+      val sums = (0 until Dim).flatMap(i => Seq(
+        sum(dec(u(i))).as(s"s$i"),
+        sum(dec(u(i) * u(i))).as(s"q$i")))
+      val aggs = sums :+ count(lit(1)).as("n")
+      val one = normed(s, d).agg(aggs.head, aggs.tail: _*)
+      val nD = $"n".cast("double")
+      val rows = array((0 until Dim).map { i =>
+        val s1 = col(s"s$i").cast("double")
+        val s2 = col(s"q$i").cast("double")
+        struct(lit(i).as("dim"),
+          (s1 / nD / lit(1000000.0)).as("mean"),
+          ((nD * s2 - s1 * s1) / (nD * (nD - lit(1.0)))
+            / lit(1000000.0) / lit(1000000.0)).as("variance"))
+      }: _*)
+      one.select($"n", explode(rows).as("r"))
+        .select($"r.dim".as("dim"), $"n", $"r.mean".as("mean"),
+          $"r.variance".as("variance"))
+        .orderBy($"dim")
+    }, Some(s"""
+      WITH n AS ($duckNormed),
+      el AS (SELECT u.i - 1 AS dim,
+               CAST(round(e[u.i] * 1000000.0) AS BIGINT) AS x
+             FROM n, (SELECT unnest(generate_series(1, $Dim)) AS i) u),
+      m AS (SELECT dim, COUNT(*) AS n,
+              SUM(CAST(x AS HUGEINT)) AS s1,
+              SUM(CAST(x * x AS HUGEINT)) AS s2
+            FROM el GROUP BY dim)
+      SELECT CAST(dim AS INTEGER) AS dim, n,
+        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean,
+        (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+          / 1000000.0 / 1000000.0 AS variance
+      FROM m ORDER BY dim"""))
   )
 }

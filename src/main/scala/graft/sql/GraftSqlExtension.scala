@@ -188,6 +188,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftVacuumCommand(parseTarget(target),
           Option(hours).map(h => (h.trim.toDouble * 3600 * 1000).toLong),
           dryRun = dry != null, lite = lite != null))
+      case ReplaceTableRe(target, parts, select) =>
+        Some(GraftReplaceTableCommand(parseTarget(target),
+          Option(parts).map(splitCols).getOrElse(Nil),
+          delegate.parsePlan(select.trim)))
+      case FsckRe(target, dry) =>
+        Some(GraftFsckCommand(parseTarget(target), dryRun = dry != null))
       case HistoryRe(target, limit) =>
         Some(GraftHistoryCommand(parseTarget(target),
           Option(limit).map(_.trim.toInt).getOrElse(Int.MaxValue)))
@@ -286,6 +292,10 @@ object GraftSqlParser {
     s"""(?is)OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s+(.+?))?""".r
   private[sql] val VacuumRe =
     s"""(?is)VACUUM\\s+$T(\\s+LITE)?(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?""".r
+  private[sql] val ReplaceTableRe =
+    s"""(?is)CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+$T\\s+USING\\s+`?graft-delta`?(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s+AS\\s+(.+)""".r
+  private[sql] val FsckRe =
+    s"""(?is)FSCK\\s+REPAIR\\s+TABLE\\s+$T(\\s+DRY\\s+RUN)?""".r
   private[sql] val HistoryRe =
     s"""(?is)DESC(?:RIBE)?\\s+HISTORY\\s+$T(?:\\s+LIMIT\\s+(\\d+))?""".r
   private[sql] val RestoreVersionRe =
@@ -537,6 +547,21 @@ case class GraftVacuumCommand(target: SqlTarget,
     // count row when nothing was deleted
     if (r.sample.isEmpty) Seq(Row(r.deletedCount, null))
     else r.sample.map(p => Row(r.deletedCount, p))
+  }
+}
+
+/** `FSCK REPAIR TABLE t [DRY RUN]`: drop references to physically
+  * missing data files (DeltaTable.fsckRepair).
+  */
+case class GraftFsckCommand(target: SqlTarget, dryRun: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    val removed = t.fsckRepair(dryRun)
+    SqlTarget.refresh(spark, target)
+    removed.map(Row(_))
   }
 }
 
@@ -878,6 +903,69 @@ case class GraftCreateTableCommand(
       else entry = entry.copy(schema = md.schema)
       catalog.createTable(entry, ignoreIfExists = false)
     }
+    Nil
+  }
+}
+
+/** `CREATE OR REPLACE TABLE t USING graft-delta [PARTITIONED BY (...)]
+  * AS SELECT ...`: Spark's session catalog rejects REPLACE TABLE AS
+  * SELECT for V1 providers, so the statement is intercepted at the
+  * parser. One logged transaction replaces schema, partitioning and
+  * data (`DeltaTable.replaceAs`) — the table's history and id survive,
+  * unlike DROP + CREATE. A named target that doesn't exist yet is
+  * created managed (defaultTablePath), mirroring the orCreate
+  * semantics of CREATE OR REPLACE.
+  */
+case class GraftReplaceTableCommand(target: SqlTarget,
+    partitionBy: Seq[String],
+    query: LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    val df = GraftShims.ofRows(spark, query)
+    // the log stores a fully-nullable schema (encoder nullable=false is
+    // an artifact, not intent) — the catalog entry must match it
+    val relaxed = graft.delta.Snapshot.nullable(df.schema)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val catalog = spark.sessionState.catalog
+    val id = SqlTarget.tableIdentifier(target)
+    val path = target match {
+      case PathTarget(p) => p
+      case TableTarget(_) =>
+        val ident = id.get
+        if (catalog.tableExists(ident)) {
+          val existing = catalog.getTableMetadata(ident)
+          require(existing.provider.exists(_.equalsIgnoreCase("graft-delta")),
+            s"CREATE OR REPLACE via graft targets a ${existing.provider.getOrElse("?")} " +
+              s"table $ident; only graft-delta tables can be replaced here")
+          existing.location.toString
+        } else {
+          val loc = catalog.defaultTablePath(ident)
+          // no catalog entry references this location: a leftover
+          // directory there is orphan debris (e.g. a DROP that removed
+          // the entry but not the files). CREATE OR REPLACE is
+          // destructive by intent — clear it so the managed-location
+          // validation sees a clean slate.
+          val p = new org.apache.hadoop.fs.Path(loc)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) fs.delete(p, true)
+          catalog.createTable(CatalogTable(
+            identifier = ident,
+            tableType = CatalogTableType.MANAGED,
+            storage = CatalogStorageFormat.empty,
+            schema = relaxed,
+            provider = Some("graft-delta")), ignoreIfExists = false)
+          p.toString
+        }
+    }
+    val t = DeltaTable.forPath(spark, path)
+    t.replaceAs(df, partitionBy)
+    // the catalog entry's schema must track the replace
+    id.filter(catalog.tableExists).foreach { ident =>
+      val entry = catalog.getTableMetadata(ident)
+      if (entry.schema != relaxed)
+        catalog.alterTable(entry.copy(schema = relaxed))
+    }
+    SqlTarget.refresh(spark, target)
     Nil
   }
 }

@@ -388,4 +388,38 @@ class TableFeaturesSuite extends AnyFunSuite {
     assert(p.minWriterVersion == 7 &&
       p.writerFeatures.exists(_.contains("inCommitTimestamp")), s"got $p")
   }
+
+  test("delta.feature.<name>=supported absorbs into the protocol and is stripped") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    t.write(Seq((1L, "a")).toDF("id", "name"))
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(txn.metadata.copy(configuration = txn.metadata.configuration ++
+      Map("delta.feature.deletionVectors" -> "supported",
+        "delta.feature.appendOnly" -> "supported")))
+    txn.commit(Nil, Op.SetTableProperties)
+    val s = t.deltaLog.update()
+    val p = s.protocol
+    // deletionVectors is reader+writer, appendOnly writer-only
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7, s"got $p")
+    assert(p.readerFeatures.exists(_.contains("deletionVectors")), s"got $p")
+    assert(p.writerFeatures.exists(_.contains("deletionVectors")), s"got $p")
+    assert(p.writerFeatures.exists(_.contains("appendOnly")), s"got $p")
+    // one-shot directive: stripped from the stored configuration
+    assert(!s.metadata.configuration.keys.exists(_.startsWith("delta.feature.")),
+      s"got ${s.metadata.configuration}")
+  }
+
+  test("an unknown delta.feature request fails loudly") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    t.write(Seq((1L, "a")).toDF("id", "name"))
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(txn.metadata.copy(configuration = txn.metadata.configuration +
+      ("delta.feature.notAThing" -> "supported")))
+    val e = intercept[IllegalArgumentException] {
+      txn.commit(Nil, Op.SetTableProperties)
+    }
+    assert(e.getMessage.contains("notAThing"))
+  }
 }
