@@ -1771,6 +1771,84 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     DeltaTable.forPath(spark, destPath)
   }
 
+  /** Deep CLONE: an independent table at `destPath` with its OWN copies
+    * of every data file and DV payload — no references back into the
+    * source, so source VACUUM/retention can never invalidate the clone
+    * (the shallow clone's one caveat). File copies run ON EXECUTORS over
+    * the file-state Dataset — the driver never holds the file list, and
+    * the copy parallelism is the cluster's, not a driver loop. Relative
+    * paths are preserved; absolute references (a shallow-clone source)
+    * land under the clone's root by file name; DV descriptors follow
+    * their payloads ("u" stays relative, absolute/legacy forms re-point
+    * to the clone's tree).
+    */
+  def deepCloneTo(destPath: String): DeltaTable = {
+    import spark.implicits._
+    val src = snapshot
+    src.assertProtocolRead()
+    val md = src.metadata
+    val destLog = DeltaLog.forTable(spark, destPath)
+    require(!destLog.tableExists, s"clone destination already exists: $destPath")
+    val conf = spark.sessionState.newHadoopConf()
+    val srcFsRoot = deltaLog.dataPath.getFileSystem(conf)
+      .makeQualified(deltaLog.dataPath)
+    val destRoot = destLog.dataPath.getFileSystem(conf)
+      .makeQualified(destLog.dataPath)
+    val serConf = new SerializableHadoopConf(conf)
+    val srcStr = srcFsRoot.toString
+    val destStr = destRoot.toString
+
+    // executor-side copy; emits the REWRITTEN AddFile per copied file
+    val rewritten: Seq[AddFile] = src.allFilesDS.mapPartitions { it =>
+      val sfs = new Path(srcStr).getFileSystem(serConf.value)
+      val dfs = new Path(destStr).getFileSystem(serConf.value)
+      def copy(from: Path, to: Path): Unit = {
+        dfs.mkdirs(to.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(
+          from.getFileSystem(serConf.value), from, dfs, to, false, serConf.value)
+      }
+      it.map { a =>
+        val srcData = FileNames.absolutePath(new Path(srcStr), a.path)
+        val isAbs = FileNames.isAbsoluteUri(a.path)
+        val relPath = if (isAbs) srcData.getName else a.path
+        copy(srcData, FileNames.absolutePath(new Path(destStr), relPath))
+        // DV payload follows its descriptor
+        val withDv = DeletionVectors.descriptor(a) match {
+          case Some(d) if d.storageType == "u" =>
+            val name = DeletionVectors.fileName(d)
+            copy(new Path(new Path(srcStr, "_deletion_vectors"), name),
+              new Path(new Path(destStr, "_deletion_vectors"), name))
+            a // relative descriptor stays valid under the clone root
+          case Some(d) if d.storageType == "p" =>
+            val from = new Path(new java.net.URI(d.pathOrInlineDv))
+            val to = new Path(new Path(destStr, "_deletion_vectors"), from.getName)
+            copy(from, to)
+            a.copy(deletionVector = d.copy(pathOrInlineDv = to.toUri.toString))
+          case Some(d) if d.storageType == DeletionVectors.LegacyParquet =>
+            val from = DeletionVectors.absolutePathOf(new Path(srcStr), d)
+            val to = new Path(new Path(destStr, "_deletion_vectors"), from.getName)
+            copy(from, to)
+            a.copy(tags = a.tags + (DeletionVectors.PathTag -> to.toUri.toString))
+          case _ => a
+        }
+        withDv.copy(path = relPath, dataChange = true)
+      }
+    }.collect().toSeq
+
+    val txn = destLog.startTransaction()
+    txn.updateMetadata(md.copy(
+      id = java.util.UUID.randomUUID.toString,
+      createdTime = Some(destLog.clock.nowMillis)))
+    val params = Map(
+      "source" -> deltaLog.dataPath.toString,
+      "sourceVersion" -> src.version.toString,
+      "isShallow" -> "false")
+    val domains = src.domainMetadataMap.values.toSeq.map(d => d: Action)
+    txn.commit((src.protocol +: domains) ++ rewritten, Op.Clone,
+      operationParameters = params)
+    DeltaTable.forPath(spark, destPath)
+  }
+
   /** TRUNCATE TABLE (reference `op/names.go` TRUNCATE): metadata-only
     * remove-all commit — no file is read or rewritten, every live
     * AddFile turns into a dataChange RemoveFile, so CDF readers derive

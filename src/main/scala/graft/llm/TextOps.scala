@@ -474,6 +474,81 @@ object TextOps {
       SELECT decile, COUNT(*) AS n_docs,
         MIN(score) AS min_score, MAX(score) AS max_score
       FROM scored JOIN dec USING (score)
-      GROUP BY decile ORDER BY decile"""))
+      GROUP BY decile ORDER BY decile""")),
+
+    // C50 ---------------------------------------------------------------
+    // The composed curation pipeline — quality gate → LSH near-dup drop
+    // → deterministic holdout split → per-(lang, split) corpus report —
+    // run as ONE declarative plan. This is the flagship shape: each
+    // stage is the same logic as its standalone operator (C26's gate,
+    // C2's band join, C29's md5 coin), and because the whole pipeline
+    // is one DataFrame expression Catalyst fuses the gate into the scan,
+    // the band join ships only (doc_id, band, key) triples for DOCS THAT
+    // SURVIVED the gate, and the final aggregate is language-grained.
+    // At 100 TB nothing here materializes between stages.
+    GQ("curate_pipeline", (s, d) => {
+      import s.implicits._
+      val stopArr = array(Stop.map(lit): _*)
+      val base = table(s, d, "documents")
+        .withColumn("t", tokens($"text"))
+        .withColumn("n_tok", size($"t").cast("long"))
+        .withColumn("n_tok_d", greatest(size($"t"), lit(1)).cast("double"))
+        .withColumn("dup_word_frac",
+          lit(1.0) - size(array_distinct($"t")).cast("double") / $"n_tok_d")
+        .withColumn("mean_word_len",
+          size(regexp_extract_all($"text", lit("[a-zA-Z0-9]"), lit(0))).cast("double") / $"n_tok_d")
+        .withColumn("stop_ratio",
+          size(filter($"t", x => array_contains(stopArr, x))).cast("double") / $"n_tok_d")
+        .withColumn("digit_ratio",
+          size(regexp_extract_all($"text", lit("[0-9]"), lit(0))).cast("double") /
+            greatest(length($"text"), lit(1)).cast("double"))
+        .withColumn("keep",
+          $"n_tok".between(50L, 100000L) && $"dup_word_frac" <= 0.7 &&
+            $"mean_word_len".between(3.0, 10.0) && $"stop_ratio" >= 0.02 &&
+            $"digit_ratio" <= 0.2)
+      val kept = base.filter($"keep").select($"doc_id", $"lang", $"n_tok", $"text")
+      val bands = Dedup.bandKeys(kept)
+      val dups = bands.as("a")
+        .join(bands.as("c"),
+          $"a.b" === $"c.b" && $"a.bkey" === $"c.bkey" && $"c.doc_id" < $"a.doc_id")
+        .select($"a.doc_id".as("doc_id")).distinct()
+      val survivors = kept.join(dups, Seq("doc_id"), "left_anti")
+      val coin = conv(substring(md5(concat(lit("holdout:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100L
+      survivors
+        .withColumn("split",
+          when(coin < 98, "train").when(coin < 99, "valid").otherwise("test"))
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+        .orderBy($"lang", $"split")
+    }, Some(s"""
+      WITH m AS (
+        SELECT doc_id, lang, text,
+          CAST(len(t) AS BIGINT) AS n_tok,
+          1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE) AS dup_word_frac,
+          CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]')) AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_word_len,
+          CAST(len(list_filter(t, x -> x IN $StopSql)) AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE) AS stop_ratio,
+          CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio
+        FROM (SELECT doc_id, lang, text,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)),
+      kept AS (
+        SELECT doc_id, lang, n_tok FROM m
+        WHERE (n_tok BETWEEN 50 AND 100000) AND dup_word_frac <= 0.7
+          AND (mean_word_len BETWEEN 3.0 AND 10.0) AND stop_ratio >= 0.02
+          AND digit_ratio <= 0.2),
+      ${Dedup.duckBandsCte},
+      dups AS (
+        SELECT DISTINCT a.doc_id FROM bands a
+        JOIN bands c ON a.b = c.b AND a.bkey = c.bkey AND c.doc_id < a.doc_id
+        WHERE a.doc_id IN (SELECT doc_id FROM kept)
+          AND c.doc_id IN (SELECT doc_id FROM kept)),
+      surv AS (
+        SELECT k.*,
+          CAST(('0x' || substr(md5('holdout:' || CAST(k.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS coin
+        FROM kept k WHERE k.doc_id NOT IN (SELECT doc_id FROM dups))
+      SELECT lang,
+        CASE WHEN coin < 98 THEN 'train' WHEN coin < 99 THEN 'valid' ELSE 'test' END AS split,
+        COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM surv GROUP BY 1, 2 ORDER BY lang, split"""))
   )
 }

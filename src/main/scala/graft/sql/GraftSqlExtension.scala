@@ -241,9 +241,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftUnsetPropertiesCommand(parseTarget(target), parseKeys(keys)))
       case ShowPropsRe(target, key) =>
         Some(GraftShowPropertiesCommand(parseTarget(target), Option(key)))
-      case CloneRe(ine, target, src) =>
+      case CloneRe(ine, target, depth, src) =>
         Some(GraftCloneCommand(parseTarget(target), parseTarget(src),
-          ifNotExists = ine != null))
+          ifNotExists = ine != null,
+          deep = depth.trim.equalsIgnoreCase("DEEP")))
       case ConvertRe(target) =>
         Some(GraftConvertCommand(parseTarget(target)))
       case GenerateRe(target) =>
@@ -333,7 +334,7 @@ object GraftSqlParser {
   private[sql] val TruncateRe =
     s"""(?is)TRUNCATE\\s+TABLE\\s+$T""".r
   private[sql] val CloneRe =
-    s"""(?is)CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T\\s+SHALLOW\\s+CLONE\\s+$T""".r
+    s"""(?is)CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$T""".r
   private[sql] val ConvertRe =
     s"""(?is)CONVERT\\s+TO\\s+DELTA\\s+$T""".r
   private val PathTargetRe = """(?:delta|graft|parquet)\.`([^`]+)`""".r
@@ -975,7 +976,7 @@ case class GraftReplaceTableCommand(target: SqlTarget,
   * catalog-name target registers the clone as a managed table.
   */
 case class GraftCloneCommand(target: SqlTarget, source: SqlTarget,
-    ifNotExists: Boolean) extends LeafRunnableCommand {
+    ifNotExists: Boolean, deep: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("location", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
@@ -985,7 +986,7 @@ case class GraftCloneCommand(target: SqlTarget, source: SqlTarget,
       case PathTarget(p) =>
         if (ifNotExists && graft.delta.DeltaLog.forTable(spark, p).tableExists)
           return Seq(Row(p))
-        src.shallowCloneTo(p)
+        if (deep) src.deepCloneTo(p) else src.shallowCloneTo(p)
         Seq(Row(p))
       case TableTarget(_) =>
         val id = SqlTarget.tableIdentifier(target).get
@@ -1001,7 +1002,7 @@ case class GraftCloneCommand(target: SqlTarget, source: SqlTarget,
         catalog.createTable(CatalogTable(id, CatalogTableType.MANAGED,
           CatalogStorageFormat.empty, src.snapshot.metadata.schema,
           provider = Some("graft-delta")), ignoreIfExists = false)
-        try src.shallowCloneTo(path)
+        try { if (deep) src.deepCloneTo(path) else src.shallowCloneTo(path) }
         catch { case e: Throwable =>
           try catalog.dropTable(id, ignoreIfNotExists = true, purge = false)
           catch { case _: Exception => }

@@ -12,6 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class MultimodalDimsSuite extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.sql.GraftSparkExtension")
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.ui.enabled", "false")

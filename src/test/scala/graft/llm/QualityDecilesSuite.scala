@@ -12,6 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class QualityDecilesSuite extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.sql.GraftSparkExtension")
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")

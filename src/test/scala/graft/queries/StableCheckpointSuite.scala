@@ -9,38 +9,54 @@ import org.scalatest.funsuite.AnyFunSuite
   * checkpoint to shared storage when spark.graft.checkpointDir is set —
   * the difference between "a lost executor kills the iterative job" and
   * "it re-reads the checkpoint files" on a real cluster.
+  *
+  * Uses the JVM-shared session and restores `spark.graft.checkpointDir`
+  * afterwards. (An earlier revision built a "private" session and
+  * stopped it — but getOrCreate returns the SHARED session, so the stop
+  * killed Spark for every suite scheduled later in the run; the next
+  * suite's builder then recreated it, silently dropping static config
+  * like the SQL extension when that builder didn't set it.) The sticky
+  * SparkContext.setCheckpointDir is harmless to other suites: nothing
+  * else calls Dataset.checkpoint, and the localCheckpoint default path
+  * never consults it.
   */
 class StableCheckpointSuite extends AnyFunSuite {
 
-  // own session: sc.setCheckpointDir is SparkContext-global and sticky,
-  // so exercising the reliable path must not leak into shared-session
-  // suites that expect the localCheckpoint default
-  private def withSession(f: SparkSession => Unit): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .appName("stable-checkpoint-suite")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    try f(spark) finally spark.stop()
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.sql.GraftSparkExtension")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def withCheckpointConf(value: Option[String])(f: => Unit): Unit = {
+    val prev = spark.conf.getOption("spark.graft.checkpointDir")
+    value match {
+      case Some(v) => spark.conf.set("spark.graft.checkpointDir", v)
+      case None => spark.conf.unset("spark.graft.checkpointDir")
+    }
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.checkpointDir", v)
+      case None => spark.conf.unset("spark.graft.checkpointDir")
+    }
   }
 
   test("default path is a local checkpoint (no checkpoint dir involved)") {
-    withSession { spark =>
+    withCheckpointConf(None) {
       import spark.implicits._
       val df = QueryDefs.stableCheckpoint((1 to 10).toDF("x"))
       assert(df.queryExecution.logical.getClass.getSimpleName == "LogicalRDD",
         s"lineage must be cut (got ${df.queryExecution.logical.getClass.getSimpleName})")
-      assert(spark.sparkContext.getCheckpointDir.isEmpty)
       assert(df.as[Int].collect().sorted.toSeq == (1 to 10))
     }
   }
 
   test("spark.graft.checkpointDir switches to a reliable checkpoint") {
-    withSession { spark =>
+    val dir = Files.createTempDirectory("graft-reliable-ckpt").toString
+    withCheckpointConf(Some(dir)) {
       import spark.implicits._
-      val dir = Files.createTempDirectory("graft-reliable-ckpt").toString
-      spark.conf.set("spark.graft.checkpointDir", dir)
       val df = QueryDefs.stableCheckpoint((1 to 10).toDF("x"))
       assert(df.queryExecution.logical.getClass.getSimpleName == "LogicalRDD",
         s"lineage must be cut (got ${df.queryExecution.logical.getClass.getSimpleName})")

@@ -17,6 +17,7 @@ class RocksDBStateSuite extends AnyFunSuite {
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.sql.GraftSparkExtension")
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")

@@ -22,6 +22,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class WatermarkLagSuite extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.sql.GraftSparkExtension")
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
