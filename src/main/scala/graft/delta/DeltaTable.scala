@@ -1799,7 +1799,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val destStr = destRoot.toString
 
     // executor-side copy; emits the REWRITTEN AddFile per copied file
-    val rewritten: Seq[AddFile] = src.allFilesDS.mapPartitions { it =>
+    val rewrittenDS = src.allFilesDS.mapPartitions { it =>
       val sfs = new Path(srcStr).getFileSystem(serConf.value)
       val dfs = new Path(destStr).getFileSystem(serConf.value)
       def copy(from: Path, to: Path): Unit = {
@@ -1833,7 +1833,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         }
         withDv.copy(path = relPath, dataChange = true)
       }
-    }.collect().toSeq
+    }
 
     val txn = destLog.startTransaction()
     txn.updateMetadata(md.copy(
@@ -1844,8 +1844,20 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       "sourceVersion" -> src.version.toString,
       "isShallow" -> "false")
     val domains = src.domainMetadataMap.values.toSeq.map(d => d: Action)
-    txn.commit((src.protocol +: domains) ++ rewritten, Op.Clone,
-      operationParameters = params)
+    val n = src.numOfFiles
+    if (n > DeltaTable.commitLargeThreshold(spark)) {
+      // a 10^7-file clone streams its AddFiles straight from the copy
+      // job into the commit file — the driver holds one action at a time
+      import scala.jdk.CollectionConverters._
+      txn.commitLarge(
+        ((src.protocol: Action) +: domains).iterator ++
+          rewrittenDS.toLocalIterator().asScala.map(a => a: Action),
+        Op.Clone, operationParameters = params,
+        operationMetrics = Map("numClonedFiles" -> n.toString))
+    } else {
+      txn.commit((src.protocol +: domains) ++ rewrittenDS.collect().toSeq,
+        Op.Clone, operationParameters = params)
+    }
     DeltaTable.forPath(spark, destPath)
   }
 
