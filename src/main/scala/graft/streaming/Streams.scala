@@ -528,6 +528,92 @@ object Streams {
         COUNT(p_id) AS n_matched,
         CAST(SUM(CASE WHEN p_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
         CAST(CAST(SUM(COALESCE(p_cents, 0)) AS BIGINT) AS DOUBLE)/100.0 AS sum_purchase
-      FROM rows_ GROUP BY user_id ORDER BY user_id"""))
+      FROM rows_ GROUP BY user_id ORDER BY user_id""")),
+
+    // D15: transformWithState — Spark 4's arbitrary-stateful-processing
+    // v2 (the successor of flatMapGroupsWithState: typed state handles
+    // with per-state TTL, timers, and a RocksDB-only runtime). Per user
+    // the processor keeps a ValueState profile of (purchase count,
+    // last-3 purchase amounts) — a "recent activity" feature the
+    // serving layer reads; update mode emits the refreshed profile per
+    // batch and the final profile is recovered via the monotonic count,
+    // so the result is batch-split independent. The source arrives in
+    // two time-ranged micro-batches (older half then newer half, the
+    // natural arrival order), and within a batch rows are ordered
+    // explicitly by (ts, event_id) — determinism never rides on shuffle
+    // order. State is per-user-bounded (a count and 3 longs) and
+    // RocksDB-backed: the 100 TB shape for per-entity online features.
+    GQ("stream_transform_state", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val typed = QueryDefs.events(s, d).filter($"event_type" === "purchase")
+      val mxUs = typed.agg(max(unix_micros($"ts"))).head().getLong(0)
+      val mnUs = typed.agg(min(unix_micros($"ts"))).head().getLong(0)
+      val cutUs = (mnUs + mxUs) / 2
+      val src = QueryDefs.scratchDir("graft-tws-src")
+      Seq(($"ts" <= timestamp_micros(lit(cutUs)), 0),
+          ($"ts" > timestamp_micros(lit(cutUs)), 1)).foreach { case (pred, i) =>
+        val stage = QueryDefs.scratchDir("graft-tws-stage")
+        typed.filter(pred).repartition(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dest = src.resolve(s"batch$i.parquet")
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 30000 + i * 10000))
+      }
+      val stream = s.readStream.schema(typed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+        .select($"user_id", QueryDefs.cents($"value").as("c"),
+          unix_micros($"ts").as("us"), $"event_id")
+        .as[(Long, Long, Long, Long)]
+      val proc = new StatefulProcessor[Long, (Long, Long, Long, Long), (Long, Long, Double)] {
+        @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Seq[Long])] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          st = getHandle.getValueState[(Long, Seq[Long])]("profile",
+            org.apache.spark.sql.Encoders.product[(Long, Seq[Long])], TTLConfig.NONE)
+        override def handleInputRows(key: Long,
+            rows: Iterator[(Long, Long, Long, Long)],
+            tv: TimerValues): Iterator[(Long, Long, Double)] = {
+          // newest first within the batch; batches arrive oldest-first
+          val batch = rows.toSeq.sortBy(r => (-r._3, -r._4))
+          val (n0, last0) = if (st.exists()) st.get() else (0L, Seq.empty[Long])
+          val n = n0 + batch.size
+          val last3 = (batch.map(_._2) ++ last0).take(3)
+          st.update((n, last3))
+          Iterator.single((key, n, last3.sum.toDouble / 100.0))
+        }
+      }
+      val out = stream.groupByKey(_._1)
+        .transformWithState(proc, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_purchases", "last3_sum")
+      // transformWithState requires the RocksDB state store
+      val pk = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(pk)
+      s.conf.set(pk,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val sink =
+        try runToMemory(out, "update")
+        finally prev match {
+          case Some(v) => s.conf.set(pk, v)
+          case None => s.conf.unset(pk)
+        }
+      sink.groupBy($"user_id")
+        .agg(max_by(struct($"n_purchases", $"last3_sum"), $"n_purchases").as("m"))
+        .select($"user_id", $"m.n_purchases".as("n_purchases"),
+          $"m.last3_sum".as("last3_sum"))
+        .orderBy($"user_id")
+    }, Some("""
+      WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+              CAST(round(value*100) AS BIGINT) AS c
+            FROM events WHERE event_type = 'purchase'),
+      r AS (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM p)
+      SELECT user_id, COUNT(*) AS n_purchases,
+        CAST(CAST(SUM(CASE WHEN rn <= 3 THEN c ELSE 0 END) AS BIGINT) AS DOUBLE)/100.0 AS last3_sum
+      FROM r GROUP BY user_id ORDER BY user_id"""))
   )
 }
