@@ -549,6 +549,6 @@ object TextOps {
       SELECT lang,
         CASE WHEN coin < 98 THEN 'train' WHEN coin < 99 THEN 'valid' ELSE 'test' END AS split,
         COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
-      FROM surv GROUP BY 1, 2 ORDER BY lang, split"""))
+      FROM surv GROUP BY 1, 2 ORDER BY lang, split"""), bench = true)
   )
 }
