@@ -842,6 +842,49 @@ object Relational {
       )
       SELECT depth, COUNT(*) AS n,
         CAST(SUM(pc) AS DOUBLE)/100.0 AS sum_price
-      FROM walk GROUP BY depth ORDER BY depth"""))
+      FROM walk GROUP BY depth ORDER BY depth""")),
+
+    // B34 ---------------------------------------------------------------
+    // NEAREST as-of join: each error matched to the temporally CLOSEST
+    // purchase by the same user in EITHER direction (B16's asof is
+    // backward-only — DuckDB's ASOF can't express nearest, so the oracle
+    // is a window argmin). The candidate join is BAND-LIMITED to ±6 h,
+    // which is what keeps it scale-safe: per user the join touches only
+    // the 12-hour neighborhood, never the user's full history, and the
+    // argmin is a bounded partial aggregate (≤1 row per map task per
+    // error crosses the shuffle). Ties break earlier-then-lower-id; all
+    // arithmetic is integer microseconds.
+    GQ("q_asof_nearest", (s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val e = ev.filter($"event_type" === "error")
+        .select($"event_id".as("e_id"), $"user_id", unix_micros($"ts").as("e_us"))
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id".as("p_user"),
+          unix_micros($"ts").as("p_us"))
+      val band = 6L * 3600 * 1000000
+      e.join(p, $"user_id" === $"p_user" &&
+          $"p_us" >= $"e_us" - band && $"p_us" <= $"e_us" + band)
+        .withColumn("adt", abs($"e_us" - $"p_us"))
+        .groupBy($"e_id", $"user_id")
+        .agg(min_by(struct($"p_id", $"p_us"), struct($"adt", $"p_us", $"p_id")).as("m"))
+        .select($"e_id", $"user_id", $"m.p_id".as("p_id"))
+        .orderBy($"e_id")
+    }, Some("""
+      WITH e AS (SELECT event_id AS e_id, user_id,
+              epoch_us(CAST(ts AS TIMESTAMP)) AS e_us
+            FROM events WHERE event_type = 'error'),
+      p AS (SELECT event_id AS p_id, user_id,
+              epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+            FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT e.e_id, e.user_id, p.p_id, abs(e.e_us - p.p_us) AS adt, p.p_us
+            FROM e JOIN p ON e.user_id = p.user_id
+              AND p.p_us >= e.e_us - CAST(6*3600 AS BIGINT)*1000000
+              AND p.p_us <= e.e_us + CAST(6*3600 AS BIGINT)*1000000)
+      SELECT e_id, user_id, p_id FROM (
+        SELECT e_id, user_id, p_id,
+          ROW_NUMBER() OVER (PARTITION BY e_id ORDER BY adt, p_us, p_id) AS rn
+        FROM c)
+      WHERE rn = 1 ORDER BY e_id"""))
   )
 }
