@@ -12,8 +12,55 @@ import glob
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _norm_type(t):
+    """Collapse an Arrow type to the physical family the driver's typed
+    hash distinguishes. The point is to catch family leaks (int64 vs
+    HUGEINT/decimal128, string vs int, float vs decimal) BEFORE the value
+    comparison, which silently coerces via pandas. Width differences
+    within the integer family are reported too — DuckDB SUM() widens to
+    HUGEINT which arrives as decimal128(38,0), the exact round-8/round-11
+    failure class (SURVEY §4)."""
+    if pa.types.is_dictionary(t):
+        t = t.value_type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return ("list", _norm_type(t.value_type))
+    if pa.types.is_struct(t):
+        return ("struct", tuple((f.name, _norm_type(f.type)) for f in t))
+    if pa.types.is_map(t):
+        return ("map", _norm_type(t.key_type), _norm_type(t.item_type))
+    return str(t)
+
+
+def type_mismatches(got_tbl, exp_tbl):
+    """Return list of 'col: sparkType != oracleType' family mismatches."""
+    bad = []
+    gs = {f.name: f.type for f in got_tbl.schema}
+    es = {f.name: f.type for f in exp_tbl.schema}
+    for c in sorted(set(gs) & set(es)):
+        if _norm_type(gs[c]) != _norm_type(es[c]):
+            bad.append(f"{c}: spark {gs[c]} != oracle {es[c]}")
+    return bad
 
 
 def main():
@@ -32,14 +79,25 @@ def main():
             print(f"FAIL {name}: no spark output")
             failures += 1
             continue
-        got = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        got_at = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
         try:
-            exp = con.execute(sql).fetchdf()
+            exp_at = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             failures += 1
             continue
+        # Physical-type gate: fail before value compare on family leaks
+        # (e.g. DuckDB HUGEINT/decimal vs Spark BIGINT) that the pandas
+        # value path would silently coerce but the driver's typed hash
+        # would flag.
+        tbad = type_mismatches(got_at, exp_at)
+        if tbad:
+            print(f"FAIL {name}: arrow type mismatch: {'; '.join(tbad[:3])}")
+            failures += 1
+            continue
+        got = got_at.to_pandas()
+        exp = exp_at.to_pandas()
         got = got.reindex(sorted(got.columns), axis=1)
         exp = exp.reindex(sorted(exp.columns), axis=1)
         if list(got.columns) != list(exp.columns):

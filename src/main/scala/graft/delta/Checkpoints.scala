@@ -65,6 +65,27 @@ object FileNames {
     } catch { case _: java.net.URISyntaxException => None })
       .getOrElse(absolutePath(dataPath, child).toString)
 
+  /** Resolve `child` against the QUALIFIED table root and return its
+    * slash-path ONLY when it actually lies under that root (same
+    * scheme+authority, path-prefix containment). Spec-legal absolute-URI
+    * children can point OUTSIDE the table — a shallow clone records the
+    * source table's files verbatim — and a delete-path (VACUUM) that
+    * resolves tombstones without this check would physically destroy
+    * the SOURCE table's data. delta-spark's vacuum likewise skips any
+    * candidate outside the table root.
+    */
+  def underTableRoot(qualifiedRoot: Path, child: String): Option[String] = {
+    val u = absolutePath(qualifiedRoot, child).toUri
+    val r = qualifiedRoot.toUri
+    val schemeAuthOk =
+      (u.getScheme == null && u.getAuthority == null) ||
+      (u.getScheme == r.getScheme &&
+        Option(u.getAuthority) == Option(r.getAuthority))
+    val rp = Option(r.getPath).getOrElse("").stripSuffix("/")
+    val p = Option(u.getPath).getOrElse("")
+    if (schemeAuthOk && (p == rp || p.startsWith(rp + "/"))) Some(p) else None
+  }
+
   /** Decode %XX escapes in a hive-escaped dir value WITHOUT form-decoding:
     * URLDecoder would also map a literal '+' (which hive does not escape)
     * to a space, corrupting the partition value.

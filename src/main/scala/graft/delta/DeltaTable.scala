@@ -1043,9 +1043,18 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val doDelete = !dryRun
     val expired = s.tombstonesDF
       .where($"deletionTimestamp".isNotNull && $"deletionTimestamp" <= cutoff)
+    // Guard: resolve each tombstone against the table root and DROP any
+    // that land outside it. A shallow clone's removes reference the
+    // SOURCE table's files by absolute URI; deleting through them would
+    // be cross-table data loss. The full vacuum is structurally immune
+    // (its candidates come from listing this table's directory) — LITE
+    // must enforce the same containment explicitly.
     val candidates = expired
       .select($"path").as[String]
-      .map(p => FileNames.absolutePath(new Path(rootStr), p).toUri.getPath)
+      .mapPartitions { it =>
+        val root = new Path(rootStr)
+        it.flatMap(p => FileNames.underTableRoot(root, p))
+      }
     val perTask = candidates.mapPartitions { it =>
       val f = new Path(rootStr).getFileSystem(serConf.value)
       var n = 0L

@@ -758,7 +758,7 @@ object Relational {
         .orderBy($"event_type")
     }, Some("""
       SELECT event_type, COUNT(*) AS n,
-        SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+        CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
         CAST(SUM(k) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_k
       FROM (SELECT event_type,
               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

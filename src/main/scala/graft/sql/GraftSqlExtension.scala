@@ -941,14 +941,21 @@ case class GraftReplaceTableCommand(target: SqlTarget,
           existing.location.toString
         } else {
           val loc = catalog.defaultTablePath(ident)
-          // no catalog entry references this location: a leftover
-          // directory there is orphan debris (e.g. a DROP that removed
-          // the entry but not the files). CREATE OR REPLACE is
-          // destructive by intent — clear it so the managed-location
-          // validation sees a clean slate.
+          // No catalog entry references this location, but that does NOT
+          // make whatever sits there debris: a path-addressed
+          // graft.`<path>` table (or an external writer's data) can
+          // legally live at the warehouse default location. A CREATE OR
+          // REPLACE that is semantically a plain CREATE must not rm -rf
+          // it — Spark/Delta likewise error on a non-empty managed
+          // location. An EMPTY leftover directory is safe to reuse.
           val p = new org.apache.hadoop.fs.Path(loc)
           val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-          if (fs.exists(p)) fs.delete(p, true)
+          if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+            throw new IllegalStateException(
+              s"cannot CREATE OR REPLACE TABLE $ident: no catalog entry " +
+                s"exists but its default location $loc is non-empty. " +
+                "Drop/clean the location, or address the data directly " +
+                s"as graft.`$loc`")
           catalog.createTable(CatalogTable(
             identifier = ident,
             tableType = CatalogTableType.MANAGED,

@@ -81,6 +81,33 @@ class VacuumLiteSuite extends AnyFunSuite {
     assert(t.toDF.count() == sampleDF.count())
   }
 
+  test("LITE on a shallow clone never deletes the source table's files") {
+    val srcDir = tmp()
+    val src = DeltaTable.forPath(spark, srcDir)
+    src.write(sampleDF, SaveMode.Append)
+    val srcFilesBefore = parquetCount(src)
+
+    // shallow clone records the SOURCE files by absolute URI; once the
+    // clone is overwritten those URIs become the clone's tombstones —
+    // the exact shape where an unguarded LITE destroys the source table
+    val cloneDir = tmp() + "/clone"
+    val clone = src.shallowCloneTo(cloneDir)
+    clone.write(sampleDF.filter(col("id") === 1), SaveMode.Overwrite)
+
+    val res = clone.vacuumLite(Some(0L))
+    assert(res.deletedCount == 0,
+      s"out-of-root tombstones must be skipped, deleted: ${res.sample}")
+    assert(parquetCount(src) == srcFilesBefore,
+      "source table's physical files must survive VACUUM <clone> LITE")
+    assert(src.toDF.count() == sampleDF.count(), "source must stay readable")
+    // and the clone's OWN expired tombstones still get swept: overwrite
+    // the clone again so a clone-local file becomes a tombstone
+    clone.write(sampleDF.filter(col("id") === 2), SaveMode.Overwrite)
+    val res2 = clone.vacuumLite(Some(0L))
+    assert(res2.deletedCount > 0, "clone-local tombstones must still sweep")
+    assert(parquetCount(src) == srcFilesBefore)
+  }
+
   test("SQL: VACUUM ... LITE routes to the log-driven sweep") {
     val dir = tmp()
     val t = DeltaTable.forPath(spark, dir)

@@ -57,6 +57,33 @@ class ReplaceTableSuite extends AnyFunSuite {
     spark.sql("DROP TABLE t_ror")
   }
 
+  test("replace never erases an unknown non-empty default location") {
+    import spark.implicits._
+    val catalog = spark.sessionState.catalog
+    spark.sql("DROP TABLE IF EXISTS t_ror_guard")
+    val loc = catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier("t_ror_guard"))
+    val dir = new org.apache.hadoop.fs.Path(loc).toUri.getPath
+    // a live PATH-addressed graft table that happens to sit at the
+    // warehouse default location for this name — no catalog entry
+    val squatter = graft.delta.DeltaTable.forPath(spark, dir)
+    squatter.write(Seq((1L, "keep")).toDF("id", "v"),
+      org.apache.spark.sql.SaveMode.Append)
+    try {
+      Seq((9L, 9L)).toDF("a", "b").createOrReplaceTempView("ror_seed_guard")
+      val e = intercept[Exception] {
+        spark.sql("CREATE OR REPLACE TABLE t_ror_guard USING `graft-delta` AS SELECT * FROM ror_seed_guard")
+      }
+      assert(e.getMessage.contains("non-empty"),
+        s"expected a clear non-empty-location error, got: ${e.getMessage}")
+      // the squatter's data must be untouched
+      assert(graft.delta.DeltaTable.forPath(spark, dir).toDF.count() == 1)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   test("replace with PARTITIONED BY lays out partition directories") {
     import spark.implicits._
     val dir = tmp()
