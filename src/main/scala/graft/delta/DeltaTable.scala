@@ -913,6 +913,23 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * full audit listing is actually wanted. Time travel before the
     * vacuumed versions stops working, as in any Delta implementation.
     */
+  /** vacuumProtocolCheck (public table-features spec): a table that
+    * lists the feature demands the FULL writer protocol gate before any
+    * vacuum touches files — so a legacy client that can't interpret a
+    * newer feature (say, a future deletion-vector encoding) cannot race
+    * a vacuum against state it doesn't understand and delete files a
+    * conforming reader still needs. Without the feature, vacuum keeps
+    * its historical laxer behavior (it never needed a protocol bump).
+    * Enablement round-trips through `delta.feature.vacuumProtocolCheck
+    * =supported` like any other feature (reader+writer, r3/w7).
+    */
+  private def assertVacuumProtocol(s: Snapshot): Unit = {
+    val p = s.protocol
+    val listed = p.readerFeatures.exists(_.contains("vacuumProtocolCheck")) ||
+      p.writerFeatures.exists(_.contains("vacuumProtocolCheck"))
+    if (listed) s.assertProtocolWrite()
+  }
+
   def vacuum(retentionMillis: Option[Long] = None,
       dryRun: Boolean = false,
       reportLimit: Int = 1000): VacuumResult = {
@@ -920,6 +937,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val hadoopConf = spark.sessionState.newHadoopConf()
     val fs = deltaLog.dataPath.getFileSystem(hadoopConf)
     val s = snapshot
+    assertVacuumProtocol(s)
     val retention = retentionMillis.getOrElse(
       DeltaConfig.TombstoneRetention.fromMetadata(s.metadata))
     val cutoff = deltaLog.clock.nowMillis - retention
@@ -1035,6 +1053,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val hadoopConf = spark.sessionState.newHadoopConf()
     val fs = deltaLog.dataPath.getFileSystem(hadoopConf)
     val s = snapshot
+    assertVacuumProtocol(s)
     val retention = retentionMillis.getOrElse(
       DeltaConfig.TombstoneRetention.fromMetadata(s.metadata))
     val cutoff = deltaLog.clock.nowMillis - retention
@@ -1819,15 +1838,31 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       it.map { a =>
         val srcData = FileNames.absolutePath(new Path(srcStr), a.path)
         val isAbs = FileNames.isAbsoluteUri(a.path)
-        val relPath = if (isAbs) srcData.getName else a.path
+        // flattening an external reference keeps only the base name —
+        // two sources can legally carry the same base name (a table
+        // cloned from multiple sources over its history), so prefix
+        // with a hash of the source DIRECTORY: equal names from
+        // different places stay distinct, and re-copies of the same
+        // physical file stay idempotent
+        val relPath =
+          if (isAbs) f"${scala.util.hashing.MurmurHash3.stringHash(srcData.getParent.toString)}%08x-${srcData.getName}"
+          else a.path
         copy(srcData, FileNames.absolutePath(new Path(destStr), relPath))
         // DV payload follows its descriptor
         val withDv = DeletionVectors.descriptor(a) match {
           case Some(d) if d.storageType == "u" =>
+            // the source side honors the descriptor's OWN prefix (spec-
+            // legal "u" descriptors from foreign writers use arbitrary —
+            // even empty — prefixes; only our writer uses
+            // _deletion_vectors). The clone re-emits the descriptor
+            // under our canonical prefix to match where the payload
+            // physically lands.
+            val from = DeletionVectors.absolutePathOf(new Path(srcStr), d)
             val name = DeletionVectors.fileName(d)
-            copy(new Path(new Path(srcStr, "_deletion_vectors"), name),
-              new Path(new Path(destStr, "_deletion_vectors"), name))
-            a // relative descriptor stays valid under the clone root
+            copy(from,
+              new Path(new Path(destStr, DeletionVectors.DvPrefix), name))
+            a.copy(deletionVector = d.copy(pathOrInlineDv =
+              DeletionVectors.DvPrefix + d.pathOrInlineDv.takeRight(20)))
           case Some(d) if d.storageType == "p" =>
             val from = new Path(new java.net.URI(d.pathOrInlineDv))
             val to = new Path(new Path(destStr, "_deletion_vectors"), from.getName)

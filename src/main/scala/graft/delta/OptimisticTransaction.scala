@@ -92,6 +92,32 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     }
   }
 
+  /** Explicit feature requests via `delta.feature.<name>=supported`
+    * table properties (public table-features spec): absorbed into the
+    * protocol BY THE COMMIT that carries them and stripped from the
+    * stored configuration — one-shot directives, not persistent config.
+    * Unknown names fail loudly: silently recording an unenforceable
+    * feature would hand a corrupt table to conforming readers. Shared
+    * by [[commit]] and [[commitLarge]] so a metadata-bearing large
+    * commit (e.g. a replace past the commitLarge threshold) gets the
+    * identical validate/strip/upgrade treatment.
+    */
+  private def featureRequestsIn(config: Map[String, String]): Set[String] =
+    config.collect {
+      case (k, v) if k.startsWith("delta.feature.") =>
+        val name = k.stripPrefix("delta.feature.")
+        require(v.trim.equalsIgnoreCase("supported") || v.trim.equalsIgnoreCase("enabled"),
+          s"$k must be 'supported', got '$v'")
+        require(Snapshot.SupportedWriterFeatures(name) ||
+            Snapshot.SupportedReaderFeatures(name),
+          s"unknown table feature '$name' requested via $k")
+        name
+    }.toSet
+
+  private def stripFeatureRequests(m: Metadata): Metadata =
+    m.copy(configuration =
+      m.configuration.filterNot(_._1.startsWith("delta.feature.")))
+
   /** Commit staged actions; returns the committed version
     * (cf. reference `trnx.go:144` Commit).
     */
@@ -157,26 +183,10 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
         // a pre-feature writer would silently drop the fill obligation
         (if (ColumnDefaults.defaults(metadata).nonEmpty)
           Set(ColumnDefaults.FeatureName) else Set.empty[String])
-    // explicit feature requests via `delta.feature.<name>=supported`
-    // table properties (public table-features spec): absorbed into the
-    // protocol BY THIS COMMIT and stripped from the stored configuration
-    // — they are one-shot directives, not persistent config. Unknown
-    // names fail loudly: silently recording an unenforceable feature
-    // would hand a corrupt table to conforming readers.
-    val featureRequests: Set[String] = metadata.configuration.collect {
-      case (k, v) if k.startsWith("delta.feature.") =>
-        val name = k.stripPrefix("delta.feature.")
-        require(v.trim.equalsIgnoreCase("supported") || v.trim.equalsIgnoreCase("enabled"),
-          s"$k must be 'supported', got '$v'")
-        require(Snapshot.SupportedWriterFeatures(name) ||
-            Snapshot.SupportedReaderFeatures(name),
-          s"unknown table feature '$name' requested via $k")
-        name
-    }.toSet
+    val featureRequests = featureRequestsIn(metadata.configuration)
     if (featureRequests.nonEmpty)
       finalActions = finalActions.map {
-        case m: Metadata => m.copy(configuration =
-          m.configuration.filterNot(_._1.startsWith("delta.feature.")))
+        case m: Metadata => stripFeatureRequests(m)
         case a => a
       }
     val rwFeatures = readerWriterFeatureRequirements ++
@@ -398,12 +408,17 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       engineInfo = Some(engineInfo),
       txnId = Some(java.util.UUID.randomUUID.toString),
       inCommitTimestamp = ict)
+    // identical `delta.feature.<name>=supported` treatment as commit():
+    // validate, strip from the stored configuration, absorb into the
+    // protocol below — a metadata-bearing large commit must not persist
+    // the raw one-shot keys without the upgrade
+    val featureRequests = featureRequestsIn(metadata.configuration)
     val mdActions = newMetadata.toSeq.map {
       case m if ictNewlyEnabled => m.copy(configuration = m.configuration +
         (DeltaConfig.IctEnablementVersionKey -> attempt.toString) +
         (DeltaConfig.IctEnablementTimestampKey -> ict.get.toString))
       case m => m
-    }.map(RowTracking.withMaterializedNames)
+    }.map(RowTracking.withMaterializedNames).map(stripFeatureRequests)
     // same feature-requirement set as commit(): a table whose
     // metadata-bearing commits all flow through commitLarge must still
     // declare v2Checkpoint / typeWidening / row-tracking features before
@@ -415,10 +430,13 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
        else Set.empty[String]) ++
         (if (ictEnabled) Set("inCommitTimestamp") else Set.empty[String]) ++
         (if (ColumnDefaults.defaults(metadata).nonEmpty)
-          Set(ColumnDefaults.FeatureName) else Set.empty[String])
+          Set(ColumnDefaults.FeatureName) else Set.empty[String]) ++
+        (featureRequests -- Snapshot.SupportedReaderFeatures)
     val protoActions: Seq[Action] =
       upgradedProtocol(baseProto.getOrElse(snapshot.protocol),
-          wantedWriterFeatures, readerWriterFeatureRequirements)
+          wantedWriterFeatures,
+          readerWriterFeatureRequirements ++
+            featureRequests.intersect(Snapshot.SupportedReaderFeatures))
         .map(Seq[Action](_)).getOrElse(baseProto.toSeq)
     // crc tallies ride the stream — no second pass over the actions
     var crcAddFiles = 0L; var crcAddBytes = 0L

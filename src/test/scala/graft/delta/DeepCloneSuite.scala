@@ -73,6 +73,79 @@ class DeepCloneSuite extends AnyFunSuite {
       .toDF.count() == 2)
   }
 
+  test("deep clone honors a foreign 'u' DV prefix (payload not under _deletion_vectors)") {
+    import spark.implicits._
+    val srcDir = tmp()
+    val t = DeltaTable.forPath(spark, srcDir)
+    val txn0 = t.deltaLog.startTransaction()
+    txn0.updateMetadata(Metadata(
+      schemaString = Seq((1L, "a")).toDF("id", "v").schema.json,
+      configuration = Map("delta.enableDeletionVectors" -> "true")))
+    txn0.commit(Nil, Op.CreateTable)
+    // dispersed deletes so the bitmap exceeds the inline limit → "u"
+    t.write((1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t.delete(col("id") % 2 === 1)
+    val add = t.snapshot.allFiles.find(a =>
+      Option(a.deletionVector).exists(_.storageType == "u"))
+      .getOrElse(fail("fixture needs a file-backed DV"))
+    val d = add.deletionVector
+    // relocate the payload to the TABLE ROOT (empty prefix) — the
+    // spec-legal shape foreign writers produce (delta-spark uses random
+    // or empty prefixes; only our writer pins _deletion_vectors)
+    val fs = t.deltaLog.dataPath
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val from = DeletionVectors.absolutePathOf(t.deltaLog.dataPath, d)
+    val to = new org.apache.hadoop.fs.Path(
+      t.deltaLog.dataPath, DeletionVectors.fileName(d))
+    assert(fs.rename(from, to), s"rename $from -> $to")
+    val repointed = add.copy(dataChange = false, deletionVector =
+      d.copy(pathOrInlineDv = d.pathOrInlineDv.takeRight(20)))
+    val txn = t.deltaLog.startTransaction()
+    txn.commit(Seq(add.remove(1L, dataChange = false), repointed), Op.Optimize)
+
+    val fresh = DeltaTable.forPath(spark, srcDir)
+    assert(fresh.toDF.count() == 500, "root-prefix DV must still read")
+    val deepDir = tmp() + "/deepfp"
+    val deep = fresh.deepCloneTo(deepDir)
+    rmTree(srcDir)
+    assert(DeltaTable.forPath(spark, deepDir).toDF.count() == 500,
+      "clone must copy the payload from the descriptor's own prefix " +
+        "and re-point the cloned descriptor at it")
+  }
+
+  test("deep clone disambiguates equal base names from different sources") {
+    import spark.implicits._
+    // two EXTERNAL parquet files that share a base name in different dirs
+    def extParquet(rows: Seq[(Long, String)], dir: java.io.File): java.io.File = {
+      val stage = tmp()
+      rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      dir.mkdirs()
+      val dst = new java.io.File(dir, "data.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst
+    }
+    val base = new java.io.File(tmp())
+    val f1 = extParquet(Seq((1L, "a"), (2L, "b")), new java.io.File(base, "d1"))
+    val f2 = extParquet(Seq((10L, "x")), new java.io.File(base, "d2"))
+    val t = DeltaTable.forPath(spark, tmp())
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = Seq((1L, "a")).toDF("id", "v").schema.json))
+    txn.commit(Seq(
+      AddFile("file://" + f1.getAbsolutePath, size = f1.length,
+        modificationTime = f1.lastModified),
+      AddFile("file://" + f2.getAbsolutePath, size = f2.length,
+        modificationTime = f2.lastModified)), Op.Write)
+    assert(t.toDF.count() == 3)
+    val deep = t.deepCloneTo(tmp() + "/deepcol")
+    assert(deep.snapshot.allFiles.map(_.path).distinct.size == 2,
+      "flattened names must stay distinct")
+    assert(deep.toDF.count() == 3,
+      "equal base names from different sources must not overwrite")
+  }
+
   test("SQL: CREATE TABLE ... DEEP CLONE on a path target") {
     import spark.implicits._
     val srcDir = tmp()

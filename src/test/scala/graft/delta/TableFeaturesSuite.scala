@@ -410,6 +410,70 @@ class TableFeaturesSuite extends AnyFunSuite {
       s"got ${s.metadata.configuration}")
   }
 
+  test("commitLarge honors delta.feature.<name>=supported identically") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    t.write(Seq((1L, "a")).toDF("id", "name"))
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(txn.metadata.copy(configuration = txn.metadata.configuration ++
+      Map("delta.feature.deletionVectors" -> "supported",
+        "delta.feature.appendOnly" -> "supported")))
+    // the streaming path must validate/strip/upgrade exactly like commit()
+    txn.commitLarge(Iterator.empty, Op.SetTableProperties)
+    val s = t.deltaLog.update()
+    val p = s.protocol
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7, s"got $p")
+    assert(p.readerFeatures.exists(_.contains("deletionVectors")), s"got $p")
+    assert(p.writerFeatures.exists(_.contains("deletionVectors")), s"got $p")
+    assert(p.writerFeatures.exists(_.contains("appendOnly")), s"got $p")
+    assert(!s.metadata.configuration.keys.exists(_.startsWith("delta.feature.")),
+      s"raw one-shot keys must not persist: ${s.metadata.configuration}")
+    // unknown names fail loudly on the large path too
+    val t2 = DeltaTable.forPath(spark, tmp())
+    t2.write(Seq((1L, "a")).toDF("id", "name"))
+    val bad = t2.deltaLog.startTransaction()
+    bad.updateMetadata(bad.metadata.copy(configuration = bad.metadata.configuration +
+      ("delta.feature.notAThing" -> "supported")))
+    val e = intercept[IllegalArgumentException] {
+      bad.commitLarge(Iterator.empty, Op.SetTableProperties)
+    }
+    assert(e.getMessage.contains("notAThing"))
+  }
+
+  test("vacuumProtocolCheck round-trips and gates VACUUM on the writer protocol") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(txn.metadata.copy(configuration = txn.metadata.configuration +
+      ("delta.feature.vacuumProtocolCheck" -> "supported")))
+    txn.commit(Nil, Op.SetTableProperties)
+    val p = t.deltaLog.update().protocol
+    // reader+writer feature per the public spec: r3/w7, listed on both sides
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7, s"got $p")
+    assert(p.readerFeatures.exists(_.contains("vacuumProtocolCheck")), s"got $p")
+    assert(p.writerFeatures.exists(_.contains("vacuumProtocolCheck")), s"got $p")
+    // this client supports the feature: vacuum proceeds normally
+    t.write(Seq((3L, "c")).toDF("id", "name"),
+      org.apache.spark.sql.SaveMode.Overwrite)
+    assert(t.vacuum(Some(0L)).deletedCount > 0)
+
+    // a table that ALSO lists a writer feature we don't implement:
+    // with vacuumProtocolCheck present, both sweeps must refuse
+    val t2 = DeltaTable.forPath(spark, tmp())
+    t2.write(Seq((1L, "a")).toDF("id", "name"))
+    t2.write(Seq((2L, "b")).toDF("id", "name"),
+      org.apache.spark.sql.SaveMode.Overwrite)
+    val raw = t2.deltaLog.startTransaction()
+    raw.commit(Seq(Protocol(3, 7,
+      readerFeatures = Some(Set("vacuumProtocolCheck")),
+      writerFeatures = Some(Set("vacuumProtocolCheck", "someFutureFeature")))),
+      Op.UpgradeProtocol)
+    val fresh = DeltaTable.forPath(spark, t2.deltaLog.dataPath.toString)
+    intercept[Snapshot.InvalidProtocolVersionException] { fresh.vacuum(Some(0L)) }
+    intercept[Snapshot.InvalidProtocolVersionException] { fresh.vacuumLite(Some(0L)) }
+  }
+
   test("an unknown delta.feature request fails loudly") {
     import spark.implicits._
     val t = DeltaTable.forPath(spark, tmp())
