@@ -378,11 +378,18 @@ object Corpus {
       val tok = docs.select($"doc_id",
         explode(array_distinct(tokens($"text"))).as("term"))
       val corpus = docs.agg(count(lit(1)).as("n_docs"))
-      val dfreq = tok.groupBy($"term").agg(count(lit(1)).as("df"))
       val qtok = tok.filter($"doc_id" < NQ).select($"doc_id".as("q_id"), $"term")
+      // document frequencies are needed ONLY for the query-term set:
+      // semi-restrict the full token stream by the broadcast query
+      // terms BEFORE the df aggregation, so the shuffle carries the
+      // query-term rows alone (not the whole vocabulary), and the tiny
+      // result broadcasts into the candidate join — the vocab-sized
+      // shuffle the full dfreq required is gone entirely
+      val qdf = tok.join(broadcast(qtok.select($"term").distinct()), Seq("term"))
+        .groupBy($"term").agg(count(lit(1)).as("df"))
       val lex = tok.join(broadcast(qtok), Seq("term"))
         .filter($"doc_id" =!= $"q_id")
-        .join(dfreq, Seq("term"))
+        .join(broadcast(qdf), Seq("term"))
         .crossJoin(broadcast(corpus))
         .withColumn("idf_s", floor($"n_docs" * lit(1000.0) / $"df").cast("long"))
         .groupBy($"q_id", $"doc_id").agg(sum($"idf_s").as("lex"))
