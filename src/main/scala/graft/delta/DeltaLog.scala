@@ -63,6 +63,19 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     cs.find(_._2 >= timestampMillis).map(_._1)
   }
 
+  /** Streaming start resolution for `startingTimestamp` (delta-spark
+    * parity; the streaming face of the reference's timestamp
+    * resolution, `log.go:160` / history_manager): the first version
+    * whose commit timestamp is at-or-after the given time. A
+    * pre-history timestamp starts at the earliest retained version
+    * ("give me everything since <time>" trivially includes the whole
+    * log); a timestamp past the last commit resolves to latest+1 —
+    * only commits arriving after the stream starts, the same contract
+    * as `startingVersion=latest`.
+    */
+  def startingVersionAtOrAfterTimestamp(timestampMillis: Long): Long =
+    versionAtOrAfterTimestamp(timestampMillis).getOrElse(update().version + 1)
+
   /** cf. reference `log.go:173` CommitInfoAt (history_manager.getCommitInfo). */
   def commitInfoAt(version: Long): Option[CommitInfo] = {
     val p = FileNames.deltaFile(logPath, version)

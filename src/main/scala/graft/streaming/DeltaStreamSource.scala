@@ -343,13 +343,24 @@ class DeltaStreamSourceProvider extends StreamSourceProvider with DataSourceRegi
         require(n > 0, "maxBytesPerTrigger must be positive")
         n
       },
-      // "latest" = only commits arriving after the stream starts
-      startingVersion = parameters.get("startingVersion").map {
-        case v if v.trim.toLowerCase == "latest" =>
-          DeltaLog.forTable(sqlContext.sparkSession, tablePath(parameters))
-            .update().version + 1
-        case v => v.trim.toLong
-      }.getOrElse(0L),
+      // "latest" = only commits arriving after the stream starts;
+      // startingTimestamp resolves through the same commit-timestamp
+      // index as batch time travel (DeltaLog.versionAtOrAfterTimestamp)
+      startingVersion =
+        (parameters.get("startingVersion"), parameters.get("startingTimestamp")) match {
+          case (Some(_), Some(_)) => throw new IllegalArgumentException(
+            "specify at most one of startingVersion / startingTimestamp")
+          case (Some(v), None) if v.trim.toLowerCase == "latest" =>
+            DeltaLog.forTable(sqlContext.sparkSession, tablePath(parameters))
+              .update().version + 1
+          case (Some(v), None) => v.trim.toLong
+          case (None, Some(t)) =>
+            val millis = t.trim.toLongOption.getOrElse(
+              java.sql.Timestamp.valueOf(t.trim).getTime)
+            DeltaLog.forTable(sqlContext.sparkSession, tablePath(parameters))
+              .startingVersionAtOrAfterTimestamp(millis)
+          case (None, None) => 0L
+        },
       ignoreDeletes = flag(parameters, "ignoreDeletes"),
       ignoreChanges = flag(parameters, "ignoreChanges"),
       skipChangeCommits = flag(parameters, "skipChangeCommits"))

@@ -208,6 +208,71 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("D4: startingTimestamp resolves via commit timestamps (boundary, between, pre-history, future)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("d4-startts").toString
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((1L, "a")).toDF("id", "v")) // v0
+    t.write(Seq((2L, "b")).toDF("id", "v")) // v1
+    t.write(Seq((3L, "c")).toDF("id", "v")) // v2
+    // pin commit timestamps 10s apart so boundaries are unambiguous
+    // (no ICT on this table → file mtimes are the commit times, the
+    // same index batch time travel reads)
+    val base = System.currentTimeMillis() - 300000L
+    (0 to 2).foreach { v =>
+      val f = new java.io.File(s"$dir/_delta_log/${"%020d".format(v)}.json")
+      assert(f.setLastModified(base + v * 10000L))
+    }
+
+    def readFrom(ts: Long, name: String): Seq[Long] = {
+      val q = spark.readStream
+        .format("graft.streaming.DeltaStreamSourceProvider")
+        .option("path", dir)
+        .option("startingTimestamp", ts.toString)
+        .load()
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      spark.table(name).select("id").as[Long].collect().toSeq.sorted
+    }
+    // pre-history: everything
+    assert(readFrom(base - 5000L, "d4_ts_pre") == Seq(1L, 2L, 3L))
+    // exact boundary: v1's own commit time is included
+    assert(readFrom(base + 10000L, "d4_ts_exact") == Seq(2L, 3L))
+    // between v1 and v2: next commit at-or-after
+    assert(readFrom(base + 15000L, "d4_ts_between") == Seq(3L))
+    // past the last commit: only future appends
+    val futureQ = spark.readStream
+      .format("graft.streaming.DeltaStreamSourceProvider")
+      .option("path", dir)
+      .option("startingTimestamp", (base + 999999L).toString)
+      .load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d4_ts_future").start()
+    try {
+      futureQ.processAllAvailable()
+      assert(spark.table("d4_ts_future").isEmpty, "nothing before new commits")
+      t.write(Seq((9L, "z")).toDF("id", "v")) // v3, arrives after start
+      futureQ.processAllAvailable()
+      assert(spark.table("d4_ts_future").select("id").as[Long]
+        .collect().toSeq == Seq(9L))
+    } finally futureQ.stop()
+    // mutual exclusion with startingVersion (surfaces either at start
+    // or wrapped in the query's failure, depending on init timing)
+    val e = intercept[Exception] {
+      val q = spark.readStream
+        .format("graft.streaming.DeltaStreamSourceProvider")
+        .option("path", dir)
+        .option("startingVersion", "0")
+        .option("startingTimestamp", base.toString)
+        .load()
+        .writeStream.format("memory").queryName("d4_ts_both").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("at most one")), s"got: ${msgs(e)}")
+  }
+
   test("D4: ignoreDeletes permits delete-only commits") {
     import spark.implicits._
     val dir = Files.createTempDirectory("d4-igndel").toString
