@@ -6,6 +6,7 @@ Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already produced
 <outDir>/<name>/ parquet dirs + <outDir>/oracle_sql.json.
 """
 import json
+import os
 import sys
 import glob
 
@@ -68,7 +69,12 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata is one FILE per table; Spark-written corpora
+        # (e.g. the ScaleSynth sweep) are DIRECTORIES of part-files
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):

@@ -121,12 +121,16 @@ object Bench {
         if (f.exists()) mapper.readTree(f).asInstanceOf[ObjectNode]
         else mapper.createObjectNode()
       val runs = root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("runs")
+      // compare against the latest run AT THE SAME SCALE: a scale-sweep
+      // entry (e.g. the 10× synthetic corpus) must neither read as a
+      // universal regression nor mask real sf0.1 drift afterwards
       val prev: Map[String, Double] =
-        if (runs.size() > 0) {
-          val last = runs.get(runs.size() - 1).get("queries")
-          if (last == null) Map.empty
-          else last.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
-        } else Map.empty
+        (runs.size() - 1 to 0 by -1).iterator
+          .map(runs.get)
+          .find(r => r.get("sf") != null && r.get("sf").asText() == sfDir)
+          .flatMap(r => Option(r.get("queries")))
+          .map(_.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap)
+          .getOrElse(Map.empty)
       val regressions = results.flatMap { case (name, cur) =>
         prev.get(name).collect {
           case p if p > 0 && cur > p * RegressionFactor => name -> (p, cur)

@@ -562,6 +562,86 @@ object Corpus {
               FROM tb JOIN bw USING (b) GROUP BY doc_id, lang)
       SELECT doc_id, lang, n_tokens, w_sum,
         CAST(w_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_w
-      FROM per ORDER BY avg_w DESC, doc_id LIMIT 100"""))
+      FROM per ORDER BY avg_w DESC, doc_id LIMIT 100""")),
+
+    // C51 ---------------------------------------------------------------
+    // Deterministic stratified sampling: per-stratum (source) keep rates
+    // applied via a salted content hash — the reproducible "take p% of
+    // each domain" primitive every curation run needs (rerunning the
+    // pipeline, or running it on different cluster sizes, must select
+    // the SAME documents; rand() cannot). The hash is md5 of the doc id,
+    // so membership is a pure per-row predicate: fully pushed into the
+    // scan, no shuffle until the per-stratum report aggregation. Rates
+    // vary by stratum (50–810 per-mille derived from the source id) to
+    // prove per-stratum thresholds, not one global Bernoulli.
+    GQ("sample_stratified", (s, d) => {
+      import s.implicits._
+      val docs = table(s, d, "documents")
+        .withColumn("rate_pm",
+          (lit(50L) + lit(40L) * (substring($"source", 4, 10).cast("long") % 20)))
+        .withColumn("h",
+          conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+            .cast("long") % 1000)
+      docs.groupBy($"source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"h" < $"rate_pm", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"h" < $"rate_pm", $"n_chars").otherwise(0L)).as("kept_chars"),
+          min(when($"h" < $"rate_pm", $"doc_id")).as("first_kept"),
+          max(when($"h" < $"rate_pm", $"doc_id")).as("last_kept"))
+        .orderBy($"source")
+    }, Some("""
+      WITH h AS (SELECT source, doc_id, n_chars,
+              50 + 40 * (CAST(substr(source, 4) AS BIGINT) % 20) AS rate_pm,
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS h
+            FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN h < rate_pm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN h < rate_pm THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        MIN(CASE WHEN h < rate_pm THEN doc_id END) AS first_kept,
+        MAX(CASE WHEN h < rate_pm THEN doc_id END) AS last_kept
+      FROM h GROUP BY source ORDER BY source""")),
+
+    // C52 ---------------------------------------------------------------
+    // Domain-mixture reweighting at temperature τ=0.5 (the sqrt-share
+    // sampling of the public multilingual-pretraining recipes: up-weight
+    // small domains, down-weight dominant ones): per source compute the
+    // natural token share, the τ-tempered target share, and the
+    // per-domain sampling boost the loader applies. Determinism rule:
+    // the τ-share NORMALIZER is a sum of floor(1e9·sqrt(share))
+    // INTEGERS, not doubles — double addition is order-sensitive and
+    // a 1000-executor run must produce the byte-identical mixture.
+    // One groupBy(source) shuffle of (count,sum) partials; the totals
+    // attach via broadcast of one row.
+    GQ("mix_weights", (s, d) => {
+      import s.implicits._
+      val perSrc = table(s, d, "documents")
+        .withColumn("n_tok", size(tokens($"text")).cast("long"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      val tot = perSrc.agg(sum($"n_tokens").as("tot")).select($"tot")
+      val scaled = perSrc.crossJoin(broadcast(tot))
+        .withColumn("nat_share", $"n_tokens".cast("double") / $"tot".cast("double"))
+        .withColumn("s_i", floor(sqrt($"nat_share") * lit(1e9)).cast("long"))
+      val norm = scaled.agg(sum($"s_i").as("s_sum")).select($"s_sum")
+      scaled.crossJoin(broadcast(norm))
+        .withColumn("tgt_share", $"s_i".cast("double") / $"s_sum".cast("double"))
+        .withColumn("boost", $"tgt_share" / $"nat_share")
+        .select($"source", $"n_docs", $"n_tokens", $"nat_share",
+          $"tgt_share", $"boost")
+        .orderBy($"source")
+    }, Some("""
+      WITH per AS (SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source),
+      tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per),
+      sc AS (SELECT source, n_docs, n_tokens,
+              CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS nat_share,
+              CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e9) AS BIGINT) AS s_i
+            FROM per CROSS JOIN tot),
+      nrm AS (SELECT CAST(SUM(s_i) AS BIGINT) AS s_sum FROM sc)
+      SELECT source, n_docs, n_tokens, nat_share,
+        CAST(s_i AS DOUBLE) / CAST(s_sum AS DOUBLE) AS tgt_share,
+        (CAST(s_i AS DOUBLE) / CAST(s_sum AS DOUBLE)) / nat_share AS boost
+      FROM sc CROSS JOIN nrm ORDER BY source"""))
   )
 }

@@ -3,6 +3,8 @@ package graft.streaming
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicLong
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.delta.Op
@@ -21,11 +23,32 @@ object Streams {
 
   private val sinkId = new AtomicLong(0)
 
-  /** Copy the events parquet into a fresh dir usable as a file source. */
+  /** Copy the events parquet into a fresh dir usable as a file source.
+    * Handles both table layouts: the driver testdata's single FILE
+    * `events.parquet` and a directory of part-files (any Spark-written
+    * table, e.g. the scale-sweep corpus) — silently copying a directory
+    * entry would hand the stream an empty source and every D-query
+    * would "pass" on zero rows (the round-12 scale-sweep catch).
+    */
   private def eventsSourceDir(d: String): String = {
     val src = QueryDefs.scratchDir("graft-stream-src")
-    Files.copy(Paths.get(s"$d/events.parquet"),
-      src.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val table = Paths.get(s"$d/events.parquet")
+    if (Files.isDirectory(table)) {
+      val parts = Files.list(table).iterator()
+      var i = 0
+      while (parts.hasNext) {
+        val p = parts.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.copy(p, src.resolve(f"events_$i%05d.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+          i += 1
+        }
+      }
+      require(i > 0, s"no part-files under $table")
+    } else {
+      Files.copy(table, src.resolve("events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     src.toString
   }
 
@@ -63,8 +86,15 @@ object Streams {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$d/events.parquet").schema
       // source contains every event twice -> dedup must halve it
+      // (duplicate every part-file: the source may be multi-file)
       val dir = Paths.get(eventsSourceDir(d))
-      Files.copy(dir.resolve("events.parquet"), dir.resolve("events_dup.parquet"))
+      Files.list(dir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach { p =>
+          val n = p.getFileName.toString.stripSuffix(".parquet")
+          Files.copy(p, dir.resolve(n + "_dup.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
       val stream = s.readStream.schema(schema).parquet(dir.toString)
         .transform(QueryDefs.withEventTs)
       val dedup = stream
