@@ -1747,8 +1747,25 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * clone. Caveat (as in any Delta shallow clone): VACUUM on the SOURCE
     * can delete files the clone still references.
     */
-  def shallowCloneTo(destPath: String): DeltaTable = {
-    val src = snapshot
+  /** The snapshot a CLONE copies: current, `VERSION AS OF`, or
+    * `TIMESTAMP AS OF` — time-travel clones share the exact resolution
+    * of batch time travel (A7/A8), so "fork the table as it was before
+    * the bad deploy" is one statement.
+    */
+  private def cloneSource(versionAsOf: Option[Long],
+      timestampAsOf: Option[Long]): Snapshot =
+    (versionAsOf, timestampAsOf) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "specify at most one of versionAsOf / timestampAsOf")
+      case (Some(v), None) => deltaLog.snapshotForVersionAsOf(v)
+      case (None, Some(ts)) => deltaLog.snapshotForTimestampAsOf(ts)
+      case (None, None) => snapshot
+    }
+
+  def shallowCloneTo(destPath: String,
+      versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[Long] = None): DeltaTable = {
+    val src = cloneSource(versionAsOf, timestampAsOf)
     src.assertProtocolRead()
     val md = src.metadata
     val destLog = DeltaLog.forTable(spark, destPath)
@@ -1810,9 +1827,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * their payloads ("u" stays relative, absolute/legacy forms re-point
     * to the clone's tree).
     */
-  def deepCloneTo(destPath: String): DeltaTable = {
+  def deepCloneTo(destPath: String,
+      versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[Long] = None): DeltaTable = {
     import spark.implicits._
-    val src = snapshot
+    val src = cloneSource(versionAsOf, timestampAsOf)
     src.assertProtocolRead()
     val md = src.metadata
     val destLog = DeltaLog.forTable(spark, destPath)

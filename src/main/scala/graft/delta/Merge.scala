@@ -73,6 +73,19 @@ final class MergeBuilder private[delta] (
     txnId = Some((appId, version)); this
   }
 
+  private var evolveSchema = false
+
+  /** delta-spark's `withSchemaEvolution`: source-only TOP-LEVEL columns
+    * join the target schema (nullable; fresh physical ids under column
+    * mapping) in this merge's own commit. `whenMatchedUpdateAll` keeps
+    * the target value for columns the source lacks and
+    * `whenNotMatchedInsertAll` fills them null — the source no longer
+    * has to carry every target column. Existing files are untouched:
+    * evolution-added columns read as null from pre-merge files, exactly
+    * like mergeSchema on the write path.
+    */
+  def withSchemaEvolution(): this.type = { evolveSchema = true; this }
+
   def whenMatchedUpdate(set: Map[String, Column]): this.type = {
     require(set.nonEmpty, "whenMatchedUpdate needs at least one SET column")
     matched += ((None, MUpdate(set))); this
@@ -140,18 +153,52 @@ final class MergeBuilder private[delta] (
     val txnActions: Seq[Action] = txnId.toSeq.map { case (app, v) =>
       SetTransaction(app, v, Some(log.clock.nowMillis))
     }
-    val md = txn.metadata
+    val md0 = txn.metadata
+    val origNames = md0.schema.fieldNames.toSet
+    // schema evolution: stage the widened schema on THIS txn so the
+    // rewrite writes it and the commit carries the metadata update;
+    // reads of existing files keep the ORIGINAL metadata (their parquet
+    // has the old physical schema)
+    val md: Metadata =
+      if (!evolveSchema) md0
+      else {
+        val newCols = source.schema.fields
+          .filterNot(f => origNames.contains(f.name)).toSeq
+        if (newCols.isEmpty) md0
+        else {
+          var mx = ColumnMapping.maxId(md0.schema)
+          val annotated = newCols.map { f =>
+            if (ColumnMapping.enabled(md0)) {
+              val a = ColumnMapping.freshField(f.copy(nullable = true), mx)
+              mx += 1; a
+            } else f.copy(nullable = true)
+          }
+          val merged = org.apache.spark.sql.types.StructType(
+            md0.schema.fields ++ annotated)
+          val m2 = md0.copy(schemaString = merged.json)
+          txn.updateMetadata(m2)
+          m2
+        }
+      }
     val fields = md.schema.fields.toSeq
     val fieldNames = md.schema.fieldNames.toSet
+    val srcNames = source.schema.fieldNames.toSet
+    // target-side reference: an evolution-added column has no data in
+    // any target file yet — it is null on the target side by definition
+    def tRef(f: org.apache.spark.sql.types.StructField): Column =
+      if (origNames.contains(f.name)) col(s"t.${f.name}")
+      else lit(null).cast(f.dataType)
 
+    def starFields: Seq[org.apache.spark.sql.types.StructField] =
+      if (evolveSchema) fields.filter(f => srcNames.contains(f.name)) else fields
     def resolvedSet(a: MatchedAction): Map[String, Column] = a match {
       case MUpdate(set) => set
-      case MUpdateAll => fields.map(f => f.name -> col(s"s.${f.name}")).toMap
+      case MUpdateAll => starFields.map(f => f.name -> col(s"s.${f.name}")).toMap
       case MDelete => Map.empty
     }
     def resolvedIns(a: NotMatchedAction): Map[String, Column] = a match {
       case NInsert(values) => values
-      case NInsertAll => fields.map(f => f.name -> col(s"s.${f.name}")).toMap
+      case NInsertAll => starFields.map(f => f.name -> col(s"s.${f.name}")).toMap
     }
     require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "MERGE needs at least one clause")
@@ -168,10 +215,10 @@ final class MergeBuilder private[delta] (
     val cdfOn = DeltaConfig.EnableChangeDataFeed.fromMetadata(md)
     val now = log.clock.nowMillis
 
-    val tCols = fields.map(f => col(s"t.${f.name}").as(f.name))
+    val tCols = fields.map(f => tRef(f).as(f.name))
     def updateProj(set: Map[String, Column]): Seq[Column] = fields.map { f =>
       set.get(f.name).map(_.cast(f.dataType).as(f.name))
-        .getOrElse(col(s"t.${f.name}").as(f.name))
+        .getOrElse(tRef(f).as(f.name))
     }
     def insertProj(values: Map[String, Column]): Seq[Column] = fields.map { f =>
       values.get(f.name).map(_.cast(f.dataType).as(f.name))
@@ -186,7 +233,7 @@ final class MergeBuilder private[delta] (
       if (allFiles.isEmpty) Nil
       else if (bySource.nonEmpty) allFiles // every target-only row is a candidate
       else {
-        val tgt = t.readFilesKeyed(allFiles, md).alias("t")
+        val tgt = t.readFilesKeyed(allFiles, md0).alias("t")
         val hit = tgt.join(source.alias("s"), condition, "inner")
           .select(col("t.__fp")).distinct()
           .collect().map(r => t.normPath(r.getString(0))).toSet
@@ -236,7 +283,7 @@ final class MergeBuilder private[delta] (
       if (!rt) Nil
       else Seq(id.cast("long").as(RowTracking.MatRowId),
         rcv.cast("long").as(RowTracking.MatRowCommitVersion))
-    val tgt = (if (rt) t.rowIdResolved(touched, md) else t.readFilesKeyed(touched, md))
+    val tgt = (if (rt) t.rowIdResolved(touched, md0) else t.readFilesKeyed(touched, md0))
       .withColumn("__tid", concat_ws(":", col("__fp"), col("__ri")))
       .withColumn("__t_present", lit(true))
       .alias("t")

@@ -41,6 +41,9 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
     // Hints batch: runs BEFORE Resolution, where Spark would reject time
     // travel over a V1 relation
     ext.injectHintResolutionRule(session => new GraftTimeTravelRule(session))
+    // also pre-resolution: schema-evolution MERGE must be claimed before
+    // the analyzer's star expansion drops source-only columns
+    ext.injectHintResolutionRule(session => new GraftMergeEvolutionRule(session))
     // SELECT * FROM table_changes('t' | '/path', start [, end])
     ext.injectTableFunction((
       FunctionIdentifier("table_changes"),
@@ -97,17 +100,17 @@ object GraftTableChangesFunction {
   * Runs in the Hints batch (before Resolution); non-graft relations are
   * left untouched for Spark to handle.
   */
-class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
-  import org.apache.spark.sql.catalyst.expressions.Cast
-
-  /** Table path when the identifier names a graft-delta table:
-    * `graft.`/path``/`delta.`/path`` or a catalog table of the provider.
-    */
-  private def graftPath(parts: Seq[String]): Option[String] = parts match {
+/** Shared identifier → graft-delta path resolution for pre-resolution
+  * rules: `graft.`/path``/`delta.`/path`` forms, or a catalog table of
+  * the graft-delta provider (returning its identifier for post-command
+  * cache refresh).
+  */
+private[sql] object GraftPaths {
+  def graftPathWithId(spark: SparkSession,
+      parts: Seq[String]): Option[(String, Option[TableIdentifier])] = parts match {
     case Seq(ns, p) if (ns.equalsIgnoreCase("graft") || ns.equalsIgnoreCase("delta")) &&
         graft.delta.DeltaLog.forTable(spark, p).tableExists =>
-      Some(p)
+      Some((p, None))
     case _ =>
       try {
         val id = parts.map(x => x.stripPrefix("`").stripSuffix("`")) match {
@@ -118,10 +121,21 @@ class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         val md = spark.sessionState.catalog.getTableMetadata(id)
         if (md.provider.exists(_.equalsIgnoreCase("graft-delta")))
-          Some(md.location.toString)
+          Some((md.location.toString, Some(id)))
         else None
       } catch { case _: Exception => None }
   }
+}
+
+class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+  import org.apache.spark.sql.catalyst.expressions.Cast
+
+  /** Table path when the identifier names a graft-delta table:
+    * `graft.`/path``/`delta.`/path`` or a catalog table of the provider.
+    */
+  private def graftPath(parts: Seq[String]): Option[String] =
+    GraftPaths.graftPathWithId(spark, parts).map(_._1)
 
   /** Millis of a foldable TIMESTAMP AS OF expression. This runs in the
     * pre-resolution Hints batch, where a non-literal expression (e.g.
@@ -241,10 +255,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftUnsetPropertiesCommand(parseTarget(target), parseKeys(keys)))
       case ShowPropsRe(target, key) =>
         Some(GraftShowPropertiesCommand(parseTarget(target), Option(key)))
-      case CloneRe(ine, target, depth, src) =>
+      case CloneRe(ine, target, depth, src, ver, ts) =>
         Some(GraftCloneCommand(parseTarget(target), parseTarget(src),
           ifNotExists = ine != null,
-          deep = depth.trim.equalsIgnoreCase("DEEP")))
+          deep = depth.trim.equalsIgnoreCase("DEEP"),
+          versionAsOf = Option(ver).map(_.toLong),
+          timestampAsOf = Option(ts).map(parseTsMillis)))
       case ConvertRe(target) =>
         Some(GraftConvertCommand(parseTarget(target)))
       case GenerateRe(target) =>
@@ -334,7 +350,7 @@ object GraftSqlParser {
   private[sql] val TruncateRe =
     s"""(?is)TRUNCATE\\s+TABLE\\s+$T""".r
   private[sql] val CloneRe =
-    s"""(?is)CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$T""".r
+    s"""(?is)CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$T(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?\\s*""".r
   private[sql] val ConvertRe =
     s"""(?is)CONVERT\\s+TO\\s+DELTA\\s+$T""".r
   private val PathTargetRe = """(?:delta|graft|parquet)\.`([^`]+)`""".r
@@ -792,11 +808,13 @@ case class SqlMergeClause(kind: String, condition: Option[Column],
 case class GraftMergeCommand(path: String, source: LogicalPlan,
     condition: Column, matched: Seq[SqlMergeClause],
     notMatched: Seq[SqlMergeClause], bySource: Seq[SqlMergeClause],
-    refreshId: Option[TableIdentifier]) extends LeafRunnableCommand {
+    refreshId: Option[TableIdentifier],
+    schemaEvolution: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = DeltaTable.forPath(spark, path)
     val b = t.merge(GraftShims.ofRows(spark, source), condition)
+    if (schemaEvolution) b.withSchemaEvolution()
     matched.foreach { c =>
       (c.kind, c.condition) match {
         case ("update", Some(x)) => b.whenMatchedUpdate(x, c.set.toMap)
@@ -983,17 +1001,22 @@ case class GraftReplaceTableCommand(target: SqlTarget,
   * catalog-name target registers the clone as a managed table.
   */
 case class GraftCloneCommand(target: SqlTarget, source: SqlTarget,
-    ifNotExists: Boolean, deep: Boolean = false) extends LeafRunnableCommand {
+    ifNotExists: Boolean, deep: Boolean = false,
+    versionAsOf: Option[Long] = None,
+    timestampAsOf: Option[Long] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("location", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
     val srcPath = SqlTarget.resolve(spark, source)
     val src = DeltaTable.forPath(spark, srcPath)
+    def doClone(p: String): Unit =
+      if (deep) src.deepCloneTo(p, versionAsOf, timestampAsOf)
+      else src.shallowCloneTo(p, versionAsOf, timestampAsOf)
     target match {
       case PathTarget(p) =>
         if (ifNotExists && graft.delta.DeltaLog.forTable(spark, p).tableExists)
           return Seq(Row(p))
-        if (deep) src.deepCloneTo(p) else src.shallowCloneTo(p)
+        doClone(p)
         Seq(Row(p))
       case TableTarget(_) =>
         val id = SqlTarget.tableIdentifier(target).get
@@ -1005,11 +1028,19 @@ case class GraftCloneCommand(target: SqlTarget, source: SqlTarget,
         val loc = catalog.defaultTablePath(id)
         val path = new org.apache.hadoop.fs.Path(loc).toString
         // catalog entry first (managed-location validation needs the empty
-        // dir), roll back if the clone commit fails
+        // dir), roll back if the clone commit fails; a time-travel clone
+        // registers the schema AS OF the cloned version
+        val srcSchema = (versionAsOf, timestampAsOf) match {
+          case (Some(v), None) =>
+            src.deltaLog.snapshotForVersionAsOf(v).metadata.schema
+          case (None, Some(ts)) =>
+            src.deltaLog.snapshotForTimestampAsOf(ts).metadata.schema
+          case _ => src.snapshot.metadata.schema
+        }
         catalog.createTable(CatalogTable(id, CatalogTableType.MANAGED,
-          CatalogStorageFormat.empty, src.snapshot.metadata.schema,
+          CatalogStorageFormat.empty, srcSchema,
           provider = Some("graft-delta")), ignoreIfExists = false)
-        try { if (deep) src.deepCloneTo(path) else src.shallowCloneTo(path) }
+        try doClone(path)
         catch { case e: Throwable =>
           try catalog.dropTable(id, ignoreIfNotExists = true, purge = false)
           catch { case _: Exception => }
@@ -1033,6 +1064,100 @@ case class GraftConvertCommand(target: SqlTarget) extends LeafRunnableCommand {
 
 // ------------------------------------------------------------- DML rule
 
+/** Captures `MERGE WITH SCHEMA EVOLUTION INTO` on graft-delta targets
+  * in the PRE-RESOLUTION Hints batch. It cannot wait for resolution:
+  * the analyzer expands `UPDATE SET * / INSERT *` against the TARGET
+  * columns in the same fixed-point pass that resolves the relations —
+  * silently dropping source-only columns for V1 relations (Spark's own
+  * `ResolveMergeIntoSchemaEvolution` rewrites DSv2 relations only) —
+  * so the plan must be claimed while the star actions are intact.
+  * Everything here is necessarily unresolved: alias-qualified
+  * references rebind by NAME to MergeBuilder's `t`/`s` aliases, star
+  * actions pass through as updateAll/insertAll, and the raw source
+  * sub-plan resolves when the command executes.
+  */
+class GraftMergeEvolutionRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+  import org.apache.spark.sql.catalyst.plans.logical._
+
+  private def aliasOf(p: LogicalPlan): Seq[String] = p match {
+    case SubqueryAlias(id, child) => id.name +: aliasOf(child)
+    case u: UnresolvedRelation => Seq(u.multipartIdentifier.last)
+    case _ => Nil
+  }
+
+  /** Path + catalog id of a graft-delta target, through alias/project
+    * wrappers, whether the relation has resolved yet or not. In this
+    * analyzer the DML target's RELATION can resolve before the Hints
+    * batch runs (write-privilege resolution), while the star actions
+    * are still unexpanded — both shapes must be claimed.
+    */
+  private def targetPathOf(p: LogicalPlan): Option[(String, Option[TableIdentifier])] = p match {
+    case SubqueryAlias(_, c) => targetPathOf(c)
+    case Project(_, c) => targetPathOf(c)
+    case u: UnresolvedRelation => GraftPaths.graftPathWithId(spark, u.multipartIdentifier)
+    case lr: LogicalRelation =>
+      val id = lr.catalogTable.map(_.identifier)
+      lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case d: DeltaFileIndex => Some((d.deltaLog.dataPath.toString, id))
+          case _ => None
+        }
+        case s: SnapshotRelation => Some((s.tablePath, id))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case m: MergeIntoTable if m.withSchemaEvolution =>
+      targetPathOf(m.targetTable) match {
+        case None => m // not ours: leave for Spark (or the post-hoc rule)
+        case Some((path, refreshId)) =>
+          val tNames = aliasOf(m.targetTable).map(_.toLowerCase).toSet
+          val sNames = aliasOf(m.sourceTable).map(_.toLowerCase).toSet
+          val tSet = m.targetTable.outputSet
+          val sSet = m.sourceTable.outputSet
+          def rb(e: Expression): Column = GraftShims.column(e.transform {
+            case a: AttributeReference if tSet.contains(a) =>
+              UnresolvedAttribute(Seq("t", a.name))
+            case a: AttributeReference if sSet.contains(a) =>
+              UnresolvedAttribute(Seq("s", a.name))
+            case u: UnresolvedAttribute if u.nameParts.length > 1 &&
+                tNames.contains(u.nameParts.head.toLowerCase) =>
+              UnresolvedAttribute("t" +: u.nameParts.tail)
+            case u: UnresolvedAttribute if u.nameParts.length > 1 &&
+                sNames.contains(u.nameParts.head.toLowerCase) =>
+              UnresolvedAttribute("s" +: u.nameParts.tail)
+          })
+          def assignName(key: Expression): String = key match {
+            case u: UnresolvedAttribute => u.nameParts.last
+            case other => throw new UnsupportedOperationException(
+              s"unsupported assignment key $other")
+          }
+          def clause(a: MergeAction): SqlMergeClause = a match {
+            case DeleteAction(c) => SqlMergeClause("delete", c.map(rb), Nil)
+            case UpdateStarAction(c) => SqlMergeClause("updateAll", c.map(rb), Nil)
+            case InsertStarAction(c) => SqlMergeClause("insertAll", c.map(rb), Nil)
+            case UpdateAction(c, assigns, _) => SqlMergeClause("update", c.map(rb),
+              assigns.map(x => assignName(x.key) -> rb(x.value)))
+            case InsertAction(c, assigns) => SqlMergeClause("insert", c.map(rb),
+              assigns.map(x => assignName(x.key) -> rb(x.value)))
+            case other => throw new UnsupportedOperationException(
+              s"unsupported MERGE action $other")
+          }
+          GraftMergeCommand(path,
+            m.sourceTable match { case SubqueryAlias(_, c) => c; case p => p },
+            rb(m.mergeCondition),
+            m.matchedActions.map(clause),
+            m.notMatchedActions.map(clause),
+            m.notMatchedBySourceActions.map(clause),
+            refreshId,
+            schemaEvolution = true)
+      }
+  }
+}
+
 /** Routes resolved DELETE / UPDATE / MERGE plans over graft-delta
   * relations into the table's transactional DML, and rewrites the V1
   * direct-parquet INSERT command into a log-aware write. Runs post-hoc,
@@ -1041,9 +1166,15 @@ case class GraftConvertCommand(target: SqlTarget) extends LeafRunnableCommand {
 class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private object Target {
-    /** (table path, catalog identifier if any) beneath optional aliases. */
+    /** (table path, catalog identifier if any) beneath optional aliases.
+      * A pure-attribute Project is transparent: the analyzer inserts one
+      * over the DML target in some resolutions (observed when the MERGE
+      * source carries extra columns) and it neither renames nor computes.
+      */
     def unapply(plan: LogicalPlan): Option[(String, Option[TableIdentifier])] = plan match {
       case SubqueryAlias(_, child) => unapply(child)
+      case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        unapply(p.child)
       case lr: LogicalRelation =>
         val id = lr.catalogTable.map(_.identifier)
         lr.relation match {
@@ -1091,8 +1222,6 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           assignName(a.key) -> toCol(rebind(a.value, t.outputSet, Nil))), id)
 
     case m: MergeIntoTable if Target.unapply(m.targetTable).isDefined =>
-      if (m.withSchemaEvolution) throw new UnsupportedOperationException(
-        "MERGE WITH SCHEMA EVOLUTION is not supported by graft-delta")
       val Some((path, refreshId)) = Target.unapply(m.targetTable): @unchecked
       val tSet = m.targetTable.outputSet
       val sSet = m.sourceTable.outputSet
@@ -1115,7 +1244,8 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         m.matchedActions.map(clause),
         m.notMatchedActions.map(clause),
         m.notMatchedBySourceActions.map(clause),
-        refreshId)
+        refreshId,
+        schemaEvolution = m.withSchemaEvolution)
 
     case c: org.apache.spark.sql.execution.command.CreateDataSourceTableCommand
         if c.table.provider.exists(_.equalsIgnoreCase("graft-delta")) =>

@@ -146,6 +146,40 @@ class DeepCloneSuite extends AnyFunSuite {
       "equal base names from different sources must not overwrite")
   }
 
+  test("time-travel clone: VERSION AS OF and TIMESTAMP AS OF") {
+    import spark.implicits._
+    val srcDir = tmp()
+    val t = DeltaTable.forPath(spark, srcDir)
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))                  // v0
+    t.write(Seq((9L, "z")).toDF("id", "v"),
+      org.apache.spark.sql.SaveMode.Overwrite)                          // v1
+    // pin distinct commit timestamps for the timestamp leg
+    val base = System.currentTimeMillis() - 200000L
+    (0 to 1).foreach { v =>
+      val f = new java.io.File(s"$srcDir/_delta_log/${"%020d".format(v)}.json")
+      assert(f.setLastModified(base + v * 10000L))
+    }
+    // API: shallow clone of v0 sees the pre-overwrite data
+    val sh = t.shallowCloneTo(tmp() + "/shv0", versionAsOf = Some(0L))
+    assert(sh.toDF.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // API: deep clone at v0's timestamp, self-contained after source loss
+    val deepDir = tmp() + "/dpts"
+    t.deepCloneTo(deepDir, timestampAsOf = Some(base))
+    assert(DeltaTable.forPath(spark, deepDir).toDF.count() == 2)
+    // both specified → error
+    intercept[IllegalArgumentException] {
+      t.shallowCloneTo(tmp() + "/bad", Some(0L), Some(base))
+    }
+    // SQL: VERSION AS OF on the clone statement
+    val sqlDest = tmp() + "/sqlv0"
+    spark.sql(
+      s"CREATE TABLE graft.`$sqlDest` DEEP CLONE graft.`$srcDir` VERSION AS OF 0")
+    assert(spark.sql(s"SELECT * FROM graft.`$sqlDest`").count() == 2)
+    rmTree(srcDir)
+    assert(DeltaTable.forPath(spark, sqlDest).toDF.count() == 2)
+  }
+
   test("SQL: CREATE TABLE ... DEEP CLONE on a path target") {
     import spark.implicits._
     val srcDir = tmp()
