@@ -416,6 +416,40 @@ object DeltaQueries {
       require(src.deltaLog.update().version == srcVersion, "source log untouched")
     }
 
+  /** A36 schema evolution: target = even orders (no p_cents column);
+    * the merge source = multiple-of-3 orders CARRYING a new p_cents
+    * column. After `withSchemaEvolution` UpdateAll/InsertAll: matched
+    * even×3 rows refresh and gain p_cents, source-only odd×3 rows
+    * insert with it, untouched even rows read it as NULL from their
+    * pre-evolution files.
+    */
+  private def mergeEvolveFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "mevolve") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val orders = table(s, d, "orders").select(ordersCols.map(col): _*)
+      t.write(orders.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      val src = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .withColumn("p_cents", QueryDefs.cents(col("o_totalprice")))
+      t.merge(src, expr("t.o_orderkey = s.o_orderkey"))
+        .withSchemaEvolution()
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    }
+
+  /** A35 time-travel clone: v0 = cheap orders, v1 overwrites with the
+    * expensive ones; the clone forks AS OF v0, so it must read the
+    * pre-overwrite content even though the source HEAD says otherwise.
+    */
+  private def cloneAsofFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "cloneasof") { dir =>
+      val t = DeltaTable.forPath(s, dir + "/src")
+      val orders = table(s, d, "orders").select(ordersCols.map(col): _*)
+      t.write(orders.filter(col("o_totalprice") <= 200000))                    // v0
+      t.write(orders.filter(col("o_totalprice") > 200000), SaveMode.Overwrite) // v1
+      t.shallowCloneTo(dir + "/dst", versionAsOf = Some(0L))
+    }
+
   private def dsv2Fixture(s: SparkSession, d: String): String =
     fixture(s, d, "dsv2") { dir =>
       // through the public DataFrameWriter surface — exercises the
@@ -775,6 +809,29 @@ object DeltaQueries {
     }, Some("""
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
       FROM orders WHERE NOT (o_totalprice > 250000) ORDER BY o_orderkey""")),
+
+    // A36: MERGE schema evolution under the hash gate
+    GQ("delta_merge_evolve", (s, d) => {
+      val dir = mergeEvolveFixture(s, d)
+      DeltaTable.forPath(s, dir).toDF
+        .select((ordersCols :+ "p_cents").map(col): _*)
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        CASE WHEN o_orderkey % 3 = 0 THEN CAST(round(o_totalprice*100) AS BIGINT) END AS p_cents
+      FROM orders
+      WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+      ORDER BY o_orderkey""")),
+
+    // A35: VERSION AS OF clone under the hash gate
+    GQ("delta_clone_asof", (s, d) => {
+      val dir = cloneAsofFixture(s, d)
+      DeltaTable.forPath(s, dir + "/dst").toDF
+        .select(ordersCols.map(col): _*)
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_totalprice <= 200000 ORDER BY o_orderkey""")),
 
     // A9/A10: snapshot stitched from parquet checkpoint + json tail
     GQ("delta_checkpoint", (s, d) => {
