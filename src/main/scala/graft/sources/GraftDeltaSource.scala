@@ -52,12 +52,45 @@ class GraftDeltaSource extends DeltaStreamSourceProvider
     if (flag(parameters, "readChangeFeed")) {
       // batch CDF: the row-level change feed of a version range —
       // same frame tableChanges produces (`_change_type` /
-      // `_commit_version` / `_commit_timestamp` appended)
-      val start = parameters.get("startingVersion").map(_.trim.toLong)
-        .getOrElse(throw new IllegalArgumentException(
-          "readChangeFeed batch reads require startingVersion"))
-      val end = parameters.get("endingVersion").map(_.trim.toLong).getOrElse(-1L)
-      new DataFrameRelation(sqlContext, table.tableChanges(start, end))
+      // `_commit_version` / `_commit_timestamp` appended). Timestamp
+      // bounds resolve through the same commit-timestamp index as time
+      // travel: start = first commit at-or-after (past-the-end ⇒ empty
+      // feed), end = last commit at-or-before (inclusive).
+      def ts(v: String): Long =
+        v.trim.toLongOption.getOrElse(java.sql.Timestamp.valueOf(v.trim).getTime)
+      val start = (parameters.get("startingVersion"), parameters.get("startingTimestamp")) match {
+        case (Some(_), Some(_)) => throw new IllegalArgumentException(
+          "specify at most one of startingVersion / startingTimestamp")
+        case (Some(v), None) => v.trim.toLong
+        case (None, Some(t)) =>
+          table.deltaLog.startingVersionAtOrAfterTimestamp(ts(t))
+        case (None, None) => throw new IllegalArgumentException(
+          "readChangeFeed batch reads require startingVersion or startingTimestamp")
+      }
+      val end = (parameters.get("endingVersion"), parameters.get("endingTimestamp")) match {
+        case (Some(_), Some(_)) => throw new IllegalArgumentException(
+          "specify at most one of endingVersion / endingTimestamp")
+        case (Some(v), None) => v.trim.toLong
+        case (None, Some(t)) =>
+          table.deltaLog.versionBeforeOrAtTimestamp(ts(t)).getOrElse(
+            throw new IllegalArgumentException(
+              s"endingTimestamp $t precedes the table's first commit"))
+        case (None, None) => -1L
+      }
+      val latest = table.deltaLog.update().version
+      val cdf =
+        if (start > latest && end < 0L) {
+          // past-the-end start (e.g. a startingTimestamp after the last
+          // commit): an EMPTY feed with the CDF schema — the streaming
+          // source's contract for the same input, not an error
+          val schema = table.snapshot.metadata.schema
+            .add("_change_type", org.apache.spark.sql.types.StringType)
+            .add("_commit_version", org.apache.spark.sql.types.LongType)
+            .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        } else table.tableChanges(start, end)
+      new DataFrameRelation(sqlContext, cdf)
     } else if (flag(parameters, "withRowIds")) {
       require(parameters.get("versionAsOf").isEmpty &&
         parameters.get("timestampAsOf").isEmpty,

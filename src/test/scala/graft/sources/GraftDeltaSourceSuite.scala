@@ -149,6 +149,48 @@ class GraftDeltaSourceSuite extends AnyFunSuite {
       == Seq("insert"))
   }
 
+  test("batch readChangeFeed accepts timestamp bounds") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = graft.delta.DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(graft.delta.Metadata(
+      schemaString = Seq((1L, "a")).toDF("id", "v").schema.json,
+      configuration = Map("delta.enableChangeDataFeed" -> "true")))
+    txn.commit(Nil, Op.CreateTable)                             // v0
+    t.write(Seq((1L, "a")).toDF("id", "v"))                     // v1
+    t.write(Seq((2L, "b")).toDF("id", "v"))                     // v2
+    t.write(Seq((3L, "c")).toDF("id", "v"))                     // v3
+    // pin commit times 10s apart so the timestamp->version mapping is
+    // unambiguous (same index batch time travel reads)
+    val base = System.currentTimeMillis() - 400000L
+    (0 to 3).foreach { v =>
+      val f = new java.io.File(s"$dir/_delta_log/${"%020d".format(v)}.json")
+      assert(f.setLastModified(base + v * 10000L))
+    }
+    def ids(opts: (String, String)*): Set[Long] = {
+      val r = opts.foldLeft(spark.read.format("graft-delta")
+          .option("readChangeFeed", "true")) { case (b, (k, v)) => b.option(k, v) }
+        .load(dir)
+      r.select("id").collect().map(_.getLong(0)).toSet
+    }
+    // [v2's time, v3's time): start at-or-after, end at-or-before
+    assert(ids("startingTimestamp" -> (base + 15000L).toString,
+      "endingTimestamp" -> (base + 25000L).toString) == Set(2L))
+    // start exactly on v1's commit time is inclusive
+    assert(ids("startingTimestamp" -> (base + 10000L).toString) == Set(1L, 2L, 3L))
+    // past-the-end start: empty feed, not an error
+    assert(ids("startingTimestamp" -> (base + 999999L).toString) == Set.empty[Long])
+    // bounds are mutually exclusive with their version forms
+    intercept[IllegalArgumentException] {
+      ids("startingVersion" -> "1", "startingTimestamp" -> base.toString)
+    }
+    intercept[IllegalArgumentException] {
+      ids("startingVersion" -> "1",
+        "endingVersion" -> "2", "endingTimestamp" -> base.toString)
+    }
+  }
+
   test("withRowIds read exposes row_id / row_commit_version through the format") {
     import spark.implicits._
     val dir = tmp()
