@@ -159,11 +159,14 @@ final class MergeBuilder private[delta] (
     // rewrite writes it and the commit carries the metadata update;
     // reads of existing files keep the ORIGINAL metadata (their parquet
     // has the old physical schema)
+    // name matching is case-insensitive like Spark's resolver: a source
+    // column differing only in case is the SAME column, not a new one
+    val origLower = origNames.map(_.toLowerCase)
     val md: Metadata =
       if (!evolveSchema) md0
       else {
         val newCols = source.schema.fields
-          .filterNot(f => origNames.contains(f.name)).toSeq
+          .filterNot(f => origLower.contains(f.name.toLowerCase)).toSeq
         if (newCols.isEmpty) md0
         else {
           var mx = ColumnMapping.maxId(md0.schema)
@@ -182,15 +185,16 @@ final class MergeBuilder private[delta] (
       }
     val fields = md.schema.fields.toSeq
     val fieldNames = md.schema.fieldNames.toSet
-    val srcNames = source.schema.fieldNames.toSet
+    val srcLower = source.schema.fieldNames.map(_.toLowerCase).toSet
     // target-side reference: an evolution-added column has no data in
     // any target file yet — it is null on the target side by definition
     def tRef(f: org.apache.spark.sql.types.StructField): Column =
-      if (origNames.contains(f.name)) col(s"t.${f.name}")
+      if (origLower.contains(f.name.toLowerCase)) col(s"t.${f.name}")
       else lit(null).cast(f.dataType)
 
     def starFields: Seq[org.apache.spark.sql.types.StructField] =
-      if (evolveSchema) fields.filter(f => srcNames.contains(f.name)) else fields
+      if (evolveSchema) fields.filter(f => srcLower.contains(f.name.toLowerCase))
+      else fields
     def resolvedSet(a: MatchedAction): Map[String, Column] = a match {
       case MUpdate(set) => set
       case MUpdateAll => starFields.map(f => f.name -> col(s"s.${f.name}")).toMap

@@ -34,16 +34,19 @@ object Streams {
     val src = QueryDefs.scratchDir("graft-stream-src")
     val table = Paths.get(s"$d/events.parquet")
     if (Files.isDirectory(table)) {
-      val parts = Files.list(table).iterator()
-      var i = 0
-      while (parts.hasNext) {
-        val p = parts.next()
-        if (p.getFileName.toString.endsWith(".parquet")) {
-          Files.copy(p, src.resolve(f"events_$i%05d.parquet"),
-            StandardCopyOption.REPLACE_EXISTING)
-          i += 1
-        }
-      }
+      val listing = Files.list(table)
+      val i =
+        try {
+          var n = 0
+          listing.iterator().asScala.foreach { p =>
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              Files.copy(p, src.resolve(f"events_$n%05d.parquet"),
+                StandardCopyOption.REPLACE_EXISTING)
+              n += 1
+            }
+          }
+          n
+        } finally listing.close()
       require(i > 0, s"no part-files under $table")
     } else {
       Files.copy(table, src.resolve("events.parquet"),
@@ -88,13 +91,15 @@ object Streams {
       // source contains every event twice -> dedup must halve it
       // (duplicate every part-file: the source may be multi-file)
       val dir = Paths.get(eventsSourceDir(d))
-      Files.list(dir).iterator().asScala.toSeq
+      val listing = Files.list(dir)
+      try listing.iterator().asScala.toSeq
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .foreach { p =>
           val n = p.getFileName.toString.stripSuffix(".parquet")
           Files.copy(p, dir.resolve(n + "_dup.parquet"),
             StandardCopyOption.REPLACE_EXISTING)
         }
+      finally listing.close()
       val stream = s.readStream.schema(schema).parquet(dir.toString)
         .transform(QueryDefs.withEventTs)
       val dedup = stream
