@@ -642,6 +642,48 @@ object Corpus {
       SELECT source, n_docs, n_tokens, nat_share,
         CAST(s_i AS DOUBLE) / CAST(s_sum AS DOUBLE) AS tgt_share,
         (CAST(s_i AS DOUBLE) / CAST(s_sum AS DOUBLE)) / nat_share AS boost
-      FROM sc CROSS JOIN nrm ORDER BY source"""))
+      FROM sc CROSS JOIN nrm ORDER BY source""")),
+
+    // C53 ---------------------------------------------------------------
+    // Distinct-count sketch: per-event-type user cardinality via the
+    // custom HLL TypedImperativeAggregate (graft.functions.HllSketchAgg)
+    // next to the exact countDistinct. The sketch partial-aggregates —
+    // one 256-byte register array per map task per group crosses the
+    // shuffle, vs countDistinct's shuffle of every distinct value — the
+    // shape that makes per-key cardinality viable at 100 TB. Every bit
+    // of the sketch derives from the cross-engine md5 hash and the
+    // estimate uses only IEEE-deterministic ops, so DuckDB replicates
+    // it EXACTLY (validated bit-identical: registers, sums, estimate).
+    GQ("distinct_sketch", (s, d) => {
+      import s.implicits._
+      QueryDefs.events(s, d)
+        .groupBy($"event_type")
+        .agg(graft.functions.SketchExpressions.hllSketch($"user_id").as("h"),
+          countDistinct($"user_id").as("n_exact"))
+        .select($"event_type", $"h.estimate".as("hll_estimate"),
+          $"h.n_empty_regs".as("n_empty_regs"), $"n_exact")
+        .orderBy($"event_type")
+    }, Some("""
+      WITH h AS (SELECT event_type,
+              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM events),
+      r AS (SELECT event_type, h >> 52 AS reg,
+              h & ((CAST(1 AS BIGINT) << 52) - 1) AS w FROM h),
+      m AS (SELECT event_type, reg,
+              MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+            FROM r GROUP BY 1, 2),
+      s AS (SELECT event_type,
+              CAST(SUM(CAST(1 AS BIGINT) << (53 - rho)) AS BIGINT)
+                + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 53) AS S,
+              CAST(256 - COUNT(*) AS BIGINT) AS V
+            FROM m GROUP BY 1),
+      x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY 1)
+      SELECT s.event_type,
+        CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)/CAST(256.0 AS DOUBLE))
+          * 65536.0 * 9007199254740992.0 / CAST(S AS DOUBLE) AS hll_estimate,
+        V AS n_empty_regs, n_exact
+      FROM s JOIN x ON s.event_type = x.event_type
+      ORDER BY s.event_type"""))
   )
 }
