@@ -614,16 +614,20 @@ object Corpus {
     // attach via broadcast of one row.
     GQ("mix_weights", (s, d) => {
       import s.implicits._
-      val perSrc = table(s, d, "documents")
+      import org.apache.spark.sql.expressions.Window
+      // after the one groupBy(source) pass the frame is #sources rows;
+      // the corpus total and the tau-share normalizer attach via
+      // degenerate whole-frame windows (INTEGER sums — order-free) so
+      // the expensive tokenization scan runs ONCE, not once per scalar
+      val all = Window.partitionBy(lit(1))
+      table(s, d, "documents")
         .withColumn("n_tok", size(tokens($"text")).cast("long"))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
-      val tot = perSrc.agg(sum($"n_tokens").as("tot")).select($"tot")
-      val scaled = perSrc.crossJoin(broadcast(tot))
+        .withColumn("tot", sum($"n_tokens").over(all))
         .withColumn("nat_share", $"n_tokens".cast("double") / $"tot".cast("double"))
         .withColumn("s_i", floor(sqrt($"nat_share") * lit(1e9)).cast("long"))
-      val norm = scaled.agg(sum($"s_i").as("s_sum")).select($"s_sum")
-      scaled.crossJoin(broadcast(norm))
+        .withColumn("s_sum", sum($"s_i").over(all))
         .withColumn("tgt_share", $"s_i".cast("double") / $"s_sum".cast("double"))
         .withColumn("boost", $"tgt_share" / $"nat_share")
         .select($"source", $"n_docs", $"n_tokens", $"nat_share",
