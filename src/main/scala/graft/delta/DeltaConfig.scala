@@ -177,6 +177,26 @@ object DeltaConfig {
   val DataSkippingNumIndexedCols: TableConfig[Int] =
     TableConfig("delta.dataSkippingNumIndexedCols", "32", _.trim.toInt)
 
+  /** Columns that get NATIVE parquet bloom filters at write time
+    * (comma-separated; empty = none). min/max stats cannot skip point
+    * lookups on high-cardinality unsorted columns (uuid-ish ids hit
+    * every file's [min,max]); a bloom answers "definitely not here"
+    * per row group, and the stock parquet reader applies it to pushed
+    * equality predicates with no reader-side change. The filter lives
+    * IN the parquet file — nothing is added to the log, so 10^7-file
+    * tables pay zero metadata cost.
+    */
+  val BloomFilterColumns: TableConfig[Seq[String]] =
+    TableConfig("delta.bloomFilter.columns", "",
+      _.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
+  /** Expected distinct values per row group for the bloom sizing
+    * (parquet.bloom.filter.expected.ndv); ~1.2 bytes/value at the
+    * default 1% false-positive rate.
+    */
+  val BloomFilterNdv: TableConfig[Long] =
+    TableConfig("delta.bloomFilter.ndv", "100000", _.trim.toLong)
+
   /** Minor log compaction every N commits (0 = off): each window of N
     * deltas is reconciled into one `<s>.<e>.compacted.json` that replay
     * substitutes for the raw files — see [[DeltaLog.compactDeltas]].

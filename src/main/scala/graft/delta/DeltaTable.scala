@@ -2113,8 +2113,24 @@ object DeltaTable {
     // Delta log is what makes them visible). See DirectWriteCommitProtocol.
     val committer = new DirectWriteCommitProtocol(
       s"graft-${UUID.randomUUID}", dataPath.toString)
+    // native parquet bloom filters on the configured columns (PHYSICAL
+    // names under column mapping): written by parquet-mr inside the
+    // data file, applied by any stock reader to pushed equality
+    // predicates — point-lookup skipping min/max stats can't provide,
+    // at zero log cost
+    val bloomCols = DeltaConfig.BloomFilterColumns.fromMetadata(md)
+    val bloomConf: Map[String, String] =
+      if (bloomCols.isEmpty) Map.empty
+      else {
+        val ndv = DeltaConfig.BloomFilterNdv.fromMetadata(md)
+        bloomCols.flatMap { c =>
+          val phys = aliases.get(c).map(_._1).getOrElse(c)
+          Seq(s"parquet.bloom.filter.enabled#$phys" -> "true",
+            s"parquet.bloom.filter.expected.ndv#$phys" -> ndv.toString)
+        }.toMap
+      }
     try org.apache.spark.sql.GraftShims.writeParquetDirect(
-      spark, df, dataPath.toString, partCols, committer)
+      spark, df, dataPath.toString, partCols, committer, bloomConf)
     catch { case t: Throwable =>
       // surface enforcement raise_errors as one typed exception, whether
       // they fired in the write job or at plan time on the driver

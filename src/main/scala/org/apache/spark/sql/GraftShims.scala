@@ -25,7 +25,8 @@ object GraftShims {
       df: DataFrame,
       outputPath: String,
       partCols: Seq[String],
-      committer: org.apache.spark.internal.io.FileCommitProtocol): Unit = {
+      committer: org.apache.spark.internal.io.FileCommitProtocol,
+      extraHadoopConf: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.execution.datasources.FileFormatWriter
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val cs = spark.asInstanceOf[classic.SparkSession]
@@ -34,10 +35,12 @@ object GraftShims {
     val partitionCols = partCols.map(c => output.find(_.name == c).getOrElse(
       throw new IllegalArgumentException(
         s"partition column $c not in ${output.map(_.name).mkString(", ")}")))
+    val hc = spark.sessionState.newHadoopConf()
+    extraHadoopConf.foreach { case (k, v) => hc.set(k, v) }
     FileFormatWriter.write(
       cs, qe.executedPlan, new ParquetFileFormat, committer,
       FileFormatWriter.OutputSpec(outputPath, Map.empty, output),
-      spark.sessionState.newHadoopConf(),
+      hc,
       partitionCols, None, Nil, Map.empty)
     ()
   }
