@@ -76,7 +76,35 @@ object Constraints {
         (col(name) <=> expr(sql).cast(md.schema(name).dataType),
           s"${Sentinel}generated column $name does not match its expression ($sql)")
     }
-    constraints ++ notNulls ++ generated
+    // LEGACY writer-v2 column invariants (public Delta PROTOCOL.md):
+    // field metadata `delta.invariants` carries
+    // {"expression":{"expression":"<sql>"}}; a conforming writer must
+    // reject violating rows. Foreign tables (old delta-standalone
+    // writers) still carry these, so accepting writer v2 without
+    // enforcing them would let us corrupt someone else's contract.
+    val legacy = md.schema.fields.toSeq
+      .filter(_.metadata.contains(InvariantsKey))
+      .flatMap { f =>
+        legacyInvariantSql(f.metadata.getString(InvariantsKey)).map { sql =>
+          (coalesce(expr(sql), lit(true)),
+            s"${Sentinel}column invariant on ${f.name} ($sql) violated by row")
+        }
+      }
+    constraints ++ notNulls ++ generated ++ legacy
+  }
+
+  val InvariantsKey = "delta.invariants"
+
+  /** The SQL expression inside the legacy invariant JSON, if parseable.
+    * Unparseable payloads fail loudly — silently skipping an invariant
+    * we claimed (via writer v2) to enforce would be a protocol lie.
+    */
+  private[delta] def legacyInvariantSql(json: String): Option[String] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val e = node.path("expression").path("expression")
+    if (e.isTextual) Some(e.asText())
+    else throw new IllegalArgumentException(
+      s"unsupported delta.invariants payload: $json")
   }
 
   /** Wrap `df` so that writing it enforces every constraint of `md`.

@@ -91,6 +91,46 @@ class TableFeaturesSuite extends AnyFunSuite {
     assert(ex.getMessage.contains("NOT NULL"))
   }
 
+  test("legacy writer-v2 delta.invariants column metadata is enforced") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val t = DeltaTable.forPath(spark, tmp())
+    // the shape an old delta-standalone writer records (PROTOCOL.md):
+    // field metadata delta.invariants = {"expression":{"expression":...}}
+    val inv = new MetadataBuilder().putString("delta.invariants",
+      """{"expression":{"expression":"value < 100"}}""").build()
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("value", LongType, nullable = true, metadata = inv)))
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(graft.delta.Metadata(schemaString = schema.json))
+    txn.commit(Nil, Op.CreateTable)
+    // conforming rows land
+    t.write(Seq((1L, 10L), (2L, 99L)).toDF("id", "value"))
+    assert(t.toDF.count() == 2)
+    // a violating row must be rejected by the write pass
+    val ex = intercept[ConstraintViolationException] {
+      t.write(Seq((3L, 100L)).toDF("id", "value"))
+    }
+    assert(ex.getMessage.contains("value < 100"), ex.getMessage)
+    // NULL predicate result passes (SQL CHECK semantics)
+    t.write(spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(4L, null)),
+      Snapshot.nullable(schema).asInstanceOf[StructType]))
+    assert(t.toDF.count() == 3)
+    // an unparseable payload fails loudly rather than silently skipping
+    val bad = new MetadataBuilder().putString("delta.invariants",
+      """{"what":"ever"}""").build()
+    val t2 = DeltaTable.forPath(spark, tmp())
+    val txn2 = t2.deltaLog.startTransaction()
+    txn2.updateMetadata(graft.delta.Metadata(schemaString = StructType(Seq(
+      StructField("x", LongType, nullable = true, metadata = bad))).json))
+    txn2.commit(Nil, Op.CreateTable)
+    intercept[IllegalArgumentException] {
+      t2.write(Seq(Tuple1(1L)).toDF("x"))
+    }
+  }
+
   test("RENAME/DROP of a constrained column is rejected") {
     val t = seeded()
     t.addConstraint("score_pos", "score > 0")
