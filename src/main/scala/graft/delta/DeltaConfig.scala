@@ -50,6 +50,20 @@ object DeltaConfig {
   val TombstoneRetention: TableConfig[Long] =
     TableConfig("delta.deletedFileRetentionDuration", "interval 1 week", parseInterval)
 
+  /** SetTransaction retention (public spec
+    * `delta.setTransactionRetentionDuration`; delta-spark parity): when
+    * set, checkpoints drop idempotent-writer entries whose lastUpdated
+    * is older than the horizon, bounding txn state on tables written by
+    * many streaming appIds over years. Unset (the default) retains all
+    * — expiring an entry re-opens its appId to replays, so opting in is
+    * an explicit statement that replays older than the horizon are
+    * impossible. Entries WITHOUT lastUpdated never expire (no evidence
+    * of age).
+    */
+  val TxnRetention: TableConfig[Option[Long]] =
+    TableConfig("delta.setTransactionRetentionDuration", "",
+      s => if (s.trim.isEmpty) None else Some(parseInterval(s)))
+
   /** cf. reference `config.go:75` DeltaConfigCheckpointInterval. */
   val CheckpointInterval: TableConfig[Int] =
     TableConfig("delta.checkpointInterval", "10", _.trim.toInt)

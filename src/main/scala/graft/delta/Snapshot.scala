@@ -343,9 +343,21 @@ class Snapshot(
   /** All SingleActions of this snapshot's state (checkpoint content). */
   def checkpointActionsDF: DataFrame = {
     val meta = replayedMeta
+    // delta.setTransactionRetentionDuration: expire idempotent-writer
+    // entries past the horizon AT CHECKPOINT TIME (the spec's expiry
+    // point — replay of the json tail keeps everything); entries with
+    // no lastUpdated never expire
+    val txnCutoff: Option[Long] = metadataOpt
+      .flatMap(DeltaConfig.TxnRetention.fromMetadata)
+      .map(r => deltaLog.clock.nowMillis - r)
+    val liveTxns = txnCutoff match {
+      case None => meta._3.values.toSeq
+      case Some(cut) => meta._3.values.toSeq
+        .filter(t => t.lastUpdated.forall(_ >= cut))
+    }
     val extras =
       meta._1.map(_.wrap).toSeq ++ meta._2.map(_.wrap).toSeq ++
-        meta._3.values.map(_.wrap).toSeq ++
+        liveTxns.map(_.wrap) ++
         domainMetadataMap.values.map(_.wrap).toSeq
     val extrasDF = spark.createDataset(extras)(Encoders.product[SingleAction])
     // stats_parsed (if this snapshot read one) is derived, not state: the
