@@ -187,6 +187,119 @@ object Multimodal {
         .as("data_bytes"))
   }
 
+  /** Media table with byte-exact WAV containers (RIFF little-endian
+    * framing per the public format): channels / sample rate / bit depth
+    * derived from doc_id, PCM payload = the document text. Every fifth
+    * file additionally carries a LIST metadata chunk BETWEEN fmt and
+    * data — the real-world wrinkle that breaks fixed-offset parsers
+    * (same role the APPn segments play for C41's JPEG walk).
+    */
+  def wavsFrom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def u16le(c: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(c), 4, "0")
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def u32le(c: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(c), 8, "0")
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    table(spark, dir, "documents")
+      .filter(octet_length($"text") >= 8)
+      .select($"doc_id".as("media_id"), $"text",
+        (lit(1L) + pmod($"doc_id", lit(2))).as("ch"),
+        element_at(array(lit(8000L), lit(16000L), lit(44100L)),
+          (pmod($"doc_id", lit(3)) + 1).cast("int")).as("sr"),
+        when(pmod($"doc_id", lit(4)) < 2, 8L).otherwise(16L).as("bits"),
+        (pmod($"doc_id", lit(5)) === 0).as("has_meta"))
+      .withColumn("block_align", ($"ch" * $"bits" / lit(8)).cast("long"))
+      .withColumn("data_len",
+        (octet_length($"text").cast("long").divide($"block_align")).cast("long") * $"block_align")
+      .withColumn("riff_size",
+        lit(4L) + lit(24L) + when($"has_meta", 20L).otherwise(0L) +
+          lit(8L) + $"data_len")
+      .withColumn("payload", concat(
+        unhex(concat(
+          lit("52494646"), u32le($"riff_size"), lit("57415645"),
+          // fmt chunk: id | size 16 | PCM | ch | rate | byteRate | align | bits
+          lit("666D7420"), u32le(lit(16L)), u16le(lit(1L)), u16le($"ch"),
+          u32le($"sr"), u32le($"sr" * $"block_align"), u16le($"block_align"),
+          u16le($"bits"),
+          when($"has_meta", concat(
+            lit("4C495354"), u32le(lit(12L)), lit("494E464F"),
+            substring(hex($"text".cast("binary")), 1, 16))).otherwise(lit("")),
+          lit("64617461"), u32le($"data_len"))),
+        substring($"text".cast("binary"), 1, 1000000).cast("binary")))
+      .select($"media_id", $"payload")
+  }
+
+  /** RIFF chunk WALK for (media_id, payload) rows: hop chunks by their
+    * little-endian size fields from the end of the WAVE tag, locating
+    * `fmt ` and `data` wherever they sit — a LIST/unknown chunk between
+    * them is skipped by its declared size, never mis-read as audio
+    * parameters (fixed-offset parsers break exactly there). All pure
+    * byte expressions over the 64-byte head, mirroring C41's JPEG
+    * marker walk; the fold is bounded (3 hops cover any chain whose
+    * data chunk still starts inside the head).
+    */
+  def parseWavDims(wavs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    val head = hex(substring(col("payload"), 1, 64))
+    def ru16(p: Column): Column =
+      conv(concat(head.substr((p + 2).cast("int"), lit(2)),
+        head.substr(p.cast("int"), lit(2))), 16, 10).cast("long")
+    def ru32(p: Column): Column =
+      conv(concat(head.substr((p + 6).cast("int"), lit(2)),
+        head.substr((p + 4).cast("int"), lit(2)),
+        head.substr((p + 2).cast("int"), lit(2)),
+        head.substr(p.cast("int"), lit(2))), 16, 10).cast("long")
+    val isWav = substring(head, 1, 8) === "52494646" &&
+      substring(head, 17, 8) === "57415645"
+    // state: (p = current chunk's 1-based hex pos, fmt, dat, dsz)
+    val walk = aggregate(
+      sequence(lit(1), lit(3)),
+      struct(lit(25L).as("p"), lit(0L).as("fmt"),
+        lit(0L).as("dat"), lit(0L).as("dsz")),
+      (st, _) => {
+        val p = st.getField("p")
+        val id = head.substr(p.cast("int"), lit(8))
+        val size = ru32(p + 8)
+        when(p === 0 || st.getField("dat") > 0, st)
+          .when(id === "666D7420",
+            struct((p + lit(16) + size * lit(2)).as("p"),
+              (p + lit(16)).as("fmt"), st.getField("dat").as("dat"),
+              st.getField("dsz").as("dsz")))
+          .when(id === "64617461",
+            struct(p.as("p"), st.getField("fmt").as("fmt"),
+              (p + lit(16)).as("dat"), size.as("dsz")))
+          .when(size.isNotNull,
+            struct((p + lit(16) + size * lit(2)).as("p"),
+              st.getField("fmt").as("fmt"), st.getField("dat").as("dat"),
+              st.getField("dsz").as("dsz")))
+          .otherwise(struct(lit(0L).as("p"), st.getField("fmt").as("fmt"),
+            st.getField("dat").as("dat"), st.getField("dsz").as("dsz")))
+      })
+    val fmt = walk.getField("fmt")
+    val dat = walk.getField("dat")
+    val ok = isWav && fmt > 0 && dat > 0
+    val ch = ru16(fmt + 4)
+    val sr = ru32(fmt + 8)
+    val bits = ru16(fmt + 28)
+    val align = ru16(fmt + 24)
+    val frames = (walk.getField("dsz").divide(align)).cast("long")
+    wavs.select(
+      col("media_id"),
+      when(ok, lit("wav")).otherwise(lit("unknown")).as("format"),
+      when(ok, ch).as("n_channels"),
+      when(ok, sr).as("sample_rate"),
+      when(ok, bits).as("bits_per_sample"),
+      when(ok, frames).as("n_frames"),
+      when(ok, (frames * lit(1000)).divide(sr).cast("long")).as("duration_ms"),
+      // chunk-walk evidence: where the PCM bytes start ((dat-1)/2, exact)
+      when(ok, ((dat - lit(1)) / lit(2)).cast("long")).as("data_offset"))
+  }
+
   val queries: Seq[GQ] = Seq(
     GQ("multimodal_decode", (s, d) => {
       import s.implicits._
@@ -258,6 +371,29 @@ object Multimodal {
         CAST(8 AS BIGINT) AS bit_depth,
         CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS BIGINT) AS n_channels,
         CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes
-      FROM documents ORDER BY media_id"""))
+      FROM documents ORDER BY media_id""")),
+
+    // C54: audio-container metadata via a RIFF chunk walk. The oracle is
+    // CLOSED-FORM (the generation formulas), so generator and parser are
+    // independent code paths pinned against the same truth table —
+    // including the chunk-hop evidence (data_offset shifts by the LIST
+    // chunk's 20 bytes for every fifth file).
+    GQ("audio_dims", (s, d) =>
+      parseWavDims(wavsFrom(s, d)).orderBy(col("media_id")), Some("""
+      WITH p AS (SELECT doc_id,
+          CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               ELSE 44100 END AS BIGINT) AS sample_rate,
+          CAST(CASE WHEN doc_id % 4 < 2 THEN 8 ELSE 16 END AS BIGINT) AS bits_per_sample,
+          CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+          doc_id % 5 = 0 AS has_meta
+        FROM documents WHERE octet_length(encode(text)) >= 8),
+      q AS (SELECT *, n_channels * bits_per_sample // 8 AS block_align FROM p)
+      SELECT doc_id AS media_id, 'wav' AS format,
+        n_channels, sample_rate, bits_per_sample,
+        CAST(nb // block_align AS BIGINT) AS n_frames,
+        CAST((nb // block_align) * 1000 // sample_rate AS BIGINT) AS duration_ms,
+        CAST(CASE WHEN has_meta THEN 64 ELSE 44 END AS BIGINT) AS data_offset
+      FROM q ORDER BY media_id"""))
   )
 }
