@@ -19,11 +19,18 @@ object SparkEntry {
     "ann_ivf_trained", "hybrid_retrieval")
 
   /** Every implemented operator, in SURVEY §2 order. */
-  def registry: Seq[GQ] =
-    (Relational.queries ++ TextOps.queries ++ Corpus.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ graft.delta.DeltaQueries.queries ++
-      graft.streaming.Streams.queries)
-      .map(q => if (extraBench(q.name)) q.copy(bench = true) else q)
+  def registry: Seq[GQ] = {
+    val all =
+      (Relational.queries ++ TextOps.queries ++ Corpus.queries ++ Dedup.queries ++
+        Similarity.queries ++ Multimodal.queries ++ graft.delta.DeltaQueries.queries ++
+        graft.streaming.Streams.queries)
+        .map(q => if (extraBench(q.name)) q.copy(bench = true) else q)
+    // `queries`/`oracleSql` are built with .toMap, where a duplicate key
+    // silently drops the earlier operator from the correctness gate.
+    val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names in registry: ${dups.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -574,7 +574,7 @@ object Corpus {
     // scan, no shuffle until the per-stratum report aggregation. Rates
     // vary by stratum (50–810 per-mille derived from the source id) to
     // prove per-stratum thresholds, not one global Bernoulli.
-    GQ("sample_stratified", (s, d) => {
+    GQ("sample_stratum_report", (s, d) => {
       import s.implicits._
       val docs = table(s, d, "documents")
         .withColumn("rate_pm",
