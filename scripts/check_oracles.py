@@ -22,10 +22,11 @@ def _norm_type(t):
     """Collapse an Arrow type to the physical family the driver's typed
     hash distinguishes. The point is to catch family leaks (int64 vs
     HUGEINT/decimal128, string vs int, float vs decimal) BEFORE the value
-    comparison, which silently coerces via pandas. Width differences
-    within the integer family are reported too — DuckDB SUM() widens to
-    HUGEINT which arrives as decimal128(38,0), the exact round-8/round-11
-    failure class (SURVEY §4)."""
+    comparison, which silently coerces via pandas. Integer types keep
+    their concrete bit width (int32 vs int64 is reported, not collapsed)
+    — DuckDB SUM() widens to HUGEINT which arrives as decimal128(38,0),
+    the exact round-8/round-11 failure class (SURVEY §4), and plain
+    INTEGER arithmetic stays 32-bit where Spark produces 64-bit."""
     if pa.types.is_dictionary(t):
         t = t.value_type
     if pa.types.is_string(t) or pa.types.is_large_string(t):
@@ -41,7 +42,7 @@ def _norm_type(t):
     if pa.types.is_boolean(t):
         return "bool"
     if pa.types.is_integer(t):
-        return "int"
+        return "int%d" % (t.bit_width,)
     if pa.types.is_decimal(t):
         return "decimal"
     if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):

@@ -82,18 +82,44 @@ object Constraints {
     // reject violating rows. Foreign tables (old delta-standalone
     // writers) still carry these, so accepting writer v2 without
     // enforcing them would let us corrupt someone else's contract.
-    val legacy = md.schema.fields.toSeq
-      .filter(_.metadata.contains(InvariantsKey))
-      .flatMap { f =>
-        legacyInvariantSql(f.metadata.getString(InvariantsKey)).map { sql =>
-          (coalesce(expr(sql), lit(true)),
-            s"${Sentinel}column invariant on ${f.name} ($sql) violated by row")
-        }
-      }
+    // The protocol allows invariants on NESTED struct fields (the
+    // PROTOCOL.md example is `x.y < 3` declared on field x.y, with the
+    // expression already path-qualified from the root), so the walk
+    // must recurse — a top-level-only scan would silently skip nested
+    // invariants while still advertising writer-v2 support.
+    val legacy = legacyInvariants(md.schema).map { case (path, sql) =>
+      (coalesce(expr(sql), lit(true)),
+        s"${Sentinel}column invariant on $path ($sql) violated by row")
+    }
     constraints ++ notNulls ++ generated ++ legacy
   }
 
   val InvariantsKey = "delta.invariants"
+
+  /** Every (dotted field path, invariant SQL) in `schema`, including
+    * invariants declared on nested struct fields. The stored expression
+    * is already qualified from the root per the protocol, so collection
+    * only needs the path for the violation message.
+    */
+  private[delta] def legacyInvariants(
+      schema: org.apache.spark.sql.types.StructType): Seq[(String, String)] = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    def walk(fields: Seq[StructField], prefix: Seq[String]): Seq[(String, String)] =
+      fields.flatMap { f =>
+        val path = prefix :+ f.name
+        val here =
+          if (f.metadata.contains(InvariantsKey))
+            legacyInvariantSql(f.metadata.getString(InvariantsKey))
+              .map(sql => path.mkString(".") -> sql).toSeq
+          else Seq.empty
+        val nested = f.dataType match {
+          case st: StructType => walk(st.fields.toSeq, path)
+          case _              => Seq.empty
+        }
+        here ++ nested
+      }
+    walk(schema.fields.toSeq, Nil)
+  }
 
   /** The SQL expression inside the legacy invariant JSON, if parseable.
     * Unparseable payloads fail loudly — silently skipping an invariant

@@ -269,7 +269,7 @@ object Similarity {
       }.mkString(" + ")
       Some(s"""
       WITH n AS ($duckNormed),
-      b AS (SELECT vec_id, e, nrm, $bucketSql AS bucket FROM n)
+      b AS (SELECT vec_id, e, nrm, CAST($bucketSql AS BIGINT) AS bucket FROM n)
       SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.bucket AS bucket,
         ${duckDot("q.e", "c.e")} / (q.nrm * c.nrm) AS cosine
       FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < $NumQueries AND c.vec_id != q.vec_id

@@ -79,10 +79,13 @@ class GraftDeltaSource extends DeltaStreamSourceProvider
       }
       val latest = table.deltaLog.update().version
       val cdf =
-        if (start > latest && end < 0L) {
+        if (start > latest || (end >= 0L && start > end)) {
           // past-the-end start (e.g. a startingTimestamp after the last
-          // commit): an EMPTY feed with the CDF schema — the streaming
-          // source's contract for the same input, not an error
+          // commit), with OR without an ending bound — one consistent
+          // contract: an EMPTY feed with the CDF schema, the streaming
+          // source's behavior for the same input, not an error. (Without
+          // this, start > end only threw when an ending bound was also
+          // supplied, while the unbounded form returned empty.)
           val schema = table.snapshot.metadata.schema
             .add("_change_type", org.apache.spark.sql.types.StringType)
             .add("_commit_version", org.apache.spark.sql.types.LongType)

@@ -131,6 +131,31 @@ class TableFeaturesSuite extends AnyFunSuite {
     }
   }
 
+  test("delta.invariants on NESTED struct fields are enforced") {
+    import org.apache.spark.sql.types._
+    val t = DeltaTable.forPath(spark, tmp())
+    // PROTOCOL.md's own example: invariant on nested field x.y, with the
+    // stored expression already path-qualified from the root
+    val inv = new MetadataBuilder().putString("delta.invariants",
+      """{"expression":{"expression":"x.y < 3"}}""").build()
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("x", StructType(Seq(
+        StructField("y", LongType, nullable = true, metadata = inv))))))
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(graft.delta.Metadata(schemaString = schema.json))
+    txn.commit(Nil, Op.CreateTable)
+    def frame(y: java.lang.Long) = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, org.apache.spark.sql.Row(y))),
+      Snapshot.nullable(schema).asInstanceOf[StructType])
+    t.write(frame(2L)) // conforming nested value lands
+    assert(t.toDF.count() == 1)
+    val ex = intercept[ConstraintViolationException](t.write(frame(7L)))
+    assert(ex.getMessage.contains("x.y"), ex.getMessage)
+    t.write(frame(null)) // NULL predicate result passes (CHECK semantics)
+    assert(t.toDF.count() == 2)
+  }
+
   test("RENAME/DROP of a constrained column is rejected") {
     val t = seeded()
     t.addConstraint("score_pos", "score > 0")
