@@ -491,14 +491,17 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     * full state), type widening (narrow physical files must not be
     * read through the wrong schema by a pre-feature reader), and
     * timestampNtz (spec: any TIMESTAMP_NTZ column in the schema — a
-    * pre-feature reader would misread wall-clock values as instants).
+    * pre-feature reader would misread wall-clock values as instants),
+    * and variantType (spec: any VARIANT column — the physical layout is
+    * a two-binary struct a pre-feature reader would surface raw).
     */
   private def readerWriterFeatureRequirements: Set[String] =
     (if (DeltaConfig.CheckpointPolicy.fromMetadata(metadata) == "v2")
       Set("v2Checkpoint") else Set.empty[String]) ++
     (if (DeltaConfig.EnableTypeWidening.fromMetadata(metadata))
       Set(TypeWidening.FeatureName) else Set.empty[String]) ++
-    (if (metadataOptSchemaHasNtz) Set("timestampNtz") else Set.empty[String])
+    (if (metadataOptSchemaHasNtz) Set("timestampNtz") else Set.empty[String]) ++
+    (if (metadataSchemaHasVariant) Set("variantType") else Set.empty[String])
 
   private def metadataOptSchemaHasNtz: Boolean = {
     import org.apache.spark.sql.types._
@@ -511,6 +514,19 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     }
     metadata.schemaString.nonEmpty && metadata.schemaString.contains("timestamp_ntz") &&
       hasNtz(metadata.schema)
+  }
+
+  private def metadataSchemaHasVariant: Boolean = {
+    import org.apache.spark.sql.types._
+    def hasVariant(dt: DataType): Boolean = dt match {
+      case _: VariantType => true
+      case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
+      case a: ArrayType => hasVariant(a.elementType)
+      case m: MapType => hasVariant(m.keyType) || hasVariant(m.valueType)
+      case _ => false
+    }
+    metadata.schemaString.nonEmpty && metadata.schemaString.contains("variant") &&
+      hasVariant(metadata.schema)
   }
 
   /** cf. reference `trnx.go:603` checkForConflicts + `conflict_checker.go`.

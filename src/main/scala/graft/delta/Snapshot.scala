@@ -390,13 +390,13 @@ object Snapshot {
 
   val SupportedReaderFeatures: Set[String] =
     Set("columnMapping", "deletionVectors", "vacuumProtocolCheck",
-      "v2Checkpoint", "typeWidening", "timestampNtz")
+      "v2Checkpoint", "typeWidening", "timestampNtz", "variantType")
   val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "generatedColumns", "columnMapping", "deletionVectors",
       "identityColumns", "vacuumProtocolCheck", "domainMetadata",
       "rowTracking", "v2Checkpoint", "typeWidening", "timestampNtz",
-      "inCommitTimestamp", "allowColumnDefaults")
+      "inCommitTimestamp", "allowColumnDefaults", "variantType")
   final class InvalidProtocolVersionException(msg: String)
     extends RuntimeException(msg)
   /** Recursively nullable variant of a schema (StructType.asNullable is

@@ -885,6 +885,50 @@ object Relational {
         SELECT e_id, user_id, p_id,
           ROW_NUMBER() OVER (PARTITION BY e_id ORDER BY adt, p_us, p_id) AS rn
         FROM c)
-      WHERE rn = 1 ORDER BY e_id"""))
+      WHERE rn = 1 ORDER BY e_id""")),
+
+    // B35 ---------------------------------------------------------------
+    // Semi-structured VARIANT analytics (Spark 4 VariantType): each event
+    // is wrapped into a nested JSON envelope, parsed ONCE into a variant
+    // (binary-encoded, so repeated path extraction does not re-parse
+    // text — the schema-on-read answer for heterogeneous event payloads
+    // at 100 TB), then navigated with typed `variant_get` paths and
+    // aggregated per extracted type. All per-row map work until the one
+    // partial-agg shuffle on the ≤4 extracted types. The oracle runs the
+    // identical envelope through DuckDB's JSON operators — integer
+    // payloads keep the hash comparison exact.
+    GQ("q_variant", (s, d) => {
+      import s.implicits._
+      val envelope = concat(
+        lit("""{"meta":{"type":""""), $"event_type",
+        lit("""","uid":"""), $"user_id",
+        lit("""},"payload":"""), $"props", lit("}"))
+      events(s, d)
+        .withColumn("v", parse_json(envelope))
+        .select(
+          variant_get($"v", "$.meta.type", "string").as("vtype"),
+          variant_get($"v", "$.meta.uid", "bigint").as("uid"),
+          variant_get($"v", "$.payload.k", "bigint").as("k"))
+        .filter($"k".isNotNull)
+        .groupBy($"vtype")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"uid").as("n_users"),
+          sum($"k").as("sum_k"),
+          max($"k").as("max_k"))
+        .orderBy($"vtype")
+    }, Some("""
+      WITH j AS (SELECT
+          concat('{"meta":{"type":"', event_type, '","uid":', user_id,
+            '},"payload":', props, '}') AS v
+        FROM events),
+      x AS (SELECT
+          json_extract_string(v, '$.meta.type') AS vtype,
+          CAST(json_extract(v, '$.meta.uid') AS BIGINT) AS uid,
+          CAST(json_extract(v, '$.payload.k') AS BIGINT) AS k
+        FROM j)
+      SELECT vtype, COUNT(*) AS n, COUNT(DISTINCT uid) AS n_users,
+        CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
+      FROM x WHERE k IS NOT NULL
+      GROUP BY vtype ORDER BY vtype"""))
   )
 }
