@@ -772,6 +772,42 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     compactImpl(Nil, None, useClustering = false, backfillOnly = true)
   }
 
+  /** `ALTER TABLE ... CLUSTER BY` (liquid-clustering-style DDL UX): a
+    * METADATA-ONLY commit that re-declares the clustering columns —
+    * existing files are NOT rewritten; the next plain OPTIMIZE
+    * re-clusters along the new declaration (that split is the whole
+    * point of liquid clustering: declaring intent is O(1), paying the
+    * rewrite is a separately scheduled maintenance job). Empty `cols` =
+    * `CLUSTER BY NONE`: clears the declaration, OPTIMIZE reverts to
+    * bin-packing. Columns must exist in the schema and must not be
+    * partition columns (a partition column is already physically
+    * clustered by the directory layout).
+    */
+  def clusterBy(cols: Seq[String]): Long = {
+    val txn = deltaLog.startTransaction()
+    val md = txn.metadata
+    val fieldNames = md.schema.fields.map(_.name)
+    val resolved = cols.map { c =>
+      fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"clustering column $c not found in schema " +
+            s"(${fieldNames.mkString(", ")})"))
+    }
+    resolved.find(c => md.partitionColumns.exists(_.equalsIgnoreCase(c)))
+      .foreach(c => throw new IllegalArgumentException(
+        s"clustering column $c is a partition column"))
+    val conf =
+      if (resolved.isEmpty)
+        md.configuration - DeltaConfig.ClusteringColumns.key
+      else
+        md.configuration +
+          (DeltaConfig.ClusteringColumns.key -> resolved.mkString(","))
+    txn.updateMetadata(md.copy(configuration = conf))
+    txn.commit(Nil, Op.ClusterBy, operationParameters =
+      Map("clusterBy" ->
+        (if (resolved.isEmpty) "NONE" else resolved.mkString(","))))
+  }
+
   /** `useClustering = false` is the auto-compaction entry: per-write
     * bin-packing must stay cheap and NOT trigger a declared-clustering
     * full re-cluster on every commit.
@@ -932,7 +968,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
 
   def vacuum(retentionMillis: Option[Long] = None,
       dryRun: Boolean = false,
-      reportLimit: Int = 1000): VacuumResult = {
+      reportLimit: Int = 1000,
+      inventory: Option[DataFrame] = None): VacuumResult = {
     import spark.implicits._
     val hadoopConf = spark.sessionState.newHadoopConf()
     val fs = deltaLog.dataPath.getFileSystem(hadoopConf)
@@ -944,31 +981,69 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val rootStr = fs.makeQualified(deltaLog.dataPath).toString
     val serConf = new SerializableHadoopConf(hadoopConf)
 
-    // seed tasks with the top-level entries (partition dirs / root files);
-    // recursion happens in parallel on executors
-    val seeds = fs.listStatus(deltaLog.dataPath)
-      .map(_.getPath.getName)
-      .filter(n => !n.startsWith("_") && !n.startsWith("."))
-      .toSeq
-    if (seeds.isEmpty) return VacuumResult(0L, Nil)
-    val listed = spark.createDataset(seeds)
-      .repartition(math.min(seeds.size, 32))
-      .mapPartitions { dirs =>
-        val f = new Path(rootStr).getFileSystem(serConf.value)
-        dirs.flatMap { d =>
-          val out = Seq.newBuilder[(String, Long)]
-          def walk(p: Path): Unit = f.listStatus(p).foreach { st =>
-            val name = st.getPath.getName
-            if (!name.startsWith("_") && !name.startsWith(".")) {
-              if (st.isDirectory) walk(st.getPath)
-              else if (name.endsWith(".parquet"))
-                out += ((st.getPath.toUri.getPath, st.getModificationTime))
+    val listed = inventory match {
+      case Some(inv) =>
+        // VACUUM ... USING INVENTORY (delta-spark public surface): the
+        // caller supplies the candidate file listing — typically an
+        // object-store inventory report — instead of a recursive LIST.
+        // At 10^7 objects the listing IS the cost of a full vacuum; an
+        // inventory turns it into a scan of an already-materialized
+        // table. Normalization mirrors the listing path exactly (same
+        // .parquet/hidden-segment filters), plus the LITE containment
+        // guard: entries outside the table root are DROPPED, so a
+        // malformed inventory cannot make vacuum reach into another
+        // table. Expected columns per delta-spark: path,
+        // modificationTime, optional isDir/length.
+        val names = inv.columns.map(_.toLowerCase).toSet
+        require(names.contains("path") && names.contains("modificationtime"),
+          s"inventory must provide path and modificationTime columns, " +
+            s"got ${inv.columns.mkString(", ")}")
+        val files =
+          if (names.contains("isdir")) inv.filter(!inv("isDir")) else inv
+        val rootPathLen = new Path(rootStr).toUri.getPath.stripSuffix("/").length
+        files
+          .select(files("path").cast("string"),
+            files("modificationTime").cast("long"))
+          .as[(String, Long)]
+          .mapPartitions { it =>
+            val root = new Path(rootStr)
+            it.flatMap { case (raw, m) =>
+              FileNames.underTableRoot(root, raw).collect {
+                case abs if abs.endsWith(".parquet") &&
+                    !abs.substring(math.min(rootPathLen + 1, abs.length))
+                      .split("/").exists(seg =>
+                        seg.startsWith("_") || seg.startsWith(".")) =>
+                  (abs, m)
+              }
             }
-          }
-          walk(new Path(rootStr, d))
-          out.result()
-        }
-      }.toDF("p", "mtime")
+          }.toDF("p", "mtime")
+      case None =>
+        // seed tasks with the top-level entries (partition dirs / root
+        // files); recursion happens in parallel on executors
+        val seeds = fs.listStatus(deltaLog.dataPath)
+          .map(_.getPath.getName)
+          .filter(n => !n.startsWith("_") && !n.startsWith("."))
+          .toSeq
+        if (seeds.isEmpty) return VacuumResult(0L, Nil)
+        spark.createDataset(seeds)
+          .repartition(math.min(seeds.size, 32))
+          .mapPartitions { dirs =>
+            val f = new Path(rootStr).getFileSystem(serConf.value)
+            dirs.flatMap { d =>
+              val out = Seq.newBuilder[(String, Long)]
+              def walk(p: Path): Unit = f.listStatus(p).foreach { st =>
+                val name = st.getPath.getName
+                if (!name.startsWith("_") && !name.startsWith(".")) {
+                  if (st.isDirectory) walk(st.getPath)
+                  else if (name.endsWith(".parquet"))
+                    out += ((st.getPath.toUri.getPath, st.getModificationTime))
+                }
+              }
+              walk(new Path(rootStr, d))
+              out.result()
+            }
+          }.toDF("p", "mtime")
+    }
     val active = s.allFilesDS
       .map(f => FileNames.absolutePath(new Path(rootStr), f.path).toUri.getPath)
       .toDF("p")

@@ -42,6 +42,7 @@ object Op {
   val DropConstraint = "DROP CONSTRAINT"
   val SetDomainMetadata = "SET DOMAIN METADATA"
   val Fsck = "FSCK"
+  val ClusterBy = "CLUSTER BY"
 
   /** The closed vocabulary. `OptimisticTransaction.commit` warns (once
     * per name per JVM) when a commit uses a name outside it, so drift
@@ -54,7 +55,7 @@ object Op {
     AddColumns, ChangeColumn, ReplaceColumns, UpgradeProtocol,
     UpgradeSchema, ManualUpdate, Optimize, Reorg, Restore, Clone,
     RenameColumn, DropColumn, AddConstraint, DropConstraint,
-    SetDomainMetadata, Fsck)
+    SetDomainMetadata, Fsck, ClusterBy)
 
   private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 

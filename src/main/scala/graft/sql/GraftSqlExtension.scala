@@ -198,10 +198,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           parseTarget(target),
           Option(where).map(w => GraftShims.column(delegate.parseExpression(w))),
           Option(zorder).map(splitCols).getOrElse(Nil)))
-      case VacuumRe(target, lite, hours, dry) =>
+      case VacuumRe(target, lite, inventory, hours, dry) =>
         Some(GraftVacuumCommand(parseTarget(target),
           Option(hours).map(h => (h.trim.toDouble * 3600 * 1000).toLong),
-          dryRun = dry != null, lite = lite != null))
+          dryRun = dry != null, lite = lite != null,
+          inventory = Option(inventory).map(_.trim)))
       case ReplaceTableRe(target, parts, select) =>
         Some(GraftReplaceTableCommand(parseTarget(target),
           Option(parts).map(splitCols).getOrElse(Nil),
@@ -248,6 +249,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftRenameColumnCommand(parseTarget(target), from, to))
       case DropColumnRe(target, colName) =>
         Some(GraftDropColumnCommand(parseTarget(target), colName))
+      case ClusterByRe(target, none, cols) =>
+        Some(GraftClusterByCommand(parseTarget(target),
+          if (none != null) Nil else splitCols(cols)))
+      case CommentOnTableRe(target, text, nul) =>
+        Some(GraftCommentCommand(parseTarget(target), None,
+          if (nul != null) None else Some(text.replace("''", "'"))))
+      case AlterColumnCommentRe(target, colName, text, nul) =>
+        Some(GraftCommentCommand(parseTarget(target), Some(colName),
+          if (nul != null) None else Some(text.replace("''", "'"))))
       case SetPropsRe(target, props) =>
         Some(GraftSetPropertiesCommand(parseTarget(target),
           parseProps(props).toMap))
@@ -308,7 +318,7 @@ object GraftSqlParser {
   private[sql] val OptimizeRe =
     s"""(?is)OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s+(.+?))?""".r
   private[sql] val VacuumRe =
-    s"""(?is)VACUUM\\s+$T(\\s+LITE)?(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?""".r
+    s"""(?is)VACUUM\\s+$T(\\s+LITE)?(?:\\s+USING\\s+INVENTORY\\s+(.+?))?(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?""".r
   private[sql] val ReplaceTableRe =
     s"""(?is)CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+$T\\s+USING\\s+`?graft-delta`?(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s+AS\\s+(.+)""".r
   private[sql] val FsckRe =
@@ -333,6 +343,12 @@ object GraftSqlParser {
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SET\\s+DEFAULT\\s+(.+)""".r
   private[sql] val DropDefaultRe =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+DROP\\s+DEFAULT""".r
+  private[sql] val ClusterByRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+CLUSTER\\s+BY\\s+(?:(NONE)|\\(([^)]*)\\))""".r
+  private[sql] val CommentOnTableRe =
+    s"""(?is)COMMENT\\s+ON\\s+TABLE\\s+$T\\s+IS\\s+(?:'((?:[^']|'')*)'|(NULL))""".r
+  private[sql] val AlterColumnCommentRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+COMMENT\\s+(?:'((?:[^']|'')*)'|(NULL))""".r
   private[sql] val SetPropsRe =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)""".r
   private[sql] val UnsetPropsRe =
@@ -552,14 +568,40 @@ case class GraftReorgCommand(target: SqlTarget) extends LeafRunnableCommand {
 case class GraftVacuumCommand(target: SqlTarget,
     retentionMillis: Option[Long],
     dryRun: Boolean = false,
-    lite: Boolean = false) extends LeafRunnableCommand {
+    lite: Boolean = false,
+    inventory: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("deleted_count", LongType)(),
     AttributeReference("path", StringType)())
+
+  /** `USING INVENTORY` operand → DataFrame: `(query)` runs as SQL; a
+    * delta/graft/path target reads that table; anything else resolves
+    * through the catalog.
+    */
+  private def inventoryDf(spark: SparkSession, spec: String)
+      : org.apache.spark.sql.DataFrame = {
+    val s = spec.trim
+    if (s.startsWith("(") && s.endsWith(")"))
+      spark.sql(s.substring(1, s.length - 1))
+    else {
+      val pathRe = """(?is)(?:delta|graft)\.`([^`]+)`""".r
+      s match {
+        case pathRe(p) => DeltaTable.forPath(spark, p).toDF
+        case quoted if (quoted.startsWith("'") && quoted.endsWith("'")) ||
+            (quoted.startsWith("\"") && quoted.endsWith("\"")) =>
+          DeltaTable.forPath(spark, quoted.substring(1, quoted.length - 1)).toDF
+        case name => spark.table(name)
+      }
+    }
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
     val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    require(inventory.isEmpty || !lite,
+      "VACUUM LITE derives its candidates from the log; USING INVENTORY applies to full VACUUM only")
     val r = if (lite) t.vacuumLite(retentionMillis, dryRun)
-            else t.vacuum(retentionMillis, dryRun)
+            else t.vacuum(retentionMillis, dryRun,
+              inventory = inventory.map(inventoryDf(spark, _)))
     // bounded: one row per sample path (count repeated), or a single
     // count row when nothing was deleted
     if (r.sample.isEmpty) Seq(Row(r.deletedCount, null))
@@ -687,6 +729,67 @@ case class GraftSetPropertiesCommand(target: SqlTarget,
       case None => throw new IllegalArgumentException(
         s"no graft-delta table at $path")
     }
+    Nil
+  }
+}
+
+/** `ALTER TABLE t CLUSTER BY (cols) | NONE` — liquid-clustering DDL:
+  * metadata-only re-declaration of `delta.clusteringColumns`; the next
+  * plain OPTIMIZE re-clusters, NONE reverts OPTIMIZE to bin-packing
+  * (see [[graft.delta.DeltaTable.clusterBy]]).
+  */
+case class GraftClusterByCommand(target: SqlTarget,
+    cols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    t.clusterBy(cols)
+    SqlTarget.refresh(spark, target)
+    Nil
+  }
+}
+
+/** `COMMENT ON TABLE t IS '...'|NULL` and `ALTER TABLE t ALTER COLUMN c
+  * COMMENT '...'|NULL`. Comments are metadata-only commits persisted
+  * where other engines look for them: the table comment in
+  * `metaData.description` (the protocol field; the reference's
+  * `types/type_parser.go` keeps schema comments through its codec too),
+  * column comments in the field's `comment` metadata inside the schema
+  * JSON — so they survive checkpoints and DESCRIBE shows them.
+  */
+case class GraftCommentCommand(target: SqlTarget,
+    column: Option[String], comment: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    val txn = t.deltaLog.startTransaction()
+    val md = txn.metadata
+    column match {
+      case None =>
+        txn.updateMetadata(md.copy(description = comment.orNull))
+        txn.commit(Nil, Op.SetTableProperties, operationParameters =
+          Map("comment" -> comment.getOrElse("NULL")))
+      case Some(c) =>
+        val schema = md.schema
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"column $c not found in schema (${schema.fieldNames.mkString(", ")})")
+        val updated = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+          if (!f.name.equalsIgnoreCase(c)) f
+          else comment match {
+            case Some(txt) => f.withComment(txt)
+            case None =>
+              // drop the comment key, keep any other field metadata
+              val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata).remove("comment")
+              f.copy(metadata = mb.build())
+          }
+        })
+        txn.updateMetadata(md.copy(schemaString = updated.json))
+        txn.commit(Nil, Op.ChangeColumn, operationParameters =
+          Map("column" -> c, "comment" -> comment.getOrElse("NULL")))
+    }
+    SqlTarget.refresh(spark, target)
     Nil
   }
 }
@@ -1223,6 +1326,22 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     case m: MergeIntoTable if Target.unapply(m.targetTable).isDefined =>
       val Some((path, refreshId)) = Target.unapply(m.targetTable): @unchecked
+      // WITH SCHEMA EVOLUTION merges are claimed pre-resolution by
+      // GraftMergeEvolutionRule, BEFORE the analyzer expands UPDATE SET
+      // */INSERT * against the current target schema (expansion drops
+      // source-only columns). If such a merge reaches this post-hoc
+      // rule with its stars already expanded, running it would silently
+      // fill evolved columns with NULL instead of source values — fail
+      // loudly instead of diverging data.
+      if (m.withSchemaEvolution && !(m.matchedActions ++ m.notMatchedActions)
+            .exists(a => a.isInstanceOf[UpdateStarAction] ||
+              a.isInstanceOf[InsertStarAction]))
+        throw new UnsupportedOperationException(
+          "MERGE ... WITH SCHEMA EVOLUTION reached the post-resolution rule " +
+            "with star actions already expanded (source-only columns have " +
+            "been dropped by the analyzer); this plan shape must be claimed " +
+            "by GraftMergeEvolutionRule — rewrite the merge so the target " +
+            "resolves to a graft-delta relation before analysis")
       val tSet = m.targetTable.outputSet
       val sSet = m.sourceTable.outputSet
       def rb(e: Expression): Column = toCol(rebind(e, tSet, Seq("t"), sSet))

@@ -455,6 +455,72 @@ class SqlSurfaceSuite extends AnyFunSuite {
     assert(t.toDF.count() == 5)
   }
 
+  test("ALTER TABLE CLUSTER BY: metadata-only declare, OPTIMIZE re-clusters, NONE clears") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    // deliberately interleaved key ranges across two files
+    t.write((0L until 100L).map(i => (i % 10, i)).toDF("k", "v"))
+    t.write((0L until 100L).map(i => ((i + 5) % 10, i + 100)).toDF("k", "v"))
+    val vBefore = t.deltaLog.update().version
+    spark.sql(s"ALTER TABLE graft.`$dir` CLUSTER BY (k)").collect()
+    // declare is metadata-only: one commit, zero files rewritten
+    assert(t.deltaLog.update().version == vBefore + 1)
+    assert(t.snapshot.metadata.configuration("delta.clusteringColumns") == "k")
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$dir` LIMIT 1").collect()
+    assert(hist.head.getString(hist.head.fieldIndex("operation")) == Op.ClusterBy)
+    // plain OPTIMIZE now re-clusters along k: the two files' k-ranges
+    // were fully overlapping before; afterwards file count is 1 (small
+    // table bin) and the data is sorted by k within it
+    spark.sql(s"OPTIMIZE graft.`$dir`").collect()
+    assert(t.toDF.count() == 200)
+    // NONE clears the declaration
+    spark.sql(s"ALTER TABLE graft.`$dir` CLUSTER BY NONE").collect()
+    assert(!t.snapshot.metadata.configuration.contains("delta.clusteringColumns"))
+    // unknown column and partition column are rejected
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE graft.`$dir` CLUSTER BY (nope)").collect()
+    }
+    val pDir = tmp()
+    val pt = DeltaTable.forPath(spark, pDir)
+    pt.write(Seq((1L, "a"), (2L, "b")).toDF("id", "part"),
+      org.apache.spark.sql.SaveMode.Append, Seq("part"))
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE graft.`$pDir` CLUSTER BY (part)").collect()
+    }
+  }
+
+  test("COMMENT ON TABLE and ALTER COLUMN COMMENT persist through the log and checkpoint") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    spark.sql(s"COMMENT ON TABLE graft.`$dir` IS 'it''s the fact table'").collect()
+    assert(t.snapshot.metadata.description == "it's the fact table")
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN name COMMENT 'display name'").collect()
+    assert(t.snapshot.metadata.schema("name").getComment().contains("display name"))
+    // comments live in metaData.description / the schema JSON: a fresh
+    // log replay (cache bypassed) reconstructs them
+    val fresh = new graft.delta.DeltaLog(spark, t.deltaLog.dataPath).update()
+    assert(fresh.metadata.description == "it's the fact table")
+    assert(fresh.metadata.schema("name").getComment().contains("display name"))
+    // DESCRIBE (through a catalog table) surfaces the column comment
+    freshTable("commented")
+    spark.sql(s"CREATE TABLE commented USING `graft-delta` LOCATION '$dir'")
+    val desc = spark.sql("DESCRIBE TABLE commented").collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    assert(desc.get("name").contains("display name"))
+    // NULL clears both
+    spark.sql(s"COMMENT ON TABLE graft.`$dir` IS NULL").collect()
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN name COMMENT NULL").collect()
+    assert(t.snapshot.metadata.description == null)
+    assert(t.snapshot.metadata.schema("name").getComment().isEmpty)
+    // unknown column rejected
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN nope COMMENT 'x'").collect()
+    }
+  }
+
   test("the delegating parser leaves ordinary SQL alone") {
     assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
     assert(spark.sql("DESCRIBE FUNCTION abs").count() > 0)
