@@ -162,3 +162,56 @@ case class SimHash60(child: Expression) extends UnaryExpression with CodegenFall
   }
   override protected def withNewChildInternal(c: Expression): SimHash60 = copy(child = c)
 }
+
+/** Rabin–Karp rolling hash over the UTF-8 BYTES of `child`, window `w`
+  * bytes, one emitted fingerprint per `s`-byte stride (1-based offsets,
+  * matching SQL substr): the ExactSubstr primitive — verbatim byte-run
+  * detection that tokenized shingles (C25) miss across whitespace /
+  * punctuation variance. ONE O(n) pass per document regardless of w:
+  * the hash rolls byte-by-byte (drop leading term, multiply, add) and
+  * is sampled at strided offsets, vs the O(n·w) of hashing each window
+  * from scratch — at 100 TB the difference is the whole scan budget.
+  * h = Σ byte[i]·B^(w-1-i) mod M with B=256, M=10^12+39 (prime): the
+  * polynomial form the DuckDB oracle replays per strided window with
+  * list_reduce over ord(); 41-bit space keeps cross-doc collisions
+  * ~O(1) per 10^6 windows, and a collision is DETERMINISTIC — both
+  * engines group by the same key — so the compare stays exact.
+  */
+case class RollingHashWindows(child: Expression, w: Int, s: Int)
+    extends UnaryExpression with CodegenFallback {
+  private val M = 1000000000039L
+  private val B = 256L
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("off", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    // B^(w-1) mod M, for dropping the leading byte while rolling
+    var powW1 = 1L
+    var i = 0
+    while (i < w - 1) { powW1 = (powW1 * B) % M; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = (h * B + (bytes(i) & 0xff)) % M; i += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var off = 0 // 0-based window start; emitted as 1-based
+    if (off % s == 0)
+      out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](off + 1, h))
+    while (off + w < n) {
+      // roll: drop bytes[off], shift, append bytes[off + w]
+      var hh = (h - ((bytes(off) & 0xff) * powW1) % M) % M
+      if (hh < 0) hh += M
+      h = (hh * B + (bytes(off + w) & 0xff)) % M
+      off += 1
+      if (off % s == 0)
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](off + 1, h))
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): RollingHashWindows =
+    copy(child = c)
+}

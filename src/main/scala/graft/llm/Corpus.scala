@@ -688,6 +688,62 @@ object Corpus {
           * 65536.0 * 9007199254740992.0 / CAST(S AS DOUBLE) AS hll_estimate,
         V AS n_empty_regs, n_exact
       FROM s JOIN x ON s.event_type = x.event_type
-      ORDER BY s.event_type"""))
+      ORDER BY s.event_type""")),
+
+    // C55 ---------------------------------------------------------------
+    // ExactSubstr-style byte-level span dedup (the Lee et al. verbatim-
+    // overlap family; C25's word shingles miss duplicates that differ in
+    // whitespace/punctuation): Rabin–Karp rolling hash over UTF-8 bytes,
+    // 48-byte windows sampled every 8 bytes — ONE O(n) pass per doc via
+    // graft.functions.RollingHashWindows, never O(n·w). The dedup is
+    // gram-keyed like C25: window fingerprints partial-agg to document
+    // frequencies (only (doc_id,off,h) triples shuffle), fingerprints
+    // shared by ≥2 docs survive, and an id-sized join back scores each
+    // doc's duplicated-span coverage. NO all-pairs stage at any step;
+    // the report is the 100 most duplicated documents.
+    GQ("dedup_substr", (s, d) => {
+      import s.implicits._
+      val wins = table(s, d, "documents")
+        .select($"doc_id",
+          explode(org.apache.spark.sql.GraftShims.column(
+            graft.functions.RollingHashWindows(
+              org.apache.spark.sql.GraftShims.expression($"text"), 48, 8)))
+            .as("w"))
+        .select($"doc_id", $"w.h".as("h"))
+      val dupFps = wins.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("n_docs"))
+        .filter($"n_docs" >= 2)
+        .select($"h", $"n_docs")
+      val perDoc = wins.groupBy($"doc_id").agg(count(lit(1)).as("n_wins"))
+      val dupPerDoc = wins.join(dupFps, Seq("h"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_dup_wins"),
+          countDistinct($"h").as("n_dup_fps"))
+      perDoc.join(dupPerDoc, Seq("doc_id"))
+        .withColumn("dup_ratio",
+          $"n_dup_wins".cast("double") / $"n_wins".cast("double"))
+        .select($"doc_id", $"n_wins", $"n_dup_wins", $"n_dup_fps", $"dup_ratio")
+        .orderBy($"dup_ratio".desc, $"doc_id")
+        .limit(100)
+    }, Some("""
+      WITH w0 AS (
+        SELECT doc_id, text,
+          unnest(range(1, length(text) - 46, 8)) AS o
+        FROM documents),
+      w AS (
+        SELECT doc_id,
+          list_reduce(
+            list_transform(range(0, 48),
+              i -> CAST(ord(substr(text, CAST(o + i AS INTEGER), 1)) AS BIGINT)),
+            (acc, b) -> (acc * 256 + b) % 1000000000039) AS h
+        FROM w0),
+      dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      per AS (SELECT doc_id, COUNT(*) AS n_wins FROM w GROUP BY doc_id),
+      dpd AS (SELECT doc_id, COUNT(*) AS n_dup_wins, COUNT(DISTINCT h) AS n_dup_fps
+              FROM w JOIN dup USING (h) GROUP BY doc_id)
+      SELECT doc_id, n_wins, n_dup_wins, n_dup_fps,
+        CAST(n_dup_wins AS DOUBLE) / CAST(n_wins AS DOUBLE) AS dup_ratio
+      FROM per JOIN dpd USING (doc_id)
+      ORDER BY dup_ratio DESC, doc_id LIMIT 100"""))
   )
 }
