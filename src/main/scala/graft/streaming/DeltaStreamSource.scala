@@ -13,8 +13,11 @@ import graft.delta.{Action, AddFile, DeltaLog, DeltaTable, RemoveFile}
   * means the whole version. Admitting a version file-by-file is what lets
   * a micro-batch stop mid-commit under `maxFilesPerTrigger`.
   */
-final case class DeltaSourceOffset(version: Long, index: Long) extends Offset {
-  override def json(): String = s"""{"version":$version,"index":$index}"""
+final case class DeltaSourceOffset(version: Long, index: Long,
+    snap: Boolean = false) extends Offset {
+  override def json(): String =
+    if (snap) s"""{"version":$version,"index":$index,"snap":1}"""
+    else s"""{"version":$version,"index":$index}"""
 }
 
 object DeltaSourceOffset {
@@ -31,12 +34,12 @@ object DeltaSourceOffset {
   private def fromJson(j: String): DeltaSourceOffset = {
     val t = j.trim
     if (!t.startsWith("{")) return DeltaSourceOffset(t.toLong, All)
-    def field(name: String): Long = {
-      val m = s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(t)
-      m.map(_.group(1).toLong).getOrElse(
-        throw new IllegalArgumentException(s"bad graft-delta offset: $j"))
-    }
-    DeltaSourceOffset(field("version"), field("index"))
+    def fieldOpt(name: String): Option[Long] =
+      s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(t).map(_.group(1).toLong)
+    def field(name: String): Long = fieldOpt(name).getOrElse(
+      throw new IllegalArgumentException(s"bad graft-delta offset: $j"))
+    DeltaSourceOffset(field("version"), field("index"),
+      snap = fieldOpt("snap").exists(_ == 1L))
   }
 }
 
@@ -83,7 +86,8 @@ class DeltaStreamSource(
     startingVersion: Long = 0L,
     ignoreDeletes: Boolean = false,
     ignoreChanges: Boolean = false,
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false,
+    eventTimeOrderColumn: Option[String] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -171,7 +175,90 @@ class DeltaStreamSource(
       commitFiles(actions)
     }.getOrElse(Nil)
 
+  // ------------------------------------------------- withEventTimeOrder
+  // delta-spark parity: the BACKLOG present when the stream starts
+  // (versions [startingVersion, initialSnapshotEnd]) is admitted in
+  // EVENT-TIME order via each file's stats minValues of the declared
+  // column, not commit/path order. A watermarked query over a large
+  // existing table would otherwise advance its watermark on whichever
+  // backlog slice drains first and silently DROP the out-of-order tail
+  // of the initial snapshot. Restart-safe and deterministic: the sorted
+  // list is a pure function of (startingVersion, end version, column),
+  // and the end version rides in the checkpointed offset (snap=1).
+  // Commits after initialSnapshotEnd tail normally — new data is
+  // roughly in arrival order already, which is delta-spark's contract
+  // too (the option governs the initial snapshot only).
+
+  private val initialSnapshotEnd: Long =
+    if (eventTimeOrderColumn.isEmpty) -1L else log.update().version
+
+  private val snapshotCache =
+    scala.collection.concurrent.TrieMap.empty[Long, IndexedSeq[AddFile]]
+
+  /** stats minValues[col] as a sortable string; files without stats sort
+    * first (the conservative bucket, as in delta-spark). Timestamp stats
+    * are ISO strings, so lexicographic order IS event-time order.
+    */
+  private def eventTimeKey(f: AddFile, col: String): String = {
+    if (f.stats == null) return ""
+    try {
+      val v = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(f.stats).path("minValues").path(col)
+      if (v.isMissingNode || v.isNull) "" else v.asText()
+    } catch { case _: Exception => "" }
+  }
+
+  private def snapshotFiles(endV: Long): IndexedSeq[AddFile] =
+    snapshotCache.getOrElseUpdate(endV, {
+      val col = eventTimeOrderColumn.get
+      val files = (startingVersion to endV).flatMap(addFiles)
+      // Stats-less files sort FIRST (the conservative bucket — they
+      // drain before the watermark has advanced). NOTE: Spark's legacy
+      // INT96 parquet timestamps (the `spark.sql.parquet.outputTimestampType`
+      // default) carry no trustworthy footer min/max, so a table written
+      // that way has no ts stats at all and ordering degrades to path
+      // order — warn loudly; write with TIMESTAMP_MICROS for real
+      // event-time ordering (and ts data skipping generally).
+      if (files.nonEmpty && files.forall(f => eventTimeKey(f, col).isEmpty))
+        System.err.println(
+          s"[graft-delta] withEventTimeOrder: no '$col' stats on any of " +
+            s"${files.length} initial-snapshot files (INT96 timestamps?); " +
+            "falling back to path order — watermark drops are possible")
+      files.sortBy(f => (eventTimeKey(f, col), f.path))
+    })
+
+  /** Event-time-ordered admission over the initial snapshot; Some while
+    * the phase is active, None once (or if) it is complete.
+    */
+  private def snapshotPhaseOffset: Option[Option[Offset]] = {
+    if (eventTimeOrderColumn.isEmpty) return None
+    val active = cursor match {
+      case None => initialSnapshotEnd >= startingVersion
+      case Some(o) => o.snap && o.index < snapshotFiles(o.version).length
+    }
+    if (!active) return None
+    val endV = cursor.map(_.version).getOrElse(initialSnapshotEnd)
+    val files = snapshotFiles(endV)
+    val from = cursor.map(_.index.toInt).getOrElse(0)
+    val maxF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    val maxB = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    var i = from
+    var nF = 0L
+    var nB = 0L
+    while (i < files.length && nF + 1 <= maxF &&
+        (nF == 0 || nB + files(i).size <= maxB)) {
+      nF += 1; nB += files(i).size; i += 1
+    }
+    if (i == from) return Some(cursor) // nothing admissible (empty backlog)
+    cursor = Some(DeltaSourceOffset(endV, i, snap = true))
+    Some(cursor)
+  }
+
   override def getOffset: Option[Offset] = {
+    snapshotPhaseOffset match {
+      case Some(o) => return o
+      case None => // initial snapshot complete (or ordering not requested)
+    }
     val latest = availableNowCap
       .map(math.min(_, log.update().version))
       .getOrElse(log.update().version)
@@ -185,8 +272,9 @@ class DeltaStreamSource(
     // resume point: first (version, idx) not yet admitted
     val (resumeV, resumeI) = cursor match {
       case None => (startingVersion, 0L)
-      case Some(DeltaSourceOffset(v, All)) => (v + 1, 0L)
-      case Some(DeltaSourceOffset(v, i)) =>
+      case Some(o) if o.snap => (o.version + 1, 0L) // snapshot phase done
+      case Some(DeltaSourceOffset(v, All, _)) => (v + 1, 0L)
+      case Some(DeltaSourceOffset(v, i, _)) =>
         if (i >= addFiles(v).length) (v + 1, 0L) else (v, i)
     }
     if (resumeV > latest) return cursor
@@ -213,7 +301,7 @@ class DeltaStreamSource(
     }
     val admitted = end match {
       // stopped mid-version at index i: batch covers up to file i-1
-      case Some(DeltaSourceOffset(ev, ei)) if ei != All =>
+      case Some(DeltaSourceOffset(ev, ei, _)) if ei != All =>
         if (ei == 0) DeltaSourceOffset(ev - 1, All) else DeltaSourceOffset(ev, ei)
       case Some(o) => o
       case None => DeltaSourceOffset(latest, All)
@@ -233,8 +321,9 @@ class DeltaStreamSource(
       start: Option[DeltaSourceOffset], end: DeltaSourceOffset): Seq[AddFile] = {
     val (fromV, skip) = start match {
       case None => (startingVersion, 0L)
-      case Some(DeltaSourceOffset(v, All)) => (v + 1, 0L)
-      case Some(DeltaSourceOffset(v, i)) => (v, i)
+      case Some(o) if o.snap => (o.version + 1, 0L) // after the snapshot phase
+      case Some(DeltaSourceOffset(v, All, _)) => (v + 1, 0L)
+      case Some(DeltaSourceOffset(v, i, _)) => (v, i)
     }
     if (fromV > end.version) return Nil
     log.changes(fromV)
@@ -267,7 +356,13 @@ class DeltaStreamSource(
         else DeltaTable.forPath(spark, path).tableChanges(fromVersion, endOff.version)
       return GraftShims.asStreamingDF(spark, batch)
     }
-    val adds = filesBetween(startOff, endOff)
+    val adds =
+      if (endOff.snap) {
+        // a slice of the event-time-sorted initial snapshot
+        val files = snapshotFiles(endOff.version)
+        val from = startOff.filter(_.snap).map(_.index.toInt).getOrElse(0)
+        files.slice(from, endOff.index.toInt)
+      } else filesBetween(startOff, endOff)
     val md = log.snapshot.metadata
     val batch =
       if (adds.isEmpty)
@@ -363,5 +458,20 @@ class DeltaStreamSourceProvider extends StreamSourceProvider with DataSourceRegi
         },
       ignoreDeletes = flag(parameters, "ignoreDeletes"),
       ignoreChanges = flag(parameters, "ignoreChanges"),
-      skipChangeCommits = flag(parameters, "skipChangeCommits"))
+      skipChangeCommits = flag(parameters, "skipChangeCommits"),
+      // withEventTimeOrder=true processes the initial snapshot in
+      // event-time order; the column is declared explicitly (delta-spark
+      // infers it from the query's watermark — a Source cannot see the
+      // analyzed plan, so the explicit option is the honest equivalent)
+      eventTimeOrderColumn = {
+        val on = flag(parameters, "withEventTimeOrder")
+        val col = parameters.get("eventTimeOrderColumn").map(_.trim)
+        if (on) {
+          require(col.exists(_.nonEmpty),
+            "withEventTimeOrder=true requires eventTimeOrderColumn=<column>")
+          require(!cdf(parameters),
+            "withEventTimeOrder applies to the appends stream, not readChangeFeed")
+          col
+        } else None
+      })
 }

@@ -386,4 +386,87 @@ class StreamingSuite extends AnyFunSuite {
     assert(wins.get("2024-01-01 09:00:00").contains(1L))
     assert(!wins.contains("2024-01-01 07:00:00"))
   }
+
+  /** Shared backlog for the withEventTimeOrder pins: three one-file
+    * commits whose event times are OUT of commit order — the 08:00 tail
+    * lands in the LAST commit, exactly the shape that a commit-order
+    * drain drops once the watermark has passed it.
+    */
+  private def outOfOrderBacklog(): String = {
+    import spark.implicits._
+    // INT96 (Spark's legacy default) carries no usable footer min/max —
+    // event-time ordering needs annotated INT64 timestamp stats
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val dir = Files.createTempDirectory("d4-eto").toString
+    val t = DeltaTable.forPath(spark, dir)
+    def commit(ts: String, ids: Seq[Long]): Unit =
+      t.write(ids.map(i => (ts, i)).toDF("ts_s", "id")
+        .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s").coalesce(1))
+    commit("2024-01-01 10:00:00", Seq(1L, 2L)) // v0
+    commit("2024-01-01 12:00:00", Seq(3L))     // v1: advances watermark past 08:00
+    commit("2024-01-01 08:00:00", Seq(4L, 5L)) // v2: the out-of-order tail
+    dir
+  }
+
+  private def windowedCounts(dir: String, name: String,
+      extraOptions: Map[String, String]): Map[String, Long] = {
+    import spark.implicits._
+    var stream = spark.readStream
+      .format("graft.streaming.DeltaStreamSourceProvider")
+      .option("path", dir)
+      .option("maxFilesPerTrigger", "1") // one commit per micro-batch
+    extraOptions.foreach { case (k, v) => stream = stream.option(k, v) }
+    val agg = stream.load()
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window($"ts", "1 hour")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select($"window.start".cast("string").as("s"), $"n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("D4: withEventTimeOrder drains the initial snapshot in event-time order (no watermark drops)") {
+    val dir = outOfOrderBacklog()
+    // commit-order drain: watermark reaches 11:30 before the 08:00 tail
+    // arrives — those rows are silently dropped and the window is lost
+    val unordered = windowedCounts(dir, "eto_off", Map.empty)
+    assert(!unordered.contains("2024-01-01 08:00:00"),
+      s"expected the 08:00 tail to be dropped in commit order, got $unordered")
+    // event-time order: the backlog drains 08:00 -> 10:00 -> 12:00, the
+    // watermark trails the data, nothing drops
+    val ordered = windowedCounts(dir, "eto_on", Map(
+      "withEventTimeOrder" -> "true", "eventTimeOrderColumn" -> "ts"))
+    assert(ordered.get("2024-01-01 08:00:00").contains(2L), ordered.toString)
+    assert(ordered.get("2024-01-01 10:00:00").contains(2L), ordered.toString)
+    // commits AFTER the initial snapshot tail normally and still stream
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, dir)
+    val stream = spark.readStream
+      .format("graft.streaming.DeltaStreamSourceProvider")
+      .option("path", dir)
+      .option("withEventTimeOrder", "true").option("eventTimeOrderColumn", "ts")
+      .load()
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("eto_tail").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("eto_tail").count() == 5)
+      t.write(Seq(("2024-01-01 13:00:00", 6L)).toDF("ts_s", "id")
+        .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s").coalesce(1))
+      q.processAllAvailable()
+      assert(spark.table("eto_tail").count() == 6)
+    } finally q.stop()
+    // option validation surfaces on the query thread
+    val bad = spark.readStream.format("graft.streaming.DeltaStreamSourceProvider")
+      .option("path", dir).option("withEventTimeOrder", "true").load()
+      .writeStream.format("memory").queryName("eto_bad").start()
+    val ex = intercept[Exception] {
+      try bad.processAllAvailable() finally bad.stop()
+    }
+    assert(ex.getMessage.contains("eventTimeOrderColumn") ||
+      Option(ex.getCause).exists(_.getMessage.contains("eventTimeOrderColumn")),
+      ex.toString)
+  }
 }
