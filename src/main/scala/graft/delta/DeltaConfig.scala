@@ -165,6 +165,20 @@ object DeltaConfig {
     TableConfig("delta.clusteringColumns", "",
       v => v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
+  /** Space-filling curve for multi-column clustering: `zorder` (Morton,
+    * the default) or `hilbert` (unit-step walk, tighter per-file
+    * min/max boxes — what liquid clustering uses). Applies wherever a
+    * multi-column cluster key is built (declared clustering columns and
+    * OPTIMIZE ZORDER BY alike; a single column needs no curve).
+    */
+  val ClusteringStrategy: TableConfig[String] =
+    TableConfig("delta.clusteringStrategy", "zorder", { v =>
+      val s = v.trim.toLowerCase
+      require(s == "zorder" || s == "hilbert",
+        s"delta.clusteringStrategy must be zorder or hilbert, got $v")
+      s
+    })
+
   /** Row-level change capture for DML: DELETE/UPDATE/MERGE also write
     * their changed rows as CDC files (`_change_data/`, AddCDCFile) that
     * `tableChanges` reads back exactly (the open Delta CDF convention).

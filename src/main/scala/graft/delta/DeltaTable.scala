@@ -915,9 +915,15 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
             floor((asNum(c) - lit(mn)) / lit(width) * lit(span.toDouble)).cast("long")
           } else pmod(hash(col(c)), lit(span + 1)).cast("long")
         }
+        // curve choice (delta.clusteringStrategy): Morton interleave by
+        // default; Hilbert for unit-step locality (needs 2+ dimensions —
+        // on one column both curves degenerate to the identity)
+        val curve = DeltaConfig.ClusteringStrategy.fromMetadata(md)
+        val keyExprs = keys.map(k => org.apache.spark.sql.GraftShims.expression(k))
         val z = org.apache.spark.sql.GraftShims.column(
-          graft.functions.InterleaveBits(
-            keys.map(k => org.apache.spark.sql.GraftShims.expression(k)), bits))
+          if (curve == "hilbert" && keyExprs.size >= 2)
+            graft.functions.HilbertIndex(keyExprs, bits)
+          else graft.functions.InterleaveBits(keyExprs, bits))
         df0.withColumn("__z", z)
           .repartitionByRange(numTasks, partCols.map(col) :+ col("__z"): _*)
           .sortWithinPartitions(partCols.map(col) :+ col("__z"): _*)
@@ -932,7 +938,10 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       operationParameters = Map("targetFileSize" -> targetSize.toString) ++
         (if (purgeOnly) Map("applyPurge" -> "true") else Map.empty) ++
         (if (backfillOnly) Map("backfillRowIds" -> "true") else Map.empty) ++
-        (if (zorderBy.nonEmpty) Map("zOrderBy" -> zorderBy.mkString(",")) else Map.empty))
+        (if (zorderBy.nonEmpty)
+          Map("zOrderBy" -> zorderBy.mkString(","),
+            "clusteringStrategy" -> DeltaConfig.ClusteringStrategy.fromMetadata(md))
+        else Map.empty))
   }
 
   /** VACUUM: physically delete data files no longer referenced by the
