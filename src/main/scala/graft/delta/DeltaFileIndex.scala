@@ -40,15 +40,20 @@ class DeltaFileIndex(log: DeltaLog, snapshot: Snapshot) extends FileIndex {
     import spark.implicits._
 
     // 1. partition pruning: evaluate pushed filters over typed partition
-    //    values with Catalyst (same machinery as DeltaScan)
+    //    values with Catalyst (same machinery as DeltaScan). Data filters
+    //    on the BASE column of a monotone generated partition column
+    //    derive extra pruning conjuncts (`ts >= X` prunes `p_date`
+    //    partitions) — extra-only, the residual data filter is untouched.
     var files = snapshot.activeFilesDF
-    if (partitionFilters.nonEmpty) {
+    val derived = GeneratedPartitionFilters.derive(spark, md, dataFilters)
+    val partPred = (partitionFilters.map(DeltaScan.toColumn) ++ derived)
+      .reduceOption(_ && _)
+    partPred.foreach { pred =>
       val typed = partCols.foldLeft(files) { (df, c) =>
         val dt = partitionSchema(c).dataType
         df.withColumn(c,
           org.apache.spark.sql.functions.element_at(col("partitionValues"), c).cast(dt))
       }
-      val pred = partitionFilters.map(DeltaScan.toColumn).reduce(_ && _)
       files = typed.filter(pred).drop(partCols: _*)
     }
     // 2. stats-based data skipping on the data filters (A17); stats JSON

@@ -46,7 +46,12 @@ final case class DeltaScan(snapshot: Snapshot, predicate: Option[Column]) {
     */
   lazy val filesDF: DataFrame = {
     val base = snapshot.activeFilesDF
-    val pruned = pushedPredicate match {
+    // residual comparisons on a generated partition column's base column
+    // imply extra partition pruning (see GeneratedPartitionFilters)
+    val derived = md.map(m =>
+      GeneratedPartitionFilters.derive(spark, m, residualResolved))
+      .getOrElse(Nil)
+    val pruned = (pushedPredicates ++ derived).reduceOption(_ && _) match {
       case None => base
       case Some(p) =>
         // typed partition columns out of the string partitionValues map
