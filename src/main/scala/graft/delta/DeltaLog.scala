@@ -571,6 +571,30 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     sweepOrphanSidecars(cutoff)
   }
 
+  /** TRUNCATE HISTORY (the DROP FEATURE companion): checkpoint the
+    * current snapshot, then delete EVERY log artifact strictly below it
+    * regardless of retention age — the explicit opt-in that makes
+    * dropping a reader+writer feature sound, because historical commits
+    * that used the feature stop being replayable at all. Time travel
+    * before `s.version` is gone afterwards, by definition.
+    */
+  private[delta] def truncateHistory(s: Snapshot): Unit = {
+    checkpoint(s)
+    val statuses =
+      try store.listFrom(new Path(logPath, f"${0L}%020d."))
+      catch { case _: java.io.FileNotFoundException => return }
+    statuses.foreach { st =>
+      val p = st.getPath
+      val doomed =
+        (FileNames.isDeltaFile(p) && FileNames.deltaVersion(p) < s.version) ||
+        (FileNames.isCompactedFile(p) && FileNames.compactedRange(p)._2 < s.version) ||
+        (FileNames.isChecksumFile(p) &&
+          p.getName.stripSuffix(".crc").toLong < s.version) ||
+        (FileNames.isCheckpointFile(p) && FileNames.checkpointVersion(p) < s.version)
+      if (doomed) store.delete(p)
+    }
+  }
+
   /** Delete `_sidecars/` files no surviving v2 manifest references and
     * past the retention cutoff. Incremental reuse means a sidecar's
     * lifetime spans checkpoints, so it can only go when every manifest

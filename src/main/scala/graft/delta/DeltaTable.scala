@@ -1705,6 +1705,110 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     txn.commit(Nil, Op.ChangeColumn, operationParameters = Map("column" -> name))
   }
 
+  /** `ALTER TABLE ... DROP FEATURE` (delta-spark public surface): remove
+    * `name` from the protocol's feature sets, but ONLY when the current
+    * table state carries no trace of it — dropping `checkConstraints`
+    * while constraints exist would let a non-supporting writer commit
+    * violating rows into someone else's contract. For a READER+writer
+    * feature the current state is not enough: historical commits may
+    * still use it, so the drop additionally demands the explicit
+    * `TRUNCATE HISTORY` opt-in, which checkpoints the current snapshot
+    * and deletes every earlier log artifact (time travel before the
+    * drop is gone, by definition — the delta-spark contract). Unknown
+    * features are refused: we cannot validate traces of semantics we
+    * don't implement.
+    */
+  def dropFeature(name: String, truncateHistory: Boolean = false): Long = {
+    val txn = deltaLog.startTransaction()
+    val s = txn.snapshot
+    val p = s.protocol
+    val inReader = p.readerFeatures.exists(_.contains(name))
+    val inWriter = p.writerFeatures.exists(_.contains(name))
+    require(inReader || inWriter,
+      s"feature $name is not listed in the table protocol ($p)")
+    require(Snapshot.SupportedReaderFeatures.contains(name) ||
+        Snapshot.SupportedWriterFeatures.contains(name),
+      s"cannot drop unknown feature $name: its traces cannot be validated")
+    val md = txn.metadata
+    val traces = featureTraces(name, md, s)
+    if (traces.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot drop feature $name: the table still uses it (${traces.mkString("; ")})")
+    if (inReader) {
+      require(truncateHistory,
+        s"dropping reader+writer feature $name requires TRUNCATE HISTORY: " +
+          "historical commits may still use it")
+      deltaLog.truncateHistory(s)
+    }
+    val newProtocol = p.copy(
+      readerFeatures = p.readerFeatures.map(_ - name),
+      writerFeatures = p.writerFeatures.map(_ - name))
+    txn.commit(Seq(newProtocol), Op.DropFeature,
+      operationParameters = Map("feature" -> name,
+        "truncateHistory" -> truncateHistory.toString))
+  }
+
+  /** Current-state traces of `name` that make it undroppable (empty =
+    * droppable). Conservative: config flags, schema metadata, live DVs,
+    * live domain metadata.
+    */
+  private def featureTraces(name: String, md: Metadata, s: Snapshot): Seq[String] = {
+    def flag(cond: Boolean, what: String): Seq[String] =
+      if (cond) Seq(what) else Nil
+    name match {
+      case "checkConstraints" =>
+        val cs = Constraints.fromMetadata(md)
+        flag(cs.nonEmpty, s"CHECK constraints ${cs.keys.mkString(",")}")
+      case "invariants" =>
+        flag(Constraints.legacyInvariants(md.schema).nonEmpty,
+          "delta.invariants field metadata present")
+      case "generatedColumns" =>
+        val gs = GeneratedColumns.expressions(md)
+        flag(gs.nonEmpty, s"generated columns ${gs.keys.mkString(",")}")
+      case "identityColumns" =>
+        flag(IdentityColumns.specs(md).nonEmpty, "identity columns present")
+      case "allowColumnDefaults" =>
+        flag(ColumnDefaults.defaults(md).nonEmpty, "column DEFAULTs present")
+      case "changeDataFeed" =>
+        flag(DeltaConfig.EnableChangeDataFeed.fromMetadata(md),
+          "delta.enableChangeDataFeed=true")
+      case "appendOnly" =>
+        flag(DeltaConfig.AppendOnly.fromMetadata(md), "delta.appendOnly=true")
+      case "columnMapping" =>
+        flag(ColumnMapping.mode(md) != "none",
+          s"delta.columnMapping.mode=${ColumnMapping.mode(md)}")
+      case "deletionVectors" =>
+        import org.apache.spark.sql.functions.col
+        flag(DeltaConfig.EnableDeletionVectors.fromMetadata(md),
+          "delta.enableDeletionVectors=true") ++
+        flag(s.allFilesDS.filter(col("deletionVector").isNotNull).limit(1)
+          .count() > 0, "live deletion vectors (run REORG APPLY PURGE first)")
+      case "rowTracking" =>
+        flag(DeltaConfig.RowTracking.fromMetadata(md),
+          "delta.enableRowTracking=true")
+      case "typeWidening" =>
+        flag(DeltaConfig.EnableTypeWidening.fromMetadata(md),
+          "delta.enableTypeWidening=true")
+      case "timestampNtz" =>
+        flag(md.schemaString != null && md.schemaString.contains("timestamp_ntz"),
+          "TIMESTAMP_NTZ column in schema")
+      case "variantType" =>
+        flag(md.schemaString != null && md.schemaString.contains("\"variant\""),
+          "VARIANT column in schema")
+      case "domainMetadata" =>
+        flag(s.domainMetadataMap.nonEmpty,
+          s"live domains ${s.domainMetadataMap.keys.mkString(",")}")
+      case "v2Checkpoint" =>
+        flag(DeltaConfig.CheckpointPolicy.fromMetadata(md) == "v2",
+          "delta.checkpointPolicy=v2")
+      case "inCommitTimestamp" =>
+        flag(DeltaConfig.InCommitTimestamps.fromMetadata(md),
+          "delta.enableInCommitTimestamps=true")
+      case "vacuumProtocolCheck" => Nil // pure gate, no table footprint
+      case _ => Nil
+    }
+  }
+
   def addConstraint(name: String, expression: String): Long = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     val txn = deltaLog.startTransaction()

@@ -43,6 +43,7 @@ object Op {
   val SetDomainMetadata = "SET DOMAIN METADATA"
   val Fsck = "FSCK"
   val ClusterBy = "CLUSTER BY"
+  val DropFeature = "DROP FEATURE"
 
   /** The closed vocabulary. `OptimisticTransaction.commit` warns (once
     * per name per JVM) when a commit uses a name outside it, so drift
@@ -55,7 +56,7 @@ object Op {
     AddColumns, ChangeColumn, ReplaceColumns, UpgradeProtocol,
     UpgradeSchema, ManualUpdate, Optimize, Reorg, Restore, Clone,
     RenameColumn, DropColumn, AddConstraint, DropConstraint,
-    SetDomainMetadata, Fsck, ClusterBy)
+    SetDomainMetadata, Fsck, ClusterBy, DropFeature)
 
   private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 

@@ -252,6 +252,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case ClusterByRe(target, none, cols) =>
         Some(GraftClusterByCommand(parseTarget(target),
           if (none != null) Nil else splitCols(cols)))
+      case DropFeatureRe(target, feature, trunc) =>
+        Some(GraftDropFeatureCommand(parseTarget(target), feature.trim,
+          truncateHistory = trunc != null))
       case CommentOnTableRe(target, text, nul) =>
         Some(GraftCommentCommand(parseTarget(target), None,
           if (nul != null) None else Some(text.replace("''", "'"))))
@@ -345,6 +348,8 @@ object GraftSqlParser {
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+DROP\\s+DEFAULT""".r
   private[sql] val ClusterByRe =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+CLUSTER\\s+BY\\s+(?:(NONE)|\\(([^)]*)\\))""".r
+  private[sql] val DropFeatureRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+DROP\\s+FEATURE\\s+`?([\\w.]+)`?(\\s+TRUNCATE\\s+HISTORY)?""".r
   private[sql] val CommentOnTableRe =
     s"""(?is)COMMENT\\s+ON\\s+TABLE\\s+$T\\s+IS\\s+(?:'((?:[^']|'')*)'|(NULL))""".r
   private[sql] val AlterColumnCommentRe =
@@ -744,6 +749,20 @@ case class GraftClusterByCommand(target: SqlTarget,
   override def run(spark: SparkSession): Seq[Row] = {
     val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
     t.clusterBy(cols)
+    SqlTarget.refresh(spark, target)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t DROP FEATURE f [TRUNCATE HISTORY]` — see
+  * [[graft.delta.DeltaTable.dropFeature]].
+  */
+case class GraftDropFeatureCommand(target: SqlTarget,
+    feature: String, truncateHistory: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    t.dropFeature(feature, truncateHistory)
     SqlTarget.refresh(spark, target)
     Nil
   }

@@ -1,0 +1,95 @@
+package graft.delta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ALTER TABLE DROP FEATURE: a feature leaves the protocol only when
+  * the current state carries no trace of it; reader+writer features
+  * additionally demand TRUNCATE HISTORY (historical commits may still
+  * use them — and afterwards they really are gone: time travel below
+  * the drop version fails).
+  */
+class DropFeatureSuite extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.sql.GraftSparkExtension")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft-dropfeat").toString
+
+  private def seeded(): DeltaTable = {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    t.write(Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "name", "score"))
+    t
+  }
+
+  test("writer feature: blocked while traces exist, droppable after removal") {
+    val t = seeded()
+    t.addConstraint("score_pos", "score > 0")
+    assert(t.snapshot.protocol.minWriterVersion == 3)
+    // upgrade to table features so the feature is listed explicitly
+    spark.sql(s"ALTER TABLE graft.`${t.deltaLog.dataPath}` SET TBLPROPERTIES (" +
+      "'delta.feature.checkConstraints' = 'supported')")
+    assert(t.snapshot.protocol.writerFeatures.exists(_.contains("checkConstraints")))
+    val ex = intercept[IllegalStateException](t.dropFeature("checkConstraints"))
+    assert(ex.getMessage.contains("score_pos"))
+    t.dropConstraint("score_pos")
+    t.dropFeature("checkConstraints")
+    assert(!t.snapshot.protocol.writerFeatures.exists(_.contains("checkConstraints")))
+    // history records the drop
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`${t.deltaLog.dataPath}` LIMIT 1")
+      .collect().head
+    assert(hist.getString(hist.fieldIndex("operation")) == Op.DropFeature)
+    // writes still work without the feature
+    import spark.implicits._
+    t.write(Seq((3L, "c", -5)).toDF("id", "name", "score"))
+    assert(t.toDF.count() == 3)
+  }
+
+  test("reader+writer feature needs TRUNCATE HISTORY; time travel dies at the drop") {
+    import spark.implicits._
+    val t = seeded()
+    spark.sql(s"ALTER TABLE graft.`${t.deltaLog.dataPath}` SET TBLPROPERTIES (" +
+      "'delta.enableDeletionVectors' = 'true')")
+    t.delete(col("id") === 1L) // writes a DV
+    assert(t.snapshot.protocol.readerFeatures.exists(_.contains("deletionVectors")))
+    // live DV + config on: refused
+    val ex1 = intercept[IllegalStateException] {
+      spark.sql(s"ALTER TABLE graft.`${t.deltaLog.dataPath}` " +
+        "DROP FEATURE deletionVectors TRUNCATE HISTORY").collect()
+    }
+    assert(ex1.getMessage.contains("delta.enableDeletionVectors") ||
+      ex1.getMessage.contains("deletion vectors"), ex1.getMessage)
+    // clear the traces: config off + purge materializes the DVs away
+    spark.sql(s"ALTER TABLE graft.`${t.deltaLog.dataPath}` UNSET TBLPROPERTIES " +
+      "('delta.enableDeletionVectors')")
+    t.reorgPurge()
+    // without TRUNCATE HISTORY: still refused (reader feature)
+    val ex2 = intercept[IllegalArgumentException](t.dropFeature("deletionVectors"))
+    assert(ex2.getMessage.contains("TRUNCATE HISTORY"))
+    val vDrop = t.deltaLog.update().version + 1
+    spark.sql(s"ALTER TABLE graft.`${t.deltaLog.dataPath}` " +
+      "DROP FEATURE deletionVectors TRUNCATE HISTORY").collect()
+    val p = t.snapshot.protocol
+    assert(!p.readerFeatures.exists(_.contains("deletionVectors")))
+    assert(!p.writerFeatures.exists(_.contains("deletionVectors")))
+    assert(t.toDF.count() == 1)
+    // history below the drop is physically gone
+    intercept[Exception](t.toDF(0).count())
+    assert(t.deltaLog.update().version == vDrop)
+  }
+
+  test("unknown and unlisted features are refused") {
+    val t = seeded()
+    intercept[IllegalArgumentException](t.dropFeature("notAFeature"))
+    intercept[IllegalArgumentException](t.dropFeature("deletionVectors")) // not listed
+  }
+}
