@@ -7,6 +7,10 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 
 /** Sequential-fold dot product over two double arrays in one tight JVM
   * loop per row.
@@ -61,4 +65,103 @@ object VectorExpressions {
   def dotProductD(a: Column, b: Column): Column =
     GraftShims.column(DotProductD(
       GraftShims.expression(a), GraftShims.expression(b)))
+}
+
+/** Element-wise sum of fixed-length long vectors as a native
+  * TypedImperativeAggregate: each map task ships ONE len×8-byte buffer
+  * per group across the shuffle regardless of row count — the 100 TB
+  * shape for moment/covariance accumulation (vs exploding len values
+  * per row into the shuffle, len× the traffic). Merging is element-wise
+  * addition: associative and partitioning-invariant, and the sums are
+  * exact integers, so any engine replays them bit-identically.
+  */
+case class LongVectorSumAgg(
+    child: Expression, len: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](len)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(len, arr.numElements())
+      var i = 0
+      while (i < n) { buf(i) += arr.getLong(i); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < len) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(long2Long(_): Any))
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(len * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](len)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(newOffset: Int): LongVectorSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LongVectorSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LongVectorSumAgg =
+    copy(child = newChildren(0))
+  override def prettyName: String = "long_vector_sum"
+}
+
+object LongVectorSumAgg {
+  def apply(c: Column, len: Int): Column =
+    GraftShims.column(LongVectorSumAgg(GraftShims.expression(c), len)
+      .toAggregateExpression())
+}
+
+/** Per-row micro-unit moment vector for covariance estimation over an
+  * array<double> embedding of dimension `dim`: the first `dim` entries
+  * are u_i = round(e_i·10^6) (exact integer micro-units, the SURVEY §4
+  * cross-engine convention), followed by the dim·(dim−1)/2 strict
+  * upper-triangle products u_i·u_j in (i, j) row-major order. One tight
+  * loop per row; feeding [[LongVectorSumAgg]] gives exact integer
+  * Σu_i / Σu_iu_j in a single partial-aggregated pass.
+  */
+case class MomentVector(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  private val outLen = dim + dim * (dim - 1) / 2
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val u = new Array[Long](dim)
+    var i = 0
+    while (i < dim) { u(i) = math.round(arr.getDouble(i) * 1000000.0); i += 1 }
+    val out = new Array[Any](outLen)
+    i = 0
+    while (i < dim) { out(i) = long2Long(u(i)); i += 1 }
+    var k = dim
+    i = 0
+    while (i < dim) {
+      var j = i + 1
+      while (j < dim) { out(k) = long2Long(u(i) * u(j)); k += 1; j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): MomentVector =
+    copy(child = c)
 }

@@ -912,6 +912,64 @@ object Similarity {
             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
           / 1000000.0 / 1000000.0 AS variance
-      FROM m ORDER BY dim"""))
+      FROM m ORDER BY dim""")),
+
+    // C56 ---------------------------------------------------------------
+    // Embedding cross-dimension covariance report (the anisotropy /
+    // redundant-dimension diagnostic C49's per-dim variances can't see:
+    // two dimensions can each look healthy while encoding the same
+    // signal). Scale shape: ONE partial-aggregated pass — MomentVector
+    // packs u_i and the strict upper-triangle products u_i·u_j (exact
+    // integer micro-units) into a 2080-long vector per row, and
+    // LongVectorSumAgg ships ONE such vector per map task across the
+    // shuffle, so the corpus scan cost is independent of the 2016 pair
+    // count (vs exploding pairs per row: 2016× the shuffle). The tiny
+    // (k -> pair) lookup attaches by broadcast to the single result row;
+    // output = top-20 pairs by |covariance|. All sums exact integers,
+    // final doubles in pinned operation order — DuckDB replays them
+    // bit-identically from an explicit pair explosion.
+    GQ("embed_covariance", (s, d) => {
+      import s.implicits._
+      val nPairs = Dim * (Dim - 1) / 2
+      val mv = org.apache.spark.sql.GraftShims.column(
+        graft.functions.MomentVector(
+          org.apache.spark.sql.GraftShims.expression($"e"), Dim))
+      val one = normed(s, d).select(mv.as("mv"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.LongVectorSumAgg($"mv", Dim + nPairs).as("v"))
+      val pairs = (for { i <- 0 until Dim; j <- (i + 1) until Dim } yield (i, j))
+        .zipWithIndex.map { case ((i, j), k) => (k, i, j) }
+        .toDF("k", "dim_i", "dim_j")
+      val nD = $"n".cast("double")
+      one.crossJoin(broadcast(pairs))
+        .withColumn("si", element_at($"v", $"dim_i" + 1).cast("double"))
+        .withColumn("sj", element_at($"v", $"dim_j" + 1).cast("double"))
+        .withColumn("sij", element_at($"v", $"k" + lit(Dim + 1)).cast("double"))
+        .withColumn("cov",
+          (nD * $"sij" - $"si" * $"sj") / (nD * (nD - lit(1.0)))
+            / lit(1000000.0) / lit(1000000.0))
+        .select($"dim_i", $"dim_j", $"n", $"cov")
+        .orderBy(abs($"cov").desc, $"dim_i", $"dim_j")
+        .limit(20)
+    }, Some(s"""
+      WITH n0 AS ($duckNormed),
+      u AS (SELECT list_transform(range(1, ${Dim + 1}),
+              i -> CAST(round(e[i]*1000000.0) AS BIGINT)) AS u FROM n0),
+      p AS (SELECT a.i, b.j
+            FROM (SELECT unnest(generate_series(1, $Dim)) AS i) a,
+                 (SELECT unnest(generate_series(1, $Dim)) AS j) b
+            WHERE a.i < b.j),
+      s AS (SELECT i, j, COUNT(*) AS n,
+              SUM(CAST(u[i] AS HUGEINT)) AS si,
+              SUM(CAST(u[j] AS HUGEINT)) AS sj,
+              SUM(CAST(u[i]*u[j] AS HUGEINT)) AS sij
+            FROM u, p GROUP BY i, j)
+      SELECT CAST(i - 1 AS INTEGER) AS dim_i, CAST(j - 1 AS INTEGER) AS dim_j,
+        n,
+        (CAST(n AS DOUBLE) * CAST(sij AS DOUBLE)
+            - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE))
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+          / 1000000.0 / 1000000.0 AS cov
+      FROM s ORDER BY abs(cov) DESC, dim_i, dim_j LIMIT 20"""))
   )
 }
