@@ -649,6 +649,62 @@ object Streams {
             FROM p)
       SELECT user_id, COUNT(*) AS n_purchases,
         CAST(CAST(SUM(CASE WHEN rn <= 3 THEN c ELSE 0 END) AS BIGINT) AS DOUBLE)/100.0 AS last3_sum
-      FROM r GROUP BY user_id ORDER BY user_id"""))
+      FROM r GROUP BY user_id ORDER BY user_id""")),
+
+    // D16: event-time-ordered initial-snapshot drain (the D4
+    // withEventTimeOrder surface as an oracle-gated query). The delta
+    // table is committed in hazard order — middle-aged events first,
+    // the NEWEST second (advancing the watermark 24 h past the tail),
+    // the OLDEST last — so a commit-order drain under a 24 h watermark
+    // would DROP the final commit's rows and lose their windows.
+    // withEventTimeOrder re-sorts the initial snapshot by per-file ts
+    // stats, the watermark trails the data, and append mode emits every
+    // window the batch semantics would: the oracle is the PLAIN batch
+    // aggregation with no drop carve-out (contrast with D13's oracle,
+    // which must model the dropped tail). At 100 TB this is the
+    // backfill-then-tail pattern: state stays one watermark-delay wide
+    // because the backlog arrives in time order.
+    GQ("stream_event_order", (s, d) => {
+      import s.implicits._
+      // INT96 (the legacy default) has no usable footer stats; the
+      // ordering needs annotated INT64 timestamps (see DeltaStreamSource)
+      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      val typed = QueryDefs.events(s, d)
+      val mxUs = typed.agg(max(unix_micros($"ts"))).head().getLong(0)
+      def tsAt(us: Long) = timestamp_micros(lit(us))
+      val cut36 = mxUs - 36L * 3600 * 1000000
+      val cut72 = mxUs - 72L * 3600 * 1000000
+      val dir = QueryDefs.scratchDir("graft-eto-table").toString
+      val t = graft.delta.DeltaTable.forPath(s, dir)
+      Seq($"ts" > tsAt(cut72) && $"ts" <= tsAt(cut36), // middle ages first
+          $"ts" > tsAt(cut36),                         // newest second
+          $"ts" <= tsAt(cut72))                        // oldest LAST
+        .foreach(p => t.write(typed.filter(p).coalesce(1)))
+      val stream = s.readStream
+        .format("graft.streaming.DeltaStreamSourceProvider")
+        .option("path", dir)
+        .option("withEventTimeOrder", "true")
+        .option("eventTimeOrderColumn", "ts")
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .withWatermark("ts", "24 hours")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents($"value")).cast("double") / lit(100.0)).as("sum_value"))
+      runToMemory(stream, "append")
+        .select($"window.start".as("win_start"), $"event_type", $"n", $"sum_value")
+        .orderBy($"win_start", $"event_type")
+    }, Some("""
+      WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      c AS (SELECT MAX(epoch_us(ts)) AS mx_us FROM e),
+      a AS (SELECT date_trunc('hour', ts) AS win_start, event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+            FROM e GROUP BY 1, 2)
+      SELECT win_start, event_type, n, sum_value
+      FROM a, c
+      WHERE epoch_us(win_start + INTERVAL 1 HOUR)
+        <= (mx_us // 1000) * 1000 - CAST(24*3600 AS BIGINT)*1000000
+      ORDER BY win_start, event_type"""))
   )
 }
