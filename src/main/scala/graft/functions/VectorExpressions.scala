@@ -165,3 +165,48 @@ case class MomentVector(child: Expression, dim: Int)
   override protected def withNewChildInternal(c: Expression): MomentVector =
     copy(child = c)
 }
+
+/** Per-document adjacent-character-pair count vector over the [a-z0-9]
+  * token alphabet (1296 = 36² cells): the first step of BPE tokenizer
+  * training — global pair frequencies decide the first merge — shaped
+  * for 100 TB. Pairs are counted WITHIN words of the shared tokenizer
+  * regex (BPE merges never cross word boundaries), one tight loop per
+  * row; feeding [[LongVectorSumAgg]] means the corpus-wide counts cost
+  * a shuffle of ONE 1296-long vector per map task, versus exploding
+  * every adjacent pair of every word (≈ the corpus's character count)
+  * through a groupBy.
+  */
+case class CharPairVector(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExpressions.tokenize(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toLowerCase.toString)
+    val counts = new Array[Long](1296)
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t)
+      var i = 0
+      while (i + 1 < w.length) {
+        val a = CharPairVector.sym(w.charAt(i))
+        val b = CharPairVector.sym(w.charAt(i + 1))
+        counts(a * 36 + b) += 1
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(counts.map(long2Long(_): Any))
+  }
+  override protected def withNewChildInternal(c: Expression): CharPairVector =
+    copy(child = c)
+}
+
+object CharPairVector {
+  /** a-z -> 0..25, 0-9 -> 26..35 (tokens contain nothing else). */
+  def sym(c: Char): Int = if (c <= '9') 26 + (c - '0') else c - 'a'
+  def pairOf(k: Int): String = {
+    def ch(s: Int): Char = if (s >= 26) ('0' + (s - 26)).toChar else ('a' + s).toChar
+    "" + ch(k / 36) + ch(k % 36)
+  }
+}

@@ -744,6 +744,40 @@ object Corpus {
       SELECT doc_id, n_wins, n_dup_wins, n_dup_fps,
         CAST(n_dup_wins AS DOUBLE) / CAST(n_wins AS DOUBLE) AS dup_ratio
       FROM per JOIN dpd USING (doc_id)
-      ORDER BY dup_ratio DESC, doc_id LIMIT 100"""))
+      ORDER BY dup_ratio DESC, doc_id LIMIT 100""")),
+
+    // C57 ---------------------------------------------------------------
+    // BPE tokenizer-training prep: global adjacent-character-pair
+    // frequencies over the [a-z0-9] word alphabet — the statistic that
+    // decides the first BPE merge (Sennrich et al. 2016; merges never
+    // cross word boundaries). Scale shape: CharPairVector counts a
+    // document's pairs into a 1296-cell vector in one pass, and
+    // LongVectorSumAgg ships ONE such vector per map task — corpus-wide
+    // pair counts WITHOUT exploding ~every character through a groupBy
+    // (at 100 TB the explode IS the job). The (k -> pair) decode is a
+    // broadcast over the single result row; report = top-50 pairs.
+    GQ("bpe_pair_counts", (s, d) => {
+      import s.implicits._
+      val pv = org.apache.spark.sql.GraftShims.column(
+        graft.functions.CharPairVector(
+          org.apache.spark.sql.GraftShims.expression($"text")))
+      val one = table(s, d, "documents").select(pv.as("pv"))
+        .agg(graft.functions.LongVectorSumAgg($"pv", 1296).as("v"))
+      val pairs = (0 until 1296)
+        .map(k => (k, graft.functions.CharPairVector.pairOf(k)))
+        .toDF("k", "pair")
+      one.select(posexplode($"v").as(Seq("k", "n")))
+        .join(broadcast(pairs), Seq("k"))
+        .filter($"n" > 0)
+        .select($"pair", $"n")
+        .orderBy($"n".desc, $"pair")
+        .limit(50)
+    }, Some("""
+      WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+                 FROM documents),
+      i AS (SELECT w, unnest(range(1, length(w))) AS i FROM w),
+      p AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair FROM i),
+      c AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair)
+      SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 50"""))
   )
 }
