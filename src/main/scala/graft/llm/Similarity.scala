@@ -970,6 +970,81 @@ object Similarity {
             - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE))
           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
           / 1000000.0 / 1000000.0 AS cov
-      FROM s ORDER BY abs(cov) DESC, dim_i, dim_j LIMIT 20"""))
+      FROM s ORDER BY abs(cov) DESC, dim_i, dim_j LIMIT 20""")),
+
+    // C58 ---------------------------------------------------------------
+    // ANN recall calibration: recall@K of the nprobe=1 anchor-cell IVF
+    // search against the exact brute-force top-K — the number that
+    // decides whether an ANN config is usable at scale (C48 plays the
+    // same role for MinHash). Both legs are the existing scale shapes
+    // (broadcast queries + bounded top-K partial aggregates; the IVF leg
+    // touches ~1/cells of the corpus), so the report costs two bounded
+    // scans and an 8-row join. Ties at the K boundary break (score desc,
+    // id asc) in BOTH engines, so the K-sets — and the intersection —
+    // match exactly.
+    GQ("ann_recall_report", (s, d) => {
+      import s.implicits._
+      val v = normed(s, d)
+      def topIds(scored: DataFrame): DataFrame =
+        scored.groupBy($"q_id")
+          .agg(graft.functions.TopKExpressions.topKByScore($"cosine", $"c_id", K).as("top"))
+          .select($"q_id", expr("transform(top, x -> x.id)").as("ids"))
+      val qe = v.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"))
+      val exact = topIds(
+        v.select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"))
+          .join(broadcast(qe), $"c_id" =!= $"q_id")
+          .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn")))
+        .withColumnRenamed("ids", "e_ids")
+      val dots = array(anchors.map(a => dotD($"e", array(a.map(lit): _*))): _*)
+      val withCell = v.withColumn("cell",
+        array_position(dots, array_max(dots)).cast("int"))
+      val qa = withCell.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"), $"cell")
+      val approx = topIds(
+        withCell.select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"), $"cell")
+          .join(broadcast(qa), Seq("cell")).filter($"c_id" =!= $"q_id")
+          .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn")))
+        .withColumnRenamed("ids", "a_ids")
+      exact.join(approx, Seq("q_id"), "left")
+        .withColumn("n_approx",
+          coalesce(size($"a_ids"), lit(0)).cast("long"))
+        .withColumn("n_hit",
+          coalesce(size(array_intersect($"e_ids", $"a_ids")), lit(0)).cast("long"))
+        .withColumn("recall", $"n_hit".cast("double") / lit(K.toDouble))
+        .select($"q_id", $"n_approx", $"n_hit", $"recall")
+        .orderBy($"q_id")
+    }, {
+      val dotsSql = anchors.map(a => duckDot("e", a.mkString("[", ", ", "]")))
+        .mkString("[", ", ", "]")
+      Some(s"""
+      WITH n AS ($duckNormed),
+      ex AS (SELECT q_id, c_id FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${duckDot("q.e", "c.e")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rn
+          FROM n q JOIN n c ON q.vec_id < $NumQueries AND c.vec_id != q.vec_id)
+        WHERE rn <= $K),
+      b AS (SELECT vec_id, e, nrm,
+          CAST(list_position(dots, list_max(dots)) AS INTEGER) AS cell
+        FROM (SELECT vec_id, e, nrm, $dotsSql AS dots FROM n)),
+      ap AS (SELECT q_id, c_id FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${duckDot("q.e", "c.e")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rn
+          FROM b q JOIN b c ON q.cell = c.cell
+            AND q.vec_id < $NumQueries AND c.vec_id != q.vec_id)
+        WHERE rn <= $K),
+      hits AS (SELECT e.q_id,
+          CAST(COUNT(a.c_id) AS BIGINT) AS n_hit
+        FROM ex e LEFT JOIN ap a ON e.q_id = a.q_id AND e.c_id = a.c_id
+        GROUP BY e.q_id),
+      na AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_approx
+             FROM ap GROUP BY q_id)
+      SELECT h.q_id, COALESCE(na.n_approx, 0) AS n_approx, h.n_hit,
+        CAST(h.n_hit AS DOUBLE) / ${K}.0 AS recall
+      FROM hits h LEFT JOIN na ON h.q_id = na.q_id
+      ORDER BY h.q_id""")
+    })
   )
 }
