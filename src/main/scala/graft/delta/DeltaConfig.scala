@@ -202,6 +202,16 @@ object DeltaConfig {
     * -1 indexes all. Bounds footer harvesting + stats JSON on very wide
     * tables (Delta's `dataSkippingNumIndexedCols`, default 32).
     */
+  /** Explicit stats column list (delta-spark's
+    * `delta.dataSkippingStatsColumns`): when set, min/max stats are
+    * collected for EXACTLY these columns, overriding the positional
+    * numIndexedCols cap — on a 1000-column table the three columns
+    * queries actually filter on may sit anywhere in the schema.
+    */
+  val DataSkippingStatsColumns: TableConfig[Seq[String]] =
+    TableConfig("delta.dataSkippingStatsColumns", "",
+      v => v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
   val DataSkippingNumIndexedCols: TableConfig[Int] =
     TableConfig("delta.dataSkippingNumIndexedCols", "32", _.trim.toInt)
 

@@ -2336,6 +2336,7 @@ object DeltaTable {
     val base = dataPath.toString
     val pCols = partCols
     val nIdx = DeltaConfig.DataSkippingNumIndexedCols.fromMetadata(md)
+    val statsCols = DeltaConfig.DataSkippingStatsColumns.fromMetadata(md)
     val infos = spark.sparkContext
       .parallelize(rels, math.max(1, math.min(rels.size, 32)))
       .map { rel =>
@@ -2343,7 +2344,7 @@ object DeltaTable {
         val p = new Path(new Path(base), rel)
         val st = p.getFileSystem(c).getFileStatus(p)
         val stats =
-          try Stats.fromFooter(c, p, schema, pCols, nIdx)
+          try Stats.fromFooter(c, p, schema, pCols, nIdx, statsCols)
           catch { case _: Exception => null } // stats are an optimization only
         (rel, st.getLen, st.getModificationTime, stats)
       }.collect().toSeq

@@ -42,9 +42,16 @@ object Stats {
     * leading (most-filtered) columns keep skipping.
     */
   def statFields(dataSchema: StructType, partCols: Seq[String],
-      numIndexedCols: Int = -1): Seq[StructField] = {
+      numIndexedCols: Int = -1,
+      statsColumns: Seq[String] = Nil): Seq[StructField] = {
+    // an explicit column list (delta.dataSkippingStatsColumns) overrides
+    // the positional cap — the filtered columns of a wide table may sit
+    // anywhere in the schema
     val capped =
-      if (numIndexedCols < 0) dataSchema.fields.toSeq
+      if (statsColumns.nonEmpty)
+        dataSchema.fields.toSeq.filter(f =>
+          statsColumns.exists(_.equalsIgnoreCase(f.name)))
+      else if (numIndexedCols < 0) dataSchema.fields.toSeq
       else dataSchema.fields.toSeq.take(numIndexedCols)
     capped
       .filterNot(f => partCols.contains(f.name))
@@ -74,12 +81,13 @@ object Stats {
   /** Read footer metadata of one written file -> stats JSON. */
   def fromFooter(conf: Configuration, file: Path,
       dataSchema: StructType, partCols: Seq[String],
-      numIndexedCols: Int = -1): String = {
+      numIndexedCols: Int = -1,
+      statsColumns: Seq[String] = Nil): String = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val numRecords = blocks.map(_.getRowCount).sum
-      val wanted = statFields(dataSchema, partCols, numIndexedCols)
+      val wanted = statFields(dataSchema, partCols, numIndexedCols, statsColumns)
         .map(f => f.name -> f.dataType).toMap
       // Physical timestamp unit per column (MILLIS/MICROS/NANOS) from the
       // parquet logical-type annotation — the raw INT64 footer stat is in

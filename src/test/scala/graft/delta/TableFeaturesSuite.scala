@@ -131,6 +131,24 @@ class TableFeaturesSuite extends AnyFunSuite {
     }
   }
 
+  test("delta.dataSkippingStatsColumns restricts stats to the listed columns") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = Seq(("a", 1L, "x")).toDF("id", "score", "name").schema.json,
+      configuration = Map("delta.dataSkippingStatsColumns" -> "name")))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(Seq(("a", 1L, "x"), ("b", 2L, "y")).toDF("id", "score", "name"))
+    val stats = t.snapshot.allFiles.head.stats
+    assert(stats != null && stats.contains("\"name\""), stats)
+    assert(!stats.contains("\"score\"") && !stats.contains("\"id\""), stats)
+    // skipping still prunes on the listed column
+    t.write(Seq(("c", 3L, "z")).toDF("id", "score", "name"))
+    val pruned = t.scan(col("name") === "z").files
+    assert(pruned.size == 1, s"expected 1 file, got ${pruned.size}")
+  }
+
   test("delta.invariants on NESTED struct fields are enforced") {
     import org.apache.spark.sql.types._
     val t = DeltaTable.forPath(spark, tmp())
