@@ -23,6 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
 class DeltaFileIndex(log: DeltaLog, snapshot: Snapshot) extends FileIndex {
 
   private[graft] def deltaLog: DeltaLog = log
+  private[graft] def indexSnapshot: Snapshot = snapshot
 
   private val spark = log.spark
   private val md = snapshot.metadata

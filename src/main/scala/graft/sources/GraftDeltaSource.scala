@@ -261,6 +261,7 @@ final class SnapshotRelation(
     with InsertableRelation {
 
   private[graft] def tablePath: String = table.deltaLog.dataPath.toString
+  private[graft] def relationSnapshot: Snapshot = s
 
   override val schema: StructType =
     Snapshot.nullable(s.metadata.schema).asInstanceOf[StructType]

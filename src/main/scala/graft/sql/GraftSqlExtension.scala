@@ -44,6 +44,8 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
     // also pre-resolution: schema-evolution MERGE must be claimed before
     // the analyzer's star expansion drops source-only columns
     ext.injectHintResolutionRule(session => new GraftMergeEvolutionRule(session))
+    // metadata-only COUNT(*): answered from log stats, no data scan
+    ext.injectOptimizerRule(session => new GraftMetadataOnlyCountRule(session))
     // SELECT * FROM table_changes('t' | '/path', start [, end])
     ext.injectTableFunction((
       FunctionIdentifier("table_changes"),
@@ -751,6 +753,92 @@ case class GraftClusterByCommand(target: SqlTarget,
     t.clusterBy(cols)
     SqlTarget.refresh(spark, target)
     Nil
+  }
+}
+
+/** Metadata-only COUNT(*) (delta-spark's OptimizeMetadataOnlyDeltaQuery,
+  * re-expressed over the graft scan): an unfiltered `SELECT COUNT(*)`
+  * against a graft-delta relation is answered from the log — Σ per-file
+  * `numRecords` stats minus deletion-vector cardinalities — instead of
+  * scanning data. At 100 TB that turns the most common sanity query
+  * from a full-table scan into an O(log) metadata aggregation. Strictly
+  * guarded: grouping must be empty, every aggregate must be a bare
+  * unfiltered COUNT(1), the child may contain only column-pruning
+  * Projects above the relation (any Filter/Join/etc. bails), and EVERY
+  * file must carry numRecords stats — one stats-less file falls back to
+  * the scan rather than guessing. Disable with
+  * `spark.graft.metadataOnlyCount=false`.
+  */
+class GraftMetadataOnlyCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{
+    AggregateExpression, Complete, Count}
+
+  private def enabled: Boolean =
+    spark.conf.get("spark.graft.metadataOnlyCount", "true").toBoolean
+
+  private def isCountStar(e: org.apache.spark.sql.catalyst.expressions.NamedExpression): Boolean =
+    e match {
+      case Alias(AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _), _) =>
+        true
+      case _ => false
+    }
+
+  /** The graft snapshot under `plan` when nothing row-changing sits in
+    * between (column-pruning Projects only). Both read paths count: the
+    * FileIndex relation and the DV/column-mapping fallback relation.
+    */
+  private def snapshotOf(plan: LogicalPlan): Option[graft.delta.Snapshot] = plan match {
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case d: DeltaFileIndex => Some(d.indexSnapshot)
+        case _ => None
+      }
+      case s: SnapshotRelation => Some(s.relationSnapshot)
+      case _ => None
+    }
+    case Project(projectList, child)
+        if projectList.forall(_.isInstanceOf[AttributeReference]) ||
+          projectList.isEmpty => snapshotOf(child)
+    case _ => None
+  }
+
+  /** Exact row count from per-file stats; None when any file lacks them. */
+  private def metadataCount(snapshot: graft.delta.Snapshot): Option[Long] = {
+    import org.apache.spark.sql.functions._
+    val files = snapshot.activeFilesDF
+    val nrJson = get_json_object(col("stats"), "$.numRecords").cast("long")
+    val nr =
+      if (files.columns.contains("stats_parsed"))
+        coalesce(col("stats_parsed.numRecords"), nrJson)
+      else nrJson
+    val dv = coalesce(col("deletionVector.cardinality").cast("long"), lit(0L))
+    val r = files
+      .select(nr.as("nr"), dv.as("dv"))
+      .agg(count(lit(1)).as("nf"), count(col("nr")).as("ns"),
+        sum(col("nr") - col("dv")).as("t"))
+      .head()
+    if (r.getLong(0) == 0L) Some(0L)
+    else if (r.getLong(0) != r.getLong(1)) None // a stats-less file: scan
+    else Some(r.getLong(2))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformDown {
+      case a: Aggregate
+          if a.groupingExpressions.isEmpty &&
+            a.aggregateExpressions.nonEmpty &&
+            a.aggregateExpressions.forall(isCountStar) =>
+        snapshotOf(a.child).flatMap(metadataCount) match {
+          case Some(total) =>
+            LocalRelation(
+              a.aggregateExpressions.map(_.toAttribute),
+              Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+                a.aggregateExpressions.map(_ => total))))
+          case None => a
+        }
+    }
   }
 }
 

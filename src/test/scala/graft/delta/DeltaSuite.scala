@@ -684,7 +684,9 @@ class DeltaSuite extends AnyFunSuite {
     assert(deleted.deletedCount > 0 && deleted.sample.nonEmpty)
     assert(parquetCount < before)
     assert(t.toDF.count() == 1) // current snapshot untouched
-    intercept[Exception] { t.toDF(0).count() } // history physically gone
+    // history physically gone: collect() forces a real data read — a
+    // bare count() is answered metadata-only and never opens files
+    intercept[Exception] { t.toDF(0).collect() }
   }
 
   test("OPTIMIZE rewrites all partitions in one Spark pass, not one job each") {

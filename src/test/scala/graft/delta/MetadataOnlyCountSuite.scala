@@ -1,0 +1,78 @@
+package graft.delta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metadata-only COUNT(*): an unfiltered count over a graft-delta
+  * relation must come from log stats (LocalRelation in the optimized
+  * plan, zero file scans), must stay EXACT under deletion vectors
+  * (numRecords − DV cardinality), and must fall back to a real scan the
+  * moment a filter is present or the config disables it.
+  */
+class MetadataOnlyCountSuite extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.sql.GraftSparkExtension")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft-metacount").toString
+
+  private def optimizedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("COUNT(*) answers from stats with a LocalRelation, no scan") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write((0L until 100L).map(i => (i, s"r$i")).toDF("id", "v"))
+    t.write((100L until 150L).map(i => (i, s"r$i")).toDF("id", "v"))
+    val count = spark.read.format("graft-delta").load(dir).groupBy().count()
+    assert(optimizedPlan(count).contains("LocalRelation"),
+      s"expected metadata-only plan, got:\n${optimizedPlan(count)}")
+    assert(count.head().getLong(0) == 150L)
+    // SQL path too
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$dir`").head().getLong(0) == 150L)
+  }
+
+  test("exact under deletion vectors and after DML") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write((0L until 100L).map(i => (i, s"r$i")).toDF("id", "v"))
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES " +
+      "('delta.enableDeletionVectors' = 'true')")
+    t.delete(col("id") < 30L) // DV delete: files keep their numRecords
+    assert(t.snapshot.allFiles.exists(f => DeletionVectors.descriptor(f).isDefined),
+      "expected a DV to be written")
+    val df = spark.read.format("graft-delta").load(dir).groupBy().count()
+    assert(optimizedPlan(df).contains("LocalRelation"), optimizedPlan(df))
+    assert(df.head().getLong(0) == 70L)
+  }
+
+  test("filters, grouped counts, and disabled config fall back to the scan") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write((0L until 50L).map(i => (i, i % 5)).toDF("id", "g"))
+    val base = spark.read.format("graft-delta").load(dir)
+    val filtered = base.filter(col("id") >= 10L).groupBy().count()
+    assert(!optimizedPlan(filtered).contains("LocalRelation"), optimizedPlan(filtered))
+    assert(filtered.head().getLong(0) == 40L)
+    val grouped = base.groupBy(col("g")).count()
+    assert(!optimizedPlan(grouped).contains("LocalRelation"))
+    assert(grouped.count() == 5)
+    spark.conf.set("spark.graft.metadataOnlyCount", "false")
+    try {
+      val off = base.groupBy().count()
+      assert(!optimizedPlan(off).contains("LocalRelation"))
+      assert(off.head().getLong(0) == 50L)
+    } finally spark.conf.set("spark.graft.metadataOnlyCount", "true")
+  }
+}

@@ -61,7 +61,9 @@ class VacuumLiteSuite extends AnyFunSuite {
     assert(parquetCount(t) < before)
     assert(t.toDF.count() == 1)
     assert(orphan.exists(), "LITE must leave untracked orphans to FULL vacuum")
-    intercept[Exception] { t.toDF(0).count() } // history physically gone
+    // history physically gone: force a real data read — a bare count()
+    // is now answered metadata-only from log stats and never opens files
+    intercept[Exception] { t.toDF(0).collect() }
   }
 
   test("re-added path survives LITE (reconciliation excludes it)") {
