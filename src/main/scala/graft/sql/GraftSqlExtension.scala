@@ -777,12 +777,30 @@ class GraftMetadataOnlyCountRule(spark: SparkSession) extends Rule[LogicalPlan] 
   private def enabled: Boolean =
     spark.conf.get("spark.graft.metadataOnlyCount", "true").toBoolean
 
-  private def isCountStar(e: org.apache.spark.sql.catalyst.expressions.NamedExpression): Boolean =
-    e match {
-      case Alias(AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _), _) =>
-        true
-      case _ => false
-    }
+  private sealed trait MetaAgg
+  private case object MetaCount extends MetaAgg
+  private case class MetaMin(col: String, dt: DataType) extends MetaAgg
+  private case class MetaMax(col: String, dt: DataType) extends MetaAgg
+
+  /** The metadata-answerable aggregate of `e`, if any: COUNT(1), or
+    * MIN/MAX of a plain attribute (no FILTER clause, no DISTINCT).
+    */
+  private def metaAggOf(e: org.apache.spark.sql.catalyst.expressions.NamedExpression)
+      : Option[MetaAgg] = e match {
+    case Alias(AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _), _) =>
+      Some(MetaCount)
+    // strings are excluded: parquet-mr MAY prefix-truncate binary footer
+    // stats (a valid BOUND for skipping, but not the exact extremum)
+    case Alias(AggregateExpression(
+        org.apache.spark.sql.catalyst.expressions.aggregate.Min(a: AttributeReference),
+        Complete, false, None, _), _) if a.dataType != StringType =>
+      Some(MetaMin(a.name, a.dataType))
+    case Alias(AggregateExpression(
+        org.apache.spark.sql.catalyst.expressions.aggregate.Max(a: AttributeReference),
+        Complete, false, None, _), _) if a.dataType != StringType =>
+      Some(MetaMax(a.name, a.dataType))
+    case _ => None
+  }
 
   /** The graft snapshot under `plan` when nothing row-changing sits in
     * between (column-pruning Projects only). Both read paths count: the
@@ -803,24 +821,68 @@ class GraftMetadataOnlyCountRule(spark: SparkSession) extends Rule[LogicalPlan] 
     case _ => None
   }
 
-  /** Exact row count from per-file stats; None when any file lacks them. */
-  private def metadataCount(snapshot: graft.delta.Snapshot): Option[Long] = {
+  /** Answer every requested aggregate from per-file stats, or None when
+    * any needed number is missing. COUNT needs numRecords on every file
+    * (DV cardinalities subtract exactly); MIN/MAX additionally demand a
+    * DV-FREE table (a deletion vector may have deleted the extremum) and
+    * min/max stats for the column on EVERY file, and only for
+    * partition-independent atomic columns the stats writer serializes
+    * losslessly. One metadata-sized aggregation job total.
+    */
+  private def metadataAnswers(snapshot: graft.delta.Snapshot,
+      aggs: Seq[MetaAgg]): Option[Seq[Any]] = {
     import org.apache.spark.sql.functions._
     val files = snapshot.activeFilesDF
+    val md = snapshot.metadata
+    val statsSchema = graft.delta.Stats.statsSchema(md.schema, md.partitionColumns)
+    val statFieldNames = statsSchema("minValues").dataType
+      .asInstanceOf[StructType].fieldNames.toSet
+    val needMinMax = aggs.collect {
+      case MetaMin(c, _) => c
+      case MetaMax(c, _) => c
+    }.distinct
+    // column mapping renames physical stats keys; partition columns have
+    // no stats — bail on any unsupported min/max shape up front
+    if (needMinMax.nonEmpty &&
+        (graft.delta.ColumnMapping.mode(md) != "none" ||
+          !needMinMax.forall(statFieldNames.contains)))
+      return None
+    val parsed = from_json(col("stats"), statsSchema)
     val nrJson = get_json_object(col("stats"), "$.numRecords").cast("long")
     val nr =
       if (files.columns.contains("stats_parsed"))
         coalesce(col("stats_parsed.numRecords"), nrJson)
       else nrJson
     val dv = coalesce(col("deletionVector.cardinality").cast("long"), lit(0L))
-    val r = files
-      .select(nr.as("nr"), dv.as("dv"))
-      .agg(count(lit(1)).as("nf"), count(col("nr")).as("ns"),
-        sum(col("nr") - col("dv")).as("t"))
-      .head()
-    if (r.getLong(0) == 0L) Some(0L)
-    else if (r.getLong(0) != r.getLong(1)) None // a stats-less file: scan
-    else Some(r.getLong(2))
+    val proj = files.select(Seq(nr.as("nr"), dv.as("dv")) ++
+      needMinMax.flatMap(c => Seq(
+        parsed.getField("minValues").getField(c).as(s"mn_$c"),
+        parsed.getField("maxValues").getField(c).as(s"mx_$c"))): _*)
+    val aggCols =
+      Seq(count(lit(1)).as("nf"), count(col("nr")).as("ns"),
+        sum(col("nr") - col("dv")).as("t"), sum(col("dv")).as("dvs")) ++
+      needMinMax.flatMap(c => Seq(
+        count(col(s"mn_$c")).as(s"nmn_$c"),
+        min(col(s"mn_$c")).as(s"vmn_$c"),
+        max(col(s"mx_$c")).as(s"vmx_$c")))
+    val r = proj.agg(aggCols.head, aggCols.tail: _*).head()
+    val nFiles = r.getLong(r.fieldIndex("nf"))
+    val haveAllNr = nFiles == r.getLong(r.fieldIndex("ns"))
+    val total: Option[Long] =
+      if (nFiles == 0L) Some(0L)
+      else if (haveAllNr) Some(r.getLong(r.fieldIndex("t")))
+      else None
+    val anyDv = nFiles > 0L && haveAllNr && r.getLong(r.fieldIndex("dvs")) > 0L
+    def minMax(c: String, isMin: Boolean): Option[Any] =
+      if (nFiles == 0L || anyDv ||
+          r.getLong(r.fieldIndex(s"nmn_$c")) != nFiles) None
+      else Some(r.get(r.fieldIndex(if (isMin) s"vmn_$c" else s"vmx_$c")))
+    val answers = aggs.map {
+      case MetaCount => total
+      case MetaMin(c, _) => minMax(c, isMin = true)
+      case MetaMax(c, _) => minMax(c, isMin = false)
+    }
+    if (answers.forall(_.isDefined)) Some(answers.map(_.get)) else None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -829,13 +891,20 @@ class GraftMetadataOnlyCountRule(spark: SparkSession) extends Rule[LogicalPlan] 
       case a: Aggregate
           if a.groupingExpressions.isEmpty &&
             a.aggregateExpressions.nonEmpty &&
-            a.aggregateExpressions.forall(isCountStar) =>
-        snapshotOf(a.child).flatMap(metadataCount) match {
-          case Some(total) =>
+            a.aggregateExpressions.forall(e => metaAggOf(e).isDefined) =>
+        val aggs = a.aggregateExpressions.map(e => metaAggOf(e).get)
+        snapshotOf(a.child).flatMap(metadataAnswers(_, aggs)) match {
+          case Some(values) =>
+            val internal = values.zip(a.aggregateExpressions).map {
+              case (v, e) =>
+                org.apache.spark.sql.catalyst.CatalystTypeConverters
+                  .convertToCatalyst(v) match {
+                    case x => x
+                  }
+            }
             LocalRelation(
               a.aggregateExpressions.map(_.toAttribute),
-              Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
-                a.aggregateExpressions.map(_ => total))))
+              Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(internal)))
           case None => a
         }
     }

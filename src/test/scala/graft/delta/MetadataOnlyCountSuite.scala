@@ -56,6 +56,38 @@ class MetadataOnlyCountSuite extends AnyFunSuite {
     assert(df.head().getLong(0) == 70L)
   }
 
+  test("MIN/MAX answer from stats on DV-free tables; DVs force a scan") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write((0L until 100L).map(i => (i, s"n${100 + i}")).toDF("id", "name"))
+    t.write((100L until 130L).map(i => (i, s"n${100 + i}")).toDF("id", "name"))
+    val base = spark.read.format("graft-delta").load(dir)
+    val mm = base.agg(min(col("id")), max(col("id")), count(lit(1)))
+    assert(optimizedPlan(mm).contains("LocalRelation"), optimizedPlan(mm))
+    val r = mm.head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 129L && r.getLong(2) == 130L)
+    // string extrema are EXCLUDED (parquet-mr may prefix-truncate binary
+    // footer stats): must fall back to the scan, still correct
+    val sm = base.agg(min(col("name")), max(col("name")))
+    assert(!optimizedPlan(sm).contains("LocalRelation"), optimizedPlan(sm))
+    val rs = sm.head()
+    assert(rs.getString(0) == "n100" && rs.getString(1) == "n229")
+    // a DV delete could have removed the extremum: MIN/MAX must rescan
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES " +
+      "('delta.enableDeletionVectors' = 'true')")
+    t.delete(col("id") === 129L)
+    val afterDv = spark.read.format("graft-delta").load(dir)
+      .agg(min(col("id")), max(col("id")))
+    assert(!optimizedPlan(afterDv).contains("LocalRelation"), optimizedPlan(afterDv))
+    val r2 = afterDv.head()
+    assert(r2.getLong(0) == 0L && r2.getLong(1) == 128L)
+    // ...while a bare COUNT stays metadata-only even with DVs (exact)
+    val c = spark.read.format("graft-delta").load(dir).groupBy().count()
+    assert(optimizedPlan(c).contains("LocalRelation"))
+    assert(c.head().getLong(0) == 129L)
+  }
+
   test("filters, grouped counts, and disabled config fall back to the scan") {
     import spark.implicits._
     val dir = tmp()
