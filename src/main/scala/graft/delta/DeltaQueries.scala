@@ -1181,5 +1181,45 @@ object DeltaQueries {
                CASE WHEN o_totalprice > 300000 THEN 'REPLACED' ELSE o_orderpriority END
         FROM orders WHERE o_orderstatus <> 'F'
       ) ORDER BY o_orderkey"""))
+    ,
+
+    // A77: metadata-only aggregates, oracle-pinned. The table is built
+    // from lineitem with a DV DELETE on top, then COUNT(*)/MIN/MAX run
+    // as bare aggregates: the optimizer answers the count from log stats
+    // (numRecords − DV cardinality, zero data I/O — the plan is a
+    // LocalRelation) while MIN/MAX rescan (the DV might have deleted the
+    // extremum). The oracle recomputes all three from the raw parquet —
+    // so the row proves the metadata shortcut EQUALS ground truth, not
+    // just that it runs.
+    GQ("delta_meta_agg", (s, d) => {
+      val dir = fixture(s, d, "metaagg") { dir =>
+        val t = DeltaTable.forPath(s, dir)
+        val txn = t.deltaLog.startTransaction()
+        txn.updateMetadata(Metadata(
+          schemaString = table(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")).schema.json,
+          configuration = Map("delta.enableDeletionVectors" -> "true")))
+        txn.commit(Nil, Op.CreateTable)
+        t.write(table(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")))
+        t.delete(col("l_partkey") % 10 === 0) // DV delete
+        require(t.snapshot.allFiles.exists(f =>
+          DeletionVectors.descriptor(f).isDefined), "expected a DV")
+      }
+      val base = s.read.format("graft-delta").load(dir)
+      val counted = base.groupBy().count()
+      require(counted.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+        "COUNT(*) must be answered metadata-only")
+      val n = counted.head().getLong(0)
+      base.agg(
+          min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+          sum(QueryDefs.cents(col("l_quantity"))).as("qty_cents"))
+        .select(lit(n).as("n_rows"), col("min_ok"), col("max_ok"),
+          QueryDefs.centsToDouble(col("qty_cents")).as("sum_qty"))
+    }, Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+        CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
+      FROM lineitem WHERE l_partkey % 10 <> 0"""))
   )
 }
