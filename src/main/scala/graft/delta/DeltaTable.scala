@@ -360,9 +360,14 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     */
   def write(df: DataFrame, mode: SaveMode = SaveMode.Append,
       partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false,
-      replaceWhere: Option[Column] = None): Long = {
+      replaceWhere: Option[Column] = None,
+      dynamicPartitionOverwrite: Boolean = false): Long = {
     require(replaceWhere.isEmpty || mode == SaveMode.Overwrite,
       "replaceWhere is only supported with SaveMode.Overwrite")
+    require(!dynamicPartitionOverwrite || mode == SaveMode.Overwrite,
+      "dynamic partition overwrite is only supported with SaveMode.Overwrite")
+    require(!dynamicPartitionOverwrite || replaceWhere.isEmpty,
+      "dynamic partition overwrite and replaceWhere are mutually exclusive")
     val txn = deltaLog.startTransaction()
     val exists = txn.readVersion >= 0 && txn.snapshot.metadataOpt.isDefined
     val partCols = if (exists) txn.metadata.partitionColumns else partitionBy
@@ -493,7 +498,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       "mode" -> mode.toString,
       "partitionBy" -> partCols.mkString(","),
       "mergeSchema" -> mergeSchema.toString) ++
-      replaceWhere.map(c => "replaceWhere" -> c.toString)
+      replaceWhere.map(c => "replaceWhere" -> c.toString) ++
+      (if (dynamicPartitionOverwrite)
+        Map("partitionOverwriteMode" -> "DYNAMIC") else Map.empty)
     val actions: Seq[Action] = mode match {
       case SaveMode.Append => adds
       case SaveMode.Overwrite if replaceWhere.isDefined && exists =>
@@ -538,6 +545,33 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
                   .withColumn("_change_type", lit("insert"))))
           else Nil
         touched.map(_.remove(now)) ++ survivorAdds ++ adds ++ cdc
+      case SaveMode.Overwrite if dynamicPartitionOverwrite && exists =>
+        // dynamic partition overwrite (delta-spark's
+        // partitionOverwriteMode=dynamic): replace EXACTLY the
+        // partitions the batch wrote into, atomically; untouched
+        // partitions survive. The replaced set comes from the WRITTEN
+        // files' partition values — not a pre-pass over the input, which
+        // would re-execute a possibly non-deterministic source — so
+        // deciding what to remove costs no extra scan.
+        require(partCols.nonEmpty,
+          "dynamic partition overwrite requires a partitioned table")
+        txn.readWholeTable()
+        val now = deltaLog.clock.nowMillis
+        val writtenParts = adds.map(_.partitionValues).toSet
+        val replaced = txn.snapshot.allFiles
+          .filter(f => writtenParts.contains(f.partitionValues))
+        val cdc =
+          if (DeltaConfig.EnableChangeDataFeed.fromMetadata(txn.metadata) &&
+              replaced.nonEmpty) {
+            import org.apache.spark.sql.functions.{col, lit}
+            val schemaCols = txn.metadata.schema.fieldNames.map(col).toSeq
+            DeltaTable.writeCdcFiles(spark, deltaLog.dataPath,
+              readFilesDF(replaced, txn.metadata)
+                .withColumn("_change_type", lit("delete"))
+                .unionByName(data.select(schemaCols: _*)
+                  .withColumn("_change_type", lit("insert"))))
+          } else Nil
+        replaced.map(_.remove(now)) ++ adds ++ cdc
       case SaveMode.Overwrite =>
         txn.readWholeTable()
         val now = deltaLog.clock.nowMillis

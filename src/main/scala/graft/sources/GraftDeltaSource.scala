@@ -121,10 +121,19 @@ class GraftDeltaSource extends DeltaStreamSourceProvider
     if (write) {
       val saveMode =
         if (mode == SaveMode.Overwrite) SaveMode.Overwrite else SaveMode.Append
+      // partitionOverwriteMode: the write option wins; otherwise the
+      // standard session conf decides (delta-spark precedence)
+      val dynamic = saveMode == SaveMode.Overwrite &&
+        parameters.get("partitionOverwriteMode")
+          .orElse(Option(spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "STATIC")))
+          .exists(_.trim.equalsIgnoreCase("dynamic")) &&
+        parameters.get("replaceWhere").isEmpty
       table.write(data, saveMode, partitionColumnsOf(parameters),
         mergeSchema = flag(parameters, "mergeSchema"),
         replaceWhere = parameters.get("replaceWhere")
-          .map(org.apache.spark.sql.functions.expr))
+          .map(org.apache.spark.sql.functions.expr),
+        dynamicPartitionOverwrite = dynamic)
     }
     relationFor(sqlContext, table, table.snapshot)
   }
