@@ -1140,7 +1140,14 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
     val order = t.snapshot.metadata.schema.fieldNames.toSeq
     val df = GraftShims.ofRows(spark, query).toDF(outputColumnNames: _*)
       .select(order.map(col): _*)
-    t.write(df, if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+    // INSERT OVERWRITE honors the standard dynamic-partition conf: only
+    // the written partitions are replaced (partitioned tables only)
+    val dynamic = overwrite &&
+      t.snapshot.metadata.partitionColumns.nonEmpty &&
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        .equalsIgnoreCase("dynamic")
+    t.write(df, if (overwrite) SaveMode.Overwrite else SaveMode.Append,
+      dynamicPartitionOverwrite = dynamic)
     SqlTarget.refresh(spark, refreshId)
     Nil
   }

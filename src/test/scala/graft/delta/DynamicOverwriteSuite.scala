@@ -77,6 +77,23 @@ class DynamicOverwriteSuite extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "STATIC")
   }
 
+  test("SQL INSERT OVERWRITE honors the dynamic conf") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = seeded(dir)
+    spark.sql(s"CREATE TABLE dynins USING `graft-delta` LOCATION '$dir'")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE dynins SELECT 99L AS id, 'y' AS part")
+      val rows = t.toDF.select($"id", $"part").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+      assert(rows == Seq((1L, "x"), (2L, "x"), (4L, "z"), (99L, "y")), rows.toString)
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      spark.sql("DROP TABLE IF EXISTS dynins")
+    }
+  }
+
   test("non-partitioned table rejects dynamic overwrite") {
     import spark.implicits._
     val dir = tmp()
