@@ -1395,6 +1395,14 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     * CDC files. Use [[deleteWhere]] for the metadata-only fast path when
     * the predicate is partition-granular.
     */
+  /** Σ numRecords over `files` from their stats; None when any file
+    * lacks them (metrics must be exact or absent, never guessed).
+    */
+  private def rowsFromStats(files: Seq[AddFile]): Option[Long] = {
+    val counts = files.map(f => Stats.numRecords(f.stats))
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
+
   def delete(condition: Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val txn = deltaLog.startTransaction()
@@ -1429,8 +1437,17 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           touchedDF.filter(condTrue).select(schemaCols: _*)
             .withColumn("_change_type", lit("delete")))
       else Nil
+    // exact row metrics from file stats (delta-spark observability
+    // parity): deleted = removed-file rows − surviving rewritten rows
+    val rowMetrics = (rowsFromStats(touched), rowsFromStats(adds)) match {
+      case (Some(rm), Some(ad)) =>
+        Map("numDeletedRows" -> (rm - ad).toString,
+          "numCopiedRows" -> ad.toString)
+      case _ => Map.empty[String, String]
+    }
     txn.commit(removes ++ adds ++ cdc, Op.Delete,
-      operationParameters = Map("predicate" -> condition.toString))
+      operationParameters = Map("predicate" -> condition.toString),
+      operationMetrics = rowMetrics)
   }
 
   /** Merge-on-read DELETE (delta.enableDeletionVectors): instead of
@@ -1454,9 +1471,23 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
             matched.select(md.schema.fieldNames.map(col).toSeq: _*)
               .withColumn("_change_type", lit("delete")))
         else Nil
+      // deleted rows = growth of the DV cardinalities across the commit
+      val newCard = actions.collect {
+        case a: AddFile =>
+          DeletionVectors.descriptor(a).map(_.cardinality).getOrElse(0L)
+      }.sum
+      val oldCard = candidates.flatMap(f =>
+        DeletionVectors.descriptor(f).map(_.cardinality)).sum
+      val nDvFiles = actions.count {
+        case a: AddFile => DeletionVectors.descriptor(a).isDefined
+        case _ => false
+      }
       txn.commit(actions ++ cdc, Op.Delete,
         operationParameters = Map(
-          "predicate" -> condition.toString, "mode" -> "deletion-vectors"))
+          "predicate" -> condition.toString, "mode" -> "deletion-vectors"),
+        operationMetrics = Map(
+          "numDeletedRows" -> (newCard - oldCard).toString,
+          "numDeletionVectorsAdded" -> nDvFiles.toString))
     } finally matched.unpersist()
   }
 
@@ -2182,7 +2213,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val files = txn.markFilesAsRead(partitionPredicate)
     val now = deltaLog.clock.nowMillis
     txn.commit(files.map(_.remove(now)), Op.Delete,
-      operationParameters = Map("predicate" -> partitionPredicate.toString))
+      operationParameters = Map("predicate" -> partitionPredicate.toString),
+      operationMetrics = rowsFromStats(files)
+        .map(n => Map("numDeletedRows" -> n.toString)).getOrElse(Map.empty))
   }
 }
 

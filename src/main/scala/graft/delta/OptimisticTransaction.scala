@@ -123,7 +123,8 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     */
   def commit(actions: Seq[Action], operation: String,
       engineInfo: String = "graft-spark",
-      operationParameters: Map[String, String] = Map.empty): Long = {
+      operationParameters: Map[String, String] = Map.empty,
+      operationMetrics: Map[String, String] = Map.empty): Long = {
     require(!committed, "transaction already committed")
     Op.validate(operation)
 
@@ -226,11 +227,16 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     // action/commit_info.go operationMetrics)
     val adds = finalActions.collect { case a: AddFile => a }
     val removes = finalActions.collect { case r: RemoveFile => r }
+    val cdcFiles = finalActions.collect { case c: AddCDCFile => c }
+    // caller-supplied metrics (e.g. exact DML row counts) layer on top
     val metrics = Map(
       "numAddedFiles" -> adds.size.toString,
       "numRemovedFiles" -> removes.size.toString,
       "numAddedBytes" -> adds.map(_.size).sum.toString,
-      "numRemovedBytes" -> removes.flatMap(_.size).sum.toString)
+      "numRemovedBytes" -> removes.flatMap(_.size).sum.toString) ++
+      (if (cdcFiles.nonEmpty)
+        Map("numAddedChangeFiles" -> cdcFiles.size.toString) else Map.empty) ++
+      operationMetrics
 
     val commitInfo = CommitInfo(
       timestamp = deltaLog.clock.nowMillis,
