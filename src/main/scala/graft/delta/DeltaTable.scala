@@ -1874,6 +1874,32 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     }
   }
 
+  /** `ALTER TABLE ... ALTER COLUMN c TYPE t` — the DDL face of type
+    * widening (A54): a pure metadata commit over the lossless widening
+    * matrix, gated by `delta.enableTypeWidening` like the write path;
+    * existing narrow files stay live and promote at scan time. Lossy or
+    * unsupported changes are rejected.
+    */
+  def alterColumnType(name: String, to: org.apache.spark.sql.types.DataType): Long = {
+    val txn = deltaLog.startTransaction()
+    val md = txn.metadata
+    val f = md.schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $name not found in schema (${md.schema.fieldNames.mkString(", ")})"))
+    if (f.dataType == to) return txn.readVersion
+    require(TypeWidening.canWiden(f.dataType, to),
+      s"cannot change type of column $name: ${f.dataType.simpleString} -> " +
+        s"${to.simpleString} is not a lossless widening")
+    require(DeltaConfig.EnableTypeWidening.fromMetadata(md),
+      "type widening is disabled: set delta.enableTypeWidening = true")
+    val widened = org.apache.spark.sql.types.StructType(md.schema.fields.map { wf =>
+      if (wf.name == f.name) TypeWidening.widenField(wf, to) else wf
+    })
+    txn.updateMetadata(md.copy(schemaString = widened.json))
+    txn.commit(Nil, Op.ChangeColumn, operationParameters =
+      Map("column" -> f.name, "type" -> to.simpleString))
+  }
+
   def addConstraint(name: String, expression: String): Long = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     val txn = deltaLog.startTransaction()

@@ -260,6 +260,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case CommentOnTableRe(target, text, nul) =>
         Some(GraftCommentCommand(parseTarget(target), None,
           if (nul != null) None else Some(text.replace("''", "'"))))
+      case AlterColumnTypeRe(target, colName, typeSql) =>
+        Some(GraftAlterColumnTypeCommand(parseTarget(target), colName,
+          typeSql.trim))
       case AlterColumnCommentRe(target, colName, text, nul) =>
         Some(GraftCommentCommand(parseTarget(target), Some(colName),
           if (nul != null) None else Some(text.replace("''", "'"))))
@@ -344,6 +347,8 @@ object GraftSqlParser {
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)""".r
   private[sql] val DropColumnRe =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+DROP\\s+COLUMN\\s+(?!IF\\b)(\\w+)""".r
+  private[sql] val AlterColumnTypeRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+TYPE\\s+([\\w(),\\s]+)""".r
   private[sql] val SetDefaultRe =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SET\\s+DEFAULT\\s+(.+)""".r
   private[sql] val DropDefaultRe =
@@ -914,6 +919,21 @@ class GraftMetadataOnlyCountRule(spark: SparkSession) extends Rule[LogicalPlan] 
 /** `ALTER TABLE t DROP FEATURE f [TRUNCATE HISTORY]` — see
   * [[graft.delta.DeltaTable.dropFeature]].
   */
+/** `ALTER TABLE t ALTER COLUMN c TYPE <t>` — see
+  * [[graft.delta.DeltaTable.alterColumnType]].
+  */
+case class GraftAlterColumnTypeCommand(target: SqlTarget,
+    column: String, typeSql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    t.alterColumnType(column,
+      spark.sessionState.sqlParser.parseDataType(typeSql))
+    SqlTarget.refresh(spark, target)
+    Nil
+  }
+}
+
 case class GraftDropFeatureCommand(target: SqlTarget,
     feature: String, truncateHistory: Boolean) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil

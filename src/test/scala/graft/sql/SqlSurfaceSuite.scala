@@ -521,6 +521,32 @@ class SqlSurfaceSuite extends AnyFunSuite {
     }
   }
 
+  test("ALTER COLUMN TYPE widens losslessly, metadata-only; lossy rejected") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((1, 1.5f), (2, 2.5f)).toDF("id", "x"))
+    // gate: widening must be enabled
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN id TYPE BIGINT").collect()
+    }
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES " +
+      "('delta.enableTypeWidening' = 'true')")
+    val filesBefore = t.snapshot.allFiles.map(_.path).toSet
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN id TYPE BIGINT").collect()
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN x TYPE DOUBLE").collect()
+    val schema = t.snapshot.metadata.schema
+    assert(schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(schema("x").dataType == org.apache.spark.sql.types.DoubleType)
+    // metadata-only: same physical files, old narrow data promotes on read
+    assert(t.snapshot.allFiles.map(_.path).toSet == filesBefore)
+    assert(t.toDF.select(sum($"id")).head().getLong(0) == 3L)
+    // lossy narrowing rejected
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN id TYPE INT").collect()
+    }
+  }
+
   test("the delegating parser leaves ordinary SQL alone") {
     assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
     assert(spark.sql("DESCRIBE FUNCTION abs").count() > 0)
