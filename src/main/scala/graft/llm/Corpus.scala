@@ -778,6 +778,89 @@ object Corpus {
       i AS (SELECT w, unnest(range(1, length(w))) AS i FROM w),
       p AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair FROM i),
       c AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair)
-      SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 50"""))
+      SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 50""")),
+
+    // C59 ---------------------------------------------------------------
+    // The CUT side of ExactSubstr dedup (Lee et al. REMOVE the verbatim
+    // spans, not just flag them): C55's duplicated windows are merged
+    // into maximal per-document byte islands (classic gaps-and-islands
+    // over the stride grid — overlapping/adjacent windows coalesce), and
+    // the report gives each document's removable byte count and kept
+    // ratio — everything the downstream cutter needs, without shipping
+    // text anywhere. Scale: the only per-doc window function runs over
+    // that document's DUP spans (bounded by doc length / stride), after
+    // the same no-all-pairs fingerprint pipeline as C55; text leaves the
+    // scan once, as lengths.
+    GQ("dedup_substr_cut", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, d, "documents")
+      val wins = docs
+        .select($"doc_id",
+          explode(org.apache.spark.sql.GraftShims.column(
+            graft.functions.RollingHashWindows(
+              org.apache.spark.sql.GraftShims.expression($"text"), 48, 8)))
+            .as("w"))
+        .select($"doc_id", $"w.off".as("off"), $"w.h".as("h"))
+      val dupH = wins.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2).select($"h")
+      val spans = wins.join(dupH, Seq("h"))
+        .select($"doc_id", $"off", ($"off" + 47).as("e"))
+      val byOff = Window.partitionBy($"doc_id").orderBy($"off")
+      val marked = spans
+        .withColumn("prev_max",
+          max($"e").over(byOff.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when($"prev_max".isNull || $"off" > $"prev_max" + 1, 1L).otherwise(0L))
+        .withColumn("island",
+          sum($"new_island").over(byOff.rowsBetween(Window.unboundedPreceding, 0)))
+      marked.groupBy($"doc_id", $"island")
+        .agg(min($"off").as("s0"), max($"e").as("e0"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum($"e0" - $"s0" + 1).as("removed_bytes"))
+        .join(docs.select($"doc_id", length($"text").cast("long").as("total_bytes")),
+          Seq("doc_id"))
+        .withColumn("kept_ratio",
+          ($"total_bytes" - $"removed_bytes").cast("double")
+            / $"total_bytes".cast("double"))
+        .select($"doc_id", $"n_islands", $"removed_bytes", $"total_bytes",
+          $"kept_ratio")
+        .orderBy($"removed_bytes".desc, $"doc_id")
+        .limit(100)
+    }, Some("""
+      WITH w0 AS (
+        SELECT doc_id, text,
+          unnest(range(1, length(text) - 46, 8)) AS o
+        FROM documents),
+      w AS (
+        SELECT doc_id, o AS off,
+          list_reduce(
+            list_transform(range(0, 48),
+              i -> CAST(ord(substr(text, CAST(o + i AS INTEGER), 1)) AS BIGINT)),
+            (acc, b) -> (acc * 256 + b) % 1000000000039) AS h
+        FROM w0),
+      dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      sp AS (SELECT doc_id, off, off + 47 AS e FROM w JOIN dup USING (h)),
+      m AS (SELECT doc_id, off, e,
+              MAX(e) OVER (PARTITION BY doc_id ORDER BY off
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+            FROM sp),
+      isl AS (SELECT doc_id, off, e,
+              SUM(CASE WHEN prev_max IS NULL OR off > prev_max + 1 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY off
+                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM m),
+      g AS (SELECT doc_id, island, MIN(off) AS s0, MAX(e) AS e0
+            FROM isl GROUP BY 1, 2),
+      r AS (SELECT doc_id, COUNT(*) AS n_islands,
+              CAST(SUM(e0 - s0 + 1) AS BIGINT) AS removed_bytes
+            FROM g GROUP BY 1)
+      SELECT r.doc_id, r.n_islands, r.removed_bytes,
+        CAST(length(t.text) AS BIGINT) AS total_bytes,
+        CAST(length(t.text) - r.removed_bytes AS DOUBLE)
+          / CAST(length(t.text) AS DOUBLE) AS kept_ratio
+      FROM r JOIN documents t ON r.doc_id = t.doc_id
+      ORDER BY removed_bytes DESC, r.doc_id LIMIT 100"""))
   )
 }
