@@ -300,6 +300,83 @@ object Multimodal {
       when(ok, ((dat - lit(1)) / lit(2)).cast("long")).as("data_offset"))
   }
 
+  /** Byte-exact ISO-BMFF (MP4) containers synthesized per the public
+    * ISO/IEC 14496-12 layout: big-endian size-prefixed boxes — `ftyp`
+    * (brand isom), an optional `free` padding box for every fifth file
+    * (the hop evidence, like C54's LIST chunk), `moov` containing a
+    * full 108-byte version-0 `mvhd` (timescale + duration at their spec
+    * offsets, remaining fields zero), then `mdat` carrying the text
+    * bytes.
+    */
+  def vidsFrom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def u32be(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    table(spark, dir, "documents")
+      .filter(octet_length($"text") >= 8)
+      .select($"doc_id".as("media_id"), $"text",
+        element_at(array(lit(600L), lit(1000L), lit(90000L)),
+          (pmod($"doc_id", lit(3)) + 1).cast("int")).as("timescale"),
+        (pmod($"doc_id" * 37, lit(100000)) + lit(600L)).as("dur_units"),
+        (pmod($"doc_id", lit(5)) === 0).as("has_free"))
+      .withColumn("payload", concat(
+        unhex(concat(
+          u32be(lit(16L)), lit("66747970"), lit("69736F6D"), u32be(lit(0L)),
+          when($"has_free",
+            concat(u32be(lit(16L)), lit("66726565"), lit("0" * 16)))
+            .otherwise(lit("")),
+          u32be(lit(116L)), lit("6D6F6F76"),
+          u32be(lit(108L)), lit("6D766864"),
+          u32be(lit(0L)), u32be(lit(0L)), u32be(lit(0L)),
+          u32be($"timescale"), u32be($"dur_units"),
+          lit("0" * 160),
+          u32be(octet_length($"text").cast("long") + lit(8L)), lit("6D646174"))),
+        substring($"text".cast("binary"), 1, 1000000).cast("binary")))
+      .select($"media_id", $"payload")
+  }
+
+  /** ISO-BMFF box WALK: hop top-level boxes by their big-endian size
+    * fields until `moov` (a `free` box in between is skipped by its
+    * declared size, never mis-read), then read `mvhd`'s timescale and
+    * duration from their version-0 offsets. Pure byte expressions over
+    * the 160-byte head; bounded 3 hops, mirroring C54's RIFF walk.
+    */
+  def parseMp4Dims(vids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    val head = hex(substring(col("payload"), 1, 160))
+    def ru32(p: Column): Column =
+      conv(head.substr(p.cast("int"), lit(8)), 16, 10).cast("long")
+    val isMp4 = substring(head, 9, 8) === "66747970"
+    val walk = aggregate(
+      sequence(lit(1), lit(3)),
+      struct(lit(1L).as("p"), lit(0L).as("moov")),
+      (st, _) => {
+        val p = st.getField("p")
+        val size = ru32(p)
+        val typ = head.substr((p + 8).cast("int"), lit(8))
+        when(p === 0 || st.getField("moov") > 0, st)
+          .when(typ === "6D6F6F76",
+            struct(p.as("p"), p.as("moov")))
+          .when(size >= 8,
+            struct((p + size * 2).as("p"), lit(0L).as("moov")))
+          .otherwise(struct(lit(0L).as("p"), lit(0L).as("moov")))
+      })
+    val moov = walk.getField("moov")
+    val child = moov + lit(16L) // first box inside moov
+    val mvhdOk = head.substr((child + 8).cast("int"), lit(8)) === "6D766864"
+    val version0 = head.substr((child + 16).cast("int"), lit(2)) === "00"
+    val ok = isMp4 && moov > 0 && mvhdOk && version0
+    val timescale = ru32(child + 40) // header 8B + ver/flags,creation,modification
+    val duration = ru32(child + 48)
+    vids.select(
+      col("media_id"),
+      when(ok, lit("mp4")).otherwise(lit("unknown")).as("format"),
+      when(ok, timescale).as("timescale"),
+      when(ok, duration).as("duration_units"),
+      when(ok, (duration * lit(1000)).divide(timescale).cast("long")).as("duration_ms"),
+      // hop evidence: the moov byte offset shifts by the free box
+      when(ok, ((moov - lit(1)) / lit(2)).cast("long")).as("moov_offset"))
+  }
+
   val queries: Seq[GQ] = Seq(
     GQ("multimodal_decode", (s, d) => {
       import s.implicits._
@@ -394,6 +471,26 @@ object Multimodal {
         CAST(nb // block_align AS BIGINT) AS n_frames,
         CAST((nb // block_align) * 1000 // sample_rate AS BIGINT) AS duration_ms,
         CAST(CASE WHEN has_meta THEN 64 ELSE 44 END AS BIGINT) AS data_offset
-      FROM q ORDER BY media_id"""))
+      FROM q ORDER BY media_id""")),
+
+    // C60: video-container metadata via an ISO-BMFF box walk — the
+    // format triad's third leg (C41 image marker walk, C54 audio chunk
+    // walk). Boxes are BIG-endian size-prefixed (the opposite trap of
+    // RIFF); a free/padding box before moov is hopped by its declared
+    // size, and mvhd's timescale/duration read from their version-0
+    // offsets. Oracle = the closed-form generation formulas, so
+    // generator and parser stay independent code paths — including the
+    // moov_offset evidence shifting by 16 bytes for every fifth file.
+    GQ("video_dims", (s, d) =>
+      parseMp4Dims(vidsFrom(s, d)).orderBy(col("media_id")), Some("""
+      WITH p AS (SELECT doc_id,
+          CAST([600, 1000, 90000][CAST(doc_id % 3 AS INTEGER) + 1] AS BIGINT) AS timescale,
+          CAST((doc_id * 37) % 100000 + 600 AS BIGINT) AS dur
+        FROM documents WHERE octet_length(encode(text)) >= 8)
+      SELECT doc_id AS media_id, 'mp4' AS format, timescale,
+        dur AS duration_units,
+        CAST(dur * 1000 // timescale AS BIGINT) AS duration_ms,
+        CAST(CASE WHEN doc_id % 5 = 0 THEN 32 ELSE 16 END AS BIGINT) AS moov_offset
+      FROM p ORDER BY media_id"""))
   )
 }
