@@ -16,7 +16,10 @@ object SparkEntry {
   private val extraBench = Set(
     "delta_merge", "delta_dv_update", "delta_checkpoint_v2",
     "delta_incremental_agg", "stream_window_agg", "dedup_cluster",
-    "ann_ivf_trained", "hybrid_retrieval")
+    "ann_ivf_trained", "hybrid_retrieval",
+    // round-13 additions: the byte-level span pipeline and the one-pass
+    // covariance aggregate are the newest heavy shapes — trend them
+    "dedup_substr", "embed_covariance")
 
   /** Every implemented operator, in SURVEY §2 order. */
   def registry: Seq[GQ] = {
