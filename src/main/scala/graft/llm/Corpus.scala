@@ -75,6 +75,49 @@ object Corpus {
       FROM (SELECT doc_id, g FROM g WHERE source <> 'src0') tr JOIN e USING (g)
       GROUP BY doc_id ORDER BY doc_id""")),
 
+    // C61 ---------------------------------------------------------------
+    // Contamination SEVERITY — the inverse direction of C18: C18 flags
+    // which TRAIN docs leak eval n-grams; this reports, per EVAL doc,
+    // what fraction of its distinct 5-grams exist anywhere in train —
+    // the coverage number that decides whether an eval item is
+    // compromised (a 2% overlap is boilerplate; 80% means the answer is
+    // memorizable). Same gram-keyed semi-join shape as C18 — only
+    // (doc_id, gram) pairs shuffle, the verdict join is id-sized, no
+    // all-pairs anywhere.
+    GQ("contamination_severity", (s, d) => {
+      import s.implicits._
+      val grams = table(s, d, "documents")
+        .withColumn("t", tokens($"text"))
+        .filter(size($"t") >= 5)
+        .select($"doc_id", $"source", explode(grams5($"t")).as("g"))
+      val trainG = grams.filter($"source" =!= "src0").select($"g").distinct()
+      val evalG = grams.filter($"source" === "src0")
+      val found = evalG.join(trainG, Seq("g"), "left_semi")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_found"))
+      evalG.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+        .join(found, Seq("doc_id"))
+        .withColumn("coverage",
+          $"n_found".cast("double") / $"n_grams".cast("double"))
+        .select($"doc_id", $"n_grams", $"n_found", $"coverage")
+        .orderBy($"coverage".desc, $"doc_id")
+        .limit(100)
+    }, Some("""
+      WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                 FROM documents),
+      g AS (SELECT doc_id, source,
+              unnest(list_distinct(list_transform(generate_series(1, len(t)-4),
+                i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))) AS g
+            FROM t WHERE len(t) >= 5),
+      tr AS (SELECT DISTINCT g FROM g WHERE source <> 'src0'),
+      ev AS (SELECT doc_id, g FROM g WHERE source = 'src0'),
+      f AS (SELECT doc_id, COUNT(*) AS n_found
+            FROM ev WHERE g IN (SELECT g FROM tr) GROUP BY doc_id),
+      n AS (SELECT doc_id, COUNT(*) AS n_grams FROM ev GROUP BY doc_id)
+      SELECT n.doc_id, n_grams, n_found,
+        CAST(n_found AS DOUBLE) / CAST(n_grams AS DOUBLE) AS coverage
+      FROM n JOIN f ON n.doc_id = f.doc_id
+      ORDER BY coverage DESC, n.doc_id LIMIT 100""")),
+
     // C19 ---------------------------------------------------------------
     // Per-document top-3 keywords by TF-IDF. The idf is integer-scaled
     // (floor(N*1000/df)) so scores are exact BIGINTs — engine-identical
