@@ -705,6 +705,75 @@ object Streams {
       FROM a, c
       WHERE epoch_us(win_start + INTERVAL 1 HOUR)
         <= (mx_us // 1000) * 1000 - CAST(24*3600 AS BIGINT)*1000000
-      ORDER BY win_start, event_type"""))
+      ORDER BY win_start, event_type""")),
+
+    // D17: CDC REPLICATION — the composition the change feed exists for:
+    // stream table A's CDF and apply it to replica B with an
+    // idempotent apply-changes MERGE. Each micro-batch keeps only the
+    // LATEST change per key (_commit_version desc; preimages dropped),
+    // then deletes matched 'delete's, updates matched keys, inserts
+    // unmatched non-deletes — so one batch spanning several commits
+    // (insert→update→delete of the same key) still lands the final
+    // state, and batch replays are no-ops via the SetTransaction id.
+    // CDF batches admit at whole-version granularity under
+    // maxFilesPerTrigger=1, so the insert/update/delete history really
+    // crosses three micro-batches. The oracle recomputes A's FINAL
+    // state from the base table — replica ≡ source is the correctness
+    // claim. At 100 TB each batch ships only changed rows and the MERGE
+    // touches only matched files: replication cost follows the CHANGE
+    // rate, not table size.
+    GQ("stream_replicate", (s, d) => {
+      import s.implicits._
+      val srcDir = QueryDefs.scratchDir("graft-repl-src").toString
+      val a = graft.delta.DeltaTable.forPath(s, srcDir)
+      val base = QueryDefs.table(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"),
+        col("n_regionkey").cast("long").as("r"))
+      val txn0 = a.deltaLog.startTransaction()
+      txn0.updateMetadata(graft.delta.Metadata(
+        schemaString = base.schema.json,
+        configuration = Map("delta.enableChangeDataFeed" -> "true")))
+      txn0.commit(Nil, Op.CreateTable)
+      a.write(base)                                                   // v1
+      a.update($"r" === 2L, Map("name" -> concat($"name", lit("_U")))) // v2
+      a.delete(pmod($"k", lit(5L)) === 0L)                             // v3
+      val repDir = QueryDefs.scratchDir("graft-repl-dst").toString
+      val b = graft.delta.DeltaTable.forPath(s, repDir)
+      val txn1 = b.deltaLog.startTransaction()
+      txn1.updateMetadata(graft.delta.Metadata(schemaString = base.schema.json))
+      txn1.commit(Nil, Op.CreateTable)
+      val stream = s.readStream
+        .format("graft.streaming.DeltaStreamSourceProvider")
+        .option("path", srcDir)
+        .option("readChangeFeed", "true")
+        .option("maxFilesPerTrigger", "1") // whole-version CDF batches
+        .load()
+      val q = stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val latest = batch
+          .filter(col("_change_type") =!= "update_preimage")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("k")).orderBy(col("_commit_version").desc)))
+          .filter(col("rn") === 1).drop("rn")
+        graft.delta.DeltaTable.forPath(s, repDir)
+          .merge(latest.alias("s"), expr("t.k = s.k"))
+          .withIdempotentTxn("stream_replicate", batchId)
+          .whenMatchedDelete(expr("s._change_type = 'delete'"))
+          .whenMatchedUpdate(Map(
+            "name" -> expr("s.name"), "r" -> expr("s.r")))
+          .whenNotMatchedInsert(expr("s._change_type != 'delete'"), Map(
+            "k" -> expr("s.k"), "name" -> expr("s.name"), "r" -> expr("s.r")))
+          .execute()
+        ()
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+      graft.delta.DeltaTable.forPath(s, repDir).toDF
+        .select($"k", $"name", $"r").orderBy($"k")
+    }, Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k,
+        CASE WHEN n_regionkey = 2 THEN n_name || '_U' ELSE n_name END AS name,
+        CAST(n_regionkey AS BIGINT) AS r
+      FROM nation WHERE n_nationkey % 5 <> 0 ORDER BY k"""))
   )
 }
