@@ -69,20 +69,34 @@ object GraftTableChangesFunction {
       case other => throw new IllegalArgumentException(
         s"table_changes: expected a string literal, got $other")
     }
-    def lng(e: Expression): Long = e.eval(null) match {
-      case i: java.lang.Integer => i.toLong
-      case l: java.lang.Long => l
-      case other => throw new IllegalArgumentException(
-        s"table_changes: expected an integer version, got $other")
-    }
     val ident = str(args.head)
     val path =
       if (ident.contains("/")) ident
       else SqlTarget.resolve(spark, TableTarget(
         spark.sessionState.sqlParser.parseMultipartIdentifier(ident)))
-    val end = if (args.size == 3) lng(args(2)) else -1L
+    val log = graft.delta.DeltaLog.forTable(spark, path)
+    // version bounds accept integers OR timestamp strings (delta-spark
+    // parity): a timestamp start resolves to the first commit at-or-after
+    // it, a timestamp end to the last commit at-or-before it — the same
+    // commit-timestamp index as batch time travel.
+    def bound(e: Expression, isStart: Boolean): Long = e.eval(null) match {
+      case i: java.lang.Integer => i.toLong
+      case l: java.lang.Long => l
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        val t = u.toString.trim
+        t.toLongOption.getOrElse {
+          val millis = java.sql.Timestamp.valueOf(t).getTime
+          if (isStart) log.startingVersionAtOrAfterTimestamp(millis)
+          else log.versionBeforeOrAtTimestamp(millis).getOrElse(
+            throw new IllegalArgumentException(
+              s"table_changes: ending timestamp $t precedes the first commit"))
+        }
+      case other => throw new IllegalArgumentException(
+        s"table_changes: expected a version or timestamp bound, got $other")
+    }
+    val end = if (args.size == 3) bound(args(2), isStart = false) else -1L
     DeltaTable.forPath(spark, path)
-      .tableChanges(lng(args(1)), end).queryExecution.logical
+      .tableChanges(bound(args(1), isStart = true), end).queryExecution.logical
   }
 }
 

@@ -650,5 +650,11 @@ class SqlSurfaceSuite extends AnyFunSuite {
       s"SELECT count(*) AS c FROM table_changes('$loc', 0, 0) WHERE _change_type = 'insert'")
       .head().getLong(0)
     assert(n == 5)
+    // timestamp bounds resolve through the commit-timestamp index:
+    // a start before the first commit covers everything; pinning both
+    // bounds to the epoch..far-future brackets the whole feed
+    val all = spark.sql("SELECT count(*) AS c FROM table_changes(" +
+      "'t_tvf', '1970-01-01 00:00:00', '2999-01-01 00:00:00')").head().getLong(0)
+    assert(all == 7, s"expected 5 inserts + 2 deletes, got $all")
   }
 }
