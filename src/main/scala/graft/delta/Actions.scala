@@ -57,9 +57,9 @@ object Protocol {
   // features a legacy (pre-table-features) version number implies; when a
   // table upgrades to reader 3 / writer 7 these must be listed explicitly
   // so feature-gating clients keep working (public table-features spec)
-  private def readerImplicits(v: Int): Set[String] =
+  private[delta] def readerImplicits(v: Int): Set[String] =
     if (v >= 2) Set("columnMapping") else Set.empty
-  private def writerImplicits(v: Int): Set[String] = {
+  private[delta] def writerImplicits(v: Int): Set[String] = {
     var s = Set.empty[String]
     if (v >= 2) s ++= Set("appendOnly", "invariants")
     if (v >= 3) s += "checkConstraints"

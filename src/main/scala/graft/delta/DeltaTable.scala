@@ -1770,6 +1770,40 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     txn.commit(Nil, Op.ChangeColumn, operationParameters = Map("column" -> name))
   }
 
+  /** Explicit protocol upgrade (delta-spark's `upgradeTableProtocol`):
+    * raise the table to at least (readerVersion, writerVersion) in one
+    * metadata-only commit. Downgrades are rejected; upgrading to the
+    * table-features versions (3/7) lists the old versions' implicit
+    * features explicitly, per the public table-features spec, so
+    * feature-gating clients keep working.
+    */
+  def upgradeTableProtocol(readerVersion: Int, writerVersion: Int): Long = {
+    val txn = deltaLog.startTransaction()
+    val p = txn.snapshot.protocol
+    require(readerVersion >= p.minReaderVersion && writerVersion >= p.minWriterVersion,
+      s"cannot downgrade protocol $p to ($readerVersion, $writerVersion); " +
+        "use DROP FEATURE to shed capabilities")
+    if (readerVersion == p.minReaderVersion && writerVersion == p.minWriterVersion)
+      return txn.readVersion
+    require(readerVersion <= 3 && writerVersion <= 7 &&
+        readerVersion >= 1 && writerVersion >= 1,
+      s"unsupported protocol version ($readerVersion, $writerVersion)")
+    // moving onto table features (3/7): the old versions' implicit
+    // features become the explicit listing, per the table-features spec
+    val target =
+      if (readerVersion == 3 || writerVersion == 7)
+        Protocol(3, 7,
+          Some(p.readerFeatures.getOrElse(Set.empty) ++
+            Protocol.readerImplicits(p.minReaderVersion)),
+          Some(p.writerFeatures.getOrElse(Set.empty) ++
+            Protocol.writerImplicits(p.minWriterVersion)))
+      else p.copy(minReaderVersion = readerVersion,
+        minWriterVersion = writerVersion)
+    txn.commit(Seq(target), Op.UpgradeProtocol,
+      operationParameters = Map("newProtocol" ->
+        s"(${target.minReaderVersion},${target.minWriterVersion})"))
+  }
+
   /** `ALTER TABLE ... DROP FEATURE` (delta-spark public surface): remove
     * `name` from the protocol's feature sets, but ONLY when the current
     * table state carries no trace of it — dropping `checkConstraints`

@@ -553,6 +553,62 @@ object Dedup {
         JOIN d x ON x.doc_id = doc_a
         JOIN d y ON y.doc_id = doc_b)
       SELECT doc_a, doc_b, est, jaccard, est - jaccard AS err
-      FROM scored ORDER BY doc_a, doc_b"""))
+      FROM scored ORDER BY doc_a, doc_b""")),
+
+    // C62 ---------------------------------------------------------------
+    // Cross-SOURCE overlap matrix: the domain-level duplication report
+    // ("how much does src3 mirror src7?") that decides which source
+    // pairs deserve the expensive cross-source dedup pass. A source's
+    // MinHash signature is the positional MIN over its documents'
+    // signatures — exactly the sketch of the UNION of its shingle sets,
+    // so positional agreement estimates the union-level Jaccard. Scale:
+    // per-doc signatures are the same shuffle-free expressions as C2;
+    // the per-source reduce ships 16 longs per map task per source; the
+    // pairwise compare runs on a #sources×16 frame — the corpus never
+    // moves, only sketches do.
+    GQ("source_overlap", (s, d) => {
+      import s.implicits._
+      val sig = table(s, d, "documents")
+        .withColumn("sh",
+          ExpressionUtils.column(WordShingles(ExpressionUtils.expression($"text"), 3)))
+        .filter(size($"sh") > 0)
+        .withColumn("sig", minhashSig($"sh"))
+      val perSrc = sig
+        .select($"source", posexplode($"sig").as(Seq("j", "v")))
+        .groupBy($"source", $"j").agg(min($"v").as("v"))
+      val l = perSrc.select($"source".as("src_a"), $"j", $"v".as("va"))
+      val r = perSrc.select($"source".as("src_b"), $"j", $"v".as("vb"))
+      l.join(r, Seq("j")).filter($"src_a" < $"src_b")
+        .groupBy($"src_a", $"src_b")
+        .agg(sum(when($"va" === $"vb", 1L).otherwise(0L)).as("n_match"))
+        .withColumn("est_jaccard",
+          $"n_match".cast("double") / lit(NumHashes.toDouble))
+        .select($"src_a", $"src_b", $"n_match", $"est_jaccard")
+        .orderBy($"src_a", $"src_b")
+    }, Some(s"""
+      WITH d AS (
+        SELECT doc_id, source, sh FROM (
+          SELECT doc_id, source, list_distinct(CASE WHEN len(t) >= 3
+            THEN list_transform(generate_series(1, len(t)-2),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+            ELSE [] END) AS sh
+          FROM (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                FROM documents))
+        WHERE len(sh) > 0),
+      sigs AS (
+        SELECT doc_id, source,
+          [${hashAB.map { case (a, b) => s"list_min(list_transform(vs, v -> ($a*v + $b) % $P))" }.mkString(", ")}] AS sig
+        FROM (SELECT doc_id, source,
+          list_transform(sh, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 1073741824) AS vs
+          FROM d)),
+      per AS (SELECT source, u.j AS j, MIN(sig[u.j + 1]) AS v
+              FROM sigs, (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS j) u
+              GROUP BY source, u.j)
+      SELECT a.source AS src_a, b.source AS src_b,
+        CAST(SUM(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        CAST(SUM(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS DOUBLE)
+          / ${NumHashes}.0 AS est_jaccard
+      FROM per a JOIN per b ON a.j = b.j AND a.source < b.source
+      GROUP BY a.source, b.source ORDER BY src_a, src_b"""))
   )
 }

@@ -87,6 +87,29 @@ class DropFeatureSuite extends AnyFunSuite {
     assert(t.deltaLog.update().version == vDrop)
   }
 
+  test("upgradeTableProtocol: upgrades list implicit features; downgrades refused") {
+    val t = seeded()
+    val p0 = t.snapshot.protocol
+    assert(p0.minReaderVersion == 1 && p0.minWriterVersion == 2)
+    // plain version bump stays legacy-shaped
+    t.upgradeTableProtocol(1, 4)
+    assert(t.snapshot.protocol.minWriterVersion == 4)
+    assert(t.snapshot.protocol.writerFeatures.isEmpty)
+    // 3/7 upgrade makes the old versions' implicit features explicit
+    t.upgradeTableProtocol(3, 7)
+    val p = t.snapshot.protocol
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7)
+    assert(p.writerFeatures.exists(f => f("appendOnly") && f("invariants") &&
+      f("checkConstraints") && f("changeDataFeed") && f("generatedColumns")), p.toString)
+    // idempotent + downgrade refused
+    assert(t.upgradeTableProtocol(3, 7) == t.deltaLog.update().version)
+    intercept[IllegalArgumentException](t.upgradeTableProtocol(1, 2))
+    // the table still works after the upgrade
+    import spark.implicits._
+    t.write(Seq((9L, "z", 90)).toDF("id", "name", "score"))
+    assert(t.toDF.count() == 3)
+  }
+
   test("unknown and unlisted features are refused") {
     val t = seeded()
     intercept[IllegalArgumentException](t.dropFeature("notAFeature"))
