@@ -741,12 +741,31 @@ case class GraftSetPropertiesCommand(target: SqlTarget,
     val path = SqlTarget.resolve(spark, target)
     val log = graft.delta.DeltaLog.forTable(spark, path)
     if (log.tableExists) {
-      val txn = log.startTransaction()
-      val md = txn.metadata
-      txn.updateMetadata(md.copy(configuration = md.configuration ++ props))
-      txn.commit(Nil, Op.SetTableProperties,
-        operationParameters = Map("properties" ->
-          props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")))
+      // delta-spark convention: delta.minReaderVersion/minWriterVersion
+      // in TBLPROPERTIES request a PROTOCOL upgrade, they are not table
+      // configuration — route them to upgradeTableProtocol (which also
+      // rejects downgrades) instead of polluting the config map
+      val verKeys = Set("delta.minreaderversion", "delta.minwriterversion")
+      val (verProps, rest) = props.partition(p => verKeys(p._1.toLowerCase))
+      if (verProps.nonEmpty) {
+        val t = DeltaTable.forPath(spark, path)
+        val p = t.snapshot.protocol
+        t.upgradeTableProtocol(
+          verProps.collectFirst { case (k, v)
+            if k.equalsIgnoreCase("delta.minReaderVersion") => v.trim.toInt }
+            .getOrElse(p.minReaderVersion),
+          verProps.collectFirst { case (k, v)
+            if k.equalsIgnoreCase("delta.minWriterVersion") => v.trim.toInt }
+            .getOrElse(p.minWriterVersion))
+      }
+      if (rest.nonEmpty || verProps.isEmpty) {
+        val txn = log.startTransaction()
+        val md = txn.metadata
+        txn.updateMetadata(md.copy(configuration = md.configuration ++ rest))
+        txn.commit(Nil, Op.SetTableProperties,
+          operationParameters = Map("properties" ->
+            rest.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")))
+      }
       SqlTarget.refresh(spark, target)
     } else SqlTarget.tableIdentifier(target) match {
       case Some(id) =>

@@ -110,6 +110,23 @@ class DropFeatureSuite extends AnyFunSuite {
     assert(t.toDF.count() == 3)
   }
 
+  test("SQL: delta.minReaderVersion/minWriterVersion TBLPROPERTIES upgrade the protocol") {
+    val t = seeded()
+    spark.sql(s"ALTER TABLE graft.`${t.deltaLog.dataPath}` SET TBLPROPERTIES (" +
+      "'delta.minReaderVersion' = '3', 'delta.minWriterVersion' = '7')")
+    val p = t.snapshot.protocol
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7, p.toString)
+    // the version keys are a protocol request, NOT configuration
+    assert(!t.snapshot.metadata.configuration.keys
+      .exists(_.toLowerCase.startsWith("delta.minreader")),
+      t.snapshot.metadata.configuration.toString)
+    // downgrade via properties also refused
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE graft.`${t.deltaLog.dataPath}` SET TBLPROPERTIES (" +
+        "'delta.minWriterVersion' = '2')")
+    }
+  }
+
   test("unknown and unlisted features are refused") {
     val t = seeded()
     intercept[IllegalArgumentException](t.dropFeature("notAFeature"))
