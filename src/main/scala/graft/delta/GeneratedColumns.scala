@@ -108,20 +108,34 @@ object GeneratedPartitionFilters {
             case e => e
           }
       } catch { case _: Exception => return None }
+    // SOUNDNESS: the date-family shapes (cast-to-date, year, trunc) are
+    // monotone only when the BASE column already orders temporally — a
+    // STRING base would be compared lexicographically by the data filter
+    // while the generated value follows parsed-date order, and non-ISO
+    // strings break the correspondence (deriving would prune wrong).
+    def temporal(dt: DataType): Boolean = dt match {
+      case DateType | org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
     def base(e: Expression): Option[String] = e match {
-      case a: AttributeReference => Some(a.name)
-      case c @ Cast(a: AttributeReference, DateType, _, _) => Some(a.name)
+      case a: AttributeReference if temporal(a.dataType) => Some(a.name)
+      case Cast(a: AttributeReference, DateType, _, _)
+          if temporal(a.dataType) => Some(a.name)
       case _ => None
     }
     val ok = analyzed match {
-      case Cast(a: AttributeReference, DateType, _, _) => Some(a.name)
+      case Cast(a: AttributeReference, DateType, _, _)
+          if temporal(a.dataType) => Some(a.name)
       case Year(inner) => base(inner)
       case t if t.getClass.getSimpleName == "TruncTimestamp" ||
           t.getClass.getSimpleName == "TruncDate" =>
         // date_trunc(unit, d) / trunc(d, unit): a floor for every unit,
         // hence monotone; the base column is the sole attribute child
         val attrs = t.references.toSeq
-        if (attrs.size == 1) Some(attrs.head.name) else None
+        if (attrs.size == 1 && temporal(attrs.head.dataType))
+          Some(attrs.head.name)
+        else None
       case Floor(div) =>
         // floor(id / 100) analyzes as FLOOR(CAST(id AS DOUBLE) /
         // CAST(100 AS DOUBLE)) — widening casts are monotone, strip them

@@ -102,6 +102,35 @@ class GeneratedPartitionPruneSuite extends AnyFunSuite {
     assert(inPruned <= all / 4, s"IN pruned=$inPruned of $all")
   }
 
+  test("CAST(string AS DATE) derives nothing (lexicographic vs parsed order)") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ds",
+        org.apache.spark.sql.types.StringType),
+      GeneratedColumns.field("p_date",
+        org.apache.spark.sql.types.DateType, "CAST(ds AS DATE)")))
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(schemaString = schema.json,
+      partitionColumns = Seq("p_date")))
+    txn.commit(Nil, Op.CreateTable)
+    // non-ISO strings: lexicographic order disagrees with parsed dates
+    t.write(Seq((1L, "2024-03-01"), (2L, "2024-03-02"), (3L, "2024-03-03"))
+      .toDF("id", "ds"), SaveMode.Append, Seq("p_date"))
+    // the string-range filter must NOT derive a partition conjunct
+    // (regular string min/max data skipping may still prune — that path
+    // compares strings to strings and stays sound)
+    val conjuncts = DeltaScan.analyzedConjuncts(spark,
+      t.snapshot.metadata.schema, col("ds") >= "2024-03-02")
+    val derived = GeneratedPartitionFilters.derive(spark,
+      t.snapshot.metadata, conjuncts)
+    assert(derived.isEmpty, s"unsafe string-date derivation: $derived")
+    assert(t.read(col("ds") >= "2024-03-02").count() == 2)
+  }
+
   test("non-monotone generation (month) derives nothing but stays correct") {
     import spark.implicits._
     val dir = tmp()
