@@ -866,6 +866,13 @@ class GraftMetadataOnlyCountRule(spark: SparkSession) extends Rule[LogicalPlan] 
     * min/max stats for the column on EVERY file, and only for
     * partition-independent atomic columns the stats writer serializes
     * losslessly. One metadata-sized aggregation job total.
+    *
+    * Timestamp caveat: the engine's own writer emits MICROS parquet
+    * (stats exact); a CONVERT-adopted foreign file with NANOS
+    * annotation has its stats floor/ceil-widened to micros by the
+    * harvester, so a timestamp MAX over such a file may exceed the true
+    * maximum by under 1 µs — the same bound-vs-extremum distinction
+    * that excludes strings, but bounded and micros-granular.
     */
   private def metadataAnswers(snapshot: graft.delta.Snapshot,
       aggs: Seq[MetaAgg]): Option[Seq[Any]] = {
