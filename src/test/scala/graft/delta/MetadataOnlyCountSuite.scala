@@ -56,6 +56,19 @@ class MetadataOnlyCountSuite extends AnyFunSuite {
     assert(df.head().getLong(0) == 70L)
   }
 
+  test("time-traveled counts answer from the OLD snapshot's stats") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write((0L until 40L).map(i => (i, s"r$i")).toDF("id", "v")) // v0
+    t.write((40L until 100L).map(i => (i, s"r$i")).toDF("id", "v")) // v1
+    val old = spark.read.format("graft-delta")
+      .option("versionAsOf", "0").load(dir).groupBy().count()
+    assert(optimizedPlan(old).contains("LocalRelation"), optimizedPlan(old))
+    assert(old.head().getLong(0) == 40L)
+    assert(spark.read.format("graft-delta").load(dir).count() == 100L)
+  }
+
   test("MIN/MAX answer from stats on DV-free tables; DVs force a scan") {
     import spark.implicits._
     val dir = tmp()
