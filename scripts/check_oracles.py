@@ -9,6 +9,9 @@ import json
 import os
 import sys
 import glob
+import warnings
+
+warnings.filterwarnings("ignore", category=FutureWarning)
 
 import duckdb
 import numpy as np
@@ -34,7 +37,10 @@ def _norm_type(t):
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return "binary"
     if pa.types.is_timestamp(t):
-        return "timestamp"
+        # Keep tz-ness: UTC-adjusted micros (TIMESTAMPTZ in DuckDB) vs
+        # naive INT96/NTZ is exactly the r13 driver failure the old
+        # tz-blind collapse could not reproduce locally.
+        return ("timestamp", t.tz is not None)
     if pa.types.is_date(t):
         return "date"
     if pa.types.is_floating(t):

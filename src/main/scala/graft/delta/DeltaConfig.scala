@@ -88,6 +88,19 @@ object DeltaConfig {
   val EnableExpiredLogCleanup: TableConfig[Boolean] =
     TableConfig("delta.enableExpiredLogCleanup", "true", _.trim.toLowerCase == "true")
 
+  /** `checkpointProtection` table feature (public Delta spec): writers
+    * must not create checkpoints at versions below this boundary, and
+    * expired-log cleanup must sweep the protected region [0, V)
+    * atomically — all of it (with a covering checkpoint at >= V) or none
+    * of it. This is what makes DROP FEATURE ... TRUNCATE HISTORY sound
+    * against newer writers: a checkpoint written inside the region could
+    * materialize state under a protocol the checkpointing writer does
+    * not fully understand.
+    */
+  val RequireCheckpointProtectionBeforeVersion: TableConfig[Long] =
+    TableConfig("delta.requireCheckpointProtectionBeforeVersion", "0",
+      _.trim.toLong)
+
   /** Reject data-changing removes when set
     * (cf. reference `config.go:92` DeltaConfigIsAppendOnly).
     */

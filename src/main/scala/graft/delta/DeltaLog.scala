@@ -335,6 +335,13 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     * (cf. reference `checkpoint.go:247` checkpoint, `checkpoint_writer.go`).
     */
   private[delta] def checkpoint(s: Snapshot): Unit = {
+    // checkpointProtection: no checkpoints below the boundary — state
+    // there may have been written under protocols this writer does not
+    // fully understand (the DROP FEATURE ... TRUNCATE HISTORY guard)
+    val protV = s.metadataOpt
+      .map(DeltaConfig.RequireCheckpointProtectionBeforeVersion.fromMetadata)
+      .getOrElse(0L)
+    if (s.version < protV) return
     val policy = s.metadataOpt
       .map(DeltaConfig.CheckpointPolicy.fromMetadata).getOrElse("classic")
     if (policy == "v2") checkpointV2(s) else checkpointClassic(s)
@@ -543,28 +550,46 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     // "<v>.<e>.compacted.json", checkpoint "<v>.checkpoint…", delta
     // "<v>.json"), so version-0 artifacts of all three kinds are swept
     val statuses =
-      try store.listFrom(new Path(logPath, f"${0L}%020d."))
+      try store.listFrom(new Path(logPath, f"${0L}%020d.")).toSeq
       catch { case _: java.io.FileNotFoundException => return }
     val (ckptParts, rest) = statuses.partition(st => FileNames.isCheckpointFile(st.getPath))
+    // checkpointProtection: the region [0, protV) must go ATOMICALLY —
+    // all of it (possible only when every delta below protV is expired
+    // and the covering checkpoint at s.version >= protV exists) or none
+    // of it. A partial sweep would leave a log whose replay starts
+    // inside a region that must only ever be summarized whole.
+    val protV = DeltaConfig.RequireCheckpointProtectionBeforeVersion
+      .fromMetadata(md)
+    val wholeRegionExpired = protV <= 0L || (protV <= s.version &&
+      rest.forall { st =>
+        !(FileNames.isDeltaFile(st.getPath) &&
+          FileNames.deltaVersion(st.getPath) < protV &&
+          st.getModificationTime > cutoff)
+      })
+    def protectedVersion(v: Long): Boolean = !wholeRegionExpired && v < protV
     rest.foreach { st =>
       val p = st.getPath
       if (st.getModificationTime <= cutoff && FileNames.isDeltaFile(p) &&
-          FileNames.deltaVersion(p) < s.version)
+          FileNames.deltaVersion(p) < s.version &&
+          !protectedVersion(FileNames.deltaVersion(p)))
         store.delete(p)
       // a compacted file goes when its whole RANGE is below the snapshot
       // (same condition as the raw deltas it substitutes)
       if (st.getModificationTime <= cutoff && FileNames.isCompactedFile(p) &&
-          FileNames.compactedRange(p)._2 < s.version)
+          FileNames.compactedRange(p)._2 < s.version &&
+          !protectedVersion(FileNames.compactedRange(p)._2))
         store.delete(p)
       // version checksums expire with their deltas
       if (st.getModificationTime <= cutoff && FileNames.isChecksumFile(p) &&
-          p.getName.stripSuffix(".crc").toLong < s.version)
+          p.getName.stripSuffix(".crc").toLong < s.version &&
+          !protectedVersion(p.getName.stripSuffix(".crc").toLong))
         store.delete(p)
     }
     // sweep a checkpoint all-or-nothing: a cutoff straddling a multi-part
     // checkpoint's mtimes must not leave a partial (unusable) survivor
     ckptParts.groupBy(st => FileNames.checkpointVersion(st.getPath)).foreach {
-      case (v, parts) if v < s.version && parts.forall(_.getModificationTime <= cutoff) =>
+      case (v, parts) if v < s.version && !protectedVersion(v) &&
+          parts.forall(_.getModificationTime <= cutoff) =>
         parts.foreach(st => store.delete(st.getPath))
       case _ =>
     }

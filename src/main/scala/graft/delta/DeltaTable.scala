@@ -1788,13 +1788,21 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     require(readerVersion <= 3 && writerVersion <= 7 &&
         readerVersion >= 1 && writerVersion >= 1,
       s"unsupported protocol version ($readerVersion, $writerVersion)")
-    // moving onto table features (3/7): the old versions' implicit
-    // features become the explicit listing, per the table-features spec
+    // moving onto table features: the old versions' implicit features
+    // become the explicit listing, per the table-features spec. Writer 7
+    // with reader < 3 is the spec's writerFeatures-only form — reader
+    // capabilities stay implicit in the reader version number, so a
+    // requested (1,7)/(2,7) must NOT be silently raised to (3,7) (that
+    // would lock out legacy readers for no reason).
     val target =
-      if (readerVersion == 3 || writerVersion == 7)
+      if (readerVersion == 3)
         Protocol(3, 7,
           Some(p.readerFeatures.getOrElse(Set.empty) ++
             Protocol.readerImplicits(p.minReaderVersion)),
+          Some(p.writerFeatures.getOrElse(Set.empty) ++
+            Protocol.writerImplicits(p.minWriterVersion)))
+      else if (writerVersion == 7)
+        Protocol(readerVersion, 7, None,
           Some(p.writerFeatures.getOrElse(Set.empty) ++
             Protocol.writerImplicits(p.minWriterVersion)))
       else p.copy(minReaderVersion = readerVersion,
@@ -1838,10 +1846,22 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         s"dropping reader+writer feature $name requires TRUNCATE HISTORY: " +
           "historical commits may still use it")
       deltaLog.truncateHistory(s)
+      // checkpointProtection (public spec): commits at or below the drop
+      // boundary may still reference the dropped feature's protocol —
+      // forbid OTHER writers from checkpointing below it, and make
+      // routine log cleanup sweep the region atomically. The boundary is
+      // the version this commit lands at; a retry can only land HIGHER,
+      // and a lower-than-actual boundary is still sound (it protects a
+      // superset of nothing it shouldn't).
+      txn.updateMetadata(txn.metadata.copy(configuration =
+        txn.metadata.configuration +
+          (DeltaConfig.RequireCheckpointProtectionBeforeVersion.key ->
+            (txn.readVersion + 1).toString)))
     }
     val newProtocol = p.copy(
       readerFeatures = p.readerFeatures.map(_ - name),
-      writerFeatures = p.writerFeatures.map(_ - name))
+      writerFeatures = p.writerFeatures.map(w =>
+        if (inReader) w - name + "checkpointProtection" else w - name))
     txn.commit(Seq(newProtocol), Op.DropFeature,
       operationParameters = Map("feature" -> name,
         "truncateHistory" -> truncateHistory.toString))
@@ -1904,6 +1924,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         flag(DeltaConfig.InCommitTimestamps.fromMetadata(md),
           "delta.enableInCommitTimestamps=true")
       case "vacuumProtocolCheck" => Nil // pure gate, no table footprint
+      case "checkpointProtection" =>
+        flag(DeltaConfig.RequireCheckpointProtectionBeforeVersion
+            .fromMetadata(md) > 0L,
+          "delta.requireCheckpointProtectionBeforeVersion is set " +
+            "(clear it once the protected region has been cleaned)")
       case _ => Nil
     }
   }

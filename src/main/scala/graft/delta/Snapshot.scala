@@ -396,7 +396,8 @@ object Snapshot {
       "generatedColumns", "columnMapping", "deletionVectors",
       "identityColumns", "vacuumProtocolCheck", "domainMetadata",
       "rowTracking", "v2Checkpoint", "typeWidening", "timestampNtz",
-      "inCommitTimestamp", "allowColumnDefaults", "variantType")
+      "inCommitTimestamp", "allowColumnDefaults", "variantType",
+      "checkpointProtection")
   final class InvalidProtocolVersionException(msg: String)
     extends RuntimeException(msg)
   /** Recursively nullable variant of a schema (StructType.asNullable is

@@ -387,7 +387,9 @@ object Relational {
         .withColumn("purchase_event_id", last($"p_event_id", ignoreNulls = true).over(w))
         .withColumn("purchase_value", last($"p_value", ignoreNulls = true).over(w))
         .filter($"is_err" === 1)
-        .select($"event_id", $"user_id", $"ts", $"purchase_event_id", $"purchase_value")
+        // TIMESTAMP_NTZ: dump type independent of writer conf (UTC session)
+        .select($"event_id", $"user_id", $"ts".cast("timestamp_ntz").as("ts"),
+          $"purchase_event_id", $"purchase_value")
         .orderBy($"event_id")
     }, Some("""
       SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,

@@ -831,14 +831,23 @@ class GraftMetadataOnlyCountRule(spark: SparkSession) extends Rule[LogicalPlan] 
     // stats (a valid BOUND for skipping, but not the exact extremum)
     case Alias(AggregateExpression(
         org.apache.spark.sql.catalyst.expressions.aggregate.Min(a: AttributeReference),
-        Complete, false, None, _), _) if a.dataType != StringType =>
+        Complete, false, None, _), _) if statsExact(a.dataType) =>
       Some(MetaMin(a.name, a.dataType))
     case Alias(AggregateExpression(
         org.apache.spark.sql.catalyst.expressions.aggregate.Max(a: AttributeReference),
-        Complete, false, None, _), _) if a.dataType != StringType =>
+        Complete, false, None, _), _) if statsExact(a.dataType) =>
       Some(MetaMax(a.name, a.dataType))
     case _ => None
   }
+
+  /** Types whose footer min/max IS the exact extremum. Float/Double are
+    * excluded alongside String: parquet NaN handling differs from
+    * Spark's (Spark MIN/MAX order NaN largest; footer stats may be
+    * NaN-contaminated or NaN-skipped), so a NaN-bearing column could
+    * answer wrong from stats.
+    */
+  private def statsExact(dt: DataType): Boolean =
+    dt != StringType && dt != FloatType && dt != DoubleType
 
   /** The graft snapshot under `plan` when nothing row-changing sits in
     * between (column-pruning Projects only). Both read paths count: the
@@ -917,7 +926,10 @@ class GraftMetadataOnlyCountRule(spark: SparkSession) extends Rule[LogicalPlan] 
       if (nFiles == 0L) Some(0L)
       else if (haveAllNr) Some(r.getLong(r.fieldIndex("t")))
       else None
-    val anyDv = nFiles > 0L && haveAllNr && r.getLong(r.fieldIndex("dvs")) > 0L
+    // independent of haveAllNr: dv is coalesced to 0 so the sum is always
+    // defined — a foreign table with partial numRecords stats but a DV
+    // must still refuse MIN/MAX (the DV may have deleted the extremum)
+    val anyDv = nFiles > 0L && r.getLong(r.fieldIndex("dvs")) > 0L
     def minMax(c: String, isMin: Boolean): Option[Any] =
       if (nFiles == 0L || anyDv ||
           r.getLong(r.fieldIndex(s"nmn_$c")) != nFiles) None

@@ -189,6 +189,22 @@ class DeltaStreamSource(
   // roughly in arrival order already, which is delta-spark's contract
   // too (the option governs the initial snapshot only).
 
+  // Stats minValues are compared as STRINGS below — exact for ISO
+  // timestamp/date stats, silently wrong for numerics ("10" < "9"),
+  // which would reintroduce the very watermark-drop hazard the option
+  // exists to prevent. Reject anything but temporal columns up front.
+  eventTimeOrderColumn.foreach { c =>
+    val dt = log.snapshot.metadata.schema.fields
+      .find(_.name == c).map(_.dataType)
+    require(dt.nonEmpty, s"eventTimeOrderColumn '$c' not in table schema")
+    require(dt.exists(t => t == org.apache.spark.sql.types.TimestampType ||
+        t == org.apache.spark.sql.types.TimestampNTZType ||
+        t == org.apache.spark.sql.types.DateType),
+      s"eventTimeOrderColumn '$c' must be a timestamp or date column " +
+        s"(got ${dt.get.simpleString}: its stats do not sort " +
+        "lexicographically in event-time order)")
+  }
+
   private val initialSnapshotEnd: Long =
     if (eventTimeOrderColumn.isEmpty) -1L else log.update().version
 
@@ -239,6 +255,15 @@ class DeltaStreamSource(
     if (!active) return None
     val endV = cursor.map(_.version).getOrElse(initialSnapshotEnd)
     val files = snapshotFiles(endV)
+    if (files.isEmpty) {
+      // Empty initial snapshot (fresh table, or an all-change-commit
+      // backlog under skipChangeCommits): mark the phase COMPLETE so the
+      // normal tail path admits commits made after stream start — a bare
+      // Some(None) here would hold the phase active forever and stall
+      // the stream.
+      cursor = Some(DeltaSourceOffset(endV, 0, snap = true))
+      return None
+    }
     val from = cursor.map(_.index.toInt).getOrElse(0)
     val maxF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
     val maxB = maxBytesPerTrigger.getOrElse(Long.MaxValue)

@@ -74,8 +74,10 @@ object Streams {
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"),
           (sum(cents($"value")).cast("double") / lit(100.0)).as("sum_value"))
+      // TIMESTAMP_NTZ: dump type independent of writer conf (UTC session)
       runToMemory(agg, "complete")
-        .select($"window.start".as("win_start"), $"event_type", $"n", $"sum_value")
+        .select($"window.start".cast("timestamp_ntz").as("win_start"),
+          $"event_type", $"n", $"sum_value")
         .orderBy($"win_start", $"event_type")
     }, Some("""
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
@@ -626,7 +628,10 @@ object Streams {
         .toDF("user_id", "n_purchases", "last3_sum")
       // transformWithState requires the RocksDB state store
       val pk = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(pk)
+      // getAll, not getOption: getOption resolves the registered DEFAULT,
+      // so restoring it would materialize the default as an explicit
+      // session setting instead of unsetting (RegistrySuite pins this)
+      val prev = s.conf.getAll.get(pk)
       s.conf.set(pk,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val sink =
@@ -667,33 +672,47 @@ object Streams {
     GQ("stream_event_order", (s, d) => {
       import s.implicits._
       // INT96 (the legacy default) has no usable footer stats; the
-      // ordering needs annotated INT64 timestamps (see DeltaStreamSource)
-      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      val typed = QueryDefs.events(s, d)
-      val mxUs = typed.agg(max(unix_micros($"ts"))).head().getLong(0)
-      def tsAt(us: Long) = timestamp_micros(lit(us))
-      val cut36 = mxUs - 36L * 3600 * 1000000
-      val cut72 = mxUs - 72L * 3600 * 1000000
-      val dir = QueryDefs.scratchDir("graft-eto-table").toString
-      val t = graft.delta.DeltaTable.forPath(s, dir)
-      Seq($"ts" > tsAt(cut72) && $"ts" <= tsAt(cut36), // middle ages first
-          $"ts" > tsAt(cut36),                         // newest second
-          $"ts" <= tsAt(cut72))                        // oldest LAST
-        .foreach(p => t.write(typed.filter(p).coalesce(1)))
-      val stream = s.readStream
-        .format("graft.streaming.DeltaStreamSourceProvider")
-        .option("path", dir)
-        .option("withEventTimeOrder", "true")
-        .option("eventTimeOrderColumn", "ts")
-        .option("maxFilesPerTrigger", "1")
-        .load()
-        .withWatermark("ts", "24 hours")
-        .groupBy(window($"ts", "1 hour"), $"event_type")
-        .agg(count(lit(1)).as("n"),
-          (sum(cents($"value")).cast("double") / lit(100.0)).as("sum_value"))
-      runToMemory(stream, "append")
-        .select($"window.start".as("win_start"), $"event_type", $"n", $"sum_value")
-        .orderBy($"win_start", $"event_type")
+      // ordering needs annotated INT64 timestamps (see DeltaStreamSource).
+      // Session conf MUST be restored: Verify runs every query on one
+      // shared session, and an escaped TIMESTAMP_MICROS flips later
+      // queries' parquet dumps from naive INT96 to UTC-adjusted micros
+      // (the r13 regression — 3 oracle rows went red).
+      val otk = "spark.sql.parquet.outputTimestampType"
+      val otPrev = s.conf.getAll.get(otk) // explicit-only (see D15 note)
+      s.conf.set(otk, "TIMESTAMP_MICROS")
+      try {
+        val typed = QueryDefs.events(s, d)
+        val mxUs = typed.agg(max(unix_micros($"ts"))).head().getLong(0)
+        def tsAt(us: Long) = timestamp_micros(lit(us))
+        val cut36 = mxUs - 36L * 3600 * 1000000
+        val cut72 = mxUs - 72L * 3600 * 1000000
+        val dir = QueryDefs.scratchDir("graft-eto-table").toString
+        val t = graft.delta.DeltaTable.forPath(s, dir)
+        Seq($"ts" > tsAt(cut72) && $"ts" <= tsAt(cut36), // middle ages first
+            $"ts" > tsAt(cut36),                         // newest second
+            $"ts" <= tsAt(cut72))                        // oldest LAST
+          .foreach(p => t.write(typed.filter(p).coalesce(1)))
+        val stream = s.readStream
+          .format("graft.streaming.DeltaStreamSourceProvider")
+          .option("path", dir)
+          .option("withEventTimeOrder", "true")
+          .option("eventTimeOrderColumn", "ts")
+          .option("maxFilesPerTrigger", "1")
+          .load()
+          .withWatermark("ts", "24 hours")
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            (sum(cents($"value")).cast("double") / lit(100.0)).as("sum_value"))
+        // TIMESTAMP_NTZ: the dumped type never depends on writer conf
+        // (session TZ is pinned UTC, so the cast is value-preserving)
+        runToMemory(stream, "append")
+          .select($"window.start".cast("timestamp_ntz").as("win_start"),
+            $"event_type", $"n", $"sum_value")
+          .orderBy($"win_start", $"event_type")
+      } finally otPrev match {
+        case Some(v) => s.conf.set(otk, v)
+        case None => s.conf.unset(otk)
+      }
     }, Some("""
       WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
       c AS (SELECT MAX(epoch_us(ts)) AS mx_us FROM e),

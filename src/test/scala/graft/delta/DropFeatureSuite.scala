@@ -85,6 +85,11 @@ class DropFeatureSuite extends AnyFunSuite {
     // history below the drop is physically gone
     intercept[Exception](t.toDF(0).count())
     assert(t.deltaLog.update().version == vDrop)
+    // the drop stamps checkpointProtection: later writers must not
+    // checkpoint below the boundary, cleanup sweeps it atomically
+    assert(p.writerFeatures.exists(_.contains("checkpointProtection")), p.toString)
+    assert(DeltaConfig.RequireCheckpointProtectionBeforeVersion
+      .fromMetadata(t.snapshot.metadata) == vDrop)
   }
 
   test("upgradeTableProtocol: upgrades list implicit features; downgrades refused") {
@@ -108,6 +113,26 @@ class DropFeatureSuite extends AnyFunSuite {
     import spark.implicits._
     t.write(Seq((9L, "z", 90)).toDF("id", "name", "score"))
     assert(t.toDF.count() == 3)
+  }
+
+  test("upgradeTableProtocol: writer 7 with reader < 3 stays writerFeatures-only") {
+    // The spec's writerFeatures-only form: writer 7 does NOT require
+    // reader 3 — forcing (3,7) would lock out legacy readers for nothing.
+    val t = seeded()
+    t.upgradeTableProtocol(1, 7)
+    val p = t.snapshot.protocol
+    assert(p.minReaderVersion == 1 && p.minWriterVersion == 7, p.toString)
+    assert(p.readerFeatures.isEmpty, p.toString)
+    assert(p.writerFeatures.exists(f => f("appendOnly") && f("invariants")),
+      p.toString)
+    // table remains writable; reader-version gate untouched
+    import spark.implicits._
+    t.write(Seq((9L, "z", 90)).toDF("id", "name", "score"))
+    assert(t.toDF.count() == 3)
+    // and a later (3,7) upgrade still lists reader features explicitly
+    t.upgradeTableProtocol(3, 7)
+    val p2 = t.snapshot.protocol
+    assert(p2.minReaderVersion == 3 && p2.readerFeatures.isDefined, p2.toString)
   }
 
   test("SQL: delta.minReaderVersion/minWriterVersion TBLPROPERTIES upgrade the protocol") {

@@ -101,6 +101,59 @@ class MetadataOnlyCountSuite extends AnyFunSuite {
     assert(c.head().getLong(0) == 129L)
   }
 
+  test("Float/Double MIN/MAX are excluded (NaN semantics differ from footer stats)") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((1L, 1.5), (2L, Double.NaN), (3L, -2.0)).toDF("id", "x"))
+    val base = spark.read.format("graft-delta").load(dir)
+    // double extrema must scan: Spark orders NaN largest, parquet footer
+    // stats may be NaN-contaminated or NaN-skipped
+    val mm = base.agg(min(col("x")), max(col("x")))
+    assert(!optimizedPlan(mm).contains("LocalRelation"), optimizedPlan(mm))
+    val r = mm.head()
+    assert(r.getDouble(0) == -2.0)
+    assert(r.getDouble(1).isNaN, "Spark MAX treats NaN as largest")
+    // the long column on the same table stays metadata-only
+    val lm = base.agg(min(col("id")), max(col("id")))
+    assert(optimizedPlan(lm).contains("LocalRelation"), optimizedPlan(lm))
+    val rl = lm.head()
+    assert(rl.getLong(0) == 1L && rl.getLong(1) == 3L)
+  }
+
+  test("a DV forces MIN/MAX to scan even when some stats lack numRecords") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write((0L until 100L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES " +
+      "('delta.enableDeletionVectors' = 'true')")
+    t.delete(col("id") === 99L) // DV on the original file
+    assert(t.snapshot.allFiles.exists(f => DeletionVectors.descriptor(f).isDefined))
+    // foreign writer adds a copy whose stats carry min/max but NO
+    // numRecords: haveAllNr is false, yet the DV above must STILL veto
+    // stats-answered MIN/MAX (it may have deleted the extremum)
+    val orig = t.snapshot.allFiles.find(f => DeletionVectors.descriptor(f).isDefined).get
+    val src = java.nio.file.Paths.get(dir, orig.path)
+    val dst = java.nio.file.Paths.get(dir, "foreign-copy.parquet")
+    java.nio.file.Files.copy(src, dst)
+    val txn = t.deltaLog.startTransaction()
+    txn.commit(Seq(AddFile("foreign-copy.parquet", Map.empty,
+      java.nio.file.Files.size(dst), System.currentTimeMillis(),
+      dataChange = true,
+      stats = """{"minValues":{"id":0},"maxValues":{"id":99}}""")), Op.Write)
+    val base = spark.read.format("graft-delta").load(dir)
+    val mm = base.agg(min(col("id")), max(col("id")))
+    assert(!optimizedPlan(mm).contains("LocalRelation"), optimizedPlan(mm))
+    val r = mm.head()
+    // true extrema from the scan: the copy has a live 99, original's DV'd
+    assert(r.getLong(0) == 0L && r.getLong(1) == 99L)
+    // COUNT also refuses stats here (one file has no numRecords) -> scan
+    val c = base.groupBy().count()
+    assert(!optimizedPlan(c).contains("LocalRelation"), optimizedPlan(c))
+    assert(c.head().getLong(0) == 199L)
+  }
+
   test("filters, grouped counts, and disabled config fall back to the scan") {
     import spark.implicits._
     val dir = tmp()

@@ -502,4 +502,55 @@ class StreamingSuite extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L, 4L, 5L),
       s"expected all 5 backlog rows exactly once, got $ids")
   }
+
+  test("D4: withEventTimeOrder does not stall on an empty initial snapshot") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
+    val dir = Files.createTempDirectory("d4-eto-empty").toString
+    val t = DeltaTable.forPath(spark, dir)
+    val sch = StructType(Seq(
+      StructField("ts", TimestampType), StructField("id", LongType)))
+    val txn0 = t.deltaLog.startTransaction()
+    txn0.updateMetadata(Metadata(schemaString = sch.json))
+    txn0.commit(Nil, Op.CreateTable) // v0 exists, zero AddFiles
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val stream = spark.readStream
+      .format("graft.streaming.DeltaStreamSourceProvider")
+      .option("path", dir)
+      .option("withEventTimeOrder", "true").option("eventTimeOrderColumn", "ts")
+      .load()
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("eto_empty").start()
+    try {
+      // pre-fix: snapshot phase never completed (cursor stuck at None)
+      // and commits made after stream start were never admitted
+      q.processAllAvailable()
+      assert(spark.table("eto_empty").isEmpty)
+      t.write(Seq(("2024-01-01 10:00:00", 1L)).toDF("ts_s", "id")
+        .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+        .select($"ts", $"id"))
+      q.processAllAvailable()
+      assert(spark.table("eto_empty").count() == 1)
+    } finally q.stop()
+  }
+
+  test("D4: numeric eventTimeOrderColumn is rejected (stats sort as strings)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("d4-eto-num").toString
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((9L, 1L), (10L, 2L)).toDF("ev_us", "id"))
+    // "10" < "9" lexicographically: silently wrong ordering would
+    // reintroduce the watermark-drop hazard the option exists to prevent
+    val bad = spark.readStream
+      .format("graft.streaming.DeltaStreamSourceProvider")
+      .option("path", dir)
+      .option("withEventTimeOrder", "true").option("eventTimeOrderColumn", "ev_us")
+      .load().writeStream.format("memory").queryName("eto_num").start()
+    val ex = intercept[Exception] {
+      try bad.processAllAvailable() finally bad.stop()
+    }
+    def msgs(e: Throwable): List[String] =
+      if (e == null) Nil else Option(e.getMessage).toList ++ msgs(e.getCause)
+    assert(msgs(ex).exists(_.contains("timestamp or date")), ex.toString)
+  }
 }
