@@ -61,7 +61,7 @@ object Bench {
     // interleaving spreads the burst across the suite so each query's
     // min keeps at least one quiet-period measurement.
     var errs = Map.empty[String, String]
-    val passTimes: Seq[Seq[(String, Option[Double])]] = (1 to Runs).map { _ =>
+    def runPass(): Seq[(String, Option[Double])] =
       SparkEntry.benchQueries.map { name =>
         val t0 = System.nanoTime()
         try {
@@ -73,6 +73,28 @@ object Bench {
             name -> None
         }
       }
+    var passTimes: Seq[Seq[(String, Option[Double])]] = (1 to Runs).map(_ => runPass())
+    // Busy-box detector (round-13 lesson: the driver's run was +20%
+    // UNIFORMLY across 17 unchanged queries — machine load, not code).
+    // A real plan change moves specific queries; host noise moves nearly
+    // all of them together. When ≥80% of the queries shared with the
+    // last same-sf history entry are >15% slower, take ONE extra
+    // interleaved pass so each query gets another shot at a quiet window
+    // before the minima are published.
+    val prevSameSf = lastSameSf(sfDir)
+    val curMin: Map[String, Double] = SparkEntry.benchQueries.flatMap { n =>
+      val ts = passTimes.flatMap(_.collectFirst { case (`n`, Some(t)) => t })
+      if (ts.isEmpty) None else Some(n -> ts.min)
+    }.toMap
+    val ratios = curMin.flatMap { case (n, c) =>
+      prevSameSf.get(n).collect { case p if p > 0 => c / p }
+    }.toSeq
+    if (ratios.size >= 5 && ratios.count(_ > 1.15).toDouble / ratios.size >= 0.8) {
+      System.err.println(
+        f"[bench] uniform slowdown vs last same-sf entry (median ratio " +
+          f"${ratios.sorted.apply(ratios.size / 2)}%.2f over ${ratios.size} queries) — " +
+          "busy-box signature, taking one extra pass")
+      passTimes = passTimes :+ runPass()
     }
     val samples: Seq[(String, Seq[Double], Option[String])] =
       SparkEntry.benchQueries.map { name =>
@@ -98,6 +120,27 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$rs,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** Latest same-sf history entry's per-query minima (advisory: empty on
+    * any read problem). Shared by the busy-box detector and the
+    * regression compare.
+    */
+  private def lastSameSf(sfDir: String): Map[String, Double] = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import scala.jdk.CollectionConverters._
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.json")
+    try {
+      val f = new java.io.File(path)
+      if (!f.exists()) return Map.empty
+      val runs = new ObjectMapper().readTree(f).get("runs")
+      if (runs == null || !runs.isArray) return Map.empty
+      (runs.size() - 1 to 0 by -1).iterator.map(runs.get)
+        .find(r => r.get("sf") != null && r.get("sf").asText() == sfDir)
+        .flatMap(r => Option(r.get("queries")))
+        .map(_.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap)
+        .getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
   }
 
   /** Compare against the last recorded run in BENCH_HISTORY.json, warn

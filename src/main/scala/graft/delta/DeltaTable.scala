@@ -1398,7 +1398,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
   /** Σ numRecords over `files` from their stats; None when any file
     * lacks them (metrics must be exact or absent, never guessed).
     */
-  private def rowsFromStats(files: Seq[AddFile]): Option[Long] = {
+  private[delta] def rowsFromStats(files: Seq[AddFile]): Option[Long] = {
     val counts = files.map(f => Stats.numRecords(f.stats))
     if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }

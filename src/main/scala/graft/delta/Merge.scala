@@ -141,6 +141,41 @@ final class MergeBuilder private[delta] (
     bySource += ((Some(clauseCondition), BDelete)); this
   }
 
+  /** Exact row-level operationMetrics (delta-spark observability
+    * parity), from ONE aggregation over the already-persisted clause
+    * join — a map-side reduction over cached partitions, cheap next to
+    * the rewrite — plus one count of the source. Copied rows exist only
+    * on the rewrite path (merge-on-read leaves pass-through rows in
+    * their files).
+    */
+  private def rowMetrics(joined: DataFrame, mT: Column, mS: Column,
+      dvOn: Boolean): Map[String, String] = {
+    def cnt(c: Column): Column = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    def inSet(c: Column, s: Seq[Int]): Column =
+      if (s.isEmpty) lit(false) else c.isInCollection(s)
+    val updM = matched.zipWithIndex.collect { case ((_, a), i) if a != MDelete => i }.toSeq
+    val delM = matched.zipWithIndex.collect { case ((_, MDelete), i) => i }.toSeq
+    val updB = bySource.zipWithIndex.collect { case ((_, BUpdate(_)), k) => k }.toSeq
+    val delB = bySource.zipWithIndex.collect { case ((_, BDelete), k) => k }.toSeq
+    val r = joined.agg(
+      cnt(inSet(col("__mc"), updM) || inSet(col("__bc"), updB)).as("u"),
+      cnt(inSet(col("__mc"), delM) || inSet(col("__bc"), delB)).as("d"),
+      cnt(col("__nc") >= 0).as("i"),
+      cnt(mT && ((mS && col("__mc") === -1) || (!mS && col("__bc") === -1)))
+        .as("c")).head()
+    val u = r.getLong(r.fieldIndex("u"))
+    val d = r.getLong(r.fieldIndex("d"))
+    val i = r.getLong(r.fieldIndex("i"))
+    val c = if (dvOn) 0L else r.getLong(r.fieldIndex("c"))
+    Map(
+      "numSourceRows" -> source.count().toString,
+      "numTargetRowsUpdated" -> u.toString,
+      "numTargetRowsDeleted" -> d.toString,
+      "numTargetRowsInserted" -> i.toString,
+      "numTargetRowsCopied" -> c.toString,
+      "numOutputRows" -> (u + i + c).toString)
+  }
+
   def execute(): Long = {
     val spark = t.spark
     val log = t.deltaLog
@@ -272,8 +307,15 @@ final class MergeBuilder private[delta] (
         if (cdfOn) DeltaTable.writeCdcFiles(spark, log.dataPath,
           frames.map(_.withColumn("_change_type", lit("insert"))).reduce(_ unionByName _))
         else Nil
+      // inserted rows come free from the written files' stats
+      val ins = t.rowsFromStats(adds).getOrElse(0L)
       return txn.commit(adds ++ cdc ++ txnActions, Op.Merge,
-        operationParameters = Map("predicate" -> condition.toString))
+        operationParameters = Map("predicate" -> condition.toString),
+        operationMetrics = Map(
+          "numSourceRows" -> source.count().toString,
+          "numTargetRowsInserted" -> ins.toString,
+          "numTargetRowsUpdated" -> "0", "numTargetRowsDeleted" -> "0",
+          "numTargetRowsCopied" -> "0", "numOutputRows" -> ins.toString))
     }
 
     // ---- phase 2: rewrite only the touched files
@@ -399,7 +441,8 @@ final class MergeBuilder private[delta] (
       if (allActions.isEmpty) txn.readVersion // no clause applied anywhere
       else txn.commit(allActions, Op.Merge,
         operationParameters = Map("predicate" -> condition.toString) ++
-          (if (dvOn) Map("mode" -> "deletion-vectors") else Map.empty))
+          (if (dvOn) Map("mode" -> "deletion-vectors") else Map.empty),
+        operationMetrics = rowMetrics(joined, mT, mS, dvOn))
     } finally joined.unpersist()
   }
 }

@@ -1045,6 +1045,103 @@ object Similarity {
         CAST(h.n_hit AS DOUBLE) / ${K}.0 AS recall
       FROM hits h LEFT JOIN na ON h.q_id = na.q_id
       ORDER BY h.q_id""")
-    })
+    }),
+
+    // C63 ---------------------------------------------------------------
+    // nprobe sweep: the recall/cost CURVE of the trained IVF index —
+    // recall@K and scanned-candidate count for nprobe ∈ {1,2,4} against
+    // the exact top-K, from the SAME trained quantizer as C37/C39. This
+    // is the calibration table an operator reads to pick nprobe at
+    // 100 TB: scanned grows ~linearly with nprobe (nprobe/C of the
+    // corpus per query), recall converges to 1 — the knee is the
+    // operating point. Candidates are computed ONCE with each cell's
+    // probe rank attached; each sweep point is a filter over that
+    // checkpointed pair set, so the corpus is scanned once, not three
+    // times.
+    GQ("ann_nprobe_curve", (s, d) => {
+      import s.implicits._
+      val v = normed(s, d).persist()
+      val cents = trainLloyd2(s, v)
+      val assigned = assignByCentroids(v, cents).transform(stableCheckpoint)
+      v.unpersist()
+      val qe = assigned.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"))
+      val exact = assigned
+        .select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"))
+        .join(broadcast(qe), $"c_id" =!= $"q_id")
+        .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn"))
+        .groupBy($"q_id")
+        .agg(graft.functions.TopKExpressions.topKByScore($"cosine", $"c_id", K).as("top"))
+        .select($"q_id", expr("transform(top, x -> x.id)").as("e_ids"))
+      // per-query probe order over the trained centroids (NQ×C rows)
+      val probes = assigned.filter($"vec_id" < NumQueries)
+        .crossJoin(broadcast(centroidsRow(s, cents)))
+        .select($"vec_id".as("q_id"), $"e".as("qv"), explode($"__cents").as("ct"))
+        .withColumn("d2", $"ct.cc" - lit(2.0) * dotD($"qv", $"ct.c"))
+        .withColumn("prank", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"d2", $"ct.cell")))
+        .filter($"prank" <= 4)
+        .select($"q_id", $"ct.cell".as("cell"), $"prank")
+      val cand = assigned
+        .select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"), $"cell")
+        .join(broadcast(probes), Seq("cell"))
+        .filter($"c_id" =!= $"q_id")
+        .join(broadcast(qe), Seq("q_id"))
+        .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn"))
+        .select($"q_id", $"c_id", $"prank", $"cosine")
+        .transform(stableCheckpoint)
+      val curve = Seq(1, 2, 4).map { np =>
+        val ap = cand.filter($"prank" <= np)
+          .groupBy($"q_id")
+          .agg(graft.functions.TopKExpressions.topKByScore($"cosine", $"c_id", K).as("top"),
+            count(lit(1)).as("scanned_q"))
+          .select($"q_id", expr("transform(top, x -> x.id)").as("a_ids"), $"scanned_q")
+        exact.join(ap, Seq("q_id"), "left")
+          .agg(
+            coalesce(sum($"scanned_q"), lit(0L)).as("scanned"),
+            coalesce(sum(coalesce(
+              size(array_intersect($"e_ids", $"a_ids")).cast("long"), lit(0L))),
+              lit(0L)).as("n_hit"))
+          .select(lit(np).as("nprobe"), $"scanned", $"n_hit",
+            ($"n_hit".cast("double") / lit((NumQueries * K).toDouble)).as("recall"))
+      }
+      curve.reduce(_ unionByName _).orderBy($"nprobe")
+    }, Some(s"""
+      WITH n AS ($duckNormed),
+      $trainedCtes,
+      ex AS (SELECT q_id, c_id FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${duckDot("q.e", "c.e")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rn
+          FROM n q JOIN n c ON q.vec_id < $NumQueries AND c.vec_id != q.vec_id)
+        WHERE rn <= $K),
+      probes AS (SELECT q_id, cell, prank FROM (
+          SELECT v.vec_id AS q_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              ${duckDot("c.c", "c.c")} - 2*${duckDot("v.e", "c.c")}, c.cell) AS prank
+          FROM n v, c2 c WHERE v.vec_id < $NumQueries)
+        WHERE prank <= 4),
+      cand AS (SELECT p.q_id, c.vec_id AS c_id, p.prank,
+          ${duckDot("q.e", "c.e")} / (q.nrm * c.nrm) AS cosine
+        FROM probes p
+        JOIN a2 c ON c.cell = p.cell AND c.vec_id != p.q_id
+        JOIN n q ON q.vec_id = p.q_id),
+      nps AS (SELECT unnest([1, 2, 4]) AS np),
+      ap AS (SELECT np, q_id, c_id FROM (
+          SELECT nps.np, cand.q_id, cand.c_id,
+            ROW_NUMBER() OVER (PARTITION BY nps.np, cand.q_id
+              ORDER BY cand.cosine DESC, cand.c_id) AS rn
+          FROM nps, cand WHERE cand.prank <= nps.np)
+        WHERE rn <= $K),
+      sc AS (SELECT nps.np, CAST(COUNT(*) AS BIGINT) AS scanned
+             FROM nps, cand WHERE cand.prank <= nps.np GROUP BY nps.np),
+      hits AS (SELECT a.np, CAST(COUNT(*) AS BIGINT) AS n_hit
+               FROM ap a JOIN ex e ON a.q_id = e.q_id AND a.c_id = e.c_id
+               GROUP BY a.np)
+      SELECT CAST(s.np AS INTEGER) AS nprobe, s.scanned,
+        COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+        CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / ${NumQueries * K}.0 AS recall
+      FROM sc s LEFT JOIN hits h ON s.np = h.np
+      ORDER BY nprobe"""))
   )
 }

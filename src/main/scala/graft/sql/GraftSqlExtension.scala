@@ -1231,6 +1231,42 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
   * partitioning / TBLPROPERTIES, then the catalog entry is recorded —
   * CREATE TABLE is itself a logged commit, like every other writer.
   */
+/** Spark's V1 session-catalog path stores `CREATE TABLE ... CLUSTER BY`
+  * as a `clusteringColumns` table property holding a JSON array of
+  * field-name paths (`[["a"],["b","c"]]` = columns `a` and `b.c`).
+  * Translate it into the delta-native `delta.clusteringColumns` comma
+  * list so the created log already declares clustering (A44) and plain
+  * OPTIMIZE re-clusters from the first maintenance run.
+  */
+private[sql] object ClusterByProperty {
+  def extract(props: Map[String, String],
+      schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String]): (Option[String], Map[String, String]) =
+    props.get("clusteringColumns") match {
+      case None => (None, props)
+      case Some(json) =>
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        require(node.isArray, s"bad clusteringColumns property: $json")
+        val cols = (0 until node.size).map { i =>
+          val part = node.get(i)
+          require(part.isArray && part.size > 0,
+            s"bad clusteringColumns property: $json")
+          (0 until part.size).map(part.get(_).asText).mkString(".")
+        }
+        val fieldNames = schema.fieldNames
+        cols.foreach { c =>
+          val top = c.split('.').head
+          require(fieldNames.exists(_.equalsIgnoreCase(top)),
+            s"clustering column $c not found in schema " +
+              s"(${fieldNames.mkString(", ")})")
+          require(!partitionCols.exists(_.equalsIgnoreCase(c)),
+            s"clustering column $c is a partition column")
+        }
+        (if (cols.isEmpty) None else Some(cols.mkString(",")),
+          props - "clusteringColumns")
+    }
+}
+
 case class GraftCreateTableCommand(
     table: org.apache.spark.sql.catalyst.catalog.CatalogTable,
     ignoreIfExists: Boolean) extends LeafRunnableCommand {
@@ -1256,11 +1292,14 @@ case class GraftCreateTableCommand(
       // fails so a half-created table doesn't linger.
       catalog.createTable(entry, ignoreIfExists = false)
       try {
+        val (cluster, props) = ClusterByProperty.extract(
+          table.properties, table.schema, table.partitionColumnNames)
         val txn = t.deltaLog.startTransaction()
         txn.updateMetadata(graft.delta.Metadata(
           schemaString = table.schema.json,
           partitionColumns = table.partitionColumnNames,
-          configuration = table.properties,
+          configuration = props ++
+            cluster.map(graft.delta.DeltaConfig.ClusteringColumns.key -> _),
           createdTime = Some(t.deltaLog.clock.nowMillis)))
         txn.commit(Nil, Op.CreateTable)
       } catch { case e: Throwable =>
@@ -1279,6 +1318,58 @@ case class GraftCreateTableCommand(
             s"existing graft-delta table (${md.schema.fieldNames.mkString(",")}) at $path")
       else entry = entry.copy(schema = md.schema)
       catalog.createTable(entry, ignoreIfExists = false)
+    }
+    Nil
+  }
+}
+
+/** `CREATE TABLE t USING graft-delta CLUSTER BY (cols) AS SELECT ...`:
+  * the V1 CTAS path drops table properties before they reach the log
+  * (`createRelation` only sees storage options), so a clustered CTAS is
+  * intercepted whole — catalog entry, CreateTable commit carrying
+  * `delta.clusteringColumns`, then the data write. Un-clustered CTAS
+  * keeps the stock path.
+  */
+case class GraftCtasClusteredCommand(
+    table: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+    mode: SaveMode, query: LogicalPlan,
+    outputColumnNames: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val catalog = spark.sessionState.catalog
+    if (catalog.tableExists(table.identifier)) {
+      if (mode == SaveMode.Ignore) return Nil
+      throw new IllegalStateException(s"table ${table.identifier} already exists")
+    }
+    var df = GraftShims.ofRows(spark, query)
+    if (outputColumnNames.nonEmpty && outputColumnNames.size == df.columns.length)
+      df = df.toDF(outputColumnNames: _*)
+    val relaxed = graft.delta.Snapshot.nullable(df.schema)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val (cluster, props) = ClusterByProperty.extract(
+      table.properties, relaxed, table.partitionColumnNames)
+    val managed = table.storage.locationUri.isEmpty
+    val loc = table.storage.locationUri
+      .getOrElse(catalog.defaultTablePath(table.identifier))
+    val path = new org.apache.hadoop.fs.Path(loc).toString
+    val t = DeltaTable.forPath(spark, path)
+    var entry = table.copy(schema = relaxed)
+    if (!managed)
+      entry = entry.copy(storage = entry.storage.copy(locationUri = Some(loc)))
+    catalog.createTable(entry, ignoreIfExists = false)
+    try {
+      val txn = t.deltaLog.startTransaction()
+      txn.updateMetadata(graft.delta.Metadata(
+        schemaString = relaxed.json,
+        partitionColumns = table.partitionColumnNames,
+        configuration = props ++
+          cluster.map(graft.delta.DeltaConfig.ClusteringColumns.key -> _),
+        createdTime = Some(t.deltaLog.clock.nowMillis)))
+      txn.commit(Nil, Op.CreateTable)
+      t.write(df)
+    } catch { case e: Throwable =>
+      try catalog.dropTable(table.identifier, ignoreIfNotExists = true, purge = false)
+      catch { case _: Exception => () }
+      throw e
     }
     Nil
   }
@@ -1624,6 +1715,12 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case c: org.apache.spark.sql.execution.command.CreateDataSourceTableCommand
         if c.table.provider.exists(_.equalsIgnoreCase("graft-delta")) =>
       GraftCreateTableCommand(c.table, c.ignoreIfExists)
+
+    // clustered CTAS only — plain CTAS keeps the stock V1 write path
+    case c: org.apache.spark.sql.execution.command.CreateDataSourceTableAsSelectCommand
+        if c.table.provider.exists(_.equalsIgnoreCase("graft-delta")) &&
+          c.table.properties.contains("clusteringColumns") =>
+      GraftCtasClusteredCommand(c.table, c.mode, c.query, c.outputColumnNames)
 
     case i: InsertIntoHadoopFsRelationCommand
         if i.fileIndex.exists(_.isInstanceOf[DeltaFileIndex]) =>

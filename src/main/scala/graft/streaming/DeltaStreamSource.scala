@@ -134,8 +134,24 @@ class DeltaStreamSource(
     getOffset.orNull
   }
 
-  override def schema: StructType =
-    DeltaStreamSource.sourceSchema(log.snapshot.metadata.schema, cdf)
+  // Pinned at stream start: Structured Streaming analyzes the plan once,
+  // so a mid-stream ADD COLUMNS / RENAME cannot be absorbed — batches
+  // must keep this shape or fail LOUDLY asking for a restart (the
+  // delta-spark contract; a silent projection would drop the new column
+  // from the feed).
+  private val declaredSchema: StructType =
+    DeltaStreamSource.sourceSchema(log.update().metadata.schema, cdf)
+
+  override def schema: StructType = declaredSchema
+
+  private def assertSchemaUnchanged(batchSchema: StructType): Unit = {
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    if (shape(batchSchema) != shape(declaredSchema))
+      throw new IllegalStateException(
+        s"the schema of $path changed during the stream " +
+          s"(${declaredSchema.simpleString} -> ${batchSchema.simpleString}); " +
+          "restart the query to pick up the evolved schema")
+  }
 
   /** The appends-only contract, enforced loudly (matching Delta's own
     * source): a commit that REMOVES data files would silently re-stream
@@ -379,6 +395,7 @@ class DeltaStreamSource(
         if (fromVersion > endOff.version)
           spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
         else DeltaTable.forPath(spark, path).tableChanges(fromVersion, endOff.version)
+      assertSchemaUnchanged(batch.schema)
       return GraftShims.asStreamingDF(spark, batch)
     }
     val adds =
@@ -389,6 +406,7 @@ class DeltaStreamSource(
         files.slice(from, endOff.index.toInt)
       } else filesBetween(startOff, endOff)
     val md = log.snapshot.metadata
+    assertSchemaUnchanged(md.schema)
     val batch =
       if (adds.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), md.schema)

@@ -41,6 +41,60 @@ class DmlMetricsSuite extends AnyFunSuite {
     assert(t.toDF.count() == 70)
   }
 
+  test("multi-clause MERGE records exact per-clause row metrics") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    // one file: every target row is in the touched set, so copied rows
+    // are exactly the pass-throughs (ids 0..49)
+    t.write((0L until 100L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1))
+    val src = (50L until 150L).map(i => (i, i * 1000L)).toDF("id", "nv")
+    t.merge(src, expr("t.id = s.id"))
+      .whenMatchedDelete(expr("s.id < 60"))
+      .whenMatchedUpdate(Map("v" -> col("s.nv")))
+      .whenNotMatchedInsert(Map("id" -> col("s.id"), "v" -> col("s.nv")))
+      .execute()
+    val m = lastMetrics(t)
+    assert(m.get("numSourceRows").contains("100"), m.toString)
+    assert(m.get("numTargetRowsDeleted").contains("10"), m.toString)  // 50..59
+    assert(m.get("numTargetRowsUpdated").contains("40"), m.toString)  // 60..99
+    assert(m.get("numTargetRowsInserted").contains("50"), m.toString) // 100..149
+    assert(m.get("numTargetRowsCopied").contains("50"), m.toString)   // 0..49
+    assert(m.get("numOutputRows").contains("140"), m.toString)
+    assert(t.toDF.count() == 140)
+  }
+
+  test("MERGE metrics cover bySource clauses and the insert-only path") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write((0L until 100L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1))
+    val src = (0L until 10L).map(i => (i, i * 1000L)).toDF("id", "nv")
+    t.merge(src, expr("t.id = s.id"))
+      .whenMatchedUpdate(Map("v" -> col("s.nv")))
+      .whenNotMatchedBySourceDelete(expr("t.id >= 90"))
+      .execute()
+    val m = lastMetrics(t)
+    assert(m.get("numSourceRows").contains("10"), m.toString)
+    assert(m.get("numTargetRowsUpdated").contains("10"), m.toString)
+    assert(m.get("numTargetRowsDeleted").contains("10"), m.toString) // 90..99
+    assert(m.get("numTargetRowsInserted").contains("0"), m.toString)
+    assert(m.get("numTargetRowsCopied").contains("80"), m.toString)
+    assert(t.toDF.count() == 90)
+    // insert-only MERGE (no matches possible): stats-derived inserts
+    val dir2 = tmp()
+    val t2 = DeltaTable.forPath(spark, dir2)
+    t2.write(Seq((0L, 0L)).toDF("id", "v"))
+    t2.merge((1L to 7L).map(i => (i, i)).toDF("id", "nv"),
+        expr("t.id = s.id and t.id < 0"))
+      .whenNotMatchedInsert(Map("id" -> col("s.id"), "v" -> col("s.nv")))
+      .execute()
+    val m2 = lastMetrics(t2)
+    assert(m2.get("numSourceRows").contains("7"), m2.toString)
+    assert(m2.get("numTargetRowsInserted").contains("7"), m2.toString)
+    assert(m2.get("numTargetRowsCopied").contains("0"), m2.toString)
+  }
+
   test("DV DELETE records deleted rows as cardinality growth") {
     import spark.implicits._
     val dir = tmp()

@@ -149,6 +149,77 @@ class GraftDeltaSourceSuite extends AnyFunSuite {
       == Seq("insert"))
   }
 
+  test("readChangeFeed null-fills across an ADD COLUMNS boundary (batch + stream)") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = graft.delta.DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(graft.delta.Metadata(
+      schemaString = Seq((1L, "a")).toDF("id", "v").schema.json,
+      configuration = Map("delta.enableChangeDataFeed" -> "true")))
+    txn.commit(Nil, Op.CreateTable)                              // v0
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))           // v1: inserts
+    spark.sql(s"UPDATE graft.`$dir` SET v = 'a2' WHERE id = 1")  // v2: CDC, old schema
+    t.addColumns(org.apache.spark.sql.types.StructType(Seq(      // v3: evolution
+      org.apache.spark.sql.types.StructField("extra", org.apache.spark.sql.types.LongType))))
+    spark.sql(s"UPDATE graft.`$dir` SET extra = 7 WHERE id = 2") // v4: CDC, new schema
+    val feed = spark.read.format("graft-delta")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(dir)
+    assert(feed.columns.contains("extra"), feed.columns.mkString(","))
+    val rows = feed.select("id", "_change_type", "_commit_version", "extra")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // pre-evolution CDC/data files lack `extra`: null-filled, not failed
+    assert(rows == Set(
+      (1L, "insert", 1L, -1L), (2L, "insert", 1L, -1L),
+      (1L, "update_preimage", 2L, -1L), (1L, "update_postimage", 2L, -1L),
+      (2L, "update_preimage", 4L, -1L), (2L, "update_postimage", 4L, 7L)),
+      rows.toString)
+    // a stream started after the evolution drains the same history with
+    // the evolved schema (restart-after-evolution, delta-spark's contract)
+    val q = spark.readStream.format("graft.streaming.DeltaStreamSourceProvider")
+      .option("path", dir).option("readChangeFeed", "true")
+      .load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdf_evolve").start()
+    try q.processAllAvailable() finally q.stop()
+    val srows = spark.table("cdf_evolve")
+      .select("id", "_change_type", "_commit_version", "extra")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(srows == rows, srows.toString)
+    // a stream RUNNING ACROSS the boundary fails loudly asking for a
+    // restart (silently projecting would drop the new column from the
+    // feed — delta-spark's contract is fail-and-restart)
+    val dir2 = tmp()
+    val t2 = graft.delta.DeltaTable.forPath(spark, dir2)
+    val txn2 = t2.deltaLog.startTransaction()
+    txn2.updateMetadata(graft.delta.Metadata(
+      schemaString = Seq((1L, "a")).toDF("id", "v").schema.json,
+      configuration = Map("delta.enableChangeDataFeed" -> "true")))
+    txn2.commit(Nil, Op.CreateTable)
+    t2.write(Seq((1L, "a")).toDF("id", "v"))
+    val q2 = spark.readStream.format("graft.streaming.DeltaStreamSourceProvider")
+      .option("path", dir2).option("readChangeFeed", "true")
+      .load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdf_midstream").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("cdf_midstream").count() == 1)
+      t2.addColumns(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("extra", org.apache.spark.sql.types.LongType))))
+      spark.sql(s"UPDATE graft.`$dir2` SET extra = 1 WHERE id = 1")
+      val ex = intercept[Exception](q2.processAllAvailable())
+      def msgs(e: Throwable): List[String] =
+        if (e == null) Nil else Option(e.getMessage).toList ++ msgs(e.getCause)
+      assert(msgs(ex).exists(_.contains("restart the query")), ex.toString)
+    } finally q2.stop()
+  }
+
   test("batch readChangeFeed accepts timestamp bounds") {
     import spark.implicits._
     val dir = tmp()

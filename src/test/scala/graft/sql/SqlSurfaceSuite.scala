@@ -455,6 +455,49 @@ class SqlSurfaceSuite extends AnyFunSuite {
     assert(t.toDF.count() == 5)
   }
 
+  test("CREATE TABLE / CTAS ... CLUSTER BY declare clustering at creation") {
+    // creation DDL is the common entry point for liquid tables: the
+    // created log must already carry delta.clusteringColumns (A44), so
+    // the FIRST plain OPTIMIZE clusters without an ALTER in between
+    freshTable("t_cb")
+    spark.sql("""CREATE TABLE t_cb (id BIGINT, score INT, g STRING)
+      USING `graft-delta` CLUSTER BY (g, score)""")
+    val loc = spark.sql("DESCRIBE DETAIL t_cb").head().getAs[String]("location")
+    val t = DeltaTable.forPath(spark, loc)
+    val cfg = t.snapshot.metadata.configuration
+    assert(cfg.get("delta.clusteringColumns").contains("g,score"), cfg.toString)
+    // the raw catalog-property JSON must not leak into the log config
+    assert(!cfg.contains("clusteringColumns"), cfg.toString)
+    spark.sql("INSERT INTO t_cb SELECT id, CAST(id % 7 AS INT), " +
+      "CAST(id % 3 AS STRING) FROM range(100)")
+    spark.sql("INSERT INTO t_cb SELECT id, CAST(id % 5 AS INT), " +
+      "CAST(id % 2 AS STRING) FROM range(100, 200)")
+    spark.sql("OPTIMIZE t_cb").collect()
+    val hist = spark.sql("DESCRIBE HISTORY t_cb LIMIT 1").head()
+    assert(hist.getString(hist.fieldIndex("operation")) == Op.Optimize)
+    assert(spark.table("t_cb").count() == 200)
+    // DESCRIBE DETAIL surfaces the declaration
+    val det = spark.sql("DESCRIBE DETAIL t_cb").head()
+    assert(det.getSeq[String](det.fieldIndex("clusteringColumns")) ==
+      Seq("g", "score"))
+    // CTAS face: same declaration through the AS SELECT path
+    freshTable("t_cb2")
+    spark.sql("""CREATE TABLE t_cb2 USING `graft-delta` CLUSTER BY (g)
+      AS SELECT id, CAST(id % 3 AS STRING) AS g FROM range(100)""")
+    val loc2 = spark.sql("DESCRIBE DETAIL t_cb2").head().getAs[String]("location")
+    val t2 = DeltaTable.forPath(spark, loc2)
+    assert(t2.snapshot.metadata.configuration
+      .get("delta.clusteringColumns").contains("g"))
+    assert(spark.table("t_cb2").count() == 100)
+    // unknown clustering column is rejected at creation
+    freshTable("t_cb3")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE t_cb3 (id BIGINT) USING `graft-delta` CLUSTER BY (nope)")
+    }
+    assert(!spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier("t_cb3")))
+  }
+
   test("ALTER TABLE CLUSTER BY: metadata-only declare, OPTIMIZE re-clusters, NONE clears") {
     import spark.implicits._
     val dir = tmp()
