@@ -1096,7 +1096,9 @@ object Similarity {
           .agg(graft.functions.TopKExpressions.topKByScore($"cosine", $"c_id", K).as("top"),
             count(lit(1)).as("scanned_q"))
           .select($"q_id", expr("transform(top, x -> x.id)").as("a_ids"), $"scanned_q")
-        exact.join(ap, Seq("q_id"), "left")
+        // NQ-row fusion join: broadcast explicitly — aggregate outputs
+        // carry no stats, so the planner would otherwise sort-merge it
+        exact.join(broadcast(ap), Seq("q_id"), "left")
           .agg(
             coalesce(sum($"scanned_q"), lit(0L)).as("scanned"),
             coalesce(sum(coalesce(

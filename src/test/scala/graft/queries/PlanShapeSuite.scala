@@ -62,6 +62,17 @@ class PlanShapeSuite extends AnyFunSuite {
       s"aggregation not codegen'd:\n$plan")
   }
 
+  test("ann_nprobe_curve: probe/query sides broadcast; corpus never sort-merges") {
+    // The sweep's scale property: candidates come from an equi-join of
+    // the corpus against the BROADCAST (query × probe-rank) table —
+    // the corpus is never shuffled for the join, and each sweep point
+    // filters the checkpointed candidate set instead of rescanning.
+    val plan = formatted("ann_nprobe_curve")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle crept into the nprobe sweep:\n$plan")
+  }
+
   test("q_range_join: banded non-equi join is the broadcast nested-loop, by design") {
     val plan = formatted("q_range_join")
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
