@@ -1044,22 +1044,25 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         val files =
           if (names.contains("isdir")) inv.filter(!inv("isDir")) else inv
         val rootPathLen = new Path(rootStr).toUri.getPath.stripSuffix("/").length
+        val lenCol =
+          if (names.contains("length")) files("length").cast("long")
+          else org.apache.spark.sql.functions.lit(0L)
         files
           .select(files("path").cast("string"),
-            files("modificationTime").cast("long"))
-          .as[(String, Long)]
+            files("modificationTime").cast("long"), lenCol)
+          .as[(String, Long, Long)]
           .mapPartitions { it =>
             val root = new Path(rootStr)
-            it.flatMap { case (raw, m) =>
+            it.flatMap { case (raw, m, len) =>
               FileNames.underTableRoot(root, raw).collect {
                 case abs if abs.endsWith(".parquet") &&
                     !abs.substring(math.min(rootPathLen + 1, abs.length))
                       .split("/").exists(seg =>
                         seg.startsWith("_") || seg.startsWith(".")) =>
-                  (abs, m)
+                  (abs, m, len)
               }
             }
-          }.toDF("p", "mtime")
+          }.toDF("p", "mtime", "len")
       case None =>
         // seed tasks with the top-level entries (partition dirs / root
         // files); recursion happens in parallel on executors
@@ -1073,19 +1076,20 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           .mapPartitions { dirs =>
             val f = new Path(rootStr).getFileSystem(serConf.value)
             dirs.flatMap { d =>
-              val out = Seq.newBuilder[(String, Long)]
+              val out = Seq.newBuilder[(String, Long, Long)]
               def walk(p: Path): Unit = f.listStatus(p).foreach { st =>
                 val name = st.getPath.getName
                 if (!name.startsWith("_") && !name.startsWith(".")) {
                   if (st.isDirectory) walk(st.getPath)
                   else if (name.endsWith(".parquet"))
-                    out += ((st.getPath.toUri.getPath, st.getModificationTime))
+                    out += ((st.getPath.toUri.getPath, st.getModificationTime,
+                      st.getLen))
                 }
               }
               walk(new Path(rootStr, d))
               out.result()
             }
-          }.toDF("p", "mtime")
+          }.toDF("p", "mtime", "len")
     }
     val active = s.allFilesDS
       .map(f => FileNames.absolutePath(new Path(rootStr), f.path).toUri.getPath)
@@ -1093,7 +1097,29 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val candidates = listed
       .where($"mtime" <= cutoff)
       .join(active, Seq("p"), "left_anti")
-      .select($"p").as[String]
+      .select($"p", $"len")
+    // VACUUM audit commits (delta-spark's vacuum logging, on by
+    // default): a "VACUUM START" commit with the exact file/byte count
+    // to delete, a "VACUUM END" commit with what was deleted — the
+    // history trail that makes a 100 TB data deletion reviewable.
+    // Logging persists the candidate set (spill-safe) so the listing
+    // still runs ONCE — counted for START, then drained by the delete
+    // pass from cache; with logging off the original single-pass shape
+    // is untouched.
+    val logging = !dryRun &&
+      spark.conf.get("spark.graft.vacuum.logging", "true").toBoolean
+    if (logging) {
+      import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+      candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val r = candidates.agg(count(lit(1)), coalesce(sum($"len"), lit(0L))).head()
+      deltaLog.startTransaction().commit(Nil, Op.VacuumStart,
+        operationParameters = Map(
+          "retentionMillis" -> retention.toString,
+          "specifiedRetention" -> retentionMillis.nonEmpty.toString),
+        operationMetrics = Map(
+          "numFilesToDelete" -> r.getLong(0).toString,
+          "sizeOfDataToDelete" -> r.getLong(1).toString))
+    }
     // exact count + bounded sample in ONE listing job, never the full
     // path set: each task returns (its count, ≤reportLimit local sample);
     // the driver holds O(tasks × reportLimit) strings worst-case, trimmed
@@ -1102,7 +1128,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // the most expensive part of a dry run on a large table.
     val doDelete = !dryRun
     val (deletedCount, deletedSample) = {
-      val perTask = candidates.mapPartitions { it =>
+      val perTask = candidates.select($"p").as[String].mapPartitions { it =>
         val f = if (doDelete) new Path(rootStr).getFileSystem(serConf.value) else null
         var n = 0L
         val sample = Seq.newBuilder[String]
@@ -1149,6 +1175,13 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       }
     }
     if (!dryRun) sweep(deltaLog.dataPath)
+    if (logging) {
+      candidates.unpersist()
+      deltaLog.startTransaction().commit(Nil, Op.VacuumEnd,
+        operationParameters = Map("status" -> "COMPLETED"),
+        operationMetrics = Map(
+          "numDeletedFiles" -> (deletedCount + dvDeleted.size).toString))
+    }
     VacuumResult(deletedCount + dvDeleted.size,
       (deletedSample ++ dvDeleted).take(reportLimit))
   }

@@ -44,6 +44,8 @@ object Op {
   val Fsck = "FSCK"
   val ClusterBy = "CLUSTER BY"
   val DropFeature = "DROP FEATURE"
+  val VacuumStart = "VACUUM START"
+  val VacuumEnd = "VACUUM END"
 
   /** The closed vocabulary. `OptimisticTransaction.commit` warns (once
     * per name per JVM) when a commit uses a name outside it, so drift
@@ -56,7 +58,8 @@ object Op {
     AddColumns, ChangeColumn, ReplaceColumns, UpgradeProtocol,
     UpgradeSchema, ManualUpdate, Optimize, Reorg, Restore, Clone,
     RenameColumn, DropColumn, AddConstraint, DropConstraint,
-    SetDomainMetadata, Fsck, ClusterBy, DropFeature)
+    SetDomainMetadata, Fsck, ClusterBy, DropFeature,
+    VacuumStart, VacuumEnd)
 
   private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 

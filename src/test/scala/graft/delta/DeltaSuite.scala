@@ -689,6 +689,37 @@ class DeltaSuite extends AnyFunSuite {
     intercept[Exception] { t.toDF(0).collect() }
   }
 
+  test("VACUUM writes START/END audit commits with exact metrics") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append) // v0
+    t.write(sampleDF.filter(col("id") === 1), SaveMode.Overwrite) // v1
+    val v1 = t.deltaLog.update().version
+    // dry run leaves the log untouched
+    t.vacuum(Some(0), dryRun = true)
+    assert(t.deltaLog.update().version == v1)
+    // real vacuum brackets the deletes in START/END commits
+    val res = t.vacuum(Some(0))
+    assert(res.deletedCount > 0)
+    val hist = t.history()
+    val start = hist.find(_.operation == Op.VacuumStart).get
+    val end = hist.find(_.operation == Op.VacuumEnd).get
+    assert(start.operationMetrics.get("numFilesToDelete")
+      .contains(res.deletedCount.toString), start.operationMetrics.toString)
+    assert(start.operationMetrics.get("sizeOfDataToDelete")
+      .exists(_.toLong > 0L), start.operationMetrics.toString)
+    assert(end.operationMetrics.get("numDeletedFiles")
+      .contains(res.deletedCount.toString), end.operationMetrics.toString)
+    assert(end.operationParameters.get("status").contains("COMPLETED"))
+    assert(t.deltaLog.update().version == v1 + 2)
+    // logging can be disabled: single-pass shape, zero commits
+    val v3 = t.deltaLog.update().version
+    spark.conf.set("spark.graft.vacuum.logging", "false")
+    try t.vacuum(Some(0))
+    finally spark.conf.unset("spark.graft.vacuum.logging")
+    assert(t.deltaLog.update().version == v3)
+  }
+
   test("OPTIMIZE rewrites all partitions in one Spark pass, not one job each") {
     val dir = tmp()
     val t = DeltaTable.forPath(spark, dir)
