@@ -1,0 +1,194 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+
+/** Coordinated commits (the public Delta `coordinatedCommits` writer
+  * table feature; cf. reference `store/s3.go:17`'s multi-writer TODO —
+  * this is the protocol-level generalization the spec landed): commit
+  * ATOMICITY moves from the filesystem's put-if-absent to an external
+  * COMMIT COORDINATOR, so any store — including ones with no atomic
+  * create — supports multi-writer tables, and a catalog can become the
+  * table's commit authority (the catalogOwned direction).
+  *
+  * Write protocol per commit:
+  *  1. stage the payload at `_delta_log/_commits/<v>.<uuid>.json` — a
+  *     unique name, never contended, durable before any claim exists;
+  *  2. `coordinator.commit(v, staged)` — the ONE atomic point; losing
+  *     throws into the existing optimistic-retry loop;
+  *  3. backfill: copy ratified staged commits into the classic
+  *     `<v>.json` names (put-if-absent, idempotent — ANY client may do
+  *     it, the payload is immutable once ratified), tell the
+  *     coordinator, then drop the staged garbage. With
+  *     `delta.coordinatedCommits.backfillBatchSize` = 1 (default) this
+  *     is synchronous; larger batches amortize the copies and rely on
+  *     readers merging unbackfilled commits.
+  *
+  * Read protocol: snapshot construction ([[DeltaLog]]) asks the table's
+  * coordinator for ratified-but-unbackfilled commits above the
+  * filesystem head and MERGES their staged files into the replay tail —
+  * read-your-write holds across sessions sharing the coordinator
+  * without a single backfill copy. Version-addressed auxiliary reads
+  * (history, CDF, timestamp travel) serve the classic `<v>.json`
+  * sequence, which trails by at most one backfill batch; a lost-race
+  * writer completes the winner's backfill before its conflict check for
+  * the same reason.
+  */
+object CoordinatedCommits {
+  val FeatureName = "coordinatedCommits"
+  val CommitsDirName = "_commits"
+
+  def commitsDir(logPath: Path): Path = new Path(logPath, CommitsDirName)
+
+  /** The table's coordinator, resolved from
+    * `delta.coordinatedCommits.commitCoordinator` ("memory:<name>" — the
+    * in-process registry, what a catalog/DynamoDB endpoint is to a real
+    * deployment). None = classic filesystem commits.
+    */
+  def coordinatorFor(md: Option[Metadata]): Option[TableCommitCoordinator] =
+    md.map(DeltaConfig.CommitCoordinatorName.fromMetadata).collect {
+      case n if n.startsWith("memory:") =>
+        InMemoryTableCommitCoordinator.named(n.stripPrefix("memory:"))
+      case n if n.nonEmpty =>
+        throw new IllegalArgumentException(
+          s"unknown commit coordinator '$n' (supported: memory:<name>)")
+    }
+
+  def tableKey(log: DeltaLog): String = log.logPath.toUri.toString
+
+  private def stagedName(version: Long): String =
+    f"$version%020d.${java.util.UUID.randomUUID()}.json"
+
+  /** Steps 1+2(+3 when the batch is due): returns normally when this
+    * writer owns `version`; throws [[FileAlreadyExistsException]] into
+    * the caller's retry loop when the coordinator already ratified a
+    * different commit at `version`.
+    */
+  def writeCommit(log: DeltaLog, coordinator: TableCommitCoordinator,
+      version: Long, lines: Iterator[String], backfillBatchSize: Int): Unit = {
+    val staged = new Path(commitsDir(log.logPath), stagedName(version))
+    log.store.write(staged, lines, overwrite = true)
+    try coordinator.commit(tableKey(log),
+      StagedCommit(version, staged.getName, log.clock.nowMillis))
+    catch {
+      case e: FileAlreadyExistsException =>
+        // lost the race: our staged payload is garbage; the winner's
+        // commit may still be unbackfilled, and the conflict checker
+        // reads `<v>.json` — complete the winner's backfill first
+        log.store.delete(staged)
+        ensureBackfilled(log, coordinator)
+        throw e
+    }
+    if (version % math.max(1, backfillBatchSize) == 0)
+      ensureBackfilled(log, coordinator)
+  }
+
+  /** Ratified staged commits forming a CONTIGUOUS tail right after
+    * `fsVersion` — what snapshot construction replays beyond the
+    * filesystem head. A gap (entry backfilled+dropped out of order)
+    * truncates the tail: replay must never skip a version.
+    */
+  def pendingAfter(log: DeltaLog, coordinator: TableCommitCoordinator,
+      fsVersion: Long): Seq[(Long, String)] = {
+    val pend = coordinator.getCommits(tableKey(log)).filter(_.version > fsVersion)
+    var next = fsVersion + 1
+    pend.takeWhile { sc =>
+      val ok = sc.version == next
+      if (ok) next += 1
+      ok
+    }.map(sc => (sc.version, sc.stagedName))
+  }
+
+  /** Copies every ratified-but-unbackfilled commit into its classic
+    * `<v>.json` name (put-if-absent; a lost copy race means someone else
+    * backfilled — fine), acknowledges the coordinator, and deletes the
+    * staged files. Any client may run this at any time: payloads are
+    * immutable once ratified. Returns how many commits were merged.
+    */
+  def ensureBackfilled(log: DeltaLog, coordinator: TableCommitCoordinator): Int = {
+    val pending = coordinator.getCommits(tableKey(log))
+    pending.foreach { c =>
+      val staged = new Path(commitsDir(log.logPath), c.stagedName)
+      val dest = FileNames.deltaFile(log.logPath, c.version)
+      if (!log.store.exists(dest)) {
+        val payload =
+          try log.store.read(staged)
+          catch {
+            case _: java.io.FileNotFoundException =>
+              // someone backfilled AND swept the staged file between our
+              // getCommits and here; the destination must exist now
+              require(log.store.exists(dest),
+                s"staged commit ${c.stagedName} vanished without a " +
+                  s"backfilled $dest — coordinated-commit state corrupt")
+              Nil
+          }
+        if (payload.nonEmpty)
+          try log.store.write(dest, payload.iterator)
+          catch { case _: FileAlreadyExistsException => () }
+      }
+      coordinator.backfilled(tableKey(log), c.version)
+      try log.store.delete(staged)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    pending.size
+  }
+}
+
+/** One ratified commit the coordinator knows about but the classic log
+  * may not yet contain.
+  */
+final case class StagedCommit(version: Long, stagedName: String,
+    commitTime: Long)
+
+/** The coordinator contract — deliberately tiny, like a catalog's
+  * commit endpoint: one atomic ratify, one listing, one GC ack.
+  */
+trait TableCommitCoordinator extends Serializable {
+  /** Atomically ratify `commit` as THE commit for its version; throws
+    * [[FileAlreadyExistsException]] when the version is already taken.
+    */
+  def commit(table: String, commit: StagedCommit): Unit
+
+  /** Ratified-but-unbackfilled commits in version order. */
+  def getCommits(table: String): Seq[StagedCommit]
+
+  /** `version` is durable under its classic name; drop its entry. */
+  def backfilled(table: String, version: Long): Unit
+}
+
+/** Process-wide coordinator registry keyed by name — what a catalog or
+  * DynamoDB table is to a real deployment, this is to tests and
+  * single-host multi-session use (the same role
+  * [[InMemoryCommitCoordinator]] plays for the s3a log store).
+  */
+final class InMemoryTableCommitCoordinator extends TableCommitCoordinator {
+  private val ratified =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), StagedCommit]
+  // versions ratified EVER, including backfilled-and-dropped ones: a
+  // coordinator that forgot them after backfill would ratify a racing
+  // writer's duplicate of an old version and fork the table
+  private val maxRatified =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  def commit(table: String, c: StagedCommit): Unit = synchronized {
+    if (maxRatified.get(table).exists(_ >= c.version) ||
+        ratified.contains((table, c.version)))
+      throw new FileAlreadyExistsException(
+        s"version ${c.version} of $table (already ratified)")
+    ratified.put((table, c.version), c)
+    maxRatified.put(table, math.max(maxRatified.getOrElse(table, -1L), c.version))
+  }
+
+  def getCommits(table: String): Seq[StagedCommit] =
+    ratified.collect { case ((t, _), c) if t == table => c }
+      .toSeq.sortBy(_.version)
+
+  def backfilled(table: String, version: Long): Unit =
+    ratified.remove((table, version))
+}
+
+object InMemoryTableCommitCoordinator {
+  private val registry = scala.collection.concurrent.TrieMap
+    .empty[String, InMemoryTableCommitCoordinator]
+  def named(name: String): InMemoryTableCommitCoordinator =
+    registry.getOrElseUpdate(name, new InMemoryTableCommitCoordinator)
+}

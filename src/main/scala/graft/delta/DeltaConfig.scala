@@ -192,6 +192,17 @@ object DeltaConfig {
       s
     })
 
+  /** Incremental-clustering stability threshold: a ZCube whose total
+    * bytes reach this size is FINAL — plain OPTIMIZE never rewrites it
+    * again (only `OPTIMIZE ... FULL` does). Smaller cubes keep merging
+    * with new data until they reach it. 100 GB default (the delta-spark
+    * convention): big enough that a mature table is mostly final cubes,
+    * so nightly OPTIMIZE cost tracks the day's ingest, not table size.
+    */
+  val ClusteringMinCubeSize: TableConfig[Long] =
+    TableConfig("delta.clustering.minCubeSize",
+      (100L * 1024 * 1024 * 1024).toString, _.trim.toLong)
+
   /** Row-level change capture for DML: DELETE/UPDATE/MERGE also write
     * their changed rows as CDC files (`_change_data/`, AddCDCFile) that
     * `tableChanges` reads back exactly (the open Delta CDF convention).
@@ -255,7 +266,49 @@ object DeltaConfig {
   val LogCompactionInterval: TableConfig[Int] =
     TableConfig("delta.logCompaction.interval", "0", _.trim.toInt)
 
+  /** Coordinated commits (writer feature `coordinatedCommits`): the
+    * external authority that ratifies commits — "memory:<name>" resolves
+    * the in-process registry (tests / single-host multi-session; a
+    * catalog or DynamoDB endpoint in a real deployment). Empty = classic
+    * filesystem put-if-absent commits.
+    */
+  val CommitCoordinatorName: TableConfig[String] =
+    TableConfig("delta.coordinatedCommits.commitCoordinator", "", _.trim)
+
+  /** Backfill cadence for coordinated commits: copy ratified staged
+    * commits to classic `<v>.json` names every N versions. 1 (default)
+    * = synchronous backfill on every commit.
+    */
+  val CoordinatedBackfillBatchSize: TableConfig[Int] =
+    TableConfig("delta.coordinatedCommits.backfillBatchSize", "1", _.trim.toInt)
+
   /** `none` | `name` | `id` — see [[ColumnMapping]]. */
   val ColumnMappingMode: TableConfig[String] =
     TableConfig("delta.columnMapping.mode", "none", _.trim.toLowerCase)
+}
+
+/** AddFile tag names stamped on clustered (Z-ordered) output files —
+  * the open delta-spark tag convention (cf. reference clustering
+  * metadata domains; delta-spark `ZCubeInfo`), so foreign readers see
+  * the same provenance delta-spark writes. A "ZCube" is one OPTIMIZE
+  * job's output: files sorted together along one space-filling curve
+  * over one clustering-column set. Incremental OPTIMIZE uses the tags
+  * to leave current full-size cubes alone.
+  */
+object ZCube {
+  /** uuid of the clustering job that wrote the file */
+  val IdTag = "ZCUBE_ID"
+  /** comma-joined clustering columns the cube was laid out along */
+  val SpecTag = "ZCUBE_ZORDER_BY"
+  /** space-filling curve used (`zorder` | `hilbert`) */
+  val CurveTag = "ZCUBE_ZORDER_CURVE"
+
+  /** The file's cube id, IF it was clustered along exactly `spec`
+    * (comma-joined clustering columns) — a cube laid out along a
+    * different column set counts as unclustered for the current spec.
+    */
+  def of(f: AddFile, spec: String): Option[String] = {
+    val t = Option(f.tags).getOrElse(Map.empty[String, String])
+    t.get(IdTag).filter(_ => t.get(SpecTag).contains(spec))
+  }
 }

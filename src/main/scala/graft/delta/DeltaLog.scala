@@ -22,7 +22,12 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
   /** cf. reference `log.go:148` Snapshot (cached view). */
   def snapshot: Snapshot = currentSnapshot.getOrElse(update())
 
-  /** cf. reference `log.go:152` Update: list the log, rebuild state. */
+  /** cf. reference `log.go:152` Update: list the log, rebuild state.
+    * On a coordinated-commits table, reads MERGE ratified-but-unbackfilled
+    * commits (see [[buildSnapshot]]): a commit is visible to every
+    * session the moment the coordinator ratified it, not when its
+    * backfill copy eventually lands.
+    */
   def update(): Snapshot = synchronized {
     val s = buildSnapshot(None)
     currentSnapshot = Some(s)
@@ -234,8 +239,26 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
         case _ => keep = v :: keep; v += 1
       }
     }
-    new Snapshot(spark, this, version,
-      LogSegment(version, ckpt, keep.reverse, used.reverse))
+    // coordinated commits: merge ratified-but-unbackfilled commits into
+    // the tail. The coordinator is discovered from the FILESYSTEM head's
+    // metadata — sound because the enablement commit is itself the last
+    // classic filesystem commit (the transition order writeCommitFile
+    // enforces), so a table whose FS head predates enablement has no
+    // staged tail to miss. Staged entries replay exactly like deltas;
+    // the classic `<v>.json` names appear whenever the next backfill
+    // batch (or any ensureBackfilled caller) lands them.
+    val fsSeg = LogSegment(version, ckpt, keep.reverse, used.reverse)
+    val fsSnap = new Snapshot(spark, this, version, fsSeg)
+    val staged = CoordinatedCommits.coordinatorFor(fsSnap.metadataOpt)
+      .map { c =>
+        var pend = CoordinatedCommits.pendingAfter(this, c, version)
+        versionBound.foreach(b => pend = pend.takeWhile(_._1 <= b))
+        pend
+      }
+      .getOrElse(Nil)
+    if (staged.isEmpty) fsSnap
+    else new Snapshot(spark, this, staged.last._1,
+      fsSeg.copy(version = staged.last._1, staged = staged))
   }
 
   /** Minor log compaction (open spec `<s>.<e>.compacted.json`): write the
@@ -333,19 +356,24 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
 
   /** Write a checkpoint for the given snapshot + update `_last_checkpoint`
     * (cf. reference `checkpoint.go:247` checkpoint, `checkpoint_writer.go`).
+    * Returns true iff a checkpoint was actually written — the
+    * checkpointProtection gate can make this a no-op, and callers that
+    * are about to delete history MUST check (a silent skip followed by
+    * an unconditional sweep would destroy the only replayable log).
     */
-  private[delta] def checkpoint(s: Snapshot): Unit = {
+  private[delta] def checkpoint(s: Snapshot): Boolean = {
     // checkpointProtection: no checkpoints below the boundary — state
     // there may have been written under protocols this writer does not
     // fully understand (the DROP FEATURE ... TRUNCATE HISTORY guard)
     val protV = s.metadataOpt
       .map(DeltaConfig.RequireCheckpointProtectionBeforeVersion.fromMetadata)
       .getOrElse(0L)
-    if (s.version < protV) return
+    if (s.version < protV) return false
     val policy = s.metadataOpt
       .map(DeltaConfig.CheckpointPolicy.fromMetadata).getOrElse("classic")
     if (policy == "v2") checkpointV2(s) else checkpointClassic(s)
     reconcileChecksum(s)
+    true
   }
 
   /** Verify the incremental crc against the snapshot's aggregated state
@@ -604,7 +632,21 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     * before `s.version` is gone afterwards, by definition.
     */
   private[delta] def truncateHistory(s: Snapshot): Unit = {
-    checkpoint(s)
+    // The sweep below is unconditional — so the covering checkpoint at
+    // s.version must EXIST before anything is deleted. checkpoint() can
+    // silently decline (checkpointProtection boundary above the current
+    // version); deleting history in that state would leave the table
+    // permanently unreadable. Abort loudly instead.
+    val wrote = checkpoint(s)
+    val covered = wrote || Checkpoints.completeCheckpoints(store, logPath)
+      .exists(_.version == s.version)
+    require(covered,
+      s"TRUNCATE HISTORY aborted: no checkpoint exists at version " +
+      s"${s.version} and one could not be written (" +
+      s"delta.requireCheckpointProtectionBeforeVersion=" +
+      s"${s.metadataOpt.map(DeltaConfig.RequireCheckpointProtectionBeforeVersion.fromMetadata).getOrElse(0L)} " +
+      s"> ${s.version}?). Deleting history without a covering checkpoint " +
+      "would make the table unreadable.")
     val statuses =
       try store.listFrom(new Path(logPath, f"${0L}%020d."))
       catch { case _: java.io.FileNotFoundException => return }

@@ -3,7 +3,7 @@ package graft.delta
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SaveMode, SparkSession}
 
 /** Bounded VACUUM report: exact count, capped path sample — the full
   * 10^7-path listing never lands on the driver.
@@ -788,6 +788,16 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
   def compact(zorderBy0: Seq[String], where: Option[Column]): Long =
     compactImpl(zorderBy0, where, useClustering = true)
 
+  /** OPTIMIZE ... FULL: explicit whole-scope re-cluster of a clustered
+    * table. Plain OPTIMIZE is INCREMENTAL on clustered tables — it
+    * clusters only data not already in a current, big-enough ZCube (see
+    * [[compactImpl]]) — so after changing the clustering columns, or to
+    * fold many historical small cubes into fresh full-size ones, FULL is
+    * the explicit opt-in to pay the whole rewrite.
+    */
+  def compactFull(): Long = compactImpl(Nil, None, useClustering = true,
+    full = true)
+
   /** REORG ... APPLY (PURGE): rewrite exactly the files carrying deletion
     * vectors (protocol descriptors or legacy tags), materializing their
     * deletes and dropping the descriptors; clean files are untouched.
@@ -848,49 +858,125 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     */
   private def compactImpl(zorderBy0: Seq[String], where: Option[Column],
       useClustering: Boolean, purgeOnly: Boolean = false,
-      backfillOnly: Boolean = false): Long = {
-    import org.apache.spark.sql.functions.{col, hash, pmod, lit, floor, min => fmin, max => fmax}
+      backfillOnly: Boolean = false, full: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{col, hash, pmod, lit, floor, when, count, sum => fsum, to_json, array_sort, map_entries, element_at, min => fmin, max => fmax}
     val txn = deltaLog.startTransaction()
+    if (txn.snapshot.metadataOpt.isEmpty) return txn.readVersion
+    val md = txn.metadata
+    val partCols = md.partitionColumns
     // declared clustering columns make a plain OPTIMIZE a re-cluster:
     // the nightly maintenance job stays table-agnostic
     val zorderBy =
       if (zorderBy0.nonEmpty) zorderBy0
       else if (!useClustering) Nil
-      else txn.snapshot.metadataOpt
-        .map(DeltaConfig.ClusteringColumns.fromMetadata).getOrElse(Nil)
-    val byPartition0 = txn.snapshot.allFiles.groupBy(_.partitionValues)
-    val byPartition = where match {
-      case None => byPartition0
-      case Some(_) if byPartition0.isEmpty => byPartition0
+      else DeltaConfig.ClusteringColumns.fromMetadata(md)
+    // ---- candidate selection runs on EXECUTORS over the file-state
+    // Dataset: the driver never materializes the table's full AddFile
+    // list (on a 10^7-file table that walks a multi-GB heap just to
+    // learn "nothing to compact"). Only the files that will actually be
+    // REWRITTEN are collected — the set whose size the rewrite itself
+    // already pays for.
+    import spark.implicits._
+    val allDS: Dataset[AddFile] = txn.snapshot.allFilesDS
+    val scoped: Dataset[AddFile] = where match {
+      case None => allDS
       case Some(p) =>
-        val md0 = txn.metadata
-        val pCols = md0.partitionColumns
         val (pushed, residual) =
-          DeltaScan.splitAnalyzed(spark, md0.schema, p, pCols.toSet)
+          DeltaScan.splitAnalyzed(spark, md.schema, p, partCols.toSet)
         require(residual.isEmpty,
           s"OPTIMIZE WHERE supports partition-column predicates only; " +
             s"non-partition conjuncts: ${residual.mkString(", ")}")
-        val keep = DeltaScan.partitionEvaluator(spark, pushed, pCols, md0.schema)
-        byPartition0.filter { case (pv, _) => keep(pv) }
+        val keep = DeltaScan.partitionEvaluator(spark, pushed, partCols, md.schema)
+        // O(live partitions) on the driver — the SHOW PARTITIONS class,
+        // never the O(files) class (distinct over sorted entries: Spark
+        // set ops reject MAP columns)
+        val kept = allDS
+          .select(array_sort(map_entries(col("partitionValues"))).as("e"))
+          .distinct().as[Seq[(String, String)]].collect()
+          .map(_.toMap).filter(keep).toSet
+        val keptB = spark.sparkContext.broadcast(kept)
+        allDS.filter((f: AddFile) => keptB.value(f.partitionValues))
     }
-    // multi-file partitions bin-pack; DV'd files (even alone) rewrite to
-    // materialize their deletion vectors and drop the descriptors; a
-    // Z-order request re-clusters everything
-    val toCompact =
+    // validate the declared curve at USE, even when the incremental
+    // planner later decides there is nothing to rewrite — a bogus
+    // delta.clusteringStrategy must fail loudly, not lie dormant until
+    // the first append makes it the layout
+    if (zorderBy.nonEmpty) DeltaConfig.ClusteringStrategy.fromMetadata(md)
+    val zcubeSpec = zorderBy.mkString(",")
+    val incremental =
+      zorderBy.nonEmpty && zorderBy0.isEmpty && !full &&
+        !purgeOnly && !backfillOnly
+    // which files rewrite: DV'd files (even alone) rewrite to materialize
+    // their deletion vectors and drop the descriptors; an EXPLICIT
+    // Z-order request (or OPTIMIZE FULL) re-clusters everything;
+    // declared-clustering OPTIMIZE is INCREMENTAL (ZCube-style)
+    val candDS: Dataset[AddFile] =
       if (purgeOnly)
-        byPartition.view.mapValues(
-          _.filter(f => DeletionVectors.descriptor(f).isDefined))
-          .filter(_._2.nonEmpty).toMap
-      else if (backfillOnly)
-        byPartition.view.mapValues(_.filter(_.baseRowId.isEmpty))
-          .filter(_._2.nonEmpty).toMap
-      else if (zorderBy.nonEmpty) byPartition
-      else byPartition.filter { case (_, fs) =>
-        fs.size > 1 || fs.exists(f => DeletionVectors.descriptor(f).isDefined)
+        scoped.filter((f: AddFile) => DeletionVectors.descriptor(f).isDefined)
+      else if (backfillOnly) scoped.filter((f: AddFile) => f.baseRowId.isEmpty)
+      else if (zorderBy.nonEmpty && !incremental) scoped
+      else if (incremental) {
+        // Incremental clustering: every clustered rewrite stamps its
+        // outputs with a ZCube id (AddFile tags, the delta-spark
+        // convention), so maintenance can tell "already laid out along
+        // the CURRENT clustering columns" from "new/unclustered data".
+        // Plain OPTIMIZE then rewrites ONLY: (a) files with no current
+        // cube tag (new appends, or files clustered under a different
+        // column set), (b) files carrying deletion vectors, and
+        // (c) files in cubes below delta.clustering.minCubeSize — small
+        // cubes fold into their neighbors until cubes reach full size.
+        // This is the property that makes nightly OPTIMIZE affordable at
+        // 100 TB: cost tracks new data, not table size. `OPTIMIZE ...
+        // FULL` is the explicit whole-scope re-cluster.
+        val spec = zcubeSpec
+        // per-cube byte totals: one tiny aggregate, O(#cubes) rows back
+        val cubeSizes: Map[String, Long] = scoped
+          .flatMap((f: AddFile) => ZCube.of(f, spec).map(id => (id, f.size)))
+          .toDF("id", "bytes")
+          .groupBy("id").agg(fsum("bytes").as("bytes"))
+          .as[(String, Long)].collect().toMap
+        val minCube = DeltaConfig.ClusteringMinCubeSize.fromMetadata(md)
+        val small = spark.sparkContext.broadcast(
+          cubeSizes.filter(_._2 < minCube).keySet)
+        scoped.filter((f: AddFile) => ZCube.of(f, spec) match {
+          case None => true
+          case Some(id) => DeletionVectors.descriptor(f).isDefined ||
+            small.value(id)
+        })
+      } else {
+        // plain bin-pack: partitions with 2+ files, or any DV'd file —
+        // found with one window over a canonical partition key (map
+        // entries sorted, so equal partitions always collide), no
+        // per-partition driver state
+        val pk = to_json(array_sort(map_entries(col("partitionValues"))))
+        val dv = col("deletionVector").isNotNull ||
+          element_at(col("tags"), DeletionVectors.PathTag).isNotNull
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__pk"))
+        val cols = scoped.toDF.columns
+        scoped.toDF
+          .withColumn("__pk", pk)
+          .withColumn("__n", count(lit(1)).over(w))
+          .withColumn("__dv", fmax(when(dv, 1).otherwise(0)).over(w))
+          .filter(col("__n") > 1 || col("__dv") === 1)
+          .select(cols.map(col).toSeq: _*)
+          .as[AddFile]
       }
+    // the ONLY driver materialization: the rewrite set itself
+    val candidates = candDS.collect().toSeq
+    val toCompact: Map[Map[String, String], Seq[AddFile]] =
+      if (incremental) {
+        // rewriting a SINGLE small cube with no new data alongside it
+        // gains nothing — that degenerate case commits NOTHING, making
+        // back-to-back OPTIMIZE runs idempotent
+        val hasNew = candidates.exists(f =>
+          ZCube.of(f, zcubeSpec).isEmpty ||
+            DeletionVectors.descriptor(f).isDefined)
+        val candCubes = candidates.flatMap(f => ZCube.of(f, zcubeSpec)).distinct
+        if (!hasNew && candCubes.size <= 1)
+          Map.empty[Map[String, String], Seq[AddFile]]
+        else candidates.groupBy(_.partitionValues)
+      } else candidates.groupBy(_.partitionValues)
     if (toCompact.isEmpty) return txn.snapshot.version
-    val md = txn.metadata
-    val partCols = md.partitionColumns
     zorderBy.foreach { c =>
       require(md.schema.fieldNames.contains(c), s"unknown ZORDER column $c")
       require(!partCols.contains(c), s"cannot ZORDER by partition column $c")
@@ -964,14 +1050,25 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           .drop("__z")
       } else if (partCols.nonEmpty) df0.repartition(numTasks, partCols.map(col) :+ salt: _*)
       else df0.repartition(numTasks)
+    // clustered outputs carry their ZCube identity so the NEXT OPTIMIZE
+    // knows they are already laid out along these columns
+    val cubeTags: Map[String, String] =
+      if (zorderBy.nonEmpty)
+        Map(ZCube.IdTag -> java.util.UUID.randomUUID().toString,
+          ZCube.SpecTag -> zorderBy.mkString(","),
+          ZCube.CurveTag -> DeltaConfig.ClusteringStrategy.fromMetadata(md))
+      else Map.empty
     val adds = DeltaTable.writeFiles(spark, deltaLog.dataPath, df, partCols,
       md)
-      .map(_.copy(dataChange = false))
+      .map(a => a.copy(dataChange = false,
+        tags = if (cubeTags.isEmpty) a.tags
+          else Option(a.tags).getOrElse(Map.empty[String, String]) ++ cubeTags))
     val removes = files.map(f => f.remove(now, dataChange = false))
     txn.commit(removes ++ adds, if (purgeOnly || backfillOnly) Op.Reorg else Op.Optimize,
       operationParameters = Map("targetFileSize" -> targetSize.toString) ++
         (if (purgeOnly) Map("applyPurge" -> "true") else Map.empty) ++
         (if (backfillOnly) Map("backfillRowIds" -> "true") else Map.empty) ++
+        (if (full) Map("isFull" -> "true") else Map.empty) ++
         (if (zorderBy.nonEmpty)
           Map("zOrderBy" -> zorderBy.mkString(","),
             "clusteringStrategy" -> DeltaConfig.ClusteringStrategy.fromMetadata(md))
@@ -1098,6 +1195,25 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       .where($"mtime" <= cutoff)
       .join(active, Seq("p"), "left_anti")
       .select($"p", $"len")
+    // orphaned deletion-vector sidecar CANDIDATES, discovered up front
+    // so the START audit commit can account for them — START's
+    // numFilesToDelete and END's numDeletedFiles must agree on a clean
+    // run, and DV sidecars are deleted by this vacuum too. Compaction
+    // materializes DVs and drops their descriptors, leaving the sidecar
+    // files behind; the referenced set comes from the active files'
+    // descriptors, the sweep is a driver listing of one flat dir,
+    // O(deletes since compaction).
+    val dvDir = new Path(deltaLog.dataPath, "_deletion_vectors")
+    val dvCandidates: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!fs.exists(dvDir)) Nil
+      else {
+        val referenced = s.allFilesDS
+          .flatMap(f => DeletionVectors.descriptor(f).toSeq.map(DeletionVectors.fileName))
+          .collect().toSet
+        fs.listStatus(dvDir).toSeq.filter { st =>
+          st.getModificationTime <= cutoff && !referenced(st.getPath.getName)
+        }
+      }
     // VACUUM audit commits (delta-spark's vacuum logging, on by
     // default): a "VACUUM START" commit with the exact file/byte count
     // to delete, a "VACUUM END" commit with what was deleted — the
@@ -1117,8 +1233,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           "retentionMillis" -> retention.toString,
           "specifiedRetention" -> retentionMillis.nonEmpty.toString),
         operationMetrics = Map(
-          "numFilesToDelete" -> r.getLong(0).toString,
-          "sizeOfDataToDelete" -> r.getLong(1).toString))
+          "numFilesToDelete" -> (r.getLong(0) + dvCandidates.size).toString,
+          "sizeOfDataToDelete" ->
+            (r.getLong(1) + dvCandidates.map(_.getLen).sum).toString))
     }
     // exact count + bounded sample in ONE listing job, never the full
     // path set: each task returns (its count, ≤reportLimit local sample);
@@ -1144,25 +1261,10 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       (perTask.map(_._1).sum, perTask.iterator.flatMap(_._2).take(reportLimit).toSeq)
     }
 
-    // orphaned deletion-vector sidecars: compaction materializes DVs and
-    // drops their descriptors, leaving the sidecar files behind. The
-    // referenced set comes from the active files' descriptors; the sweep
-    // is a driver listing of one flat dir, O(deletes since compaction),
-    // the same class as the partition-dir sweep below.
-    val dvDir = new Path(deltaLog.dataPath, "_deletion_vectors")
-    val dvDeleted: Seq[String] =
-      if (!fs.exists(dvDir)) Nil
-      else {
-        val referenced = s.allFilesDS
-          .flatMap(f => DeletionVectors.descriptor(f).toSeq.map(DeletionVectors.fileName))
-          .collect().toSet
-        fs.listStatus(dvDir).toSeq
-          .filter { st =>
-            st.getModificationTime <= cutoff && !referenced(st.getPath.getName)
-          }
-          .filter(st => dryRun || fs.delete(st.getPath, false))
-          .map(_.getPath.toUri.getPath)
-      }
+    // delete the DV sidecar candidates discovered before START
+    val dvDeleted: Seq[String] = dvCandidates
+      .filter(st => dryRun || fs.delete(st.getPath, false))
+      .map(_.getPath.toUri.getPath)
 
     // empty partition directories: dirs are O(partitions), not O(files) —
     // a driver sweep is fine (object stores have no real dirs anyway)
@@ -1225,15 +1327,65 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         val root = new Path(rootStr)
         it.flatMap(p => FileNames.underTableRoot(root, p))
       }
-    val perTask = candidates.mapPartitions { it =>
+    // DV sidecars are log-derived too: payload files referenced only by
+    // expired tombstone descriptors can go; a packed sidecar shared with
+    // any live descriptor stays (the referenced-set check). Discovered
+    // (with sizes) BEFORE the audit commits so START can account for them.
+    val live = s.allFilesDS
+      .flatMap(f => DeletionVectors.descriptor(f).toSeq.map(DeletionVectors.fileName))
+      .collect().toSet
+    val dvCandidates: Seq[(Path, Long)] = expired.as[RemoveFile]
+      .flatMap(r => Option(r.deletionVector).toSeq.map(DeletionVectors.fileName))
+      .collect().toSeq.distinct
+      .filter(n => n.nonEmpty && !live(n))
+      .map(n => new Path(new Path(deltaLog.dataPath, "_deletion_vectors"), n))
+      .flatMap(p =>
+        try Seq((p, fs.getFileStatus(p).getLen))
+        catch { case _: java.io.FileNotFoundException => Nil })
+
+    // VACUUM START/END audit commits, same trail as the FULL sweep (the
+    // bracketing history that makes a 100 TB deletion reviewable; DRY
+    // RUN writes neither). A tombstone can outlive its file (earlier
+    // full vacuum), so START's exact to-delete set needs one existence
+    // probe per candidate — the probed (path, len) set persists and the
+    // delete pass drains it from cache, so the log-derived single-pass
+    // shape is kept (probe + delete, never probe + probe + delete).
+    val logging = !dryRun &&
+      spark.conf.get("spark.graft.vacuum.logging", "true").toBoolean
+    val toDelete = candidates.mapPartitions { it =>
+      val f = new Path(rootStr).getFileSystem(serConf.value)
+      it.flatMap { p =>
+        try Iterator.single((p, f.getFileStatus(new Path(p)).getLen))
+        catch { case _: java.io.FileNotFoundException => Iterator.empty }
+      }
+    }
+    if (logging) {
+      import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+      toDelete.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val r = toDelete.toDF("p", "len")
+        .agg(count(lit(1)), coalesce(sum($"len"), lit(0L))).head()
+      deltaLog.startTransaction().commit(Nil, Op.VacuumStart,
+        operationParameters = Map(
+          "retentionMillis" -> retention.toString,
+          "specifiedRetention" -> retentionMillis.nonEmpty.toString,
+          "lite" -> "true"),
+        operationMetrics = Map(
+          "numFilesToDelete" -> (r.getLong(0) + dvCandidates.size).toString,
+          "sizeOfDataToDelete" ->
+            (r.getLong(1) + dvCandidates.map(_._2).sum).toString))
+    }
+    // with logging OFF the delete pass runs over the raw candidate set
+    // (delete's own return value is the existence probe — one FS op per
+    // file, the pre-audit shape); with logging ON it drains the cached
+    // probed set
+    val deleteSrc = if (logging) toDelete else candidates.map(p => (p, 0L))
+    val perTask = deleteSrc.mapPartitions { it =>
       val f = new Path(rootStr).getFileSystem(serConf.value)
       var n = 0L
       val sample = Seq.newBuilder[String]
       var sampled = 0
-      it.foreach { p =>
+      it.foreach { case (p, _) =>
         val path = new Path(p)
-        // a tombstone can outlive its file (earlier full vacuum);
-        // count only files that are really there / really deleted
         val hit = if (doDelete) f.delete(path, false) else f.exists(path)
         if (hit) {
           n += 1
@@ -1242,23 +1394,19 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       }
       Iterator.single((n, sample.result()))
     }.collect()
+    if (logging) toDelete.unpersist()
     val deletedCount = perTask.map(_._1).sum
     val deletedSample = perTask.iterator.flatMap(_._2).take(reportLimit).toSeq
 
-    // DV sidecars are log-derived too: payload files referenced only by
-    // expired tombstone descriptors can go; a packed sidecar shared with
-    // any live descriptor stays (the referenced-set check)
-    val live = s.allFilesDS
-      .flatMap(f => DeletionVectors.descriptor(f).toSeq.map(DeletionVectors.fileName))
-      .collect().toSet
-    val dvDeleted = expired.as[RemoveFile]
-      .flatMap(r => Option(r.deletionVector).toSeq.map(DeletionVectors.fileName))
-      .collect().toSeq.distinct
-      .filter(n => n.nonEmpty && !live(n))
-      .map(n => new Path(new Path(deltaLog.dataPath, "_deletion_vectors"), n))
-      .filter(p => if (doDelete) fs.delete(p, false) else fs.exists(p))
-      .map(_.toUri.getPath)
+    val dvDeleted = dvCandidates
+      .filter { case (p, _) => dryRun || fs.delete(p, false) }
+      .map(_._1.toUri.getPath)
 
+    if (logging)
+      deltaLog.startTransaction().commit(Nil, Op.VacuumEnd,
+        operationParameters = Map("status" -> "COMPLETED"),
+        operationMetrics = Map(
+          "numDeletedFiles" -> (deletedCount + dvDeleted.size).toString))
     VacuumResult(deletedCount + dvDeleted.size,
       (deletedSample ++ dvDeleted).take(reportLimit))
   }

@@ -141,15 +141,37 @@ final class MergeBuilder private[delta] (
     bySource += ((Some(clauseCondition), BDelete)); this
   }
 
+  /** Ticks `acc` once per row flowing through — the delta-spark
+    * metric-counting shape (their IncrementMetric expression over a SQL
+    * metric): marked nondeterministic so the optimizer can neither push
+    * predicates below it nor collapse/duplicate it, which is what makes
+    * the count "every source row, exactly once, pre-join-fan-out". An
+    * accumulator survives ANY execution path of the plan (Dataset
+    * actions, FileFormatWriter jobs, cached materialization) — unlike a
+    * CollectMetrics observation, whose listener never fires for plans
+    * executed outside a Dataset action (the direct-write path), which
+    * would block a metrics read forever.
+    */
+  private def countingFilter(acc: org.apache.spark.util.LongAccumulator): Column = {
+    val tick = org.apache.spark.sql.functions
+      .udf(() => { acc.add(1L); true }).asNondeterministic()
+    tick()
+  }
+
   /** Exact row-level operationMetrics (delta-spark observability
     * parity), from ONE aggregation over the already-persisted clause
     * join — a map-side reduction over cached partitions, cheap next to
-    * the rewrite — plus one count of the source. Copied rows exist only
-    * on the rewrite path (merge-on-read leaves pass-through rows in
-    * their files).
+    * the rewrite. numSourceRows is the counting filter's accumulator,
+    * captured after the rewrite's single source pass (the join is
+    * persisted, so no later action re-executes the source) — the source
+    * plan is never executed a third time just for a metric, and a
+    * non-deterministic source cannot report a count disagreeing with
+    * the rows the merge actually consumed. Copied rows exist only on
+    * the rewrite path (merge-on-read leaves pass-through rows in their
+    * files).
     */
   private def rowMetrics(joined: DataFrame, mT: Column, mS: Column,
-      dvOn: Boolean): Map[String, String] = {
+      dvOn: Boolean, nSrc: Long): Map[String, String] = {
     def cnt(c: Column): Column = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
     def inSet(c: Column, s: Seq[Int]): Column =
       if (s.isEmpty) lit(false) else c.isInCollection(s)
@@ -168,7 +190,7 @@ final class MergeBuilder private[delta] (
     val i = r.getLong(r.fieldIndex("i"))
     val c = if (dvOn) 0L else r.getLong(r.fieldIndex("c"))
     Map(
-      "numSourceRows" -> source.count().toString,
+      "numSourceRows" -> nSrc.toString,
       "numTargetRowsUpdated" -> u.toString,
       "numTargetRowsDeleted" -> d.toString,
       "numTargetRowsInserted" -> i.toString,
@@ -296,26 +318,46 @@ final class MergeBuilder private[delta] (
             operationParameters = Map("predicate" -> condition.toString))
         return txn.readVersion
       }
-      val src = source.alias("s")
+      // ONE pass over the source: the per-clause projection is a
+      // first-satisfied CASE per output column (not a union of N
+      // filtered re-scans of an arbitrary source plan), and
+      // numSourceRows rides the same pass as a counting filter below
+      // the clause filter — no extra source execution.
+      val srcAcc = spark.sparkContext.longAccumulator
+      val src = source.filter(countingFilter(srcAcc))
+        .alias("s")
         .withColumn("__nc", firstIdx(notMatched.map(_._1).toSeq))
-      val frames = notMatched.zipWithIndex.map { case ((_, a), j) =>
-        src.filter(col("__nc") === j).select(insertProj(resolvedIns(a)): _*)
-      }
-      val insDF = frames.reduce(_ unionByName _)
+        .filter(col("__nc") >= 0)
+      def clauseCase(f: org.apache.spark.sql.types.StructField): Column =
+        notMatched.zipWithIndex.foldRight(lit(null).cast(f.dataType): Column) {
+          case (((_, a), j), rest) =>
+            when(col("__nc") === j,
+              resolvedIns(a).get(f.name).map(_.cast(f.dataType))
+                .getOrElse(lit(null).cast(f.dataType))).otherwise(rest)
+        }.as(f.name)
+      val insDF = src.select(fields.map(clauseCase): _*)
       val adds = DeltaTable.writeFiles(spark, log.dataPath, insDF, partCols, md)
+      // captured NOW: the CDC write below re-executes the (unpersisted)
+      // source plan, which would double the accumulator
+      val nSrc = srcAcc.value.longValue
       val cdc =
         if (cdfOn) DeltaTable.writeCdcFiles(spark, log.dataPath,
-          frames.map(_.withColumn("_change_type", lit("insert"))).reduce(_ unionByName _))
+          insDF.withColumn("_change_type", lit("insert")))
         else Nil
-      // inserted rows come free from the written files' stats
-      val ins = t.rowsFromStats(adds).getOrElse(0L)
-      return txn.commit(adds ++ cdc ++ txnActions, Op.Merge,
-        operationParameters = Map("predicate" -> condition.toString),
-        operationMetrics = Map(
-          "numSourceRows" -> source.count().toString,
+      // inserted rows come free from the written files' stats; when any
+      // file lacks numRecords the target-row metrics are OMITTED, never
+      // guessed (the rowsFromStats contract). numSourceRows is exact
+      // either way — it was observed on the write pass itself.
+      val rowM = t.rowsFromStats(adds) match {
+        case Some(ins) => Map(
           "numTargetRowsInserted" -> ins.toString,
           "numTargetRowsUpdated" -> "0", "numTargetRowsDeleted" -> "0",
-          "numTargetRowsCopied" -> "0", "numOutputRows" -> ins.toString))
+          "numTargetRowsCopied" -> "0", "numOutputRows" -> ins.toString)
+        case None => Map.empty[String, String]
+      }
+      return txn.commit(adds ++ cdc ++ txnActions, Op.Merge,
+        operationParameters = Map("predicate" -> condition.toString),
+        operationMetrics = Map("numSourceRows" -> nSrc.toString) ++ rowM)
     }
 
     // ---- phase 2: rewrite only the touched files
@@ -333,7 +375,13 @@ final class MergeBuilder private[delta] (
       .withColumn("__tid", concat_ws(":", col("__fp"), col("__ri")))
       .withColumn("__t_present", lit(true))
       .alias("t")
-    val src = source.withColumn("__s_present", lit(true)).alias("s")
+    // numSourceRows counted below the join (the nondeterministic filter
+    // blocks predicate pushdown, so the count is every source row,
+    // exactly once, before any join fan-out) — rides the single source
+    // pass that materializes the persisted join
+    val srcAcc = spark.sparkContext.longAccumulator
+    val src = source.filter(countingFilter(srcAcc))
+      .withColumn("__s_present", lit(true)).alias("s")
     val joinType = if (notMatched.nonEmpty) "full_outer" else "left_outer"
     val mT = col("__t_present").isNotNull
     val mS = col("__s_present").isNotNull
@@ -442,7 +490,7 @@ final class MergeBuilder private[delta] (
       else txn.commit(allActions, Op.Merge,
         operationParameters = Map("predicate" -> condition.toString) ++
           (if (dvOn) Map("mode" -> "deletion-vectors") else Map.empty),
-        operationMetrics = rowMetrics(joined, mT, mS, dvOn))
+        operationMetrics = rowMetrics(joined, mT, mS, dvOn, srcAcc.value.longValue))
     } finally joined.unpersist()
   }
 }

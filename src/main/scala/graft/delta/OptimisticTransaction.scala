@@ -183,7 +183,11 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
         // column defaults (spec: writer feature `allowColumnDefaults`):
         // a pre-feature writer would silently drop the fill obligation
         (if (ColumnDefaults.defaults(metadata).nonEmpty)
-          Set(ColumnDefaults.FeatureName) else Set.empty[String])
+          Set(ColumnDefaults.FeatureName) else Set.empty[String]) ++
+        // coordinated commits: a pre-feature writer would bypass the
+        // coordinator with a filesystem commit and fork the table
+        (if (DeltaConfig.CommitCoordinatorName.fromMetadata(metadata).nonEmpty)
+          Set(CoordinatedCommits.FeatureName) else Set.empty[String])
     val featureRequests = featureRequestsIn(metadata.configuration)
     if (featureRequests.nonEmpty)
       finalActions = finalActions.map {
@@ -314,7 +318,7 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       if (tries > 10000) throw new IllegalStateException("commit retry limit exceeded")
       try {
         val lines = if (perAttempt) serialized(attempt) else preSerialized
-        deltaLog.store.write(FileNames.deltaFile(deltaLog.logPath, attempt), lines.iterator)
+        writeCommitFile(attempt, lines.iterator)
         done = attempt
       } catch {
         case _: FileAlreadyExistsException =>
@@ -457,7 +461,7 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     }
     val head: Seq[Action] = commitInfo +: (protoActions ++ mdActions)
     try
-      deltaLog.store.write(FileNames.deltaFile(deltaLog.logPath, attempt),
+      writeCommitFile(attempt,
         (head.iterator ++ tallied ++ domainTail).map(Actions.toJson))
     catch {
       case _: FileAlreadyExistsException =>
@@ -471,6 +475,22 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     postCommit(attempt)
     attempt
   }
+
+  /** Routes the serialized commit to the table's commit authority: the
+    * coordinator when the READ snapshot declares one (so the enablement
+    * commit itself is the last classic filesystem commit, and the
+    * disablement commit is the last coordinated one — the delta-spark
+    * transition order), the filesystem's put-if-absent otherwise. Both
+    * paths throw FileAlreadyExistsException on a lost race, feeding the
+    * same retry loops.
+    */
+  private def writeCommitFile(attempt: Long, lines: Iterator[String]): Unit =
+    CoordinatedCommits.coordinatorFor(snapshot.metadataOpt) match {
+      case Some(c) => CoordinatedCommits.writeCommit(deltaLog, c, attempt,
+        lines, DeltaConfig.CoordinatedBackfillBatchSize.fromMetadata(metadata))
+      case None => deltaLog.store.write(
+        FileNames.deltaFile(deltaLog.logPath, attempt), lines)
+    }
 
   /** Protocol upgraded to declare every feature the staged state requires
     * (writer features plus the v2Checkpoint reader+writer feature); None

@@ -16,7 +16,13 @@ final case class LogSegment(
     version: Long,
     checkpoint: Option[CheckpointInstance],
     deltas: Seq[Long],
-    compacted: Seq[(Long, Long)] = Nil)
+    compacted: Seq[(Long, Long)] = Nil,
+    /** coordinated commits ratified but not yet backfilled: (version,
+      * staged file name under `_delta_log/_commits/`) — replayed exactly
+      * like classic deltas, so a ratified commit is readable the moment
+      * the coordinator accepts it, before any backfill copy lands.
+      */
+    staged: Seq[(Long, String)] = Nil)
 
 /** An immutable view of the table at one version
   * (cf. reference `snapshot.go:21` Snapshot interface).
@@ -52,6 +58,9 @@ class Snapshot(
     (segment.deltas.map(v => FileNames.deltaFile(logPath, v) -> v) ++
       segment.compacted.map { case (s, e) =>
         FileNames.compactedFile(logPath, s, e) -> e
+      } ++
+      segment.staged.map { case (v, name) =>
+        new Path(CoordinatedCommits.commitsDir(logPath), name) -> v
       }).sortBy(_._2)
 
   private lazy val spillTail: Boolean = {
@@ -213,8 +222,20 @@ class Snapshot(
 
   // ------------------------------------------------------- driver-side API
 
+  /** How many times this snapshot's FULL file list was materialized on
+    * the driver — a test pin for the paths that must stay bounded-driver
+    * (OPTIMIZE planning, VACUUM, commit): at 10^7 files every such
+    * collect is a multi-GB driver allocation, so the suites assert it
+    * stays ZERO across maintenance planning.
+    */
+  private[delta] val driverFileMaterializations =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** cf. reference `snapshot.go:121` AllFiles. */
-  def allFiles: Seq[AddFile] = allFilesDS.collect().toSeq
+  def allFiles: Seq[AddFile] = {
+    driverFileMaterializations.incrementAndGet()
+    allFilesDS.collect().toSeq
+  }
   def allFilesDS: Dataset[AddFile] = activeFilesDF.as[AddFile]
   def tombstones: Seq[RemoveFile] = tombstonesDF.as[RemoveFile].collect().toSeq
   def numOfFiles: Long = activeFilesDF.count()
@@ -397,7 +418,7 @@ object Snapshot {
       "identityColumns", "vacuumProtocolCheck", "domainMetadata",
       "rowTracking", "v2Checkpoint", "typeWidening", "timestampNtz",
       "inCommitTimestamp", "allowColumnDefaults", "variantType",
-      "checkpointProtection")
+      "checkpointProtection", "coordinatedCommits")
   final class InvalidProtocolVersionException(msg: String)
     extends RuntimeException(msg)
   /** Recursively nullable variant of a schema (StructType.asNullable is

@@ -904,6 +904,85 @@ object Corpus {
         CAST(length(t.text) - r.removed_bytes AS DOUBLE)
           / CAST(length(t.text) AS DOUBLE) AS kept_ratio
       FROM r JOIN documents t ON r.doc_id = t.doc_id
-      ORDER BY removed_bytes DESC, r.doc_id LIMIT 100"""))
+      ORDER BY removed_bytes DESC, r.doc_id LIMIT 100""")),
+
+    // C64 ---------------------------------------------------------------
+    // BPE ENCODE — the apply side of the tokenizer loop C57's pair
+    // counts start: learn a 16-entry merge table (the top adjacent
+    // [a-z0-9] pairs by corpus frequency — the first-round BPE merge
+    // statistic of Sennrich et al. 2016; merges never cross word
+    // boundaries) and encode every document with it, reporting tokens
+    // per doc and the compression ratio vs the character baseline.
+    // Encoding applies the merges SEQUENTIALLY, each as one
+    // non-overlapping left-to-right `replace(word, pair, symbol)` — the
+    // exact greedy semantics both Spark's and DuckDB's `replace` share,
+    // so the oracle replays the encode verbatim (recursive CTE, one
+    // step per merge rank). Scale shape: the merge table is a MODEL
+    // ARTIFACT — O(K) driver rows from C57's one-vector-per-map-task
+    // aggregate, never corpus-sized — and the encode itself is pure
+    // per-row string expressions (one codegen'd projection; no shuffle,
+    // no UDF, no explode: the per-doc token count folds inside
+    // `aggregate(transform(words, chain), ...)`).
+    GQ("bpe_encode", (s, d) => {
+      import s.implicits._
+      val pv = org.apache.spark.sql.GraftShims.column(
+        graft.functions.CharPairVector(
+          org.apache.spark.sql.GraftShims.expression($"text")))
+      // learn: top-16 merges by (count desc, pair asc) — ties broken
+      // identically in the oracle's row_number ordering
+      val merges: Seq[String] = table(s, d, "documents").select(pv.as("pv"))
+        .agg(graft.functions.LongVectorSumAgg($"pv", 1296).as("v"))
+        .select(posexplode($"v").as(Seq("k", "n")))
+        .filter($"n" > 0).select($"k", $"n").collect()
+        .map(r => (graft.functions.CharPairVector.pairOf(r.getInt(0)),
+          r.getLong(1)))
+        .sortBy { case (p, n) => (-n, p) }.take(16).map(_._1).toSeq
+      // apply: merge r rewrites its pair to symbol chr(65+r) ('A'..'P',
+      // disjoint from the [a-z0-9] word alphabet)
+      def chain(w: org.apache.spark.sql.Column) =
+        merges.zipWithIndex.foldLeft(w) { case (c, (p, i)) =>
+          call_function("replace", c, lit(p), lit(('A' + i).toChar.toString))
+        }
+      val words = regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))
+      table(s, d, "documents")
+        .select($"doc_id", words.as("ws"))
+        .select($"doc_id",
+          aggregate($"ws", lit(0L), (a, x) => a + length(x)).as("n_chars"),
+          aggregate(transform($"ws", chain(_)), lit(0L),
+            (a, x) => a + length(x)).as("n_tokens"))
+        .withColumn("compression",
+          when($"n_tokens" > 0,
+            $"n_chars".cast("double") / $"n_tokens".cast("double")))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+                 FROM documents),
+      i AS (SELECT w, unnest(range(1, length(w))) AS i FROM w),
+      p AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair FROM i),
+      c AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair),
+      m AS (SELECT pair, row_number() OVER (ORDER BY n DESC, pair) - 1 AS r
+            FROM c ORDER BY n DESC, pair LIMIT 16),
+      nm AS (SELECT COUNT(*) AS k FROM m),
+      dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+             FROM documents),
+      enc AS (
+        WITH RECURSIVE e AS (
+          SELECT doc_id, w, length(w) AS c0, 0 AS r FROM dw
+          UNION ALL
+          SELECT e.doc_id, replace(e.w, m.pair, chr(65 + e.r)), e.c0, e.r + 1
+          FROM e JOIN m ON m.r = e.r)
+        SELECT doc_id, c0, length(w) AS ct FROM e
+        WHERE r = (SELECT k FROM nm)),
+      agg AS (SELECT doc_id, CAST(SUM(c0) AS BIGINT) AS n_chars,
+                CAST(SUM(ct) AS BIGINT) AS n_tokens
+              FROM enc GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(a.n_chars, 0) AS n_chars,
+        COALESCE(a.n_tokens, 0) AS n_tokens,
+        CASE WHEN COALESCE(a.n_tokens, 0) > 0
+             THEN CAST(a.n_chars AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)
+        END AS compression
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id"""))
   )
 }

@@ -209,11 +209,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def parseGraft(sql: String): Option[LogicalPlan] = {
     val s = sql.trim.stripSuffix(";").trim
     s match {
-      case OptimizeRe(target, where, zorder) =>
+      case OptimizeRe(target, full, where, zorder) =>
         Some(GraftOptimizeCommand(
           parseTarget(target),
           Option(where).map(w => GraftShims.column(delegate.parseExpression(w))),
-          Option(zorder).map(splitCols).getOrElse(Nil)))
+          Option(zorder).map(splitCols).getOrElse(Nil),
+          full = full != null))
       case VacuumRe(target, lite, inventory, hours, dry) =>
         Some(GraftVacuumCommand(parseTarget(target),
           Option(hours).map(h => (h.trim.toDouble * 3600 * 1000).toLong),
@@ -338,7 +339,7 @@ object GraftSqlParser {
   // matched lazily; the optional clauses anchor the split
   private val T = """((?:'[^']+')|(?:"[^"]+")|(?:(?:delta|graft|parquet)\.`[^`]+`)|(?:[\w.`]+))"""
   private[sql] val OptimizeRe =
-    s"""(?is)OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s+(.+?))?""".r
+    s"""(?is)OPTIMIZE\\s+$T(\\s+FULL)?(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s+(.+?))?""".r
   private[sql] val VacuumRe =
     s"""(?is)VACUUM\\s+$T(\\s+LITE)?(?:\\s+USING\\s+INVENTORY\\s+(.+?))?(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?""".r
   private[sql] val ReplaceTableRe =
@@ -469,11 +470,14 @@ object SqlTarget {
 // ------------------------------------------------------------- commands
 
 case class GraftOptimizeCommand(target: SqlTarget, where: Option[Column],
-    zorderBy: Seq[String]) extends LeafRunnableCommand {
+    zorderBy: Seq[String], full: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
-    val v = t.compact(zorderBy, where)
+    require(!full || (where.isEmpty && zorderBy.isEmpty),
+      "OPTIMIZE ... FULL takes no WHERE or ZORDER BY (it is the " +
+        "whole-table re-cluster of the declared clustering columns)")
+    val v = if (full) t.compactFull() else t.compact(zorderBy, where)
     SqlTarget.refresh(spark, target)
     Seq(Row(v))
   }

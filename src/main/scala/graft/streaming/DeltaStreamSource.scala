@@ -87,7 +87,8 @@ class DeltaStreamSource(
     ignoreDeletes: Boolean = false,
     ignoreChanges: Boolean = false,
     skipChangeCommits: Boolean = false,
-    eventTimeOrderColumn: Option[String] = None)
+    eventTimeOrderColumn: Option[String] = None,
+    schemaTrackingLocation: Option[String] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -138,19 +139,48 @@ class DeltaStreamSource(
   // so a mid-stream ADD COLUMNS / RENAME cannot be absorbed — batches
   // must keep this shape or fail LOUDLY asking for a restart (the
   // delta-spark contract; a silent projection would drop the new column
-  // from the feed).
+  // from the feed). With `schemaTrackingLocation` (delta-spark's opt-in
+  // schema log, persisted beside the query checkpoint), the boundary
+  // failure RECORDS the evolved schema first, so the restart picks it up
+  // with no operator intervention: the restarted stream serves the whole
+  // history under the evolved schema (pre-evolution files null-fill the
+  // added columns). The loud-fail-with-no-recovery default is unchanged.
+  private val schemaLog: Option[StreamSchemaLog] =
+    schemaTrackingLocation.map(dir => new StreamSchemaLog(spark, dir))
+
+  private val declaredTableSchema: StructType = {
+    val current = log.update().metadata.schema
+    schemaLog match {
+      case None => current
+      case Some(sl) => sl.read() match {
+        case Some(tracked) => tracked
+        case None => sl.write(current, log.snapshot.version); current
+      }
+    }
+  }
+
   private val declaredSchema: StructType =
-    DeltaStreamSource.sourceSchema(log.update().metadata.schema, cdf)
+    DeltaStreamSource.sourceSchema(declaredTableSchema, cdf)
 
   override def schema: StructType = declaredSchema
 
   private def assertSchemaUnchanged(batchSchema: StructType): Unit = {
     def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
-    if (shape(batchSchema) != shape(declaredSchema))
+    if (shape(batchSchema) != shape(declaredSchema)) {
+      // record the evolved schema BEFORE failing, so the restart resumes
+      // under it (the table schema, not the cdf-decorated batch shape)
+      val recovery = schemaLog match {
+        case Some(sl) =>
+          sl.write(log.update().metadata.schema, log.snapshot.version)
+          "the evolved schema was recorded in the schema tracking log; " +
+            "restart the query to continue from it"
+        case None => "restart the query to pick up the evolved schema"
+      }
       throw new IllegalStateException(
         s"the schema of $path changed during the stream " +
           s"(${declaredSchema.simpleString} -> ${batchSchema.simpleString}); " +
-          "restart the query to pick up the evolved schema")
+          recovery)
+    }
   }
 
   /** The appends-only contract, enforced loudly (matching Delta's own
@@ -209,16 +239,23 @@ class DeltaStreamSource(
   // timestamp/date stats, silently wrong for numerics ("10" < "9"),
   // which would reintroduce the very watermark-drop hazard the option
   // exists to prevent. Reject anything but temporal columns up front.
-  eventTimeOrderColumn.foreach { c =>
-    val dt = log.snapshot.metadata.schema.fields
-      .find(_.name == c).map(_.dataType)
-    require(dt.nonEmpty, s"eventTimeOrderColumn '$c' not in table schema")
-    require(dt.exists(t => t == org.apache.spark.sql.types.TimestampType ||
-        t == org.apache.spark.sql.types.TimestampNTZType ||
-        t == org.apache.spark.sql.types.DateType),
+  // Resolved with the SESSION's resolver (case-insensitive unless
+  // spark.sql.caseSensitive): a user passing 'TS' for column 'ts' gets
+  // the canonical schema name, not a spurious rejection — and stats
+  // minValues are keyed by the canonical name, so downstream lookups
+  // must use it too.
+  private val orderColumn: Option[String] = eventTimeOrderColumn.map { c =>
+    val resolver = spark.sessionState.conf.resolver
+    val field = log.snapshot.metadata.schema.fields.find(f => resolver(f.name, c))
+    require(field.nonEmpty, s"eventTimeOrderColumn '$c' not in table schema")
+    val dt = field.get.dataType
+    require(dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType ||
+        dt == org.apache.spark.sql.types.DateType,
       s"eventTimeOrderColumn '$c' must be a timestamp or date column " +
-        s"(got ${dt.get.simpleString}: its stats do not sort " +
+        s"(got ${dt.simpleString}: its stats do not sort " +
         "lexicographically in event-time order)")
+    field.get.name
   }
 
   private val initialSnapshotEnd: Long =
@@ -242,7 +279,7 @@ class DeltaStreamSource(
 
   private def snapshotFiles(endV: Long): IndexedSeq[AddFile] =
     snapshotCache.getOrElseUpdate(endV, {
-      val col = eventTimeOrderColumn.get
+      val col = orderColumn.get
       val files = (startingVersion to endV).flatMap(addFiles)
       // Stats-less files sort FIRST (the conservative bucket — they
       // drain before the watermark has advanced). NOTE: Spark's legacy
@@ -420,6 +457,47 @@ class DeltaStreamSource(
   override def stop(): Unit = ()
 }
 
+/** The schema tracking log (`schemaTrackingLocation` option, delta-spark
+  * parity): one tiny JSON artifact beside the query checkpoint holding
+  * the TABLE schema the stream is committed to, plus the log version it
+  * was captured at. Written once at first start, overwritten at each
+  * schema-change boundary (just before the loud failure), read back at
+  * restart. Atomic via write-temp-then-rename on the location's
+  * filesystem — a torn write can only lose the newest entry, never
+  * corrupt it, and losing it merely repeats one fail-and-restart cycle.
+  */
+private[streaming] class StreamSchemaLog(spark: SparkSession, dir: String) {
+  import org.apache.hadoop.fs.Path
+  private val logPath = new Path(dir, "_schema_log.json")
+  private val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
+
+  def read(): Option[StructType] =
+    if (!fs.exists(logPath)) None
+    else {
+      val in = fs.open(logPath)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      Some(org.apache.spark.sql.types.DataType.fromJson(
+        node.get("schemaString").asText()).asInstanceOf[StructType])
+    }
+
+  def write(schema: StructType, version: Long): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("schemaString", schema.json)
+    node.put("deltaVersion", version)
+    val tmp = new Path(dir, s"_schema_log.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(m.writeValueAsString(node).getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(logPath)) fs.delete(logPath, false)
+    require(fs.rename(tmp, logPath),
+      s"could not publish schema tracking entry at $logPath")
+  }
+}
+
 object DeltaStreamSource {
   import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
 
@@ -457,11 +535,19 @@ class DeltaStreamSourceProvider extends StreamSourceProvider with DataSourceRegi
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
+    (shortName(), schema.getOrElse {
+      // with schema tracking, the plan analyzes against the TRACKED
+      // schema (what the checkpointed stream is committed to), which may
+      // lag the table's current one until the next boundary restart
+      val tracked = parameters.get("schemaTrackingLocation")
+        .flatMap(dir =>
+          new StreamSchemaLog(sqlContext.sparkSession, dir).read())
       DeltaStreamSource.sourceSchema(
-        DeltaLog.forTable(sqlContext.sparkSession, tablePath(parameters))
-          .snapshot.metadata.schema,
-        cdf(parameters))))
+        tracked.getOrElse(
+          DeltaLog.forTable(sqlContext.sparkSession, tablePath(parameters))
+            .snapshot.metadata.schema),
+        cdf(parameters))
+    })
 
   private def flag(parameters: Map[String, String], name: String): Boolean =
     parameters.get(name).exists(_.trim.toLowerCase == "true")
@@ -516,5 +602,7 @@ class DeltaStreamSourceProvider extends StreamSourceProvider with DataSourceRegi
             "withEventTimeOrder applies to the appends stream, not readChangeFeed")
           col
         } else None
-      })
+      },
+      schemaTrackingLocation =
+        parameters.get("schemaTrackingLocation").map(_.trim).filter(_.nonEmpty))
 }

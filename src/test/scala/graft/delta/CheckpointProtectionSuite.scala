@@ -50,6 +50,62 @@ class CheckpointProtectionSuite extends AnyFunSuite {
     assert(log.store.exists(FileNames.checkpointFile(log.logPath, s2.version)))
   }
 
+  test("truncateHistory aborts loudly when protection forbids the covering checkpoint") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val log = t.deltaLog
+    t.write(sampleDF) // v0
+    (1 to 3).foreach(_ => t.write(sampleDF)) // v1..v3
+    // boundary ABOVE the current version: checkpoint(s) silently
+    // declines, so truncateHistory must refuse to delete anything
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES (" +
+      "'delta.requireCheckpointProtectionBeforeVersion' = '100')")
+    val before = log.listDeltaVersions().toSet
+    val s = log.update()
+    val e = intercept[IllegalArgumentException](log.truncateHistory(s))
+    assert(e.getMessage.contains("TRUNCATE HISTORY aborted"))
+    assert(log.listDeltaVersions().toSet == before,
+      "truncateHistory deleted log artifacts despite having no covering checkpoint")
+    assert(t.toDF.collect().length == 8L) // table still fully readable
+  }
+
+  test("foreign log carrying the feature + boundary is honored end to end") {
+    // a table whose protocol/metadata were written by ANOTHER engine:
+    // hand-authored spec JSON (writer v7 + checkpointProtection listed,
+    // delta.requireCheckpointProtectionBeforeVersion pre-set) — never
+    // stamped by our own DROP FEATURE path. Our checkpoint and cleanup
+    // must honor the foreign boundary under a golden read round-trip.
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val log = t.deltaLog
+    val schemaJson = sampleDF.schema.json.replace("\"", "\\\"")
+    log.store.write(FileNames.deltaFile(log.logPath, 0L), Iterator(
+      s"""{"commitInfo":{"timestamp":1700000000000,"operation":"CREATE TABLE","operationParameters":{},"engineInfo":"foreign-engine/3.2.0"}}""",
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["checkpointProtection"]}}""",
+      s"""{"metaData":{"id":"f0e1d2c3-0000-4000-8000-000000000001","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.requireCheckpointProtectionBeforeVersion":"3","delta.checkpointInterval":"100"},"createdTime":1700000000000}}"""))
+    (1 to 4).foreach(_ => t.write(sampleDF)) // v1..v4, our writer
+    assert(t.toDF.count() == 8L) // golden round-trip of the foreign head
+    // below the foreign boundary: checkpoint DECLINES
+    assert(!log.checkpoint(log.snapshotForVersionAsOf(2L)))
+    assert(!log.store.exists(FileNames.checkpointFile(log.logPath, 2L)))
+    // at/above it: checkpoint proceeds
+    assert(log.checkpoint(log.update()))
+    assert(log.store.exists(FileNames.checkpointFile(log.logPath, 4L)))
+    // cleanup honors the foreign protected region [0,3): partial expiry
+    // sweeps nothing, full expiry sweeps it atomically
+    val fs = log.logPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = System.currentTimeMillis() - 40L * 24 * 3600 * 1000
+    (0L to 1L).foreach(v => fs.setTimes(FileNames.deltaFile(log.logPath, v), old, -1))
+    log.checkpoint(log.update())
+    assert(log.listDeltaVersions().toSet == (0L to 4L).toSet,
+      s"partial protected-region sweep: ${log.listDeltaVersions()}")
+    fs.setTimes(FileNames.deltaFile(log.logPath, 2L), old, -1)
+    log.checkpoint(log.update())
+    assert(log.listDeltaVersions().toSet == (3L to 4L).toSet,
+      s"expected atomic sweep of v0..v2: ${log.listDeltaVersions()}")
+    assert(t.toDF.count() == 8L)
+  }
+
   test("expired-log cleanup sweeps the protected region atomically or not at all") {
     val dir = tmp()
     val t = DeltaTable.forPath(spark, dir)

@@ -95,6 +95,46 @@ class DmlMetricsSuite extends AnyFunSuite {
     assert(m2.get("numTargetRowsCopied").contains("0"), m2.toString)
   }
 
+  test("MERGE executes the source plan exactly twice — metrics add no pass") {
+    import spark.implicits._
+    // a nondeterministic counting filter on the source: every execution
+    // of the source plan adds nRows to the accumulator. The two-phase
+    // merge design executes the source twice (touched-file discovery +
+    // rewrite join); numSourceRows must ride one of those passes via
+    // CollectMetrics, never a third source.count().
+    def countedSource(rows: Seq[(Long, Long)]) = {
+      val acc = spark.sparkContext.longAccumulator
+      val tick = udf((_: Long) => { acc.add(1L); true }).asNondeterministic()
+      (rows.toDF("id", "nv").filter(tick(col("id"))), acc)
+    }
+    // rewrite path
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write((0L until 20L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1))
+    val (src, acc) = countedSource((10L until 30L).map(i => (i, i * 1000L)))
+    t.merge(src, expr("t.id = s.id"))
+      .whenMatchedUpdate(Map("v" -> col("s.nv")))
+      .whenNotMatchedInsert(Map("id" -> col("s.id"), "v" -> col("s.nv")))
+      .execute()
+    val m = lastMetrics(t)
+    assert(m.get("numSourceRows").contains("20"), m.toString)
+    assert(acc.value == 40L,
+      s"source plan executed ${acc.value / 20.0} times, expected exactly 2")
+    // insert-only fast path (condition can never match)
+    val dir2 = tmp()
+    val t2 = DeltaTable.forPath(spark, dir2)
+    t2.write(Seq((0L, 0L)).toDF("id", "v"))
+    val (src2, acc2) = countedSource((1L to 8L).map(i => (i, i)))
+    t2.merge(src2, expr("t.id = s.id and t.id < 0"))
+      .whenNotMatchedInsert(Map("id" -> col("s.id"), "v" -> col("s.nv")))
+      .execute()
+    val m2 = lastMetrics(t2)
+    assert(m2.get("numSourceRows").contains("8"), m2.toString)
+    assert(m2.get("numTargetRowsInserted").contains("8"), m2.toString)
+    assert(acc2.value == 16L,
+      s"insert-only source executed ${acc2.value / 8.0} times, expected exactly 2")
+  }
+
   test("DV DELETE records deleted rows as cardinality growth") {
     import spark.implicits._
     val dir = tmp()

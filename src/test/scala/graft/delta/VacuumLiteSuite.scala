@@ -123,4 +123,62 @@ class VacuumLiteSuite extends AnyFunSuite {
     assert(orphan.exists(), "SQL LITE must skip orphans too")
     assert(t.toDF.count() == 1)
   }
+
+  test("LITE and SQL VACUUM write matching START/END audit commits; DRY RUN writes neither") {
+    def ops(t: DeltaTable): Seq[CommitInfo] = {
+      val log = t.deltaLog
+      (0L to log.update().version)
+        .flatMap(v => log.commitInfoAt(v))
+    }
+    def auditPair(t: DeltaTable): (CommitInfo, CommitInfo) = {
+      val all = ops(t)
+      val st = all.filter(_.operation == Op.VacuumStart)
+      val en = all.filter(_.operation == Op.VacuumEnd)
+      assert(st.size == 1 && en.size == 1,
+        s"expected exactly one START/END pair: ${all.map(_.operation)}")
+      (st.head, en.head)
+    }
+    // ---- vacuumLite: bracketing commits agree on a clean run
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(sampleDF, SaveMode.Append)
+    t.write(sampleDF.filter(col("id") === 1), SaveMode.Overwrite)
+    val vBeforeDry = t.deltaLog.update().version
+    assert(t.vacuumLite(Some(0L), dryRun = true).deletedCount > 0)
+    assert(t.deltaLog.update().version == vBeforeDry,
+      "DRY RUN must not write audit commits")
+    val res = t.vacuumLite(Some(0L))
+    val (st, en) = auditPair(t)
+    assert(st.operationParameters.get("lite").contains("true"), st.toString)
+    assert(st.operationMetrics.get("numFilesToDelete")
+      .contains(res.deletedCount.toString), (st.operationMetrics, res).toString)
+    assert(st.operationMetrics.get("sizeOfDataToDelete").exists(_.toLong > 0L))
+    assert(en.operationMetrics.get("numDeletedFiles")
+      .contains(res.deletedCount.toString), en.toString)
+    // ---- SQL full VACUUM: same trail through the SQL surface
+    val dir2 = tmp()
+    val t2 = DeltaTable.forPath(spark, dir2)
+    t2.write(sampleDF, SaveMode.Append)
+    t2.write(sampleDF.filter(col("id") === 2), SaveMode.Overwrite)
+    val vDry2 = t2.deltaLog.update().version
+    spark.sql(s"VACUUM graft.`$dir2` RETAIN 0 HOURS DRY RUN").collect()
+    assert(t2.deltaLog.update().version == vDry2,
+      "SQL DRY RUN must not write audit commits")
+    spark.sql(s"VACUUM graft.`$dir2` RETAIN 0 HOURS").collect()
+    val (st2, en2) = auditPair(t2)
+    assert(st2.operationMetrics.get("numFilesToDelete") ==
+      en2.operationMetrics.get("numDeletedFiles"),
+      (st2.operationMetrics, en2.operationMetrics).toString)
+    // ---- SQL VACUUM ... LITE
+    val dir3 = tmp()
+    val t3 = DeltaTable.forPath(spark, dir3)
+    t3.write(sampleDF, SaveMode.Append)
+    t3.write(sampleDF.filter(col("id") === 3), SaveMode.Overwrite)
+    spark.sql(s"VACUUM graft.`$dir3` LITE RETAIN 0 HOURS").collect()
+    val (st3, en3) = auditPair(t3)
+    assert(st3.operationParameters.get("lite").contains("true"))
+    assert(st3.operationMetrics.get("numFilesToDelete") ==
+      en3.operationMetrics.get("numDeletedFiles"),
+      (st3.operationMetrics, en3.operationMetrics).toString)
+  }
 }

@@ -395,4 +395,72 @@ class GraftDeltaSourceSuite extends AnyFunSuite {
     q.stop()
     assert(spark.read.format("graft-delta").load(dstDir).count() == 3)
   }
+
+  test("schemaTrackingLocation: boundary failure records schema; restart resumes null-filled") {
+    import spark.implicits._
+    val dir = tmp()
+    val ckpt = tmp()
+    val out = tmp()
+    val track = s"$ckpt/_schema_log"
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((1L, "a")).toDF("id", "v"))                       // v0
+    // a FILE sink: the memory sink cannot recover from a checkpoint,
+    // and checkpoint recovery is the whole point of schema tracking
+    def start() = spark.readStream
+      .format("graft.streaming.DeltaStreamSourceProvider")
+      .option("path", dir)
+      .option("schemaTrackingLocation", track)
+      .load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", out).start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 1)
+      // unconsumed PRE-evolution file, then the boundary, then new data
+      t.write(Seq((2L, "b")).toDF("id", "v"))                     // v1
+      t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.LongType))))                 // v2
+      t.write(Seq((3L, "c", 30L)).toDF("id", "v", "extra"))       // v3
+      val ex = intercept[Exception](q1.processAllAvailable())
+      def msgs(e: Throwable): List[String] =
+        if (e == null) Nil else Option(e.getMessage).toList ++ msgs(e.getCause)
+      assert(msgs(ex).exists(_.contains("schema tracking log")), ex.toString)
+    } finally q1.stop()
+    // restart with the SAME checkpoint + tracking location: no operator
+    // intervention, the evolved schema is read back from the schema log
+    // and the unconsumed pre-evolution file null-fills the added column
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.option("mergeSchema", "true").parquet(out)
+      .select("id", "v", "extra").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows == Set((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 30L)),
+      rows.toString)
+    // WITHOUT a tracking location the boundary failure stays unrecoverable
+    // advice (the r14 default): message asks for a manual restart only
+    val dir2 = tmp()
+    val t2 = DeltaTable.forPath(spark, dir2)
+    t2.write(Seq((1L, "a")).toDF("id", "v"))
+    val q3 = spark.readStream
+      .format("graft.streaming.DeltaStreamSourceProvider")
+      .option("path", dir2).load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st_plain").start()
+    try {
+      q3.processAllAvailable()
+      t2.addColumns(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.LongType))))
+      t2.write(Seq((3L, "c", 30L)).toDF("id", "v", "extra"))
+      val ex = intercept[Exception](q3.processAllAvailable())
+      def msgs(e: Throwable): List[String] =
+        if (e == null) Nil else Option(e.getMessage).toList ++ msgs(e.getCause)
+      assert(msgs(ex).exists(_.contains("restart the query")), ex.toString)
+      assert(!msgs(ex).exists(_.contains("schema tracking log")), ex.toString)
+    } finally q3.stop()
+  }
 }

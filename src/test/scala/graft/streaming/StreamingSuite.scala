@@ -534,6 +534,16 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("D4: eventTimeOrderColumn resolves case-insensitively like Spark columns") {
+    import spark.implicits._
+    val dir = outOfOrderBacklog()
+    // 'TS' for schema column 'ts': the session resolver is
+    // case-insensitive by default, so this must stream, not reject
+    val ordered = windowedCounts(dir, "eto_ci", Map(
+      "withEventTimeOrder" -> "true", "eventTimeOrderColumn" -> "TS"))
+    assert(ordered.get("2024-01-01 08:00:00").contains(2L), ordered.toString)
+  }
+
   test("D4: numeric eventTimeOrderColumn is rejected (stats sort as strings)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("d4-eto-num").toString
