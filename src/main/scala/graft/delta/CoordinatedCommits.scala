@@ -82,6 +82,16 @@ object CoordinatedCommits {
       ensureBackfilled(log, coordinator)
   }
 
+  /** The ratified staged payload of `version`, when the table has a
+    * coordinator that still tracks it (i.e. not yet backfilled).
+    */
+  def stagedRead(log: DeltaLog, version: Long): Option[Seq[String]] =
+    coordinatorFor(log.snapshot.metadataOpt).flatMap { c =>
+      c.getCommits(tableKey(log)).find(_.version == version).map { sc =>
+        log.store.read(new Path(commitsDir(log.logPath), sc.stagedName))
+      }
+    }
+
   /** Ratified staged commits forming a CONTIGUOUS tail right after
     * `fsVersion` — what snapshot construction replays beyond the
     * filesystem head. A gap (entry backfilled+dropped out of order)

@@ -81,18 +81,37 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
   def startingVersionAtOrAfterTimestamp(timestampMillis: Long): Long =
     versionAtOrAfterTimestamp(timestampMillis).getOrElse(update().version + 1)
 
+  /** Lines of commit `version`: the classic `<v>.json`, else the
+    * coordinator's ratified staged copy — so version-addressed readers
+    * (history, CDF, ICT floors) work on a coordinated-commits table
+    * whose backfill batch has not flushed yet.
+    */
+  private[delta] def readCommit(version: Long): Option[Seq[String]] = {
+    val p = FileNames.deltaFile(logPath, version)
+    if (store.exists(p)) Some(store.read(p))
+    else CoordinatedCommits.stagedRead(this, version)
+  }
+
   /** cf. reference `log.go:173` CommitInfoAt (history_manager.getCommitInfo). */
   def commitInfoAt(version: Long): Option[CommitInfo] = {
-    val p = FileNames.deltaFile(logPath, version)
-    if (!store.exists(p)) throw DeltaErrors.versionNotExist(version, 0, -1)
-    store.read(p).flatMap(Actions.fromJson).collectFirst {
+    val lines = readCommit(version).getOrElse(
+      throw DeltaErrors.versionNotExist(version, 0, -1))
+    lines.flatMap(Actions.fromJson).collectFirst {
       case ci: CommitInfo => ci.copy(version = Some(version))
     }
   }
 
-  /** cf. reference `log.go:188` Changes + `version_log.go` VersionLog. */
+  /** cf. reference `log.go:188` Changes + `version_log.go` VersionLog.
+    * On a coordinated table, the ratified-but-unbackfilled staged tail
+    * is included (read through [[readCommit]]).
+    */
   def changes(startVersion: Long, failOnDataLoss: Boolean = false): Iterator[(Long, Seq[Action])] = {
-    val versions = listDeltaVersions()
+    val fsVersions = listDeltaVersions()
+    val stagedTail = CoordinatedCommits.coordinatorFor(snapshot.metadataOpt)
+      .map(c => CoordinatedCommits
+        .pendingAfter(this, c, fsVersions.lastOption.getOrElse(-1L)).map(_._1))
+      .getOrElse(Nil)
+    val versions = fsVersions ++ stagedTail
     if (versions.isEmpty) return Iterator.empty
     val fromHere = versions.dropWhile(_ < startVersion)
     if (failOnDataLoss && fromHere.headOption.exists(_ > startVersion))
@@ -103,7 +122,7 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
       case _ =>
     }
     fromHere.iterator.map { v =>
-      v -> store.read(FileNames.deltaFile(logPath, v)).flatMap(Actions.fromJson).toSeq
+      v -> readCommit(v).getOrElse(Nil).flatMap(Actions.fromJson).toSeq
     }
   }
 

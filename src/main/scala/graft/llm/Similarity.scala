@@ -1144,6 +1144,86 @@ object Similarity {
         COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
         CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / ${NumQueries * K}.0 AS recall
       FROM sc s LEFT JOIN hits h ON s.np = h.np
-      ORDER BY nprobe"""))
+      ORDER BY nprobe""")),
+
+    // C65 ---------------------------------------------------------------
+    // SQ8 scalar quantization — the 8x-memory-reduction scan path for
+    // 100 TB ANN (Faiss SQ8 / Lucene int8 HNSW class): each dimension
+    // linearly maps to an 8-bit code against per-dim corpus (min, max);
+    // search is ASYMMETRIC (full-precision query against decoded
+    // candidates), reported as the quantized top-K per query with a
+    // per-row hit flag vs the exact top-K. Scale shape: the quantizer
+    // is a MODEL ARTIFACT — one aggregation producing 2x64 doubles,
+    // attached as ONE broadcast row (zero plan literals); codes shrink
+    // the candidate scan 8x (64 B vs 512 B per vector), which is the
+    // whole win when the scan is memory-bandwidth-bound; decode happens
+    // once per CANDIDATE ROW, never per (query, candidate) pair. The
+    // quantize→decode arithmetic (round to 0..255, rescale) is ordered
+    // identically in the oracle, so scores are bit-identical.
+    GQ("ann_sq8", (s, d) => {
+      import s.implicits._
+      val v = normed(s, d)
+      val prm = v.agg(
+        array((1 to Dim).map(i => min(element_at($"e", i))): _*).as("mn"),
+        array((1 to Dim).map(i => max(element_at($"e", i))): _*).as("mx"))
+      val dec = v.crossJoin(broadcast(prm))
+        .withColumn("de", transform(sequence(lit(1), lit(Dim)), i => {
+          val mn = element_at($"mn", i)
+          val w = greatest(element_at($"mx", i) - mn, lit(1e-12))
+          mn + round((element_at($"e", i) - mn) / w * lit(255.0)) / lit(255.0) * w
+        }))
+        .select($"vec_id", $"e", $"nrm", $"de",
+          sqrt(dotD($"de", $"de")).as("dn"))
+      val q = v.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"))
+      val approx = dec.select($"vec_id".as("c_id"), $"de".as("ce"), $"dn".as("cn"))
+        .join(broadcast(q), $"c_id" =!= $"q_id")
+        .withColumn("cos8", dotD($"qe", $"ce") / ($"qn" * $"cn"))
+        .groupBy($"q_id")
+        .agg(graft.functions.TopKExpressions.topKByScore($"cos8", $"c_id", K).as("top"))
+        .select($"q_id", posexplode($"top"))
+        .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+          $"col.id".as("c_id"), $"col.score".as("cos_sq8"))
+      val exact = v.select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"))
+        .join(broadcast(q), $"c_id" =!= $"q_id")
+        .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn"))
+        .groupBy($"q_id")
+        .agg(graft.functions.TopKExpressions.topKByScore($"cosine", $"c_id", K).as("top"))
+        .select($"q_id", explode($"top.id").as("c_id"), lit(true).as("hit0"))
+      approx.join(exact, Seq("q_id", "c_id"), "left")
+        .select($"q_id", $"rank", $"c_id", $"cos_sq8",
+          coalesce($"hit0", lit(false)).as("hit"))
+        .orderBy($"q_id", $"rank")
+    }, Some(s"""
+      WITH n AS ($duckNormed),
+      prm AS (
+        SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+        FROM (SELECT u.i AS i, MIN(e[u.i]) AS mn, MAX(e[u.i]) AS mx
+              FROM n, (SELECT unnest(generate_series(1, $Dim)) AS i) u
+              GROUP BY 1)),
+      dec AS (
+        SELECT vec_id,
+          list_transform(generate_series(1, $Dim), i ->
+            p.mn[i] + round((e[i] - p.mn[i]) / greatest(p.mx[i] - p.mn[i], 1e-12) * 255.0)
+              / 255.0 * greatest(p.mx[i] - p.mn[i], 1e-12)) AS de
+        FROM n, prm p),
+      d2 AS (SELECT vec_id, de, sqrt(${duckDot("de", "de")}) AS dn FROM dec),
+      p8 AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          ${duckDot("q.e", "c.de")} / (q.nrm * c.dn) AS cos8
+        FROM n q JOIN d2 c ON q.vec_id < $NumQueries AND c.vec_id != q.vec_id),
+      a AS (SELECT q_id, c_id, cos8,
+              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos8 DESC, c_id) AS rn
+            FROM p8),
+      ex AS (SELECT q_id, c_id FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${duckDot("q.e", "c.e")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rn
+          FROM n q JOIN n c ON q.vec_id < $NumQueries AND c.vec_id != q.vec_id)
+        WHERE rn <= $K)
+      SELECT a.q_id, CAST(a.rn AS BIGINT) AS rank, a.c_id, a.cos8 AS cos_sq8,
+        (e.c_id IS NOT NULL) AS hit
+      FROM a LEFT JOIN ex e ON a.q_id = e.q_id AND a.c_id = e.c_id
+      WHERE a.rn <= $K ORDER BY a.q_id, rank"""))
   )
 }

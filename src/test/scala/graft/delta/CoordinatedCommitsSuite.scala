@@ -123,6 +123,23 @@ class CoordinatedCommitsSuite extends AnyFunSuite {
     assert(t.toDF.count() == 3L)
   }
 
+  test("history and CDF read the staged tail before backfill") {
+    val dir = tmp()
+    val coord = freshName()
+    val t = mkTable(dir, coord, batch = 100)
+    t.write(df((1L, "a")))   // v1 staged only
+    t.write(df((2L, "b")))   // v2 staged only
+    val log = t.deltaLog
+    assert(!log.store.exists(FileNames.deltaFile(log.logPath, 1L)))
+    // version-addressed history over staged commits
+    val ci = log.commitInfoAt(2L)
+    assert(ci.exists(_.operation == Op.Write), ci.toString)
+    // changes feed includes the staged tail, gap-free
+    val ch = log.changes(0L, failOnDataLoss = true).toSeq
+    assert(ch.map(_._1) == Seq(0L, 1L, 2L), ch.map(_._1).toString)
+    assert(ch.flatMap(_._2).count(_.isInstanceOf[AddFile]) == 2)
+  }
+
   test("two-writer race: loser retries through the coordinator, both rows land") {
     val dir = tmp()
     val coord = freshName()
