@@ -1224,6 +1224,97 @@ object Similarity {
       SELECT a.q_id, CAST(a.rn AS BIGINT) AS rank, a.c_id, a.cos8 AS cos_sq8,
         (e.c_id IS NOT NULL) AS hit
       FROM a LEFT JOIN ex e ON a.q_id = e.q_id AND a.c_id = e.c_id
-      WHERE a.rn <= $K ORDER BY a.q_id, rank"""))
+      WHERE a.rn <= $K ORDER BY a.q_id, rank""")),
+
+    // C66 ---------------------------------------------------------------
+    // PQ ADC SEARCH — the other end of the ANN compression spectrum
+    // (C65's SQ8 is 8×; PQ codes are 4 bytes/vector here, 128×): each
+    // vector stores only its M=4 per-subspace code (argmax dot against
+    // the fixed ±1 codebooks, = argmin L2 on equal-norm centroids, the
+    // C34 encoder), and search is ASYMMETRIC DISTANCE COMPUTATION — per
+    // query, one M×K lookup table of subspace dots, then a candidate's
+    // score is M table lookups + adds, never a 64-dim dot. The ±1
+    // codebooks make every reconstruction norm EXACTLY sqrt(64) = 8, so
+    // approximate cosine = Σ_m LUT[m][code_m] / (|q|·8). Scale shape:
+    // the candidate scan reads 4-byte codes (the 100 TB corpus fits a
+    // memory tier 128× smaller), LUTs are query-side data (Q×M×K
+    // doubles broadcast with the queries), encode runs once per row.
+    // Reported as quantized top-K with per-row hit flags vs the exact
+    // top-K, same contract as ann_sq8 — the PQ point on the same
+    // recall/compression curve.
+    GQ("ann_pq_adc", (s, d) => {
+      import s.implicits._
+      val v = normed(s, d)
+      def subDots(m: Int): Column = {
+        val sub = slice($"e", m * PqSub + 1, PqSub)
+        array(pqBooks(m).map(c => dotD(sub, array(c.map(lit): _*))): _*)
+      }
+      val codes = array((0 until PqM).map { m =>
+        val dots = subDots(m)
+        (array_position(dots, array_max(dots)) - 1).cast("int")
+      }: _*)
+      val c = v.select($"vec_id".as("c_id"), codes.as("codes"))
+      val q = v.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"),
+          array((0 until PqM).map(subDots): _*).as("lut"),
+          $"nrm".as("qn"), $"e".as("qe"))
+      val score = (0 until PqM).map(m =>
+          element_at(element_at($"lut", m + 1), element_at($"codes", m + 1) + 1))
+        .reduce(_ + _) / ($"qn" * lit(8.0))
+      val approx = c.join(broadcast(q.select($"q_id", $"lut", $"qn")), $"c_id" =!= $"q_id")
+        .withColumn("cos_pq", score)
+        .groupBy($"q_id")
+        .agg(graft.functions.TopKExpressions.topKByScore($"cos_pq", $"c_id", K).as("top"))
+        .select($"q_id", posexplode($"top"))
+        .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+          $"col.id".as("c_id"), $"col.score".as("cos_pq"))
+      val exact = v.select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"))
+        .join(broadcast(q.select($"q_id", $"qe", $"qn")), $"c_id" =!= $"q_id")
+        .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn"))
+        .groupBy($"q_id")
+        .agg(graft.functions.TopKExpressions.topKByScore($"cosine", $"c_id", K).as("top"))
+        .select($"q_id", explode($"top.id").as("c_id"), lit(true).as("hit0"))
+      approx.join(exact, Seq("q_id", "c_id"), "left")
+        .select($"q_id", $"rank", $"c_id", $"cos_pq",
+          coalesce($"hit0", lit(false)).as("hit"))
+        .orderBy($"q_id", $"rank")
+    }, {
+      def subDotList(e: String, m: Int): String = {
+        val off = m * PqSub
+        pqBooks(m).map { cbk =>
+          val cl = cbk.mkString("[", ", ", "]")
+          s"list_reduce(list_transform(generate_series(1, $PqSub), i -> ($e)[$off + i]*($cl)[i]), (x, y) -> x + y)"
+        }.mkString("[", ", ", "]")
+      }
+      def lutOf(e: String): String =
+        (0 until PqM).map(m => subDotList(e, m)).mkString("[", ", ", "]")
+      val score = (0 until PqM)
+        .map(m => s"q.lut[${m + 1}][c.codes[${m + 1}] + 1]").mkString(" + ")
+      Some(s"""
+      WITH n AS ($duckNormed),
+      codes AS (
+        SELECT vec_id, list_transform(${lutOf("e")},
+          dots -> CAST(list_position(dots, list_max(dots)) - 1 AS INTEGER)) AS codes
+        FROM n),
+      ql AS (SELECT vec_id, ${lutOf("e")} AS lut, nrm FROM n
+             WHERE vec_id < $NumQueries),
+      pq AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          ($score) / (q.nrm * 8.0) AS cos_pq
+        FROM ql q JOIN codes c ON c.vec_id != q.vec_id),
+      a AS (SELECT q_id, c_id, cos_pq,
+              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_pq DESC, c_id) AS rn
+            FROM pq),
+      ex AS (SELECT q_id, c_id FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${duckDot("q.e", "c.e")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rn
+          FROM n q JOIN n c ON q.vec_id < $NumQueries AND c.vec_id != q.vec_id)
+        WHERE rn <= $K)
+      SELECT a.q_id, CAST(a.rn AS BIGINT) AS rank, a.c_id, a.cos_pq,
+        (e.c_id IS NOT NULL) AS hit
+      FROM a LEFT JOIN ex e ON a.q_id = e.q_id AND a.c_id = e.c_id
+      WHERE a.rn <= $K ORDER BY a.q_id, rank""")
+    })
   )
 }
