@@ -1190,7 +1190,9 @@ object Similarity {
         .groupBy($"q_id")
         .agg(graft.functions.TopKExpressions.topKByScore($"cosine", $"c_id", K).as("top"))
         .select($"q_id", explode($"top.id").as("c_id"), lit(true).as("hit0"))
-      approx.join(exact, Seq("q_id", "c_id"), "left")
+      // both sides are Q×K rows by construction — the hit join is a
+      // broadcast at any corpus size
+      approx.join(broadcast(exact), Seq("q_id", "c_id"), "left")
         .select($"q_id", $"rank", $"c_id", $"cos_sq8",
           coalesce($"hit0", lit(false)).as("hit"))
         .orderBy($"q_id", $"rank")
@@ -1274,7 +1276,7 @@ object Similarity {
         .groupBy($"q_id")
         .agg(graft.functions.TopKExpressions.topKByScore($"cosine", $"c_id", K).as("top"))
         .select($"q_id", explode($"top.id").as("c_id"), lit(true).as("hit0"))
-      approx.join(exact, Seq("q_id", "c_id"), "left")
+      approx.join(broadcast(exact), Seq("q_id", "c_id"), "left")
         .select($"q_id", $"rank", $"c_id", $"cos_pq",
           coalesce($"hit0", lit(false)).as("hit"))
         .orderBy($"q_id", $"rank")

@@ -73,6 +73,36 @@ class PlanShapeSuite extends AnyFunSuite {
       s"corpus-side shuffle crept into the nprobe sweep:\n$plan")
   }
 
+  test("ann_sq8 / ann_pq_adc: query side broadcasts; candidate corpus never sort-merges") {
+    // The compression-curve searches scan the (decoded / coded) corpus
+    // ONCE against a broadcast query table and reduce with the bounded
+    // top-K aggregate — at 100× the corpus must not shuffle for the
+    // scoring join, and no per-query window sort may appear.
+    for (q <- Seq("ann_sq8", "ann_pq_adc")) {
+      val plan = formatted(q)
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: query side not broadcast\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: corpus-side shuffle crept into the scoring join:\n$plan")
+      assert(!plan.contains("Window"),
+        s"$q: per-query window sort instead of bounded top-K:\n$plan")
+    }
+  }
+
+  test("bpe_encode: the encode is one shuffle-free codegen'd projection") {
+    // The merge table is learned in a separate tiny job; the ENCODE
+    // pass itself must stay a per-row projection over documents — no
+    // join, no shuffle, no explode (row counts in == out).
+    val df = graft.SparkEntry.queries("bpe_encode")(spark, sfDir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Join"), s"encode pass joins:\n$plan")
+    assert(!plan.contains("Generate"), s"encode pass explodes:\n$plan")
+    // exactly the one ordering exchange for the final orderBy, nothing else
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"unexpected shuffles in the encode pass:\n$plan")
+  }
+
   test("q_range_join: banded non-equi join is the broadcast nested-loop, by design") {
     val plan = formatted("q_range_join")
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
