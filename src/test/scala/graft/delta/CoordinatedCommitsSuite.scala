@@ -140,6 +140,27 @@ class CoordinatedCommitsSuite extends AnyFunSuite {
     assert(ch.flatMap(_._2).count(_.isInstanceOf[AddFile]) == 2)
   }
 
+  test("checkpoint cadence works over a staged-only tail") {
+    // 12 coordinated commits with backfill deferred past them all: the
+    // interval checkpoint at v10 must still capture correct state, and
+    // a FRESH reader (checkpoint + staged tail, zero classic deltas
+    // past v0) must reconstruct the exact table
+    val dir = tmp()
+    val coord = freshName()
+    val t = mkTable(dir, coord, batch = 1000)
+    (1L to 12L).foreach(i => t.write(df((i, s"r$i"))))
+    val log = t.deltaLog
+    assert(log.store.exists(FileNames.checkpointFile(log.logPath, 10L)),
+      "interval checkpoint missing at v10")
+    (1L to 12L).foreach(v =>
+      assert(!log.store.exists(FileNames.deltaFile(log.logPath, v)),
+        s"v$v should still be staged-only"))
+    val log2 = new DeltaLog(spark, new org.apache.hadoop.fs.Path(dir))
+    val s2 = log2.update()
+    assert(s2.version == 12L, s2.version.toString)
+    assert(new DeltaTable2Probe(spark, log2).count == 12L)
+  }
+
   test("two-writer race: loser retries through the coordinator, both rows land") {
     val dir = tmp()
     val coord = freshName()
