@@ -1,0 +1,141 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** COPY INTO (the delta-spark/lakehouse idempotent bulk-load surface):
+  * load files from a location into a Delta table, skipping files already
+  * loaded — re-running the same COPY INTO is a no-op, which is what
+  * makes scheduled ingestion retry-safe at 100 TB.
+  *
+  *   COPY INTO tbl FROM '<dir>' FILEFORMAT = PARQUET
+  *     [PATTERN = '<glob>'] [COPY_OPTIONS ('force' = 'true')]
+  *
+  * Exactly-once design (the part delta-spark keeps in hidden state under
+  * the table): loaded-file FINGERPRINTS (md5 of path|size|mtime) live in
+  * a sidecar graft-delta table at `<table>/_copy_into` — a log-backed,
+  * checkpointed store that scales to 10^7 loaded files and SURVIVES
+  * OPTIMIZE of the main table (AddFile tags would not: a bin-pack merges
+  * many source files into one output). Crash-safety is write-ahead:
+  *
+  *  1. INTENT — append this batch's fingerprints to the sidecar, keyed
+  *     by a fresh batchId;
+  *  2. LOAD — one main-table commit carrying the rows AND
+  *     `SetTransaction(appId = "graft.copyInto.<batchId>")`: the txn
+  *     map IS the durable "batch landed" marker, atomic with the data.
+  *
+  * A fingerprint counts as loaded ONLY when its batch's marker exists in
+  * the main txn map — so a crash between 1 and 2 leaves dangling intent
+  * rows that simply don't count (the files reload next run), and a crash
+  * after 2 is already durable. Skip-set evaluation is DISTRIBUTED: the
+  * candidate listing anti-joins the sidecar against the (driver-tiny)
+  * committed-batch set; the driver never holds the loaded-file set —
+  * only the NEW files' paths, which the load itself pays for anyway.
+  * Expiring markers via `delta.setTransactionRetentionDuration` shorter
+  * than the ingestion recency re-opens idempotency, the same documented
+  * trade as streaming SetTransactions.
+  */
+object CopyInto {
+
+  final case class Result(version: Long, numLoadedFiles: Long,
+      numSkippedFiles: Long)
+
+  private[delta] val AppIdPrefix = "graft.copyInto."
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  private[delta] def fingerprint(path: String, size: Long, mtime: Long): String =
+    md5hex(s"$path|$size|$mtime")
+
+  private def sidecarPath(t: DeltaTable): String =
+    new Path(t.deltaLog.dataPath, "_copy_into").toString
+
+  def run(t: DeltaTable, source: String, format: String,
+      pattern: Option[String], force: Boolean): Result = {
+    val spark = t.spark
+    import spark.implicits._
+    require(Seq("parquet", "json", "csv").contains(format.toLowerCase),
+      s"COPY INTO FILEFORMAT must be PARQUET, JSON or CSV, got $format")
+    val snap = t.deltaLog.update()
+    require(snap.metadataOpt.nonEmpty,
+      s"COPY INTO target ${t.deltaLog.dataPath} does not exist — create it first")
+    val md = snap.metadata
+
+    // candidate listing: the glob is driver-side (bounded by the SOURCE
+    // directory, the thing being ingested), hidden files excluded like
+    // any Spark file source
+    val conf = spark.sessionState.newHadoopConf()
+    val srcPath = new Path(source)
+    val fs = srcPath.getFileSystem(conf)
+    val glob = pattern.map(p => new Path(srcPath, p)).getOrElse(srcPath)
+    val statuses = Option(fs.globStatus(glob)).getOrElse(Array.empty).toSeq
+      .flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st))
+      .filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    val cand = statuses.map(st => (st.getPath.toString,
+      fingerprint(st.getPath.toString, st.getLen, st.getModificationTime)))
+    if (cand.isEmpty) return Result(snap.version, 0L, 0L)
+
+    // loaded set = sidecar fingerprints whose batch marker exists in the
+    // main txn map (O(#batches) driver-side, broadcast into the join)
+    val sidecar = DeltaTable.forPath(spark, sidecarPath(t))
+    val committedBatches: Set[String] = snap.transactions.keySet
+      .filter(_.startsWith(AppIdPrefix)).map(_.stripPrefix(AppIdPrefix))
+    val candDF = cand.toDF("src", "fp")
+    val toLoadDF =
+      if (force || !sidecar.deltaLog.tableExists) candDF
+      else {
+        val loaded = sidecar.toDF
+          .where($"batchId".isInCollection(committedBatches.toSeq :+ "__none__"))
+          .select($"fp")
+        candDF.join(loaded, Seq("fp"), "left_anti")
+      }
+    val toLoad = toLoadDF.select($"src", $"fp").as[(String, String)].collect()
+    val skipped = cand.size - toLoad.size
+    if (toLoad.isEmpty) return Result(snap.version, 0L, skipped.toLong)
+
+    // 1. INTENT: write-ahead fingerprints under a fresh batch id
+    val batchId = java.util.UUID.randomUUID().toString
+    sidecar.write(toLoad.toSeq.toDF("src", "fp")
+      .select(lit(batchId).as("batchId"), $"fp", $"src"))
+
+    // 2. LOAD: target-schema projection (columns resolved by name,
+    // case-insensitively, cast to the target type — a missing target
+    // column fails loudly rather than null-filling silently)
+    val raw: DataFrame = format.toLowerCase match {
+      case "parquet" => spark.read.parquet(toLoad.map(_._1).toIndexedSeq: _*)
+      case "json" => spark.read.json(toLoad.map(_._1).toIndexedSeq: _*)
+      case "csv" => spark.read.option("header", "true")
+        .csv(toLoad.map(_._1).toIndexedSeq: _*)
+    }
+    val resolver = spark.sessionState.conf.resolver
+    val projected = md.schema.fields.map { f =>
+      raw.schema.fields.find(g => resolver(g.name, f.name)) match {
+        case Some(g) => col(g.name).cast(f.dataType).as(f.name)
+        case None => throw new IllegalArgumentException(
+          s"COPY INTO: source lacks target column ${f.name} " +
+            s"(source columns: ${raw.columns.mkString(", ")})")
+      }
+    }
+    val txn = t.deltaLog.startTransaction()
+    val adds = DeltaTable.writeFiles(spark, t.deltaLog.dataPath,
+      raw.select(projected.toSeq: _*), md.partitionColumns, md)
+    val v = txn.commit(
+      adds :+ SetTransaction(AppIdPrefix + batchId, 1L,
+        Some(t.deltaLog.clock.nowMillis)),
+      Op.CopyInto,
+      operationParameters = Map(
+        "source" -> source, "fileFormat" -> format.toLowerCase,
+        "force" -> force.toString) ++
+        pattern.map("pattern" -> _),
+      operationMetrics = Map(
+        "numLoadedFiles" -> toLoad.size.toString,
+        "numSkippedFiles" -> skipped.toString))
+    Result(v, toLoad.size.toLong, skipped.toLong)
+  }
+}

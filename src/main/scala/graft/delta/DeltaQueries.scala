@@ -1033,6 +1033,36 @@ object DeltaQueries {
         FROM nation WHERE n_regionkey < 2)
       ORDER BY _change_type, n_nationkey""")),
 
+    // COPY INTO (A83): idempotent bulk ingestion — the same source is
+    // copied TWICE with an OPTIMIZE in between (which destroys AddFile
+    // identity, the hard case for loaded-file tracking); the second copy
+    // must load ZERO files, so the table equals exactly ONE copy of the
+    // source. The skip decision is a distributed anti-join against the
+    // _copy_into sidecar gated on main-log batch markers — exactly-once
+    // without the driver ever holding the loaded-file set.
+    GQ("delta_copy_into", (s, d) => {
+      val dir = fixture(s, d, "copy-into") { base =>
+        val t = DeltaTable.forPath(s, s"$base/t")
+        val txn = t.deltaLog.startTransaction()
+        txn.updateMetadata(Metadata(
+          schemaString = table(s, d, "nation").schema.json))
+        txn.commit(Nil, Op.CreateTable)
+        val r1 = t.copyInto(d, pattern = Some("nation.parquet"))
+        require(r1.numLoadedFiles == 1, s"first copy: $r1")
+        t.compact()
+        val r2 = t.copyInto(d, pattern = Some("nation.parquet"))
+        require(r2.numLoadedFiles == 0 && r2.numSkippedFiles == 1,
+          s"second copy must be a no-op: $r2")
+      }
+      DeltaTable.forPath(s, s"$dir/t").toDF
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }, Some("""
+      SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
+        CAST(n_regionkey AS INTEGER) AS n_regionkey
+      FROM nation ORDER BY n_nationkey""")),
+
     // CONVERT TO DELTA (A49): a plain Hive-partitioned parquet directory
     // is adopted in place (footer-stat job + one commit, no rewrite),
     // then proven transactional with a DELETE and read back through the

@@ -1411,6 +1411,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       (deletedSample ++ dvDeleted).take(reportLimit))
   }
 
+  /** COPY INTO: idempotent bulk file ingestion — see [[CopyInto]]. */
+  def copyInto(source: String, format: String = "parquet",
+      pattern: Option[String] = None, force: Boolean = false): CopyInto.Result =
+    CopyInto.run(this, source, format, pattern, force)
+
   /** GENERATE symlink_format_manifest: one text manifest per partition
     * listing the snapshot's live data files as absolute URIs — the layout
     * Hive/Presto/Athena's `SymlinkTextInputFormat` consumes (delta-spark's

@@ -46,6 +46,7 @@ object Op {
   val DropFeature = "DROP FEATURE"
   val VacuumStart = "VACUUM START"
   val VacuumEnd = "VACUUM END"
+  val CopyInto = "COPY INTO"
 
   /** The closed vocabulary. `OptimisticTransaction.commit` warns (once
     * per name per JVM) when a commit uses a name outside it, so drift
@@ -59,7 +60,7 @@ object Op {
     UpgradeSchema, ManualUpdate, Optimize, Reorg, Restore, Clone,
     RenameColumn, DropColumn, AddConstraint, DropConstraint,
     SetDomainMetadata, Fsck, ClusterBy, DropFeature,
-    VacuumStart, VacuumEnd)
+    VacuumStart, VacuumEnd, CopyInto)
 
   private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 

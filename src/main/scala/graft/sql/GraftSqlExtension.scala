@@ -215,6 +215,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           Option(where).map(w => GraftShims.column(delegate.parseExpression(w))),
           Option(zorder).map(splitCols).getOrElse(Nil),
           full = full != null))
+      case CopyIntoRe(target, source, fmt, pattern, force) =>
+        Some(GraftCopyIntoCommand(parseTarget(target), source,
+          fmt.toLowerCase, Option(pattern),
+          force = force != null && force.equalsIgnoreCase("true")))
       case VacuumRe(target, lite, inventory, hours, dry) =>
         Some(GraftVacuumCommand(parseTarget(target),
           Option(hours).map(h => (h.trim.toDouble * 3600 * 1000).toLong),
@@ -344,6 +348,8 @@ object GraftSqlParser {
     s"""(?is)VACUUM\\s+$T(\\s+LITE)?(?:\\s+USING\\s+INVENTORY\\s+(.+?))?(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?""".r
   private[sql] val ReplaceTableRe =
     s"""(?is)CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+$T\\s+USING\\s+`?graft-delta`?(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s+AS\\s+(.+)""".r
+  private[sql] val CopyIntoRe =
+    s"""(?is)COPY\\s+INTO\\s+$T\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*(\\w+)(?:\\s+PATTERN\\s*=\\s*'([^']+)')?(?:\\s+COPY_OPTIONS\\s*\\(\\s*'force'\\s*=\\s*'(true|false)'\\s*\\))?""".r
   private[sql] val FsckRe =
     s"""(?is)FSCK\\s+REPAIR\\s+TABLE\\s+$T(\\s+DRY\\s+RUN)?""".r
   private[sql] val HistoryRe =
@@ -480,6 +486,21 @@ case class GraftOptimizeCommand(target: SqlTarget, where: Option[Column],
     val v = if (full) t.compactFull() else t.compact(zorderBy, where)
     SqlTarget.refresh(spark, target)
     Seq(Row(v))
+  }
+}
+
+/** COPY INTO — idempotent bulk file ingestion (see [[graft.delta.CopyInto]]). */
+case class GraftCopyIntoCommand(target: SqlTarget, source: String,
+    format: String, pattern: Option[String], force: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_loaded_files", LongType)(),
+    AttributeReference("num_skipped_files", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    val r = t.copyInto(source, format, pattern, force)
+    SqlTarget.refresh(spark, target)
+    Seq(Row(r.numLoadedFiles, r.numSkippedFiles))
   }
 }
 

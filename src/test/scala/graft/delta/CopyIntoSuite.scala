@@ -1,0 +1,159 @@
+package graft.delta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** COPY INTO: idempotent bulk file ingestion. Re-runs skip loaded files
+  * (tracked in the `_copy_into` sidecar + main-log batch markers),
+  * idempotency survives OPTIMIZE, a crashed intent (write-ahead rows
+  * with no main commit) does NOT count as loaded, force reloads.
+  */
+class CopyIntoSuite extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.sql.GraftSparkExtension")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft-copyinto").toString
+
+  /** A source dir of n single-row parquet files + a hidden file. */
+  private def mkSource(n: Int, from: Int = 0): String = {
+    import spark.implicits._
+    val dir = tmp()
+    (from until from + n).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1)
+        .write.parquet(s"$dir/f$i")
+    }
+    // flatten: move part files up, one per i; drop spark metadata
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (from until from + n).foreach { i =>
+      val sub = new org.apache.hadoop.fs.Path(s"$dir/f$i")
+      val part = fs.listStatus(sub).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(dir, s"load-$i.parquet"))
+      fs.delete(sub, true)
+    }
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
+    dir
+  }
+
+  private def mkTarget(): DeltaTable = {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = Seq((0L, "x")).toDF("id", "v").schema.json))
+    txn.commit(Nil, Op.CreateTable)
+    t
+  }
+
+  test("loads once, re-run is a no-op, new files load incrementally") {
+    val src = mkSource(3)
+    val t = mkTarget()
+    val r1 = t.copyInto(src)
+    assert(r1.numLoadedFiles == 3 && r1.numSkippedFiles == 0, r1.toString)
+    assert(t.toDF.count() == 3)
+    val r2 = t.copyInto(src)
+    assert(r2.numLoadedFiles == 0 && r2.numSkippedFiles == 3, r2.toString)
+    assert(t.toDF.count() == 3)
+    // two more files arrive: only they load
+    mkSourceInto(src, 2, from = 10)
+    val r3 = t.copyInto(src)
+    assert(r3.numLoadedFiles == 2 && r3.numSkippedFiles == 3, r3.toString)
+    assert(t.toDF.count() == 5)
+    val ci = t.deltaLog.commitInfoAt(t.snapshot.version).get
+    assert(ci.operation == Op.CopyInto, ci.operation)
+    assert(ci.operationMetrics.get("numLoadedFiles").contains("2"))
+  }
+
+  private def mkSourceInto(dir: String, n: Int, from: Int): Unit = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (from until from + n).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1)
+        .write.parquet(s"$dir/f$i")
+      val sub = new org.apache.hadoop.fs.Path(s"$dir/f$i")
+      val part = fs.listStatus(sub).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(dir, s"load-$i.parquet"))
+      fs.delete(sub, true)
+    }
+  }
+
+  test("idempotency survives OPTIMIZE of the target") {
+    val src = mkSource(4)
+    val t = mkTarget()
+    assert(t.copyInto(src).numLoadedFiles == 4)
+    t.compact() // bin-pack merges the loaded files; AddFile identity gone
+    val r = t.copyInto(src)
+    assert(r.numLoadedFiles == 0 && r.numSkippedFiles == 4,
+      s"re-loaded after OPTIMIZE: $r")
+    assert(t.toDF.count() == 4)
+  }
+
+  test("a crashed intent (no main commit) does not count as loaded") {
+    import spark.implicits._
+    val src = mkSource(2)
+    val t = mkTarget()
+    // simulate the crash window: intent rows exist in the sidecar but
+    // their batch marker never landed in the main txn map
+    val sidecar = DeltaTable.forPath(spark,
+      new org.apache.hadoop.fs.Path(t.deltaLog.dataPath, "_copy_into").toString)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val rows = fs.listStatus(new org.apache.hadoop.fs.Path(src)).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(st => ("dead-batch",
+        CopyInto.fingerprint(st.getPath.toString, st.getLen, st.getModificationTime),
+        st.getPath.toString))
+    sidecar.write(rows.toDF("batchId", "fp", "src"))
+    // the files must STILL load (intent without a marker is void)
+    val r = t.copyInto(src)
+    assert(r.numLoadedFiles == 2 && r.numSkippedFiles == 0, r.toString)
+    assert(t.toDF.count() == 2)
+  }
+
+  test("force reloads; schema projection casts by name and fails on a missing column") {
+    import spark.implicits._
+    val src = mkSource(2)
+    val t = mkTarget()
+    assert(t.copyInto(src).numLoadedFiles == 2)
+    val rf = t.copyInto(src, force = true)
+    assert(rf.numLoadedFiles == 2, rf.toString)
+    assert(t.toDF.count() == 4) // duplicates, by explicit request
+    // missing target column fails loudly
+    val bad = tmp()
+    Seq((1L, 2L)).toDF("id", "other").write.parquet(s"$bad/d")
+    val t2 = mkTarget()
+    val e = intercept[IllegalArgumentException](
+      t2.copyInto(s"$bad/d"))
+    assert(e.getMessage.contains("source lacks target column"), e.getMessage)
+  }
+
+  test("SQL: COPY INTO ... FILEFORMAT = PARQUET PATTERN + COPY_OPTIONS force") {
+    val src = mkSource(3)
+    val t = mkTarget()
+    val dir = t.deltaLog.dataPath.toUri.getPath
+    val r1 = spark.sql(
+      s"COPY INTO graft.`$dir` FROM '$src' FILEFORMAT = PARQUET " +
+        "PATTERN = 'load-*.parquet'").collect().head
+    assert(r1.getLong(0) == 3 && r1.getLong(1) == 0, r1.toString)
+    val r2 = spark.sql(
+      s"COPY INTO graft.`$dir` FROM '$src' FILEFORMAT = PARQUET").collect().head
+    assert(r2.getLong(0) == 0 && r2.getLong(1) == 3, r2.toString)
+    val r3 = spark.sql(
+      s"COPY INTO graft.`$dir` FROM '$src' FILEFORMAT = PARQUET " +
+        "COPY_OPTIONS ('force' = 'true')").collect().head
+    assert(r3.getLong(0) == 3, r3.toString)
+    assert(spark.read.format("graft-delta").load(dir).count() == 6)
+  }
+}
