@@ -1064,6 +1064,20 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         tags = if (cubeTags.isEmpty) a.tags
           else Option(a.tags).getOrElse(Map.empty[String, String]) ++ cubeTags))
     val removes = files.map(f => f.remove(now, dataChange = false))
+    // delta-spark OPTIMIZE observability parity: output-file size
+    // distribution in operationMetrics, so a maintenance dashboard can
+    // tell "converging toward targetFileSize" from "still fragmented"
+    // without scanning the file state
+    val outSizes = adds.map(_.size).sorted
+    def pct(p: Double): Long =
+      if (outSizes.isEmpty) 0L
+      else outSizes(math.min(outSizes.size - 1, (p * outSizes.size).toInt))
+    val sizeMetrics =
+      if (outSizes.isEmpty) Map.empty[String, String]
+      else Map(
+        "minFileSize" -> outSizes.head.toString,
+        "p50FileSize" -> pct(0.5).toString,
+        "maxFileSize" -> outSizes.last.toString)
     txn.commit(removes ++ adds, if (purgeOnly || backfillOnly) Op.Reorg else Op.Optimize,
       operationParameters = Map("targetFileSize" -> targetSize.toString) ++
         (if (purgeOnly) Map("applyPurge" -> "true") else Map.empty) ++
@@ -1072,7 +1086,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         (if (zorderBy.nonEmpty)
           Map("zOrderBy" -> zorderBy.mkString(","),
             "clusteringStrategy" -> DeltaConfig.ClusteringStrategy.fromMetadata(md))
-        else Map.empty))
+        else Map.empty),
+      operationMetrics = sizeMetrics)
   }
 
   /** VACUUM: physically delete data files no longer referenced by the

@@ -152,6 +152,20 @@ class IncrementalClusteringSuite extends AnyFunSuite {
     assert(s2.driverFileMaterializations.get() == 0L)
   }
 
+  test("OPTIMIZE records output file-size distribution metrics") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    (0 until 3).foreach(i =>
+      t.write((0L until 50L).map(j => (i * 100L + j, s"v$j")).toDF("a", "v")))
+    t.compact()
+    val m = t.deltaLog.commitInfoAt(t.snapshot.version).get.operationMetrics
+    for (k <- Seq("minFileSize", "p50FileSize", "maxFileSize"))
+      assert(m.get(k).exists(_.toLong > 0L), s"$k missing: $m")
+    assert(m("minFileSize").toLong <= m("p50FileSize").toLong &&
+      m("p50FileSize").toLong <= m("maxFileSize").toLong, m.toString)
+  }
+
   test("DV-carrying files rewrite even inside a final cube") {
     import spark.implicits._
     val t = mkClustered(minCube = Some(1L))
