@@ -1196,7 +1196,7 @@ object Similarity {
         .select($"q_id", $"rank", $"c_id", $"cos_sq8",
           coalesce($"hit0", lit(false)).as("hit"))
         .orderBy($"q_id", $"rank")
-    }, Some(s"""
+    }, bench = true, oracle = Some(s"""
       WITH n AS ($duckNormed),
       prm AS (
         SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
