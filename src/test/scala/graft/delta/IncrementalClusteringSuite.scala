@@ -152,6 +152,36 @@ class IncrementalClusteringSuite extends AnyFunSuite {
     assert(s2.driverFileMaterializations.get() == 0L)
   }
 
+  test("OPTIMIZE WHERE composes with incremental clustering") {
+    import spark.implicits._
+    // partitioned + clustered table: WHERE scopes the partition, the
+    // incremental rule applies inside it — an idle scoped re-run is a
+    // no-op, and the out-of-scope partition is never touched
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val df = (0L until 40L).map(i => (i % 2, i, s"r$i")).toDF("p", "a", "v")
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(schemaString = df.schema.json,
+      partitionColumns = Seq("p"),
+      configuration = Map("delta.clusteringColumns" -> "a",
+        "delta.clustering.minCubeSize" -> "1")))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(df.repartition(4), partitionBy = Seq("p"))
+    val before = t.snapshot.allFiles.filter(_.partitionValues.get("p").contains("1"))
+      .map(_.path).toSet
+    t.compact(col("p") === 0L)
+    val after = t.snapshot.allFiles
+    // p=1 untouched, p=0 clustered + tagged
+    assert(after.filter(_.partitionValues.get("p").contains("1"))
+      .map(_.path).toSet == before, "out-of-scope partition was rewritten")
+    assert(after.filter(_.partitionValues.get("p").contains("0"))
+      .forall(f => Option(f.tags).exists(_.get(ZCube.SpecTag).contains("a"))))
+    // idle scoped re-run: no-op
+    val v = t.snapshot.version
+    assert(t.compact(col("p") === 0L) == v)
+    assert(t.toDF.count() == 40L)
+  }
+
   test("OPTIMIZE records output file-size distribution metrics") {
     import spark.implicits._
     val dir = tmp()
