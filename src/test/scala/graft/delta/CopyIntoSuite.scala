@@ -139,6 +139,24 @@ class CopyIntoSuite extends AnyFunSuite {
     assert(e.getMessage.contains("source lacks target column"), e.getMessage)
   }
 
+  test("JSON and CSV file formats load through the same idempotent path") {
+    import spark.implicits._
+    val t = mkTarget()
+    val jdir = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.json(s"$jdir/j")
+    val rj = t.copyInto(s"$jdir/j", format = "json")
+    assert(rj.numLoadedFiles == 1, rj.toString)
+    assert(t.copyInto(s"$jdir/j", format = "json").numLoadedFiles == 0)
+    val cdir = tmp()
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.option("header", "true").csv(s"$cdir/c")
+    val rc = t.copyInto(s"$cdir/c", format = "csv")
+    assert(rc.numLoadedFiles == 1, rc.toString)
+    // casts land the target types (csv reads strings)
+    assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("SQL: COPY INTO ... FILEFORMAT = PARQUET PATTERN + COPY_OPTIONS force") {
     val src = mkSource(3)
     val t = mkTarget()
