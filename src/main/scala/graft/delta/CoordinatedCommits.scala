@@ -71,15 +71,21 @@ object CoordinatedCommits {
       StagedCommit(version, staged.getName, log.clock.nowMillis))
     catch {
       case e: FileAlreadyExistsException =>
-        // lost the race: our staged payload is garbage; the winner's
-        // commit may still be unbackfilled, and the conflict checker
-        // reads `<v>.json` — complete the winner's backfill first
-        log.store.delete(staged)
-        ensureBackfilled(log, coordinator)
+        // lost the race: our staged payload is garbage. Backfill is
+        // BEST-EFFORT here (the conflict checker reads winners through
+        // readCommit, which falls back to staged copies) — a transient
+        // backfill failure must not mask the retryable conflict
+        try log.store.delete(staged)
+        catch { case scala.util.control.NonFatal(_) => () }
+        try ensureBackfilled(log, coordinator)
+        catch { case scala.util.control.NonFatal(_) => () }
         throw e
     }
+    // the commit is DURABLE from the ratify above; backfill is
+    // maintenance and must never fail a committed transaction
     if (version % math.max(1, backfillBatchSize) == 0)
-      ensureBackfilled(log, coordinator)
+      try ensureBackfilled(log, coordinator)
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** The ratified staged payload of `version`, when the table has a
@@ -88,7 +94,13 @@ object CoordinatedCommits {
   def stagedRead(log: DeltaLog, version: Long): Option[Seq[String]] =
     coordinatorFor(log.snapshot.metadataOpt).flatMap { c =>
       c.getCommits(tableKey(log)).find(_.version == version).map { sc =>
-        log.store.read(new Path(commitsDir(log.logPath), sc.stagedName))
+        try log.store.read(new Path(commitsDir(log.logPath), sc.stagedName))
+        catch {
+          // TOCTOU with a concurrent backfill: the staged copy was
+          // swept because the classic name landed — read that instead
+          case _: java.io.FileNotFoundException =>
+            log.store.read(FileNames.deltaFile(log.logPath, version))
+        }
       }
     }
 

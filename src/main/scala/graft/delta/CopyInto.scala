@@ -73,10 +73,17 @@ object CopyInto {
     val srcPath = new Path(source)
     val fs = srcPath.getFileSystem(conf)
     val glob = pattern.map(p => new Path(srcPath, p)).getOrElse(srcPath)
+    // directories matched by the glob are expanded RECURSIVELY (a
+    // partitioned drop zone like date=.../part-*.parquet must ingest
+    // fully — silently loading one level would be partial ingestion);
+    // hidden files/dirs excluded like any Spark file source
+    def expand(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
+        Nil
+      else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(expand)
+      else Seq(st)
     val statuses = Option(fs.globStatus(glob)).getOrElse(Array.empty).toSeq
-      .flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st))
-      .filter(st => st.isFile &&
-        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .flatMap(expand)
     val cand = statuses.map(st => (st.getPath.toString,
       fingerprint(st.getPath.toString, st.getLen, st.getModificationTime)))
     if (cand.isEmpty) return Result(snap.version, 0L, 0L)

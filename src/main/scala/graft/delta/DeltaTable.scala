@@ -929,8 +929,12 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         // 100 TB: cost tracks new data, not table size. `OPTIMIZE ...
         // FULL` is the explicit whole-scope re-cluster.
         val spec = zcubeSpec
-        // per-cube byte totals: one tiny aggregate, O(#cubes) rows back
-        val cubeSizes: Map[String, Long] = scoped
+        // per-cube byte totals: one tiny aggregate, O(#cubes) rows back.
+        // Totals come from the UNSCOPED file state — a cube spans
+        // OPTIMIZE jobs' whole scope (often several partitions), and
+        // sizing it from a WHERE-scoped slice would misclassify a final
+        // cube as small and churn its files on every scoped run
+        val cubeSizes: Map[String, Long] = allDS
           .flatMap((f: AddFile) => ZCube.of(f, spec).map(id => (id, f.size)))
           .toDF("id", "bytes")
           .groupBy("id").agg(fsum("bytes").as("bytes"))

@@ -335,10 +335,14 @@ final class MergeBuilder private[delta] (
               resolvedIns(a).get(f.name).map(_.cast(f.dataType))
                 .getOrElse(lit(null).cast(f.dataType))).otherwise(rest)
         }.as(f.name)
-      val insDF = src.select(fields.map(clauseCase): _*)
+      // persisted: the CDC write below must see the SAME rows the data
+      // files got — re-executing a nondeterministic source would emit a
+      // change feed diverging from table content (and double-count the
+      // accumulator)
+      val insDF = src.select(fields.map(clauseCase): _*).persist()
+      try {
       val adds = DeltaTable.writeFiles(spark, log.dataPath, insDF, partCols, md)
-      // captured NOW: the CDC write below re-executes the (unpersisted)
-      // source plan, which would double the accumulator
+      // captured after the single materializing pass
       val nSrc = srcAcc.value.longValue
       val cdc =
         if (cdfOn) DeltaTable.writeCdcFiles(spark, log.dataPath,
@@ -358,6 +362,7 @@ final class MergeBuilder private[delta] (
       return txn.commit(adds ++ cdc ++ txnActions, Op.Merge,
         operationParameters = Map("predicate" -> condition.toString),
         operationMetrics = Map("numSourceRows" -> nSrc.toString) ++ rowM)
+      } finally insDF.unpersist()
     }
 
     // ---- phase 2: rewrite only the touched files

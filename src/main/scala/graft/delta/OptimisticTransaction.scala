@@ -274,7 +274,8 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       var hwm = RowTracking.highWaterMark(snapshot.domainMetadata)
       ((snapshot.version + 1) until attempt).foreach { v =>
         val h = winnerHwm.getOrElseUpdate(v,
-          deltaLog.store.read(FileNames.deltaFile(deltaLog.logPath, v))
+          deltaLog.readCommit(v).getOrElse(throw new IllegalStateException(
+              s"winning commit $v vanished during row-id assignment"))
             .flatMap(Actions.fromJson)
             .collectFirst { case d: DomainMetadata if d.domain == RowTracking.Domain =>
               RowTracking.highWaterMark(Map(d.domain -> d.configuration))
@@ -488,8 +489,25 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     CoordinatedCommits.coordinatorFor(snapshot.metadataOpt) match {
       case Some(c) => CoordinatedCommits.writeCommit(deltaLog, c, attempt,
         lines, DeltaConfig.CoordinatedBackfillBatchSize.fromMetadata(metadata))
-      case None => deltaLog.store.write(
-        FileNames.deltaFile(deltaLog.logPath, attempt), lines)
+      case None =>
+        // the read snapshot may still carry a staged tail (the
+        // DISABLEMENT commit itself, and anything before it, can be
+        // ratified-but-unbackfilled): a classic commit written above
+        // that gap would make listDeltaVersions non-contiguous and
+        // brick every future snapshot — materialize the tail first
+        // (idempotent put-if-absent copies; the coordinator's GC ack is
+        // cosmetic here and the coordinator may already be gone)
+        snapshot.segment.staged.foreach { case (v, name) =>
+          val dest = FileNames.deltaFile(deltaLog.logPath, v)
+          if (!deltaLog.store.exists(dest)) {
+            val payload = deltaLog.store.read(new org.apache.hadoop.fs.Path(
+              CoordinatedCommits.commitsDir(deltaLog.logPath), name))
+            try deltaLog.store.write(dest, payload.iterator)
+            catch { case _: FileAlreadyExistsException => () }
+          }
+        }
+        deltaLog.store.write(
+          FileNames.deltaFile(deltaLog.logPath, attempt), lines)
     }
 
   /** Protocol upgraded to declare every feature the staged state requires
@@ -560,11 +578,18 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     */
   private def checkForConflicts(
       checkVersion: Long, actions: Seq[Action], level: IsolationLevel): Long = {
-    val latest = deltaLog.listDeltaVersions().lastOption.getOrElse(checkVersion - 1)
+    val fsLatest = deltaLog.listDeltaVersions().lastOption.getOrElse(checkVersion - 1)
+    // coordinated commits: winners can be ratified-but-unbackfilled —
+    // the staged tail MUST be conflict-checked too, and each winner is
+    // read through readCommit (classic name, else the staged copy)
+    val latest = CoordinatedCommits.coordinatorFor(snapshot.metadataOpt)
+      .flatMap(c => CoordinatedCommits.pendingAfter(deltaLog, c, fsLatest)
+        .lastOption.map(_._1))
+      .getOrElse(fsLatest)
     var v = checkVersion
     while (v <= latest) {
-      val winning = deltaLog.store
-        .read(FileNames.deltaFile(deltaLog.logPath, v))
+      val winning = deltaLog.readCommit(v).getOrElse(throw new IllegalStateException(
+          s"winning commit $v vanished during conflict check"))
         .flatMap(Actions.fromJson)
       new ConflictChecker(this, winning.toSeq, v, level, actions).check()
       v += 1

@@ -67,7 +67,11 @@ class Snapshot(
     val threshold = spark.conf
       .getOption("spark.graft.snapshot.spillThresholdBytes")
       .map(_.toLong).getOrElse(64L * 1024 * 1024)
-    tailFiles.nonEmpty && {
+    // staged coordinated commits never spill: their files can be swept
+    // by a concurrent backfill mid-job (the executor JSON read has no
+    // per-file fallback), and the staged tail is bounded by the
+    // backfill batch anyway — driver parsing with fallback is safe
+    segment.staged.isEmpty && tailFiles.nonEmpty && {
       val minV = math.min(segment.deltas.headOption.getOrElse(Long.MaxValue),
         segment.compacted.headOption.map(_._1).getOrElse(Long.MaxValue))
       // "<v>." sorts before both "<v>.json" and "<v>.<e>.compacted.json"
@@ -88,7 +92,17 @@ class Snapshot(
     */
   lazy val tailActions: Seq[(Long, Action)] =
     tailFiles.flatMap { case (p, v) =>
-      deltaLog.store.read(p).flatMap(Actions.fromJson).map(v -> _)
+      val lines =
+        try deltaLog.store.read(p)
+        catch {
+          // a STAGED commit file can be swept by a concurrent backfill
+          // between segment construction and this lazy read — the
+          // classic name exists by then; fall back to it
+          case e: java.io.FileNotFoundException
+              if segment.staged.exists(_._1 == v) =>
+            deltaLog.store.read(FileNames.deltaFile(logPath, v))
+        }
+      lines.flatMap(Actions.fromJson).map(v -> _)
     }
 
   // fully-nullable: checkpoint rows have exactly one non-null action

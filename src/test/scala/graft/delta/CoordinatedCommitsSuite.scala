@@ -161,6 +161,29 @@ class CoordinatedCommitsSuite extends AnyFunSuite {
     assert(new DeltaTable2Probe(spark, log2).count == 12L)
   }
 
+  test("disabling the coordinator over a staged-only tail cannot gap the log") {
+    val dir = tmp()
+    val coord = freshName()
+    val t = mkTable(dir, coord, batch = 100)
+    t.write(df((1L, "a")))   // v1 staged only
+    t.write(df((2L, "b")))   // v2 staged only
+    // v3 = the DISABLEMENT commit — snapshot still has the coordinator,
+    // so it stages too
+    spark.sql(s"ALTER TABLE graft.`$dir` UNSET TBLPROPERTIES " +
+      "('delta.coordinatedCommits.commitCoordinator')")
+    val log = t.deltaLog
+    assert(!log.store.exists(FileNames.deltaFile(log.logPath, 3L)))
+    // v4 = first CLASSIC commit: it must materialize the staged tail
+    // below it first, or listDeltaVersions gaps and every snapshot dies
+    t.write(df((4L, "d")))
+    (0L to 4L).foreach(v =>
+      assert(log.store.exists(FileNames.deltaFile(log.logPath, v)),
+        s"classic v$v missing — log gap"))
+    val log2 = new DeltaLog(spark, new org.apache.hadoop.fs.Path(dir))
+    assert(log2.update().version == 4L)
+    assert(new DeltaTable2Probe(spark, log2).count == 3L) // rows 1, 2, 4
+  }
+
   test("two-writer race: loser retries through the coordinator, both rows land") {
     val dir = tmp()
     val coord = freshName()
