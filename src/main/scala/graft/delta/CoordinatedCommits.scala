@@ -39,18 +39,50 @@ object CoordinatedCommits {
 
   def commitsDir(logPath: Path): Path = new Path(logPath, CommitsDirName)
 
+  // names this session has already warned about, so a read-served table
+  // with a foreign coordinator logs once, not once per snapshot build
+  private val warnedCoordinators =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** The table's coordinator, resolved from
-    * `delta.coordinatedCommits.commitCoordinator` ("memory:<name>" — the
-    * in-process registry, what a catalog/DynamoDB endpoint is to a real
-    * deployment). None = classic filesystem commits.
+    * `delta.coordinatedCommits.commitCoordinator`:
+    *
+    *  - `"memory:<name>"` — the in-process registry (tests /
+    *    single-JVM multi-session; ratify state does NOT survive a JVM
+    *    restart, so `backfillBatchSize > 1` is only safe within one JVM
+    *    lifetime here);
+    *  - `"fs"` / `"fs:<name>"` — [[FileSystemTableCommitCoordinator]],
+    *    the DURABLE coordinator: ratify state lives in the log directory
+    *    itself, so two separate drivers (or a restarted one) share the
+    *    table;
+    *  - anything else is a coordinator this engine cannot talk to. Per
+    *    the spec coordinatedCommits is a WRITER feature: on the write
+    *    path (`forWrite = true`) that is a hard failure — a filesystem
+    *    commit behind the coordinator's back would fork the table — but
+    *    on the read path we warn once and serve the filesystem-backfilled
+    *    view (possibly trailing by one backfill batch), exactly what a
+    *    coordinator-unaware reader is entitled to.
+    *
+    * None = classic filesystem commits.
     */
-  def coordinatorFor(md: Option[Metadata]): Option[TableCommitCoordinator] =
-    md.map(DeltaConfig.CommitCoordinatorName.fromMetadata).collect {
+  def coordinatorFor(log: DeltaLog, md: Option[Metadata],
+      forWrite: Boolean = false): Option[TableCommitCoordinator] =
+    md.map(DeltaConfig.CommitCoordinatorName.fromMetadata).flatMap {
       case n if n.startsWith("memory:") =>
-        InMemoryTableCommitCoordinator.named(n.stripPrefix("memory:"))
+        Some(InMemoryTableCommitCoordinator.named(n.stripPrefix("memory:")))
+      case n if n == "fs" || n.startsWith("fs:") =>
+        Some(new FileSystemTableCommitCoordinator(log.store, log.logPath))
       case n if n.nonEmpty =>
-        throw new IllegalArgumentException(
-          s"unknown commit coordinator '$n' (supported: memory:<name>)")
+        if (forWrite)
+          throw new IllegalArgumentException(
+            s"unknown commit coordinator '$n' (supported: memory:<name>, fs[:<name>]); " +
+              "refusing to write behind the table's commit authority")
+        if (warnedCoordinators.add(n))
+          System.err.println(s"WARN graft: table ${log.logPath} names commit " +
+            s"coordinator '$n' this engine cannot reach; serving the " +
+            "filesystem-backfilled view, which may trail the true head")
+        None
+      case _ => None
     }
 
   def tableKey(log: DeltaLog): String = log.logPath.toUri.toString
@@ -81,8 +113,11 @@ object CoordinatedCommits {
         catch { case scala.util.control.NonFatal(_) => () }
         throw e
     }
-    // the commit is DURABLE from the ratify above; backfill is
-    // maintenance and must never fail a committed transaction
+    // the commit is ratified; from here backfill is maintenance and must
+    // never fail a committed transaction. Durability of an unbackfilled
+    // ratify is the COORDINATOR's property: the fs coordinator persists
+    // it in the log directory; the memory coordinator only within this
+    // JVM's lifetime (its scaladoc spells out the batchSize > 1 caveat)
     if (version % math.max(1, backfillBatchSize) == 0)
       try ensureBackfilled(log, coordinator)
       catch { case scala.util.control.NonFatal(_) => () }
@@ -92,7 +127,7 @@ object CoordinatedCommits {
     * coordinator that still tracks it (i.e. not yet backfilled).
     */
   def stagedRead(log: DeltaLog, version: Long): Option[Seq[String]] =
-    coordinatorFor(log.snapshot.metadataOpt).flatMap { c =>
+    coordinatorFor(log, log.snapshot.metadataOpt).flatMap { c =>
       c.getCommits(tableKey(log)).find(_.version == version).map { sc =>
         try log.store.read(new Path(commitsDir(log.logPath), sc.stagedName))
         catch {
@@ -181,6 +216,14 @@ trait TableCommitCoordinator extends Serializable {
   * DynamoDB table is to a real deployment, this is to tests and
   * single-host multi-session use (the same role
   * [[InMemoryCommitCoordinator]] plays for the s3a log store).
+  *
+  * DURABILITY CAVEAT: ratify state lives only in this JVM. With
+  * `backfillBatchSize` = 1 (the default) every commit backfills to its
+  * classic `<v>.json` synchronously, so nothing is lost on restart; with
+  * batchSize > 1 a ratified-but-unbackfilled commit is unreachable after
+  * a JVM restart (the registry — including the re-ratification guard —
+  * is empty). Use `"fs"` ([[FileSystemTableCommitCoordinator]]) when
+  * deferred backfill must survive the process.
   */
 final class InMemoryTableCommitCoordinator extends TableCommitCoordinator {
   private val ratified =
@@ -213,4 +256,113 @@ object InMemoryTableCommitCoordinator {
     .empty[String, InMemoryTableCommitCoordinator]
   def named(name: String): InMemoryTableCommitCoordinator =
     registry.getOrElseUpdate(name, new InMemoryTableCommitCoordinator)
+}
+
+/** The DURABLE coordinator (`commitCoordinator` = `"fs"`): ratify state
+  * lives in the table's own log directory, so independent drivers — and
+  * a driver restarted mid-backfill — share one commit authority with no
+  * external service. Layout under `_delta_log/_commits/`:
+  *
+  *  - `<v>.<uuid>.json` — the staged payload (written by [[
+  *    CoordinatedCommits.writeCommit]] before ratify; a loser's copy is
+  *    garbage and swept);
+  *  - `<v>.ratified` — THE atomic point: its put-if-absent creation
+  *    (atomic rename on file/hdfs/abfs/gs, the [[ExternalLogStore]]
+  *    claim table on s3a — the same primitive classic commits use)
+  *    ratifies exactly one staged payload per version. Content is
+  *    `stagedName \t commitTime`. The marker is deleted once the classic
+  *    `<v>.json` is durable; from then on the classic name itself is the
+  *    immutable proof the version is taken.
+  *
+  * What this buys over classic filesystem commits: ratify is one tiny
+  * marker PUT regardless of payload size, so deferred backfill
+  * (`backfillBatchSize` > 1) amortizes the big copies while staying
+  * crash-safe — any reader reconstructs the ratified tail from the
+  * directory alone, cold-start or not. It is also the in-repo reference
+  * implementation of the coordinator endpoint contract a catalog would
+  * provide.
+  *
+  * Stateless by design: every instance over the same (store, logPath) is
+  * the same coordinator, so cold-registry recovery is a non-problem —
+  * `getCommits` IS the recovery procedure.
+  */
+final class FileSystemTableCommitCoordinator(store: LogStore, logPath: Path)
+  extends TableCommitCoordinator {
+  import scala.util.control.NonFatal
+
+  private val MarkerSuffix = ".ratified"
+  private def markerPath(version: Long): Path =
+    new Path(CoordinatedCommits.commitsDir(logPath), f"$version%020d$MarkerSuffix")
+
+  def commit(table: String, c: StagedCommit): Unit = {
+    // a classic <v>.json is immutable proof the version is taken (a
+    // pre-coordination commit, or an already-backfilled ratify whose
+    // marker was GC'd) — this check, not the marker put-if-absent,
+    // guards re-ratification of old versions. exists→fail is safe in
+    // that direction: classic names are never reused.
+    if (store.exists(FileNames.deltaFile(logPath, c.version)))
+      throw new FileAlreadyExistsException(
+        s"version ${c.version} of $table (already committed)")
+    val marker = markerPath(c.version)
+    try store.write(marker, Iterator(s"${c.stagedName}\t${c.commitTime}"))
+    catch {
+      case _: FileAlreadyExistsException =>
+        throw new FileAlreadyExistsException(
+          s"version ${c.version} of $table (already ratified)")
+    }
+    // close the residual check-to-ratify window: a competitor's full
+    // ratify+backfill+marker-GC of this version may have slipped between
+    // the exists check and our marker landing, making our put-if-absent
+    // a bogus win over an already-committed version. The classic file
+    // appearing now is benign only if it IS our payload (a helper
+    // backfilled us already — possible, we are ratified from the PUT
+    // above); byte-compare to tell the cases apart.
+    if (store.exists(FileNames.deltaFile(logPath, c.version))) {
+      val ours =
+        try Some(store.read(new Path(CoordinatedCommits.commitsDir(logPath), c.stagedName)))
+        catch { case _: java.io.FileNotFoundException =>
+          // our staged copy was swept — only a backfill of US does that
+          None
+        }
+      val theirs = store.read(FileNames.deltaFile(logPath, c.version))
+      if (ours.exists(_ != theirs)) {
+        try store.delete(marker) catch { case NonFatal(_) => () }
+        throw new FileAlreadyExistsException(
+          s"version ${c.version} of $table (committed concurrently)")
+      }
+    }
+  }
+
+  def getCommits(table: String): Seq[StagedCommit] = {
+    val dir = CoordinatedCommits.commitsDir(logPath)
+    val entries =
+      try store.listFrom(new Path(dir, "0"))
+      catch { case _: java.io.FileNotFoundException => Nil }
+    entries.iterator.map(_.getPath.getName)
+      .filter(_.endsWith(MarkerSuffix))
+      .flatMap { name =>
+        val v = name.stripSuffix(MarkerSuffix).toLong
+        if (store.exists(FileNames.deltaFile(logPath, v))) {
+          // backfilled, but the marker outlived a crash between the copy
+          // and the GC ack — sweep it lazily; the classic name rules
+          try store.delete(new Path(dir, name)) catch { case NonFatal(_) => () }
+          None
+        } else {
+          // a marker read racing a concurrent backfill+GC vanishes —
+          // that version just moved to the classic sequence; skip it
+          val line =
+            try store.read(new Path(dir, name)).headOption
+            catch { case _: java.io.FileNotFoundException => None }
+          line.map { l =>
+            val cut = l.lastIndexOf('\t')
+            StagedCommit(v, l.substring(0, cut), l.substring(cut + 1).toLong)
+          }
+        }
+      }
+      .toSeq.sortBy(_.version)
+  }
+
+  def backfilled(table: String, version: Long): Unit =
+    try store.delete(markerPath(version))
+    catch { case NonFatal(_) => () }
 }

@@ -35,6 +35,23 @@ import org.apache.spark.sql.functions._
   * Expiring markers via `delta.setTransactionRetentionDuration` shorter
   * than the ingestion recency re-opens idempotency, the same documented
   * trade as streaming SetTransactions.
+  *
+  * CONCURRENT loaders: the batchId is derived from the fingerprint set
+  * being loaded (md5 of the sorted fingerprints), not a random UUID, and
+  * the loading transaction REGISTERS a read of its own appId — so two
+  * simultaneous COPY INTOs of the same pending files race to one
+  * SetTransaction appId and the loser's conflict check throws
+  * ConcurrentTransactionException instead of silently loading every file
+  * twice. `force = true` keeps a random batchId: forced re-loads are
+  * explicitly non-idempotent, and a deterministic id would make the
+  * second forced run of identical files collide with its own marker.
+  *
+  * `mergeSchema = true` (COPY_OPTIONS 'mergeSchema' = 'true', the
+  * delta-spark COPY option): source columns absent from the target are
+  * APPENDED to the table schema in the same commit as the load (fresh
+  * column-mapping ids when mapping is enabled, same rules as the write
+  * path's mergeSchema append); target columns must still be present in
+  * the source — missing data fails loudly either way.
   */
 object CopyInto {
 
@@ -52,11 +69,20 @@ object CopyInto {
   private[delta] def fingerprint(path: String, size: Long, mtime: Long): String =
     md5hex(s"$path|$size|$mtime")
 
+  /** Content-derived batch identity: the md5 of the sorted fingerprint
+    * set being loaded. Two loaders of the same pending files derive the
+    * same SetTransaction appId and therefore conflict instead of
+    * double-loading.
+    */
+  private[delta] def batchIdFor(fingerprints: Seq[String]): String =
+    md5hex(fingerprints.sorted.mkString("\n"))
+
   private def sidecarPath(t: DeltaTable): String =
     new Path(t.deltaLog.dataPath, "_copy_into").toString
 
   def run(t: DeltaTable, source: String, format: String,
-      pattern: Option[String], force: Boolean): Result = {
+      pattern: Option[String], force: Boolean,
+      mergeSchema: Boolean = false): Result = {
     val spark = t.spark
     import spark.implicits._
     require(Seq("parquet", "json", "csv").contains(format.toLowerCase),
@@ -106,8 +132,24 @@ object CopyInto {
     val skipped = cand.size - toLoad.size
     if (toLoad.isEmpty) return Result(snap.version, 0L, skipped.toLong)
 
-    // 1. INTENT: write-ahead fingerprints under a fresh batch id
-    val batchId = java.util.UUID.randomUUID().toString
+    // batch identity: content-derived for normal loads (same pending set
+    // => same appId => concurrent duplicates conflict), random for force
+    val batchId =
+      if (force) java.util.UUID.randomUUID().toString
+      else batchIdFor(toLoad.map(_._2).toSeq)
+    val appId = AppIdPrefix + batchId
+
+    val txn = t.deltaLog.startTransaction()
+    // register the appId read: the conflict checker fails this txn with
+    // ConcurrentTransactionException if a racing loader lands the same
+    // batch first. txnVersion >= 0 means the marker ALREADY exists (a
+    // sidecar-lag rerun) — everything here is a skip, not a reload.
+    if (txn.txnVersion(appId) >= 0L)
+      return Result(snap.version, 0L, cand.size.toLong)
+
+    // 1. INTENT: write-ahead fingerprints under the batch id (re-running
+    // after a crash appends the same rows again — harmless, the skip
+    // anti-join is on fingerprints, not row counts)
     sidecar.write(toLoad.toSeq.toDF("src", "fp")
       .select(lit(batchId).as("batchId"), $"fp", $"src"))
 
@@ -129,16 +171,38 @@ object CopyInto {
             s"(source columns: ${raw.columns.mkString(", ")})")
       }
     }
-    val txn = t.deltaLog.startTransaction()
+    // schema evolution: source-only columns are appended to the table
+    // schema in the SAME commit as the load (write-path mergeSchema
+    // rules: nullable, fresh mapping ids under column mapping)
+    val newCols =
+      if (!mergeSchema) Array.empty[org.apache.spark.sql.types.StructField]
+      else raw.schema.fields.filterNot(g =>
+        md.schema.fields.exists(f => resolver(f.name, g.name)))
+    val writeMd =
+      if (newCols.isEmpty) md
+      else {
+        var mx = ColumnMapping.maxId(md.schema)
+        val annotated = newCols.map { f =>
+          if (ColumnMapping.enabled(md)) {
+            val a = ColumnMapping.freshField(f.copy(nullable = true), mx); mx += 1; a
+          } else f.copy(nullable = true)
+        }
+        val merged = org.apache.spark.sql.types.StructType(
+          md.schema.fields ++ annotated)
+        txn.updateMetadata(md.copy(schemaString = merged.json))
+        txn.metadata
+      }
+    val outCols = projected ++ newCols.map(f => col(f.name))
     val adds = DeltaTable.writeFiles(spark, t.deltaLog.dataPath,
-      raw.select(projected.toSeq: _*), md.partitionColumns, md)
+      raw.select(outCols.toSeq: _*), writeMd.partitionColumns, writeMd)
     val v = txn.commit(
-      adds :+ SetTransaction(AppIdPrefix + batchId, 1L,
+      adds :+ SetTransaction(appId, 1L,
         Some(t.deltaLog.clock.nowMillis)),
       Op.CopyInto,
       operationParameters = Map(
         "source" -> source, "fileFormat" -> format.toLowerCase,
-        "force" -> force.toString) ++
+        "force" -> force.toString,
+        "mergeSchema" -> mergeSchema.toString) ++
         pattern.map("pattern" -> _),
       operationMetrics = Map(
         "numLoadedFiles" -> toLoad.size.toString,

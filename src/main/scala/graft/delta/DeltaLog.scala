@@ -107,7 +107,7 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     */
   def changes(startVersion: Long, failOnDataLoss: Boolean = false): Iterator[(Long, Seq[Action])] = {
     val fsVersions = listDeltaVersions()
-    val stagedTail = CoordinatedCommits.coordinatorFor(snapshot.metadataOpt)
+    val stagedTail = CoordinatedCommits.coordinatorFor(this, snapshot.metadataOpt)
       .map(c => CoordinatedCommits
         .pendingAfter(this, c, fsVersions.lastOption.getOrElse(-1L)).map(_._1))
       .getOrElse(Nil)
@@ -122,7 +122,15 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
       case _ =>
     }
     fromHere.iterator.map { v =>
-      v -> readCommit(v).getOrElse(Nil).flatMap(Actions.fromJson).toSeq
+      // a version the listing reported but readCommit cannot serve was
+      // swept (metadata cleanup) between listing and read: under
+      // failOnDataLoss that is data loss, never a silent empty batch;
+      // without it the skip is the option's documented contract
+      v -> (readCommit(v) match {
+        case Some(lines) => lines.flatMap(Actions.fromJson).toSeq
+        case None if failOnDataLoss => throw DeltaErrors.dataLoss(v, v + 1)
+        case None => Seq.empty[Action]
+      })
     }
   }
 
@@ -268,7 +276,7 @@ class DeltaLog(val spark: SparkSession, val dataPath: Path,
     // batch (or any ensureBackfilled caller) lands them.
     val fsSeg = LogSegment(version, ckpt, keep.reverse, used.reverse)
     val fsSnap = new Snapshot(spark, this, version, fsSeg)
-    val staged = CoordinatedCommits.coordinatorFor(fsSnap.metadataOpt)
+    val staged = CoordinatedCommits.coordinatorFor(this, fsSnap.metadataOpt)
       .map { c =>
         var pend = CoordinatedCommits.pendingAfter(this, c, version)
         versionBound.foreach(b => pend = pend.takeWhile(_._1 <= b))

@@ -1432,8 +1432,9 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
 
   /** COPY INTO: idempotent bulk file ingestion — see [[CopyInto]]. */
   def copyInto(source: String, format: String = "parquet",
-      pattern: Option[String] = None, force: Boolean = false): CopyInto.Result =
-    CopyInto.run(this, source, format, pattern, force)
+      pattern: Option[String] = None, force: Boolean = false,
+      mergeSchema: Boolean = false): CopyInto.Result =
+    CopyInto.run(this, source, format, pattern, force, mergeSchema)
 
   /** GENERATE symlink_format_manifest: one text manifest per partition
     * listing the snapshot's live data files as absolute URIs — the layout

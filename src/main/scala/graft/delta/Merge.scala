@@ -144,8 +144,12 @@ final class MergeBuilder private[delta] (
   /** Ticks `acc` once per row flowing through — the delta-spark
     * metric-counting shape (their IncrementMetric expression over a SQL
     * metric): marked nondeterministic so the optimizer can neither push
-    * predicates below it nor collapse/duplicate it, which is what makes
-    * the count "every source row, exactly once, pre-join-fan-out". An
+    * predicates below it nor collapse/duplicate it — every source row
+    * ticks once per EXECUTION, pre-join-fan-out. Spark only guarantees
+    * exactly-once accumulator updates inside actions, so a task retry,
+    * speculative duplicate, or eviction-triggered recompute of the
+    * persisted join can overcount; like delta-spark's own SQL-metric
+    * counters this is an operational metric, not a ledger. An
     * accumulator survives ANY execution path of the plan (Dataset
     * actions, FileFormatWriter jobs, cached materialization) — unlike a
     * CollectMetrics observation, whose listener never fires for plans

@@ -127,6 +127,7 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       operationMetrics: Map[String, String] = Map.empty): Long = {
     require(!committed, "transaction already committed")
     Op.validate(operation)
+    validateStagedCoordinator()
 
     var finalActions = newMetadata.map(m => m: Action).toSeq ++ actions
 
@@ -354,6 +355,7 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       operationMetrics: Map[String, String] = Map.empty): Long = {
     require(!committed, "transaction already committed")
     Op.validate(operation)
+    validateStagedCoordinator()
     if (snapshot.version == -1 && newMetadata.isEmpty)
       throw new IllegalStateException("first commit must include table metadata")
     val appendOnly = DeltaConfig.AppendOnly.fromMetadata(metadata)
@@ -477,6 +479,19 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     attempt
   }
 
+  /** A commit that SETS `delta.coordinatedCommits.commitCoordinator`
+    * must be able to talk to the named coordinator: resolve it with
+    * write-path strictness at the enablement commit itself, so an
+    * unknown name fails loudly HERE instead of silently stranding the
+    * table behind a coordinator this engine can only read around
+    * (coordinatorFor's read path downgrades unknown names to a warning).
+    */
+  private def validateStagedCoordinator(): Unit =
+    newMetadata
+      .filter(m => DeltaConfig.CommitCoordinatorName.fromMetadata(m).nonEmpty)
+      .foreach(m => CoordinatedCommits.coordinatorFor(deltaLog, Some(m),
+        forWrite = true))
+
   /** Routes the serialized commit to the table's commit authority: the
     * coordinator when the READ snapshot declares one (so the enablement
     * commit itself is the last classic filesystem commit, and the
@@ -486,7 +501,8 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     * same retry loops.
     */
   private def writeCommitFile(attempt: Long, lines: Iterator[String]): Unit =
-    CoordinatedCommits.coordinatorFor(snapshot.metadataOpt) match {
+    CoordinatedCommits.coordinatorFor(deltaLog, snapshot.metadataOpt,
+        forWrite = true) match {
       case Some(c) => CoordinatedCommits.writeCommit(deltaLog, c, attempt,
         lines, DeltaConfig.CoordinatedBackfillBatchSize.fromMetadata(metadata))
       case None =>
@@ -582,7 +598,8 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     // coordinated commits: winners can be ratified-but-unbackfilled —
     // the staged tail MUST be conflict-checked too, and each winner is
     // read through readCommit (classic name, else the staged copy)
-    val latest = CoordinatedCommits.coordinatorFor(snapshot.metadataOpt)
+    val latest = CoordinatedCommits.coordinatorFor(deltaLog, snapshot.metadataOpt,
+        forWrite = true)
       .flatMap(c => CoordinatedCommits.pendingAfter(deltaLog, c, fsLatest)
         .lastOption.map(_._1))
       .getOrElse(fsLatest)

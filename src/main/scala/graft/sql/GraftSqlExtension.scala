@@ -215,10 +215,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           Option(where).map(w => GraftShims.column(delegate.parseExpression(w))),
           Option(zorder).map(splitCols).getOrElse(Nil),
           full = full != null))
-      case CopyIntoRe(target, source, fmt, pattern, force) =>
+      case CopyIntoRe(target, source, fmt, pattern, opts) =>
+        val copyOpts = parseCopyOptions(opts)
         Some(GraftCopyIntoCommand(parseTarget(target), source,
           fmt.toLowerCase, Option(pattern),
-          force = force != null && force.equalsIgnoreCase("true")))
+          force = copyOpts.get("force").exists(_.equalsIgnoreCase("true")),
+          mergeSchema = copyOpts.get("mergeschema").exists(_.equalsIgnoreCase("true"))))
       case VacuumRe(target, lite, inventory, hours, dry) =>
         Some(GraftVacuumCommand(parseTarget(target),
           Option(hours).map(h => (h.trim.toDouble * 3600 * 1000).toLong),
@@ -349,7 +351,25 @@ object GraftSqlParser {
   private[sql] val ReplaceTableRe =
     s"""(?is)CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+$T\\s+USING\\s+`?graft-delta`?(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s+AS\\s+(.+)""".r
   private[sql] val CopyIntoRe =
-    s"""(?is)COPY\\s+INTO\\s+$T\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*(\\w+)(?:\\s+PATTERN\\s*=\\s*'([^']+)')?(?:\\s+COPY_OPTIONS\\s*\\(\\s*'force'\\s*=\\s*'(true|false)'\\s*\\))?""".r
+    s"""(?is)COPY\\s+INTO\\s+$T\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*(\\w+)(?:\\s+PATTERN\\s*=\\s*'([^']+)')?(?:\\s+COPY_OPTIONS\\s*\\(([^)]*)\\))?""".r
+
+  /** COPY_OPTIONS blob -> key/value map ('force' = 'true', 'mergeSchema'
+    * = 'true', comma-separated); unknown keys fail loudly rather than
+    * silently ignoring a user's spelled-out intention.
+    */
+  private[sql] def parseCopyOptions(blob: String): Map[String, String] = {
+    if (blob == null || blob.trim.isEmpty) return Map.empty
+    val Pair = """\s*'([^']+)'\s*=\s*'([^']*)'\s*""".r
+    blob.split(",").map {
+      case Pair(k, v) => k -> v
+      case other => throw new IllegalArgumentException(
+        s"COPY_OPTIONS entry not of shape 'key' = 'value': $other")
+    }.toMap.map { case (k, v) =>
+      require(Set("force", "mergeschema").contains(k.toLowerCase),
+        s"unknown COPY_OPTIONS key '$k' (supported: force, mergeSchema)")
+      k.toLowerCase -> v
+    }
+  }
   private[sql] val FsckRe =
     s"""(?is)FSCK\\s+REPAIR\\s+TABLE\\s+$T(\\s+DRY\\s+RUN)?""".r
   private[sql] val HistoryRe =
@@ -491,14 +511,15 @@ case class GraftOptimizeCommand(target: SqlTarget, where: Option[Column],
 
 /** COPY INTO — idempotent bulk file ingestion (see [[graft.delta.CopyInto]]). */
 case class GraftCopyIntoCommand(target: SqlTarget, source: String,
-    format: String, pattern: Option[String], force: Boolean)
+    format: String, pattern: Option[String], force: Boolean,
+    mergeSchema: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("num_loaded_files", LongType)(),
     AttributeReference("num_skipped_files", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
-    val r = t.copyInto(source, format, pattern, force)
+    val r = t.copyInto(source, format, pattern, force, mergeSchema)
     SqlTarget.refresh(spark, target)
     Seq(Row(r.numLoadedFiles, r.numSkippedFiles))
   }

@@ -173,5 +173,93 @@ class CopyIntoSuite extends AnyFunSuite {
         "COPY_OPTIONS ('force' = 'true')").collect().head
     assert(r3.getLong(0) == 3, r3.toString)
     assert(spark.read.format("graft-delta").load(dir).count() == 6)
+    // unknown COPY_OPTIONS keys fail loudly, never silently ignored
+    val e = intercept[Exception](spark.sql(
+      s"COPY INTO graft.`$dir` FROM '$src' FILEFORMAT = PARQUET " +
+        "COPY_OPTIONS ('typo' = 'true')").collect())
+    assert(e.getMessage.contains("unknown COPY_OPTIONS key"), e.getMessage)
+  }
+
+  test("mergeSchema evolves the target; without it extra source columns are ignored") {
+    import spark.implicits._
+    // source files carry an extra column the target lacks
+    val src = tmp()
+    Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v", "extra")
+      .coalesce(1).write.parquet(s"$src/drop")
+    val t = mkTarget()
+    // strict (default): extra column ignored, target shape unchanged
+    val r1 = t.copyInto(s"$src/drop", "parquet")
+    assert(r1.numLoadedFiles == 1, r1.toString)
+    assert(t.toDF.columns.toSeq == Seq("id", "v"))
+    // a NEW file loaded with mergeSchema: column appended in the same
+    // commit as the load, earlier rows null-fill
+    Seq((3L, "c", 30)).toDF("id", "v", "extra")
+      .coalesce(1).write.parquet(s"$src/drop2")
+    val r2 = t.copyInto(s"$src/drop2", "parquet", mergeSchema = true)
+    assert(r2.numLoadedFiles == 1, r2.toString)
+    val out = t.toDF
+    assert(out.columns.toSeq == Seq("id", "v", "extra"), out.columns.toSeq)
+    val rows = out.select("id", "extra").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(30)), rows.toString)
+    // evolution commit + load are ONE version: schema change is atomic
+    // with the data it describes
+    val hist = t.deltaLog.update().version
+    assert(t.deltaLog.commitInfoAt(hist).exists(_.operation == Op.CopyInto))
+    // a missing TARGET column still fails loudly even under mergeSchema
+    Seq(Tuple1(4L)).toDF("id").coalesce(1).write.parquet(s"$src/drop3")
+    val e = intercept[IllegalArgumentException](
+      t.copyInto(s"$src/drop3", "parquet", mergeSchema = true))
+    assert(e.getMessage.contains("lacks target column"), e.getMessage)
+  }
+
+  test("CDF records COPY INTO loads as inserts") {
+    import spark.implicits._
+    val src = mkSource(2)
+    val t = DeltaTable.forPath(spark, tmp())
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = Seq((0L, "x")).toDF("id", "v").schema.json,
+      configuration = Map("delta.enableChangeDataFeed" -> "true")))
+    txn.commit(Nil, Op.CreateTable)
+    val r = t.copyInto(src, "parquet")
+    assert(r.numLoadedFiles == 2, r.toString)
+    val v = t.deltaLog.update().version
+    val ch = t.tableChanges(v, v)
+    val types = ch.select("_change_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types == Set("insert"), types.toString)
+    assert(ch.count() == 2L)
+    assert(ch.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(v))
+  }
+
+  test("concurrent loaders of the same pending set conflict instead of double-loading") {
+    import spark.implicits._
+    val src = mkSource(3)
+    val t = mkTarget()
+    // loader B lists the source and derives its content-addressed batch
+    // identity BEFORE loader A commits (both see the same pending set)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val fps = fs.listStatus(new org.apache.hadoop.fs.Path(src))
+      .filterNot(st => st.getPath.getName.startsWith("_"))
+      .map(st => CopyInto.fingerprint(
+        st.getPath.toString, st.getLen, st.getModificationTime)).toSeq
+    val appId = CopyInto.AppIdPrefix + CopyInto.batchIdFor(fps)
+    val txnB = t.deltaLog.startTransaction()
+    assert(txnB.txnVersion(appId) == -1L) // registers the appId read
+    // loader A wins the race end-to-end
+    assert(t.copyInto(src, "parquet").numLoadedFiles == 3)
+    // loader B's commit must DIE on the marker conflict — the second
+    // copy of the files never lands
+    intercept[DeltaErrors.ConcurrentTransactionException] {
+      txnB.commit(Seq(SetTransaction(appId, 1L, Some(0L))), Op.CopyInto)
+    }
+    assert(t.toDF.count() == 3L, "files were double-loaded")
+    // and a sequential re-run is the usual no-op
+    val again = t.copyInto(src, "parquet")
+    assert(again.numLoadedFiles == 0 && again.numSkippedFiles == 3, again.toString)
   }
 }

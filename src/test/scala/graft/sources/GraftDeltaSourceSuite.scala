@@ -396,6 +396,39 @@ class GraftDeltaSourceSuite extends AnyFunSuite {
     assert(spark.read.format("graft-delta").load(dstDir).count() == 3)
   }
 
+  test("stream drains commits that exist only as staged (coordinated, unbackfilled) files") {
+    import spark.implicits._
+    import graft.delta.{CoordinatedCommits, FileNames}
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = Seq((0L, "x")).toDF("id", "v").schema.json,
+      configuration = Map(
+        "delta.coordinatedCommits.commitCoordinator" -> "memory:stream-staged",
+        "delta.coordinatedCommits.backfillBatchSize" -> "100")))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(Seq((1L, "a")).toDF("id", "v"))   // v1 ratified, NOT backfilled
+    t.write(Seq((2L, "b")).toDF("id", "v"))   // v2
+    val log = t.deltaLog
+    (1L to 2L).foreach(v => assert(
+      !log.store.exists(FileNames.deltaFile(log.logPath, v)),
+      s"v$v must exist only as a staged file for this spec to bite"))
+    // the stream's admission (update().version) and batch construction
+    // (changes()/readCommit) must both see the staged tail — a source
+    // reading only classic <v>.json files would stall at v0 forever
+    val q = spark.readStream.format("graft-delta").load(dir)
+      .writeStream.format("memory").queryName("staged_tail_drain").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("staged_tail_drain")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), got.toString)
+    // and draining was read-side only: nothing got backfilled
+    (1L to 2L).foreach(v => assert(
+      !log.store.exists(FileNames.deltaFile(log.logPath, v)),
+      s"the stream must not backfill v$v"))
+  }
+
   test("schemaTrackingLocation: boundary failure records schema; restart resumes null-filled") {
     import spark.implicits._
     val dir = tmp()
