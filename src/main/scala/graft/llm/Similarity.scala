@@ -157,6 +157,30 @@ object Similarity {
     centroidsOf(s, assignByCentroids(v, c1))
   }
 
+  /** INDEX BUILD — the cell-bucketed PHYSICAL layout: the corpus written
+    * as a graft-Delta table PARTITIONED BY the cell id, so a probe's
+    * candidate read prunes unprobed cells at the transaction-log level
+    * (their files are never opened). This turns nprobe/C from a compute
+    * property into an I/O one — at 100 TB the scan, not the distance
+    * math, is the bill, and a cell-filtered read over this layout
+    * touches ~nprobe/C of the BYTES, not just of the comparisons.
+    * `assigned` must carry a `cell` column; callers read the table back
+    * through the `graft-delta` source (whose DeltaFileIndex serves the
+    * partition pruning) and must cut lineage (stableCheckpoint) on
+    * every result derived from it before [[deleteTree]] of `dir`.
+    */
+  private def writeCellIndexed(s: SparkSession, assigned: DataFrame,
+      dir: java.nio.file.Path): DataFrame = {
+    val t = graft.delta.DeltaTable.forPath(s, dir.toString)
+    // cluster the write by cell: ONE shuffle (the index-build cost, paid
+    // once) so each task writes whole cells — without it every input
+    // partition spills a sliver into every cell and the table is
+    // #partitions × #cells tiny files, the exact small-file pathology
+    // OPTIMIZE exists to undo
+    t.write(assigned.repartition(col("cell")), partitionBy = Seq("cell"))
+    s.read.format("graft-delta").load(dir.toString)
+  }
+
   private def deleteTree(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
@@ -327,8 +351,8 @@ object Similarity {
       // broadcast centroid array (cells ascending, strict-< replacement
       // at both ranks = first-two-by-(d2, cell) — exactly the oracle's
       // ROW_NUMBER rn <= 2): no C×Dim plan literals, no row expansion,
-      // no array-typed aggregation. Eager checkpoint: both join sides
-      // consume the assignment; without it the fold would run twice
+      // no array-typed aggregation. The index WRITE below materializes
+      // the assignment once for both join sides (the fold never reruns)
       val assigned = v.crossJoin(broadcast(centroidsRow(s, cents)))
         .withColumn("pr", aggregate($"__cents",
           struct(lit(Double.MaxValue).as("d1"), lit(0).as("c1"),
@@ -346,14 +370,23 @@ object Similarity {
           st => struct(st.getField("c1").as("best"), st.getField("c2").as("second"))))
         .select($"vec_id", $"e", $"nrm",
           $"pr.best".as("cell"), $"pr.second".as("second"))
-        .transform(stableCheckpoint)
+      // INDEX BUILD: partitioned by the vector's OWN (best) cell; the
+      // probe list (best, second) rides along as data. The write
+      // materializes the assignment for both consumers (replacing the
+      // r15 checkpoint) AND is the pruned layout the search reads.
+      val idxDir = QueryDefs.scratchDir("graft-ivf-probe-index")
+      val index = writeCellIndexed(s, assigned
+        .select($"cell", $"vec_id", $"e", $"nrm", $"second"), idxDir)
       v.unpersist()
-      val q = assigned.filter($"vec_id" < NumQueries)
+      val q = index.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"),
           explode(array($"cell", $"second")).as("cell"))
-      val c = assigned.select($"vec_id".as("c_id"), $"e".as("ce"),
-        $"nrm".as("cn"), $"cell")
-      c.join(broadcast(q), Seq("cell")).filter($"c_id" =!= $"q_id")
+      // probed = union of every query's 2 probe cells — O(2·#queries)
+      // driver ints; the candidate read opens ONLY those cells' files
+      val probed = q.select($"cell").distinct().as[Int].collect().toSeq.sorted
+      val c = index.where($"cell".isInCollection(probed))
+        .select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"), $"cell")
+      val res = c.join(broadcast(q), Seq("cell")).filter($"c_id" =!= $"q_id")
         .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn"))
         .groupBy($"q_id")
         .agg(graft.functions.TopKExpressions.topKByScore($"cosine", $"c_id", K).as("top"))
@@ -361,6 +394,9 @@ object Similarity {
         .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
           $"col.id".as("c_id"), $"col.score".as("cosine"))
         .orderBy($"q_id", $"rank")
+        .transform(stableCheckpoint)
+      deleteTree(idxDir)
+      res
     }, Some(s"""
       WITH n AS ($duckNormed),
       $trainedCtes,
@@ -646,20 +682,26 @@ object Similarity {
         .withColumn("d2", $"cc" - lit(2.0) * dotD($"e", $"c"))
         .groupBy($"vec_id")
         .agg(min_by(struct($"cell", $"e", $"nrm"), struct($"d2", $"cell")).as("m"))
-        .select($"vec_id", $"m.cell".as("cell"), $"m.e".as("e"), $"m.nrm".as("nrm"))
-        // eager localCheckpoint: q and c below both consume `assigned`;
-        // without it the broadcast-join + min_by lineage runs once per
-        // side — at corpus scale that is a redundant full vector read
-        .transform(stableCheckpoint)
+        .select($"m.cell".as("cell"), $"vec_id", $"m.e".as("e"), $"m.nrm".as("nrm"))
+      // INDEX BUILD: the corpus lands PARTITIONED BY trained cell (one
+      // write materializes the assignment for both consumers below —
+      // the role the r15 checkpoint played, now also the durable layout)
+      val idxDir = QueryDefs.scratchDir("graft-ivf-index")
+      val index = writeCellIndexed(s, assigned, idxDir)
       v.unpersist()
-      // lineage is cut, so the temp centroid fixture can go now instead
-      // of accumulating one directory per bench execution
+      // the index write consumed the centroid table; the fixture can go
       deleteTree(dir)
-      val q = assigned.filter($"vec_id" < NumQueries)
+      // SEARCH over the layout: the probed-cell set is O(#queries) ints
+      // on the driver, and the candidate read is PARTITION-PRUNED — at
+      // corpus scale only ~nprobe/C of the FILES open, the unprobed
+      // cells' bytes are never read (the query rows themselves are
+      // found by vec_id data skipping, again file-level)
+      val q = index.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"), $"cell")
-      val c = assigned.select($"vec_id".as("c_id"), $"e".as("ce"),
-        $"nrm".as("cn"), $"cell")
-      c.join(broadcast(q), Seq("cell")).filter($"c_id" =!= $"q_id")
+      val probed = q.select($"cell").distinct().as[Int].collect().toSeq.sorted
+      val c = index.where($"cell".isInCollection(probed))
+        .select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"), $"cell")
+      val res = c.join(broadcast(q), Seq("cell")).filter($"c_id" =!= $"q_id")
         .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn"))
         .groupBy($"q_id")
         .agg(graft.functions.TopKExpressions.topKByScore($"cosine", $"c_id", K).as("top"))
@@ -667,6 +709,10 @@ object Similarity {
         .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
           $"col.id".as("c_id"), $"col.score".as("cosine"))
         .orderBy($"q_id", $"rank")
+        // materialize the K×Q-row result so the scratch index can go
+        .transform(stableCheckpoint)
+      deleteTree(idxDir)
+      res
     }, Some(s"""
       WITH n AS ($duckNormed),
       $trainedCtes,
@@ -999,14 +1045,22 @@ object Similarity {
       val dots = array(anchors.map(a => dotD($"e", array(a.map(lit): _*))): _*)
       val withCell = v.withColumn("cell",
         array_position(dots, array_max(dots)).cast("int"))
-      val qa = withCell.filter($"vec_id" < NumQueries)
+      // the approx leg runs against the CELL-BUCKETED layout: recall is
+      // measured on the same pruned-I/O path a production probe takes
+      // (the exact leg, by definition, must scan everything)
+      val idxDir = QueryDefs.scratchDir("graft-ivf-recall-index")
+      val index = writeCellIndexed(s,
+        withCell.select($"cell", $"vec_id", $"e", $"nrm"), idxDir)
+      val qa = index.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"), $"cell")
+      val probed = qa.select($"cell").distinct().as[Int].collect().toSeq.sorted
       val approx = topIds(
-        withCell.select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"), $"cell")
+        index.where($"cell".isInCollection(probed))
+          .select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"), $"cell")
           .join(broadcast(qa), Seq("cell")).filter($"c_id" =!= $"q_id")
           .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn")))
         .withColumnRenamed("ids", "a_ids")
-      exact.join(approx, Seq("q_id"), "left")
+      val res = exact.join(approx, Seq("q_id"), "left")
         .withColumn("n_approx",
           coalesce(size($"a_ids"), lit(0)).cast("long"))
         .withColumn("n_hit",
@@ -1014,6 +1068,9 @@ object Similarity {
         .withColumn("recall", $"n_hit".cast("double") / lit(K.toDouble))
         .select($"q_id", $"n_approx", $"n_hit", $"recall")
         .orderBy($"q_id")
+        .transform(stableCheckpoint)
+      deleteTree(idxDir)
+      res
     }, {
       val dotsSql = anchors.map(a => duckDot("e", a.mkString("[", ", ", "]")))
         .mkString("[", ", ", "]")
@@ -1062,19 +1119,28 @@ object Similarity {
       import s.implicits._
       val v = normed(s, d).persist()
       val cents = trainLloyd2(s, v)
-      val assigned = assignByCentroids(v, cents).transform(stableCheckpoint)
+      // the corpus lands CELL-BUCKETED (replacing the r15 checkpoint as
+      // the shared materialization), so every sweep point's candidate
+      // read is the real pruned-I/O operating point the curve calibrates
+      val idxDir = QueryDefs.scratchDir("graft-ivf-curve-index")
+      val index = writeCellIndexed(s,
+        assignByCentroids(v, cents).select($"cell", $"vec_id", $"e", $"nrm"),
+        idxDir)
       v.unpersist()
-      val qe = assigned.filter($"vec_id" < NumQueries)
+      val qe = index.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"))
-      val exact = assigned
+      // the exact baseline needs the whole corpus by definition — and is
+      // NQ rows once reduced, checkpointed so the scratch index can go
+      val exact = index
         .select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"))
         .join(broadcast(qe), $"c_id" =!= $"q_id")
         .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn"))
         .groupBy($"q_id")
         .agg(graft.functions.TopKExpressions.topKByScore($"cosine", $"c_id", K).as("top"))
         .select($"q_id", expr("transform(top, x -> x.id)").as("e_ids"))
+        .transform(stableCheckpoint)
       // per-query probe order over the trained centroids (NQ×C rows)
-      val probes = assigned.filter($"vec_id" < NumQueries)
+      val probes = index.filter($"vec_id" < NumQueries)
         .crossJoin(broadcast(centroidsRow(s, cents)))
         .select($"vec_id".as("q_id"), $"e".as("qv"), explode($"__cents").as("ct"))
         .withColumn("d2", $"ct.cc" - lit(2.0) * dotD($"qv", $"ct.c"))
@@ -1082,7 +1148,11 @@ object Similarity {
           Window.partitionBy($"q_id").orderBy($"d2", $"ct.cell")))
         .filter($"prank" <= 4)
         .select($"q_id", $"ct.cell".as("cell"), $"prank")
-      val cand = assigned
+      // union of probed cells at the deepest sweep point — the candidate
+      // read prunes to those cells' files; at corpus scale (C growing
+      // with N) this is ~4·NQ/C of the bytes, not a full scan
+      val probedCells = probes.select($"cell").distinct().as[Int].collect().toSeq.sorted
+      val cand = index.where($"cell".isInCollection(probedCells))
         .select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"), $"cell")
         .join(broadcast(probes), Seq("cell"))
         .filter($"c_id" =!= $"q_id")
@@ -1090,6 +1160,7 @@ object Similarity {
         .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn"))
         .select($"q_id", $"c_id", $"prank", $"cosine")
         .transform(stableCheckpoint)
+      deleteTree(idxDir)
       val curve = Seq(1, 2, 4).map { np =>
         val ap = cand.filter($"prank" <= np)
           .groupBy($"q_id")
