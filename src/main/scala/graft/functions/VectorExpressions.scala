@@ -210,3 +210,62 @@ object CharPairVector {
     "" + ch(k / 36) + ch(k % 36)
   }
 }
+
+/** Adjacent-pair counts AFTER a merge chain — the per-round statistic of
+  * ITERATIVE BPE training (Sennrich et al. 2016: recount after every
+  * merge, because a merge changes the pair distribution — 'abab' counts
+  * 'AA' only once 'ab'→'A' has been applied). Tokenizes lower(text) on
+  * the base [a-z0-9] alphabet, applies `merges` sequentially inside the
+  * expression (merge i rewrites to chr(65+i) — the same all-occurrences
+  * left-to-right `replace` Spark SQL and DuckDB share), then counts
+  * adjacent pairs over the GROWN 52-symbol alphabet [a-z0-9A-P] as one
+  * 2704-long vector per row — map-only; one [[LongVectorSumAgg]] pass
+  * reduces the corpus per training round.
+  */
+case class BpePairVector(child: Expression, merges: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExpressions.tokenize(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toLowerCase.toString)
+    val counts = new Array[Long](BpePairVector.Cells)
+    var t = 0
+    while (t < toks.length) {
+      var w = toks(t)
+      var m = 0
+      while (m < merges.length) {
+        w = w.replace(merges(m), ('A' + m).toChar.toString)
+        m += 1
+      }
+      var i = 0
+      while (i + 1 < w.length) {
+        val a = BpePairVector.sym(w.charAt(i))
+        val b = BpePairVector.sym(w.charAt(i + 1))
+        counts(a * BpePairVector.Alphabet + b) += 1
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(counts.map(long2Long(_): Any))
+  }
+  override protected def withNewChildInternal(c: Expression): BpePairVector =
+    copy(child = c)
+}
+
+object BpePairVector {
+  /** a-z -> 0..25, 0-9 -> 26..35, merge symbols A-P -> 36..51. */
+  val Alphabet = 52
+  val Cells: Int = Alphabet * Alphabet
+  def sym(c: Char): Int =
+    if (c >= 'a') c - 'a'
+    else if (c <= '9') 26 + (c - '0')
+    else 36 + (c - 'A')
+  def pairOf(k: Int): String = {
+    def ch(s: Int): Char =
+      if (s < 26) ('a' + s).toChar
+      else if (s < 36) ('0' + (s - 26)).toChar
+      else ('A' + (s - 36)).toChar
+    "" + ch(k / Alphabet) + ch(k % Alphabet)
+  }
+}

@@ -907,36 +907,32 @@ object Corpus {
       ORDER BY removed_bytes DESC, r.doc_id LIMIT 100""")),
 
     // C64 ---------------------------------------------------------------
-    // BPE ENCODE — the apply side of the tokenizer loop C57's pair
-    // counts start: learn a 16-entry merge table (the top adjacent
-    // [a-z0-9] pairs by corpus frequency — the first-round BPE merge
-    // statistic of Sennrich et al. 2016; merges never cross word
-    // boundaries) and encode every document with it, reporting tokens
-    // per doc and the compression ratio vs the character baseline.
-    // Encoding applies the merges SEQUENTIALLY, each as one
-    // non-overlapping left-to-right `replace(word, pair, symbol)` — the
-    // exact greedy semantics both Spark's and DuckDB's `replace` share,
-    // so the oracle replays the encode verbatim (recursive CTE, one
-    // step per merge rank). Scale shape: the merge table is a MODEL
-    // ARTIFACT — O(K) driver rows from C57's one-vector-per-map-task
-    // aggregate, never corpus-sized — and the encode itself is pure
+    // BPE ENCODE — the TRUE iterative tokenizer-training loop (Sennrich
+    // et al. 2016): K = 16 rounds of count → pick THE top pair → merge →
+    // RECOUNT, because each merge changes the pair distribution (after
+    // 'ab'→'A', the corpus 'ababab' offers 'AA' — a pair round-1 counts
+    // never saw; a single-pass top-16 gets this wrong, pinned by
+    // BpeTrainingSuite). Merges never cross word boundaries; the
+    // replacement symbols 'A'..'P' grow the alphabet to 52, and later
+    // merges may contain earlier symbols. Each training round is ONE
+    // map-only [[BpePairVector]] pass + a 2704-cell LongVectorSumAgg —
+    // the merge table stays an O(K) driver MODEL ARTIFACT, never
+    // corpus-sized. Encoding applies the merges SEQUENTIALLY, each as
+    // one non-overlapping left-to-right `replace(word, pair, symbol)` —
+    // the exact greedy semantics both Spark's and DuckDB's `replace`
+    // share, so the oracle replays BOTH the training rounds (16 unrolled
+    // count/argmax/rewrite CTE pairs) and the encode (recursive CTE, one
+    // step per merge rank) verbatim. The encode itself stays pure
     // per-row string expressions (one codegen'd projection; no shuffle,
     // no UDF, no explode: the per-doc token count folds inside
     // `aggregate(transform(words, chain), ...)`).
     GQ("bpe_encode", (s, d) => {
       import s.implicits._
-      val pv = org.apache.spark.sql.GraftShims.column(
-        graft.functions.CharPairVector(
-          org.apache.spark.sql.GraftShims.expression($"text")))
-      // learn: top-16 merges by (count desc, pair asc) — ties broken
-      // identically in the oracle's row_number ordering
-      val merges: Seq[String] = table(s, d, "documents").select(pv.as("pv"))
-        .agg(graft.functions.LongVectorSumAgg($"pv", 1296).as("v"))
-        .select(posexplode($"v").as(Seq("k", "n")))
-        .filter($"n" > 0).select($"k", $"n").collect()
-        .map(r => (graft.functions.CharPairVector.pairOf(r.getInt(0)),
-          r.getLong(1)))
-        .sortBy { case (p, n) => (-n, p) }.take(16).map(_._1).toSeq
+      // learn: 16 iterative rounds over the (cached) corpus; each round
+      // picks the top pair by (count desc, pair asc) — ties broken
+      // identically in the oracle's ORDER BY n DESC, pair LIMIT 1
+      val docs = table(s, d, "documents").select($"doc_id", $"text").persist()
+      val merges: Seq[String] = Corpus.bpeLearn(docs, 16)
       // apply: merge r rewrites its pair to symbol chr(65+r) ('A'..'P',
       // disjoint from the [a-z0-9] word alphabet)
       def chain(w: org.apache.spark.sql.Column) =
@@ -944,7 +940,7 @@ object Corpus {
           call_function("replace", c, lit(p), lit(('A' + i).toChar.toString))
         }
       val words = regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))
-      table(s, d, "documents")
+      val res = docs
         .select($"doc_id", words.as("ws"))
         .select($"doc_id",
           aggregate($"ws", lit(0L), (a, x) => a + length(x)).as("n_chars"),
@@ -954,14 +950,29 @@ object Corpus {
           when($"n_tokens" > 0,
             $"n_chars".cast("double") / $"n_tokens".cast("double")))
         .orderBy($"doc_id")
-    }, Some("""
-      WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      docs.unpersist()
+      res
+    }, {
+      // the oracle replays the SAME 16 iterative rounds, unrolled:
+      // m<r> = the top pair of corpus state w<r>; w<r+1> = w<r> with
+      // that pair merged to chr(65+r). Every w<r> is referenced twice
+      // (its count and its rewrite) — MATERIALIZED keeps the chain
+      // linear; inlining would expand it exponentially
+      val learnCtes = (0 until 16).map { r =>
+        val sym = ('A' + r).toChar
+        s"""m$r AS MATERIALIZED (SELECT pair FROM (
+            SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, COUNT(*) AS n
+            FROM (SELECT w, unnest(range(1, length(w))) AS i FROM w$r)
+            GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)),
+      w${r + 1} AS MATERIALIZED (SELECT replace(w, (SELECT pair FROM m$r), '$sym') AS w FROM w$r)"""
+      }.mkString(",\n      ")
+      val mergeTable = (0 until 16)
+        .map(r => s"SELECT $r AS r, pair FROM m$r").mkString(" UNION ALL ")
+      Some(s"""
+      WITH w0 AS MATERIALIZED (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
                  FROM documents),
-      i AS (SELECT w, unnest(range(1, length(w))) AS i FROM w),
-      p AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair FROM i),
-      c AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair),
-      m AS (SELECT pair, row_number() OVER (ORDER BY n DESC, pair) - 1 AS r
-            FROM c ORDER BY n DESC, pair LIMIT 16),
+      $learnCtes,
+      m AS ($mergeTable),
       nm AS (SELECT COUNT(*) AS k FROM m),
       dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
              FROM documents),
@@ -983,6 +994,41 @@ object Corpus {
              THEN CAST(a.n_chars AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)
         END AS compression
       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")
+    })
   )
+
+  /** Iterative BPE training (the C64 learn loop): K rounds of recount →
+    * take THE top pair → merge, each round one [[graft.functions
+    * .BpePairVector]] map pass over `docs` reduced by a 2704-cell
+    * LongVectorSumAgg — the merge table is an O(K) driver model
+    * artifact; the corpus is never collected. Stops early if the corpus
+    * runs out of pairs.
+    */
+  private[llm] def bpeLearn(docs: org.apache.spark.sql.DataFrame, k: Int): Seq[String] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var merges = Vector.empty[String]
+    var r = 0
+    var exhausted = false
+    while (r < k && !exhausted) {
+      val pv = org.apache.spark.sql.GraftShims.column(
+        graft.functions.BpePairVector(
+          org.apache.spark.sql.GraftShims.expression(col("text")), merges))
+      val top = docs.select(pv.as("pv"))
+        .agg(graft.functions.LongVectorSumAgg($"pv",
+          graft.functions.BpePairVector.Cells).as("v"))
+        .select(posexplode($"v").as(Seq("k", "n")))
+        .filter($"n" > 0).select($"k", $"n").collect()
+        .map(row => (graft.functions.BpePairVector.pairOf(row.getInt(0)),
+          row.getLong(1)))
+        .sortBy { case (p, n) => (-n, p) }.headOption
+      top match {
+        case Some((p, _)) => merges = merges :+ p
+        case None => exhausted = true
+      }
+      r += 1
+    }
+    merges
+  }
 }
