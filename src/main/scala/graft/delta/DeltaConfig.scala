@@ -285,6 +285,15 @@ object DeltaConfig {
   /** `none` | `name` | `id` — see [[ColumnMapping]]. */
   val ColumnMappingMode: TableConfig[String] =
     TableConfig("delta.columnMapping.mode", "none", _.trim.toLowerCase)
+
+  /** UniForm: foreign-format metadata generated after each commit
+    * (`iceberg` is the supported value — see [[IcebergMetadata]]).
+    * Comma-separated, like delta-spark's
+    * `delta.universalFormat.enabledFormats`.
+    */
+  val UniversalFormats: TableConfig[Seq[String]] =
+    TableConfig("delta.universalFormat.enabledFormats", "",
+      v => v.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq)
 }
 
 /** AddFile tag names stamped on clustered (Z-ordered) output files —

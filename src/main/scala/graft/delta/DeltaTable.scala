@@ -1431,6 +1431,14 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
   }
 
   /** COPY INTO: idempotent bulk file ingestion — see [[CopyInto]]. */
+  /** UniForm: generate Iceberg metadata for the CURRENT snapshot (see
+    * [[IcebergMetadata]]). Returns the Iceberg metadata version. Also
+    * runs automatically after each commit when
+    * `delta.universalFormat.enabledFormats` contains `iceberg`.
+    */
+  def generateIcebergMetadata(): Long =
+    IcebergMetadata.generate(spark, deltaLog, deltaLog.update())
+
   def copyInto(source: String, format: String = "parquet",
       pattern: Option[String] = None, force: Boolean = false,
       mergeSchema: Boolean = false): CopyInto.Result =

@@ -1,0 +1,379 @@
+package graft.delta
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.file.DataFileWriter
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** UniForm-style Iceberg metadata generation (delta-spark's
+  * `delta.universalFormat.enabledFormats=iceberg` surface; public
+  * Iceberg table spec v2): after a Delta commit, emit Iceberg table
+  * metadata — `metadata/v<N>.metadata.json`, an Avro manifest list
+  * `snap-<id>-…`, Avro data manifests, and `version-hint.text` — all
+  * pointing at the SAME parquet data files, so an Iceberg reader
+  * (HadoopTables catalog) reads the Delta table with zero data copies.
+  *
+  * Scale shape: data manifests are written ON EXECUTORS, one Avro file
+  * per partition of the AddFile dataset — the driver collects only the
+  * per-manifest summaries (path, length, counts), never the file list.
+  * A 10^7-file table generates metadata with O(#manifests) driver state.
+  *
+  * Honest simplifications vs the full UniForm implementation, each
+  * loud or documented:
+  *  - every generation writes a FULL manifest set for the current
+  *    snapshot with entries marked ADDED by it (correct for full table
+  *    scans — the only effect is on Iceberg incremental consumption,
+  *    which would re-see old files);
+  *  - deletion vectors cannot be represented (Iceberg v2 positional
+  *    deletes are a different encoding) — generation REFUSES while any
+  *    live file carries a DV, exactly like IcebergCompat;
+  *  - no Iceberg reader exists in this sandbox, so conformance is
+  *    spec-structural: the suite re-reads the Avro manifests/list with
+  *    the Avro library and the metadata JSON with Jackson and checks
+  *    them against the Delta snapshot.
+  */
+object IcebergMetadata {
+
+  private val mapper = new ObjectMapper()
+
+  def metadataDir(log: DeltaLog): Path = new Path(log.dataPath, "metadata")
+
+  /** Iceberg schema JSON from the Delta schema. Field ids come from
+    * column mapping when the table has it (the ids Iceberg readers then
+    * share with the parquet footers — the icebergCompat requirement);
+    * otherwise positional. Nested element/key/value ids are assigned
+    * after the top-level range, mirroring Iceberg's allocator.
+    */
+  private[delta] def icebergSchema(schema: StructType,
+      mapped: Boolean): (com.fasterxml.jackson.databind.node.ObjectNode, Int, Map[String, Int]) = {
+    var nextId =
+      if (mapped)
+        schema.fields.map(_.metadata.getLong(ColumnMapping.IdKey)).max.toInt + 1
+      else schema.fields.length + 1
+    def fresh(): Int = { val i = nextId; nextId += 1; i }
+
+    def typeJson(dt: DataType): Object = dt match {
+      case BooleanType => "boolean"
+      case ByteType | ShortType | IntegerType => "int"
+      case LongType => "long"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case DateType => "date"
+      case TimestampType => "timestamptz"
+      case _: TimestampNTZType => "timestamp"
+      case StringType => "string"
+      case BinaryType => "binary"
+      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+      case s: StructType =>
+        val o = mapper.createObjectNode()
+        o.put("type", "struct")
+        val fs = o.putArray("fields")
+        s.fields.foreach { f =>
+          val fo = fs.addObject()
+          fo.put("id", fresh())
+          fo.put("name", f.name)
+          fo.put("required", !f.nullable)
+          fo.putPOJO("type", typeJson(f.dataType))
+        }
+        o
+      case a: ArrayType =>
+        val o = mapper.createObjectNode()
+        o.put("type", "list")
+        o.put("element-id", fresh())
+        o.put("element-required", !a.containsNull)
+        o.putPOJO("element", typeJson(a.elementType))
+        o
+      case m: MapType =>
+        val o = mapper.createObjectNode()
+        o.put("type", "map")
+        o.put("key-id", fresh())
+        o.put("value-id", fresh())
+        o.putPOJO("key", typeJson(m.keyType))
+        o.put("value-required", !m.valueContainsNull)
+        o.putPOJO("value", typeJson(m.valueType))
+        o
+      case other => throw new UnsupportedOperationException(
+        s"cannot express ${other.simpleString} in Iceberg metadata")
+    }
+
+    val root = mapper.createObjectNode()
+    root.put("type", "struct")
+    root.put("schema-id", 0)
+    val fields = root.putArray("fields")
+    val ids = schema.fields.zipWithIndex.map { case (f, i) =>
+      val id =
+        if (mapped) f.metadata.getLong(ColumnMapping.IdKey).toInt else i + 1
+      val fo = fields.addObject()
+      fo.put("id", id)
+      fo.put("name", f.name)
+      fo.put("required", !f.nullable)
+      fo.putPOJO("type", typeJson(f.dataType))
+      f.name -> id
+    }.toMap
+    (root, nextId - 1, ids)
+  }
+
+  /** Avro type for one identity-partition column in the manifest's
+    * partition struct; Iceberg physical types for the supported set.
+    */
+  private def partAvro(dt: DataType): (String, String) = dt match {
+    case IntegerType | ShortType | ByteType => ("int", "int")
+    case LongType => ("long", "long")
+    case StringType => ("string", "string")
+    case DateType => ("int", "date")
+    case other => throw new UnsupportedOperationException(
+      s"unsupported Iceberg partition column type ${other.simpleString}")
+  }
+
+  private def partitionStructSchemaJson(
+      partCols: Seq[(String, DataType, Int)]): String = {
+    val fields = partCols.zipWithIndex.map { case ((name, dt, _), i) =>
+      val (avro, _) = partAvro(dt)
+      s"""{"name":"${name}","type":["null","$avro"],"default":null,"field-id":${1000 + i}}"""
+    }.mkString(",")
+    s"""{"type":"record","name":"r102","fields":[$fields]}"""
+  }
+
+  private def manifestEntrySchemaJson(partStruct: String): String =
+    s"""{"type":"record","name":"manifest_entry","fields":[
+      {"name":"status","type":"int","field-id":0},
+      {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+        {"name":"content","type":"int","field-id":134},
+        {"name":"file_path","type":"string","field-id":100},
+        {"name":"file_format","type":"string","field-id":101},
+        {"name":"partition","type":$partStruct,"field-id":102},
+        {"name":"record_count","type":"long","field-id":103},
+        {"name":"file_size_in_bytes","type":"long","field-id":104}]}}]}"""
+
+  private val manifestListSchemaJson: String =
+    """{"type":"record","name":"manifest_file","fields":[
+      {"name":"manifest_path","type":"string","field-id":500},
+      {"name":"manifest_length","type":"long","field-id":501},
+      {"name":"partition_spec_id","type":"int","field-id":502},
+      {"name":"content","type":"int","field-id":517},
+      {"name":"sequence_number","type":"long","field-id":515},
+      {"name":"min_sequence_number","type":"long","field-id":516},
+      {"name":"added_snapshot_id","type":"long","field-id":503},
+      {"name":"added_files_count","type":"int","field-id":504},
+      {"name":"existing_files_count","type":"int","field-id":505},
+      {"name":"deleted_files_count","type":"int","field-id":506},
+      {"name":"added_rows_count","type":"long","field-id":512},
+      {"name":"existing_rows_count","type":"long","field-id":513},
+      {"name":"deleted_rows_count","type":"long","field-id":514}]}"""
+
+  private def parsePartValue(dt: DataType, v: String): Any = dt match {
+    case _ if v == null => null
+    case IntegerType | ShortType | ByteType => java.lang.Integer.valueOf(v)
+    case LongType => java.lang.Long.valueOf(v)
+    case StringType => v
+    case DateType =>
+      java.lang.Integer.valueOf(java.time.LocalDate.parse(v).toEpochDay.toInt)
+    case other => throw new UnsupportedOperationException(other.simpleString)
+  }
+
+  /** One manifest's summary, shipped back to the driver. */
+  private final case class ManifestSummary(path: String, length: Long,
+      fileCount: Long, rowCount: Long)
+
+  /** Generate Iceberg metadata for `snapshot`; returns the Iceberg
+    * metadata version N (= delta version + 1). Refuses tables whose
+    * live files carry deletion vectors.
+    */
+  def generate(spark: SparkSession, log: DeltaLog, snapshot: Snapshot): Long = {
+    val md = snapshot.metadataOpt.getOrElse(throw new IllegalStateException(
+      "cannot generate Iceberg metadata for a table without metadata"))
+    val mapped = ColumnMapping.enabled(md)
+    require(ColumnMapping.mode(md) != "id" || mapped,
+      "column mapping state inconsistent")
+    val schema = md.schema
+    val (schemaJson, lastColumnId, fieldIds) = icebergSchema(schema, mapped)
+    val partCols: Seq[(String, DataType, Int)] = md.partitionColumns.map { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalStateException(s"partition column $c not in schema"))
+      (c, f.dataType, fieldIds(c))
+    }
+
+    val dir = metadataDir(log)
+    val hconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val dirStr = dir.toString
+    val dataRoot = log.dataPath.toString
+    val version = snapshot.version
+    val snapshotId = version + 1L // Iceberg snapshot ids start life at 1 here
+    val seqNum = version + 1L
+
+    // ---- data manifests: one Avro file per partition, written on the
+    // executors; the driver sees only the summaries
+    val partStructJson = partitionStructSchemaJson(partCols)
+    val entrySchemaJson = manifestEntrySchemaJson(partStructJson)
+    val partMeta = partCols.map { case (n, dt, _) => (n, dt) }
+    import spark.implicits._
+    val summaries: Seq[ManifestSummary] = snapshot.allFilesDS
+      .mapPartitions { files =>
+        val buf = files.toSeq
+        if (buf.isEmpty) Iterator.empty
+        else {
+          val entrySchema = new org.apache.avro.Schema.Parser().parse(entrySchemaJson)
+          val dfSchema = entrySchema.getField("data_file").schema()
+          val pSchema = dfSchema.getField("partition").schema()
+          val name = f"${java.util.UUID.randomUUID()}-m0.avro"
+          val out = new Path(dirStr, name)
+          val fs = out.getFileSystem(hconf.value)
+          val stream = fs.create(out, true)
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](entrySchema))
+          w.create(entrySchema, stream)
+          var rows = 0L
+          var n = 0L
+          buf.foreach { a =>
+            if (a.deletionVector != null)
+              throw new UnsupportedOperationException(
+                "Iceberg metadata cannot represent Delta deletion vectors; " +
+                  "run OPTIMIZE (which materializes DVs) first")
+            val rec = new GenericData.Record(entrySchema)
+            rec.put("status", 1) // ADDED by this snapshot
+            rec.put("snapshot_id", snapshotId)
+            // null sequence numbers inherit from the manifest-list entry
+            val df = new GenericData.Record(dfSchema)
+            df.put("content", 0)
+            df.put("file_path", FileNames.absolutePathString(
+              new Path(dataRoot), a.path))
+            df.put("file_format", "PARQUET")
+            val p = new GenericData.Record(pSchema)
+            partMeta.foreach { case (pn, dt) =>
+              p.put(pn, parsePartValue(dt, a.partitionValues.getOrElse(pn, null)))
+            }
+            df.put("partition", p)
+            val rc = Stats.numRecords(a.stats).getOrElse(
+              throw new IllegalStateException(
+                s"Iceberg metadata requires numRecords stats; missing on ${a.path}"))
+            df.put("record_count", rc)
+            df.put("file_size_in_bytes", a.size)
+            rec.put("data_file", df)
+            w.append(rec)
+            rows += rc
+            n += 1
+          }
+          w.close()
+          val len = fs.getFileStatus(out).getLen
+          Iterator(ManifestSummary(out.toString, len, n, rows))
+        }
+      }.collect().toSeq
+
+    // ---- manifest list (driver: O(#manifests) rows)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dir)
+    val listName = f"snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
+    val listPath = new Path(dir, listName)
+    val listSchema = new org.apache.avro.Schema.Parser().parse(manifestListSchemaJson)
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](listSchema))
+    lw.create(listSchema, fs.create(listPath, true))
+    summaries.foreach { m =>
+      val rec = new GenericData.Record(listSchema)
+      rec.put("manifest_path", m.path)
+      rec.put("manifest_length", m.length)
+      rec.put("partition_spec_id", 0)
+      rec.put("content", 0)
+      rec.put("sequence_number", seqNum)
+      rec.put("min_sequence_number", seqNum)
+      rec.put("added_snapshot_id", snapshotId)
+      rec.put("added_files_count", m.fileCount.toInt)
+      rec.put("existing_files_count", 0)
+      rec.put("deleted_files_count", 0)
+      rec.put("added_rows_count", m.rowCount)
+      rec.put("existing_rows_count", 0L)
+      rec.put("deleted_rows_count", 0L)
+      lw.append(rec)
+    }
+    lw.close()
+
+    // ---- table metadata JSON (v2), accumulating the snapshot log of a
+    // previous generation when one exists
+    val hintPath = new Path(dir, "version-hint.text")
+    val prev: Option[com.fasterxml.jackson.databind.JsonNode] =
+      if (!fs.exists(hintPath)) None
+      else {
+        val prevN = new String(readAll(fs, hintPath), StandardCharsets.UTF_8).trim.toLong
+        val prevMeta = new Path(dir, s"v$prevN.metadata.json")
+        if (fs.exists(prevMeta)) Some(mapper.readTree(readAll(fs, prevMeta)))
+        else None
+      }
+    val now = log.clock.nowMillis
+    val root = mapper.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", md.id)
+    root.put("location", dataRoot)
+    root.put("last-sequence-number", seqNum)
+    root.put("last-updated-ms", now)
+    root.put("last-column-id", lastColumnId)
+    root.put("current-schema-id", 0)
+    root.putArray("schemas").add(schemaJson)
+    root.put("default-spec-id", 0)
+    val specs = root.putArray("partition-specs")
+    val spec = specs.addObject()
+    spec.put("spec-id", 0)
+    val sfs = spec.putArray("fields")
+    partCols.zipWithIndex.foreach { case ((n, _, srcId), i) =>
+      val f = sfs.addObject()
+      f.put("name", n)
+      f.put("transform", "identity")
+      f.put("source-id", srcId)
+      f.put("field-id", 1000 + i)
+    }
+    root.put("last-partition-id", if (partCols.isEmpty) 999 else 999 + partCols.length)
+    root.put("default-sort-order-id", 0)
+    val so = root.putArray("sort-orders").addObject()
+    so.put("order-id", 0)
+    so.putArray("fields")
+    root.putObject("properties")
+    root.put("current-snapshot-id", snapshotId)
+    val snaps = root.putArray("snapshots")
+    prev.foreach(_.get("snapshots").elements().asScala.foreach(snaps.add))
+    val sn = snaps.addObject()
+    sn.put("snapshot-id", snapshotId)
+    sn.put("sequence-number", seqNum)
+    sn.put("timestamp-ms", now)
+    sn.putObject("summary").put("operation", "append")
+    sn.put("manifest-list", listPath.toString)
+    sn.put("schema-id", 0)
+    val slog = root.putArray("snapshot-log")
+    prev.foreach(p => Option(p.get("snapshot-log"))
+      .foreach(_.elements().asScala.foreach(slog.add)))
+    val sl = slog.addObject()
+    sl.put("timestamp-ms", now)
+    sl.put("snapshot-id", snapshotId)
+    root.putArray("metadata-log")
+
+    val n = version + 1
+    writeAll(fs, new Path(dir, s"v$n.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    writeAll(fs, hintPath, n.toString.getBytes(StandardCharsets.UTF_8))
+    n
+  }
+
+  private def readAll(fs: org.apache.hadoop.fs.FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var r = in.read(buf)
+      while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  private def writeAll(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+}

@@ -629,6 +629,19 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     if (lc > 1 && (committedVersion + 1) % lc == 0)
       try deltaLog.compactDeltas(committedVersion - lc + 1, committedVersion)
       catch { case scala.util.control.NonFatal(_) => () }
+    // UniForm: regenerate Iceberg metadata for the committed snapshot —
+    // best-effort like delta-spark's async converter; the Delta commit
+    // is the source of truth and a generation failure must never fail it
+    if (DeltaConfig.UniversalFormats.fromMetadata(metadata).contains("iceberg")) {
+      val s = deltaLog.snapshot
+      if (s.version == committedVersion)
+        try IcebergMetadata.generate(deltaLog.spark, deltaLog, s)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"WARN graft: Iceberg metadata generation " +
+              s"for version $committedVersion failed: ${e.getMessage}")
+        }
+    }
   }
 
   private[delta] def readPredicatesSnapshot: Seq[Column] = readPredicates.toSeq

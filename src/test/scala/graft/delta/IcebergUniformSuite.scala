@@ -1,0 +1,162 @@
+package graft.delta
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** UniForm Iceberg metadata generation: spec-structural conformance —
+  * the metadata JSON, manifest list, and data manifests are re-read
+  * with Jackson/Avro and checked against the Delta snapshot (no Iceberg
+  * reader exists in this sandbox; see IcebergMetadata's scaladoc).
+  */
+class IcebergUniformSuite extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.sql.GraftSparkExtension")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft-uniform").toString
+
+  private def df(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "v", "part")
+  }
+
+  private def localFile(p: String): java.io.File =
+    new java.io.File(p.stripPrefix("file:"))
+
+  private def avroRecords(path: String): Seq[GenericRecord] = {
+    val r = DataFileReader.openReader(localFile(path),
+      new GenericDatumReader[GenericRecord]())
+    try r.iterator().asScala.toList finally r.close()
+  }
+
+  private def mkUniform(dir: String): DeltaTable = {
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = df((0L, "x", "p")).schema.json,
+      partitionColumns = Seq("part"),
+      configuration = Map(
+        "delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn.commit(Nil, Op.CreateTable)
+    t
+  }
+
+  test("each commit regenerates metadata; manifests list exactly the snapshot's files") {
+    val dir = tmp()
+    val t = mkUniform(dir)
+    t.write(df((1L, "a", "x"), (2L, "b", "y")), partitionBy = Seq("part")) // v1
+    t.write(df((3L, "c", "x")), partitionBy = Seq("part"))                 // v2
+    val metaDir = new java.io.File(dir, "metadata")
+    assert(metaDir.isDirectory, "metadata/ not generated")
+
+    // version hint tracks the latest generation (delta v2 -> iceberg v3)
+    val hint = new String(Files.readAllBytes(
+      metaDir.toPath.resolve("version-hint.text"))).trim
+    assert(hint == "3", hint)
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(
+      Files.readAllBytes(metaDir.toPath.resolve("v3.metadata.json")))
+    assert(meta.get("format-version").asInt == 2)
+    assert(meta.get("current-snapshot-id").asLong == 3L)
+    assert(meta.get("table-uuid").asText ==
+      t.deltaLog.update().metadata.id)
+    // snapshot log accumulates one entry per generation (v0, v1, v2)
+    assert(meta.get("snapshots").size == 3, meta.get("snapshots").toString)
+    // identity partition spec on `part`, source-id = the schema field id
+    val spec = meta.get("partition-specs").get(0).get("fields").get(0)
+    assert(spec.get("name").asText == "part")
+    assert(spec.get("transform").asText == "identity")
+    val schemaFields = meta.get("schemas").get(0).get("fields")
+    val partField = schemaFields.elements().asScala
+      .find(_.get("name").asText == "part").get
+    assert(spec.get("source-id").asInt == partField.get("id").asInt)
+    // schema types mapped
+    assert(schemaFields.elements().asScala
+      .find(_.get("name").asText == "id").get.get("type").asText == "long")
+
+    // the manifest list points at manifests whose entries are EXACTLY
+    // the snapshot's live files
+    val listPath = meta.get("snapshots").get(2).get("manifest-list").asText
+    val manifests = avroRecords(listPath)
+    assert(manifests.nonEmpty)
+    val entries = manifests.flatMap(m =>
+      avroRecords(m.get("manifest_path").toString))
+    val listedPaths = entries.map(
+      _.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString).toSet
+    val log = t.deltaLog
+    val snapPaths = log.update().allFiles.map(f =>
+      FileNames.absolutePathString(log.dataPath, f.path)).toSet
+    assert(listedPaths == snapPaths,
+      s"manifest files != snapshot files:\n$listedPaths\nvs\n$snapPaths")
+    // record counts and sizes agree with the AddFile stats
+    val rowTotal = entries.map(
+      _.get("data_file").asInstanceOf[GenericRecord]
+        .get("record_count").asInstanceOf[Long]).sum
+    assert(rowTotal == 3L, rowTotal.toString)
+    // partition values ride in the typed partition struct
+    val parts = entries.map { e =>
+      e.get("data_file").asInstanceOf[GenericRecord]
+        .get("partition").asInstanceOf[GenericRecord].get("part").toString
+    }.toSet
+    assert(parts == Set("x", "y"), parts.toString)
+    // manifest-list summaries match the manifests they describe
+    manifests.foreach { m =>
+      val n = avroRecords(m.get("manifest_path").toString).size
+      assert(m.get("added_files_count").asInstanceOf[Int] == n)
+      assert(m.get("added_snapshot_id").asInstanceOf[Long] == 3L)
+    }
+  }
+
+  test("deletion vectors refuse Iceberg generation loudly") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = df((0L, "x", "p")).schema.json,
+      configuration = Map("delta.enableDeletionVectors" -> "true")))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(df((1L, "a", "x"), (2L, "b", "y")))
+    t.delete(col("id") === 1L) // merge-on-read: DV masks the row
+    val e = intercept[Exception](t.generateIcebergMetadata())
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("deletion vectors"), e.toString)
+  }
+
+  test("column-mapped tables export the MAPPING field ids") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(ColumnMapping.ensureEnabled(Metadata(
+      schemaString = df((0L, "x", "p")).schema.json,
+      configuration = Map(
+        "delta.universalFormat.enabledFormats" -> "iceberg")), "id"))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(df((1L, "a", "x")))
+    val metaDir = new java.io.File(dir, "metadata")
+    val hint = new String(Files.readAllBytes(
+      metaDir.toPath.resolve("version-hint.text"))).trim
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(
+      Files.readAllBytes(metaDir.toPath.resolve(s"v$hint.metadata.json")))
+    val md = t.deltaLog.update().metadata
+    val expected = md.schema.fields.map(f =>
+      f.name -> f.metadata.getLong(ColumnMapping.IdKey).toInt).toMap
+    val got = meta.get("schemas").get(0).get("fields").elements().asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    assert(got == expected, s"$got vs $expected")
+  }
+}
