@@ -337,7 +337,11 @@ object IcebergMetadata {
     root.putObject("properties")
     root.put("current-snapshot-id", snapshotId)
     val snaps = root.putArray("snapshots")
-    prev.foreach(_.get("snapshots").elements().asScala.foreach(snaps.add))
+    // re-generating the SAME version (manual call + the post-commit
+    // hook) must replace its snapshot entry, not duplicate it
+    prev.foreach(_.get("snapshots").elements().asScala
+      .filter(_.get("snapshot-id").asLong != snapshotId)
+      .foreach(snaps.add))
     val sn = snaps.addObject()
     sn.put("snapshot-id", snapshotId)
     sn.put("sequence-number", seqNum)
@@ -347,7 +351,9 @@ object IcebergMetadata {
     sn.put("schema-id", 0)
     val slog = root.putArray("snapshot-log")
     prev.foreach(p => Option(p.get("snapshot-log"))
-      .foreach(_.elements().asScala.foreach(slog.add)))
+      .foreach(_.elements().asScala
+        .filter(_.get("snapshot-id").asLong != snapshotId)
+        .foreach(slog.add)))
     val sl = slog.addObject()
     sl.put("timestamp-ms", now)
     sl.put("snapshot-id", snapshotId)

@@ -118,6 +118,13 @@ class IcebergUniformSuite extends AnyFunSuite {
       assert(m.get("added_files_count").asInstanceOf[Int] == n)
       assert(m.get("added_snapshot_id").asInstanceOf[Long] == 3L)
     }
+    // re-generating the SAME version (manual call after the post-commit
+    // hook) replaces its snapshot entry instead of duplicating it
+    assert(t.generateIcebergMetadata() == 3L)
+    val meta2 = mapper.readTree(
+      Files.readAllBytes(metaDir.toPath.resolve("v3.metadata.json")))
+    assert(meta2.get("snapshots").size == 3, meta2.get("snapshots").toString)
+    assert(meta2.get("snapshot-log").size == 3)
   }
 
   test("deletion vectors refuse Iceberg generation loudly") {
