@@ -162,8 +162,12 @@ object CopyInto {
       case "csv" => spark.read.option("header", "true")
         .csv(toLoad.map(_._1).toIndexedSeq: _*)
     }
+    // projection and evolution work against the TRANSACTION's metadata
+    // (its read snapshot), not the earlier listing-time snapshot — a
+    // commit landing between the two must not resurrect a stale schema
+    val txnMd = txn.metadata
     val resolver = spark.sessionState.conf.resolver
-    val projected = md.schema.fields.map { f =>
+    val projected = txnMd.schema.fields.map { f =>
       raw.schema.fields.find(g => resolver(g.name, f.name)) match {
         case Some(g) => col(g.name).cast(f.dataType).as(f.name)
         case None => throw new IllegalArgumentException(
@@ -177,19 +181,19 @@ object CopyInto {
     val newCols =
       if (!mergeSchema) Array.empty[org.apache.spark.sql.types.StructField]
       else raw.schema.fields.filterNot(g =>
-        md.schema.fields.exists(f => resolver(f.name, g.name)))
+        txnMd.schema.fields.exists(f => resolver(f.name, g.name)))
     val writeMd =
-      if (newCols.isEmpty) md
+      if (newCols.isEmpty) txnMd
       else {
-        var mx = ColumnMapping.maxId(md.schema)
+        var mx = ColumnMapping.maxId(txnMd.schema)
         val annotated = newCols.map { f =>
-          if (ColumnMapping.enabled(md)) {
+          if (ColumnMapping.enabled(txnMd)) {
             val a = ColumnMapping.freshField(f.copy(nullable = true), mx); mx += 1; a
           } else f.copy(nullable = true)
         }
         val merged = org.apache.spark.sql.types.StructType(
-          md.schema.fields ++ annotated)
-        txn.updateMetadata(md.copy(schemaString = merged.json))
+          txnMd.schema.fields ++ annotated)
+        txn.updateMetadata(txnMd.copy(schemaString = merged.json))
         txn.metadata
       }
     val outCols = projected ++ newCols.map(f => col(f.name))
