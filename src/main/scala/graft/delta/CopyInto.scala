@@ -42,7 +42,12 @@ import org.apache.spark.sql.functions._
   * simultaneous COPY INTOs of the same pending files race to one
   * SetTransaction appId and the loser's conflict check throws
   * ConcurrentTransactionException instead of silently loading every file
-  * twice. `force = true` keeps a random batchId: forced re-loads are
+  * twice. Scope: the guard covers EQUAL pending sets (the retry/cron
+  * double-fire case); concurrent loaders whose sets overlap without
+  * being equal derive different appIds and may double-load the shared
+  * files — the per-file-marker alternative would grow the txn map with
+  * every file ever loaded, the bloat the sidecar exists to avoid.
+  * `force = true` keeps a random batchId: forced re-loads are
   * explicitly non-idempotent, and a deterministic id would make the
   * second forced run of identical files collide with its own marker.
   *
@@ -87,10 +92,15 @@ object CopyInto {
     import spark.implicits._
     require(Seq("parquet", "json", "csv").contains(format.toLowerCase),
       s"COPY INTO FILEFORMAT must be PARQUET, JSON or CSV, got $format")
-    val snap = t.deltaLog.update()
+    // the transaction opens BEFORE the skip set is computed, so the
+    // committed-batch set comes from the txn's own read snapshot — a
+    // marker committed after this point either surfaces through the
+    // conflict check (identical pending set => same appId) or postdates
+    // our read like any other optimistic race
+    val txn = t.deltaLog.startTransaction()
+    val snap = txn.snapshot
     require(snap.metadataOpt.nonEmpty,
       s"COPY INTO target ${t.deltaLog.dataPath} does not exist — create it first")
-    val md = snap.metadata
 
     // candidate listing: the glob is driver-side (bounded by the SOURCE
     // directory, the thing being ingested), hidden files excluded like
@@ -133,13 +143,18 @@ object CopyInto {
     if (toLoad.isEmpty) return Result(snap.version, 0L, skipped.toLong)
 
     // batch identity: content-derived for normal loads (same pending set
-    // => same appId => concurrent duplicates conflict), random for force
+    // => same appId => concurrent duplicates conflict), random for force.
+    // KNOWN residual window: two concurrent loaders whose pending sets
+    // OVERLAP WITHOUT BEING EQUAL derive different appIds and do not
+    // conflict — the shared files load twice (same as delta-spark; the
+    // per-file-marker alternative would grow the txn map with every file
+    // ever loaded, the exact bloat the sidecar exists to avoid).
+    // Sequential re-runs always deduplicate.
     val batchId =
       if (force) java.util.UUID.randomUUID().toString
       else batchIdFor(toLoad.map(_._2).toSeq)
     val appId = AppIdPrefix + batchId
 
-    val txn = t.deltaLog.startTransaction()
     // register the appId read: the conflict checker fails this txn with
     // ConcurrentTransactionException if a racing loader lands the same
     // batch first. txnVersion >= 0 means the marker ALREADY exists (a

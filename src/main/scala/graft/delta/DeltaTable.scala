@@ -1430,7 +1430,6 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       (deletedSample ++ dvDeleted).take(reportLimit))
   }
 
-  /** COPY INTO: idempotent bulk file ingestion — see [[CopyInto]]. */
   /** UniForm: generate Iceberg metadata for the CURRENT snapshot (see
     * [[IcebergMetadata]]). Returns the Iceberg metadata version. Also
     * runs automatically after each commit when
@@ -1439,6 +1438,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
   def generateIcebergMetadata(): Long =
     IcebergMetadata.generate(spark, deltaLog, deltaLog.update())
 
+  /** COPY INTO: idempotent bulk file ingestion (see [[CopyInto]]). */
   def copyInto(source: String, format: String = "parquet",
       pattern: Option[String] = None, force: Boolean = false,
       mergeSchema: Boolean = false): CopyInto.Result =

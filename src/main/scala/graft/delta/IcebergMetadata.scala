@@ -11,6 +11,14 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
 
+/** One Iceberg manifest's summary, shipped back to the driver. Public:
+  * Spark's generated serializer code must reach the accessors (a
+  * private nested class silently drops whole-stage codegen to the
+  * interpreted path on every generation).
+  */
+final case class IcebergManifestSummary(path: String, length: Long,
+    fileCount: Long, rowCount: Long)
+
 /** UniForm-style Iceberg metadata generation (delta-spark's
   * `delta.universalFormat.enabledFormats=iceberg` surface; public
   * Iceberg table spec v2): after a Delta commit, emit Iceberg table
@@ -50,15 +58,31 @@ object IcebergMetadata {
     * otherwise positional. Nested element/key/value ids are assigned
     * after the top-level range, mirroring Iceberg's allocator.
     */
-  private[delta] def icebergSchema(schema: StructType,
-      mapped: Boolean): (com.fasterxml.jackson.databind.node.ObjectNode, Int, Map[String, Int]) = {
+  private[delta] def icebergSchema(schema: StructType, mapped: Boolean):
+      (com.fasterxml.jackson.databind.node.ObjectNode, Int, Map[String, Int],
+        com.fasterxml.jackson.databind.node.ArrayNode) = {
     var nextId =
       if (mapped)
         schema.fields.map(_.metadata.getLong(ColumnMapping.IdKey)).max.toInt + 1
       else schema.fields.length + 1
     def fresh(): Int = { val i = nextId; nextId += 1; i }
 
-    def typeJson(dt: DataType): Object = dt match {
+    // one walk builds BOTH trees so nested ids cannot diverge: the
+    // Iceberg schema JSON, and the name-mapping entries binding PARQUET
+    // column names (physical names under column mapping) to those ids
+    def mapEntry(parent: com.fasterxml.jackson.databind.node.ArrayNode,
+        id: Int, name: String): com.fasterxml.jackson.databind.node.ObjectNode = {
+      val e = parent.addObject()
+      e.put("field-id", id)
+      e.putArray("names").add(name)
+      e
+    }
+    def attach(entry: com.fasterxml.jackson.databind.node.ObjectNode,
+        sub: com.fasterxml.jackson.databind.node.ArrayNode): Unit =
+      if (sub.size > 0) entry.set("fields", sub)
+
+    def typeJson(dt: DataType,
+        mapping: com.fasterxml.jackson.databind.node.ArrayNode): Object = dt match {
       case BooleanType => "boolean"
       case ByteType | ShortType | IntegerType => "int"
       case LongType => "long"
@@ -75,28 +99,44 @@ object IcebergMetadata {
         o.put("type", "struct")
         val fs = o.putArray("fields")
         s.fields.foreach { f =>
+          val id = fresh()
           val fo = fs.addObject()
-          fo.put("id", fresh())
+          fo.put("id", id)
           fo.put("name", f.name)
           fo.put("required", !f.nullable)
-          fo.putPOJO("type", typeJson(f.dataType))
+          val entry = mapEntry(mapping, id, ColumnMapping.physicalName(f))
+          val sub = mapper.createArrayNode()
+          fo.putPOJO("type", typeJson(f.dataType, sub))
+          attach(entry, sub)
         }
         o
       case a: ArrayType =>
         val o = mapper.createObjectNode()
         o.put("type", "list")
-        o.put("element-id", fresh())
+        val eid = fresh()
+        o.put("element-id", eid)
         o.put("element-required", !a.containsNull)
-        o.putPOJO("element", typeJson(a.elementType))
+        val entry = mapEntry(mapping, eid, "element")
+        val sub = mapper.createArrayNode()
+        o.putPOJO("element", typeJson(a.elementType, sub))
+        attach(entry, sub)
         o
       case m: MapType =>
         val o = mapper.createObjectNode()
         o.put("type", "map")
-        o.put("key-id", fresh())
-        o.put("value-id", fresh())
-        o.putPOJO("key", typeJson(m.keyType))
+        val kid = fresh()
+        val vid = fresh()
+        o.put("key-id", kid)
+        o.put("value-id", vid)
+        val ke = mapEntry(mapping, kid, "key")
+        val ksub = mapper.createArrayNode()
+        o.putPOJO("key", typeJson(m.keyType, ksub))
+        attach(ke, ksub)
+        val ve = mapEntry(mapping, vid, "value")
+        val vsub = mapper.createArrayNode()
         o.put("value-required", !m.valueContainsNull)
-        o.putPOJO("value", typeJson(m.valueType))
+        o.putPOJO("value", typeJson(m.valueType, vsub))
+        attach(ve, vsub)
         o
       case other => throw new UnsupportedOperationException(
         s"cannot express ${other.simpleString} in Iceberg metadata")
@@ -106,6 +146,7 @@ object IcebergMetadata {
     root.put("type", "struct")
     root.put("schema-id", 0)
     val fields = root.putArray("fields")
+    val rootMapping = mapper.createArrayNode()
     val ids = schema.fields.zipWithIndex.map { case (f, i) =>
       val id =
         if (mapped) f.metadata.getLong(ColumnMapping.IdKey).toInt else i + 1
@@ -113,10 +154,13 @@ object IcebergMetadata {
       fo.put("id", id)
       fo.put("name", f.name)
       fo.put("required", !f.nullable)
-      fo.putPOJO("type", typeJson(f.dataType))
+      val entry = mapEntry(rootMapping, id, ColumnMapping.physicalName(f))
+      val sub = mapper.createArrayNode()
+      fo.putPOJO("type", typeJson(f.dataType, sub))
+      attach(entry, sub)
       f.name -> id
     }.toMap
-    (root, nextId - 1, ids)
+    (root, nextId - 1, ids, rootMapping)
   }
 
   /** Avro type for one identity-partition column in the manifest's
@@ -180,9 +224,6 @@ object IcebergMetadata {
     case other => throw new UnsupportedOperationException(other.simpleString)
   }
 
-  /** One manifest's summary, shipped back to the driver. */
-  private final case class ManifestSummary(path: String, length: Long,
-      fileCount: Long, rowCount: Long)
 
   /** Generate Iceberg metadata for `snapshot`; returns the Iceberg
     * metadata version N (= delta version + 1). Refuses tables whose
@@ -192,10 +233,26 @@ object IcebergMetadata {
     val md = snapshot.metadataOpt.getOrElse(throw new IllegalStateException(
       "cannot generate Iceberg metadata for a table without metadata"))
     val mapped = ColumnMapping.enabled(md)
-    require(ColumnMapping.mode(md) != "id" || mapped,
-      "column mapping state inconsistent")
     val schema = md.schema
-    val (schemaJson, lastColumnId, fieldIds) = icebergSchema(schema, mapped)
+    // Spark's default parquet timestamp encoding is INT96, which the
+    // Iceberg spec does not permit for timestamp/timestamptz — metadata
+    // declaring INT64-micros over INT96 data would misdecode in a
+    // conformant reader. Refuse loudly (the DV-refusal contract) until
+    // the table's files are known TIMESTAMP_MICROS.
+    def hasTs(dt: DataType): Boolean = dt match {
+      case TimestampType | _: TimestampNTZType => true
+      case s: StructType => s.fields.exists(f => hasTs(f.dataType))
+      case a: ArrayType => hasTs(a.elementType)
+      case m: MapType => hasTs(m.keyType) || hasTs(m.valueType)
+      case _ => false
+    }
+    if (hasTs(schema))
+      throw new UnsupportedOperationException(
+        "Iceberg metadata generation does not support timestamp columns: " +
+          "this engine writes parquet timestamps as INT96 (Spark default), " +
+          "which the Iceberg spec forbids")
+    val (schemaJson, lastColumnId, fieldIds, nameMapping) =
+      icebergSchema(schema, mapped)
     val partCols: Seq[(String, DataType, Int)] = md.partitionColumns.map { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalStateException(s"partition column $c not in schema"))
@@ -216,7 +273,7 @@ object IcebergMetadata {
     val entrySchemaJson = manifestEntrySchemaJson(partStructJson)
     val partMeta = partCols.map { case (n, dt, _) => (n, dt) }
     import spark.implicits._
-    val summaries: Seq[ManifestSummary] = snapshot.allFilesDS
+    val summaries: Seq[IcebergManifestSummary] = snapshot.allFilesDS
       .mapPartitions { files =>
         val buf = files.toSeq
         if (buf.isEmpty) Iterator.empty
@@ -264,7 +321,7 @@ object IcebergMetadata {
           }
           w.close()
           val len = fs.getFileStatus(out).getLen
-          Iterator(ManifestSummary(out.toString, len, n, rows))
+          Iterator(IcebergManifestSummary(out.toString, len, n, rows))
         }
       }.collect().toSeq
 
@@ -334,7 +391,15 @@ object IcebergMetadata {
     val so = root.putArray("sort-orders").addObject()
     so.put("order-id", 0)
     so.putArray("fields")
-    root.putObject("properties")
+    // name mapping (Iceberg spec: `schema.name-mapping.default`): the
+    // parquet files were written by the DELTA path, so their footers
+    // carry field ids only in column-mapping id mode, and under name
+    // mode their physical column names are UUIDs — the name mapping
+    // resolves PARQUET names to the schema field ids, which is how a
+    // reader binds imported files in both cases
+    val props = root.putObject("properties")
+    props.put("schema.name-mapping.default",
+      mapper.writeValueAsString(nameMapping))
     root.put("current-snapshot-id", snapshotId)
     val snaps = root.putArray("snapshots")
     // re-generating the SAME version (manual call + the post-commit
@@ -362,7 +427,16 @@ object IcebergMetadata {
     val n = version + 1
     writeAll(fs, new Path(dir, s"v$n.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-    writeAll(fs, hintPath, n.toString.getBytes(StandardCharsets.UTF_8))
+    // MONOTONIC hint: two near-simultaneous post-commit generations race
+    // here — a slower OLDER one must not move the Iceberg view backwards
+    // past a newer snapshot (its v<N>.metadata.json stays on disk, just
+    // not pointed at; the next commit regenerates the full chain anyway)
+    val existingHint =
+      if (!fs.exists(hintPath)) -1L
+      else try new String(readAll(fs, hintPath), StandardCharsets.UTF_8).trim.toLong
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    if (n > existingHint)
+      writeAll(fs, hintPath, n.toString.getBytes(StandardCharsets.UTF_8))
     n
   }
 

@@ -486,11 +486,22 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     * table behind a coordinator this engine can only read around
     * (coordinatorFor's read path downgrades unknown names to a warning).
     */
-  private def validateStagedCoordinator(): Unit =
+  private def validateStagedCoordinator(): Unit = {
     newMetadata
       .filter(m => DeltaConfig.CommitCoordinatorName.fromMetadata(m).nonEmpty)
       .foreach(m => CoordinatedCommits.coordinatorFor(deltaLog, Some(m),
         forWrite = true))
+    // same loud-at-the-commit contract for UniForm formats: a typo'd
+    // 'icberg' silently generating nothing is the user's intention
+    // dropped on the floor
+    newMetadata.foreach { m =>
+      val unknown = DeltaConfig.UniversalFormats.fromMetadata(m).filterNot(_ == "iceberg")
+      if (unknown.nonEmpty)
+        throw new IllegalArgumentException(
+          s"unknown universalFormat value(s) ${unknown.mkString(", ")} " +
+            "(supported: iceberg)")
+    }
+  }
 
   /** Routes the serialized commit to the table's commit authority: the
     * coordinator when the READ snapshot declares one (so the enablement

@@ -964,7 +964,7 @@ object Corpus {
             SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, COUNT(*) AS n
             FROM (SELECT w, unnest(range(1, length(w))) AS i FROM w$r)
             GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)),
-      w${r + 1} AS MATERIALIZED (SELECT replace(w, (SELECT pair FROM m$r), '$sym') AS w FROM w$r)"""
+      w${r + 1} AS MATERIALIZED (SELECT replace(w, COALESCE((SELECT pair FROM m$r), chr(1)), '$sym') AS w FROM w$r)"""
       }.mkString(",\n      ")
       val mergeTable = (0 until 16)
         .map(r => s"SELECT $r AS r, pair FROM m$r").mkString(" UNION ALL ")
@@ -1006,6 +1006,9 @@ object Corpus {
     * runs out of pairs.
     */
   private[llm] def bpeLearn(docs: org.apache.spark.sql.DataFrame, k: Int): Seq[String] = {
+    // 16 merge symbols 'A'..'P' exist; a 17th round's words could carry
+    // 'Q', which the 52-symbol pair vector cannot index
+    require(k <= 16, s"bpeLearn supports at most 16 merges, got $k")
     val s = docs.sparkSession
     import s.implicits._
     var merges = Vector.empty[String]

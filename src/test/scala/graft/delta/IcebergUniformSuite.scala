@@ -125,6 +125,38 @@ class IcebergUniformSuite extends AnyFunSuite {
       Files.readAllBytes(metaDir.toPath.resolve("v3.metadata.json")))
     assert(meta2.get("snapshots").size == 3, meta2.get("snapshots").toString)
     assert(meta2.get("snapshot-log").size == 3)
+    // name mapping binds parquet column names to the schema field ids
+    // (spec: schema.name-mapping.default) — required because the delta
+    // write path does not stamp parquet field ids outside id mode
+    val nm = mapper.readTree(meta2.get("properties")
+      .get("schema.name-mapping.default").asText)
+    val nmIds = nm.elements().asScala
+      .map(e => e.get("names").get(0).asText -> e.get("field-id").asInt).toMap
+    val schemaIds = meta2.get("schemas").get(0).get("fields").elements().asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    assert(nmIds == schemaIds, s"$nmIds vs $schemaIds")
+  }
+
+  test("timestamp columns refuse generation (INT96 data vs Iceberg spec)") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(schemaString =
+      Seq((1L, new java.sql.Timestamp(0L))).toDF("id", "ts").schema.json))
+    txn.commit(Nil, Op.CreateTable)
+    val e = intercept[UnsupportedOperationException](t.generateIcebergMetadata())
+    assert(e.getMessage.contains("INT96"), e.getMessage)
+  }
+
+  test("unknown universalFormat values fail at the metadata commit") {
+    val t = DeltaTable.forPath(spark, tmp())
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = df((0L, "x", "p")).schema.json,
+      configuration = Map("delta.universalFormat.enabledFormats" -> "hudi")))
+    val e = intercept[IllegalArgumentException](txn.commit(Nil, Op.CreateTable))
+    assert(e.getMessage.contains("unknown universalFormat"), e.getMessage)
   }
 
   test("deletion vectors refuse Iceberg generation loudly") {
@@ -165,5 +197,15 @@ class IcebergUniformSuite extends AnyFunSuite {
     val got = meta.get("schemas").get(0).get("fields").elements().asScala
       .map(f => f.get("name").asText -> f.get("id").asInt).toMap
     assert(got == expected, s"$got vs $expected")
+    // and the name mapping binds the PHYSICAL parquet names (what the
+    // footers actually carry under column mapping) to those ids
+    val nm = mapper.readTree(meta.get("properties")
+      .get("schema.name-mapping.default").asText)
+    val nmPairs = nm.elements().asScala
+      .map(e => e.get("names").get(0).asText -> e.get("field-id").asInt).toMap
+    val physPairs = md.schema.fields.map(f =>
+      ColumnMapping.physicalName(f) ->
+        f.metadata.getLong(ColumnMapping.IdKey).toInt).toMap
+    assert(nmPairs == physPairs, s"$nmPairs vs $physPairs")
   }
 }

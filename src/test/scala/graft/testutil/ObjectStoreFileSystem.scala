@@ -89,14 +89,27 @@ class ObjectStoreFileSystem extends FileSystem {
     val k = key(p)
     if (blobs.contains(k)) return Array(status(k, p))
     val prefix = k + "/"
-    val children = blobs.keysIterator.filter(_.startsWith(prefix)).map { full =>
-      val rest = full.substring(prefix.length)
-      val cut = rest.indexOf('/')
-      if (cut < 0) rest else rest.substring(0, cut)
-    }.toSet
-    if (children.isEmpty && k.indexOf('/') >= 0)
+    // ONE atomic snapshot of (key -> blob): a real S3 LIST returns keys
+    // WITH their metadata in the same response, so an object deleted by
+    // a concurrent writer mid-iteration silently drops out of the page —
+    // it never 404s the listing. Enumerate-keys-then-stat-each would.
+    val snap = blobs.toMap
+    val direct = snap.collect {
+      case (full, b) if full.startsWith(prefix) && !full.substring(prefix.length).contains('/') =>
+        val name = full.substring(prefix.length)
+        name -> new FileStatus(b.bytes.length.toLong, false, 1, BlockSize,
+          b.mtime, makeQualified(new Path(p, name)))
+    }
+    val dirs = snap.keysIterator.collect {
+      case full if full.startsWith(prefix) && full.substring(prefix.length).contains('/') =>
+        val rest = full.substring(prefix.length)
+        rest.substring(0, rest.indexOf('/'))
+    }.toSet -- direct.keySet
+    if (direct.isEmpty && dirs.isEmpty && k.indexOf('/') >= 0)
       throw new FileNotFoundException(p.toString)
-    children.toArray.sorted.map(c => status(prefix.stripSuffix("/") + "/" + c, new Path(p, c)))
+    (direct.toSeq.map(_._2) ++ dirs.toSeq.map(c =>
+      new FileStatus(0, true, 1, BlockSize, 0, makeQualified(new Path(p, c)))))
+      .sortBy(_.getPath.getName).toArray
   }
 
   override def open(p: Path, bufferSize: Int): FSDataInputStream = {
