@@ -1063,6 +1063,97 @@ object DeltaQueries {
         CAST(n_regionkey AS INTEGER) AS n_regionkey
       FROM nation ORDER BY n_nationkey""")),
 
+    // UniForm (A84): the generated ICEBERG metadata is the read path —
+    // the query answers per-partition row counts FROM the Avro manifests
+    // (manifest list on the driver, O(#manifests); entry reads
+    // DISTRIBUTED, one task per manifest — the shape Iceberg scan
+    // planning itself uses), and the oracle recomputes the same counts
+    // by scanning the raw data. A wrong manifest (missing file, stale
+    // record_count, misfiled partition value) breaks the hash match.
+    GQ("delta_uniform", (s, d) => {
+      import s.implicits._
+      val dir = fixture(s, d, "uniform") { dir =>
+        val t = DeltaTable.forPath(s, dir)
+        // o_orderdate is a timestamp (INT96 on disk) — Iceberg refuses
+        // it by design, so the UniForm table carries the other columns
+        val orders = table(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+        val txn = t.deltaLog.startTransaction()
+        txn.updateMetadata(Metadata(
+          schemaString = orders.schema.json,
+          partitionColumns = Seq("o_orderstatus"),
+          configuration = Map(
+            "delta.universalFormat.enabledFormats" -> "iceberg")))
+        txn.commit(Nil, Op.CreateTable)
+        t.write(orders, SaveMode.Append, Seq("o_orderstatus"))
+      }
+      val log = DeltaTable.forPath(s, dir).deltaLog
+      val hconf = s.sessionState.newHadoopConf()
+      val metaDir = IcebergMetadata.metadataDir(log)
+      val fsys = metaDir.getFileSystem(hconf)
+      def readAllBytes(p: org.apache.hadoop.fs.Path): Array[Byte] = {
+        val in = fsys.open(p)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var r = in.read(buf)
+          while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+          out.toByteArray
+        } finally in.close()
+      }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val hint = new String(readAllBytes(
+        new org.apache.hadoop.fs.Path(metaDir, "version-hint.text")), "UTF-8").trim
+      val meta = mapper.readTree(readAllBytes(
+        new org.apache.hadoop.fs.Path(metaDir, s"v$hint.metadata.json")))
+      val curId = meta.get("current-snapshot-id").asLong
+      val listPath = {
+        import scala.jdk.CollectionConverters._
+        meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong == curId).get
+          .get("manifest-list").asText
+      }
+      // manifest list: driver-side, O(#manifests)
+      val manifestPaths: Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        val r = org.apache.avro.file.DataFileReader.openReader(
+          new org.apache.avro.mapred.FsInput(
+            new org.apache.hadoop.fs.Path(listPath), hconf),
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        try r.iterator().asScala.map(_.get("manifest_path").toString).toList
+        finally r.close()
+      }
+      // manifest ENTRIES: distributed, one task per manifest
+      val serConf = new SerializableHadoopConf(hconf)
+      val counts = s.sparkContext
+        .parallelize(manifestPaths, math.max(1, manifestPaths.size))
+        .flatMap { p =>
+          import scala.jdk.CollectionConverters._
+          val r = org.apache.avro.file.DataFileReader.openReader(
+            new org.apache.avro.mapred.FsInput(
+              new org.apache.hadoop.fs.Path(p), serConf.value),
+            new org.apache.avro.generic.GenericDatumReader[
+              org.apache.avro.generic.GenericRecord]())
+          try r.iterator().asScala.map { e =>
+            val df = e.get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            val part = df.get("partition")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            (part.get("o_orderstatus").toString,
+              df.get("record_count").asInstanceOf[Long])
+          }.toList
+          finally r.close()
+        }
+      counts.toDF("o_orderstatus", "n")
+        .groupBy($"o_orderstatus")
+        .agg(org.apache.spark.sql.functions.sum($"n").as("n_rows"))
+        .orderBy($"o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1 ORDER BY 1""")),
+
     // CONVERT TO DELTA (A49): a plain Hive-partitioned parquet directory
     // is adopted in place (footer-stat job + one commit, no rewrite),
     // then proven transactional with a DELETE and read back through the
