@@ -411,7 +411,23 @@ object IcebergMetadata {
     sn.put("snapshot-id", snapshotId)
     sn.put("sequence-number", seqNum)
     sn.put("timestamp-ms", now)
-    sn.putObject("summary").put("operation", "append")
+    // summary.operation from the Delta commit that produced this
+    // snapshot: append for pure additions, replace for compaction
+    // (rewrites with identical logical content), delete for TRUNCATE,
+    // overwrite for everything that can change or remove rows —
+    // the conservative bucket an incremental consumer must re-scan
+    val ci = log.commitInfoAt(version)
+    val deltaOp = ci.map(_.operation).getOrElse(Op.Write)
+    val overwriteMode = ci.exists(_.operationParameters.get("mode")
+      .exists(_.toLowerCase.contains("overwrite")))
+    val icebergOp = deltaOp match {
+      case Op.Write | Op.StreamingUpdate if overwriteMode => "overwrite"
+      case Op.Write | Op.StreamingUpdate | Op.CopyInto | Op.CreateTable => "append"
+      case o if o.startsWith(Op.Optimize) => "replace"
+      case Op.Truncate => "delete"
+      case _ => "overwrite"
+    }
+    sn.putObject("summary").put("operation", icebergOp)
     sn.put("manifest-list", listPath.toString)
     sn.put("schema-id", 0)
     val slog = root.putArray("snapshot-log")

@@ -302,8 +302,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           timestampAsOf = Option(ts).map(parseTsMillis)))
       case ConvertRe(target) =>
         Some(GraftConvertCommand(parseTarget(target)))
-      case GenerateRe(target) =>
-        Some(GraftGenerateCommand(parseTarget(target)))
+      case GenerateRe(mode, target) =>
+        Some(GraftGenerateCommand(parseTarget(target), mode.toLowerCase))
       case ShowPartitionsRe(target) =>
         Some(GraftShowPartitionsCommand(parseTarget(target)))
       case _ => None
@@ -411,7 +411,7 @@ object GraftSqlParser {
   private[sql] val DescribeDetailRe =
     s"""(?is)DESC(?:RIBE)?\\s+DETAIL\\s+$T""".r
   private[sql] val GenerateRe =
-    s"""(?is)GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$T""".r
+    s"""(?is)GENERATE\\s+(symlink_format_manifest|iceberg_metadata)\\s+FOR\\s+TABLE\\s+$T""".r
   private[sql] val ShowPartitionsRe =
     s"""(?is)SHOW\\s+PARTITIONS\\s+$T""".r
   private[sql] val ReorgRe =
@@ -553,13 +553,18 @@ case class GraftShowPartitionsCommand(target: SqlTarget)
   }
 }
 
-/** `GENERATE symlink_format_manifest FOR TABLE t` — Hive/Presto/Athena
-  * symlink manifests for the current snapshot.
+/** `GENERATE symlink_format_manifest|iceberg_metadata FOR TABLE t` —
+  * foreign-reader metadata for the current snapshot: Hive/Presto/Athena
+  * symlink manifests, or UniForm Iceberg metadata (A84).
   */
-case class GraftGenerateCommand(target: SqlTarget) extends LeafRunnableCommand {
+case class GraftGenerateCommand(target: SqlTarget, mode: String)
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
-      .generateSymlinkManifest()
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    mode match {
+      case "symlink_format_manifest" => t.generateSymlinkManifest()
+      case "iceberg_metadata" => t.generateIcebergMetadata()
+    }
     Nil
   }
 }

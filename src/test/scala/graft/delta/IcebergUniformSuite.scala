@@ -137,6 +137,35 @@ class IcebergUniformSuite extends AnyFunSuite {
     assert(nmIds == schemaIds, s"$nmIds vs $schemaIds")
   }
 
+  test("SQL GENERATE iceberg_metadata; summary operation tracks the Delta commit kind") {
+    import spark.implicits._
+    val dir = tmp()
+    // no auto property: metadata is generated ON DEMAND through SQL
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(schemaString = df((0L, "x", "p")).schema.json))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(df((1L, "a", "x"), (2L, "b", "y")))   // v1 append
+    t.delete(col("id") === 1L)                    // v2 copy-on-write delete
+    spark.sql(s"GENERATE iceberg_metadata FOR TABLE graft.`$dir`")
+    val metaDir = new java.io.File(dir, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def current() = {
+      val hint = new String(Files.readAllBytes(
+        metaDir.toPath.resolve("version-hint.text"))).trim
+      val m = mapper.readTree(Files.readAllBytes(
+        metaDir.toPath.resolve(s"v$hint.metadata.json")))
+      val id = m.get("current-snapshot-id").asLong
+      m.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong == id).get
+        .get("summary").get("operation").asText
+    }
+    assert(current() == "overwrite", current()) // a delete can remove rows
+    t.compact()                                  // v3 OPTIMIZE
+    spark.sql(s"GENERATE iceberg_metadata FOR TABLE graft.`$dir`")
+    assert(current() == "replace", current())   // rewrite, same logical rows
+  }
+
   test("timestamp columns refuse generation (INT96 data vs Iceberg spec)") {
     import spark.implicits._
     val dir = tmp()
