@@ -17,7 +17,11 @@ import org.apache.spark.sql.types._
   * interpreted path on every generation).
   */
 final case class IcebergManifestSummary(path: String, length: Long,
-    fileCount: Long, rowCount: Long)
+    fileCount: Long, rowCount: Long,
+    // one triple per identity-partition column, positional:
+    // (contains_null, lower bound, upper bound) with bounds in the
+    // Iceberg single-value binary serialization
+    partSummaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])])
 
 /** UniForm-style Iceberg metadata generation (delta-spark's
   * `delta.universalFormat.enabledFormats=iceberg` surface; public
@@ -212,7 +216,29 @@ object IcebergMetadata {
       {"name":"deleted_files_count","type":"int","field-id":506},
       {"name":"added_rows_count","type":"long","field-id":512},
       {"name":"existing_rows_count","type":"long","field-id":513},
-      {"name":"deleted_rows_count","type":"long","field-id":514}]}"""
+      {"name":"deleted_rows_count","type":"long","field-id":514},
+      {"name":"partitions","field-id":507,"default":null,"type":["null",
+        {"type":"array","element-id":508,"items":
+          {"type":"record","name":"r508","fields":[
+            {"name":"contains_null","type":"boolean","field-id":509},
+            {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
+            {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}]}}]}]}"""
+
+  /** Iceberg single-value binary serialization for the supported
+    * identity-partition types: int/date = 4 bytes little-endian,
+    * long = 8 bytes little-endian, string = UTF-8 bytes.
+    */
+  private def boundBytes(dt: DataType, v: Any): Array[Byte] = v match {
+    case i: java.lang.Integer =>
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+    case l: java.lang.Long =>
+      java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(l).array()
+    case s: String => s.getBytes(StandardCharsets.UTF_8)
+    case other => throw new UnsupportedOperationException(
+      s"no single-value serialization for $other (${dt.simpleString})")
+  }
 
   private def parsePartValue(dt: DataType, v: String): Any = dt match {
     case _ if v == null => null
@@ -273,7 +299,16 @@ object IcebergMetadata {
     val entrySchemaJson = manifestEntrySchemaJson(partStructJson)
     val partMeta = partCols.map { case (n, dt, _) => (n, dt) }
     import spark.implicits._
-    val summaries: Seq[IcebergManifestSummary] = snapshot.allFilesDS
+    // cluster manifests BY PARTITION (one metadata-sized shuffle): a
+    // manifest covering one partition value gets tight field_summary
+    // bounds, so Iceberg planning skips whole manifests — the
+    // manifest-level analogue of the cell-bucketed ANN layout
+    val clusteredFiles =
+      if (partCols.isEmpty) snapshot.allFilesDS
+      else snapshot.allFilesDS.repartition(
+        org.apache.spark.sql.functions.col("partitionValues")
+          .getItem(partCols.head._1))
+    val summaries: Seq[IcebergManifestSummary] = clusteredFiles
       .mapPartitions { files =>
         val buf = files.toSeq
         if (buf.isEmpty) Iterator.empty
@@ -290,6 +325,16 @@ object IcebergMetadata {
           w.create(entrySchema, stream)
           var rows = 0L
           var n = 0L
+          // per-partition-column field_summary state
+          val containsNull = Array.fill(partMeta.length)(false)
+          val lo = Array.fill[Any](partMeta.length)(null)
+          val hi = Array.fill[Any](partMeta.length)(null)
+          def less(a: Any, b: Any): Boolean = (a, b) match {
+            case (x: java.lang.Integer, y: java.lang.Integer) => x < y
+            case (x: java.lang.Long, y: java.lang.Long) => x < y
+            case (x: String, y: String) => x < y
+            case _ => false
+          }
           buf.foreach { a =>
             if (a.deletionVector != null)
               throw new UnsupportedOperationException(
@@ -305,8 +350,14 @@ object IcebergMetadata {
               new Path(dataRoot), a.path))
             df.put("file_format", "PARQUET")
             val p = new GenericData.Record(pSchema)
-            partMeta.foreach { case (pn, dt) =>
-              p.put(pn, parsePartValue(dt, a.partitionValues.getOrElse(pn, null)))
+            partMeta.zipWithIndex.foreach { case ((pn, dt), i) =>
+              val v = parsePartValue(dt, a.partitionValues.getOrElse(pn, null))
+              if (v == null) containsNull(i) = true
+              else {
+                if (lo(i) == null || less(v, lo(i))) lo(i) = v
+                if (hi(i) == null || less(hi(i), v)) hi(i) = v
+              }
+              p.put(pn, v)
             }
             df.put("partition", p)
             val rc = Stats.numRecords(a.stats).getOrElse(
@@ -321,7 +372,12 @@ object IcebergMetadata {
           }
           w.close()
           val len = fs.getFileStatus(out).getLen
-          Iterator(IcebergManifestSummary(out.toString, len, n, rows))
+          val sums = partMeta.indices.map { i =>
+            (containsNull(i),
+              Option(lo(i)).map(v => boundBytes(partMeta(i)._2, v)),
+              Option(hi(i)).map(v => boundBytes(partMeta(i)._2, v)))
+          }
+          Iterator(IcebergManifestSummary(out.toString, len, n, rows, sums))
         }
       }.collect().toSeq
 
@@ -349,6 +405,25 @@ object IcebergMetadata {
       rec.put("added_rows_count", m.rowCount)
       rec.put("existing_rows_count", 0L)
       rec.put("deleted_rows_count", 0L)
+      // field_summary per identity-partition column: planning can skip
+      // this whole manifest when a partition predicate falls outside
+      // [lower, upper] — never opening it
+      if (partCols.nonEmpty) {
+        val arrSchema = listSchema.getField("partitions").schema()
+          .getTypes.asScala
+          .find(_.getType == org.apache.avro.Schema.Type.ARRAY).get
+        val elemSchema = arrSchema.getElementType
+        val arr = new GenericData.Array[GenericRecord](
+          m.partSummaries.length, arrSchema)
+        m.partSummaries.foreach { case (cn, lob, hib) =>
+          val r = new GenericData.Record(elemSchema)
+          r.put("contains_null", cn)
+          r.put("lower_bound", lob.map(java.nio.ByteBuffer.wrap).orNull)
+          r.put("upper_bound", hib.map(java.nio.ByteBuffer.wrap).orNull)
+          arr.add(r)
+        }
+        rec.put("partitions", arr)
+      }
       lw.append(rec)
     }
     lw.close()

@@ -137,6 +137,60 @@ class IcebergUniformSuite extends AnyFunSuite {
     assert(nmIds == schemaIds, s"$nmIds vs $schemaIds")
   }
 
+  test("manifest-list field summaries bound each manifest's partition values") {
+    val dir = tmp()
+    val t = mkUniform(dir)
+    t.write(df((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")),
+      partitionBy = Seq("part"))
+    val metaDir = new java.io.File(dir, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hint = new String(Files.readAllBytes(
+      metaDir.toPath.resolve("version-hint.text"))).trim
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir.toPath.resolve(s"v$hint.metadata.json")))
+    val curId = meta.get("current-snapshot-id").asLong
+    val listPath = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == curId).get
+      .get("manifest-list").asText
+    val manifests = avroRecords(listPath)
+    assert(manifests.nonEmpty)
+    manifests.foreach { m =>
+      // the entries this manifest actually contains
+      val parts = avroRecords(m.get("manifest_path").toString).map { e =>
+        e.get("data_file").asInstanceOf[GenericRecord]
+          .get("partition").asInstanceOf[GenericRecord].get("part").toString
+      }
+      // its field_summary must bound exactly those values (string bounds
+      // are the UTF-8 single-value serialization)
+      val summary = m.get("partitions")
+        .asInstanceOf[java.util.Collection[GenericRecord]]
+        .iterator().next()
+      def str(b: Any): String = {
+        val bb = b.asInstanceOf[java.nio.ByteBuffer].duplicate()
+        val arr = new Array[Byte](bb.remaining()); bb.get(arr)
+        new String(arr, "UTF-8")
+      }
+      assert(!summary.get("contains_null").asInstanceOf[Boolean])
+      assert(str(summary.get("lower_bound")) == parts.min,
+        s"lower ${str(summary.get("lower_bound"))} vs ${parts.min}")
+      assert(str(summary.get("upper_bound")) == parts.max,
+        s"upper ${str(summary.get("upper_bound"))} vs ${parts.max}")
+    }
+    // clustered manifests: with >1 manifest no partition value spans two
+    // (the skippability property); with 1 manifest the bound test above
+    // already pinned correctness
+    if (manifests.size > 1) {
+      val perManifest = manifests.map(m =>
+        avroRecords(m.get("manifest_path").toString).map { e =>
+          e.get("data_file").asInstanceOf[GenericRecord]
+            .get("partition").asInstanceOf[GenericRecord].get("part").toString
+        }.toSet)
+      val all = perManifest.flatten
+      assert(all.size == perManifest.map(_.size).sum,
+        s"a partition value spans manifests: $perManifest")
+    }
+  }
+
   test("SQL GENERATE iceberg_metadata; summary operation tracks the Delta commit kind") {
     import spark.implicits._
     val dir = tmp()
