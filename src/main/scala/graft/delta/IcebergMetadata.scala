@@ -188,6 +188,20 @@ object IcebergMetadata {
     s"""{"type":"record","name":"r102","fields":[$fields]}"""
   }
 
+  private def longMap(name: String, fid: Int, kid: Int, vid: Int): String =
+    s"""{"name":"$name","field-id":$fid,"default":null,"type":["null",
+      {"type":"array","logicalType":"map","items":
+        {"type":"record","name":"k${kid}_v$vid","fields":[
+          {"name":"key","type":"int","field-id":$kid},
+          {"name":"value","type":"long","field-id":$vid}]}}]}"""
+
+  private def bytesMap(name: String, fid: Int, kid: Int, vid: Int): String =
+    s"""{"name":"$name","field-id":$fid,"default":null,"type":["null",
+      {"type":"array","logicalType":"map","items":
+        {"type":"record","name":"k${kid}_v$vid","fields":[
+          {"name":"key","type":"int","field-id":$kid},
+          {"name":"value","type":"bytes","field-id":$vid}]}}]}"""
+
   private def manifestEntrySchemaJson(partStruct: String): String =
     s"""{"type":"record","name":"manifest_entry","fields":[
       {"name":"status","type":"int","field-id":0},
@@ -200,7 +214,39 @@ object IcebergMetadata {
         {"name":"file_format","type":"string","field-id":101},
         {"name":"partition","type":$partStruct,"field-id":102},
         {"name":"record_count","type":"long","field-id":103},
-        {"name":"file_size_in_bytes","type":"long","field-id":104}]}}]}"""
+        {"name":"file_size_in_bytes","type":"long","field-id":104},
+        ${longMap("value_counts", 109, 119, 120)},
+        ${longMap("null_value_counts", 110, 121, 122)},
+        ${bytesMap("lower_bounds", 125, 126, 127)},
+        ${bytesMap("upper_bounds", 128, 129, 130)}]}}]}"""
+
+  /** Iceberg single-value serialization of one Delta stats-JSON bound for
+    * a top-level primitive column; None when the type has no stats or the
+    * JSON value cannot express it.
+    */
+  private def statBound(dt: DataType,
+      v: com.fasterxml.jackson.databind.JsonNode): Option[Array[Byte]] = dt match {
+    case _ if v == null || v.isNull => None
+    case ByteType | ShortType | IntegerType =>
+      Some(java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v.asInt).array())
+    case LongType =>
+      Some(java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v.asLong).array())
+    case FloatType =>
+      Some(java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putFloat(v.asDouble.toFloat).array())
+    case DoubleType =>
+      Some(java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(v.asDouble).array())
+    case StringType => Some(v.asText.getBytes(StandardCharsets.UTF_8))
+    case DateType =>
+      Some(java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(java.time.LocalDate.parse(v.asText).toEpochDay.toInt).array())
+    case _ => None
+  }
 
   private val manifestListSchemaJson: String =
     """{"type":"record","name":"manifest_file","fields":[
@@ -298,6 +344,16 @@ object IcebergMetadata {
     val partStructJson = partitionStructSchemaJson(partCols)
     val entrySchemaJson = manifestEntrySchemaJson(partStructJson)
     val partMeta = partCols.map { case (n, dt, _) => (n, dt) }
+    // top-level primitive columns whose Delta stats become Iceberg
+    // per-file column stats (value/null counts + typed bounds)
+    def statsSupported(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | DateType => true
+      case _ => false
+    }
+    val statsCols: Seq[(String, DataType, Int)] = schema.fields.toSeq
+      .filter(f => statsSupported(f.dataType))
+      .map(f => (f.name, f.dataType, fieldIds(f.name)))
     import spark.implicits._
     // cluster manifests BY PARTITION (one metadata-sized shuffle): a
     // manifest covering one partition value gets tight field_summary
@@ -316,6 +372,22 @@ object IcebergMetadata {
           val entrySchema = new org.apache.avro.Schema.Parser().parse(entrySchemaJson)
           val dfSchema = entrySchema.getField("data_file").schema()
           val pSchema = dfSchema.getField("partition").schema()
+          val statsMapper = new ObjectMapper()
+          def mapArraySchema(field: String): org.apache.avro.Schema =
+            dfSchema.getField(field).schema().getTypes.asScala
+              .find(_.getType == org.apache.avro.Schema.Type.ARRAY).get
+          def kvArray(field: String,
+              pairs: Seq[(Int, Any)]): GenericData.Array[GenericRecord] = {
+            val arrS = mapArraySchema(field)
+            val arr = new GenericData.Array[GenericRecord](pairs.length, arrS)
+            pairs.foreach { case (k, v) =>
+              val r = new GenericData.Record(arrS.getElementType)
+              r.put("key", k)
+              r.put("value", v)
+              arr.add(r)
+            }
+            arr
+          }
           val name = f"${java.util.UUID.randomUUID()}-m0.avro"
           val out = new Path(dirStr, name)
           val fs = out.getFileSystem(hconf.value)
@@ -365,6 +437,34 @@ object IcebergMetadata {
                 s"Iceberg metadata requires numRecords stats; missing on ${a.path}"))
             df.put("record_count", rc)
             df.put("file_size_in_bytes", a.size)
+            // per-file column stats from the Delta stats JSON: value
+            // counts (top-level = record count), null counts, and typed
+            // bounds in the single-value serialization — the inputs to
+            // Iceberg's FILE-level skipping, completing the chain
+            // manifest-list summary -> manifest entry -> data file
+            if (a.stats != null && a.stats.nonEmpty && statsCols.nonEmpty) {
+              val st = statsMapper.readTree(a.stats)
+              df.put("value_counts",
+                kvArray("value_counts", statsCols.map(c => (c._3, rc: Any))))
+              val nulls = Option(st.get("nullCount"))
+              if (nulls.nonEmpty)
+                df.put("null_value_counts", kvArray("null_value_counts",
+                  statsCols.flatMap { case (nme, _, id) =>
+                    Option(nulls.get.get(nme)).filter(_.isNumber)
+                      .map(n => (id, n.asLong: Any))
+                  }))
+              def bounds(key: String): Seq[(Int, Any)] =
+                Option(st.get(key)).toSeq.flatMap { b =>
+                  statsCols.flatMap { case (nme, dt, id) =>
+                    statBound(dt, b.get(nme))
+                      .map(bs => (id, java.nio.ByteBuffer.wrap(bs): Any))
+                  }
+                }
+              val lows = bounds("minValues")
+              if (lows.nonEmpty) df.put("lower_bounds", kvArray("lower_bounds", lows))
+              val highs = bounds("maxValues")
+              if (highs.nonEmpty) df.put("upper_bounds", kvArray("upper_bounds", highs))
+            }
             rec.put("data_file", df)
             w.append(rec)
             rows += rc

@@ -137,6 +137,50 @@ class IcebergUniformSuite extends AnyFunSuite {
     assert(nmIds == schemaIds, s"$nmIds vs $schemaIds")
   }
 
+  test("data_file column stats: typed bounds and counts from the Delta stats") {
+    val dir = tmp()
+    val t = mkUniform(dir)
+    t.write(df((5L, "a", "x"), (42L, "b", "x")), partitionBy = Seq("part"))
+    val metaDir = new java.io.File(dir, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hint = new String(Files.readAllBytes(
+      metaDir.toPath.resolve("version-hint.text"))).trim
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir.toPath.resolve(s"v$hint.metadata.json")))
+    val idFieldId = meta.get("schemas").get(0).get("fields").elements().asScala
+      .find(_.get("name").asText == "id").get.get("id").asInt
+    val curId = meta.get("current-snapshot-id").asLong
+    val listPath = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == curId).get
+      .get("manifest-list").asText
+    val entries = avroRecords(listPath).flatMap(m =>
+      avroRecords(m.get("manifest_path").toString))
+    assert(entries.nonEmpty)
+    def mapOf(df: GenericRecord, field: String): Map[Int, Any] = {
+      val arr = df.get(field).asInstanceOf[java.util.Collection[GenericRecord]]
+      arr.iterator().asScala.map(r =>
+        r.get("key").asInstanceOf[Int] -> r.get("value")).toMap
+    }
+    def longLE(b: Any): Long = b.asInstanceOf[java.nio.ByteBuffer].duplicate()
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    // across all files, the id bounds must cover exactly [5, 42] and
+    // value counts equal each file's record count. null_value_counts is
+    // absent by design: this engine's Delta stats carry
+    // numRecords/minValues/maxValues only, and Iceberg's field is
+    // optional — emitting a guessed zero would be a fabricated stat.
+    var lo = Long.MaxValue; var hi = Long.MinValue
+    entries.foreach { e =>
+      val d = e.get("data_file").asInstanceOf[GenericRecord]
+      val rc = d.get("record_count").asInstanceOf[Long]
+      assert(mapOf(d, "value_counts")(idFieldId).asInstanceOf[Long] == rc)
+      assert(d.get("null_value_counts") == null,
+        "null counts must not be fabricated from stats that lack them")
+      lo = math.min(lo, longLE(mapOf(d, "lower_bounds")(idFieldId)))
+      hi = math.max(hi, longLE(mapOf(d, "upper_bounds")(idFieldId)))
+    }
+    assert(lo == 5L && hi == 42L, s"[$lo, $hi]")
+  }
+
   test("manifest-list field summaries bound each manifest's partition values") {
     val dir = tmp()
     val t = mkUniform(dir)
