@@ -1074,11 +1074,10 @@ object DeltaQueries {
       import s.implicits._
       val dir = fixture(s, d, "uniform") { dir =>
         val t = DeltaTable.forPath(s, dir)
-        // o_orderdate is a timestamp (INT96 on disk) — Iceberg refuses
-        // it by design, so the UniForm table carries the other columns
-        val orders = table(s, d, "orders").select(
-          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          col("o_totalprice"), col("o_orderpriority"))
+        // o_orderdate (timestamp) stays: UniForm enabled from CREATE, so
+        // the write path stamps TIMESTAMP_MICROS parquet — the Iceberg-
+        // legal encoding — instead of Spark's INT96 default
+        val orders = table(s, d, "orders")
         val txn = t.deltaLog.startTransaction()
         txn.updateMetadata(Metadata(
           schemaString = orders.schema.json,
@@ -1153,6 +1152,107 @@ object DeltaQueries {
     }, Some("""
       SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows
       FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // UniForm + deletion vectors (A84, r17): a merge-on-read DELETE's DVs
+    // become Iceberg v2 POSITION-DELETE parquet files. The query is the
+    // Iceberg read path over the generated metadata: per-partition counts
+    // = Σ data-manifest record_count (PHYSICAL rows) MINUS the position-
+    // delete rows joined back to each data file — data manifests read
+    // distributed (one task per manifest), delete parquet read through
+    // spark.read. A wrong delete file (missing row, path mismatch, stale
+    // count) breaks the hash match against DuckDB's logical recount.
+    GQ("delta_uniform_dv", (s, d) => {
+      import s.implicits._
+      val dir = fixture(s, d, "uniform-dv") { dir =>
+        val t = DeltaTable.forPath(s, dir)
+        val orders = table(s, d, "orders")
+        val txn = t.deltaLog.startTransaction()
+        txn.updateMetadata(Metadata(
+          schemaString = orders.schema.json,
+          partitionColumns = Seq("o_orderstatus"),
+          configuration = Map(
+            "delta.universalFormat.enabledFormats" -> "iceberg",
+            "delta.enableDeletionVectors" -> "true")))
+        txn.commit(Nil, Op.CreateTable)
+        t.write(orders, SaveMode.Append, Seq("o_orderstatus"))
+        t.delete(pmod(col("o_orderkey"), lit(10)) === 3) // merge-on-read DVs
+      }
+      val log = DeltaTable.forPath(s, dir).deltaLog
+      val hconf = s.sessionState.newHadoopConf()
+      val metaDir = IcebergMetadata.metadataDir(log)
+      val fsys = metaDir.getFileSystem(hconf)
+      def readAllBytes(p: org.apache.hadoop.fs.Path): Array[Byte] = {
+        val in = fsys.open(p)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var r = in.read(buf)
+          while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+          out.toByteArray
+        } finally in.close()
+      }
+      def avroRows(p: String, conf: org.apache.hadoop.conf.Configuration):
+          List[org.apache.avro.generic.GenericRecord] = {
+        import scala.jdk.CollectionConverters._
+        val r = org.apache.avro.file.DataFileReader.openReader(
+          new org.apache.avro.mapred.FsInput(
+            new org.apache.hadoop.fs.Path(p), conf),
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        try r.iterator().asScala.toList finally r.close()
+      }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val hint = new String(readAllBytes(
+        new org.apache.hadoop.fs.Path(metaDir, "version-hint.text")), "UTF-8").trim
+      val meta = mapper.readTree(readAllBytes(
+        new org.apache.hadoop.fs.Path(metaDir, s"v$hint.metadata.json")))
+      val curId = meta.get("current-snapshot-id").asLong
+      val listPath = {
+        import scala.jdk.CollectionConverters._
+        meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong == curId).get
+          .get("manifest-list").asText
+      }
+      // manifest list: driver-side, O(#manifests), split by content
+      val manifests: Seq[(String, Int)] = avroRows(listPath, hconf)
+        .map(m => (m.get("manifest_path").toString,
+          m.get("content").asInstanceOf[Int]))
+      val dataManifests = manifests.collect { case (p, 0) => p }
+      val delManifests = manifests.collect { case (p, 1) => p }
+      // data-manifest ENTRIES: distributed, one task per manifest
+      val serConf = new SerializableHadoopConf(hconf)
+      val dataCounts = s.sparkContext
+        .parallelize(dataManifests, math.max(1, dataManifests.size))
+        .flatMap { p =>
+          avroRows(p, serConf.value).map { e =>
+            val df = e.get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            val part = df.get("partition")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            (df.get("file_path").toString,
+              part.get("o_orderstatus").toString,
+              df.get("record_count").asInstanceOf[Long])
+          }
+        }.toDF("fp", "o_orderstatus", "rc")
+      // deletes manifests name the position-delete parquet files; read
+      // the delete rows themselves through spark.read (the scan an
+      // Iceberg reader performs) and count per target data file
+      val delFiles: Seq[String] = delManifests.flatMap(p =>
+        avroRows(p, hconf).map(_.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("file_path").toString))
+      require(delFiles.nonEmpty, "fixture must produce position deletes")
+      val deleted = s.read.parquet(delFiles: _*)
+        .groupBy(col("file_path").as("fp"))
+        .agg(count(lit(1)).as("dels"))
+      dataCounts.join(deleted, Seq("fp"), "left")
+        .groupBy($"o_orderstatus")
+        .agg((sum($"rc") - sum(coalesce($"dels", lit(0L)))).as("n_rows"))
+        .orderBy($"o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders WHERE o_orderkey % 10 <> 3
+      GROUP BY 1 ORDER BY 1""")),
 
     // CONVERT TO DELTA (A49): a plain Hive-partitioned parquet directory
     // is adopted in place (footer-stat job + one commit, no rewrite),

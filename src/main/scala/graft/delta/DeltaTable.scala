@@ -1139,6 +1139,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val cutoff = deltaLog.clock.nowMillis - retention
     val rootStr = fs.makeQualified(deltaLog.dataPath).toString
     val serConf = new SerializableHadoopConf(hadoopConf)
+    // a UniForm table's Iceberg metadata dir holds position-delete
+    // PARQUET files that no AddFile references — the listing must skip
+    // it or vacuum would destroy the Iceberg view of the table
+    val icebergMeta = fs.exists(new Path(
+      IcebergMetadata.metadataDir(deltaLog), "version-hint.text"))
 
     val listed = inventory match {
       case Some(inv) =>
@@ -1170,12 +1175,15 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           .mapPartitions { it =>
             val root = new Path(rootStr)
             it.flatMap { case (raw, m, len) =>
-              FileNames.underTableRoot(root, raw).collect {
-                case abs if abs.endsWith(".parquet") &&
-                    !abs.substring(math.min(rootPathLen + 1, abs.length))
-                      .split("/").exists(seg =>
-                        seg.startsWith("_") || seg.startsWith(".")) =>
-                  (abs, m, len)
+              FileNames.underTableRoot(root, raw).flatMap { abs =>
+                val segs = abs
+                  .substring(math.min(rootPathLen + 1, abs.length)).split("/")
+                if (abs.endsWith(".parquet") &&
+                    !segs.exists(seg =>
+                      seg.startsWith("_") || seg.startsWith(".")) &&
+                    !(icebergMeta && segs.headOption.contains("metadata")))
+                  Some((abs, m, len))
+                else None
               }
             }
           }.toDF("p", "mtime", "len")
@@ -1184,7 +1192,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         // files); recursion happens in parallel on executors
         val seeds = fs.listStatus(deltaLog.dataPath)
           .map(_.getPath.getName)
-          .filter(n => !n.startsWith("_") && !n.startsWith("."))
+          .filter(n => !n.startsWith("_") && !n.startsWith(".") &&
+            !(icebergMeta && n == "metadata"))
           .toSeq
         if (seeds.isEmpty) return VacuumResult(0L, Nil)
         spark.createDataset(seeds)
@@ -1303,6 +1312,16 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         operationMetrics = Map(
           "numDeletedFiles" -> (deletedCount + dvDeleted.size).toString))
     }
+    // UniForm: the swept files may still be referenced by OLDER Iceberg
+    // snapshots — a foreign reader's time travel would break silently.
+    // Expire every non-current Iceberg snapshot (retention 0), the
+    // Iceberg mirror of what this vacuum just did to Delta history.
+    if (!dryRun && deletedCount > 0 && icebergMeta)
+      try IcebergMetadata.generate(spark, deltaLog, deltaLog.update(), Some(0L))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"WARN graft: post-VACUUM Iceberg snapshot expiry failed: ${e.getMessage}")
+      }
     VacuumResult(deletedCount + dvDeleted.size,
       (deletedSample ++ dvDeleted).take(reportLimit))
   }
@@ -1426,6 +1445,14 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         operationParameters = Map("status" -> "COMPLETED"),
         operationMetrics = Map(
           "numDeletedFiles" -> (deletedCount + dvDeleted.size).toString))
+    // see vacuum(): Iceberg history must shrink with Delta history
+    if (!dryRun && deletedCount > 0 && fs.exists(new Path(
+        IcebergMetadata.metadataDir(deltaLog), "version-hint.text")))
+      try IcebergMetadata.generate(spark, deltaLog, deltaLog.update(), Some(0L))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"WARN graft: post-VACUUM Iceberg snapshot expiry failed: ${e.getMessage}")
+      }
     VacuumResult(deletedCount + dvDeleted.size,
       (deletedSample ++ dvDeleted).take(reportLimit))
   }
@@ -2683,6 +2710,18 @@ object DeltaTable {
             s"parquet.bloom.filter.expected.ndv#$phys" -> ndv.toString)
         }.toMap
       }
+    // UniForm tables write TIMESTAMP_MICROS parquet instead of Spark's
+    // INT96 default: the Iceberg spec forbids INT96, and the enablement
+    // gate (OptimisticTransaction) guarantees every file of a
+    // timestamp-bearing UniForm table went through THIS stamped path.
+    // (prepareWrite re-reads the session conf, so the hadoop-conf route
+    // can't override it; snapshot explicit-only via getAll — a
+    // registered default must not materialize as an explicit setting.)
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val stampMicros =
+      DeltaConfig.UniversalFormats.fromMetadata(md).contains("iceberg")
+    val prevTs = if (stampMicros) spark.conf.getAll.get(tsKey) else None
+    if (stampMicros) spark.conf.set(tsKey, "TIMESTAMP_MICROS")
     try org.apache.spark.sql.GraftShims.writeParquetDirect(
       spark, df, dataPath.toString, partCols, committer, bloomConf)
     catch { case t: Throwable =>
@@ -2690,6 +2729,9 @@ object DeltaTable {
       // they fired in the write job or at plan time on the driver
       Constraints.unwrap(t).foreach(throw _)
       throw t
+    } finally if (stampMicros) prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
     }
     val rels = committer.addedFiles()
     if (rels.isEmpty) return Nil

@@ -4,11 +4,12 @@ import java.nio.charset.StandardCharsets
 
 import scala.jdk.CollectionConverters._
 
-import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
-import org.apache.avro.file.DataFileWriter
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.types._
 
 /** One Iceberg manifest's summary, shipped back to the driver. Public:
@@ -27,14 +28,28 @@ final case class IcebergManifestSummary(path: String, length: Long,
   * `delta.universalFormat.enabledFormats=iceberg` surface; public
   * Iceberg table spec v2): after a Delta commit, emit Iceberg table
   * metadata — `metadata/v<N>.metadata.json`, an Avro manifest list
-  * `snap-<id>-…`, Avro data manifests, and `version-hint.text` — all
-  * pointing at the SAME parquet data files, so an Iceberg reader
-  * (HadoopTables catalog) reads the Delta table with zero data copies.
+  * `snap-<id>-…`, Avro data manifests, position-delete parquet files +
+  * a deletes manifest for live deletion vectors, and
+  * `version-hint.text` — all pointing at the SAME parquet data files,
+  * so an Iceberg reader (HadoopTables catalog) reads the Delta table
+  * with zero data copies.
   *
   * Scale shape: data manifests are written ON EXECUTORS, one Avro file
   * per partition of the AddFile dataset — the driver collects only the
   * per-manifest summaries (path, length, counts), never the file list.
   * A 10^7-file table generates metadata with O(#manifests) driver state.
+  * Deletion vectors become Iceberg v2 POSITION-DELETE parquet files
+  * (file_path, pos), decoded and written distributed, referenced by a
+  * deletes manifest under an unpartitioned spec so they apply to every
+  * matching data file regardless of its partition.
+  *
+  * Field ids are STABLE across generations: each generation reuses the
+  * previous metadata's name-mapping ids by (physical-name) path, so
+  * schema evolution never rebinds an id to a different column — prior
+  * snapshots' manifests keep resolving against their recorded
+  * schema-id. Snapshots expire on the table's
+  * `delta.logRetentionDuration` cadence, and each generation sweeps
+  * metadata files no retained snapshot references.
   *
   * Honest simplifications vs the full UniForm implementation, each
   * loud or documented:
@@ -42,9 +57,10 @@ final case class IcebergManifestSummary(path: String, length: Long,
   *    snapshot with entries marked ADDED by it (correct for full table
   *    scans — the only effect is on Iceberg incremental consumption,
   *    which would re-see old files);
-  *  - deletion vectors cannot be represented (Iceberg v2 positional
-  *    deletes are a different encoding) — generation REFUSES while any
-  *    live file carries a DV, exactly like IcebergCompat;
+  *  - timestamp columns require the table to have been UniForm from
+  *    before its first file (this engine then writes TIMESTAMP_MICROS
+  *    parquet instead of Spark's INT96 default); on-demand generation
+  *    over a table with unknown timestamp encoding is refused loudly;
   *  - no Iceberg reader exists in this sandbox, so conformance is
   *    spec-structural: the suite re-reads the Avro manifests/list with
   *    the Avro library and the metadata JSON with Jackson and checks
@@ -56,20 +72,105 @@ object IcebergMetadata {
 
   def metadataDir(log: DeltaLog): Path = new Path(log.dataPath, "metadata")
 
+  /** Iceberg reserved field ids for position-delete files (spec v2). */
+  private[delta] val DeleteFilePathId = 2147483546L
+  private[delta] val DeletePosId = 2147483545L
+
+  /** Max UTF-8 bytes kept in a string column bound (Iceberg's
+    * truncate(16) metrics convention) — manifests stay bounded even
+    * when the column holds whole documents.
+    */
+  private[delta] val StringBoundLen = 16
+
+  private val AvroNamePattern = java.util.regex.Pattern.compile("[A-Za-z_][A-Za-z0-9_]*")
+
+  /** Does the schema contain a timestamp anywhere? (Spark's default
+    * parquet encoding for these is INT96, which the Iceberg spec
+    * forbids — see the generate() gate.)
+    */
+  private[delta] def hasTimestamp(dt: DataType): Boolean = dt match {
+    case TimestampType | _: TimestampNTZType => true
+    case s: StructType => s.fields.exists(f => hasTimestamp(f.dataType))
+    case a: ArrayType => hasTimestamp(a.elementType)
+    case m: MapType => hasTimestamp(m.keyType) || hasTimestamp(m.valueType)
+    case _ => false
+  }
+
+  /** UTF-8-boundary-safe prefix of at most `max` bytes: a valid LOWER
+    * bound for any string it prefixes.
+    */
+  private[delta] def truncateLower(s: String, max: Int = StringBoundLen): Array[Byte] = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    if (b.length <= max) b
+    else {
+      var i = max
+      // back off continuation bytes so the cut lands on a codepoint edge
+      while (i > 0 && (b(i) & 0xc0) == 0x80) i -= 1
+      java.util.Arrays.copyOf(b, i)
+    }
+  }
+
+  /** Iceberg upper-bound truncation: take a codepoint prefix within
+    * `max` UTF-8 bytes and increment its LAST codepoint, so the result
+    * sorts >= every string sharing the prefix. Codepoints at the
+    * Unicode ceiling are dropped and the previous one incremented;
+    * None when no incrementable prefix exists (bound omitted —
+    * spec-legal, planning just can't use it).
+    */
+  private[delta] def truncateUpper(s: String, max: Int = StringBoundLen): Option[Array[Byte]] = {
+    val full = s.getBytes(StandardCharsets.UTF_8)
+    if (full.length <= max) return Some(full)
+    val prefix = new String(truncateLower(s, max), StandardCharsets.UTF_8)
+    var cps = prefix.codePoints().toArray
+    while (cps.nonEmpty) {
+      val last = cps(cps.length - 1)
+      if (last < 0x10ffff && !(last >= 0xd7ff && last < 0xe000)) {
+        // skip into the surrogate gap: 0xD800-0xDFFF are not scalar values
+        val inc = if (last == 0xd7ff) 0xe000 else last + 1
+        cps(cps.length - 1) = inc
+        val sb = new java.lang.StringBuilder()
+        cps.foreach(sb.appendCodePoint)
+        return Some(sb.toString.getBytes(StandardCharsets.UTF_8))
+      }
+      cps = cps.dropRight(1)
+    }
+    None
+  }
+
   /** Iceberg schema JSON from the Delta schema. Field ids come from
     * column mapping when the table has it (the ids Iceberg readers then
     * share with the parquet footers — the icebergCompat requirement);
-    * otherwise positional. Nested element/key/value ids are assigned
-    * after the top-level range, mirroring Iceberg's allocator.
+    * otherwise positional for a FIRST generation and path-stable
+    * thereafter: `prevIds` (physical-name paths -> ids from the previous
+    * generation's name mapping) pins every already-seen field to its
+    * old id, and new fields draw fresh ids above every id ever used —
+    * ids are never reused for a different column, the Iceberg evolution
+    * invariant.
     */
-  private[delta] def icebergSchema(schema: StructType, mapped: Boolean):
+  private[delta] def icebergSchema(schema: StructType, mapped: Boolean,
+      prevIds: Map[String, Int] = Map.empty, prevLastColumnId: Int = 0):
       (com.fasterxml.jackson.databind.node.ObjectNode, Int, Map[String, Int],
         com.fasterxml.jackson.databind.node.ArrayNode) = {
-    var nextId =
+    var nextId = 1 + math.max(prevLastColumnId,
       if (mapped)
-        schema.fields.map(_.metadata.getLong(ColumnMapping.IdKey)).max.toInt + 1
-      else schema.fields.length + 1
-    def fresh(): Int = { val i = nextId; nextId += 1; i }
+        schema.fields.map(_.metadata.getLong(ColumnMapping.IdKey)).max.toInt
+      else if (prevIds.isEmpty) schema.fields.length
+      else 0)
+    def fresh(path: String): Int = prevIds.getOrElse(path, {
+      val i = nextId; nextId += 1; i
+    })
+
+    if (mapped) schema.fields.foreach { f =>
+      val id = f.metadata.getLong(ColumnMapping.IdKey).toInt
+      val phys = ColumnMapping.physicalName(f)
+      prevIds.find { case (p, i) => i == id && p != phys }.foreach { case (p, _) =>
+        throw new UnsupportedOperationException(
+          s"column-mapping id $id of '${f.name}' collides with the Iceberg " +
+            s"field id already bound to '$p' in a prior schema; Iceberg field " +
+            "ids must never rebind — regenerate metadata from scratch " +
+            "(delete metadata/) or avoid adding columns to this table")
+      }
+    }
 
     // one walk builds BOTH trees so nested ids cannot diverge: the
     // Iceberg schema JSON, and the name-mapping entries binding PARQUET
@@ -85,7 +186,7 @@ object IcebergMetadata {
         sub: com.fasterxml.jackson.databind.node.ArrayNode): Unit =
       if (sub.size > 0) entry.set("fields", sub)
 
-    def typeJson(dt: DataType,
+    def typeJson(dt: DataType, path: String,
         mapping: com.fasterxml.jackson.databind.node.ArrayNode): Object = dt match {
       case BooleanType => "boolean"
       case ByteType | ShortType | IntegerType => "int"
@@ -103,43 +204,45 @@ object IcebergMetadata {
         o.put("type", "struct")
         val fs = o.putArray("fields")
         s.fields.foreach { f =>
-          val id = fresh()
+          val phys = ColumnMapping.physicalName(f)
+          val sub0 = s"$path$phys"
+          val id = fresh(sub0)
           val fo = fs.addObject()
           fo.put("id", id)
           fo.put("name", f.name)
           fo.put("required", !f.nullable)
-          val entry = mapEntry(mapping, id, ColumnMapping.physicalName(f))
+          val entry = mapEntry(mapping, id, phys)
           val sub = mapper.createArrayNode()
-          fo.putPOJO("type", typeJson(f.dataType, sub))
+          fo.putPOJO("type", typeJson(f.dataType, s"$sub0.", sub))
           attach(entry, sub)
         }
         o
       case a: ArrayType =>
         val o = mapper.createObjectNode()
         o.put("type", "list")
-        val eid = fresh()
+        val eid = fresh(s"${path}element")
         o.put("element-id", eid)
         o.put("element-required", !a.containsNull)
         val entry = mapEntry(mapping, eid, "element")
         val sub = mapper.createArrayNode()
-        o.putPOJO("element", typeJson(a.elementType, sub))
+        o.putPOJO("element", typeJson(a.elementType, s"${path}element.", sub))
         attach(entry, sub)
         o
       case m: MapType =>
         val o = mapper.createObjectNode()
         o.put("type", "map")
-        val kid = fresh()
-        val vid = fresh()
+        val kid = fresh(s"${path}key")
+        val vid = fresh(s"${path}value")
         o.put("key-id", kid)
         o.put("value-id", vid)
         val ke = mapEntry(mapping, kid, "key")
         val ksub = mapper.createArrayNode()
-        o.putPOJO("key", typeJson(m.keyType, ksub))
+        o.putPOJO("key", typeJson(m.keyType, s"${path}key.", ksub))
         attach(ke, ksub)
         val ve = mapEntry(mapping, vid, "value")
         val vsub = mapper.createArrayNode()
         o.put("value-required", !m.valueContainsNull)
-        o.putPOJO("value", typeJson(m.valueType, vsub))
+        o.putPOJO("value", typeJson(m.valueType, s"${path}value.", vsub))
         attach(ve, vsub)
         o
       case other => throw new UnsupportedOperationException(
@@ -148,23 +251,46 @@ object IcebergMetadata {
 
     val root = mapper.createObjectNode()
     root.put("type", "struct")
-    root.put("schema-id", 0)
+    root.put("schema-id", 0) // overwritten by generate() once resolved
     val fields = root.putArray("fields")
     val rootMapping = mapper.createArrayNode()
     val ids = schema.fields.zipWithIndex.map { case (f, i) =>
+      val phys = ColumnMapping.physicalName(f)
       val id =
-        if (mapped) f.metadata.getLong(ColumnMapping.IdKey).toInt else i + 1
+        if (mapped) f.metadata.getLong(ColumnMapping.IdKey).toInt
+        else if (prevIds.isEmpty) i + 1
+        else fresh(phys)
       val fo = fields.addObject()
       fo.put("id", id)
       fo.put("name", f.name)
       fo.put("required", !f.nullable)
-      val entry = mapEntry(rootMapping, id, ColumnMapping.physicalName(f))
+      val entry = mapEntry(rootMapping, id, phys)
       val sub = mapper.createArrayNode()
-      fo.putPOJO("type", typeJson(f.dataType, sub))
+      fo.putPOJO("type", typeJson(f.dataType, s"$phys.", sub))
       attach(entry, sub)
       f.name -> id
     }.toMap
-    (root, nextId - 1, ids, rootMapping)
+    val lastUsed = math.max(nextId - 1,
+      math.max(prevLastColumnId, if (ids.isEmpty) 0 else ids.values.max))
+    (root, lastUsed, ids, rootMapping)
+  }
+
+  /** Physical-name-path -> field-id map recovered from a previous
+    * generation's `schema.name-mapping.default` property: the id memory
+    * that keeps field ids stable across generations (physical names
+    * survive renames under column mapping; without mapping they ARE the
+    * logical names, and Delta can't rename without mapping anyway).
+    */
+  private[delta] def mappingIdPaths(nameMapping: JsonNode): Map[String, Int] = {
+    val out = Map.newBuilder[String, Int]
+    def walk(arr: JsonNode, prefix: String): Unit =
+      arr.elements().asScala.foreach { e =>
+        val p = prefix + e.get("names").get(0).asText
+        out += p -> e.get("field-id").asInt
+        Option(e.get("fields")).foreach(walk(_, s"$p."))
+      }
+    walk(nameMapping, "")
+    out.result()
   }
 
   /** Avro type for one identity-partition column in the manifest's
@@ -222,10 +348,13 @@ object IcebergMetadata {
 
   /** Iceberg single-value serialization of one Delta stats-JSON bound for
     * a top-level primitive column; None when the type has no stats or the
-    * JSON value cannot express it.
+    * JSON value cannot express it. String bounds are truncated to
+    * [[StringBoundLen]] UTF-8 bytes (upper bounds round UP via last-
+    * codepoint increment) so a text-heavy table cannot inherit
+    * document-sized bound blobs in its manifests.
     */
-  private def statBound(dt: DataType,
-      v: com.fasterxml.jackson.databind.JsonNode): Option[Array[Byte]] = dt match {
+  private def statBound(dt: DataType, v: com.fasterxml.jackson.databind.JsonNode,
+      isUpper: Boolean): Option[Array[Byte]] = dt match {
     case _ if v == null || v.isNull => None
     case ByteType | ShortType | IntegerType =>
       Some(java.nio.ByteBuffer.allocate(4)
@@ -240,7 +369,8 @@ object IcebergMetadata {
     case DoubleType =>
       Some(java.nio.ByteBuffer.allocate(8)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(v.asDouble).array())
-    case StringType => Some(v.asText.getBytes(StandardCharsets.UTF_8))
+    case StringType =>
+      if (isUpper) truncateUpper(v.asText) else Some(truncateLower(v.asText))
     case DateType =>
       Some(java.nio.ByteBuffer.allocate(4)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -272,7 +402,8 @@ object IcebergMetadata {
 
   /** Iceberg single-value binary serialization for the supported
     * identity-partition types: int/date = 4 bytes little-endian,
-    * long = 8 bytes little-endian, string = UTF-8 bytes.
+    * long = 8 bytes little-endian, string = UTF-8 bytes (partition
+    * VALUES, not column stats — they stay short, so no truncation).
     */
   private def boundBytes(dt: DataType, v: Any): Array[Byte] = v match {
     case i: java.lang.Integer =>
@@ -296,42 +427,107 @@ object IcebergMetadata {
     case other => throw new UnsupportedOperationException(other.simpleString)
   }
 
-
   /** Generate Iceberg metadata for `snapshot`; returns the Iceberg
-    * metadata version N (= delta version + 1). Refuses tables whose
-    * live files carry deletion vectors.
+    * metadata version N (= delta version + 1). `retainMsOverride`
+    * replaces the snapshot-retention window (normally the table's
+    * `delta.logRetentionDuration`) — VACUUM passes Some(0) to expire
+    * every non-current Iceberg snapshot before their data files go away.
     */
-  def generate(spark: SparkSession, log: DeltaLog, snapshot: Snapshot): Long = {
+  def generate(spark: SparkSession, log: DeltaLog, snapshot: Snapshot,
+      retainMsOverride: Option[Long] = None): Long = {
+    val genStart = log.clock.nowMillis
     val md = snapshot.metadataOpt.getOrElse(throw new IllegalStateException(
       "cannot generate Iceberg metadata for a table without metadata"))
     val mapped = ColumnMapping.enabled(md)
     val schema = md.schema
+    val uniform = DeltaConfig.UniversalFormats.fromMetadata(md).contains("iceberg")
     // Spark's default parquet timestamp encoding is INT96, which the
     // Iceberg spec does not permit for timestamp/timestamptz — metadata
     // declaring INT64-micros over INT96 data would misdecode in a
-    // conformant reader. Refuse loudly (the DV-refusal contract) until
-    // the table's files are known TIMESTAMP_MICROS.
-    def hasTs(dt: DataType): Boolean = dt match {
-      case TimestampType | _: TimestampNTZType => true
-      case s: StructType => s.fields.exists(f => hasTs(f.dataType))
-      case a: ArrayType => hasTs(a.elementType)
-      case m: MapType => hasTs(m.keyType) || hasTs(m.valueType)
-      case _ => false
-    }
-    if (hasTs(schema))
+    // conformant reader. UniForm-configured tables are safe: the write
+    // path stamps TIMESTAMP_MICROS whenever the table property is set,
+    // and the enablement commit refuses tables that already hold files
+    // (see OptimisticTransaction). On-demand generation over anything
+    // else is refused loudly (the DV-era refusal contract).
+    if (hasTimestamp(schema) && !uniform)
       throw new UnsupportedOperationException(
-        "Iceberg metadata generation does not support timestamp columns: " +
-          "this engine writes parquet timestamps as INT96 (Spark default), " +
-          "which the Iceberg spec forbids")
+        "Iceberg metadata generation over timestamp columns requires " +
+          "delta.universalFormat.enabledFormats=iceberg (whose write path " +
+          "emits TIMESTAMP_MICROS parquet); without it this engine's files " +
+          "are INT96 (Spark default), which the Iceberg spec forbids")
+    // partition column names are interpolated into the Avro partition
+    // struct schema — refuse names outside Avro's name grammar loudly
+    // instead of emitting a malformed schema that fails downstream
+    md.partitionColumns.find(n => !AvroNamePattern.matcher(n).matches())
+      .foreach { n =>
+        throw new UnsupportedOperationException(
+          s"partition column name '$n' is not a legal Avro name " +
+            "([A-Za-z_][A-Za-z0-9_]*); Iceberg manifests cannot express it")
+      }
+
+    val dir = metadataDir(log)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val hintPath = new Path(dir, "version-hint.text")
+
+    // previous generation: the accumulated snapshot log AND the field-id
+    // memory that keeps ids stable across schema evolution
+    val prev: Option[JsonNode] =
+      if (!fs.exists(hintPath)) None
+      else {
+        val prevN = new String(readAll(fs, hintPath), StandardCharsets.UTF_8).trim.toLong
+        val prevMeta = new Path(dir, s"v$prevN.metadata.json")
+        if (fs.exists(prevMeta)) Some(mapper.readTree(readAll(fs, prevMeta)))
+        else None
+      }
+    val prevSchemas: Seq[JsonNode] = prev.toSeq.flatMap(p =>
+      Option(p.get("schemas")).toSeq.flatMap(_.elements().asScala))
+    val prevLastColumnId = prev.map(_.get("last-column-id").asInt).getOrElse(0)
+    val prevIds: Map[String, Int] = prev.flatMap(p =>
+      Option(p.get("properties"))
+        .flatMap(ps => Option(ps.get("schema.name-mapping.default")))
+        .map(nm => mappingIdPaths(mapper.readTree(nm.asText))))
+      .getOrElse(Map.empty)
+
     val (schemaJson, lastColumnId, fieldIds, nameMapping) =
-      icebergSchema(schema, mapped)
+      icebergSchema(schema, mapped, prevIds, prevLastColumnId)
+    // schema-id: reuse the previous id when the field tree is unchanged,
+    // else mint the next one and RETAIN the prior schemas — accumulated
+    // snapshots reference their own schema-id, so a time-travel read
+    // resolves old manifests against the schema they were written under
+    val prevCurrentSchemaId = prev.map(_.get("current-schema-id").asInt)
+    val prevCurrentSchema = prevCurrentSchemaId.flatMap(id =>
+      prevSchemas.find(_.get("schema-id").asInt == id))
+    // normalize the freshly built node through serialize+reparse before
+    // comparing: putPOJO leaves POJONode wrappers that are != the
+    // TextNodes a reparse of identical JSON yields
+    val builtFields = mapper.readTree(
+      mapper.writeValueAsString(schemaJson)).get("fields")
+    val schemaId: Int = prevCurrentSchema match {
+      case Some(pc) if pc.get("fields") == builtFields =>
+        prevCurrentSchemaId.get
+      case _ =>
+        prevSchemas.map(_.get("schema-id").asInt).foldLeft(-1)(math.max) + 1
+    }
+    schemaJson.put("schema-id", schemaId)
+    val schemaJsonStr = mapper.writeValueAsString(schemaJson)
+
     val partCols: Seq[(String, DataType, Int)] = md.partitionColumns.map { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalStateException(s"partition column $c not in schema"))
       (c, f.dataType, fieldIds(c))
     }
+    val specFieldsJson: String = {
+      val arr = mapper.createArrayNode()
+      partCols.zipWithIndex.foreach { case ((n, _, srcId), i) =>
+        val f = arr.addObject()
+        f.put("name", n)
+        f.put("transform", "identity")
+        f.put("source-id", srcId)
+        f.put("field-id", 1000 + i)
+      }
+      mapper.writeValueAsString(arr)
+    }
 
-    val dir = metadataDir(log)
     val hconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val dirStr = dir.toString
     val dataRoot = log.dataPath.toString
@@ -355,19 +551,19 @@ object IcebergMetadata {
       .filter(f => statsSupported(f.dataType))
       .map(f => (f.name, f.dataType, fieldIds(f.name)))
     import spark.implicits._
-    // cluster manifests BY PARTITION (one metadata-sized shuffle): a
-    // manifest covering one partition value gets tight field_summary
-    // bounds, so Iceberg planning skips whole manifests — the
-    // manifest-level analogue of the cell-bucketed ANN layout
+    // cluster manifests BY THE FULL PARTITION TUPLE (one metadata-sized
+    // shuffle): a manifest covering one partition value gets tight
+    // field_summary bounds on EVERY partition column, so Iceberg
+    // planning skips whole manifests — the manifest-level analogue of
+    // the cell-bucketed ANN layout
     val clusteredFiles =
       if (partCols.isEmpty) snapshot.allFilesDS
       else snapshot.allFilesDS.repartition(
-        org.apache.spark.sql.functions.col("partitionValues")
-          .getItem(partCols.head._1))
+        partCols.map(pc => col("partitionValues").getItem(pc._1)): _*)
+    val localSchemaId = schemaId
     val summaries: Seq[IcebergManifestSummary] = clusteredFiles
       .mapPartitions { files =>
-        val buf = files.toSeq
-        if (buf.isEmpty) Iterator.empty
+        if (!files.hasNext) Iterator.empty
         else {
           val entrySchema = new org.apache.avro.Schema.Parser().parse(entrySchemaJson)
           val dfSchema = entrySchema.getField("data_file").schema()
@@ -390,10 +586,18 @@ object IcebergMetadata {
           }
           val name = f"${java.util.UUID.randomUUID()}-m0.avro"
           val out = new Path(dirStr, name)
-          val fs = out.getFileSystem(hconf.value)
-          val stream = fs.create(out, true)
+          val fsx = out.getFileSystem(hconf.value)
+          val stream = fsx.create(out, true)
           val w = new DataFileWriter[GenericRecord](
             new GenericDatumWriter[GenericRecord](entrySchema))
+          // key-value file metadata the Iceberg spec requires on every
+          // manifest — conformant readers refuse files without it
+          w.setMeta("schema", schemaJsonStr)
+          w.setMeta("schema-id", localSchemaId.toString)
+          w.setMeta("partition-spec", specFieldsJson)
+          w.setMeta("partition-spec-id", "0")
+          w.setMeta("format-version", "2")
+          w.setMeta("content", "data")
           w.create(entrySchema, stream)
           var rows = 0L
           var n = 0L
@@ -407,11 +611,7 @@ object IcebergMetadata {
             case (x: String, y: String) => x < y
             case _ => false
           }
-          buf.foreach { a =>
-            if (a.deletionVector != null)
-              throw new UnsupportedOperationException(
-                "Iceberg metadata cannot represent Delta deletion vectors; " +
-                  "run OPTIMIZE (which materializes DVs) first")
+          files.foreach { a =>
             val rec = new GenericData.Record(entrySchema)
             rec.put("status", 1) // ADDED by this snapshot
             rec.put("snapshot_id", snapshotId)
@@ -432,6 +632,8 @@ object IcebergMetadata {
               p.put(pn, v)
             }
             df.put("partition", p)
+            // record_count is the PHYSICAL row count: deletion vectors
+            // subtract at read time through the position-delete files
             val rc = Stats.numRecords(a.stats).getOrElse(
               throw new IllegalStateException(
                 s"Iceberg metadata requires numRecords stats; missing on ${a.path}"))
@@ -453,16 +655,16 @@ object IcebergMetadata {
                     Option(nulls.get.get(nme)).filter(_.isNumber)
                       .map(n => (id, n.asLong: Any))
                   }))
-              def bounds(key: String): Seq[(Int, Any)] =
+              def bounds(key: String, isUpper: Boolean): Seq[(Int, Any)] =
                 Option(st.get(key)).toSeq.flatMap { b =>
                   statsCols.flatMap { case (nme, dt, id) =>
-                    statBound(dt, b.get(nme))
+                    statBound(dt, b.get(nme), isUpper)
                       .map(bs => (id, java.nio.ByteBuffer.wrap(bs): Any))
                   }
                 }
-              val lows = bounds("minValues")
+              val lows = bounds("minValues", isUpper = false)
               if (lows.nonEmpty) df.put("lower_bounds", kvArray("lower_bounds", lows))
-              val highs = bounds("maxValues")
+              val highs = bounds("maxValues", isUpper = true)
               if (highs.nonEmpty) df.put("upper_bounds", kvArray("upper_bounds", highs))
             }
             rec.put("data_file", df)
@@ -471,7 +673,7 @@ object IcebergMetadata {
             n += 1
           }
           w.close()
-          val len = fs.getFileStatus(out).getLen
+          val len = fsx.getFileStatus(out).getLen
           val sums = partMeta.indices.map { i =>
             (containsNull(i),
               Option(lo(i)).map(v => boundBytes(partMeta(i)._2, v)),
@@ -481,30 +683,125 @@ object IcebergMetadata {
         }
       }.collect().toSeq
 
+    // ---- position deletes: every live deletion vector becomes rows of
+    // an Iceberg v2 position-delete parquet file (file_path, pos), so a
+    // merge-on-read DELETE/UPDATE no longer excludes the table from
+    // UniForm. Decode + write run DISTRIBUTED (DeletionVectors.rowsDF);
+    // the driver holds only the DV'd AddFile descriptors (the same
+    // O(#DV'd files) contract the DML paths use) and the per-delete-file
+    // summaries. Delete files live under metadata/ — VACUUM skips an
+    // Iceberg metadata dir — and are written under an UNPARTITIONED spec
+    // so they apply to matching data files in every partition.
+    val dvFiles: Seq[AddFile] =
+      snapshot.allFilesDS.filter(_.deletionVector != null).collect().toSeq
+    val deleteSpecId = if (partCols.isEmpty) 0 else 1
+    val deleteFiles: Seq[(String, Long, Long)] = // (path, length, rowCount)
+      if (dvFiles.isEmpty) Nil
+      else {
+        val pathPairs = dvFiles.map { f =>
+          val abs = FileNames.absolutePathString(log.dataPath, f.path)
+          (abs.replaceFirst("^file:/+", "/"), abs)
+        }
+        val pathMap = spark.createDataset(pathPairs).toDF("fp", "abs")
+        val fieldMeta = (id: Long) => new MetadataBuilder()
+          .putLong("parquet.field.id", id).build()
+        val deletes = DeletionVectors.rowsDF(spark, log.dataPath, dvFiles).get
+          .join(broadcast(pathMap), "fp")
+          .select(
+            col("abs").as("file_path", fieldMeta(DeleteFilePathId)),
+            col("ri").as("pos", fieldMeta(DeletePosId)))
+          .repartitionByRange(math.max(1, math.min(dvFiles.size, 32)),
+            col("file_path"), col("pos"))
+          .sortWithinPartitions("file_path", "pos") // spec: sorted by (path, pos)
+        val committer = new DirectWriteCommitProtocol(
+          s"graft-posdel-${java.util.UUID.randomUUID}", dirStr)
+        org.apache.spark.sql.GraftShims.writeParquetDirect(
+          spark, deletes, dirStr, Nil, committer)
+        val rels = committer.addedFiles()
+        val delSchema = deletes.schema
+        spark.sparkContext
+          .parallelize(rels, math.max(1, math.min(rels.size, 32)))
+          .map { rel =>
+            val c = hconf.value
+            val p = new Path(new Path(dirStr), rel)
+            val st = p.getFileSystem(c).getFileStatus(p)
+            val rc = Stats.numRecords(
+              Stats.fromFooter(c, p, delSchema, Nil, 0)).getOrElse(0L)
+            (p.toString, st.getLen, rc)
+          }.collect().toSeq
+      }
+    // one deletes manifest referencing the delete files (driver-side:
+    // O(#delete files) = O(min(32, #DV'd files)) entries)
+    val deleteManifest: Option[(String, Long, Long, Long)] = // (path, len, files, rows)
+      if (deleteFiles.isEmpty) None
+      else {
+        val delEntrySchema = new org.apache.avro.Schema.Parser()
+          .parse(manifestEntrySchemaJson(partitionStructSchemaJson(Nil)))
+        val dfSchema = delEntrySchema.getField("data_file").schema()
+        val pSchema = dfSchema.getField("partition").schema()
+        val name = f"${java.util.UUID.randomUUID()}-d0.avro"
+        val out = new Path(dir, name)
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](delEntrySchema))
+        w.setMeta("schema", schemaJsonStr)
+        w.setMeta("schema-id", schemaId.toString)
+        w.setMeta("partition-spec", "[]")
+        w.setMeta("partition-spec-id", deleteSpecId.toString)
+        w.setMeta("format-version", "2")
+        w.setMeta("content", "deletes")
+        w.create(delEntrySchema, fs.create(out, true))
+        deleteFiles.foreach { case (p, len, rc) =>
+          val rec = new GenericData.Record(delEntrySchema)
+          rec.put("status", 1)
+          rec.put("snapshot_id", snapshotId)
+          val df = new GenericData.Record(dfSchema)
+          df.put("content", 1) // POSITION_DELETES
+          df.put("file_path", p)
+          df.put("file_format", "PARQUET")
+          df.put("partition", new GenericData.Record(pSchema))
+          df.put("record_count", rc)
+          df.put("file_size_in_bytes", len)
+          rec.put("data_file", df)
+          w.append(rec)
+        }
+        w.close()
+        Some((out.toString, fs.getFileStatus(out).getLen,
+          deleteFiles.size.toLong, deleteFiles.map(_._3).sum))
+      }
+
     // ---- manifest list (driver: O(#manifests) rows)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(dir)
     val listName = f"snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
     val listPath = new Path(dir, listName)
     val listSchema = new org.apache.avro.Schema.Parser().parse(manifestListSchemaJson)
     val lw = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](listSchema))
+    lw.setMeta("format-version", "2")
+    lw.setMeta("snapshot-id", snapshotId.toString)
+    lw.setMeta("sequence-number", seqNum.toString)
+    prev.foreach(p => lw.setMeta("parent-snapshot-id",
+      p.get("current-snapshot-id").asLong.toString))
     lw.create(listSchema, fs.create(listPath, true))
-    summaries.foreach { m =>
+    def listEntry(path: String, length: Long, content: Int, specId: Int,
+        nFiles: Long, nRows: Long): GenericRecord = {
       val rec = new GenericData.Record(listSchema)
-      rec.put("manifest_path", m.path)
-      rec.put("manifest_length", m.length)
-      rec.put("partition_spec_id", 0)
-      rec.put("content", 0)
+      rec.put("manifest_path", path)
+      rec.put("manifest_length", length)
+      rec.put("partition_spec_id", specId)
+      rec.put("content", content)
       rec.put("sequence_number", seqNum)
       rec.put("min_sequence_number", seqNum)
       rec.put("added_snapshot_id", snapshotId)
-      rec.put("added_files_count", m.fileCount.toInt)
+      rec.put("added_files_count", nFiles.toInt)
       rec.put("existing_files_count", 0)
       rec.put("deleted_files_count", 0)
-      rec.put("added_rows_count", m.rowCount)
+      rec.put("added_rows_count", nRows)
       rec.put("existing_rows_count", 0L)
       rec.put("deleted_rows_count", 0L)
+      rec
+    }
+    summaries.foreach { m =>
+      val rec = listEntry(m.path, m.length, 0, 0, m.fileCount, m.rowCount)
       // field_summary per identity-partition column: planning can skip
       // this whole manifest when a partition predicate falls outside
       // [lower, upper] — never opening it
@@ -526,19 +823,16 @@ object IcebergMetadata {
       }
       lw.append(rec)
     }
+    deleteManifest.foreach { case (p, len, nFiles, nRows) =>
+      lw.append(listEntry(p, len, 1, deleteSpecId, nFiles, nRows))
+    }
     lw.close()
 
     // ---- table metadata JSON (v2), accumulating the snapshot log of a
-    // previous generation when one exists
-    val hintPath = new Path(dir, "version-hint.text")
-    val prev: Option[com.fasterxml.jackson.databind.JsonNode] =
-      if (!fs.exists(hintPath)) None
-      else {
-        val prevN = new String(readAll(fs, hintPath), StandardCharsets.UTF_8).trim.toLong
-        val prevMeta = new Path(dir, s"v$prevN.metadata.json")
-        if (fs.exists(prevMeta)) Some(mapper.readTree(readAll(fs, prevMeta)))
-        else None
-      }
+    // previous generation when one exists, expiring entries past the
+    // retention window
+    val retainMs = retainMsOverride.getOrElse(
+      DeltaConfig.LogRetention.fromMetadata(md))
     val now = log.clock.nowMillis
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
@@ -546,20 +840,24 @@ object IcebergMetadata {
     root.put("location", dataRoot)
     root.put("last-sequence-number", seqNum)
     root.put("last-updated-ms", now)
-    root.put("last-column-id", lastColumnId)
-    root.put("current-schema-id", 0)
-    root.putArray("schemas").add(schemaJson)
+    root.put("last-column-id", math.max(lastColumnId, prevLastColumnId))
+    root.put("current-schema-id", schemaId)
+    val schemasArr = root.putArray("schemas")
+    prevSchemas.filter(_.get("schema-id").asInt != schemaId)
+      .foreach(schemasArr.add)
+    schemasArr.add(schemaJson)
     root.put("default-spec-id", 0)
     val specs = root.putArray("partition-specs")
     val spec = specs.addObject()
     spec.put("spec-id", 0)
-    val sfs = spec.putArray("fields")
-    partCols.zipWithIndex.foreach { case ((n, _, srcId), i) =>
-      val f = sfs.addObject()
-      f.put("name", n)
-      f.put("transform", "identity")
-      f.put("source-id", srcId)
-      f.put("field-id", 1000 + i)
+    spec.set[JsonNode]("fields", mapper.readTree(specFieldsJson))
+    if (partCols.nonEmpty) {
+      // the unpartitioned spec position-delete manifests are written
+      // under (declared unconditionally so carried-forward snapshots
+      // whose manifests reference it always resolve)
+      val delSpec = specs.addObject()
+      delSpec.put("spec-id", 1)
+      delSpec.putArray("fields")
     }
     root.put("last-partition-id", if (partCols.isEmpty) 999 else 999 + partCols.length)
     root.put("default-sort-order-id", 0)
@@ -577,10 +875,13 @@ object IcebergMetadata {
       mapper.writeValueAsString(nameMapping))
     root.put("current-snapshot-id", snapshotId)
     val snaps = root.putArray("snapshots")
-    // re-generating the SAME version (manual call + the post-commit
-    // hook) must replace its snapshot entry, not duplicate it
+    // carry forward prior snapshots, dropping (a) a same-id entry from a
+    // re-generation of this version and (b) entries past the retention
+    // window — the Iceberg analogue of Delta's expired-log cleanup
+    val cutoff = genStart - retainMs
     prev.foreach(_.get("snapshots").elements().asScala
-      .filter(_.get("snapshot-id").asLong != snapshotId)
+      .filter(s => s.get("snapshot-id").asLong != snapshotId &&
+        s.get("timestamp-ms").asLong >= cutoff)
       .foreach(snaps.add))
     val sn = snaps.addObject()
     sn.put("snapshot-id", snapshotId)
@@ -604,11 +905,13 @@ object IcebergMetadata {
     }
     sn.putObject("summary").put("operation", icebergOp)
     sn.put("manifest-list", listPath.toString)
-    sn.put("schema-id", 0)
+    sn.put("schema-id", schemaId)
+    val retainedIds = snaps.elements().asScala.map(_.get("snapshot-id").asLong).toSet
     val slog = root.putArray("snapshot-log")
     prev.foreach(p => Option(p.get("snapshot-log"))
       .foreach(_.elements().asScala
-        .filter(_.get("snapshot-id").asLong != snapshotId)
+        .filter(e => e.get("snapshot-id").asLong != snapshotId &&
+          retainedIds.contains(e.get("snapshot-id").asLong))
         .foreach(slog.add)))
     val sl = slog.addObject()
     sl.put("timestamp-ms", now)
@@ -626,9 +929,76 @@ object IcebergMetadata {
       if (!fs.exists(hintPath)) -1L
       else try new String(readAll(fs, hintPath), StandardCharsets.UTF_8).trim.toLong
       catch { case scala.util.control.NonFatal(_) => -1L }
-    if (n > existingHint)
+    if (n > existingHint) {
       writeAll(fs, hintPath, n.toString.getBytes(StandardCharsets.UTF_8))
+      // sweep metadata files no retained snapshot references — without
+      // this, every commit of a UniForm table leaks a full manifest set.
+      // Exact: the keep set is read FROM the retained snapshots
+      // (manifest lists -> manifests -> delete-file paths), so losing
+      // same-version regenerations and expired snapshots both clean up.
+      // Only the hint winner sweeps, and files stamped during/after this
+      // generation are spared (a racing newer generation's output).
+      try sweepUnreferenced(fs, dir, root, genStart)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"WARN graft: Iceberg metadata sweep failed: ${e.getMessage}")
+      }
+    }
     n
+  }
+
+  /** Delete metadata-dir files not referenced by any snapshot retained
+    * in `meta`: keeps each retained snapshot's manifest list, every
+    * manifest it names, every position-delete file a deletes manifest
+    * names, the retained `v<id>.metadata.json` files, and the hint.
+    * Driver cost is O(#manifests of retained snapshots) — bounded by
+    * the retention window. Files modified at/after `genStart` are
+    * spared (concurrent generation in flight).
+    */
+  private def sweepUnreferenced(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, meta: JsonNode, genStart: Long): Unit = {
+    val keep = scala.collection.mutable.Set[String]("version-hint.text")
+    meta.get("snapshots").elements().asScala.foreach { sn =>
+      keep += s"v${sn.get("snapshot-id").asLong}.metadata.json"
+      val mlPath = new Path(sn.get("manifest-list").asText)
+      keep += mlPath.getName
+      val entries =
+        try {
+          val r = DataFileReader.openReader(
+            new org.apache.avro.mapred.FsInput(mlPath, fs.getConf),
+            new GenericDatumReader[GenericRecord]())
+          try r.iterator().asScala.map(e =>
+            (e.get("manifest_path").toString,
+              e.get("content").asInstanceOf[Int])).toList
+          finally r.close()
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+      entries.foreach { case (mp, content) =>
+        val p = new Path(mp)
+        keep += p.getName
+        if (content == 1) {
+          // deletes manifest: its entries name position-delete parquet
+          // files that also live under metadata/
+          try {
+            val r = DataFileReader.openReader(
+              new org.apache.avro.mapred.FsInput(p, fs.getConf),
+              new GenericDatumReader[GenericRecord]())
+            try r.iterator().asScala.foreach { e =>
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              keep += new Path(df.get("file_path").toString).getName
+            } finally r.close()
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
+    }
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      // a ChecksumFileSystem's ".<name>.crc" sidecar lives and dies with
+      // its file — keep it exactly when the file itself is kept
+      val kept = keep.contains(name) ||
+        (name.startsWith(".") && name.endsWith(".crc") &&
+          keep.contains(name.stripPrefix(".").stripSuffix(".crc")))
+      if (st.isFile && !kept && st.getModificationTime < genStart)
+        fs.delete(st.getPath, false)
+    }
   }
 
   private def readAll(fs: org.apache.hadoop.fs.FileSystem, p: Path): Array[Byte] = {

@@ -500,6 +500,24 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
         throw new IllegalArgumentException(
           s"unknown universalFormat value(s) ${unknown.mkString(", ")} " +
             "(supported: iceberg)")
+      // enabling iceberg on a timestamp-bearing table that ALREADY holds
+      // files is refused: those files are INT96 (Spark's parquet
+      // default), which the Iceberg spec forbids, and generation could
+      // not tell. Enabled from before the first file, the write path
+      // stamps TIMESTAMP_MICROS on every data file instead — see
+      // DeltaTable.writeFiles.
+      val enablesIceberg =
+        DeltaConfig.UniversalFormats.fromMetadata(m).contains("iceberg") &&
+          !snapshot.metadataOpt.exists(old =>
+            DeltaConfig.UniversalFormats.fromMetadata(old).contains("iceberg"))
+      if (enablesIceberg && IcebergMetadata.hasTimestamp(m.schema) &&
+          !snapshot.allFilesDS.isEmpty)
+        throw new UnsupportedOperationException(
+          "cannot enable universalFormat=iceberg: the table already holds " +
+            "data files and its schema has timestamp columns — existing " +
+            "parquet timestamps are INT96 (Spark default), which the " +
+            "Iceberg spec forbids. Enable UniForm before the first write, " +
+            "or drop/rewrite the timestamp columns first")
     }
   }
 

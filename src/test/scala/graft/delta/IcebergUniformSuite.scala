@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -264,7 +264,7 @@ class IcebergUniformSuite extends AnyFunSuite {
     assert(current() == "replace", current())   // rewrite, same logical rows
   }
 
-  test("timestamp columns refuse generation (INT96 data vs Iceberg spec)") {
+  test("timestamp columns refuse ON-DEMAND generation (INT96 data vs Iceberg spec)") {
     import spark.implicits._
     val dir = tmp()
     val t = DeltaTable.forPath(spark, dir)
@@ -273,6 +273,56 @@ class IcebergUniformSuite extends AnyFunSuite {
       Seq((1L, new java.sql.Timestamp(0L))).toDF("id", "ts").schema.json))
     txn.commit(Nil, Op.CreateTable)
     val e = intercept[UnsupportedOperationException](t.generateIcebergMetadata())
+    assert(e.getMessage.contains("INT96"), e.getMessage)
+  }
+
+  test("UniForm timestamp tables generate: the write path stamps TIMESTAMP_MICROS") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    val schema = Seq((1L, new java.sql.Timestamp(0L))).toDF("id", "ts").schema
+    txn.updateMetadata(Metadata(schemaString = schema.json,
+      configuration = Map("delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn.commit(Nil, Op.CreateTable) // enablement BEFORE the first file: allowed
+    val tsConfBefore =
+      spark.conf.getAll.get("spark.sql.parquet.outputTimestampType")
+    t.write(Seq((1L, new java.sql.Timestamp(1000000L)),
+      (2L, new java.sql.Timestamp(2000000L))).toDF("id", "ts"))
+    // the session conf was restored to its prior EXPLICIT state (no
+    // leak; other suites may legitimately have set it), and the files
+    // are TIMESTAMP_MICROS: INT96 leaves NO usable footer min/max,
+    // micros does — the AddFile stats must carry ts bounds
+    assert(spark.conf.getAll.get("spark.sql.parquet.outputTimestampType")
+      == tsConfBefore)
+    val add = t.deltaLog.update().allFiles.head
+    assert(add.stats != null && add.stats.contains("\"ts\""), add.stats)
+    // generation runs (no INT96 refusal) and maps ts -> timestamptz
+    val hint = new String(Files.readAllBytes(
+      new java.io.File(dir, "metadata").toPath.resolve("version-hint.text"))).trim
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readAllBytes(
+      new java.io.File(dir, "metadata").toPath.resolve(s"v$hint.metadata.json")))
+    val tsField = meta.get("schemas").get(0).get("fields").elements().asScala
+      .find(_.get("name").asText == "ts").get
+    assert(tsField.get("type").asText == "timestamptz")
+  }
+
+  test("enabling iceberg on a timestamp table that already holds files refuses") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(schemaString =
+      Seq((1L, new java.sql.Timestamp(0L))).toDF("id", "ts").schema.json))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(Seq((1L, new java.sql.Timestamp(0L))).toDF("id", "ts")) // INT96 file
+    val txn2 = t.deltaLog.startTransaction()
+    val md = t.deltaLog.update().metadata
+    txn2.updateMetadata(md.copy(configuration = md.configuration +
+      ("delta.universalFormat.enabledFormats" -> "iceberg")))
+    val e = intercept[UnsupportedOperationException](
+      txn2.commit(Nil, Op.SetTableProperties))
     assert(e.getMessage.contains("INT96"), e.getMessage)
   }
 
@@ -286,20 +336,279 @@ class IcebergUniformSuite extends AnyFunSuite {
     assert(e.getMessage.contains("unknown universalFormat"), e.getMessage)
   }
 
-  test("deletion vectors refuse Iceberg generation loudly") {
+  // --- shared helpers for the v2-era specs -------------------------------
+
+  private def currentMeta(dir: String): com.fasterxml.jackson.databind.JsonNode = {
+    val metaDir = new java.io.File(dir, "metadata")
+    val hint = new String(Files.readAllBytes(
+      metaDir.toPath.resolve("version-hint.text"))).trim
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readAllBytes(metaDir.toPath.resolve(s"v$hint.metadata.json")))
+  }
+
+  private def currentManifests(meta: com.fasterxml.jackson.databind.JsonNode):
+      Seq[GenericRecord] = {
+    val curId = meta.get("current-snapshot-id").asLong
+    avroRecords(meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == curId).get
+      .get("manifest-list").asText)
+  }
+
+  test("deletion vectors become Iceberg v2 position-delete files") {
     val dir = tmp()
     val t = DeltaTable.forPath(spark, dir)
     val txn = t.deltaLog.startTransaction()
     txn.updateMetadata(Metadata(
       schemaString = df((0L, "x", "p")).schema.json,
-      configuration = Map("delta.enableDeletionVectors" -> "true")))
+      partitionColumns = Seq("part"),
+      configuration = Map(
+        "delta.enableDeletionVectors" -> "true",
+        "delta.universalFormat.enabledFormats" -> "iceberg")))
     txn.commit(Nil, Op.CreateTable)
-    t.write(df((1L, "a", "x"), (2L, "b", "y")))
+    t.write(df((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")),
+      partitionBy = Seq("part"))
     t.delete(col("id") === 1L) // merge-on-read: DV masks the row
-    val e = intercept[Exception](t.generateIcebergMetadata())
-    val msg = Option(e.getMessage).getOrElse("") +
-      Option(e.getCause).map(_.getMessage).getOrElse("")
-    assert(msg.contains("deletion vectors"), e.toString)
+    val snap = t.deltaLog.update()
+    assert(snap.allFiles.exists(_.deletionVector != null), "fixture must use a DV")
+
+    val meta = currentMeta(dir)
+    val manifests = currentManifests(meta)
+    val (delManifests, dataManifests) = manifests.partition(
+      _.get("content").asInstanceOf[Int] == 1)
+    assert(delManifests.size == 1, s"expected one deletes manifest: $manifests")
+    // deletes manifest is under the UNPARTITIONED spec (id 1 here), so
+    // its files apply to matching data files in every partition
+    assert(delManifests.head.get("partition_spec_id").asInstanceOf[Int] == 1)
+    assert(meta.get("partition-specs").size == 2)
+    assert(meta.get("partition-specs").get(1).get("fields").size == 0)
+
+    // the position-delete parquet rows are exactly the DV'd (path, pos)
+    val delEntries = avroRecords(delManifests.head.get("manifest_path").toString)
+    assert(delEntries.forall(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("content").asInstanceOf[Int] == 1))
+    val delFiles = delEntries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("file_path").toString)
+    val posRows = spark.read.parquet(delFiles: _*)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val dvd = snap.allFiles.filter(_.deletionVector != null)
+    assert(dvd.map(_.deletionVector.cardinality).sum == posRows.size)
+    // every delete row's file_path byte-matches a data manifest entry
+    val dataPaths = dataManifests.flatMap(m =>
+      avroRecords(m.get("manifest_path").toString)).map(
+      _.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString).toSet
+    assert(posRows.map(_._1).subsetOf(dataPaths),
+      s"${posRows.map(_._1)} vs $dataPaths")
+    // data record_count stays PHYSICAL (deletes subtract at read time):
+    // total physical - deletes = logical count
+    val physical = dataManifests.flatMap(m =>
+      avroRecords(m.get("manifest_path").toString)).map(
+      _.get("data_file").asInstanceOf[GenericRecord]
+        .get("record_count").asInstanceOf[Long]).sum
+    assert(physical - posRows.size == t.toDF.count(),
+      s"$physical - ${posRows.size} vs ${t.toDF.count()}")
+    // record counts in the deletes manifest match the parquet
+    assert(delEntries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("record_count").asInstanceOf[Long]).sum == posRows.size)
+  }
+
+  test("manifests and manifest lists carry the spec's key-value file metadata") {
+    val dir = tmp()
+    val t = mkUniform(dir)
+    t.write(df((1L, "a", "x"), (2L, "b", "y")), partitionBy = Seq("part"))
+    val meta = currentMeta(dir)
+    val curId = meta.get("current-snapshot-id").asLong
+    val listPath = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == curId).get
+      .get("manifest-list").asText
+    def metaOf(path: String): Map[String, String] = {
+      val r = new DataFileReader(localFile(path),
+        new GenericDatumReader[GenericRecord]())
+      try {
+        val keys = Seq("schema", "schema-id", "partition-spec",
+          "partition-spec-id", "format-version", "content",
+          "snapshot-id", "sequence-number")
+        keys.flatMap(k => Option(r.getMetaString(k)).map(k -> _)).toMap
+      } finally r.close()
+    }
+    val lm = metaOf(listPath)
+    assert(lm("format-version") == "2")
+    assert(lm("snapshot-id") == curId.toString)
+    assert(lm("sequence-number").nonEmpty)
+    val manifests = avroRecords(listPath)
+    manifests.foreach { m =>
+      val mm = metaOf(m.get("manifest_path").toString)
+      assert(mm("format-version") == "2")
+      assert(mm("content") == "data")
+      assert(mm("partition-spec-id") == "0")
+      assert(mm("schema-id") == meta.get("current-schema-id").asInt.toString)
+      // the embedded schema is the real Iceberg schema JSON
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val s = mapper.readTree(mm("schema"))
+      assert(s.get("type").asText == "struct")
+      assert(mapper.readTree(mm("partition-spec")).isArray)
+    }
+  }
+
+  test("schema evolution: stable field ids, retained prior schemas, per-snapshot schema-id") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = mkUniform(dir)
+    t.write(df((1L, "a", "x")), partitionBy = Seq("part")) // v1: schema (id,v,part)
+    val meta1 = currentMeta(dir)
+    val ids1 = meta1.get("schemas").get(0).get("fields").elements().asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    // v2: mergeSchema append adds a column — ids of existing fields must
+    // NOT move, the new column draws a fresh id above last-column-id
+    t.write(Seq((4L, "d", "x", 1.5)).toDF("id", "v", "part", "score"),
+      mergeSchema = true)
+    val meta2 = currentMeta(dir)
+    assert(meta2.get("schemas").size == 2, meta2.get("schemas").toString)
+    val curSchema = meta2.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt == meta2.get("current-schema-id").asInt).get
+    val ids2 = curSchema.get("fields").elements().asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    ids1.foreach { case (n, id) => assert(ids2(n) == id, s"$n moved: $ids1 -> $ids2") }
+    assert(ids2("score") > ids1.values.max, ids2.toString)
+    assert(meta2.get("current-schema-id").asInt != 0)
+    // prior snapshots keep their ORIGINAL schema-id; the new one carries
+    // the evolved schema's id — time travel resolves against the right ids
+    val snapSchemas = meta2.get("snapshots").elements().asScala
+      .map(s => s.get("snapshot-id").asLong -> s.get("schema-id").asInt).toMap
+    val curId = meta2.get("current-snapshot-id").asLong
+    assert(snapSchemas(curId) == meta2.get("current-schema-id").asInt)
+    assert(snapSchemas.filter(_._1 != curId).values.forall(_ == 0), snapSchemas.toString)
+  }
+
+  test("snapshot retention expires old snapshots and sweeps their metadata files") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = df((0L, "x", "p")).schema.json,
+      partitionColumns = Seq("part"),
+      configuration = Map(
+        "delta.universalFormat.enabledFormats" -> "iceberg",
+        "delta.logRetentionDuration" -> "interval 0 milliseconds")))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(df((1L, "a", "x")), partitionBy = Seq("part")); Thread.sleep(5)
+    t.write(df((2L, "b", "y")), partitionBy = Seq("part")); Thread.sleep(5)
+    t.write(df((3L, "c", "z")), partitionBy = Seq("part"))
+    val meta = currentMeta(dir)
+    // retention 0: only the current snapshot survives each generation
+    assert(meta.get("snapshots").size == 1, meta.get("snapshots").toString)
+    assert(meta.get("snapshot-log").size == 1)
+    // and the sweep leaves exactly the retained snapshot's files: its
+    // manifest list + manifests, the current metadata json, the hint
+    val metaDir = new java.io.File(dir, "metadata")
+    // ignore the local FS's ".<name>.crc" checksum sidecars
+    val names = metaDir.list().filterNot(_.startsWith(".")).toSet
+    val curId = meta.get("current-snapshot-id").asLong
+    val listPath = meta.get("snapshots").get(0).get("manifest-list").asText
+    val expected = avroRecords(listPath)
+      .map(m => new java.io.File(m.get("manifest_path").toString).getName).toSet ++
+      Set(new java.io.File(listPath).getName, s"v$curId.metadata.json",
+        "version-hint.text")
+    assert(names == expected, s"swept dir holds $names, expected $expected")
+    // every file the retained snapshot references still exists
+    expected.foreach(n => assert(new java.io.File(metaDir, n).exists(), n))
+  }
+
+  test("VACUUM expires non-current Iceberg snapshots and spares metadata/") {
+    val dir = tmp()
+    val t = mkUniform(dir)
+    t.write(df((1L, "a", "x"), (2L, "b", "y")), partitionBy = Seq("part"))
+    // overwrite strands v1's files; vacuum(0) deletes them
+    t.write(df((3L, "c", "x")), SaveMode.Overwrite, Seq("part"))
+    val before = currentMeta(dir)
+    assert(before.get("snapshots").size == 3) // v0 create, v1, v2
+    val r = t.vacuum(retentionMillis = Some(0L))
+    assert(r.deletedCount > 0, "vacuum must delete the overwritten files")
+    // Iceberg history shrank with Delta history: only the current snapshot
+    val after = currentMeta(dir)
+    assert(after.get("snapshots").size == 1, after.get("snapshots").toString)
+    // the current snapshot's manifests and data files all survive
+    val manifests = currentManifests(after)
+    manifests.foreach { m =>
+      avroRecords(m.get("manifest_path").toString).foreach { e =>
+        val p = e.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString
+        assert(localFile(p).exists(), s"vacuum destroyed $p")
+      }
+    }
+    // and the table still reads correctly through the Delta log
+    assert(t.toDF.count() == 1)
+  }
+
+  test("string column bounds are truncated to 16 bytes and still bracket the data") {
+    val dir = tmp()
+    val t = mkUniform(dir)
+    val longA = "a" * 100 + "start"
+    val longZ = "z" * 100 + "end"
+    t.write(df((1L, longA, "x"), (2L, longZ, "x")), partitionBy = Seq("part"))
+    val meta = currentMeta(dir)
+    val vFieldId = meta.get("schemas").get(0).get("fields").elements().asScala
+      .find(_.get("name").asText == "v").get.get("id").asInt
+    val entries = currentManifests(meta).flatMap(m =>
+      avroRecords(m.get("manifest_path").toString))
+    def mapOf(d: GenericRecord, field: String): Map[Int, Any] = {
+      val arr = d.get(field).asInstanceOf[java.util.Collection[GenericRecord]]
+      arr.iterator().asScala.map(r =>
+        r.get("key").asInstanceOf[Int] -> r.get("value")).toMap
+    }
+    def bytes(b: Any): Array[Byte] = {
+      val bb = b.asInstanceOf[java.nio.ByteBuffer].duplicate()
+      val a = new Array[Byte](bb.remaining()); bb.get(a); a
+    }
+    val los = entries.map { e =>
+      val d = e.get("data_file").asInstanceOf[GenericRecord]
+      val lo = bytes(mapOf(d, "lower_bounds")(vFieldId))
+      assert(lo.length <= 16, s"lower bound ${lo.length} bytes")
+      new String(lo, "UTF-8")
+    }
+    val his = entries.map { e =>
+      val d = e.get("data_file").asInstanceOf[GenericRecord]
+      val hi = bytes(mapOf(d, "upper_bounds")(vFieldId))
+      // upper may grow by a codepoint's width on increment, never unbounded
+      assert(hi.length <= 20, s"upper bound ${hi.length} bytes")
+      new String(hi, "UTF-8")
+    }
+    // bounds are per FILE; across all files they must bracket the data
+    assert(los.min <= longA, s"'${los.min}' !<= '$longA'")
+    assert(his.max >= longZ, s"'${his.max}' !>= '$longZ'")
+  }
+
+  test("manifests cluster by the FULL partition tuple (2-col disjointness)") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val data = Seq(
+      (1L, "x", 1), (2L, "x", 2), (3L, "y", 1), (4L, "y", 2))
+      .toDF("id", "p1", "p2")
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = data.schema.json,
+      partitionColumns = Seq("p1", "p2"),
+      configuration = Map(
+        "delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(data, partitionBy = Seq("p1", "p2"))
+    val manifests = currentManifests(currentMeta(dir))
+    val perManifest = manifests.map(m =>
+      avroRecords(m.get("manifest_path").toString).map { e =>
+        val p = e.get("data_file").asInstanceOf[GenericRecord]
+          .get("partition").asInstanceOf[GenericRecord]
+        (p.get("p1").toString, p.get("p2").asInstanceOf[Int])
+      }.toSet)
+    if (manifests.size > 1) {
+      val all = perManifest.flatten
+      assert(all.size == perManifest.map(_.size).sum,
+        s"a partition TUPLE spans manifests: $perManifest")
+    }
+    // field summaries exist for BOTH partition columns
+    manifests.foreach { m =>
+      assert(m.get("partitions")
+        .asInstanceOf[java.util.Collection[GenericRecord]].size == 2)
+    }
   }
 
   test("column-mapped tables export the MAPPING field ids") {
