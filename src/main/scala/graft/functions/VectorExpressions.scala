@@ -214,35 +214,41 @@ object CharPairVector {
 /** Adjacent-pair counts AFTER a merge chain — the per-round statistic of
   * ITERATIVE BPE training (Sennrich et al. 2016: recount after every
   * merge, because a merge changes the pair distribution — 'abab' counts
-  * 'AA' only once 'ab'→'A' has been applied). Tokenizes lower(text) on
+  * 'ÀÀ' only once 'ab'→'À' has been applied). Tokenizes lower(text) on
   * the base [a-z0-9] alphabet, applies `merges` sequentially inside the
-  * expression (merge i rewrites to chr(65+i) — the same all-occurrences
-  * left-to-right `replace` Spark SQL and DuckDB share), then counts
-  * adjacent pairs over the GROWN 52-symbol alphabet [a-z0-9A-P] as one
-  * 2704-long vector per row — map-only; one [[LongVectorSumAgg]] pass
-  * reduces the corpus per training round.
+  * expression (merge i rewrites to chr(0xC0+i) — the same
+  * all-occurrences left-to-right `replace` Spark SQL and DuckDB share),
+  * then counts adjacent pairs over the GROWN (36+K)-symbol alphabet as
+  * one (36+K)²-long vector per row — map-only; one [[LongVectorSumAgg]]
+  * pass reduces the corpus per training round. The alphabet is SIZED BY
+  * the merge chain, so training is bounded by the 64-symbol merge block
+  * (0xC0..0xFF), not a hardcoded 16.
   */
 case class BpePairVector(child: Expression, merges: Seq[String])
     extends UnaryExpression with CodegenFallback {
+  require(merges.length <= BpePairVector.MaxK,
+    s"BpePairVector supports at most ${BpePairVector.MaxK} merges, " +
+      s"got ${merges.length} (the 0xC0..0xFF merge-symbol block is full)")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {
+    val alphabet = BpePairVector.alphabetFor(merges.length)
     val toks = TextExpressions.tokenize(
       input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
         .toLowerCase.toString)
-    val counts = new Array[Long](BpePairVector.Cells)
+    val counts = new Array[Long](alphabet * alphabet)
     var t = 0
     while (t < toks.length) {
       var w = toks(t)
       var m = 0
       while (m < merges.length) {
-        w = w.replace(merges(m), ('A' + m).toChar.toString)
+        w = w.replace(merges(m), BpePairVector.mergeSymbol(m).toString)
         m += 1
       }
       var i = 0
       while (i + 1 < w.length) {
-        val a = BpePairVector.sym(w.charAt(i))
-        val b = BpePairVector.sym(w.charAt(i + 1))
-        counts(a * BpePairVector.Alphabet + b) += 1
+        val a = BpePairVector.sym(w.charAt(i), merges.length)
+        val b = BpePairVector.sym(w.charAt(i + 1), merges.length)
+        counts(a * alphabet + b) += 1
         i += 1
       }
       t += 1
@@ -254,18 +260,35 @@ case class BpePairVector(child: Expression, merges: Seq[String])
 }
 
 object BpePairVector {
-  /** a-z -> 0..25, 0-9 -> 26..35, merge symbols A-P -> 36..51. */
-  val Alphabet = 52
-  val Cells: Int = Alphabet * Alphabet
-  def sym(c: Char): Int =
-    if (c >= 'a') c - 'a'
-    else if (c <= '9') 26 + (c - '0')
-    else 36 + (c - 'A')
-  def pairOf(k: Int): String = {
+  /** a-z -> 0..25, 0-9 -> 26..35, merge symbol i -> 36+i. Merge symbols
+    * are the contiguous 64-char block 0xC0..0xFF ('À'..'ÿ'): single
+    * UTF-16 chars disjoint from the [a-z0-9] word alphabet, identical
+    * `replace`/`length` semantics in Spark SQL and DuckDB (chr(192+i)).
+    */
+  val Base = 36
+  val SymbolBase = 0xc0
+  val MaxK = 64
+  def mergeSymbol(i: Int): Char = (SymbolBase + i).toChar
+  def alphabetFor(nMerges: Int): Int = Base + nMerges
+  def cellsFor(nMerges: Int): Int = {
+    val a = alphabetFor(nMerges); a * a
+  }
+  def sym(c: Char, nMerges: Int): Int =
+    if (c >= 'a' && c <= 'z') c - 'a'
+    else if (c >= '0' && c <= '9') 26 + (c - '0')
+    else {
+      val i = c - SymbolBase
+      require(i >= 0 && i < nMerges,
+        s"char '$c' (U+${c.toInt.toHexString}) outside the BPE alphabet " +
+          s"of $nMerges merges")
+      Base + i
+    }
+  def pairOf(k: Int, nMerges: Int): String = {
     def ch(s: Int): Char =
       if (s < 26) ('a' + s).toChar
-      else if (s < 36) ('0' + (s - 26)).toChar
-      else ('A' + (s - 36)).toChar
-    "" + ch(k / Alphabet) + ch(k % Alphabet)
+      else if (s < Base) ('0' + (s - 26)).toChar
+      else mergeSymbol(s - Base)
+    val a = alphabetFor(nMerges)
+    "" + ch(k / a) + ch(k % a)
   }
 }

@@ -15,6 +15,13 @@ import QueryDefs._
   */
 object Corpus {
 
+  /** Rounds the bpe_encode oracle trains: past the old 16-merge cap to
+    * pin the grown-alphabet regime, small enough that the unrolled
+    * DuckDB replay (one count+rewrite CTE pair per round) stays cheap.
+    * Declared BEFORE `queries` — the GQ list captures it at object init.
+    */
+  private[llm] val BpeEncodeK = 24
+
   /** Word 5-gram shingles of a token array (caller filters size >= 5). */
   private def grams5(t: org.apache.spark.sql.Column) =
     array_distinct(transform(sequence(lit(1), size(t) - 4), i =>
@@ -908,19 +915,19 @@ object Corpus {
 
     // C64 ---------------------------------------------------------------
     // BPE ENCODE — the TRUE iterative tokenizer-training loop (Sennrich
-    // et al. 2016): K = 16 rounds of count → pick THE top pair → merge →
+    // et al. 2016): K = 24 rounds of count → pick THE top pair → merge →
     // RECOUNT, because each merge changes the pair distribution (after
     // 'ab'→'A', the corpus 'ababab' offers 'AA' — a pair round-1 counts
-    // never saw; a single-pass top-16 gets this wrong, pinned by
+    // never saw; a single-pass top-K gets this wrong, pinned by
     // BpeTrainingSuite). Merges never cross word boundaries; the
-    // replacement symbols 'A'..'P' grow the alphabet to 52, and later
+    // replacement symbols chr(0xC0+r) grow the alphabet to 36+K, and later
     // merges may contain earlier symbols. Each training round is ONE
-    // map-only [[BpePairVector]] pass + a 2704-cell LongVectorSumAgg —
+    // map-only [[BpePairVector]] pass + a (36+r)²-cell LongVectorSumAgg —
     // the merge table stays an O(K) driver MODEL ARTIFACT, never
     // corpus-sized. Encoding applies the merges SEQUENTIALLY, each as
     // one non-overlapping left-to-right `replace(word, pair, symbol)` —
     // the exact greedy semantics both Spark's and DuckDB's `replace`
-    // share, so the oracle replays BOTH the training rounds (16 unrolled
+    // share, so the oracle replays BOTH the training rounds (K unrolled
     // count/argmax/rewrite CTE pairs) and the encode (recursive CTE, one
     // step per merge rank) verbatim. The encode itself stays pure
     // per-row string expressions (one codegen'd projection; no shuffle,
@@ -928,16 +935,19 @@ object Corpus {
     // `aggregate(transform(words, chain), ...)`).
     GQ("bpe_encode", (s, d) => {
       import s.implicits._
-      // learn: 16 iterative rounds over the (cached) corpus; each round
+      // learn: K iterative rounds over the (cached) corpus; each round
       // picks the top pair by (count desc, pair asc) — ties broken
-      // identically in the oracle's ORDER BY n DESC, pair LIMIT 1
+      // identically in the oracle's ORDER BY n DESC, pair LIMIT 1.
+      // K = 24 exercises the past-16-merges regime (r17: the merge
+      // alphabet is the 64-char 0xC0..0xFF block, no 16-cap)
       val docs = table(s, d, "documents").select($"doc_id", $"text").persist()
-      val merges: Seq[String] = Corpus.bpeLearn(docs, 16)
-      // apply: merge r rewrites its pair to symbol chr(65+r) ('A'..'P',
-      // disjoint from the [a-z0-9] word alphabet)
+      val merges: Seq[String] = Corpus.bpeLearn(docs, Corpus.BpeEncodeK)
+      // apply: merge r rewrites its pair to symbol chr(0xC0+r)
+      // ('À'..., disjoint from the [a-z0-9] word alphabet)
       def chain(w: org.apache.spark.sql.Column) =
         merges.zipWithIndex.foldLeft(w) { case (c, (p, i)) =>
-          call_function("replace", c, lit(p), lit(('A' + i).toChar.toString))
+          call_function("replace", c, lit(p),
+            lit(graft.functions.BpePairVector.mergeSymbol(i).toString))
         }
       val words = regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))
       val res = docs
@@ -953,20 +963,20 @@ object Corpus {
       docs.unpersist()
       res
     }, {
-      // the oracle replays the SAME 16 iterative rounds, unrolled:
+      // the oracle replays the SAME K iterative rounds, unrolled:
       // m<r> = the top pair of corpus state w<r>; w<r+1> = w<r> with
-      // that pair merged to chr(65+r). Every w<r> is referenced twice
+      // that pair merged to chr(192+r). Every w<r> is referenced twice
       // (its count and its rewrite) — MATERIALIZED keeps the chain
       // linear; inlining would expand it exponentially
-      val learnCtes = (0 until 16).map { r =>
-        val sym = ('A' + r).toChar
+      val learnCtes = (0 until Corpus.BpeEncodeK).map { r =>
+        val sym = graft.functions.BpePairVector.mergeSymbol(r)
         s"""m$r AS MATERIALIZED (SELECT pair FROM (
             SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, COUNT(*) AS n
             FROM (SELECT w, unnest(range(1, length(w))) AS i FROM w$r)
             GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)),
       w${r + 1} AS MATERIALIZED (SELECT replace(w, COALESCE((SELECT pair FROM m$r), chr(1)), '$sym') AS w FROM w$r)"""
       }.mkString(",\n      ")
-      val mergeTable = (0 until 16)
+      val mergeTable = (0 until Corpus.BpeEncodeK)
         .map(r => s"SELECT $r AS r, pair FROM m$r").mkString(" UNION ALL ")
       Some(s"""
       WITH w0 AS MATERIALIZED (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
@@ -980,7 +990,7 @@ object Corpus {
         WITH RECURSIVE e AS (
           SELECT doc_id, w, length(w) AS c0, 0 AS r FROM dw
           UNION ALL
-          SELECT e.doc_id, replace(e.w, m.pair, chr(65 + e.r)), e.c0, e.r + 1
+          SELECT e.doc_id, replace(e.w, m.pair, chr(192 + e.r)), e.c0, e.r + 1
           FROM e JOIN m ON m.r = e.r)
         SELECT doc_id, c0, length(w) AS ct FROM e
         WHERE r = (SELECT k FROM nm)),
@@ -1000,30 +1010,36 @@ object Corpus {
 
   /** Iterative BPE training (the C64 learn loop): K rounds of recount →
     * take THE top pair → merge, each round one [[graft.functions
-    * .BpePairVector]] map pass over `docs` reduced by a 2704-cell
+    * .BpePairVector]] map pass over `docs` reduced by a (36+r)²-cell
     * LongVectorSumAgg — the merge table is an O(K) driver model
     * artifact; the corpus is never collected. Stops early if the corpus
     * runs out of pairs.
     */
   private[llm] def bpeLearn(docs: org.apache.spark.sql.DataFrame, k: Int): Seq[String] = {
-    // 16 merge symbols 'A'..'P' exist; a 17th round's words could carry
-    // 'Q', which the 52-symbol pair vector cannot index
-    require(k <= 16, s"bpeLearn supports at most 16 merges, got $k")
+    // the merge-symbol alphabet is the contiguous 0xC0..0xFF block — 64
+    // single chars with identical replace semantics in Spark and DuckDB
+    require(k <= graft.functions.BpePairVector.MaxK,
+      s"bpeLearn supports at most ${graft.functions.BpePairVector.MaxK} " +
+        s"merges, got $k")
     val s = docs.sparkSession
     import s.implicits._
     var merges = Vector.empty[String]
     var r = 0
     var exhausted = false
     while (r < k && !exhausted) {
+      // the pair vector GROWS with the merge chain: round r counts over
+      // the (36+r)-symbol alphabet, so merged-symbol pairs stay indexable
+      // at any K up to the block size
       val pv = org.apache.spark.sql.GraftShims.column(
         graft.functions.BpePairVector(
           org.apache.spark.sql.GraftShims.expression(col("text")), merges))
+      val nm = merges.length
       val top = docs.select(pv.as("pv"))
         .agg(graft.functions.LongVectorSumAgg($"pv",
-          graft.functions.BpePairVector.Cells).as("v"))
+          graft.functions.BpePairVector.cellsFor(nm)).as("v"))
         .select(posexplode($"v").as(Seq("k", "n")))
         .filter($"n" > 0).select($"k", $"n").collect()
-        .map(row => (graft.functions.BpePairVector.pairOf(row.getInt(0)),
+        .map(row => (graft.functions.BpePairVector.pairOf(row.getInt(0), nm),
           row.getLong(1)))
         .sortBy { case (p, n) => (-n, p) }.headOption
       top match {

@@ -3,10 +3,13 @@ package graft.llm
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.functions.BpePairVector
+
 /** Iterative BPE training (C64's learn loop): each round RECOUNTS pairs
   * after the merges so far — the property a single-pass top-K cannot
   * have, because a merge changes the pair distribution and creates
-  * pairs (with merged symbols) round 1 never saw.
+  * pairs (with merged symbols) round 1 never saw. Merge symbols are the
+  * 64-char 0xC0..0xFF block ('À'...), so K is no longer capped at 16.
   */
 class BpeTrainingSuite extends AnyFunSuite {
 
@@ -17,26 +20,29 @@ class BpeTrainingSuite extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  private val S0 = BpePairVector.mergeSymbol(0) // 'À'
+  private val S1 = BpePairVector.mergeSymbol(1) // 'Á'
+
   test("round-2 counts differ from round-1: merges include merged-symbol pairs") {
     import spark.implicits._
     // 'ababab': round 1 counts ab:3, ba:2 per word — a single-pass top-3
-    // would stop at {ab, ba}. Iterative training merges ab→A, then the
-    // REWRITTEN corpus 'AAA' offers AA (unseen in round 1), then 'BA'.
+    // would stop at {ab, ba}. Iterative training merges ab→À, then the
+    // REWRITTEN corpus 'ÀÀÀ' offers ÀÀ (unseen in round 1), then 'ÁÀ'.
     val docs = Seq((0L, "ababab ababab"), (1L, "ababab")).toDF("doc_id", "text")
     val merges = Corpus.bpeLearn(docs, 3)
-    assert(merges == Seq("ab", "AA", "BA"), merges.toString)
-    // the single-pass statistic over round-1 counts cannot produce AA
+    assert(merges == Seq("ab", s"$S0$S0", s"$S1$S0"), merges.toString)
+    // the single-pass statistic over round-1 counts cannot produce ÀÀ
     assert(!Seq("ab", "ba").contains(merges(1)),
       "second merge must come from the RECOUNTED corpus, not round-1 counts")
   }
 
   test("training stops when the corpus runs out of pairs") {
     import spark.implicits._
-    // after ab→A, AA→B, BA→C every word is the single symbol 'C' —
+    // after ab→À, ÀÀ→Á, ÁÀ→Â every word is the single symbol 'Â' —
     // round 4 has zero pairs and the loop must stop, not loop to k
     val docs = Seq((0L, "ababab")).toDF("doc_id", "text")
     val merges = Corpus.bpeLearn(docs, 10)
-    assert(merges == Seq("ab", "AA", "BA"), merges.toString)
+    assert(merges == Seq("ab", s"$S0$S0", s"$S1$S0"), merges.toString)
   }
 
   test("greedy replace chain encodes to the expected token counts") {
@@ -44,11 +50,41 @@ class BpeTrainingSuite extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val docs = Seq((0L, "ababab ababab")).toDF("doc_id", "text")
     val merges = Corpus.bpeLearn(docs, 3)
-    // apply the same chain the query uses: each word collapses to 'C'
+    // apply the same chain the query uses: each word collapses to 'Â'
     val chained = merges.zipWithIndex.foldLeft(lower(col("text"))) {
-      case (c, (p, i)) => call_function("replace", c, lit(p), lit(('A' + i).toChar.toString))
+      case (c, (p, i)) =>
+        call_function("replace", c, lit(p),
+          lit(BpePairVector.mergeSymbol(i).toString))
     }
     val out = docs.select(chained.as("t")).collect().head.getString(0)
-    assert(out == "C C", out)
+    assert(out == s"${BpePairVector.mergeSymbol(2)} ${BpePairVector.mergeSymbol(2)}", out)
+  }
+
+  test("k=64: training runs the full merge block, pairing merged symbols") {
+    import spark.implicits._
+    // ten words, each a distinct base pair repeated 64 times: collapsing
+    // one such word costs ~7 merges (pair→À, then the ÀÀ / ÁÁ / …
+    // halving chain), so the corpus offers ~70 productive merges — rounds
+    // past 36 can only pair symbols that already contain merges
+    val basePairs = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr", "st")
+    val docs = basePairs.zipWithIndex
+      .map { case (p, i) => (i.toLong, p * 64) }
+      .toDF("doc_id", "text")
+    val merges = Corpus.bpeLearn(docs, 64)
+    assert(merges.length == 64, s"got ${merges.length} merges")
+    assert(merges.distinct.length == 64, "merges must be distinct")
+    assert(merges.exists(_.exists(_ >= BpePairVector.mergeSymbol(0))),
+      "later merges must pair merged symbols (the grown alphabet)")
+    // merges 16+ exist and index the pair vector without overflow — the
+    // exact regime the old 16-cap (and the unguarded 52-cell vector)
+    // could not reach
+    assert(merges.drop(16).nonEmpty)
+  }
+
+  test("BpePairVector refuses a merge chain past the symbol block") {
+    val over = (0 to 64).map(i => s"x$i")
+    val e = intercept[IllegalArgumentException](
+      BpePairVector(org.apache.spark.sql.catalyst.expressions.Literal("x"), over))
+    assert(e.getMessage.contains("at most 64"), e.getMessage)
   }
 }
