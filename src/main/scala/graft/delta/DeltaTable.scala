@@ -414,7 +414,14 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       data.schema.fields.foreach { f =>
         existingByType.get(f.name).foreach { dt =>
           if (dt != f.dataType) {
-            if (TypeWidening.canWiden(f.dataType, dt))
+            if (Snapshot.nullable(dt) == Snapshot.nullable(f.dataType) &&
+                dt == Snapshot.nullable(dt))
+              // same type modulo nested nullability with the TABLE side
+              // fully relaxed (the shape create-from-DataFrame produces):
+              // stricter incoming data is a value subset — align the
+              // metadata with a lossless cast instead of refusing
+              fixed = fixed.withColumn(f.name, col(f.name).cast(dt))
+            else if (TypeWidening.canWiden(f.dataType, dt))
               fixed = fixed.withColumn(f.name, col(f.name).cast(dt))
             else if (TypeWidening.canWiden(dt, f.dataType) && wideningOn && mergeSchema)
               widened = org.apache.spark.sql.types.StructType(widened.fields.map { wf =>

@@ -189,6 +189,74 @@ object Similarity {
     }
   }
 
+  // --- MAINTAINED IVF index (r17) ---------------------------------------
+  // The amortized form of ann_ivf_trained's per-query build: buildIndex
+  // trains the coarse quantizer ONCE and persists BOTH artifacts —
+  // <dir>/centroids (the model, a graft-Delta table) and <dir>/cells
+  // (the corpus PARTITIONED BY cell). admitBatch grows the index
+  // incrementally: new vectors are assigned against the STORED centroids
+  // (broadcast model, one map pass + one clustering shuffle) and
+  // APPENDED into their Hive cell partitions — no retraining, no rewrite
+  // of resident cells, and a probe over the union stays file-pruned
+  // because admissions land inside the same partition directories.
+  // Vectors contract: (vec_id long, e array<double> of Dim, nrm double).
+
+  /** Train on `vectors` and materialize the index artifacts at `dir`. */
+  def buildIndex(s: SparkSession, vectors: DataFrame, dir: String): Unit = {
+    import s.implicits._
+    val cents = trainLloyd2(s, vectors)
+    graft.delta.DeltaTable.forPath(s, s"$dir/centroids")
+      .write(cents.toDF("cell", "c"))
+    admitBatch(s, vectors, dir)
+  }
+
+  /** Admit a new vector batch into an existing index: assignment against
+    * the stored centroids, appended into the cell partitions.
+    */
+  def admitBatch(s: SparkSession, vectors: DataFrame, dir: String): Unit = {
+    import s.implicits._
+    val cents = storedCentroids(s, dir)
+    val assigned = vectors.crossJoin(broadcast(cents))
+      .withColumn("d2", $"cc" - lit(2.0) * dotD($"e", $"c"))
+      .groupBy($"vec_id")
+      .agg(min_by(struct($"cell", $"e", $"nrm"), struct($"d2", $"cell")).as("m"))
+      .select($"m.cell".as("cell"), $"vec_id", $"m.e".as("e"), $"m.nrm".as("nrm"))
+    // cluster the append by cell — admitted files land WHOLE inside
+    // their cell partition, preserving the probe's file pruning
+    graft.delta.DeltaTable.forPath(s, s"$dir/cells")
+      .write(assigned.repartition(col("cell")), partitionBy = Seq("cell"))
+  }
+
+  /** The index as a DataFrame (cell, vec_id, e, nrm) through the
+    * graft-delta source — cell predicates prune at the log level.
+    */
+  def readIndex(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft-delta").load(s"$dir/cells")
+
+  /** The stored quantizer as a broadcastable relation (cell, c, c·c). */
+  private def storedCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.delta.DeltaTable.forPath(s, s"$dir/centroids").toDF
+      .select($"cell".cast("int").as("cell"), $"c")
+      .withColumn("cc", dotD($"c", $"c"))
+  }
+
+  /** The RE-TRAIN signal: per-cell population and mean squared distance
+    * to the stored centroid. Admitting drifted data inflates a cell's
+    * mean_d2 (and skews counts) — when it degrades materially vs the
+    * build-time report, re-run [[buildIndex]]. One broadcast join + one
+    * aggregation; never collects vectors.
+    */
+  def centroidDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    readIndex(s, dir).join(broadcast(storedCentroids(s, dir)), Seq("cell"))
+      .withColumn("d2",
+        $"nrm" * $"nrm" - lit(2.0) * dotD($"e", $"c") + $"cc")
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"), avg($"d2").as("mean_d2"))
+      .orderBy($"cell")
+  }
+
   private def normed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     table(s, d, "embeddings")
@@ -217,24 +285,31 @@ object Similarity {
                     FROM $prev, (SELECT unnest(generate_series(1, $Dim)) AS i) u)
               GROUP BY 1, 2)
         GROUP BY cell"""
-  private def assignSql(cents: String) = s"""
+  private def assignSql(cents: String, src: String = "n") = s"""
         SELECT vec_id, e, nrm, cell FROM (
           SELECT v.vec_id, v.e, v.nrm, c.cell,
             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
               ${duckDot("c.c", "c.c")} - 2*${duckDot("v.e", "c.c")}, c.cell) AS rn
-          FROM n v, $cents c)
+          FROM $src v, $cents c)
         WHERE rn = 1"""
+
+  /** Training CTE chain a0 → c1 → a1 → c2 over `src`: c2 = the trained
+    * centroids of THAT vector subset (the maintained-index oracle trains
+    * on batch 1 only, then assigns everything).
+    */
+  private def trainedOn(src: String): String = s"""
+      a0 AS (SELECT vec_id, e, nrm,
+          CAST(list_position(dots, list_max(dots)) AS INTEGER) AS cell
+        FROM (SELECT vec_id, e, nrm, $anchorDotsSql AS dots FROM $src)),
+      c1 AS (${meansSql("a0")}),
+      a1 AS (${assignSql("c1", src)}),
+      c2 AS (${meansSql("a1")})"""
 
   /** CTE chain a0 → c1 → a1 → c2 → a2 over an existing `n` (normed) CTE:
     * c2 = trained centroids, a2 = trained assignment of every vector.
     */
   private def trainedCtes: String = s"""
-      a0 AS (SELECT vec_id, e, nrm,
-          CAST(list_position(dots, list_max(dots)) AS INTEGER) AS cell
-        FROM (SELECT vec_id, e, nrm, $anchorDotsSql AS dots FROM n)),
-      c1 AS (${meansSql("a0")}),
-      a1 AS (${assignSql("c1")}),
-      c2 AS (${meansSql("a1")}),
+      ${trainedOn("n")},
       a2 AS (${assignSql("c2")})"""
 
   val queries: Seq[GQ] = Seq(
@@ -1388,6 +1463,61 @@ object Similarity {
         (e.c_id IS NOT NULL) AS hit
       FROM a LEFT JOIN ex e ON a.q_id = e.q_id AND a.c_id = e.c_id
       WHERE a.rn <= $K ORDER BY a.q_id, rank""")
-    })
+    }),
+
+    // C67 (r17) ----------------------------------------------------------
+    // MAINTAINED ANN index with incremental admission: the index is
+    // built ONCE from batch 1 (train + centroid table + cell-partitioned
+    // layout), batch 2 is ADMITTED against the STORED centroids (no
+    // retrain — the amortization ann_ivf_trained pays for per query),
+    // and the probe runs over the union through the same partition-
+    // pruned read. The oracle trains its quantizer on batch 1 ONLY and
+    // assigns everything against it — a retrained-on-admit index (or an
+    // admission that re-assigned resident vectors) hash-mismatches.
+    GQ("ann_index_admit", (s, d) => {
+      import s.implicits._
+      val v = normed(s, d).persist()
+      val b1 = v.filter(pmod($"vec_id", lit(2)) === 0)
+      val b2 = v.filter(pmod($"vec_id", lit(2)) === 1)
+      val dir = QueryDefs.scratchDir("graft-ann-maintained")
+      Similarity.buildIndex(s, b1.select($"vec_id", $"e", $"nrm"), dir.toString)
+      Similarity.admitBatch(s, b2.select($"vec_id", $"e", $"nrm"), dir.toString)
+      v.unpersist()
+      val index = Similarity.readIndex(s, dir.toString)
+      // SEARCH over the maintained union: probed-cell set is O(#queries)
+      // ints on the driver; the candidate read opens only probed cells'
+      // files (admitted batches landed inside the same partitions)
+      val q = index.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"), $"cell")
+      val probed = q.select($"cell").distinct().as[Int].collect().toSeq.sorted
+      val c = index.where($"cell".isInCollection(probed))
+        .select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"), $"cell")
+      val res = c.join(broadcast(q), Seq("cell")).filter($"c_id" =!= $"q_id")
+        .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn"))
+        .groupBy($"q_id")
+        .agg(graft.functions.TopKExpressions.topKByScore($"cosine", $"c_id", K).as("top"))
+        .select($"q_id", posexplode($"top"))
+        .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+          $"col.id".as("c_id"), $"col.score".as("cosine"))
+        .orderBy($"q_id", $"rank")
+        // materialize the K×Q-row result so the scratch index can go
+        .transform(stableCheckpoint)
+      deleteTree(dir)
+      res
+    }, Some(s"""
+      WITH n AS ($duckNormed),
+      n1 AS (SELECT vec_id, e, nrm FROM n WHERE vec_id % 2 = 0),
+      ${trainedOn("n1")},
+      aall AS (${assignSql("c2", "n")}),
+      q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell
+            FROM aall WHERE vec_id < $NumQueries),
+      scored AS (SELECT q.q_id, c.vec_id AS c_id,
+          ${duckDot("q.qe", "c.e")} / (q.qn * c.nrm) AS cosine
+        FROM q JOIN aall c ON q.cell = c.cell AND c.vec_id != q.q_id)
+      SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, cosine FROM (
+        SELECT q_id, c_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        FROM scored)
+      WHERE rn <= $K ORDER BY q_id, rank"""))
   )
 }

@@ -62,6 +62,71 @@ class CellIndexedLayoutSuite extends AnyFunSuite {
       s"no pruning: opened ${opened.size} of $totalFiles files")
   }
 
+  /** 64-dim vectors (the Similarity Dim) with ids from `ids`, spread so
+    * the trained quantizer distributes them across cells; `shift` moves
+    * the whole batch away from the build-time distribution.
+    */
+  private def vecs(ids: Seq[Int], shift: Double = 0.0) = {
+    import spark.implicits._
+    ids.map { i =>
+      val e = Seq.tabulate(64)(j =>
+        (((i * 37 + j * 11) % 100) / 50.0 - 1.0) + shift)
+      (i.toLong, e, math.sqrt(e.map(x => x * x).sum))
+    }.toDF("vec_id", "e", "nrm")
+  }
+
+  test("admitBatch lands inside cell partitions; probe over the union stays file-pruned") {
+    import spark.implicits._
+    val dir = tmp()
+    Similarity.buildIndex(spark, vecs(0 until 200 by 2), dir)
+    val filesAfterBuild = DeltaTable.forPath(spark, s"$dir/cells")
+      .deltaLog.update().allFiles.map(_.path).toSet
+    Similarity.admitBatch(spark, vecs(1 until 200 by 2), dir)
+    val index = Similarity.readIndex(spark, dir)
+    // the union is lossless and the admitted files landed INSIDE the
+    // existing Hive cell partitions (no new top-level layout)
+    assert(index.count() == 200L)
+    val log = DeltaTable.forPath(spark, s"$dir/cells").deltaLog.update()
+    val admitted = log.allFiles.map(_.path).filterNot(filesAfterBuild)
+    assert(admitted.nonEmpty, "admission must append files")
+    assert(admitted.forall(_.startsWith("cell=")),
+      s"admitted files outside cell partitions: $admitted")
+    // resident files were NOT rewritten by the admission
+    assert(filesAfterBuild.subsetOf(log.allFiles.map(_.path).toSet),
+      "admission must not rewrite resident cells")
+    // a probe over the UNION opens only the probed cells' files
+    val cells = index.select("cell").distinct().as[Int].collect().sorted
+    assert(cells.length >= 2, s"need multiple cells, got ${cells.toSeq}")
+    val probed = cells.take(1).toSeq
+    val opened = index.where(col("cell").isInCollection(probed))
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSeq
+    assert(opened.nonEmpty)
+    assert(opened.forall(p => p.contains(s"cell=${probed.head}")),
+      s"unprobed cells' files were opened: $opened")
+    assert(opened.size < log.allFiles.size,
+      s"no pruning: opened ${opened.size} of ${log.allFiles.size} files")
+  }
+
+  test("centroidDrift flags an admitted batch that moved away from the quantizer") {
+    import spark.implicits._
+    val dir = tmp()
+    Similarity.buildIndex(spark, vecs(0 until 100), dir)
+    val before = Similarity.centroidDrift(spark, dir)
+      .agg(max(col("mean_d2"))).head().getDouble(0)
+    // admit a batch shifted far off the trained distribution: some cell's
+    // mean squared distance to its centroid must degrade — the re-train
+    // signal
+    Similarity.admitBatch(spark, vecs(100 until 150, shift = 25.0), dir)
+    val after = Similarity.centroidDrift(spark, dir)
+      .agg(max(col("mean_d2"))).head().getDouble(0)
+    assert(after > before * 10,
+      s"drift report must degrade on a shifted batch: $before -> $after")
+    // population is conserved across the report
+    val n = Similarity.centroidDrift(spark, dir)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(n == 150L, n.toString)
+  }
+
   test("an unfiltered read still sees the whole corpus (layout is lossless)") {
     val (dir, _) = mkIndex()
     import spark.implicits._
