@@ -916,9 +916,27 @@ object IcebergMetadata {
     val sl = slog.addObject()
     sl.put("timestamp-ms", now)
     sl.put("snapshot-id", snapshotId)
-    root.putArray("metadata-log")
-
+    // metadata-log: the previous metadata files, oldest first (the spec's
+    // lineage trail). Only files the sweep retains are listed — an entry
+    // naming v<id>.metadata.json survives exactly while snapshot <id>
+    // does, so readers never chase a swept file.
     val n = version + 1
+    val mlog = root.putArray("metadata-log")
+    prev.foreach { p =>
+      val prevFile = s"v${p.get("current-snapshot-id").asLong}.metadata.json"
+      Option(p.get("metadata-log")).foreach(_.elements().asScala
+        .filter { e =>
+          val f = new Path(e.get("metadata-file").asText).getName
+          val id = f.stripPrefix("v").stripSuffix(".metadata.json")
+          id.toLongOption.exists(i => retainedIds.contains(i) && i != n)
+        }.foreach(mlog.add))
+      val prevId = p.get("current-snapshot-id").asLong
+      if (retainedIds.contains(prevId) && prevId != n) {
+        val e = mlog.addObject()
+        e.put("timestamp-ms", p.get("last-updated-ms").asLong)
+        e.put("metadata-file", new Path(dir, prevFile).toString)
+      }
+    }
     writeAll(fs, new Path(dir, s"v$n.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     // MONOTONIC hint: two near-simultaneous post-commit generations race
@@ -938,10 +956,20 @@ object IcebergMetadata {
       // same-version regenerations and expired snapshots both clean up.
       // Only the hint winner sweeps, and files stamped during/after this
       // generation are spared (a racing newer generation's output).
-      try sweepUnreferenced(fs, dir, root, genStart)
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"WARN graft: Iceberg metadata sweep failed: ${e.getMessage}")
-      }
+      // Cost control: nothing becomes unreferenced unless this
+      // generation EXPIRED a snapshot or REPLACED a same-version entry,
+      // so the O(retained-manifests) driver pass runs only then — plus a
+      // periodic full pass (every 10th version) that also collects
+      // orphans from crashed generations that never won the hint.
+      val prevIdsSet = prev.toSeq.flatMap(_.get("snapshots").elements().asScala
+        .map(_.get("snapshot-id").asLong)).toSet
+      val droppedAny = prevIdsSet.exists(id => !retainedIds.contains(id))
+      val replacedSame = prevIdsSet.contains(snapshotId)
+      if (droppedAny || replacedSame || n % 10 == 0)
+        try sweepUnreferenced(fs, dir, root, genStart)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"WARN graft: Iceberg metadata sweep failed: ${e.getMessage}")
+        }
     }
     n
   }

@@ -125,6 +125,11 @@ class IcebergUniformSuite extends AnyFunSuite {
       Files.readAllBytes(metaDir.toPath.resolve("v3.metadata.json")))
     assert(meta2.get("snapshots").size == 3, meta2.get("snapshots").toString)
     assert(meta2.get("snapshot-log").size == 3)
+    // metadata-log lists the retained PREVIOUS metadata files (v1, v2),
+    // oldest first, never the current one
+    val mlog = meta2.get("metadata-log").elements().asScala
+      .map(e => new java.io.File(e.get("metadata-file").asText).getName).toSeq
+    assert(mlog == Seq("v1.metadata.json", "v2.metadata.json"), mlog.toString)
     // name mapping binds parquet column names to the schema field ids
     // (spec: schema.name-mapping.default) — required because the delta
     // write path does not stamp parquet field ids outside id mode
@@ -497,6 +502,9 @@ class IcebergUniformSuite extends AnyFunSuite {
     // retention 0: only the current snapshot survives each generation
     assert(meta.get("snapshots").size == 1, meta.get("snapshots").toString)
     assert(meta.get("snapshot-log").size == 1)
+    // no expired metadata file is advertised in the lineage trail
+    assert(meta.get("metadata-log").size == 0,
+      meta.get("metadata-log").toString)
     // and the sweep leaves exactly the retained snapshot's files: its
     // manifest list + manifests, the current metadata json, the hint
     val metaDir = new java.io.File(dir, "metadata")
