@@ -729,6 +729,19 @@ object DeltaLog {
       .makeQualified(p).toString
     cache.getOrElseUpdate(key, new DeltaLog(spark, p))
   }
+
+  /** Drop the cached instance for a path (delta-spark's
+    * `DeltaLog.invalidateCache`): required when the log directory is
+    * replaced OUT OF BAND — e.g. an Iceberg table converted in place
+    * after its original `_delta_log` was removed.
+    */
+  def invalidateCache(spark: SparkSession, dataPath: String): Unit = {
+    val p = new Path(dataPath)
+    val key = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toString
+    cache.remove(key)
+    ()
+  }
 }
 
 /** cf. reference `clock.go`. */

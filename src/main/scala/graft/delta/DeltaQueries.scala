@@ -1254,6 +1254,48 @@ object DeltaQueries {
       FROM orders WHERE o_orderkey % 10 <> 3
       GROUP BY 1 ORDER BY 1""")),
 
+    // CONVERT FROM ICEBERG (A85, r17): the full migration round trip —
+    // a UniForm table (with merge-on-read DVs) loses its _delta_log,
+    // leaving a pure Iceberg table (parquet + metadata/), and
+    // convertFromIceberg adopts it back IN PLACE: schema/partitions from
+    // the metadata JSON, AddFiles + stats from the manifests (read
+    // distributed, no footer opened), position deletes translated back
+    // into deletion vectors. The query reads the CONVERTED table through
+    // the Delta log; the oracle recomputes from raw data minus the
+    // deleted rows — a lost DV, misread partition value, or dropped file
+    // breaks the hash.
+    GQ("delta_convert_iceberg", (s, d) => {
+      import s.implicits._
+      val dir = fixture(s, d, "convert-iceberg") { dir =>
+        val t = DeltaTable.forPath(s, dir)
+        val orders = table(s, d, "orders")
+        val txn = t.deltaLog.startTransaction()
+        txn.updateMetadata(Metadata(
+          schemaString = orders.schema.json,
+          partitionColumns = Seq("o_orderstatus"),
+          configuration = Map(
+            "delta.universalFormat.enabledFormats" -> "iceberg",
+            "delta.enableDeletionVectors" -> "true")))
+        txn.commit(Nil, Op.CreateTable)
+        t.write(orders, SaveMode.Append, Seq("o_orderstatus"))
+        t.delete(pmod(col("o_orderkey"), lit(10)) === 7) // merge-on-read DVs
+        // drop the Delta identity; what remains is a pure Iceberg table
+        val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+        val fsys = logDir.getFileSystem(s.sessionState.newHadoopConf())
+        fsys.delete(logDir, true)
+        DeltaTable.convertFromIceberg(s, dir)
+      }
+      DeltaTable.forPath(s, dir).toDF
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").as("sum_okey"))
+        .orderBy($"o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey
+      FROM orders WHERE o_orderkey % 10 <> 7
+      GROUP BY 1 ORDER BY 1""")),
+
     // CONVERT TO DELTA (A49): a plain Hive-partitioned parquet directory
     // is adopted in place (footer-stat job + one commit, no rewrite),
     // then proven transactional with a DELETE and read back through the

@@ -73,12 +73,14 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     var df = org.apache.spark.sql.GraftShims
       .ofRows(spark, LogicalRelation(relation, isStreaming = false))
     // merge-on-read: drop DV-deleted rows before projecting _metadata away.
-    // The descriptor list is cached on the snapshot — no extra job per read.
-    if (DeltaConfig.EnableDeletionVectors.fromMetadata(md)) {
-      val dvd = s.dvFiles
-      if (dvd.nonEmpty)
-        df = DeletionVectors.filterDeleted(spark, deltaLog.dataPath, dvd, df)
-    }
+    // Gated on DESCRIPTOR PRESENCE, not the table property: the protocol
+    // requires readers to honor DVs whenever files carry them (the
+    // property only controls whether new DML CREATES them) — a converted
+    // or property-unset table must never resurrect deleted rows. The
+    // descriptor list is cached on the snapshot — no extra job per read.
+    val dvd = s.dvFiles
+    if (dvd.nonEmpty)
+      df = DeletionVectors.filterDeleted(spark, deltaLog.dataPath, dvd, df)
     // LogicalRelation appends partition cols last; restore metadata order
     // and map physical names back to logical
     df = ColumnMapping.toLogical(md, df)
@@ -2585,6 +2587,21 @@ object DeltaTable {
     * from Spark's partition discovery. (delta-spark's CONVERT TO DELTA
     * surface; the reference has no compute layer to convert for.)
     */
+  /** CONVERT FROM ICEBERG (A85 — the read side of UniForm): adopt the
+    * Iceberg table at `path` (HadoopTables layout) as a graft-Delta
+    * table IN PLACE, metadata-only. Position deletes become deletion
+    * vectors; per-file stats come from the manifests (no footer reads);
+    * the name mapping imports as Delta column mapping when the parquet
+    * names differ from the schema. See [[IcebergMetadata.convertFrom]].
+    */
+  def convertFromIceberg(spark: SparkSession, path: String): DeltaTable = {
+    DeltaLog.invalidateCache(spark, path) // the log dir may have been
+    // replaced out-of-band (Delta removed, Iceberg metadata retained)
+    val log = DeltaLog.forTable(spark, path)
+    IcebergMetadata.convertFrom(spark, log)
+    new DeltaTable(spark, log)
+  }
+
   def convertToDelta(spark: SparkSession, path: String): DeltaTable = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val log = DeltaLog.forTable(spark, path)

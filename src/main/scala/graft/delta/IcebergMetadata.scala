@@ -1029,6 +1029,323 @@ object IcebergMetadata {
     }
   }
 
+  // ---- CONVERT FROM ICEBERG (A85): the read side of UniForm -----------
+
+  /** Spark type from an Iceberg schema-JSON type node (the inverse of
+    * [[icebergSchema]]'s typeJson).
+    */
+  private[delta] def sparkTypeOf(t: JsonNode): DataType =
+    if (t.isTextual) t.asText match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "date" => DateType
+      case "timestamptz" => TimestampType
+      case "timestamp" => TimestampNTZType
+      case "string" => StringType
+      case "binary" => BinaryType
+      case d if d.startsWith("decimal(") =>
+        val parts = d.stripPrefix("decimal(").stripSuffix(")")
+          .split(",").map(_.trim.toInt)
+        DecimalType(parts(0), parts(1))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported Iceberg type '$other'")
+    } else t.get("type").asText match {
+      case "struct" => StructType(t.get("fields").elements().asScala.map(f =>
+        StructField(f.get("name").asText, sparkTypeOf(f.get("type")),
+          nullable = !f.get("required").asBoolean)).toSeq)
+      case "list" => ArrayType(sparkTypeOf(t.get("element")),
+        containsNull = !Option(t.get("element-required")).exists(_.asBoolean))
+      case "map" => MapType(sparkTypeOf(t.get("key")), sparkTypeOf(t.get("value")),
+        valueContainsNull = !Option(t.get("value-required")).exists(_.asBoolean))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported Iceberg complex type '$other'")
+    }
+
+  /** One Iceberg single-value bound decoded into a Delta stats-JSON
+    * value (inverse of statBound); None when the type has no mapping.
+    * Truncated string bounds stay VALID bounds, which is all skipping
+    * needs.
+    */
+  private def putBound(o: com.fasterxml.jackson.databind.node.ObjectNode,
+      name: String, dt: DataType, bytes: Array[Byte]): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case ByteType | ShortType | IntegerType => o.put(name, bb.getInt)
+      case LongType => o.put(name, bb.getLong)
+      case FloatType => o.put(name, bb.getFloat.toDouble)
+      case DoubleType => o.put(name, bb.getDouble)
+      case StringType =>
+        o.put(name, new String(bytes, StandardCharsets.UTF_8))
+      case DateType =>
+        o.put(name, java.time.LocalDate.ofEpochDay(bb.getInt.toLong).toString)
+      case _ => ()
+    }
+  }
+
+  /** CONVERT FROM ICEBERG: adopt the table's CURRENT Iceberg snapshot
+    * (HadoopTables layout — `metadata/version-hint.text` under the data
+    * root) as a graft-Delta table at the SAME location. Metadata-only:
+    * AddFiles point at the existing parquet (relative under the root,
+    * absolute URIs outside it — the shallow-clone convention), per-file
+    * stats are rebuilt from the manifest entries (record counts, null
+    * counts, typed bounds — no footer is opened), and POSITION-DELETE
+    * files are translated back into Delta deletion vectors (the exact
+    * inverse of generate()'s DV export; the protocol upgrade rides the
+    * same commit). The scale shape matches CONVERT TO DELTA (A49):
+    * manifest entries are read DISTRIBUTED, one task per manifest; the
+    * driver holds O(#files) AddFile actions for the single commit.
+    *
+    * Loud refusals (never a silent misread): format-version > 2,
+    * non-identity partition transforms, equality deletes, manifests
+    * under a non-default partition spec, unsupported types.
+    */
+  def convertFrom(spark: SparkSession, log: DeltaLog): Long = {
+    require(!log.tableExists,
+      s"${log.dataPath} is already a graft-delta table")
+    val hconfRaw = spark.sessionState.newHadoopConf()
+    val dir = metadataDir(log)
+    val fs = dir.getFileSystem(hconfRaw)
+    val hintPath = new Path(dir, "version-hint.text")
+    require(fs.exists(hintPath),
+      s"no Iceberg table at ${log.dataPath} (missing metadata/version-hint.text)")
+    val hint = new String(readAll(fs, hintPath), StandardCharsets.UTF_8).trim.toLong
+    val meta = mapper.readTree(readAll(fs, new Path(dir, s"v$hint.metadata.json")))
+    val fv = meta.get("format-version").asInt
+    if (fv > 2) throw new UnsupportedOperationException(
+      s"unsupported Iceberg format-version $fv (supported: 1, 2)")
+    val curId = meta.get("current-snapshot-id").asLong
+    val snap = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == curId).getOrElse(
+        throw new IllegalStateException(s"current snapshot $curId not in metadata"))
+
+    // ---- schema: the snapshot's schema (falling back to current)
+    val schemaId = Option(snap.get("schema-id")).map(_.asInt)
+      .orElse(Option(meta.get("current-schema-id")).map(_.asInt)).getOrElse(0)
+    val schemaNode = Option(meta.get("schemas"))
+      .flatMap(_.elements().asScala.find(s =>
+        Option(s.get("schema-id")).forall(_.asInt == schemaId)))
+      .orElse(Option(meta.get("schema"))) // v1 legacy single-schema field
+      .getOrElse(throw new IllegalStateException(s"schema $schemaId not in metadata"))
+    // top-level name mapping (physical parquet names per field id) — a
+    // UniForm-generated table's footers may carry different names than
+    // the logical schema; import them as Delta column mapping
+    val physById: Map[Int, String] = Option(meta.get("properties"))
+      .flatMap(p => Option(p.get("schema.name-mapping.default")))
+      .map(nm => mapper.readTree(nm.asText).elements().asScala.map(e =>
+        e.get("field-id").asInt -> e.get("names").get(0).asText).toMap)
+      .getOrElse(Map.empty)
+    val rawFields: Seq[(Int, StructField)] =
+      schemaNode.get("fields").elements().asScala.map { f =>
+        val id = f.get("id").asInt
+        (id, StructField(f.get("name").asText, sparkTypeOf(f.get("type")),
+          nullable = !f.get("required").asBoolean))
+      }.toSeq
+    val needsMapping = rawFields.exists { case (id, f) =>
+      physById.get(id).exists(_ != f.name)
+    }
+    val fields = if (!needsMapping) rawFields.map(_._2)
+      else rawFields.map { case (id, f) =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(ColumnMapping.IdKey, id.toLong)
+          .putString(ColumnMapping.PhysicalNameKey,
+            physById.getOrElse(id, f.name)).build())
+      }
+    val schema = StructType(fields)
+    val idToField: Map[Int, (String, DataType)] =
+      rawFields.map { case (id, f) => id -> (f.name, f.dataType) }.toMap
+    val baseConfig0: Map[String, String] =
+      if (!needsMapping) Map.empty
+      else Map("delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" ->
+          meta.get("last-column-id").asInt.toString)
+
+    // ---- partition spec: identity transforms only
+    val specId = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
+    val specFields: Seq[JsonNode] = Option(meta.get("partition-specs"))
+      .flatMap(_.elements().asScala.find(_.get("spec-id").asInt == specId))
+      .map(_.get("fields").elements().asScala.toSeq)
+      .orElse(Option(meta.get("partition-spec"))
+        .map(_.elements().asScala.toSeq)) // v1 legacy
+      .getOrElse(Nil)
+    val partCols: Seq[(String, DataType)] = specFields.map { f =>
+      val tr = f.get("transform").asText
+      if (tr != "identity") throw new UnsupportedOperationException(
+        s"unsupported Iceberg partition transform '$tr' (identity only)")
+      val (nm, dt) = idToField.getOrElse(f.get("source-id").asInt,
+        throw new IllegalStateException(
+          s"partition source-id ${f.get("source-id").asInt} not in schema"))
+      (nm, dt)
+    }
+
+    // ---- manifests of the current snapshot
+    val listPath = snap.get("manifest-list").asText
+    val manifests: Seq[(String, Int, Int)] = {
+      val r = DataFileReader.openReader(
+        new org.apache.avro.mapred.FsInput(new Path(listPath), hconfRaw),
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.map(m => (
+        m.get("manifest_path").toString,
+        Option(m.get("content")).map(_.asInstanceOf[Int]).getOrElse(0),
+        Option(m.get("partition_spec_id")).map(_.asInstanceOf[Int]).getOrElse(0)))
+        .toList
+      finally r.close()
+    }
+    manifests.filter(_._2 == 0).find(_._3 != specId).foreach { m =>
+      throw new UnsupportedOperationException(
+        s"data manifest ${m._1} uses partition spec ${m._3} != default " +
+          s"$specId; spec-evolved Iceberg tables are not supported")
+    }
+    val now = log.clock.nowMillis
+    val qualifiedRoot = fs.makeQualified(log.dataPath)
+    val rootStr = qualifiedRoot.toString
+    val serConf = new SerializableHadoopConf(hconfRaw)
+    val partMeta = partCols
+    val statsFields: Seq[(Int, String, DataType)] =
+      idToField.toSeq.map { case (id, (nm, dt)) => (id, nm, dt) }
+
+    // ---- data-manifest entries: DISTRIBUTED, one task per manifest
+    val dataManifests = manifests.collect { case (p, 0, _) => p }
+    val fileRows: Seq[(String, Map[String, String], Long, Long, String)] =
+      spark.sparkContext
+        .parallelize(dataManifests, math.max(1, dataManifests.size))
+        .flatMap { p =>
+          val statsMapper = new ObjectMapper()
+          val r = DataFileReader.openReader(
+            new org.apache.avro.mapred.FsInput(new Path(p), serConf.value),
+            new GenericDatumReader[GenericRecord]())
+          try r.iterator().asScala.flatMap { e =>
+            val status = e.get("status").asInstanceOf[Int]
+            if (status == 2) None // DELETED entries are not live
+            else {
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              require(Option(df.get("content"))
+                .forall(_.asInstanceOf[Int] == 0), s"non-data file in data manifest $p")
+              val pvs: Map[String, String] = {
+                val struct = df.get("partition").asInstanceOf[GenericRecord]
+                partMeta.map { case (nm, dt) =>
+                  val v = struct.get(nm)
+                  nm -> (if (v == null) null else dt match {
+                    case DateType => java.time.LocalDate
+                      .ofEpochDay(v.asInstanceOf[Int].toLong).toString
+                    case _ => v.toString
+                  })
+                }.toMap
+              }
+              def kv(field: String): Map[Int, Any] =
+                Option(df.get(field)).map(_
+                  .asInstanceOf[java.util.Collection[GenericRecord]]
+                  .iterator().asScala.map(r2 =>
+                    r2.get("key").asInstanceOf[Int] -> r2.get("value")).toMap)
+                  .getOrElse(Map.empty)
+              def bytesOf(v: Any): Array[Byte] = {
+                val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+                val a = new Array[Byte](bb.remaining()); bb.get(a); a
+              }
+              // rebuild the Delta stats JSON from the manifest's column
+              // stats — data skipping survives the conversion without
+              // opening a single footer
+              val st = statsMapper.createObjectNode()
+              st.put("numRecords", df.get("record_count").asInstanceOf[Long])
+              val lows = kv("lower_bounds"); val highs = kv("upper_bounds")
+              val nulls = kv("null_value_counts")
+              if (lows.nonEmpty) {
+                val o = st.putObject("minValues")
+                statsFields.foreach { case (id, nm, dt) =>
+                  lows.get(id).foreach(b => putBound(o, nm, dt, bytesOf(b))) }
+              }
+              if (highs.nonEmpty) {
+                val o = st.putObject("maxValues")
+                statsFields.foreach { case (id, nm, dt) =>
+                  highs.get(id).foreach(b => putBound(o, nm, dt, bytesOf(b))) }
+              }
+              if (nulls.nonEmpty) {
+                val o = st.putObject("nullCount")
+                statsFields.foreach { case (id, nm, _) =>
+                  nulls.get(id).foreach(v =>
+                    o.put(nm, v.asInstanceOf[Long])) }
+              }
+              Some((df.get("file_path").toString, pvs,
+                df.get("file_size_in_bytes").asInstanceOf[Long],
+                df.get("record_count").asInstanceOf[Long],
+                statsMapper.writeValueAsString(st)))
+            }
+          }.toList
+          finally r.close()
+        }.collect().toSeq
+
+    // ---- position deletes -> deletion vectors (the inverse of
+    // generate()'s export); equality deletes refuse loudly
+    val deleteFilePaths: Seq[String] = manifests.collect { case (p, 1, _) => p }
+      .flatMap { p =>
+        val r = DataFileReader.openReader(
+          new org.apache.avro.mapred.FsInput(new Path(p), hconfRaw),
+          new GenericDatumReader[GenericRecord]())
+        try r.iterator().asScala
+          .filter(_.get("status").asInstanceOf[Int] != 2)
+          .map { e =>
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val content = df.get("content").asInstanceOf[Int]
+            if (content == 2) throw new UnsupportedOperationException(
+              "Iceberg EQUALITY deletes cannot be converted (position deletes only)")
+            df.get("file_path").toString
+          }.toList
+        finally r.close()
+      }
+    val dvByFp: Map[String, DeletionVectorDescriptor] =
+      if (deleteFilePaths.isEmpty) Map.empty
+      else DeletionVectors.write(spark, log.dataPath,
+        spark.read.parquet(deleteFilePaths: _*)
+          .select(DeletionVectors.normFp(col("file_path")).as("fp"),
+            col("pos").cast("long").as("ri")))
+
+    // ---- AddFiles: relative under the root, absolute URIs outside it
+    val adds: Seq[AddFile] = fileRows.map { case (abs, pvs, size, _, stats) =>
+      val rel = FileNames.underTableRoot(qualifiedRoot, abs)
+        .filter(_ != qualifiedRoot.toUri.getPath)
+        .map(p => p.substring(qualifiedRoot.toUri.getPath.length + 1))
+      val dv = dvByFp.get(abs.replaceFirst("^file:/+", "/")).orNull
+      AddFile(
+        path = rel.map(FileNames.encodeRelative).getOrElse(abs),
+        partitionValues = pvs,
+        size = size,
+        modificationTime = now,
+        dataChange = true,
+        stats = stats,
+        deletionVector = dv)
+    }
+    require(adds.nonEmpty, s"Iceberg snapshot $curId lists no data files")
+
+    // ---- the CONVERT commit (protocol upgrade rides along when DVs or
+    // column mapping are present)
+    // a v2 merge-on-read Iceberg table stays merge-on-read as Delta:
+    // stamping the property keeps future DML producing DVs (readers
+    // honor the attached DVs regardless — descriptor-gated)
+    val baseConfig = baseConfig0 ++
+      (if (dvByFp.nonEmpty) Map("delta.enableDeletionVectors" -> "true")
+       else Map.empty)
+    val txn = log.startTransaction()
+    txn.updateMetadata(graft.delta.Metadata(
+      schemaString = schema.json,
+      partitionColumns = partCols.map(_._1),
+      configuration = baseConfig,
+      createdTime = Some(now)))
+    val features = (if (dvByFp.nonEmpty) Seq("deletionVectors") else Nil) ++
+      (if (needsMapping) Seq("columnMapping") else Nil)
+    val protoUp: Option[Protocol] = features.foldLeft(Option.empty[Protocol]) {
+      (acc, f) => Protocol.requireReaderWriterFeature(
+        acc.getOrElse(txn.snapshot.protocol), f).orElse(acc)
+    }
+    txn.commit(protoUp.toSeq ++ adds, Op.Convert,
+      operationParameters = Map(
+        "numFiles" -> adds.size.toString,
+        "sourceFormat" -> "iceberg",
+        "icebergSnapshotId" -> curId.toString))
+  }
+
   private def readAll(fs: org.apache.hadoop.fs.FileSystem, p: Path): Array[Byte] = {
     val in = fs.open(p)
     try {

@@ -198,8 +198,9 @@ object GraftDeltaSource {
   private[sources] def relationFor(
       sqlContext: SQLContext, table: DeltaTable, s: Snapshot): BaseRelation = {
     val md = s.metadata
-    val direct = !ColumnMapping.enabled(md) &&
-      (!DeltaConfig.EnableDeletionVectors.fromMetadata(md) || s.dvFiles.isEmpty)
+    // descriptor presence, not the table property, decides the DV-aware
+    // fallback (the protocol: readers honor DVs wherever files carry them)
+    val direct = !ColumnMapping.enabled(md) && s.dvFiles.isEmpty
     // HadoopFsRelation's schema is dataSchema ++ partitionSchema — partition
     // columns migrate to the end. Only hand it out raw when that matches the
     // metadata column order; otherwise positional consumers (union,

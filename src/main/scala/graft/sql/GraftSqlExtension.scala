@@ -301,7 +301,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           versionAsOf = Option(ver).map(_.toLong),
           timestampAsOf = Option(ts).map(parseTsMillis)))
       case ConvertRe(target) =>
-        Some(GraftConvertCommand(parseTarget(target)))
+        Some(GraftConvertCommand(parseTarget(target),
+          fromIceberg = target.trim.toLowerCase.startsWith("iceberg.")))
       case GenerateRe(mode, target) =>
         Some(GraftGenerateCommand(parseTarget(target), mode.toLowerCase))
       case ShowPartitionsRe(target) =>
@@ -343,7 +344,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
   // target = quoted path, (delta|graft).`path`, or a dotted identifier —
   // matched lazily; the optional clauses anchor the split
-  private val T = """((?:'[^']+')|(?:"[^"]+")|(?:(?:delta|graft|parquet)\.`[^`]+`)|(?:[\w.`]+))"""
+  private val T = """((?:'[^']+')|(?:"[^"]+")|(?:(?:delta|graft|parquet|iceberg)\.`[^`]+`)|(?:[\w.`]+))"""
   private[sql] val OptimizeRe =
     s"""(?is)OPTIMIZE\\s+$T(\\s+FULL)?(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s+(.+?))?""".r
   private[sql] val VacuumRe =
@@ -422,7 +423,7 @@ object GraftSqlParser {
     s"""(?is)CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$T(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?\\s*""".r
   private[sql] val ConvertRe =
     s"""(?is)CONVERT\\s+TO\\s+DELTA\\s+$T""".r
-  private val PathTargetRe = """(?:delta|graft|parquet)\.`([^`]+)`""".r
+  private val PathTargetRe = """(?:delta|graft|parquet|iceberg)\.`([^`]+)`""".r
 
   private def splitCols(s: String): Seq[String] =
     s.trim.stripPrefix("(").stripSuffix(")")
@@ -1553,11 +1554,18 @@ case class GraftCloneCommand(target: SqlTarget, source: SqlTarget,
 
 /** `CONVERT TO DELTA parquet.`/path``: in-place adoption of a parquet
   * directory (one distributed footer-stat job + one commit, no rewrite).
+  * `CONVERT TO DELTA iceberg.`/path``: in-place adoption of an Iceberg
+  * table — manifests become AddFiles + stats, position deletes become
+  * deletion vectors (A85, [[IcebergMetadata.convertFrom]]).
   */
-case class GraftConvertCommand(target: SqlTarget) extends LeafRunnableCommand {
+case class GraftConvertCommand(target: SqlTarget,
+    fromIceberg: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = DeltaTable.convertToDelta(spark, SqlTarget.resolve(spark, target))
+    val path = SqlTarget.resolve(spark, target)
+    val t =
+      if (fromIceberg) DeltaTable.convertFromIceberg(spark, path)
+      else DeltaTable.convertToDelta(spark, path)
     Seq(Row(t.snapshot.version))
   }
 }

@@ -416,6 +416,53 @@ class IcebergUniformSuite extends AnyFunSuite {
       .get("record_count").asInstanceOf[Long]).sum == posRows.size)
   }
 
+  test("CONVERT FROM ICEBERG round-trips a UniForm table incl. position deletes") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = df((0L, "x", "p")).schema.json,
+      partitionColumns = Seq("part"),
+      configuration = Map(
+        "delta.enableDeletionVectors" -> "true",
+        "delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(df((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y"), (4L, "d", "y")),
+      partitionBy = Seq("part"))
+    t.delete(col("id").isin(1L, 3L)) // merge-on-read DVs in two partitions
+    val expected = t.toDF.select("id", "v", "part").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(expected == Set((2L, "b", "x"), (4L, "d", "y")))
+
+    // drop the Delta identity: what remains is a pure Iceberg table
+    // (parquet + metadata/) — the migration starting point
+    val logDir = new java.io.File(dir, "_delta_log")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(logDir.toPath).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    val back = DeltaTable.convertFromIceberg(spark, dir)
+    // rows round-trip: the position deletes became deletion vectors
+    val got = back.toDF.select("id", "v", "part").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == expected, s"$got vs $expected\nDEBUG adds=" +
+      back.deltaLog.update().allFiles.map(a =>
+        (a.path, Option(a.deletionVector).map(_.cardinality))).mkString("; "))
+    val adds = back.deltaLog.update().allFiles
+    assert(adds.exists(_.deletionVector != null), "DVs must be reattached")
+    assert(adds.flatMap(a => Option(a.deletionVector)).map(_.cardinality).sum == 2L)
+    // per-file stats survived WITHOUT opening a footer: numRecords is the
+    // physical count, bounds bracket the data
+    adds.foreach { a =>
+      assert(a.stats != null && a.stats.contains("numRecords"), a.path)
+      assert(a.stats.contains("minValues"), a.stats)
+    }
+    // partitioning survived: a partition-pruned read opens one partition
+    assert(back.toDF.where(col("part") === "y").count() == 1L)
+    // and the converted table is fully transactional again
+    back.delete(col("id") === 2L)
+    assert(back.toDF.count() == 1L)
+  }
+
   test("manifests and manifest lists carry the spec's key-value file metadata") {
     val dir = tmp()
     val t = mkUniform(dir)

@@ -653,6 +653,31 @@ class SqlSurfaceSuite extends AnyFunSuite {
     assert(spark.table("t_clone").count() == 5)
   }
 
+  test("CONVERT TO DELTA iceberg.`path` adopts an Iceberg table in place") {
+    val dir = tmp() + "/icetab"
+    val t0 = DeltaTable.forPath(spark, dir)
+    val txn = t0.deltaLog.startTransaction()
+    txn.updateMetadata(graft.delta.Metadata(
+      schemaString = seed().schema.json,
+      partitionColumns = Seq("part"),
+      configuration = Map(
+        "delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn.commit(Nil, graft.delta.Op.CreateTable)
+    t0.write(seed(), partitionBy = Seq("part"))
+    // drop the Delta identity: a pure Iceberg table remains
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    logDir.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(logDir, true)
+    val v = spark.sql(s"CONVERT TO DELTA iceberg.`$dir`").head().getLong(0)
+    assert(v == 0L)
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF.count() == 5)
+    assert(t.snapshot.metadata.partitionColumns == Seq("part"))
+    // manifest-derived stats survived (no footer was opened)
+    assert(t.snapshot.allFiles.forall(f =>
+      graft.delta.Stats.numRecords(f.stats).isDefined))
+  }
+
   test("CONVERT TO DELTA adopts a parquet directory in place") {
     val dir = tmp() + "/plainpq"
     seed().write.partitionBy("part").parquet(dir)
