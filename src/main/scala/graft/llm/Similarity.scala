@@ -233,6 +233,16 @@ object Similarity {
   def readIndex(s: SparkSession, dir: String): DataFrame =
     s.read.format("graft-delta").load(s"$dir/cells")
 
+  /** Index maintenance: every admitBatch appends ~1 file per touched
+    * cell, so a long admission history is the classic small-file
+    * pathology. This is just Delta OPTIMIZE on the cells table — a
+    * partition-scoped bin-pack (dataChange=false, invisible to streams)
+    * that leaves the cell layout and the probe's file pruning intact.
+    * Run it on the same cadence as any table maintenance.
+    */
+  def compactIndex(s: SparkSession, dir: String): Long =
+    graft.delta.DeltaTable.forPath(s, s"$dir/cells").compact()
+
   /** The stored quantizer as a broadcastable relation (cell, c, c·c). */
   private def storedCentroids(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -107,6 +107,30 @@ class CellIndexedLayoutSuite extends AnyFunSuite {
       s"no pruning: opened ${opened.size} of ${log.allFiles.size} files")
   }
 
+  test("compactIndex bin-packs admission small files; pruning survives") {
+    import spark.implicits._
+    val dir = tmp()
+    Similarity.buildIndex(spark, vecs(0 until 60), dir)
+    // five admission batches -> ~5 small files per touched cell
+    (1 to 5).foreach(b =>
+      Similarity.admitBatch(spark, vecs(60 + b * 20 until 80 + b * 20), dir))
+    val log = DeltaTable.forPath(spark, s"$dir/cells")
+    val before = log.deltaLog.update().allFiles.size
+    Similarity.compactIndex(spark, dir)
+    val after = log.deltaLog.update().allFiles.size
+    assert(after < before, s"no compaction: $before -> $after")
+    val index = Similarity.readIndex(spark, dir)
+    assert(index.count() == 160L)
+    // the compacted layout still prunes: a one-cell probe opens only
+    // that cell's files
+    val cells = index.select("cell").distinct().as[Int].collect().sorted
+    val probed = cells.head
+    val opened = index.where(col("cell") === probed)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(opened.nonEmpty && opened.forall(_.contains(s"cell=$probed")),
+      opened.mkString(", "))
+  }
+
   test("centroidDrift flags an admitted batch that moved away from the quantizer") {
     import spark.implicits._
     val dir = tmp()
