@@ -22,7 +22,12 @@ final case class IcebergManifestSummary(path: String, length: Long,
     // one triple per identity-partition column, positional:
     // (contains_null, lower bound, upper bound) with bounds in the
     // Iceberg single-value binary serialization
-    partSummaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])])
+    partSummaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])],
+    // files/rows carried forward from earlier snapshots (status
+    // EXISTING) vs newly added, and the oldest sequence number present —
+    // what Iceberg incremental consumers read from the manifest list
+    existingFileCount: Long = 0L, existingRowCount: Long = 0L,
+    minSeq: Option[Long] = None)
 
 /** UniForm-style Iceberg metadata generation (delta-spark's
   * `delta.universalFormat.enabledFormats=iceberg` surface; public
@@ -54,9 +59,15 @@ final case class IcebergManifestSummary(path: String, length: Long,
   * Honest simplifications vs the full UniForm implementation, each
   * loud or documented:
   *  - every generation writes a FULL manifest set for the current
-  *    snapshot with entries marked ADDED by it (correct for full table
-  *    scans — the only effect is on Iceberg incremental consumption,
-  *    which would re-see old files);
+  *    snapshot, but entries carry faithful lineage: files the previous
+  *    generation listed are EXISTING with their original snapshot-id
+  *    and sequence number, so incremental consumers see only each
+  *    snapshot's truly-new files (REMOVED files simply disappear — no
+  *    DELETED tombstone entries; incremental delete consumers must
+  *    fall back on overwrite/replace snapshots, which the snapshot
+  *    summary operation flags);
+  *  - position-delete files regenerate (new UUIDs, ADDED) on every
+  *    generation — bounded by the DV'd-file count;
   *  - timestamp columns require the table to have been UniForm from
   *    before its first file (this engine then writes TIMESTAMP_MICROS
   *    parquet instead of Spark's INT96 default); on-demand generation
@@ -551,15 +562,76 @@ object IcebergMetadata {
       .filter(f => statsSupported(f.dataType))
       .map(f => (f.name, f.dataType, fieldIds(f.name)))
     import spark.implicits._
+    // incremental-consumption fidelity: files the PREVIOUS generation
+    // already listed are written as status EXISTING with their ORIGINAL
+    // snapshot-id and sequence number (read from the prev generation's
+    // data manifests, DISTRIBUTED — one task per manifest — and joined
+    // against the current file set; never driver-sized), so an Iceberg
+    // incremental reader sees only the truly-new files of each snapshot
+    val prevFileInfo: Option[DataFrame] = prev.flatMap { p =>
+      val prevListPath = p.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong == p.get("current-snapshot-id").asLong)
+        .map(_.get("manifest-list").asText)
+      prevListPath.flatMap { lp =>
+        try {
+          val r = DataFileReader.openReader(
+            new org.apache.avro.mapred.FsInput(new Path(lp), fs.getConf),
+            new GenericDatumReader[GenericRecord]())
+          val dataMs =
+            try r.iterator().asScala
+              .filter(m => Option(m.get("content"))
+                .forall(_.asInstanceOf[Int] == 0))
+              .map(m => (m.get("manifest_path").toString,
+                Option(m.get("sequence_number"))
+                  .map(_.asInstanceOf[Long]).getOrElse(0L)))
+              .toList
+            finally r.close()
+          if (dataMs.isEmpty) None
+          else Some(spark.sparkContext
+            .parallelize(dataMs, math.max(1, dataMs.size))
+            .flatMap { case (mp, listSeq) =>
+              val mr = DataFileReader.openReader(
+                new org.apache.avro.mapred.FsInput(new Path(mp), hconf.value),
+                new GenericDatumReader[GenericRecord]())
+              try mr.iterator().asScala
+                .filter(_.get("status").asInstanceOf[Int] != 2)
+                .map { e =>
+                  val df = e.get("data_file").asInstanceOf[GenericRecord]
+                  (df.get("file_path").toString,
+                    Option(e.get("snapshot_id")).map(_.asInstanceOf[Long])
+                      .getOrElse(0L),
+                    Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
+                      .getOrElse(listSeq))
+                }.toList
+              finally mr.close()
+            }.toDF("fp", "prev_snap", "prev_seq"))
+        } catch { case scala.util.control.NonFatal(_) => None }
+        // unreadable prev generation: fall back to all-ADDED (full-scan
+        // readers unaffected; incremental ones re-see old files once)
+      }
+    }
+    val rootForKey = dataRoot
+    val keyedFiles = snapshot.allFilesDS
+      .map(a => (FileNames.absolutePathString(new Path(rootForKey), a.path), a))
+      .toDF("fp", "add")
+    val withPrev = prevFileInfo match {
+      case Some(pi) => keyedFiles.join(pi, Seq("fp"), "left")
+      case None => keyedFiles
+        .withColumn("prev_snap", org.apache.spark.sql.functions.lit(null).cast("long"))
+        .withColumn("prev_seq", org.apache.spark.sql.functions.lit(null).cast("long"))
+    }
     // cluster manifests BY THE FULL PARTITION TUPLE (one metadata-sized
     // shuffle): a manifest covering one partition value gets tight
     // field_summary bounds on EVERY partition column, so Iceberg
     // planning skips whole manifests — the manifest-level analogue of
     // the cell-bucketed ANN layout
-    val clusteredFiles =
-      if (partCols.isEmpty) snapshot.allFilesDS
-      else snapshot.allFilesDS.repartition(
-        partCols.map(pc => col("partitionValues").getItem(pc._1)): _*)
+    val clustered =
+      if (partCols.isEmpty) withPrev
+      else withPrev.repartition(
+        partCols.map(pc => col("add.partitionValues").getItem(pc._1)): _*)
+    val clusteredFiles = clustered
+      .select(col("fp"), col("add"), col("prev_snap"), col("prev_seq"))
+      .as[(String, AddFile, Option[Long], Option[Long])]
     val localSchemaId = schemaId
     val summaries: Seq[IcebergManifestSummary] = clusteredFiles
       .mapPartitions { files =>
@@ -601,6 +673,9 @@ object IcebergMetadata {
           w.create(entrySchema, stream)
           var rows = 0L
           var n = 0L
+          var existingN = 0L
+          var existingRows = 0L
+          var minSeq = Long.MaxValue
           // per-partition-column field_summary state
           val containsNull = Array.fill(partMeta.length)(false)
           val lo = Array.fill[Any](partMeta.length)(null)
@@ -611,15 +686,31 @@ object IcebergMetadata {
             case (x: String, y: String) => x < y
             case _ => false
           }
-          files.foreach { a =>
+          files.foreach { case (fp, a, prevSnap, prevSeq) =>
             val rec = new GenericData.Record(entrySchema)
-            rec.put("status", 1) // ADDED by this snapshot
-            rec.put("snapshot_id", snapshotId)
-            // null sequence numbers inherit from the manifest-list entry
+            // a file the previous generation listed (under an OLDER
+            // snapshot) is EXISTING with its original snapshot-id and
+            // sequence number, stored explicitly (spec: only ADDED
+            // entries inherit from the manifest list); genuinely new
+            // files — and a same-version regeneration's own files —
+            // are ADDED by this snapshot
+            val existing = prevSnap.exists(_ != snapshotId)
+            if (existing) {
+              rec.put("status", 0)
+              rec.put("snapshot_id", prevSnap.get)
+              val sq = prevSeq.getOrElse(seqNum)
+              rec.put("sequence_number", sq)
+              rec.put("file_sequence_number", sq)
+              if (sq < minSeq) minSeq = sq
+            } else {
+              rec.put("status", 1)
+              rec.put("snapshot_id", snapshotId)
+              // null sequence numbers inherit from the manifest-list entry
+              if (seqNum < minSeq) minSeq = seqNum
+            }
             val df = new GenericData.Record(dfSchema)
             df.put("content", 0)
-            df.put("file_path", FileNames.absolutePathString(
-              new Path(dataRoot), a.path))
+            df.put("file_path", fp)
             df.put("file_format", "PARQUET")
             val p = new GenericData.Record(pSchema)
             partMeta.zipWithIndex.foreach { case ((pn, dt), i) =>
@@ -669,8 +760,8 @@ object IcebergMetadata {
             }
             rec.put("data_file", df)
             w.append(rec)
-            rows += rc
-            n += 1
+            if (existing) { existingN += 1; existingRows += rc }
+            else { rows += rc; n += 1 }
           }
           w.close()
           val len = fsx.getFileStatus(out).getLen
@@ -679,7 +770,9 @@ object IcebergMetadata {
               Option(lo(i)).map(v => boundBytes(partMeta(i)._2, v)),
               Option(hi(i)).map(v => boundBytes(partMeta(i)._2, v)))
           }
-          Iterator(IcebergManifestSummary(out.toString, len, n, rows, sums))
+          Iterator(IcebergManifestSummary(out.toString, len, n, rows, sums,
+            existingN, existingRows,
+            if (minSeq == Long.MaxValue) None else Some(minSeq)))
         }
       }.collect().toSeq
 
@@ -783,25 +876,27 @@ object IcebergMetadata {
       p.get("current-snapshot-id").asLong.toString))
     lw.create(listSchema, fs.create(listPath, true))
     def listEntry(path: String, length: Long, content: Int, specId: Int,
-        nFiles: Long, nRows: Long): GenericRecord = {
+        nFiles: Long, nRows: Long, existingFiles: Long = 0L,
+        existingRows: Long = 0L, minSeq: Option[Long] = None): GenericRecord = {
       val rec = new GenericData.Record(listSchema)
       rec.put("manifest_path", path)
       rec.put("manifest_length", length)
       rec.put("partition_spec_id", specId)
       rec.put("content", content)
       rec.put("sequence_number", seqNum)
-      rec.put("min_sequence_number", seqNum)
+      rec.put("min_sequence_number", minSeq.getOrElse(seqNum))
       rec.put("added_snapshot_id", snapshotId)
       rec.put("added_files_count", nFiles.toInt)
-      rec.put("existing_files_count", 0)
+      rec.put("existing_files_count", existingFiles.toInt)
       rec.put("deleted_files_count", 0)
       rec.put("added_rows_count", nRows)
-      rec.put("existing_rows_count", 0L)
+      rec.put("existing_rows_count", existingRows)
       rec.put("deleted_rows_count", 0L)
       rec
     }
     summaries.foreach { m =>
-      val rec = listEntry(m.path, m.length, 0, 0, m.fileCount, m.rowCount)
+      val rec = listEntry(m.path, m.length, 0, 0, m.fileCount, m.rowCount,
+        m.existingFileCount, m.existingRowCount, m.minSeq)
       // field_summary per identity-partition column: planning can skip
       // this whole manifest when a partition predicate falls outside
       // [lower, upper] — never opening it

@@ -113,9 +113,11 @@ class IcebergUniformSuite extends AnyFunSuite {
     }.toSet
     assert(parts == Set("x", "y"), parts.toString)
     // manifest-list summaries match the manifests they describe
+    // (added + existing — v1's files are EXISTING in the v2 generation)
     manifests.foreach { m =>
       val n = avroRecords(m.get("manifest_path").toString).size
-      assert(m.get("added_files_count").asInstanceOf[Int] == n)
+      assert(m.get("added_files_count").asInstanceOf[Int] +
+        m.get("existing_files_count").asInstanceOf[Int] == n)
       assert(m.get("added_snapshot_id").asInstanceOf[Long] == 3L)
     }
     // re-generating the SAME version (manual call after the post-commit
@@ -499,6 +501,39 @@ class IcebergUniformSuite extends AnyFunSuite {
       assert(s.get("type").asText == "struct")
       assert(mapper.readTree(mm("partition-spec")).isArray)
     }
+  }
+
+  test("incremental lineage: prior files are EXISTING with their original snapshot/sequence") {
+    val dir = tmp()
+    val t = mkUniform(dir)
+    t.write(df((1L, "a", "x"), (2L, "b", "y")), partitionBy = Seq("part")) // snap 2
+    t.write(df((3L, "c", "x")), partitionBy = Seq("part"))                 // snap 3
+    val meta = currentMeta(dir)
+    val entries = currentManifests(meta).flatMap(m =>
+      avroRecords(m.get("manifest_path").toString))
+    val byStatus = entries.groupBy(_.get("status").asInstanceOf[Int])
+    // snap 2's two files are EXISTING with snapshot_id 2 and EXPLICIT
+    // sequence number 2; snap 3's file is ADDED (sequence inherited)
+    assert(byStatus(0).size == 2 && byStatus(1).size == 1, byStatus.toString)
+    byStatus(0).foreach { e =>
+      assert(e.get("snapshot_id").asInstanceOf[Long] == 2L)
+      assert(e.get("sequence_number").asInstanceOf[Long] == 2L)
+      assert(e.get("file_sequence_number").asInstanceOf[Long] == 2L)
+    }
+    byStatus(1).foreach { e =>
+      assert(e.get("snapshot_id").asInstanceOf[Long] == 3L)
+      assert(e.get("sequence_number") == null) // inherits from the list
+    }
+    // manifest-list bookkeeping splits the counts and tracks min_sequence
+    val manifests = currentManifests(meta)
+    assert(manifests.map(_.get("added_files_count").asInstanceOf[Int]).sum == 1)
+    assert(manifests.map(_.get("existing_files_count").asInstanceOf[Int]).sum == 2)
+    assert(manifests.map(_.get("min_sequence_number").asInstanceOf[Long]).min == 2L)
+    // an incremental consumer of snap 3 therefore reads exactly one file
+    val newFiles = entries.filter(_.get("status").asInstanceOf[Int] == 1)
+      .map(_.get("data_file").asInstanceOf[GenericRecord].get("record_count")
+        .asInstanceOf[Long]).sum
+    assert(newFiles == 1L, newFiles.toString)
   }
 
   test("schema evolution: stable field ids, retained prior schemas, per-snapshot schema-id") {
