@@ -2594,11 +2594,12 @@ object DeltaTable {
     * the name mapping imports as Delta column mapping when the parquet
     * names differ from the schema. See [[IcebergMetadata.convertFrom]].
     */
-  def convertFromIceberg(spark: SparkSession, path: String): DeltaTable = {
+  def convertFromIceberg(spark: SparkSession, path: String,
+      asOfSnapshotId: Option[Long] = None): DeltaTable = {
     DeltaLog.invalidateCache(spark, path) // the log dir may have been
     // replaced out-of-band (Delta removed, Iceberg metadata retained)
     val log = DeltaLog.forTable(spark, path)
-    IcebergMetadata.convertFrom(spark, log)
+    IcebergMetadata.convertFrom(spark, log, asOfSnapshotId)
     new DeltaTable(spark, log)
   }
 

@@ -1198,7 +1198,8 @@ object IcebergMetadata {
     * non-identity partition transforms, equality deletes, manifests
     * under a non-default partition spec, unsupported types.
     */
-  def convertFrom(spark: SparkSession, log: DeltaLog): Long = {
+  def convertFrom(spark: SparkSession, log: DeltaLog,
+      asOfSnapshotId: Option[Long] = None): Long = {
     require(!log.tableExists,
       s"${log.dataPath} is already a graft-delta table")
     val hconfRaw = spark.sessionState.newHadoopConf()
@@ -1212,10 +1213,16 @@ object IcebergMetadata {
     val fv = meta.get("format-version").asInt
     if (fv > 2) throw new UnsupportedOperationException(
       s"unsupported Iceberg format-version $fv (supported: 1, 2)")
-    val curId = meta.get("current-snapshot-id").asLong
+    // time travel: adopt ANY retained snapshot (its schema comes from
+    // the per-snapshot schema-id, so an evolved table converts with the
+    // schema that snapshot was written under)
+    val curId = asOfSnapshotId.getOrElse(meta.get("current-snapshot-id").asLong)
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong == curId).getOrElse(
-        throw new IllegalStateException(s"current snapshot $curId not in metadata"))
+        throw new IllegalArgumentException(
+          s"Iceberg snapshot $curId not retained in metadata (available: " +
+            meta.get("snapshots").elements().asScala
+              .map(_.get("snapshot-id").asLong).mkString(", ") + ")"))
 
     // ---- schema: the snapshot's schema (falling back to current)
     val schemaId = Option(snap.get("schema-id")).map(_.asInt)

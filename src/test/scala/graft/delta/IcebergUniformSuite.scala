@@ -465,6 +465,28 @@ class IcebergUniformSuite extends AnyFunSuite {
     assert(back.toDF.count() == 1L)
   }
 
+  test("CONVERT FROM ICEBERG time travel: adopt a retained older snapshot") {
+    val dir = tmp()
+    val t = mkUniform(dir)
+    t.write(df((1L, "a", "x"), (2L, "b", "y")), partitionBy = Seq("part")) // snap 2
+    t.write(df((3L, "c", "x")), partitionBy = Seq("part"))                 // snap 3
+    val logDir = new java.io.File(dir, "_delta_log")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(logDir.toPath).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    // adopt snapshot 2: only the first write's rows
+    val back = DeltaTable.convertFromIceberg(spark, dir, Some(2L))
+    assert(back.toDF.count() == 2L)
+    assert(back.toDF.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // an unknown snapshot refuses with the available ids
+    val logDir2 = new java.io.File(dir, "_delta_log")
+    java.nio.file.Files.walk(logDir2.toPath).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    val e = intercept[IllegalArgumentException](
+      DeltaTable.convertFromIceberg(spark, dir, Some(99L)))
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+  }
+
   test("manifests and manifest lists carry the spec's key-value file metadata") {
     val dir = tmp()
     val t = mkUniform(dir)
