@@ -316,7 +316,7 @@ object IcebergMetadata {
       s"unsupported Iceberg partition column type ${other.simpleString}")
   }
 
-  private def partitionStructSchemaJson(
+  private[delta] def partitionStructSchemaJson(
       partCols: Seq[(String, DataType, Int)]): String = {
     val fields = partCols.zipWithIndex.map { case ((name, dt, _), i) =>
       val (avro, _) = partAvro(dt)
@@ -339,7 +339,7 @@ object IcebergMetadata {
           {"name":"key","type":"int","field-id":$kid},
           {"name":"value","type":"bytes","field-id":$vid}]}}]}"""
 
-  private def manifestEntrySchemaJson(partStruct: String): String =
+  private[delta] def manifestEntrySchemaJson(partStruct: String): String =
     s"""{"type":"record","name":"manifest_entry","fields":[
       {"name":"status","type":"int","field-id":0},
       {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
@@ -355,7 +355,9 @@ object IcebergMetadata {
         ${longMap("value_counts", 109, 119, 120)},
         ${longMap("null_value_counts", 110, 121, 122)},
         ${bytesMap("lower_bounds", 125, 126, 127)},
-        ${bytesMap("upper_bounds", 128, 129, 130)}]}}]}"""
+        ${bytesMap("upper_bounds", 128, 129, 130)},
+        {"name":"equality_ids","field-id":135,"default":null,
+         "type":["null",{"type":"array","element-id":136,"items":"int"}]}]}}]}"""
 
   /** Iceberg single-value serialization of one Delta stats-JSON bound for
     * a top-level primitive column; None when the type has no stats or the
@@ -389,7 +391,7 @@ object IcebergMetadata {
     case _ => None
   }
 
-  private val manifestListSchemaJson: String =
+  private[delta] val manifestListSchemaJson: String =
     """{"type":"record","name":"manifest_file","fields":[
       {"name":"manifest_path","type":"string","field-id":500},
       {"name":"manifest_length","type":"long","field-id":501},
@@ -1285,14 +1287,15 @@ object IcebergMetadata {
 
     // ---- manifests of the current snapshot
     val listPath = snap.get("manifest-list").asText
-    val manifests: Seq[(String, Int, Int)] = {
+    val manifests: Seq[(String, Int, Int, Long)] = {
       val r = DataFileReader.openReader(
         new org.apache.avro.mapred.FsInput(new Path(listPath), hconfRaw),
         new GenericDatumReader[GenericRecord]())
       try r.iterator().asScala.map(m => (
         m.get("manifest_path").toString,
         Option(m.get("content")).map(_.asInstanceOf[Int]).getOrElse(0),
-        Option(m.get("partition_spec_id")).map(_.asInstanceOf[Int]).getOrElse(0)))
+        Option(m.get("partition_spec_id")).map(_.asInstanceOf[Int]).getOrElse(0),
+        Option(m.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)))
         .toList
       finally r.close()
     }
@@ -1310,11 +1313,13 @@ object IcebergMetadata {
       idToField.toSeq.map { case (id, (nm, dt)) => (id, nm, dt) }
 
     // ---- data-manifest entries: DISTRIBUTED, one task per manifest
-    val dataManifests = manifests.collect { case (p, 0, _) => p }
-    val fileRows: Seq[(String, Map[String, String], Long, Long, String)] =
+    // (the per-file SEQUENCE NUMBER rides along: equality deletes apply
+    // only to strictly-older files)
+    val dataManifests = manifests.collect { case (p, 0, _, sq) => (p, sq) }
+    val fileRows: Seq[(String, Map[String, String], Long, Long, String, Long)] =
       spark.sparkContext
         .parallelize(dataManifests, math.max(1, dataManifests.size))
-        .flatMap { p =>
+        .flatMap { case (p, listSeq) =>
           val statsMapper = new ObjectMapper()
           val r = DataFileReader.openReader(
             new org.apache.avro.mapred.FsInput(new Path(p), serConf.value),
@@ -1373,39 +1378,97 @@ object IcebergMetadata {
               Some((df.get("file_path").toString, pvs,
                 df.get("file_size_in_bytes").asInstanceOf[Long],
                 df.get("record_count").asInstanceOf[Long],
-                statsMapper.writeValueAsString(st)))
+                statsMapper.writeValueAsString(st),
+                Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
+                  .getOrElse(listSeq)))
             }
           }.toList
           finally r.close()
         }.collect().toSeq
 
-    // ---- position deletes -> deletion vectors (the inverse of
-    // generate()'s export); equality deletes refuse loudly
-    val deleteFilePaths: Seq[String] = manifests.collect { case (p, 1, _) => p }
-      .flatMap { p =>
-        val r = DataFileReader.openReader(
-          new org.apache.avro.mapred.FsInput(new Path(p), hconfRaw),
-          new GenericDatumReader[GenericRecord]())
-        try r.iterator().asScala
-          .filter(_.get("status").asInstanceOf[Int] != 2)
-          .map { e =>
-            val df = e.get("data_file").asInstanceOf[GenericRecord]
-            val content = df.get("content").asInstanceOf[Int]
-            if (content == 2) throw new UnsupportedOperationException(
-              "Iceberg EQUALITY deletes cannot be converted (position deletes only)")
-            df.get("file_path").toString
-          }.toList
-        finally r.close()
+    // ---- deletes -> deletion vectors. POSITION deletes are the exact
+    // inverse of generate()'s export: (file_path, pos) rows straight
+    // into bitmaps. EQUALITY deletes (the Flink-CDC-written shape) are
+    // RESOLVED to positions first: one distributed join of the delete
+    // rows against the data files' equality columns + row indexes,
+    // null-safe (<=> — Iceberg equality semantics treat NULL as a
+    // match), applied only to files with STRICTLY OLDER sequence
+    // numbers than the delete (the spec's apply rule).
+    val deleteEntries: Seq[(String, Int, Seq[Int], Long)] = // (path, content, eqIds, seq)
+      manifests.collect { case (p, 1, _, listSeq) => (p, listSeq) }
+        .flatMap { case (p, listSeq) =>
+          val r = DataFileReader.openReader(
+            new org.apache.avro.mapred.FsInput(new Path(p), hconfRaw),
+            new GenericDatumReader[GenericRecord]())
+          try r.iterator().asScala
+            .filter(_.get("status").asInstanceOf[Int] != 2)
+            .map { e =>
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              val eqIds = Option(df.get("equality_ids"))
+                .map(_.asInstanceOf[java.util.Collection[Any]]
+                  .iterator().asScala.map(_.asInstanceOf[Int]).toSeq)
+                .getOrElse(Nil)
+              (df.get("file_path").toString,
+                df.get("content").asInstanceOf[Int], eqIds,
+                Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
+                  .getOrElse(listSeq))
+            }.toList
+          finally r.close()
+        }
+    val posDeleteFiles = deleteEntries.collect { case (p, 1, _, _) => p }
+    val eqDeleteFiles = deleteEntries.collect { case (p, 2, ids, sq) => (p, ids, sq) }
+    val posRows: Option[DataFrame] =
+      if (posDeleteFiles.isEmpty) None
+      else Some(spark.read.parquet(posDeleteFiles: _*)
+        .select(DeletionVectors.normFp(col("file_path")).as("fp"),
+          col("pos").cast("long").as("ri")))
+    val eqRows: Option[DataFrame] =
+      if (eqDeleteFiles.isEmpty) None
+      else {
+        if (needsMapping) throw new UnsupportedOperationException(
+          "equality deletes over a name-mapped Iceberg table are not supported")
+        // one scan of the data files (with row indexes) per distinct
+        // equality-column set, joined against that set's delete rows
+        val byIds = eqDeleteFiles.groupBy(_._2)
+        val frames = byIds.map { case (ids, files) =>
+          require(ids.nonEmpty, "equality delete without equality_ids")
+          val eqCols = ids.map(id => idToField.getOrElse(id,
+            throw new IllegalStateException(
+              s"equality field id $id not in schema"))._1)
+          val dels = files.map { case (p, _, sq) =>
+            spark.read.parquet(p).select(eqCols.map(col): _*)
+              .withColumn("__dseq", org.apache.spark.sql.functions.lit(sq))
+          }.reduce(_ unionByName _)
+            .select(eqCols.map(c => col(c).as(s"__d_$c")) :+ col("__dseq"): _*)
+          val dataPaths = fileRows.map(_._1)
+          val fseqDF = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              fileRows.map(r0 => org.apache.spark.sql.Row(
+                r0._1.replaceFirst("^file:/+", "/"), r0._6)),
+              math.max(1, math.min(fileRows.size, 32))),
+            StructType(Seq(StructField("fp", StringType, nullable = false),
+              StructField("__fseq", LongType, nullable = false))))
+          val data = spark.read.parquet(dataPaths: _*)
+            .select(eqCols.map(col) ++ Seq(
+              DeletionVectors.normFp(col("_metadata.file_path")).as("fp"),
+              col("_metadata.row_index").as("ri")): _*)
+            .join(broadcast(fseqDF), Seq("fp"))
+          val cond = eqCols.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _) &&
+            col("__fseq") < col("__dseq")
+          data.join(broadcast(dels), cond, "leftsemi").select(col("fp"), col("ri"))
+        }
+        Some(frames.reduce(_ unionByName _))
       }
+    val allDeleteRows: Option[DataFrame] = (posRows, eqRows) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b).distinct())
+      case (a, b) => a.orElse(b)
+    }
     val dvByFp: Map[String, DeletionVectorDescriptor] =
-      if (deleteFilePaths.isEmpty) Map.empty
-      else DeletionVectors.write(spark, log.dataPath,
-        spark.read.parquet(deleteFilePaths: _*)
-          .select(DeletionVectors.normFp(col("file_path")).as("fp"),
-            col("pos").cast("long").as("ri")))
+      allDeleteRows.map(rows =>
+        DeletionVectors.write(spark, log.dataPath, rows)).getOrElse(Map.empty)
 
     // ---- AddFiles: relative under the root, absolute URIs outside it
-    val adds: Seq[AddFile] = fileRows.map { case (abs, pvs, size, _, stats) =>
+    val adds: Seq[AddFile] = fileRows.map { case (abs, pvs, size, _, stats, _) =>
       val rel = FileNames.underTableRoot(qualifiedRoot, abs)
         .filter(_ != qualifiedRoot.toUri.getPath)
         .map(p => p.substring(qualifiedRoot.toUri.getPath.length + 1))

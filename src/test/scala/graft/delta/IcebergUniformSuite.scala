@@ -465,6 +465,126 @@ class IcebergUniformSuite extends AnyFunSuite {
     assert(back.toDF.count() == 1L)
   }
 
+  test("CONVERT FROM ICEBERG resolves EQUALITY deletes to deletion vectors") {
+    import spark.implicits._
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.file.DataFileWriter
+    val dir = tmp()
+    // an UNPARTITIONED UniForm table: snapshot 2 (seq 2) holds ids 1..6
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    val data = (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v")
+    txn.updateMetadata(Metadata(
+      schemaString = data.schema.json,
+      configuration = Map("delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(data)
+    val metaDir = new java.io.File(dir, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta2 = currentMeta(dir)
+    val idFieldId = meta2.get("schemas").get(0).get("fields").elements().asScala
+      .find(_.get("name").asText == "id").get.get("id").asInt
+
+    // ---- hand-craft what a Flink-style writer would commit next: an
+    // EQUALITY-delete file (ids 2 and 5), its deletes manifest
+    // (entry content=2, equality_ids=[id], seq 3), a new manifest list
+    // carrying the old data manifests + the new deletes manifest, and a
+    // v3 metadata json whose current snapshot (3, seq 3) points at it
+    val eqDir = java.nio.file.Files.createTempDirectory("graft-eqdel")
+    Seq(2L, 5L).toDF("id").coalesce(1).write.mode("overwrite")
+      .parquet(eqDir.toString)
+    val eqParquet = new java.io.File(eqDir.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestEntrySchemaJson(
+        IcebergMetadata.partitionStructSchemaJson(Nil)))
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val eqManifest = new java.io.File(metaDir, "eq-manifest-d0.avro")
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    w.create(entrySchema, eqManifest)
+    val rec = new GenericData.Record(entrySchema)
+    rec.put("status", 1)
+    rec.put("snapshot_id", 3L)
+    rec.put("sequence_number", 3L)
+    val dfr = new GenericData.Record(dfSchema)
+    dfr.put("content", 2) // EQUALITY_DELETES
+    dfr.put("file_path", eqParquet)
+    dfr.put("file_format", "PARQUET")
+    dfr.put("partition", new GenericData.Record(
+      dfSchema.getField("partition").schema()))
+    dfr.put("record_count", 2L)
+    dfr.put("file_size_in_bytes", new java.io.File(eqParquet).length())
+    val idsArrSchema = dfSchema.getField("equality_ids").schema()
+      .getTypes.asScala.find(_.getType == org.apache.avro.Schema.Type.ARRAY).get
+    val idsArr = new GenericData.Array[Any](1, idsArrSchema)
+    idsArr.add(idFieldId)
+    dfr.put("equality_ids", idsArr)
+    rec.put("data_file", dfr)
+    w.append(rec)
+    w.close()
+    // new manifest list = old entries + the deletes manifest (content=1)
+    val curId2 = meta2.get("current-snapshot-id").asLong
+    val oldList = meta2.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == curId2).get
+      .get("manifest-list").asText
+    val oldEntries = avroRecords(oldList)
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestListSchemaJson)
+    val newList = new java.io.File(metaDir, "snap-3-1-eqtest.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](listSchema))
+    lw.create(listSchema, newList)
+    oldEntries.foreach(lw.append)
+    val lrec = new GenericData.Record(listSchema)
+    lrec.put("manifest_path", eqManifest.getAbsolutePath)
+    lrec.put("manifest_length", eqManifest.length())
+    lrec.put("partition_spec_id", 0)
+    lrec.put("content", 1) // DELETES manifest
+    lrec.put("sequence_number", 3L)
+    lrec.put("min_sequence_number", 3L)
+    lrec.put("added_snapshot_id", 3L)
+    lrec.put("added_files_count", 1)
+    lrec.put("existing_files_count", 0)
+    lrec.put("deleted_files_count", 0)
+    lrec.put("added_rows_count", 2L)
+    lrec.put("existing_rows_count", 0L)
+    lrec.put("deleted_rows_count", 0L)
+    lw.append(lrec)
+    lw.close()
+    // v3 metadata: snapshot 3 @ seq 3 over the new list
+    val root = currentMeta(dir).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.put("current-snapshot-id", 3L)
+    root.put("last-sequence-number", 3L)
+    val sn = root.withArray("snapshots").addObject()
+    sn.put("snapshot-id", 3L)
+    sn.put("sequence-number", 3L)
+    sn.put("timestamp-ms", System.currentTimeMillis())
+    sn.putObject("summary").put("operation", "overwrite")
+    sn.put("manifest-list", newList.getAbsolutePath)
+    sn.put("schema-id", root.get("current-schema-id").asInt)
+    java.nio.file.Files.write(metaDir.toPath.resolve("v3.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    // writing through nio bypasses the ChecksumFileSystem — drop the
+    // stale .crc sidecar or the hadoop read of the hint fails
+    java.nio.file.Files.deleteIfExists(
+      metaDir.toPath.resolve(".version-hint.text.crc"))
+    java.nio.file.Files.write(metaDir.toPath.resolve("version-hint.text"),
+      "3".getBytes("UTF-8"))
+
+    // drop the Delta identity and convert: ids 2 and 5 must be gone,
+    // via deletion vectors (no data rewrite)
+    val logDir = new java.io.File(dir, "_delta_log")
+    import scala.jdk.CollectionConverters.{IteratorHasAsScala => _, _}
+    java.nio.file.Files.walk(logDir.toPath).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    val back = DeltaTable.convertFromIceberg(spark, dir)
+    assert(back.toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 4L, 6L))
+    val dvs = back.deltaLog.update().allFiles.flatMap(a => Option(a.deletionVector))
+    assert(dvs.map(_.cardinality).sum == 2L, dvs.toString)
+  }
+
   test("CONVERT FROM ICEBERG time travel: adopt a retained older snapshot") {
     val dir = tmp()
     val t = mkUniform(dir)
