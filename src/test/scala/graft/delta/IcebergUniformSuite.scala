@@ -242,6 +242,37 @@ class IcebergUniformSuite extends AnyFunSuite {
     }
   }
 
+  test("streaming sink commits regenerate Iceberg metadata (commitLarge path)") {
+    import spark.implicits._
+    val dir = tmp()
+    val ckpt = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = Seq((0L, "x")).toDF("id", "v").schema.json,
+      configuration = Map(
+        "delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn.commit(Nil, Op.CreateTable)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream(
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]], spark)
+    src.addData((1L, "a"), (2L, "b"))
+    val q = src.toDF().toDF("id", "v").writeStream
+      .format("graft-delta")
+      .option("checkpointLocation", ckpt)
+      .start(dir)
+    q.processAllAvailable()
+    q.stop()
+    // the streaming commit went through commitLarge; its post-commit
+    // hook must have regenerated the Iceberg view
+    val meta = currentMeta(dir)
+    val entries = currentManifests(meta).flatMap(m =>
+      avroRecords(m.get("manifest_path").toString))
+    assert(entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("record_count").asInstanceOf[Long]).sum == 2L)
+    assert(meta.get("current-snapshot-id").asLong ==
+      t.deltaLog.update().version + 1)
+  }
+
   test("SQL GENERATE iceberg_metadata; summary operation tracks the Delta commit kind") {
     import spark.implicits._
     val dir = tmp()
