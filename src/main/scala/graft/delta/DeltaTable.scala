@@ -1325,12 +1325,29 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // snapshots — a foreign reader's time travel would break silently.
     // Expire every non-current Iceberg snapshot (retention 0), the
     // Iceberg mirror of what this vacuum just did to Delta history.
-    if (!dryRun && deletedCount > 0 && icebergMeta)
-      try IcebergMetadata.generate(spark, deltaLog, deltaLog.update(), Some(0L))
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(
-          s"WARN graft: post-VACUUM Iceberg snapshot expiry failed: ${e.getMessage}")
-      }
+    // Gated on the table actually being UniForm: a FOREIGN metadata/
+    // dir (e.g. a table adopted via convertFromIceberg, which does not
+    // set the property) doesn't follow generate()'s naming conventions —
+    // snapshot ids are arbitrary longs, so regenerating + sweeping there
+    // would clobber the foreign view instead of trimming ours. Warn
+    // loudly instead: the foreign snapshot may now reference vacuumed
+    // files, and only its owner can expire it.
+    if (!dryRun && deletedCount > 0 && icebergMeta) {
+      val uniform = deltaLog.update().metadataOpt.exists(m =>
+        DeltaConfig.UniversalFormats.fromMetadata(m).contains("iceberg"))
+      if (uniform)
+        try IcebergMetadata.generate(spark, deltaLog, deltaLog.update(), Some(0L))
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"WARN graft: post-VACUUM Iceberg snapshot expiry failed: ${e.getMessage}")
+        }
+      else System.err.println(
+        "WARN graft: VACUUM removed files under a table with a foreign " +
+          "Iceberg metadata/ dir (delta.universalFormat.enabledFormats " +
+          "does not include iceberg); its snapshots were NOT expired and " +
+          "may reference the deleted files — expire them with the engine " +
+          "that owns that metadata")
+    }
     VacuumResult(deletedCount + dvDeleted.size,
       (deletedSample ++ dvDeleted).take(reportLimit))
   }
@@ -2625,12 +2642,16 @@ object DeltaTable {
       q.substring(base.length + 1)
     }
     require(rels.nonEmpty, s"no parquet files found at $path")
-    // size / mtime / footer stats on executors, like the write path —
-    // the driver never opens a footer
+    // size / mtime / footer stats AND the AddFile actions themselves are
+    // built on executors, like the write path — the driver never opens a
+    // footer, and past the streaming threshold never holds the action
+    // list either (commitLarge streams from the Dataset iterator, A29)
     val serConf = new SerializableHadoopConf(conf)
     val confB = spark.sparkContext.broadcast(serConf)
-    val infos = spark.sparkContext
-      .parallelize(rels, math.max(1, math.min(rels.size, 32)))
+    val partColSet = partCols.toSet
+    import spark.implicits._
+    val addsDS = spark.createDataset(
+      spark.sparkContext.parallelize(rels, math.max(1, math.min(rels.size, 32))))
       .map { r =>
         val c = confB.value.value
         val p = new Path(new Path(base), r)
@@ -2638,27 +2659,32 @@ object DeltaTable {
         val stats = // config default: the converted table has no metadata yet
           try Stats.fromFooter(c, p, dataSchema, Nil, numIndexedCols = 32)
           catch { case _: Exception => null }
-        (r, st.getLen, st.getModificationTime, stats)
-      }.collect().toSeq
-    val adds = infos.map { case (r, len, mtime, stats) =>
-      val partitionValues = r.split('/').dropRight(1).collect {
-        case d if d.contains("=") =>
-          val Array(k, v) = d.split("=", 2)
-          k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
-                else FileNames.percentDecode(v))
-      }.toMap
-      require(partitionValues.keySet == partCols.toSet,
-        s"file $r partition dirs ${partitionValues.keySet} != discovered $partCols")
-      AddFile(FileNames.encodeRelative(r), partitionValues, len, mtime,
-        dataChange = true, stats = stats)
-    }
+        val partitionValues = r.split('/').dropRight(1).collect {
+          case d if d.contains("=") =>
+            val Array(k, v) = d.split("=", 2)
+            k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
+                  else FileNames.percentDecode(v))
+        }.toMap
+        require(partitionValues.keySet == partColSet,
+          s"file $r partition dirs ${partitionValues.keySet} != discovered $partColSet")
+        AddFile(FileNames.encodeRelative(r), partitionValues, st.getLen,
+          st.getModificationTime, dataChange = true, stats = stats)
+      }
     val txn = log.startTransaction()
     txn.updateMetadata(Metadata(
       schemaString = fullSchema.json,
       partitionColumns = partCols,
       createdTime = Some(log.clock.nowMillis)))
-    txn.commit(adds, Op.Convert,
-      operationParameters = Map("numFiles" -> adds.size.toString))
+    val streamThreshold = spark.conf.get(
+      "spark.graft.convert.streamCommitThreshold", "50000").toLong
+    if (rels.size > streamThreshold) {
+      import scala.jdk.CollectionConverters._
+      txn.commitLarge(addsDS.toLocalIterator().asScala.map(a => a: Action),
+        Op.Convert, operationParameters = Map(
+          "numFiles" -> rels.size.toString, "streamed" -> "true"))
+    } else
+      txn.commit(addsDS.collect().toSeq, Op.Convert,
+        operationParameters = Map("numFiles" -> rels.size.toString))
     new DeltaTable(spark, log)
   }
 
@@ -2739,24 +2765,24 @@ object DeltaTable {
     // INT96 default: the Iceberg spec forbids INT96, and the enablement
     // gate (OptimisticTransaction) guarantees every file of a
     // timestamp-bearing UniForm table went through THIS stamped path.
-    // (prepareWrite re-reads the session conf, so the hadoop-conf route
-    // can't override it; snapshot explicit-only via getAll — a
-    // registered default must not materialize as an explicit setting.)
-    val tsKey = "spark.sql.parquet.outputTimestampType"
+    // prepareWrite re-reads the SESSION conf (the hadoop-conf route
+    // can't override it), so the key is pinned on a CLONED session
+    // handed to the write job — never set/restored on the shared
+    // session, where a concurrent write's restore could unset it inside
+    // this write's window and silently land INT96 in a UniForm table.
     val stampMicros =
       DeltaConfig.UniversalFormats.fromMetadata(md).contains("iceberg")
-    val prevTs = if (stampMicros) spark.conf.getAll.get(tsKey) else None
-    if (stampMicros) spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    val writeSpark =
+      if (!stampMicros) spark
+      else org.apache.spark.sql.GraftShims.sessionWithConf(spark, Map(
+        "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS"))
     try org.apache.spark.sql.GraftShims.writeParquetDirect(
-      spark, df, dataPath.toString, partCols, committer, bloomConf)
+      writeSpark, df, dataPath.toString, partCols, committer, bloomConf)
     catch { case t: Throwable =>
       // surface enforcement raise_errors as one typed exception, whether
       // they fired in the write job or at plan time on the driver
       Constraints.unwrap(t).foreach(throw _)
       throw t
-    } finally if (stampMicros) prevTs match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
     }
     val rels = committer.addedFiles()
     if (rels.isEmpty) return Nil

@@ -29,6 +29,43 @@ final case class IcebergManifestSummary(path: String, length: Long,
     existingFileCount: Long = 0L, existingRowCount: Long = 0L,
     minSeq: Option[Long] = None)
 
+/** One manifest-list entry of the PREVIOUS generation, parsed in full on
+  * the driver: the reuse pool. A prev data manifest whose entries are all
+  * still live is carried into the new manifest list BY REFERENCE — same
+  * path, original added_snapshot_id / sequence numbers / counts /
+  * partition summaries (Iceberg manifests are immutable and designed for
+  * exactly this reuse; incremental readers skip reused manifests
+  * wholesale by added_snapshot_id).
+  */
+private[delta] final case class PrevManifest(path: String, length: Long,
+    specId: Int, content: Int, seq: Long, minSeq: Long, addedSnapId: Long,
+    addedFiles: Int, existingFiles: Int, deletedFiles: Int,
+    addedRows: Long, existingRows: Long, deletedRows: Long,
+    partSummaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])])
+
+private[delta] object PrevManifest {
+  def of(r: GenericRecord): PrevManifest = {
+    def l(n: String) = Option(r.get(n)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    def i(n: String) = Option(r.get(n)).map(_.asInstanceOf[Int]).getOrElse(0)
+    val parts = Option(r.get("partitions")).map(_
+      .asInstanceOf[java.util.Collection[GenericRecord]]
+      .iterator().asScala.map { p =>
+        def b(n: String) = Option(p.get(n)).map { v =>
+          val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+          val a = new Array[Byte](bb.remaining()); bb.get(a); a
+        }
+        (p.get("contains_null").asInstanceOf[Boolean],
+          b("lower_bound"), b("upper_bound"))
+      }.toList).getOrElse(Nil)
+    PrevManifest(r.get("manifest_path").toString, l("manifest_length"),
+      i("partition_spec_id"), i("content"), l("sequence_number"),
+      l("min_sequence_number"), l("added_snapshot_id"),
+      i("added_files_count"), i("existing_files_count"),
+      i("deleted_files_count"), l("added_rows_count"),
+      l("existing_rows_count"), l("deleted_rows_count"), parts)
+  }
+}
+
 /** UniForm-style Iceberg metadata generation (delta-spark's
   * `delta.universalFormat.enabledFormats=iceberg` surface; public
   * Iceberg table spec v2): after a Delta commit, emit Iceberg table
@@ -56,18 +93,28 @@ final case class IcebergManifestSummary(path: String, length: Long,
   * `delta.logRetentionDuration` cadence, and each generation sweeps
   * metadata files no retained snapshot references.
   *
+  * Generation is INCREMENTAL (r18): a previous-generation data manifest
+  * whose entries are ALL still live is referenced verbatim in the new
+  * manifest list (identical path — Iceberg manifests are immutable and
+  * the spec expects this reuse), so an append-only commit writes one
+  * new manifest of just its own files and rewrites nothing; only
+  * manifests that LOST a file are rewritten, their survivors entering
+  * as EXISTING with original snapshot/sequence. Position-delete files
+  * and their manifest are likewise carried forward by reference while
+  * the live DV set is unchanged (content fingerprint in the snapshot
+  * summary), so append commits skip the O(all-DVs) re-decode. Past
+  * `spark.graft.iceberg.maxDataManifests` (default 64) data manifests,
+  * one generation skips reuse and does a full partition-clustered
+  * rewrite — the manifest-compaction maintenance action, amortized.
+  *
   * Honest simplifications vs the full UniForm implementation, each
   * loud or documented:
-  *  - every generation writes a FULL manifest set for the current
-  *    snapshot, but entries carry faithful lineage: files the previous
-  *    generation listed are EXISTING with their original snapshot-id
-  *    and sequence number, so incremental consumers see only each
-  *    snapshot's truly-new files (REMOVED files simply disappear — no
+  *  - REMOVED files simply disappear from the manifest set — no
   *    DELETED tombstone entries; incremental delete consumers must
   *    fall back on overwrite/replace snapshots, which the snapshot
-  *    summary operation flags);
-  *  - position-delete files regenerate (new UUIDs, ADDED) on every
-  *    generation — bounded by the DV'd-file count;
+  *    summary operation flags;
+  *  - when the DV set changes, ALL position-delete files regenerate
+  *    (new UUIDs, ADDED) — bounded by the DV'd-file count;
   *  - timestamp columns require the table to have been UniForm from
   *    before its first file (this engine then writes TIMESTAMP_MICROS
   *    parquet instead of Spark's INT96 default); on-demand generation
@@ -135,7 +182,7 @@ object IcebergMetadata {
     var cps = prefix.codePoints().toArray
     while (cps.nonEmpty) {
       val last = cps(cps.length - 1)
-      if (last < 0x10ffff && !(last >= 0xd7ff && last < 0xe000)) {
+      if (last < 0x10ffff && !(last >= 0xd800 && last < 0xe000)) {
         // skip into the surrogate gap: 0xD800-0xDFFF are not scalar values
         val inc = if (last == 0xd7ff) 0xe000 else last + 1
         cps(cps.length - 1) = inc
@@ -489,8 +536,23 @@ object IcebergMetadata {
       else {
         val prevN = new String(readAll(fs, hintPath), StandardCharsets.UTF_8).trim.toLong
         val prevMeta = new Path(dir, s"v$prevN.metadata.json")
-        if (fs.exists(prevMeta)) Some(mapper.readTree(readAll(fs, prevMeta)))
-        else None
+        if (fs.exists(prevMeta)) {
+          val p = mapper.readTree(readAll(fs, prevMeta))
+          // self-generated metadata satisfies current-snapshot-id == N (the
+          // hint): snapshot ids here are delta-version+1 by construction. A
+          // FOREIGN metadata dir (arbitrary snapshot ids — e.g. left behind
+          // by convertFromIceberg) must not be built upon: the snapshot
+          // carry-forward, v<id>.metadata.json keep-set and metadata-log
+          // reconstruction all assume our naming, so generating over it
+          // would sweep the foreign table's own files. Refuse loudly.
+          if (Option(p.get("current-snapshot-id")).forall(_.asLong != prevN))
+            throw new UnsupportedOperationException(
+              s"metadata/ at ${log.dataPath} was not generated by this " +
+                "engine (current-snapshot-id != version hint); refusing to " +
+                "build on foreign Iceberg metadata — move it aside (delete " +
+                "metadata/) to regenerate from scratch")
+          Some(p)
+        } else None
       }
     val prevSchemas: Seq[JsonNode] = prev.toSeq.flatMap(p =>
       Option(p.get("schemas")).toSeq.flatMap(_.elements().asScala))
@@ -570,58 +632,110 @@ object IcebergMetadata {
     // data manifests, DISTRIBUTED — one task per manifest — and joined
     // against the current file set; never driver-sized), so an Iceberg
     // incremental reader sees only the truly-new files of each snapshot
-    val prevFileInfo: Option[DataFrame] = prev.flatMap { p =>
-      val prevListPath = p.get("snapshots").elements().asScala
+    // previous generation's manifest-list entries, parsed in full on the
+    // driver (O(#manifests)): both the lineage source and the REUSE pool
+    val prevList: Seq[PrevManifest] = prev.toSeq.flatMap { p =>
+      p.get("snapshots").elements().asScala
         .find(_.get("snapshot-id").asLong == p.get("current-snapshot-id").asLong)
-        .map(_.get("manifest-list").asText)
-      prevListPath.flatMap { lp =>
-        try {
-          val r = DataFileReader.openReader(
-            new org.apache.avro.mapred.FsInput(new Path(lp), fs.getConf),
-            new GenericDatumReader[GenericRecord]())
-          val dataMs =
-            try r.iterator().asScala
-              .filter(m => Option(m.get("content"))
-                .forall(_.asInstanceOf[Int] == 0))
-              .map(m => (m.get("manifest_path").toString,
-                Option(m.get("sequence_number"))
-                  .map(_.asInstanceOf[Long]).getOrElse(0L)))
-              .toList
+        .map(_.get("manifest-list").asText).toSeq.flatMap { lp =>
+          try {
+            val r = DataFileReader.openReader(
+              new org.apache.avro.mapred.FsInput(new Path(lp), fs.getConf),
+              new GenericDatumReader[GenericRecord]())
+            try r.iterator().asScala.map(PrevManifest.of).toList
             finally r.close()
-          if (dataMs.isEmpty) None
-          else Some(spark.sparkContext
-            .parallelize(dataMs, math.max(1, dataMs.size))
-            .flatMap { case (mp, listSeq) =>
-              val mr = DataFileReader.openReader(
-                new org.apache.avro.mapred.FsInput(new Path(mp), hconf.value),
-                new GenericDatumReader[GenericRecord]())
-              try mr.iterator().asScala
-                .filter(_.get("status").asInstanceOf[Int] != 2)
-                .map { e =>
-                  val df = e.get("data_file").asInstanceOf[GenericRecord]
-                  (df.get("file_path").toString,
-                    Option(e.get("snapshot_id")).map(_.asInstanceOf[Long])
-                      .getOrElse(0L),
-                    Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
-                      .getOrElse(listSeq))
-                }.toList
-              finally mr.close()
-            }.toDF("fp", "prev_snap", "prev_seq"))
-        } catch { case scala.util.control.NonFatal(_) => None }
-        // unreadable prev generation: fall back to all-ADDED (full-scan
-        // readers unaffected; incremental ones re-see old files once)
-      }
+          } catch { case scala.util.control.NonFatal(_) => Nil }
+          // unreadable prev generation: fall back to all-ADDED, no reuse
+          // (full-scan readers unaffected; incremental ones re-see old
+          // files once)
+        }
     }
+    val prevDataMs = prevList.filter(_.content == 0)
+    val prevFileInfo: Option[DataFrame] =
+      if (prevDataMs.isEmpty) None
+      else Some(spark.sparkContext
+        .parallelize(prevDataMs.map(m => (m.path, m.seq)),
+          math.max(1, prevDataMs.size))
+        .flatMap { case (mp, listSeq) =>
+          val mr = DataFileReader.openReader(
+            new org.apache.avro.mapred.FsInput(new Path(mp), hconf.value),
+            new GenericDatumReader[GenericRecord]())
+          try mr.iterator().asScala
+            .filter(_.get("status").asInstanceOf[Int] != 2)
+            .map { e =>
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              (mp, df.get("file_path").toString,
+                Option(e.get("snapshot_id")).map(_.asInstanceOf[Long])
+                  .getOrElse(0L),
+                Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
+                  .getOrElse(listSeq))
+            }.toList
+          finally mr.close()
+        }.toDF("mp", "fp", "prev_snap", "prev_seq")
+        // read three times below (reuse vote, lineage join, pool
+        // anti-join) — cache so the Avro manifests are opened once
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val rootForKey = dataRoot
     val keyedFiles = snapshot.allFilesDS
       .map(a => (FileNames.absolutePathString(new Path(rootForKey), a.path), a))
       .toDF("fp", "add")
-    val withPrev = prevFileInfo match {
-      case Some(pi) => keyedFiles.join(pi, Seq("fp"), "left")
+
+    // ---- manifest REUSE vote: a prev data manifest is carried forward
+    // by reference iff every entry it lists is still live. Reuse is
+    // valid only under an unchanged partition spec, and is skipped for
+    // one generation past the manifest-count threshold — that
+    // generation does a full partition-clustered rewrite, compacting
+    // the list (the Iceberg manifest-rewrite maintenance action).
+    val maxDataManifests = spark.conf.get(
+      "spark.graft.iceberg.maxDataManifests", "64").toInt
+    val specUnchanged = prev.exists { p =>
+      val prevSpecId = Option(p.get("default-spec-id")).map(_.asInt).getOrElse(0)
+      Option(p.get("partition-specs")).exists(_.elements().asScala.exists(s =>
+        s.get("spec-id").asInt == prevSpecId &&
+          s.get("fields") == mapper.readTree(specFieldsJson)))
+    }
+    val reuseCandidates = specUnchanged && prevDataMs.size < maxDataManifests
+    val reusableMps: Set[String] = prevFileInfo match {
+      case Some(pi) if reuseCandidates =>
+        val live = keyedFiles.select(col("fp"))
+          .withColumn("__live", org.apache.spark.sql.functions.lit(1))
+        pi.join(live, Seq("fp"), "left")
+          .groupBy(col("mp"))
+          .agg(org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.coalesce(col("__live"),
+              org.apache.spark.sql.functions.lit(0))).as("allLive"))
+          .collect()
+          .collect { case r if r.getInt(1) == 1 => r.getString(0) }.toSet
+      case _ => Set.empty
+    }
+    val withPrev0 = prevFileInfo match {
+      // a corrupted/racing prior generation could double-list a path
+      // across its manifests; dedup on fp (keep the OLDEST sequence —
+      // the original lineage) so the left join can never fan out an
+      // AddFile into duplicate manifest entries
+      case Some(pi) =>
+        val piDedup = pi
+          .groupBy(col("fp"))
+          .agg(org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.struct(
+              col("prev_seq"), col("prev_snap"))).as("__ps"))
+          .select(col("fp"), col("__ps.prev_snap").as("prev_snap"),
+            col("__ps.prev_seq").as("prev_seq"))
+        keyedFiles.join(piDedup, Seq("fp"), "left")
       case None => keyedFiles
         .withColumn("prev_snap", org.apache.spark.sql.functions.lit(null).cast("long"))
         .withColumn("prev_seq", org.apache.spark.sql.functions.lit(null).cast("long"))
     }
+    // the REWRITE pool: live files not covered by a reused manifest —
+    // truly-new files (ADDED) plus the survivors of rewritten manifests
+    // (EXISTING with original lineage). An append-only commit's pool is
+    // exactly its own files.
+    val withPrev =
+      if (reusableMps.isEmpty) withPrev0
+      else withPrev0.join(
+        prevFileInfo.get.filter(col("mp").isInCollection(reusableMps))
+          .select(col("fp")).distinct(),
+        Seq("fp"), "left_anti")
     // cluster manifests BY THE FULL PARTITION TUPLE (one metadata-sized
     // shuffle): a manifest covering one partition value gets tight
     // field_summary bounds on EVERY partition column, so Iceberg
@@ -777,6 +891,7 @@ object IcebergMetadata {
             if (minSeq == Long.MaxValue) None else Some(minSeq)))
         }
       }.collect().toSeq
+    prevFileInfo.foreach(_.unpersist())
 
     // ---- position deletes: every live deletion vector becomes rows of
     // an Iceberg v2 position-delete parquet file (file_path, pos), so a
@@ -790,8 +905,31 @@ object IcebergMetadata {
     val dvFiles: Seq[AddFile] =
       snapshot.allFilesDS.filter(_.deletionVector != null).collect().toSeq
     val deleteSpecId = if (partCols.isEmpty) 0 else 1
+    // content fingerprint of the live DV set (descriptors uniquely
+    // determine the position-delete rows): when unchanged since the
+    // previous generation, its delete manifest AND delete parquet files
+    // are carried forward by reference — append commits skip the
+    // O(all-DVs) re-decode entirely. Recorded in the snapshot summary.
+    val dvFingerprint: String =
+      if (dvFiles.isEmpty) ""
+      else {
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+        dvFiles.map(f => s"${f.path}|${f.deletionVector.storageType}|" +
+            s"${f.deletionVector.pathOrInlineDv}|${f.deletionVector.offset}|" +
+            s"${f.deletionVector.sizeInBytes}|${f.deletionVector.cardinality}")
+          .sorted.foreach(s => md5.update(s.getBytes(StandardCharsets.UTF_8)))
+        java.util.Base64.getEncoder.encodeToString(md5.digest())
+      }
+    val prevDvFp: Option[String] = prev.flatMap(p =>
+      p.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong == p.get("current-snapshot-id").asLong)
+        .flatMap(s => Option(s.get("summary"))
+          .flatMap(su => Option(su.get("graft.dv-fingerprint")).map(_.asText))))
+    val prevDeleteMs = prevList.filter(_.content == 1)
+    val reuseDeletes = dvFiles.nonEmpty && specUnchanged &&
+      prevDeleteMs.nonEmpty && prevDvFp.contains(dvFingerprint)
     val deleteFiles: Seq[(String, Long, Long)] = // (path, length, rowCount)
-      if (dvFiles.isEmpty) Nil
+      if (dvFiles.isEmpty || reuseDeletes) Nil
       else {
         val pathPairs = dvFiles.map { f =>
           val abs = FileNames.absolutePathString(log.dataPath, f.path)
@@ -896,28 +1034,55 @@ object IcebergMetadata {
       rec.put("deleted_rows_count", 0L)
       rec
     }
+    def partArray(ps: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])]):
+        GenericData.Array[GenericRecord] = {
+      val arrSchema = listSchema.getField("partitions").schema()
+        .getTypes.asScala
+        .find(_.getType == org.apache.avro.Schema.Type.ARRAY).get
+      val elemSchema = arrSchema.getElementType
+      val arr = new GenericData.Array[GenericRecord](ps.length, arrSchema)
+      ps.foreach { case (cn, lob, hib) =>
+        val r = new GenericData.Record(elemSchema)
+        r.put("contains_null", cn)
+        r.put("lower_bound", lob.map(java.nio.ByteBuffer.wrap).orNull)
+        r.put("upper_bound", hib.map(java.nio.ByteBuffer.wrap).orNull)
+        arr.add(r)
+      }
+      arr
+    }
+    // reused manifests (data manifests whose entries are all still live;
+    // the delete manifest when the DV set is unchanged): referenced by
+    // their ORIGINAL path with original snapshot/sequence/counts — the
+    // incremental-generation core. Iceberg readers treat the list as the
+    // complete truth of the snapshot; reused entries resolve exactly as
+    // they did in the generation that wrote them.
+    prevList.filter(m => (m.content == 0 && reusableMps.contains(m.path)) ||
+        (m.content == 1 && reuseDeletes))
+      .foreach { m =>
+        val rec = new GenericData.Record(listSchema)
+        rec.put("manifest_path", m.path)
+        rec.put("manifest_length", m.length)
+        rec.put("partition_spec_id", m.specId)
+        rec.put("content", m.content)
+        rec.put("sequence_number", m.seq)
+        rec.put("min_sequence_number", m.minSeq)
+        rec.put("added_snapshot_id", m.addedSnapId)
+        rec.put("added_files_count", m.addedFiles)
+        rec.put("existing_files_count", m.existingFiles)
+        rec.put("deleted_files_count", m.deletedFiles)
+        rec.put("added_rows_count", m.addedRows)
+        rec.put("existing_rows_count", m.existingRows)
+        rec.put("deleted_rows_count", m.deletedRows)
+        if (m.partSummaries.nonEmpty) rec.put("partitions", partArray(m.partSummaries))
+        lw.append(rec)
+      }
     summaries.foreach { m =>
       val rec = listEntry(m.path, m.length, 0, 0, m.fileCount, m.rowCount,
         m.existingFileCount, m.existingRowCount, m.minSeq)
       // field_summary per identity-partition column: planning can skip
       // this whole manifest when a partition predicate falls outside
       // [lower, upper] — never opening it
-      if (partCols.nonEmpty) {
-        val arrSchema = listSchema.getField("partitions").schema()
-          .getTypes.asScala
-          .find(_.getType == org.apache.avro.Schema.Type.ARRAY).get
-        val elemSchema = arrSchema.getElementType
-        val arr = new GenericData.Array[GenericRecord](
-          m.partSummaries.length, arrSchema)
-        m.partSummaries.foreach { case (cn, lob, hib) =>
-          val r = new GenericData.Record(elemSchema)
-          r.put("contains_null", cn)
-          r.put("lower_bound", lob.map(java.nio.ByteBuffer.wrap).orNull)
-          r.put("upper_bound", hib.map(java.nio.ByteBuffer.wrap).orNull)
-          arr.add(r)
-        }
-        rec.put("partitions", arr)
-      }
+      if (partCols.nonEmpty) rec.put("partitions", partArray(m.partSummaries))
       lw.append(rec)
     }
     deleteManifest.foreach { case (p, len, nFiles, nRows) =>
@@ -1000,7 +1165,11 @@ object IcebergMetadata {
       case Op.Truncate => "delete"
       case _ => "overwrite"
     }
-    sn.putObject("summary").put("operation", icebergOp)
+    val sumNode = sn.putObject("summary")
+    sumNode.put("operation", icebergOp)
+    // DV-set fingerprint: the next generation reuses the delete manifest
+    // + delete parquet files by reference when this is unchanged
+    if (dvFiles.nonEmpty) sumNode.put("graft.dv-fingerprint", dvFingerprint)
     sn.put("manifest-list", listPath.toString)
     sn.put("schema-id", schemaId)
     val retainedIds = snaps.elements().asScala.map(_.get("snapshot-id").asLong).toSet
@@ -1200,10 +1369,30 @@ object IcebergMetadata {
     * non-identity partition transforms, equality deletes, manifests
     * under a non-default partition spec, unsupported types.
     */
+  /** Table-config key remembering the last adopted/synced Iceberg
+    * snapshot id — the re-sync guard and no-op detector.
+    */
+  private[delta] val SyncMarkerKey = "graft.convert.icebergSnapshotId"
+
   def convertFrom(spark: SparkSession, log: DeltaLog,
       asOfSnapshotId: Option[Long] = None): Long = {
-    require(!log.tableExists,
-      s"${log.dataPath} is already a graft-delta table")
+    // RE-SYNC mode (incremental): an already-adopted table (it carries
+    // the SyncMarkerKey) re-reads the Iceberg metadata and commits ONLY
+    // the diff — new files as adds, vanished files as removes, changed
+    // delete sets as fresh DVs — so a mirrored Flink-written table stays
+    // consumable as Delta at O(changed files) per sync. Mirror
+    // semantics: the Delta view is made EQUAL to the Iceberg snapshot;
+    // Delta-side divergence since the last sync is overwritten.
+    val existingSnap: Option[Snapshot] =
+      if (!log.tableExists) None
+      else {
+        val s = log.update()
+        require(s.metadata.configuration.contains(SyncMarkerKey),
+          s"${log.dataPath} is already a graft-delta table that was NOT " +
+            "adopted from Iceberg; refusing to overwrite it with a convert " +
+            "— re-sync is only valid for tables created by convertFromIceberg")
+        Some(s)
+      }
     val hconfRaw = spark.sessionState.newHadoopConf()
     val dir = metadataDir(log)
     val fs = dir.getFileSystem(hconfRaw)
@@ -1225,6 +1414,11 @@ object IcebergMetadata {
           s"Iceberg snapshot $curId not retained in metadata (available: " +
             meta.get("snapshots").elements().asScala
               .map(_.get("snapshot-id").asLong).mkString(", ") + ")"))
+    // re-sync no-op: the Delta state already mirrors this snapshot
+    existingSnap.foreach { s =>
+      if (s.metadata.configuration.get(SyncMarkerKey).contains(curId.toString))
+        return s.version
+    }
 
     // ---- schema: the snapshot's schema (falling back to current)
     val schemaId = Option(snap.get("schema-id")).map(_.asInt)
@@ -1267,7 +1461,12 @@ object IcebergMetadata {
         "delta.columnMapping.maxColumnId" ->
           meta.get("last-column-id").asInt.toString)
 
-    // ---- partition spec: identity transforms only
+    // ---- partition spec: identity transforms become Delta partition
+    // columns. NON-identity transforms (bucket/truncate/days/… — the
+    // Iceberg default idiom) are adopted as DATA-ONLY: the source column
+    // stays a regular column, partition pruning on the transform is lost
+    // but stats-based skipping survives via the manifest bounds —
+    // adoption over refusal. `void` fields are dropped spec fields.
     val specId = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
     val specFields: Seq[JsonNode] = Option(meta.get("partition-specs"))
       .flatMap(_.elements().asScala.find(_.get("spec-id").asInt == specId))
@@ -1275,15 +1474,25 @@ object IcebergMetadata {
       .orElse(Option(meta.get("partition-spec"))
         .map(_.elements().asScala.toSeq)) // v1 legacy
       .getOrElse(Nil)
-    val partCols: Seq[(String, DataType)] = specFields.map { f =>
+    // (structFieldName, columnName, type): the manifest partition struct
+    // is keyed by the SPEC FIELD name, Delta partitionValues by column
+    val partColsFull: Seq[(String, String, DataType)] = specFields.flatMap { f =>
       val tr = f.get("transform").asText
-      if (tr != "identity") throw new UnsupportedOperationException(
-        s"unsupported Iceberg partition transform '$tr' (identity only)")
-      val (nm, dt) = idToField.getOrElse(f.get("source-id").asInt,
-        throw new IllegalStateException(
-          s"partition source-id ${f.get("source-id").asInt} not in schema"))
-      (nm, dt)
+      if (tr == "identity") {
+        val (nm, dt) = idToField.getOrElse(f.get("source-id").asInt,
+          throw new IllegalStateException(
+            s"partition source-id ${f.get("source-id").asInt} not in schema"))
+        Some((f.get("name").asText, nm, dt))
+      } else {
+        if (tr != "void") System.err.println(
+          s"WARN graft: Iceberg partition transform '$tr' on field " +
+            s"'${f.get("name").asText}' adopted as data-only — partition " +
+            "pruning on it is lost; stats-based skipping still applies")
+        None
+      }
     }
+    val partCols: Seq[(String, DataType)] =
+      partColsFull.map { case (_, nm, dt) => (nm, dt) }
 
     // ---- manifests of the current snapshot
     val listPath = snap.get("manifest-list").asText
@@ -1308,15 +1517,18 @@ object IcebergMetadata {
     val qualifiedRoot = fs.makeQualified(log.dataPath)
     val rootStr = qualifiedRoot.toString
     val serConf = new SerializableHadoopConf(hconfRaw)
-    val partMeta = partCols
+    val partMeta = partColsFull
     val statsFields: Seq[(Int, String, DataType)] =
       idToField.toSeq.map { case (id, (nm, dt)) => (id, nm, dt) }
 
     // ---- data-manifest entries: DISTRIBUTED, one task per manifest
     // (the per-file SEQUENCE NUMBER rides along: equality deletes apply
-    // only to strictly-older files)
+    // only to strictly-older files). The rows stay an RDD — cached, NOT
+    // collected: the commit streams AddFiles from it (commitLarge past
+    // the threshold), so a 10^7-file adoption never materializes
+    // O(#files) stats JSON on the driver.
     val dataManifests = manifests.collect { case (p, 0, _, sq) => (p, sq) }
-    val fileRows: Seq[(String, Map[String, String], Long, Long, String, Long)] =
+    val fileRows: org.apache.spark.rdd.RDD[(String, Map[String, String], Long, Long, String, Long)] =
       spark.sparkContext
         .parallelize(dataManifests, math.max(1, dataManifests.size))
         .flatMap { case (p, listSeq) =>
@@ -1333,9 +1545,12 @@ object IcebergMetadata {
                 .forall(_.asInstanceOf[Int] == 0), s"non-data file in data manifest $p")
               val pvs: Map[String, String] = {
                 val struct = df.get("partition").asInstanceOf[GenericRecord]
-                partMeta.map { case (nm, dt) =>
-                  val v = struct.get(nm)
-                  nm -> (if (v == null) null else dt match {
+                partMeta.map { case (structNm, colNm, dt) =>
+                  val v =
+                    if (struct.getSchema.getField(structNm) != null)
+                      struct.get(structNm)
+                    else struct.get(colNm) // older writers key by column
+                  colNm -> (if (v == null) null else dt match {
                     case DateType => java.time.LocalDate
                       .ofEpochDay(v.asInstanceOf[Int].toLong).toString
                     case _ => v.toString
@@ -1384,7 +1599,9 @@ object IcebergMetadata {
             }
           }.toList
           finally r.close()
-        }.collect().toSeq
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fileCount = fileRows.count()
+    require(fileCount > 0, s"Iceberg snapshot $curId lists no data files")
 
     // ---- deletes -> deletion vectors. POSITION deletes are the exact
     // inverse of generate()'s export: (file_path, pos) rows straight
@@ -1394,7 +1611,7 @@ object IcebergMetadata {
     // null-safe (<=> — Iceberg equality semantics treat NULL as a
     // match), applied only to files with STRICTLY OLDER sequence
     // numbers than the delete (the spec's apply rule).
-    val deleteEntries: Seq[(String, Int, Seq[Int], Long)] = // (path, content, eqIds, seq)
+    val deleteEntries: Seq[(String, Int, Seq[Int], Long, Long)] = // (path, content, eqIds, seq, bytes)
       manifests.collect { case (p, 1, _, listSeq) => (p, listSeq) }
         .flatMap { case (p, listSeq) =>
           val r = DataFileReader.openReader(
@@ -1411,12 +1628,13 @@ object IcebergMetadata {
               (df.get("file_path").toString,
                 df.get("content").asInstanceOf[Int], eqIds,
                 Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
-                  .getOrElse(listSeq))
+                  .getOrElse(listSeq),
+                df.get("file_size_in_bytes").asInstanceOf[Long])
             }.toList
           finally r.close()
         }
-    val posDeleteFiles = deleteEntries.collect { case (p, 1, _, _) => p }
-    val eqDeleteFiles = deleteEntries.collect { case (p, 2, ids, sq) => (p, ids, sq) }
+    val posDeleteFiles = deleteEntries.collect { case (p, 1, _, _, _) => p }
+    val eqDeleteFiles = deleteEntries.collect { case (p, 2, ids, sq, b) => (p, ids, sq, b) }
     val posRows: Option[DataFrame] =
       if (posDeleteFiles.isEmpty) None
       else Some(spark.read.parquet(posDeleteFiles: _*)
@@ -1427,35 +1645,20 @@ object IcebergMetadata {
       else {
         if (needsMapping) throw new UnsupportedOperationException(
           "equality deletes over a name-mapped Iceberg table are not supported")
-        // one scan of the data files (with row indexes) per distinct
-        // equality-column set, joined against that set's delete rows
+        // one scan of the older data files (with row indexes) per distinct
+        // equality-column set, joined against that set's delete rows.
+        // O(#files) (path, seq) pairs on the driver — the scan needs the
+        // path list anyway; the heavy stats rows stay distributed.
+        val dataFileSeqs: Seq[(String, Long)] =
+          fileRows.map(r0 => (r0._1, r0._6)).collect().toSeq
         val byIds = eqDeleteFiles.groupBy(_._2)
         val frames = byIds.map { case (ids, files) =>
           require(ids.nonEmpty, "equality delete without equality_ids")
           val eqCols = ids.map(id => idToField.getOrElse(id,
             throw new IllegalStateException(
               s"equality field id $id not in schema"))._1)
-          val dels = files.map { case (p, _, sq) =>
-            spark.read.parquet(p).select(eqCols.map(col): _*)
-              .withColumn("__dseq", org.apache.spark.sql.functions.lit(sq))
-          }.reduce(_ unionByName _)
-            .select(eqCols.map(c => col(c).as(s"__d_$c")) :+ col("__dseq"): _*)
-          val dataPaths = fileRows.map(_._1)
-          val fseqDF = spark.createDataFrame(
-            spark.sparkContext.parallelize(
-              fileRows.map(r0 => org.apache.spark.sql.Row(
-                r0._1.replaceFirst("^file:/+", "/"), r0._6)),
-              math.max(1, math.min(fileRows.size, 32))),
-            StructType(Seq(StructField("fp", StringType, nullable = false),
-              StructField("__fseq", LongType, nullable = false))))
-          val data = spark.read.parquet(dataPaths: _*)
-            .select(eqCols.map(col) ++ Seq(
-              DeletionVectors.normFp(col("_metadata.file_path")).as("fp"),
-              col("_metadata.row_index").as("ri")): _*)
-            .join(broadcast(fseqDF), Seq("fp"))
-          val cond = eqCols.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _) &&
-            col("__fseq") < col("__dseq")
-          data.join(broadcast(dels), cond, "leftsemi").select(col("fp"), col("ri"))
+          equalityDeleteRows(spark, eqCols,
+            files.map(f => (f._1, f._3)), files.map(_._4).sum, dataFileSeqs)
         }
         Some(frames.reduce(_ unionByName _))
       }
@@ -1463,52 +1666,225 @@ object IcebergMetadata {
       case (Some(a), Some(b)) => Some(a.unionByName(b).distinct())
       case (a, b) => a.orElse(b)
     }
-    val dvByFp: Map[String, DeletionVectorDescriptor] =
-      allDeleteRows.map(rows =>
-        DeletionVectors.write(spark, log.dataPath, rows)).getOrElse(Map.empty)
-
-    // ---- AddFiles: relative under the root, absolute URIs outside it
-    val adds: Seq[AddFile] = fileRows.map { case (abs, pvs, size, _, stats, _) =>
-      val rel = FileNames.underTableRoot(qualifiedRoot, abs)
-        .filter(_ != qualifiedRoot.toUri.getPath)
-        .map(p => p.substring(qualifiedRoot.toUri.getPath.length + 1))
-      val dv = dvByFp.get(abs.replaceFirst("^file:/+", "/")).orNull
-      AddFile(
-        path = rel.map(FileNames.encodeRelative).getOrElse(abs),
-        partitionValues = pvs,
-        size = size,
-        modificationTime = now,
-        dataChange = true,
-        stats = stats,
-        deletionVector = dv)
+    def emptyFpRi: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("fp", StringType), StructField("ri", LongType))))
+    // RE-SYNC: only files whose DELETE SET actually changed get a fresh
+    // DV payload — the existing DVs are decoded distributed and diffed
+    // row-exact against the translated delete rows, so an append-only
+    // Iceberg commit re-encodes zero bitmaps. changedDvFps is O(#changed
+    // DV'd files) on the driver (normalized paths).
+    val changedDvFps: Set[String] = existingSnap match {
+      case None => Set.empty // fresh adoption: everything is new
+      case Some(s) =>
+        import org.apache.spark.sql.functions.{lit, sum}
+        val oldRows = DeletionVectors.rowsDF(spark, log.dataPath, s.dvFiles)
+          .getOrElse(emptyFpRi)
+        val newRows = allDeleteRows.getOrElse(emptyFpRi)
+        newRows.withColumn("side", lit(1))
+          .unionByName(oldRows.withColumn("side", lit(-1)))
+          .groupBy(col("fp"), col("ri")).agg(sum(col("side")).as("s"))
+          .where(col("s") =!= 0)
+          .select(col("fp")).distinct().as[String](
+            org.apache.spark.sql.Encoders.STRING).collect().toSet
     }
-    require(adds.nonEmpty, s"Iceberg snapshot $curId lists no data files")
-
-    // ---- the CONVERT commit (protocol upgrade rides along when DVs or
-    // column mapping are present)
-    // a v2 merge-on-read Iceberg table stays merge-on-read as Delta:
-    // stamping the property keeps future DML producing DVs (readers
-    // honor the attached DVs regardless — descriptor-gated)
-    val baseConfig = baseConfig0 ++
-      (if (dvByFp.nonEmpty) Map("delta.enableDeletionVectors" -> "true")
-       else Map.empty)
-    val txn = log.startTransaction()
-    txn.updateMetadata(graft.delta.Metadata(
-      schemaString = schema.json,
-      partitionColumns = partCols.map(_._1),
-      configuration = baseConfig,
-      createdTime = Some(now)))
-    val features = (if (dvByFp.nonEmpty) Seq("deletionVectors") else Nil) ++
-      (if (needsMapping) Seq("columnMapping") else Nil)
-    val protoUp: Option[Protocol] = features.foldLeft(Option.empty[Protocol]) {
-      (acc, f) => Protocol.requireReaderWriterFeature(
-        acc.getOrElse(txn.snapshot.protocol), f).orElse(acc)
+    val dvByFp: Map[String, DeletionVectorDescriptor] = existingSnap match {
+      case None =>
+        allDeleteRows.map(rows =>
+          DeletionVectors.write(spark, log.dataPath, rows)).getOrElse(Map.empty)
+      case Some(_) if changedDvFps.isEmpty => Map.empty
+      case Some(_) =>
+        val changedDF = spark.createDataset(changedDvFps.toSeq)(
+          org.apache.spark.sql.Encoders.STRING).toDF("fp")
+        DeletionVectors.write(spark, log.dataPath,
+          allDeleteRows.getOrElse(emptyFpRi)
+            .join(changedDF, Seq("fp"), "leftsemi"))
     }
-    txn.commit(protoUp.toSeq ++ adds, Op.Convert,
-      operationParameters = Map(
-        "numFiles" -> adds.size.toString,
-        "sourceFormat" -> "iceberg",
-        "icebergSnapshotId" -> curId.toString))
+
+    // ---- AddFiles, built ON EXECUTORS: relative under the root,
+    // absolute URIs outside it; the DV map (O(#DV'd files), the DML
+    // contract) rides as a broadcast
+    import spark.implicits._
+    val rootStrForAdds = qualifiedRoot.toString
+    val rootUriPath = qualifiedRoot.toUri.getPath
+    val dvB = spark.sparkContext.broadcast(dvByFp)
+    val nowForAdds = now
+    val addsDS = spark.createDataset(fileRows)
+      .map { case (abs, pvs, size, _, stats, _) =>
+        val root = new Path(rootStrForAdds)
+        val rel = FileNames.underTableRoot(root, abs)
+          .filter(_ != rootUriPath)
+          .map(p => p.substring(rootUriPath.length + 1))
+        val dv = dvB.value.get(abs.replaceFirst("^file:/+", "/")).orNull
+        AddFile(
+          path = rel.map(FileNames.encodeRelative).getOrElse(abs),
+          partitionValues = pvs,
+          size = size,
+          modificationTime = nowForAdds,
+          dataChange = true,
+          stats = stats,
+          deletionVector = dv)
+      }
+
+    val committed = existingSnap match {
+      case None =>
+        // ---- the fresh CONVERT commit. Protocol features ride the
+        // sanctioned `delta.feature.<name>=supported` request keys
+        // (absorbed and stripped by BOTH commit paths), so the same
+        // staging works for the streaming commit. A v2 merge-on-read
+        // Iceberg table stays merge-on-read as Delta: stamping
+        // delta.enableDeletionVectors keeps future DML producing DVs
+        // (readers honor attached DVs regardless — descriptor-gated).
+        val baseConfig = baseConfig0 ++
+          Map(SyncMarkerKey -> curId.toString) ++
+          (if (dvByFp.nonEmpty) Map(
+            "delta.enableDeletionVectors" -> "true",
+            "delta.feature.deletionVectors" -> "supported")
+           else Map.empty) ++
+          (if (needsMapping) Map("delta.feature.columnMapping" -> "supported")
+           else Map.empty)
+        val txn = log.startTransaction()
+        txn.updateMetadata(graft.delta.Metadata(
+          schemaString = schema.json,
+          partitionColumns = partCols.map(_._1),
+          configuration = baseConfig,
+          createdTime = Some(now)))
+        val opParams = Map(
+          "numFiles" -> fileCount.toString,
+          "sourceFormat" -> "iceberg",
+          "icebergSnapshotId" -> curId.toString)
+        // past the threshold the commit STREAMS from the Dataset iterator
+        // (one partition of AddFiles resident at a time — A29's
+        // contract): a 10^7-file adoption with ~1 KB stats JSON each
+        // never holds ~10 GB of actions on the driver
+        val streamThreshold = spark.conf.get(
+          "spark.graft.convert.streamCommitThreshold", "50000").toLong
+        if (fileCount > streamThreshold)
+          txn.commitLarge(
+            addsDS.toLocalIterator().asScala.map(a => a: Action),
+            Op.Convert, operationParameters = opParams + ("streamed" -> "true"))
+        else
+          txn.commit(addsDS.collect().toSeq, Op.Convert,
+            operationParameters = opParams)
+
+      case Some(s) =>
+        // ---- RE-SYNC diff commit: the Delta view becomes EQUAL to the
+        // Iceberg snapshot at O(changed files) driver state — new files
+        // as adds, vanished files as removes (the RESTORE anti-join
+        // shape), DV-changed files as remove + re-add with the fresh
+        // descriptor.
+        require(s.metadata.partitionColumns == partCols.map(_._1),
+          s"cannot re-sync: partition columns changed from " +
+            s"${s.metadata.partitionColumns.mkString(",")} to " +
+            s"${partCols.map(_._1).mkString(",")}")
+        val rootForKey = log.dataPath.toString
+        val deltaState = s.allFilesDS
+          .map(a => (FileNames.absolutePathString(new Path(rootForKey), a.path), a))
+          .toDF("fp", "add")
+        val iceDF = spark.createDataset(fileRows)
+          .toDF("fp", "pvs", "size", "rc", "stats", "seq")
+        val newFiles = iceDF.join(deltaState, Seq("fp"), "left_anti")
+          .select(col("fp"), col("pvs"), col("size"), col("stats"))
+          .as[(String, Map[String, String], Long, String)].collect().toSeq
+        val gone: Seq[AddFile] = deltaState.join(iceDF, Seq("fp"), "left_anti")
+          .select(col("add.*")).as[AddFile].collect().toSeq
+        val commonChanged: Seq[(AddFile, (String, Map[String, String], Long, String))] =
+          if (changedDvFps.isEmpty) Nil
+          else {
+            val changedDF = spark.createDataset(changedDvFps.toSeq)(
+              org.apache.spark.sql.Encoders.STRING).toDF("fpn")
+            deltaState.join(iceDF, Seq("fp"))
+              .withColumn("fpn", org.apache.spark.sql.functions
+                .regexp_replace(col("fp"), "^file:/+", "/"))
+              .join(changedDF, Seq("fpn"), "leftsemi")
+              .select(col("add"), col("fp"), col("pvs"), col("size"), col("stats"))
+              .as[(AddFile, String, Map[String, String], Long, String)]
+              .collect().map(r => (r._1, (r._2, r._3, r._4, r._5))).toSeq
+          }
+        def mkAdd(abs: String, pvs: Map[String, String], size: Long,
+            stats: String): AddFile = {
+          val root = new Path(rootStrForAdds)
+          val rel = FileNames.underTableRoot(root, abs)
+            .filter(_ != rootUriPath)
+            .map(p => p.substring(rootUriPath.length + 1))
+          AddFile(
+            path = rel.map(FileNames.encodeRelative).getOrElse(abs),
+            partitionValues = pvs, size = size, modificationTime = now,
+            dataChange = true, stats = stats,
+            deletionVector = dvByFp
+              .get(abs.replaceFirst("^file:/+", "/")).orNull)
+        }
+        val removes: Seq[Action] = (gone ++ commonChanged.map(_._1)).map(a =>
+          RemoveFile(a.path, Some(now), dataChange = true,
+            extendedFileMetadata = true, partitionValues = a.partitionValues,
+            size = Some(a.size), deletionVector = a.deletionVector))
+        val addsOut: Seq[Action] =
+          (newFiles ++ commonChanged.map(_._2)).map {
+            case (abs, pvs, size, stats) => mkAdd(abs, pvs, size, stats) }
+        val txn = log.startTransaction()
+        // advance the marker (and the schema, which may have evolved
+        // between snapshots — partition columns are pinned equal above)
+        txn.updateMetadata(s.metadata.copy(
+          schemaString = schema.json,
+          configuration = s.metadata.configuration +
+            (SyncMarkerKey -> curId.toString)))
+        txn.commit(removes ++ addsOut, Op.Convert,
+          operationParameters = Map(
+            "sourceFormat" -> "iceberg", "sync" -> "true",
+            "icebergSnapshotId" -> curId.toString,
+            "numAddedFiles" -> addsOut.size.toString,
+            "numRemovedFiles" -> removes.size.toString))
+    }
+    fileRows.unpersist()
+    committed
+  }
+
+  /** Resolve one equality-column set's delete rows to (file, row-index)
+    * positions: null-safe (<=> — Iceberg equality semantics treat NULL
+    * as a match) left-semi join of the data rows against the union of
+    * the set's delete files, applied only to files with STRICTLY OLDER
+    * sequence numbers than the delete (the spec's apply rule).
+    *
+    * Scale shape: files at/after every delete's sequence can never match
+    * — they are dropped from the SCAN, not post-join (a freshly-synced
+    * CDC table's newest files never pay the read). The delete side is
+    * broadcast only when its manifest-recorded bytes fit the session
+    * broadcast threshold: years of accumulated Flink-CDC deletes can be
+    * GBs, and an unconditional broadcast is an executor OOM — past the
+    * threshold the join ships as a shuffle join (AQE may still choose
+    * broadcast from runtime stats when it actually fits).
+    */
+  private[delta] def equalityDeleteRows(spark: SparkSession,
+      eqCols: Seq[String], delFiles: Seq[(String, Long)], delBytes: Long,
+      dataFiles: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val maxDseq = delFiles.map(_._2).max
+    val live = dataFiles.filter(_._2 < maxDseq)
+    if (live.isEmpty) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("fp", StringType), StructField("ri", LongType))))
+    val dels0 = delFiles.map { case (p, sq) =>
+      spark.read.parquet(p).select(eqCols.map(col): _*)
+        .withColumn("__dseq", lit(sq))
+    }.reduce(_ unionByName _)
+      .select(eqCols.map(c => col(c).as(s"__d_$c")) :+ col("__dseq"): _*)
+    val bcLimit = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val dels = if (bcLimit > 0 && delBytes <= bcLimit) broadcast(dels0) else dels0
+    val fseqDF = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        live.map(f => org.apache.spark.sql.Row(
+          f._1.replaceFirst("^file:/+", "/"), f._2)),
+        math.max(1, math.min(live.size, 32))),
+      StructType(Seq(StructField("fp", StringType, nullable = false),
+        StructField("__fseq", LongType, nullable = false))))
+    val data = spark.read.parquet(live.map(_._1): _*)
+      .select(eqCols.map(col) ++ Seq(
+        DeletionVectors.normFp(col("_metadata.file_path")).as("fp"),
+        col("_metadata.row_index").as("ri")): _*)
+      .join(broadcast(fseqDF), Seq("fp"))
+    val cond = eqCols.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _) &&
+      col("__fseq") < col("__dseq")
+    data.join(dels, cond, "leftsemi").select(col("fp"), col("ri"))
   }
 
   private def readAll(fs: org.apache.hadoop.fs.FileSystem, p: Path): Array[Byte] = {

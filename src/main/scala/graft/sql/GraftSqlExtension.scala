@@ -301,8 +301,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           versionAsOf = Option(ver).map(_.toLong),
           timestampAsOf = Option(ts).map(parseTsMillis)))
       case ConvertRe(target) =>
+        // only the backticked iceberg.`path` form routes to the Iceberg
+        // converter — a plain dotted identifier whose first part happens
+        // to be a catalog/schema named `iceberg` is a normal table target
         Some(GraftConvertCommand(parseTarget(target),
-          fromIceberg = target.trim.toLowerCase.startsWith("iceberg.")))
+          fromIceberg = IcebergPathRe.matches(target.trim)))
       case GenerateRe(mode, target) =>
         Some(GraftGenerateCommand(parseTarget(target), mode.toLowerCase))
       case ShowPartitionsRe(target) =>
@@ -424,6 +427,7 @@ object GraftSqlParser {
   private[sql] val ConvertRe =
     s"""(?is)CONVERT\\s+TO\\s+DELTA\\s+$T""".r
   private val PathTargetRe = """(?:delta|graft|parquet|iceberg)\.`([^`]+)`""".r
+  private val IcebergPathRe = """(?i)iceberg\.`[^`]+`""".r
 
   private def splitCols(s: String): Seq[String] =
     s.trim.stripPrefix("(").stripSuffix(")")

@@ -13,6 +13,19 @@ object GraftShims {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** A cloned session whose SQL conf carries `extraConf`: a write job
+    * that must pin a WRITER conf (e.g. parquet.outputTimestampType for
+    * UniForm tables) sees it through prepareWrite without mutating the
+    * shared session — two concurrent writes can no longer race on a
+    * set/restore window of the same key.
+    */
+  def sessionWithConf(spark: SparkSession,
+      extraConf: Map[String, String]): SparkSession = {
+    val c = spark.asInstanceOf[classic.SparkSession].cloneSession()
+    extraConf.foreach { case (k, v) => c.conf.set(k, v) }
+    c
+  }
+
   /** Run a parquet write of `df` under `outputPath` through
     * [[org.apache.spark.sql.execution.datasources.FileFormatWriter]] with
     * a caller-supplied commit protocol (FileFormatWriter is private[sql] —

@@ -112,14 +112,16 @@ class IcebergUniformSuite extends AnyFunSuite {
         .get("partition").asInstanceOf[GenericRecord].get("part").toString
     }.toSet
     assert(parts == Set("x", "y"), parts.toString)
-    // manifest-list summaries match the manifests they describe
-    // (added + existing — v1's files are EXISTING in the v2 generation)
+    // manifest-list summaries match the manifests they describe; v1's
+    // manifests are REUSED (original added_snapshot_id 2), v2's file
+    // arrives in a new manifest added by snapshot 3
     manifests.foreach { m =>
       val n = avroRecords(m.get("manifest_path").toString).size
       assert(m.get("added_files_count").asInstanceOf[Int] +
         m.get("existing_files_count").asInstanceOf[Int] == n)
-      assert(m.get("added_snapshot_id").asInstanceOf[Long] == 3L)
     }
+    val addedBy = manifests.map(_.get("added_snapshot_id").asInstanceOf[Long]).toSet
+    assert(addedBy == Set(2L, 3L), addedBy.toString)
     // re-generating the SAME version (manual call after the post-commit
     // hook) replaces its snapshot entry instead of duplicating it
     assert(t.generateIcebergMetadata() == 3L)
@@ -449,6 +451,77 @@ class IcebergUniformSuite extends AnyFunSuite {
       .get("record_count").asInstanceOf[Long]).sum == posRows.size)
   }
 
+  test("delete manifest + delete parquet reused by reference while the DV set is unchanged") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = df((0L, "x", "p")).schema.json,
+      partitionColumns = Seq("part"),
+      configuration = Map(
+        "delta.enableDeletionVectors" -> "true",
+        "delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(df((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")),
+      partitionBy = Seq("part"))
+    t.delete(col("id") === 1L) // DV — generation writes position deletes
+    def delSide(): (Set[String], Set[String]) = {
+      val dels = currentManifests(currentMeta(dir))
+        .filter(_.get("content").asInstanceOf[Int] == 1)
+      val files = dels.flatMap(m => avroRecords(m.get("manifest_path").toString))
+        .map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString)
+      (dels.map(_.get("manifest_path").toString).toSet, files.toSet)
+    }
+    val (delM1, delF1) = delSide()
+    assert(delM1.size == 1 && delF1.nonEmpty)
+    // an APPEND leaves the DV set unchanged: the deletes manifest AND its
+    // position-delete parquet files are referenced by IDENTICAL path —
+    // no re-decode, no rewrite
+    t.write(df((4L, "d", "y")), partitionBy = Seq("part"))
+    val (delM2, delF2) = delSide()
+    assert(delM2 == delM1, s"$delM2 vs $delM1")
+    assert(delF2 == delF1)
+    delF2.foreach(p => assert(localFile(p).exists(), s"swept reused delete file $p"))
+    // a NEW DV changes the fingerprint: the delete side regenerates
+    t.delete(col("id") === 2L)
+    val (delM3, delF3) = delSide()
+    assert(delM3.nonEmpty && (delM3 & delM1).isEmpty, s"$delM3 vs $delM1")
+    assert((delF3 & delF1).isEmpty)
+    // and the logical content is right throughout
+    assert(t.toDF.collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+  }
+
+  test("past maxDataManifests one generation compacts: full rewrite, list shrinks") {
+    spark.conf.set("spark.graft.iceberg.maxDataManifests", "2")
+    try {
+      val dir = tmp()
+      val t = mkUniform(dir)
+      t.write(df((1L, "a", "x")), partitionBy = Seq("part")) // snap 2: 1 manifest
+      t.write(df((2L, "b", "x")), partitionBy = Seq("part")) // snap 3: reuse + 1 = 2
+      assert(currentManifests(currentMeta(dir))
+        .count(_.get("content").asInstanceOf[Int] == 0) == 2)
+      // snap 4: the prior list is AT the threshold — reuse is skipped for
+      // this generation and the pool is ALL live files, clustered by the
+      // partition tuple: one manifest (single partition value), prior
+      // files EXISTING with their original lineage
+      t.write(df((3L, "c", "x")), partitionBy = Seq("part"))
+      val manifests = currentManifests(currentMeta(dir))
+        .filter(_.get("content").asInstanceOf[Int] == 0)
+      assert(manifests.size == 1, manifests.mkString("\n"))
+      assert(manifests.head.get("added_snapshot_id").asInstanceOf[Long] == 4L)
+      val entries = avroRecords(manifests.head.get("manifest_path").toString)
+      assert(entries.count(_.get("status").asInstanceOf[Int] == 0) == 2)
+      assert(entries.count(_.get("status").asInstanceOf[Int] == 1) == 1)
+      // compaction reset the list: the NEXT append reuses the compacted
+      // manifest again
+      t.write(df((4L, "d", "x")), partitionBy = Seq("part"))
+      val paths5 = currentManifests(currentMeta(dir))
+        .map(_.get("manifest_path").toString).toSet
+      assert(manifests.map(_.get("manifest_path").toString).toSet.subsetOf(paths5))
+    } finally spark.conf.unset("spark.graft.iceberg.maxDataManifests")
+  }
+
   test("CONVERT FROM ICEBERG round-trips a UniForm table incl. position deletes") {
     val dir = tmp()
     val t = DeltaTable.forPath(spark, dir)
@@ -616,6 +689,348 @@ class IcebergUniformSuite extends AnyFunSuite {
     assert(dvs.map(_.cardinality).sum == 2L, dvs.toString)
   }
 
+  test("equality resolution: broadcast size-gated, newer files never scanned") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, BROADCAST}
+    val base = java.nio.file.Files.createTempDirectory("graft-eqgate")
+    def writeOne(sub: String, rows: Seq[Long]): String = {
+      val d = base.resolve(sub).toString
+      rows.toDF("id").coalesce(1).write.mode("overwrite").parquet(d)
+      new java.io.File(d).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    val fA = writeOne("a", Seq(1L, 2L, 3L)) // sequence 2: deletes apply
+    val del = writeOne("d", Seq(2L, 5L))    // delete file at sequence 3
+    def semiBroadcastHint(q: org.apache.spark.sql.DataFrame): Boolean =
+      q.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == LeftSemi =>
+          j.hint.rightHint.flatMap(_.strategy).contains(BROADCAST)
+      }.headOption.getOrElse(false)
+    // small delete set (manifest-recorded bytes under the session
+    // threshold): the broadcast hint is applied
+    val small = IcebergMetadata.equalityDeleteRows(spark, Seq("id"),
+      Seq((del, 3L)), delBytes = new java.io.File(del).length(),
+      dataFiles = Seq((fA, 2L)))
+    assert(semiBroadcastHint(small), small.queryExecution.optimizedPlan.toString)
+    assert(small.collect().map(_.getLong(1)).toSeq == Seq(1L)) // id=2 at pos 1
+    // delete set past the threshold: NO broadcast hint — the join ships
+    // as a shuffle join instead of an unconditional driver/executor OOM
+    val big = IcebergMetadata.equalityDeleteRows(spark, Seq("id"),
+      Seq((del, 3L)), delBytes = 1L << 40, dataFiles = Seq((fA, 2L)))
+    assert(!semiBroadcastHint(big), big.queryExecution.optimizedPlan.toString)
+    assert(big.collect().map(_.getLong(1)).toSeq == Seq(1L))
+    // files at/after the delete sequence are dropped from the SCAN, not
+    // post-join: a nonexistent path with sequence >= the delete's would
+    // fail the read if it were ever opened
+    val pruned = IcebergMetadata.equalityDeleteRows(spark, Seq("id"),
+      Seq((del, 3L)), delBytes = 1L,
+      dataFiles = Seq((fA, 2L), (base.resolve("missing.parquet").toString, 3L)))
+    assert(pruned.collect().map(_.getLong(1)).toSeq == Seq(1L))
+    // no data file older than every delete: empty result, no scan at all
+    val none = IcebergMetadata.equalityDeleteRows(spark, Seq("id"),
+      Seq((del, 3L)), delBytes = 1L,
+      dataFiles = Seq((base.resolve("missing.parquet").toString, 7L)))
+    assert(none.collect().isEmpty)
+  }
+
+  test("convert commits stream through commitLarge past the threshold") {
+    spark.conf.set("spark.graft.convert.streamCommitThreshold", "1")
+    try {
+      // CONVERT FROM ICEBERG: UniForm+DV table, drop the Delta log,
+      // adopt back — the commit streams, DVs and protocol still land
+      val dir = tmp()
+      val t = DeltaTable.forPath(spark, dir)
+      val txn = t.deltaLog.startTransaction()
+      txn.updateMetadata(Metadata(
+        schemaString = df((0L, "x", "p")).schema.json,
+        partitionColumns = Seq("part"),
+        configuration = Map(
+          "delta.enableDeletionVectors" -> "true",
+          "delta.universalFormat.enabledFormats" -> "iceberg")))
+      txn.commit(Nil, Op.CreateTable)
+      t.write(df((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")),
+        partitionBy = Seq("part"))
+      t.delete(col("id") === 1L) // DV
+      val logDir = new java.io.File(dir, "_delta_log")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(logDir.toPath).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      val back = DeltaTable.convertFromIceberg(spark, dir)
+      val ci = back.deltaLog.commitInfoAt(0L)
+      assert(ci.exists(_.operationParameters.get("streamed").contains("true")),
+        ci.toString)
+      assert(back.toDF.select("id").collect().map(_.getLong(0)).toSet ==
+        Set(2L, 3L))
+      val snap = back.deltaLog.update()
+      assert(snap.allFiles.exists(_.deletionVector != null))
+      assert(snap.protocol.readerFeatures.exists(_.contains("deletionVectors")),
+        snap.protocol.toString)
+      // post-convert DML still works on the streamed commit's table
+      back.delete(col("id") === 2L)
+      assert(back.toDF.count() == 1L)
+
+      // CONVERT TO DELTA (plain parquet): same streaming path
+      val pdir = tmp()
+      df((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+        .write.partitionBy("part").mode("overwrite").parquet(pdir)
+      val conv = DeltaTable.convertToDelta(spark, pdir)
+      val ci2 = conv.deltaLog.commitInfoAt(0L)
+      assert(ci2.exists(_.operationParameters.get("streamed").contains("true")),
+        ci2.toString)
+      assert(conv.toDF.count() == 3L)
+      assert(conv.deltaLog.update().allFiles.forall(_.stats != null))
+    } finally spark.conf.unset("spark.graft.convert.streamCommitThreshold")
+  }
+
+  test("incremental re-sync: adds, removes, and DV changes at O(changed files)") {
+    import spark.implicits._
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.file.DataFileWriter
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dir = tmp()
+    val t = mkUniform(dir)
+    t.write(df((1L, "a", "x")), partitionBy = Seq("part")) // snap 2: file x
+    t.write(df((2L, "b", "y")), partitionBy = Seq("part")) // snap 3: file y
+    val metaDir = new java.io.File(dir, "metadata")
+    val meta3 = currentMeta(dir)
+    val manifests3 = currentManifests(meta3)
+    // adopt: drop the Delta identity and convert
+    val logDir = new java.io.File(dir, "_delta_log")
+    java.nio.file.Files.walk(logDir.toPath).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    val back = DeltaTable.convertFromIceberg(spark, dir)
+    val v0 = back.deltaLog.update().version
+    assert(back.toDF.count() == 2L)
+    // same snapshot: re-sync is a NO-OP (no new commit)
+    DeltaTable.convertFromIceberg(spark, dir)
+    assert(back.deltaLog.update().version == v0)
+
+    // ---- craft what a Flink writer would commit next (snapshot 99,
+    // seq 4): a NEW file in partition z, file y REMOVED (its manifest
+    // dropped from the list), and a position delete masking file x's row
+    val byPart: Map[String, GenericRecord] = manifests3.map { m =>
+      val e = avroRecords(m.get("manifest_path").toString).head
+      val part = e.get("data_file").asInstanceOf[GenericRecord]
+        .get("partition").asInstanceOf[GenericRecord].get("part").toString
+      part -> m
+    }.toMap
+    val fpX = avroRecords(byPart("x").get("manifest_path").toString).head
+      .get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
+    // new data file (plain parquet under the root, no hive dirs needed —
+    // partition values are authoritative from the log)
+    val zDir = new java.io.File(dir, "znew")
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(zDir.toString)
+    val zParquet = zDir.listFiles().find(_.getName.endsWith(".parquet")).get
+    // position-delete parquet masking (fpX, 0)
+    val pdDir = java.nio.file.Files.createTempDirectory("graft-sync-pd")
+    Seq((fpX, 0L)).toDF("file_path", "pos").coalesce(1)
+      .write.mode("overwrite").parquet(pdDir.toString)
+    val pdParquet = new java.io.File(pdDir.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    // manifest for the z file (typed partition struct on `part`)
+    val partFieldId = meta3.get("schemas").get(0).get("fields")
+      .elements().asScala.find(_.get("name").asText == "part").get.get("id").asInt
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestEntrySchemaJson(
+        IcebergMetadata.partitionStructSchemaJson(Seq(
+          ("part", org.apache.spark.sql.types.StringType, partFieldId)))))
+    val zManifest = new java.io.File(metaDir, "sync-z-m0.avro")
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.create(entrySchema, zManifest)
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", 1); rec.put("snapshot_id", 99L)
+      val dfS = entrySchema.getField("data_file").schema()
+      val dfr = new GenericData.Record(dfS)
+      dfr.put("content", 0)
+      dfr.put("file_path", zParquet.getAbsolutePath)
+      dfr.put("file_format", "PARQUET")
+      val ps = new GenericData.Record(dfS.getField("partition").schema())
+      ps.put("part", "z")
+      dfr.put("partition", ps)
+      dfr.put("record_count", 1L)
+      dfr.put("file_size_in_bytes", zParquet.length())
+      rec.put("data_file", dfr)
+      w.append(rec); w.close()
+    }
+    // deletes manifest for the position delete
+    val delEntrySchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestEntrySchemaJson(
+        IcebergMetadata.partitionStructSchemaJson(Nil)))
+    val pdManifest = new java.io.File(metaDir, "sync-pd-d0.avro")
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](delEntrySchema))
+      w.create(delEntrySchema, pdManifest)
+      val rec = new GenericData.Record(delEntrySchema)
+      rec.put("status", 1); rec.put("snapshot_id", 99L)
+      rec.put("sequence_number", 4L)
+      val dfS = delEntrySchema.getField("data_file").schema()
+      val dfr = new GenericData.Record(dfS)
+      dfr.put("content", 1) // POSITION_DELETES
+      dfr.put("file_path", pdParquet)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", new GenericData.Record(dfS.getField("partition").schema()))
+      dfr.put("record_count", 1L)
+      dfr.put("file_size_in_bytes", new java.io.File(pdParquet).length())
+      rec.put("data_file", dfr)
+      w.append(rec); w.close()
+    }
+    // new manifest list: keep x's manifest, drop y's, add z + deletes
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestListSchemaJson)
+    val newList = new java.io.File(metaDir, "snap-99-1-sync.avro")
+    locally {
+      val lw = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      lw.create(listSchema, newList)
+      lw.append(byPart("x"))
+      def listRec(path: String, len: Long, content: Int): GenericRecord = {
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", path); r.put("manifest_length", len)
+        r.put("partition_spec_id", if (content == 1) 1 else 0)
+        r.put("content", content)
+        r.put("sequence_number", 4L); r.put("min_sequence_number", 4L)
+        r.put("added_snapshot_id", 99L)
+        r.put("added_files_count", 1); r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", 1L); r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        r
+      }
+      lw.append(listRec(zManifest.getAbsolutePath, zManifest.length(), 0))
+      lw.append(listRec(pdManifest.getAbsolutePath, pdManifest.length(), 1))
+      lw.close()
+    }
+    // v4 metadata json: current snapshot 99 @ seq 4
+    val root = meta3.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.put("current-snapshot-id", 99L)
+    root.put("last-sequence-number", 4L)
+    val sn = root.withArray("snapshots").addObject()
+    sn.put("snapshot-id", 99L); sn.put("sequence-number", 4L)
+    sn.put("timestamp-ms", System.currentTimeMillis())
+    sn.putObject("summary").put("operation", "overwrite")
+    sn.put("manifest-list", newList.getAbsolutePath)
+    sn.put("schema-id", root.get("current-schema-id").asInt)
+    java.nio.file.Files.write(metaDir.toPath.resolve("v4.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    java.nio.file.Files.deleteIfExists(
+      metaDir.toPath.resolve(".version-hint.text.crc"))
+    java.nio.file.Files.write(metaDir.toPath.resolve("version-hint.text"),
+      "4".getBytes("UTF-8"))
+
+    // ---- RE-SYNC: one diff commit — z added, y removed, x re-added
+    // with a DV masking its row
+    val synced = DeltaTable.convertFromIceberg(spark, dir)
+    val v1 = synced.deltaLog.update().version
+    assert(v1 == v0 + 1, s"sync must be ONE commit: $v0 -> $v1")
+    val ci = synced.deltaLog.commitInfoAt(v1)
+    assert(ci.exists(_.operationParameters.get("sync").contains("true")))
+    assert(ci.exists(_.operationParameters.get("icebergSnapshotId").contains("99")))
+    // logical content: x's row masked, y gone, z visible
+    assert(synced.toDF.select("id").collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(synced.toDF.where(col("part") === "z").count() == 1L)
+    val files = synced.deltaLog.update().allFiles
+    assert(files.size == 2, files.map(_.path).toString) // x (DV'd) + z
+    val dvd = files.filter(_.deletionVector != null)
+    assert(dvd.size == 1 && dvd.head.deletionVector.cardinality == 1L)
+    // marker advanced; a repeat sync is a no-op again
+    DeltaTable.convertFromIceberg(spark, dir)
+    assert(synced.deltaLog.update().version == v1)
+    // a table NOT adopted from Iceberg refuses the overwrite
+    val plainDir = tmp()
+    val tp = DeltaTable.forPath(spark, plainDir)
+    val txnp = tp.deltaLog.startTransaction()
+    txnp.updateMetadata(Metadata(schemaString = df((0L, "x", "p")).schema.json))
+    txnp.commit(Nil, Op.CreateTable)
+    // give it a fake metadata dir so convertFrom gets past the hint check
+    val fakeMeta = new java.io.File(plainDir, "metadata")
+    fakeMeta.mkdirs()
+    java.nio.file.Files.write(fakeMeta.toPath.resolve("version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](
+      DeltaTable.convertFromIceberg(spark, plainDir))
+    assert(e.getMessage.contains("NOT adopted from Iceberg"), e.getMessage)
+  }
+
+  test("CONVERT FROM ICEBERG adopts bucket/truncate transforms as data-only") {
+    import spark.implicits._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def rewriteSpec(dir: String,
+        fields: com.fasterxml.jackson.databind.node.ArrayNode => Unit): Unit = {
+      val metaDir = new java.io.File(dir, "metadata")
+      val hint = new String(java.nio.file.Files.readAllBytes(
+        metaDir.toPath.resolve("version-hint.text"))).trim
+      val p = metaDir.toPath.resolve(s"v$hint.metadata.json")
+      val root = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+      val spec = root.withArray("partition-specs").get(0)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val arr = spec.withArray("fields")
+      fields(arr)
+      java.nio.file.Files.deleteIfExists(
+        metaDir.toPath.resolve(s".v$hint.metadata.json.crc"))
+      java.nio.file.Files.write(p,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    }
+    def dropDeltaLog(dir: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val logDir = new java.io.File(dir, "_delta_log")
+      java.nio.file.Files.walk(logDir.toPath).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    // pure bucket spec on an unpartitioned layout: adopted unpartitioned
+    val dir1 = tmp()
+    val t1 = DeltaTable.forPath(spark, dir1)
+    val txn = t1.deltaLog.startTransaction()
+    val data = (1L to 4L).map(i => (i, s"v$i")).toDF("id", "v")
+    txn.updateMetadata(Metadata(
+      schemaString = data.schema.json,
+      configuration = Map("delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn.commit(Nil, Op.CreateTable)
+    t1.write(data)
+    val idFieldId = currentMeta(dir1).get("schemas").get(0).get("fields")
+      .elements().asScala.find(_.get("name").asText == "id").get.get("id").asInt
+    rewriteSpec(dir1, { arr =>
+      val f = arr.addObject()
+      f.put("name", "id_bucket")
+      f.put("transform", "bucket[4]")
+      f.put("source-id", idFieldId)
+      f.put("field-id", 1000)
+    })
+    dropDeltaLog(dir1)
+    val back1 = DeltaTable.convertFromIceberg(spark, dir1)
+    assert(back1.deltaLog.update().metadata.partitionColumns.isEmpty)
+    assert(back1.toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      (1L to 4L).toSet)
+    // stats survived the adoption (skipping still possible on id)
+    assert(back1.deltaLog.update().allFiles.forall(a =>
+      a.stats != null && a.stats.contains("minValues")))
+
+    // mixed spec: identity stays a partition column, truncate drops out
+    val dir2 = tmp()
+    val t2 = mkUniform(dir2)
+    t2.write(df((1L, "aaaa", "x"), (2L, "bbbb", "y")), partitionBy = Seq("part"))
+    val vFieldId = currentMeta(dir2).get("schemas").get(0).get("fields")
+      .elements().asScala.find(_.get("name").asText == "v").get.get("id").asInt
+    rewriteSpec(dir2, { arr =>
+      val f = arr.addObject()
+      f.put("name", "v_trunc")
+      f.put("transform", "truncate[2]")
+      f.put("source-id", vFieldId)
+      f.put("field-id", 1001)
+    })
+    dropDeltaLog(dir2)
+    val back2 = DeltaTable.convertFromIceberg(spark, dir2)
+    assert(back2.deltaLog.update().metadata.partitionColumns == Seq("part"))
+    assert(back2.toDF.where(col("part") === "y").count() == 1L)
+    assert(back2.toDF.count() == 2L)
+  }
+
   test("CONVERT FROM ICEBERG time travel: adopt a retained older snapshot") {
     val dir = tmp()
     val t = mkUniform(dir)
@@ -676,37 +1091,67 @@ class IcebergUniformSuite extends AnyFunSuite {
     }
   }
 
-  test("incremental lineage: prior files are EXISTING with their original snapshot/sequence") {
-    val dir = tmp()
-    val t = mkUniform(dir)
-    t.write(df((1L, "a", "x"), (2L, "b", "y")), partitionBy = Seq("part")) // snap 2
-    t.write(df((3L, "c", "x")), partitionBy = Seq("part"))                 // snap 3
-    val meta = currentMeta(dir)
-    val entries = currentManifests(meta).flatMap(m =>
-      avroRecords(m.get("manifest_path").toString))
-    val byStatus = entries.groupBy(_.get("status").asInstanceOf[Int])
-    // snap 2's two files are EXISTING with snapshot_id 2 and EXPLICIT
-    // sequence number 2; snap 3's file is ADDED (sequence inherited)
-    assert(byStatus(0).size == 2 && byStatus(1).size == 1, byStatus.toString)
-    byStatus(0).foreach { e =>
-      assert(e.get("snapshot_id").asInstanceOf[Long] == 2L)
-      assert(e.get("sequence_number").asInstanceOf[Long] == 2L)
-      assert(e.get("file_sequence_number").asInstanceOf[Long] == 2L)
-    }
-    byStatus(1).foreach { e =>
-      assert(e.get("snapshot_id").asInstanceOf[Long] == 3L)
-      assert(e.get("sequence_number") == null) // inherits from the list
-    }
-    // manifest-list bookkeeping splits the counts and tracks min_sequence
-    val manifests = currentManifests(meta)
-    assert(manifests.map(_.get("added_files_count").asInstanceOf[Int]).sum == 1)
-    assert(manifests.map(_.get("existing_files_count").asInstanceOf[Int]).sum == 2)
-    assert(manifests.map(_.get("min_sequence_number").asInstanceOf[Long]).min == 2L)
-    // an incremental consumer of snap 3 therefore reads exactly one file
-    val newFiles = entries.filter(_.get("status").asInstanceOf[Int] == 1)
-      .map(_.get("data_file").asInstanceOf[GenericRecord].get("record_count")
-        .asInstanceOf[Long]).sum
-    assert(newFiles == 1L, newFiles.toString)
+  test("incremental generation: appends reuse manifests by path; rewrite survivors are EXISTING") {
+    // one shuffle partition -> exactly one manifest per generation's
+    // rewrite pool, making the reuse/rewrite split deterministic
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val dir = tmp()
+      val t = mkUniform(dir)
+      t.write(df((1L, "a", "x"), (2L, "b", "y")), partitionBy = Seq("part")) // snap 2
+      val paths2 = currentManifests(currentMeta(dir))
+        .map(_.get("manifest_path").toString).toSet
+      t.write(df((3L, "c", "x")), partitionBy = Seq("part"))                 // snap 3
+      val meta3 = currentMeta(dir)
+      val manifests3 = currentManifests(meta3)
+      val paths3 = manifests3.map(_.get("manifest_path").toString).toSet
+      // APPEND: snap 2's manifest set is referenced by IDENTICAL path —
+      // nothing rewritten — keeping its original snapshot/sequence
+      assert(paths2.subsetOf(paths3), s"$paths2 not all reused in $paths3")
+      manifests3.filter(m => paths2.contains(m.get("manifest_path").toString))
+        .foreach { m =>
+          assert(m.get("added_snapshot_id").asInstanceOf[Long] == 2L)
+          assert(m.get("sequence_number").asInstanceOf[Long] == 2L)
+        }
+      // the new manifest holds EXACTLY the commit's own file, ADDED by
+      // snapshot 3 with sequence inherited from the list — an
+      // incremental consumer selects new manifests by added_snapshot_id
+      val fresh = manifests3.filterNot(m =>
+        paths2.contains(m.get("manifest_path").toString))
+      assert(fresh.size == 1, manifests3.mkString("\n"))
+      assert(fresh.head.get("added_snapshot_id").asInstanceOf[Long] == 3L)
+      val freshEntries = avroRecords(fresh.head.get("manifest_path").toString)
+      assert(freshEntries.size == 1)
+      assert(freshEntries.head.get("status").asInstanceOf[Int] == 1)
+      assert(freshEntries.head.get("snapshot_id").asInstanceOf[Long] == 3L)
+      assert(freshEntries.head.get("sequence_number") == null) // inherits
+      // min_sequence over the list still reaches back to the oldest data
+      assert(manifests3.map(_.get("min_sequence_number").asInstanceOf[Long])
+        .min == 2L)
+
+      // REWRITE: deleting id=1 removes snap 2's partition-x file, so its
+      // manifest is no longer reusable — the SURVIVOR (partition y) rides
+      // in the rewritten manifest as EXISTING with its ORIGINAL
+      // snapshot_id 2 and EXPLICIT sequence number 2
+      t.delete(col("id") === 1L)                                             // snap 4
+      val meta4 = currentMeta(dir)
+      val manifests4 = currentManifests(meta4)
+      val paths4 = manifests4.map(_.get("manifest_path").toString).toSet
+      // snap 3's untouched manifest is still referenced by identical path
+      assert(fresh.map(_.get("manifest_path").toString).toSet.subsetOf(paths4))
+      val entries4 = manifests4.flatMap(m =>
+        avroRecords(m.get("manifest_path").toString))
+      val existing = entries4.filter(_.get("status").asInstanceOf[Int] == 0)
+      assert(existing.size == 1, entries4.mkString("\n"))
+      assert(existing.head.get("snapshot_id").asInstanceOf[Long] == 2L)
+      assert(existing.head.get("sequence_number").asInstanceOf[Long] == 2L)
+      assert(existing.head.get("file_sequence_number").asInstanceOf[Long] == 2L)
+      // and the snapshot's total content is exactly the two live rows
+      assert(entries4.map(_.get("data_file").asInstanceOf[GenericRecord]
+        .get("record_count").asInstanceOf[Long]).sum == 2L)
+      assert(manifests4.map(_.get("existing_files_count").asInstanceOf[Int])
+        .sum == 1)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
 
   test("schema evolution: stable field ids, retained prior schemas, per-snapshot schema-id") {
