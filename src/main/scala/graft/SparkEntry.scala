@@ -19,7 +19,11 @@ object SparkEntry {
     "ann_ivf_trained", "hybrid_retrieval",
     // round-13 additions: the byte-level span pipeline and the one-pass
     // covariance aggregate are the newest heavy shapes — trend them
-    "dedup_substr", "embed_covariance")
+    "dedup_substr", "embed_covariance",
+    // round-18: the amortized probe-over-maintained-index shape, so the
+    // production ANN number (no in-query build) trends alongside
+    // ann_ivf_trained's build-included number
+    "ann_index_admit")
 
   /** Every implemented operator, in SURVEY §2 order. */
   def registry: Seq[GQ] = {

@@ -221,14 +221,16 @@ object CharPairVector {
   * then counts adjacent pairs over the GROWN (36+K)-symbol alphabet as
   * one (36+K)²-long vector per row — map-only; one [[LongVectorSumAgg]]
   * pass reduces the corpus per training round. The alphabet is SIZED BY
-  * the merge chain, so training is bounded by the 64-symbol merge block
-  * (0xC0..0xFF), not a hardcoded 16.
+  * the merge chain, so training is bounded only by where the dense
+  * count vector stays buffer-sane ([[BpePairVector.MaxK]] = 1024), not
+  * by any symbol-block width.
   */
 case class BpePairVector(child: Expression, merges: Seq[String])
     extends UnaryExpression with CodegenFallback {
   require(merges.length <= BpePairVector.MaxK,
     s"BpePairVector supports at most ${BpePairVector.MaxK} merges, " +
-      s"got ${merges.length} (the 0xC0..0xFF merge-symbol block is full)")
+      s"got ${merges.length} (the dense pair-count vector would exceed " +
+      "a sane aggregation buffer; use a sparse pair count past this)")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {
     val alphabet = BpePairVector.alphabetFor(merges.length)
@@ -261,13 +263,20 @@ case class BpePairVector(child: Expression, merges: Seq[String])
 
 object BpePairVector {
   /** a-z -> 0..25, 0-9 -> 26..35, merge symbol i -> 36+i. Merge symbols
-    * are the contiguous 64-char block 0xC0..0xFF ('À'..'ÿ'): single
-    * UTF-16 chars disjoint from the [a-z0-9] word alphabet, identical
-    * `replace`/`length` semantics in Spark SQL and DuckDB (chr(192+i)).
+    * are the contiguous BMP block starting at 0xC0 ('À', 'Á', …, past
+    * 0xFF into 'Ā'…): single UTF-16 chars, all below the surrogate
+    * range, disjoint from the [a-z0-9] word alphabet, with identical
+    * `replace`/`length` semantics in Spark SQL and DuckDB (chr(192+i) —
+    * both count codepoints, and every symbol is one codepoint). K is
+    * capped where the DENSE (36+K)² pair-count vector stays a sane
+    * aggregation buffer (1024 -> ~1.1M cells = ~9 MB); past that the
+    * right statistic is a sparse groupBy-pair count, not a wider block
+    * — the representation (char vs int symbols) is isomorphic and NOT
+    * the binding constraint.
     */
   val Base = 36
   val SymbolBase = 0xc0
-  val MaxK = 64
+  val MaxK = 1024
   def mergeSymbol(i: Int): Char = (SymbolBase + i).toChar
   def alphabetFor(nMerges: Int): Int = Base + nMerges
   def cellsFor(nMerges: Int): Int = {

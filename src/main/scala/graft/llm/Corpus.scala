@@ -1016,8 +1016,10 @@ object Corpus {
     * runs out of pairs.
     */
   private[llm] def bpeLearn(docs: org.apache.spark.sql.DataFrame, k: Int): Seq[String] = {
-    // the merge-symbol alphabet is the contiguous 0xC0..0xFF block — 64
-    // single chars with identical replace semantics in Spark and DuckDB
+    // merge symbols are the contiguous BMP block from 0xC0 — single
+    // chars with identical replace/length semantics in Spark and DuckDB
+    // at ANY index (both count codepoints); K is capped by the dense
+    // pair-count vector's buffer size, not the block width
     require(k <= graft.functions.BpePairVector.MaxK,
       s"bpeLearn supports at most ${graft.functions.BpePairVector.MaxK} " +
         s"merges, got $k")

@@ -210,22 +210,53 @@ object Similarity {
     admitBatch(s, vectors, dir)
   }
 
+  /** Assignment of a vector batch against the STORED centroids: one
+    * broadcast row carrying the sorted centroid array, folded per vector
+    * (argmin(c·c − 2 e·c), strict-< so ties break to the lowest cell) —
+    * MAP-ONLY, the same r11 shape [[assignByCentroids]] uses, with no
+    * N×C intermediate row materialization on the admission path.
+    */
+  private[llm] def assignToStored(s: SparkSession, vectors: DataFrame,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val centsRow = storedCentroids(s, dir)
+      .agg(array_sort(collect_list(struct($"cell", $"c", $"cc"))).as("__cents"))
+    vectors.crossJoin(broadcast(centsRow))
+      .withColumn("cell", aggregate($"__cents",
+        struct(lit(Double.MaxValue).as("d2"), lit(0).as("cell")),
+        (st, ct) => {
+          val d2 = ct.getField("cc") - lit(2.0) * dotD($"e", ct.getField("c"))
+          when(d2 < st.getField("d2"),
+            struct(d2.as("d2"), ct.getField("cell").as("cell")))
+            .otherwise(st)
+        },
+        st => st.getField("cell")))
+      .select($"cell", $"vec_id", $"e", $"nrm")
+  }
+
   /** Admit a new vector batch into an existing index: assignment against
     * the stored centroids, appended into the cell partitions.
     */
   def admitBatch(s: SparkSession, vectors: DataFrame, dir: String): Unit = {
-    import s.implicits._
-    val cents = storedCentroids(s, dir)
-    val assigned = vectors.crossJoin(broadcast(cents))
-      .withColumn("d2", $"cc" - lit(2.0) * dotD($"e", $"c"))
-      .groupBy($"vec_id")
-      .agg(min_by(struct($"cell", $"e", $"nrm"), struct($"d2", $"cell")).as("m"))
-      .select($"m.cell".as("cell"), $"vec_id", $"m.e".as("e"), $"m.nrm".as("nrm"))
     // cluster the append by cell — admitted files land WHOLE inside
     // their cell partition, preserving the probe's file pruning
     graft.delta.DeltaTable.forPath(s, s"$dir/cells")
-      .write(assigned.repartition(col("cell")), partitionBy = Seq("cell"))
+      .write(assignToStored(s, vectors, dir).repartition(col("cell")),
+        partitionBy = Seq("cell"))
   }
+
+  /** Streaming admission (the online face of the maintained index, use
+    * from `foreachBatch`): the same stored-centroid assignment, committed
+    * through the exactly-once streaming sink — a REPLAYED micro-batch
+    * (same appId+batchId after a failure) is a no-op, so the index never
+    * double-admits. Returns false when the batch was already admitted.
+    */
+  def admitStreamBatch(s: SparkSession, vectors: DataFrame, dir: String,
+      appId: String, batchId: Long): Boolean =
+    graft.delta.DeltaTable.forPath(s, s"$dir/cells")
+      .writeStreamBatch(
+        assignToStored(s, vectors, dir).repartition(col("cell")),
+        appId, batchId, partitionBy = Seq("cell"))
 
   /** The index as a DataFrame (cell, vec_id, e, nrm) through the
     * graft-delta source — cell predicates prune at the log level.
@@ -1528,6 +1559,73 @@ object Similarity {
         SELECT q_id, c_id, cosine,
           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
         FROM scored)
-      WHERE rn <= $K ORDER BY q_id, rank"""))
+      WHERE rn <= $K ORDER BY q_id, rank""")),
+
+    // D19 -----------------------------------------------------------------
+    // STREAMING ANN ADMISSION — C67 composed with the D-family: pending
+    // vector batches arrive as commits of a graft-Delta table, a
+    // graft-delta STREAM drives foreachBatch admission against the STORED
+    // quantizer, and each admission commits through the exactly-once
+    // streaming sink (SetTransaction appId+batchId), so a REPLAYED
+    // micro-batch is a no-op — the closure replays batch 0 explicitly and
+    // a double-admission would hash-fail the oracle. The oracle pins the
+    // core invariant: the final streamed index EQUALS the batch-built one
+    // (every vector assigned against the batch-1-trained quantizer; a
+    // retrain-on-admit or a resident reassignment mismatches). Drift is
+    // trended after each admission (cell populations only grow).
+    GQ("stream_ann_admit", (s, d) => {
+      import s.implicits._
+      val v = normed(s, d).persist()
+      val b1 = v.filter(pmod($"vec_id", lit(2)) === 0)
+      val rest = v.filter(pmod($"vec_id", lit(2)) === 1)
+      val dir = QueryDefs.scratchDir("graft-ann-stream")
+      Similarity.buildIndex(s, b1.select($"vec_id", $"e", $"nrm"), dir.toString)
+      // pending admissions: TWO commits -> two micro-batches
+      val pend = QueryDefs.scratchDir("graft-ann-pending").toString
+      val pt = graft.delta.DeltaTable.forPath(s, pend)
+      val r1 = rest.filter(pmod($"vec_id", lit(4)) === 1)
+      val r3 = rest.filter(pmod($"vec_id", lit(4)) === 3)
+      pt.write(r1.select($"vec_id", $"e", $"nrm").coalesce(1))
+      pt.write(r3.select($"vec_id", $"e", $"nrm").coalesce(1))
+      v.unpersist()
+      var lastN = 0L
+      val stream = s.readStream
+        .format("graft.streaming.DeltaStreamSourceProvider")
+        .option("path", pend)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+      val q = stream.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          Similarity.admitStreamBatch(s, batch, dir.toString,
+            "stream_ann_admit", batchId)
+          // drift trend after each admission: populations only grow
+          val n = Similarity.centroidDrift(s, dir.toString)
+            .agg(sum($"n")).collect().head.getLong(0)
+          require(n >= lastN, s"index shrank during admission: $n < $lastN")
+          lastN = n
+          ()
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+      // REPLAY batch 0 (a post-failure re-delivery): the idempotent txn
+      // makes it a no-op — a double-admission would change the index
+      // content and hash-fail this oracle
+      val replayed = Similarity.admitStreamBatch(s,
+        r1.select($"vec_id", $"e", $"nrm"), dir.toString,
+        "stream_ann_admit", 0L)
+      require(!replayed, "replayed micro-batch must be a no-op")
+      // the final streamed index content: every vector, its assigned cell
+      val res = Similarity.readIndex(s, dir.toString)
+        .select($"cell".cast("int").as("cell"), $"vec_id")
+        .orderBy($"vec_id")
+        .transform(stableCheckpoint)
+      deleteTree(dir)
+      deleteTree(java.nio.file.Paths.get(pend))
+      res
+    }, Some(s"""
+      WITH n AS ($duckNormed),
+      n1 AS (SELECT vec_id, e, nrm FROM n WHERE vec_id % 2 = 0),
+      ${trainedOn("n1")},
+      aall AS (${assignSql("c2", "n")})
+      SELECT CAST(cell AS INTEGER) AS cell, vec_id FROM aall ORDER BY vec_id"""))
   )
 }

@@ -8,8 +8,9 @@ import graft.functions.BpePairVector
 /** Iterative BPE training (C64's learn loop): each round RECOUNTS pairs
   * after the merges so far — the property a single-pass top-K cannot
   * have, because a merge changes the pair distribution and creates
-  * pairs (with merged symbols) round 1 never saw. Merge symbols are the
-  * 64-char 0xC0..0xFF block ('À'...), so K is no longer capped at 16.
+  * pairs (with merged symbols) round 1 never saw. Merge symbols are a
+  * contiguous BMP block from 0xC0 ('À'…, past 0xFF into 'Ā'…), capped
+  * only where the dense pair-count vector stays buffer-sane (K<=1024).
   */
 class BpeTrainingSuite extends AnyFunSuite {
 
@@ -81,10 +82,42 @@ class BpeTrainingSuite extends AnyFunSuite {
     assert(merges.drop(16).nonEmpty)
   }
 
-  test("BpePairVector refuses a merge chain past the symbol block") {
-    val over = (0 to 64).map(i => s"x$i")
+  test("BpePairVector refuses a merge chain past the dense-vector cap") {
+    val over = (0 to BpePairVector.MaxK).map(i => s"x$i")
     val e = intercept[IllegalArgumentException](
       BpePairVector(org.apache.spark.sql.catalyst.expressions.Literal("x"), over))
-    assert(e.getMessage.contains("at most 64"), e.getMessage)
+    assert(e.getMessage.contains(s"at most ${BpePairVector.MaxK}"), e.getMessage)
+  }
+
+  test("k=256: training runs past the old 64-symbol block") {
+    import spark.implicits._
+    // 40 words, each a distinct base pair repeated 64 times: collapsing
+    // one word costs ~7 merges (pair→symbol, then the halving chain), so
+    // the corpus offers ~280 productive merges — enough for 256 rounds,
+    // whose later merge symbols lie past U+00FF (the old block's end)
+    val basePairs = for (a <- "abcdefghij"; b <- "0123") yield s"$a$b"
+    val docs = basePairs.zipWithIndex
+      .map { case (p, i) => (i.toLong, p * 64) }
+      .toDF("doc_id", "text").persist()
+    val merges = Corpus.bpeLearn(docs, 256)
+    assert(merges.length == 256, s"got ${merges.length} merges")
+    assert(merges.distinct.length == 256, "merges must be distinct")
+    // merges past round 64 pair symbols the 0xC0..0xFF block could not
+    // express — the regime the old MaxK=64 refused outright
+    assert(merges.exists(_.exists(_ > 0xff.toChar)),
+      "later merges must contain symbols past U+00FF")
+    // the trained chain actually compresses: every replace is a real
+    // merge over the grown alphabet
+    import org.apache.spark.sql.functions._
+    val chained = merges.zipWithIndex.foldLeft(lower(col("text"))) {
+      case (c, (p, i)) =>
+        call_function("replace", c, lit(p),
+          lit(BpePairVector.mergeSymbol(i).toString))
+    }
+    val (raw, enc) = docs.select(
+      sum(length(col("text"))), sum(length(chained)))
+      .as[(Long, Long)].collect().head
+    docs.unpersist()
+    assert(enc * 16 < raw, s"encoded $enc vs raw $raw: expected >16x compression")
   }
 }

@@ -107,6 +107,36 @@ class CellIndexedLayoutSuite extends AnyFunSuite {
       s"no pruning: opened ${opened.size} of ${log.allFiles.size} files")
   }
 
+  test("admission assignment is map-only: one-row broadcast fold, no vec_id shuffle") {
+    val dir = tmp()
+    Similarity.buildIndex(spark, vecs(0 until 100), dir)
+    val assigned = Similarity.assignToStored(spark, vecs(100 until 150), dir)
+    assigned.collect() // execute so AQE finalizes the plan
+    val plan = assigned.queryExecution.executedPlan.toString
+    // the r11 shape: stored centroids arrive as ONE broadcast row folded
+    // per vector. The old crossJoin+min_by shape materialized N×C rows
+    // and shuffled them into a groupBy(vec_id) aggregate — pinned out by
+    // the absence of any vec_id hash partitioning
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("hashpartitioning(vec_id"), plan)
+    assert(plan.contains("__cents"), plan)
+  }
+
+  test("admitStreamBatch: replayed batch is a no-op; fresh batch admits") {
+    val dir = tmp()
+    Similarity.buildIndex(spark, vecs(0 until 50), dir)
+    assert(Similarity.admitStreamBatch(spark, vecs(50 until 80), dir, "app", 0L))
+    val n1 = Similarity.readIndex(spark, dir).count()
+    assert(n1 == 80L)
+    // a post-failure re-delivery of the same (appId, batchId) is a no-op
+    assert(!Similarity.admitStreamBatch(spark, vecs(50 until 80), dir, "app", 0L))
+    assert(Similarity.readIndex(spark, dir).count() == n1)
+    // the next batch admits normally
+    assert(Similarity.admitStreamBatch(spark, vecs(80 until 90), dir, "app", 1L))
+    assert(Similarity.readIndex(spark, dir).count() == n1 + 10)
+  }
+
   test("compactIndex bin-packs admission small files; pruning survives") {
     import spark.implicits._
     val dir = tmp()
