@@ -27,7 +27,8 @@ final case class IcebergManifestSummary(path: String, length: Long,
     // EXISTING) vs newly added, and the oldest sequence number present —
     // what Iceberg incremental consumers read from the manifest list
     existingFileCount: Long = 0L, existingRowCount: Long = 0L,
-    minSeq: Option[Long] = None)
+    minSeq: Option[Long] = None,
+    deletedFileCount: Long = 0L, deletedRowCount: Long = 0L)
 
 /** One manifest-list entry of the PREVIOUS generation, parsed in full on
   * the driver: the reuse pool. A prev data manifest whose entries are all
@@ -107,12 +108,14 @@ private[delta] object PrevManifest {
   * one generation skips reuse and does a full partition-clustered
   * rewrite — the manifest-compaction maintenance action, amortized.
   *
+  * Removed files appear as status=2 DELETED tombstone entries in the
+  * rewritten manifests (r18): snapshot_id = the deleting snapshot with
+  * the data sequence preserved, so incremental DELETE consumers read
+  * the removed set directly (entries built from the previous
+  * generation's manifest rows — nothing is re-opened).
+  *
   * Honest simplifications vs the full UniForm implementation, each
   * loud or documented:
-  *  - REMOVED files simply disappear from the manifest set — no
-  *    DELETED tombstone entries; incremental delete consumers must
-  *    fall back on overwrite/replace snapshots, which the snapshot
-  *    summary operation flags;
   *  - when the DV set changes, ALL position-delete files regenerate
   *    (new UUIDs, ADDED) — bounded by the DV'd-file count;
   *  - timestamp columns require the table to have been UniForm from
@@ -657,6 +660,7 @@ object IcebergMetadata {
         .parallelize(prevDataMs.map(m => (m.path, m.seq)),
           math.max(1, prevDataMs.size))
         .flatMap { case (mp, listSeq) =>
+          val localPartMeta = partMeta
           val mr = DataFileReader.openReader(
             new org.apache.avro.mapred.FsInput(new Path(mp), hconf.value),
             new GenericDatumReader[GenericRecord]())
@@ -664,14 +668,29 @@ object IcebergMetadata {
             .filter(_.get("status").asInstanceOf[Int] != 2)
             .map { e =>
               val df = e.get("data_file").asInstanceOf[GenericRecord]
+              // partition values + counts ride along so a file that
+              // VANISHES this generation can be written as a DELETED
+              // tombstone entry without re-opening anything
+              val struct = df.get("partition").asInstanceOf[GenericRecord]
+              val pvs: Map[String, String] = localPartMeta.map { case (pn, dt) =>
+                val v = struct.get(pn)
+                pn -> (if (v == null) null else dt match {
+                  case DateType => java.time.LocalDate
+                    .ofEpochDay(v.asInstanceOf[Int].toLong).toString
+                  case _ => v.toString
+                })
+              }.toMap
               (mp, df.get("file_path").toString,
                 Option(e.get("snapshot_id")).map(_.asInstanceOf[Long])
                   .getOrElse(0L),
                 Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
-                  .getOrElse(listSeq))
+                  .getOrElse(listSeq),
+                pvs,
+                df.get("record_count").asInstanceOf[Long],
+                df.get("file_size_in_bytes").asInstanceOf[Long])
             }.toList
           finally mr.close()
-        }.toDF("mp", "fp", "prev_snap", "prev_seq")
+        }.toDF("mp", "fp", "prev_snap", "prev_seq", "pvs", "rc", "fsize")
         // read three times below (reuse vote, lineage join, pool
         // anti-join) — cache so the Avro manifests are opened once
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -736,18 +755,46 @@ object IcebergMetadata {
         prevFileInfo.get.filter(col("mp").isInCollection(reusableMps))
           .select(col("fp")).distinct(),
         Seq("fp"), "left_anti")
+    // files that VANISHED this generation become status=2 DELETED
+    // tombstone entries in the rewritten manifests (spec: snapshot_id =
+    // the deleting snapshot, data sequence preserved), so an Iceberg
+    // incremental DELETE consumer reads the removed set directly instead
+    // of falling back on the snapshot summary operation. They ride the
+    // pool as pseudo-AddFiles (partition/count/size from the prev
+    // manifest entry — nothing is re-opened); a reused manifest by
+    // definition lost nothing.
+    val removedDF: Option[DataFrame] = prevFileInfo.map { pi =>
+      pi.join(keyedFiles.select(col("fp")), Seq("fp"), "left_anti")
+        .dropDuplicates("fp")
+        .select(col("fp"), col("pvs"), col("rc"), col("fsize"),
+          col("prev_snap"), col("prev_seq"))
+        .as[(String, Map[String, String], Long, Long, Long, Long)]
+        .map { case (fp0, pvs, rc, fsize, snap, seq) =>
+          (fp0, AddFile(fp0, pvs, fsize, 0L, dataChange = false,
+            stats = s"""{"numRecords":$rc}"""),
+            Option(snap), Option(seq), true)
+        }.toDF("fp", "add", "prev_snap", "prev_seq", "__deleted")
+    }
+    val pool = removedDF match {
+      case Some(r) => withPrev
+        .withColumn("__deleted", org.apache.spark.sql.functions.lit(false))
+        .unionByName(r)
+      case None => withPrev
+        .withColumn("__deleted", org.apache.spark.sql.functions.lit(false))
+    }
     // cluster manifests BY THE FULL PARTITION TUPLE (one metadata-sized
     // shuffle): a manifest covering one partition value gets tight
     // field_summary bounds on EVERY partition column, so Iceberg
     // planning skips whole manifests — the manifest-level analogue of
     // the cell-bucketed ANN layout
     val clustered =
-      if (partCols.isEmpty) withPrev
-      else withPrev.repartition(
+      if (partCols.isEmpty) pool
+      else pool.repartition(
         partCols.map(pc => col("add.partitionValues").getItem(pc._1)): _*)
     val clusteredFiles = clustered
-      .select(col("fp"), col("add"), col("prev_snap"), col("prev_seq"))
-      .as[(String, AddFile, Option[Long], Option[Long])]
+      .select(col("fp"), col("add"), col("prev_snap"), col("prev_seq"),
+        col("__deleted"))
+      .as[(String, AddFile, Option[Long], Option[Long], Boolean)]
     val localSchemaId = schemaId
     val summaries: Seq[IcebergManifestSummary] = clusteredFiles
       .mapPartitions { files =>
@@ -791,6 +838,8 @@ object IcebergMetadata {
           var n = 0L
           var existingN = 0L
           var existingRows = 0L
+          var deletedN = 0L
+          var deletedRows = 0L
           var minSeq = Long.MaxValue
           // per-partition-column field_summary state
           val containsNull = Array.fill(partMeta.length)(false)
@@ -802,16 +851,25 @@ object IcebergMetadata {
             case (x: String, y: String) => x < y
             case _ => false
           }
-          files.foreach { case (fp, a, prevSnap, prevSeq) =>
+          files.foreach { case (fp, a, prevSnap, prevSeq, isDeleted) =>
             val rec = new GenericData.Record(entrySchema)
             // a file the previous generation listed (under an OLDER
             // snapshot) is EXISTING with its original snapshot-id and
             // sequence number, stored explicitly (spec: only ADDED
             // entries inherit from the manifest list); genuinely new
             // files — and a same-version regeneration's own files —
-            // are ADDED by this snapshot
-            val existing = prevSnap.exists(_ != snapshotId)
-            if (existing) {
+            // are ADDED by this snapshot; a file that VANISHED is a
+            // DELETED tombstone (snapshot_id = the deleting snapshot,
+            // data sequence preserved) for incremental DELETE consumers
+            val existing = !isDeleted && prevSnap.exists(_ != snapshotId)
+            if (isDeleted) {
+              rec.put("status", 2)
+              rec.put("snapshot_id", snapshotId)
+              val sq = prevSeq.getOrElse(seqNum)
+              rec.put("sequence_number", sq)
+              rec.put("file_sequence_number", sq)
+              if (sq < minSeq) minSeq = sq
+            } else if (existing) {
               rec.put("status", 0)
               rec.put("snapshot_id", prevSnap.get)
               val sq = prevSeq.getOrElse(seqNum)
@@ -876,7 +934,8 @@ object IcebergMetadata {
             }
             rec.put("data_file", df)
             w.append(rec)
-            if (existing) { existingN += 1; existingRows += rc }
+            if (isDeleted) { deletedN += 1; deletedRows += rc }
+            else if (existing) { existingN += 1; existingRows += rc }
             else { rows += rc; n += 1 }
           }
           w.close()
@@ -888,7 +947,8 @@ object IcebergMetadata {
           }
           Iterator(IcebergManifestSummary(out.toString, len, n, rows, sums,
             existingN, existingRows,
-            if (minSeq == Long.MaxValue) None else Some(minSeq)))
+            if (minSeq == Long.MaxValue) None else Some(minSeq),
+            deletedN, deletedRows))
         }
       }.collect().toSeq
     prevFileInfo.foreach(_.unpersist())
@@ -1017,7 +1077,8 @@ object IcebergMetadata {
     lw.create(listSchema, fs.create(listPath, true))
     def listEntry(path: String, length: Long, content: Int, specId: Int,
         nFiles: Long, nRows: Long, existingFiles: Long = 0L,
-        existingRows: Long = 0L, minSeq: Option[Long] = None): GenericRecord = {
+        existingRows: Long = 0L, minSeq: Option[Long] = None,
+        deletedFiles: Long = 0L, deletedRows: Long = 0L): GenericRecord = {
       val rec = new GenericData.Record(listSchema)
       rec.put("manifest_path", path)
       rec.put("manifest_length", length)
@@ -1028,10 +1089,10 @@ object IcebergMetadata {
       rec.put("added_snapshot_id", snapshotId)
       rec.put("added_files_count", nFiles.toInt)
       rec.put("existing_files_count", existingFiles.toInt)
-      rec.put("deleted_files_count", 0)
+      rec.put("deleted_files_count", deletedFiles.toInt)
       rec.put("added_rows_count", nRows)
       rec.put("existing_rows_count", existingRows)
-      rec.put("deleted_rows_count", 0L)
+      rec.put("deleted_rows_count", deletedRows)
       rec
     }
     def partArray(ps: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])]):
@@ -1078,7 +1139,8 @@ object IcebergMetadata {
       }
     summaries.foreach { m =>
       val rec = listEntry(m.path, m.length, 0, 0, m.fileCount, m.rowCount,
-        m.existingFileCount, m.existingRowCount, m.minSeq)
+        m.existingFileCount, m.existingRowCount, m.minSeq,
+        m.deletedFileCount, m.deletedRowCount)
       // field_summary per identity-partition column: planning can skip
       // this whole manifest when a partition predicate falls outside
       // [lower, upper] — never opening it

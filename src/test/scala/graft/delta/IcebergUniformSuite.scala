@@ -1146,9 +1146,21 @@ class IcebergUniformSuite extends AnyFunSuite {
       assert(existing.head.get("snapshot_id").asInstanceOf[Long] == 2L)
       assert(existing.head.get("sequence_number").asInstanceOf[Long] == 2L)
       assert(existing.head.get("file_sequence_number").asInstanceOf[Long] == 2L)
-      // and the snapshot's total content is exactly the two live rows
-      assert(entries4.map(_.get("data_file").asInstanceOf[GenericRecord]
-        .get("record_count").asInstanceOf[Long]).sum == 2L)
+      // the VANISHED file rides as a status=2 DELETED tombstone: an
+      // incremental DELETE consumer reads the removed set directly —
+      // snapshot_id is the DELETING snapshot, the data sequence survives
+      val deleted = entries4.filter(_.get("status").asInstanceOf[Int] == 2)
+      assert(deleted.size == 1, entries4.mkString("\n"))
+      assert(deleted.head.get("snapshot_id").asInstanceOf[Long] == 4L)
+      assert(deleted.head.get("sequence_number").asInstanceOf[Long] == 2L)
+      assert(manifests4.map(_.get("deleted_files_count").asInstanceOf[Int])
+        .sum == 1)
+      assert(manifests4.map(_.get("deleted_rows_count").asInstanceOf[Long])
+        .sum == 1L)
+      // and the snapshot's LIVE content is exactly the two live rows
+      assert(entries4.filter(_.get("status").asInstanceOf[Int] != 2)
+        .map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("record_count").asInstanceOf[Long]).sum == 2L)
       assert(manifests4.map(_.get("existing_files_count").asInstanceOf[Int])
         .sum == 1)
     } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -1234,14 +1246,17 @@ class IcebergUniformSuite extends AnyFunSuite {
     // Iceberg history shrank with Delta history: only the current snapshot
     val after = currentMeta(dir)
     assert(after.get("snapshots").size == 1, after.get("snapshots").toString)
-    // the current snapshot's manifests and data files all survive
+    // the current snapshot's manifests and LIVE data files all survive
+    // (status=2 DELETED tombstones reference the vacuumed files by
+    // design — that's the removal record incremental consumers read)
     val manifests = currentManifests(after)
     manifests.foreach { m =>
-      avroRecords(m.get("manifest_path").toString).foreach { e =>
-        val p = e.get("data_file").asInstanceOf[GenericRecord]
-          .get("file_path").toString
-        assert(localFile(p).exists(), s"vacuum destroyed $p")
-      }
+      avroRecords(m.get("manifest_path").toString)
+        .filter(_.get("status").asInstanceOf[Int] != 2).foreach { e =>
+          val p = e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString
+          assert(localFile(p).exists(), s"vacuum destroyed $p")
+        }
     }
     // and the table still reads correctly through the Delta log
     assert(t.toDF.count() == 1)
