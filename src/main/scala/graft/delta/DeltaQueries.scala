@@ -1085,7 +1085,14 @@ object DeltaQueries {
           configuration = Map(
             "delta.universalFormat.enabledFormats" -> "iceberg")))
         txn.commit(Nil, Op.CreateTable)
-        t.write(orders, SaveMode.Append, Seq("o_orderstatus"))
+        // TWO writes: the second generation reuses the first's manifests
+        // by reference (incremental generation), so the oracle's
+        // per-partition counts are answered through a MIXED list of
+        // reused + fresh manifests — a reuse bug breaks the hash
+        t.write(orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+          SaveMode.Append, Seq("o_orderstatus"))
+        t.write(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+          SaveMode.Append, Seq("o_orderstatus"))
       }
       val log = DeltaTable.forPath(s, dir).deltaLog
       val hconf = s.sessionState.newHadoopConf()
@@ -1174,8 +1181,20 @@ object DeltaQueries {
             "delta.universalFormat.enabledFormats" -> "iceberg",
             "delta.enableDeletionVectors" -> "true")))
         txn.commit(Nil, Op.CreateTable)
-        t.write(orders, SaveMode.Append, Seq("o_orderstatus"))
+        // three commits so the ORACLE rides the incremental-generation
+        // paths: the second write reuses the first's manifests, the
+        // delete regenerates ONLY the delete side (DV'd fp set unchanged
+        // -> every data manifest reused), and the final append reuses
+        // BOTH the data manifests and the delete manifest + its
+        // position-delete parquet by reference (unchanged DV
+        // fingerprint) — a reuse bug in any leg breaks the hash
+        t.write(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0),
+          SaveMode.Append, Seq("o_orderstatus"))
+        t.write(orders.filter(pmod(col("o_orderkey"), lit(3)) === 1),
+          SaveMode.Append, Seq("o_orderstatus"))
         t.delete(pmod(col("o_orderkey"), lit(10)) === 3) // merge-on-read DVs
+        t.write(orders.filter(pmod(col("o_orderkey"), lit(3)) === 2),
+          SaveMode.Append, Seq("o_orderstatus"))
       }
       val log = DeltaTable.forPath(s, dir).deltaLog
       val hconf = s.sessionState.newHadoopConf()
@@ -1251,7 +1270,8 @@ object DeltaQueries {
         .orderBy($"o_orderstatus")
     }, Some("""
       SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows
-      FROM orders WHERE o_orderkey % 10 <> 3
+      FROM orders
+      WHERE NOT (o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 3)
       GROUP BY 1 ORDER BY 1""")),
 
     // CONVERT FROM ICEBERG (A85, r17): the full migration round trip —

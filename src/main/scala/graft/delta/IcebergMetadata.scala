@@ -1839,6 +1839,16 @@ object IcebergMetadata {
           s"cannot re-sync: partition columns changed from " +
             s"${s.metadata.partitionColumns.mkString(",")} to " +
             s"${partCols.map(_._1).mkString(",")}")
+        // mapping parity: a snapshot that newly requires column mapping
+        // (or stops requiring it) cannot be mirrored onto the adopted
+        // table's existing files — the schema update would rebind how
+        // parquet columns resolve. Refuse loudly rather than misread.
+        val prevMapped = s.metadata.configuration
+          .get("delta.columnMapping.mode").exists(_ != "none")
+        require(needsMapping == prevMapped,
+          "cannot re-sync: the snapshot's column-mapping requirement " +
+            s"changed (adopted table mapped=$prevMapped, snapshot needs " +
+            s"mapping=$needsMapping); re-adopt from scratch instead")
         val rootForKey = log.dataPath.toString
         val deltaState = s.allFilesDS
           .map(a => (FileNames.absolutePathString(new Path(rootForKey), a.path), a))
@@ -1939,11 +1949,17 @@ object IcebergMetadata {
         math.max(1, math.min(live.size, 32))),
       StructType(Seq(StructField("fp", StringType, nullable = false),
         StructField("__fseq", LongType, nullable = false))))
+    // the (path, seq) relation is hinted broadcast only while it is
+    // plausibly small — at 10^7 files it is itself ~1 GB of strings, the
+    // same OOM class as the delete side (AQE still picks broadcast from
+    // runtime stats when it fits)
+    val fseqHinted =
+      if (live.size <= 100000) broadcast(fseqDF) else fseqDF
     val data = spark.read.parquet(live.map(_._1): _*)
       .select(eqCols.map(col) ++ Seq(
         DeletionVectors.normFp(col("_metadata.file_path")).as("fp"),
         col("_metadata.row_index").as("ri")): _*)
-      .join(broadcast(fseqDF), Seq("fp"))
+      .join(fseqHinted, Seq("fp"))
     val cond = eqCols.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _) &&
       col("__fseq") < col("__dseq")
     data.join(dels, cond, "leftsemi").select(col("fp"), col("ri"))

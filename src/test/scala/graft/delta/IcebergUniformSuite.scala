@@ -492,6 +492,30 @@ class IcebergUniformSuite extends AnyFunSuite {
     assert(t.toDF.collect().map(_.getLong(0)).toSet == Set(3L, 4L))
   }
 
+  test("TRUNCATE generates a tombstone-only snapshot (empty live set)") {
+    val dir = tmp()
+    val t = mkUniform(dir)
+    t.write(df((1L, "a", "x"), (2L, "b", "y")), partitionBy = Seq("part"))
+    t.truncate()
+    val meta = currentMeta(dir)
+    // the truncating snapshot's summary flags the delete
+    import scala.jdk.CollectionConverters._
+    val curId = meta.get("current-snapshot-id").asLong
+    val snap = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == curId).get
+    assert(snap.get("summary").get("operation").asText == "delete")
+    // every manifest entry is a status=2 DELETED tombstone — an Iceberg
+    // reader sees an empty table, an incremental DELETE consumer sees
+    // exactly the removed files
+    val entries = currentManifests(meta).flatMap(m =>
+      avroRecords(m.get("manifest_path").toString))
+    assert(entries.nonEmpty)
+    assert(entries.forall(_.get("status").asInstanceOf[Int] == 2),
+      entries.mkString("\n"))
+    entries.foreach(e =>
+      assert(e.get("snapshot_id").asInstanceOf[Long] == curId))
+  }
+
   test("past maxDataManifests one generation compacts: full rewrite, list shrinks") {
     spark.conf.set("spark.graft.iceberg.maxDataManifests", "2")
     try {
