@@ -29,6 +29,162 @@ object DeltaQueries {
       dir
     })
 
+  /** Shared by delta_convert_sync and delta_convert_cdf: a UniForm table
+    * is adopted as pure Iceberg (the `_delta_log` dropped), a FOREIGN
+    * snapshot 99 is hand-crafted (removes batch A, adds batch C,
+    * equality-deletes keys from B and C at the same sequence), and one
+    * re-sync diff commit mirrors it.
+    */
+  private def convertSyncFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "convert-sync") { dir =>
+        import s.implicits._
+        import scala.jdk.CollectionConverters._
+        import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+        import org.apache.avro.file.{DataFileReader, DataFileWriter}
+        val t = DeltaTable.forPath(s, dir)
+        val orders = table(s, d, "orders")
+        val txn = t.deltaLog.startTransaction()
+        txn.updateMetadata(Metadata(
+          schemaString = orders.schema.json,
+          configuration = Map(
+            "delta.universalFormat.enabledFormats" -> "iceberg")))
+        txn.commit(Nil, Op.CreateTable)
+        t.write(orders.filter(pmod($"o_orderkey", lit(4)) === 0)) // A (snap 2)
+        t.write(orders.filter(pmod($"o_orderkey", lit(4)) === 1)) // B (snap 3)
+        val hconf = s.sessionState.newHadoopConf()
+        val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+        logDir.getFileSystem(hconf).delete(logDir, true)
+        DeltaTable.convertFromIceberg(s, dir) // adopt snapshot 3
+        // ---- the foreign writer's next commit, crafted by hand
+        val metaDir = new java.io.File(dir, "metadata")
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val hint = new String(java.nio.file.Files.readAllBytes(
+          metaDir.toPath.resolve("version-hint.text"))).trim
+        val meta = mapper.readTree(java.nio.file.Files.readAllBytes(
+          metaDir.toPath.resolve(s"v$hint.metadata.json")))
+        val curId = meta.get("current-snapshot-id").asLong
+        val listPath = meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong == curId).get
+          .get("manifest-list").asText
+        def avroRecs(p: String): Seq[GenericRecord] = {
+          val r = DataFileReader.openReader(
+            new org.apache.avro.mapred.FsInput(
+              new org.apache.hadoop.fs.Path(p), hconf),
+            new GenericDatumReader[GenericRecord]())
+          try r.iterator().asScala.toList finally r.close()
+        }
+        val oldEntries = avroRecs(listPath)
+        // incremental generation keeps batch A's manifests reused with
+        // added_snapshot_id 2 — dropping them removes exactly batch A
+        val keepB = oldEntries.filter(
+          _.get("added_snapshot_id").asInstanceOf[Long] == 3L)
+        require(keepB.nonEmpty && keepB.size < oldEntries.size,
+          s"fixture shape: expected reused A + fresh B manifests, got $oldEntries")
+        // batch C: one new parquet file under the root
+        val cDir = new java.io.File(dir, "sync-c")
+        val cDF = orders.filter(pmod($"o_orderkey", lit(4)) === 2)
+        val cCount = cDF.count()
+        cDF.coalesce(1).write.mode("overwrite").parquet(cDir.toString)
+        val cFile = cDir.listFiles().find(_.getName.endsWith(".parquet")).get
+        // equality-delete keys drawn from B AND C (only B's rows may die)
+        val delDir = java.nio.file.Files.createTempDirectory("graft-sync-eq")
+        val delKeys = orders.filter(pmod($"o_orderkey", lit(4)).isin(1, 2) &&
+            pmod($"o_orderkey", lit(10)) === 3)
+          .select($"o_orderkey")
+        val delCount = delKeys.count()
+        delKeys.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+        val delFile = new java.io.File(delDir.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val schemaId = meta.get("current-schema-id").asInt
+        val okeyId = meta.get("schemas").elements().asScala
+          .find(_.get("schema-id").asInt == schemaId).get
+          .get("fields").elements().asScala
+          .find(_.get("name").asText == "o_orderkey").get.get("id").asInt
+        val entrySchema = new org.apache.avro.Schema.Parser().parse(
+          IcebergMetadata.manifestEntrySchemaJson(
+            IcebergMetadata.partitionStructSchemaJson(Nil)))
+        val dfS = entrySchema.getField("data_file").schema()
+        def writeManifest(out: java.io.File, content: Int, path: String,
+            rc: Long, len: Long, eqIds: Seq[Int]): Unit = {
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](entrySchema))
+          w.create(entrySchema, out)
+          val rec = new GenericData.Record(entrySchema)
+          rec.put("status", 1)
+          rec.put("snapshot_id", 99L)
+          rec.put("sequence_number", 4L)
+          val dfr = new GenericData.Record(dfS)
+          dfr.put("content", content)
+          dfr.put("file_path", path)
+          dfr.put("file_format", "PARQUET")
+          dfr.put("partition",
+            new GenericData.Record(dfS.getField("partition").schema()))
+          dfr.put("record_count", rc)
+          dfr.put("file_size_in_bytes", len)
+          if (eqIds.nonEmpty) {
+            val arrS = dfS.getField("equality_ids").schema().getTypes.asScala
+              .find(_.getType == org.apache.avro.Schema.Type.ARRAY).get
+            val arr = new GenericData.Array[Any](eqIds.size, arrS)
+            eqIds.foreach(arr.add(_))
+            dfr.put("equality_ids", arr)
+          }
+          rec.put("data_file", dfr)
+          w.append(rec)
+          w.close()
+        }
+        val cManifest = new java.io.File(metaDir, "sync-c-m0.avro")
+        writeManifest(cManifest, 0, cFile.getAbsolutePath, cCount, cFile.length(), Nil)
+        val dManifest = new java.io.File(metaDir, "sync-eq-d0.avro")
+        writeManifest(dManifest, 2, delFile.getAbsolutePath,
+          delCount, delFile.length(), Seq(okeyId))
+        val listSchema = new org.apache.avro.Schema.Parser().parse(
+          IcebergMetadata.manifestListSchemaJson)
+        val newList = new java.io.File(metaDir, "snap-99-1-sync.avro")
+        val lw = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](listSchema))
+        lw.create(listSchema, newList)
+        keepB.foreach(lw.append)
+        def listRec(f: java.io.File, content: Int): GenericRecord = {
+          val r = new GenericData.Record(listSchema)
+          r.put("manifest_path", f.getAbsolutePath)
+          r.put("manifest_length", f.length())
+          r.put("partition_spec_id", 0)
+          r.put("content", content)
+          r.put("sequence_number", 4L)
+          r.put("min_sequence_number", 4L)
+          r.put("added_snapshot_id", 99L)
+          r.put("added_files_count", 1)
+          r.put("existing_files_count", 0)
+          r.put("deleted_files_count", 0)
+          r.put("added_rows_count", 1L)
+          r.put("existing_rows_count", 0L)
+          r.put("deleted_rows_count", 0L)
+          r
+        }
+        lw.append(listRec(cManifest, 0))
+        lw.append(listRec(dManifest, 1))
+        lw.close()
+        val root = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+        root.put("current-snapshot-id", 99L)
+        root.put("last-sequence-number", 4L)
+        val sn = root.withArray("snapshots").addObject()
+        sn.put("snapshot-id", 99L)
+        sn.put("sequence-number", 4L)
+        sn.put("timestamp-ms", System.currentTimeMillis())
+        sn.putObject("summary").put("operation", "overwrite")
+        sn.put("manifest-list", newList.getAbsolutePath)
+        sn.put("schema-id", schemaId)
+        java.nio.file.Files.write(
+          metaDir.toPath.resolve(s"v${hint.toLong + 1}.metadata.json"),
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+        java.nio.file.Files.deleteIfExists(
+          metaDir.toPath.resolve(".version-hint.text.crc"))
+        java.nio.file.Files.write(metaDir.toPath.resolve("version-hint.text"),
+          (hint.toLong + 1).toString.getBytes("UTF-8"))
+        // ---- RE-SYNC: one diff commit mirrors snapshot 99
+        DeltaTable.convertFromIceberg(s, dir)
+    }
+
   private def ordersFixture(s: SparkSession, d: String): String =
     fixture(s, d, "orders") { dir =>
       DeltaTable.forPath(s, dir)
@@ -1328,153 +1484,7 @@ object DeltaQueries {
     // recomputes the mirrored state from the base table.
     GQ("delta_convert_sync", (s, d) => {
       import s.implicits._
-      val dir = fixture(s, d, "convert-sync") { dir =>
-        import scala.jdk.CollectionConverters._
-        import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
-        import org.apache.avro.file.{DataFileReader, DataFileWriter}
-        val t = DeltaTable.forPath(s, dir)
-        val orders = table(s, d, "orders")
-        val txn = t.deltaLog.startTransaction()
-        txn.updateMetadata(Metadata(
-          schemaString = orders.schema.json,
-          configuration = Map(
-            "delta.universalFormat.enabledFormats" -> "iceberg")))
-        txn.commit(Nil, Op.CreateTable)
-        t.write(orders.filter(pmod($"o_orderkey", lit(4)) === 0)) // A (snap 2)
-        t.write(orders.filter(pmod($"o_orderkey", lit(4)) === 1)) // B (snap 3)
-        val hconf = s.sessionState.newHadoopConf()
-        val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
-        logDir.getFileSystem(hconf).delete(logDir, true)
-        DeltaTable.convertFromIceberg(s, dir) // adopt snapshot 3
-        // ---- the foreign writer's next commit, crafted by hand
-        val metaDir = new java.io.File(dir, "metadata")
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val hint = new String(java.nio.file.Files.readAllBytes(
-          metaDir.toPath.resolve("version-hint.text"))).trim
-        val meta = mapper.readTree(java.nio.file.Files.readAllBytes(
-          metaDir.toPath.resolve(s"v$hint.metadata.json")))
-        val curId = meta.get("current-snapshot-id").asLong
-        val listPath = meta.get("snapshots").elements().asScala
-          .find(_.get("snapshot-id").asLong == curId).get
-          .get("manifest-list").asText
-        def avroRecs(p: String): Seq[GenericRecord] = {
-          val r = DataFileReader.openReader(
-            new org.apache.avro.mapred.FsInput(
-              new org.apache.hadoop.fs.Path(p), hconf),
-            new GenericDatumReader[GenericRecord]())
-          try r.iterator().asScala.toList finally r.close()
-        }
-        val oldEntries = avroRecs(listPath)
-        // incremental generation keeps batch A's manifests reused with
-        // added_snapshot_id 2 — dropping them removes exactly batch A
-        val keepB = oldEntries.filter(
-          _.get("added_snapshot_id").asInstanceOf[Long] == 3L)
-        require(keepB.nonEmpty && keepB.size < oldEntries.size,
-          s"fixture shape: expected reused A + fresh B manifests, got $oldEntries")
-        // batch C: one new parquet file under the root
-        val cDir = new java.io.File(dir, "sync-c")
-        val cDF = orders.filter(pmod($"o_orderkey", lit(4)) === 2)
-        val cCount = cDF.count()
-        cDF.coalesce(1).write.mode("overwrite").parquet(cDir.toString)
-        val cFile = cDir.listFiles().find(_.getName.endsWith(".parquet")).get
-        // equality-delete keys drawn from B AND C (only B's rows may die)
-        val delDir = java.nio.file.Files.createTempDirectory("graft-sync-eq")
-        val delKeys = orders.filter(pmod($"o_orderkey", lit(4)).isin(1, 2) &&
-            pmod($"o_orderkey", lit(10)) === 3)
-          .select($"o_orderkey")
-        val delCount = delKeys.count()
-        delKeys.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
-        val delFile = new java.io.File(delDir.toString).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val schemaId = meta.get("current-schema-id").asInt
-        val okeyId = meta.get("schemas").elements().asScala
-          .find(_.get("schema-id").asInt == schemaId).get
-          .get("fields").elements().asScala
-          .find(_.get("name").asText == "o_orderkey").get.get("id").asInt
-        val entrySchema = new org.apache.avro.Schema.Parser().parse(
-          IcebergMetadata.manifestEntrySchemaJson(
-            IcebergMetadata.partitionStructSchemaJson(Nil)))
-        val dfS = entrySchema.getField("data_file").schema()
-        def writeManifest(out: java.io.File, content: Int, path: String,
-            rc: Long, len: Long, eqIds: Seq[Int]): Unit = {
-          val w = new DataFileWriter[GenericRecord](
-            new GenericDatumWriter[GenericRecord](entrySchema))
-          w.create(entrySchema, out)
-          val rec = new GenericData.Record(entrySchema)
-          rec.put("status", 1)
-          rec.put("snapshot_id", 99L)
-          rec.put("sequence_number", 4L)
-          val dfr = new GenericData.Record(dfS)
-          dfr.put("content", content)
-          dfr.put("file_path", path)
-          dfr.put("file_format", "PARQUET")
-          dfr.put("partition",
-            new GenericData.Record(dfS.getField("partition").schema()))
-          dfr.put("record_count", rc)
-          dfr.put("file_size_in_bytes", len)
-          if (eqIds.nonEmpty) {
-            val arrS = dfS.getField("equality_ids").schema().getTypes.asScala
-              .find(_.getType == org.apache.avro.Schema.Type.ARRAY).get
-            val arr = new GenericData.Array[Any](eqIds.size, arrS)
-            eqIds.foreach(arr.add(_))
-            dfr.put("equality_ids", arr)
-          }
-          rec.put("data_file", dfr)
-          w.append(rec)
-          w.close()
-        }
-        val cManifest = new java.io.File(metaDir, "sync-c-m0.avro")
-        writeManifest(cManifest, 0, cFile.getAbsolutePath, cCount, cFile.length(), Nil)
-        val dManifest = new java.io.File(metaDir, "sync-eq-d0.avro")
-        writeManifest(dManifest, 2, delFile.getAbsolutePath,
-          delCount, delFile.length(), Seq(okeyId))
-        val listSchema = new org.apache.avro.Schema.Parser().parse(
-          IcebergMetadata.manifestListSchemaJson)
-        val newList = new java.io.File(metaDir, "snap-99-1-sync.avro")
-        val lw = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](listSchema))
-        lw.create(listSchema, newList)
-        keepB.foreach(lw.append)
-        def listRec(f: java.io.File, content: Int): GenericRecord = {
-          val r = new GenericData.Record(listSchema)
-          r.put("manifest_path", f.getAbsolutePath)
-          r.put("manifest_length", f.length())
-          r.put("partition_spec_id", 0)
-          r.put("content", content)
-          r.put("sequence_number", 4L)
-          r.put("min_sequence_number", 4L)
-          r.put("added_snapshot_id", 99L)
-          r.put("added_files_count", 1)
-          r.put("existing_files_count", 0)
-          r.put("deleted_files_count", 0)
-          r.put("added_rows_count", 1L)
-          r.put("existing_rows_count", 0L)
-          r.put("deleted_rows_count", 0L)
-          r
-        }
-        lw.append(listRec(cManifest, 0))
-        lw.append(listRec(dManifest, 1))
-        lw.close()
-        val root = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
-        root.put("current-snapshot-id", 99L)
-        root.put("last-sequence-number", 4L)
-        val sn = root.withArray("snapshots").addObject()
-        sn.put("snapshot-id", 99L)
-        sn.put("sequence-number", 4L)
-        sn.put("timestamp-ms", System.currentTimeMillis())
-        sn.putObject("summary").put("operation", "overwrite")
-        sn.put("manifest-list", newList.getAbsolutePath)
-        sn.put("schema-id", schemaId)
-        java.nio.file.Files.write(
-          metaDir.toPath.resolve(s"v${hint.toLong + 1}.metadata.json"),
-          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-        java.nio.file.Files.deleteIfExists(
-          metaDir.toPath.resolve(".version-hint.text.crc"))
-        java.nio.file.Files.write(metaDir.toPath.resolve("version-hint.text"),
-          (hint.toLong + 1).toString.getBytes("UTF-8"))
-        // ---- RE-SYNC: one diff commit mirrors snapshot 99
-        DeltaTable.convertFromIceberg(s, dir)
-      }
+      val dir = convertSyncFixture(s, d)
       DeltaTable.forPath(s, dir).toDF
         .groupBy($"o_orderstatus")
         .agg(count(lit(1)).as("n_rows"),
@@ -1488,6 +1498,36 @@ object DeltaQueries {
       SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
         CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey
       FROM live GROUP BY 1 ORDER BY 1""")),
+
+    // The re-sync diff commit is CDF-CONSUMABLE: adds surface as inserts,
+    // vanished files as whole-file deletes, and the DV'd files'
+    // remove+re-add pair yields exactly the DV-DIFF rows — a mirrored
+    // Flink-written Iceberg table can drive incremental downstream
+    // consumers (delta_incremental_agg and the streaming CDF source)
+    // through tableChanges, with no change feed ever enabled. A
+    // compaction-only foreign chain (summary operation `replace`)
+    // commits dataChange=false and stays CDF-invisible (spec-pinned).
+    GQ("delta_convert_cdf", (s, d) => {
+      import s.implicits._
+      val dir = convertSyncFixture(s, d)
+      val t = DeltaTable.forPath(s, dir)
+      val v = t.deltaLog.update().version
+      t.tableChanges(v, v)
+        .groupBy($"_change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").as("sum_okey"))
+        .orderBy($"_change_type")
+    }, Some("""
+      WITH chg AS (
+        SELECT 'delete' AS ct, o_orderkey FROM orders WHERE o_orderkey % 4 = 0
+        UNION ALL
+        SELECT 'delete', o_orderkey FROM orders
+        WHERE o_orderkey % 4 = 1 AND o_orderkey % 10 = 3
+        UNION ALL
+        SELECT 'insert', o_orderkey FROM orders WHERE o_orderkey % 4 = 2)
+      SELECT ct AS _change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey
+      FROM chg GROUP BY 1 ORDER BY 1""")),
 
     // CONVERT TO DELTA (A49): a plain Hive-partitioned parquet directory
     // is adopted in place (footer-stat job + one commit, no rewrite),

@@ -1427,9 +1427,13 @@ object IcebergMetadata {
     * manifest entries are read DISTRIBUTED, one task per manifest; the
     * driver holds O(#files) AddFile actions for the single commit.
     *
-    * Loud refusals (never a silent misread): format-version > 2,
-    * non-identity partition transforms, equality deletes, manifests
-    * under a non-default partition spec, unsupported types.
+    * Widened funnel (adoption over refusal): non-identity partition
+    * transforms and SPEC-EVOLVED tables adopt with the transform /
+    * non-common fields data-only (stats-based skipping keeps working);
+    * EQUALITY deletes — with or without name mapping — resolve to
+    * deletion vectors. Loud refusals (never a silent misread):
+    * format-version > 2, a used spec missing from the metadata,
+    * unsupported types.
     */
   /** Table-config key remembering the last adopted/synced Iceberg
     * snapshot id — the re-sync guard and no-op detector.
@@ -1523,39 +1527,6 @@ object IcebergMetadata {
         "delta.columnMapping.maxColumnId" ->
           meta.get("last-column-id").asInt.toString)
 
-    // ---- partition spec: identity transforms become Delta partition
-    // columns. NON-identity transforms (bucket/truncate/days/… — the
-    // Iceberg default idiom) are adopted as DATA-ONLY: the source column
-    // stays a regular column, partition pruning on the transform is lost
-    // but stats-based skipping survives via the manifest bounds —
-    // adoption over refusal. `void` fields are dropped spec fields.
-    val specId = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
-    val specFields: Seq[JsonNode] = Option(meta.get("partition-specs"))
-      .flatMap(_.elements().asScala.find(_.get("spec-id").asInt == specId))
-      .map(_.get("fields").elements().asScala.toSeq)
-      .orElse(Option(meta.get("partition-spec"))
-        .map(_.elements().asScala.toSeq)) // v1 legacy
-      .getOrElse(Nil)
-    // (structFieldName, columnName, type): the manifest partition struct
-    // is keyed by the SPEC FIELD name, Delta partitionValues by column
-    val partColsFull: Seq[(String, String, DataType)] = specFields.flatMap { f =>
-      val tr = f.get("transform").asText
-      if (tr == "identity") {
-        val (nm, dt) = idToField.getOrElse(f.get("source-id").asInt,
-          throw new IllegalStateException(
-            s"partition source-id ${f.get("source-id").asInt} not in schema"))
-        Some((f.get("name").asText, nm, dt))
-      } else {
-        if (tr != "void") System.err.println(
-          s"WARN graft: Iceberg partition transform '$tr' on field " +
-            s"'${f.get("name").asText}' adopted as data-only — partition " +
-            "pruning on it is lost; stats-based skipping still applies")
-        None
-      }
-    }
-    val partCols: Seq[(String, DataType)] =
-      partColsFull.map { case (_, nm, dt) => (nm, dt) }
-
     // ---- manifests of the current snapshot
     val listPath = snap.get("manifest-list").asText
     val manifests: Seq[(String, Int, Int, Long)] = {
@@ -1570,16 +1541,118 @@ object IcebergMetadata {
         .toList
       finally r.close()
     }
-    manifests.filter(_._2 == 0).find(_._3 != specId).foreach { m =>
-      throw new UnsupportedOperationException(
-        s"data manifest ${m._1} uses partition spec ${m._3} != default " +
-          s"$specId; spec-evolved Iceberg tables are not supported")
+
+    // ---- partition specs: identity transforms become Delta partition
+    // columns. NON-identity transforms (bucket/truncate/days/… — the
+    // Iceberg default idiom) are adopted as DATA-ONLY: the source column
+    // stays a regular column, partition pruning on the transform is lost
+    // but stats-based skipping survives via the manifest bounds —
+    // adoption over refusal. `void` fields are dropped spec fields.
+    // SPEC-EVOLVED tables (live data manifests under more than one spec)
+    // adopt the INTERSECTION of identity source columns across every used
+    // spec AND the default spec (which future syncs write under): only
+    // those carry a partition value for every live file; the rest fall
+    // back to stats-based skipping. Delta requires one partition schema
+    // per table, so this is the widest pruning the log can keep.
+    val specId = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
+    val specsById: Map[Int, Seq[JsonNode]] =
+      Option(meta.get("partition-specs"))
+        .map(_.elements().asScala.map(sp =>
+          sp.get("spec-id").asInt ->
+            sp.get("fields").elements().asScala.toSeq).toMap)
+        .orElse(Option(meta.get("partition-spec"))
+          .map(fs0 => Map(specId -> fs0.elements().asScala.toSeq))) // v1 legacy
+        .getOrElse(Map(specId -> Nil))
+    val usedSpecIds: Set[Int] =
+      manifests.collect { case (_, 0, sid, _) => sid }.toSet + specId
+    usedSpecIds.find(!specsById.contains(_)).foreach(sid =>
+      throw new IllegalStateException(
+        s"data manifest references partition spec $sid, absent from " +
+          "the metadata's partition-specs"))
+    // per spec: identity source column -> (spec field/struct name, source id)
+    def identityFields(fields: Seq[JsonNode]): Map[String, (String, Int)] =
+      fields.flatMap { f =>
+        val tr = f.get("transform").asText
+        if (tr == "identity")
+          idToField.get(f.get("source-id").asInt)
+            .map { case (nm, _) =>
+              nm -> (f.get("name").asText, f.get("source-id").asInt) }
+        else {
+          if (tr != "void") System.err.println(
+            s"WARN graft: Iceberg partition transform '$tr' on field " +
+              s"'${f.get("name").asText}' adopted as data-only — partition " +
+              "pruning on it is lost; stats-based skipping still applies")
+          None
+        }
+      }.toMap
+    val identityBySpec: Map[Int, Map[String, (String, Int)]] =
+      usedSpecIds.map(sid => sid -> identityFields(specsById(sid))).toMap
+    // common columns in the DEFAULT spec's field order
+    val defaultIdentityOrdered: Seq[String] = specsById(specId).flatMap { f =>
+      if (f.get("transform").asText == "identity")
+        idToField.get(f.get("source-id").asInt).map(_._1)
+      else None
+    }
+    val commonCols: Seq[String] = defaultIdentityOrdered.filter(nm =>
+      identityBySpec.values.forall(_.contains(nm)))
+    defaultIdentityOrdered.filterNot(commonCols.contains).foreach(nm =>
+      System.err.println(
+        s"WARN graft: identity partition column '$nm' is not identity in " +
+          "every live partition spec (spec-evolved table) — adopted as " +
+          "data-only; stats-based skipping still applies"))
+    val partCols: Seq[(String, DataType)] = commonCols.map { nm =>
+      nm -> idToField.collectFirst {
+        case (_, (n, dt)) if n == nm => dt }.getOrElse(
+        throw new IllegalStateException(s"partition column $nm not in schema"))
+    }
+    // per spec, in common order: (structFieldName, columnName, type) —
+    // the manifest partition struct is keyed by the SPEC FIELD name,
+    // Delta partitionValues by column
+    val partMetaBySpec: Map[Int, Seq[(String, String, DataType)]] =
+      identityBySpec.map { case (sid, byCol) =>
+        sid -> partCols.map { case (nm, dt) => (byCol(nm)._1, nm, dt) }
+      }
+    // identity fields DROPPED from the common partition set, per spec:
+    // (structName, columnName, type, source field id) — these get
+    // pruning-equivalent synthesized stats, and a presence guard against
+    // Hive-migrated files that hold the value only in metadata
+    val droppedBySpec: Map[Int, Seq[(String, String, DataType, Int)]] =
+      identityBySpec.map { case (sid, byCol) =>
+        sid -> byCol.collect {
+          case (nm, (structNm, srcId)) if !commonCols.contains(nm) =>
+            (structNm, nm, idToField(srcId)._2, srcId)
+        }.toSeq
+      }
+    val assumeDroppedPresent = spark.conf.get(
+      "spark.graft.convert.assumeDroppedIdentityPresent", "false").toBoolean
+    // For files under a spec that identity-partitions a DROPPED column,
+    // the manifest's partition value is AUTHORITATIVE in Iceberg — the
+    // source column may be physically absent from the file (Hive-layout
+    // and UniForm files store it only in the partition tuple) and a
+    // conformant reader substitutes the metadata constant. Delta can
+    // only do that for table-wide partition columns, so adopting those
+    // files data-only would silently read NULLs. Refuse loudly; the
+    // override asserts the files carry the source column physically
+    // (true for Iceberg-native writers, which derive the tuple FROM the
+    // data), and synthesis below then restores pruning-equivalent stats.
+    if (!assumeDroppedPresent) {
+      val offending = manifests.collect { case (_, 0, sid, _) => sid }
+        .distinct.filter(sid => droppedBySpec(sid).nonEmpty)
+      if (offending.nonEmpty) throw new UnsupportedOperationException(
+        s"spec evolution drops identity partition column(s) " +
+          offending.flatMap(sid => droppedBySpec(sid).map(_._2)).distinct
+            .mkString("[", ", ", "]") +
+          " from the adoptable common set; their manifest partition " +
+          "values are authoritative and the data files may not carry " +
+          "the column physically — adopting them data-only could " +
+          "silently read NULLs. Set spark.graft.convert." +
+          "assumeDroppedIdentityPresent=true only if the files are " +
+          "known to carry the source column (Iceberg-native writers do)")
     }
     val now = log.clock.nowMillis
     val qualifiedRoot = fs.makeQualified(log.dataPath)
     val rootStr = qualifiedRoot.toString
     val serConf = new SerializableHadoopConf(hconfRaw)
-    val partMeta = partColsFull
     val statsFields: Seq[(Int, String, DataType)] =
       idToField.toSeq.map { case (id, (nm, dt)) => (id, nm, dt) }
 
@@ -1589,11 +1662,12 @@ object IcebergMetadata {
     // collected: the commit streams AddFiles from it (commitLarge past
     // the threshold), so a 10^7-file adoption never materializes
     // O(#files) stats JSON on the driver.
-    val dataManifests = manifests.collect { case (p, 0, _, sq) => (p, sq) }
+    val dataManifests = manifests.collect { case (p, 0, sid, sq) => (p, sid, sq) }
     val fileRows: org.apache.spark.rdd.RDD[(String, Map[String, String], Long, Long, String, Long)] =
       spark.sparkContext
         .parallelize(dataManifests, math.max(1, dataManifests.size))
-        .flatMap { case (p, listSeq) =>
+        .flatMap { case (p, manSpecId, listSeq) =>
+          val partMeta = partMetaBySpec(manSpecId)
           val statsMapper = new ObjectMapper()
           val r = DataFileReader.openReader(
             new org.apache.avro.mapred.FsInput(new Path(p), serConf.value),
@@ -1652,6 +1726,45 @@ object IcebergMetadata {
                   nulls.get(id).foreach(v =>
                     o.put(nm, v.asInstanceOf[Long])) }
               }
+              // spec-evolved adoption (under the documented override):
+              // identity fields dropped from the common partition set
+              // keep PRUNING-EQUIVALENT skipping — an identity-
+              // partitioned file holds exactly one value of the source
+              // column, so when the writer recorded no bounds min=max is
+              // synthesized from the partition struct.
+              val dropped = droppedBySpec(manSpecId)
+              if (dropped.nonEmpty) {
+                val struct = df.get("partition").asInstanceOf[GenericRecord]
+                def node(name: String) = Option(st.get(name))
+                  .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+                  .getOrElse(st.putObject(name))
+                def putVal(o: com.fasterxml.jackson.databind.node.ObjectNode,
+                    nm: String, dt: DataType, v: Any): Unit = dt match {
+                  case ByteType | ShortType | IntegerType =>
+                    o.put(nm, v.asInstanceOf[Int])
+                  case LongType => o.put(nm, v.asInstanceOf[Long])
+                  case FloatType => o.put(nm, v.asInstanceOf[Float].toDouble)
+                  case DoubleType => o.put(nm, v.asInstanceOf[Double])
+                  case StringType => o.put(nm, v.toString)
+                  case DateType => o.put(nm, java.time.LocalDate
+                    .ofEpochDay(v.asInstanceOf[Int].toLong).toString)
+                  case _ => ()
+                }
+                dropped.foreach { case (structNm, colNm, dt, fid) =>
+                  if (!lows.contains(fid)) {
+                    val v =
+                      if (struct.getSchema.getField(structNm) != null)
+                        struct.get(structNm)
+                      else struct.get(colNm)
+                    if (v != null) {
+                      putVal(node("minValues"), colNm, dt, v)
+                      putVal(node("maxValues"), colNm, dt, v)
+                      if (!nulls.contains(fid)) node("nullCount").put(colNm, 0L)
+                    } else node("nullCount").put(colNm,
+                      df.get("record_count").asInstanceOf[Long])
+                  }
+                }
+              }
               Some((df.get("file_path").toString, pvs,
                 df.get("file_size_in_bytes").asInstanceOf[Long],
                 df.get("record_count").asInstanceOf[Long],
@@ -1673,9 +1786,54 @@ object IcebergMetadata {
     // null-safe (<=> — Iceberg equality semantics treat NULL as a
     // match), applied only to files with STRICTLY OLDER sequence
     // numbers than the delete (the spec's apply rule).
-    val deleteEntries: Seq[(String, Int, Seq[Int], Long, Long)] = // (path, content, eqIds, seq, bytes)
-      manifests.collect { case (p, 1, _, listSeq) => (p, listSeq) }
-        .flatMap { case (p, listSeq) =>
+    // Per the spec, an equality delete under a PARTITIONED spec applies
+    // only to data files of the SAME partition (unpartitioned spec =
+    // global). The entry's partition struct is decoded into a scope of
+    // (identity column -> value) pairs; a non-null value on a
+    // NON-identity transform field, or on an identity column outside
+    // the adopted common set, cannot be scoped faithfully and refuses
+    // loudly (applying it globally would over-delete other partitions).
+    def deleteScope(sid: Int, df: GenericRecord): Map[String, String] = {
+      val struct = df.get("partition").asInstanceOf[GenericRecord]
+      specsById.getOrElse(sid, throw new IllegalStateException(
+        s"delete manifest references partition spec $sid, absent from " +
+          "the metadata's partition-specs")).flatMap { f =>
+        val structNm = f.get("name").asText
+        val present = struct.getSchema.getField(structNm) != null
+        val v = if (present) struct.get(structNm) else null
+        val tr = f.get("transform").asText
+        if (tr != "identity") {
+          // a NON-NULL transform value (e.g. a bucket number) cannot be
+          // scoped faithfully against column values; a null one is an
+          // unscoped dimension
+          if (v != null) throw new UnsupportedOperationException(
+            s"equality delete ${df.get("file_path")} is partition-scoped " +
+              s"on non-identity transform '$tr' (field '$structNm') — " +
+              "cannot be applied faithfully")
+          None
+        } else if (!present) None // spec field absent from the struct
+        else {
+          val (colNm, dt) = idToField.getOrElse(f.get("source-id").asInt,
+            throw new IllegalStateException(
+              s"delete spec source-id ${f.get("source-id").asInt} not in schema"))
+          if (!commonCols.contains(colNm)) throw new UnsupportedOperationException(
+            s"equality delete ${df.get("file_path")} is partition-scoped " +
+              s"on '$colNm', which spec evolution dropped from the " +
+              "adopted partition set — cannot be applied faithfully")
+          // a null identity value scopes to the NULL partition (the spec
+          // requires the tuple to match the spec, so null is a value,
+          // not an absent dimension)
+          Some(colNm -> (if (v == null) null else dt match {
+            case DateType => java.time.LocalDate
+              .ofEpochDay(v.asInstanceOf[Int].toLong).toString
+            case _ => v.toString
+          }))
+        }
+      }.toMap
+    }
+    val deleteEntries: Seq[(String, Int, Seq[Int], Long, Long, Map[String, String])] = // (path, content, eqIds, seq, bytes, scope)
+      manifests.collect { case (p, 1, sid, listSeq) => (p, sid, listSeq) }
+        .flatMap { case (p, sid, listSeq) =>
           val r = DataFileReader.openReader(
             new org.apache.avro.mapred.FsInput(new Path(p), hconfRaw),
             new GenericDatumReader[GenericRecord]())
@@ -1683,20 +1841,22 @@ object IcebergMetadata {
             .filter(_.get("status").asInstanceOf[Int] != 2)
             .map { e =>
               val df = e.get("data_file").asInstanceOf[GenericRecord]
+              val content = df.get("content").asInstanceOf[Int]
               val eqIds = Option(df.get("equality_ids"))
                 .map(_.asInstanceOf[java.util.Collection[Any]]
                   .iterator().asScala.map(_.asInstanceOf[Int]).toSeq)
                 .getOrElse(Nil)
               (df.get("file_path").toString,
-                df.get("content").asInstanceOf[Int], eqIds,
+                content, eqIds,
                 Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
                   .getOrElse(listSeq),
-                df.get("file_size_in_bytes").asInstanceOf[Long])
+                df.get("file_size_in_bytes").asInstanceOf[Long],
+                if (content == 2) deleteScope(sid, df) else Map.empty[String, String])
             }.toList
           finally r.close()
         }
-    val posDeleteFiles = deleteEntries.collect { case (p, 1, _, _, _) => p }
-    val eqDeleteFiles = deleteEntries.collect { case (p, 2, ids, sq, b) => (p, ids, sq, b) }
+    val posDeleteFiles = deleteEntries.collect { case (p, 1, _, _, _, _) => p }
+    val eqDeleteFiles = deleteEntries.collect { case (p, 2, ids, sq, b, sc) => (p, ids, sq, b, sc) }
     val posRows: Option[DataFrame] =
       if (posDeleteFiles.isEmpty) None
       else Some(spark.read.parquet(posDeleteFiles: _*)
@@ -1705,22 +1865,36 @@ object IcebergMetadata {
     val eqRows: Option[DataFrame] =
       if (eqDeleteFiles.isEmpty) None
       else {
-        if (needsMapping) throw new UnsupportedOperationException(
-          "equality deletes over a name-mapped Iceberg table are not supported")
         // one scan of the older data files (with row indexes) per distinct
         // equality-column set, joined against that set's delete rows.
         // O(#files) (path, seq) pairs on the driver — the scan needs the
-        // path list anyway; the heavy stats rows stay distributed.
-        val dataFileSeqs: Seq[(String, Long)] =
-          fileRows.map(r0 => (r0._1, r0._6)).collect().toSeq
-        val byIds = eqDeleteFiles.groupBy(_._2)
-        val frames = byIds.map { case (ids, files) =>
+        // path list anyway; the heavy stats rows stay distributed. Under
+        // NAME MAPPING the data files carry the mapped (physical) parquet
+        // names — the resolver selects physical AS logical on the scan.
+        val dataFileSeqs: Seq[(String, Long, Map[String, String])] =
+          fileRows.map(r0 => (r0._1, r0._6, r0._2)).collect().toSeq
+        val physOf: Map[String, String] =
+          if (!needsMapping) Map.empty
+          else rawFields.map { case (id, f) =>
+            f.name -> physById.getOrElse(id, f.name) }.toMap
+        // one resolution per distinct (equality-column set, partition
+        // scope): a partition-scoped delete only ever joins against its
+        // own partition's files — the scan restriction IS the spec's
+        // same-partition apply rule, and it composes with the
+        // strictly-older-sequence pruning inside the resolver
+        val byIdsScope = eqDeleteFiles.groupBy(f => (f._2, f._5))
+        val frames = byIdsScope.map { case ((ids, scope), files) =>
           require(ids.nonEmpty, "equality delete without equality_ids")
           val eqCols = ids.map(id => idToField.getOrElse(id,
             throw new IllegalStateException(
               s"equality field id $id not in schema"))._1)
+          val inScope = dataFileSeqs.collect {
+            case (fp, sq, pvs) if scope.forall {
+              case (k, v) => pvs.get(k).contains(v) } => (fp, sq)
+          }
           equalityDeleteRows(spark, eqCols,
-            files.map(f => (f._1, f._3)), files.map(_._4).sum, dataFileSeqs)
+            files.map(f => (f._1, f._3)), files.map(_._4).sum, inScope,
+            physOf)
         }
         Some(frames.reduce(_ unionByName _))
       }
@@ -1849,6 +2023,30 @@ object IcebergMetadata {
           "cannot re-sync: the snapshot's column-mapping requirement " +
             s"changed (adopted table mapped=$prevMapped, snapshot needs " +
             s"mapping=$needsMapping); re-adopt from scratch instead")
+        // a pure-maintenance chain — every foreign snapshot since the
+        // last sync carries summary operation `replace` (Iceberg's
+        // compaction/rewrite op: files change, data never does) —
+        // commits with dataChange=false, Delta OPTIMIZE semantics: CDF
+        // readers and incremental streams skip the churn instead of
+        // replaying a whole-table delete+insert that cancels out. Any
+        // other operation (or an expired chain) stays dataChange=true.
+        val prevSyncId = s.metadata.configuration(SyncMarkerKey).toLong
+        val snapById = meta.get("snapshots").elements().asScala.map(n =>
+          n.get("snapshot-id").asLong -> n).toMap
+        @scala.annotation.tailrec
+        def chainAllReplace(id: Long): Boolean =
+          if (id == prevSyncId) true
+          else snapById.get(id) match {
+            case None => false // chain expired from metadata — conservative
+            case Some(n) =>
+              val isReplace = Option(n.get("summary"))
+                .flatMap(su => Option(su.get("operation")))
+                .exists(_.asText == "replace")
+              val parent = Option(n.get("parent-snapshot-id")).map(_.asLong)
+              if (!isReplace || parent.isEmpty) false
+              else chainAllReplace(parent.get)
+          }
+        val dataChg = !chainAllReplace(curId)
         val rootForKey = log.dataPath.toString
         val deltaState = s.allFilesDS
           .map(a => (FileNames.absolutePathString(new Path(rootForKey), a.path), a))
@@ -1882,12 +2080,12 @@ object IcebergMetadata {
           AddFile(
             path = rel.map(FileNames.encodeRelative).getOrElse(abs),
             partitionValues = pvs, size = size, modificationTime = now,
-            dataChange = true, stats = stats,
+            dataChange = dataChg, stats = stats,
             deletionVector = dvByFp
               .get(abs.replaceFirst("^file:/+", "/")).orNull)
         }
         val removes: Seq[Action] = (gone ++ commonChanged.map(_._1)).map(a =>
-          RemoveFile(a.path, Some(now), dataChange = true,
+          RemoveFile(a.path, Some(now), dataChange = dataChg,
             extendedFileMetadata = true, partitionValues = a.partitionValues,
             size = Some(a.size), deletionVector = a.deletionVector))
         val addsOut: Seq[Action] =
@@ -1928,7 +2126,8 @@ object IcebergMetadata {
     */
   private[delta] def equalityDeleteRows(spark: SparkSession,
       eqCols: Seq[String], delFiles: Seq[(String, Long)], delBytes: Long,
-      dataFiles: Seq[(String, Long)]): DataFrame = {
+      dataFiles: Seq[(String, Long)],
+      physOf: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val maxDseq = delFiles.map(_._2).max
     val live = dataFiles.filter(_._2 < maxDseq)
@@ -1936,8 +2135,15 @@ object IcebergMetadata {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("fp", StringType), StructField("ri", LongType))))
     val dels0 = delFiles.map { case (p, sq) =>
-      spark.read.parquet(p).select(eqCols.map(col): _*)
-        .withColumn("__dseq", lit(sq))
+      // a conformant writer names the delete file's columns after the
+      // table schema; under name mapping some engines write the MAPPED
+      // (physical) names instead — accept either, per file, loudly
+      // failing when neither resolves
+      val raw = spark.read.parquet(p)
+      raw.select(eqCols.map { c =>
+        if (raw.columns.contains(c)) col(c)
+        else col(physOf.getOrElse(c, c)).as(c)
+      }: _*).withColumn("__dseq", lit(sq))
     }.reduce(_ unionByName _)
       .select(eqCols.map(c => col(c).as(s"__d_$c")) :+ col("__dseq"): _*)
     val bcLimit = spark.sessionState.conf.autoBroadcastJoinThreshold
@@ -1955,8 +2161,12 @@ object IcebergMetadata {
     // runtime stats when it fits)
     val fseqHinted =
       if (live.size <= 100000) broadcast(fseqDF) else fseqDF
+    // data files of a name-mapped table carry the MAPPED (physical)
+    // parquet names — select physical AS logical so the null-safe
+    // equality condition binds the same columns on both sides
     val data = spark.read.parquet(live.map(_._1): _*)
-      .select(eqCols.map(col) ++ Seq(
+      .select(eqCols.map(c =>
+        col(physOf.getOrElse(c, c)).as(c)) ++ Seq(
         DeletionVectors.normFp(col("_metadata.file_path")).as("fp"),
         col("_metadata.row_index").as("ri")): _*)
       .join(fseqHinted, Seq("fp"))

@@ -981,6 +981,114 @@ class IcebergUniformSuite extends AnyFunSuite {
     assert(e.getMessage.contains("NOT adopted from Iceberg"), e.getMessage)
   }
 
+  test("re-sync of a replace-only foreign chain commits dataChange=false (CDF-invisible)") {
+    import spark.implicits._
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.file.DataFileWriter
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dir = tmp()
+    // unpartitioned UniForm table, two files -> two snapshots
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    txn.updateMetadata(Metadata(
+      schemaString = d1.schema.json,
+      configuration = Map("delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(d1)
+    t.write(Seq((3L, "c")).toDF("id", "v"))
+    val metaDir = new java.io.File(dir, "metadata")
+    val meta0 = currentMeta(dir)
+    val curId0 = meta0.get("current-snapshot-id").asLong
+    val logDir = new java.io.File(dir, "_delta_log")
+    java.nio.file.Files.walk(logDir.toPath).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    val back = DeltaTable.convertFromIceberg(spark, dir)
+    val v0 = back.deltaLog.update().version
+
+    // the foreign writer COMPACTS: one new file carrying all three rows,
+    // every old manifest dropped, summary operation `replace`
+    val cDir = new java.io.File(dir, "compacted")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(cDir.toString)
+    val cParquet = cDir.listFiles().find(_.getName.endsWith(".parquet")).get
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestEntrySchemaJson(
+        IcebergMetadata.partitionStructSchemaJson(Nil)))
+    val cManifest = new java.io.File(metaDir, "compact-m0.avro")
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.create(entrySchema, cManifest)
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", 1); rec.put("snapshot_id", 99L)
+      val dfS = entrySchema.getField("data_file").schema()
+      val dfr = new GenericData.Record(dfS)
+      dfr.put("content", 0)
+      dfr.put("file_path", cParquet.getAbsolutePath)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", new GenericData.Record(
+        dfS.getField("partition").schema()))
+      dfr.put("record_count", 3L)
+      dfr.put("file_size_in_bytes", cParquet.length())
+      rec.put("data_file", dfr)
+      w.append(rec); w.close()
+    }
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestListSchemaJson)
+    val newList = new java.io.File(metaDir, "snap-99-1-compact.avro")
+    locally {
+      val lw = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      lw.create(listSchema, newList)
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", cManifest.getAbsolutePath)
+      r.put("manifest_length", cManifest.length())
+      r.put("partition_spec_id", 0); r.put("content", 0)
+      r.put("sequence_number", 4L); r.put("min_sequence_number", 4L)
+      r.put("added_snapshot_id", 99L)
+      r.put("added_files_count", 1); r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 3L); r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      lw.append(r); lw.close()
+    }
+    val hint0 = new String(java.nio.file.Files.readAllBytes(
+      metaDir.toPath.resolve("version-hint.text"))).trim.toLong
+    val root = meta0.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.put("current-snapshot-id", 99L)
+    root.put("last-sequence-number", 4L)
+    val sn = root.withArray("snapshots").addObject()
+    sn.put("snapshot-id", 99L); sn.put("sequence-number", 4L)
+    sn.put("parent-snapshot-id", curId0)
+    sn.put("timestamp-ms", System.currentTimeMillis())
+    sn.putObject("summary").put("operation", "replace")
+    sn.put("manifest-list", newList.getAbsolutePath)
+    sn.put("schema-id", root.get("current-schema-id").asInt)
+    java.nio.file.Files.write(
+      metaDir.toPath.resolve(s"v${hint0 + 1}.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    java.nio.file.Files.deleteIfExists(
+      metaDir.toPath.resolve(".version-hint.text.crc"))
+    java.nio.file.Files.write(metaDir.toPath.resolve("version-hint.text"),
+      (hint0 + 1).toString.getBytes("UTF-8"))
+
+    val synced = DeltaTable.convertFromIceberg(spark, dir)
+    val v1 = synced.deltaLog.update().version
+    assert(v1 == v0 + 1)
+    // content identical, but the commit is maintenance: every add and
+    // remove carries dataChange=false, and the CDF reader sees NOTHING
+    assert(synced.toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    val acts = synced.deltaLog.changes(v1).next()._2
+    val addsDC = acts.collect { case a: AddFile => a.dataChange }
+    val remsDC = acts.collect { case r: RemoveFile => r.dataChange }
+    assert(addsDC.nonEmpty && remsDC.nonEmpty)
+    assert(!(addsDC ++ remsDC).exists(identity),
+      s"replace-only sync must be dataChange=false: $acts")
+    assert(synced.tableChanges(v1, v1).count() == 0L)
+  }
+
   test("CONVERT FROM ICEBERG adopts bucket/truncate transforms as data-only") {
     import spark.implicits._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1390,5 +1498,348 @@ class IcebergUniformSuite extends AnyFunSuite {
       ColumnMapping.physicalName(f) ->
         f.metadata.getLong(ColumnMapping.IdKey).toInt).toMap
     assert(nmPairs == physPairs, s"$nmPairs vs $physPairs")
+  }
+
+  test("CONVERT FROM ICEBERG adopts spec-evolved tables on the common identity set") {
+    import spark.implicits._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def evolveSpec(dir: String)(
+        newSpec: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
+      val metaDir = new java.io.File(dir, "metadata")
+      val hint = new String(Files.readAllBytes(
+        metaDir.toPath.resolve("version-hint.text"))).trim
+      val p = metaDir.toPath.resolve(s"v$hint.metadata.json")
+      val root = mapper.readTree(Files.readAllBytes(p))
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+      val sp = root.withArray("partition-specs").addObject()
+      sp.put("spec-id", 1)
+      newSpec(sp)
+      root.put("default-spec-id", 1)
+      Files.deleteIfExists(metaDir.toPath.resolve(s".v$hint.metadata.json.crc"))
+      Files.write(p, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    }
+    def dropDeltaLog(dir: String): Unit = {
+      val logDir = new java.io.File(dir, "_delta_log")
+      Files.walk(logDir.toPath).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+    def fieldId(dir: String, name: String): Int =
+      currentMeta(dir).get("schemas").get(0).get("fields").elements().asScala
+        .find(_.get("name").asText == name).get.get("id").asInt
+
+    // case 1: default spec evolves (part identity, id bucket[4]); live
+    // manifests stay under spec 0 (part identity). Common identity set =
+    // {part} -> part stays a Delta partition column, pruning intact.
+    val dir1 = tmp()
+    mkUniform(dir1).write(df((1L, "aaaa", "x"), (2L, "bbbb", "y")),
+      partitionBy = Seq("part"))
+    val partId1 = fieldId(dir1, "part"); val idId1 = fieldId(dir1, "id")
+    evolveSpec(dir1) { sp =>
+      val fields = sp.withArray("fields")
+      val f0 = fields.addObject()
+      f0.put("name", "part"); f0.put("transform", "identity")
+      f0.put("source-id", partId1); f0.put("field-id", 1000)
+      val f1 = fields.addObject()
+      f1.put("name", "id_bucket"); f1.put("transform", "bucket[4]")
+      f1.put("source-id", idId1); f1.put("field-id", 1001)
+    }
+    dropDeltaLog(dir1)
+    val back1 = DeltaTable.convertFromIceberg(spark, dir1)
+    assert(back1.deltaLog.update().metadata.partitionColumns == Seq("part"))
+    assert(back1.toDF.count() == 2L)
+    assert(back1.toDF.where(col("part") === "y").count() == 1L)
+
+    // case 2: the evolved default DROPS the identity column (bucket
+    // only). Common set is empty -> unpartitioned adoption would lose
+    // the authoritative partition values (the Hive layout's files do
+    // NOT physically carry `part`) -> the guard refuses by default.
+    val dir2 = tmp()
+    mkUniform(dir2).write(df((1L, "aaaa", "x"), (2L, "bbbb", "y")),
+      partitionBy = Seq("part"))
+    val idId2 = fieldId(dir2, "id")
+    evolveSpec(dir2) { sp =>
+      val f1 = sp.withArray("fields").addObject()
+      f1.put("name", "id_bucket"); f1.put("transform", "bucket[4]")
+      f1.put("source-id", idId2); f1.put("field-id", 1000)
+    }
+    dropDeltaLog(dir2)
+    val ex = intercept[Exception] {
+      DeltaTable.convertFromIceberg(spark, dir2) }
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(rootCause(ex).getMessage.contains("drops identity partition column"),
+      s"unexpected: $ex")
+
+    // …and with the documented override the adoption goes through
+    // unpartitioned, with pruning-equivalent min=max stats SYNTHESIZED
+    // from the partition struct for the dropped identity column
+    spark.conf.set("spark.graft.convert.assumeDroppedIdentityPresent", "true")
+    try {
+      val back2 = DeltaTable.convertFromIceberg(spark, dir2)
+      val snap2 = back2.deltaLog.update()
+      assert(snap2.metadata.partitionColumns.isEmpty)
+      val stats = snap2.allFiles.map(_.stats)
+      assert(stats.forall(s => s.contains("\"part\"")), stats.toString)
+      assert(stats.exists(_.contains("\"part\":\"x\"")) &&
+        stats.exists(_.contains("\"part\":\"y\"")), stats.toString)
+    } finally spark.conf.unset("spark.graft.convert.assumeDroppedIdentityPresent")
+
+    // case 3: an unpartitioned layout whose DEFAULT spec gains an
+    // identity field no live manifest was written under: the default
+    // spec participates in the intersection (future syncs write under
+    // it), so adoption stays unpartitioned and correct.
+    val dir3 = tmp()
+    val t3 = DeltaTable.forPath(spark, dir3)
+    val txn3 = t3.deltaLog.startTransaction()
+    val data3 = (1L to 4L).map(i => (i, s"v$i")).toDF("id", "v")
+    txn3.updateMetadata(Metadata(
+      schemaString = data3.schema.json,
+      configuration = Map("delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn3.commit(Nil, Op.CreateTable)
+    t3.write(data3)
+    val vId3 = fieldId(dir3, "v")
+    evolveSpec(dir3) { sp =>
+      val f0 = sp.withArray("fields").addObject()
+      f0.put("name", "v"); f0.put("transform", "identity")
+      f0.put("source-id", vId3); f0.put("field-id", 1000)
+    }
+    dropDeltaLog(dir3)
+    val back3 = DeltaTable.convertFromIceberg(spark, dir3)
+    assert(back3.deltaLog.update().metadata.partitionColumns.isEmpty)
+    assert(back3.toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      (1L to 4L).toSet)
+  }
+
+  test("EQUALITY deletes resolve under NAME MAPPING (physical parquet names)") {
+    import spark.implicits._
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.file.DataFileWriter
+    val dir = tmp()
+    // a COLUMN-MAPPED UniForm table whose PHYSICAL parquet name differs
+    // from the logical schema: a metadata-only RENAME after the write
+    // leaves the footers carrying the original name
+    val t = DeltaTable.forPath(spark, dir)
+    val data = (1L to 6L).map(i => (i, s"v$i")).toDF("id0", "v")
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = data.schema.json,
+      configuration = Map(
+        "delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(data)
+    t.renameColumn("id0", "id")
+    val md = t.deltaLog.update().metadata
+    val physId = ColumnMapping.physicalName(
+      md.schema.fields.find(_.name == "id").get)
+    assert(physId == "id0") // footers carry the pre-rename name
+    val metaDir = new java.io.File(dir, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta2 = currentMeta(dir)
+    val curSchemaId = meta2.get("current-schema-id").asInt
+    val idFieldId = meta2.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt == curSchemaId).get
+      .get("fields").elements().asScala
+      .find(_.get("name").asText == "id").get.get("id").asInt
+
+    // two equality-delete files: one named LOGICALLY (id — the
+    // conformant shape), one named PHYSICALLY (what some engines write
+    // under a name mapping) — both must resolve
+    val eqDirL = Files.createTempDirectory("graft-eqmap-l")
+    Seq(2L).toDF("id").coalesce(1).write.mode("overwrite")
+      .parquet(eqDirL.toString)
+    val eqDirP = Files.createTempDirectory("graft-eqmap-p")
+    Seq(5L).toDF(physId).coalesce(1).write.mode("overwrite")
+      .parquet(eqDirP.toString)
+    def onlyParquet(d: java.nio.file.Path): java.io.File =
+      new java.io.File(d.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestEntrySchemaJson(
+        IcebergMetadata.partitionStructSchemaJson(Nil)))
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val eqManifest = new java.io.File(metaDir, "eqmap-manifest-d0.avro")
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    w.create(entrySchema, eqManifest)
+    Seq(onlyParquet(eqDirL), onlyParquet(eqDirP)).foreach { f =>
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", 1)
+      rec.put("snapshot_id", 4L)
+      rec.put("sequence_number", 4L)
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", 2)
+      dfr.put("file_path", f.getAbsolutePath)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", new GenericData.Record(
+        dfSchema.getField("partition").schema()))
+      dfr.put("record_count", 1L)
+      dfr.put("file_size_in_bytes", f.length())
+      val idsArrSchema = dfSchema.getField("equality_ids").schema()
+        .getTypes.asScala.find(_.getType == org.apache.avro.Schema.Type.ARRAY).get
+      val idsArr = new GenericData.Array[Any](1, idsArrSchema)
+      idsArr.add(idFieldId)
+      dfr.put("equality_ids", idsArr)
+      rec.put("data_file", dfr)
+      w.append(rec)
+    }
+    w.close()
+    val curId2 = meta2.get("current-snapshot-id").asLong
+    val oldList = meta2.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == curId2).get
+      .get("manifest-list").asText
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestListSchemaJson)
+    val newList = new java.io.File(metaDir, "snap-4-1-eqmap.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](listSchema))
+    lw.create(listSchema, newList)
+    avroRecords(oldList).foreach(lw.append)
+    val lrec = new GenericData.Record(listSchema)
+    lrec.put("manifest_path", eqManifest.getAbsolutePath)
+    lrec.put("manifest_length", eqManifest.length())
+    lrec.put("partition_spec_id", 0)
+    lrec.put("content", 1)
+    lrec.put("sequence_number", 4L)
+    lrec.put("min_sequence_number", 4L)
+    lrec.put("added_snapshot_id", 4L)
+    lrec.put("added_files_count", 2)
+    lrec.put("existing_files_count", 0)
+    lrec.put("deleted_files_count", 0)
+    lrec.put("added_rows_count", 2L)
+    lrec.put("existing_rows_count", 0L)
+    lrec.put("deleted_rows_count", 0L)
+    lw.append(lrec)
+    lw.close()
+    val root = currentMeta(dir).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.put("current-snapshot-id", 4L)
+    root.put("last-sequence-number", 4L)
+    val sn = root.withArray("snapshots").addObject()
+    sn.put("snapshot-id", 4L)
+    sn.put("sequence-number", 4L)
+    sn.put("timestamp-ms", System.currentTimeMillis())
+    sn.putObject("summary").put("operation", "overwrite")
+    sn.put("manifest-list", newList.getAbsolutePath)
+    sn.put("schema-id", root.get("current-schema-id").asInt)
+    Files.write(metaDir.toPath.resolve("v4.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    Files.deleteIfExists(metaDir.toPath.resolve(".version-hint.text.crc"))
+    Files.write(metaDir.toPath.resolve("version-hint.text"),
+      "4".getBytes("UTF-8"))
+    val logDir = new java.io.File(dir, "_delta_log")
+    Files.walk(logDir.toPath).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+    val back = DeltaTable.convertFromIceberg(spark, dir)
+    // the adopted table keeps column mapping; ids 2 (logical-named
+    // delete) and 5 (physical-named delete) are gone via DVs
+    assert(back.deltaLog.update().metadata.configuration
+      .get("delta.columnMapping.mode").contains("name"))
+    assert(back.toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 4L, 6L))
+    val dvs = back.deltaLog.update().allFiles.flatMap(a => Option(a.deletionVector))
+    assert(dvs.map(_.cardinality).sum == 2L, dvs.toString)
+  }
+
+  test("PARTITION-SCOPED equality deletes apply only within their partition") {
+    import spark.implicits._
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.file.DataFileWriter
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dir = tmp()
+    // the same key `k` lives in BOTH partitions
+    val t = mkUniform(dir)
+    t.write(df((1L, "k", "x"), (2L, "k", "y")), partitionBy = Seq("part"))
+    val metaDir = new java.io.File(dir, "metadata")
+    val meta2 = currentMeta(dir)
+    def fid(name: String): Int =
+      meta2.get("schemas").get(0).get("fields").elements().asScala
+        .find(_.get("name").asText == name).get.get("id").asInt
+    val vId = fid("v"); val partId = fid("part")
+    // equality-delete file on v='k', SCOPED to partition part='x' (the
+    // entry rides the table's PARTITIONED spec 0 with a partition tuple)
+    val eqDir = Files.createTempDirectory("graft-eqscope")
+    Seq("k").toDF("v").coalesce(1).write.mode("overwrite").parquet(eqDir.toString)
+    val eqParquet = new java.io.File(eqDir.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestEntrySchemaJson(
+        IcebergMetadata.partitionStructSchemaJson(Seq(
+          ("part", org.apache.spark.sql.types.StringType, partId)))))
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val eqManifest = new java.io.File(metaDir, "eqscope-d0.avro")
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.create(entrySchema, eqManifest)
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", 1); rec.put("snapshot_id", 3L)
+      rec.put("sequence_number", 3L)
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", 2)
+      dfr.put("file_path", eqParquet.getAbsolutePath)
+      dfr.put("file_format", "PARQUET")
+      val ps = new GenericData.Record(dfSchema.getField("partition").schema())
+      ps.put("part", "x")
+      dfr.put("partition", ps)
+      dfr.put("record_count", 1L)
+      dfr.put("file_size_in_bytes", eqParquet.length())
+      val idsArrSchema = dfSchema.getField("equality_ids").schema()
+        .getTypes.asScala.find(_.getType == org.apache.avro.Schema.Type.ARRAY).get
+      val idsArr = new GenericData.Array[Any](1, idsArrSchema)
+      idsArr.add(vId)
+      dfr.put("equality_ids", idsArr)
+      rec.put("data_file", dfr)
+      w.append(rec); w.close()
+    }
+    val curId2 = meta2.get("current-snapshot-id").asLong
+    val oldList = meta2.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == curId2).get
+      .get("manifest-list").asText
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestListSchemaJson)
+    val newList = new java.io.File(metaDir, "snap-3-1-eqscope.avro")
+    locally {
+      val lw = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      lw.create(listSchema, newList)
+      avroRecords(oldList).foreach(lw.append)
+      val lrec = new GenericData.Record(listSchema)
+      lrec.put("manifest_path", eqManifest.getAbsolutePath)
+      lrec.put("manifest_length", eqManifest.length())
+      lrec.put("partition_spec_id", 0) // the PARTITIONED table spec
+      lrec.put("content", 1)
+      lrec.put("sequence_number", 3L)
+      lrec.put("min_sequence_number", 3L)
+      lrec.put("added_snapshot_id", 3L)
+      lrec.put("added_files_count", 1)
+      lrec.put("existing_files_count", 0)
+      lrec.put("deleted_files_count", 0)
+      lrec.put("added_rows_count", 1L)
+      lrec.put("existing_rows_count", 0L)
+      lrec.put("deleted_rows_count", 0L)
+      lw.append(lrec); lw.close()
+    }
+    val root = meta2.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.put("current-snapshot-id", 3L)
+    root.put("last-sequence-number", 3L)
+    val sn = root.withArray("snapshots").addObject()
+    sn.put("snapshot-id", 3L); sn.put("sequence-number", 3L)
+    sn.put("timestamp-ms", System.currentTimeMillis())
+    sn.putObject("summary").put("operation", "overwrite")
+    sn.put("manifest-list", newList.getAbsolutePath)
+    sn.put("schema-id", root.get("current-schema-id").asInt)
+    Files.write(metaDir.toPath.resolve("v3.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    Files.deleteIfExists(metaDir.toPath.resolve(".version-hint.text.crc"))
+    Files.write(metaDir.toPath.resolve("version-hint.text"),
+      "3".getBytes("UTF-8"))
+    val logDir = new java.io.File(dir, "_delta_log")
+    Files.walk(logDir.toPath).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+    val back = DeltaTable.convertFromIceberg(spark, dir)
+    // only partition x's row dies; y's row with the SAME key survives
+    assert(back.toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(2L), back.toDF.collect().mkString(", "))
+    val dvs = back.deltaLog.update().allFiles.flatMap(a => Option(a.deletionVector))
+    assert(dvs.map(_.cardinality).sum == 1L, dvs.toString)
   }
 }
