@@ -301,3 +301,119 @@ object BpePairVector {
     "" + ch(k / a) + ch(k % a)
   }
 }
+
+/** Shared int-symbol BPE coder for the PRODUCTION-VOCAB trainer/encoder
+  * (C68). Symbol ids ARE codepoints: a base symbol's id is its char
+  * ('0'..'9' = 48..57, 'a'..'z' = 97..122) and merge rank r mints id
+  * 192 + r — for r < 1024 that coincides with [[BpePairVector]]'s
+  * chr(0xC0+r) symbol block, so `(id1, id2)` lexicographic order IS the
+  * 2-char pair-string codepoint order the K<=1024 trainer (and the
+  * DuckDB oracle's `ORDER BY n DESC, pair`) tie-breaks on, and the two
+  * trainers are provably the SAME algorithm wherever both are defined.
+  * Past 1024 the int ids simply keep counting — no block width, no
+  * dense vector, no cap.
+  */
+object BpeCoder {
+  val MergeBase = 192
+
+  /** Greedy rank-based BPE encode of one word (Sennrich et al. 2016
+    * apply step): repeatedly find the LOWEST-RANK adjacent pair present
+    * and merge its occurrences left-to-right non-overlapping, until no
+    * merge applies. Equivalent to applying the merge table sequentially
+    * by rank (a later merge's symbol cannot appear inside an earlier
+    * merge's pair, so rank order never re-opens an earlier merge) —
+    * the exact semantics of the K<=1024 `replace` chain, pinned by the
+    * shared oracle. `rank` maps packed pair -> merge rank.
+    */
+  def encode(word: Array[Int], rank: java.util.HashMap[Long, Integer]): Array[Int] = {
+    var arr = word
+    var done = false
+    while (!done && arr.length >= 2) {
+      // lowest-rank pair present in the word
+      var best = -1
+      var i = 0
+      while (i + 1 < arr.length) {
+        val r = rank.get(pack(arr(i), arr(i + 1)))
+        if (r != null && (best == -1 || r < best)) best = r
+        i += 1
+      }
+      if (best == -1) done = true
+      else {
+        arr = mergeOnce(arr, best, rank)
+      }
+    }
+    arr
+  }
+
+  /** One exhaustive left-to-right non-overlapping application of merge
+    * `r` (found by scanning for the pair whose rank is `r`).
+    */
+  private def mergeOnce(arr: Array[Int], r: Int,
+      rank: java.util.HashMap[Long, Integer]): Array[Int] = {
+    val out = new Array[Int](arr.length)
+    var o = 0
+    var i = 0
+    while (i < arr.length) {
+      if (i + 1 < arr.length) {
+        val rr = rank.get(pack(arr(i), arr(i + 1)))
+        if (rr != null && rr.intValue() == r) {
+          out(o) = MergeBase + r; o += 1; i += 2
+        } else { out(o) = arr(i); o += 1; i += 1 }
+      } else { out(o) = arr(i); o += 1; i += 1 }
+    }
+    java.util.Arrays.copyOf(out, o)
+  }
+
+  @inline def pack(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xffffffffL)
+  @inline def unpackA(k: Long): Int = (k >>> 32).toInt
+  @inline def unpackB(k: Long): Int = (k & 0xffffffffL).toInt
+
+  def rankMap(merges: Seq[(Int, Int)]): java.util.HashMap[Long, Integer] = {
+    val m = new java.util.HashMap[Long, Integer](merges.length * 2)
+    merges.zipWithIndex.foreach { case ((a, b), r) => m.put(pack(a, b), Integer.valueOf(r)) }
+    m
+  }
+
+  /** Expand a symbol id to its base-character string. */
+  def tokenString(id: Int, merges: Seq[(Int, Int)]): String =
+    if (id < MergeBase) String.valueOf(id.toChar)
+    else {
+      val (a, b) = merges(id - MergeBase)
+      tokenString(a, merges) + tokenString(b, merges)
+    }
+}
+
+/** Per-row token count under a trained BPE merge table (the C68 encode
+  * leg): tokenizes lower(text) on [a-z0-9]+, greedy-rank encodes each
+  * word via [[BpeCoder.encode]], returns the total token count. The
+  * merge table rides the serialized plan as an O(K) model artifact
+  * (~16 B/merge — a 32k vocab is ~0.5 MB, shipped once per stage, the
+  * same contract as the IVF centroid arrays); the per-word loop is
+  * O(len · merges-applied), no shuffle, no UDF registry.
+  */
+case class BpeTokenCount(child: Expression, merges: Seq[(Int, Int)])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  @transient private lazy val rank = BpeCoder.rankMap(merges)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExpressions.tokenize(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toLowerCase.toString)
+    var total = 0L
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t)
+      val cps = new Array[Int](w.length)
+      var i = 0
+      while (i < w.length) { cps(i) = w.charAt(i); i += 1 }
+      total += BpeCoder.encode(cps, rank).length
+      t += 1
+    }
+    total
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeTokenCount =
+    copy(child = c)
+}

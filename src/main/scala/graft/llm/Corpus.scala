@@ -962,23 +962,71 @@ object Corpus {
         .orderBy($"doc_id")
       docs.unpersist()
       res
-    }, {
-      // the oracle replays the SAME K iterative rounds, unrolled:
-      // m<r> = the top pair of corpus state w<r>; w<r+1> = w<r> with
-      // that pair merged to chr(192+r). Every w<r> is referenced twice
-      // (its count and its rewrite) — MATERIALIZED keeps the chain
-      // linear; inlining would expand it exponentially
-      val learnCtes = (0 until Corpus.BpeEncodeK).map { r =>
-        val sym = graft.functions.BpePairVector.mergeSymbol(r)
-        s"""m$r AS MATERIALIZED (SELECT pair FROM (
+    }, Some(Corpus.bpeReplayOracle)),
+
+    // C68 ---------------------------------------------------------------
+    // PRODUCTION-VOCAB BPE — the scale path past C64's per-round corpus
+    // pass. C64 recounts the WHOLE corpus once per merge (K passes: the
+    // honest cost of the dense-vector formulation, fine at K<=1024,
+    // hopeless at a 32k vocab). The published fast trainer (Sennrich's
+    // own learn_bpe, SentencePiece, HF tokenizers) never does that: it
+    // aggregates the corpus ONCE into a word-frequency DICT — training
+    // on (word, n) is exactly training on the word multiset — and runs
+    // the merge loop over the dict with INCREMENTAL pair-count updates
+    // (only words containing the merged pair change). Here: the dict is
+    // the one corpus-sized operation (map-combined groupBy on uniform
+    // word keys — the corpus_stats shuffle shape), frequency-truncated
+    // by minFreq (the standard rare-word cutoff that bounds it at any
+    // corpus size) and hard-capped by spark.graft.bpe.maxDictWords with
+    // a loud refusal (the A82 bounded-driver contract); the trainer is
+    // a lazy-deletion max-heap over packed int-symbol pairs, O(affected
+    // words) per merge; encode is [[graft.functions.BpeTokenCount]] —
+    // the real greedy rank-based merge loop as one map-only expression
+    // with the O(K) merge table riding the plan as a model artifact.
+    // Symbol ids are codepoints (merge r -> 192+r), so for K<=1024 the
+    // tie-break (count desc, (id1,id2) asc) IS C64's pair-string order
+    // and the two trainers are the same algorithm — pinned by sharing
+    // C64's replay oracle verbatim at K=24: a trainer drift, a dict
+    // aggregation bug, or an encode inequivalence all hash-mismatch.
+    // BpeSparseSuite trains K=4096 to pin the past-any-char-block
+    // regime (valid merge chains, round-trip detokenization,
+    // monotone compression).
+    GQ("bpe_sparse_encode", (s, d) => {
+      import s.implicits._
+      val docs = table(s, d, "documents").select($"doc_id", $"text")
+      val merges = Corpus.bpeLearnSparse(docs, Corpus.BpeEncodeK)
+      val cnt = org.apache.spark.sql.GraftShims.column(
+        graft.functions.BpeTokenCount(
+          org.apache.spark.sql.GraftShims.expression($"text"), merges))
+      docs.select($"doc_id",
+          aggregate(tokens($"text"), lit(0L), (a, x) => a + length(x)).as("n_chars"),
+          cnt.as("n_tokens"))
+        .withColumn("compression",
+          when($"n_tokens" > 0,
+            $"n_chars".cast("double") / $"n_tokens".cast("double")))
+        .orderBy($"doc_id")
+    }, Some(Corpus.bpeReplayOracle))
+  )
+
+  /** The C64/C68 shared DuckDB replay: K unrolled iterative training
+    * rounds (m<r> = top pair of corpus state w<r> by count desc, pair
+    * asc; w<r+1> merges it to chr(192+r)) + the recursive-CTE encode.
+    * Every w<r> is referenced twice (count + rewrite) — MATERIALIZED
+    * keeps the chain linear. BOTH trainers must reproduce this replay
+    * exactly; sharing one oracle is the equivalence pin.
+    */
+  private[llm] lazy val bpeReplayOracle: String = {
+    val learnCtes = (0 until BpeEncodeK).map { r =>
+      val sym = graft.functions.BpePairVector.mergeSymbol(r)
+      s"""m$r AS MATERIALIZED (SELECT pair FROM (
             SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, COUNT(*) AS n
             FROM (SELECT w, unnest(range(1, length(w))) AS i FROM w$r)
             GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)),
       w${r + 1} AS MATERIALIZED (SELECT replace(w, COALESCE((SELECT pair FROM m$r), chr(1)), '$sym') AS w FROM w$r)"""
-      }.mkString(",\n      ")
-      val mergeTable = (0 until Corpus.BpeEncodeK)
-        .map(r => s"SELECT $r AS r, pair FROM m$r").mkString(" UNION ALL ")
-      Some(s"""
+    }.mkString(",\n      ")
+    val mergeTable = (0 until BpeEncodeK)
+      .map(r => s"SELECT $r AS r, pair FROM m$r").mkString(" UNION ALL ")
+    s"""
       WITH w0 AS MATERIALIZED (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
                  FROM documents),
       $learnCtes,
@@ -1004,9 +1052,8 @@ object Corpus {
              THEN CAST(a.n_chars AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)
         END AS compression
       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-      ORDER BY d.doc_id""")
-    })
-  )
+      ORDER BY d.doc_id"""
+  }
 
   /** Iterative BPE training (the C64 learn loop): K rounds of recount →
     * take THE top pair → merge, each round one [[graft.functions
@@ -1051,5 +1098,171 @@ object Corpus {
       r += 1
     }
     merges
+  }
+
+  /** Production-vocab BPE training (the C68 learn loop): one corpus-sized
+    * map-combined groupBy reduces the corpus to a (word, n) frequency
+    * dict — training on the dict is EXACTLY training on the word
+    * multiset — then the published incremental trainer runs over it:
+    * pair counts keyed by packed int-symbol pairs, a lazy-deletion
+    * max-heap picking each round's top pair by (count desc, (id1,id2)
+    * asc) — identical to [[bpeLearn]]'s pair-string tie-break because
+    * symbol ids ARE codepoints ([[graft.functions.BpeCoder]]) — and
+    * per-merge updates touching only the words that contain the merged
+    * pair (tracked in per-pair BitSets). O(dict + total merge work),
+    * independent of K's corpus passes; no cap on K.
+    *
+    * Driver-bound contract (A82 pattern): the dict is frequency-
+    * truncated by `minFreq` (the standard rare-word cutoff — at corpus
+    * scale the dict is sublinear and a threshold bounds it outright)
+    * and hard-capped by `spark.graft.bpe.maxDictWords` (default 4M,
+    * ~a few hundred MB of driver state at typical word lengths) with a
+    * loud refusal telling the caller to raise minFreq; the collect is
+    * LIMIT-bounded so an over-cap dict never materializes.
+    */
+  private[llm] def bpeLearnSparse(docs: org.apache.spark.sql.DataFrame, k: Int,
+      minFreq: Long = 1L): Seq[(Int, Int)] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val maxDict = s.conf.get("spark.graft.bpe.maxDictWords", "4000000").toInt
+    val dict = docs
+      .select(explode(graft.queries.QueryDefs.tokens(col("text"))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .filter($"n" >= minFreq)
+      .limit(maxDict + 1)
+      .as[(String, Long)].collect()
+    require(dict.length <= maxDict,
+      s"bpeLearnSparse: distinct-word dict exceeds " +
+        s"spark.graft.bpe.maxDictWords=$maxDict at minFreq=$minFreq — " +
+        "raise minFreq (the rare-word cutoff) or the cap")
+
+    val nW = dict.length
+    val words = new Array[Array[Int]](nW)
+    val freqs = new Array[Long](nW)
+    var i = 0
+    while (i < nW) {
+      val w = dict(i)._1
+      val cps = new Array[Int](w.length)
+      var j = 0
+      while (j < w.length) { cps(j) = w.charAt(j); j += 1 }
+      words(i) = cps
+      freqs(i) = dict(i)._2
+      i += 1
+    }
+
+    // initial pair stats: count = sum of word freqs over every adjacent
+    // position (overlapping positions count separately, exactly as the
+    // dense vector and the oracle's per-position substring count do);
+    // members(p) = word indexes containing p
+    val counts = new scala.collection.mutable.LongMap[Long]()
+    val members = new scala.collection.mutable.LongMap[java.util.BitSet]()
+    i = 0
+    while (i < nW) {
+      val arr = words(i)
+      val f = freqs(i)
+      var j = 0
+      while (j + 1 < arr.length) {
+        val key = graft.functions.BpeCoder.pack(arr(j), arr(j + 1))
+        counts(key) = counts.getOrElse(key, 0L) + f
+        members.getOrElseUpdate(key, new java.util.BitSet(nW)).set(i)
+        j += 1
+      }
+      i += 1
+    }
+
+    // lazy-deletion heap: every count UPDATE pushes a fresh (count, pair)
+    // entry; popped entries are valid only if they match the live count
+    val heap = new java.util.PriorityQueue[(Long, Long)](
+      math.max(16, counts.size),
+      new java.util.Comparator[(Long, Long)] {
+        def compare(x: (Long, Long), y: (Long, Long)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1) // count desc
+          if (c != 0) c else java.lang.Long.compare(x._2, y._2) // pair asc
+        }
+      })
+    counts.foreach { case (key, n) => heap.add((n, key)) }
+
+    def pairKeys(arr: Array[Int]): Array[Long] = {
+      if (arr.length < 2) return Array.emptyLongArray
+      val out = new Array[Long](arr.length - 1)
+      var j = 0
+      while (j + 1 < arr.length) {
+        out(j) = graft.functions.BpeCoder.pack(arr(j), arr(j + 1))
+        j += 1
+      }
+      out
+    }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var r = 0
+    var exhausted = false
+    while (r < k && !exhausted) {
+      var top: (Long, Long) = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (e._1 > 0L && counts.getOrElse(e._2, 0L) == e._1) top = e
+      }
+      if (top == null) exhausted = true
+      else {
+        val key = top._2
+        val a = graft.functions.BpeCoder.unpackA(key)
+        val b = graft.functions.BpeCoder.unpackB(key)
+        val nid = graft.functions.BpeCoder.MergeBase + r
+        merges += ((a, b))
+        // exhaustive LTR merge removes EVERY occurrence of (a,b) in every
+        // member word (the minted symbol is fresh, so no new (a,b) can
+        // form); deltas below zero the pair's count out of the maps
+        val mem = members.getOrElse(key, new java.util.BitSet())
+          .clone().asInstanceOf[java.util.BitSet]
+        val touched = new scala.collection.mutable.LongMap[Long]()
+        var wi = mem.nextSetBit(0)
+        while (wi >= 0) {
+          val old = words(wi)
+          val f = freqs(wi)
+          val nw = mergePairLtr(old, a, b, nid)
+          val oldKeys = pairKeys(old)
+          val newKeys = pairKeys(nw)
+          var j = 0
+          while (j < oldKeys.length) {
+            touched(oldKeys(j)) = touched.getOrElse(oldKeys(j), 0L) - f; j += 1
+          }
+          j = 0
+          while (j < newKeys.length) {
+            touched(newKeys(j)) = touched.getOrElse(newKeys(j), 0L) + f; j += 1
+          }
+          val oldSet = oldKeys.toSet
+          val newSet = newKeys.toSet
+          oldSet.diff(newSet).foreach(pk => members.get(pk).foreach(_.clear(wi)))
+          newSet.diff(oldSet).foreach(pk =>
+            members.getOrElseUpdate(pk, new java.util.BitSet(nW)).set(wi))
+          words(wi) = nw
+          wi = mem.nextSetBit(wi + 1)
+        }
+        touched.foreach { case (pk, delta) =>
+          if (delta != 0L) {
+            val nn = counts.getOrElse(pk, 0L) + delta
+            if (nn <= 0L) { counts.remove(pk); members.remove(pk) }
+            else { counts(pk) = nn; heap.add((nn, pk)) }
+          }
+        }
+      }
+      r += 1
+    }
+    merges.toSeq
+  }
+
+  /** One exhaustive left-to-right non-overlapping rewrite of (a,b) -> nid
+    * — the int-array twin of `String.replace` on a 2-char pair.
+    */
+  private def mergePairLtr(arr: Array[Int], a: Int, b: Int, nid: Int): Array[Int] = {
+    val out = new Array[Int](arr.length)
+    var o = 0
+    var i = 0
+    while (i < arr.length) {
+      if (i + 1 < arr.length && arr(i) == a && arr(i + 1) == b) {
+        out(o) = nid; o += 1; i += 2
+      } else { out(o) = arr(i); o += 1; i += 1 }
+    }
+    java.util.Arrays.copyOf(out, o)
   }
 }
