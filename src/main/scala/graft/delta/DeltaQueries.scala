@@ -35,7 +35,7 @@ object DeltaQueries {
     * equality-deletes keys from B and C at the same sequence), and one
     * re-sync diff commit mirrors it.
     */
-  private def convertSyncFixture(s: SparkSession, d: String): String =
+  private[graft] def convertSyncFixture(s: SparkSession, d: String): String =
     fixture(s, d, "convert-sync") { dir =>
         import s.implicits._
         import scala.jdk.CollectionConverters._

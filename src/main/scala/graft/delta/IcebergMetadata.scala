@@ -2053,24 +2053,32 @@ object IcebergMetadata {
           .toDF("fp", "add")
         val iceDF = spark.createDataset(fileRows)
           .toDF("fp", "pvs", "size", "rc", "stats", "seq")
-        val newFiles = iceDF.join(deltaState, Seq("fp"), "left_anti")
+        val newFilesDS = iceDF.join(deltaState, Seq("fp"), "left_anti")
           .select(col("fp"), col("pvs"), col("size"), col("stats"))
-          .as[(String, Map[String, String], Long, String)].collect().toSeq
-        val gone: Seq[AddFile] = deltaState.join(iceDF, Seq("fp"), "left_anti")
-          .select(col("add.*")).as[AddFile].collect().toSeq
-        val commonChanged: Seq[(AddFile, (String, Map[String, String], Long, String))] =
-          if (changedDvFps.isEmpty) Nil
-          else {
-            val changedDF = spark.createDataset(changedDvFps.toSeq)(
-              org.apache.spark.sql.Encoders.STRING).toDF("fpn")
-            deltaState.join(iceDF, Seq("fp"))
-              .withColumn("fpn", org.apache.spark.sql.functions
-                .regexp_replace(col("fp"), "^file:/+", "/"))
-              .join(changedDF, Seq("fpn"), "leftsemi")
-              .select(col("add"), col("fp"), col("pvs"), col("size"), col("stats"))
-              .as[(AddFile, String, Map[String, String], Long, String)]
-              .collect().map(r => (r._1, (r._2, r._3, r._4, r._5))).toSeq
-          }
+          .as[(String, Map[String, String], Long, String)]
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val goneDS = deltaState.join(iceDF, Seq("fp"), "left_anti")
+          .select(col("add.*")).as[AddFile]
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val commonChangedDS:
+            org.apache.spark.sql.Dataset[(AddFile, String, Map[String, String], Long, String)] = {
+          val base =
+            if (changedDvFps.isEmpty)
+              deltaState.join(iceDF, Seq("fp")).limit(0)
+            else {
+              val changedDF = spark.createDataset(changedDvFps.toSeq)(
+                org.apache.spark.sql.Encoders.STRING).toDF("fpn")
+              deltaState.join(iceDF, Seq("fp"))
+                .withColumn("fpn", org.apache.spark.sql.functions
+                  .regexp_replace(col("fp"), "^file:/+", "/"))
+                .join(changedDF, Seq("fpn"), "leftsemi")
+            }
+          base.select(col("add"), col("fp"), col("pvs"), col("size"), col("stats"))
+            .as[(AddFile, String, Map[String, String], Long, String)]
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
+        val (nNew, nGone, nChanged) =
+          (newFilesDS.count(), goneDS.count(), commonChangedDS.count())
         def mkAdd(abs: String, pvs: Map[String, String], size: Long,
             stats: String): AddFile = {
           val root = new Path(rootStrForAdds)
@@ -2084,13 +2092,10 @@ object IcebergMetadata {
             deletionVector = dvByFp
               .get(abs.replaceFirst("^file:/+", "/")).orNull)
         }
-        val removes: Seq[Action] = (gone ++ commonChanged.map(_._1)).map(a =>
+        def mkRemove(a: AddFile): RemoveFile =
           RemoveFile(a.path, Some(now), dataChange = dataChg,
             extendedFileMetadata = true, partitionValues = a.partitionValues,
-            size = Some(a.size), deletionVector = a.deletionVector))
-        val addsOut: Seq[Action] =
-          (newFiles ++ commonChanged.map(_._2)).map {
-            case (abs, pvs, size, stats) => mkAdd(abs, pvs, size, stats) }
+            size = Some(a.size), deletionVector = a.deletionVector)
         val txn = log.startTransaction()
         // advance the marker (and the schema, which may have evolved
         // between snapshots — partition columns are pinned equal above)
@@ -2098,12 +2103,48 @@ object IcebergMetadata {
           schemaString = schema.json,
           configuration = s.metadata.configuration +
             (SyncMarkerKey -> curId.toString)))
-        txn.commit(removes ++ addsOut, Op.Convert,
-          operationParameters = Map(
-            "sourceFormat" -> "iceberg", "sync" -> "true",
-            "icebergSnapshotId" -> curId.toString,
-            "numAddedFiles" -> addsOut.size.toString,
-            "numRemovedFiles" -> removes.size.toString))
+        val syncParams = Map(
+          "sourceFormat" -> "iceberg", "sync" -> "true",
+          "icebergSnapshotId" -> curId.toString,
+          "numAddedFiles" -> (nNew + nChanged).toString,
+          "numRemovedFiles" -> (nGone + nChanged).toString)
+        // same bounded-driver contract as the fresh adoption: a sync
+        // whose diff exceeds the threshold (first sync after a foreign
+        // backfill, a compaction rewriting the table) STREAMS removes +
+        // adds through commitLarge — one Dataset partition resident at
+        // a time, never O(changed files) of action objects on the driver
+        val syncStreamThreshold = spark.conf.get(
+          "spark.graft.convert.streamCommitThreshold", "50000").toLong
+        val v =
+          if (nNew + nGone + 2 * nChanged > syncStreamThreshold) {
+            val it: Iterator[Action] =
+              goneDS.toLocalIterator().asScala.map(a => mkRemove(a): Action) ++
+                commonChangedDS.toLocalIterator().asScala.flatMap {
+                  case (a, abs, pvs, size, stats) =>
+                    Iterator(mkRemove(a): Action,
+                      mkAdd(abs, pvs, size, stats): Action)
+                } ++
+                newFilesDS.toLocalIterator().asScala.map {
+                  case (abs, pvs, size, stats) =>
+                    mkAdd(abs, pvs, size, stats): Action
+                }
+            txn.commitLarge(it, Op.Convert,
+              operationParameters = syncParams + ("streamed" -> "true"))
+          } else {
+            val removes: Seq[Action] =
+              (goneDS.collect().toSeq ++ commonChangedDS.collect().map(_._1))
+                .map(mkRemove)
+            val addsOut: Seq[Action] =
+              (newFilesDS.collect().toSeq ++
+                commonChangedDS.collect().map(r => (r._2, r._3, r._4, r._5))).map {
+                case (abs, pvs, size, stats) => mkAdd(abs, pvs, size, stats) }
+            txn.commit(removes ++ addsOut, Op.Convert,
+              operationParameters = syncParams)
+          }
+        newFilesDS.unpersist()
+        goneDS.unpersist()
+        commonChangedDS.unpersist()
+        v
     }
     fileRows.unpersist()
     committed

@@ -793,6 +793,89 @@ object Streams {
       SELECT CAST(n_nationkey AS BIGINT) AS k,
         CASE WHEN n_regionkey = 2 THEN n_name || '_U' ELSE n_name END AS name,
         CAST(n_regionkey AS BIGINT) AS r
-      FROM nation WHERE n_nationkey % 5 <> 0 ORDER BY k"""))
+      FROM nation WHERE n_nationkey % 5 <> 0 ORDER BY k""")),
+
+    // D20: STREAMING ICEBERG MIRROR — the full CDC pipeline a mirrored
+    // foreign table drives, end to end: a UniForm table is adopted as
+    // pure Iceberg, a hand-crafted FOREIGN snapshot (the Flink-writer
+    // shape: removes batch A, adds batch C, equality-deletes keys
+    // spanning B and C) is re-synced into ONE Delta diff commit
+    // (convertSyncFixture = A85's sync leg), and a graft-delta CDF
+    // STREAM over the adopted table feeds a downstream per-status
+    // aggregate via foreachBatch signed-delta MERGE with
+    // `withIdempotentTxn` exactly-once — A59's maintenance shape run as
+    // a stream over a table whose change feed was never enabled (the
+    // sync commit is CDF-consumable by construction: adds as inserts,
+    // vanished files as whole-file deletes, DV-diff rows through the
+    // descriptor-pair path). A replayed batch is proven a no-op after
+    // the drain: re-merging the WHOLE change feed under batchId 0
+    // would wreck the aggregate if it applied — the oracle recomputes
+    // the mirror from scratch, so incremental ≡ full is the hash gate.
+    // At 100 TB each sync ships O(changed files), each micro-batch
+    // aggregates only its changed rows, and the MERGE touches only the
+    // affected aggregate files — mirror maintenance follows the foreign
+    // CHANGE rate, never the table size.
+    GQ("stream_iceberg_mirror", (s, d) => {
+      import s.implicits._
+      val srcDir = graft.delta.DeltaQueries.convertSyncFixture(s, d)
+      val aggDir = QueryDefs.scratchDir("graft-mirror-agg").toString
+      val agg = graft.delta.DeltaTable.forPath(s, aggDir)
+      val aggSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderstatus",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_okey",
+          org.apache.spark.sql.types.LongType)))
+      val txn0 = agg.deltaLog.startTransaction()
+      txn0.updateMetadata(graft.delta.Metadata(schemaString = aggSchema.json))
+      txn0.commit(Nil, Op.CreateTable)
+      def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+        val deltas = batch
+          .withColumn("sign",
+            when(col("_change_type").isin("insert", "update_postimage"), 1L)
+              .otherwise(-1L))
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(col("sign")).as("dn"),
+            sum(col("sign") * col("o_orderkey")).as("dsum"))
+        graft.delta.DeltaTable.forPath(s, aggDir)
+          .merge(deltas.alias("s"), expr("t.o_orderstatus = s.o_orderstatus"))
+          .withIdempotentTxn("stream_iceberg_mirror", batchId)
+          .whenMatchedDelete(expr("t.n_rows + s.dn = 0"))
+          .whenMatchedUpdate(Map(
+            "n_rows" -> expr("t.n_rows + s.dn"),
+            "sum_okey" -> expr("t.sum_okey + s.dsum")))
+          .whenNotMatchedInsert(expr("s.dn <> 0"), Map(
+            "o_orderstatus" -> col("s.o_orderstatus"),
+            "n_rows" -> col("s.dn"), "sum_okey" -> col("s.dsum")))
+          .execute()
+        ()
+      }
+      val stream = s.readStream
+        .format("graft.streaming.DeltaStreamSourceProvider")
+        .option("path", srcDir)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "1") // whole-version CDF batches
+        .load()
+      val q = stream.writeStream.foreachBatch {
+        (batch: DataFrame, batchId: Long) => applyBatch(batch, batchId)
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+      // post-failure re-delivery: replay the ENTIRE change feed as
+      // "batch 0" — the idempotent txn (recorded version >= 0) makes it
+      // a no-op; if it applied, every group would double and hash-fail
+      val src = graft.delta.DeltaTable.forPath(s, srcDir)
+      applyBatch(src.tableChanges(0L, src.deltaLog.update().version), 0L)
+      graft.delta.DeltaTable.forPath(s, aggDir).toDF
+        .orderBy(col("o_orderstatus"))
+    }, Some("""
+      WITH live AS (
+        SELECT * FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 10 <> 3
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderkey % 4 = 2)
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey
+      FROM live GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -1842,4 +1842,108 @@ class IcebergUniformSuite extends AnyFunSuite {
     val dvs = back.deltaLog.update().allFiles.flatMap(a => Option(a.deletionVector))
     assert(dvs.map(_.cardinality).sum == 1L, dvs.toString)
   }
+
+  test("re-sync diff commits stream through commitLarge past the threshold") {
+    import spark.implicits._
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.file.DataFileWriter
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dir = tmp()
+    // unpartitioned UniForm table, two snapshots
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    txn.updateMetadata(Metadata(
+      schemaString = d1.schema.json,
+      configuration = Map("delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(d1)
+    t.write(Seq((3L, "c")).toDF("id", "v"))
+    val metaDir = new java.io.File(dir, "metadata")
+    val meta0 = currentMeta(dir)
+    val logDir = new java.io.File(dir, "_delta_log")
+    java.nio.file.Files.walk(logDir.toPath).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    val back = DeltaTable.convertFromIceberg(spark, dir)
+    val v0 = back.deltaLog.update().version
+
+    // foreign APPEND snapshot 99: one new file, all prior manifests kept
+    val newDir = new java.io.File(dir, "sync-new")
+    Seq((4L, "d")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(newDir.toString)
+    val newParquet = newDir.listFiles().find(_.getName.endsWith(".parquet")).get
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestEntrySchemaJson(
+        IcebergMetadata.partitionStructSchemaJson(Nil)))
+    val nManifest = new java.io.File(metaDir, "sync-stream-m0.avro")
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.create(entrySchema, nManifest)
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", 1); rec.put("snapshot_id", 99L)
+      val dfS = entrySchema.getField("data_file").schema()
+      val dfr = new GenericData.Record(dfS)
+      dfr.put("content", 0)
+      dfr.put("file_path", newParquet.getAbsolutePath)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", new GenericData.Record(dfS.getField("partition").schema()))
+      dfr.put("record_count", 1L)
+      dfr.put("file_size_in_bytes", newParquet.length())
+      rec.put("data_file", dfr)
+      w.append(rec); w.close()
+    }
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestListSchemaJson)
+    val newList = new java.io.File(metaDir, "snap-99-1-stream.avro")
+    locally {
+      val lw = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      lw.create(listSchema, newList)
+      currentManifests(meta0).foreach(lw.append)
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", nManifest.getAbsolutePath)
+      r.put("manifest_length", nManifest.length())
+      r.put("partition_spec_id", 0); r.put("content", 0)
+      r.put("sequence_number", 4L); r.put("min_sequence_number", 4L)
+      r.put("added_snapshot_id", 99L)
+      r.put("added_files_count", 1); r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 1L); r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      lw.append(r); lw.close()
+    }
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      metaDir.toPath.resolve("version-hint.text"))).trim
+    val root = meta0.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.put("current-snapshot-id", 99L)
+    root.put("last-sequence-number", 4L)
+    val sn = root.withArray("snapshots").addObject()
+    sn.put("snapshot-id", 99L); sn.put("sequence-number", 4L)
+    sn.put("timestamp-ms", System.currentTimeMillis())
+    sn.putObject("summary").put("operation", "append")
+    sn.put("manifest-list", newList.getAbsolutePath)
+    sn.put("schema-id", root.get("current-schema-id").asInt)
+    java.nio.file.Files.write(
+      metaDir.toPath.resolve(s"v${hint.toLong + 1}.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    java.nio.file.Files.deleteIfExists(
+      metaDir.toPath.resolve(".version-hint.text.crc"))
+    java.nio.file.Files.write(metaDir.toPath.resolve("version-hint.text"),
+      (hint.toLong + 1).toString.getBytes("UTF-8"))
+
+    // sync with a diff (1 add) past the threshold: the commit STREAMS
+    spark.conf.set("spark.graft.convert.streamCommitThreshold", "0")
+    try {
+      val synced = DeltaTable.convertFromIceberg(spark, dir)
+      val v1 = synced.deltaLog.update().version
+      assert(v1 == v0 + 1, s"sync must be ONE commit: $v0 -> $v1")
+      val ci = synced.deltaLog.commitInfoAt(v1)
+      assert(ci.exists(_.operationParameters.get("sync").contains("true")), ci.toString)
+      assert(ci.exists(_.operationParameters.get("streamed").contains("true")),
+        s"re-sync past the threshold must stream through commitLarge: $ci")
+      assert(synced.toDF.select("id").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 3L, 4L))
+    } finally spark.conf.unset("spark.graft.convert.streamCommitThreshold")
+  }
 }
