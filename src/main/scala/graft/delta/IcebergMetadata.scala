@@ -965,53 +965,132 @@ object IcebergMetadata {
     val dvFiles: Seq[AddFile] =
       snapshot.allFilesDS.filter(_.deletionVector != null).collect().toSeq
     val deleteSpecId = if (partCols.isEmpty) 0 else 1
-    // content fingerprint of the live DV set (descriptors uniquely
-    // determine the position-delete rows): when unchanged since the
-    // previous generation, its delete manifest AND delete parquet files
-    // are carried forward by reference — append commits skip the
-    // O(all-DVs) re-decode entirely. Recorded in the snapshot summary.
+    // ---- delete-side reuse, two granularities:
+    // (1) whole-set: a content fingerprint of the live DV descriptors —
+    //     unchanged means the delete manifest AND every delete parquet
+    //     carry forward by reference (append commits re-decode nothing);
+    // (2) per-BUCKET (the A48 sidecar trick at delete granularity): DV'd
+    //     files hash-bucket by path into `spark.graft.iceberg
+    //     .deleteBuckets` stable buckets, delete parquet is written
+    //     under __bucket=K dirs, and each bucket's descriptor
+    //     fingerprint rides the snapshot summary — a DML commit that
+    //     changes k DVs re-decodes only the touched buckets (~k/N of
+    //     the DV set), referencing the other buckets' delete files as
+    //     EXISTING entries with their original snapshot/sequence.
+    def dvDescLine(f: AddFile): String =
+      s"${f.path}|${f.deletionVector.storageType}|" +
+        s"${f.deletionVector.pathOrInlineDv}|${f.deletionVector.offset}|" +
+        s"${f.deletionVector.sizeInBytes}|${f.deletionVector.cardinality}"
+    def fpDigest(lines: Seq[String]): String = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      lines.sorted.foreach(s => md5.update(s.getBytes(StandardCharsets.UTF_8)))
+      java.util.Base64.getEncoder.encodeToString(md5.digest())
+    }
+    val nDelBuckets = spark.conf.get(
+      "spark.graft.iceberg.deleteBuckets", "32").toInt
+    // stable path->bucket hash, identical to the executor-side SQL
+    // expression below: first 8 hex chars of md5(normalized path)
+    def delBucket(nfp: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(nfp.getBytes(StandardCharsets.UTF_8))
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % nDelBuckets).toInt
+    }
+    def normFpOf(f: AddFile): String =
+      FileNames.absolutePathString(log.dataPath, f.path)
+        .replaceFirst("^file:/+", "/")
+    val dvByBucket: Map[Int, Seq[AddFile]] =
+      dvFiles.groupBy(f => delBucket(normFpOf(f)))
+    val bucketFps: Map[Int, String] =
+      dvByBucket.map { case (b, fsq) => b -> fpDigest(fsq.map(dvDescLine)) }
     val dvFingerprint: String =
-      if (dvFiles.isEmpty) ""
-      else {
-        val md5 = java.security.MessageDigest.getInstance("MD5")
-        dvFiles.map(f => s"${f.path}|${f.deletionVector.storageType}|" +
-            s"${f.deletionVector.pathOrInlineDv}|${f.deletionVector.offset}|" +
-            s"${f.deletionVector.sizeInBytes}|${f.deletionVector.cardinality}")
-          .sorted.foreach(s => md5.update(s.getBytes(StandardCharsets.UTF_8)))
-        java.util.Base64.getEncoder.encodeToString(md5.digest())
-      }
-    val prevDvFp: Option[String] = prev.flatMap(p =>
+      if (dvFiles.isEmpty) "" else fpDigest(dvFiles.map(dvDescLine))
+    val prevCurSummary: Option[JsonNode] = prev.flatMap(p =>
       p.get("snapshots").elements().asScala
         .find(_.get("snapshot-id").asLong == p.get("current-snapshot-id").asLong)
-        .flatMap(s => Option(s.get("summary"))
-          .flatMap(su => Option(su.get("graft.dv-fingerprint")).map(_.asText))))
+        .flatMap(s => Option(s.get("summary"))))
+    val prevDvFp: Option[String] = prevCurSummary
+      .flatMap(su => Option(su.get("graft.dv-fingerprint")).map(_.asText))
+    val prevBucketFps: Map[Int, String] = prevCurSummary
+      .flatMap(su => Option(su.get("graft.dv-bucket-fps")).map(_.asText))
+      .map(txt => mapper.readTree(txt).fields().asScala
+        .map(en => en.getKey.toInt -> en.getValue.asText).toMap)
+      .getOrElse(Map.empty)
     val prevDeleteMs = prevList.filter(_.content == 1)
     val reuseDeletes = dvFiles.nonEmpty && specUnchanged &&
       prevDeleteMs.nonEmpty && prevDvFp.contains(dvFingerprint)
-    val deleteFiles: Seq[(String, Long, Long)] = // (path, length, rowCount)
+    // previous generation's delete-file entries (driver, O(#delete
+    // files)): the per-bucket reuse pool. Files from pre-bucketing
+    // generations carry no __bucket= path segment -> bucket None ->
+    // never partially reused (one full rewrite migrates the layout).
+    case class PrevDelFile(path: String, len: Long, rc: Long,
+        snap: Long, seq: Long, bucket: Option[Int])
+    val BucketDirRe = ".*/__bucket=(\\d+)/[^/]+$".r
+    val prevDelFiles: Seq[PrevDelFile] =
+      if (reuseDeletes || dvFiles.isEmpty || !specUnchanged || prevDeleteMs.isEmpty) Nil
+      else prevDeleteMs.flatMap { m =>
+        try {
+          val r = DataFileReader.openReader(
+            new org.apache.avro.mapred.FsInput(new Path(m.path), fs.getConf),
+            new GenericDatumReader[GenericRecord]())
+          try r.iterator().asScala
+            .filter(_.get("status").asInstanceOf[Int] != 2)
+            .map { e =>
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              val p = df.get("file_path").toString
+              PrevDelFile(p,
+                df.get("file_size_in_bytes").asInstanceOf[Long],
+                df.get("record_count").asInstanceOf[Long],
+                Option(e.get("snapshot_id")).map(_.asInstanceOf[Long])
+                  .getOrElse(m.addedSnapId),
+                Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
+                  .getOrElse(m.seq),
+                p match { case BucketDirRe(b) => Some(b.toInt); case _ => None })
+            }.toList
+          finally r.close()
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+      }
+    val reusableDelBuckets: Set[Int] = bucketFps.keySet.filter(b =>
+      prevBucketFps.get(b).contains(bucketFps(b)) &&
+        prevDelFiles.exists(_.bucket.contains(b)))
+    val reusedDelFiles: Seq[PrevDelFile] =
+      prevDelFiles.filter(_.bucket.exists(reusableDelBuckets))
+    // only the CHANGED buckets' DVs are decoded and rewritten
+    val dvToWrite: Seq[AddFile] =
       if (dvFiles.isEmpty || reuseDeletes) Nil
+      else dvByBucket.filterNot { case (b, _) => reusableDelBuckets(b) }
+        .values.flatten.toSeq
+    val deleteFiles: Seq[(String, Long, Long)] = // (path, length, rowCount)
+      if (dvToWrite.isEmpty) Nil
       else {
-        val pathPairs = dvFiles.map { f =>
+        val pathPairs = dvToWrite.map { f =>
           val abs = FileNames.absolutePathString(log.dataPath, f.path)
           (abs.replaceFirst("^file:/+", "/"), abs)
         }
         val pathMap = spark.createDataset(pathPairs).toDF("fp", "abs")
         val fieldMeta = (id: Long) => new MetadataBuilder()
           .putLong("parquet.field.id", id).build()
-        val deletes = DeletionVectors.rowsDF(spark, log.dataPath, dvFiles).get
+        import org.apache.spark.sql.functions.{conv, lit, md5, pmod, substring}
+        val deletes = DeletionVectors.rowsDF(spark, log.dataPath, dvToWrite).get
           .join(broadcast(pathMap), "fp")
+          .withColumn("__bucket", pmod(
+            conv(substring(md5(col("fp")), 1, 8), 16, 10).cast("long"),
+            lit(nDelBuckets.toLong)).cast("int"))
           .select(
+            col("__bucket"),
             col("abs").as("file_path", fieldMeta(DeleteFilePathId)),
             col("ri").as("pos", fieldMeta(DeletePosId)))
-          .repartitionByRange(math.max(1, math.min(dvFiles.size, 32)),
-            col("file_path"), col("pos"))
-          .sortWithinPartitions("file_path", "pos") // spec: sorted by (path, pos)
+          .repartition(math.max(1, math.min(dvToWrite.size, 32)), col("__bucket"))
+          // the bucket prefix satisfies the partitioned write's required
+          // ordering, so the (path, pos) spec order survives to the files
+          .sortWithinPartitions("__bucket", "file_path", "pos")
         val committer = new DirectWriteCommitProtocol(
           s"graft-posdel-${java.util.UUID.randomUUID}", dirStr)
         org.apache.spark.sql.GraftShims.writeParquetDirect(
-          spark, deletes, dirStr, Nil, committer)
+          spark, deletes, dirStr, Seq("__bucket"), committer)
         val rels = committer.addedFiles()
-        val delSchema = deletes.schema
+        val delSchema = org.apache.spark.sql.types.StructType(
+          deletes.schema.filterNot(_.name == "__bucket"))
         spark.sparkContext
           .parallelize(rels, math.max(1, math.min(rels.size, 32)))
           .map { rel =>
@@ -1024,9 +1103,11 @@ object IcebergMetadata {
           }.collect().toSeq
       }
     // one deletes manifest referencing the delete files (driver-side:
-    // O(#delete files) = O(min(32, #DV'd files)) entries)
-    val deleteManifest: Option[(String, Long, Long, Long)] = // (path, len, files, rows)
-      if (deleteFiles.isEmpty) None
+    // O(#delete files) entries): freshly written buckets as ADDED,
+    // unchanged buckets' files as EXISTING with original lineage
+    val deleteManifest: Option[(String, Long, Long, Long, Long, Long, Option[Long])] =
+      // (path, len, addedFiles, addedRows, existingFiles, existingRows, minSeq)
+      if (deleteFiles.isEmpty && reusedDelFiles.isEmpty) None
       else {
         val delEntrySchema = new org.apache.avro.Schema.Parser()
           .parse(manifestEntrySchemaJson(partitionStructSchemaJson(Nil)))
@@ -1043,6 +1124,24 @@ object IcebergMetadata {
         w.setMeta("format-version", "2")
         w.setMeta("content", "deletes")
         w.create(delEntrySchema, fs.create(out, true))
+        var minSeq: Option[Long] = None
+        reusedDelFiles.foreach { f =>
+          val rec = new GenericData.Record(delEntrySchema)
+          rec.put("status", 0) // EXISTING: original snapshot + sequence
+          rec.put("snapshot_id", f.snap)
+          rec.put("sequence_number", f.seq)
+          rec.put("file_sequence_number", f.seq)
+          if (minSeq.forall(_ > f.seq)) minSeq = Some(f.seq)
+          val df = new GenericData.Record(dfSchema)
+          df.put("content", 1)
+          df.put("file_path", f.path)
+          df.put("file_format", "PARQUET")
+          df.put("partition", new GenericData.Record(pSchema))
+          df.put("record_count", f.rc)
+          df.put("file_size_in_bytes", f.len)
+          rec.put("data_file", df)
+          w.append(rec)
+        }
         deleteFiles.foreach { case (p, len, rc) =>
           val rec = new GenericData.Record(delEntrySchema)
           rec.put("status", 1)
@@ -1059,7 +1158,9 @@ object IcebergMetadata {
         }
         w.close()
         Some((out.toString, fs.getFileStatus(out).getLen,
-          deleteFiles.size.toLong, deleteFiles.map(_._3).sum))
+          deleteFiles.size.toLong, deleteFiles.map(_._3).sum,
+          reusedDelFiles.size.toLong, reusedDelFiles.map(_.rc).sum,
+          minSeq))
       }
 
     // ---- manifest list (driver: O(#manifests) rows)
@@ -1147,8 +1248,10 @@ object IcebergMetadata {
       if (partCols.nonEmpty) rec.put("partitions", partArray(m.partSummaries))
       lw.append(rec)
     }
-    deleteManifest.foreach { case (p, len, nFiles, nRows) =>
-      lw.append(listEntry(p, len, 1, deleteSpecId, nFiles, nRows))
+    deleteManifest.foreach {
+      case (p, len, nFiles, nRows, exFiles, exRows, minSeq) =>
+        lw.append(listEntry(p, len, 1, deleteSpecId, nFiles, nRows,
+          exFiles, exRows, minSeq))
     }
     lw.close()
 
@@ -1231,7 +1334,15 @@ object IcebergMetadata {
     sumNode.put("operation", icebergOp)
     // DV-set fingerprint: the next generation reuses the delete manifest
     // + delete parquet files by reference when this is unchanged
-    if (dvFiles.nonEmpty) sumNode.put("graft.dv-fingerprint", dvFingerprint)
+    if (dvFiles.nonEmpty) {
+      sumNode.put("graft.dv-fingerprint", dvFingerprint)
+      // per-bucket fingerprints: the NEXT generation rewrites only the
+      // buckets whose descriptor set changed
+      val bfp = mapper.createObjectNode()
+      bucketFps.toSeq.sortBy(_._1).foreach { case (b, f) =>
+        bfp.put(b.toString, f) }
+      sumNode.put("graft.dv-bucket-fps", mapper.writeValueAsString(bfp))
+    }
     sn.put("manifest-list", listPath.toString)
     sn.put("schema-id", schemaId)
     val retainedIds = snaps.elements().asScala.map(_.get("snapshot-id").asLong).toSet
@@ -1345,14 +1456,19 @@ object IcebergMetadata {
         }
       }
     }
-    fs.listStatus(dir).foreach { st =>
+    // recursive: position-delete parquet lives under __bucket=K subdirs
+    // since the per-bucket incremental layout (basenames stay unique —
+    // every file carries a task UUID)
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
       val name = st.getPath.getName
       // a ChecksumFileSystem's ".<name>.crc" sidecar lives and dies with
       // its file — keep it exactly when the file itself is kept
       val kept = keep.contains(name) ||
         (name.startsWith(".") && name.endsWith(".crc") &&
           keep.contains(name.stripPrefix(".").stripSuffix(".crc")))
-      if (st.isFile && !kept && st.getModificationTime < genStart)
+      if (!kept && st.getModificationTime < genStart)
         fs.delete(st.getPath, false)
     }
   }

@@ -483,11 +483,14 @@ class IcebergUniformSuite extends AnyFunSuite {
     assert(delM2 == delM1, s"$delM2 vs $delM1")
     assert(delF2 == delF1)
     delF2.foreach(p => assert(localFile(p).exists(), s"swept reused delete file $p"))
-    // a NEW DV changes the fingerprint: the delete side regenerates
+    // a NEW DV changes the fingerprint: the delete MANIFEST regenerates
+    // and the changed bucket writes a fresh file — unchanged buckets'
+    // files may be carried as EXISTING (the per-bucket incremental
+    // reuse, pinned exactly in its own spec below)
     t.delete(col("id") === 2L)
     val (delM3, delF3) = delSide()
     assert(delM3.nonEmpty && (delM3 & delM1).isEmpty, s"$delM3 vs $delM1")
-    assert((delF3 & delF1).isEmpty)
+    assert((delF3 -- delF1).nonEmpty, s"$delF3 vs $delF1")
     // and the logical content is right throughout
     assert(t.toDF.collect().map(_.getLong(0)).toSet == Set(3L, 4L))
   }
@@ -1945,5 +1948,105 @@ class IcebergUniformSuite extends AnyFunSuite {
       assert(synced.toDF.select("id").collect().map(_.getLong(0)).toSet ==
         Set(1L, 2L, 3L, 4L))
     } finally spark.conf.unset("spark.graft.convert.streamCommitThreshold")
+  }
+
+  test("per-bucket incremental position deletes: only changed buckets rewrite") {
+    val dir = tmp()
+    // high bucket count so distinct files land in distinct buckets with
+    // near-certainty; assertions below are computed FROM the actual
+    // buckets, so even a collision run stays green (it just pins less)
+    spark.conf.set("spark.graft.iceberg.deleteBuckets", "4096")
+    try {
+      val t = DeltaTable.forPath(spark, dir)
+      val txn = t.deltaLog.startTransaction()
+      import spark.implicits._
+      val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      txn.updateMetadata(Metadata(
+        schemaString = d1.schema.json,
+        configuration = Map(
+          "delta.enableDeletionVectors" -> "true",
+          "delta.universalFormat.enabledFormats" -> "iceberg")))
+      txn.commit(Nil, Op.CreateTable)
+      // four files, two rows each (coalesced: Seq.toDF would split
+      // into one-row files and break the changed-file selection below)
+      t.write(d1.coalesce(1))
+      t.write(Seq((3L, "c"), (4L, "d")).toDF("id", "v").coalesce(1))
+      t.write(Seq((5L, "e"), (6L, "f")).toDF("id", "v").coalesce(1))
+      t.write(Seq((7L, "g"), (8L, "h")).toDF("id", "v").coalesce(1))
+      // DV every file
+      t.delete(col("id").isin(1L, 3L, 5L, 7L))
+      val log = t.deltaLog
+      def delFilePaths(): Map[String, Int] = { // path -> status
+        val dels = currentManifests(currentMeta(dir))
+          .filter(_.get("content").asInstanceOf[Int] == 1)
+        dels.flatMap(m => avroRecords(m.get("manifest_path").toString))
+          .map(e => e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString -> e.get("status").asInstanceOf[Int])
+          .toMap
+      }
+      val genA = delFilePaths()
+      assert(genA.nonEmpty && genA.values.forall(_ == 1),
+        s"first generation: all delete files ADDED: $genA")
+      assert(genA.keys.forall(_.contains("__bucket=")), genA.toString)
+      // the summary carries per-bucket fingerprints
+      val sumA = {
+        import scala.jdk.CollectionConverters._
+        val m = currentMeta(dir)
+        val cur = m.get("current-snapshot-id").asLong
+        m.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong == cur).get.get("summary")
+      }
+      assert(sumA.get("graft.dv-bucket-fps") != null, sumA.toString)
+
+      // the bucket function, replicated: md5 first-8-hex % N over the
+      // normalized absolute path
+      def bucketOf(relPath: String): Int = {
+        val nfp = FileNames.absolutePathString(log.dataPath, relPath)
+          .replaceFirst("^file:/+", "/")
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(nfp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hex = d.take(4).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex, 16) % 4096).toInt
+      }
+      // second DML touches ONE file's DV (id=2 lives in the first file)
+      val changedFile = log.update().allFiles
+        .filter(_.deletionVector != null)
+        .find { a =>
+          val p = FileNames.absolutePathString(log.dataPath, a.path)
+          spark.read.parquet(p).where(col("id") === 2L).count() == 1L
+        }.get
+      t.delete(col("id") === 2L)
+      val changedBuckets: Set[Int] = Set(bucketOf(changedFile.path))
+      val genB = delFilePaths()
+      val BucketRe = ".*/__bucket=(\\d+)/[^/]+$".r
+      def bucketOfPath(p: String): Int = p match {
+        case BucketRe(b) => b.toInt
+        case _ => fail(s"delete file without bucket dir: $p")
+      }
+      // unchanged buckets' files are REUSED by identical path, status
+      // EXISTING; changed buckets' files are fresh ADDED paths
+      genA.keys.filter(p => !changedBuckets(bucketOfPath(p))).foreach { p =>
+        assert(genB.contains(p), s"unchanged-bucket file not reused: $p")
+        assert(genB(p) == 0, s"reused file must be EXISTING: $p -> ${genB(p)}")
+      }
+      genB.foreach { case (p, st) =>
+        if (changedBuckets(bucketOfPath(p))) {
+          assert(!genA.contains(p), s"changed bucket must write a NEW file: $p")
+          assert(st == 1, s"fresh file must be ADDED: $p")
+        }
+      }
+      // correctness through the delete side: the referenced delete rows
+      // are exactly the live DVs' (path, pos) set
+      val posRows = spark.read.parquet(genB.keys.toSeq: _*)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val dvd = log.update().allFiles.filter(_.deletionVector != null)
+      assert(posRows.size == dvd.map(_.deletionVector.cardinality).sum,
+        s"${posRows.size} vs ${dvd.map(_.deletionVector.cardinality).sum}")
+      assert(posRows.map(_._1).map(_.replaceFirst("^file:/+", "/")) ==
+        dvd.map(a => FileNames.absolutePathString(log.dataPath, a.path)
+          .replaceFirst("^file:/+", "/")).toSet)
+      assert(t.toDF.select("id").collect().map(_.getLong(0)).toSet ==
+        Set(4L, 6L, 8L))
+    } finally spark.conf.unset("spark.graft.iceberg.deleteBuckets")
   }
 }
