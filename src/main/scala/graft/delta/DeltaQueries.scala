@@ -1430,6 +1430,181 @@ object DeltaQueries {
       WHERE NOT (o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 3)
       GROUP BY 1 ORDER BY 1""")),
 
+    // Iceberg FORMAT VERSION 3 (A86, r18): deletion vectors export
+    // NATIVELY as Puffin `deletion-vector-v1` blobs — RAW-COPIED from
+    // the Delta DV payloads (the two formats share the exact framing:
+    // the Iceberg magic D1 D3 39 64 IS Delta's bitmap magic, so no
+    // bitmap is ever decoded on export) — and every data file carries
+    // row lineage (first_row_id = the Delta baseRowId, next-row-id =
+    // high-water mark + 1). The query reads counts THROUGH the v3
+    // metadata: data-manifest record counts minus per-file cardinality
+    // DECODED from the Puffin blobs via footer offsets — broken blob
+    // framing, wrong coordinates in the delete manifest, or a reuse bug
+    // across the fixture's four commits breaks the hash.
+    GQ("delta_uniform_v3", (s, d) => {
+      import s.implicits._
+      val dir = fixture(s, d, "uniform-v3") { dir =>
+        val t = DeltaTable.forPath(s, dir)
+        val orders = table(s, d, "orders")
+        val txn = t.deltaLog.startTransaction()
+        txn.updateMetadata(Metadata(
+          schemaString = orders.schema.json,
+          partitionColumns = Seq("o_orderstatus"),
+          configuration = Map(
+            "delta.universalFormat.enabledFormats" -> "iceberg",
+            "graft.iceberg.formatVersion" -> "3",
+            "delta.enableRowTracking" -> "true",
+            "delta.enableDeletionVectors" -> "true")))
+        txn.commit(Nil, Op.CreateTable)
+        // same four-commit shape as delta_uniform_dv so the v3 reuse
+        // paths (manifest reuse, per-bucket Puffin carry-forward) are
+        // all under the hash gate
+        t.write(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0),
+          SaveMode.Append, Seq("o_orderstatus"))
+        t.write(orders.filter(pmod(col("o_orderkey"), lit(3)) === 1),
+          SaveMode.Append, Seq("o_orderstatus"))
+        t.delete(pmod(col("o_orderkey"), lit(10)) === 3) // merge-on-read DVs
+        t.write(orders.filter(pmod(col("o_orderkey"), lit(3)) === 2),
+          SaveMode.Append, Seq("o_orderstatus"))
+      }
+      val log = DeltaTable.forPath(s, dir).deltaLog
+      val hconf = s.sessionState.newHadoopConf()
+      val metaDir = IcebergMetadata.metadataDir(log)
+      def readAllBytes(p: org.apache.hadoop.fs.Path): Array[Byte] = {
+        val in = metaDir.getFileSystem(hconf).open(p)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var r = in.read(buf)
+          while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+          out.toByteArray
+        } finally in.close()
+      }
+      def avroRows(p: String, conf: org.apache.hadoop.conf.Configuration):
+          List[org.apache.avro.generic.GenericRecord] = {
+        import scala.jdk.CollectionConverters._
+        val r = org.apache.avro.file.DataFileReader.openReader(
+          new org.apache.avro.mapred.FsInput(
+            new org.apache.hadoop.fs.Path(p), conf),
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        try r.iterator().asScala.toList finally r.close()
+      }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val hint = new String(readAllBytes(
+        new org.apache.hadoop.fs.Path(metaDir, "version-hint.text")), "UTF-8").trim
+      val meta = mapper.readTree(readAllBytes(
+        new org.apache.hadoop.fs.Path(metaDir, s"v$hint.metadata.json")))
+      require(meta.get("format-version").asInt == 3, "metadata must be v3")
+      require(meta.get("next-row-id") != null, "v3 metadata must carry next-row-id")
+      val curId = meta.get("current-snapshot-id").asLong
+      val listPath = {
+        import scala.jdk.CollectionConverters._
+        meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong == curId).get
+          .get("manifest-list").asText
+      }
+      val manifests: Seq[(String, Int)] = avroRows(listPath, hconf)
+        .map(m => (m.get("manifest_path").toString,
+          m.get("content").asInstanceOf[Int]))
+      val serConf = new SerializableHadoopConf(hconf)
+      val dataCounts = s.sparkContext
+        .parallelize(manifests.collect { case (p, 0) => p },
+          math.max(1, manifests.count(_._2 == 0)))
+        .flatMap { p =>
+          avroRows(p, serConf.value)
+            .filter(_.get("status").asInstanceOf[Int] != 2)
+            .map { e =>
+              val df = e.get("data_file")
+                .asInstanceOf[org.apache.avro.generic.GenericRecord]
+              require(df.get("first_row_id") != null,
+                s"v3 data file without row lineage: ${df.get("file_path")}")
+              val part = df.get("partition")
+                .asInstanceOf[org.apache.avro.generic.GenericRecord]
+              (df.get("file_path").toString,
+                part.get("o_orderstatus").toString,
+                df.get("record_count").asInstanceOf[Long])
+            }
+        }.toDF("fp", "o_orderstatus", "rc")
+      // v3 delete entries locate Puffin blobs; decode each through the
+      // footer-verified framing and subtract per referenced data file
+      val delEntries: Seq[(String, Long, Long, String)] =
+        manifests.collect { case (p, 1) => p }.flatMap(p =>
+          avroRows(p, hconf).map { e =>
+            val df = e.get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            require(df.get("file_format").toString == "PUFFIN",
+              s"v3 delete entry must be PUFFIN: $df")
+            (df.get("file_path").toString,
+              df.get("content_offset").asInstanceOf[Long],
+              df.get("content_size_in_bytes").asInstanceOf[Long],
+              df.get("referenced_data_file").toString)
+          })
+      require(delEntries.nonEmpty, "fixture must produce Puffin DV blobs")
+      val deleted = s.sparkContext
+        .parallelize(delEntries, math.max(1, delEntries.size))
+        .map { case (pp, off, len, ref) =>
+          (ref, IcebergPuffin.readDvBitmap(
+            new org.apache.hadoop.fs.Path(pp), serConf.value, off, len)
+            .cardinality)
+        }.toDF("fp", "dels")
+      dataCounts.join(deleted, Seq("fp"), "left")
+        .groupBy($"o_orderstatus")
+        .agg((sum($"rc") - sum(coalesce($"dels", lit(0L)))).as("n_rows"))
+        .orderBy($"o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders
+      WHERE NOT (o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 3)
+      GROUP BY 1 ORDER BY 1""")),
+
+    // CONVERT FROM ICEBERG at format v3 (A86): adopting a v3 table whose
+    // deletes are Puffin DVs is ZERO-COPY — the Delta descriptors point
+    // straight into the Puffin blobs (storageType "p" + offset), no
+    // delete byte read or rewritten at convert time (the fixture
+    // REQUIREs that property). The read then flows through the ordinary
+    // descriptor-gated DV subtraction; the oracle recomputes from raw
+    // data minus the deleted rows.
+    GQ("delta_convert_v3", (s, d) => {
+      import s.implicits._
+      val dir = fixture(s, d, "convert-v3") { dir =>
+        val t = DeltaTable.forPath(s, dir)
+        val orders = table(s, d, "orders")
+        val txn = t.deltaLog.startTransaction()
+        txn.updateMetadata(Metadata(
+          schemaString = orders.schema.json,
+          partitionColumns = Seq("o_orderstatus"),
+          configuration = Map(
+            "delta.universalFormat.enabledFormats" -> "iceberg",
+            "graft.iceberg.formatVersion" -> "3",
+            "delta.enableRowTracking" -> "true",
+            "delta.enableDeletionVectors" -> "true")))
+        txn.commit(Nil, Op.CreateTable)
+        t.write(orders, SaveMode.Append, Seq("o_orderstatus"))
+        t.delete(pmod(col("o_orderkey"), lit(10)) === 7) // merge-on-read DVs
+        // drop the Delta identity; a pure v3 Iceberg table remains
+        val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+        val fsys = logDir.getFileSystem(s.sessionState.newHadoopConf())
+        fsys.delete(logDir, true)
+        val adopted = DeltaTable.convertFromIceberg(s, dir)
+        val bad = adopted.deltaLog.update().allFiles
+          .filter(_.deletionVector != null)
+          .filterNot(a => a.deletionVector.storageType == "p" &&
+            a.deletionVector.pathOrInlineDv.endsWith(".puffin"))
+        require(bad.isEmpty,
+          s"v3 adoption must be zero-copy; re-encoded descriptors: $bad")
+      }
+      DeltaTable.forPath(s, dir).toDF
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").as("sum_okey"))
+        .orderBy($"o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey
+      FROM orders WHERE o_orderkey % 10 <> 7
+      GROUP BY 1 ORDER BY 1""")),
+
     // CONVERT FROM ICEBERG (A85, r17): the full migration round trip —
     // a UniForm table (with merge-on-read DVs) loses its _delta_log,
     // leaving a pure Iceberg table (parquet + metadata/), and

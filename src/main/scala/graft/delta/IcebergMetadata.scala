@@ -389,7 +389,18 @@ object IcebergMetadata {
           {"name":"key","type":"int","field-id":$kid},
           {"name":"value","type":"bytes","field-id":$vid}]}}]}"""
 
-  private[delta] def manifestEntrySchemaJson(partStruct: String): String =
+  private[delta] def manifestEntrySchemaJson(partStruct: String,
+      formatVersion: Int = 2): String = {
+    // format v3: row-lineage first_row_id (142) on every data file, and
+    // the deletion-vector triplet referenced_data_file / content_offset /
+    // content_size_in_bytes (143/144/145) locating a Puffin blob
+    val v3Fields =
+      if (formatVersion < 3) ""
+      else """,
+        {"name":"first_row_id","type":["null","long"],"default":null,"field-id":142},
+        {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+        {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+        {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}"""
     s"""{"type":"record","name":"manifest_entry","fields":[
       {"name":"status","type":"int","field-id":0},
       {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
@@ -407,7 +418,8 @@ object IcebergMetadata {
         ${bytesMap("lower_bounds", 125, 126, 127)},
         ${bytesMap("upper_bounds", 128, 129, 130)},
         {"name":"equality_ids","field-id":135,"default":null,
-         "type":["null",{"type":"array","element-id":136,"items":"int"}]}]}}]}"""
+         "type":["null",{"type":"array","element-id":136,"items":"int"}]}$v3Fields]}}]}"""
+  }
 
   /** Iceberg single-value serialization of one Delta stats-JSON bound for
     * a top-level primitive column; None when the type has no stats or the
@@ -440,6 +452,16 @@ object IcebergMetadata {
         .putInt(java.time.LocalDate.parse(v.asText).toEpochDay.toInt).array())
     case _ => None
   }
+
+  /** v3 manifest-list entries add nullable `first_row_id` (field 520);
+    * this writer leaves it null — every data file carries an EXPLICIT
+    * `first_row_id` (from Delta row tracking), which the spec allows.
+    */
+  private[delta] def manifestListSchemaFor(formatVersion: Int): String =
+    if (formatVersion < 3) manifestListSchemaJson
+    else manifestListSchemaJson.replace("""{"name":"partitions"""",
+      """{"name":"first_row_id","type":["null","long"],"default":null,"field-id":520},
+      {"name":"partitions"""")
 
   private[delta] val manifestListSchemaJson: String =
     """{"type":"record","name":"manifest_file","fields":[
@@ -518,6 +540,42 @@ object IcebergMetadata {
           "delta.universalFormat.enabledFormats=iceberg (whose write path " +
           "emits TIMESTAMP_MICROS parquet); without it this engine's files " +
           "are INT96 (Spark default), which the Iceberg spec forbids")
+    // ---- format version: 2 (default) or 3. v3 exports deletion vectors
+    // NATIVELY as Puffin blobs (raw-copied from the Delta DV payloads —
+    // zero decode) and carries the spec's required row lineage, mapped
+    // from Delta row tracking: every data file's first_row_id IS its
+    // baseRowId, next-row-id IS the row-id high-water mark + 1.
+    val formatVersion = md.configuration
+      .getOrElse("graft.iceberg.formatVersion", "2").toInt
+    require(formatVersion == 2 || formatVersion == 3,
+      s"graft.iceberg.formatVersion must be 2 or 3, got $formatVersion")
+    val rowIdInfo: Option[(Long, Long, Option[Long])] = // (missing, legacyDvs, min added frid)
+      if (formatVersion < 3) None
+      else {
+        require(RowTracking.enabled(md),
+          "graft.iceberg.formatVersion=3 requires delta.enableRowTracking: " +
+            "Iceberg v3 row lineage (first_row_id / next-row-id) maps from " +
+            "Delta base row ids")
+        import org.apache.spark.sql.functions.{min => sqlMin, sum => sqlSum, when => sqlWhen, lit => sqlLit}
+        val r = snapshot.allFilesDS.toDF()
+          .agg(
+            sqlSum(sqlWhen(col("baseRowId").isNull, 1).otherwise(0)).as("missing"),
+            sqlSum(sqlWhen(col("tags").getItem(DeletionVectors.PathTag).isNotNull, 1)
+              .otherwise(0)).as("legacy"),
+            sqlMin(sqlWhen(col("defaultRowCommitVersion") === sqlLit(snapshot.version),
+              col("baseRowId"))).as("frid"))
+          .head()
+        val missing = if (r.isNullAt(0)) 0L else r.getLong(0)
+        val legacy = if (r.isNullAt(1)) 0L else r.getLong(1)
+        require(missing == 0,
+          s"$missing file(s) lack a baseRowId; Iceberg v3 requires row " +
+            "lineage on every data file — run the row-tracking backfill first")
+        require(legacy == 0,
+          s"$legacy file(s) carry legacy-parquet deletion vectors, which " +
+            "cannot be exported as Puffin blobs — a DELETE or OPTIMIZE " +
+            "migrates them to the protocol format")
+        Some((missing, legacy, if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      }
     // partition column names are interpolated into the Avro partition
     // struct schema — refuse names outside Avro's name grammar loudly
     // instead of emitting a malformed schema that fails downstream
@@ -616,7 +674,7 @@ object IcebergMetadata {
     // ---- data manifests: one Avro file per partition, written on the
     // executors; the driver sees only the summaries
     val partStructJson = partitionStructSchemaJson(partCols)
-    val entrySchemaJson = manifestEntrySchemaJson(partStructJson)
+    val entrySchemaJson = manifestEntrySchemaJson(partStructJson, formatVersion)
     val partMeta = partCols.map { case (n, dt, _) => (n, dt) }
     // top-level primitive columns whose Delta stats become Iceberg
     // per-file column stats (value/null counts + typed bounds)
@@ -687,10 +745,14 @@ object IcebergMetadata {
                   .getOrElse(listSeq),
                 pvs,
                 df.get("record_count").asInstanceOf[Long],
-                df.get("file_size_in_bytes").asInstanceOf[Long])
+                df.get("file_size_in_bytes").asInstanceOf[Long],
+                // v3 row lineage rides along so a DELETED tombstone can
+                // preserve the vanished file's first_row_id
+                (if (df.getSchema.getField("first_row_id") == null) None
+                 else Option(df.get("first_row_id")).map(_.asInstanceOf[Long])))
             }.toList
           finally mr.close()
-        }.toDF("mp", "fp", "prev_snap", "prev_seq", "pvs", "rc", "fsize")
+        }.toDF("mp", "fp", "prev_snap", "prev_seq", "pvs", "rc", "fsize", "frid")
         // read three times below (reuse vote, lineage join, pool
         // anti-join) — cache so the Avro manifests are opened once
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -711,7 +773,11 @@ object IcebergMetadata {
       val prevSpecId = Option(p.get("default-spec-id")).map(_.asInt).getOrElse(0)
       Option(p.get("partition-specs")).exists(_.elements().asScala.exists(s =>
         s.get("spec-id").asInt == prevSpecId &&
-          s.get("fields") == mapper.readTree(specFieldsJson)))
+          s.get("fields") == mapper.readTree(specFieldsJson))) &&
+        // a format-version flip (2 -> 3) rewrites everything once: the
+        // new manifests must carry the v3 fields (first_row_id, the DV
+        // triplet), which reuse-by-reference cannot retrofit
+        Option(p.get("format-version")).map(_.asInt).getOrElse(2) == formatVersion
     }
     val reuseCandidates = specUnchanged && prevDataMs.size < maxDataManifests
     val reusableMps: Set[String] = prevFileInfo match {
@@ -767,11 +833,11 @@ object IcebergMetadata {
       pi.join(keyedFiles.select(col("fp")), Seq("fp"), "left_anti")
         .dropDuplicates("fp")
         .select(col("fp"), col("pvs"), col("rc"), col("fsize"),
-          col("prev_snap"), col("prev_seq"))
-        .as[(String, Map[String, String], Long, Long, Long, Long)]
-        .map { case (fp0, pvs, rc, fsize, snap, seq) =>
+          col("prev_snap"), col("prev_seq"), col("frid"))
+        .as[(String, Map[String, String], Long, Long, Long, Long, Option[Long])]
+        .map { case (fp0, pvs, rc, fsize, snap, seq, frid) =>
           (fp0, AddFile(fp0, pvs, fsize, 0L, dataChange = false,
-            stats = s"""{"numRecords":$rc}"""),
+            stats = s"""{"numRecords":$rc}""", baseRowId = frid),
             Option(snap), Option(seq), true)
         }.toDF("fp", "add", "prev_snap", "prev_seq", "__deleted")
     }
@@ -796,6 +862,7 @@ object IcebergMetadata {
         col("__deleted"))
       .as[(String, AddFile, Option[Long], Option[Long], Boolean)]
     val localSchemaId = schemaId
+    val localFormatVersion = formatVersion
     val summaries: Seq[IcebergManifestSummary] = clusteredFiles
       .mapPartitions { files =>
         if (!files.hasNext) Iterator.empty
@@ -831,7 +898,7 @@ object IcebergMetadata {
           w.setMeta("schema-id", localSchemaId.toString)
           w.setMeta("partition-spec", specFieldsJson)
           w.setMeta("partition-spec-id", "0")
-          w.setMeta("format-version", "2")
+          w.setMeta("format-version", localFormatVersion.toString)
           w.setMeta("content", "data")
           w.create(entrySchema, stream)
           var rows = 0L
@@ -886,6 +953,12 @@ object IcebergMetadata {
             df.put("content", 0)
             df.put("file_path", fp)
             df.put("file_format", "PARQUET")
+            // v3 row lineage: EXPLICIT per-file first_row_id = the Delta
+            // base row id (stable across generations; tombstones carry
+            // the vanished file's original id)
+            if (localFormatVersion >= 3)
+              df.put("first_row_id",
+                a.baseRowId.map(java.lang.Long.valueOf).orNull)
             val p = new GenericData.Record(pSchema)
             partMeta.zipWithIndex.foreach { case ((pn, dt), i) =>
               val v = parsePartValue(dt, a.partitionValues.getOrElse(pn, null))
@@ -962,8 +1035,14 @@ object IcebergMetadata {
     // summaries. Delete files live under metadata/ — VACUUM skips an
     // Iceberg metadata dir — and are written under an UNPARTITIONED spec
     // so they apply to matching data files in every partition.
+    // legacy-tag DVs (pre-protocol graft tables) count too: rowsDF
+    // decodes their parquet sidecars, so the v2 export stays row-exact
+    // on them (v3 refuses them above — Puffin blobs need the protocol
+    // payload format)
     val dvFiles: Seq[AddFile] =
-      snapshot.allFilesDS.filter(_.deletionVector != null).collect().toSeq
+      snapshot.allFilesDS.filter(f => f.deletionVector != null ||
+        (f.tags != null && f.tags.contains(DeletionVectors.PathTag)))
+        .collect().toSeq
     val deleteSpecId = if (partCols.isEmpty) 0 else 1
     // ---- delete-side reuse, two granularities:
     // (1) whole-set: a content fingerprint of the live DV descriptors —
@@ -977,10 +1056,11 @@ object IcebergMetadata {
     //     changes k DVs re-decodes only the touched buckets (~k/N of
     //     the DV set), referencing the other buckets' delete files as
     //     EXISTING entries with their original snapshot/sequence.
-    def dvDescLine(f: AddFile): String =
-      s"${f.path}|${f.deletionVector.storageType}|" +
-        s"${f.deletionVector.pathOrInlineDv}|${f.deletionVector.offset}|" +
-        s"${f.deletionVector.sizeInBytes}|${f.deletionVector.cardinality}"
+    def dvDescLine(f: AddFile): String = {
+      val d = DeletionVectors.descriptor(f).get
+      s"${f.path}|${d.storageType}|${d.pathOrInlineDv}|${d.offset}|" +
+        s"${d.sizeInBytes}|${d.cardinality}"
+    }
     def fpDigest(lines: Seq[String]): String = {
       val md5 = java.security.MessageDigest.getInstance("MD5")
       lines.sorted.foreach(s => md5.update(s.getBytes(StandardCharsets.UTF_8)))
@@ -1024,7 +1104,10 @@ object IcebergMetadata {
     // generations carry no __bucket= path segment -> bucket None ->
     // never partially reused (one full rewrite migrates the layout).
     case class PrevDelFile(path: String, len: Long, rc: Long,
-        snap: Long, seq: Long, bucket: Option[Int])
+        snap: Long, seq: Long, bucket: Option[Int],
+        // v3 Puffin DV entries re-emit their blob coordinates verbatim
+        ref: Option[String] = None, blobOff: Option[Long] = None,
+        blobLen: Option[Long] = None)
     val BucketDirRe = ".*/__bucket=(\\d+)/[^/]+$".r
     val prevDelFiles: Seq[PrevDelFile] =
       if (reuseDeletes || dvFiles.isEmpty || !specUnchanged || prevDeleteMs.isEmpty) Nil
@@ -1038,6 +1121,9 @@ object IcebergMetadata {
             .map { e =>
               val df = e.get("data_file").asInstanceOf[GenericRecord]
               val p = df.get("file_path").toString
+              def opt(field: String): Option[Any] =
+                if (df.getSchema.getField(field) == null) None
+                else Option(df.get(field))
               PrevDelFile(p,
                 df.get("file_size_in_bytes").asInstanceOf[Long],
                 df.get("record_count").asInstanceOf[Long],
@@ -1045,7 +1131,10 @@ object IcebergMetadata {
                   .getOrElse(m.addedSnapId),
                 Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
                   .getOrElse(m.seq),
-                p match { case BucketDirRe(b) => Some(b.toInt); case _ => None })
+                p match { case BucketDirRe(b) => Some(b.toInt); case _ => None },
+                opt("referenced_data_file").map(_.toString),
+                opt("content_offset").map(_.asInstanceOf[Long]),
+                opt("content_size_in_bytes").map(_.asInstanceOf[Long]))
             }.toList
           finally r.close()
         } catch { case scala.util.control.NonFatal(_) => Nil }
@@ -1060,9 +1149,45 @@ object IcebergMetadata {
       if (dvFiles.isEmpty || reuseDeletes) Nil
       else dvByBucket.filterNot { case (b, _) => reusableDelBuckets(b) }
         .values.flatten.toSeq
-    val deleteFiles: Seq[(String, Long, Long)] = // (path, length, rowCount)
+    // one output row per delete FILE (v2 parquet) or per DV BLOB (v3
+    // puffin): (path, fileLen, rowCount, referencedDataFile, blobOff,
+    // blobLen) — the v3 triplet None for v2
+    val deleteFiles: Seq[(String, Long, Long, Option[String], Option[Long], Option[Long])] =
       if (dvToWrite.isEmpty) Nil
-      else {
+      else if (formatVersion >= 3) {
+        // v3: the Delta DV payloads ARE the blob bodies (same framing,
+        // same magic, same bitmap serialization) — RAW-COPIED on
+        // executors, one task per changed bucket, one Puffin file per
+        // bucket, one blob per data file. Nothing is decoded, ever.
+        val bucketsToWrite: Seq[(Int, Seq[(String, DeletionVectorDescriptor)])] =
+          dvByBucket.toSeq
+            .filterNot { case (b, _) => reusableDelBuckets(b) }
+            .map { case (b, fsq) =>
+              b -> fsq.map(f =>
+                (FileNames.absolutePathString(log.dataPath, f.path),
+                  DeletionVectors.descriptor(f).get))
+            }
+        val snapIdLocal = snapshotId
+        val seqLocal = seqNum
+        val dataRootLocal = dataRoot
+        spark.sparkContext
+          .parallelize(bucketsToWrite, math.max(1, bucketsToWrite.size))
+          .flatMap { case (b, files) =>
+            val conf = hconf.value
+            val bucketDir = new Path(dirStr, s"__bucket=$b")
+            bucketDir.getFileSystem(conf).mkdirs(bucketDir)
+            val out = new Path(bucketDir,
+              s"delete-${java.util.UUID.randomUUID()}.puffin")
+            val blobs = files.sortBy(_._1).map { case (abs, d) =>
+              IcebergPuffin.DvBlob(abs, d.cardinality,
+                IcebergPuffin.blobBodyOf(new Path(dataRootLocal), d, conf))
+            }
+            val (locs, flen) = IcebergPuffin.writeDvFile(
+              out, conf, snapIdLocal, seqLocal, blobs)
+            locs.map(l => (out.toString, flen, l.cardinality,
+              Option(l.referencedDataFile), Option(l.offset), Option(l.length)))
+          }.collect().toSeq
+      } else {
         val pathPairs = dvToWrite.map { f =>
           val abs = FileNames.absolutePathString(log.dataPath, f.path)
           (abs.replaceFirst("^file:/+", "/"), abs)
@@ -1099,7 +1224,8 @@ object IcebergMetadata {
             val st = p.getFileSystem(c).getFileStatus(p)
             val rc = Stats.numRecords(
               Stats.fromFooter(c, p, delSchema, Nil, 0)).getOrElse(0L)
-            (p.toString, st.getLen, rc)
+            (p.toString, st.getLen, rc,
+              None: Option[String], None: Option[Long], None: Option[Long])
           }.collect().toSeq
       }
     // one deletes manifest referencing the delete files (driver-side:
@@ -1110,7 +1236,8 @@ object IcebergMetadata {
       if (deleteFiles.isEmpty && reusedDelFiles.isEmpty) None
       else {
         val delEntrySchema = new org.apache.avro.Schema.Parser()
-          .parse(manifestEntrySchemaJson(partitionStructSchemaJson(Nil)))
+          .parse(manifestEntrySchemaJson(partitionStructSchemaJson(Nil),
+            formatVersion))
         val dfSchema = delEntrySchema.getField("data_file").schema()
         val pSchema = dfSchema.getField("partition").schema()
         val name = f"${java.util.UUID.randomUUID()}-d0.avro"
@@ -1121,9 +1248,18 @@ object IcebergMetadata {
         w.setMeta("schema-id", schemaId.toString)
         w.setMeta("partition-spec", "[]")
         w.setMeta("partition-spec-id", deleteSpecId.toString)
-        w.setMeta("format-version", "2")
+        w.setMeta("format-version", formatVersion.toString)
         w.setMeta("content", "deletes")
         w.create(delEntrySchema, fs.create(out, true))
+        val delFormat = if (formatVersion >= 3) "PUFFIN" else "PARQUET"
+        def putV3(df: GenericData.Record, ref: Option[String],
+            off: Option[Long], blen: Option[Long]): Unit =
+          if (formatVersion >= 3) {
+            df.put("referenced_data_file", ref.orNull)
+            df.put("content_offset", off.map(java.lang.Long.valueOf).orNull)
+            df.put("content_size_in_bytes",
+              blen.map(java.lang.Long.valueOf).orNull)
+          }
         var minSeq: Option[Long] = None
         reusedDelFiles.foreach { f =>
           val rec = new GenericData.Record(delEntrySchema)
@@ -1135,24 +1271,26 @@ object IcebergMetadata {
           val df = new GenericData.Record(dfSchema)
           df.put("content", 1)
           df.put("file_path", f.path)
-          df.put("file_format", "PARQUET")
+          df.put("file_format", delFormat)
           df.put("partition", new GenericData.Record(pSchema))
           df.put("record_count", f.rc)
           df.put("file_size_in_bytes", f.len)
+          putV3(df, f.ref, f.blobOff, f.blobLen)
           rec.put("data_file", df)
           w.append(rec)
         }
-        deleteFiles.foreach { case (p, len, rc) =>
+        deleteFiles.foreach { case (p, len, rc, ref, off, blen) =>
           val rec = new GenericData.Record(delEntrySchema)
           rec.put("status", 1)
           rec.put("snapshot_id", snapshotId)
           val df = new GenericData.Record(dfSchema)
-          df.put("content", 1) // POSITION_DELETES
+          df.put("content", 1) // POSITION_DELETES (v3: a Puffin DV blob)
           df.put("file_path", p)
-          df.put("file_format", "PARQUET")
+          df.put("file_format", delFormat)
           df.put("partition", new GenericData.Record(pSchema))
           df.put("record_count", rc)
           df.put("file_size_in_bytes", len)
+          putV3(df, ref, off, blen)
           rec.put("data_file", df)
           w.append(rec)
         }
@@ -1167,10 +1305,11 @@ object IcebergMetadata {
     fs.mkdirs(dir)
     val listName = f"snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
     val listPath = new Path(dir, listName)
-    val listSchema = new org.apache.avro.Schema.Parser().parse(manifestListSchemaJson)
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      manifestListSchemaFor(formatVersion))
     val lw = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](listSchema))
-    lw.setMeta("format-version", "2")
+    lw.setMeta("format-version", formatVersion.toString)
     lw.setMeta("snapshot-id", snapshotId.toString)
     lw.setMeta("sequence-number", seqNum.toString)
     prev.foreach(p => lw.setMeta("parent-snapshot-id",
@@ -1262,10 +1401,15 @@ object IcebergMetadata {
       DeltaConfig.LogRetention.fromMetadata(md))
     val now = log.clock.nowMillis
     val root = mapper.createObjectNode()
-    root.put("format-version", 2)
+    root.put("format-version", formatVersion)
     root.put("table-uuid", md.id)
     root.put("location", dataRoot)
     root.put("last-sequence-number", seqNum)
+    // v3 row lineage: the table's next unassigned row id is exactly the
+    // Delta row-tracking high-water mark + 1
+    if (formatVersion >= 3)
+      root.put("next-row-id",
+        RowTracking.highWaterMark(snapshot.domainMetadata) + 1)
     root.put("last-updated-ms", now)
     root.put("last-column-id", math.max(lastColumnId, prevLastColumnId))
     root.put("current-schema-id", schemaId)
@@ -1345,6 +1489,14 @@ object IcebergMetadata {
     }
     sn.put("manifest-list", listPath.toString)
     sn.put("schema-id", schemaId)
+    // v3: the snapshot's first assigned row id — the smallest baseRowId
+    // this Delta version handed out (every file carries an explicit
+    // first_row_id, so this is informational per the spec's
+    // explicit-assignment allowance); no assignment this commit =
+    // the current next-row-id
+    if (formatVersion >= 3)
+      sn.put("first-row-id", rowIdInfo.flatMap(_._3).getOrElse(
+        RowTracking.highWaterMark(snapshot.domainMetadata) + 1))
     val retainedIds = snaps.elements().asScala.map(_.get("snapshot-id").asLong).toSet
     val slog = root.putArray("snapshot-log")
     prev.foreach(p => Option(p.get("snapshot-log"))
@@ -1584,8 +1736,8 @@ object IcebergMetadata {
     val hint = new String(readAll(fs, hintPath), StandardCharsets.UTF_8).trim.toLong
     val meta = mapper.readTree(readAll(fs, new Path(dir, s"v$hint.metadata.json")))
     val fv = meta.get("format-version").asInt
-    if (fv > 2) throw new UnsupportedOperationException(
-      s"unsupported Iceberg format-version $fv (supported: 1, 2)")
+    if (fv > 3) throw new UnsupportedOperationException(
+      s"unsupported Iceberg format-version $fv (supported: 1, 2, 3)")
     // time travel: adopt ANY retained snapshot (its schema comes from
     // the per-snapshot schema-id, so an evolved table converts with the
     // schema that snapshot was written under)
@@ -1947,7 +2099,11 @@ object IcebergMetadata {
         }
       }.toMap
     }
-    val deleteEntries: Seq[(String, Int, Seq[Int], Long, Long, Map[String, String])] = // (path, content, eqIds, seq, bytes, scope)
+    case class DelEntry(path: String, content: Int, eqIds: Seq[Int],
+        seq: Long, bytes: Long, scope: Map[String, String],
+        refFile: Option[String], blobOff: Option[Long], blobLen: Option[Long],
+        cardinality: Long)
+    val deleteEntries: Seq[DelEntry] =
       manifests.collect { case (p, 1, sid, listSeq) => (p, sid, listSeq) }
         .flatMap { case (p, sid, listSeq) =>
           val r = DataFileReader.openReader(
@@ -1962,17 +2118,70 @@ object IcebergMetadata {
                 .map(_.asInstanceOf[java.util.Collection[Any]]
                   .iterator().asScala.map(_.asInstanceOf[Int]).toSeq)
                 .getOrElse(Nil)
-              (df.get("file_path").toString,
+              // v3 deletion vectors ride a position-delete entry with
+              // referenced_data_file/content_offset/content_size_in_bytes
+              // (field ids 143/144/145) pointing into a Puffin file
+              def opt(field: String): Option[Any] =
+                if (df.getSchema.getField(field) == null) None
+                else Option(df.get(field))
+              DelEntry(df.get("file_path").toString,
                 content, eqIds,
                 Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
                   .getOrElse(listSeq),
                 df.get("file_size_in_bytes").asInstanceOf[Long],
-                if (content == 2) deleteScope(sid, df) else Map.empty[String, String])
+                if (content == 2) deleteScope(sid, df) else Map.empty[String, String],
+                opt("referenced_data_file").map(_.toString),
+                opt("content_offset").map(_.asInstanceOf[Long]),
+                opt("content_size_in_bytes").map(_.asInstanceOf[Long]),
+                df.get("record_count").asInstanceOf[Long])
             }.toList
           finally r.close()
         }
-    val posDeleteFiles = deleteEntries.collect { case (p, 1, _, _, _, _) => p }
-    val eqDeleteFiles = deleteEntries.collect { case (p, 2, ids, sq, b, sc) => (p, ids, sq, b, sc) }
+    val posDeleteFiles = deleteEntries
+      .collect { case d if d.content == 1 && d.refFile.isEmpty => d.path }
+    val eqDeleteFiles = deleteEntries
+      .collect { case d if d.content == 2 => (d.path, d.eqIds, d.seq, d.bytes, d.scope) }
+    // ---- v3 deletion vectors (Puffin blobs). The blob body is
+    // byte-identical to a framed Delta DV payload entry, so when DVs are
+    // the snapshot's ONLY delete shape the adoption is ZERO-COPY: the
+    // AddFile descriptor points straight into the Puffin file
+    // (storageType "p", offset = blob start, sizeInBytes = blob length
+    // minus the 8 framing bytes) and no delete byte is read at convert
+    // time. Any other coexisting shape (or a blob offset past Int range)
+    // falls back to the decode path, where blobs are read DISTRIBUTED
+    // into (fp, ri) rows like every other delete source.
+    val dvEntries = deleteEntries.filter(d => d.content == 1 && d.refFile.isDefined)
+    dvEntries.groupBy(d => d.refFile.get).foreach { case (rf, ds) =>
+      require(ds.size == 1,
+        s"data file $rf carries ${ds.size} deletion vectors in snapshot " +
+          s"$curId — the Iceberg spec allows at most one")
+    }
+    val dvOffsetsFit = dvEntries.forall(d =>
+      d.blobOff.exists(o => o <= Int.MaxValue.toLong) &&
+        d.blobLen.exists(l => l - 8 <= Int.MaxValue.toLong && l >= 8))
+    val dvZeroByFp: Map[String, DeletionVectorDescriptor] =
+      if (!dvOffsetsFit) Map.empty
+      else dvEntries.map { d =>
+        d.refFile.get.replaceFirst("^file:/+", "/") ->
+          DeletionVectorDescriptor("p", d.path, Some(d.blobOff.get.toInt),
+            (d.blobLen.get - 8).toInt, d.cardinality)
+      }.toMap
+    val pureDvDeletes = dvEntries.nonEmpty && posDeleteFiles.isEmpty &&
+      eqDeleteFiles.isEmpty && dvOffsetsFit
+    val dvRows: Option[DataFrame] =
+      if (dvEntries.isEmpty || (pureDvDeletes && existingSnap.isEmpty)) None
+      else {
+        import spark.implicits._
+        Some(spark.createDataset(dvEntries.map(d =>
+            (d.path, d.blobOff.getOrElse(throw new IllegalStateException(
+              s"DV entry ${d.path} lacks content_offset")),
+              d.blobLen.get, d.refFile.get.replaceFirst("^file:/+", "/"))))
+          .repartition(math.min(dvEntries.size, 32))
+          .flatMap { case (pp, off, len, fp) =>
+            IcebergPuffin.readDvBitmap(new Path(pp), serConf.value, off, len)
+              .values.map(ri => (fp, ri))
+          }.toDF("fp", "ri"))
+      }
     val posRows: Option[DataFrame] =
       if (posDeleteFiles.isEmpty) None
       else Some(spark.read.parquet(posDeleteFiles: _*)
@@ -2014,9 +2223,10 @@ object IcebergMetadata {
         }
         Some(frames.reduce(_ unionByName _))
       }
-    val allDeleteRows: Option[DataFrame] = (posRows, eqRows) match {
-      case (Some(a), Some(b)) => Some(a.unionByName(b).distinct())
-      case (a, b) => a.orElse(b)
+    val allDeleteRows: Option[DataFrame] = Seq(posRows, eqRows, dvRows).flatten match {
+      case Nil => None
+      case one :: Nil => Some(one)
+      case many => Some(many.reduce(_ unionByName _).distinct())
     }
     def emptyFpRi: DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -2041,10 +2251,17 @@ object IcebergMetadata {
             org.apache.spark.sql.Encoders.STRING).collect().toSet
     }
     val dvByFp: Map[String, DeletionVectorDescriptor] = existingSnap match {
+      case None if pureDvDeletes => dvZeroByFp // zero-copy: no delete bytes read
       case None =>
         allDeleteRows.map(rows =>
           DeletionVectors.write(spark, log.dataPath, rows)).getOrElse(Map.empty)
       case Some(_) if changedDvFps.isEmpty => Map.empty
+      case Some(_) if pureDvDeletes =>
+        // zero-copy re-sync: a changed file re-attaches a descriptor
+        // pointing straight into the new snapshot's Puffin blob (the
+        // diff above decoded blobs read-only; nothing is re-encoded);
+        // a changed file whose DV vanished is re-added clean
+        changedDvFps.toSeq.flatMap(fp => dvZeroByFp.get(fp).map(fp -> _)).toMap
       case Some(_) =>
         val changedDF = spark.createDataset(changedDvFps.toSeq)(
           org.apache.spark.sql.Encoders.STRING).toDF("fp")

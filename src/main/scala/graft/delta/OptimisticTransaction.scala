@@ -518,6 +518,18 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
             "parquet timestamps are INT96 (Spark default), which the " +
             "Iceberg spec forbids. Enable UniForm before the first write, " +
             "or drop/rewrite the timestamp columns first")
+      // Iceberg format-version 3 exports row lineage, which maps from
+      // Delta row tracking — loud HERE, because post-commit generation
+      // is best-effort and would otherwise only warn
+      m.configuration.get("graft.iceberg.formatVersion").foreach { v =>
+        require(v == "2" || v == "3",
+          s"graft.iceberg.formatVersion must be 2 or 3, got '$v'")
+        if (v == "3")
+          require(DeltaConfig.RowTracking.fromMetadata(m),
+            "graft.iceberg.formatVersion=3 requires " +
+              "delta.enableRowTracking: Iceberg v3 row lineage " +
+              "(first_row_id / next-row-id) maps from Delta base row ids")
+      }
     }
   }
 

@@ -2049,4 +2049,290 @@ class IcebergUniformSuite extends AnyFunSuite {
         Set(4L, 6L, 8L))
     } finally spark.conf.unset("spark.graft.iceberg.deleteBuckets")
   }
+
+  // ------------------------------------------------------- format v3
+
+  private def mkV3(dir: String, extraConf: Map[String, String] = Map.empty): DeltaTable = {
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = df((0L, "x", "p")).schema.json,
+      partitionColumns = Seq("part"),
+      configuration = Map(
+        "delta.enableDeletionVectors" -> "true",
+        "delta.enableRowTracking" -> "true",
+        "graft.iceberg.formatVersion" -> "3",
+        "delta.universalFormat.enabledFormats" -> "iceberg") ++ extraConf))
+    txn.commit(Nil, Op.CreateTable)
+    t
+  }
+
+  private def dataEntriesOf(dir: String): Seq[GenericRecord] =
+    currentManifests(currentMeta(dir))
+      .filter(_.get("content").asInstanceOf[Int] == 0)
+      .flatMap(m => avroRecords(m.get("manifest_path").toString))
+      .filter(_.get("status").asInstanceOf[Int] != 2)
+
+  private def deleteEntriesOf(dir: String): Seq[GenericRecord] =
+    currentManifests(currentMeta(dir))
+      .filter(_.get("content").asInstanceOf[Int] == 1)
+      .flatMap(m => avroRecords(m.get("manifest_path").toString))
+
+  test("format v3: DVs export as Puffin blobs; row lineage from row tracking") {
+    val dir = tmp()
+    val t = mkV3(dir)
+    t.write(df((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")),
+      partitionBy = Seq("part"))
+    t.delete(col("id") === 1L) // merge-on-read DV
+    val log = t.deltaLog
+    val snap = log.update()
+    val dvd = snap.allFiles.filter(_.deletionVector != null)
+    assert(dvd.size == 1, "fixture must put a DV on exactly one file")
+
+    val meta = currentMeta(dir)
+    assert(meta.get("format-version").asInt == 3)
+    // next-row-id is the Delta row-id high-water mark + 1
+    val hwm = RowTracking.highWaterMark(snap.domainMetadata)
+    assert(hwm >= 2, s"row tracking must have assigned ids, hwm=$hwm")
+    assert(meta.get("next-row-id").asLong == hwm + 1)
+    val curId = meta.get("current-snapshot-id").asLong
+    val sn = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == curId).get
+    assert(sn.get("first-row-id") != null, sn.toString)
+
+    // every data entry's first_row_id IS the AddFile's baseRowId
+    val fridByPath = dataEntriesOf(dir).map { e =>
+      val d = e.get("data_file").asInstanceOf[GenericRecord]
+      d.get("file_path").toString -> d.get("first_row_id").asInstanceOf[Long]
+    }.toMap
+    snap.allFiles.foreach { a =>
+      val abs = FileNames.absolutePathString(log.dataPath, a.path)
+      assert(fridByPath.get(abs).contains(a.baseRowId.get),
+        s"first_row_id mismatch for $abs: ${fridByPath.get(abs)} vs ${a.baseRowId}")
+    }
+
+    // the delete side: one PUFFIN entry per DV'd file carrying the blob
+    // coordinates (143/144/145), record_count = cardinality
+    val delEntries = deleteEntriesOf(dir)
+    assert(delEntries.size == 1, delEntries.toString)
+    val de = delEntries.head.get("data_file").asInstanceOf[GenericRecord]
+    assert(de.get("file_format").toString == "PUFFIN")
+    val puffinPath = de.get("file_path").toString
+    assert(puffinPath.contains("/metadata/") && puffinPath.contains("__bucket="))
+    val refFile = de.get("referenced_data_file").toString
+    val blobOff = de.get("content_offset").asInstanceOf[Long]
+    val blobLen = de.get("content_size_in_bytes").asInstanceOf[Long]
+    val dvdFile = dvd.head
+    assert(refFile == FileNames.absolutePathString(log.dataPath, dvdFile.path))
+    assert(de.get("record_count").asInstanceOf[Long] ==
+      dvdFile.deletionVector.cardinality)
+
+    // the Puffin footer locates the same blob, and the blob bytes are a
+    // RAW COPY of the Delta DV payload framing (no decode happened)
+    val hconf = spark.sessionState.newHadoopConf()
+    val pPath = new org.apache.hadoop.fs.Path(puffinPath)
+    val locs = IcebergPuffin.readDvLocations(pPath, hconf)
+    assert(locs.map(l => (l.referencedDataFile, l.offset, l.length)) ==
+      Seq((refFile, blobOff, blobLen)))
+    assert(locs.head.cardinality == dvdFile.deletionVector.cardinality)
+    val blobBytes = {
+      val in = pPath.getFileSystem(hconf).open(pPath)
+      try {
+        val b = new Array[Byte](blobLen.toInt)
+        in.readFully(blobOff, b); b
+      } finally in.close()
+    }
+    val expected = IcebergPuffin.blobBodyOf(log.dataPath,
+      dvdFile.deletionVector, hconf)
+    assert(java.util.Arrays.equals(blobBytes, expected), "blob is not a raw copy")
+    // and it decodes to the DV's exact positions
+    val bm = IcebergPuffin.readDvBitmap(pPath, hconf, blobOff, blobLen)
+    assert(bm.cardinality == dvdFile.deletionVector.cardinality)
+    // physical record counts minus blob cardinalities = logical count
+    val physical = dataEntriesOf(dir).map(_.get("data_file")
+      .asInstanceOf[GenericRecord].get("record_count").asInstanceOf[Long]).sum
+    assert(physical - bm.cardinality == t.toDF.count())
+  }
+
+  test("format v3: appends reuse data manifests AND the Puffin delete set by reference") {
+    val dir = tmp()
+    val t = mkV3(dir)
+    t.write(df((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")),
+      partitionBy = Seq("part"))
+    t.delete(col("id") === 1L)
+    def manifestPaths(content: Int): Set[String] =
+      currentManifests(currentMeta(dir))
+        .filter(_.get("content").asInstanceOf[Int] == content)
+        .map(_.get("manifest_path").toString).toSet
+    val dataM1 = manifestPaths(0)
+    val delM1 = manifestPaths(1)
+    val delF1 = deleteEntriesOf(dir).map(_.get("data_file")
+      .asInstanceOf[GenericRecord].get("file_path").toString).toSet
+    assert(delM1.size == 1 && delF1.size == 1)
+    // an APPEND reuses every prior data manifest and the whole delete
+    // side (manifest + Puffin file) by identical path
+    t.write(df((4L, "d", "y")), partitionBy = Seq("part"))
+    val dataM2 = manifestPaths(0)
+    assert(dataM1.subsetOf(dataM2), s"$dataM1 vs $dataM2")
+    assert((dataM2 -- dataM1).nonEmpty, "append must add its own manifest")
+    assert(manifestPaths(1) == delM1)
+    assert(deleteEntriesOf(dir).map(_.get("data_file")
+      .asInstanceOf[GenericRecord].get("file_path").toString).toSet == delF1)
+    // a second DML re-buckets only what changed; content stays exact
+    t.delete(col("id") === 2L)
+    val delF3 = deleteEntriesOf(dir)
+    assert(delF3.nonEmpty)
+    val hconf = spark.sessionState.newHadoopConf()
+    val decoded = delF3.map { e =>
+      val d = e.get("data_file").asInstanceOf[GenericRecord]
+      IcebergPuffin.readDvBitmap(
+        new org.apache.hadoop.fs.Path(d.get("file_path").toString), hconf,
+        d.get("content_offset").asInstanceOf[Long],
+        d.get("content_size_in_bytes").asInstanceOf[Long]).cardinality
+    }.sum
+    assert(decoded == 2L, s"two deleted rows total, got $decoded")
+    assert(t.toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(3L, 4L))
+  }
+
+  test("format v3 flip from v2 rewrites the manifest set once, with lineage") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = df((0L, "x", "p")).schema.json,
+      partitionColumns = Seq("part"),
+      configuration = Map(
+        "delta.enableRowTracking" -> "true",
+        "delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(df((1L, "a", "x"), (2L, "b", "x")), partitionBy = Seq("part"))
+    val metaV2 = currentMeta(dir)
+    assert(metaV2.get("format-version").asInt == 2)
+    val dataM1 = currentManifests(metaV2)
+      .map(_.get("manifest_path").toString).toSet
+    // flip the format: the next generation must NOT reuse v2 manifests
+    // (they lack first_row_id), and everything comes out v3
+    val log = t.deltaLog
+    val txn2 = log.startTransaction()
+    val md = log.update().metadata
+    txn2.updateMetadata(md.copy(configuration =
+      md.configuration + ("graft.iceberg.formatVersion" -> "3")))
+    txn2.commit(Nil, Op.SetTableProperties)
+    val metaV3 = currentMeta(dir)
+    assert(metaV3.get("format-version").asInt == 3)
+    assert(metaV3.get("next-row-id").asLong >= 2)
+    val dataM2 = currentManifests(metaV3)
+      .map(_.get("manifest_path").toString).toSet
+    assert((dataM2 & dataM1).isEmpty,
+      s"v2 manifests must not be reused across the flip: $dataM2 vs $dataM1")
+    dataEntriesOf(dir).foreach { e =>
+      val d = e.get("data_file").asInstanceOf[GenericRecord]
+      assert(d.get("first_row_id") != null, s"missing first_row_id: $d")
+    }
+  }
+
+  test("format v3 requires row tracking — loud at the enablement commit") {
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    val ex = intercept[IllegalArgumentException] {
+      txn.updateMetadata(Metadata(
+        schemaString = df((0L, "x", "p")).schema.json,
+        configuration = Map(
+          "graft.iceberg.formatVersion" -> "3",
+          "delta.universalFormat.enabledFormats" -> "iceberg")))
+      txn.commit(Nil, Op.CreateTable)
+    }
+    assert(ex.getMessage.contains("enableRowTracking"), ex.getMessage)
+    val dir2 = tmp()
+    val t2 = DeltaTable.forPath(spark, dir2)
+    val txn2 = t2.deltaLog.startTransaction()
+    val ex2 = intercept[IllegalArgumentException] {
+      txn2.updateMetadata(Metadata(
+        schemaString = df((0L, "x", "p")).schema.json,
+        configuration = Map(
+          "graft.iceberg.formatVersion" -> "4",
+          "delta.universalFormat.enabledFormats" -> "iceberg")))
+      txn2.commit(Nil, Op.CreateTable)
+    }
+    assert(ex2.getMessage.contains("must be 2 or 3"), ex2.getMessage)
+  }
+
+  test("CONVERT FROM ICEBERG v3: zero-copy — descriptors point into the Puffin file") {
+    val dir = tmp()
+    val t = mkV3(dir)
+    t.write(df((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")),
+      partitionBy = Seq("part"))
+    t.delete(col("id") === 1L)
+    t.write(df((4L, "d", "y")), partitionBy = Seq("part"))
+    // drop the Delta identity; a pure v3 Iceberg table remains (the
+    // original table's own .bin payloads legitimately stay on disk —
+    // the zero-copy property is that convert writes NO NEW ones)
+    val logDir = new java.io.File(dir, "_delta_log")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(logDir)
+    def binFiles(): Set[String] = {
+      val d0 = new java.io.File(dir, "_deletion_vectors")
+      if (!d0.exists()) Set.empty else d0.listFiles().map(_.getName).toSet
+    }
+    val binsBefore = binFiles()
+    val t2 = DeltaTable.convertFromIceberg(spark, dir)
+    val snap = t2.deltaLog.update()
+    val dvd = snap.allFiles.filter(_.deletionVector != null)
+    assert(dvd.size == 1)
+    dvd.foreach { a =>
+      assert(a.deletionVector.storageType == "p",
+        s"zero-copy adoption must reference the blob in place: ${a.deletionVector}")
+      assert(a.deletionVector.pathOrInlineDv.endsWith(".puffin"))
+    }
+    // nothing was re-encoded
+    assert(binFiles() == binsBefore)
+    assert(t2.toDF.select("id", "v", "part").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      Set((2L, "b", "x"), (3L, "c", "y"), (4L, "d", "y")))
+  }
+
+  test("re-sync v3: DV changes re-attach zero-copy Puffin descriptors") {
+    val dir = tmp()
+    val t = mkV3(dir)
+    t.write(df((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")),
+      partitionBy = Seq("part")) // Iceberg snapshot 2 (create was 1)
+    t.delete(col("id") === 1L) // snapshot 3: DV appears
+    t.write(df((4L, "d", "y")), partitionBy = Seq("part")) // snapshot 4
+    val logDir = new java.io.File(dir, "_delta_log")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(logDir)
+    def binFiles(): Set[String] = {
+      val d0 = new java.io.File(dir, "_deletion_vectors")
+      if (!d0.exists()) Set.empty else d0.listFiles().map(_.getName).toSet
+    }
+    val binsBefore = binFiles()
+    // adopt the PRE-DELETE snapshot, then re-sync to current: the diff
+    // must attach the DV (zero-copy) and add the appended file
+    val t2 = DeltaTable.convertFromIceberg(spark, dir, asOfSnapshotId = Some(2L))
+    assert(t2.toDF.count() == 3)
+    assert(t2.deltaLog.update().allFiles.forall(_.deletionVector == null))
+    val t3 = DeltaTable.convertFromIceberg(spark, dir)
+    val snap = t3.deltaLog.update()
+    val dvd = snap.allFiles.filter(_.deletionVector != null)
+    assert(dvd.size == 1)
+    assert(dvd.head.deletionVector.storageType == "p" &&
+      dvd.head.deletionVector.pathOrInlineDv.endsWith(".puffin"),
+      dvd.head.deletionVector.toString)
+    // the re-sync decoded blobs read-only for the diff; nothing re-encoded
+    assert(binFiles() == binsBefore)
+    assert(t3.toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L, 4L))
+    // same-snapshot re-sync is a no-op
+    val v = t3.deltaLog.update().version
+    DeltaTable.convertFromIceberg(spark, dir)
+    assert(DeltaTable.forPath(spark, dir).deltaLog.update().version == v)
+  }
 }
