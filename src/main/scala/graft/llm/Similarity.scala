@@ -274,6 +274,33 @@ object Similarity {
   def compactIndex(s: SparkSession, dir: String): Long =
     graft.delta.DeltaTable.forPath(s, s"$dir/cells").compact()
 
+  /** Removal from the maintained index (the GDPR/right-to-be-forgotten
+    * path of a production vector store): a MERGE-ON-READ delete on the
+    * cells table — deletion vectors mask the rows in place, so the cell
+    * layout, the admitted files, and the probe's log-level pruning are
+    * all untouched (no rewrite, no re-clustering); probes, drift, and
+    * streams see the shrunken populations immediately through the
+    * descriptor-gated DV subtraction, and the next [[compactIndex]]
+    * materializes the removals. Scale shape: the delete is one
+    * distributed pass over only the cells whose files match the
+    * predicate; removal cost follows the REQUEST size, never the corpus.
+    */
+  def deleteFromIndex(s: SparkSession, dir: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    val t = graft.delta.DeltaTable.forPath(s, s"$dir/cells")
+    val md = t.deltaLog.update().metadata
+    // indexes built before this surface existed lack the DV property;
+    // stamp it so the delete stays merge-on-read instead of rewriting
+    // whole cell files
+    if (!md.configuration.get("delta.enableDeletionVectors").contains("true")) {
+      val txn = t.deltaLog.startTransaction()
+      txn.updateMetadata(md.copy(configuration = md.configuration +
+        ("delta.enableDeletionVectors" -> "true")))
+      txn.commit(Nil, graft.delta.Op.SetTableProperties)
+    }
+    t.delete(condition)
+  }
+
   /** The stored quantizer as a broadcastable relation (cell, c, c·c). */
   private def storedCentroids(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1555,6 +1582,68 @@ object Similarity {
       scored AS (SELECT q.q_id, c.vec_id AS c_id,
           ${duckDot("q.qe", "c.e")} / (q.qn * c.nrm) AS cosine
         FROM q JOIN aall c ON q.cell = c.cell AND c.vec_id != q.q_id)
+      SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, cosine FROM (
+        SELECT q_id, c_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        FROM scored)
+      WHERE rn <= $K ORDER BY q_id, rank""")),
+
+    // C69 -----------------------------------------------------------------
+    // INDEX DELETION — the GDPR path of the maintained index: removal
+    // requests become deletion vectors on the cell-partitioned corpus
+    // (merge-on-read: the in-query REQUIREs pin that no index file is
+    // rewritten or added and that descriptors appear), and the SAME
+    // probe as ann_index_admit then runs over the shrunken index — the
+    // DuckDB oracle recomputes top-k with the deleted vectors absent, so
+    // a stale row (DV not honored by the probe), an over-delete, or a
+    // rewrite that breaks cell pruning all hash-fail.
+    GQ("ann_index_delete", (s, d) => {
+      import s.implicits._
+      val v = normed(s, d).persist()
+      val b1 = v.filter(pmod($"vec_id", lit(2)) === 0)
+      val b2 = v.filter(pmod($"vec_id", lit(2)) === 1)
+      val dir = QueryDefs.scratchDir("graft-ann-deleted")
+      Similarity.buildIndex(s, b1.select($"vec_id", $"e", $"nrm"), dir.toString)
+      Similarity.admitBatch(s, b2.select($"vec_id", $"e", $"nrm"), dir.toString)
+      v.unpersist()
+      val cellsLog = graft.delta.DeltaTable
+        .forPath(s, s"${dir.toString}/cells").deltaLog
+      val beforePaths = cellsLog.update().allFiles.map(_.path).toSet
+      Similarity.deleteFromIndex(s, dir.toString,
+        pmod(col("vec_id"), lit(7)) === 3)
+      val after = cellsLog.update().allFiles
+      require(after.map(_.path).toSet.subsetOf(beforePaths),
+        "index deletion must not rewrite files (merge-on-read contract)")
+      require(after.exists(_.deletionVector != null),
+        "index deletion must attach deletion vectors")
+      val index = Similarity.readIndex(s, dir.toString)
+      val q = index.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"), $"cell")
+      val probed = q.select($"cell").distinct().as[Int].collect().toSeq.sorted
+      val c = index.where($"cell".isInCollection(probed))
+        .select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"), $"cell")
+      val res = c.join(broadcast(q), Seq("cell")).filter($"c_id" =!= $"q_id")
+        .withColumn("cosine", dotD($"qe", $"ce") / ($"qn" * $"cn"))
+        .groupBy($"q_id")
+        .agg(graft.functions.TopKExpressions.topKByScore($"cosine", $"c_id", K).as("top"))
+        .select($"q_id", posexplode($"top"))
+        .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+          $"col.id".as("c_id"), $"col.score".as("cosine"))
+        .orderBy($"q_id", $"rank")
+        .transform(stableCheckpoint)
+      deleteTree(dir)
+      res
+    }, Some(s"""
+      WITH n AS ($duckNormed),
+      n1 AS (SELECT vec_id, e, nrm FROM n WHERE vec_id % 2 = 0),
+      ${trainedOn("n1")},
+      aall AS (${assignSql("c2", "n")}),
+      live AS (SELECT * FROM aall WHERE vec_id % 7 <> 3),
+      q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell
+            FROM live WHERE vec_id < $NumQueries),
+      scored AS (SELECT q.q_id, c.vec_id AS c_id,
+          ${duckDot("q.qe", "c.e")} / (q.qn * c.nrm) AS cosine
+        FROM q JOIN live c ON q.cell = c.cell AND c.vec_id != q.q_id)
       SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, cosine FROM (
         SELECT q_id, c_id, cosine,
           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn

@@ -181,6 +181,43 @@ class CellIndexedLayoutSuite extends AnyFunSuite {
     assert(n == 150L, n.toString)
   }
 
+  test("deleteFromIndex: merge-on-read removal — no rewrite, probes exclude, compaction drains") {
+    import spark.implicits._
+    val dir = tmp()
+    Similarity.buildIndex(spark, vecs(0 until 60), dir)
+    Similarity.admitBatch(spark, vecs(60 until 90), dir)
+    val cells = DeltaTable.forPath(spark, s"$dir/cells")
+    val before = cells.deltaLog.update().allFiles.map(_.path).toSet
+    assert(Similarity.readIndex(spark, dir).count() == 90L)
+    Similarity.deleteFromIndex(spark, dir, pmod(col("vec_id"), lit(6)) === 0)
+    val snap = cells.deltaLog.update()
+    // merge-on-read: no file rewritten or added — DVs mask in place
+    // (a file whose every row died may drop; none may appear)
+    assert(snap.allFiles.map(_.path).toSet.subsetOf(before))
+    assert(snap.allFiles.exists(_.deletionVector != null),
+      "deletion must attach descriptors, not rewrite")
+    val index = Similarity.readIndex(spark, dir)
+    assert(index.where(pmod(col("vec_id"), lit(6)) === 0).count() == 0)
+    assert(index.count() == 75L)
+    // drift sees the shrunken populations immediately (no stale rows)
+    val n = Similarity.centroidDrift(spark, dir)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(n == 75L, n.toString)
+    // a probe still opens only the probed cell's files
+    val probedCell = index.select("cell").distinct().as[Int].collect().min
+    val opened = index.where(col("cell") === probedCell)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(opened.nonEmpty && opened.forall(_.contains(s"cell=$probedCell")),
+      opened.mkString(", "))
+    // compaction materializes the removals: descriptors drain, content
+    // identical
+    Similarity.compactIndex(spark, dir)
+    val snap2 = cells.deltaLog.update()
+    assert(snap2.allFiles.forall(_.deletionVector == null),
+      "compaction must purge the deletion vectors")
+    assert(Similarity.readIndex(spark, dir).count() == 75L)
+  }
+
   test("an unfiltered read still sees the whole corpus (layout is lossless)") {
     val (dir, _) = mkIndex()
     import spark.implicits._
