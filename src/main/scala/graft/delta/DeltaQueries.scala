@@ -1605,6 +1605,160 @@ object DeltaQueries {
       FROM orders WHERE o_orderkey % 10 <> 7
       GROUP BY 1 ORDER BY 1""")),
 
+    // v3 ROW-LINEAGE IMPORT (A86): adopting a format-v3 Iceberg table
+    // carries its row lineage INTO Delta row tracking — every data
+    // file's explicit first_row_id becomes the AddFile's baseRowId and
+    // the metadata's next-row-id seeds the high-water mark, so rows keep
+    // their ids across the full migration round trip (Delta -> pure
+    // Iceberg -> Delta) and post-convert DML assigns above the imported
+    // mark instead of colliding from 0. The fixture writes three SORTED
+    // single-file commits (ids deterministic: 0..nA-1, nA.., ..), DV-
+    // deletes a stripe (masked rows keep neighbors' ids stable), drops
+    // the _delta_log, and adopts back; the query reads (key, row_id,
+    // row_commit_version) through toDFWithRowIds. The oracle recomputes
+    // each batch's id range with row_number() — a shifted id, a lost
+    // mask, or a re-assigned file breaks the hash.
+    GQ("delta_convert_lineage", (s, d) => {
+      import s.implicits._
+      val dir = fixture(s, d, "convert-lineage") { dir =>
+        val t = DeltaTable.forPath(s, dir)
+        val orders = table(s, d, "orders")
+        val txn = t.deltaLog.startTransaction()
+        txn.updateMetadata(Metadata(
+          schemaString = orders.schema.json,
+          configuration = Map(
+            "delta.universalFormat.enabledFormats" -> "iceberg",
+            "graft.iceberg.formatVersion" -> "3",
+            "delta.enableRowTracking" -> "true",
+            "delta.enableDeletionVectors" -> "true")))
+        txn.commit(Nil, Op.CreateTable)
+        // sorted single-file commits: fresh ids follow the sort order
+        t.write(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+          .orderBy(col("o_orderkey")).coalesce(1))
+        t.write(orders.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+          .orderBy(col("o_orderkey")).coalesce(1))
+        t.delete(pmod(col("o_orderkey"), lit(10)) === 3) // DVs mask A+B rows
+        t.write(orders.filter(pmod(col("o_orderkey"), lit(3)) === 2)
+          .orderBy(col("o_orderkey")).coalesce(1))
+        val totalRows = orders.count()
+        // drop the Delta identity; a pure v3 Iceberg table remains
+        val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+        val fsys = logDir.getFileSystem(s.sessionState.newHadoopConf())
+        fsys.delete(logDir, true)
+        val adopted = DeltaTable.convertFromIceberg(s, dir)
+        val snap = adopted.deltaLog.update()
+        val noBase = snap.allFiles.filter(_.baseRowId.isEmpty)
+        require(noBase.isEmpty,
+          s"v3 adoption must import row lineage; files without baseRowId: $noBase")
+        val hwm = RowTracking.highWaterMark(snap.domainMetadata)
+        require(hwm == totalRows - 1,
+          s"imported high-water mark $hwm != ${totalRows - 1} (next-row-id - 1)")
+        require(snap.allFiles.forall(a => a.deletionVector == null ||
+          a.deletionVector.storageType == "p"),
+          "lineage import must compose with the zero-copy DV adoption")
+      }
+      DeltaTable.forPath(s, dir).toDFWithRowIds
+        .select($"o_orderkey", $"row_id", $"row_commit_version")
+        .orderBy($"row_id")
+    }, Some("""
+      WITH a AS (
+        SELECT o_orderkey,
+               CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS row_id
+        FROM orders WHERE o_orderkey % 3 = 0),
+      b AS (
+        SELECT o_orderkey,
+               (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0)
+                 + CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS row_id
+        FROM orders WHERE o_orderkey % 3 = 1),
+      c AS (
+        SELECT o_orderkey,
+               (SELECT count(*) FROM orders WHERE o_orderkey % 3 IN (0, 1))
+                 + CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS row_id
+        FROM orders WHERE o_orderkey % 3 = 2)
+      SELECT o_orderkey, row_id, CAST(0 AS BIGINT) AS row_commit_version
+      FROM (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c)
+      WHERE NOT (o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 3)
+      ORDER BY row_id""")),
+
+    // OUT-OF-PLACE MIRROR (A85/A86): `mirrorFromIceberg` adopts a pure
+    // Iceberg table into a SEPARATE target directory — AddFiles
+    // reference the source parquet by absolute URI, deletion vectors
+    // stay zero-copy references into the source's Puffin files, and NOT
+    // A SINGLE BYTE is written under the source (REQUIREd on the exact
+    // recursive (path, length) listing) — the shape that makes mirroring
+    // a LIVE Flink-owned table safe, where the in-place form would drop
+    // _delta_log into the foreign writer's directory. The fixture
+    // mirrors an OLDER snapshot first, then re-syncs from the
+    // REMEMBERED source (no source argument), so the diff leg is under
+    // the hash gate too; the oracle recomputes the mirrored state.
+    GQ("delta_convert_mirror", (s, d) => {
+      import s.implicits._
+      val dir = fixture(s, d, "convert-mirror") { dir =>
+        val src = s"$dir/src"
+        val tgt = s"$dir/tgt"
+        val t = DeltaTable.forPath(s, src)
+        val orders = table(s, d, "orders")
+        val txn = t.deltaLog.startTransaction()
+        txn.updateMetadata(Metadata(
+          schemaString = orders.schema.json,
+          configuration = Map(
+            "delta.universalFormat.enabledFormats" -> "iceberg",
+            "graft.iceberg.formatVersion" -> "3",
+            "delta.enableRowTracking" -> "true",
+            "delta.enableDeletionVectors" -> "true")))
+        txn.commit(Nil, Op.CreateTable)                       // snapshot 1
+        t.write(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+          .orderBy(col("o_orderkey")).coalesce(1))            // snapshot 2
+        t.write(orders.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+          .orderBy(col("o_orderkey")).coalesce(1))            // snapshot 3
+        t.delete(pmod(col("o_orderkey"), lit(10)) === 3)      // snapshot 4: DVs
+        t.write(orders.filter(pmod(col("o_orderkey"), lit(3)) === 2)
+          .orderBy(col("o_orderkey")).coalesce(1))            // snapshot 5
+        val hconf = s.sessionState.newHadoopConf()
+        val srcPath = new org.apache.hadoop.fs.Path(src)
+        val fsys = srcPath.getFileSystem(hconf)
+        fsys.delete(new org.apache.hadoop.fs.Path(src, "_delta_log"), true)
+        def listing(): Set[(String, Long)] = {
+          val it = fsys.listFiles(srcPath, true)
+          val b = Set.newBuilder[(String, Long)]
+          while (it.hasNext) {
+            val f = it.next(); b += ((f.getPath.toString, f.getLen))
+          }
+          b.result()
+        }
+        val before = listing()
+        // mirror the PRE-DELETE snapshot, then re-sync from the
+        // remembered source — the diff (DV attach + new file) is
+        // out-of-place too
+        DeltaTable.mirrorFromIceberg(s, src, tgt, asOfSnapshotId = Some(3L))
+        val synced = DeltaTable.convertFromIceberg(s, tgt)
+        require(listing() == before,
+          "mirror adoption must not write a byte under the source")
+        val snap = synced.deltaLog.update()
+        require(snap.allFiles.forall(a =>
+          (a.path.startsWith("/") || a.path.startsWith("file:")) &&
+            a.path.contains("/src/")),
+          "mirror AddFiles must reference the source by absolute path")
+        require(snap.allFiles.filter(_.deletionVector != null).nonEmpty &&
+          snap.allFiles.forall(a => a.deletionVector == null ||
+            (a.deletionVector.storageType == "p" &&
+              a.deletionVector.pathOrInlineDv.contains("/src/"))),
+          "mirror DVs must be zero-copy references into the source")
+        require(snap.allFiles.forall(_.baseRowId.isDefined),
+          "mirror must import v3 row lineage")
+      }
+      DeltaTable.forPath(s, s"$dir/tgt").toDF
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").as("sum_okey"))
+        .orderBy($"o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey
+      FROM orders
+      WHERE NOT (o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 3)
+      GROUP BY 1 ORDER BY 1""")),
+
     // CONVERT FROM ICEBERG (A85, r17): the full migration round trip —
     // a UniForm table (with merge-on-read DVs) loses its _delta_log,
     // leaving a pure Iceberg table (parquet + metadata/), and

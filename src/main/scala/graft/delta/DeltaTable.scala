@@ -2620,6 +2620,28 @@ object DeltaTable {
     new DeltaTable(spark, log)
   }
 
+  /** OUT-OF-PLACE adoption of an Iceberg table (the shallow-clone face
+    * of [[convertFromIceberg]]): the graft-Delta log is created at
+    * `targetPath`, every AddFile references the SOURCE parquet by
+    * absolute URI, decoded deletion vectors land under the target, and
+    * not a single byte is written under `sourcePath` — safe to point at
+    * a LIVE Flink/Trino-owned table, where the in-place form would drop
+    * `_delta_log` into a directory the foreign writer believes it owns.
+    * Re-invoking on the target RE-SYNCS against the remembered source
+    * (O(changed files) diff commit, same semantics as the in-place
+    * sync); v3 row lineage and zero-copy Puffin DV references import
+    * exactly as in place. VACUUM on the mirror never touches source
+    * data (outside-root tombstones are skipped by contract).
+    */
+  def mirrorFromIceberg(spark: SparkSession, sourcePath: String,
+      targetPath: String, asOfSnapshotId: Option[Long] = None): DeltaTable = {
+    DeltaLog.invalidateCache(spark, targetPath)
+    val log = DeltaLog.forTable(spark, targetPath)
+    IcebergMetadata.convertFrom(spark, log, asOfSnapshotId,
+      source = Some(new org.apache.hadoop.fs.Path(sourcePath)))
+    new DeltaTable(spark, log)
+  }
+
   def convertToDelta(spark: SparkSession, path: String): DeltaTable = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val log = DeltaLog.forTable(spark, path)

@@ -1708,8 +1708,26 @@ object IcebergMetadata {
     */
   private[delta] val SyncMarkerKey = "graft.convert.icebergSnapshotId"
 
+  /** Table-config key remembering the SOURCE root of an out-of-place
+    * mirror (`mirrorFromIceberg`): the Delta log lives at the target,
+    * every data/delete byte stays under the foreign source. Re-sync
+    * reads the source from here, so the caller never re-supplies it.
+    */
+  private[delta] val SourceMarkerKey = "graft.convert.icebergSource"
+
+  /** `source`: when set (and different from `log.dataPath`), adopt
+    * OUT-OF-PLACE — a mirror: the Iceberg metadata is read from
+    * `source`, every AddFile records the source parquet by absolute URI
+    * (the shallow-clone convention `underTableRoot` exists for), decoded
+    * deletion vectors land under the TARGET, and not a single byte is
+    * written under the source — the property that makes mirroring a
+    * LIVE Flink-owned table safe, where the in-place form would drop
+    * `_delta_log`/`_deletion_vectors` into a directory the foreign
+    * writer believes it owns.
+    */
   def convertFrom(spark: SparkSession, log: DeltaLog,
-      asOfSnapshotId: Option[Long] = None): Long = {
+      asOfSnapshotId: Option[Long] = None,
+      source: Option[Path] = None): Long = {
     // RE-SYNC mode (incremental): an already-adopted table (it carries
     // the SyncMarkerKey) re-reads the Iceberg metadata and commits ONLY
     // the diff — new files as adds, vanished files as removes, changed
@@ -1728,11 +1746,33 @@ object IcebergMetadata {
         Some(s)
       }
     val hconfRaw = spark.sessionState.newHadoopConf()
-    val dir = metadataDir(log)
+    // source root: an out-of-place mirror reads the Iceberg metadata
+    // from the foreign source (remembered in the table config on
+    // re-sync, so a sync call never has to re-supply it); otherwise the
+    // classic in-place adoption reads it from under the table itself
+    val srcRoot: Path = existingSnap
+      .flatMap(_.metadata.configuration.get(SourceMarkerKey))
+      .map { persisted =>
+        source.foreach(p => require(
+          p.getFileSystem(hconfRaw).makeQualified(p).toString == persisted,
+          s"mirror source mismatch: table was mirrored from $persisted, " +
+            s"re-sync supplied $p"))
+        new Path(persisted)
+      }
+      .orElse(source)
+      .getOrElse(log.dataPath)
+    val isMirror =
+      srcRoot.getFileSystem(hconfRaw).makeQualified(srcRoot).toString !=
+        log.dataPath.getFileSystem(hconfRaw).makeQualified(log.dataPath).toString
+    require(!(isMirror && existingSnap.exists(
+      !_.metadata.configuration.contains(SourceMarkerKey))),
+      s"${log.dataPath} was adopted IN PLACE; re-syncing it from a " +
+        s"different source ($srcRoot) would silently retarget the mirror")
+    val dir = new Path(srcRoot, "metadata")
     val fs = dir.getFileSystem(hconfRaw)
     val hintPath = new Path(dir, "version-hint.text")
     require(fs.exists(hintPath),
-      s"no Iceberg table at ${log.dataPath} (missing metadata/version-hint.text)")
+      s"no Iceberg table at $srcRoot (missing metadata/version-hint.text)")
     val hint = new String(readAll(fs, hintPath), StandardCharsets.UTF_8).trim.toLong
     val meta = mapper.readTree(readAll(fs, new Path(dir, s"v$hint.metadata.json")))
     val fv = meta.get("format-version").asInt
@@ -1931,7 +1971,7 @@ object IcebergMetadata {
     // the threshold), so a 10^7-file adoption never materializes
     // O(#files) stats JSON on the driver.
     val dataManifests = manifests.collect { case (p, 0, sid, sq) => (p, sid, sq) }
-    val fileRows: org.apache.spark.rdd.RDD[(String, Map[String, String], Long, Long, String, Long)] =
+    val fileRows: org.apache.spark.rdd.RDD[(String, Map[String, String], Long, Long, String, Long, Option[Long])] =
       spark.sparkContext
         .parallelize(dataManifests, math.max(1, dataManifests.size))
         .flatMap { case (p, manSpecId, listSeq) =>
@@ -2038,13 +2078,45 @@ object IcebergMetadata {
                 df.get("record_count").asInstanceOf[Long],
                 statsMapper.writeValueAsString(st),
                 Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
-                  .getOrElse(listSeq)))
+                  .getOrElse(listSeq),
+                // v3 row lineage: the file's explicit first_row_id (null
+                // on v1/v2 manifests, or when the writer relied on
+                // inherited assignment)
+                (if (df.getSchema.getField("first_row_id") == null) None
+                 else Option(df.get("first_row_id"))
+                   .map(_.asInstanceOf[Long]))))
             }
           }.toList
           finally r.close()
         }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fileCount = fileRows.count()
     require(fileCount > 0, s"Iceberg snapshot $curId lists no data files")
+
+    // ---- Iceberg v3 row lineage -> Delta row tracking (the inverse of
+    // generate()'s export): every data file's EXPLICIT first_row_id
+    // becomes its AddFile baseRowId, and the metadata's next-row-id
+    // seeds the row-id high-water mark — adopted rows keep their ids
+    // across the migration, and post-convert DML assigns fresh ids
+    // ABOVE the imported mark instead of colliding from 0. A file with
+    // a null first_row_id would need the spec's inherited assignment
+    // (manifest-list accumulation, which no writer in scope emits) —
+    // fall back loudly to fresh assignment rather than guess. Re-sync
+    // imports lineage only onto a table that was lineage-adopted
+    // (row tracking already enabled); enabling it mid-mirror would
+    // leave the pre-existing files without ids.
+    val nextRowIdMeta: Option[Long] =
+      Option(meta.get("next-row-id")).filterNot(_.isNull).map(_.asLong)
+    val lineageImport: Boolean = fv >= 3 && nextRowIdMeta.isDefined && {
+      val missing = fileRows.filter(_._7.isEmpty).count()
+      if (missing > 0) System.err.println(
+        s"WARN graft: $missing v3 data file(s) lack an explicit " +
+          "first_row_id (inherited assignment); adopting WITHOUT " +
+          "row-lineage import — row tracking would assign fresh ids")
+      missing == 0
+    } && (existingSnap match {
+      case Some(s) => RowTracking.enabled(s.metadata)
+      case None => true
+    })
 
     // ---- deletes -> deletion vectors. POSITION deletes are the exact
     // inverse of generate()'s export: (file_path, pos) rows straight
@@ -2278,8 +2350,9 @@ object IcebergMetadata {
     val rootUriPath = qualifiedRoot.toUri.getPath
     val dvB = spark.sparkContext.broadcast(dvByFp)
     val nowForAdds = now
+    val lineageForAdds = lineageImport
     val addsDS = spark.createDataset(fileRows)
-      .map { case (abs, pvs, size, _, stats, _) =>
+      .map { case (abs, pvs, size, _, stats, _, frid) =>
         val root = new Path(rootStrForAdds)
         val rel = FileNames.underTableRoot(root, abs)
           .filter(_ != rootUriPath)
@@ -2292,8 +2365,17 @@ object IcebergMetadata {
           modificationTime = nowForAdds,
           dataChange = true,
           stats = stats,
-          deletionVector = dv)
+          deletionVector = dv,
+          // v3 lineage: the Iceberg first_row_id IS the baseRowId; the
+          // commit stamps defaultRowCommitVersion per attempt
+          baseRowId = if (lineageForAdds) frid else None)
       }
+    // the imported high-water mark: rows keep their ids, and the NEXT
+    // fresh assignment starts where the Iceberg writer would have
+    val lineageDomain: Seq[Action] =
+      if (!lineageImport) Nil
+      else Seq(DomainMetadata(RowTracking.Domain,
+        RowTracking.configJson(nextRowIdMeta.get - 1)))
 
     val committed = existingSnap match {
       case None =>
@@ -2306,11 +2388,16 @@ object IcebergMetadata {
         // (readers honor attached DVs regardless — descriptor-gated).
         val baseConfig = baseConfig0 ++
           Map(SyncMarkerKey -> curId.toString) ++
+          (if (isMirror) Map(SourceMarkerKey ->
+            fs.makeQualified(srcRoot).toString)
+           else Map.empty) ++
           (if (dvByFp.nonEmpty) Map(
             "delta.enableDeletionVectors" -> "true",
             "delta.feature.deletionVectors" -> "supported")
            else Map.empty) ++
           (if (needsMapping) Map("delta.feature.columnMapping" -> "supported")
+           else Map.empty) ++
+          (if (lineageImport) Map("delta.enableRowTracking" -> "true")
            else Map.empty)
         val txn = log.startTransaction()
         txn.updateMetadata(graft.delta.Metadata(
@@ -2330,10 +2417,11 @@ object IcebergMetadata {
           "spark.graft.convert.streamCommitThreshold", "50000").toLong
         if (fileCount > streamThreshold)
           txn.commitLarge(
-            addsDS.toLocalIterator().asScala.map(a => a: Action),
+            addsDS.toLocalIterator().asScala.map(a => a: Action) ++
+              lineageDomain.iterator,
             Op.Convert, operationParameters = opParams + ("streamed" -> "true"))
         else
-          txn.commit(addsDS.collect().toSeq, Op.Convert,
+          txn.commit(addsDS.collect().toSeq ++ lineageDomain, Op.Convert,
             operationParameters = opParams)
 
       case Some(s) =>
@@ -2385,10 +2473,10 @@ object IcebergMetadata {
           .map(a => (FileNames.absolutePathString(new Path(rootForKey), a.path), a))
           .toDF("fp", "add")
         val iceDF = spark.createDataset(fileRows)
-          .toDF("fp", "pvs", "size", "rc", "stats", "seq")
+          .toDF("fp", "pvs", "size", "rc", "stats", "seq", "frid")
         val newFilesDS = iceDF.join(deltaState, Seq("fp"), "left_anti")
-          .select(col("fp"), col("pvs"), col("size"), col("stats"))
-          .as[(String, Map[String, String], Long, String)]
+          .select(col("fp"), col("pvs"), col("size"), col("stats"), col("frid"))
+          .as[(String, Map[String, String], Long, String, Option[Long])]
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val goneDS = deltaState.join(iceDF, Seq("fp"), "left_anti")
           .select(col("add.*")).as[AddFile]
@@ -2412,8 +2500,13 @@ object IcebergMetadata {
         }
         val (nNew, nGone, nChanged) =
           (newFilesDS.count(), goneDS.count(), commonChangedDS.count())
+        // `base`/`dcv`: a NEW foreign file carries its Iceberg
+        // first_row_id (version stamped at commit); a DV-changed re-add
+        // PRESERVES the existing file's identity — the rows are
+        // unchanged, only the mask moved
         def mkAdd(abs: String, pvs: Map[String, String], size: Long,
-            stats: String): AddFile = {
+            stats: String, base: Option[Long],
+            dcv: Option[Long]): AddFile = {
           val root = new Path(rootStrForAdds)
           val rel = FileNames.underTableRoot(root, abs)
             .filter(_ != rootUriPath)
@@ -2423,7 +2516,8 @@ object IcebergMetadata {
             partitionValues = pvs, size = size, modificationTime = now,
             dataChange = dataChg, stats = stats,
             deletionVector = dvByFp
-              .get(abs.replaceFirst("^file:/+", "/")).orNull)
+              .get(abs.replaceFirst("^file:/+", "/")).orNull,
+            baseRowId = base, defaultRowCommitVersion = dcv)
         }
         def mkRemove(a: AddFile): RemoveFile =
           RemoveFile(a.path, Some(now), dataChange = dataChg,
@@ -2448,6 +2542,22 @@ object IcebergMetadata {
         // a time, never O(changed files) of action objects on the driver
         val syncStreamThreshold = spark.conf.get(
           "spark.graft.convert.streamCommitThreshold", "50000").toLong
+        // lineage: advance the high-water mark to the snapshot's
+        // next-row-id (never backwards — Iceberg's assignment is
+        // monotonic, but a foreign writer that lost ids must not lower
+        // the local mark)
+        val syncLineageDomain: Seq[Action] =
+          if (!lineageImport) Nil
+          else {
+            val hwm0 = RowTracking.highWaterMark(s.domainMetadata)
+            val newHwm = math.max(hwm0, nextRowIdMeta.get - 1)
+            if (newHwm > hwm0)
+              Seq(DomainMetadata(RowTracking.Domain,
+                RowTracking.configJson(newHwm)))
+            else Nil
+          }
+        val newFileBase: Option[Long] => Option[Long] =
+          frid => if (lineageImport) frid else None
         val v =
           if (nNew + nGone + 2 * nChanged > syncStreamThreshold) {
             val it: Iterator[Action] =
@@ -2455,12 +2565,14 @@ object IcebergMetadata {
                 commonChangedDS.toLocalIterator().asScala.flatMap {
                   case (a, abs, pvs, size, stats) =>
                     Iterator(mkRemove(a): Action,
-                      mkAdd(abs, pvs, size, stats): Action)
+                      mkAdd(abs, pvs, size, stats, a.baseRowId,
+                        a.defaultRowCommitVersion): Action)
                 } ++
                 newFilesDS.toLocalIterator().asScala.map {
-                  case (abs, pvs, size, stats) =>
-                    mkAdd(abs, pvs, size, stats): Action
-                }
+                  case (abs, pvs, size, stats, frid) =>
+                    mkAdd(abs, pvs, size, stats, newFileBase(frid),
+                      None): Action
+                } ++ syncLineageDomain.iterator
             txn.commitLarge(it, Op.Convert,
               operationParameters = syncParams + ("streamed" -> "true"))
           } else {
@@ -2468,10 +2580,14 @@ object IcebergMetadata {
               (goneDS.collect().toSeq ++ commonChangedDS.collect().map(_._1))
                 .map(mkRemove)
             val addsOut: Seq[Action] =
-              (newFilesDS.collect().toSeq ++
-                commonChangedDS.collect().map(r => (r._2, r._3, r._4, r._5))).map {
-                case (abs, pvs, size, stats) => mkAdd(abs, pvs, size, stats) }
-            txn.commit(removes ++ addsOut, Op.Convert,
+              commonChangedDS.collect().map { case (a, abs, pvs, size, stats) =>
+                mkAdd(abs, pvs, size, stats, a.baseRowId,
+                  a.defaultRowCommitVersion): Action
+              }.toSeq ++
+                newFilesDS.collect().map { case (abs, pvs, size, stats, frid) =>
+                  mkAdd(abs, pvs, size, stats, newFileBase(frid), None): Action
+                }
+            txn.commit(removes ++ addsOut ++ syncLineageDomain, Op.Convert,
               operationParameters = syncParams)
           }
         newFilesDS.unpersist()

@@ -266,7 +266,7 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     // so assignment is per-attempt like the ICT; each winning commit's
     // mark is read once and memoized.
     val needsRowIds = rtEnabled && finalActions.exists {
-      case a: AddFile => a.baseRowId.isEmpty
+      case a: AddFile => a.baseRowId.isEmpty || a.defaultRowCommitVersion.isEmpty
       case _ => false
     }
     val winnerHwm = mutable.Map.empty[Long, Long]
@@ -387,6 +387,9 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
           val b = a.copy(baseRowId = Some(nextRowId),
             defaultRowCommitVersion = Some(attempt))
           nextRowId += n; assignedRowIds = true; b
+        // imported id (CONVERT FROM ICEBERG v3): keep it, stamp the version
+        case a: AddFile if a.defaultRowCommitVersion.isEmpty =>
+          a.copy(defaultRowCommitVersion = Some(attempt))
         case a => a
       }
     val domainTail: Iterator[Action] = new Iterator[Action] {

@@ -2335,4 +2335,161 @@ class IcebergUniformSuite extends AnyFunSuite {
     DeltaTable.convertFromIceberg(spark, dir)
     assert(DeltaTable.forPath(spark, dir).deltaLog.update().version == v)
   }
+
+  test("CONVERT FROM ICEBERG v3 imports row lineage; DML continues above the mark") {
+    val dir = tmp()
+    val t = mkV3(dir)
+    t.write(df((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")),
+      partitionBy = Seq("part"))
+    t.delete(col("id") === 1L)
+    t.write(df((4L, "d", "y")), partitionBy = Seq("part"))
+    val orig = t.deltaLog.update()
+    def leaf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val origIds: Map[String, Long] =
+      orig.allFiles.map(a => leaf(a.path) -> a.baseRowId.get).toMap
+    val origHwm = RowTracking.highWaterMark(orig.domainMetadata)
+    val origRows = t.toDFWithRowIds.select("id", "row_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val logDir = new java.io.File(dir, "_delta_log")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(logDir)
+    val t2 = DeltaTable.convertFromIceberg(spark, dir)
+    val snap = t2.deltaLog.update()
+    // adoption enabled row tracking and preserved every file's identity
+    assert(RowTracking.enabled(snap.metadata))
+    assert(snap.allFiles.map(a => leaf(a.path) -> a.baseRowId.get).toMap
+      == origIds)
+    assert(snap.allFiles.forall(_.defaultRowCommitVersion.contains(0L)),
+      "adopted files get the convert commit's version stamped")
+    assert(RowTracking.highWaterMark(snap.domainMetadata) == origHwm,
+      "high-water mark must seed from the metadata's next-row-id")
+    // row ids are the SAME rows the original table served (DV mask intact)
+    assert(t2.toDFWithRowIds.select("id", "row_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == origRows)
+    // post-convert DML assigns ABOVE the imported mark — the collision
+    // the explicit domain-metadata import exists to prevent
+    t2.write(df((5L, "e", "x")), partitionBy = Seq("part"))
+    val after = t2.deltaLog.update()
+    val fresh = after.allFiles.filter(a => !origIds.contains(leaf(a.path)))
+    assert(fresh.size == 1 && fresh.head.baseRowId.exists(_ > origHwm),
+      s"fresh ids must start above $origHwm: ${fresh.map(_.baseRowId)}")
+  }
+
+  test("re-sync v3 carries foreign row lineage; changed files keep their ids") {
+    val dir = tmp()
+    val t = mkV3(dir)
+    t.write(df((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")),
+      partitionBy = Seq("part")) // Iceberg snapshot 2
+    t.delete(col("id") === 1L) // snapshot 3: DV on x's file
+    t.write(df((4L, "d", "y")), partitionBy = Seq("part")) // snapshot 4
+    val logDir = new java.io.File(dir, "_delta_log")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(logDir)
+    def leaf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    // the foreign truth: first_row_id per live data file at the current
+    // snapshot, and next-row-id from the metadata
+    val fridByLeaf: Map[String, Long] = dataEntriesOf(dir).map { e =>
+      val d0 = e.get("data_file").asInstanceOf[GenericRecord]
+      leaf(d0.get("file_path").toString) ->
+        d0.get("first_row_id").asInstanceOf[Long]
+    }.toMap
+    val nextRowId = currentMeta(dir).get("next-row-id").asLong
+    val t2 = DeltaTable.convertFromIceberg(spark, dir, asOfSnapshotId = Some(2L))
+    val idsAt2: Map[String, Long] = t2.deltaLog.update().allFiles
+      .map(a => leaf(a.path) -> a.baseRowId.get).toMap
+    val t3 = DeltaTable.convertFromIceberg(spark, dir) // re-sync to current
+    val snap = t3.deltaLog.update()
+    val idsNow = snap.allFiles.map(a => leaf(a.path) -> a.baseRowId.get).toMap
+    // every file matches the Iceberg manifests' lineage — the DV-changed
+    // re-add preserved its id, the new foreign file imported its own
+    assert(idsNow == fridByLeaf, s"$idsNow vs $fridByLeaf")
+    idsAt2.foreach { case (l, id) =>
+      assert(idsNow.get(l).contains(id), s"file $l changed id across re-sync")
+    }
+    assert(RowTracking.highWaterMark(snap.domainMetadata) == nextRowId - 1)
+  }
+
+  test("mirrorFromIceberg: out-of-place, source untouched, re-sync remembers the source") {
+    val src = tmp()
+    val tgt = tmp()
+    val t = mkV3(src)
+    t.write(df((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")),
+      partitionBy = Seq("part")) // Iceberg snapshot 2
+    t.delete(col("id") === 1L) // snapshot 3: DV
+    t.write(df((4L, "d", "y")), partitionBy = Seq("part")) // snapshot 4
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(src, "_delta_log"))
+    def listing(): Set[(String, Long)] = {
+      def walk(f: java.io.File): Seq[(String, Long)] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq((f.getPath, f.length()))
+      walk(new java.io.File(src)).toSet
+    }
+    val before = listing()
+    // mirror the pre-delete snapshot into a SEPARATE directory
+    val m = DeltaTable.mirrorFromIceberg(spark, src, tgt,
+      asOfSnapshotId = Some(2L))
+    assert(m.toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    val snap0 = m.deltaLog.update()
+    assert(snap0.allFiles.forall(a =>
+      (a.path.startsWith("/") || a.path.startsWith("file:")) &&
+        a.path.contains(src)),
+      s"mirror AddFiles must be absolute paths into the source: " +
+        snap0.allFiles.map(_.path))
+    assert(snap0.allFiles.forall(_.baseRowId.isDefined),
+      "v3 lineage imports out-of-place too")
+    // re-sync WITHOUT re-supplying the source — remembered in config
+    val m2 = DeltaTable.convertFromIceberg(spark, tgt)
+    assert(m2.toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L, 4L))
+    val snap = m2.deltaLog.update()
+    val dvd = snap.allFiles.filter(_.deletionVector != null)
+    assert(dvd.size == 1 && dvd.head.deletionVector.storageType == "p" &&
+      dvd.head.deletionVector.pathOrInlineDv.contains(src),
+      s"mirror DV must be a zero-copy reference into the source: $dvd")
+    // the property the API exists for: not a byte under the source
+    assert(listing() == before, "mirror must not write under the source")
+    // and the target holds only the Delta log
+    assert(new java.io.File(tgt).listFiles().map(_.getName).toSet ==
+      Set("_delta_log"))
+    // a different source refuses the retarget
+    val other = tmp()
+    val t2 = mkV3(other)
+    t2.write(df((9L, "z", "x")), partitionBy = Seq("part"))
+    rm(new java.io.File(other, "_delta_log"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.mirrorFromIceberg(spark, other, tgt)
+    }
+    assert(e.getMessage.contains("mirror source mismatch"))
+    // same-snapshot re-sync is a no-op
+    val v = m2.deltaLog.update().version
+    DeltaTable.convertFromIceberg(spark, tgt)
+    assert(DeltaTable.forPath(spark, tgt).deltaLog.update().version == v)
+  }
+
+  test("v2 adoption does not fabricate row lineage") {
+    val dir = tmp()
+    val t = mkUniform(dir)
+    t.write(df((1L, "a", "x"), (2L, "b", "y")), partitionBy = Seq("part"))
+    val logDir = new java.io.File(dir, "_delta_log")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(logDir)
+    val t2 = DeltaTable.convertFromIceberg(spark, dir)
+    val snap = t2.deltaLog.update()
+    assert(!RowTracking.enabled(snap.metadata))
+    assert(snap.allFiles.forall(_.baseRowId.isEmpty))
+  }
 }
