@@ -1759,6 +1759,69 @@ object DeltaQueries {
       WHERE NOT (o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 3)
       GROUP BY 1 ORDER BY 1""")),
 
+    // VARIANT THROUGH THE ICEBERG ROUND TRIP (A86 + A72): variant is an
+    // Iceberg v3 type whose physical layout IS Spark's variant parquet
+    // encoding (the open variant binary spec), so a v3 UniForm table
+    // with a variant column declares it faithfully, loses its
+    // _delta_log, and converts back with the SAME binary payloads —
+    // typed variant_get extraction over the adopted table must equal
+    // DuckDB's JSON extraction over the raw envelopes. A v2 table (or
+    // on-demand generation) refuses variant loudly — the fixture pins
+    // the adopted schema really is VariantType, not a lossy string.
+    GQ("delta_convert_variant", (s, d) => {
+      import s.implicits._
+      val dir = fixture(s, d, "convert-variant") { dir =>
+        val t = DeltaTable.forPath(s, dir)
+        val envelope = concat(
+          lit("""{"meta":{"type":""""), col("event_type"),
+          lit("""","uid":"""), col("user_id"),
+          lit("""},"payload":"""), col("props"), lit("}"))
+        val data = table(s, d, "events")
+          .select(col("event_type"), parse_json(envelope).as("v"))
+        val txn = t.deltaLog.startTransaction()
+        txn.updateMetadata(Metadata(
+          schemaString = data.schema.json,
+          configuration = Map(
+            "delta.universalFormat.enabledFormats" -> "iceberg",
+            "graft.iceberg.formatVersion" -> "3",
+            "delta.enableRowTracking" -> "true")))
+        txn.commit(Nil, Op.CreateTable)
+        t.write(data)
+        val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+        val fsys = logDir.getFileSystem(s.sessionState.newHadoopConf())
+        fsys.delete(logDir, true)
+        val adopted = DeltaTable.convertFromIceberg(s, dir)
+        require(adopted.deltaLog.update().metadata.schema("v").dataType ==
+          org.apache.spark.sql.types.VariantType,
+          "adoption must import the Iceberg v3 variant type as VariantType")
+      }
+      DeltaTable.forPath(s, dir).toDF
+        .select(
+          variant_get($"v", "$.meta.type", "string").as("vtype"),
+          variant_get($"v", "$.meta.uid", "bigint").as("uid"),
+          variant_get($"v", "$.payload.k", "bigint").as("k"))
+        .filter($"k".isNotNull)
+        .groupBy($"vtype")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"uid").as("n_users"),
+          sum($"k").as("sum_k"),
+          max($"k").as("max_k"))
+        .orderBy($"vtype")
+    }, Some("""
+      WITH j AS (SELECT
+          concat('{"meta":{"type":"', event_type, '","uid":', user_id,
+            '},"payload":', props, '}') AS v
+        FROM events),
+      x AS (SELECT
+          json_extract_string(v, '$.meta.type') AS vtype,
+          CAST(json_extract(v, '$.meta.uid') AS BIGINT) AS uid,
+          CAST(json_extract(v, '$.payload.k') AS BIGINT) AS k
+        FROM j)
+      SELECT vtype, COUNT(*) AS n, COUNT(DISTINCT uid) AS n_users,
+        CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
+      FROM x WHERE k IS NOT NULL
+      GROUP BY vtype ORDER BY vtype""")),
+
     // CONVERT FROM ICEBERG (A85, r17): the full migration round trip —
     // a UniForm table (with merge-on-read DVs) loses its _delta_log,
     // leaving a pure Iceberg table (parquet + metadata/), and

@@ -157,6 +157,14 @@ object IcebergMetadata {
     case _ => false
   }
 
+  private[delta] def hasVariant(dt: DataType): Boolean = dt match {
+    case _: VariantType => true
+    case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
+    case a: ArrayType => hasVariant(a.elementType)
+    case m: MapType => hasVariant(m.keyType) || hasVariant(m.valueType)
+    case _ => false
+  }
+
   /** UTF-8-boundary-safe prefix of at most `max` bytes: a valid LOWER
     * bound for any string it prefixes.
     */
@@ -259,6 +267,8 @@ object IcebergMetadata {
       case _: TimestampNTZType => "timestamp"
       case StringType => "string"
       case BinaryType => "binary"
+      // Iceberg v3 type; generate() refuses it under format v2
+      case _: VariantType => "variant"
       case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
       case s: StructType =>
         val o = mapper.createObjectNode()
@@ -549,6 +559,16 @@ object IcebergMetadata {
       .getOrElse("graft.iceberg.formatVersion", "2").toInt
     require(formatVersion == 2 || formatVersion == 3,
       s"graft.iceberg.formatVersion must be 2 or 3, got $formatVersion")
+    // variant is an Iceberg v3 type: Spark's parquet encoding of a
+    // variant column IS the open variant binary spec Iceberg v3 adopted
+    // (metadata+value), so v3 metadata declares it faithfully; a v2
+    // export would have to lie about the type — refuse loudly (the
+    // enablement gate mirrors this for configured tables)
+    if (hasVariant(schema) && formatVersion < 3)
+      throw new UnsupportedOperationException(
+        "Iceberg metadata generation over a variant column requires " +
+          "graft.iceberg.formatVersion=3 (variant is an Iceberg v3 type; " +
+          "format v2 has no faithful declaration for it)")
     val rowIdInfo: Option[(Long, Long, Option[Long])] = // (missing, legacyDvs, min added frid)
       if (formatVersion < 3) None
       else {
@@ -1642,6 +1662,9 @@ object IcebergMetadata {
       case "timestamp" => TimestampNTZType
       case "string" => StringType
       case "binary" => BinaryType
+      // v3: Spark's variant parquet encoding IS the spec's binary layout,
+      // so the adopted files read back without any rewrite
+      case "variant" => VariantType
       case d if d.startsWith("decimal(") =>
         val parts = d.stripPrefix("decimal(").stripSuffix(")")
           .split(",").map(_.trim.toInt)

@@ -533,6 +533,15 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
               "delta.enableRowTracking: Iceberg v3 row lineage " +
               "(first_row_id / next-row-id) maps from Delta base row ids")
       }
+      // variant is an Iceberg v3 type — a v2 UniForm table (or one
+      // evolving a variant column in) must flip the format version
+      // first; post-commit generation would otherwise only warn
+      if (DeltaConfig.UniversalFormats.fromMetadata(m).contains("iceberg") &&
+          m.configuration.getOrElse("graft.iceberg.formatVersion", "2") != "3" &&
+          IcebergMetadata.hasVariant(m.schema))
+        throw new UnsupportedOperationException(
+          "universalFormat=iceberg over a variant column requires " +
+            "graft.iceberg.formatVersion=3 (variant is an Iceberg v3 type)")
     }
   }
 

@@ -2477,6 +2477,74 @@ class IcebergUniformSuite extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, tgt).deltaLog.update().version == v)
   }
 
+  test("variant columns: v3 declares the type, v2 refuses, convert reads it back") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{parse_json, to_json, variant_get}
+    val vdf = Seq(
+      (1L, """{"k": 2, "s": "x"}""", "x"),
+      (2L, """{"k": 4, "nested": {"c": [1, 2]}}""", "x"),
+      (3L, """{"k": 6}""", "y"))
+      .toDF("id", "j", "part")
+      .select($"id", parse_json($"j").as("payload"), $"part")
+    // v2 UniForm over a variant column refuses at the metadata commit
+    val dirV2 = tmp()
+    val e = intercept[UnsupportedOperationException] {
+      val t0 = DeltaTable.forPath(spark, dirV2)
+      val txn = t0.deltaLog.startTransaction()
+      txn.updateMetadata(Metadata(
+        schemaString = vdf.schema.json,
+        partitionColumns = Seq("part"),
+        configuration = Map(
+          "delta.universalFormat.enabledFormats" -> "iceberg")))
+      txn.commit(Nil, Op.CreateTable)
+    }
+    assert(e.getMessage.contains("formatVersion=3"))
+    // on-demand generation over a plain variant table refuses too
+    val dirPlain = tmp()
+    val tp = DeltaTable.forPath(spark, dirPlain)
+    tp.write(vdf)
+    val e2 = intercept[UnsupportedOperationException] {
+      IcebergMetadata.generate(spark, tp.deltaLog, tp.deltaLog.update())
+    }
+    assert(e2.getMessage.contains("variant"))
+    // v3 declares the type faithfully and the full round trip reads back
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = vdf.schema.json,
+      partitionColumns = Seq("part"),
+      configuration = Map(
+        "delta.enableRowTracking" -> "true",
+        "graft.iceberg.formatVersion" -> "3",
+        "delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(vdf, partitionBy = Seq("part"))
+    val schemaNode = currentMeta(dir).get("schemas").elements().asScala
+      .toSeq.last
+    val payloadType = schemaNode.get("fields").elements().asScala
+      .find(_.get("name").asText == "payload").get.get("type").asText
+    assert(payloadType == "variant", s"v3 schema must declare variant: $payloadType")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(dir, "_delta_log"))
+    val t2 = DeltaTable.convertFromIceberg(spark, dir)
+    val snap = t2.deltaLog.update()
+    assert(snap.metadata.schema("payload").dataType ==
+      org.apache.spark.sql.types.VariantType)
+    assert(snap.protocol.readerFeatures.exists(_.contains("variantType")),
+      s"adopted variant table must carry the feature: ${snap.protocol}")
+    // typed extraction through the adopted scan — the binary layout
+    // survived the round trip untouched
+    assert(t2.toDF.select(variant_get($"payload", "$.k", "bigint"))
+      .collect().map(_.getLong(0)).toSet == Set(2L, 4L, 6L))
+    assert(t2.toDF.filter($"id" === 2L)
+      .select(to_json($"payload")).head().getString(0)
+      .contains(""""c":[1,2]"""))
+  }
+
   test("v2 adoption does not fabricate row lineage") {
     val dir = tmp()
     val t = mkUniform(dir)
