@@ -299,7 +299,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           ifNotExists = ine != null,
           deep = depth.trim.equalsIgnoreCase("DEEP"),
           versionAsOf = Option(ver).map(_.toLong),
-          timestampAsOf = Option(ts).map(parseTsMillis)))
+          timestampAsOf = Option(ts).map(parseTsMillis),
+          // backticked iceberg.`path` source = out-of-place mirror
+          // (same routing rule as CONVERT TO DELTA)
+          sourceIsIceberg = IcebergPathRe.matches(src.trim)))
       case ConvertRe(target) =>
         // only the backticked iceberg.`path` form routes to the Iceberg
         // converter — a plain dotted identifier whose first part happens
@@ -1503,15 +1506,19 @@ case class GraftReplaceTableCommand(target: SqlTarget,
 
 /** `CREATE TABLE tgt SHALLOW CLONE src`: metadata-only copy referencing
   * the source's files by absolute URI (`DeltaTable.shallowCloneTo`). A
-  * catalog-name target registers the clone as a managed table.
+  * catalog-name target registers the clone as a managed table. An
+  * `iceberg.`path`` source routes to the out-of-place Iceberg mirror
+  * instead — see [[runIcebergMirror]].
   */
 case class GraftCloneCommand(target: SqlTarget, source: SqlTarget,
     ifNotExists: Boolean, deep: Boolean = false,
     versionAsOf: Option[Long] = None,
-    timestampAsOf: Option[Long] = None) extends LeafRunnableCommand {
+    timestampAsOf: Option[Long] = None,
+    sourceIsIceberg: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("location", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    if (sourceIsIceberg) return runIcebergMirror(spark)
     val srcPath = SqlTarget.resolve(spark, source)
     val src = DeltaTable.forPath(spark, srcPath)
     def doClone(p: String): Unit =
@@ -1549,6 +1556,59 @@ case class GraftCloneCommand(target: SqlTarget, source: SqlTarget,
         catch { case e: Throwable =>
           try catalog.dropTable(id, ignoreIfNotExists = true, purge = false)
           catch { case _: Exception => }
+          throw e
+        }
+        Seq(Row(path))
+    }
+  }
+
+  /** `CREATE TABLE tgt SHALLOW CLONE iceberg.`src``: the out-of-place
+    * mirror ([[DeltaTable.mirrorFromIceberg]]) — the Delta log lands at
+    * the target, every byte of the foreign table stays untouched.
+    * `VERSION AS OF` selects an Iceberg SNAPSHOT ID (the source has no
+    * Delta versions); DEEP and TIMESTAMP AS OF refuse loudly.
+    */
+  private def runIcebergMirror(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    require(!deep,
+      "DEEP CLONE of an Iceberg source is not supported; SHALLOW CLONE " +
+        "mirrors the table by reference without copying data")
+    require(timestampAsOf.isEmpty,
+      "TIMESTAMP AS OF is not supported for an Iceberg source; use " +
+        "VERSION AS OF <snapshot-id>")
+    val srcPath = SqlTarget.resolve(spark, source)
+    def doMirror(p: String): DeltaTable =
+      DeltaTable.mirrorFromIceberg(spark, srcPath, p,
+        asOfSnapshotId = versionAsOf)
+    target match {
+      case PathTarget(p) =>
+        if (ifNotExists && graft.delta.DeltaLog.forTable(spark, p).tableExists)
+          return Seq(Row(p))
+        doMirror(p)
+        Seq(Row(p))
+      case TableTarget(_) =>
+        val id = SqlTarget.tableIdentifier(target).get
+        val catalog = spark.sessionState.catalog
+        if (catalog.tableExists(id)) {
+          if (ifNotExists) return Nil
+          throw new IllegalStateException(s"table $id already exists")
+        }
+        val loc = catalog.defaultTablePath(id)
+        val path = new org.apache.hadoop.fs.Path(loc).toString
+        // the adopted schema is only known AFTER the mirror commit;
+        // register the catalog entry from it, dropping the mirror's log
+        // if registration fails (the source is untouched either way)
+        val mirrored = doMirror(path)
+        try catalog.createTable(CatalogTable(id, CatalogTableType.MANAGED,
+          CatalogStorageFormat.empty,
+          mirrored.deltaLog.update().metadata.schema,
+          provider = Some("graft-delta")), ignoreIfExists = false)
+        catch { case e: Throwable =>
+          try {
+            val fs = mirrored.deltaLog.dataPath
+              .getFileSystem(spark.sessionState.newHadoopConf())
+            fs.delete(mirrored.deltaLog.dataPath, true)
+          } catch { case _: Exception => }
           throw e
         }
         Seq(Row(path))

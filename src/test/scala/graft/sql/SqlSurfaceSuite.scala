@@ -678,6 +678,42 @@ class SqlSurfaceSuite extends AnyFunSuite {
       graft.delta.Stats.numRecords(f.stats).isDefined))
   }
 
+  test("SHALLOW CLONE iceberg.`src` mirrors out-of-place; DEEP refuses") {
+    val dir = tmp() + "/icemirror"
+    val t0 = DeltaTable.forPath(spark, dir)
+    val txn = t0.deltaLog.startTransaction()
+    txn.updateMetadata(graft.delta.Metadata(
+      schemaString = seed().schema.json,
+      partitionColumns = Seq("part"),
+      configuration = Map(
+        "delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn.commit(Nil, graft.delta.Op.CreateTable)
+    t0.write(seed(), partitionBy = Seq("part"))
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    logDir.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(logDir, true)
+    val tgt = tmp() + "/mirror-tgt"
+    val loc = spark.sql(
+      s"CREATE TABLE graft.`$tgt` SHALLOW CLONE iceberg.`$dir`")
+      .head().getString(0)
+    assert(loc == tgt)
+    val m = DeltaTable.forPath(spark, tgt)
+    assert(m.toDF.count() == 5)
+    // out of place: the source got no _delta_log, the target's AddFiles
+    // reference the source absolutely
+    assert(!new java.io.File(dir, "_delta_log").exists())
+    assert(m.snapshot.allFiles.forall(_.path.contains(dir)))
+    // IF NOT EXISTS over the existing mirror is a no-op, not a re-sync
+    val v = m.deltaLog.update().version
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS graft.`$tgt` SHALLOW CLONE iceberg.`$dir`")
+    assert(DeltaTable.forPath(spark, tgt).deltaLog.update().version == v)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE graft.`${tmp()}` DEEP CLONE iceberg.`$dir`")
+    }
+    assert(e.getMessage.contains("DEEP CLONE of an Iceberg source"))
+  }
+
   test("CONVERT TO DELTA adopts a parquet directory in place") {
     val dir = tmp() + "/plainpq"
     seed().write.partitionBy("part").parquet(dir)
