@@ -49,6 +49,19 @@ object FileNames {
     try new java.net.URI(child).isAbsolute
     catch { case _: java.net.URISyntaxException => false }
 
+  /** True when `child` does NOT resolve under the table root: a scheme'd
+    * absolute URI (`file:/…`, `s3a://…`) or a scheme-less absolute
+    * slash-path (`/data/…` — what Iceberg manifests record, so mirror /
+    * in-place adoptions of outside-root files store this form). Both are
+    * spec-legal add/remove paths; consumers that choose between the
+    * `basePath` hive read and the log-attached partition-value read (or
+    * between in-root and flattened copy targets) must branch on THIS,
+    * not on [[isAbsoluteUri]] — a scheme-less absolute path fails
+    * `URI.isAbsolute` but still escapes the root.
+    */
+  def isAbsolute(child: String): Boolean =
+    child.startsWith("/") || isAbsoluteUri(child)
+
   /** Byte-exact string form of [[absolutePath]]. A spec-legal ABSOLUTE
     * URI child is returned VERBATIM: `absolutePath(..).toString` loses
     * the `?query` component (e.g. S3 `?versionId=`) because Hadoop Path

@@ -329,7 +329,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           // frames are fine because whole-file DV removes are rare.
           Seq((ins, "insert", insCat), (del, "delete", delCat)).foreach {
             case (fs, ct, cat) =>
-              if (fs.exists(f => FileNames.isAbsoluteUri(f.path) ||
+              if (fs.exists(f => FileNames.isAbsolute(f.path) ||
                   DeletionVectors.descriptor(f).isDefined))
                 absFrames += readFilesDF(fs, endSnap.metadata)
                   .withColumn("_change_type", lit(ct))
@@ -1580,7 +1580,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     ColumnMapping.prepareRead(spark, md)
     val partCols = md.partitionColumns
     val paths = files.map(f => FileNames.absolutePathString(deltaLog.dataPath, f.path))
-    val external = files.exists(f => FileNames.isAbsoluteUri(f.path))
+    val external = files.exists(f => FileNames.isAbsolute(f.path))
     if (!external) {
       val raw = spark.read
         .schema(org.apache.spark.sql.types.StructType(
@@ -2461,7 +2461,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       }
       it.map { a =>
         val srcData = FileNames.absolutePath(new Path(srcStr), a.path)
-        val isAbs = FileNames.isAbsoluteUri(a.path)
+        val isAbs = FileNames.isAbsolute(a.path)
         // flattening an external reference keeps only the base name —
         // two sources can legally carry the same base name (a table
         // cloned from multiple sources over its history), so prefix

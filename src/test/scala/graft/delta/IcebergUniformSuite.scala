@@ -2477,6 +2477,48 @@ class IcebergUniformSuite extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, tgt).deltaLog.update().version == v)
   }
 
+  test("OPTIMIZE on a mirror localizes files into the target; source untouched") {
+    val src = tmp()
+    val tgt = tmp()
+    val t = mkV3(src)
+    // two files per partition, so the bin-pack rewrites (= localizes) all
+    t.write(df((1L, "a", "x"), (4L, "d", "y")), partitionBy = Seq("part"))
+    t.write(df((2L, "b", "x"), (3L, "c", "y")), partitionBy = Seq("part"))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(src, "_delta_log"))
+    def listing(): Set[(String, Long)] = {
+      def walk(f: java.io.File): Seq[(String, Long)] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq((f.getPath, f.length()))
+      walk(new java.io.File(src)).toSet
+    }
+    val before = listing()
+    val m = DeltaTable.mirrorFromIceberg(spark, src, tgt)
+    // bin-packing the mirror writes NEW files under the TARGET and
+    // tombstones the absolute source references — incremental
+    // materialization: the mirror becomes self-contained without a
+    // deep-clone-sized copy step, and the source never changes
+    m.compact()
+    val snap = m.deltaLog.update()
+    assert(snap.allFiles.nonEmpty &&
+      snap.allFiles.forall(a => !a.path.startsWith("/") &&
+        !a.path.startsWith("file:")),
+      s"post-OPTIMIZE files must be local (relative) to the target: " +
+        snap.allFiles.map(_.path))
+    assert(m.toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L))
+    assert(listing() == before, "OPTIMIZE must not touch the source")
+    // VACUUM clears nothing under the source either: the tombstoned
+    // absolute paths are outside the target root and are skipped
+    m.vacuum(retentionMillis = Some(0L))
+    assert(listing() == before, "VACUUM must skip outside-root tombstones")
+    // the localized mirror still reads correctly
+    assert(DeltaTable.forPath(spark, tgt).toDF.count() == 4)
+  }
+
   test("variant columns: v3 declares the type, v2 refuses, convert reads it back") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{parse_json, to_json, variant_get}
