@@ -1672,9 +1672,19 @@ object IcebergMetadata {
       case other => throw new UnsupportedOperationException(
         s"unsupported Iceberg type '$other'")
     } else t.get("type").asText match {
-      case "struct" => StructType(t.get("fields").elements().asScala.map(f =>
+      case "struct" => StructType(t.get("fields").elements().asScala.map { f =>
+        // same read-default refusal as the top-level schema fields —
+        // nested structs carry initial-default too
+        Option(f.get("initial-default")).filterNot(_.isNull).foreach { d =>
+          throw new UnsupportedOperationException(
+            s"nested field '${f.get("name").asText}' carries a non-null " +
+              s"initial-default ($d); files written before the field " +
+              "existed read that default in Iceberg, which this adoption " +
+              "cannot honor")
+        }
         StructField(f.get("name").asText, sparkTypeOf(f.get("type")),
-          nullable = !f.get("required").asBoolean)).toSeq)
+          nullable = !f.get("required").asBoolean)
+      }.toSeq)
       case "list" => ArrayType(sparkTypeOf(t.get("element")),
         containsNull = !Option(t.get("element-required")).exists(_.asBoolean))
       case "map" => MapType(sparkTypeOf(t.get("key")), sparkTypeOf(t.get("value")),
@@ -1836,6 +1846,22 @@ object IcebergMetadata {
     val rawFields: Seq[(Int, StructField)] =
       schemaNode.get("fields").elements().asScala.map { f =>
         val id = f.get("id").asInt
+        // a non-null `initial-default` (Iceberg v3) is a READ-time
+        // substitution: files written before the column existed must
+        // read the default, not null. Delta's parquet read yields null
+        // for a missing column and has no per-file default channel, so
+        // adopting such a schema would SILENTLY misread exactly those
+        // rows — refuse loudly instead (`write-default` is writer-side
+        // only and safe to ignore: every adopted file already holds its
+        // values)
+        Option(f.get("initial-default")).filterNot(_.isNull).foreach { d =>
+          throw new UnsupportedOperationException(
+            s"field '${f.get("name").asText}' carries a non-null " +
+              s"initial-default ($d); files written before the column " +
+              "existed read that default in Iceberg, which this adoption " +
+              "cannot honor — drop the default (or rewrite the old " +
+              "files) before converting")
+        }
         (id, StructField(f.get("name").asText, sparkTypeOf(f.get("type")),
           nullable = !f.get("required").asBoolean))
       }.toSeq

@@ -2587,6 +2587,44 @@ class IcebergUniformSuite extends AnyFunSuite {
       .contains(""""c":[1,2]"""))
   }
 
+  test("a non-null initial-default refuses adoption (read-time substitution)") {
+    val dir = tmp()
+    val t = mkV3(dir)
+    t.write(df((1L, "a", "x")), partitionBy = Seq("part"))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(dir, "_delta_log"))
+    // hand-inject the v3 read-default a foreign writer would have set
+    // when adding a column to a table with pre-existing files
+    val hconf = spark.sessionState.newHadoopConf()
+    val metaDir = new org.apache.hadoop.fs.Path(dir, "metadata")
+    val fsys = metaDir.getFileSystem(hconf)
+    val hint = {
+      val in = fsys.open(new org.apache.hadoop.fs.Path(metaDir, "version-hint.text"))
+      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    }
+    val mp = new org.apache.hadoop.fs.Path(metaDir, s"v$hint.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = {
+      val in = fsys.open(mp)
+      try mapper.readTree(in) finally in.close()
+    }
+    root.get("schemas").elements().asScala.foreach { sch =>
+      sch.get("fields").elements().asScala
+        .filter(_.get("name").asText == "v")
+        .foreach(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("initial-default", "missing"))
+    }
+    val out = fsys.create(mp, true)
+    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    val e = intercept[UnsupportedOperationException] {
+      DeltaTable.convertFromIceberg(spark, dir)
+    }
+    assert(e.getMessage.contains("initial-default"), e.getMessage)
+  }
+
   test("v2 adoption does not fabricate row lineage") {
     val dir = tmp()
     val t = mkUniform(dir)
