@@ -269,9 +269,19 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       case a: AddFile => a.baseRowId.isEmpty || a.defaultRowCommitVersion.isEmpty
       case _ => false
     }
+    // a caller-DECLARED row-tracking mark (CONVERT FROM ICEBERG imports
+    // next-row-id − 1 as an explicit DomainMetadata) must be re-clamped
+    // per attempt: the domain is exempt from conflict detection, so a
+    // concurrent winner that raised the mark would otherwise be
+    // overwritten with a lower value and the next fresh assignment
+    // would re-issue its row ids
+    val declaresRtDomain = rtEnabled && finalActions.exists {
+      case d: DomainMetadata => d.domain == RowTracking.Domain
+      case _ => false
+    }
     val winnerHwm = mutable.Map.empty[Long, Long]
     def actionsFor(attempt: Long): Seq[Action] = {
-      if (!needsRowIds) return finalActions
+      if (!needsRowIds && !declaresRtDomain) return finalActions
       var hwm = RowTracking.highWaterMark(snapshot.domainMetadata)
       ((snapshot.version + 1) until attempt).foreach { v =>
         val h = winnerHwm.getOrElseUpdate(v,
@@ -283,9 +293,36 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
             }.getOrElse(-1L))
         hwm = math.max(hwm, h)
       }
-      val (assigned, newHwm, any) = RowTracking.assign(finalActions, hwm, attempt)
-      if (any)
+      val clamped =
+        if (!declaresRtDomain) finalActions
+        else finalActions.map {
+          case d: DomainMetadata if d.domain == RowTracking.Domain =>
+            val declared = RowTracking.highWaterMark(
+              Map(d.domain -> d.configuration))
+            if (declared >= hwm) d
+            else DomainMetadata(d.domain, RowTracking.configJson(hwm))
+          case a => a
+        }
+      if (!needsRowIds) return clamped
+      // fresh assignment starts above BOTH the winners' mark and any
+      // declared one, and its final mark replaces the declared action
+      // (one domain write per commit)
+      val declaredHwm =
+        if (!declaresRtDomain) -1L
+        else finalActions.collect {
+          case d: DomainMetadata if d.domain == RowTracking.Domain =>
+            RowTracking.highWaterMark(Map(d.domain -> d.configuration))
+        }.max
+      val (assigned, newHwm, any) =
+        RowTracking.assign(clamped, math.max(hwm, declaredHwm), attempt)
+      if (any && !declaresRtDomain)
         assigned :+ DomainMetadata(RowTracking.Domain, RowTracking.configJson(newHwm))
+      else if (any)
+        assigned.map {
+          case d: DomainMetadata if d.domain == RowTracking.Domain =>
+            DomainMetadata(d.domain, RowTracking.configJson(newHwm))
+          case a => a
+        }
       else assigned
     }
     def serialized(attempt: Long): Seq[String] = {
@@ -629,18 +666,9 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       hasNtz(metadata.schema)
   }
 
-  private def metadataSchemaHasVariant: Boolean = {
-    import org.apache.spark.sql.types._
-    def hasVariant(dt: DataType): Boolean = dt match {
-      case _: VariantType => true
-      case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
-      case a: ArrayType => hasVariant(a.elementType)
-      case m: MapType => hasVariant(m.keyType) || hasVariant(m.valueType)
-      case _ => false
-    }
+  private def metadataSchemaHasVariant: Boolean =
     metadata.schemaString.nonEmpty && metadata.schemaString.contains("variant") &&
-      hasVariant(metadata.schema)
-  }
+      IcebergMetadata.hasVariant(metadata.schema)
 
   /** cf. reference `trnx.go:603` checkForConflicts + `conflict_checker.go`.
     * Returns the latest winning version when compatible; throws otherwise.

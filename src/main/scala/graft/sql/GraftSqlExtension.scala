@@ -1582,8 +1582,17 @@ case class GraftCloneCommand(target: SqlTarget, source: SqlTarget,
         asOfSnapshotId = versionAsOf)
     target match {
       case PathTarget(p) =>
-        if (ifNotExists && graft.delta.DeltaLog.forTable(spark, p).tableExists)
-          return Seq(Row(p))
+        // CREATE semantics match the delta-source clone: an existing
+        // target refuses (IF NOT EXISTS makes it a no-op) — a CREATE
+        // statement must never silently RE-SYNC an existing mirror.
+        // Re-sync via the API or `CONVERT TO DELTA iceberg.`<target>``
+        // (the remembered-source path).
+        if (graft.delta.DeltaLog.forTable(spark, p).tableExists) {
+          if (ifNotExists) return Seq(Row(p))
+          throw new IllegalStateException(
+            s"clone destination $p already exists; to re-sync the " +
+              "mirror use CONVERT TO DELTA iceberg.`" + p + "`")
+        }
         doMirror(p)
         Seq(Row(p))
       case TableTarget(_) =>
@@ -1595,19 +1604,26 @@ case class GraftCloneCommand(target: SqlTarget, source: SqlTarget,
         }
         val loc = catalog.defaultTablePath(id)
         val path = new org.apache.hadoop.fs.Path(loc).toString
-        // the adopted schema is only known AFTER the mirror commit;
-        // register the catalog entry from it, dropping the mirror's log
-        // if registration fails (the source is untouched either way)
+        // the adopted schema is only known AFTER the mirror commit, so
+        // the catalog entry registers second — with location validation
+        // OFF (the mirror's _delta_log already occupies the managed dir;
+        // the duplicate-name case was checked above). If registration
+        // still fails, roll back ONLY what the mirror wrote (the log and
+        // any decoded DV payloads) — never the whole directory, which
+        // could hold unrelated pre-existing files.
         val mirrored = doMirror(path)
+        // third arg = validateTableLocation (positional: the bundled
+        // jar's parameter name differs from the source)
         try catalog.createTable(CatalogTable(id, CatalogTableType.MANAGED,
           CatalogStorageFormat.empty,
           mirrored.deltaLog.update().metadata.schema,
-          provider = Some("graft-delta")), ignoreIfExists = false)
+          provider = Some("graft-delta")), false, false)
         catch { case e: Throwable =>
           try {
-            val fs = mirrored.deltaLog.dataPath
-              .getFileSystem(spark.sessionState.newHadoopConf())
-            fs.delete(mirrored.deltaLog.dataPath, true)
+            val root = mirrored.deltaLog.dataPath
+            val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+            fs.delete(new org.apache.hadoop.fs.Path(root, "_delta_log"), true)
+            fs.delete(new org.apache.hadoop.fs.Path(root, "_deletion_vectors"), true)
           } catch { case _: Exception => }
           throw e
         }

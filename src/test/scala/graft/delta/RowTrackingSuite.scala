@@ -114,6 +114,33 @@ class RowTrackingSuite extends AnyFunSuite {
     assert(RowTracking.highWaterMark(log.update().domainMetadata) == 8L)
   }
 
+  test("a declared high-water mark is clamped against concurrent winners") {
+    // CONVERT FROM ICEBERG declares the imported mark as an explicit
+    // DomainMetadata; the domain is exempt from conflict detection, so
+    // a retrying commit must never overwrite a winner's HIGHER mark
+    // with its stale declared value (duplicate row ids would follow)
+    val t = rtTable()
+    t.write(seed(0, 4).coalesce(1), SaveMode.Append) // rows 0..3, hwm 3
+    val log = t.deltaLog
+    val snap = log.update()
+    val txn1 = new OptimisticTransaction(log, snap)
+    val txn2 = new OptimisticTransaction(log, snap)
+    // winner: fresh assignment raises the mark to 8
+    txn1.commit(Seq(AddFile("part-winner.parquet", Map.empty, 1L, 0L,
+      stats = """{"numRecords":5}""")), Op.Write)
+    // loser: an imported add (baseRowId pre-set) + a DECLARED mark of 5
+    // — stale relative to the winner; the retry must clamp it to 8
+    txn2.commit(Seq(
+      AddFile("part-import.parquet", Map.empty, 1L, 0L,
+        stats = """{"numRecords":2}""", baseRowId = Some(4L)),
+      DomainMetadata(RowTracking.Domain, RowTracking.configJson(5L))), Op.Write)
+    assert(RowTracking.highWaterMark(log.update().domainMetadata) == 8L,
+      "stale declared mark must not lower the winner's high-water mark")
+    // and a subsequent fresh assignment starts above it
+    t.write(seed(100, 101).coalesce(1), SaveMode.Append)
+    assert(RowTracking.highWaterMark(log.update().domainMetadata) >= 9L)
+  }
+
   test("high-water mark and baseRowIds survive a checkpoint") {
     val t = rtTable(Map("delta.checkpointInterval" -> "3"))
     (0 until 4).foreach(i => t.write(seed(i * 2, i * 2 + 2).coalesce(1), SaveMode.Append))

@@ -708,10 +708,22 @@ class SqlSurfaceSuite extends AnyFunSuite {
     spark.sql(
       s"CREATE TABLE IF NOT EXISTS graft.`$tgt` SHALLOW CLONE iceberg.`$dir`")
     assert(DeltaTable.forPath(spark, tgt).deltaLog.update().version == v)
+    // plain CREATE over the existing mirror REFUSES (a CREATE statement
+    // must never silently re-sync; same semantics as the delta clone)
+    val e0 = intercept[IllegalStateException] {
+      spark.sql(s"CREATE TABLE graft.`$tgt` SHALLOW CLONE iceberg.`$dir`")
+    }
+    assert(e0.getMessage.contains("already exists"))
     val e = intercept[IllegalArgumentException] {
       spark.sql(s"CREATE TABLE graft.`${tmp()}` DEEP CLONE iceberg.`$dir`")
     }
     assert(e.getMessage.contains("DEEP CLONE of an Iceberg source"))
+    // catalog-name target: mirror into the managed location, then the
+    // catalog entry registers from the ADOPTED schema
+    spark.sql(s"CREATE TABLE t_icemirror SHALLOW CLONE iceberg.`$dir`")
+    try {
+      assert(spark.table("t_icemirror").count() == 5)
+    } finally spark.sql("DROP TABLE IF EXISTS t_icemirror")
   }
 
   test("CONVERT TO DELTA adopts a parquet directory in place") {
