@@ -1980,6 +1980,12 @@ object IcebergMetadata {
             (structNm, nm, idToField(srcId)._2, srcId)
         }.toSeq
       }
+    // spec field NAMES per spec id (identity AND transform fields) — the
+    // raw partition-tuple decode both sides of the equality-delete scope
+    // rule share: a scoped delete applies iff same spec id + equal tuple
+    val specFieldNames: Map[Int, Seq[String]] =
+      specsById.map { case (sid, fs) =>
+        sid -> fs.map(_.get("name").asText).toSeq }
     val assumeDroppedPresent = spark.conf.get(
       "spark.graft.convert.assumeDroppedIdentityPresent", "false").toBoolean
     // For files under a spec that identity-partitions a DROPPED column,
@@ -2020,7 +2026,7 @@ object IcebergMetadata {
     // the threshold), so a 10^7-file adoption never materializes
     // O(#files) stats JSON on the driver.
     val dataManifests = manifests.collect { case (p, 0, sid, sq) => (p, sid, sq) }
-    val fileRows: org.apache.spark.rdd.RDD[(String, Map[String, String], Long, Long, String, Long, Option[Long])] =
+    val fileRows: org.apache.spark.rdd.RDD[(String, Map[String, String], Long, Long, String, Long, Option[Long], Int, Map[String, String])] =
       spark.sparkContext
         .parallelize(dataManifests, math.max(1, dataManifests.size))
         .flatMap { case (p, manSpecId, listSeq) =>
@@ -2122,6 +2128,18 @@ object IcebergMetadata {
                   }
                 }
               }
+              // RAW partition tuple under the file's own spec (identity
+              // AND transform fields, stringified verbatim) — the
+              // identity the equality-delete scope rule compares
+              val rawTuple: Map[String, String] = {
+                val struct = df.get("partition").asInstanceOf[GenericRecord]
+                specFieldNames.getOrElse(manSpecId, Nil).map { nm =>
+                  val v =
+                    if (struct.getSchema.getField(nm) != null) struct.get(nm)
+                    else null
+                  nm -> (if (v == null) null else v.toString)
+                }.toMap
+              }
               Some((df.get("file_path").toString, pvs,
                 df.get("file_size_in_bytes").asInstanceOf[Long],
                 df.get("record_count").asInstanceOf[Long],
@@ -2133,7 +2151,8 @@ object IcebergMetadata {
                 // inherited assignment)
                 (if (df.getSchema.getField("first_row_id") == null) None
                  else Option(df.get("first_row_id"))
-                   .map(_.asInstanceOf[Long]))))
+                   .map(_.asInstanceOf[Long])),
+                manSpecId, rawTuple))
             }
           }.toList
           finally r.close()
@@ -2175,53 +2194,34 @@ object IcebergMetadata {
     // null-safe (<=> — Iceberg equality semantics treat NULL as a
     // match), applied only to files with STRICTLY OLDER sequence
     // numbers than the delete (the spec's apply rule).
-    // Per the spec, an equality delete under a PARTITIONED spec applies
-    // only to data files of the SAME partition (unpartitioned spec =
-    // global). The entry's partition struct is decoded into a scope of
-    // (identity column -> value) pairs; a non-null value on a
-    // NON-identity transform field, or on an identity column outside
-    // the adopted common set, cannot be scoped faithfully and refuses
-    // loudly (applying it globally would over-delete other partitions).
-    def deleteScope(sid: Int, df: GenericRecord): Map[String, String] = {
-      val struct = df.get("partition").asInstanceOf[GenericRecord]
-      specsById.getOrElse(sid, throw new IllegalStateException(
-        s"delete manifest references partition spec $sid, absent from " +
-          "the metadata's partition-specs")).flatMap { f =>
-        val structNm = f.get("name").asText
-        val present = struct.getSchema.getField(structNm) != null
-        val v = if (present) struct.get(structNm) else null
-        val tr = f.get("transform").asText
-        if (tr != "identity") {
-          // a NON-NULL transform value (e.g. a bucket number) cannot be
-          // scoped faithfully against column values; a null one is an
-          // unscoped dimension
-          if (v != null) throw new UnsupportedOperationException(
-            s"equality delete ${df.get("file_path")} is partition-scoped " +
-              s"on non-identity transform '$tr' (field '$structNm') — " +
-              "cannot be applied faithfully")
-          None
-        } else if (!present) None // spec field absent from the struct
-        else {
-          val (colNm, dt) = idToField.getOrElse(f.get("source-id").asInt,
-            throw new IllegalStateException(
-              s"delete spec source-id ${f.get("source-id").asInt} not in schema"))
-          if (!commonCols.contains(colNm)) throw new UnsupportedOperationException(
-            s"equality delete ${df.get("file_path")} is partition-scoped " +
-              s"on '$colNm', which spec evolution dropped from the " +
-              "adopted partition set — cannot be applied faithfully")
-          // a null identity value scopes to the NULL partition (the spec
-          // requires the tuple to match the spec, so null is a value,
-          // not an absent dimension)
-          Some(colNm -> (if (v == null) null else dt match {
-            case DateType => java.time.LocalDate
-              .ofEpochDay(v.asInstanceOf[Int].toLong).toString
-            case _ => v.toString
-          }))
-        }
-      }.toMap
+    // Per the spec, a delete file under a PARTITIONED spec applies only
+    // to data files of the SAME spec id with an EQUAL partition tuple
+    // (an unpartitioned delete spec is global). Matching the raw tuples
+    // handles identity AND transform fields alike — a bucket(N)-scoped
+    // Flink-CDC delete (the default Flink table layout) restricts to
+    // its bucket's files with no value decoding at all, and a scope on
+    // an identity column that spec evolution dropped from the adopted
+    // partition set still applies faithfully (the tuples live in the
+    // manifests regardless of what Delta adopted as partition columns).
+    def deleteScope(sid: Int, df: GenericRecord): Option[Map[String, String]] = {
+      val fields = specFieldNames.getOrElse(sid,
+        throw new IllegalStateException(
+          s"delete manifest references partition spec $sid, absent from " +
+            "the metadata's partition-specs"))
+      if (fields.isEmpty) None // unpartitioned delete spec = global
+      else {
+        val struct = df.get("partition").asInstanceOf[GenericRecord]
+        Some(fields.map { nm =>
+          val v =
+            if (struct.getSchema.getField(nm) != null) struct.get(nm)
+            else null
+          nm -> (if (v == null) null else v.toString)
+        }.toMap)
+      }
     }
     case class DelEntry(path: String, content: Int, eqIds: Seq[Int],
-        seq: Long, bytes: Long, scope: Map[String, String],
+        seq: Long, bytes: Long, specId: Int,
+        scope: Option[Map[String, String]],
         refFile: Option[String], blobOff: Option[Long], blobLen: Option[Long],
         cardinality: Long)
     val deleteEntries: Seq[DelEntry] =
@@ -2250,7 +2250,8 @@ object IcebergMetadata {
                 Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
                   .getOrElse(listSeq),
                 df.get("file_size_in_bytes").asInstanceOf[Long],
-                if (content == 2) deleteScope(sid, df) else Map.empty[String, String],
+                sid,
+                if (content == 2) deleteScope(sid, df) else None,
                 opt("referenced_data_file").map(_.toString),
                 opt("content_offset").map(_.asInstanceOf[Long]),
                 opt("content_size_in_bytes").map(_.asInstanceOf[Long]),
@@ -2261,7 +2262,8 @@ object IcebergMetadata {
     val posDeleteFiles = deleteEntries
       .collect { case d if d.content == 1 && d.refFile.isEmpty => d.path }
     val eqDeleteFiles = deleteEntries
-      .collect { case d if d.content == 2 => (d.path, d.eqIds, d.seq, d.bytes, d.scope) }
+      .collect { case d if d.content == 2 =>
+        (d.path, d.eqIds, d.seq, d.bytes, d.specId, d.scope) }
     // ---- v3 deletion vectors (Puffin blobs). The blob body is
     // byte-identical to a framed Delta DV payload entry, so when DVs are
     // the snapshot's ONLY delete shape the adoption is ZERO-COPY: the
@@ -2317,26 +2319,30 @@ object IcebergMetadata {
         // path list anyway; the heavy stats rows stay distributed. Under
         // NAME MAPPING the data files carry the mapped (physical) parquet
         // names — the resolver selects physical AS logical on the scan.
-        val dataFileSeqs: Seq[(String, Long, Map[String, String])] =
-          fileRows.map(r0 => (r0._1, r0._6, r0._2)).collect().toSeq
+        val dataFileSeqs: Seq[(String, Long, Int, Map[String, String])] =
+          fileRows.map(r0 => (r0._1, r0._6, r0._8, r0._9)).collect().toSeq
         val physOf: Map[String, String] =
           if (!needsMapping) Map.empty
           else rawFields.map { case (id, f) =>
             f.name -> physById.getOrElse(id, f.name) }.toMap
-        // one resolution per distinct (equality-column set, partition
-        // scope): a partition-scoped delete only ever joins against its
-        // own partition's files — the scan restriction IS the spec's
-        // same-partition apply rule, and it composes with the
-        // strictly-older-sequence pruning inside the resolver
-        val byIdsScope = eqDeleteFiles.groupBy(f => (f._2, f._5))
-        val frames = byIdsScope.map { case ((ids, scope), files) =>
+        // one resolution per distinct (equality-column set, spec id,
+        // partition tuple): a scoped delete only ever joins against the
+        // SAME spec's files with an EQUAL raw tuple (the spec's apply
+        // rule — identity and bucket/truncate/days scopes alike), a
+        // global one against everything; the scan restriction composes
+        // with the strictly-older-sequence pruning inside the resolver
+        val byIdsScope = eqDeleteFiles.groupBy(f => (f._2, f._5, f._6))
+        val frames = byIdsScope.map { case ((ids, dSpec, scope), files) =>
           require(ids.nonEmpty, "equality delete without equality_ids")
           val eqCols = ids.map(id => idToField.getOrElse(id,
             throw new IllegalStateException(
               s"equality field id $id not in schema"))._1)
-          val inScope = dataFileSeqs.collect {
-            case (fp, sq, pvs) if scope.forall {
-              case (k, v) => pvs.get(k).contains(v) } => (fp, sq)
+          val inScope = scope match {
+            case None => dataFileSeqs.map(f => (f._1, f._2))
+            case Some(t) => dataFileSeqs.collect {
+              case (fp, sq, fSpec, fTuple) if fSpec == dSpec && fTuple == t =>
+                (fp, sq)
+            }
           }
           equalityDeleteRows(spark, eqCols,
             files.map(f => (f._1, f._3)), files.map(_._4).sum, inScope,
@@ -2401,7 +2407,7 @@ object IcebergMetadata {
     val nowForAdds = now
     val lineageForAdds = lineageImport
     val addsDS = spark.createDataset(fileRows)
-      .map { case (abs, pvs, size, _, stats, _, frid) =>
+      .map { case (abs, pvs, size, _, stats, _, frid, _, _) =>
         val root = new Path(rootStrForAdds)
         val rel = FileNames.underTableRoot(root, abs)
           .filter(_ != rootUriPath)
@@ -2522,7 +2528,8 @@ object IcebergMetadata {
           .map(a => (FileNames.absolutePathString(new Path(rootForKey), a.path), a))
           .toDF("fp", "add")
         val iceDF = spark.createDataset(fileRows)
-          .toDF("fp", "pvs", "size", "rc", "stats", "seq", "frid")
+          .toDF("fp", "pvs", "size", "rc", "stats", "seq", "frid",
+            "specid", "ptuple")
         val newFilesDS = iceDF.join(deltaState, Seq("fp"), "left_anti")
           .select(col("fp"), col("pvs"), col("size"), col("stats"), col("frid"))
           .as[(String, Map[String, String], Long, String, Option[Long])]

@@ -1846,6 +1846,152 @@ class IcebergUniformSuite extends AnyFunSuite {
     assert(dvs.map(_.cardinality).sum == 1L, dvs.toString)
   }
 
+  test("BUCKET-scoped equality deletes restrict to the bucket's files") {
+    import spark.implicits._
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.file.DataFileWriter
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // the Flink default layout: bucket(N, key)-partitioned data with a
+    // partition-scoped equality delete — previously a loud refusal,
+    // now applied by the spec's rule (same spec id + equal raw tuple)
+    val dir = tmp()
+    val metaDir = new java.io.File(dir, "metadata")
+    metaDir.mkdirs()
+    def onePq(rows: Seq[(Long, String)], cols: Seq[String]): (String, Long) = {
+      val d = java.nio.file.Files.createTempDirectory("graft-bucket")
+      val df0 = rows.toDF(cols: _*)
+      (if (cols.size == 1) df0.select(cols.head) else df0)
+        .coalesce(1).write.mode("overwrite").parquet(d.toString)
+      val f = new java.io.File(d.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (f.getAbsolutePath, f.length())
+    }
+    val (fileA, lenA) = onePq(Seq((1L, "a"), (2L, "b")), Seq("id", "v")) // bucket 0
+    val (fileB, lenB) = onePq(Seq((3L, "c"), (4L, "d")), Seq("id", "v")) // bucket 1
+    // the delete file names ids from BOTH buckets; only bucket 0 is scoped
+    val eqDir = java.nio.file.Files.createTempDirectory("graft-bucketdel")
+    Seq(1L, 3L).toDF("id").coalesce(1).write.mode("overwrite")
+      .parquet(eqDir.toString)
+    val eqParquet = new java.io.File(eqDir.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestEntrySchemaJson(
+        IcebergMetadata.partitionStructSchemaJson(Seq(
+          ("id_bucket", org.apache.spark.sql.types.IntegerType, 1000)))))
+    val dfSchema = entrySchema.getField("data_file").schema()
+    def partOf(bucket: Int) = {
+      val ps = new GenericData.Record(dfSchema.getField("partition").schema())
+      ps.put("id_bucket", bucket)
+      ps
+    }
+    def entry(path: String, len: Long, content: Int, bucket: Int, seq: Long,
+        rc: Long, eqIds: Seq[Int]): GenericRecord = {
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", 1); rec.put("snapshot_id", seq)
+      rec.put("sequence_number", seq)
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", content)
+      dfr.put("file_path", path)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", partOf(bucket))
+      dfr.put("record_count", rc)
+      dfr.put("file_size_in_bytes", len)
+      if (eqIds.nonEmpty) {
+        val idsArrSchema = dfSchema.getField("equality_ids").schema()
+          .getTypes.asScala.find(_.getType == org.apache.avro.Schema.Type.ARRAY).get
+        val idsArr = new GenericData.Array[Any](eqIds.size, idsArrSchema)
+        eqIds.foreach(idsArr.add(_))
+        dfr.put("equality_ids", idsArr)
+      }
+      rec.put("data_file", dfr)
+      rec
+    }
+    def writeManifest(name: String, entries: Seq[GenericRecord]): java.io.File = {
+      val f = new java.io.File(metaDir, name)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.create(entrySchema, f)
+      entries.foreach(w.append)
+      w.close()
+      f
+    }
+    val dataManifest = writeManifest("bucket-m0.avro", Seq(
+      entry(fileA, lenA, 0, bucket = 0, seq = 1L, rc = 2L, eqIds = Nil),
+      entry(fileB, lenB, 0, bucket = 1, seq = 1L, rc = 2L, eqIds = Nil)))
+    val delManifest = writeManifest("bucket-d0.avro", Seq(
+      entry(eqParquet.getAbsolutePath, eqParquet.length(), 2, bucket = 0,
+        seq = 2L, rc = 2L, eqIds = Seq(1))))
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestListSchemaJson)
+    val listFile = new java.io.File(metaDir, "snap-2-bucket.avro")
+    locally {
+      val lw = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      lw.create(listSchema, listFile)
+      Seq((dataManifest, 0, 1L, 4L), (delManifest, 1, 2L, 2L)).foreach {
+        case (mf, content, seq, rows) =>
+          val lrec = new GenericData.Record(listSchema)
+          lrec.put("manifest_path", mf.getAbsolutePath)
+          lrec.put("manifest_length", mf.length())
+          lrec.put("partition_spec_id", 0)
+          lrec.put("content", content)
+          lrec.put("sequence_number", seq)
+          lrec.put("min_sequence_number", seq)
+          lrec.put("added_snapshot_id", seq)
+          lrec.put("added_files_count", if (content == 0) 2 else 1)
+          lrec.put("existing_files_count", 0)
+          lrec.put("deleted_files_count", 0)
+          lrec.put("added_rows_count", rows)
+          lrec.put("existing_rows_count", 0L)
+          lrec.put("deleted_rows_count", 0L)
+          lw.append(lrec)
+      }
+      lw.close()
+    }
+    val root = mapper.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", java.util.UUID.randomUUID().toString)
+    root.put("location", dir)
+    root.put("last-sequence-number", 2L)
+    root.put("last-column-id", 2)
+    root.put("current-schema-id", 0)
+    locally {
+      val sch = root.putArray("schemas").addObject()
+      sch.put("type", "struct"); sch.put("schema-id", 0)
+      val fs0 = sch.putArray("fields")
+      Seq((1, "id", "long"), (2, "v", "string")).foreach { case (i, n, tp) =>
+        val f = fs0.addObject()
+        f.put("id", i); f.put("name", n); f.put("required", false)
+        f.put("type", tp)
+      }
+      root.put("default-spec-id", 0)
+      val spec = root.putArray("partition-specs").addObject()
+      spec.put("spec-id", 0)
+      val sf = spec.putArray("fields").addObject()
+      sf.put("name", "id_bucket"); sf.put("transform", "bucket[4]")
+      sf.put("source-id", 1); sf.put("field-id", 1000)
+      val sn = root.putArray("snapshots").addObject()
+      sn.put("snapshot-id", 2L); sn.put("sequence-number", 2L)
+      sn.put("timestamp-ms", System.currentTimeMillis())
+      sn.putObject("summary").put("operation", "overwrite")
+      sn.put("manifest-list", listFile.getAbsolutePath)
+      sn.put("schema-id", 0)
+      root.put("current-snapshot-id", 2L)
+    }
+    java.nio.file.Files.write(metaDir.toPath.resolve("v1.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    java.nio.file.Files.write(metaDir.toPath.resolve("version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val back = DeltaTable.convertFromIceberg(spark, dir)
+    // id=1 dies (bucket-0 file, strictly older sequence); id=3 SURVIVES
+    // even though the delete file names it — its file is bucket 1,
+    // outside the delete's partition scope
+    assert(back.toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L, 4L), back.toDF.collect().mkString(", "))
+    val dvs = back.deltaLog.update().allFiles.flatMap(a => Option(a.deletionVector))
+    assert(dvs.map(_.cardinality).sum == 1L, dvs.toString)
+  }
+
   test("re-sync diff commits stream through commitLarge past the threshold") {
     import spark.implicits._
     import org.apache.avro.generic.{GenericData, GenericDatumWriter}
