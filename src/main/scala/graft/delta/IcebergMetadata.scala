@@ -1748,6 +1748,15 @@ object IcebergMetadata {
     */
   private[delta] val SourceMarkerKey = "graft.convert.icebergSource"
 
+  /** Table-config key recording that the INITIAL adoption imported v3
+    * row lineage. Re-sync lineage import is gated on this marker, not
+    * merely on row tracking being enabled: a table whose row tracking
+    * was turned on AFTER a non-lineage adoption has locally-assigned
+    * ids from 0, and stamping foreign first_row_ids onto new files
+    * could collide with them below the high-water mark.
+    */
+  private[delta] val LineageMarkerKey = "graft.convert.icebergLineage"
+
   /** `source`: when set (and different from `log.dataPath`), adopt
     * OUT-OF-PLACE — a mirror: the Iceberg metadata is read from
     * `source`, every AddFile records the source parquet by absolute URI
@@ -1980,12 +1989,33 @@ object IcebergMetadata {
             (structNm, nm, idToField(srcId)._2, srcId)
         }.toSeq
       }
-    // spec field NAMES per spec id (identity AND transform fields) — the
-    // raw partition-tuple decode both sides of the equality-delete scope
-    // rule share: a scoped delete applies iff same spec id + equal tuple
-    val specFieldNames: Map[Int, Seq[String]] =
+    // spec field names per spec id (identity AND transform fields), each
+    // paired with its SOURCE COLUMN name — the raw partition-tuple decode
+    // both sides of the equality-delete scope rule share: a scoped delete
+    // applies iff same spec id + equal tuple. The source-column name is
+    // the older-writer fallback key (legacy writers key the partition
+    // struct by column, same as the pvs decode above).
+    val specFieldNames: Map[Int, Seq[(String, String)]] =
       specsById.map { case (sid, fs) =>
-        sid -> fs.map(_.get("name").asText).toSeq }
+        sid -> fs.map { f =>
+          val nm = f.get("name").asText
+          val srcCol = Option(f.get("source-id"))
+            .flatMap(sid0 => idToField.get(sid0.asInt).map(_._1))
+            .getOrElse(nm)
+          (nm, srcCol)
+        }.toSeq }
+    // canonical string form of a raw partition value: binary/fixed values
+    // arrive as ByteBuffer / GenericData.Fixed whose toString is
+    // content-free — hex-encode them so two DIFFERENT byte tuples never
+    // stringify identically (which would over-apply a scoped delete)
+    def canonPartValue(v: Any): String = v match {
+      case bb: java.nio.ByteBuffer =>
+        val d = bb.duplicate(); val a = new Array[Byte](d.remaining()); d.get(a)
+        "0x" + a.map("%02x".format(_)).mkString
+      case f: org.apache.avro.generic.GenericFixed =>
+        "0x" + f.bytes().map("%02x".format(_)).mkString
+      case other => other.toString
+    }
     val assumeDroppedPresent = spark.conf.get(
       "spark.graft.convert.assumeDroppedIdentityPresent", "false").toBoolean
     // For files under a spec that identity-partitions a DROPPED column,
@@ -2133,11 +2163,13 @@ object IcebergMetadata {
               // identity the equality-delete scope rule compares
               val rawTuple: Map[String, String] = {
                 val struct = df.get("partition").asInstanceOf[GenericRecord]
-                specFieldNames.getOrElse(manSpecId, Nil).map { nm =>
+                specFieldNames.getOrElse(manSpecId, Nil).map { case (nm, colNm) =>
                   val v =
                     if (struct.getSchema.getField(nm) != null) struct.get(nm)
+                    else if (struct.getSchema.getField(colNm) != null)
+                      struct.get(colNm) // older writers key by column
                     else null
-                  nm -> (if (v == null) null else v.toString)
+                  nm -> (if (v == null) null else canonPartValue(v))
                 }.toMap
               }
               Some((df.get("file_path").toString, pvs,
@@ -2169,9 +2201,10 @@ object IcebergMetadata {
     // a null first_row_id would need the spec's inherited assignment
     // (manifest-list accumulation, which no writer in scope emits) —
     // fall back loudly to fresh assignment rather than guess. Re-sync
-    // imports lineage only onto a table that was lineage-adopted
-    // (row tracking already enabled); enabling it mid-mirror would
-    // leave the pre-existing files without ids.
+    // imports lineage only onto a table whose INITIAL adoption imported
+    // lineage (the persisted LineageMarkerKey) — row tracking merely
+    // being enabled is not enough: locally-assigned ids from 0 could
+    // collide with foreign first_row_ids below the high-water mark.
     val nextRowIdMeta: Option[Long] =
       Option(meta.get("next-row-id")).filterNot(_.isNull).map(_.asLong)
     val lineageImport: Boolean = fv >= 3 && nextRowIdMeta.isDefined && {
@@ -2182,7 +2215,8 @@ object IcebergMetadata {
           "row-lineage import — row tracking would assign fresh ids")
       missing == 0
     } && (existingSnap match {
-      case Some(s) => RowTracking.enabled(s.metadata)
+      case Some(s) =>
+        s.metadata.configuration.get(LineageMarkerKey).contains("true")
       case None => true
     })
 
@@ -2211,11 +2245,13 @@ object IcebergMetadata {
       if (fields.isEmpty) None // unpartitioned delete spec = global
       else {
         val struct = df.get("partition").asInstanceOf[GenericRecord]
-        Some(fields.map { nm =>
+        Some(fields.map { case (nm, colNm) =>
           val v =
             if (struct.getSchema.getField(nm) != null) struct.get(nm)
+            else if (struct.getSchema.getField(colNm) != null)
+              struct.get(colNm) // older writers key by column
             else null
-          nm -> (if (v == null) null else v.toString)
+          nm -> (if (v == null) null else canonPartValue(v))
         }.toMap)
       }
     }
@@ -2452,7 +2488,9 @@ object IcebergMetadata {
            else Map.empty) ++
           (if (needsMapping) Map("delta.feature.columnMapping" -> "supported")
            else Map.empty) ++
-          (if (lineageImport) Map("delta.enableRowTracking" -> "true")
+          (if (lineageImport) Map(
+            "delta.enableRowTracking" -> "true",
+            LineageMarkerKey -> "true")
            else Map.empty)
         val txn = log.startTransaction()
         txn.updateMetadata(graft.delta.Metadata(

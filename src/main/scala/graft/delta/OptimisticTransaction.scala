@@ -346,7 +346,10 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
         }
       (ci +: acts).map(Actions.toJson)
     }
-    val perAttempt = ictEnabled || needsRowIds
+    // a declared row-tracking domain must also re-serialize per attempt:
+    // actionsFor() re-clamps the declared mark against each new winner,
+    // which is pointless if attempt 0's serialization is reused verbatim
+    val perAttempt = ictEnabled || needsRowIds || declaresRtDomain
     val preSerialized = if (perAttempt) null else serialized(0L)
 
     var attempt = snapshot.version + 1

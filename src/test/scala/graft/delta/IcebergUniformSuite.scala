@@ -1992,6 +1992,288 @@ class IcebergUniformSuite extends AnyFunSuite {
     assert(dvs.map(_.cardinality).sum == 1L, dvs.toString)
   }
 
+  test("BINARY-scoped equality deletes compare tuple bytes, not ByteBuffer.toString") {
+    import spark.implicits._
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.file.DataFileWriter
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // two partitions whose raw tuples are DIFFERENT byte values of the
+    // SAME length: ByteBuffer.toString is content-free, so without
+    // canonicalization both tuples stringify identically and a delete
+    // scoped to one partition silently kills rows in the other
+    val dir = tmp()
+    val metaDir = new java.io.File(dir, "metadata")
+    metaDir.mkdirs()
+    def onePq(df0: org.apache.spark.sql.DataFrame): (String, Long) = {
+      val d = java.nio.file.Files.createTempDirectory("graft-binscope")
+      df0.coalesce(1).write.mode("overwrite").parquet(d.toString)
+      val f = new java.io.File(d.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (f.getAbsolutePath, f.length())
+    }
+    val (fileA, lenA) = onePq(Seq(
+      (1L, Array[Byte](1, 2)), (2L, Array[Byte](1, 2))).toDF("id", "v"))
+    val (fileB, lenB) = onePq(Seq(
+      (3L, Array[Byte](3, 4)), (4L, Array[Byte](3, 4))).toDF("id", "v"))
+    // the delete names ids from BOTH partitions; only 0x0102 is in scope
+    val (eqPath, eqLen) = onePq(Seq(1L, 3L).toDF("id"))
+    val partStruct =
+      """{"type":"record","name":"r102","fields":[
+        {"name":"v_trunc","type":["null","bytes"],"default":null,"field-id":1000}]}"""
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestEntrySchemaJson(partStruct))
+    val dfSchema = entrySchema.getField("data_file").schema()
+    def partOf(bytes: Array[Byte]) = {
+      val ps = new GenericData.Record(dfSchema.getField("partition").schema())
+      ps.put("v_trunc", java.nio.ByteBuffer.wrap(bytes))
+      ps
+    }
+    def entry(path: String, len: Long, content: Int, part: Array[Byte],
+        seq: Long, rc: Long, eqIds: Seq[Int]): GenericRecord = {
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", 1); rec.put("snapshot_id", seq)
+      rec.put("sequence_number", seq)
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", content)
+      dfr.put("file_path", path)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", partOf(part))
+      dfr.put("record_count", rc)
+      dfr.put("file_size_in_bytes", len)
+      if (eqIds.nonEmpty) {
+        val idsArrSchema = dfSchema.getField("equality_ids").schema()
+          .getTypes.asScala.find(_.getType == org.apache.avro.Schema.Type.ARRAY).get
+        val idsArr = new GenericData.Array[Any](eqIds.size, idsArrSchema)
+        eqIds.foreach(idsArr.add(_))
+        dfr.put("equality_ids", idsArr)
+      }
+      rec.put("data_file", dfr)
+      rec
+    }
+    def writeManifest(name: String, entries: Seq[GenericRecord]): java.io.File = {
+      val f = new java.io.File(metaDir, name)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.create(entrySchema, f)
+      entries.foreach(w.append)
+      w.close()
+      f
+    }
+    val dataManifest = writeManifest("bin-m0.avro", Seq(
+      entry(fileA, lenA, 0, Array[Byte](1, 2), seq = 1L, rc = 2L, eqIds = Nil),
+      entry(fileB, lenB, 0, Array[Byte](3, 4), seq = 1L, rc = 2L, eqIds = Nil)))
+    val delManifest = writeManifest("bin-d0.avro", Seq(
+      entry(eqPath, eqLen, 2, Array[Byte](1, 2), seq = 2L, rc = 2L,
+        eqIds = Seq(1))))
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestListSchemaJson)
+    val listFile = new java.io.File(metaDir, "snap-2-bin.avro")
+    locally {
+      val lw = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      lw.create(listSchema, listFile)
+      Seq((dataManifest, 0, 1L, 4L), (delManifest, 1, 2L, 2L)).foreach {
+        case (mf, content, seq, rows) =>
+          val lrec = new GenericData.Record(listSchema)
+          lrec.put("manifest_path", mf.getAbsolutePath)
+          lrec.put("manifest_length", mf.length())
+          lrec.put("partition_spec_id", 0)
+          lrec.put("content", content)
+          lrec.put("sequence_number", seq)
+          lrec.put("min_sequence_number", seq)
+          lrec.put("added_snapshot_id", seq)
+          lrec.put("added_files_count", if (content == 0) 2 else 1)
+          lrec.put("existing_files_count", 0)
+          lrec.put("deleted_files_count", 0)
+          lrec.put("added_rows_count", rows)
+          lrec.put("existing_rows_count", 0L)
+          lrec.put("deleted_rows_count", 0L)
+          lw.append(lrec)
+      }
+      lw.close()
+    }
+    val root = mapper.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", java.util.UUID.randomUUID().toString)
+    root.put("location", dir)
+    root.put("last-sequence-number", 2L)
+    root.put("last-column-id", 2)
+    root.put("current-schema-id", 0)
+    locally {
+      val sch = root.putArray("schemas").addObject()
+      sch.put("type", "struct"); sch.put("schema-id", 0)
+      val fs0 = sch.putArray("fields")
+      Seq((1, "id", "long"), (2, "v", "binary")).foreach { case (i, n, tp) =>
+        val f = fs0.addObject()
+        f.put("id", i); f.put("name", n); f.put("required", false)
+        f.put("type", tp)
+      }
+      root.put("default-spec-id", 0)
+      val spec = root.putArray("partition-specs").addObject()
+      spec.put("spec-id", 0)
+      val sf = spec.putArray("fields").addObject()
+      sf.put("name", "v_trunc"); sf.put("transform", "truncate[2]")
+      sf.put("source-id", 2); sf.put("field-id", 1000)
+      val sn = root.putArray("snapshots").addObject()
+      sn.put("snapshot-id", 2L); sn.put("sequence-number", 2L)
+      sn.put("timestamp-ms", System.currentTimeMillis())
+      sn.putObject("summary").put("operation", "overwrite")
+      sn.put("manifest-list", listFile.getAbsolutePath)
+      sn.put("schema-id", 0)
+      root.put("current-snapshot-id", 2L)
+    }
+    java.nio.file.Files.write(metaDir.toPath.resolve("v1.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    java.nio.file.Files.write(metaDir.toPath.resolve("version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val back = DeltaTable.convertFromIceberg(spark, dir)
+    // id=1 dies (scoped partition, strictly older sequence); id=3
+    // SURVIVES even though the delete names it — its tuple is 0x0304,
+    // a DIFFERENT byte value that toString would have collapsed
+    assert(back.toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L, 4L), back.toDF.collect().mkString(", "))
+    val dvs = back.deltaLog.update().allFiles.flatMap(a => Option(a.deletionVector))
+    assert(dvs.map(_.cardinality).sum == 1L, dvs.toString)
+  }
+
+  test("legacy column-keyed partition structs decode scope tuples via fallback") {
+    import spark.implicits._
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.file.DataFileWriter
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // an older writer keys the partition struct by SOURCE COLUMN name
+    // ("part") while the spec names its field "part_ident"; without the
+    // fallback both sides decode all-null tuples, collapsing distinct
+    // partitions into one scope
+    val dir = tmp()
+    val metaDir = new java.io.File(dir, "metadata")
+    metaDir.mkdirs()
+    def onePq(df0: org.apache.spark.sql.DataFrame): (String, Long) = {
+      val d = java.nio.file.Files.createTempDirectory("graft-legacyscope")
+      df0.coalesce(1).write.mode("overwrite").parquet(d.toString)
+      val f = new java.io.File(d.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (f.getAbsolutePath, f.length())
+    }
+    val (fileA, lenA) = onePq(Seq((1L, "x"), (2L, "x")).toDF("id", "part"))
+    val (fileB, lenB) = onePq(Seq((3L, "y"), (4L, "y")).toDF("id", "part"))
+    val (eqPath, eqLen) = onePq(Seq(1L, 3L).toDF("id"))
+    // struct keyed by COLUMN name "part", spec field named "part_ident"
+    val partStruct =
+      """{"type":"record","name":"r102","fields":[
+        {"name":"part","type":["null","string"],"default":null,"field-id":1000}]}"""
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestEntrySchemaJson(partStruct))
+    val dfSchema = entrySchema.getField("data_file").schema()
+    def partOf(v: String) = {
+      val ps = new GenericData.Record(dfSchema.getField("partition").schema())
+      ps.put("part", v)
+      ps
+    }
+    def entry(path: String, len: Long, content: Int, part: String,
+        seq: Long, rc: Long, eqIds: Seq[Int]): GenericRecord = {
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", 1); rec.put("snapshot_id", seq)
+      rec.put("sequence_number", seq)
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", content)
+      dfr.put("file_path", path)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", partOf(part))
+      dfr.put("record_count", rc)
+      dfr.put("file_size_in_bytes", len)
+      if (eqIds.nonEmpty) {
+        val idsArrSchema = dfSchema.getField("equality_ids").schema()
+          .getTypes.asScala.find(_.getType == org.apache.avro.Schema.Type.ARRAY).get
+        val idsArr = new GenericData.Array[Any](eqIds.size, idsArrSchema)
+        eqIds.foreach(idsArr.add(_))
+        dfr.put("equality_ids", idsArr)
+      }
+      rec.put("data_file", dfr)
+      rec
+    }
+    def writeManifest(name: String, entries: Seq[GenericRecord]): java.io.File = {
+      val f = new java.io.File(metaDir, name)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.create(entrySchema, f)
+      entries.foreach(w.append)
+      w.close()
+      f
+    }
+    val dataManifest = writeManifest("legacy-m0.avro", Seq(
+      entry(fileA, lenA, 0, "x", seq = 1L, rc = 2L, eqIds = Nil),
+      entry(fileB, lenB, 0, "y", seq = 1L, rc = 2L, eqIds = Nil)))
+    val delManifest = writeManifest("legacy-d0.avro", Seq(
+      entry(eqPath, eqLen, 2, "x", seq = 2L, rc = 2L, eqIds = Seq(1))))
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestListSchemaJson)
+    val listFile = new java.io.File(metaDir, "snap-2-legacy.avro")
+    locally {
+      val lw = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      lw.create(listSchema, listFile)
+      Seq((dataManifest, 0, 1L, 4L), (delManifest, 1, 2L, 2L)).foreach {
+        case (mf, content, seq, rows) =>
+          val lrec = new GenericData.Record(listSchema)
+          lrec.put("manifest_path", mf.getAbsolutePath)
+          lrec.put("manifest_length", mf.length())
+          lrec.put("partition_spec_id", 0)
+          lrec.put("content", content)
+          lrec.put("sequence_number", seq)
+          lrec.put("min_sequence_number", seq)
+          lrec.put("added_snapshot_id", seq)
+          lrec.put("added_files_count", if (content == 0) 2 else 1)
+          lrec.put("existing_files_count", 0)
+          lrec.put("deleted_files_count", 0)
+          lrec.put("added_rows_count", rows)
+          lrec.put("existing_rows_count", 0L)
+          lrec.put("deleted_rows_count", 0L)
+          lw.append(lrec)
+      }
+      lw.close()
+    }
+    val root = mapper.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", java.util.UUID.randomUUID().toString)
+    root.put("location", dir)
+    root.put("last-sequence-number", 2L)
+    root.put("last-column-id", 2)
+    root.put("current-schema-id", 0)
+    locally {
+      val sch = root.putArray("schemas").addObject()
+      sch.put("type", "struct"); sch.put("schema-id", 0)
+      val fs0 = sch.putArray("fields")
+      Seq((1, "id", "long"), (2, "part", "string")).foreach { case (i, n, tp) =>
+        val f = fs0.addObject()
+        f.put("id", i); f.put("name", n); f.put("required", false)
+        f.put("type", tp)
+      }
+      root.put("default-spec-id", 0)
+      val spec = root.putArray("partition-specs").addObject()
+      spec.put("spec-id", 0)
+      val sf = spec.putArray("fields").addObject()
+      sf.put("name", "part_ident"); sf.put("transform", "identity")
+      sf.put("source-id", 2); sf.put("field-id", 1000)
+      val sn = root.putArray("snapshots").addObject()
+      sn.put("snapshot-id", 2L); sn.put("sequence-number", 2L)
+      sn.put("timestamp-ms", System.currentTimeMillis())
+      sn.putObject("summary").put("operation", "overwrite")
+      sn.put("manifest-list", listFile.getAbsolutePath)
+      sn.put("schema-id", 0)
+      root.put("current-snapshot-id", 2L)
+    }
+    java.nio.file.Files.write(metaDir.toPath.resolve("v1.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    java.nio.file.Files.write(metaDir.toPath.resolve("version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val back = DeltaTable.convertFromIceberg(spark, dir)
+    // scope decodes through the column-name fallback: only part=x's
+    // matching row dies; part=y's named id survives
+    assert(back.toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L, 4L), back.toDF.collect().mkString(", "))
+  }
+
   test("re-sync diff commits stream through commitLarge past the threshold") {
     import spark.implicits._
     import org.apache.avro.generic.{GenericData, GenericDatumWriter}
@@ -2559,6 +2841,80 @@ class IcebergUniformSuite extends AnyFunSuite {
       assert(idsNow.get(l).contains(id), s"file $l changed id across re-sync")
     }
     assert(RowTracking.highWaterMark(snap.domainMetadata) == nextRowId - 1)
+  }
+
+  test("re-sync refuses lineage onto a table adopted WITHOUT lineage") {
+    // row tracking enabled AFTER a non-lineage adoption assigns local
+    // ids from 0; a later re-sync must NOT stamp foreign first_row_ids
+    // (they could collide below the high-water mark) — gated on the
+    // persisted LineageMarkerKey, not on row tracking being enabled
+    val dir = tmp()
+    val t = mkV3(dir)
+    t.write(df((1L, "a", "x"), (2L, "b", "x")), partitionBy = Seq("part"))
+    val metaDir = new java.io.File(dir, "metadata")
+    val hintA = new String(Files.readAllBytes(
+      metaDir.toPath.resolve("version-hint.text"))).trim
+    t.write(df((3L, "c", "y")), partitionBy = Seq("part"))
+    val hintB = new String(Files.readAllBytes(
+      metaDir.toPath.resolve("version-hint.text"))).trim
+    assert(hintA != hintB)
+    // strip next-row-id from snapshot A's metadata: the initial adoption
+    // sees a v3 table with no lineage to import
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val vA = metaDir.toPath.resolve(s"v$hintA.metadata.json")
+    val rootA = mapper.readTree(Files.readAllBytes(vA))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    rootA.remove("next-row-id")
+    Files.deleteIfExists(metaDir.toPath.resolve(s".v$hintA.metadata.json.crc"))
+    Files.write(vA, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(rootA))
+    Files.deleteIfExists(metaDir.toPath.resolve(".version-hint.text.crc"))
+    Files.write(metaDir.toPath.resolve("version-hint.text"),
+      hintA.getBytes("UTF-8"))
+    val logDir = new java.io.File(dir, "_delta_log")
+    Files.walk(logDir.toPath).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+    val t2 = DeltaTable.convertFromIceberg(spark, dir)
+    val snapA = t2.deltaLog.update()
+    assert(!snapA.metadata.configuration.contains(
+      IcebergMetadata.LineageMarkerKey), "non-lineage adoption, no marker")
+    assert(!RowTracking.enabled(snapA.metadata))
+    assert(snapA.allFiles.forall(_.baseRowId.isEmpty))
+    // enable row tracking Delta-side and assign LOCAL ids from 0
+    val txn2 = t2.deltaLog.startTransaction()
+    txn2.updateMetadata(txn2.metadata.copy(configuration =
+      txn2.metadata.configuration + ("delta.enableRowTracking" -> "true")))
+    txn2.commit(Nil, Op.SetTableProperties)
+    t2.backfillRowIds()
+    val localHwm = RowTracking.highWaterMark(t2.deltaLog.update().domainMetadata)
+    assert(localHwm >= 0L, "backfill must have assigned local ids")
+    // re-sync to snapshot B (which HAS next-row-id + first_row_ids):
+    // lineage import must be refused — marker absent
+    Files.deleteIfExists(metaDir.toPath.resolve(".version-hint.text.crc"))
+    Files.write(metaDir.toPath.resolve("version-hint.text"),
+      hintB.getBytes("UTF-8"))
+    val t3 = DeltaTable.convertFromIceberg(spark, dir)
+    val snapB = t3.deltaLog.update()
+    assert(!snapB.metadata.configuration.contains(
+      IcebergMetadata.LineageMarkerKey))
+    def leaf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val fridByLeaf: Map[String, Long] = dataEntriesOf(dir).flatMap { e =>
+      val d0 = e.get("data_file").asInstanceOf[GenericRecord]
+      Option(d0.get("first_row_id")).map(v =>
+        leaf(d0.get("file_path").toString) -> v.asInstanceOf[Long])
+    }.toMap
+    // the re-synced NEW file got a fresh local id above the local mark,
+    // not its foreign first_row_id
+    val newFiles = snapB.allFiles.filter(a =>
+      !snapA.allFiles.exists(_.path == a.path))
+    assert(newFiles.nonEmpty)
+    newFiles.foreach { a =>
+      assert(a.baseRowId.exists(_ > localHwm),
+        s"fresh local id above $localHwm expected, got ${a.baseRowId}")
+      val frid = fridByLeaf.get(leaf(a.path))
+      assert(frid.isEmpty || !a.baseRowId.contains(frid.get) ||
+        frid.get > localHwm,
+        s"foreign frid $frid must not be stamped below the local mark")
+    }
   }
 
   test("mirrorFromIceberg: out-of-place, source untouched, re-sync remembers the source") {

@@ -141,6 +141,31 @@ class RowTrackingSuite extends AnyFunSuite {
     assert(RowTracking.highWaterMark(log.update().domainMetadata) >= 9L)
   }
 
+  test("a declared mark with NO fresh row-id assignment still re-clamps per retry") {
+    // the declaresRtDomain-only path: a commit of only removes plus the
+    // declared mark (e.g. a mirror re-sync that shrinks the table) has
+    // needsRowIds=false, so without per-attempt serialization attempt 0's
+    // clamped value would be re-written verbatim over a concurrent
+    // winner's HIGHER mark
+    val t = rtTable()
+    t.write(seed(0, 4).coalesce(1), SaveMode.Append) // rows 0..3, hwm 3
+    val log = t.deltaLog
+    val snap = log.update()
+    val victim = snap.allFiles.head
+    val txn1 = new OptimisticTransaction(log, snap)
+    val txn2 = new OptimisticTransaction(log, snap)
+    // winner: fresh assignment raises the mark to 8
+    txn1.commit(Seq(AddFile("part-winner2.parquet", Map.empty, 1L, 0L,
+      stats = """{"numRecords":5}""")), Op.Write)
+    // loser: a remove + a stale declared mark of 5 — no adds at all
+    txn2.commit(Seq(
+      RemoveFile(victim.path, Some(1L), dataChange = true),
+      DomainMetadata(RowTracking.Domain, RowTracking.configJson(5L))),
+      Op.Delete)
+    assert(RowTracking.highWaterMark(log.update().domainMetadata) == 8L,
+      "retried declared-only commit must re-clamp against the winner")
+  }
+
   test("high-water mark and baseRowIds survive a checkpoint") {
     val t = rtTable(Map("delta.checkpointInterval" -> "3"))
     (0 until 4).foreach(i => t.write(seed(i * 2, i * 2 + 2).coalesce(1), SaveMode.Append))
