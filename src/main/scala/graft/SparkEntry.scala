@@ -23,7 +23,11 @@ object SparkEntry {
     // round-18: the amortized probe-over-maintained-index shape, so the
     // production ANN number (no in-query build) trends alongside
     // ann_ivf_trained's build-included number
-    "ann_index_admit")
+    "ann_index_admit",
+    // round-19: the UniForm incremental-generation shape — one append +
+    // retract pair over seeded manifest history; O(live-files) drift in
+    // the metadata layer shows up here, not first in a scale sweep
+    "delta_uniform_incremental")
 
   /** Every implemented operator, in SURVEY §2 order. */
   def registry: Seq[GQ] = {

@@ -521,6 +521,31 @@ object DeltaQueries {
       t.write(extra)
     }
 
+  /** CDF spanning a RENAME COLUMN boundary (A18 × A32): CDC and data
+    * files store PHYSICAL names, so one range crossing the rename reads
+    * consistently and presents rows under the END schema's logical names.
+    */
+  private def cdfRenameFixture(s: SparkSession, d: String): String =
+    fixture(s, d, "cdf-rename") { dir =>
+      val t = DeltaTable.forPath(s, dir)
+      val nation = table(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val txn = t.deltaLog.startTransaction()
+      txn.updateMetadata(Metadata(
+        schemaString = nation.schema.json,
+        configuration = Map("delta.enableChangeDataFeed" -> "true")))
+      txn.commit(Nil, Op.CreateTable)             // v0
+      t.write(nation)                             // v1: 25 inserts
+      t.delete(col("n_regionkey") === 2)          // v2: CDC row deletes
+      t.renameColumn("n_name", "nation_name")     // v3: metadata-only
+      t.write(nation.filter(col("n_nationkey") < 5)
+        .select((col("n_nationkey") + 100).as("n_nationkey"),
+          upper(col("n_name")).as("nation_name"),
+          col("n_regionkey")))                    // v4: 5 post-rename inserts
+      t.update(col("n_nationkey") === 101,
+        Map("nation_name" -> lit("XX")))          // v5: CDC update pre/post
+    }
+
   private def restoreFixture(s: SparkSession, d: String): String =
     fixture(s, d, "restore") { dir =>
       val t = DeltaTable.forPath(s, dir)
@@ -727,6 +752,38 @@ object DeltaQueries {
         SELECT nk, n_name, rk, 'delete', CAST(1 AS BIGINT) FROM n WHERE rk = 2
         UNION ALL
         SELECT nk, n_name, rk, 'insert', CAST(2 AS BIGINT) FROM n WHERE nk < 5)
+      ORDER BY _commit_version, n_nationkey, _change_type""")),
+
+    // A18 × A32: CDF across a RENAME COLUMN boundary — the range spans
+    // pre-rename inserts + CDC deletes, the rename itself, and
+    // post-rename inserts + a CDC update; every row resolves through
+    // stable physical names and surfaces under the END logical schema
+    GQ("delta_cdf_rename", (s, d) => {
+      val dir = cdfRenameFixture(s, d)
+      DeltaTable.forPath(s, dir).tableChanges(0)
+        .select(col("n_nationkey").cast("int").as("n_nationkey"),
+          col("nation_name"), col("n_regionkey").cast("int").as("n_regionkey"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy(col("_commit_version"), col("n_nationkey"), col("_change_type"))
+    }, Some("""
+      WITH n AS (SELECT CAST(n_nationkey AS INTEGER) AS nk, n_name,
+                   CAST(n_regionkey AS INTEGER) AS rk FROM nation)
+      SELECT nk AS n_nationkey, nation_name, rk AS n_regionkey,
+             _change_type, _commit_version
+      FROM (
+        SELECT nk, n_name AS nation_name, rk, 'insert' AS _change_type,
+               CAST(1 AS BIGINT) AS _commit_version FROM n
+        UNION ALL
+        SELECT nk, n_name, rk, 'delete', CAST(2 AS BIGINT) FROM n WHERE rk = 2
+        UNION ALL
+        SELECT nk + 100, upper(n_name), rk, 'insert', CAST(4 AS BIGINT)
+        FROM n WHERE nk < 5
+        UNION ALL
+        SELECT nk + 100, upper(n_name), rk, 'update_preimage', CAST(5 AS BIGINT)
+        FROM n WHERE nk = 1
+        UNION ALL
+        SELECT nk + 100, 'XX', rk, 'update_postimage', CAST(5 AS BIGINT)
+        FROM n WHERE nk = 1)
       ORDER BY _commit_version, n_nationkey, _change_type""")),
 
     // DML: row-level DELETE through the touched-file rewrite path
@@ -1316,6 +1373,85 @@ object DeltaQueries {
       SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows
       FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    // A84 incremental-generation TREND (r18 verdict task 6): the measured
+    // operation is one APPEND commit of marker rows plus the DELETE that
+    // retracts them, each followed by its post-commit incremental Iceberg
+    // generation — both must cost O(the commit's own files), reusing every
+    // seeded manifest by reference. Content is invariant (markers in,
+    // markers out), so repeated bench passes measure identical work; if
+    // generation regresses to O(live-files) this number grows with the
+    // seeded history and the bench trend flags it.
+    GQ("delta_uniform_incremental", (s, d) => {
+      val dir = fixture(s, d, "uniform-incr") { dir =>
+        val t = DeltaTable.forPath(s, dir)
+        val orders = table(s, d, "orders")
+        val txn = t.deltaLog.startTransaction()
+        txn.updateMetadata(Metadata(
+          schemaString = orders.schema.json,
+          partitionColumns = Seq("o_orderstatus"),
+          configuration = Map(
+            "delta.universalFormat.enabledFormats" -> "iceberg")))
+        txn.commit(Nil, Op.CreateTable)
+        // seeded manifest history the measured commits must NOT rewrite
+        (0 until 5).foreach(i =>
+          t.write(orders.filter(pmod(col("o_orderkey"), lit(5)) === i),
+            SaveMode.Append, Seq("o_orderstatus")))
+      }
+      val t = DeltaTable.forPath(s, dir)
+      val orders = table(s, d, "orders")
+      val markers = orders.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+        .withColumn("o_orderkey", -col("o_orderkey") - 1) // strictly < 0
+      t.write(markers, SaveMode.Append, Seq("o_orderstatus"))
+      // reuse-by-reference probe: the post-append manifest list must carry
+      // the seeded manifests under their ORIGINAL snapshot ids
+      locally {
+        val log = t.deltaLog
+        val hconf = s.sessionState.newHadoopConf()
+        val metaDir = IcebergMetadata.metadataDir(log)
+        val fsys = metaDir.getFileSystem(hconf)
+        def readAllBytes(p: org.apache.hadoop.fs.Path): Array[Byte] = {
+          val in = fsys.open(p)
+          try {
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var r = in.read(buf)
+            while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+            out.toByteArray
+          } finally in.close()
+        }
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val hint = new String(readAllBytes(
+          new org.apache.hadoop.fs.Path(metaDir, "version-hint.text")), "UTF-8").trim
+        val meta = mapper.readTree(readAllBytes(
+          new org.apache.hadoop.fs.Path(metaDir, s"v$hint.metadata.json")))
+        val curId = meta.get("current-snapshot-id").asLong
+        val listPath = {
+          import scala.jdk.CollectionConverters._
+          meta.get("snapshots").elements().asScala
+            .find(_.get("snapshot-id").asLong == curId).get
+            .get("manifest-list").asText
+        }
+        val addedBy: Seq[Long] = {
+          import scala.jdk.CollectionConverters._
+          val r = org.apache.avro.file.DataFileReader.openReader(
+            new org.apache.avro.mapred.FsInput(
+              new org.apache.hadoop.fs.Path(listPath), hconf),
+            new org.apache.avro.generic.GenericDatumReader[
+              org.apache.avro.generic.GenericRecord]())
+          try r.iterator().asScala
+            .map(_.get("added_snapshot_id").asInstanceOf[Long]).toList
+          finally r.close()
+        }
+        require(addedBy.count(_ != curId) >= 5,
+          s"incremental generation must reuse the seeded manifests by " +
+            s"reference; list carries added_snapshot_ids $addedBy (cur $curId)")
+      }
+      t.delete(col("o_orderkey") < 0L) // retract the markers (file-level)
+      t.toDF.select(ordersCols.map(col): _*).orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders ORDER BY o_orderkey""")),
+
     // UniForm + deletion vectors (A84, r17): a merge-on-read DELETE's DVs
     // become Iceberg v2 POSITION-DELETE parquet files. The query is the
     // Iceberg read path over the generated metadata: per-partition counts
@@ -1863,6 +1999,82 @@ object DeltaQueries {
         CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey
       FROM orders WHERE o_orderkey % 10 <> 7
       GROUP BY 1 ORDER BY 1""")),
+
+    // Iceberg v3 DEFAULT VALUES (A85 × A64, r19): the fixture builds an
+    // Iceberg table whose `bonus` column was added after the first batch
+    // (UniForm generates the metadata; the fixture then stamps
+    // initial-default/write-default on the column like a v3 writer
+    // would), drops the Delta identity, and adopts. Pre-evolution rows
+    // must read the initial-default (42), a REAL stored null must stay
+    // null, and a post-adoption write omitting the column must fill the
+    // imported write-default (7) — any null-fill shortcut breaks the hash.
+    GQ("delta_convert_defaults", (s, d) => {
+      import s.implicits._
+      val dir = fixture(s, d, "convert-defaults") { dir =>
+        val t = DeltaTable.forPath(s, dir)
+        val nation = table(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val txn = t.deltaLog.startTransaction()
+        txn.updateMetadata(Metadata(
+          schemaString = nation.schema.json,
+          configuration = Map(
+            "delta.enableRowTracking" -> "true",
+            "graft.iceberg.formatVersion" -> "3",
+            "delta.universalFormat.enabledFormats" -> "iceberg")))
+        txn.commit(Nil, Op.CreateTable)
+        t.write(nation) // batch A: files physically lack `bonus`
+        t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bonus",
+            org.apache.spark.sql.types.LongType))))
+        t.write(nation.filter(col("n_nationkey") < 5)
+          .select((col("n_nationkey") + 100).as("n_nationkey"), col("n_name"),
+            when(col("n_nationkey") === 1, lit(null))
+              .otherwise(col("n_nationkey") * 10).cast("long").as("bonus")))
+        // stamp the defaults a v3 writer would have recorded at ADD COLUMN
+        val metaDir = new java.io.File(dir, "metadata")
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val hint = new String(Files.readAllBytes(
+          metaDir.toPath.resolve("version-hint.text"))).trim
+        val mpath = metaDir.toPath.resolve(s"v$hint.metadata.json")
+        val root = mapper.readTree(Files.readAllBytes(mpath))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        root.get("schemas").elements().forEachRemaining { sch =>
+          sch.get("fields").elements().forEachRemaining { f =>
+            if (f.get("name").asText == "bonus") {
+              val fo = f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              fo.put("initial-default", 42L)
+              fo.put("write-default", 7L)
+            }
+          }
+        }
+        Files.deleteIfExists(metaDir.toPath.resolve(s".v$hint.metadata.json.crc"))
+        Files.write(mpath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+        // drop the Delta identity; adopt the pure Iceberg table
+        val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+        val fsys = logDir.getFileSystem(s.sessionState.newHadoopConf())
+        fsys.delete(logDir, true)
+        val back = DeltaTable.convertFromIceberg(s, dir)
+        // write-default: a post-adoption write omitting `bonus` fills 7
+        back.write(table(s, d, "nation").limit(1)
+          .select((col("n_nationkey") * 0 + 999).as("n_nationkey"),
+            lit("ZZZ").as("n_name")))
+      }
+      DeltaTable.forPath(s, dir).toDF
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("bonus"))
+        .orderBy(col("n_nationkey"))
+    }, Some("""
+      WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name FROM nation)
+      SELECT n_nationkey, n_name, bonus FROM (
+        SELECT nk AS n_nationkey, n_name, CAST(42 AS BIGINT) AS bonus FROM n
+        UNION ALL
+        SELECT nk + 100, n_name,
+               CASE WHEN nk = 1 THEN NULL ELSE CAST(nk * 10 AS BIGINT) END
+        FROM n WHERE nk < 5
+        UNION ALL
+        SELECT 999, 'ZZZ', CAST(7 AS BIGINT))
+      ORDER BY n_nationkey""")),
 
     // INCREMENTAL RE-SYNC (A85, r18): a table adopted from Iceberg keeps
     // mirroring the foreign writer. The fixture adopts snapshot 3 (batches

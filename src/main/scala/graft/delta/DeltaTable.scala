@@ -72,6 +72,12 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val md = s.metadata
     var df = org.apache.spark.sql.GraftShims
       .ofRows(spark, LogicalRelation(relation, isStreaming = false))
+    // adopted Iceberg v3 initial-defaults: rows from files that predate a
+    // defaulted column read the default, not null (per-file, tag-driven)
+    if (ReadDefaults.defaultedFields(md).nonEmpty && s.defaultFillFiles.nonEmpty)
+      df = ReadDefaults.fill(spark, deltaLog.dataPath, s.defaultFillFiles, md,
+        df, DeletionVectors.normFp(org.apache.spark.sql.functions
+          .col("_metadata.file_path")))
     // merge-on-read: drop DV-deleted rows before projecting _metadata away.
     // Gated on DESCRIPTOR PRESENCE, not the table property: the protocol
     // requires readers to honor DVs whenever files carry them (the
@@ -208,15 +214,29 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     val tsOf = deltaLog.commits().toMap
     val abs = (p: String) => FileNames.absolutePathString(deltaLog.dataPath, p)
 
+    // CDF resolves through PHYSICAL names under column mapping: data and
+    // CDC files both store physical column names (stable across RENAME /
+    // DROP COLUMN), so a range spanning a rename commit reads every file
+    // consistently and presents rows under the END snapshot's logical
+    // names — the contract pinned by ColumnMappingSuite. The __fname
+    // join key is captured from _metadata BEFORE the logical projection.
     def readAs(paths: Seq[String], changeType: Option[String]): DataFrame = {
+      val md = endSnap.metadata
+      ColumnMapping.prepareRead(spark, md)
+      val phys = ColumnMapping.physicalSchema(md)
       val readSchema = changeType match {
-        case Some(_) => schema
+        case Some(_) => phys
         case None => // CDC files carry their own _change_type column
-          schema.add("_change_type", org.apache.spark.sql.types.StringType)
+          phys.add("_change_type", org.apache.spark.sql.types.StringType)
       }
-      var df = spark.read.schema(readSchema)
+      val raw = spark.read.schema(readSchema)
         .option("basePath", deltaLog.dataPath.toString)
         .parquet(paths: _*)
+        .withColumn("__fname",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+      var df = ColumnMapping.toLogical(md, raw,
+        extra = Seq("__fname") ++
+          (if (changeType.isEmpty) Seq("_change_type") else Nil))
       changeType.foreach(ct => df = df.withColumn("_change_type", lit(ct)))
       df
     }
@@ -243,8 +263,6 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
                 (name, vs.head._1, tsOf.getOrElse(vs.head._1, 0L))
               }).toDF("__fname", "_commit_version", "__ts")
             Seq(readAs(unique.values.map(_.head._2).toSeq, changeType)
-              .withColumn("__fname",
-                element_at(split(col("_metadata.file_path"), "/"), -1))
               .join(broadcast(meta), "__fname")
               .withColumn("_commit_timestamp", timestamp_millis(col("__ts"))))
           }
@@ -551,7 +569,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
               readFilesDF(touched, md).filter(condTrue)
                 .withColumn("_change_type", lit("delete"))
                 .unionByName(data.select(schemaCols: _*)
-                  .withColumn("_change_type", lit("insert"))))
+                  .withColumn("_change_type", lit("insert"))), md)
           else Nil
         touched.map(_.remove(now)) ++ survivorAdds ++ adds ++ cdc
       case SaveMode.Overwrite if dynamicPartitionOverwrite && exists =>
@@ -578,7 +596,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
               readFilesDF(replaced, txn.metadata)
                 .withColumn("_change_type", lit("delete"))
                 .unionByName(data.select(schemaCols: _*)
-                  .withColumn("_change_type", lit("insert"))))
+                  .withColumn("_change_type", lit("insert"))), txn.metadata)
           } else Nil
         replaced.map(_.remove(now)) ++ adds ++ cdc
       case SaveMode.Overwrite =>
@@ -1587,8 +1605,10 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           ColumnMapping.physicalSchema(md).fields ++ extraPhysical))
         .option("basePath", deltaLog.dataPath.toString)
         .parquet(paths: _*)
-      ColumnMapping.toLogical(md,
-        DeletionVectors.filterDeleted(spark, deltaLog.dataPath, files, raw, keepKeys = true),
+      val keyed = ReadDefaults.fill(spark, deltaLog.dataPath, files, md,
+        DeletionVectors.filterDeleted(spark, deltaLog.dataPath, files, raw,
+          keepKeys = true), col("__fp"))
+      ColumnMapping.toLogical(md, keyed,
         extra = Seq("__fp", "__ri") ++ extraPhysical.map(_.name))
     } else {
       val dataSchema = org.apache.spark.sql.types.StructType(
@@ -1618,6 +1638,8 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         }
         keyed = keyed.drop("__pv_fp" +: partCols.map(c => s"__pv_$c"): _*)
       }
+      keyed = ReadDefaults.fill(spark, deltaLog.dataPath, files, md, keyed,
+        col("__fp"))
       ColumnMapping.toLogical(md, keyed,
         extra = Seq("__fp", "__ri") ++ extraPhysical.map(_.name))
     }
@@ -1702,7 +1724,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       if (DeltaConfig.EnableChangeDataFeed.fromMetadata(md))
         DeltaTable.writeCdcFiles(spark, deltaLog.dataPath,
           touchedDF.filter(condTrue).select(schemaCols: _*)
-            .withColumn("_change_type", lit("delete")))
+            .withColumn("_change_type", lit("delete")), md)
       else Nil
     // exact row metrics from file stats (delta-spark observability
     // parity): deleted = removed-file rows − surviving rewritten rows
@@ -1736,7 +1758,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         if (DeltaConfig.EnableChangeDataFeed.fromMetadata(md))
           DeltaTable.writeCdcFiles(spark, deltaLog.dataPath,
             matched.select(md.schema.fieldNames.map(col).toSeq: _*)
-              .withColumn("_change_type", lit("delete")))
+              .withColumn("_change_type", lit("delete")), md)
         else Nil
       // deleted rows = growth of the DV cardinalities across the commit
       val newCard = actions.collect {
@@ -1840,7 +1862,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
         DeltaTable.writeCdcFiles(spark, deltaLog.dataPath,
           matched.withColumn("_change_type", lit("update_preimage"))
             .unionByName(matched.select(postProj: _*)
-              .withColumn("_change_type", lit("update_postimage"))))
+              .withColumn("_change_type", lit("update_postimage"))), md)
       } else Nil
     txn.commit(removes ++ adds ++ cdc, Op.Update,
       operationParameters = Map(
@@ -1885,7 +1907,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
             matched.select(md.schema.fieldNames.map(col).toSeq: _*)
               .withColumn("_change_type", lit("update_preimage"))
               .unionByName(newImages
-                .withColumn("_change_type", lit("update_postimage"))))
+                .withColumn("_change_type", lit("update_postimage"))), md)
         else Nil
       txn.commit(maskActions ++ adds ++ cdc, Op.Update,
         operationParameters = Map(
@@ -2714,10 +2736,23 @@ object DeltaTable {
     * under `_change_data/`, returning AddCDCFile actions. CDC files keep
     * partition columns as DATA columns (no hive dirs): a CDF reader wants
     * the full row back, and `_change_data` is not a `k=v` path segment so
-    * it must not participate in partition discovery.
+    * it must not participate in partition discovery. Under column mapping
+    * the data columns are written by PHYSICAL name, same as data files —
+    * the property that lets tableChanges read a CDF range spanning a
+    * RENAME COLUMN commit (logical names move, physical names don't).
     */
   private[delta] def writeCdcFiles(
-      spark: SparkSession, dataPath: Path, df: DataFrame): Seq[AddCDCFile] = {
+      spark: SparkSession, dataPath: Path, df0: DataFrame,
+      md: Metadata): Seq[AddCDCFile] = {
+    val aliases = ColumnMapping.writeAliases(md)
+    val df =
+      if (aliases.isEmpty) df0
+      else df0.select(df0.columns.map { c =>
+        aliases.get(c) match {
+          case Some((p, m)) => org.apache.spark.sql.functions.col(c).as(p, m)
+          case None => org.apache.spark.sql.functions.col(c)
+        }
+      }.toSeq: _*)
     val conf = spark.sessionState.newHadoopConf()
     val fs = dataPath.getFileSystem(conf)
     val staging = new Path(dataPath, s".staging-cdc-${UUID.randomUUID}")

@@ -217,7 +217,8 @@ object IcebergMetadata {
     * invariant.
     */
   private[delta] def icebergSchema(schema: StructType, mapped: Boolean,
-      prevIds: Map[String, Int] = Map.empty, prevLastColumnId: Int = 0):
+      prevIds: Map[String, Int] = Map.empty, prevLastColumnId: Int = 0,
+      formatVersion: Int = 2):
       (com.fasterxml.jackson.databind.node.ObjectNode, Int, Map[String, Int],
         com.fasterxml.jackson.databind.node.ArrayNode) = {
     var nextId = 1 + math.max(prevLastColumnId,
@@ -335,6 +336,19 @@ object IcebergMetadata {
       fo.put("id", id)
       fo.put("name", f.name)
       fo.put("required", !f.nullable)
+      // v3 defaults: an adopted initial-default round-trips verbatim;
+      // a FOLDABLE Delta CURRENT_DEFAULT exports as write-default
+      // (writer-side convenience — non-literal defaults are omitted)
+      if (formatVersion >= 3) {
+        if (f.metadata.contains(ReadDefaults.InitialKey))
+          fo.set[com.fasterxml.jackson.databind.JsonNode]("initial-default",
+            mapper.readTree(f.metadata.getString(ReadDefaults.InitialKey)))
+        if (f.metadata.contains(ColumnDefaults.CurrentKey))
+          ReadDefaults.jsonOfSql(f.dataType,
+              f.metadata.getString(ColumnDefaults.CurrentKey))
+            .foreach(j => fo.set[com.fasterxml.jackson.databind.JsonNode](
+              "write-default", mapper.readTree(j)))
+      }
       val entry = mapEntry(rootMapping, id, phys)
       val sub = mapper.createArrayNode()
       fo.putPOJO("type", typeJson(f.dataType, s"$phys.", sub))
@@ -645,7 +659,7 @@ object IcebergMetadata {
       .getOrElse(Map.empty)
 
     val (schemaJson, lastColumnId, fieldIds, nameMapping) =
-      icebergSchema(schema, mapped, prevIds, prevLastColumnId)
+      icebergSchema(schema, mapped, prevIds, prevLastColumnId, formatVersion)
     // schema-id: reuse the previous id when the field tree is unchanged,
     // else mint the next one and RETAIN the prior schemas — accumulated
     // snapshots reference their own schema-id, so a time-travel read
@@ -1855,24 +1869,24 @@ object IcebergMetadata {
     val rawFields: Seq[(Int, StructField)] =
       schemaNode.get("fields").elements().asScala.map { f =>
         val id = f.get("id").asInt
-        // a non-null `initial-default` (Iceberg v3) is a READ-time
-        // substitution: files written before the column existed must
-        // read the default, not null. Delta's parquet read yields null
-        // for a missing column and has no per-file default channel, so
-        // adopting such a schema would SILENTLY misread exactly those
-        // rows — refuse loudly instead (`write-default` is writer-side
-        // only and safe to ignore: every adopted file already holds its
-        // values)
+        val dt = sparkTypeOf(f.get("type"))
+        // Iceberg v3 defaults (A85 × A64): `write-default` maps onto
+        // Delta's writer-side CURRENT_DEFAULT; `initial-default` is a
+        // READ-time substitution for files that predate the column —
+        // imported as field metadata + per-file missing tags and served
+        // by ReadDefaults.fill (translation failures refuse loudly
+        // inside sqlLiteral/defaultColumn, never a silent null)
+        var fmd = new MetadataBuilder()
         Option(f.get("initial-default")).filterNot(_.isNull).foreach { d =>
-          throw new UnsupportedOperationException(
-            s"field '${f.get("name").asText}' carries a non-null " +
-              s"initial-default ($d); files written before the column " +
-              "existed read that default in Iceberg, which this adoption " +
-              "cannot honor — drop the default (or rewrite the old " +
-              "files) before converting")
+          ReadDefaults.sqlLiteral(dt, d.toString) // validate the shape now
+          fmd = fmd.putString(ReadDefaults.InitialKey, d.toString)
         }
-        (id, StructField(f.get("name").asText, sparkTypeOf(f.get("type")),
-          nullable = !f.get("required").asBoolean))
+        Option(f.get("write-default")).filterNot(_.isNull).foreach { d =>
+          fmd = fmd.putString(ColumnDefaults.CurrentKey,
+            ReadDefaults.sqlLiteral(dt, d.toString))
+        }
+        (id, StructField(f.get("name").asText, dt,
+          nullable = !f.get("required").asBoolean, fmd.build()))
       }.toSeq
     val needsMapping = rawFields.exists { case (id, f) =>
       physById.get(id).exists(_ != f.name)
@@ -2049,14 +2063,24 @@ object IcebergMetadata {
     val statsFields: Seq[(Int, String, DataType)] =
       idToField.toSeq.map { case (id, (nm, dt)) => (id, nm, dt) }
 
+    // fields with an initial-default: (field id, logical name, parquet
+    // footer name). When non-empty, the per-file decode below opens each
+    // data file's FOOTER (distributed, one small read per file, only for
+    // tables that declare defaults) to record which files physically
+    // lack the column — the per-file knowledge ReadDefaults.fill needs.
+    val initialDefaulted: Seq[(Int, String, String)] = rawFields.collect {
+      case (id, f) if f.metadata.contains(ReadDefaults.InitialKey) =>
+        (id, f.name, physById.getOrElse(id, f.name))
+    }
     // ---- data-manifest entries: DISTRIBUTED, one task per manifest
     // (the per-file SEQUENCE NUMBER rides along: equality deletes apply
     // only to strictly-older files). The rows stay an RDD — cached, NOT
     // collected: the commit streams AddFiles from it (commitLarge past
     // the threshold), so a 10^7-file adoption never materializes
-    // O(#files) stats JSON on the driver.
+    // O(#files) stats JSON on the driver. The trailing element is the
+    // ReadDefaults missing-columns JSON (null when none).
     val dataManifests = manifests.collect { case (p, 0, sid, sq) => (p, sid, sq) }
-    val fileRows: org.apache.spark.rdd.RDD[(String, Map[String, String], Long, Long, String, Long, Option[Long], Int, Map[String, String])] =
+    val fileRows: org.apache.spark.rdd.RDD[(String, Map[String, String], Long, Long, String, Long, Option[Long], Int, Map[String, String], String)] =
       spark.sparkContext
         .parallelize(dataManifests, math.max(1, dataManifests.size))
         .flatMap { case (p, manSpecId, listSeq) =>
@@ -2172,6 +2196,33 @@ object IcebergMetadata {
                   nm -> (if (v == null) null else canonPartValue(v))
                 }.toMap
               }
+              // initial-defaults: which defaulted columns does this file
+              // physically lack? Decided from the parquet FOOTER (field
+              // id first, writer name fallback) — the authoritative
+              // per-file rule Iceberg readers apply
+              val missingJson: String =
+                if (initialDefaulted.isEmpty) null
+                else {
+                  val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+                    org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                      new Path(df.get("file_path").toString), serConf.value))
+                  val absent =
+                    try {
+                      val sch = rdr.getFooter.getFileMetaData.getSchema
+                      val fs0 = sch.getFields.asScala
+                      initialDefaulted.filterNot { case (fid, _, footerNm) =>
+                        fs0.exists(t =>
+                          Option(t.getId).exists(_.intValue == fid) ||
+                            t.getName == footerNm)
+                      }.map(_._2)
+                    } finally rdr.close()
+                  if (absent.isEmpty) null
+                  else {
+                    val arr = statsMapper.createArrayNode()
+                    absent.foreach(arr.add)
+                    statsMapper.writeValueAsString(arr)
+                  }
+                }
               Some((df.get("file_path").toString, pvs,
                 df.get("file_size_in_bytes").asInstanceOf[Long],
                 df.get("record_count").asInstanceOf[Long],
@@ -2184,7 +2235,7 @@ object IcebergMetadata {
                 (if (df.getSchema.getField("first_row_id") == null) None
                  else Option(df.get("first_row_id"))
                    .map(_.asInstanceOf[Long])),
-                manSpecId, rawTuple))
+                manSpecId, rawTuple, missingJson))
             }
           }.toList
           finally r.close()
@@ -2443,7 +2494,7 @@ object IcebergMetadata {
     val nowForAdds = now
     val lineageForAdds = lineageImport
     val addsDS = spark.createDataset(fileRows)
-      .map { case (abs, pvs, size, _, stats, _, frid, _, _) =>
+      .map { case (abs, pvs, size, _, stats, _, frid, _, _, missing) =>
         val root = new Path(rootStrForAdds)
         val rel = FileNames.underTableRoot(root, abs)
           .filter(_ != rootUriPath)
@@ -2456,6 +2507,8 @@ object IcebergMetadata {
           modificationTime = nowForAdds,
           dataChange = true,
           stats = stats,
+          tags = if (missing == null) null
+            else Map(ReadDefaults.MissingTag -> missing),
           deletionVector = dv,
           // v3 lineage: the Iceberg first_row_id IS the baseRowId; the
           // commit stamps defaultRowCommitVersion per attempt
@@ -2491,6 +2544,15 @@ object IcebergMetadata {
           (if (lineageImport) Map(
             "delta.enableRowTracking" -> "true",
             LineageMarkerKey -> "true")
+           else Map.empty) ++
+          // v3 defaults: write-default -> A64 writer feature;
+          // initial-default -> the per-file read-fill READER feature, so
+          // a client that would silently null-fill refuses loudly
+          (if (schema.fields.exists(_.metadata.contains(ColumnDefaults.CurrentKey)))
+            Map(s"delta.feature.${ColumnDefaults.FeatureName}" -> "supported")
+           else Map.empty) ++
+          (if (initialDefaulted.nonEmpty)
+            Map(s"delta.feature.${ReadDefaults.FeatureName}" -> "supported")
            else Map.empty)
         val txn = log.startTransaction()
         txn.updateMetadata(graft.delta.Metadata(
@@ -2567,10 +2629,11 @@ object IcebergMetadata {
           .toDF("fp", "add")
         val iceDF = spark.createDataset(fileRows)
           .toDF("fp", "pvs", "size", "rc", "stats", "seq", "frid",
-            "specid", "ptuple")
+            "specid", "ptuple", "missing")
         val newFilesDS = iceDF.join(deltaState, Seq("fp"), "left_anti")
-          .select(col("fp"), col("pvs"), col("size"), col("stats"), col("frid"))
-          .as[(String, Map[String, String], Long, String, Option[Long])]
+          .select(col("fp"), col("pvs"), col("size"), col("stats"),
+            col("frid"), col("missing"))
+          .as[(String, Map[String, String], Long, String, Option[Long], Option[String])]
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val goneDS = deltaState.join(iceDF, Seq("fp"), "left_anti")
           .select(col("add.*")).as[AddFile]
@@ -2600,7 +2663,8 @@ object IcebergMetadata {
         // unchanged, only the mask moved
         def mkAdd(abs: String, pvs: Map[String, String], size: Long,
             stats: String, base: Option[Long],
-            dcv: Option[Long]): AddFile = {
+            dcv: Option[Long],
+            tags: Map[String, String] = null): AddFile = {
           val root = new Path(rootStrForAdds)
           val rel = FileNames.underTableRoot(root, abs)
             .filter(_ != rootUriPath)
@@ -2609,6 +2673,7 @@ object IcebergMetadata {
             path = rel.map(FileNames.encodeRelative).getOrElse(abs),
             partitionValues = pvs, size = size, modificationTime = now,
             dataChange = dataChg, stats = stats,
+            tags = tags,
             deletionVector = dvByFp
               .get(abs.replaceFirst("^file:/+", "/")).orNull,
             baseRowId = base, defaultRowCommitVersion = dcv)
@@ -2660,12 +2725,13 @@ object IcebergMetadata {
                   case (a, abs, pvs, size, stats) =>
                     Iterator(mkRemove(a): Action,
                       mkAdd(abs, pvs, size, stats, a.baseRowId,
-                        a.defaultRowCommitVersion): Action)
+                        a.defaultRowCommitVersion, a.tags): Action)
                 } ++
                 newFilesDS.toLocalIterator().asScala.map {
-                  case (abs, pvs, size, stats, frid) =>
-                    mkAdd(abs, pvs, size, stats, newFileBase(frid),
-                      None): Action
+                  case (abs, pvs, size, stats, frid, missing) =>
+                    mkAdd(abs, pvs, size, stats, newFileBase(frid), None,
+                      missing.map(m =>
+                        Map(ReadDefaults.MissingTag -> m)).orNull): Action
                 } ++ syncLineageDomain.iterator
             txn.commitLarge(it, Op.Convert,
               operationParameters = syncParams + ("streamed" -> "true"))
@@ -2676,10 +2742,13 @@ object IcebergMetadata {
             val addsOut: Seq[Action] =
               commonChangedDS.collect().map { case (a, abs, pvs, size, stats) =>
                 mkAdd(abs, pvs, size, stats, a.baseRowId,
-                  a.defaultRowCommitVersion): Action
+                  a.defaultRowCommitVersion, a.tags): Action
               }.toSeq ++
-                newFilesDS.collect().map { case (abs, pvs, size, stats, frid) =>
-                  mkAdd(abs, pvs, size, stats, newFileBase(frid), None): Action
+                newFilesDS.collect().map {
+                  case (abs, pvs, size, stats, frid, missing) =>
+                    mkAdd(abs, pvs, size, stats, newFileBase(frid), None,
+                      missing.map(m =>
+                        Map(ReadDefaults.MissingTag -> m)).orNull): Action
                 }
             txn.commit(removes ++ addsOut ++ syncLineageDomain, Op.Convert,
               operationParameters = syncParams)

@@ -350,7 +350,7 @@ final class MergeBuilder private[delta] (
       val nSrc = srcAcc.value.longValue
       val cdc =
         if (cdfOn) DeltaTable.writeCdcFiles(spark, log.dataPath,
-          insDF.withColumn("_change_type", lit("insert")))
+          insDF.withColumn("_change_type", lit("insert")), md)
         else Nil
       // inserted rows come free from the written files' stats; when any
       // file lacks numRecords the target-row metrics are OMITTED, never
@@ -489,7 +489,8 @@ final class MergeBuilder private[delta] (
           }
           val all = cdcFrames.result()
           if (all.isEmpty) Nil
-          else DeltaTable.writeCdcFiles(spark, log.dataPath, all.reduce(_ unionByName _))
+          else DeltaTable.writeCdcFiles(spark, log.dataPath,
+            all.reduce(_ unionByName _), md)
         } else Nil
       val allActions0 = removes ++ adds ++ cdc
       // an empty merge still records the idempotent txn id, so a replay

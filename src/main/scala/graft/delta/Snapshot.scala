@@ -234,6 +234,16 @@ class Snapshot(
         element_at($"tags", DeletionVectors.PathTag).isNotNull))
     .as[AddFile].collect().toSeq
 
+  /** Files tagged as physically lacking an initial-defaulted column
+    * (adopted Iceberg v3 tables — see [[ReadDefaults]]). Only evaluated
+    * when the metadata declares defaulted fields, so ordinary tables pay
+    * nothing.
+    */
+  lazy val defaultFillFiles: Seq[AddFile] = activeFilesDF
+    .where($"tags".isNotNull &&
+      element_at($"tags", ReadDefaults.MissingTag).isNotNull)
+    .as[AddFile].collect().toSeq
+
   // ------------------------------------------------------- driver-side API
 
   /** How many times this snapshot's FULL file list was materialized on
@@ -423,16 +433,20 @@ object Snapshot {
   val SupportedReaderVersion = 2
   val SupportedWriterVersion = 6
 
+  // graftReadDefaults: per-file initial-default substitution for adopted
+  // Iceberg v3 tables (ReadDefaults) — a READER feature, because a
+  // client that null-fills the tagged files would silently misread them
   val SupportedReaderFeatures: Set[String] =
     Set("columnMapping", "deletionVectors", "vacuumProtocolCheck",
-      "v2Checkpoint", "typeWidening", "timestampNtz", "variantType")
+      "v2Checkpoint", "typeWidening", "timestampNtz", "variantType",
+      "graftReadDefaults")
   val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "generatedColumns", "columnMapping", "deletionVectors",
       "identityColumns", "vacuumProtocolCheck", "domainMetadata",
       "rowTracking", "v2Checkpoint", "typeWidening", "timestampNtz",
       "inCommitTimestamp", "allowColumnDefaults", "variantType",
-      "checkpointProtection", "coordinatedCommits")
+      "checkpointProtection", "coordinatedCommits", "graftReadDefaults")
   final class InvalidProtocolVersionException(msg: String)
     extends RuntimeException(msg)
   /** Recursively nullable variant of a schema (StructType.asNullable is

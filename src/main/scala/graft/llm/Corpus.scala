@@ -1125,10 +1125,16 @@ object Corpus {
     val s = docs.sparkSession
     import s.implicits._
     val maxDict = s.conf.get("spark.graft.bpe.maxDictWords", "4000000").toInt
+    // order-stable probe: the limit is applied to a (freq desc, word)
+    // sorted dict, so near-cap corpora behave reproducibly — the rows a
+    // plan change could swap in or out of the collected window are
+    // pinned, not whichever partitions answered first. The sort is
+    // dict-sized (post-aggregation), not corpus-sized.
     val dict = docs
       .select(explode(graft.queries.QueryDefs.tokens(col("text"))).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("n"))
       .filter($"n" >= minFreq)
+      .orderBy($"n".desc, $"w")
       .limit(maxDict + 1)
       .as[(String, Long)].collect()
     require(dict.length <= maxDict,

@@ -69,6 +69,109 @@ object Dedup {
     inter / (tot - inter)
   }
 
+  /** Exact-duplicate collapse BEFORE the candidate join — the
+    * degenerate-band-key guard. Identical shingle SETS (boilerplate
+    * pages, mirrored docs) share every band, so k copies of one page put
+    * k rows on each of their band keys and the candidate join emits
+    * k\u00b2/2 pairs out of that ONE key — a skewed quadratic shuffle, the
+    * classic scale-killer on a real web corpus. Collapsing to ONE
+    * representative per distinct set (the group's min doc_id) before the
+    * join and expanding results back over members afterwards is
+    * semantics-preserving: identical sets have identical signatures,
+    * identical band keys, jaccard exactly 1.0 with each other, and
+    * identical jaccard against every third document.
+    *
+    * Scale shape: ONE heavy scan (shingles + signature + content
+    * fingerprint per row — all per-row expressions), checkpointed as
+    * id+hash rows so both consumers reuse it without recomputing; the
+    * shingle ARRAYS never shuffle. Rep bands come from a map-side-
+    * combined groupBy (a hot fingerprint ships one row per map
+    * partition, never k); the member map is a window over id-pairs.
+    * Residual near-dup (not exact) band skew is AQE skew-join territory.
+    *
+    * Returns (repBands, members): repBands = (doc_id, b, bkey) band rows
+    * of one representative per distinct content; members = (doc_id,
+    * rep_id, gsize) mapping every input doc to its representative.
+    */
+  private[llm] def collapsedBands(docs: DataFrame, numBands: Int,
+      rowsPer: Int): (DataFrame, DataFrame) = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // \u0001 never occurs in a shingle ([a-z0-9 ] only), so the joined
+    // string is an unambiguous encoding of the sorted set
+    val bandsFp = stableCheckpoint(docs
+      .withColumn("fp", md5(concat_ws("\u0001", array_sort($"sh"))))
+      .withColumn("sig", minhashSig($"sh"))
+      .select($"doc_id", $"fp",
+        bandCols($"sig", numBands, rowsPer).as(Seq("b", "bkey"))))
+    // all docs of one fp share every (b, bkey), so grouping by
+    // (b, bkey, fp) collapses each group to its min id per band
+    val repBands = bandsFp.groupBy($"b", $"bkey", $"fp")
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id", $"b", $"bkey")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+    val members = bandsFp.filter($"b" === 0)
+      .select($"doc_id",
+        min($"doc_id").over(w).as("rep_id"),
+        count(lit(1)).over(w).as("gsize"))
+    (repBands, members)
+  }
+
+  /** posexplode'd (b, bkey) band columns for a signature column at the
+    * given banding layout.
+    */
+  private def bandCols(sigCol: Column, numBands: Int, rowsPer: Int): Column =
+    posexplode(array((0 until numBands).map { b =>
+      concat_ws("|",
+        (0 until rowsPer).map(r => element_at(sigCol, b * rowsPer + r + 1)): _*)
+    }: _*))
+
+  /** Verified near-dup pairs over representatives: band join for
+    * candidates, exact jaccard on candidates only (the shingle joins
+    * read the representatives' own rows straight from `docs` — a
+    * representative IS a real document). Output (doc_a, doc_b, jaccard)
+    * with doc_a < doc_b, jaccard >= threshold.
+    */
+  private[llm] def verifiedRepPairs(docs: DataFrame, repBands: DataFrame,
+      threshold: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val l = repBands.select($"doc_id".as("doc_a"), $"b", $"bkey")
+    val r = repBands.select($"doc_id".as("doc_b"), $"b", $"bkey")
+    val cand = l.join(r, Seq("b", "bkey")).filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    cand
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sa")), Seq("doc_a"))
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sb")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard($"sa", $"sb"))
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+  }
+
+  /** Expand representative-level pairs back over group members. Cross-
+    * group pairs inherit the representatives' jaccard (identical sets);
+    * within-group pairs (k >= 2 exact copies) have jaccard exactly 1.0 —
+    * the same value the uncollapsed pipeline computes, since
+    * n/(2n - n) = 1.0 in IEEE double. The expansion joins are
+    * output-bounded: every joined row IS an output row.
+    */
+  private[llm] def expandPairs(repPairs: DataFrame,
+      members: DataFrame): DataFrame = {
+    val s = repPairs.sparkSession
+    import s.implicits._
+    val m = members.select($"rep_id", $"doc_id")
+    val cross = repPairs
+      .join(m.select($"rep_id".as("doc_a"), $"doc_id".as("da")), Seq("doc_a"))
+      .join(m.select($"rep_id".as("doc_b"), $"doc_id".as("db")), Seq("doc_b"))
+      .select(least($"da", $"db").as("doc_a"),
+        greatest($"da", $"db").as("doc_b"), $"jaccard")
+    val within = m.select($"rep_id", $"doc_id".as("da"))
+      .join(m.select($"rep_id", $"doc_id".as("db")), Seq("rep_id"))
+      .filter($"da" < $"db")
+      .select($"da".as("doc_a"), $"db".as("doc_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
   /** (doc_id, b, bkey) LSH band keys for a documents frame OR STREAM —
     * the per-row leg of the minhash pipeline (shingle -> signature ->
     * band keys), shared with the streaming admission operator (D12).
@@ -219,25 +322,12 @@ object Dedup {
       // hazard — recomputing the per-row shingle expression from the scan
       // is cheap CPU and shuffle-free
       val docs = shingled(s, d)
-      val sig = docs.withColumn("sig", minhashSig($"sh"))
-      // bands carry only (doc_id, band, key): the candidate join and the
-      // distinct shuffle ids, never the shingle arrays
-      val bands = sig.select(
-        $"doc_id",
-        posexplode(array((0 until NumBands).map { b =>
-          concat_ws("|",
-            (0 until NumHashes / NumBands).map(r => element_at($"sig", b * (NumHashes / NumBands) + r + 1)): _*)
-        }: _*)).as(Seq("b", "bkey")))
-      val l = bands.select($"doc_id".as("doc_a"), $"b", $"bkey")
-      val r = bands.select($"doc_id".as("doc_b"), $"b", $"bkey")
-      val cand = l.join(r, Seq("b", "bkey")).filter($"doc_a" < $"doc_b")
-        .select($"doc_a", $"doc_b").distinct()
-      cand
-        .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sa")), Seq("doc_a"))
-        .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sb")), Seq("doc_b"))
-        .withColumn("jaccard", jaccard($"sa", $"sb"))
-        .filter($"jaccard" >= 0.7)
-        .select($"doc_a", $"doc_b", $"jaccard")
+      // exact copies collapse to one representative per distinct shingle
+      // set before banding (the degenerate-band-key guard — see
+      // collapseExact); bands carry only (doc_id, band, key): the
+      // candidate join and the distinct shuffle ids, never shingle arrays
+      val (repBands, members) = collapsedBands(docs, NumBands, NumHashes / NumBands)
+      expandPairs(verifiedRepPairs(docs, repBands, 0.7), members)
         .orderBy($"doc_a", $"doc_b")
     }, Some(s"""
       WITH d AS ($duckShingled),
@@ -269,23 +359,9 @@ object Dedup {
     GQ("dedup_ngram_jaccard", (s, d) => {
       import s.implicits._
       val docs = shingled(s, d)
-      val sig = docs.withColumn("sig", minhashSig($"sh"))
-      val bands = sig.select(
-        $"doc_id",
-        posexplode(array((0 until 8).map { b =>
-          concat_ws("|",
-            element_at($"sig", 2 * b + 1), element_at($"sig", 2 * b + 2))
-        }: _*)).as(Seq("b", "bkey")))
-      val l = bands.select($"doc_id".as("doc_a"), $"b", $"bkey")
-      val r = bands.select($"doc_id".as("doc_b"), $"b", $"bkey")
-      val cand = l.join(r, Seq("b", "bkey")).filter($"doc_a" < $"doc_b")
-        .select($"doc_a", $"doc_b").distinct()
-      cand
-        .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sa")), Seq("doc_a"))
-        .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sb")), Seq("doc_b"))
-        .withColumn("jaccard", jaccard($"sa", $"sb"))
-        .filter($"jaccard" >= 0.5)
-        .select($"doc_a", $"doc_b", $"jaccard")
+      // same exact-copy collapse as C2, 8x2 banding for the looser 0.5 bar
+      val (repBands, members) = collapsedBands(docs, 8, 2)
+      expandPairs(verifiedRepPairs(docs, repBands, 0.5), members)
         .orderBy($"doc_a", $"doc_b")
     }, Some(s"""
       WITH d AS ($duckShingled),
@@ -317,30 +393,27 @@ object Dedup {
     GQ("dedup_cluster", (s, d) => {
       import s.implicits._
       val docs = shingled(s, d)
-      val sig = docs.withColumn("sig", minhashSig($"sh"))
-      val bands = sig.select(
-        $"doc_id",
-        posexplode(array((0 until NumBands).map { b =>
-          concat_ws("|",
-            (0 until NumHashes / NumBands).map(r => element_at($"sig", b * (NumHashes / NumBands) + r + 1)): _*)
-        }: _*)).as(Seq("b", "bkey")))
-      val l = bands.select($"doc_id".as("doc_a"), $"b", $"bkey")
-      val r = bands.select($"doc_id".as("doc_b"), $"b", $"bkey")
-      val cand = l.join(r, Seq("b", "bkey")).filter($"doc_a" < $"doc_b")
-        .select($"doc_a", $"doc_b").distinct()
-      val pairs = cand
-        .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sa")), Seq("doc_a"))
-        .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sb")), Seq("doc_b"))
-        .filter(jaccard($"sa", $"sb") >= 0.7)
+      // exact copies collapse to one representative BEFORE banding and
+      // connected components (the per-group pairs are implicit: k copies
+      // form a clique whose min is the group rep), so the candidate join
+      // and CC run on distinct contents only — the label expansion back
+      // over members is a linear id-only join. cluster_id stays the min
+      // doc id of the component: every member's id >= its group rep's id,
+      // so min over reps == min over docs.
+      val (repBands, members) = collapsedBands(docs, NumBands, NumHashes / NumBands)
+      val pairs = verifiedRepPairs(docs, repBands, 0.7)
         .select($"doc_a", $"doc_b")
-      // only docs that appear in dup pairs participate, a sliver of the
-      // corpus; labels are already materialized (localCheckpoint) so no
-      // cache outlives the call
+      // only contents that appear in dup pairs (or have >= 2 exact
+      // copies) participate, a sliver of the corpus; labels are already
+      // materialized (localCheckpoint) so no cache outlives the call
       val labels = connectedComponents(
         pairs.select($"doc_a".as("src"), $"doc_b".as("dst")))
-      labels
-        .select($"doc".as("doc_id"), $"lbl".as("cluster_id"),
-          ($"doc" === $"lbl").as("is_canonical"))
+      members
+        .join(labels.select($"doc".as("rep_id"), $"lbl"), Seq("rep_id"), "left")
+        .filter($"gsize" >= 2 || $"lbl".isNotNull)
+        .select($"doc_id",
+          coalesce($"lbl", $"rep_id").as("cluster_id"),
+          ($"doc_id" === coalesce($"lbl", $"rep_id")).as("is_canonical"))
         .orderBy($"doc_id")
     }, Some(s"""
       WITH RECURSIVE d AS ($duckShingled),
@@ -434,28 +507,32 @@ object Dedup {
           ExpressionUtils.column(WordShingles(ExpressionUtils.expression($"text"), 3)))
         .filter(size($"sh") > 0)
         .select($"doc_id", $"source", $"sh")
-      val sig = sh.withColumn("sig", minhashSig($"sh"))
-      val bands = sig.select(
-        $"doc_id", $"source",
-        posexplode(array((0 until NumBands).map { b =>
-          concat_ws("|",
-            (0 until NumHashes / NumBands).map(r => element_at($"sig", b * (NumHashes / NumBands) + r + 1)): _*)
-        }: _*)).as(Seq("b", "bkey")))
-      val nb = bands.filter($"source" === "src0")
-        .select($"doc_id".as("new_id"), $"b", $"bkey")
-      val cb = bands.filter($"source" =!= "src0")
-        .select($"doc_id".as("corp_id"), $"b", $"bkey")
+      // exact-copy collapse PER SIDE (a new doc identical to a corpus doc
+      // must still match it, so the sides never share a group). Corpus
+      // members beyond the representative can never win the best-match
+      // tie-break — identical sets share j, and the rep IS the group's
+      // min corp_id — so only the NEW side needs member expansion.
+      val newDocs = sh.filter($"source" === "src0").select($"doc_id", $"sh")
+      val corpDocs = sh.filter($"source" =!= "src0").select($"doc_id", $"sh")
+      val rowsPer = NumHashes / NumBands
+      val (nBands, nMembers) = collapsedBands(newDocs, NumBands, rowsPer)
+      val (cBands, _) = collapsedBands(corpDocs, NumBands, rowsPer)
+      val nb = nBands.select($"doc_id".as("new_id"), $"b", $"bkey")
+      val cb = cBands.select($"doc_id".as("corp_id"), $"b", $"bkey")
       val cand = nb.join(cb, Seq("b", "bkey"))
         .select($"new_id", $"corp_id").distinct()
       val verified = cand
-        .join(sh.select($"doc_id".as("new_id"), $"sh".as("sa")), Seq("new_id"))
-        .join(sh.select($"doc_id".as("corp_id"), $"sh".as("sb")), Seq("corp_id"))
+        .join(newDocs.select($"doc_id".as("new_id"), $"sh".as("sa")), Seq("new_id"))
+        .join(corpDocs.select($"doc_id".as("corp_id"), $"sh".as("sb")), Seq("corp_id"))
         .withColumn("j", jaccard($"sa", $"sb"))
         .filter($"j" >= 0.7)
-      val best = verified.groupBy($"new_id")
+      val bestRep = verified.groupBy($"new_id")
         .agg(max_by(struct($"corp_id", $"j"), struct($"j", -$"corp_id")).as("m"))
-        .select($"new_id".as("doc_id"), $"m.corp_id".as("match_id"),
+        .select($"new_id".as("rep_id"), $"m.corp_id".as("match_id"),
           $"m.j".as("match_jaccard"))
+      val best = nMembers.select($"doc_id", $"rep_id")
+        .join(bestRep, Seq("rep_id"))
+        .select($"doc_id", $"match_id", $"match_jaccard")
       table(s, d, "documents").filter($"source" === "src0")
         .select($"doc_id")
         .join(best, Seq("doc_id"), "left")
@@ -513,14 +590,14 @@ object Dedup {
     GQ("minhash_accuracy", (s, d) => {
       import s.implicits._
       val docs = shingled(s, d)
+      // exact-copy collapse: candidates + est/jaccard compute once per
+      // distinct-content pair, expand over members after. Within-group
+      // pairs score est=1.0 (identical signatures, 16/16 positions),
+      // jaccard=1.0, err=0.0 — exactly what the uncollapsed pipeline
+      // computes for two identical docs.
+      val rowsPer = NumHashes / NumBands
+      val (bands, members) = collapsedBands(docs, NumBands, rowsPer)
       val sig = docs.withColumn("sig", minhashSig($"sh"))
-      val bands = sig.select(
-        $"doc_id",
-        posexplode(array((0 until NumBands).map { b =>
-          concat_ws("|",
-            (0 until NumHashes / NumBands).map(r =>
-              element_at($"sig", b * (NumHashes / NumBands) + r + 1)): _*)
-        }: _*)).as(Seq("b", "bkey")))
       val l = bands.select($"doc_id".as("doc_a"), $"b", $"bkey")
       val r = bands.select($"doc_id".as("doc_b"), $"b", $"bkey")
       val cand = l.join(r, Seq("b", "bkey")).filter($"doc_a" < $"doc_b")
@@ -528,13 +605,25 @@ object Dedup {
       val matches = (1 to NumHashes).map(i =>
         when(element_at($"siga", i) === element_at($"sigb", i), 1).otherwise(0))
         .reduce(_ + _)
-      cand
+      val repScored = cand
         .join(sig.select($"doc_id".as("doc_a"), $"sig".as("siga"), $"sh".as("sa")), Seq("doc_a"))
         .join(sig.select($"doc_id".as("doc_b"), $"sig".as("sigb"), $"sh".as("sb")), Seq("doc_b"))
         .withColumn("est", matches.cast("double") / lit(NumHashes.toDouble))
         .withColumn("jaccard", jaccard($"sa", $"sb"))
         .withColumn("err", $"est" - $"jaccard")
         .select($"doc_a", $"doc_b", $"est", $"jaccard", $"err")
+      val m = members.select($"rep_id", $"doc_id")
+      val cross = repScored
+        .join(m.select($"rep_id".as("doc_a"), $"doc_id".as("da")), Seq("doc_a"))
+        .join(m.select($"rep_id".as("doc_b"), $"doc_id".as("db")), Seq("doc_b"))
+        .select(least($"da", $"db").as("doc_a"),
+          greatest($"da", $"db").as("doc_b"), $"est", $"jaccard", $"err")
+      val within = m.select($"rep_id", $"doc_id".as("da"))
+        .join(m.select($"rep_id", $"doc_id".as("db")), Seq("rep_id"))
+        .filter($"da" < $"db")
+        .select($"da".as("doc_a"), $"db".as("doc_b"),
+          lit(1.0).as("est"), lit(1.0).as("jaccard"), lit(0.0).as("err"))
+      cross.unionByName(within)
         .orderBy($"doc_a", $"doc_b")
     }, Some(s"""
       WITH $duckBandsCte,

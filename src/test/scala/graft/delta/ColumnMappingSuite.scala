@@ -55,6 +55,64 @@ class ColumnMappingSuite extends AnyFunSuite {
     assert(t.read(col("value") > 100L).count() == 2)
   }
 
+  test("batch CDF resolves across a RENAME COLUMN boundary") {
+    import spark.implicits._
+    // the pinned contract: tableChanges resolves the whole range through
+    // PHYSICAL names and presents rows under the END snapshot's logical
+    // schema — pre-rename inserts and CDC rows are NOT nulled out
+    val t = DeltaTable.forPath(spark, tmp())
+    val txn = t.deltaLog.startTransaction()
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "name", "score")
+    txn.updateMetadata(Metadata(
+      schemaString = base.schema.json,
+      configuration = Map("delta.enableChangeDataFeed" -> "true")))
+    txn.commit(Nil, Op.CreateTable)               // v0
+    t.write(base)                                  // v1: inserts
+    t.delete(col("id") === 2L)                     // v2: CDC delete
+    t.renameColumn("name", "label")                // v3
+    t.write(Seq((4L, "d", 40)).toDF("id", "label", "score")) // v4
+    t.update(col("id") === 1L, Map("label" -> lit("a2")))    // v5: CDC update
+    val feed = t.tableChanges(0)
+      .select($"id", $"label", $"score", $"_change_type", $"_commit_version")
+      .as[(Long, String, Int, String, Long)].collect().toSet
+    assert(feed == Set(
+      (1L, "a", 10, "insert", 1L),
+      (2L, "b", 20, "insert", 1L),
+      (3L, "c", 30, "insert", 1L),
+      (2L, "b", 20, "delete", 2L),
+      (4L, "d", 40, "insert", 4L),
+      (1L, "a", 10, "update_preimage", 5L),
+      (1L, "a2", 10, "update_postimage", 5L)), feed.toString)
+    // a range ENDING before the rename presents THAT version's schema
+    // (the feed's shape is as-of the end version, like time travel)
+    val pre = t.tableChanges(0, 2)
+      .select($"name", $"_change_type").as[(String, String)].collect()
+    assert(pre.count(_._2 == "insert") == 3 && pre.forall(_._1 != null))
+    assert(!t.tableChanges(0, 2).columns.contains("label"))
+  }
+
+  test("CDC files store physical names after a rename") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmp())
+    val txn = t.deltaLog.startTransaction()
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    txn.updateMetadata(Metadata(
+      schemaString = base.schema.json,
+      configuration = Map("delta.enableChangeDataFeed" -> "true")))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(base)
+    t.renameColumn("name", "label")
+    t.delete(col("id") === 1L) // post-rename CDC file
+    val cdcDir = new java.io.File(t.deltaLog.dataPath.toUri.getPath, "_change_data")
+    val cdcFiles = Option(cdcDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    assert(cdcFiles.nonEmpty, "CDF delete must write change data")
+    val cols = spark.read.parquet(cdcFiles.map(_.getPath): _*).columns.toSet
+    assert(cols.contains("name") && !cols.contains("label"),
+      s"CDC parquet must carry the PHYSICAL column name, got $cols")
+  }
+
   test("DROP COLUMN then re-add does not resurrect old data") {
     import spark.implicits._
     val t = freshTable()

@@ -2136,6 +2136,170 @@ class IcebergUniformSuite extends AnyFunSuite {
     assert(dvs.map(_.cardinality).sum == 1L, dvs.toString)
   }
 
+  test("Iceberg v3 defaults: initial-default fills pre-evolution files, write-default becomes CURRENT_DEFAULT") {
+    import spark.implicits._
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.file.DataFileWriter
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dir = tmp()
+    val metaDir = new java.io.File(dir, "metadata")
+    metaDir.mkdirs()
+    def onePq(df0: org.apache.spark.sql.DataFrame): (String, Long) = {
+      val d = java.nio.file.Files.createTempDirectory("graft-defaults")
+      df0.coalesce(1).write.mode("overwrite").parquet(d.toString)
+      val f = new java.io.File(d.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (f.getAbsolutePath, f.length())
+    }
+    // fileA predates the `bonus` column; fileB has it, including a REAL
+    // null that must NOT be replaced by the default
+    val (fileA, lenA) = onePq(Seq(1L, 2L).toDF("id"))
+    val (fileB, lenB) = onePq(Seq((3L, Some(5L)), (4L, None))
+      .toDF("id", "bonus"))
+    val partStruct =
+      """{"type":"record","name":"r102","fields":[]}"""
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestEntrySchemaJson(partStruct))
+    val dfSchema = entrySchema.getField("data_file").schema()
+    def entry(path: String, len: Long, rc: Long): GenericRecord = {
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", 1); rec.put("snapshot_id", 1L)
+      rec.put("sequence_number", 1L)
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", 0)
+      dfr.put("file_path", path)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition",
+        new GenericData.Record(dfSchema.getField("partition").schema()))
+      dfr.put("record_count", rc)
+      dfr.put("file_size_in_bytes", len)
+      rec.put("data_file", dfr)
+      rec
+    }
+    val manifest = new java.io.File(metaDir, "def-m0.avro")
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.create(entrySchema, manifest)
+      w.append(entry(fileA, lenA, 2L))
+      w.append(entry(fileB, lenB, 2L))
+      w.close()
+    }
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      IcebergMetadata.manifestListSchemaJson)
+    val listFile = new java.io.File(metaDir, "snap-1-def.avro")
+    locally {
+      val lw = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      lw.create(listSchema, listFile)
+      val lrec = new GenericData.Record(listSchema)
+      lrec.put("manifest_path", manifest.getAbsolutePath)
+      lrec.put("manifest_length", manifest.length())
+      lrec.put("partition_spec_id", 0)
+      lrec.put("content", 0)
+      lrec.put("sequence_number", 1L)
+      lrec.put("min_sequence_number", 1L)
+      lrec.put("added_snapshot_id", 1L)
+      lrec.put("added_files_count", 2)
+      lrec.put("existing_files_count", 0)
+      lrec.put("deleted_files_count", 0)
+      lrec.put("added_rows_count", 4L)
+      lrec.put("existing_rows_count", 0L)
+      lrec.put("deleted_rows_count", 0L)
+      lw.append(lrec); lw.close()
+    }
+    val root = mapper.createObjectNode()
+    root.put("format-version", 3)
+    root.put("table-uuid", java.util.UUID.randomUUID().toString)
+    root.put("location", dir)
+    root.put("last-sequence-number", 1L)
+    root.put("last-column-id", 2)
+    root.put("current-schema-id", 0)
+    locally {
+      val sch = root.putArray("schemas").addObject()
+      sch.put("type", "struct"); sch.put("schema-id", 0)
+      val fs0 = sch.putArray("fields")
+      val f1 = fs0.addObject()
+      f1.put("id", 1); f1.put("name", "id"); f1.put("required", false)
+      f1.put("type", "long")
+      val f2 = fs0.addObject()
+      f2.put("id", 2); f2.put("name", "bonus"); f2.put("required", false)
+      f2.put("type", "long")
+      f2.put("initial-default", 42L)
+      f2.put("write-default", 7L)
+      root.put("default-spec-id", 0)
+      val spec = root.putArray("partition-specs").addObject()
+      spec.put("spec-id", 0); spec.putArray("fields")
+      val sn = root.putArray("snapshots").addObject()
+      sn.put("snapshot-id", 1L); sn.put("sequence-number", 1L)
+      sn.put("timestamp-ms", System.currentTimeMillis())
+      sn.putObject("summary").put("operation", "append")
+      sn.put("manifest-list", listFile.getAbsolutePath)
+      sn.put("schema-id", 0)
+      root.put("current-snapshot-id", 1L)
+    }
+    java.nio.file.Files.write(metaDir.toPath.resolve("v1.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    java.nio.file.Files.write(metaDir.toPath.resolve("version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val back = DeltaTable.convertFromIceberg(spark, dir)
+    val snap = back.deltaLog.update()
+    // protocol: per-file read fill is a READER feature
+    assert(snap.protocol.readerFeatures.exists(_.contains(
+      ReadDefaults.FeatureName)), snap.protocol.toString)
+    // fileA was tagged as missing `bonus`; fileB was not
+    val tagged = snap.allFiles.filter(a =>
+      Option(a.tags).exists(_.contains(ReadDefaults.MissingTag)))
+    assert(tagged.size == 1 && tagged.head.path.contains(
+      new java.io.File(fileA).getName.stripSuffix(".parquet")))
+    // reads: pre-evolution rows get 42; the REAL null stays null
+    val got = back.toDF.select($"id", $"bonus")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(1L -> Some(42L), 2L -> Some(42L),
+      3L -> Some(5L), 4L -> None), got.toString)
+    // a filter on the defaulted column sees the filled values
+    assert(back.toDF.filter($"bonus" === 42L).count() == 2)
+    // write-default -> CURRENT_DEFAULT: a write omitting `bonus` fills 7
+    back.write(Seq(9L).toDF("id"))
+    val after = back.toDF.filter($"id" === 9L)
+      .select($"bonus").collect().map(_.getLong(0)).toSeq
+    assert(after == Seq(7L), after.toString)
+    // DML over the mixed files keeps the fill (readFilesKeyed path)
+    back.update(col("id") === 1L, Map("bonus" -> (col("bonus") + 1L)))
+    assert(back.toDF.filter($"id" === 1L).select($"bonus")
+      .collect().map(_.getLong(0)).toSeq == Seq(43L))
+  }
+
+  test("UniForm v3 exports write-default from CURRENT_DEFAULT and round-trips initial-default") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      ColumnDefaults.field("grade",
+        org.apache.spark.sql.types.StringType, "'basic'")))
+    txn.updateMetadata(Metadata(
+      schemaString = schema.json,
+      configuration = Map(
+        "delta.enableRowTracking" -> "true",
+        "graft.iceberg.formatVersion" -> "3",
+        "delta.feature.allowColumnDefaults" -> "supported",
+        "delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn.commit(Nil, Op.CreateTable)
+    t.write(Seq((1L, "x")).toDF("id", "grade"))
+    val meta = currentMeta(dir)
+    val gradeField = meta.get("schemas").get(0).get("fields")
+      .elements().asScala.find(_.get("name").asText == "grade").get
+    assert(gradeField.get("write-default") != null &&
+      gradeField.get("write-default").asText == "basic",
+      gradeField.toString)
+    assert(gradeField.get("initial-default") == null,
+      "CURRENT_DEFAULT is writer-side only; no initial-default invented")
+  }
+
   test("legacy column-keyed partition structs decode scope tuples via fallback") {
     import spark.implicits._
     import org.apache.avro.generic.{GenericData, GenericDatumWriter}

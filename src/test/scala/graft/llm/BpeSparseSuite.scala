@@ -158,4 +158,19 @@ class BpeSparseSuite extends AnyFunSuite {
     // and the same corpus trains fine once minFreq or the cap admits it
     assert(Corpus.bpeLearnSparse(docs, 4).nonEmpty)
   }
+
+  test("a dict exactly AT the cap trains, reproducibly") {
+    import spark.implicits._
+    // 5 distinct words at cap 5: the order-stable probe must admit all
+    // of them on every plan, never refuse because an unordered limit
+    // window happened to cut differently
+    val docs = Seq((0L, "aa bb cc dd ee"), (1L, "aa bb")).toDF("doc_id", "text")
+      .repartition(4)
+    spark.conf.set("spark.graft.bpe.maxDictWords", "5")
+    try {
+      val runs = (1 to 3).map(_ => Corpus.bpeLearnSparse(docs, 3))
+      assert(runs.forall(_ == runs.head), runs.toString)
+      assert(runs.head.nonEmpty)
+    } finally spark.conf.unset("spark.graft.bpe.maxDictWords")
+  }
 }

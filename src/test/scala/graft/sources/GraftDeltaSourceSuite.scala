@@ -220,6 +220,71 @@ class GraftDeltaSourceSuite extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("readChangeFeed across a RENAME COLUMN boundary (batch + stream)") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = graft.delta.DeltaTable.forPath(spark, dir)
+    val txn = t.deltaLog.startTransaction()
+    txn.updateMetadata(graft.delta.Metadata(
+      schemaString = Seq((1L, "a")).toDF("id", "v").schema.json,
+      configuration = Map("delta.enableChangeDataFeed" -> "true")))
+    txn.commit(Nil, Op.CreateTable)                              // v0
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))           // v1
+    spark.sql(s"UPDATE graft.`$dir` SET v = 'a2' WHERE id = 1")  // v2: CDC
+    t.renameColumn("v", "w")                                     // v3
+    t.write(Seq((3L, "c")).toDF("id", "w"))                      // v4
+    // batch: the whole range resolves through physical names and
+    // presents the END logical schema (w)
+    val feed = spark.read.format("graft-delta")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(dir)
+    assert(feed.columns.contains("w") && !feed.columns.contains("v"))
+    val rows = feed.select("id", "w", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(rows == Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (1L, "a", "update_preimage", 2L), (1L, "a2", "update_postimage", 2L),
+      (3L, "c", "insert", 4L)), rows.toString)
+    // a stream started AFTER the rename drains history under the new name
+    val q = spark.readStream.format("graft.streaming.DeltaStreamSourceProvider")
+      .option("path", dir).option("readChangeFeed", "true")
+      .load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdf_rename").start()
+    try q.processAllAvailable() finally q.stop()
+    val srows = spark.table("cdf_rename")
+      .select("id", "w", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(srows == rows, srows.toString)
+    // a stream RUNNING ACROSS the rename fails loudly (same contract as
+    // the ADD COLUMNS boundary: fail-and-restart, never silent remap)
+    val dir2 = tmp()
+    val t2 = graft.delta.DeltaTable.forPath(spark, dir2)
+    val txn2 = t2.deltaLog.startTransaction()
+    txn2.updateMetadata(graft.delta.Metadata(
+      schemaString = Seq((1L, "a")).toDF("id", "v").schema.json,
+      configuration = Map("delta.enableChangeDataFeed" -> "true")))
+    txn2.commit(Nil, Op.CreateTable)
+    t2.write(Seq((1L, "a")).toDF("id", "v"))
+    val q2 = spark.readStream.format("graft.streaming.DeltaStreamSourceProvider")
+      .option("path", dir2).option("readChangeFeed", "true")
+      .load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdf_rename_mid").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("cdf_rename_mid").count() == 1)
+      t2.renameColumn("v", "w")
+      t2.write(Seq((2L, "b")).toDF("id", "w"))
+      val ex = intercept[Exception](q2.processAllAvailable())
+      def msgs(e: Throwable): List[String] =
+        if (e == null) Nil else Option(e.getMessage).toList ++ msgs(e.getCause)
+      assert(msgs(ex).exists(_.contains("restart the query")), ex.toString)
+    } finally q2.stop()
+  }
+
   test("batch readChangeFeed accepts timestamp bounds") {
     import spark.implicits._
     val dir = tmp()
