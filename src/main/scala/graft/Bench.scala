@@ -60,9 +60,18 @@ object Bench {
     // with one query's whole window and poisons every sample it has;
     // interleaving spreads the burst across the suite so each query's
     // min keeps at least one quiet-period measurement.
+    // SPARK_GRAFT_BENCH_ONLY=q5,...: subset runs for A/B diagnosis (the
+    // two-tree methodology) — subset results are printed but NOT
+    // recorded into BENCH_HISTORY (a partial run must never become the
+    // regression baseline)
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val benchNames = SparkEntry.benchQueries
+      .filter(n => only.isEmpty || only(n))
     var errs = Map.empty[String, String]
     def runPass(): Seq[(String, Option[Double])] =
-      SparkEntry.benchQueries.map { name =>
+      benchNames.map { name =>
         val t0 = System.nanoTime()
         try {
           fns(name)(spark, sfDir).count()
@@ -82,7 +91,7 @@ object Bench {
     // interleaved pass so each query gets another shot at a quiet window
     // before the minima are published.
     val prevSameSf = lastSameSf(sfDir)
-    val curMin: Map[String, Double] = SparkEntry.benchQueries.flatMap { n =>
+    val curMin: Map[String, Double] = benchNames.flatMap { n =>
       val ts = passTimes.flatMap(_.collectFirst { case (`n`, Some(t)) => t })
       if (ts.isEmpty) None else Some(n -> ts.min)
     }.toMap
@@ -97,7 +106,7 @@ object Bench {
       passTimes = passTimes :+ runPass()
     }
     val samples: Seq[(String, Seq[Double], Option[String])] =
-      SparkEntry.benchQueries.map { name =>
+      benchNames.map { name =>
         (name, passTimes.flatMap(_.collectFirst { case (`name`, Some(t)) => t }),
           errs.get(name))
       }
@@ -109,7 +118,9 @@ object Bench {
     val results = samples.collect { case (name, times, _) if times.nonEmpty =>
       name -> times.min
     }
-    val regressions = compareAndRecord(results, samples, failed, sfDir)
+    val regressions =
+      if (only.isEmpty) compareAndRecord(results, samples, failed, sfDir)
+      else Seq.empty // subset A/B runs never become the history baseline
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rs = regressions.map { case (k, (prev, cur)) =>

@@ -2076,6 +2076,64 @@ object DeltaQueries {
         SELECT 999, 'ZZZ', CAST(7 AS BIGINT))
       ORDER BY n_nationkey""")),
 
+    // NAMED ICEBERG REFS (A85, r19): Flink/Trino production tables pin
+    // consumers to a branch in the metadata's `refs` map (Iceberg spec
+    // v2, Table Metadata). The fixture writes three batches (snapshots
+    // 2/3/4; main's head is 4), stamps refs {main -> 4, audit -> 2},
+    // drops the Delta identity and adopts the `audit` BRANCH — then the
+    // writer advances audit to snapshot 3 and a plain re-sync follows
+    // the pinned branch to batches A+B. A mirror that wrongly followed
+    // `current-snapshot-id` would include batch C and hash-fail.
+    GQ("delta_convert_branch", (s, d) => {
+      import s.implicits._
+      val dir = fixture(s, d, "convert-branch") { dir =>
+        val t = DeltaTable.forPath(s, dir)
+        val nation = table(s, d, "nation")
+        val txn = t.deltaLog.startTransaction()
+        txn.updateMetadata(Metadata(
+          schemaString = nation.schema.json,
+          configuration = Map(
+            "delta.universalFormat.enabledFormats" -> "iceberg")))
+        txn.commit(Nil, Op.CreateTable)
+        t.write(nation.filter($"n_nationkey" < 10))  // snapshot 2
+        t.write(nation.filter($"n_nationkey" >= 10 && $"n_nationkey" < 20)) // 3
+        t.write(nation.filter($"n_nationkey" >= 20)) // snapshot 4 (main)
+        val metaDir = new java.io.File(dir, "metadata")
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        def stampRefs(auditHead: Long): Unit = {
+          val hint = new String(Files.readAllBytes(
+            metaDir.toPath.resolve("version-hint.text"))).trim
+          val mpath = metaDir.toPath.resolve(s"v$hint.metadata.json")
+          val root = mapper.readTree(Files.readAllBytes(mpath))
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          val refs = root.putObject("refs")
+          refs.putObject("main")
+            .put("snapshot-id", root.get("current-snapshot-id").asLong)
+            .put("type", "branch")
+          refs.putObject("audit")
+            .put("snapshot-id", auditHead).put("type", "branch")
+          Files.deleteIfExists(
+            metaDir.toPath.resolve(s".v$hint.metadata.json.crc"))
+          Files.write(mpath,
+            mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+        }
+        stampRefs(2L)
+        val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+        logDir.getFileSystem(s.sessionState.newHadoopConf())
+          .delete(logDir, true)
+        DeltaTable.convertFromIceberg(s, dir, asOfRef = Some("audit"))
+        // the foreign writer advances the branch; the pin follows it
+        stampRefs(3L)
+        DeltaTable.convertFromIceberg(s, dir)
+      }
+      DeltaTable.forPath(s, dir).toDF
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"))
+        .orderBy(col("n_nationkey"))
+    }, Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+      FROM nation WHERE n_nationkey < 20 ORDER BY 1""")),
+
     // INCREMENTAL RE-SYNC (A85, r18): a table adopted from Iceberg keeps
     // mirroring the foreign writer. The fixture adopts snapshot 3 (batches
     // A+B), then hand-crafts what a Flink-style writer commits next —

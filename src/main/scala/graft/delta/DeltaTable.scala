@@ -1509,6 +1509,117 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
   def generateIcebergMetadata(): Long =
     IcebergMetadata.generate(spark, deltaLog, deltaLog.update())
 
+  /** ANALYZE-style NDV statistics export (Iceberg Table Statistics):
+    * computes one KMV theta sketch per column in a SINGLE
+    * partial-aggregated scan (at most 2^lgK longs per column per map
+    * task cross the shuffle — [[graft.functions.ThetaSketchAgg]]),
+    * writes a Puffin statistics file of
+    * `apache-datasketches-theta-v1` blobs under `metadata/`, and
+    * commits the statistics entry into table config so every
+    * subsequent UniForm generation references it from the metadata's
+    * `statistics` list while its snapshot stays retained — Iceberg
+    * planners keep cardinality hints on mirrored tables, and
+    * [[IcebergMetadata.convertFrom]] imports the `ndv` properties back
+    * as `graft.stats.ndv.<column>` config on adoption.
+    *
+    * Explicitly invoked — an O(table) scan is never paid per commit.
+    * `columns` defaults to every top-level atomic column.
+    */
+  def analyzeNdv(columns: Seq[String] = Nil, lgK: Int = 12): Path = {
+    import org.apache.spark.sql.functions.col
+    val snap = deltaLog.update()
+    require(DeltaConfig.UniversalFormats.fromMetadata(snap.metadata)
+      .contains("iceberg"),
+      "analyzeNdv exports Iceberg table statistics — the table needs " +
+        "delta.universalFormat.enabledFormats=iceberg")
+    val metaDir = IcebergMetadata.metadataDir(deltaLog)
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = metaDir.getFileSystem(hconf)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hintPath = new Path(metaDir, "version-hint.text")
+    require(fs.exists(hintPath),
+      "no Iceberg metadata generated yet — commit once (or call " +
+        "generateIcebergMetadata) before analyzeNdv")
+    val hint = {
+      val in = fs.open(hintPath)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        "UTF-8").trim
+      finally in.close()
+    }
+    val root = {
+      val in = fs.open(new Path(metaDir, s"v$hint.metadata.json"))
+      try mapper.readTree(in) finally in.close()
+    }
+    val curSnapId = root.get("current-snapshot-id").asLong
+    import scala.jdk.CollectionConverters._
+    val snapNode = root.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == curSnapId).getOrElse(
+        throw new IllegalStateException(
+          s"current snapshot $curSnapId missing from metadata"))
+    val seqNum = Option(snapNode.get("sequence-number"))
+      .map(_.asLong).getOrElse(0L)
+    val curSchemaId = root.get("current-schema-id").asInt
+    val fieldIds: Map[String, Int] = root.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt == curSchemaId)
+      .map(_.get("fields").elements().asScala
+        .map(f => f.get("name").asText -> f.get("id").asInt).toMap)
+      .getOrElse(Map.empty)
+    val atomic: Set[String] = snap.metadata.schema.fields.collect {
+      case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] &&
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.VariantType]
+        => f.name
+    }.toSet
+    val cols =
+      if (columns.nonEmpty) {
+        columns.foreach(c => require(fieldIds.contains(c) && atomic(c),
+          s"analyzeNdv: '$c' is not a top-level atomic column of the " +
+            "Iceberg schema"))
+        columns
+      } else snap.metadata.schema.fields.map(_.name)
+        .filter(c => atomic(c) && fieldIds.contains(c)).toSeq
+    require(cols.nonEmpty, "analyzeNdv: no eligible columns")
+    // ONE scan for all columns; each agg ships bounded sketch partials
+    val aggs = cols.map(c =>
+      graft.functions.ThetaSketchAgg.thetaSketch(col(c), lgK).as(c))
+    val row = toDF.agg(aggs.head, aggs.tail: _*).head()
+    val blobs = cols.zipWithIndex.map { case (c, i) =>
+      val st = row.getStruct(i)
+      IcebergPuffin.StatsBlob(fieldIds(c),
+        math.round(st.getDouble(1)), st.getAs[Array[Byte]](0))
+    }
+    val statsPath = new Path(metaDir, s"stats-$curSnapId-${snap.version}.stats")
+    if (fs.exists(statsPath)) fs.delete(statsPath, false)
+    val (entryJsons, footerSize, fileLen) = IcebergPuffin.writeStatsFile(
+      statsPath, hconf, curSnapId, seqNum, blobs)
+    // the statistics entry rides table config; the post-commit
+    // generation emits it into the metadata's `statistics` list
+    val entry = mapper.createObjectNode()
+    entry.put("snapshot-id", curSnapId)
+    entry.put("statistics-path", fs.makeQualified(statsPath).toString)
+    entry.put("file-size-in-bytes", fileLen)
+    entry.put("file-footer-size-in-bytes", footerSize + 16)
+    val bm = entry.putArray("blob-metadata")
+    entryJsons.foreach(j => bm.add(mapper.readTree(j)))
+    val prior = snap.metadata.configuration
+      .get(IcebergMetadata.StatsMarkerKey)
+      .map(mapper.readTree).toSeq.flatMap(_.elements().asScala)
+      .filter(_.get("snapshot-id").asLong != curSnapId) // replace same-snap
+    val arr = mapper.createArrayNode()
+    prior.foreach(arr.add)
+    arr.add(entry)
+    val txn = deltaLog.startTransaction()
+    txn.updateMetadata(snap.metadata.copy(
+      configuration = snap.metadata.configuration +
+        (IcebergMetadata.StatsMarkerKey -> mapper.writeValueAsString(arr))))
+    txn.commit(Nil, Op.SetTableProperties,
+      operationParameters = Map(
+        "analyzedColumns" -> cols.mkString(","),
+        "statisticsPath" -> statsPath.toString))
+    statsPath
+  }
+
   /** COPY INTO: idempotent bulk file ingestion (see [[CopyInto]]). */
   def copyInto(source: String, format: String = "parquet",
       pattern: Option[String] = None, force: Boolean = false,
@@ -2634,11 +2745,12 @@ object DeltaTable {
     * names differ from the schema. See [[IcebergMetadata.convertFrom]].
     */
   def convertFromIceberg(spark: SparkSession, path: String,
-      asOfSnapshotId: Option[Long] = None): DeltaTable = {
+      asOfSnapshotId: Option[Long] = None,
+      asOfRef: Option[String] = None): DeltaTable = {
     DeltaLog.invalidateCache(spark, path) // the log dir may have been
     // replaced out-of-band (Delta removed, Iceberg metadata retained)
     val log = DeltaLog.forTable(spark, path)
-    IcebergMetadata.convertFrom(spark, log, asOfSnapshotId)
+    IcebergMetadata.convertFrom(spark, log, asOfSnapshotId, asOfRef = asOfRef)
     new DeltaTable(spark, log)
   }
 
@@ -2656,11 +2768,13 @@ object DeltaTable {
     * data (outside-root tombstones are skipped by contract).
     */
   def mirrorFromIceberg(spark: SparkSession, sourcePath: String,
-      targetPath: String, asOfSnapshotId: Option[Long] = None): DeltaTable = {
+      targetPath: String, asOfSnapshotId: Option[Long] = None,
+      asOfRef: Option[String] = None): DeltaTable = {
     DeltaLog.invalidateCache(spark, targetPath)
     val log = DeltaLog.forTable(spark, targetPath)
     IcebergMetadata.convertFrom(spark, log, asOfSnapshotId,
-      source = Some(new org.apache.hadoop.fs.Path(sourcePath)))
+      source = Some(new org.apache.hadoop.fs.Path(sourcePath)),
+      asOfRef = asOfRef)
     new DeltaTable(spark, log)
   }
 

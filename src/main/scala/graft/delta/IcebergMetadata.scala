@@ -1562,6 +1562,19 @@ object IcebergMetadata {
         e.put("metadata-file", new Path(dir, prevFile).toString)
       }
     }
+    // statistics (Iceberg spec: Table Statistics): Puffin NDV files
+    // recorded by analyzeNdv ride the config marker; an entry is
+    // emitted exactly while the snapshot it was computed at is still
+    // retained, so readers never chase statistics of an expired snapshot
+    md.configuration.get(StatsMarkerKey).foreach { js =>
+      val recorded = mapper.readTree(js)
+      val live = recorded.elements().asScala.filter(e =>
+        retainedIds.contains(e.get("snapshot-id").asLong)).toList
+      if (live.nonEmpty) {
+        val stats = root.putArray("statistics")
+        live.foreach(stats.add)
+      }
+    }
     writeAll(fs, new Path(dir, s"v$n.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     // MONOTONIC hint: two near-simultaneous post-commit generations race
@@ -1771,6 +1784,28 @@ object IcebergMetadata {
     */
   private[delta] val LineageMarkerKey = "graft.convert.icebergLineage"
 
+  /** Table-config key holding the JSON array of Iceberg `statistics`
+    * entries recorded by [[DeltaTable.analyzeNdv]] — each references a
+    * Puffin NDV file for the snapshot it was computed at. The generator
+    * emits them into the metadata's `statistics` list while their
+    * snapshot stays retained (Iceberg spec: Table Statistics).
+    */
+  private[delta] val StatsMarkerKey = "graft.iceberg.statistics"
+
+  /** Config-key prefix for NDV values imported from a foreign table's
+    * statistics files at adoption — `graft.stats.ndv.<column>`,
+    * surfaced by DESCRIBE DETAIL's properties map.
+    */
+  private[delta] val NdvConfigPrefix = "graft.stats.ndv."
+
+  /** Table-config key pinning a mirror to a NAMED Iceberg ref (branch or
+    * tag, the metadata's `refs` map — Iceberg spec v2, Table Metadata).
+    * Flink/Trino production tables pin consumers to branches; a mirror
+    * adopted with `asOfRef` follows that branch's head on every re-sync
+    * instead of `current-snapshot-id`.
+    */
+  private[delta] val RefMarkerKey = "graft.convert.icebergRef"
+
   /** `source`: when set (and different from `log.dataPath`), adopt
     * OUT-OF-PLACE — a mirror: the Iceberg metadata is read from
     * `source`, every AddFile records the source parquet by absolute URI
@@ -1783,7 +1818,8 @@ object IcebergMetadata {
     */
   def convertFrom(spark: SparkSession, log: DeltaLog,
       asOfSnapshotId: Option[Long] = None,
-      source: Option[Path] = None): Long = {
+      source: Option[Path] = None,
+      asOfRef: Option[String] = None): Long = {
     // RE-SYNC mode (incremental): an already-adopted table (it carries
     // the SyncMarkerKey) re-reads the Iceberg metadata and commits ONLY
     // the diff — new files as adds, vanished files as removes, changed
@@ -1836,8 +1872,32 @@ object IcebergMetadata {
       s"unsupported Iceberg format-version $fv (supported: 1, 2, 3)")
     // time travel: adopt ANY retained snapshot (its schema comes from
     // the per-snapshot schema-id, so an evolved table converts with the
-    // schema that snapshot was written under)
-    val curId = asOfSnapshotId.getOrElse(meta.get("current-snapshot-id").asLong)
+    // schema that snapshot was written under). A NAMED REF (branch/tag)
+    // resolves through the metadata's `refs` map; a ref-pinned mirror
+    // remembers the name and follows that branch's head on re-sync.
+    val pinnedRef: Option[String] =
+      existingSnap.flatMap(_.metadata.configuration.get(RefMarkerKey))
+    asOfRef.foreach { r =>
+      pinnedRef.foreach(p => require(p == r,
+        s"this mirror is pinned to Iceberg ref '$p'; re-syncing against " +
+          s"'$r' would silently retarget it — adopt a separate mirror for " +
+          "the other branch"))
+      require(asOfSnapshotId.isEmpty,
+        "specify at most one of asOfSnapshotId / asOfRef")
+    }
+    val effectiveRef = asOfRef.orElse(pinnedRef)
+    val curId = asOfSnapshotId.getOrElse(effectiveRef match {
+      case Some(r) =>
+        val refs = Option(meta.get("refs")).getOrElse(
+          throw new IllegalArgumentException(
+            s"Iceberg metadata at $srcRoot has no refs map; cannot " +
+              s"resolve ref '$r'"))
+        Option(refs.get(r)).getOrElse(throw new IllegalArgumentException(
+          s"unknown Iceberg ref '$r' (available: " +
+            refs.fieldNames().asScala.mkString(", ") + ")"))
+          .get("snapshot-id").asLong
+      case None => meta.get("current-snapshot-id").asLong
+    })
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong == curId).getOrElse(
         throw new IllegalArgumentException(
@@ -1901,6 +1961,32 @@ object IcebergMetadata {
     val schema = StructType(fields)
     val idToField: Map[Int, (String, DataType)] =
       rawFields.map { case (id, f) => id -> (f.name, f.dataType) }.toMap
+    // NDV interchange (Iceberg spec: Table Statistics): statistics
+    // entries recorded FOR the adopted snapshot carry Puffin theta
+    // blobs whose `ndv` property is the planner-facing cardinality —
+    // import each as `graft.stats.ndv.<column>` config (DESCRIBE
+    // DETAIL surfaces the properties map). Strictly same-snapshot:
+    // stats of another snapshot describe data this adoption won't see.
+    // Metadata-sized, best-effort — a missing/corrupt file warns, never
+    // fails the adoption.
+    val ndvConfig: Map[String, String] =
+      Option(meta.get("statistics")).toSeq
+        .flatMap(_.elements().asScala)
+        .filter(e => e.get("snapshot-id").asLong == curId)
+        .flatMap { e =>
+          val p = new Path(e.get("statistics-path").asText)
+          try IcebergPuffin.readStatsBlobs(p, hconfRaw).flatMap {
+            case (fid, ndv, _, _) if ndv >= 0 =>
+              idToField.get(fid).map { case (nm, _) =>
+                NdvConfigPrefix + nm -> ndv.toString }
+            case _ => None
+          } catch {
+            case scala.util.control.NonFatal(ex) =>
+              System.err.println(s"WARN graft: skipping statistics file " +
+                s"$p: ${ex.getMessage}")
+              Nil
+          }
+        }.toMap
     val baseConfig0: Map[String, String] =
       if (!needsMapping) Map.empty
       else Map("delta.columnMapping.mode" -> "name",
@@ -2531,7 +2617,9 @@ object IcebergMetadata {
         // delta.enableDeletionVectors keeps future DML producing DVs
         // (readers honor attached DVs regardless — descriptor-gated).
         val baseConfig = baseConfig0 ++
+          ndvConfig ++
           Map(SyncMarkerKey -> curId.toString) ++
+          asOfRef.map(r => RefMarkerKey -> r).toMap ++
           (if (isMirror) Map(SourceMarkerKey ->
             fs.makeQualified(srcRoot).toString)
            else Map.empty) ++
@@ -2687,8 +2775,10 @@ object IcebergMetadata {
         // between snapshots — partition columns are pinned equal above)
         txn.updateMetadata(s.metadata.copy(
           schemaString = schema.json,
-          configuration = s.metadata.configuration +
-            (SyncMarkerKey -> curId.toString)))
+          configuration = s.metadata.configuration ++
+            ndvConfig +
+            (SyncMarkerKey -> curId.toString) ++
+            asOfRef.map(r => RefMarkerKey -> r)))
         val syncParams = Map(
           "sourceFormat" -> "iceberg", "sync" -> "true",
           "icebergSnapshotId" -> curId.toString,

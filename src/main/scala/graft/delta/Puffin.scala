@@ -144,6 +144,92 @@ object IcebergPuffin {
     } finally in.close()
   }
 
+  /** One NDV statistics blob: the Puffin spec's
+    * `apache-datasketches-theta-v1` type — `fields` names the schema
+    * field id the sketch covers, `properties.ndv` carries the estimate
+    * so planners can read cardinality without deserializing the sketch.
+    */
+  final case class StatsBlob(fieldId: Int, ndv: Long, body: Array[Byte])
+  val ThetaBlobType = "apache-datasketches-theta-v1"
+
+  /** Write one Puffin STATISTICS file (Iceberg table-statistics files;
+    * referenced from table metadata's `statistics` list). Returns the
+    * serialized blob-metadata JSON entries (for the `blob-metadata`
+    * field), the footer payload size, and the total file length.
+    */
+  def writeStatsFile(path: Path, conf: Configuration, snapshotId: Long,
+      sequenceNumber: Long, blobs: Seq[StatsBlob]): (Seq[String], Long, Long) = {
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(path, false)
+    try {
+      out.write(Magic)
+      var pos = 4L
+      val entries = blobs.map { b =>
+        val o = mapper.createObjectNode()
+        o.put("type", ThetaBlobType)
+        o.putArray("fields").add(b.fieldId)
+        o.put("snapshot-id", snapshotId)
+        o.put("sequence-number", sequenceNumber)
+        o.put("offset", pos)
+        o.put("length", b.body.length.toLong)
+        o.putObject("properties").put("ndv", b.ndv.toString)
+        out.write(b.body)
+        pos += b.body.length
+        o
+      }
+      val payload = mapper.createObjectNode()
+      val arr = payload.putArray("blobs")
+      entries.foreach(arr.add)
+      payload.putObject("properties").put("created-by", "graft")
+      val payloadBytes = mapper.writeValueAsBytes(payload)
+      out.write(Magic)
+      out.write(payloadBytes)
+      val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      tail.putInt(payloadBytes.length)
+      tail.putInt(0)
+      out.write(tail.array())
+      out.write(Magic)
+      pos += 4 + payloadBytes.length + 8 + 4
+      (entries.map(mapper.writeValueAsString), payloadBytes.length.toLong, pos)
+    } finally out.close()
+  }
+
+  /** Read a statistics file's `apache-datasketches-theta-v1` blobs →
+    * (field id, ndv, offset, length). The ndv property is
+    * authoritative; bodies stay unread unless the caller wants the
+    * sketch itself.
+    */
+  def readStatsBlobs(path: Path, conf: Configuration): Seq[(Int, Long, Long, Long)] = {
+    val fs = path.getFileSystem(conf)
+    val len = fs.getFileStatus(path).getLen
+    require(len >= 4 + 4 + 8 + 4 + 4, s"$path too short to be a Puffin file")
+    val in = fs.open(path)
+    try {
+      val tail = new Array[Byte](12)
+      in.readFully(len - 12, tail)
+      val tb = ByteBuffer.wrap(tail).order(ByteOrder.LITTLE_ENDIAN)
+      val payloadSize = tb.getInt()
+      val flags = tb.getInt()
+      require(java.util.Arrays.equals(tail.slice(8, 12), Magic),
+        s"$path lacks trailing Puffin magic")
+      require((flags & 1) == 0,
+        s"$path has a compressed Puffin footer payload — not supported")
+      val payload = new Array[Byte](payloadSize)
+      in.readFully(len - 12 - payloadSize, payload)
+      val root = mapper.readTree(new String(payload, StandardCharsets.UTF_8))
+      Option(root.get("blobs")).toSeq
+        .flatMap(_.elements().asScala)
+        .filter(_.get("type").asText == ThetaBlobType)
+        .map { b =>
+          val fid = b.get("fields").elements().asScala.next().asInt
+          val ndv = Option(b.get("properties"))
+            .flatMap(p => Option(p.get("ndv"))).map(_.asText.toLong)
+            .getOrElse(-1L)
+          (fid, ndv, b.get("offset").asLong, b.get("length").asLong)
+        }.toList
+    } finally in.close()
+  }
+
   /** Read one DV blob body and return the decoded bitmap. The body is
     * verified exactly like a Delta DV payload entry (length prefix,
     * magic via [[RoaringBitmapArray.deserialize]], trailing CRC-32).

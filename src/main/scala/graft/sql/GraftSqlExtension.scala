@@ -295,10 +295,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case ShowPropsRe(target, key) =>
         Some(GraftShowPropertiesCommand(parseTarget(target), Option(key)))
       case CloneRe(ine, target, depth, src, ver, ts) =>
+        // VERSION AS OF <digits> = Delta version / Iceberg snapshot id;
+        // VERSION AS OF '<name>' = a NAMED Iceberg ref (branch or tag,
+        // the metadata's refs map — Iceberg's own SQL convention)
         Some(GraftCloneCommand(parseTarget(target), parseTarget(src),
           ifNotExists = ine != null,
           deep = depth.trim.equalsIgnoreCase("DEEP"),
-          versionAsOf = Option(ver).map(_.toLong),
+          versionAsOf = Option(ver).filter(!_.startsWith("'")).map(_.toLong),
+          versionRef = Option(ver).filter(_.startsWith("'"))
+            .map(_.stripPrefix("'").stripSuffix("'")),
           timestampAsOf = Option(ts).map(parseTsMillis),
           // backticked iceberg.`path` source = out-of-place mirror
           // (same routing rule as CONVERT TO DELTA)
@@ -313,6 +318,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftGenerateCommand(parseTarget(target), mode.toLowerCase))
       case ShowPartitionsRe(target) =>
         Some(GraftShowPartitionsCommand(parseTarget(target)))
+      case AnalyzeRe(target, cols) =>
+        Some(GraftAnalyzeCommand(parseTarget(target),
+          Option(cols).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))))
       case _ => None
     }
   }
@@ -421,12 +429,16 @@ object GraftSqlParser {
     s"""(?is)GENERATE\\s+(symlink_format_manifest|iceberg_metadata)\\s+FOR\\s+TABLE\\s+$T""".r
   private[sql] val ShowPartitionsRe =
     s"""(?is)SHOW\\s+PARTITIONS\\s+$T""".r
+  // PATH targets only: ANALYZE over a catalog identifier stays Spark's
+  // own command (hijacking it would break non-graft tables)
+  private[sql] val AnalyzeRe =
+    s"""(?is)ANALYZE\\s+TABLE\\s+((?:'[^']+')|(?:(?:delta|graft)\\.`[^`]+`))\\s+COMPUTE\\s+STATISTICS(?:\\s+FOR\\s+COLUMNS\\s+([\\w\\s,]+))?\\s*""".r
   private[sql] val ReorgRe =
     s"""(?is)REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)""".r
   private[sql] val TruncateRe =
     s"""(?is)TRUNCATE\\s+TABLE\\s+$T""".r
   private[sql] val CloneRe =
-    s"""(?is)CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$T(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?\\s*""".r
+    s"""(?is)CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$T(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+|'[^']+')|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?\\s*""".r
   private[sql] val ConvertRe =
     s"""(?is)CONVERT\\s+TO\\s+DELTA\\s+$T""".r
   private val PathTargetRe = """(?:delta|graft|parquet|iceberg)\.`([^`]+)`""".r
@@ -537,6 +549,21 @@ case class GraftCopyIntoCommand(target: SqlTarget, source: String,
   * transaction log's AddFile metadata (one distinct over the file
   * state — zero filesystem listing, at any partition count).
   */
+/** `ANALYZE TABLE delta.`path` COMPUTE STATISTICS [FOR COLUMNS c, ...]`
+  * → [[DeltaTable.analyzeNdv]]: per-column NDV theta sketches exported
+  * as an Iceberg Puffin statistics file (A88). Path targets only.
+  */
+case class GraftAnalyzeCommand(target: SqlTarget, columns: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("statistics_path", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = SqlTarget.resolve(spark, target)
+    val p = DeltaTable.forPath(spark, path).analyzeNdv(columns)
+    Seq(Row(p.toString))
+  }
+}
+
 case class GraftShowPartitionsCommand(target: SqlTarget)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -1514,11 +1541,15 @@ case class GraftCloneCommand(target: SqlTarget, source: SqlTarget,
     ifNotExists: Boolean, deep: Boolean = false,
     versionAsOf: Option[Long] = None,
     timestampAsOf: Option[Long] = None,
-    sourceIsIceberg: Boolean = false) extends LeafRunnableCommand {
+    sourceIsIceberg: Boolean = false,
+    versionRef: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("location", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
     if (sourceIsIceberg) return runIcebergMirror(spark)
+    require(versionRef.isEmpty,
+      "VERSION AS OF '<name>' selects a NAMED Iceberg ref; a Delta " +
+        "source has numeric versions — use VERSION AS OF <version>")
     val srcPath = SqlTarget.resolve(spark, source)
     val src = DeltaTable.forPath(spark, srcPath)
     def doClone(p: String): Unit =
@@ -1565,8 +1596,10 @@ case class GraftCloneCommand(target: SqlTarget, source: SqlTarget,
   /** `CREATE TABLE tgt SHALLOW CLONE iceberg.`src``: the out-of-place
     * mirror ([[DeltaTable.mirrorFromIceberg]]) — the Delta log lands at
     * the target, every byte of the foreign table stays untouched.
-    * `VERSION AS OF` selects an Iceberg SNAPSHOT ID (the source has no
-    * Delta versions); DEEP and TIMESTAMP AS OF refuse loudly.
+    * `VERSION AS OF <id>` selects an Iceberg SNAPSHOT ID (the source
+    * has no Delta versions); `VERSION AS OF '<name>'` a NAMED ref
+    * (branch/tag) — the mirror pins to it and re-syncs follow the
+    * branch head; DEEP and TIMESTAMP AS OF refuse loudly.
     */
   private def runIcebergMirror(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
@@ -1579,7 +1612,7 @@ case class GraftCloneCommand(target: SqlTarget, source: SqlTarget,
     val srcPath = SqlTarget.resolve(spark, source)
     def doMirror(p: String): DeltaTable =
       DeltaTable.mirrorFromIceberg(spark, srcPath, p,
-        asOfSnapshotId = versionAsOf)
+        asOfSnapshotId = versionAsOf, asOfRef = versionRef)
     target match {
       case PathTarget(p) =>
         // CREATE semantics match the delta-source clone: an existing

@@ -3253,7 +3253,13 @@ class IcebergUniformSuite extends AnyFunSuite {
       .contains(""""c":[1,2]"""))
   }
 
-  test("a non-null initial-default refuses adoption (read-time substitution)") {
+  test("initial-default on a physically-present column never rewrites stored values") {
+    // r19 (A85 × A64): initial-default adoption is supported as a
+    // PER-FILE read-time fill for files that physically LACK the
+    // column. A column present in every file must read its STORED
+    // values — the default never leaks over real data (the old
+    // pre-r19 behavior was a loud refusal; the oracle
+    // delta_convert_defaults covers the fill path itself).
     val dir = tmp()
     val t = mkV3(dir)
     t.write(df((1L, "a", "x")), partitionBy = Seq("part"))
@@ -3263,7 +3269,6 @@ class IcebergUniformSuite extends AnyFunSuite {
     }
     rm(new java.io.File(dir, "_delta_log"))
     // hand-inject the v3 read-default a foreign writer would have set
-    // when adding a column to a table with pre-existing files
     val hconf = spark.sessionState.newHadoopConf()
     val metaDir = new org.apache.hadoop.fs.Path(dir, "metadata")
     val fsys = metaDir.getFileSystem(hconf)
@@ -3285,10 +3290,9 @@ class IcebergUniformSuite extends AnyFunSuite {
     }
     val out = fsys.create(mp, true)
     try out.write(mapper.writeValueAsBytes(root)) finally out.close()
-    val e = intercept[UnsupportedOperationException] {
-      DeltaTable.convertFromIceberg(spark, dir)
-    }
-    assert(e.getMessage.contains("initial-default"), e.getMessage)
+    val t2 = DeltaTable.convertFromIceberg(spark, dir)
+    assert(t2.toDF.select("v").collect().map(_.getString(0)).toSeq ==
+      Seq("a"), "stored values must win over initial-default")
   }
 
   test("v2 adoption does not fabricate row lineage") {
@@ -3305,5 +3309,200 @@ class IcebergUniformSuite extends AnyFunSuite {
     val snap = t2.deltaLog.update()
     assert(!RowTracking.enabled(snap.metadata))
     assert(snap.allFiles.forall(_.baseRowId.isEmpty))
+  }
+
+  /** Iceberg refs (spec v2, Table Metadata `refs`): adopt a NAMED branch
+    * or tag, and keep a ref-pinned mirror following the branch head on
+    * every re-sync instead of `current-snapshot-id`.
+    */
+  test("adopt a named Iceberg ref; re-sync follows the pinned branch, never main") {
+    val dir = tmp()
+    val t = mkUniform(dir)
+    t.write(df((1L, "a", "x"), (2L, "b", "x")), partitionBy = Seq("part")) // snap 2
+    t.write(df((3L, "c", "y")), partitionBy = Seq("part"))                 // snap 3
+    t.write(df((4L, "d", "y")), partitionBy = Seq("part"))                 // snap 4 = main
+    val metaDir = new java.io.File(dir, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // stamp `refs` like a branching writer would: main at the head,
+    // `audit` a trailing branch, `v1.0` a tag
+    def editRefs(auditHead: Long): Unit = {
+      val hint = new String(Files.readAllBytes(
+        metaDir.toPath.resolve("version-hint.text"))).trim
+      val mpath = metaDir.toPath.resolve(s"v$hint.metadata.json")
+      val root = mapper.readTree(Files.readAllBytes(mpath))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val refs = root.putObject("refs")
+      refs.putObject("main")
+        .put("snapshot-id", root.get("current-snapshot-id").asLong)
+        .put("type", "branch")
+      refs.putObject("audit").put("snapshot-id", auditHead).put("type", "branch")
+      refs.putObject("v1.0").put("snapshot-id", 3L).put("type", "tag")
+      Files.deleteIfExists(metaDir.toPath.resolve(s".v$hint.metadata.json.crc"))
+      Files.write(mpath,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    }
+    editRefs(2L)
+    val logDir = new java.io.File(dir, "_delta_log")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(logDir)
+    def ids(tt: DeltaTable): Set[Long] =
+      tt.toDF.select("id").collect().map(_.getLong(0)).toSet
+    // unknown ref → loud refusal naming the available refs
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaTable.convertFromIceberg(spark, dir, asOfRef = Some("nope"))
+    }
+    assert(e1.getMessage.contains("audit"), e1.getMessage)
+    // snapshot-id and ref are mutually exclusive
+    intercept[IllegalArgumentException] {
+      DeltaTable.convertFromIceberg(spark, dir,
+        asOfSnapshotId = Some(2L), asOfRef = Some("audit"))
+    }
+    // adopt the `audit` branch: sees snapshot 2's rows only
+    val t2 = DeltaTable.convertFromIceberg(spark, dir, asOfRef = Some("audit"))
+    assert(ids(t2) == Set(1L, 2L))
+    assert(t2.deltaLog.update().metadata.configuration
+      .get(IcebergMetadata.RefMarkerKey).contains("audit"))
+    // re-sync with no args while main is ahead: the pin holds — no-op
+    val v0 = t2.deltaLog.update().version
+    DeltaTable.convertFromIceberg(spark, dir)
+    assert(DeltaTable.forPath(spark, dir).deltaLog.update().version == v0,
+      "re-sync must follow the pinned branch, not current-snapshot-id")
+    // the writer advances the branch to snapshot 3; re-sync follows it
+    // (and still never reaches main's snapshot 4)
+    editRefs(3L)
+    DeltaTable.convertFromIceberg(spark, dir)
+    val t3 = DeltaTable.forPath(spark, dir)
+    assert(ids(t3) == Set(1L, 2L, 3L))
+    assert(t3.deltaLog.update().metadata.configuration
+      .get(IcebergMetadata.RefMarkerKey).contains("audit"))
+    // re-syncing against a DIFFERENT ref would silently retarget — refuse
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaTable.convertFromIceberg(spark, dir, asOfRef = Some("main"))
+    }
+    assert(e2.getMessage.contains("pinned"), e2.getMessage)
+  }
+
+  /** NDV statistics interchange (Iceberg spec: Table Statistics +
+    * Puffin `apache-datasketches-theta-v1`): analyzeNdv exports, the
+    * generator references the file from `statistics` while the snapshot
+    * is retained, and adoption imports the ndv properties into config.
+    */
+  test("analyzeNdv exports Puffin theta statistics; adoption imports NDV config") {
+    val dir = tmp()
+    val t = mkUniform(dir)
+    // 6 distinct ids, 2 distinct v, 2 distinct part
+    t.write(df((1L to 6L).map(i => (i, s"v${i % 2}", if (i < 4) "x" else "y")): _*),
+      partitionBy = Seq("part"))
+    val statsPath = t.analyzeNdv()
+    // the post-analyze generation's metadata references the entry
+    val meta = currentMeta(dir)
+    val stats = meta.get("statistics")
+    assert(stats != null && stats.size() == 1, "statistics list missing")
+    val entry = stats.elements().asScala.next()
+    assert(entry.get("statistics-path").asText.endsWith(
+      new java.io.File(statsPath.toString).getName))
+    assert(entry.get("file-size-in-bytes").asLong ==
+      localFile(statsPath.toString).length())
+    val statSnapId = entry.get("snapshot-id").asLong
+    assert(meta.get("snapshots").elements().asScala
+      .exists(_.get("snapshot-id").asLong == statSnapId),
+      "statistics must reference a retained snapshot")
+    val blobEntries = entry.get("blob-metadata").elements().asScala.toList
+    assert(blobEntries.nonEmpty)
+    assert(blobEntries.forall(_.get("type").asText ==
+      IcebergPuffin.ThetaBlobType))
+    // blobs decode: field ids map to schema columns, ndv matches exact
+    val hconf = spark.sessionState.newHadoopConf()
+    val blobs = IcebergPuffin.readStatsBlobs(
+      new org.apache.hadoop.fs.Path(statsPath.toString), hconf)
+    val schemaIds = meta.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt == meta.get("current-schema-id").asInt)
+      .get.get("fields").elements().asScala
+      .map(f => f.get("id").asInt -> f.get("name").asText).toMap
+    val ndvByCol = blobs.map { case (fid, ndv, _, _) =>
+      schemaIds(fid) -> ndv }.toMap
+    assert(ndvByCol == Map("id" -> 6L, "v" -> 2L, "part" -> 2L), ndvByCol)
+    // the sketch bodies themselves deserialize (exact mode here)
+    blobs.foreach { case (_, ndv, off, len) =>
+      val in = new java.io.RandomAccessFile(localFile(statsPath.toString), "r")
+      try {
+        val body = new Array[Byte](len.toInt)
+        in.seek(off); in.readFully(body)
+        val (theta, hashes) =
+          graft.functions.ThetaSketch.deserializeCompact(body)
+        assert(theta == graft.functions.ThetaSketch.MaxTheta)
+        assert(hashes.length.toLong == ndv)
+      } finally in.close()
+    }
+    // a further commit keeps carrying the entry (snapshot still retained)
+    t.write(df((7L, "v1", "y")), partitionBy = Seq("part"))
+    val meta2 = currentMeta(dir)
+    assert(meta2.get("statistics") != null &&
+      meta2.get("statistics").size() == 1)
+    // ---- adoption imports the ndv properties for the analyzed snapshot
+    val logDir = new java.io.File(dir, "_delta_log")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(logDir)
+    val adopted = DeltaTable.convertFromIceberg(spark, dir,
+      asOfSnapshotId = Some(statSnapId))
+    val conf2 = adopted.deltaLog.update().metadata.configuration
+    assert(conf2.get("graft.stats.ndv.id").contains("6"), conf2)
+    assert(conf2.get("graft.stats.ndv.v").contains("2"))
+    assert(conf2.get("graft.stats.ndv.part").contains("2"))
+  }
+
+  test("adoption at a snapshot without statistics imports no NDV config") {
+    val dir = tmp()
+    val t = mkUniform(dir)
+    t.write(df((1L, "a", "x")), partitionBy = Seq("part"))
+    t.analyzeNdv(columns = Seq("id"))
+    t.write(df((2L, "b", "y")), partitionBy = Seq("part"))
+    val logDir = new java.io.File(dir, "_delta_log")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(logDir)
+    // adopt the HEAD — statistics were computed at an earlier snapshot,
+    // whose counts don't describe the head's data: strictly-same-snapshot
+    val adopted = DeltaTable.convertFromIceberg(spark, dir)
+    val conf = adopted.deltaLog.update().metadata.configuration
+    assert(!conf.keys.exists(_.startsWith("graft.stats.ndv.")), conf)
+  }
+
+  test("adopt a tag ref; a tag never moves so re-sync stays a no-op") {
+    val dir = tmp()
+    val t = mkUniform(dir)
+    t.write(df((1L, "a", "x")), partitionBy = Seq("part")) // snap 2
+    t.write(df((2L, "b", "y")), partitionBy = Seq("part")) // snap 3
+    val metaDir = new java.io.File(dir, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hint = new String(Files.readAllBytes(
+      metaDir.toPath.resolve("version-hint.text"))).trim
+    val mpath = metaDir.toPath.resolve(s"v$hint.metadata.json")
+    val root = mapper.readTree(Files.readAllBytes(mpath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.putObject("refs").putObject("rel-1")
+      .put("snapshot-id", 2L).put("type", "tag")
+    Files.deleteIfExists(metaDir.toPath.resolve(s".v$hint.metadata.json.crc"))
+    Files.write(mpath,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    val logDir = new java.io.File(dir, "_delta_log")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(logDir)
+    val t2 = DeltaTable.convertFromIceberg(spark, dir, asOfRef = Some("rel-1"))
+    assert(t2.toDF.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    val v0 = t2.deltaLog.update().version
+    DeltaTable.convertFromIceberg(spark, dir) // head is snap 3; tag pins 2
+    assert(DeltaTable.forPath(spark, dir).deltaLog.update().version == v0)
   }
 }

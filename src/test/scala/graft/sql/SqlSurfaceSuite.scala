@@ -726,6 +726,76 @@ class SqlSurfaceSuite extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS t_icemirror")
   }
 
+  test("SHALLOW CLONE iceberg VERSION AS OF '<ref>' pins the mirror to a branch") {
+    val dir = tmp() + "/icebranch"
+    val t0 = DeltaTable.forPath(spark, dir)
+    val txn = t0.deltaLog.startTransaction()
+    txn.updateMetadata(graft.delta.Metadata(
+      schemaString = seed().schema.json,
+      partitionColumns = Seq("part"),
+      configuration = Map(
+        "delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn.commit(Nil, graft.delta.Op.CreateTable)
+    t0.write(seed(), partitionBy = Seq("part"))     // iceberg snapshot 2
+    t0.write(seed(), partitionBy = Seq("part"))     // iceberg snapshot 3
+    // stamp refs: audit trails at snapshot 2
+    val metaDir = new java.io.File(dir, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hint = new String(Files.readAllBytes(
+      metaDir.toPath.resolve("version-hint.text"))).trim
+    val mpath = metaDir.toPath.resolve(s"v$hint.metadata.json")
+    val root = mapper.readTree(Files.readAllBytes(mpath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.putObject("refs").putObject("audit")
+      .put("snapshot-id", 2L).put("type", "branch")
+    Files.deleteIfExists(metaDir.toPath.resolve(s".v$hint.metadata.json.crc"))
+    Files.write(mpath,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    logDir.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(logDir, true)
+    val tgt = tmp() + "/branch-tgt"
+    spark.sql(s"CREATE TABLE graft.`$tgt` SHALLOW CLONE iceberg.`$dir` " +
+      "VERSION AS OF 'audit'")
+    val m = DeltaTable.forPath(spark, tgt)
+    assert(m.toDF.count() == 5, "the audit branch sees only batch 1")
+    assert(m.deltaLog.update().metadata.configuration
+      .get("graft.convert.icebergRef").contains("audit"))
+    // a string ref on a DELTA source refuses loudly
+    val srcDelta = tmp() + "/plaindelta"
+    DeltaTable.forPath(spark, srcDelta).write(seed())
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE graft.`${tmp()}` SHALLOW CLONE " +
+        s"graft.`$srcDelta` VERSION AS OF 'audit'")
+    }
+    assert(e.getMessage.contains("NAMED Iceberg ref"), e.getMessage)
+  }
+
+  test("ANALYZE TABLE COMPUTE STATISTICS exports NDV sketches (path target)") {
+    val dir = tmp() + "/analyzetab"
+    val t0 = DeltaTable.forPath(spark, dir)
+    val txn = t0.deltaLog.startTransaction()
+    txn.updateMetadata(graft.delta.Metadata(
+      schemaString = seed().schema.json,
+      configuration = Map(
+        "delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn.commit(Nil, graft.delta.Op.CreateTable)
+    t0.write(seed())
+    val p = spark.sql(
+      s"ANALYZE TABLE delta.`$dir` COMPUTE STATISTICS FOR COLUMNS id")
+      .head().getString(0)
+    assert(p.endsWith(".stats"), p)
+    val blobs = graft.delta.IcebergPuffin.readStatsBlobs(
+      new org.apache.hadoop.fs.Path(p),
+      spark.sessionState.newHadoopConf())
+    assert(blobs.size == 1)
+    assert(blobs.head._2 == seed().select("id").distinct().count())
+    // Spark's own ANALYZE on catalog identifiers is untouched
+    spark.sql("CREATE TABLE IF NOT EXISTS t_plain_an (x INT) USING parquet")
+    try spark.sql("ANALYZE TABLE t_plain_an COMPUTE STATISTICS")
+    finally spark.sql("DROP TABLE IF EXISTS t_plain_an")
+  }
+
   test("CONVERT TO DELTA adopts a parquet directory in place") {
     val dir = tmp() + "/plainpq"
     seed().write.partitionBy("part").parquet(dir)
