@@ -2076,6 +2076,55 @@ object DeltaQueries {
         SELECT 999, 'ZZZ', CAST(7 AS BIGINT))
       ORDER BY n_nationkey""")),
 
+    // NDV STATISTICS INTERCHANGE (A88, r19): analyzeNdv exports KMV
+    // theta sketches as a Puffin statistics file; adoption imports each
+    // blob's `ndv` property into `graft.stats.ndv.<col>` config. Below
+    // 2^lgK distinct values the KMV sketch is in EXACT mode — its ndv
+    // IS the distinct count, so DuckDB's COUNT(DISTINCT) replicates the
+    // whole export→Puffin→import loop bit-exactly. The fixture builds a
+    // UniForm table from `nation`, ANALYZEs via the SQL surface, drops
+    // the Delta identity, adopts, and the query presents the imported
+    // config — a sketch bug, a field-id mismap, a Puffin framing error,
+    // or a lost import all change the hash.
+    GQ("delta_ndv_stats", (s, d) => {
+      import s.implicits._
+      val dir = fixture(s, d, "ndv-stats") { dir =>
+        val t = DeltaTable.forPath(s, dir)
+        val nation = table(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        val txn = t.deltaLog.startTransaction()
+        txn.updateMetadata(Metadata(
+          schemaString = nation.schema.json,
+          configuration = Map(
+            "delta.universalFormat.enabledFormats" -> "iceberg")))
+        txn.commit(Nil, Op.CreateTable)
+        t.write(nation)
+        s.sql(s"ANALYZE TABLE delta.`$dir` COMPUTE STATISTICS")
+        val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+        logDir.getFileSystem(s.sessionState.newHadoopConf())
+          .delete(logDir, true)
+        DeltaTable.convertFromIceberg(s, dir)
+      }
+      val conf = DeltaTable.forPath(s, dir).deltaLog.update()
+        .metadata.configuration
+      val rows = conf.toSeq
+        .filter(_._1.startsWith("graft.stats.ndv."))
+        .map { case (k, v) =>
+          (k.stripPrefix("graft.stats.ndv."), v.toLong) }
+      s.createDataFrame(rows).toDF("col_name", "ndv")
+        .orderBy($"col_name")
+    }, Some("""
+      SELECT col_name, ndv FROM (
+        SELECT 'n_name' AS col_name,
+          CAST(COUNT(DISTINCT n_name) AS BIGINT) AS ndv FROM nation
+        UNION ALL
+        SELECT 'n_nationkey', CAST(COUNT(DISTINCT n_nationkey) AS BIGINT)
+        FROM nation
+        UNION ALL
+        SELECT 'n_regionkey', CAST(COUNT(DISTINCT n_regionkey) AS BIGINT)
+        FROM nation)
+      ORDER BY col_name""")),
+
     // NAMED ICEBERG REFS (A85, r19): Flink/Trino production tables pin
     // consumers to a branch in the metadata's `refs` map (Iceberg spec
     // v2, Table Metadata). The fixture writes three batches (snapshots

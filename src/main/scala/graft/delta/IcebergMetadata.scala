@@ -1479,6 +1479,11 @@ object IcebergMetadata {
     props.put("schema.name-mapping.default",
       mapper.writeValueAsString(nameMapping))
     root.put("current-snapshot-id", snapshotId)
+    // refs (Iceberg spec v2, Table Metadata): the spec recommends the
+    // map contain `main` pointing at the current snapshot — branch-aware
+    // readers (and our own ref adoption, A87) resolve through it
+    root.putObject("refs").putObject("main")
+      .put("snapshot-id", snapshotId).put("type", "branch")
     val snaps = root.putArray("snapshots")
     // carry forward prior snapshots, dropping (a) a same-id entry from a
     // re-generation of this version and (b) entries past the retention
@@ -1490,6 +1495,19 @@ object IcebergMetadata {
       .foreach(snaps.add))
     val sn = snaps.addObject()
     sn.put("snapshot-id", snapshotId)
+    // parent-snapshot-id (spec field): the previous generation's head —
+    // ancestry consumers (and our own same-data statistics chain walk,
+    // A88) traverse it. A same-version RE-generation keeps the
+    // snapshot's original parent; the first snapshot has none.
+    prev.foreach { p =>
+      val prevHead = p.get("current-snapshot-id").asLong
+      val parent: Option[Long] =
+        if (prevHead != snapshotId) Some(prevHead)
+        else p.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong == snapshotId)
+          .flatMap(n => Option(n.get("parent-snapshot-id")).map(_.asLong))
+      parent.foreach(sn.put("parent-snapshot-id", _))
+    }
     sn.put("sequence-number", seqNum)
     sn.put("timestamp-ms", now)
     // summary.operation from the Delta commit that produced this
@@ -1506,6 +1524,11 @@ object IcebergMetadata {
       case Op.Write | Op.StreamingUpdate | Op.CopyInto | Op.CreateTable => "append"
       case o if o.startsWith(Op.Optimize) => "replace"
       case Op.Truncate => "delete"
+      // property-only commits (ANALYZE's statistics marker, SET/UNSET
+      // TBLPROPERTIES) change no data: `replace` is the bucket
+      // incremental consumers skip — a mirror re-syncing across an
+      // ANALYZE commit gets dataChange=false instead of a full re-scan
+      case Op.SetTableProperties | Op.UnsetTableProperties => "replace"
       case _ => "overwrite"
     }
     val sumNode = sn.putObject("summary")
@@ -1965,14 +1988,38 @@ object IcebergMetadata {
     // entries recorded FOR the adopted snapshot carry Puffin theta
     // blobs whose `ndv` property is the planner-facing cardinality —
     // import each as `graft.stats.ndv.<column>` config (DESCRIBE
-    // DETAIL surfaces the properties map). Strictly same-snapshot:
-    // stats of another snapshot describe data this adoption won't see.
+    // DETAIL surfaces the properties map). Same-DATA only: the adopted
+    // snapshot itself, or the nearest ancestor reachable through an
+    // unbroken chain of `replace` snapshots (compaction / property-only
+    // commits — files may move, rows never change, so the counts still
+    // describe exactly this data); any append/overwrite/delete on the
+    // way breaks the chain and the stale entry is ignored.
     // Metadata-sized, best-effort — a missing/corrupt file warns, never
     // fails the adoption.
-    val ndvConfig: Map[String, String] =
-      Option(meta.get("statistics")).toSeq
-        .flatMap(_.elements().asScala)
-        .filter(e => e.get("snapshot-id").asLong == curId)
+    val ndvConfig: Map[String, String] = {
+      val entriesById: Map[Long, JsonNode] =
+        Option(meta.get("statistics")).toSeq
+          .flatMap(_.elements().asScala)
+          .map(e => e.get("snapshot-id").asLong -> e).toMap
+      val byId: Map[Long, JsonNode] =
+        meta.get("snapshots").elements().asScala
+          .map(n => n.get("snapshot-id").asLong -> n).toMap
+      @scala.annotation.tailrec
+      def statsFor(id: Long): Option[JsonNode] =
+        entriesById.get(id) match {
+          case found @ Some(_) => found
+          case None => byId.get(id) match {
+            case Some(n) if Option(n.get("summary"))
+              .flatMap(su => Option(su.get("operation")))
+              .exists(_.asText == "replace") =>
+              Option(n.get("parent-snapshot-id")).map(_.asLong) match {
+                case Some(p) => statsFor(p)
+                case None => None
+              }
+            case _ => None
+          }
+        }
+      statsFor(curId).toSeq
         .flatMap { e =>
           val p = new Path(e.get("statistics-path").asText)
           try IcebergPuffin.readStatsBlobs(p, hconfRaw).flatMap {
@@ -1987,6 +2034,7 @@ object IcebergMetadata {
               Nil
           }
         }.toMap
+    }
     val baseConfig0: Map[String, String] =
       if (!needsMapping) Map.empty
       else Map("delta.columnMapping.mode" -> "name",

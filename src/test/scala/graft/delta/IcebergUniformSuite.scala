@@ -3399,6 +3399,15 @@ class IcebergUniformSuite extends AnyFunSuite {
     val statsPath = t.analyzeNdv()
     // the post-analyze generation's metadata references the entry
     val meta = currentMeta(dir)
+    // the analyze commit changes no data: its snapshot records the
+    // `replace` op so incremental consumers skip it
+    val curSnap = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong ==
+        meta.get("current-snapshot-id").asLong).get
+    assert(curSnap.get("summary").get("operation").asText == "replace")
+    // the generated metadata carries the spec-recommended main branch ref
+    assert(meta.get("refs").get("main").get("snapshot-id").asLong ==
+      meta.get("current-snapshot-id").asLong)
     val stats = meta.get("statistics")
     assert(stats != null && stats.size() == 1, "statistics list missing")
     val entry = stats.elements().asScala.next()
@@ -3469,8 +3478,8 @@ class IcebergUniformSuite extends AnyFunSuite {
       f.delete()
     }
     rm(logDir)
-    // adopt the HEAD — statistics were computed at an earlier snapshot,
-    // whose counts don't describe the head's data: strictly-same-snapshot
+    // adopt the HEAD — the data write after ANALYZE breaks the
+    // replace-only ancestor chain, so the stale counts must NOT import
     val adopted = DeltaTable.convertFromIceberg(spark, dir)
     val conf = adopted.deltaLog.update().metadata.configuration
     assert(!conf.keys.exists(_.startsWith("graft.stats.ndv.")), conf)
