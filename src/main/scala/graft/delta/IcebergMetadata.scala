@@ -1646,6 +1646,13 @@ object IcebergMetadata {
   private def sweepUnreferenced(fs: org.apache.hadoop.fs.FileSystem,
       dir: Path, meta: JsonNode, genStart: Long): Unit = {
     val keep = scala.collection.mutable.Set[String]("version-hint.text")
+    // statistics files (A88): referenced from the metadata's
+    // `statistics` list exactly while their snapshot is retained — the
+    // emission already filtered to retained snapshots, so keeping every
+    // listed path sweeps expired stats naturally
+    Option(meta.get("statistics")).foreach(_.elements().asScala.foreach { e =>
+      keep += new Path(e.get("statistics-path").asText).getName
+    })
     meta.get("snapshots").elements().asScala.foreach { sn =>
       keep += s"v${sn.get("snapshot-id").asLong}.metadata.json"
       val mlPath = new Path(sn.get("manifest-list").asText)

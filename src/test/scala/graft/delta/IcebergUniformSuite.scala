@@ -3466,6 +3466,36 @@ class IcebergUniformSuite extends AnyFunSuite {
     assert(conf2.get("graft.stats.ndv.part").contains("2"))
   }
 
+  test("the metadata sweep keeps referenced statistics files; expiry drops them") {
+    val dir = tmp()
+    val t = mkUniform(dir)
+    t.write(df((1L, "a", "x")), partitionBy = Seq("part"))
+    val statsPath = t.analyzeNdv(columns = Seq("id"))
+    val statsName = new java.io.File(statsPath.toString).getName
+    def statsOnDisk(): Boolean =
+      new java.io.File(new java.io.File(dir, "metadata"), statsName).exists()
+    assert(statsOnDisk())
+    // enough commits to cross the periodic every-10th-version sweep
+    (0 until 10).foreach(i =>
+      t.write(df((10L + i, s"v$i", "x")), partitionBy = Seq("part")))
+    assert(statsOnDisk(),
+      "sweep must keep a statistics file referenced by the metadata")
+    assert(currentMeta(dir).get("statistics").size() == 1)
+    // expire every non-current snapshot: the entry leaves the metadata;
+    // the file becomes an orphan collected by the NEXT sweeping
+    // generation (a same-version re-generation never sweeps — VACUUM's
+    // contract) — drive commits past the next periodic %10 sweep
+    IcebergMetadata.generate(spark, t.deltaLog, t.deltaLog.update(), Some(0L))
+    assert(currentMeta(dir).get("statistics") == null,
+      "expired snapshot's statistics entry must drop")
+    var i = 0
+    while (statsOnDisk() && i < 12) {
+      t.write(df((100L + i, s"z$i", "x")), partitionBy = Seq("part"))
+      i += 1
+    }
+    assert(!statsOnDisk(), "orphaned statistics file must be swept")
+  }
+
   test("adoption at a snapshot without statistics imports no NDV config") {
     val dir = tmp()
     val t = mkUniform(dir)
