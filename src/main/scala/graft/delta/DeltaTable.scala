@@ -1524,8 +1524,22 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     *
     * Explicitly invoked — an O(table) scan is never paid per commit.
     * `columns` defaults to every top-level atomic column.
+    *
+    * `incremental = true`: re-analysis cost follows the APPEND RATE,
+    * not table size. The KMV sketch is insert-idempotent (re-adding an
+    * existing value is a no-op), so the previous sketch stays exactly
+    * mergeable as long as no snapshot since REMOVED rows: the snapshot
+    * chain from the last analyzed snapshot to the head must be
+    * append/replace only (compaction rewrites the same rows — its
+    * outputs re-scan harmlessly). Only files absent at the analyzed
+    * version are scanned; the fresh sketches union with the stored
+    * Puffin bodies driver-side (bounded: ≤ 2^lgK longs per column).
+    * A broken chain, a missing column blob, or an unreadable previous
+    * file falls back to the full scan — recorded in the commit's
+    * `mode` operation parameter.
     */
-  def analyzeNdv(columns: Seq[String] = Nil, lgK: Int = 12): Path = {
+  def analyzeNdv(columns: Seq[String] = Nil, lgK: Int = 12,
+      incremental: Boolean = false): Path = {
     import org.apache.spark.sql.functions.col
     val snap = deltaLog.update()
     require(DeltaConfig.UniversalFormats.fromMetadata(snap.metadata)
@@ -1580,14 +1594,103 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
       } else snap.metadata.schema.fields.map(_.name)
         .filter(c => atomic(c) && fieldIds.contains(c)).toSeq
     require(cols.nonEmpty, "analyzeNdv: no eligible columns")
-    // ONE scan for all columns; each agg ships bounded sketch partials
-    val aggs = cols.map(c =>
-      graft.functions.ThetaSketchAgg.thetaSketch(col(c), lgK).as(c))
-    val row = toDF.agg(aggs.head, aggs.tail: _*).head()
-    val blobs = cols.zipWithIndex.map { case (c, i) =>
-      val st = row.getStruct(i)
-      IcebergPuffin.StatsBlob(fieldIds(c),
-        math.round(st.getDouble(1)), st.getAs[Array[Byte]](0))
+    // ---- incremental eligibility: latest recorded analysis whose
+    // snapshot chains to the head through append/replace only, with a
+    // readable blob for every requested column
+    case class PrevStats(deltaVersion: Long, bodies: Map[Int, Array[Byte]])
+    val prevForIncr: Option[PrevStats] =
+      if (!incremental) None
+      else snap.metadata.configuration.get(IcebergMetadata.StatsMarkerKey)
+        .map(mapper.readTree).toSeq.flatMap(_.elements().asScala)
+        .flatMap { w =>
+          for {
+            dv <- Option(w.get("delta-version")).map(_.asLong)
+            e <- Option(w.get("entry"))
+          } yield (dv, e)
+        }
+        .sortBy(_._1).lastOption.flatMap { case (dv, e) =>
+          val sid = e.get("snapshot-id").asLong
+          val byId = root.get("snapshots").elements().asScala
+            .map(n => n.get("snapshot-id").asLong -> n).toMap
+          @scala.annotation.tailrec
+          def chainOk(id: Long): Boolean =
+            if (id == sid) true
+            else byId.get(id) match {
+              case Some(n) =>
+                val op = Option(n.get("summary"))
+                  .flatMap(su => Option(su.get("operation")))
+                  .map(_.asText).getOrElse("")
+                val parent = Option(n.get("parent-snapshot-id")).map(_.asLong)
+                if ((op == "append" || op == "replace") && parent.isDefined)
+                  chainOk(parent.get)
+                else false
+              case None => false
+            }
+          if (!chainOk(curSnapId)) None
+          else try {
+            val p = new Path(e.get("statistics-path").asText)
+            val bodies: Map[Int, Array[Byte]] =
+              IcebergPuffin.readStatsBlobs(p, hconf).map {
+                case (fid, _, off, len) =>
+                  fid -> IcebergPuffin.readBlobBody(p, hconf, off, len)
+              }.toMap
+            if (cols.forall(c => bodies.contains(fieldIds(c))))
+              Some(PrevStats(dv, bodies))
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+    // ---- the scan: full table, or only files absent at the analyzed
+    // version (new-files list collected driver-side — bounded by the
+    // append rate, the same planning contract as OPTIMIZE)
+    val (mode, blobs) = prevForIncr match {
+      case Some(ps) =>
+        import spark.implicits._
+        val prevPaths = deltaLog.snapshotForVersionAsOf(ps.deltaVersion)
+          .allFilesDS.map(_.path).toDF("p")
+        val newFiles: Seq[AddFile] = snap.allFilesDS.toDF
+          .join(prevPaths, col("path") === col("p"), "left_anti")
+          .as[AddFile].collect().toSeq
+        val k = 1 << lgK
+        def merged(c: String,
+            fresh: Option[(Array[Byte], Long)]): IcebergPuffin.StatsBlob = {
+          val (tp, hp) = graft.functions.ThetaSketch
+            .deserializeCompact(ps.bodies(fieldIds(c)))
+          val (tn, hn) = fresh.map(f => graft.functions.ThetaSketch
+            .deserializeCompact(f._1)).getOrElse((Long.MaxValue, Array.empty[Long]))
+          val t0 = math.min(tp, tn)
+          val union = (hp ++ hn).distinct.filter(_ < t0).sorted
+          val (theta, retained) =
+            if (union.length >= k) (union(k - 1), union.take(k - 1))
+            else (t0, union)
+          IcebergPuffin.StatsBlob(fieldIds(c),
+            math.round(graft.functions.ThetaSketch.estimate(theta, retained.length)),
+            graft.functions.ThetaSketch.serializeCompact(theta, retained))
+        }
+        val freshByCol: Map[String, (Array[Byte], Long)] =
+          if (newFiles.isEmpty) Map.empty
+          else {
+            val aggs = cols.map(c =>
+              graft.functions.ThetaSketchAgg.thetaSketch(col(c), lgK).as(c))
+            val row = readFilesDF(newFiles, snap.metadata)
+              .agg(aggs.head, aggs.tail: _*).head()
+            cols.zipWithIndex.map { case (c, i) =>
+              val st = row.getStruct(i)
+              c -> (st.getAs[Array[Byte]](0), math.round(st.getDouble(1)))
+            }.toMap
+          }
+        (s"incremental:${newFiles.size}",
+          cols.map(c => merged(c, freshByCol.get(c))))
+      case None =>
+        // ONE scan for all columns; each agg ships bounded sketch partials
+        val aggs = cols.map(c =>
+          graft.functions.ThetaSketchAgg.thetaSketch(col(c), lgK).as(c))
+        val row = toDF.agg(aggs.head, aggs.tail: _*).head()
+        (if (incremental) "full-fallback" else "full",
+          cols.zipWithIndex.map { case (c, i) =>
+            val st = row.getStruct(i)
+            IcebergPuffin.StatsBlob(fieldIds(c),
+              math.round(st.getDouble(1)), st.getAs[Array[Byte]](0))
+          })
     }
     val statsPath = new Path(metaDir, s"stats-$curSnapId-${snap.version}.stats")
     if (fs.exists(statsPath)) fs.delete(statsPath, false)
@@ -1602,13 +1705,21 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     entry.put("file-footer-size-in-bytes", footerSize + 16)
     val bm = entry.putArray("blob-metadata")
     entryJsons.foreach(j => bm.add(mapper.readTree(j)))
+    // marker element = {"delta-version", "entry"}: the wrapper carries
+    // the engine-side scan coverage for incremental ANALYZE; the
+    // generator unwraps `entry` into the spec's `statistics` list
     val prior = snap.metadata.configuration
       .get(IcebergMetadata.StatsMarkerKey)
       .map(mapper.readTree).toSeq.flatMap(_.elements().asScala)
-      .filter(_.get("snapshot-id").asLong != curSnapId) // replace same-snap
+      .filter { w =>
+        Option(w.get("entry")).getOrElse(w)
+          .get("snapshot-id").asLong != curSnapId // replace same-snap
+      }
     val arr = mapper.createArrayNode()
     prior.foreach(arr.add)
-    arr.add(entry)
+    val wrapper = arr.addObject()
+    wrapper.put("delta-version", snap.version)
+    wrapper.set[com.fasterxml.jackson.databind.node.ObjectNode]("entry", entry)
     val txn = deltaLog.startTransaction()
     txn.updateMetadata(snap.metadata.copy(
       configuration = snap.metadata.configuration +
@@ -1616,6 +1727,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     txn.commit(Nil, Op.SetTableProperties,
       operationParameters = Map(
         "analyzedColumns" -> cols.mkString(","),
+        "mode" -> mode,
         "statisticsPath" -> statsPath.toString))
     statsPath
   }

@@ -1591,8 +1591,13 @@ object IcebergMetadata {
     // retained, so readers never chase statistics of an expired snapshot
     md.configuration.get(StatsMarkerKey).foreach { js =>
       val recorded = mapper.readTree(js)
-      val live = recorded.elements().asScala.filter(e =>
-        retainedIds.contains(e.get("snapshot-id").asLong)).toList
+      // marker element = {"delta-version": N, "entry": {spec entry}} —
+      // the wrapper keeps engine-side state (which Delta version the
+      // scan covered, for incremental ANALYZE) OUT of the spec entry
+      val live = recorded.elements().asScala
+        .map(w => Option(w.get("entry")).getOrElse(w)) // legacy bare form
+        .filter(e => retainedIds.contains(e.get("snapshot-id").asLong))
+        .toList
       if (live.nonEmpty) {
         val stats = root.putArray("statistics")
         live.foreach(stats.add)

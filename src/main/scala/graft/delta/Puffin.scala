@@ -230,6 +230,17 @@ object IcebergPuffin {
     } finally in.close()
   }
 
+  /** Read one raw blob body [offset, offset+length). */
+  def readBlobBody(path: Path, conf: Configuration, offset: Long,
+      length: Long): Array[Byte] = {
+    val in = path.getFileSystem(conf).open(path)
+    try {
+      val bytes = new Array[Byte](length.toInt)
+      in.readFully(offset, bytes)
+      bytes
+    } finally in.close()
+  }
+
   /** Read one DV blob body and return the decoded bitmap. The body is
     * verified exactly like a Delta DV payload entry (length prefix,
     * magic via [[RoaringBitmapArray.deserialize]], trailing CRC-32).

@@ -3466,6 +3466,57 @@ class IcebergUniformSuite extends AnyFunSuite {
     assert(conf2.get("graft.stats.ndv.part").contains("2"))
   }
 
+  test("incremental ANALYZE merges stored sketches over an append chain; DELETE falls back") {
+    val dir = tmp()
+    val t = mkUniform(dir)
+    t.write(df((1L to 50L).map(i => (i, s"v$i", "x")): _*),
+      partitionBy = Seq("part"))
+    t.analyzeNdv(columns = Seq("id", "v"))
+    def lastMode(): String = {
+      val v = t.deltaLog.update().version
+      t.deltaLog.commitInfoAt(v).get.operationParameters("mode")
+    }
+    assert(lastMode() == "full")
+    // append a batch with 20 NEW ids and 30 re-inserted ones
+    t.write(df(((31L to 80L)).map(i => (i, s"v$i", "y")): _*),
+      partitionBy = Seq("part"))
+    val nBefore = t.deltaLog.update().allFiles.size
+    val p2 = t.analyzeNdv(columns = Seq("id", "v"), incremental = true)
+    val m = lastMode()
+    assert(m.startsWith("incremental:"), m)
+    val scanned = m.stripPrefix("incremental:").toInt
+    assert(scanned > 0 && scanned < nBefore,
+      s"must scan only the appended files ($m of $nBefore total)")
+    // exact mode below k: the merged ndv is the exact distinct count,
+    // identical to what a full recompute would produce
+    val hconf = spark.sessionState.newHadoopConf()
+    val ndv2 = IcebergPuffin.readStatsBlobs(
+      new org.apache.hadoop.fs.Path(p2.toString), hconf)
+      .map { case (fid, ndv, _, _) => fid -> ndv }.toMap
+    val meta = currentMeta(dir)
+    val ids = meta.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt == meta.get("current-schema-id").asInt)
+      .get.get("fields").elements().asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    assert(ndv2(ids("id")) == 80L, ndv2)
+    assert(ndv2(ids("v")) == 80L)
+    // byte-level: merged sketch == full-recompute sketch (KMV is a pure
+    // function of the value set)
+    val pFull = t.analyzeNdv(columns = Seq("id", "v"))
+    def bodyOf(p: org.apache.hadoop.fs.Path, fid: Int): Seq[Byte] = {
+      val b = IcebergPuffin.readStatsBlobs(p, hconf)
+        .find(_._1 == fid).get
+      IcebergPuffin.readBlobBody(p, hconf, b._3, b._4).toSeq
+    }
+    val pf = new org.apache.hadoop.fs.Path(pFull.toString)
+    val pi = new org.apache.hadoop.fs.Path(p2.toString)
+    assert(bodyOf(pf, ids("id")) == bodyOf(pi, ids("id")))
+    // a DELETE breaks the append/replace chain: incremental falls back
+    t.delete(col("id") === 5L)
+    t.analyzeNdv(columns = Seq("id", "v"), incremental = true)
+    assert(lastMode() == "full-fallback", lastMode())
+  }
+
   test("the metadata sweep keeps referenced statistics files; expiry drops them") {
     val dir = tmp()
     val t = mkUniform(dir)
