@@ -1587,10 +1587,15 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     }.toSet
     val cols =
       if (columns.nonEmpty) {
-        columns.foreach(c => require(fieldIds.contains(c) && atomic(c),
-          s"analyzeNdv: '$c' is not a top-level atomic column of the " +
-            "Iceberg schema"))
-        columns
+        // resolve case-insensitively like every other Spark SQL surface
+        val byLower = fieldIds.keys.map(n => n.toLowerCase -> n).toMap
+        columns.map { c =>
+          val resolved = byLower.get(c.toLowerCase)
+          require(resolved.exists(atomic),
+            s"analyzeNdv: '$c' is not a top-level atomic column of the " +
+              "Iceberg schema")
+          resolved.get
+        }
       } else snap.metadata.schema.fields.map(_.name)
         .filter(c => atomic(c) && fieldIds.contains(c)).toSeq
     require(cols.nonEmpty, "analyzeNdv: no eligible columns")
@@ -1628,6 +1633,10 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
             }
           if (!chainOk(curSnapId)) None
           else try {
+            // the analyzed Delta version must still reconstruct (log
+            // retention may have expired it) — probe INSIDE the
+            // fallback guard so ANALYZE never fails outright
+            deltaLog.snapshotForVersionAsOf(dv)
             val p = new Path(e.get("statistics-path").asText)
             val bodies: Map[Int, Array[Byte]] =
               IcebergPuffin.readStatsBlobs(p, hconf).map {
@@ -1652,11 +1661,11 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           .as[AddFile].collect().toSeq
         val k = 1 << lgK
         def merged(c: String,
-            fresh: Option[(Array[Byte], Long)]): IcebergPuffin.StatsBlob = {
+            fresh: Option[Array[Byte]]): IcebergPuffin.StatsBlob = {
           val (tp, hp) = graft.functions.ThetaSketch
             .deserializeCompact(ps.bodies(fieldIds(c)))
-          val (tn, hn) = fresh.map(f => graft.functions.ThetaSketch
-            .deserializeCompact(f._1)).getOrElse((Long.MaxValue, Array.empty[Long]))
+          val (tn, hn) = fresh.map(graft.functions.ThetaSketch
+            .deserializeCompact).getOrElse((Long.MaxValue, Array.empty[Long]))
           val t0 = math.min(tp, tn)
           val union = (hp ++ hn).distinct.filter(_ < t0).sorted
           val (theta, retained) =
@@ -1666,7 +1675,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
             math.round(graft.functions.ThetaSketch.estimate(theta, retained.length)),
             graft.functions.ThetaSketch.serializeCompact(theta, retained))
         }
-        val freshByCol: Map[String, (Array[Byte], Long)] =
+        val freshByCol: Map[String, Array[Byte]] =
           if (newFiles.isEmpty) Map.empty
           else {
             val aggs = cols.map(c =>
@@ -1674,8 +1683,7 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
             val row = readFilesDF(newFiles, snap.metadata)
               .agg(aggs.head, aggs.tail: _*).head()
             cols.zipWithIndex.map { case (c, i) =>
-              val st = row.getStruct(i)
-              c -> (st.getAs[Array[Byte]](0), math.round(st.getDouble(1)))
+              c -> row.getStruct(i).getAs[Array[Byte]](0)
             }.toMap
           }
         (s"incremental:${newFiles.size}",
@@ -1708,12 +1716,20 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
     // marker element = {"delta-version", "entry"}: the wrapper carries
     // the engine-side scan coverage for incremental ANALYZE; the
     // generator unwraps `entry` into the spec's `statistics` list
+    // prune: same-snapshot entries are replaced, and wrappers whose
+    // snapshot left the metadata's retention window drop (the generator
+    // filters them from the emitted list anyway; without this the
+    // config value carried in every commit grows one dead entry per
+    // ANALYZE forever)
+    val retainedSnapIds: Set[Long] = root.get("snapshots")
+      .elements().asScala.map(_.get("snapshot-id").asLong).toSet
     val prior = snap.metadata.configuration
       .get(IcebergMetadata.StatsMarkerKey)
       .map(mapper.readTree).toSeq.flatMap(_.elements().asScala)
       .filter { w =>
-        Option(w.get("entry")).getOrElse(w)
-          .get("snapshot-id").asLong != curSnapId // replace same-snap
+        val sid = Option(w.get("entry")).getOrElse(w)
+          .get("snapshot-id").asLong
+        sid != curSnapId && retainedSnapIds.contains(sid)
       }
     val arr = mapper.createArrayNode()
     prior.foreach(arr.add)

@@ -1479,11 +1479,6 @@ object IcebergMetadata {
     props.put("schema.name-mapping.default",
       mapper.writeValueAsString(nameMapping))
     root.put("current-snapshot-id", snapshotId)
-    // refs (Iceberg spec v2, Table Metadata): the spec recommends the
-    // map contain `main` pointing at the current snapshot — branch-aware
-    // readers (and our own ref adoption, A87) resolve through it
-    root.putObject("refs").putObject("main")
-      .put("snapshot-id", snapshotId).put("type", "branch")
     val snaps = root.putArray("snapshots")
     // carry forward prior snapshots, dropping (a) a same-id entry from a
     // re-generation of this version and (b) entries past the retention
@@ -1584,6 +1579,25 @@ object IcebergMetadata {
         e.put("timestamp-ms", p.get("last-updated-ms").asLong)
         e.put("metadata-file", new Path(dir, prevFile).toString)
       }
+    }
+    // refs (Iceberg spec v2, Table Metadata): `main` tracks the current
+    // snapshot (the spec's recommendation; branch-aware readers and our
+    // own ref adoption, A87, resolve through it). Foreign refs stamped
+    // by an admin/external tool CARRY FORWARD while their snapshot is
+    // retained — regeneration must not delete a branch a pinned mirror
+    // follows.
+    locally {
+      val refs = root.putObject("refs")
+      prev.flatMap(p => Option(p.get("refs"))).foreach { pr =>
+        pr.fieldNames().asScala.filter(_ != "main").foreach { nm =>
+          val r = pr.get(nm)
+          if (retainedIds.contains(r.get("snapshot-id").asLong))
+            refs.set[com.fasterxml.jackson.databind.node.ObjectNode](
+              nm, r.deepCopy[JsonNode]())
+        }
+      }
+      refs.putObject("main")
+        .put("snapshot-id", snapshotId).put("type", "branch")
     }
     // statistics (Iceberg spec: Table Statistics): Puffin NDV files
     // recorded by analyzeNdv ride the config marker; an entry is
@@ -1919,6 +1933,16 @@ object IcebergMetadata {
           "the other branch"))
       require(asOfSnapshotId.isEmpty,
         "specify at most one of asOfSnapshotId / asOfRef")
+    }
+    // an explicit snapshot id on a PINNED mirror would retarget it off
+    // its branch just as silently — refuse like the foreign-ref case
+    // (the next plain re-sync would snap back to the branch head,
+    // making the time travel a one-commit wonder)
+    asOfSnapshotId.foreach { sid =>
+      pinnedRef.foreach(p => require(false,
+        s"this mirror is pinned to Iceberg ref '$p'; adopting snapshot " +
+          s"$sid by id would silently retarget it — adopt a separate " +
+          "(unpinned) mirror for snapshot-level time travel"))
     }
     val effectiveRef = asOfRef.orElse(pinnedRef)
     val curId = asOfSnapshotId.getOrElse(effectiveRef match {
@@ -2833,9 +2857,13 @@ object IcebergMetadata {
         val txn = log.startTransaction()
         // advance the marker (and the schema, which may have evolved
         // between snapshots — partition columns are pinned equal above)
+        // prior ndv keys are stripped first: when the statistics chain
+        // broke (data changed since the analyzed snapshot), serving the
+        // stale cardinalities would be silently wrong
         txn.updateMetadata(s.metadata.copy(
           schemaString = schema.json,
-          configuration = s.metadata.configuration ++
+          configuration = s.metadata.configuration
+            .filterNot(_._1.startsWith(NdvConfigPrefix)) ++
             ndvConfig +
             (SyncMarkerKey -> curId.toString) ++
             asOfRef.map(r => RefMarkerKey -> r)))

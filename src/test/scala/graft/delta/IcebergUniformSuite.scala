@@ -3383,6 +3383,60 @@ class IcebergUniformSuite extends AnyFunSuite {
       DeltaTable.convertFromIceberg(spark, dir, asOfRef = Some("main"))
     }
     assert(e2.getMessage.contains("pinned"), e2.getMessage)
+    // ...and so would an explicit snapshot id on the pinned mirror
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaTable.convertFromIceberg(spark, dir, asOfSnapshotId = Some(4L))
+    }
+    assert(e3.getMessage.contains("pinned"), e3.getMessage)
+  }
+
+  test("regeneration carries foreign refs forward while their snapshot is retained") {
+    val dir = tmp()
+    val t = mkUniform(dir)
+    t.write(df((1L, "a", "x")), partitionBy = Seq("part")) // snapshot 2
+    // an admin/external tool stamps a branch ref
+    val metaDir = new java.io.File(dir, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hint = new String(Files.readAllBytes(
+      metaDir.toPath.resolve("version-hint.text"))).trim
+    val mpath = metaDir.toPath.resolve(s"v$hint.metadata.json")
+    val root = mapper.readTree(Files.readAllBytes(mpath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.putObject("refs").putObject("audit")
+      .put("snapshot-id", 2L).put("type", "branch")
+    Files.deleteIfExists(metaDir.toPath.resolve(s".v$hint.metadata.json.crc"))
+    Files.write(mpath,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    // a graft commit regenerates the metadata: audit must survive and
+    // main must track the new head
+    t.write(df((2L, "b", "y")), partitionBy = Seq("part")) // snapshot 3
+    val meta2 = currentMeta(dir)
+    val refs = meta2.get("refs")
+    assert(refs.get("audit") != null &&
+      refs.get("audit").get("snapshot-id").asLong == 2L,
+      "foreign ref must carry forward through regeneration")
+    assert(refs.get("main").get("snapshot-id").asLong ==
+      meta2.get("current-snapshot-id").asLong)
+  }
+
+  test("re-sync strips stale imported NDV config when the data changed") {
+    val src = tmp()
+    val t = mkUniform(src)
+    t.write(df((1L, "a", "x"), (2L, "b", "x")), partitionBy = Seq("part"))
+    t.analyzeNdv(columns = Seq("id"))
+    // mirror the table out of place: NDV imports (one replace hop)
+    val tgt = Files.createTempDirectory("graft-ndv-mirror").toString
+    val m = DeltaTable.mirrorFromIceberg(spark, src, tgt)
+    assert(m.deltaLog.update().metadata.configuration
+      .contains("graft.stats.ndv.id"))
+    // the foreign writer appends: the analyzed counts no longer
+    // describe the data — a re-sync must DROP the stale keys, not
+    // serve ndv=2 for 3 distinct ids
+    t.write(df((3L, "c", "y")), partitionBy = Seq("part"))
+    DeltaTable.mirrorFromIceberg(spark, src, tgt)
+    val conf2 = DeltaTable.forPath(spark, tgt).deltaLog.update()
+      .metadata.configuration
+    assert(!conf2.keys.exists(_.startsWith("graft.stats.ndv.")), conf2)
   }
 
   /** NDV statistics interchange (Iceberg spec: Table Statistics +
