@@ -815,6 +815,122 @@ object Streams {
     // aggregates only its changed rows, and the MERGE touches only the
     // affected aggregate files — mirror maintenance follows the foreign
     // CHANGE rate, never the table size.
+    // D21 (r19) — BRANCH-PINNED STREAMING MIRROR, the production CDC
+    // shape on a branching foreign writer (Flink writes main freely; the
+    // published `audit` branch advances only on review): a UniForm
+    // source with three batches (snapshots 2/3/4) and refs
+    // {main -> 4, audit -> 2} loses its Delta identity; a mirror adopts
+    // PINNED to the audit branch (batch A only), a CDF stream over the
+    // mirror maintains a downstream signed-delta aggregate, the writer
+    // advances audit -> 3, one plain re-sync follows the PIN (diff =
+    // batch B; main's batch C never arrives), and the stream drains the
+    // sync commit. The oracle recomputes the aggregate from the two
+    // audit batches — a mirror following current-snapshot-id (batch C
+    // present) or a non-incremental re-sync (double-applied rows) both
+    // hash-fail. Composition: A87 refs + A85 sync + D5 streaming CDF +
+    // D10 exactly-once.
+    GQ("stream_branch_mirror", (s, d) => {
+      import s.implicits._
+      val srcDir = QueryDefs.scratchDir("graft-branch-src").toString
+      val tgtDir = QueryDefs.scratchDir("graft-branch-tgt").toString
+      val orders = table(s, d, "orders")
+      val t = graft.delta.DeltaTable.forPath(s, srcDir)
+      val txnS = t.deltaLog.startTransaction()
+      txnS.updateMetadata(graft.delta.Metadata(
+        schemaString = orders.schema.json,
+        configuration = Map(
+          "delta.universalFormat.enabledFormats" -> "iceberg")))
+      txnS.commit(Nil, Op.CreateTable)
+      t.write(orders.filter(pmod($"o_orderkey", lit(3)) === 0)) // snap 2 (A)
+      t.write(orders.filter(pmod($"o_orderkey", lit(3)) === 1)) // snap 3 (B)
+      t.write(orders.filter(pmod($"o_orderkey", lit(3)) === 2)) // snap 4 (C)
+      val metaDir = new java.io.File(srcDir, "metadata")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def stampRefs(auditHead: Long): Unit = {
+        val hint = new String(Files.readAllBytes(
+          metaDir.toPath.resolve("version-hint.text"))).trim
+        val mpath = metaDir.toPath.resolve(s"v$hint.metadata.json")
+        val root = mapper.readTree(Files.readAllBytes(mpath))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val refs = root.putObject("refs")
+        refs.putObject("main")
+          .put("snapshot-id", root.get("current-snapshot-id").asLong)
+          .put("type", "branch")
+        refs.putObject("audit")
+          .put("snapshot-id", auditHead).put("type", "branch")
+        Files.deleteIfExists(
+          metaDir.toPath.resolve(s".v$hint.metadata.json.crc"))
+        Files.write(mpath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+      }
+      stampRefs(2L)
+      val logDir = new org.apache.hadoop.fs.Path(srcDir, "_delta_log")
+      logDir.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(logDir, true)
+      // adopt the mirror PINNED to the audit branch
+      graft.delta.DeltaTable.mirrorFromIceberg(s, srcDir, tgtDir,
+        asOfRef = Some("audit"))
+      // downstream aggregate maintained from the mirror's change feed
+      val aggDir = QueryDefs.scratchDir("graft-branch-agg").toString
+      val agg = graft.delta.DeltaTable.forPath(s, aggDir)
+      val aggSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderstatus",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_okey",
+          org.apache.spark.sql.types.LongType)))
+      val txn0 = agg.deltaLog.startTransaction()
+      txn0.updateMetadata(graft.delta.Metadata(schemaString = aggSchema.json))
+      txn0.commit(Nil, Op.CreateTable)
+      def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+        val deltas = batch
+          .withColumn("sign",
+            when(col("_change_type").isin("insert", "update_postimage"), 1L)
+              .otherwise(-1L))
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(col("sign")).as("dn"),
+            sum(col("sign") * col("o_orderkey")).as("dsum"))
+        graft.delta.DeltaTable.forPath(s, aggDir)
+          .merge(deltas.alias("s"), expr("t.o_orderstatus = s.o_orderstatus"))
+          .withIdempotentTxn("stream_branch_mirror", batchId)
+          .whenMatchedDelete(expr("t.n_rows + s.dn = 0"))
+          .whenMatchedUpdate(Map(
+            "n_rows" -> expr("t.n_rows + s.dn"),
+            "sum_okey" -> expr("t.sum_okey + s.dsum")))
+          .whenNotMatchedInsert(expr("s.dn <> 0"), Map(
+            "o_orderstatus" -> col("s.o_orderstatus"),
+            "n_rows" -> col("s.dn"), "sum_okey" -> col("s.dsum")))
+          .execute()
+        ()
+      }
+      def drain(): Unit = {
+        val stream = s.readStream
+          .format("graft.streaming.DeltaStreamSourceProvider")
+          .option("path", tgtDir)
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "0")
+          .option("maxFilesPerTrigger", "1")
+          .load()
+        val q = stream.writeStream.foreachBatch {
+          (batch: DataFrame, batchId: Long) => applyBatch(batch, batchId)
+        }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain() // batch A flows
+      // the writer advances the published branch; the pin follows it
+      stampRefs(3L)
+      graft.delta.DeltaTable.mirrorFromIceberg(s, srcDir, tgtDir)
+      drain() // the sync diff (batch B) flows; batch C never does
+      graft.delta.DeltaTable.forPath(s, aggDir).toDF
+        .orderBy(col("o_orderstatus"))
+    }, Some("""
+      WITH audit AS (
+        SELECT * FROM orders WHERE o_orderkey % 3 IN (0, 1))
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey
+      FROM audit GROUP BY 1 ORDER BY 1""")),
+
     GQ("stream_iceberg_mirror", (s, d) => {
       import s.implicits._
       val srcDir = graft.delta.DeltaQueries.convertSyncFixture(s, d)
