@@ -1509,6 +1509,97 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
   def generateIcebergMetadata(): Long =
     IcebergMetadata.generate(spark, deltaLog, deltaLog.update())
 
+  /** Publish a NAMED Iceberg ref (Iceberg spec v2, Table Metadata
+    * `refs`): a `tag` (immutable release pointer) or `branch` on the
+    * generated UniForm metadata. Iceberg-side consumers pin to it
+    * (Flink/Trino `VERSION AS OF 'name'`), and [[convertFromIceberg]]
+    * adopts/follows it (A87). The referenced snapshot is PROTECTED
+    * from retention expiry while the ref lives — a published tag stays
+    * adoptable — except under VACUUM's forced expiry, where the ref
+    * drops loudly instead of dangling over deleted data files.
+    * `snapshotId` defaults to the current Iceberg snapshot.
+    */
+  def createIcebergRef(name: String, tag: Boolean = true,
+      snapshotId: Option[Long] = None): Unit = {
+    require(name != "main", "'main' always tracks the current snapshot")
+    val snap = deltaLog.update()
+    require(DeltaConfig.UniversalFormats.fromMetadata(snap.metadata)
+      .contains("iceberg"),
+      "Iceberg refs ride UniForm metadata — the table needs " +
+        "delta.universalFormat.enabledFormats=iceberg")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = readIcebergMetadata(mapper)
+    import scala.jdk.CollectionConverters._
+    val known: Set[Long] = meta.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong).toSet
+    val sid = snapshotId.getOrElse(meta.get("current-snapshot-id").asLong)
+    require(known.contains(sid),
+      s"snapshot $sid is not retained in the Iceberg metadata " +
+        s"(retained: ${known.toSeq.sorted.mkString(", ")})")
+    updateAuthoredRefs(snap, mapper) { refs =>
+      refs.putObject(name).put("snapshot-id", sid)
+        .put("type", if (tag) "tag" else "branch")
+    }
+  }
+
+  /** Remove a published ref. An engine-authored ref is deleted; a
+    * carried FOREIGN ref (from a converted table's metadata) is
+    * tombstoned so regeneration stops carrying it.
+    */
+  def dropIcebergRef(name: String): Unit = {
+    require(name != "main", "'main' cannot be dropped")
+    val snap = deltaLog.update()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = readIcebergMetadata(mapper)
+    val exists = Option(meta.get("refs"))
+      .exists(r => r.get(name) != null)
+    val inMarker = snap.metadata.configuration
+      .get(IcebergMetadata.RefsAuthoredKey)
+      .exists(js => mapper.readTree(js).get(name) != null)
+    require(exists || inMarker, s"no Iceberg ref named '$name'")
+    updateAuthoredRefs(snap, mapper) { refs =>
+      refs.putNull(name) // tombstone: authored entry replaced, carried
+      // foreign ref suppressed by the generator's overlay
+      ()
+    }
+  }
+
+  private def readIcebergMetadata(
+      mapper: com.fasterxml.jackson.databind.ObjectMapper)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    val metaDir = IcebergMetadata.metadataDir(deltaLog)
+    val fs = metaDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val hintPath = new Path(metaDir, "version-hint.text")
+    require(fs.exists(hintPath),
+      "no Iceberg metadata generated yet — commit once (or call " +
+        "generateIcebergMetadata) first")
+    val hint = {
+      val in = fs.open(hintPath)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        "UTF-8").trim
+      finally in.close()
+    }
+    val in = fs.open(new Path(metaDir, s"v$hint.metadata.json"))
+    try mapper.readTree(in) finally in.close()
+  }
+
+  private def updateAuthoredRefs(snap: Snapshot,
+      mapper: com.fasterxml.jackson.databind.ObjectMapper)(
+      edit: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
+    val refs = snap.metadata.configuration
+      .get(IcebergMetadata.RefsAuthoredKey)
+      .map(js => mapper.readTree(js)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      .getOrElse(mapper.createObjectNode())
+    edit(refs)
+    val txn = deltaLog.startTransaction()
+    txn.updateMetadata(snap.metadata.copy(
+      configuration = snap.metadata.configuration +
+        (IcebergMetadata.RefsAuthoredKey -> mapper.writeValueAsString(refs))))
+    txn.commit(Nil, Op.SetTableProperties,
+      operationParameters = Map("icebergRefs" -> refs.toString))
+  }
+
   /** ANALYZE-style NDV statistics export (Iceberg Table Statistics):
     * computes one KMV theta sketch per column in a SINGLE
     * partial-aggregated scan (at most 2^lgK longs per column per map

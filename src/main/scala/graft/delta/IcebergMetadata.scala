@@ -1484,9 +1484,35 @@ object IcebergMetadata {
     // re-generation of this version and (b) entries past the retention
     // window — the Iceberg analogue of Delta's expired-log cleanup
     val cutoff = genStart - retainMs
+    // snapshots referenced by a live ref (engine-authored marker or a
+    // carried foreign ref not tombstoned) are PROTECTED from expiry —
+    // Iceberg's own semantics: a published tag/branch head stays
+    // readable regardless of the time window
+    val authoredRefs: Map[String, Option[(Long, String)]] =
+      md.configuration.get(RefsAuthoredKey).map { js =>
+        mapper.readTree(js).fields().asScala.map { e =>
+          e.getKey -> (if (e.getValue.isNull) None
+            else Some((e.getValue.get("snapshot-id").asLong,
+              e.getValue.get("type").asText)))
+        }.toMap
+      }.getOrElse(Map.empty)
+    // VACUUM's forced expiry (retainMsOverride) wins over protection:
+    // the data files are about to go away, so a surviving ref would
+    // DANGLE — the ref drops from the emitted metadata instead (the
+    // emission filters to retained snapshots and warns)
+    val refProtectedIds: Set[Long] =
+      if (retainMsOverride.isDefined) Set.empty
+      else {
+        val carried = prev.flatMap(p => Option(p.get("refs"))).toSeq
+          .flatMap(_.fields().asScala)
+          .filter(e => e.getKey != "main" && !authoredRefs.contains(e.getKey))
+          .map(_.getValue.get("snapshot-id").asLong)
+        (carried ++ authoredRefs.values.flatten.map(_._1)).toSet
+      }
     prev.foreach(_.get("snapshots").elements().asScala
       .filter(s => s.get("snapshot-id").asLong != snapshotId &&
-        s.get("timestamp-ms").asLong >= cutoff)
+        (s.get("timestamp-ms").asLong >= cutoff ||
+          refProtectedIds.contains(s.get("snapshot-id").asLong)))
       .foreach(snaps.add))
     val sn = snaps.addObject()
     sn.put("snapshot-id", snapshotId)
@@ -1588,13 +1614,30 @@ object IcebergMetadata {
     // follows.
     locally {
       val refs = root.putObject("refs")
+      // carried foreign refs first (names the marker overrides —
+      // including tombstones — excluded), then engine-authored refs,
+      // then main tracking the head
       prev.flatMap(p => Option(p.get("refs"))).foreach { pr =>
-        pr.fieldNames().asScala.filter(_ != "main").foreach { nm =>
-          val r = pr.get(nm)
-          if (retainedIds.contains(r.get("snapshot-id").asLong))
-            refs.set[com.fasterxml.jackson.databind.node.ObjectNode](
-              nm, r.deepCopy[JsonNode]())
-        }
+        pr.fieldNames().asScala
+          .filter(nm => nm != "main" && !authoredRefs.contains(nm))
+          .foreach { nm =>
+            val r = pr.get(nm)
+            if (retainedIds.contains(r.get("snapshot-id").asLong))
+              refs.set[com.fasterxml.jackson.databind.node.ObjectNode](
+                nm, r.deepCopy[JsonNode]())
+            else System.err.println(s"WARN graft: Iceberg ref '$nm' " +
+              "dropped — its snapshot expired (forced expiry wins over " +
+              "ref protection)")
+          }
+      }
+      authoredRefs.foreach {
+        case (nm, Some((sid, tpe))) =>
+          if (retainedIds.contains(sid))
+            refs.putObject(nm).put("snapshot-id", sid).put("type", tpe)
+          else System.err.println(s"WARN graft: Iceberg ref '$nm' " +
+            "dropped — its snapshot expired (forced expiry wins over " +
+            "ref protection)")
+        case (_, None) => () // tombstone: carried ref suppressed above
       }
       refs.putObject("main")
         .put("snapshot-id", snapshotId).put("type", "branch")
@@ -1846,6 +1889,15 @@ object IcebergMetadata {
     * surfaced by DESCRIBE DETAIL's properties map.
     */
   private[delta] val NdvConfigPrefix = "graft.stats.ndv."
+
+  /** Table-config key holding engine-AUTHORED refs for the generated
+    * metadata (JSON object: name → {"snapshot-id", "type"} or null for
+    * a tombstone over a carried foreign ref) — see
+    * [[DeltaTable.createIcebergRef]]. The generator overlays these on
+    * the carried foreign refs; snapshots referenced by any live ref are
+    * PROTECTED from retention expiry (a published tag stays adoptable).
+    */
+  private[delta] val RefsAuthoredKey = "graft.iceberg.refs"
 
   /** Table-config key pinning a mirror to a NAMED Iceberg ref (branch or
     * tag, the metadata's `refs` map — Iceberg spec v2, Table Metadata).

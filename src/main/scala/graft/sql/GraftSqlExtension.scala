@@ -321,6 +321,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case AnalyzeRe(target, cols) =>
         Some(GraftAnalyzeCommand(parseTarget(target),
           Option(cols).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))))
+      case CreateRefRe(target, kind, name, ver) =>
+        Some(GraftRefCommand(parseTarget(target), name,
+          create = true, tag = kind.equalsIgnoreCase("TAG"),
+          snapshotId = Option(ver).map(_.toLong)))
+      case DropRefRe(target, name) =>
+        Some(GraftRefCommand(parseTarget(target), name,
+          create = false, tag = true, snapshotId = None))
       case _ => None
     }
   }
@@ -429,6 +436,12 @@ object GraftSqlParser {
     s"""(?is)GENERATE\\s+(symlink_format_manifest|iceberg_metadata)\\s+FOR\\s+TABLE\\s+$T""".r
   private[sql] val ShowPartitionsRe =
     s"""(?is)SHOW\\s+PARTITIONS\\s+$T""".r
+  // Iceberg's own SQL convention: ALTER TABLE t CREATE TAG|BRANCH name
+  // [AS OF VERSION <snapshot-id>] / DROP TAG|BRANCH name
+  private[sql] val CreateRefRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+CREATE\\s+(TAG|BRANCH)\\s+(\\w[\\w.-]*)(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?\\s*""".r
+  private[sql] val DropRefRe =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+DROP\\s+(?:TAG|BRANCH)\\s+(\\w[\\w.-]*)\\s*""".r
   // PATH targets only: ANALYZE over a catalog identifier stays Spark's
   // own command (hijacking it would break non-graft tables)
   private[sql] val AnalyzeRe =
@@ -549,6 +562,22 @@ case class GraftCopyIntoCommand(target: SqlTarget, source: String,
   * transaction log's AddFile metadata (one distinct over the file
   * state — zero filesystem listing, at any partition count).
   */
+/** `ALTER TABLE t CREATE TAG|BRANCH name [AS OF VERSION <id>]` /
+  * `ALTER TABLE t DROP TAG|BRANCH name` — publish or remove a named
+  * Iceberg ref on the generated UniForm metadata (A87 export side).
+  */
+case class GraftRefCommand(target: SqlTarget, name: String,
+    create: Boolean, tag: Boolean, snapshotId: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, SqlTarget.resolve(spark, target))
+    if (create) t.createIcebergRef(name, tag = tag, snapshotId = snapshotId)
+    else t.dropIcebergRef(name)
+    Nil
+  }
+}
+
 /** `ANALYZE TABLE delta.`path` COMPUTE STATISTICS [FOR COLUMNS c, ...]`
   * → [[DeltaTable.analyzeNdv]]: per-column NDV theta sketches exported
   * as an Iceberg Puffin statistics file (A88). Path targets only.

@@ -3390,6 +3390,55 @@ class IcebergUniformSuite extends AnyFunSuite {
     assert(e3.getMessage.contains("pinned"), e3.getMessage)
   }
 
+  test("published tag protects its snapshot from expiry; drop releases it; VACUUM wins") {
+    val dir = tmp()
+    // zero retention: every generation expires non-current snapshots
+    // unless a ref protects them
+    val t0 = DeltaTable.forPath(spark, dir)
+    val txn = t0.deltaLog.startTransaction()
+    txn.updateMetadata(Metadata(
+      schemaString = df((0L, "x", "p")).schema.json,
+      partitionColumns = Seq("part"),
+      configuration = Map(
+        "delta.universalFormat.enabledFormats" -> "iceberg",
+        "delta.logRetentionDuration" -> "interval 0 seconds")))
+    txn.commit(Nil, Op.CreateTable)
+    t0.write(df((1L, "a", "x")), partitionBy = Seq("part")) // snapshot 2
+    Thread.sleep(30)
+    t0.createIcebergRef("v1.0") // tag on snapshot 2 (the current head)
+    def snapIds(): Set[Long] = currentMeta(dir).get("snapshots")
+      .elements().asScala.map(_.get("snapshot-id").asLong).toSet
+    def refNames(): Set[String] = Option(currentMeta(dir).get("refs"))
+      .map(_.fieldNames().asScala.toSet).getOrElse(Set.empty)
+    assert(refNames() == Set("main", "v1.0"), refNames())
+    assert(currentMeta(dir).get("refs").get("v1.0")
+      .get("snapshot-id").asLong == 2L)
+    Thread.sleep(30)
+    t0.write(df((2L, "b", "y")), partitionBy = Seq("part"))
+    // zero retention dropped every unprotected old snapshot, but the
+    // tagged snapshot 2 survives
+    assert(snapIds().contains(2L),
+      s"tagged snapshot must survive expiry: ${snapIds()}")
+    assert(!snapIds().contains(3L), // the ref commit's snapshot expired
+      s"unprotected snapshots must expire at zero retention: ${snapIds()}")
+    // the tag is adoptable: mirror pinned to it sees batch 1 only
+    val tgt = java.nio.file.Files.createTempDirectory("graft-tag-adopt").toString
+    val m = DeltaTable.mirrorFromIceberg(spark, dir, tgt,
+      asOfRef = Some("v1.0"))
+    assert(m.toDF.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    // drop the tag: the next generation expires snapshot 2
+    t0.dropIcebergRef("v1.0")
+    Thread.sleep(30)
+    t0.write(df((3L, "c", "y")), partitionBy = Seq("part"))
+    assert(!snapIds().contains(2L),
+      s"dropped tag must release its snapshot: ${snapIds()}")
+    assert(refNames() == Set("main"))
+    // a live tag under VACUUM's forced expiry drops instead of dangling
+    t0.createIcebergRef("v2.0")
+    IcebergMetadata.generate(spark, t0.deltaLog, t0.deltaLog.update(), Some(0L))
+    assert(refNames() == Set("main"), refNames())
+  }
+
   test("regeneration carries foreign refs forward while their snapshot is retained") {
     val dir = tmp()
     val t = mkUniform(dir)

@@ -796,6 +796,43 @@ class SqlSurfaceSuite extends AnyFunSuite {
     finally spark.sql("DROP TABLE IF EXISTS t_plain_an")
   }
 
+  test("ALTER TABLE CREATE/DROP TAG publishes Iceberg refs") {
+    val dir = tmp() + "/reftab"
+    val t0 = DeltaTable.forPath(spark, dir)
+    val txn = t0.deltaLog.startTransaction()
+    txn.updateMetadata(graft.delta.Metadata(
+      schemaString = seed().schema.json,
+      configuration = Map(
+        "delta.universalFormat.enabledFormats" -> "iceberg")))
+    txn.commit(Nil, graft.delta.Op.CreateTable)
+    t0.write(seed())
+    spark.sql(s"ALTER TABLE delta.`$dir` CREATE TAG rel-1")
+    spark.sql(s"ALTER TABLE delta.`$dir` CREATE BRANCH audit AS OF VERSION 2")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def refs(): Map[String, (Long, String)] = {
+      val metaDir = new java.io.File(dir, "metadata")
+      val hint = new String(Files.readAllBytes(
+        metaDir.toPath.resolve("version-hint.text"))).trim
+      val root = mapper.readTree(Files.readAllBytes(
+        metaDir.toPath.resolve(s"v$hint.metadata.json")))
+      import scala.jdk.CollectionConverters._
+      Option(root.get("refs")).map(_.fields().asScala.map(e =>
+        e.getKey -> (e.getValue.get("snapshot-id").asLong,
+          e.getValue.get("type").asText)).toMap).getOrElse(Map.empty)
+    }
+    val r = refs()
+    assert(r("rel-1")._2 == "tag" && r("rel-1")._1 == 2L, r)
+    assert(r("audit") == (2L, "branch"), r)
+    spark.sql(s"ALTER TABLE delta.`$dir` DROP TAG rel-1")
+    assert(!refs().contains("rel-1"))
+    assert(refs().contains("audit"))
+    // unknown ref refuses
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE delta.`$dir` DROP BRANCH nope")
+    }
+    assert(e.getMessage.contains("no Iceberg ref"), e.getMessage)
+  }
+
   test("CONVERT TO DELTA adopts a parquet directory in place") {
     val dir = tmp() + "/plainpq"
     seed().write.partitionBy("part").parquet(dir)
