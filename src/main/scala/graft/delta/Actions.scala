@@ -145,6 +145,9 @@ final case class AddFile(
   def remove(deletionTimestamp: Long, dataChange: Boolean = true): RemoveFile =
     RemoveFile(path, Some(deletionTimestamp), dataChange,
       extendedFileMetadata = true, partitionValues, Some(size),
+      // tags ride along: a CDF delete category reads the removed file's
+      // rows, and a ReadDefaults missing-columns tag must keep applying
+      tags = tags,
       deletionVector = deletionVector)
   def wrap: SingleAction = SingleAction(add = this)
 }

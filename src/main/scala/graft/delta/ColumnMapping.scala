@@ -97,6 +97,23 @@ object ColumnMapping {
       f.name -> (physicalName(f), meta)
     }.toMap
 
+  /** Rename a logical-named frame to physical names for WRITING (data
+    * and CDC files must agree byte-for-byte on column naming — the
+    * property CDF-across-rename depends on); id mode also stamps
+    * parquet.field.id metadata. No-op without column mapping.
+    */
+  def toPhysicalForWrite(md: Metadata, df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val aliases = writeAliases(md)
+    if (aliases.isEmpty) df
+    else df.select(df.columns.map { c =>
+      aliases.get(c) match {
+        case Some((p, m)) => org.apache.spark.sql.functions.col(c).as(p, m)
+        case None => org.apache.spark.sql.functions.col(c)
+      }
+    }.toSeq: _*)
+  }
+
   /** Project a physical-named scan back to logical names; `extra` columns
     * (e.g. DV row-identity keys) pass through.
     */

@@ -1311,16 +1311,8 @@ object DeltaQueries {
       val hconf = s.sessionState.newHadoopConf()
       val metaDir = IcebergMetadata.metadataDir(log)
       val fsys = metaDir.getFileSystem(hconf)
-      def readAllBytes(p: org.apache.hadoop.fs.Path): Array[Byte] = {
-        val in = fsys.open(p)
-        try {
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var r = in.read(buf)
-          while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
-          out.toByteArray
-        } finally in.close()
-      }
+      def readAllBytes(p: org.apache.hadoop.fs.Path): Array[Byte] =
+        IcebergMetadata.readAll(fsys, p)
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val hint = new String(readAllBytes(
         new org.apache.hadoop.fs.Path(metaDir, "version-hint.text")), "UTF-8").trim
@@ -1409,16 +1401,8 @@ object DeltaQueries {
         val hconf = s.sessionState.newHadoopConf()
         val metaDir = IcebergMetadata.metadataDir(log)
         val fsys = metaDir.getFileSystem(hconf)
-        def readAllBytes(p: org.apache.hadoop.fs.Path): Array[Byte] = {
-          val in = fsys.open(p)
-          try {
-            val out = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](8192)
-            var r = in.read(buf)
-            while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
-            out.toByteArray
-          } finally in.close()
-        }
+        def readAllBytes(p: org.apache.hadoop.fs.Path): Array[Byte] =
+          IcebergMetadata.readAll(fsys, p)
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val hint = new String(readAllBytes(
           new org.apache.hadoop.fs.Path(metaDir, "version-hint.text")), "UTF-8").trim
@@ -1492,16 +1476,8 @@ object DeltaQueries {
       val hconf = s.sessionState.newHadoopConf()
       val metaDir = IcebergMetadata.metadataDir(log)
       val fsys = metaDir.getFileSystem(hconf)
-      def readAllBytes(p: org.apache.hadoop.fs.Path): Array[Byte] = {
-        val in = fsys.open(p)
-        try {
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var r = in.read(buf)
-          while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
-          out.toByteArray
-        } finally in.close()
-      }
+      def readAllBytes(p: org.apache.hadoop.fs.Path): Array[Byte] =
+        IcebergMetadata.readAll(fsys, p)
       def avroRows(p: String, conf: org.apache.hadoop.conf.Configuration):
           List[org.apache.avro.generic.GenericRecord] = {
         import scala.jdk.CollectionConverters._
@@ -1606,16 +1582,8 @@ object DeltaQueries {
       val log = DeltaTable.forPath(s, dir).deltaLog
       val hconf = s.sessionState.newHadoopConf()
       val metaDir = IcebergMetadata.metadataDir(log)
-      def readAllBytes(p: org.apache.hadoop.fs.Path): Array[Byte] = {
-        val in = metaDir.getFileSystem(hconf).open(p)
-        try {
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var r = in.read(buf)
-          while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
-          out.toByteArray
-        } finally in.close()
-      }
+      def readAllBytes(p: org.apache.hadoop.fs.Path): Array[Byte] =
+        IcebergMetadata.readAll(metaDir.getFileSystem(hconf), p)
       def avroRows(p: String, conf: org.apache.hadoop.conf.Configuration):
           List[org.apache.avro.generic.GenericRecord] = {
         import scala.jdk.CollectionConverters._
@@ -2124,6 +2092,43 @@ object DeltaQueries {
         SELECT 'n_regionkey', CAST(COUNT(DISTINCT n_regionkey) AS BIGINT)
         FROM nation)
       ORDER BY col_name""")),
+
+    // REFS ROUND TRIP (A87 export side, r19): the ENGINE publishes the
+    // tag — `createIcebergRef` rides a config marker into the generated
+    // metadata, and the tagged snapshot is PROTECTED from retention
+    // expiry — then the table loses its Delta identity and is adopted
+    // BY the tag. The fixture writes batch A, tags the head `rel-1`,
+    // writes batch B (main moves on), drops `_delta_log`, and adopts
+    // `asOfRef = "rel-1"`: the result is batch A alone. A generator
+    // that lost the ref, an expiry that collected the tagged snapshot,
+    // or an adoption that followed main would all hash-fail.
+    GQ("delta_refs_roundtrip", (s, d) => {
+      import s.implicits._
+      val dir = fixture(s, d, "refs-roundtrip") { dir =>
+        val t = DeltaTable.forPath(s, dir)
+        val nation = table(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val txn = t.deltaLog.startTransaction()
+        txn.updateMetadata(Metadata(
+          schemaString = nation.schema.json,
+          configuration = Map(
+            "delta.universalFormat.enabledFormats" -> "iceberg")))
+        txn.commit(Nil, Op.CreateTable)
+        t.write(nation.filter($"n_nationkey" < 12)) // batch A (snapshot 2)
+        t.createIcebergRef("rel-1")                 // tag the head
+        t.write(nation.filter($"n_nationkey" >= 12)) // batch B; main moves
+        val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+        logDir.getFileSystem(s.sessionState.newHadoopConf())
+          .delete(logDir, true)
+        DeltaTable.convertFromIceberg(s, dir, asOfRef = Some("rel-1"))
+      }
+      DeltaTable.forPath(s, dir).toDF
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"))
+        .orderBy(col("n_nationkey"))
+    }, Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+      FROM nation WHERE n_nationkey < 12 ORDER BY 1""")),
 
     // NAMED ICEBERG REFS (A85, r19): Flink/Trino production tables pin
     // consumers to a branch in the metadata's `refs` map (Iceberg spec

@@ -345,10 +345,14 @@ class DeltaTable private (val spark: SparkSession, val deltaLog: DeltaLog) {
           // the DV — and symmetrically an added file with a DV only
           // inserts live rows. readFilesDF applies the DV; per-version
           // frames are fine because whole-file DV removes are rare.
+          // a ReadDefaults-tagged file (pre-evolution file of a converted
+          // table) must read through readFilesDF too — the plain-parquet
+          // bucket would emit null where the initial-default applies
           Seq((ins, "insert", insCat), (del, "delete", delCat)).foreach {
             case (fs, ct, cat) =>
               if (fs.exists(f => FileNames.isAbsolute(f.path) ||
-                  DeletionVectors.descriptor(f).isDefined))
+                  DeletionVectors.descriptor(f).isDefined ||
+                  Option(f.tags).exists(_.contains(ReadDefaults.MissingTag))))
                 absFrames += readFilesDF(fs, endSnap.metadata)
                   .withColumn("_change_type", lit(ct))
                   .withColumn("_commit_version", lit(v))
@@ -3077,15 +3081,7 @@ object DeltaTable {
   private[delta] def writeCdcFiles(
       spark: SparkSession, dataPath: Path, df0: DataFrame,
       md: Metadata): Seq[AddCDCFile] = {
-    val aliases = ColumnMapping.writeAliases(md)
-    val df =
-      if (aliases.isEmpty) df0
-      else df0.select(df0.columns.map { c =>
-        aliases.get(c) match {
-          case Some((p, m)) => org.apache.spark.sql.functions.col(c).as(p, m)
-          case None => org.apache.spark.sql.functions.col(c)
-        }
-      }.toSeq: _*)
+    val df = ColumnMapping.toPhysicalForWrite(md, df0)
     val conf = spark.sessionState.newHadoopConf()
     val fs = dataPath.getFileSystem(conf)
     val staging = new Path(dataPath, s".staging-cdc-${UUID.randomUUID}")
@@ -3121,14 +3117,7 @@ object DeltaTable {
     // id mode the aliases also stamp parquet.field.id so footers carry
     // field ids for id-resolution readers
     val aliases = ColumnMapping.writeAliases(md)
-    val df =
-      if (aliases.isEmpty) checked
-      else checked.select(checked.columns.map { c =>
-        aliases.get(c) match {
-          case Some((p, m)) => org.apache.spark.sql.functions.col(c).as(p, m)
-          case None => org.apache.spark.sql.functions.col(c)
-        }
-      }.toSeq: _*)
+    val df = ColumnMapping.toPhysicalForWrite(md, checked)
     val conf = spark.sessionState.newHadoopConf()
     // direct write: tasks place UUID-named files straight into the table
     // directory (no staging dir, no rename pass — object-store safe; the

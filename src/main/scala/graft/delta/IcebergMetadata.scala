@@ -583,6 +583,17 @@ object IcebergMetadata {
         "Iceberg metadata generation over a variant column requires " +
           "graft.iceberg.formatVersion=3 (variant is an Iceberg v3 type; " +
           "format v2 has no faithful declaration for it)")
+    // initial-default is a v3 schema field: a v2 export would silently
+    // DROP it while still listing the pre-evolution files, so an
+    // external reader null-fills exactly the rows the default covers —
+    // the same silent-misread class as variant, refused the same way
+    if (formatVersion < 3 &&
+        schema.fields.exists(_.metadata.contains(ReadDefaults.InitialKey)))
+      throw new UnsupportedOperationException(
+        "Iceberg metadata generation over a column carrying an imported " +
+          "initial-default requires graft.iceberg.formatVersion=3 " +
+          "(initial-default is a v3 schema field; a v2 export would " +
+          "silently null-fill pre-evolution rows in external readers)")
     val rowIdInfo: Option[(Long, Long, Option[Long])] = // (missing, legacyDvs, min added frid)
       if (formatVersion < 3) None
       else {
@@ -2432,11 +2443,18 @@ object IcebergMetadata {
                     try {
                       val sch = rdr.getFooter.getFileMetaData.getSchema
                       val fs0 = sch.getFields.asScala
+                      // name fallback ONLY for footers without field ids
+                      // (legacy writers): when ids are present, a name
+                      // match with a DIFFERENT id is a dropped-and-
+                      // re-added column whose old values must NOT
+                      // resurrect over the new field's default
+                      val footerHasIds = fs0.exists(t => t.getId != null)
                       initialDefaulted.filterNot { case (fid, _, footerNm) =>
-                        fs0.exists(t =>
-                          Option(t.getId).exists(_.intValue == fid) ||
-                            t.getName == footerNm)
-                      }.map(_._2)
+                        if (footerHasIds)
+                          fs0.exists(t =>
+                            Option(t.getId).exists(_.intValue == fid))
+                        else fs0.exists(_.getName == footerNm)
+                      }.map(_._3) // PHYSICAL name: stable across renames
                     } finally rdr.close()
                   if (absent.isEmpty) null
                   else {
@@ -2863,20 +2881,30 @@ object IcebergMetadata {
           .select(col("add.*")).as[AddFile]
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val commonChangedDS:
-            org.apache.spark.sql.Dataset[(AddFile, String, Map[String, String], Long, String)] = {
-          val base =
-            if (changedDvFps.isEmpty)
-              deltaState.join(iceDF, Seq("fp")).limit(0)
+            org.apache.spark.sql.Dataset[(AddFile, String, Map[String, String], Long, String, Option[String])] = {
+          val joined = deltaState.join(iceDF, Seq("fp"))
+          val dvChanged =
+            if (changedDvFps.isEmpty) joined.limit(0)
             else {
               val changedDF = spark.createDataset(changedDvFps.toSeq)(
                 org.apache.spark.sql.Encoders.STRING).toDF("fpn")
-              deltaState.join(iceDF, Seq("fp"))
+              joined
                 .withColumn("fpn", org.apache.spark.sql.functions
                   .regexp_replace(col("fp"), "^file:/+", "/"))
                 .join(changedDF, Seq("fpn"), "leftsemi")
+                .drop("fpn")
             }
-          base.select(col("add"), col("fp"), col("pvs"), col("size"), col("stats"))
-            .as[(AddFile, String, Map[String, String], Long, String)]
+          // a schema evolved between syncs can ADD an initial-default
+          // column: files already in the Delta state must re-add with
+          // the freshly computed missing-columns tag, or their
+          // pre-evolution rows silently read null instead of the default
+          val tagChanged = joined.filter(
+            !(org.apache.spark.sql.functions.element_at(
+              col("add.tags"), ReadDefaults.MissingTag) <=> col("missing")))
+          dvChanged.unionByName(tagChanged).dropDuplicates("fp")
+            .select(col("add"), col("fp"), col("pvs"), col("size"),
+              col("stats"), col("missing"))
+            .as[(AddFile, String, Map[String, String], Long, String, Option[String])]
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         }
         val (nNew, nGone, nChanged) =
@@ -2906,6 +2934,15 @@ object IcebergMetadata {
           RemoveFile(a.path, Some(now), dataChange = dataChg,
             extendedFileMetadata = true, partitionValues = a.partitionValues,
             size = Some(a.size), deletionVector = a.deletionVector)
+        // re-adds refresh the ReadDefaults tag against the NEW schema's
+        // footer check; every other tag rides along unchanged
+        def retag(tags: Map[String, String],
+            missing: Option[String]): Map[String, String] = {
+          val out = (Option(tags).getOrElse(Map.empty) -
+            ReadDefaults.MissingTag) ++
+            missing.map(ReadDefaults.MissingTag -> _)
+          if (out.isEmpty) null else out
+        }
         val txn = log.startTransaction()
         // advance the marker (and the schema, which may have evolved
         // between snapshots — partition columns are pinned equal above)
@@ -2918,7 +2955,16 @@ object IcebergMetadata {
             .filterNot(_._1.startsWith(NdvConfigPrefix)) ++
             ndvConfig +
             (SyncMarkerKey -> curId.toString) ++
-            asOfRef.map(r => RefMarkerKey -> r)))
+            asOfRef.map(r => RefMarkerKey -> r) ++
+            // defaults can arrive BETWEEN syncs (schema evolution on the
+            // foreign side): the feature keys must ride the sync commit
+            // exactly like the fresh adoption's baseConfig
+            (if (schema.fields.exists(_.metadata.contains(ColumnDefaults.CurrentKey)))
+              Map(s"delta.feature.${ColumnDefaults.FeatureName}" -> "supported")
+             else Map.empty) ++
+            (if (schema.fields.exists(_.metadata.contains(ReadDefaults.InitialKey)))
+              Map(s"delta.feature.${ReadDefaults.FeatureName}" -> "supported")
+             else Map.empty)))
         val syncParams = Map(
           "sourceFormat" -> "iceberg", "sync" -> "true",
           "icebergSnapshotId" -> curId.toString,
@@ -2952,10 +2998,11 @@ object IcebergMetadata {
             val it: Iterator[Action] =
               goneDS.toLocalIterator().asScala.map(a => mkRemove(a): Action) ++
                 commonChangedDS.toLocalIterator().asScala.flatMap {
-                  case (a, abs, pvs, size, stats) =>
+                  case (a, abs, pvs, size, stats, missing) =>
                     Iterator(mkRemove(a): Action,
                       mkAdd(abs, pvs, size, stats, a.baseRowId,
-                        a.defaultRowCommitVersion, a.tags): Action)
+                        a.defaultRowCommitVersion,
+                        retag(a.tags, missing)): Action)
                 } ++
                 newFilesDS.toLocalIterator().asScala.map {
                   case (abs, pvs, size, stats, frid, missing) =>
@@ -2970,9 +3017,10 @@ object IcebergMetadata {
               (goneDS.collect().toSeq ++ commonChangedDS.collect().map(_._1))
                 .map(mkRemove)
             val addsOut: Seq[Action] =
-              commonChangedDS.collect().map { case (a, abs, pvs, size, stats) =>
-                mkAdd(abs, pvs, size, stats, a.baseRowId,
-                  a.defaultRowCommitVersion, a.tags): Action
+              commonChangedDS.collect().map {
+                case (a, abs, pvs, size, stats, missing) =>
+                  mkAdd(abs, pvs, size, stats, a.baseRowId,
+                    a.defaultRowCommitVersion, retag(a.tags, missing)): Action
               }.toSeq ++
                 newFilesDS.collect().map {
                   case (abs, pvs, size, stats, frid, missing) =>
@@ -3058,7 +3106,7 @@ object IcebergMetadata {
     data.join(dels, cond, "leftsemi").select(col("fp"), col("ri"))
   }
 
-  private def readAll(fs: org.apache.hadoop.fs.FileSystem, p: Path): Array[Byte] = {
+  private[delta] def readAll(fs: org.apache.hadoop.fs.FileSystem, p: Path): Array[Byte] = {
     val in = fs.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream()

@@ -26,7 +26,11 @@ import org.apache.spark.sql.types.{Metadata => _, _} // keep graft.delta.Metadat
   */
 object ReadDefaults {
 
-  /** AddFile tag: JSON array of LOGICAL column names the file lacks. */
+  /** AddFile tag: JSON array of PHYSICAL column names the file lacks —
+    * physical names survive RENAME COLUMN, so the tag keeps applying
+    * after a defaulted column is renamed (logical names would orphan
+    * it and silently null-fill).
+    */
   val MissingTag = "graft.convert.missingDefaults"
 
   /** Field-metadata key: the Iceberg single-value JSON default text. */
@@ -99,7 +103,16 @@ object ReadDefaults {
         dt match {
           case BooleanType => Some(v.toString)
           case ByteType | ShortType | IntegerType | LongType => Some(v.toString)
-          case FloatType | DoubleType => Some(v.toString)
+          case FloatType | DoubleType =>
+            // bare NaN/Infinity is not legal JSON — readTree on the
+            // generator side would throw and fail every metadata
+            // generation; omitting the default is legal
+            val dv = v match {
+              case f: java.lang.Float => f.doubleValue
+              case dd: java.lang.Double => dd.doubleValue
+              case o => o.toString.toDouble
+            }
+            if (dv.isNaN || dv.isInfinite) None else Some(v.toString)
           case StringType => Some(mapper.writeValueAsString(v.toString))
           case DateType => Some(mapper.writeValueAsString(
             java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString))
@@ -128,7 +141,8 @@ object ReadDefaults {
     // same normalization as DeletionVectors.normFp so the key column
     // (__fp or normFp(_metadata.file_path)) matches exactly
     def norm(s: String): String = s.replaceFirst("^file:/+", "/")
-    val names = defaulted.map(_.name)
+    // tag lookup by PHYSICAL name — stable across RENAME COLUMN
+    val names = defaulted.map(ColumnMapping.physicalName)
     val infoRows = tagged.map { f =>
       val missing = mapper.readTree(f.tags(MissingTag))
         .elements().asScala.map(_.asText).toSet

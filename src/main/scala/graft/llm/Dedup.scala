@@ -597,11 +597,18 @@ object Dedup {
       // computes for two identical docs.
       val rowsPer = NumHashes / NumBands
       val (bands, members) = collapsedBands(docs, NumBands, rowsPer)
-      val sig = docs.withColumn("sig", minhashSig($"sh"))
       val l = bands.select($"doc_id".as("doc_a"), $"b", $"bkey")
       val r = bands.select($"doc_id".as("doc_b"), $"b", $"bkey")
       val cand = l.join(r, Seq("b", "bkey")).filter($"doc_a" < $"doc_b")
         .select($"doc_a", $"doc_b").distinct()
+      // recompute signatures only for CANDIDATE representatives (the
+      // corpus-wide signature pass already happened inside
+      // collapsedBands; a second full pass would double the dominant
+      // per-row cost) — candidate ids are a small semi-join
+      val candIds = cand.select($"doc_a".as("doc_id"))
+        .unionByName(cand.select($"doc_b".as("doc_id"))).distinct()
+      val sig = docs.join(candIds, Seq("doc_id"), "leftsemi")
+        .withColumn("sig", minhashSig($"sh"))
       val matches = (1 to NumHashes).map(i =>
         when(element_at($"siga", i) === element_at($"sigb", i), 1).otherwise(0))
         .reduce(_ + _)

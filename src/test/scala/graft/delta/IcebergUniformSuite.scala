@@ -3253,6 +3253,61 @@ class IcebergUniformSuite extends AnyFunSuite {
       .contains(""""c":[1,2]"""))
   }
 
+  test("re-sync tags pre-existing files when a defaulted column arrives between syncs") {
+    val dir = tmp()
+    val t = mkV3(dir)
+    import spark.implicits._
+    t.write(Seq((1L, "a", "x"), (2L, "b", "x")).toDF("id", "v", "part"),
+      partitionBy = Seq("part")) // snapshot 2: files lack `bonus`
+    t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bonus",
+        org.apache.spark.sql.types.LongType))))
+    t.write(Seq((3L, "c", "y", 30L)).toDF("id", "v", "part", "bonus"),
+      partitionBy = Seq("part")) // snapshot 4 (addColumns was 3)
+    // stamp the v3 defaults a foreign writer records at ADD COLUMN
+    val metaDir = new java.io.File(dir, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hint = new String(Files.readAllBytes(
+      metaDir.toPath.resolve("version-hint.text"))).trim
+    val mpath = metaDir.toPath.resolve(s"v$hint.metadata.json")
+    val root = mapper.readTree(Files.readAllBytes(mpath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.get("schemas").elements().asScala.foreach { sch =>
+      sch.get("fields").elements().asScala
+        .filter(_.get("name").asText == "bonus")
+        .foreach(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("initial-default", 42L))
+    }
+    Files.deleteIfExists(metaDir.toPath.resolve(s".v$hint.metadata.json.crc"))
+    Files.write(mpath,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(dir, "_delta_log"))
+    // adopt the PRE-EVOLUTION snapshot: no bonus column yet
+    val t2 = DeltaTable.convertFromIceberg(spark, dir, asOfSnapshotId = Some(2L))
+    assert(!t2.toDF.columns.contains("bonus"))
+    // re-sync to the head: the schema gains bonus WITH its default, and
+    // the already-adopted files must be re-tagged — their rows read 42
+    DeltaTable.convertFromIceberg(spark, dir)
+    val t3 = DeltaTable.forPath(spark, dir)
+    val rows = t3.toDF.select("id", "bonus").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(rows == Map(1L -> 42L, 2L -> 42L, 3L -> 30L), rows)
+    // the delta.feature key is absorbed into the PROTOCOL at commit
+    val prot = t3.deltaLog.update().protocol
+    assert(prot.readerFeatures.exists(_.contains(ReadDefaults.FeatureName)),
+      prot.toString)
+    // the pre-evolution files carry the refreshed tag
+    val tagged = t3.deltaLog.update().allFiles
+      .filter(f => Option(f.tags).exists(_.contains(ReadDefaults.MissingTag)))
+    assert(tagged.size == 2, // both part=x files physically lack bonus
+      t3.deltaLog.update().allFiles.map(f => f.path -> f.tags).mkString("; "))
+  }
+
   test("initial-default on a physically-present column never rewrites stored values") {
     // r19 (A85 × A64): initial-default adoption is supported as a
     // PER-FILE read-time fill for files that physically LACK the
