@@ -1382,7 +1382,16 @@ object DeltaQueries {
           schemaString = orders.schema.json,
           partitionColumns = Seq("o_orderstatus"),
           configuration = Map(
-            "delta.universalFormat.enabledFormats" -> "iceberg")))
+            "delta.universalFormat.enabledFormats" -> "iceberg",
+            // A42 optimized writes: without it every append lands
+            // #input-partitions × #status files (~96 of ~15 rows at
+            // sf0.1), and the seeded history alone is ~500 tiny files —
+            // every later append/delete/generation pays O(that count).
+            // The AQE rebalance write is the production layout (guide
+            // §6); the trend this fixture exists for (generation =
+            // O(the commit's own files)) is unchanged, just measured
+            // over sane file sizes.
+            "delta.autoOptimize.optimizeWrite" -> "true")))
         txn.commit(Nil, Op.CreateTable)
         // seeded manifest history the measured commits must NOT rewrite
         (0 until 5).foreach(i =>

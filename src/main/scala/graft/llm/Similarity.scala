@@ -217,9 +217,21 @@ object Similarity {
     * N×C intermediate row materialization on the admission path.
     */
   private[llm] def assignToStored(s: SparkSession, vectors: DataFrame,
-      dir: String): DataFrame = {
+      dir: String): DataFrame =
+    assignByCentroidRelation(vectors, storedCentroids(s, dir))
+
+  /** Assignment against a centroid RELATION (cell, c, cc) — the same
+    * map-only broadcast-row fold as [[assignByCentroids]], for centroids
+    * that live in a table rather than a driver Seq (no literals in the
+    * plan, one broadcast of C×Dim doubles, zero N×C row expansion).
+    * Strict-< replacement over cells ascending == min_by(struct(d2,
+    * cell)) — ties break to the lowest cell id, identical d2 arithmetic.
+    */
+  private[llm] def assignByCentroidRelation(vectors: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val s = vectors.sparkSession
     import s.implicits._
-    val centsRow = storedCentroids(s, dir)
+    val centsRow = cents
       .agg(array_sort(collect_list(struct($"cell", $"c", $"cc"))).as("__cents"))
     vectors.crossJoin(broadcast(centsRow))
       .withColumn("cell", aggregate($"__cents",
@@ -821,11 +833,15 @@ object Similarity {
       val cents = centTable.toDF
         .withColumn("cc", dotD($"c", $"c"))
 
-      val assigned = v.crossJoin(broadcast(cents))
-        .withColumn("d2", $"cc" - lit(2.0) * dotD($"e", $"c"))
-        .groupBy($"vec_id")
-        .agg(min_by(struct($"cell", $"e", $"nrm"), struct($"d2", $"cell")).as("m"))
-        .select($"m.cell".as("cell"), $"vec_id", $"m.e".as("e"), $"m.nrm".as("nrm"))
+      // map-only broadcast-row fold (same shape as assignToStored): the
+      // N×C crossJoin + groupBy(vec_id) min_by alternative re-aggregates
+      // the 64-double embedding arrays — array-typed agg buffers leave
+      // the codegen'd hash path AND shuffle every embedding once more
+      // before the index write's own clustering shuffle (2 embedding
+      // shuffles where one suffices; guide §2.3/§2.4). Ties and d2
+      // arithmetic are identical, so cell placement is bit-stable.
+      val assigned = Similarity.assignByCentroidRelation(
+        v.select($"vec_id", $"e", $"nrm"), cents)
       // INDEX BUILD: the corpus lands PARTITIONED BY trained cell (one
       // write materializes the assignment for both consumers below —
       // the role the r15 checkpoint played, now also the durable layout)

@@ -508,10 +508,18 @@ object TextOps {
             $"digit_ratio" <= 0.2)
       val kept = base.filter($"keep").select($"doc_id", $"lang", $"n_tok", $"text")
       val bands = Dedup.bandKeys(kept)
-      val dups = bands.as("a")
-        .join(bands.as("c"),
-          $"a.b" === $"c.b" && $"a.bkey" === $"c.bkey" && $"c.doc_id" < $"a.doc_id")
-        .select($"a.doc_id".as("doc_id")).distinct()
+      // "has a smaller-id band collision" == "is not the minimum of some
+      // band group": the former band self-join emitted k²/2 rows out of a
+      // band key shared by k docs (the degenerate-band-key quadratic the
+      // dedup family collapsed in r19) AND recomputed the whole quality-
+      // metrics + signature pass once per join side; the window-min is
+      // one shuffle of (doc_id, b, bkey) rows and one bands pass, with
+      // identical semantics (∃ smaller id in group ⟺ group min < id).
+      val wBand = org.apache.spark.sql.expressions.Window.partitionBy($"b", $"bkey")
+      val dups = bands
+        .withColumn("m", min($"doc_id").over(wBand))
+        .filter($"doc_id" > $"m")
+        .select($"doc_id").distinct()
       val survivors = kept.join(dups, Seq("doc_id"), "left_anti")
       val coin = conv(substring(md5(concat(lit("holdout:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
         .cast("long") % 100L
