@@ -131,6 +131,199 @@ object IcebergMetadata {
 
   private val mapper = new ObjectMapper()
 
+  // temporary phase profiler for optimization work; prints only when
+  // GRAFT_GEN_PROF is set in the environment
+  private val profGen = sys.env.contains("GRAFT_GEN_PROF")
+  private def gprof[A](label: String)(f: => A): A =
+    if (!profGen) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[GENPROF $label] ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
+
+  /** Write ONE data manifest from an entry iterator — shared by the
+    * distributed manifest rewrite (one call per shuffle partition, on
+    * executors) and the pure-append fast path (driver-side, one call
+    * per partition tuple of the commit's own files). Empty iterator →
+    * no file, empty result.
+    */
+  private def writeDataManifestFile(
+      files: Iterator[(String, AddFile, Option[Long], Option[Long], Boolean)],
+      conf: org.apache.hadoop.conf.Configuration,
+      dirStr: String,
+      entrySchemaJson: String,
+      schemaJsonStr: String,
+      schemaId: Int,
+      specFieldsJson: String,
+      formatVersion: Int,
+      partMeta: Seq[(String, DataType)],
+      statsCols: Seq[(String, DataType, Int)],
+      snapshotId: Long,
+      seqNum: Long): Iterator[IcebergManifestSummary] = {
+        if (!files.hasNext) Iterator.empty
+        else {
+          val entrySchema = new org.apache.avro.Schema.Parser().parse(entrySchemaJson)
+          val dfSchema = entrySchema.getField("data_file").schema()
+          val pSchema = dfSchema.getField("partition").schema()
+          val statsMapper = new ObjectMapper()
+          def mapArraySchema(field: String): org.apache.avro.Schema =
+            dfSchema.getField(field).schema().getTypes.asScala
+              .find(_.getType == org.apache.avro.Schema.Type.ARRAY).get
+          def kvArray(field: String,
+              pairs: Seq[(Int, Any)]): GenericData.Array[GenericRecord] = {
+            val arrS = mapArraySchema(field)
+            val arr = new GenericData.Array[GenericRecord](pairs.length, arrS)
+            pairs.foreach { case (k, v) =>
+              val r = new GenericData.Record(arrS.getElementType)
+              r.put("key", k)
+              r.put("value", v)
+              arr.add(r)
+            }
+            arr
+          }
+          val name = f"${java.util.UUID.randomUUID()}-m0.avro"
+          val out = new Path(dirStr, name)
+          val fsx = out.getFileSystem(conf)
+          val stream = fsx.create(out, true)
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](entrySchema))
+          // key-value file metadata the Iceberg spec requires on every
+          // manifest — conformant readers refuse files without it
+          w.setMeta("schema", schemaJsonStr)
+          w.setMeta("schema-id", schemaId.toString)
+          w.setMeta("partition-spec", specFieldsJson)
+          w.setMeta("partition-spec-id", "0")
+          w.setMeta("format-version", formatVersion.toString)
+          w.setMeta("content", "data")
+          w.create(entrySchema, stream)
+          var rows = 0L
+          var n = 0L
+          var existingN = 0L
+          var existingRows = 0L
+          var deletedN = 0L
+          var deletedRows = 0L
+          var minSeq = Long.MaxValue
+          // per-partition-column field_summary state
+          val containsNull = Array.fill(partMeta.length)(false)
+          val lo = Array.fill[Any](partMeta.length)(null)
+          val hi = Array.fill[Any](partMeta.length)(null)
+          def less(a: Any, b: Any): Boolean = (a, b) match {
+            case (x: java.lang.Integer, y: java.lang.Integer) => x < y
+            case (x: java.lang.Long, y: java.lang.Long) => x < y
+            case (x: String, y: String) => x < y
+            case _ => false
+          }
+          files.foreach { case (fp, a, prevSnap, prevSeq, isDeleted) =>
+            val rec = new GenericData.Record(entrySchema)
+            // a file the previous generation listed (under an OLDER
+            // snapshot) is EXISTING with its original snapshot-id and
+            // sequence number, stored explicitly (spec: only ADDED
+            // entries inherit from the manifest list); genuinely new
+            // files — and a same-version regeneration's own files —
+            // are ADDED by this snapshot; a file that VANISHED is a
+            // DELETED tombstone (snapshot_id = the deleting snapshot,
+            // data sequence preserved) for incremental DELETE consumers
+            val existing = !isDeleted && prevSnap.exists(_ != snapshotId)
+            if (isDeleted) {
+              rec.put("status", 2)
+              rec.put("snapshot_id", snapshotId)
+              val sq = prevSeq.getOrElse(seqNum)
+              rec.put("sequence_number", sq)
+              rec.put("file_sequence_number", sq)
+              if (sq < minSeq) minSeq = sq
+            } else if (existing) {
+              rec.put("status", 0)
+              rec.put("snapshot_id", prevSnap.get)
+              val sq = prevSeq.getOrElse(seqNum)
+              rec.put("sequence_number", sq)
+              rec.put("file_sequence_number", sq)
+              if (sq < minSeq) minSeq = sq
+            } else {
+              rec.put("status", 1)
+              rec.put("snapshot_id", snapshotId)
+              // null sequence numbers inherit from the manifest-list entry
+              if (seqNum < minSeq) minSeq = seqNum
+            }
+            val df = new GenericData.Record(dfSchema)
+            df.put("content", 0)
+            df.put("file_path", fp)
+            df.put("file_format", "PARQUET")
+            // v3 row lineage: EXPLICIT per-file first_row_id = the Delta
+            // base row id (stable across generations; tombstones carry
+            // the vanished file's original id)
+            if (formatVersion >= 3)
+              df.put("first_row_id",
+                a.baseRowId.map(java.lang.Long.valueOf).orNull)
+            val p = new GenericData.Record(pSchema)
+            partMeta.zipWithIndex.foreach { case ((pn, dt), i) =>
+              val v = parsePartValue(dt, a.partitionValues.getOrElse(pn, null))
+              if (v == null) containsNull(i) = true
+              else {
+                if (lo(i) == null || less(v, lo(i))) lo(i) = v
+                if (hi(i) == null || less(hi(i), v)) hi(i) = v
+              }
+              p.put(pn, v)
+            }
+            df.put("partition", p)
+            // record_count is the PHYSICAL row count: deletion vectors
+            // subtract at read time through the position-delete files
+            val rc = Stats.numRecords(a.stats).getOrElse(
+              throw new IllegalStateException(
+                s"Iceberg metadata requires numRecords stats; missing on ${a.path}"))
+            df.put("record_count", rc)
+            df.put("file_size_in_bytes", a.size)
+            // per-file column stats from the Delta stats JSON: value
+            // counts (top-level = record count), null counts, and typed
+            // bounds in the single-value serialization — the inputs to
+            // Iceberg's FILE-level skipping, completing the chain
+            // manifest-list summary -> manifest entry -> data file
+            if (a.stats != null && a.stats.nonEmpty && statsCols.nonEmpty) {
+              val st = statsMapper.readTree(a.stats)
+              df.put("value_counts",
+                kvArray("value_counts", statsCols.map(c => (c._3, rc: Any))))
+              val nulls = Option(st.get("nullCount"))
+              if (nulls.nonEmpty)
+                df.put("null_value_counts", kvArray("null_value_counts",
+                  statsCols.flatMap { case (nme, _, id) =>
+                    Option(nulls.get.get(nme)).filter(_.isNumber)
+                      .map(n => (id, n.asLong: Any))
+                  }))
+              def bounds(key: String, isUpper: Boolean): Seq[(Int, Any)] =
+                Option(st.get(key)).toSeq.flatMap { b =>
+                  statsCols.flatMap { case (nme, dt, id) =>
+                    statBound(dt, b.get(nme), isUpper)
+                      .map(bs => (id, java.nio.ByteBuffer.wrap(bs): Any))
+                  }
+                }
+              val lows = bounds("minValues", isUpper = false)
+              if (lows.nonEmpty) df.put("lower_bounds", kvArray("lower_bounds", lows))
+              val highs = bounds("maxValues", isUpper = true)
+              if (highs.nonEmpty) df.put("upper_bounds", kvArray("upper_bounds", highs))
+            }
+            rec.put("data_file", df)
+            w.append(rec)
+            if (isDeleted) { deletedN += 1; deletedRows += rc }
+            else if (existing) { existingN += 1; existingRows += rc }
+            else { rows += rc; n += 1 }
+          }
+          w.close()
+          val len = fsx.getFileStatus(out).getLen
+          val sums = partMeta.indices.map { i =>
+            (containsNull(i),
+              Option(lo(i)).map(v => boundBytes(partMeta(i)._2, v)),
+              Option(hi(i)).map(v => boundBytes(partMeta(i)._2, v)))
+          }
+          Iterator(IcebergManifestSummary(out.toString, len, n, rows, sums,
+            existingN, existingRows,
+            if (minSeq == Long.MaxValue) None else Some(minSeq),
+            deletedN, deletedRows))
+        }
+
+  }
+
   def metadataDir(log: DeltaLog): Path = new Path(log.dataPath, "metadata")
 
   /** Iceberg reserved field ids for position-delete files (spec v2). */
@@ -543,7 +736,8 @@ object IcebergMetadata {
     * every non-current Iceberg snapshot before their data files go away.
     */
   def generate(spark: SparkSession, log: DeltaLog, snapshot: Snapshot,
-      retainMsOverride: Option[Long] = None): Long = {
+      retainMsOverride: Option[Long] = None,
+      appendHint: Option[Seq[AddFile]] = None): Long = {
     val genStart = log.clock.nowMillis
     val md = snapshot.metadataOpt.getOrElse(throw new IllegalStateException(
       "cannot generate Iceberg metadata for a table without metadata"))
@@ -594,9 +788,10 @@ object IcebergMetadata {
           "initial-default requires graft.iceberg.formatVersion=3 " +
           "(initial-default is a v3 schema field; a v2 export would " +
           "silently null-fill pre-evolution rows in external readers)")
-    val rowIdInfo: Option[(Long, Long, Option[Long])] = // (missing, legacyDvs, min added frid)
-      if (formatVersion < 3) None
-      else {
+    // (missing, legacyDvs, min added frid): the v3 validation + frid
+    // aggregation over the FULL file listing — the pure-append fast
+    // path below replaces it with a driver fold over the commit's adds
+    def rowIdInfoGeneral(): Option[(Long, Long, Option[Long])] = {
         require(RowTracking.enabled(md),
           "graft.iceberg.formatVersion=3 requires delta.enableRowTracking: " +
             "Iceberg v3 row lineage (first_row_id / next-row-id) maps from " +
@@ -740,7 +935,7 @@ object IcebergMetadata {
     // incremental reader sees only the truly-new files of each snapshot
     // previous generation's manifest-list entries, parsed in full on the
     // driver (O(#manifests)): both the lineage source and the REUSE pool
-    val prevList: Seq[PrevManifest] = prev.toSeq.flatMap { p =>
+    val prevList: Seq[PrevManifest] = gprof("prevList")(prev.toSeq.flatMap { p =>
       p.get("snapshots").elements().asScala
         .find(_.get("snapshot-id").asLong == p.get("current-snapshot-id").asLong)
         .map(_.get("manifest-list").asText).toSeq.flatMap { lp =>
@@ -755,10 +950,71 @@ object IcebergMetadata {
           // (full-scan readers unaffected; incremental ones re-see old
           // files once)
         }
-    }
+    })
     val prevDataMs = prevList.filter(_.content == 0)
+    val prevCurSummary: Option[JsonNode] = prev.flatMap(p =>
+      p.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong == p.get("current-snapshot-id").asLong)
+        .flatMap(sn => Option(sn.get("summary"))))
+    val prevDvFp: Option[String] = prevCurSummary
+      .flatMap(su => Option(su.get("graft.dv-fingerprint")).map(_.asText))
+    val prevBucketFps: Map[Int, String] = prevCurSummary
+      .flatMap(su => Option(su.get("graft.dv-bucket-fps")).map(_.asText))
+      .map(txt => mapper.readTree(txt).fields().asScala
+        .map(en => en.getKey.toInt -> en.getValue.asText).toMap)
+      .getOrElse(Map.empty)
+    val prevDeleteMs = prevList.filter(_.content == 1)
+    val maxDataManifests = spark.conf.get(
+      "spark.graft.iceberg.maxDataManifests", "64").toInt
+    val specUnchanged = prev.exists { p =>
+      val prevSpecId = Option(p.get("default-spec-id")).map(_.asInt).getOrElse(0)
+      Option(p.get("partition-specs")).exists(_.elements().asScala.exists(sp =>
+        sp.get("spec-id").asInt == prevSpecId &&
+          sp.get("fields") == mapper.readTree(specFieldsJson))) &&
+        Option(p.get("format-version")).map(_.asInt).getOrElse(2) == formatVersion
+    }
+    val reuseCandidates = specUnchanged && prevDataMs.size < maxDataManifests
+    // ---- pure-append FAST PATH: when the caller hands the committed
+    // actions and they are append-only, the general machinery below is
+    // algebraically determined — no file vanished, so EVERY previous
+    // data manifest passes the reuse vote by definition (no distributed
+    // re-read of the prior manifest set: the O(live-files)-per-commit
+    // cost the delta_uniform_incremental trend exists to catch), the
+    // rewrite pool is exactly the commit's own files (written
+    // driver-side, one manifest per partition tuple), and the DV /
+    // delete-manifest state carries forward verbatim. Falls back to the
+    // general path whenever any precondition is off (prev generation
+    // missing or stale, schema/spec/format drift, manifest-count
+    // compaction due, DV'd or stats-less adds, or a pre-fingerprint
+    // generation whose delete reuse cannot be proven).
+    val fastAdds: Option[Seq[AddFile]] = appendHint.filter { adds =>
+      prev.exists(p => Option(p.get("current-snapshot-id"))
+          .exists(_.asLong == version)) &&
+        reuseCandidates &&
+        prevCurrentSchemaId.contains(schemaId) &&
+        (prevDeleteMs.isEmpty || prevDvFp.isDefined) &&
+        adds.forall(a => a.dataChange && a.deletionVector == null &&
+          (a.tags == null || !a.tags.contains(DeletionVectors.PathTag)) &&
+          Stats.numRecords(a.stats).isDefined &&
+          (formatVersion < 3 || a.baseRowId.isDefined))
+    }
+    val rowIdInfo: Option[(Long, Long, Option[Long])] =
+      if (formatVersion < 3) None
+      else fastAdds match {
+        case Some(adds) =>
+          // resident files were validated by the previous generation;
+          // the hint precondition validated the commit's own adds
+          require(RowTracking.enabled(md),
+            "graft.iceberg.formatVersion=3 requires delta.enableRowTracking: " +
+              "Iceberg v3 row lineage (first_row_id / next-row-id) maps from " +
+              "Delta base row ids")
+          Some((0L, 0L,
+            adds.filter(_.defaultRowCommitVersion.contains(version))
+              .flatMap(_.baseRowId).reduceOption((a, b) => math.min(a, b))))
+        case None => rowIdInfoGeneral()
+      }
     val prevFileInfo: Option[DataFrame] =
-      if (prevDataMs.isEmpty) None
+      if (prevDataMs.isEmpty || fastAdds.isDefined) None
       else Some(spark.sparkContext
         .parallelize(prevDataMs.map(m => (m.path, m.seq)),
           math.max(1, prevDataMs.size))
@@ -812,20 +1068,9 @@ object IcebergMetadata {
     // one generation past the manifest-count threshold — that
     // generation does a full partition-clustered rewrite, compacting
     // the list (the Iceberg manifest-rewrite maintenance action).
-    val maxDataManifests = spark.conf.get(
-      "spark.graft.iceberg.maxDataManifests", "64").toInt
-    val specUnchanged = prev.exists { p =>
-      val prevSpecId = Option(p.get("default-spec-id")).map(_.asInt).getOrElse(0)
-      Option(p.get("partition-specs")).exists(_.elements().asScala.exists(s =>
-        s.get("spec-id").asInt == prevSpecId &&
-          s.get("fields") == mapper.readTree(specFieldsJson))) &&
-        // a format-version flip (2 -> 3) rewrites everything once: the
-        // new manifests must carry the v3 fields (first_row_id, the DV
-        // triplet), which reuse-by-reference cannot retrofit
-        Option(p.get("format-version")).map(_.asInt).getOrElse(2) == formatVersion
-    }
-    val reuseCandidates = specUnchanged && prevDataMs.size < maxDataManifests
-    val reusableMps: Set[String] = prevFileInfo match {
+    val reusableMps: Set[String] =
+      if (fastAdds.isDefined) prevDataMs.map(_.path).toSet
+      else gprof("reuseVote")(prevFileInfo match {
       case Some(pi) if reuseCandidates =>
         val live = keyedFiles.select(col("fp"))
           .withColumn("__live", org.apache.spark.sql.functions.lit(1))
@@ -837,238 +1082,104 @@ object IcebergMetadata {
           .collect()
           .collect { case r if r.getInt(1) == 1 => r.getString(0) }.toSet
       case _ => Set.empty
-    }
-    val withPrev0 = prevFileInfo match {
-      // a corrupted/racing prior generation could double-list a path
-      // across its manifests; dedup on fp (keep the OLDEST sequence —
-      // the original lineage) so the left join can never fan out an
-      // AddFile into duplicate manifest entries
-      case Some(pi) =>
-        val piDedup = pi
-          .groupBy(col("fp"))
-          .agg(org.apache.spark.sql.functions.min(
-            org.apache.spark.sql.functions.struct(
-              col("prev_seq"), col("prev_snap"))).as("__ps"))
-          .select(col("fp"), col("__ps.prev_snap").as("prev_snap"),
-            col("__ps.prev_seq").as("prev_seq"))
-        keyedFiles.join(piDedup, Seq("fp"), "left")
-      case None => keyedFiles
-        .withColumn("prev_snap", org.apache.spark.sql.functions.lit(null).cast("long"))
-        .withColumn("prev_seq", org.apache.spark.sql.functions.lit(null).cast("long"))
-    }
-    // the REWRITE pool: live files not covered by a reused manifest —
-    // truly-new files (ADDED) plus the survivors of rewritten manifests
-    // (EXISTING with original lineage). An append-only commit's pool is
-    // exactly its own files.
-    val withPrev =
-      if (reusableMps.isEmpty) withPrev0
-      else withPrev0.join(
-        prevFileInfo.get.filter(col("mp").isInCollection(reusableMps))
-          .select(col("fp")).distinct(),
-        Seq("fp"), "left_anti")
-    // files that VANISHED this generation become status=2 DELETED
-    // tombstone entries in the rewritten manifests (spec: snapshot_id =
-    // the deleting snapshot, data sequence preserved), so an Iceberg
-    // incremental DELETE consumer reads the removed set directly instead
-    // of falling back on the snapshot summary operation. They ride the
-    // pool as pseudo-AddFiles (partition/count/size from the prev
-    // manifest entry — nothing is re-opened); a reused manifest by
-    // definition lost nothing.
-    val removedDF: Option[DataFrame] = prevFileInfo.map { pi =>
-      pi.join(keyedFiles.select(col("fp")), Seq("fp"), "left_anti")
-        .dropDuplicates("fp")
-        .select(col("fp"), col("pvs"), col("rc"), col("fsize"),
-          col("prev_snap"), col("prev_seq"), col("frid"))
-        .as[(String, Map[String, String], Long, Long, Long, Long, Option[Long])]
-        .map { case (fp0, pvs, rc, fsize, snap, seq, frid) =>
-          (fp0, AddFile(fp0, pvs, fsize, 0L, dataChange = false,
-            stats = s"""{"numRecords":$rc}""", baseRowId = frid),
-            Option(snap), Option(seq), true)
-        }.toDF("fp", "add", "prev_snap", "prev_seq", "__deleted")
-    }
-    val pool = removedDF match {
-      case Some(r) => withPrev
-        .withColumn("__deleted", org.apache.spark.sql.functions.lit(false))
-        .unionByName(r)
-      case None => withPrev
-        .withColumn("__deleted", org.apache.spark.sql.functions.lit(false))
-    }
-    // cluster manifests BY THE FULL PARTITION TUPLE (one metadata-sized
-    // shuffle): a manifest covering one partition value gets tight
-    // field_summary bounds on EVERY partition column, so Iceberg
-    // planning skips whole manifests — the manifest-level analogue of
-    // the cell-bucketed ANN layout
-    val clustered =
-      if (partCols.isEmpty) pool
-      else pool.repartition(
-        partCols.map(pc => col("add.partitionValues").getItem(pc._1)): _*)
-    val clusteredFiles = clustered
-      .select(col("fp"), col("add"), col("prev_snap"), col("prev_seq"),
-        col("__deleted"))
-      .as[(String, AddFile, Option[Long], Option[Long], Boolean)]
-    val localSchemaId = schemaId
-    val localFormatVersion = formatVersion
-    val summaries: Seq[IcebergManifestSummary] = clusteredFiles
-      .mapPartitions { files =>
-        if (!files.hasNext) Iterator.empty
-        else {
-          val entrySchema = new org.apache.avro.Schema.Parser().parse(entrySchemaJson)
-          val dfSchema = entrySchema.getField("data_file").schema()
-          val pSchema = dfSchema.getField("partition").schema()
-          val statsMapper = new ObjectMapper()
-          def mapArraySchema(field: String): org.apache.avro.Schema =
-            dfSchema.getField(field).schema().getTypes.asScala
-              .find(_.getType == org.apache.avro.Schema.Type.ARRAY).get
-          def kvArray(field: String,
-              pairs: Seq[(Int, Any)]): GenericData.Array[GenericRecord] = {
-            val arrS = mapArraySchema(field)
-            val arr = new GenericData.Array[GenericRecord](pairs.length, arrS)
-            pairs.foreach { case (k, v) =>
-              val r = new GenericData.Record(arrS.getElementType)
-              r.put("key", k)
-              r.put("value", v)
-              arr.add(r)
-            }
-            arr
-          }
-          val name = f"${java.util.UUID.randomUUID()}-m0.avro"
-          val out = new Path(dirStr, name)
-          val fsx = out.getFileSystem(hconf.value)
-          val stream = fsx.create(out, true)
-          val w = new DataFileWriter[GenericRecord](
-            new GenericDatumWriter[GenericRecord](entrySchema))
-          // key-value file metadata the Iceberg spec requires on every
-          // manifest — conformant readers refuse files without it
-          w.setMeta("schema", schemaJsonStr)
-          w.setMeta("schema-id", localSchemaId.toString)
-          w.setMeta("partition-spec", specFieldsJson)
-          w.setMeta("partition-spec-id", "0")
-          w.setMeta("format-version", localFormatVersion.toString)
-          w.setMeta("content", "data")
-          w.create(entrySchema, stream)
-          var rows = 0L
-          var n = 0L
-          var existingN = 0L
-          var existingRows = 0L
-          var deletedN = 0L
-          var deletedRows = 0L
-          var minSeq = Long.MaxValue
-          // per-partition-column field_summary state
-          val containsNull = Array.fill(partMeta.length)(false)
-          val lo = Array.fill[Any](partMeta.length)(null)
-          val hi = Array.fill[Any](partMeta.length)(null)
-          def less(a: Any, b: Any): Boolean = (a, b) match {
-            case (x: java.lang.Integer, y: java.lang.Integer) => x < y
-            case (x: java.lang.Long, y: java.lang.Long) => x < y
-            case (x: String, y: String) => x < y
-            case _ => false
-          }
-          files.foreach { case (fp, a, prevSnap, prevSeq, isDeleted) =>
-            val rec = new GenericData.Record(entrySchema)
-            // a file the previous generation listed (under an OLDER
-            // snapshot) is EXISTING with its original snapshot-id and
-            // sequence number, stored explicitly (spec: only ADDED
-            // entries inherit from the manifest list); genuinely new
-            // files — and a same-version regeneration's own files —
-            // are ADDED by this snapshot; a file that VANISHED is a
-            // DELETED tombstone (snapshot_id = the deleting snapshot,
-            // data sequence preserved) for incremental DELETE consumers
-            val existing = !isDeleted && prevSnap.exists(_ != snapshotId)
-            if (isDeleted) {
-              rec.put("status", 2)
-              rec.put("snapshot_id", snapshotId)
-              val sq = prevSeq.getOrElse(seqNum)
-              rec.put("sequence_number", sq)
-              rec.put("file_sequence_number", sq)
-              if (sq < minSeq) minSeq = sq
-            } else if (existing) {
-              rec.put("status", 0)
-              rec.put("snapshot_id", prevSnap.get)
-              val sq = prevSeq.getOrElse(seqNum)
-              rec.put("sequence_number", sq)
-              rec.put("file_sequence_number", sq)
-              if (sq < minSeq) minSeq = sq
-            } else {
-              rec.put("status", 1)
-              rec.put("snapshot_id", snapshotId)
-              // null sequence numbers inherit from the manifest-list entry
-              if (seqNum < minSeq) minSeq = seqNum
-            }
-            val df = new GenericData.Record(dfSchema)
-            df.put("content", 0)
-            df.put("file_path", fp)
-            df.put("file_format", "PARQUET")
-            // v3 row lineage: EXPLICIT per-file first_row_id = the Delta
-            // base row id (stable across generations; tombstones carry
-            // the vanished file's original id)
-            if (localFormatVersion >= 3)
-              df.put("first_row_id",
-                a.baseRowId.map(java.lang.Long.valueOf).orNull)
-            val p = new GenericData.Record(pSchema)
-            partMeta.zipWithIndex.foreach { case ((pn, dt), i) =>
-              val v = parsePartValue(dt, a.partitionValues.getOrElse(pn, null))
-              if (v == null) containsNull(i) = true
-              else {
-                if (lo(i) == null || less(v, lo(i))) lo(i) = v
-                if (hi(i) == null || less(hi(i), v)) hi(i) = v
-              }
-              p.put(pn, v)
-            }
-            df.put("partition", p)
-            // record_count is the PHYSICAL row count: deletion vectors
-            // subtract at read time through the position-delete files
-            val rc = Stats.numRecords(a.stats).getOrElse(
-              throw new IllegalStateException(
-                s"Iceberg metadata requires numRecords stats; missing on ${a.path}"))
-            df.put("record_count", rc)
-            df.put("file_size_in_bytes", a.size)
-            // per-file column stats from the Delta stats JSON: value
-            // counts (top-level = record count), null counts, and typed
-            // bounds in the single-value serialization — the inputs to
-            // Iceberg's FILE-level skipping, completing the chain
-            // manifest-list summary -> manifest entry -> data file
-            if (a.stats != null && a.stats.nonEmpty && statsCols.nonEmpty) {
-              val st = statsMapper.readTree(a.stats)
-              df.put("value_counts",
-                kvArray("value_counts", statsCols.map(c => (c._3, rc: Any))))
-              val nulls = Option(st.get("nullCount"))
-              if (nulls.nonEmpty)
-                df.put("null_value_counts", kvArray("null_value_counts",
-                  statsCols.flatMap { case (nme, _, id) =>
-                    Option(nulls.get.get(nme)).filter(_.isNumber)
-                      .map(n => (id, n.asLong: Any))
-                  }))
-              def bounds(key: String, isUpper: Boolean): Seq[(Int, Any)] =
-                Option(st.get(key)).toSeq.flatMap { b =>
-                  statsCols.flatMap { case (nme, dt, id) =>
-                    statBound(dt, b.get(nme), isUpper)
-                      .map(bs => (id, java.nio.ByteBuffer.wrap(bs): Any))
-                  }
-                }
-              val lows = bounds("minValues", isUpper = false)
-              if (lows.nonEmpty) df.put("lower_bounds", kvArray("lower_bounds", lows))
-              val highs = bounds("maxValues", isUpper = true)
-              if (highs.nonEmpty) df.put("upper_bounds", kvArray("upper_bounds", highs))
-            }
-            rec.put("data_file", df)
-            w.append(rec)
-            if (isDeleted) { deletedN += 1; deletedRows += rc }
-            else if (existing) { existingN += 1; existingRows += rc }
-            else { rows += rc; n += 1 }
-          }
-          w.close()
-          val len = fsx.getFileStatus(out).getLen
-          val sums = partMeta.indices.map { i =>
-            (containsNull(i),
-              Option(lo(i)).map(v => boundBytes(partMeta(i)._2, v)),
-              Option(hi(i)).map(v => boundBytes(partMeta(i)._2, v)))
-          }
-          Iterator(IcebergManifestSummary(out.toString, len, n, rows, sums,
-            existingN, existingRows,
-            if (minSeq == Long.MaxValue) None else Some(minSeq),
-            deletedN, deletedRows))
+    })
+    val summaries: Seq[IcebergManifestSummary] = gprof("manifestWrite")(
+      fastAdds match {
+        case Some(adds) =>
+          // pure append: the pool is exactly the commit's own files —
+          // ONE manifest written DRIVER-side (the same layout the
+          // distributed rewrite produces for a commit-sized pool),
+          // entries clustered by partition tuple for tight field
+          // summaries; zero Spark jobs, zero reads of the previous
+          // manifest set
+          val rootPath = new Path(dataRoot)
+          val genConf = spark.sessionState.newHadoopConf()
+          writeDataManifestFile(
+            adds.sortBy(a => (partCols.map(pc =>
+                String.valueOf(a.partitionValues.getOrElse(pc._1, null)))
+              .mkString("\u0001"), a.path))
+              .iterator.map(a => (FileNames.absolutePathString(rootPath,
+                a.path), a, Option.empty[Long], Option.empty[Long], false)),
+            genConf, dirStr, entrySchemaJson, schemaJsonStr, schemaId,
+            specFieldsJson, formatVersion, partMeta, statsCols,
+            snapshotId, seqNum).toSeq
+        case None =>
+        val withPrev0 = prevFileInfo match {
+          // a corrupted/racing prior generation could double-list a path
+          // across its manifests; dedup on fp (keep the OLDEST sequence —
+          // the original lineage) so the left join can never fan out an
+          // AddFile into duplicate manifest entries
+          case Some(pi) =>
+            val piDedup = pi
+              .groupBy(col("fp"))
+              .agg(org.apache.spark.sql.functions.min(
+                org.apache.spark.sql.functions.struct(
+                  col("prev_seq"), col("prev_snap"))).as("__ps"))
+              .select(col("fp"), col("__ps.prev_snap").as("prev_snap"),
+                col("__ps.prev_seq").as("prev_seq"))
+            keyedFiles.join(piDedup, Seq("fp"), "left")
+          case None => keyedFiles
+            .withColumn("prev_snap", org.apache.spark.sql.functions.lit(null).cast("long"))
+            .withColumn("prev_seq", org.apache.spark.sql.functions.lit(null).cast("long"))
         }
-      }.collect().toSeq
+        // the REWRITE pool: live files not covered by a reused manifest —
+        // truly-new files (ADDED) plus the survivors of rewritten manifests
+        // (EXISTING with original lineage). An append-only commit's pool is
+        // exactly its own files.
+        val withPrev =
+          if (reusableMps.isEmpty) withPrev0
+          else withPrev0.join(
+            prevFileInfo.get.filter(col("mp").isInCollection(reusableMps))
+              .select(col("fp")).distinct(),
+            Seq("fp"), "left_anti")
+        // files that VANISHED this generation become status=2 DELETED
+        // tombstone entries in the rewritten manifests (spec: snapshot_id =
+        // the deleting snapshot, data sequence preserved), so an Iceberg
+        // incremental DELETE consumer reads the removed set directly instead
+        // of falling back on the snapshot summary operation. They ride the
+        // pool as pseudo-AddFiles (partition/count/size from the prev
+        // manifest entry — nothing is re-opened); a reused manifest by
+        // definition lost nothing.
+        val removedDF: Option[DataFrame] = prevFileInfo.map { pi =>
+          pi.join(keyedFiles.select(col("fp")), Seq("fp"), "left_anti")
+            .dropDuplicates("fp")
+            .select(col("fp"), col("pvs"), col("rc"), col("fsize"),
+              col("prev_snap"), col("prev_seq"), col("frid"))
+            .as[(String, Map[String, String], Long, Long, Long, Long, Option[Long])]
+            .map { case (fp0, pvs, rc, fsize, snap, seq, frid) =>
+              (fp0, AddFile(fp0, pvs, fsize, 0L, dataChange = false,
+                stats = s"""{"numRecords":$rc}""", baseRowId = frid),
+                Option(snap), Option(seq), true)
+            }.toDF("fp", "add", "prev_snap", "prev_seq", "__deleted")
+        }
+        val pool = removedDF match {
+          case Some(r) => withPrev
+            .withColumn("__deleted", org.apache.spark.sql.functions.lit(false))
+            .unionByName(r)
+          case None => withPrev
+            .withColumn("__deleted", org.apache.spark.sql.functions.lit(false))
+        }
+        // cluster manifests BY THE FULL PARTITION TUPLE (one metadata-sized
+        // shuffle): a manifest covering one partition value gets tight
+        // field_summary bounds on EVERY partition column, so Iceberg
+        // planning skips whole manifests — the manifest-level analogue of
+        // the cell-bucketed ANN layout
+        val clustered =
+          if (partCols.isEmpty) pool
+          else pool.repartition(
+            partCols.map(pc => col("add.partitionValues").getItem(pc._1)): _*)
+        val clusteredFiles = clustered
+          .select(col("fp"), col("add"), col("prev_snap"), col("prev_seq"),
+            col("__deleted"))
+          .as[(String, AddFile, Option[Long], Option[Long], Boolean)]
+        val localSchemaId = schemaId
+        val localFormatVersion = formatVersion
+      clusteredFiles.mapPartitions(files =>
+            writeDataManifestFile(files, hconf.value, dirStr, entrySchemaJson,
+              schemaJsonStr, localSchemaId, specFieldsJson, localFormatVersion,
+              partMeta, statsCols, snapshotId, seqNum))
+            .collect().toSeq
+      })
     prevFileInfo.foreach(_.unpersist())
 
     // ---- position deletes: every live deletion vector becomes rows of
@@ -1085,9 +1196,11 @@ object IcebergMetadata {
     // on them (v3 refuses them above — Puffin blobs need the protocol
     // payload format)
     val dvFiles: Seq[AddFile] =
-      snapshot.allFilesDS.filter(f => f.deletionVector != null ||
-        (f.tags != null && f.tags.contains(DeletionVectors.PathTag)))
-        .collect().toSeq
+      if (fastAdds.isDefined) Nil // append-only: the DV set is untouched
+      else gprof("dvCollect")(
+        snapshot.allFilesDS.filter(f => f.deletionVector != null ||
+          (f.tags != null && f.tags.contains(DeletionVectors.PathTag)))
+          .collect().toSeq)
     val deleteSpecId = if (partCols.isEmpty) 0 else 1
     // ---- delete-side reuse, two granularities:
     // (1) whole-set: a content fingerprint of the live DV descriptors —
@@ -1130,20 +1243,9 @@ object IcebergMetadata {
       dvByBucket.map { case (b, fsq) => b -> fpDigest(fsq.map(dvDescLine)) }
     val dvFingerprint: String =
       if (dvFiles.isEmpty) "" else fpDigest(dvFiles.map(dvDescLine))
-    val prevCurSummary: Option[JsonNode] = prev.flatMap(p =>
-      p.get("snapshots").elements().asScala
-        .find(_.get("snapshot-id").asLong == p.get("current-snapshot-id").asLong)
-        .flatMap(s => Option(s.get("summary"))))
-    val prevDvFp: Option[String] = prevCurSummary
-      .flatMap(su => Option(su.get("graft.dv-fingerprint")).map(_.asText))
-    val prevBucketFps: Map[Int, String] = prevCurSummary
-      .flatMap(su => Option(su.get("graft.dv-bucket-fps")).map(_.asText))
-      .map(txt => mapper.readTree(txt).fields().asScala
-        .map(en => en.getKey.toInt -> en.getValue.asText).toMap)
-      .getOrElse(Map.empty)
-    val prevDeleteMs = prevList.filter(_.content == 1)
-    val reuseDeletes = dvFiles.nonEmpty && specUnchanged &&
-      prevDeleteMs.nonEmpty && prevDvFp.contains(dvFingerprint)
+    val reuseDeletes = (fastAdds.isDefined && prevDeleteMs.nonEmpty) ||
+      (dvFiles.nonEmpty && specUnchanged &&
+        prevDeleteMs.nonEmpty && prevDvFp.contains(dvFingerprint))
     // previous generation's delete-file entries (driver, O(#delete
     // files)): the per-bucket reuse pool. Files from pre-bucketing
     // generations carry no __bucket= path segment -> bucket None ->
@@ -1567,7 +1669,14 @@ object IcebergMetadata {
     sumNode.put("operation", icebergOp)
     // DV-set fingerprint: the next generation reuses the delete manifest
     // + delete parquet files by reference when this is unchanged
-    if (dvFiles.nonEmpty) {
+    if (fastAdds.isDefined) {
+      // append-only: the DV set is untouched — carry the previous
+      // generation's fingerprints forward so a later DML commit still
+      // gets whole-set / per-bucket delete reuse against them
+      prevDvFp.foreach(fp => sumNode.put("graft.dv-fingerprint", fp))
+      prevCurSummary.flatMap(su => Option(su.get("graft.dv-bucket-fps")))
+        .foreach(b => sumNode.put("graft.dv-bucket-fps", b.asText))
+    } else if (dvFiles.nonEmpty) {
       sumNode.put("graft.dv-fingerprint", dvFingerprint)
       // per-bucket fingerprints: the NEXT generation rewrites only the
       // buckets whose descriptor set changed

@@ -374,7 +374,7 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       adds.size, adds.map(_.size).sum, removes.size,
       if (removes.forall(_.size.isDefined)) Some(removes.flatMap(_.size).sum) else None)
     catch { case scala.util.control.NonFatal(_) => () }
-    postCommit(done)
+    postCommit(done, Some(finalActions))
     done
   }
 
@@ -699,7 +699,8 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
   }
 
   /** cf. reference `trnx.go:647` postCommit: checkpoint on interval. */
-  private def postCommit(committedVersion: Long): Unit = {
+  private def postCommit(committedVersion: Long,
+      actions: Option[Seq[Action]] = None): Unit = {
     val interval = DeltaConfig.CheckpointInterval.fromMetadata(metadata)
     if (committedVersion != 0 && committedVersion % interval == 0) {
       val s = deltaLog.update()
@@ -718,13 +719,26 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
     // is the source of truth and a generation failure must never fail it
     if (DeltaConfig.UniversalFormats.fromMetadata(metadata).contains("iceberg")) {
       val s = deltaLog.snapshot
-      if (s.version == committedVersion)
-        try IcebergMetadata.generate(deltaLog.spark, deltaLog, s)
+      if (s.version == committedVersion) {
+        // pure-append hint: hand generation the commit's own AddFiles
+        // when nothing else changed — RowTracking's hwm DomainMetadata,
+        // SetTransaction and CommitInfo are append-compatible; anything
+        // else (removes, metadata, protocol, CDC) disables the fast path
+        val appendHint = actions.filter(_.forall {
+          case _: AddFile => true
+          case _: CommitInfo => true
+          case _: SetTransaction => true
+          case dm: DomainMetadata => dm.domain == RowTracking.Domain
+          case _ => false
+        }).map(_.collect { case a: AddFile => a })
+        try IcebergMetadata.generate(deltaLog.spark, deltaLog, s,
+          appendHint = appendHint)
         catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"WARN graft: Iceberg metadata generation " +
               s"for version $committedVersion failed: ${e.getMessage}")
         }
+      }
     }
   }
 

@@ -62,11 +62,9 @@ object ProfOps {
       t(s"$tag-p$n-delete") { tt.delete(col("o_orderkey") < 0L) }
       t(s"$tag-p$n-scan") { tt.toDF.orderBy(col("o_orderkey")).count() }
     }
-    val plain = mkTable(false)
-    (1 to 3).foreach(n => pass(plain, "plain", n))
     val uni = mkTable(true)
     (1 to 3).foreach(n => pass(uni, "uni", n))
-    // one more pass with per-generation timing visible via the hook
+    t("explicit-regenerate") { uni.generateIcebergMetadata() }
     spark.stop()
   }
 }
