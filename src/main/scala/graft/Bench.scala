@@ -128,7 +128,22 @@ object Bench {
     }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$rs,"failed":$fl,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$rs,"failed":$fl,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's PERF machinery has never parsed the stdout line (every
+    // retained BENCH_r*.json back to r15 has parsed:null — sbt's [info]
+    // prefix and log noise defeat its extractor). Write the identical
+    // line verbatim to a bare file next to BENCH_HISTORY.json so the
+    // comparison machinery has a noise-free artifact. Subset (A/B) runs
+    // skip it: a partial run must never masquerade as the suite.
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_LAST", "BENCH_LAST.json")), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_LAST.json write failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

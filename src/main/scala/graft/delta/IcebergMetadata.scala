@@ -134,6 +134,11 @@ object IcebergMetadata {
   // temporary phase profiler for optimization work; prints only when
   // GRAFT_GEN_PROF is set in the environment
   private val profGen = sys.env.contains("GRAFT_GEN_PROF")
+  // test observability: whether the LAST generate() call on this JVM took
+  // the pure-append fast path. The fast≡general equivalence spec asserts
+  // on it so a silently-dead fast path (the r19 v3 bug) can't hide behind
+  // an implicitly-exercised suite.
+  @volatile private[delta] var lastGenUsedFastPath: Boolean = false
   private def gprof[A](label: String)(f: => A): A =
     if (!profGen) f
     else {
@@ -987,8 +992,17 @@ object IcebergMetadata {
     // missing or stale, schema/spec/format drift, manifest-count
     // compaction due, DV'd or stats-less adds, or a pre-fingerprint
     // generation whose delete reuse cannot be proven).
+    // adds-count gate: the fast path writes manifests DRIVER-side,
+    // sequentially — fine for a trickle append (the case it exists for),
+    // a local-mode assumption for a 100-TB bulk load committing tens of
+    // thousands of files. Past the threshold the general path's
+    // distributed clustered writer takes over. 0 disables the fast path
+    // outright (the equivalence spec's suppression switch).
+    val maxFastAdds = spark.conf.get(
+      "spark.graft.iceberg.fastAppendMaxFiles", "1000").toInt
     val fastAdds: Option[Seq[AddFile]] = appendHint.filter { adds =>
-      prev.exists(p => Option(p.get("current-snapshot-id"))
+      adds.size <= maxFastAdds && maxFastAdds > 0 &&
+        prev.exists(p => Option(p.get("current-snapshot-id"))
           .exists(_.asLong == version)) &&
         reuseCandidates &&
         prevCurrentSchemaId.contains(schemaId) &&
@@ -998,6 +1012,7 @@ object IcebergMetadata {
           Stats.numRecords(a.stats).isDefined &&
           (formatVersion < 3 || a.baseRowId.isDefined))
     }
+    lastGenUsedFastPath = fastAdds.isDefined
     val rowIdInfo: Option[(Long, Long, Option[Long])] =
       if (formatVersion < 3) None
       else fastAdds match {
@@ -1087,22 +1102,27 @@ object IcebergMetadata {
       fastAdds match {
         case Some(adds) =>
           // pure append: the pool is exactly the commit's own files —
-          // ONE manifest written DRIVER-side (the same layout the
-          // distributed rewrite produces for a commit-sized pool),
-          // entries clustered by partition tuple for tight field
-          // summaries; zero Spark jobs, zero reads of the previous
-          // manifest set
+          // manifests written DRIVER-side, ONE PER PARTITION TUPLE (the
+          // same per-tuple clustering the distributed rewrite produces),
+          // so each manifest's field_summary bounds stay tight and
+          // Iceberg planning skips whole manifests on partition
+          // predicates exactly as over general-path output; zero Spark
+          // jobs, zero reads of the previous manifest set
           val rootPath = new Path(dataRoot)
           val genConf = spark.sessionState.newHadoopConf()
-          writeDataManifestFile(
-            adds.sortBy(a => (partCols.map(pc =>
-                String.valueOf(a.partitionValues.getOrElse(pc._1, null)))
-              .mkString("\u0001"), a.path))
-              .iterator.map(a => (FileNames.absolutePathString(rootPath,
-                a.path), a, Option.empty[Long], Option.empty[Long], false)),
-            genConf, dirStr, entrySchemaJson, schemaJsonStr, schemaId,
-            specFieldsJson, formatVersion, partMeta, statsCols,
-            snapshotId, seqNum).toSeq
+          adds.groupBy(a => partCols.map(pc =>
+              String.valueOf(a.partitionValues.getOrElse(pc._1, null)))
+            .mkString("\u0001"))
+            .toSeq.sortBy(_._1)
+            .flatMap { case (_, grp) =>
+              writeDataManifestFile(
+                grp.sortBy(_.path).iterator
+                  .map(a => (FileNames.absolutePathString(rootPath,
+                    a.path), a, Option.empty[Long], Option.empty[Long], false)),
+                genConf, dirStr, entrySchemaJson, schemaJsonStr, schemaId,
+                specFieldsJson, formatVersion, partMeta, statsCols,
+                snapshotId, seqNum)
+            }
         case None =>
         val withPrev0 = prevFileInfo match {
           // a corrupted/racing prior generation could double-list a path

@@ -325,8 +325,19 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
         }
       else assigned
     }
+    // the assigned action set of the LAST serialization — i.e. the winning
+    // attempt's, since the loop below serializes immediately before each
+    // write and stops on the first success. postCommit must see THIS set,
+    // not finalActions: row tracking (mandatory under
+    // graft.iceberg.formatVersion=3) assigns baseRowId /
+    // defaultRowCommitVersion per attempt inside actionsFor, and the
+    // Iceberg pure-append fast path's precondition checks baseRowId on
+    // v3 adds — handing it the pre-assignment adds made the fast path
+    // dead code for every v3 append.
+    var committedActions: Seq[Action] = finalActions
     def serialized(attempt: Long): Seq[String] = {
       val acts0 = actionsFor(attempt)
+      committedActions = acts0
       if (!ictEnabled) return (commitInfo +: acts0).map(Actions.toJson)
       val floor =
         if (attempt == 0) Long.MinValue
@@ -344,6 +355,7 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
             (DeltaConfig.IctEnablementTimestampKey -> ict.toString))
           case a => a
         }
+      committedActions = acts
       (ci +: acts).map(Actions.toJson)
     }
     // a declared row-tracking domain must also re-serialize per attempt:
@@ -374,7 +386,7 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
       adds.size, adds.map(_.size).sum, removes.size,
       if (removes.forall(_.size.isDefined)) Some(removes.flatMap(_.size).sum) else None)
     catch { case scala.util.control.NonFatal(_) => () }
-    postCommit(done, Some(finalActions))
+    postCommit(done, Some(committedActions))
     done
   }
 

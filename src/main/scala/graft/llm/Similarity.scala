@@ -242,7 +242,13 @@ object Similarity {
             struct(d2.as("d2"), ct.getField("cell").as("cell")))
             .otherwise(st)
         },
-        st => st.getField("cell")))
+        // empty centroid relation: the fold's init would silently assign
+        // every vector to cell 0 — fail loudly instead (a branch on the
+        // broadcast 1-row array, free under codegen)
+        st => when(size($"__cents") === 0, raise_error(lit(
+            "assignByCentroidRelation: empty centroid relation — " +
+              "train or load centroids before assignment")))
+          .otherwise(st.getField("cell"))))
       .select($"cell", $"vec_id", $"e", $"nrm")
   }
 
