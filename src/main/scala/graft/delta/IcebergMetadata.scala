@@ -742,7 +742,8 @@ object IcebergMetadata {
     */
   def generate(spark: SparkSession, log: DeltaLog, snapshot: Snapshot,
       retainMsOverride: Option[Long] = None,
-      appendHint: Option[Seq[AddFile]] = None): Long = {
+      appendHint: Option[Seq[AddFile]] = None,
+      dmlHint: Option[(Seq[AddFile], Seq[RemoveFile])] = None): Long = {
     val genStart = log.clock.nowMillis
     val md = snapshot.metadataOpt.getOrElse(throw new IllegalStateException(
       "cannot generate Iceberg metadata for a table without metadata"))
@@ -1013,12 +1014,50 @@ object IcebergMetadata {
           (formatVersion < 3 || a.baseRowId.isDefined))
     }
     lastGenUsedFastPath = fastAdds.isDefined
+    // ---- DML hint (commit = adds + removes only): the reuse vote and
+    // the DELETED-tombstone source are algebraically determined by the
+    // commit's own remove set — no join of the prior manifest population
+    // against the snapshot, and no snapshot-wide DV scan when the prior
+    // generation provably had no deletion vectors. The pool/lineage join
+    // and the clustered manifest write stay DISTRIBUTED and
+    // snapshot-backed (survivor column stats come from the snapshot,
+    // never reconstructed from Avro). Conservative gates mirror the
+    // append fast path; two in-vote integrity probes (an add colliding
+    // with a resident path — e.g. RESTORE re-adding a file a reusable
+    // manifest still lists — or a double-listed path across prev
+    // manifests) fall back to the general join-vote.
+    val maxDmlRemoves = spark.conf.get(
+      "spark.graft.iceberg.fastDmlMaxRemoves", "100000").toInt
+    val dmlSets: Option[(Set[String], Set[String], Seq[AddFile])] =
+      dmlHint.filter { case (adds, removes) =>
+        fastAdds.isEmpty && maxFastAdds > 0 &&
+          removes.nonEmpty && removes.size <= maxDmlRemoves &&
+          prev.exists(p => Option(p.get("current-snapshot-id"))
+            .exists(_.asLong == version)) &&
+          reuseCandidates && prevCurrentSchemaId.contains(schemaId) &&
+          (prevDeleteMs.isEmpty || prevDvFp.isDefined) &&
+          adds.forall(a => a.deletionVector == null &&
+            (a.tags == null || !a.tags.contains(DeletionVectors.PathTag)) &&
+            Stats.numRecords(a.stats).isDefined &&
+            (formatVersion < 3 || a.baseRowId.isDefined))
+      }.flatMap { case (adds, removes) =>
+        val root = new Path(dataRoot)
+        val rem = removes.map(r =>
+          FileNames.absolutePathString(root, r.path)).toSet
+        val ad = adds.map(a =>
+          FileNames.absolutePathString(root, a.path)).toSet
+        // a path both removed and re-added in one commit is ambiguous
+        // for the membership vote — general path
+        if (ad.exists(rem)) None else Some((rem, ad, adds))
+      }
     val rowIdInfo: Option[(Long, Long, Option[Long])] =
       if (formatVersion < 3) None
-      else fastAdds match {
+      else fastAdds.orElse(dmlSets.map(_._3)) match {
         case Some(adds) =>
-          // resident files were validated by the previous generation;
-          // the hint precondition validated the commit's own adds
+          // resident files were validated by the previous generation
+          // (whose currency the hint gate requires); the hint
+          // precondition validated the commit's own adds. Removes
+          // cannot introduce a missing baseRowId.
           require(RowTracking.enabled(md),
             "graft.iceberg.formatVersion=3 requires delta.enableRowTracking: " +
               "Iceberg v3 row lineage (first_row_id / next-row-id) maps from " +
@@ -1083,9 +1122,40 @@ object IcebergMetadata {
     // one generation past the manifest-count threshold — that
     // generation does a full partition-clustered rewrite, compacting
     // the list (the Iceberg manifest-rewrite maintenance action).
+    // dmlVote: when the commit's remove set is known, "every entry still
+    // live" reduces to "no entry is in the remove set" (prev generation
+    // listed exactly the prior snapshot's live files; adds cannot
+    // un-live anything). One aggregation over the prior entries — the
+    // snapshot is never joined. Per-manifest addHit and a global
+    // double-list probe guard the two cases where the reduction is
+    // unsound; either falls back to the general join-vote below.
+    // No cross-manifest double-list probe: path uniqueness across a
+    // generation's data manifests is an invariant of self-generated
+    // metadata (the pool excludes every reused manifest's paths and the
+    // snapshot's own file set is unique; the hint gate already refuses
+    // foreign metadata via the current-snapshot-id check), so one
+    // aggregation suffices. The general path below keeps its defensive
+    // per-fp dedup regardless.
+    val dmlVote: Option[Set[String]] = (dmlSets, prevFileInfo) match {
+      case (Some((removedSet, addSet, _)), Some(pi)) => gprof("dmlVote") {
+        import org.apache.spark.sql.functions.{lit, max, when}
+        val touched = max(when(col("fp").isInCollection(removedSet), 1)
+          .otherwise(0)).as("touched")
+        val addHit =
+          (if (addSet.isEmpty) max(lit(0))
+           else max(when(col("fp").isInCollection(addSet), 1).otherwise(0)))
+            .as("addHit")
+        val per = pi.groupBy(col("mp")).agg(touched, addHit).collect()
+        if (per.exists(_.getInt(2) == 1))
+          None // an add collides with a resident path (RESTORE): general vote
+        else Some(per.collect {
+          case r if r.getInt(1) == 0 => r.getString(0) }.toSet)
+      }
+      case _ => None
+    }
     val reusableMps: Set[String] =
       if (fastAdds.isDefined) prevDataMs.map(_.path).toSet
-      else gprof("reuseVote")(prevFileInfo match {
+      else dmlVote.getOrElse(gprof("reuseVote")(prevFileInfo match {
       case Some(pi) if reuseCandidates =>
         val live = keyedFiles.select(col("fp"))
           .withColumn("__live", org.apache.spark.sql.functions.lit(1))
@@ -1097,7 +1167,10 @@ object IcebergMetadata {
           .collect()
           .collect { case r if r.getInt(1) == 1 => r.getString(0) }.toSet
       case _ => Set.empty
-    })
+    }))
+    // valid only while the vote's reduction held — consumers below pick
+    // the remove-set tombstone source and the DV-scan skip off this flag
+    val dmlActive = dmlVote.isDefined
     val summaries: Seq[IcebergManifestSummary] = gprof("manifestWrite")(
       fastAdds match {
         case Some(adds) =>
@@ -1130,28 +1203,41 @@ object IcebergMetadata {
           // the original lineage) so the left join can never fan out an
           // AddFile into duplicate manifest entries
           case Some(pi) =>
+            // __anyReuse rides the same aggregation: "this path is listed
+            // in SOME reusable manifest" — the pool filter below then
+            // drops reused-manifest files with a map-only predicate
+            // instead of the r19 anti-join (a second shuffle of the
+            // reused entries against the whole snapshot). reusableMps is
+            // bounded by spark.graft.iceberg.maxDataManifests, so the
+            // membership test is a small plan literal.
+            val anyReuse =
+              if (reusableMps.isEmpty) org.apache.spark.sql.functions.lit(0)
+              else org.apache.spark.sql.functions.max(
+                org.apache.spark.sql.functions.when(
+                  col("mp").isInCollection(reusableMps), 1).otherwise(0))
             val piDedup = pi
               .groupBy(col("fp"))
               .agg(org.apache.spark.sql.functions.min(
                 org.apache.spark.sql.functions.struct(
-                  col("prev_seq"), col("prev_snap"))).as("__ps"))
+                  col("prev_seq"), col("prev_snap"))).as("__ps"),
+                anyReuse.as("__anyReuse"))
               .select(col("fp"), col("__ps.prev_snap").as("prev_snap"),
-                col("__ps.prev_seq").as("prev_seq"))
+                col("__ps.prev_seq").as("prev_seq"), col("__anyReuse"))
             keyedFiles.join(piDedup, Seq("fp"), "left")
           case None => keyedFiles
             .withColumn("prev_snap", org.apache.spark.sql.functions.lit(null).cast("long"))
             .withColumn("prev_seq", org.apache.spark.sql.functions.lit(null).cast("long"))
+            .withColumn("__anyReuse", org.apache.spark.sql.functions.lit(0))
         }
         // the REWRITE pool: live files not covered by a reused manifest —
-        // truly-new files (ADDED) plus the survivors of rewritten manifests
-        // (EXISTING with original lineage). An append-only commit's pool is
-        // exactly its own files.
-        val withPrev =
-          if (reusableMps.isEmpty) withPrev0
-          else withPrev0.join(
-            prevFileInfo.get.filter(col("mp").isInCollection(reusableMps))
-              .select(col("fp")).distinct(),
-            Seq("fp"), "left_anti")
+        // truly-new files (ADDED, __anyReuse null after the left join)
+        // plus the survivors of rewritten manifests (EXISTING with
+        // original lineage). An append-only commit's pool is exactly its
+        // own files.
+        val withPrev = withPrev0
+          .filter(org.apache.spark.sql.functions.coalesce(col("__anyReuse"),
+            org.apache.spark.sql.functions.lit(0)) === 0)
+          .drop("__anyReuse")
         // files that VANISHED this generation become status=2 DELETED
         // tombstone entries in the rewritten manifests (spec: snapshot_id =
         // the deleting snapshot, data sequence preserved), so an Iceberg
@@ -1161,7 +1247,12 @@ object IcebergMetadata {
         // manifest entry — nothing is re-opened); a reused manifest by
         // definition lost nothing.
         val removedDF: Option[DataFrame] = prevFileInfo.map { pi =>
-          pi.join(keyedFiles.select(col("fp")), Seq("fp"), "left_anti")
+          // with an active DML hint the vanished set IS the commit's
+          // remove set (the vote's integrity probes held): a map-only
+          // membership filter replaces the snapshot-wide anti-join
+          (if (dmlActive)
+             pi.filter(col("fp").isInCollection(dmlSets.get._1))
+           else pi.join(keyedFiles.select(col("fp")), Seq("fp"), "left_anti"))
             .dropDuplicates("fp")
             .select(col("fp"), col("pvs"), col("rc"), col("fsize"),
               col("prev_snap"), col("prev_seq"), col("frid"))
@@ -1217,6 +1308,12 @@ object IcebergMetadata {
     // payload format)
     val dvFiles: Seq[AddFile] =
       if (fastAdds.isDefined) Nil // append-only: the DV set is untouched
+      else if (dmlActive && prevDeleteMs.isEmpty) Nil
+      // ^ DML hint + no prior delete manifests: the prior generation
+      // provably had no live DVs (it writes a delete manifest whenever
+      // any exist, legacy tags included), removes cannot create DVs and
+      // the hint's adds were gated DV-free — the set is empty without
+      // scanning the snapshot's full file listing
       else gprof("dvCollect")(
         snapshot.allFilesDS.filter(f => f.deletionVector != null ||
           (f.tags != null && f.tags.contains(DeletionVectors.PathTag)))

@@ -743,8 +743,25 @@ class OptimisticTransaction(val deltaLog: DeltaLog, val snapshot: Snapshot) {
           case dm: DomainMetadata => dm.domain == RowTracking.Domain
           case _ => false
         }).map(_.collect { case a: AddFile => a })
+        // DML hint: a plain add/remove commit (DELETE, OPTIMIZE, MERGE's
+        // file churn — no metadata/protocol/CDC/foreign-domain actions).
+        // Generation can then vote manifest reuse against the commit's
+        // own remove set and source the DELETED tombstones from the
+        // prior manifests directly, instead of re-joining the full prior
+        // manifest population with the full snapshot (see
+        // IcebergMetadata.generate's dmlHint leg).
+        val dmlHint =
+          if (appendHint.isDefined) None
+          else actions.filter(_.forall {
+            case _: AddFile | _: RemoveFile | _: CommitInfo |
+                 _: SetTransaction => true
+            case dm: DomainMetadata => dm.domain == RowTracking.Domain
+            case _ => false
+          }).map(as => (as.collect { case a: AddFile => a },
+            as.collect { case r: RemoveFile => r }))
+            .filter(_._2.nonEmpty)
         try IcebergMetadata.generate(deltaLog.spark, deltaLog, s,
-          appendHint = appendHint)
+          appendHint = appendHint, dmlHint = dmlHint)
         catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"WARN graft: Iceberg metadata generation " +

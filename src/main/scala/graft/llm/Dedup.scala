@@ -82,12 +82,13 @@ object Dedup {
     * identical jaccard against every third document.
     *
     * Scale shape: ONE heavy scan (shingles + signature + content
-    * fingerprint per row — all per-row expressions), checkpointed as
-    * id+hash rows so both consumers reuse it without recomputing; the
-    * shingle ARRAYS never shuffle. Rep bands come from a map-side-
-    * combined groupBy (a hot fingerprint ships one row per map
-    * partition, never k); the member map is a window over id-pairs.
-    * Residual near-dup (not exact) band skew is AQE skew-join territory.
+    * fingerprint per row — all per-row expressions) plus ONE id-only
+    * window shuffle (group rep + size by fingerprint), checkpointed as
+    * id+hash rows so every consumer is a map-only filter over it; the
+    * shingle ARRAYS never shuffle. A family-size gate (see below) skips
+    * the collapse machinery outright on corpora without large exact-copy
+    * families. Residual near-dup (not exact) band skew is AQE skew-join
+    * territory.
     *
     * Returns (repBands, members): repBands = (doc_id, b, bkey) band rows
     * of one representative per distinct content; members = (doc_id,
@@ -98,23 +99,51 @@ object Dedup {
     val s = docs.sparkSession
     import s.implicits._
     // \u0001 never occurs in a shingle ([a-z0-9 ] only), so the joined
-    // string is an unambiguous encoding of the sorted set
+    // string is an unambiguous encoding of the sorted set.
+    // Group stats (rep_id = min doc_id of the fp group, gsize = its
+    // member count) are computed INSIDE the checkpointed pass by one
+    // window over fp — r19 paid a separate groupBy(b,bkey,fp) shuffle
+    // for the reps AND a window shuffle for the member map; both
+    // consumers below are now map-only filters over the checkpoint.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
     val bandsFp = stableCheckpoint(docs
       .withColumn("fp", md5(concat_ws("\u0001", array_sort($"sh"))))
       .withColumn("sig", minhashSig($"sh"))
       .select($"doc_id", $"fp",
-        bandCols($"sig", numBands, rowsPer).as(Seq("b", "bkey"))))
-    // all docs of one fp share every (b, bkey), so grouping by
-    // (b, bkey, fp) collapses each group to its min id per band
-    val repBands = bandsFp.groupBy($"b", $"bkey", $"fp")
-      .agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id", $"b", $"bkey")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
-    val members = bandsFp.filter($"b" === 0)
-      .select($"doc_id",
-        min($"doc_id").over(w).as("rep_id"),
-        count(lit(1)).over(w).as("gsize"))
-    (repBands, members)
+        bandCols($"sig", numBands, rowsPer).as(Seq("b", "bkey")))
+      .withColumn("rep_id", min($"doc_id").over(w))
+      .withColumn("gsize", sum(when($"b" === 0, 1L).otherwise(0L)).over(w)))
+    // Collapse GATE: the collapse exists to kill the k\u00b2 candidate
+    // blowup of a LARGE exact-copy family (k copies of one boilerplate
+    // page). When the largest family is small, every family's pairs are
+    // cheap to verify directly and the collapse machinery (rep filter +
+    // member expansion joins) is pure overhead — so it engages only past
+    // a family-size threshold. The probe is a map-only max over the
+    // checkpoint (gsize precomputed). Semantics-preserving either way:
+    // identical sets share every band, so the uncollapsed pipeline
+    // yields the same pairs at jaccard exactly 1.0 (the r19 equivalence
+    // argument, applied in reverse). The threshold is scale-INdependent
+    // (a family-size constant, not a corpus-size tuning): the residual
+    // quadratic is bounded by minGroup\u00b2 pairs per family.
+    val minGroup = s.conf.get("spark.graft.dedup.collapseMinGroup", "8").toLong
+    val gRow = bandsFp.agg(max($"gsize")).head()
+    val maxG = if (gRow.isNullAt(0)) 0L else gRow.getLong(0)
+    if (maxG < minGroup) {
+      // no family worth collapsing: bands pass through (every doc is its
+      // own representative) and the member map is the identity — the
+      // expansion joins downstream become id-identity and the within-
+      // group leg empty, while exact-copy pairs of the small families
+      // surface through the candidate join at jaccard exactly 1.0
+      (bandsFp.select($"doc_id", $"b", $"bkey"),
+        bandsFp.filter($"b" === 0)
+          .select($"doc_id", $"doc_id".as("rep_id"), lit(1L).as("gsize")))
+    } else {
+      // rep band rows = the group minimum's own rows: equivalent to the
+      // r19 groupBy(b,bkey,fp).min(doc_id) — all docs of one fp share
+      // every (b,bkey), so the min per band IS the group min's row set
+      (bandsFp.filter($"doc_id" === $"rep_id").select($"doc_id", $"b", $"bkey"),
+        bandsFp.filter($"b" === 0).select($"doc_id", $"rep_id", $"gsize"))
+    }
   }
 
   /** posexplode'd (b, bkey) band columns for a signature column at the
@@ -279,8 +308,6 @@ object Dedup {
           coalesce(sum(xxhash64($"u", $"v").cast("decimal(20,0)")), lit(0)).cast("string"))
         .as[(Long, String)].head()
 
-    val verts = edgePairs.select($"src".as("doc"))
-      .union(edgePairs.select($"dst".as("doc"))).distinct().persist()
     // localCheckpoint (eager) rather than persist: each round references
     // the previous edge set several times, so keeping full lineage makes
     // the logical plan grow exponentially with rounds — checkpointing
@@ -289,6 +316,39 @@ object Dedup {
     var e = edgePairs.select($"src".as("u"), $"dst".as("v"))
       .filter($"u" =!= $"v").distinct().transform(stableCheckpoint)
     var prev = checksum(e)
+    // METADATA-SIZED edge sets short-circuit to a driver union-find:
+    // every star-contraction round costs several id-only shuffles plus
+    // two fixpoint-probe jobs, a fixed multi-second floor that dwarfs a
+    // small component computation (dedup pair sets are a sliver of the
+    // corpus at every scale — even a 100-TB run's VERIFIED duplicate
+    // edges are typically thousands, not billions). The cutover is a
+    // bounded collect (ids only, ~16 B/edge; 100k edges = 1.6 MB — the
+    // same order as a broadcast build side), NOT unbounded driver work:
+    // past the threshold the O(log n) distributed contraction runs
+    // unchanged. Labels are identical: union-by-min root keeps each
+    // component's root at its minimum id, one row per node in an edge.
+    val localMax = s.conf.get("spark.graft.dedup.ccLocalMaxEdges", "100000").toLong
+    if (prev._1 <= localMax) {
+      val edges = e.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (u, v) =>
+        parent.getOrElseUpdate(u, u)
+        parent.getOrElseUpdate(v, v)
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      }
+      val labels = parent.keys.toSeq.sorted.map(x => (x, find(x)))
+      return s.createDataset(labels).toDF("doc", "lbl")
+    }
+    val verts = edgePairs.select($"src".as("doc"))
+      .union(edgePairs.select($"dst".as("doc"))).distinct().persist()
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {

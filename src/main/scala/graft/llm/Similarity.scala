@@ -207,7 +207,16 @@ object Similarity {
     val cents = trainLloyd2(s, vectors)
     graft.delta.DeltaTable.forPath(s, s"$dir/centroids")
       .write(cents.toDF("cell", "c"))
-    admitBatch(s, vectors, dir)
+    // first admission assigns against the JUST-TRAINED centroids — the
+    // exact values the line above stored, same fold, same tie-break —
+    // instead of re-reading the centroid table it wrote a moment ago
+    // (admitBatch's stored-read is for LATER admissions, where the
+    // training-time values are gone)
+    graft.delta.DeltaTable.forPath(s, s"$dir/cells")
+      .write(assignByCentroids(vectors, cents)
+          .select($"cell", $"vec_id", $"e", $"nrm")
+          .repartition(col("cell")),
+        partitionBy = Seq("cell"))
   }
 
   /** Assignment of a vector batch against the STORED centroids: one

@@ -107,6 +107,9 @@ class IcebergFastAppendSuite extends AnyFunSuite {
     val freshAgg = Seq(
       s"freshAf=${fresh.map(_.get("added_files_count").asInstanceOf[Int]).sum} " +
         s"freshAr=${fresh.map(_.get("added_rows_count").asInstanceOf[Long]).sum} " +
+        s"freshEf=${fresh.map(_.get("existing_files_count").asInstanceOf[Int]).sum} " +
+        s"freshDf=${fresh.map(_.get("deleted_files_count").asInstanceOf[Int]).sum} " +
+        s"freshDr=${fresh.map(_.get("deleted_rows_count").asInstanceOf[Long]).sum} " +
         s"freshSeq=${fresh.map(_.get("sequence_number").asInstanceOf[Long]).distinct.sorted.mkString(",")}")
     val listSem = reusedSem ++ freshAgg
     val entrySem = manifests.flatMap { m =>
@@ -201,6 +204,40 @@ class IcebergFastAppendSuite extends AnyFunSuite {
     // and the fallback's metadata is still whole: all 3 rows listed
     val (_, entries) = semantics(t)
     assert(entries.size == 3, s"expected 3 data-file entries, got:\n$entries")
+  }
+
+  test("dml hint ≡ general path (delete commit, hint vote suppressed)") {
+    // same seed + same file-level delete on two tables; one votes reuse
+    // via the commit's remove set (dml hint), the other via the general
+    // snapshot join (spark.graft.iceberg.fastDmlMaxRemoves=0). Entry
+    // semantics — survivors EXISTING with original lineage, DELETED
+    // tombstones stamped by the deleting snapshot, reused manifests by
+    // reference — must be identical.
+    def seedAndDelete(t: DeltaTable): Unit = {
+      t.write(df((1L, "a", "p1"), (2L, "b", "p2")), SaveMode.Append, Seq("part"))
+      t.write(df((3L, "c", "p1"), (4L, "d", "p3")), SaveMode.Append, Seq("part"))
+      t.delete(col("id") === 1L) // file-level remove in p1
+    }
+    val hintDir = tmp()
+    val hinted = mkUniform(hintDir)
+    seedAndDelete(hinted)
+    val genDir = tmp()
+    spark.conf.set("spark.graft.iceberg.fastDmlMaxRemoves", "0")
+    try {
+      val gen = mkUniform(genDir)
+      seedAndDelete(gen)
+      val (hl, he) = semantics(hinted)
+      val (gl, ge) = semantics(gen)
+      assert(he == ge, s"entry semantics diverge:\nhint:\n${he.mkString("\n")}" +
+        s"\ngeneral:\n${ge.mkString("\n")}")
+      assert(hl == gl, s"manifest-list semantics diverge:\nhint:\n" +
+        s"${hl.mkString("\n")}\ngeneral:\n${gl.mkString("\n")}")
+      // the scenario exercised what it claims: a DELETED tombstone and a
+      // reused untouched manifest are both present
+      assert(he.exists(_.startsWith("st=2")), s"no tombstone in:\n$he")
+      assert(he.exists(_.startsWith("st=0")) || hl.exists(_.contains("addedBy=2")),
+        "no survivor/reused evidence")
+    } finally spark.conf.unset("spark.graft.iceberg.fastDmlMaxRemoves")
   }
 
   test("v3 row-tracking append takes the fast path (post-assignment actions)") {

@@ -104,6 +104,45 @@ class DedupCollapseSuite extends AnyFunSuite {
     assert(got.filter(t => t._1 < 25 && t._2 < 25).forall(_._3 == 1.0))
   }
 
+  test("family-size gate: pass-through output equals forced-collapse output") {
+    // 5 copies of A -> max family 5 < default threshold 8 -> the gate
+    // skips the collapse; forcing the threshold to 1 engages it. Both
+    // paths must produce the identical pair set (the gate's semantics-
+    // preservation claim, pinned both ways).
+    val docs = shingle(corpus(5))
+    def run(): Set[(Long, Long, Double)] = {
+      val (repBands, members) = Dedup.collapsedBands(docs, 4, 4)
+      Dedup.expandPairs(Dedup.verifiedRepPairs(docs, repBands, 0.7), members)
+        .select($"doc_a", $"doc_b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val gated = run()
+    spark.conf.set("spark.graft.dedup.collapseMinGroup", "1")
+    val collapsed =
+      try run()
+      finally spark.conf.unset("spark.graft.dedup.collapseMinGroup")
+    assert(gated == collapsed,
+      s"gate branches diverge: gated ${gated.size} pairs, collapsed ${collapsed.size}")
+    assert(gated.count(t => t._1 < 5 && t._2 < 5) == 10,
+      "all 5*4/2 within-family pairs at jaccard 1.0 present in gated output")
+  }
+
+  test("connectedComponents: driver union-find equals distributed contraction") {
+    // chain 1-2-3-4, clique 10-11-12, isolated edge 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("src", "dst")
+    def labels(): Set[(Long, Long)] =
+      Dedup.connectedComponents(edges).as[(Long, Long)].collect().toSet
+    val local = labels() // 7 edges <= default 100000 -> union-find
+    spark.conf.set("spark.graft.dedup.ccLocalMaxEdges", "0")
+    val dist =
+      try labels()
+      finally spark.conf.unset("spark.graft.dedup.ccLocalMaxEdges")
+    assert(local == dist, s"CC paths diverge:\nlocal $local\ndist $dist")
+    assert(local == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L)))
+  }
+
   test("dedup_cluster labels expand over exact-copy groups") {
     val dir = java.nio.file.Files.createTempDirectory("graft-collapse").toString
     corpus(50).withColumn("source", lit("srcX"))
