@@ -82,13 +82,15 @@ object Dedup {
     * identical jaccard against every third document.
     *
     * Scale shape: ONE heavy scan (shingles + signature + content
-    * fingerprint per row — all per-row expressions) plus ONE id-only
-    * window shuffle (group rep + size by fingerprint), checkpointed as
-    * id+hash rows so every consumer is a map-only filter over it; the
-    * shingle ARRAYS never shuffle. A family-size gate (see below) skips
-    * the collapse machinery outright on corpora without large exact-copy
-    * families. Residual near-dup (not exact) band skew is AQE skew-join
-    * territory.
+    * fingerprint per row — all per-row expressions), checkpointed as
+    * id+hash rows so every consumer reuses it without recomputing; the
+    * shingle ARRAYS never shuffle. A family-size gate (probed by one
+    * map-side-combined aggregation over the checkpoint) skips the
+    * collapse machinery outright on corpora without large exact-copy
+    * families; when it engages, reps come from a map-side-combined
+    * groupBy (a hot fingerprint ships one row per map partition, never
+    * k) and the member map from a window over per-doc rows. Residual
+    * near-dup (not exact) band skew is AQE skew-join territory.
     *
     * Returns (repBands, members): repBands = (doc_id, b, bkey) band rows
     * of one representative per distinct content; members = (doc_id,
@@ -100,33 +102,28 @@ object Dedup {
     import s.implicits._
     // \u0001 never occurs in a shingle ([a-z0-9 ] only), so the joined
     // string is an unambiguous encoding of the sorted set.
-    // Group stats (rep_id = min doc_id of the fp group, gsize = its
-    // member count) are computed INSIDE the checkpointed pass by one
-    // window over fp — r19 paid a separate groupBy(b,bkey,fp) shuffle
-    // for the reps AND a window shuffle for the member map; both
-    // consumers below are now map-only filters over the checkpoint.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
     val bandsFp = stableCheckpoint(docs
       .withColumn("fp", md5(concat_ws("\u0001", array_sort($"sh"))))
       .withColumn("sig", minhashSig($"sh"))
       .select($"doc_id", $"fp",
-        bandCols($"sig", numBands, rowsPer).as(Seq("b", "bkey")))
-      .withColumn("rep_id", min($"doc_id").over(w))
-      .withColumn("gsize", sum(when($"b" === 0, 1L).otherwise(0L)).over(w)))
+        bandCols($"sig", numBands, rowsPer).as(Seq("b", "bkey"))))
     // Collapse GATE: the collapse exists to kill the k\u00b2 candidate
     // blowup of a LARGE exact-copy family (k copies of one boilerplate
     // page). When the largest family is small, every family's pairs are
-    // cheap to verify directly and the collapse machinery (rep filter +
-    // member expansion joins) is pure overhead — so it engages only past
-    // a family-size threshold. The probe is a map-only max over the
-    // checkpoint (gsize precomputed). Semantics-preserving either way:
-    // identical sets share every band, so the uncollapsed pipeline
-    // yields the same pairs at jaccard exactly 1.0 (the r19 equivalence
-    // argument, applied in reverse). The threshold is scale-INdependent
-    // (a family-size constant, not a corpus-size tuning): the residual
-    // quadratic is bounded by minGroup\u00b2 pairs per family.
+    // cheap to verify directly and the collapse machinery (rep groupBy,
+    // member-map window, expansion joins) is pure overhead — so it
+    // engages only past a family-size threshold. The probe is one
+    // map-side-combined aggregation over the checkpoint (a hot
+    // fingerprint ships one partial count per map partition, never k
+    // rows). Semantics-preserving either way: identical sets share
+    // every band, so the uncollapsed pipeline yields the same pairs at
+    // jaccard exactly 1.0 (the r19 equivalence argument, applied in
+    // reverse). The threshold is scale-INdependent (a family-size
+    // constant, not a corpus-size tuning): the residual quadratic is
+    // bounded by minGroup\u00b2 pairs per family.
     val minGroup = s.conf.get("spark.graft.dedup.collapseMinGroup", "8").toLong
-    val gRow = bandsFp.agg(max($"gsize")).head()
+    val gRow = bandsFp.filter($"b" === 0).groupBy($"fp")
+      .agg(count(lit(1)).as("g")).agg(max($"g")).head()
     val maxG = if (gRow.isNullAt(0)) 0L else gRow.getLong(0)
     if (maxG < minGroup) {
       // no family worth collapsing: bands pass through (every doc is its
@@ -138,11 +135,20 @@ object Dedup {
         bandsFp.filter($"b" === 0)
           .select($"doc_id", $"doc_id".as("rep_id"), lit(1L).as("gsize")))
     } else {
-      // rep band rows = the group minimum's own rows: equivalent to the
-      // r19 groupBy(b,bkey,fp).min(doc_id) — all docs of one fp share
-      // every (b,bkey), so the min per band IS the group min's row set
-      (bandsFp.filter($"doc_id" === $"rep_id").select($"doc_id", $"b", $"bkey"),
-        bandsFp.filter($"b" === 0).select($"doc_id", $"rep_id", $"gsize"))
+      // large families present: the r19 collapse shapes — reps from a
+      // map-side-combined groupBy (a hot fingerprint ships one row per
+      // map partition, never k; a window here would shuffle all k\u00d7bands
+      // rows of a hot family into one partition), member map from a
+      // window over the per-doc rows
+      val repBands = bandsFp.groupBy($"b", $"bkey", $"fp")
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id", $"b", $"bkey")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+      val members = bandsFp.filter($"b" === 0)
+        .select($"doc_id",
+          min($"doc_id").over(w).as("rep_id"),
+          count(lit(1)).over(w).as("gsize"))
+      (repBands, members)
     }
   }
 
